@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A Prometheus remote-read query against the samples store —
+  * mirrors prompb.Query (start/end ms, matchers, step/range hints). */
+final case class ReadQuery(
+    startMs: Long,
+    endMs: Long,
+    matchers: Seq[LabelMatcher],
+    stepMs: Long = 0L,
+    rangeMs: Long = 0L)
+
+/** The remote-read pipeline, Spark-first — the twin of the
+  * reference's single read SQL + driver-side series reassembly
+  * (reference: internal/clickhouse/read.go:15-103):
+  *
+  *   SELECT metric_name, arraySort(labels), <t> AS t, max(value)
+  *   FROM samples WHERE <time> AND <matchers>
+  *   GROUP BY metric_name, labels, t ORDER BY metric_name, labels, t
+  *
+  * Here the WHERE is a scan-level Catalyst predicate (time bounds and
+  * metric equality reach parquet as pushed filters), the GROUP BY is
+  * one hash-aggregate with map-side partial aggregation, and series
+  * assembly is a distributed `collect_list` over the SAME grouping
+  * keys — Catalyst reuses the exchange, so select → assemble is a
+  * single shuffle end-to-end and no per-row work ever lands on the
+  * driver (the reference streams all rows through one goroutine;
+  * at 100 TB that loop is the bottleneck, a shuffle is not).
+  */
+object SeriesRead {
+
+  /** Filter + bucket + per-(series, t) max. Output:
+    * metric, labels, t_sec BIGINT, max_value DOUBLE.
+    *
+    * Time bounds divide ms→s with truncation exactly like the
+    * reference (read.go:24-28 `q.StartTimestampMs/1000`), and apply
+    * at second resolution against the DateTime-equivalent axis.
+    * Grouping always happens at least at 1s resolution — ClickHouse
+    * DateTime is seconds, so the reference's GROUP BY t dedups
+    * sub-second samples even without hints. */
+  def select(samples: DataFrame, q: ReadQuery,
+             ignoreLabel: Option[String] = Some("remote=clickhouse"),
+             ignoreHints: Boolean = false): DataFrame = {
+    var df = samples.filter(expr("ts_us DIV 1000000") >= q.startMs / 1000)
+    if (q.endMs > 0)
+      df = df.filter(expr("ts_us DIV 1000000") <= q.endMs / 1000)
+    df = df.filter(Matchers.compile(q.matchers, ignoreLabel))
+    val interval = math.max(Downsample.hintIntervalSec(q.stepMs, q.rangeMs, ignoreHints), 1L)
+    df.withColumn("t_sec", Downsample.bucketSec("ts_us", interval))
+      .groupBy(col("metric"), col("labels"), col("t_sec"))
+      .agg(max(col("value")).as("max_value"))
+  }
+
+  /** Rows → one row per series with its time-ordered samples —
+    * the distributed twin of read.go:62-97's run-length reassembly
+    * into prompb.TimeSeries. Output:
+    * metric, labels, points ARRAY<STRUCT<t_sec, max_value>>. */
+  def assemble(selected: DataFrame): DataFrame =
+    selected
+      .groupBy(col("metric"), col("labels"))
+      .agg(sort_array(collect_list(struct(col("t_sec"), col("max_value")))).as("points"))
+
+  /** Scalar per-series summary of an assembled read — oracle-friendly
+    * (no nested arrays): series key, sample count, time span, and a
+    * deterministic "t:v" digest string of the ordered points. */
+  def assembleSummary(selected: DataFrame): DataFrame =
+    assemble(selected).select(
+      col("metric"),
+      array_join(col("labels"), ",").as("labels_str"),
+      size(col("points")).as("n_points"),
+      col("points")(0)("t_sec").as("first_t"),
+      element_at(col("points"), -1)("t_sec").as("last_t"),
+      array_join(
+        transform(col("points"),
+          p => concat(p("t_sec").cast("string"), lit(":"),
+                      format_string("%.2f", p("max_value")))),
+        ";").as("points_str"))
+}

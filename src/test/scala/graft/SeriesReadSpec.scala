@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.sources.Tables
+
+class SeriesReadSpec extends SparkSpecBase {
+
+  private lazy val samples = Tables.samples(spark, Sf).cache()
+
+  test("samples view maps events to canonical schema") {
+    val row = samples.orderBy("ts_us").first()
+    assert(row.getAs[String]("metric") == "error")
+    assert(row.getAs[scala.collection.Seq[String]]("labels").toSeq == Seq("k=87", "user=13"))
+    assert(samples.count() == 1000)
+  }
+
+  test("time range filter matches ms/1000 truncation semantics") {
+    val q = ReadQuery(1704412800000L, 1705708800000L, Nil)
+    val sel = SeriesRead.select(samples, q)
+    val bounds = sel.agg(min("t_sec"), max("t_sec")).first()
+    assert(bounds.getLong(0) >= 1704412800L)
+    assert(bounds.getLong(1) <= 1705708800L)
+  }
+
+  test("name and label matchers follow reference semantics") {
+    val eqSel = SeriesRead.select(samples,
+      ReadQuery(0, 0, Seq(Matchers.eq("__name__", "purchase"))))
+    assert(eqSel.select("metric").distinct().collect().map(_.getString(0)).toSet == Set("purchase"))
+
+    val reSel = SeriesRead.select(samples,
+      ReadQuery(0, 0, Seq(Matchers.re("__name__", "p[a-z]+chase|view"),
+                          Matchers.nre("__name__", "vi.w"))))
+    assert(reSel.select("metric").distinct().collect().map(_.getString(0)).toSet == Set("purchase"))
+
+    val labSel = SeriesRead.select(samples,
+      ReadQuery(0, 0, Seq(Matchers.eq("user", "3"))))
+    assert(labSel.filter(!array_contains(col("labels"), "user=3")).count() == 0)
+    assert(labSel.count() > 0)
+  }
+
+  test("ignore-label drops the configured EQ matcher only") {
+    val withIgnored = SeriesRead.select(samples,
+      ReadQuery(0, 0, Seq(Matchers.eq("remote", "clickhouse"), Matchers.eq("user", "5"))))
+    val without = SeriesRead.select(samples,
+      ReadQuery(0, 0, Seq(Matchers.eq("user", "5"))))
+    assert(withIgnored.count() == without.count())
+    // but a non-ignored remote matcher filters everything (no such label)
+    val strict = SeriesRead.select(samples,
+      ReadQuery(0, 0, Seq(Matchers.eq("remote", "clickhouse"))), ignoreLabel = None)
+    assert(strict.count() == 0)
+  }
+
+  test("downsample hint derives reference interval") {
+    assert(Downsample.hintIntervalSec(0, 0) == 0)
+    assert(Downsample.hintIntervalSec(2000, 0) == 0)        // <= minStepHint
+    assert(Downsample.hintIntervalSec(120000, 0) == 60)     // step/2/1000
+    assert(Downsample.hintIntervalSec(120000, 30000) == 15) // range < step wins
+    assert(Downsample.hintIntervalSec(2001, 0) == 1)        // clamp to 1s
+    assert(Downsample.hintIntervalSec(120000, 0, ignoreHints = true) == 0)
+  }
+
+  test("downsampled buckets align to interval starts") {
+    val sel = SeriesRead.select(samples,
+      ReadQuery(1704412800000L, 1705708800000L, Nil, stepMs = 120000L))
+    assert(sel.filter(expr("t_sec % 60 != 0")).count() == 0)
+  }
+
+  test("assembly yields one row per series with ordered points") {
+    val sel = SeriesRead.select(samples, ReadQuery(0, 0, Nil))
+    val asm = SeriesRead.assemble(sel)
+    assert(asm.count() == sel.select("metric", "labels").distinct().count())
+    val pts = asm.filter(size(col("points")) > 1)
+      .select(col("points.t_sec")).first().getAs[scala.collection.Seq[Long]](0).toSeq
+    assert(pts == pts.sorted)
+  }
+
+  test("rate guard: negative differences become NULL, dt>0 enforced") {
+    val rated = RangeOps.ratePerSecond(RangeOps.dedupPerSecond(samples))
+    assert(rated.filter(col("rate") < 0).count() == 0)
+    assert(rated.count() > 0)
+  }
+
+  test("gap fill produces dense grid with carried values") {
+    val gf = RangeOps.gapFill(RangeOps.dedupPerSecond(samples), 3600L)
+    assert(gf.filter(col("filled_value").isNull).count() == 0)
+    assert(gf.filter(col("is_gap")).count() > 0) // synthetic data is sparse hourly
+  }
+
+  test("every declared query returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, Sf).count()
+      assert(n > 0, s"query $name returned 0 rows")
+    }
+  }
+}

@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ingest.{Ingest, PromRemoteCodec, SamplesStore, StreamIngest, TsvBulk}
+import graft.ingest.PromRemoteCodec.{PromLabel, PromSample, PromTimeSeries}
 import graft.operators._
 import graft.sources.Tables
 
@@ -32,7 +34,79 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("read_full_pipeline")(spark, "/root/testdata/sf0.001")
 
+  /** Scratch dir for queries that exercise store/sink round-trips. */
+  private def workDir(name: String, dir: String): String =
+    s"/tmp/graft_work/${name}_${new java.io.File(dir).getName}"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.1 ingestion / data model -------------------------------
+    "ingest_remote_write" -> ((s, dir) =>
+      strLabels(Ingest.decodeWriteRequestBlobs(Ingest.toWriteRequestBlobs(samples(s, dir))))
+        .select(expr("ts_us DIV 1000").as("ts_ms"), col("metric"), col("labels_str"), col("value"))),
+
+    "ingest_label_normalize" -> ((s, dir) =>
+      strLabels(Ingest.roundTripUnsorted(samples(s, dir)))
+        .select(expr("ts_us DIV 1000").as("ts_ms"), col("metric"), col("labels_str"), col("value"))),
+
+    "ingest_samples_sink" -> ((s, dir) => {
+      val path = workDir("sink", dir)
+      SamplesStore.write(samples(s, dir), path)
+      SamplesStore.read(s, path)
+        .groupBy(col("metric"), col("date").cast("long").as("date"))
+        .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
+    }),
+
+    "ingest_bulk_tsv" -> ((s, dir) => {
+      val path = workDir("tsv", dir)
+      TsvBulk.export(samples(s, dir), path)
+      strLabels(TsvBulk.importTsv(s, path))
+        .groupBy(col("metric"), col("labels_str"))
+        .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"),
+             min(expr("ts_us DIV 1000000")).as("first_t"), max(expr("ts_us DIV 1000000")).as("last_t"))
+    }),
+
+    "ingest_streaming" -> ((s, dir) => {
+      val src = workDir("stream_src", dir)
+      Tables.events(s, dir).write.mode("overwrite").parquet(src)
+      StreamIngest.runToMemory(s, src, s"stream_${new java.io.File(dir).getName.replace(".", "_")}")
+    }),
+
+    "ingest_delete_range" -> ((s, dir) => {
+      val path = workDir("delstore", dir)
+      SamplesStore.write(samples(s, dir), path)
+      // delete [2024-01-10T12:00Z, 2024-01-14T06:00Z): partial day,
+      // three whole days, partial day
+      SamplesStore.deleteRange(s, path, 1704888000000000L, 1705212000000000L)
+      SamplesStore.read(s, path)
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
+    }),
+
+    "read_response_encode" -> ((s, dir) => {
+      import s.implicits._
+      val asm = SeriesRead.assemble(SeriesRead.select(samples(s, dir),
+        ReadQuery(WinStartMs, WinEndMs, Seq(Matchers.eq("__name__", "view")))))
+      asm.select(col("metric").as("_1"), col("labels").as("_2"),
+          col("points").as("_3").cast("array<struct<_1:bigint,_2:double>>"))
+        .as[(String, Seq[String], Seq[(Long, Double)])]
+        .map { case (m, ls, pts) =>
+          val promLabels = PromLabel("__name__", m) +: ls.map { kv =>
+            val i = kv.indexOf('='); PromLabel(kv.substring(0, i), kv.substring(i + 1))
+          }
+          PromRemoteCodec.encodeReadResponse(Seq(
+            PromTimeSeries(promLabels, pts.map(p => PromSample(p._2, p._1 * 1000L)))))
+        }
+        .flatMap { blob =>
+          PromRemoteCodec.decodeReadResponse(blob).flatMap { ts =>
+            val metric = ts.labels.find(_.name == "__name__").map(_.value).getOrElse("")
+            val rest = ts.labels.filter(_.name != "__name__")
+              .map(l => s"${l.name}=${l.value}").sorted.mkString(",")
+            ts.samples.map(sm => (metric, rest, sm.timestampMs, sm.value))
+          }
+        }
+        .toDF("metric", "labels_str", "t_ms", "max_value")
+    }),
+
     // ---- §2.2 remote-read path -------------------------------------
     "read_time_range" -> ((s, dir) => strLabels(
       SeriesRead.select(samples(s, dir),
@@ -157,7 +231,50 @@ object SparkEntry {
        |       string_agg(t_sec || ':' || printf('%.2f', max_value), ';' ORDER BY t_sec) AS points_str
        |FROM sel GROUP BY 1, 2""".stripMargin
 
+  private val sampleMs =
+    s"""$S
+       |SELECT ts_us // 1000 AS ts_ms, metric,
+       |       array_to_string(labels, ',') AS labels_str, value
+       |FROM samples""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "ingest_remote_write" -> sampleMs,
+
+    "ingest_label_normalize" -> sampleMs,
+
+    "ingest_samples_sink" ->
+      s"""$S
+         |SELECT metric, ts_us // 1000000 // 86400 * 86400 AS date,
+         |       count(*) AS n_samples, round(sum(value), 6) AS sum_value
+         |FROM samples GROUP BY 1, 2""".stripMargin,
+
+    "ingest_bulk_tsv" ->
+      s"""$S
+         |SELECT metric, array_to_string(labels, ',') AS labels_str,
+         |       count(*) AS n_samples, round(sum(value), 6) AS sum_value,
+         |       min(ts_us // 1000000) AS first_t, max(ts_us // 1000000) AS last_t
+         |FROM samples GROUP BY 1, 2""".stripMargin,
+
+    "ingest_streaming" ->
+      s"""$S
+         |SELECT metric, count(*) AS n_samples, round(sum(value), 6) AS sum_value
+         |FROM samples GROUP BY 1""".stripMargin,
+
+    "ingest_delete_range" ->
+      s"""$S
+         |SELECT metric, count(*) AS n_samples, round(sum(value), 6) AS sum_value
+         |FROM samples
+         |WHERE ts_us < 1704888000000000 OR ts_us >= 1705212000000000
+         |GROUP BY 1""".stripMargin,
+
+    "read_response_encode" ->
+      s"""$S
+         |SELECT metric, array_to_string(labels, ',') AS labels_str,
+         |       ts_us // 1000000 * 1000 AS t_ms, max(value) AS max_value
+         |FROM samples
+         |WHERE $inWin AND metric = 'view'
+         |GROUP BY 1, 2, 3""".stripMargin,
+
     "read_time_range" -> readAgg(inWin),
 
     "read_name_eq" -> readAgg(s"$inWin AND metric = 'purchase' AND metric != 'error'"),

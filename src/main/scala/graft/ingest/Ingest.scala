@@ -1,0 +1,190 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import PromRemoteCodec._
+
+/** DataFrame-level ingestion — the write half of the reference
+  * (reference: main.go:126-141 `/write`, internal/clickhouse/write.go)
+  * re-expressed as distributed transforms: request blobs live in a
+  * binary column and are decoded inside executors (flatMap over the
+  * partition), never on the driver. At 100 TB the decode parallelism
+  * is the partition count; the reference's single-process HTTP loop
+  * is the analogue of exactly one partition.
+  */
+object Ingest {
+
+  /** Canonical samples → one remote-write request blob per series
+    * (labels → PromLabel pairs, metric → __name__, µs → ms). */
+  def toWriteRequestBlobs(samples: DataFrame): DataFrame = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples
+      .groupBy(col("metric"), col("labels"))
+      .agg(sort_array(collect_list(struct(col("ts_us").as("_1"), col("value").as("_2")))).as("points"))
+      .select(col("metric").as("_1"), col("labels").as("_2"), col("points").as("_3"))
+      .as[(String, Seq[String], Seq[(Long, Double)])]
+      .map { case (metric, labels, points) =>
+        val promLabels = PromLabel("__name__", metric) +:
+          labels.map { kv =>
+            val i = kv.indexOf('=')
+            PromLabel(kv.substring(0, i), kv.substring(i + 1))
+          }
+        val series = PromTimeSeries(
+          promLabels,
+          points.map(p => PromSample(p._2, p._1 / 1000L)))
+        encodeWriteRequest(PromWriteRequest(Seq(series)))
+      }
+      .toDF("body")
+  }
+
+  /** Binary remote-write blobs → canonical samples (ts at ms
+    * precision, as on the wire). Distributed decode. */
+  def decodeWriteRequestBlobs(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("body")).as[Array[Byte]]
+      .flatMap(b => toSamples(decodeWriteRequest(b)))
+      .toDF()
+      .select(col("ts_us"), col("metric"), col("labels"), col("value"))
+  }
+
+  /** Exercise the decode-side normalization on label sets that arrive
+    * unsorted with __name__ mid-list (the remote-write spec sorts
+    * them, write.go handles either) — builds raw label pairs from the
+    * samples view in reverse order, round-trips, and yields the
+    * canonical (sorted) form. */
+  def roundTripUnsorted(samples: DataFrame): DataFrame = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples
+      .select(col("metric").as("_1"), reverse(col("labels")).as("_2"),
+              col("ts_us").as("_3"), col("value").as("_4"))
+      .as[(String, Seq[String], Long, Double)]
+      .mapPartitions { rows =>
+        rows.map { case (metric, labels, tsUs, value) =>
+          val promLabels = labels.map { kv =>
+            val i = kv.indexOf('=')
+            PromLabel(kv.substring(0, i), kv.substring(i + 1))
+          } :+ PromLabel("__name__", metric)
+          encodeWriteRequest(PromWriteRequest(Seq(
+            PromTimeSeries(promLabels, Seq(PromSample(value, tsUs / 1000L))))))
+        }
+      }
+      .flatMap(b => toSamples(decodeWriteRequest(b)))
+      .toDF()
+      .select(col("ts_us"), col("metric"), col("labels"), col("value"))
+  }
+}
+
+/** The samples store — the Spark twin of the ClickHouse MergeTree
+  * table (reference: README.md:17-28). Day-partitioned parquet
+  * (`date=<epoch day-start sec>`), rows sorted within files by
+  * (metric, labels, ts_us) ≙ `ORDER BY (metric_name, labels,
+  * updated_at)`: time predicates prune partitions, metric/label
+  * predicates ride parquet row-group min/max + dictionary pages.
+  * Time-ranged delete (README.md:166 `ALTER TABLE … DELETE WHERE`)
+  * is partition-level: whole days drop as directories, boundary days
+  * rewrite — never a full-table scan.
+  */
+object SamplesStore {
+  private val DaySec = 86400L
+
+  def write(samples: DataFrame, path: String): Unit =
+    samples
+      .withColumn("date", expr("ts_us DIV 1000000 DIV 86400 * 86400"))
+      .repartition(col("date"))
+      .sortWithinPartitions(col("metric"), col("labels"), col("ts_us"))
+      .write.mode("overwrite").partitionBy("date").parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Delete samples with startUs <= ts_us < endUs. */
+  def deleteRange(spark: SparkSession, path: String, startUs: Long, endUs: Long): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new Path(path)).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("date="))
+    dirs.foreach { dir =>
+      val dayStartUs = dir.getName.stripPrefix("date=").toLong * 1000000L
+      val dayEndUs = dayStartUs + DaySec * 1000000L
+      val fullyInside = dayStartUs >= startUs && dayEndUs <= endUs
+      val overlaps = dayStartUs < endUs && dayEndUs > startUs
+      if (fullyInside) {
+        fs.delete(dir, true)
+      } else if (overlaps) {
+        // boundary day: rewrite the partition without the deleted rows
+        val remaining = spark.read.parquet(dir.toString)
+          .filter(col("ts_us") < startUs || col("ts_us") >= endUs)
+        val tmp = new Path(dir.getParent, s".tmp_${dir.getName}")
+        remaining.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(dir, true)
+        fs.rename(tmp, dir)
+      }
+    }
+  }
+}
+
+/** TSV bulk import/export — the promtool-dump → `INSERT … FORMAT
+  * TabSeparated` path (reference: README.md:142-161). Line format
+  * mirrors ClickHouse TabSeparated for the samples table:
+  * `epoch_sec \t metric \t ['k=v','k=v'] \t value`. */
+object TsvBulk {
+
+  def export(samples: DataFrame, path: String): Unit =
+    samples.select(concat_ws("\t",
+        expr("ts_us DIV 1000000"),
+        col("metric"),
+        concat(lit("['"), array_join(col("labels"), "','"), lit("']")),
+        col("value").cast("string")).as("line"))
+      .write.mode("overwrite").text(path)
+
+  def importTsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(split(col("value"), "\t").as("f"))
+      .select(
+        (col("f")(0).cast("long") * 1000000L).as("ts_us"),
+        col("f")(1).as("metric"),
+        split(regexp_replace(col("f")(2), "^\\['|'\\]$", ""), "','").as("labels"),
+        col("f")(3).cast("double").as("value"))
+}
+
+/** Structured Streaming ingestion (reference main.go serves a
+  * continuous write stream; here: file-source stream → canonical
+  * samples → stateful aggregation, memory sink for tests, the same
+  * transform chain writes to SamplesStore in production). */
+object StreamIngest {
+
+  import org.apache.spark.sql.types._
+
+  /** events parquet schema with ts as raw INT64 nanos (nanosAsLong). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Stream srcDir's events files → per-metric totals, synchronously
+    * (availableNow semantics via processAllAvailable). */
+  def runToMemory(spark: SparkSession, srcDir: String, queryName: String): DataFrame = {
+    val stream = spark.readStream.schema(eventsSchema).parquet(srcDir)
+      .select(
+        expr("ts DIV 1000").as("ts_us"),
+        col("event_type").as("metric"),
+        array_sort(array(
+          concat(lit("k="), regexp_extract(col("props"), "[0-9]+", 0)),
+          concat(lit("user="), col("user_id").cast("string")))).as("labels"),
+        col("value"))
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

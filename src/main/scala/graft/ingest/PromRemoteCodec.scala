@@ -1,0 +1,213 @@
+package graft.ingest
+
+import org.xerial.snappy.Snappy
+
+import graft.operators.{LabelMatcher, MatcherType, ReadQuery}
+
+/** Prometheus remote-storage protocol model + codec — the twin of the
+  * reference's prompb handling (reference: codec.go:28-78 for the
+  * snappy+proto framing, main.go:126-155 for the endpoints).
+  *
+  * Wire messages (public prometheus/prompb field numbers):
+  *   Label        {1: name, 2: value}
+  *   Sample       {1: value double, 2: timestamp int64 ms}
+  *   TimeSeries   {1: labels*, 2: samples*}
+  *   WriteRequest {1: timeseries*}
+  *   LabelMatcher {1: type enum(EQ NEQ RE NRE), 2: name, 3: value}
+  *   ReadHints    {1: step_ms, 2: func, 3: start_ms, 4: end_ms, 7: range_ms}
+  *   Query        {1: start_ms, 2: end_ms, 3: matchers*, 4: hints}
+  *   ReadRequest  {1: queries*}
+  *   QueryResult  {1: timeseries*}
+  *   ReadResponse {1: results*}
+  */
+object PromRemoteCodec {
+
+  final case class PromLabel(name: String, value: String)
+  final case class PromSample(value: Double, timestampMs: Long)
+  final case class PromTimeSeries(labels: Seq[PromLabel], samples: Seq[PromSample])
+  final case class PromWriteRequest(timeseries: Seq[PromTimeSeries])
+
+  /** One flat ingested sample — reference write.go:34-46 label
+    * normalization applied: __name__ split out, remaining labels as
+    * sorted "k=v" strings. */
+  final case class IngestedSample(ts_us: Long, metric: String, labels: Seq[String], value: Double)
+
+  // ---- decode ------------------------------------------------------
+
+  def decodeWriteRequest(snappyBody: Array[Byte]): PromWriteRequest = {
+    val r = ProtoWire.reader(Snappy.uncompress(snappyBody))
+    val series = Seq.newBuilder[PromTimeSeries]
+    while (r.hasMore) {
+      val (field, wire) = r.readTag()
+      if (field == 1 && wire == 2) series += readTimeSeries(r.readMessage())
+      else r.skip(wire)
+    }
+    PromWriteRequest(series.result())
+  }
+
+  private def readTimeSeries(r: ProtoWire.Reader): PromTimeSeries = {
+    val labels = Seq.newBuilder[PromLabel]
+    val samples = Seq.newBuilder[PromSample]
+    while (r.hasMore) {
+      val (field, wire) = r.readTag()
+      (field, wire) match {
+        case (1, 2) => labels += readLabel(r.readMessage())
+        case (2, 2) => samples += readSample(r.readMessage())
+        case _      => r.skip(wire)
+      }
+    }
+    PromTimeSeries(labels.result(), samples.result())
+  }
+
+  private def readLabel(r: ProtoWire.Reader): PromLabel = {
+    var name = ""; var value = ""
+    while (r.hasMore) {
+      val (field, wire) = r.readTag()
+      (field, wire) match {
+        case (1, 2) => name = r.readString()
+        case (2, 2) => value = r.readString()
+        case _      => r.skip(wire)
+      }
+    }
+    PromLabel(name, value)
+  }
+
+  private def readSample(r: ProtoWire.Reader): PromSample = {
+    var value = 0.0; var ts = 0L
+    while (r.hasMore) {
+      val (field, wire) = r.readTag()
+      (field, wire) match {
+        case (1, 1) => value = r.readDouble()
+        case (2, 0) => ts = r.readVarint()
+        case _      => r.skip(wire)
+      }
+    }
+    PromSample(value, ts)
+  }
+
+  /** WriteRequest → flat samples with reference label normalization
+    * (write.go: __name__ → metric_name, others appended "k=v"; label
+    * names arrive sorted per the remote-write spec — we sort anyway
+    * to be canonical). */
+  def toSamples(req: PromWriteRequest): Iterator[IngestedSample] =
+    req.timeseries.iterator.flatMap { ts =>
+      var metric = ""
+      val labels = Seq.newBuilder[String]
+      ts.labels.foreach { l =>
+        if (l.name == "__name__") metric = l.value
+        else labels += s"${l.name}=${l.value}"
+      }
+      val sorted = labels.result().sorted
+      ts.samples.iterator.map(s =>
+        IngestedSample(s.timestampMs * 1000L, metric, sorted, s.value))
+    }
+
+  def decodeReadRequest(snappyBody: Array[Byte]): Seq[ReadQuery] = {
+    val r = ProtoWire.reader(Snappy.uncompress(snappyBody))
+    val queries = Seq.newBuilder[ReadQuery]
+    while (r.hasMore) {
+      val (field, wire) = r.readTag()
+      if (field == 1 && wire == 2) queries += readQuery(r.readMessage())
+      else r.skip(wire)
+    }
+    queries.result()
+  }
+
+  private def readQuery(r: ProtoWire.Reader): ReadQuery = {
+    var start = 0L; var end = 0L; var step = 0L; var range = 0L
+    val matchers = Seq.newBuilder[LabelMatcher]
+    while (r.hasMore) {
+      val (field, wire) = r.readTag()
+      (field, wire) match {
+        case (1, 0) => start = r.readVarint()
+        case (2, 0) => end = r.readVarint()
+        case (3, 2) => matchers += readMatcher(r.readMessage())
+        case (4, 2) =>
+          val h = r.readMessage()
+          while (h.hasMore) {
+            val (hf, hw) = h.readTag()
+            (hf, hw) match {
+              case (1, 0) => step = h.readVarint()
+              case (7, 0) => range = h.readVarint()
+              case _      => h.skip(hw)
+            }
+          }
+        case _ => r.skip(wire)
+      }
+    }
+    ReadQuery(start, end, matchers.result(), step, range)
+  }
+
+  private def readMatcher(r: ProtoWire.Reader): LabelMatcher = {
+    var t = 0; var name = ""; var value = ""
+    while (r.hasMore) {
+      val (field, wire) = r.readTag()
+      (field, wire) match {
+        case (1, 0) => t = r.readVarint().toInt
+        case (2, 2) => name = r.readString()
+        case (3, 2) => value = r.readString()
+        case _      => r.skip(wire)
+      }
+    }
+    val mt = t match {
+      case 0 => MatcherType.Eq
+      case 1 => MatcherType.Neq
+      case 2 => MatcherType.Re
+      case 3 => MatcherType.Nre
+      case o => throw new IllegalArgumentException(s"unsupported LabelMatcher_Type $o")
+    }
+    LabelMatcher(mt, name, value)
+  }
+
+  // ---- encode ------------------------------------------------------
+
+  def encodeWriteRequest(req: PromWriteRequest): Array[Byte] = {
+    val w = new ProtoWire.Writer
+    req.timeseries.foreach(ts => w.writeMessageField(1, writeTimeSeries(ts)))
+    Snappy.compress(w.toBytes)
+  }
+
+  private def writeTimeSeries(ts: PromTimeSeries): ProtoWire.Writer = {
+    val w = new ProtoWire.Writer
+    ts.labels.foreach { l =>
+      val lw = new ProtoWire.Writer
+      lw.writeStringField(1, l.name)
+      lw.writeStringField(2, l.value)
+      w.writeMessageField(1, lw)
+    }
+    ts.samples.foreach { s =>
+      val sw = new ProtoWire.Writer
+      sw.writeDoubleField(1, s.value)
+      sw.writeVarintField(2, s.timestampMs)
+      w.writeMessageField(2, sw)
+    }
+    w
+  }
+
+  /** ReadResponse{results: [QueryResult{timeseries}]} — the encode
+    * side of the read endpoint (codec.go:69-78). One result set. */
+  def encodeReadResponse(series: Seq[PromTimeSeries]): Array[Byte] = {
+    val qr = new ProtoWire.Writer
+    series.foreach(ts => qr.writeMessageField(1, writeTimeSeries(ts)))
+    val w = new ProtoWire.Writer
+    w.writeMessageField(1, qr)
+    Snappy.compress(w.toBytes)
+  }
+
+  def decodeReadResponse(snappyBody: Array[Byte]): Seq[PromTimeSeries] = {
+    val r = ProtoWire.reader(Snappy.uncompress(snappyBody))
+    val series = Seq.newBuilder[PromTimeSeries]
+    while (r.hasMore) {
+      val (field, wire) = r.readTag()
+      if (field == 1 && wire == 2) {
+        val qr = r.readMessage()
+        while (qr.hasMore) {
+          val (qf, qw) = qr.readTag()
+          if (qf == 1 && qw == 2) series += readTimeSeries(qr.readMessage())
+          else qr.skip(qw)
+        }
+      } else r.skip(wire)
+    }
+    series.result()
+  }
+}

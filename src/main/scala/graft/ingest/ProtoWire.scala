@@ -1,0 +1,107 @@
+package graft.ingest
+
+import java.io.ByteArrayOutputStream
+
+/** Minimal protobuf wire-format reader/writer (public encoding:
+  * varint / fixed64 / length-delimited), enough for the Prometheus
+  * remote-storage protos the reference speaks
+  * (reference: codec.go:28-78 uses generated prompb marshal/unmarshal;
+  * we hand-roll the same wire messages to stay dependency-free —
+  * prompb field numbers are part of the public remote-storage spec).
+  */
+object ProtoWire {
+
+  final class Reader(val buf: Array[Byte], var pos: Int, val end: Int) {
+    def hasMore: Boolean = pos < end
+
+    def readVarint(): Long = {
+      var shift = 0
+      var res = 0L
+      while (shift < 64) {
+        val b = buf(pos); pos += 1
+        res |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return res
+        shift += 7
+      }
+      throw new IllegalArgumentException("malformed varint")
+    }
+
+    /** Returns (fieldNumber, wireType). */
+    def readTag(): (Int, Int) = {
+      val t = readVarint().toInt
+      (t >>> 3, t & 7)
+    }
+
+    def readFixed64(): Long = {
+      var r = 0L
+      var i = 0
+      while (i < 8) { r |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
+      pos += 8
+      r
+    }
+
+    def readDouble(): Double = java.lang.Double.longBitsToDouble(readFixed64())
+
+    /** Sub-reader over a length-delimited field. */
+    def readMessage(): Reader = {
+      val len = readVarint().toInt
+      val r = new Reader(buf, pos, pos + len)
+      pos += len
+      r
+    }
+
+    def readString(): String = {
+      val len = readVarint().toInt
+      val s = new String(buf, pos, len, "UTF-8")
+      pos += len
+      s
+    }
+
+    def skip(wireType: Int): Unit = wireType match {
+      case 0 => readVarint()
+      case 1 => pos += 8
+      case 2 => val len = readVarint().toInt; pos += len
+      case 5 => pos += 4
+      case w => throw new IllegalArgumentException(s"unsupported wire type $w")
+    }
+  }
+
+  def reader(bytes: Array[Byte]): Reader = new Reader(bytes, 0, bytes.length)
+
+  final class Writer {
+    private val out = new ByteArrayOutputStream()
+
+    def writeVarint(v: Long): Unit = {
+      var x = v
+      while ((x & ~0x7fL) != 0) {
+        out.write(((x & 0x7f) | 0x80).toInt)
+        x >>>= 7
+      }
+      out.write(x.toInt)
+    }
+
+    def writeTag(field: Int, wireType: Int): Unit = writeVarint((field << 3) | wireType)
+
+    def writeVarintField(field: Int, v: Long): Unit = { writeTag(field, 0); writeVarint(v) }
+
+    def writeDoubleField(field: Int, v: Double): Unit = {
+      writeTag(field, 1)
+      var bits = java.lang.Double.doubleToLongBits(v)
+      var i = 0
+      while (i < 8) { out.write((bits & 0xff).toInt); bits >>>= 8; i += 1 }
+    }
+
+    def writeBytesField(field: Int, bytes: Array[Byte]): Unit = {
+      writeTag(field, 2)
+      writeVarint(bytes.length.toLong)
+      out.write(bytes, 0, bytes.length)
+    }
+
+    def writeStringField(field: Int, s: String): Unit =
+      writeBytesField(field, s.getBytes("UTF-8"))
+
+    def writeMessageField(field: Int, m: Writer): Unit = writeBytesField(field, m.toBytes)
+
+    def toBytes: Array[Byte] = out.toByteArray
+  }
+}

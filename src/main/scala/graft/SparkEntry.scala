@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ingest.{Ingest, PromRemoteCodec, SamplesStore, StreamIngest, TsvBulk}
 import graft.ingest.PromRemoteCodec.{PromLabel, PromSample, PromTimeSeries}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators._
 import graft.sources.Tables
 
@@ -191,6 +192,38 @@ object SparkEntry {
 
     "ts_gap_fill" -> ((s, dir) => strLabels(
       RangeOps.gapFill(RangeOps.dedupPerSecond(samples(s, dir)), 3600L))),
+
+    // ---- §2.4 dedup ------------------------------------------------
+    "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), 0.8)),
+
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 8)),
+
+    "dedup_embedding" -> ((s, dir) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, dir), nBands = 4, bitsPerBand = 6, threshold = 0.4)),
+
+    // ---- §2.5 similarity search ------------------------------------
+    "ann_bruteforce_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), nQueries = 10, k = 10)),
+
+    "ann_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), nQueries = 10, nBits = 6, k = 10)),
+
+    // ---- §2.6 text analysis ----------------------------------------
+    "text_langid" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
+
+    "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
+
+    "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+
+    "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
+
+    // ---- §2.7 multimodal -------------------------------------------
+    "mm_binary_pipeline" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.packFromDocuments(Tables.documents(s, dir)))),
   )
 
   // ---- DuckDB oracles ----------------------------------------------
@@ -230,6 +263,56 @@ object SparkEntry {
        |       min(t_sec) AS first_t, max(t_sec) AS last_t,
        |       string_agg(t_sec || ':' || printf('%.2f', max_value), ';' ORDER BY t_sec) AS points_str
        |FROM sel GROUP BY 1, 2""".stripMargin
+
+  // DuckDB mirrors of the portable-hash LLM pipelines (SURVEY §6):
+  // all integer arithmetic, or left-fold double arithmetic, identical
+  // to the Spark expressions.
+  private val H = "1000000007"
+  private def duckHash(s: String): String =
+    s"(('0x' || substr(md5($s), 1, 15))::BIGINT % $H)"
+
+  /** docs → 3-gram shingle hashes → 16-perm MinHash sigs → 4 band keys. */
+  private val minhashCte =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+       |                        for i in range(1, len(words)-1)]) AS shingles
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+       |  WHERE len(words) >= 3
+       |), hs AS (
+       |  SELECT doc_id, list_transform(shingles, s -> ${duckHash("s")}) AS hs FROM sh
+       |), sig AS (
+       |  SELECT doc_id, hs,
+       |         [list_min(list_transform(hs, h ->
+       |            ((j*2654435761+1) % $H * h + (j*40503+7) % $H) % $H))
+       |          for j in range(0, 16)] AS sig
+       |  FROM hs
+       |), banded AS (
+       |  SELECT doc_id, hs, sig, t.b AS band,
+       |         (sig[t.b*4+1]*(t.b*4+1) + sig[t.b*4+2]*(t.b*4+2) +
+       |          sig[t.b*4+3]*(t.b*4+3) + sig[t.b*4+4]*(t.b*4+4)) % $H AS band_sig
+       |  FROM sig, range(0, 4) t(b)
+       |)""".stripMargin
+
+  /** embeddings → double vecs + norms (left-fold) + LCG hyperplane
+    * signature bits. */
+  private def embCte(nBits: Int): String =
+    s"""WITH prep AS (
+       |  SELECT vec_id, label, vec,
+       |         sqrt(list_reduce(list_prepend(0.0::DOUBLE, [vec[i]*vec[i] for i in range(1, 65)]),
+       |                          (a, x) -> a + x)) AS nrm,
+       |         list_reduce(list_prepend(0::BIGINT, [
+       |           CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, [
+       |                  vec[i] * (((1103515245*(j*64+(i-1))+12345) % 2147483648)::DOUBLE / 2147483648 - 0.5)
+       |                  for i in range(1, 65)]), (a, x) -> a + x) > 0
+       |                THEN (1::BIGINT << j) ELSE 0::BIGINT END
+       |           for j in range(0, $nBits)]), (a, x) -> a + x) AS sigbits
+       |  FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS vec
+       |        FROM embeddings)
+       |)""".stripMargin
+
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, [$a[i] * $b[i] for i in range(1, 65)]), (acc, x) -> acc + x)"
 
   private val sampleMs =
     s"""$S
@@ -393,5 +476,165 @@ object SparkEntry {
          |       b.avg_value IS NULL AS is_gap
          |FROM grid g LEFT JOIN bucketed b
          |  ON g.metric = b.metric AND g.labels = b.labels AND g.bucket = b.bucket""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |       max(strlen(text)) AS n_chars
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""$minhashCte
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       round(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))::DOUBLE / 16, 6) AS est_sim
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""$minhashCte, pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         list_distinct(a.hs) AS ha, list_distinct(b.hs) AS hb
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b,
+         |       round(len(list_intersect(ha, hb)) / len(list_distinct(ha || hb))::DOUBLE, 6) AS jaccard
+         |FROM pairs
+         |WHERE round(len(list_intersect(ha, hb)) / len(list_distinct(ha || hb))::DOUBLE, 6) >= 0.8""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH hs AS (
+         |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${duckHash("t")}) AS hs
+         |  FROM documents
+         |), simh AS (
+         |  SELECT doc_id,
+         |         list_reduce(list_prepend(0::BIGINT, [
+         |           CASE WHEN list_sum(list_transform(hs, h -> ((h >> i) & 1)*2 - 1)) > 0
+         |                THEN (1::BIGINT << i) ELSE 0::BIGINT END
+         |           for i in range(0, 60)]), (a, x) -> a + x) AS simhash
+         |  FROM hs
+         |), banded AS (
+         |  SELECT doc_id, simhash, t.b AS band,
+         |         (simhash >> (t.b * 15)) & 32767 AS band_val
+         |  FROM simh, range(0, 4) t(b)
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.simhash AS sa, b.simhash AS sb
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+         |FROM pairs WHERE bit_count(xor(sa, sb)) <= 8""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""${embCte(24)}, banded AS (
+         |  SELECT vec_id, vec, nrm, t.b AS band,
+         |         (sigbits >> (t.b * 6)) & 63 AS band_val
+         |  FROM prep, range(0, 4) t(b)
+         |), pairs AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         a.vec AS va, a.nrm AS na, b.vec AS vb, b.nrm AS nb
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+         |)
+         |SELECT vec_a, vec_b, round(${duckDot("va", "vb")} / (na * nb), 6) AS cos_sim
+         |FROM pairs
+         |WHERE round(${duckDot("va", "vb")} / (na * nb), 6) >= 0.4""".stripMargin,
+
+    "ann_bruteforce_topk" ->
+      s"""${embCte(1)}, scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |         round(${duckDot("q.vec", "c.vec")} / (q.nrm * c.nrm), 6) AS cos_sim
+         |  FROM prep q JOIN prep c ON q.vec_id < 10 AND c.vec_id >= 10
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "ann_lsh_topk" ->
+      s"""${embCte(6)}, scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |         round(${duckDot("q.vec", "c.vec")} / (q.nrm * c.nrm), 6) AS cos_sim
+         |  FROM prep q JOIN prep c
+         |    ON q.sigbits = c.sigbits AND q.vec_id < 10 AND c.vec_id >= 10
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "text_langid" -> {
+      def score(words: Seq[String]) =
+        s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+      val Seq(en, es, de, fr) = TextAnalysis.StopWords.map(_._2)
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, ${score(en)} AS score_en, ${score(es)} AS score_es,
+         |             ${score(de)} AS score_de, ${score(fr)} AS score_fr FROM t)
+         |SELECT doc_id,
+         |  CASE
+         |    WHEN score_en = 0 AND score_es = 0 AND score_de = 0 AND score_fr = 0 THEN 'und'
+         |    WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+         |    WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+         |    WHEN score_de >= score_fr THEN 'de'
+         |    ELSE 'fr'
+         |  END AS pred_lang,
+         |  score_en, score_es, score_de, score_fr
+         |FROM s""".stripMargin
+    },
+
+    "text_quality" -> {
+      val en = TextAnalysis.StopWords.head._2.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |         strlen(text) AS n_chars_raw,
+         |         strlen(replace(text, ' ', '')) AS n_alpha
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id, len(toks) AS n_words, n_chars_raw, n_alpha,
+         |         len(list_filter(toks, t -> t IN ($en))) AS n_stop
+         |  FROM t
+         |)
+         |SELECT doc_id, n_words, n_chars_raw,
+         |       round(n_alpha::DOUBLE / n_words, 6) AS avg_word_len,
+         |       round(n_stop::DOUBLE / n_words, 6) AS stop_ratio,
+         |       round(least(n_words::DOUBLE / 100, 1.0::DOUBLE) * 0.5::DOUBLE +
+         |             least(n_stop::DOUBLE / n_words * 5.0::DOUBLE, 1.0::DOUBLE) * 0.3::DOUBLE +
+         |             CASE WHEN n_alpha::DOUBLE / n_words BETWEEN 3.0::DOUBLE AND 8.0::DOUBLE
+         |                  THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END, 6) AS quality_score
+         |FROM f""".stripMargin
+    },
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS n_ws_tokens,
+        |       len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS n_re_tokens,
+        |       n_chars AS n_chars_meta,
+        |       strlen(text) AS n_chars_actual
+        |FROM documents""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH hs AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |         list_transform(string_split(text, ' '), t -> ${duckHash("t")}) AS hs
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |       list_reduce(list_prepend(0::BIGINT, hs), (acc, h) -> (acc * 131 + h) % $H) AS fingerprint,
+         |       len(toks) AS n_tokens
+         |FROM hs""".stripMargin,
+
+    "mm_binary_pipeline" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, strlen(text) AS n_bytes,
+        |         list_sum(list_transform(string_split(text, ''), c -> ascii(c)))::BIGINT AS bsum
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_bytes, bsum % 997 AS checksum,
+        |       ascii(substr(text, 1, 1)) % 64 + 1 AS width,
+        |       ascii(substr(text, 2, 1)) % 64 + 1 AS height,
+        |       round(bsum::DOUBLE / n_bytes, 6) AS mean_intensity
+        |FROM b""".stripMargin,
   )
 }

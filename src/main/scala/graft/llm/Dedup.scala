@@ -1,0 +1,159 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale shape: candidate generation never compares documents
+  * pairwise — it shuffles small integer signatures (16 longs per doc
+  * for MinHash, one long for SimHash) and joins on band buckets, so
+  * the shuffle volume is O(docs × signature), not O(docs²) and not
+  * O(total text bytes). Verification (Jaccard / hamming) only touches
+  * candidate pairs. All hashing is the portable md5-60bit → mod-P
+  * integer scheme, so signatures are engine-reproducible.
+  */
+object Dedup {
+  import Portable._
+
+  val NumPerms = 16  // MinHash permutations
+  val NumBands = 4   // 4 bands × 4 rows
+  val RowsPerBand = NumPerms / NumBands
+
+  /** Exact dedup: one row per distinct text with the kept (minimum)
+    * doc_id and the number of copies. Hash-groupBy on the text —
+    * at 100 TB you'd pre-hash to a 128-bit key so the shuffle carries
+    * hashes, not documents; grouping by md5 here keeps that shape. */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"),
+           count(lit(1)).as("n_copies"),
+           max(length(col("text"))).as("n_chars"))
+      .drop("text_md5")
+
+  /** (doc_id, h) — one row per distinct word-level 3-gram shingle,
+    * hashed with the portable scheme. The explode keeps the md5 in a
+    * plain (whole-stage-codegen'd) projection, computed exactly once
+    * per shingle — at 100 TB the shuffle then carries 8-byte hashes,
+    * never shingle text. */
+  def shingleHashes(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(words)-3), i -> concat_ws(' ', words[i], words[i+1], words[i+2])))"))
+        .as("s"))
+      .select(col("doc_id"), expr(hash60SqlSpark("s")).as("h"))
+
+  /** doc_id + MinHash signature (NumPerms longs) + per-band bucket
+    * keys + the distinct shingle-hash set. Permutation j is
+    * (a_j·h + b_j) mod P with a_j = (j·2654435761+1) mod P,
+    * b_j = (j·40503+7) mod P; each is a map-side-combined min
+    * aggregate, so one shuffle of integer partials per doc. */
+  def minhashSignatures(documents: DataFrame): DataFrame = {
+    val permAggs = (0 until NumPerms).map { j =>
+      min(expr(
+        s"((${j}L * 2654435761L + 1) % ${P}L * h + (${j}L * 40503L + 7) % ${P}L) % ${P}L"))
+        .as(s"sig_$j")
+    }
+    shingleHashes(documents)
+      .groupBy(col("doc_id"))
+      .agg(permAggs.head, (permAggs.tail :+ collect_set(col("h")).as("shs")): _*)
+      .withColumn("sig", array((0 until NumPerms).map(j => col(s"sig_$j")): _*))
+      .withColumn("bands", expr(
+        s"""transform(sequence(0, ${NumBands - 1}), b ->
+           |  (sig[b*$RowsPerBand]   * (b*$RowsPerBand+1) +
+           |   sig[b*$RowsPerBand+1] * (b*$RowsPerBand+2) +
+           |   sig[b*$RowsPerBand+2] * (b*$RowsPerBand+3) +
+           |   sig[b*$RowsPerBand+3] * (b*$RowsPerBand+4)) % ${P}L)""".stripMargin))
+      .select(col("doc_id"), col("sig"), col("bands"), col("shs"))
+  }
+
+  /** MinHash+LSH candidate pairs: docs sharing any band bucket, with
+    * the estimated similarity = fraction of matching signature
+    * components. Shuffle = (doc, band) keys only. */
+  def minhashLsh(documents: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(documents)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        posexplode(col("bands")).as(Seq("band", "band_sig")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("est_sim", expr(
+        s"round(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / ${NumPerms}.0, 6)"))
+      .select(col("doc_a"), col("doc_b"), col("est_sim"))
+  }
+
+  /** Jaccard verification over the LSH candidates: exact
+    * |A∩B| / |A∪B| on distinct shingle-hash sets (integer counts →
+    * deterministic ratio). Only candidate pairs are joined back to
+    * their shingle sets. */
+  def ngramJaccard(documents: DataFrame, threshold: Double): DataFrame = {
+    val sigs = minhashSignatures(documents)
+      .select(col("doc_id"), col("bands"), col("shs"))
+    val banded = sigs.select(col("doc_id"), col("shs"),
+        posexplode(col("bands")).as(Seq("band", "band_sig")))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.shs").as("shs_a"), col("b.shs").as("shs_b"))
+      .distinct()
+    pairs
+      .withColumn("n_inter", expr("size(array_intersect(shs_a, shs_b))"))
+      .withColumn("n_union", expr("size(array_union(shs_a, shs_b))"))
+      .withColumn("jaccard", expr("round(n_inter / CAST(n_union AS DOUBLE), 6)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  val SimBits = 60   // portable hash width
+  val SimBands = 4   // 4 bands × 15 bits for candidate bucketing
+
+  /** doc_id + 60-bit SimHash over (duplicated) tokens: bit i set when
+    * Σ_tokens (2·bit_i(h60(t)) − 1) > 0. Tokens explode once through
+    * a codegen'd hash projection; the 60 bit-sums are one
+    * map-side-combined aggregate. */
+  def simhashSignatures(documents: DataFrame): DataFrame = {
+    val hashed = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), expr(hash60SqlSpark("t")).as("h"))
+    val bitAggs = (0 until SimBits).map(i =>
+      sum(expr(s"CAST((h >> $i) & 1 AS INT) * 2 - 1")).as(s"b_$i"))
+    hashed
+      .groupBy(col("doc_id"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .withColumn("simhash",
+        (0 until SimBits).map(i =>
+          when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _))
+      .select(col("doc_id"), col("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band on 15-bit slices, verify hamming
+    * distance ≤ maxHamming via bit_count(xor). */
+  def simhashPairs(documents: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = simhashSignatures(documents)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+        posexplode(expr(
+          s"transform(sequence(0, ${SimBands - 1}), b -> (simhash >> (b * 15)) & 32767)"))
+          .as(Seq("band", "band_val")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` payloads with
+  * typed metadata, decoded/feature-extracted inside executors via
+  * `mapPartitions` (the Scala twin of a batched decode UDF — one
+  * iterator pass per partition, codec state amortized across the
+  * batch).
+  *
+  * The DECODE ITSELF IS A STUB — the container has no image/audio
+  * codecs, so `decodeStub` derives deterministic fake features from
+  * the payload bytes (header-byte "dimensions", byte-sum "intensity").
+  * Everything around it — schema, binary column handling, partition
+  * batching, feature struct output — is the real plumbing a codec
+  * would drop into.
+  */
+object Multimodal {
+
+  /** One media row: payload + typed metadata. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], fmt: String, size_meta: Long)
+
+  /** Extracted features (deterministic stub). */
+  final case class MediaFeatures(doc_id: Long, n_bytes: Int, checksum: Long,
+                                 width: Int, height: Int, mean_intensity: Double)
+
+  /** documents → media rows: utf-8 payload bytes standing in for an
+    * encoded image, source/n_chars as the typed metadata. */
+  def packFromDocuments(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      col("source").as("fmt"),
+      col("n_chars").as("size_meta"))
+
+  /** STUB decode: a real implementation would parse the codec header
+    * and decode frames here; this derives stable pseudo-features so
+    * the distributed plumbing is testable. */
+  def decodeStub(payload: Array[Byte]): (Int, Long, Int, Int, Double) = {
+    val n = payload.length
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += payload(i) & 0xff; i += 1 }
+    val checksum = sum % 997
+    val width = (payload(0) & 0xff) % 64 + 1
+    val height = (payload(1) & 0xff) % 64 + 1
+    val meanIntensity = sum.toDouble / n
+    (n, checksum, width, height, meanIntensity)
+  }
+
+  /** Batched feature extraction over the binary column. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ds: Dataset[MediaRow] = media.as[MediaRow]
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val (n, checksum, w, h, mean) = decodeStub(r.payload)
+        MediaFeatures(r.doc_id, n, checksum, w, h, mean)
+      }
+    }.toDF()
+      .withColumn("mean_intensity", round(col("mean_intensity"), 6))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-deterministic primitives shared by the LLM-pipeline
+  * operators. Everything is integer arithmetic (or left-fold double
+  * arithmetic) expressible identically in Spark and an ANSI-ish SQL
+  * oracle, so even MinHash signatures hash-match DuckDB bit-for-bit.
+  */
+object Portable {
+  /** Modulus for all rolling/permutation hashes (fits products in i64). */
+  val P = 1000000007L
+
+  /** Portable 60-bit string hash: first 15 hex digits of md5, mod P.
+    * Spark: conv(substr(md5(s),1,15),16,10); DuckDB:
+    * ('0x'||substr(md5(s),1,15))::BIGINT. */
+  def hash60SqlSpark(s: String): String =
+    s"CAST(conv(substring(md5($s), 1, 15), 16, 10) AS BIGINT) % ${P}L"
+
+  /** Same, as a DuckDB SQL fragment. */
+  def hash60SqlDuck(s: String): String =
+    s"(('0x' || substr(md5($s), 1, 15))::BIGINT % $P)"
+}
+
+/** Text-analysis operators over the `documents` table: language ID,
+  * quality scoring, token counting, fingerprinting. All run as native
+  * codegen'd expressions (split/filter/aggregate higher-order
+  * functions) — per-row work, no shuffle, scales linearly with
+  * input splits at 100 TB.
+  */
+object TextAnalysis {
+  import Portable._
+
+  /** Stopword lists for the n-gram/stopword language-ID heuristic. */
+  val StopWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "en", "es", "un"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "en", "est", "un"))
+
+  private def tokensCol: Column = split(col("text"), " ")
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** doc_id, predicted lang + per-language stopword scores.
+    * Deterministic argmax with fixed priority en>es>de>fr; zero
+    * evidence → 'und'. */
+  def langId(documents: DataFrame): DataFrame = {
+    val withScores = StopWords.foldLeft(documents.withColumn("toks", tokensCol)) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"score_$lang",
+          size(filter(col("toks"), t => t.isin(words: _*))))
+    }
+    withScores.select(
+      col("doc_id"),
+      expr(
+        """CASE
+          |  WHEN score_en = 0 AND score_es = 0 AND score_de = 0 AND score_fr = 0 THEN 'und'
+          |  WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+          |  WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+          |  WHEN score_de >= score_fr THEN 'de'
+          |  ELSE 'fr'
+          |END""".stripMargin).as("pred_lang"),
+      col("score_en"), col("score_es"), col("score_de"), col("score_fr"))
+  }
+
+  /** doc_id + quality features + composite score (round 6). */
+  def quality(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", tokensCol)
+      .withColumn("n_words", size(col("toks")))
+      .withColumn("n_chars_raw", length(col("text")))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), " ", "")))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isin(StopWords.head._2: _*))))
+      .select(
+        col("doc_id"), col("n_words"), col("n_chars_raw"),
+        round(col("n_alpha").cast("double") / col("n_words"), 6).as("avg_word_len"),
+        round(col("n_stop").cast("double") / col("n_words"), 6).as("stop_ratio"),
+        round(
+          least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.5 +
+          least(col("n_stop").cast("double") / col("n_words") * 5.0, lit(1.0)) * 0.3 +
+          when((col("n_alpha").cast("double") / col("n_words")).between(3.0, 8.0), 0.2)
+            .otherwise(0.0),
+          6).as("quality_score"))
+
+  /** doc_id, whitespace token count, BPE-ish regex token count
+    * (`[a-z0-9]+` runs plus isolated symbols), metadata check. */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(tokensCol).as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]")).as("n_re_tokens"),
+      col("n_chars").as("n_chars_meta"),
+      length(col("text")).as("n_chars_actual"))
+
+  /** doc_id + polynomial rolling-hash fingerprint over token hashes:
+    * acc = (acc*131 + h60(token)) % P, left fold from 0 in token
+    * order. Tokens explode once through a codegen'd hash projection;
+    * the fold runs over the small pre-hashed array per doc. */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), posexplode(tokensCol).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("pos"), expr(hash60SqlSpark("t")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("h")))).as("ph"),
+           count(lit(1)).as("n_tokens"))
+      .select(
+        col("doc_id"),
+        expr(s"aggregate(ph, CAST(0 AS BIGINT), (acc, x) -> (acc * 131 + x.h) % ${P}L)")
+          .as("fingerprint"),
+        col("n_tokens"))
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+class LlmSpec extends SparkSpecBase {
+
+  private lazy val docs = Tables.documents(spark, Sf).cache()
+  private lazy val embs = Tables.embeddings(spark, Sf).cache()
+
+  test("exact dedup keeps one row per distinct text") {
+    val d = Dedup.exact(docs)
+    assert(d.count() == docs.select("text").distinct().count())
+    assert(d.agg(sum("n_copies")).first().getLong(0) == docs.count())
+  }
+
+  test("minhash LSH finds the planted near-duplicates") {
+    val pairs = Dedup.ngramJaccard(docs, 0.8)
+    assert(pairs.count() > 0, "expected planted near-dups at jaccard >= 0.8")
+    // estimates correlate: every >=0.9-jaccard pair must be an LSH candidate
+    val strong = pairs.filter(col("jaccard") >= 0.95).count()
+    val est = Dedup.minhashLsh(docs).filter(col("est_sim") >= 0.75).count()
+    assert(est >= strong, s"minhash est ($est) should cover strong pairs ($strong)")
+  }
+
+  test("simhash of identical texts is identical") {
+    val sigs = Dedup.simhashSignatures(docs)
+    val selfJoin = docs.select(col("doc_id"), col("text"))
+      .join(docs.select(col("doc_id").as("doc_id2"), col("text")), "text")
+      .filter(col("doc_id") < col("doc_id2"))
+    val withSig = selfJoin
+      .join(sigs, "doc_id")
+      .join(sigs.select(col("doc_id").as("doc_id2"), col("simhash").as("simhash2")), "doc_id2")
+    assert(withSig.filter(col("simhash") =!= col("simhash2")).count() == 0)
+  }
+
+  test("brute-force top-k is a superset of LSH top-k hits") {
+    val bf = Similarity.bruteForceTopK(embs, 10, 500).select("query_id", "vec_id", "cos_sim")
+    val lsh = Similarity.lshTopK(embs, 10, 6, 10).select("query_id", "vec_id", "cos_sim")
+    // every LSH result must appear in the exhaustive scoring with the same score
+    assert(lsh.exceptAll(bf).count() == 0)
+  }
+
+  test("top-k ranks are dense per query") {
+    val bf = Similarity.bruteForceTopK(embs, 5, 10)
+    val perQuery = bf.groupBy("query_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+    assert(perQuery.filter(col("n") =!= col("mx")).count() == 0)
+  }
+
+  test("langid scores and quality features are sane") {
+    val lang = TextAnalysis.langId(docs)
+    assert(lang.filter(col("pred_lang").isin("en", "es", "de", "fr", "und")).count() == docs.count())
+    val q = TextAnalysis.quality(docs)
+    assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val fp1 = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fp2 = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fp1 == fp2)
+  }
+
+  test("multimodal stub decode is deterministic with real binary plumbing") {
+    val media = Multimodal.packFromDocuments(docs)
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val f1 = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
+    val f2 = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
+    assert(f1.sameElements(f2))
+    assert(f1.length == docs.count())
+  }
+}

@@ -87,7 +87,7 @@ object SparkEntry {
       import s.implicits._
       val asm = SeriesRead.assemble(SeriesRead.select(samples(s, dir),
         ReadQuery(WinStartMs, WinEndMs, Seq(Matchers.eq("__name__", "view")))))
-      asm.select(col("metric").as("_1"), col("labels").as("_2"),
+      asm.select(col("metric").as("_1"), split(col("labels_str"), ",").as("_2"),
           col("points").as("_3").cast("array<struct<_1:bigint,_2:double>>"))
         .as[(String, Seq[String], Seq[(Long, Double)])]
         .map { case (m, ls, pts) =>
@@ -109,41 +109,41 @@ object SparkEntry {
     }),
 
     // ---- §2.2 remote-read path -------------------------------------
-    "read_time_range" -> ((s, dir) => strLabels(
+    "read_time_range" -> ((s, dir) => (
       SeriesRead.select(samples(s, dir),
         ReadQuery(WinStartMs, WinEndMs, Nil)))),
 
-    "read_name_eq" -> ((s, dir) => strLabels(
+    "read_name_eq" -> ((s, dir) => (
       SeriesRead.select(samples(s, dir),
         ReadQuery(WinStartMs, WinEndMs,
           Seq(Matchers.eq("__name__", "purchase"), Matchers.neq("__name__", "error")))))),
 
-    "read_name_regex" -> ((s, dir) => strLabels(
+    "read_name_regex" -> ((s, dir) => (
       SeriesRead.select(samples(s, dir),
         ReadQuery(WinStartMs, WinEndMs,
           Seq(Matchers.re("__name__", "p[a-z]+chase|view"), Matchers.nre("__name__", "vi.w")))))),
 
-    "read_label_eq" -> ((s, dir) => strLabels(
+    "read_label_eq" -> ((s, dir) => (
       SeriesRead.select(samples(s, dir),
         ReadQuery(WinStartMs, WinEndMs,
           Seq(Matchers.eq("user", "3"), Matchers.neq("k", "7")))))),
 
-    "read_label_regex" -> ((s, dir) => strLabels(
+    "read_label_regex" -> ((s, dir) => (
       SeriesRead.select(samples(s, dir),
         ReadQuery(WinStartMs, WinEndMs,
           Seq(Matchers.re("user", "1[0-2]"), Matchers.nre("k", "4.*")))))),
 
-    "read_ignore_label" -> ((s, dir) => strLabels(
+    "read_ignore_label" -> ((s, dir) => (
       SeriesRead.select(samples(s, dir),
         ReadQuery(WinStartMs, WinEndMs,
           Seq(Matchers.eq("remote", "clickhouse"), Matchers.eq("user", "5")))))),
 
-    "read_downsample_hint" -> ((s, dir) => strLabels(
+    "read_downsample_hint" -> ((s, dir) => (
       SeriesRead.select(samples(s, dir),
         ReadQuery(WinStartMs, WinEndMs,
           Seq(Matchers.eq("__name__", "click")), stepMs = 120000L)))),
 
-    "read_series_agg" -> ((s, dir) => strLabels(
+    "read_series_agg" -> ((s, dir) => (
       SeriesRead.select(samples(s, dir), ReadQuery(0L, 0L, Nil)))),
 
     "read_series_assembly" -> ((s, dir) =>
@@ -160,25 +160,25 @@ object SparkEntry {
             stepMs = 600000L)))),
 
     // ---- §2.3 TSDB analytics ---------------------------------------
-    "ts_rate_per_second" -> ((s, dir) => strLabels(
+    "ts_rate_per_second" -> ((s, dir) => (
       RangeOps.ratePerSecond(RangeOps.dedupPerSecond(samples(s, dir))))),
 
-    "ts_increase" -> ((s, dir) => strLabels(
+    "ts_increase" -> ((s, dir) => (
       RangeOps.increaseDelta(RangeOps.dedupPerSecond(samples(s, dir)), 3600L))),
 
-    "ts_avg_over_time" -> ((s, dir) => strLabels(
+    "ts_avg_over_time" -> ((s, dir) => (
       RangeOps.overTime(RangeOps.dedupPerSecond(samples(s, dir)), 3600L,
         Seq(round(avg(col("value")), 6).as("avg_value"))))),
 
-    "ts_minmax_over_time" -> ((s, dir) => strLabels(
+    "ts_minmax_over_time" -> ((s, dir) => (
       RangeOps.overTime(RangeOps.dedupPerSecond(samples(s, dir)), 3600L,
         Seq(min(col("value")).as("min_value"), max(col("value")).as("max_value"))))),
 
-    "ts_sum_count_over_time" -> ((s, dir) => strLabels(
+    "ts_sum_count_over_time" -> ((s, dir) => (
       RangeOps.overTime(RangeOps.dedupPerSecond(samples(s, dir)), 3600L,
         Seq(round(sum(col("value")), 6).as("sum_value"), count(lit(1)).as("n_points"))))),
 
-    "ts_topk" -> ((s, dir) => strLabels(
+    "ts_topk" -> ((s, dir) => (
       RangeOps.topK(RangeOps.dedupPerSecond(samples(s, dir)), 86400L, 3))),
 
     "ts_quantile_over_time" -> ((s, dir) =>
@@ -187,10 +187,10 @@ object SparkEntry {
     "ts_label_project" -> ((s, dir) =>
       RangeOps.labelProject(samples(s, dir), "user=", 8.0)),
 
-    "ts_last_point" -> ((s, dir) => strLabels(
+    "ts_last_point" -> ((s, dir) => (
       RangeOps.lastPoint(RangeOps.dedupPerSecond(samples(s, dir))))),
 
-    "ts_gap_fill" -> ((s, dir) => strLabels(
+    "ts_gap_fill" -> ((s, dir) => (
       RangeOps.gapFill(RangeOps.dedupPerSecond(samples(s, dir)), 3600L))),
 
     // ---- §2.4 dedup ------------------------------------------------
@@ -224,6 +224,11 @@ object SparkEntry {
     // ---- §2.7 multimodal -------------------------------------------
     "mm_binary_pipeline" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.packFromDocuments(Tables.documents(s, dir)))),
+
+    // ---- §2.8 relational spine -------------------------------------
+    "rel_q1_agg" -> ((s, dir) => Relational.q1(s, dir)),
+    "rel_join_broadcast" -> ((s, dir) => Relational.revenueByRegion(s, dir)),
+    "rel_join_shuffle" -> ((s, dir) => Relational.returnedByPriority(s, dir)),
   )
 
   // ---- DuckDB oracles ----------------------------------------------
@@ -636,5 +641,36 @@ object SparkEntry {
         |       ascii(substr(text, 2, 1)) % 64 + 1 AS height,
         |       round(bsum::DOUBLE / n_bytes, 6) AS mean_intensity
         |FROM b""".stripMargin,
+
+    "rel_q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "rel_join_broadcast" ->
+      """SELECT r_name, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+
+    "rel_join_shuffle" ->
+      """SELECT o_orderpriority,
+        |       count(DISTINCT o_orderkey) AS n_orders,
+        |       count(*) AS n_lineitems,
+        |       round(sum(l_extendedprice), 2) AS returned_value
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -79,16 +79,17 @@ object Dedup {
         posexplode(col("bands")).as(Seq("band", "band_sig")))
     val a = banded.as("a")
     val b = banded.as("b")
+    // est_sim is computed per band hit and the signature arrays are
+    // dropped BEFORE the distinct — the dedup shuffle then carries
+    // (id, id, double), not 16-long arrays.
     a.join(b,
         col("a.band") === col("b.band") &&
         col("a.band_sig") === col("b.band_sig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        expr(s"round(size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v)) / ${NumPerms}.0, 6)")
+          .as("est_sim"))
       .distinct()
-      .withColumn("est_sim", expr(
-        s"round(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / ${NumPerms}.0, 6)"))
-      .select(col("doc_a"), col("doc_b"), col("est_sim"))
   }
 
   /** Jaccard verification over the LSH candidates: exact
@@ -100,19 +101,15 @@ object Dedup {
       .select(col("doc_id"), col("bands"), col("shs"))
     val banded = sigs.select(col("doc_id"), col("shs"),
         posexplode(col("bands")).as(Seq("band", "band_sig")))
-    val pairs = banded.as("a").join(banded.as("b"),
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_sig") === col("b.band_sig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              col("a.shs").as("shs_a"), col("b.shs").as("shs_b"))
+        expr("round(size(array_intersect(a.shs, b.shs)) / CAST(size(array_union(a.shs, b.shs)) AS DOUBLE), 6)")
+          .as("jaccard"))
       .distinct()
-    pairs
-      .withColumn("n_inter", expr("size(array_intersect(shs_a, shs_b))"))
-      .withColumn("n_union", expr("size(array_union(shs_a, shs_b))"))
-      .withColumn("jaccard", expr("round(n_inter / CAST(n_union AS DOUBLE), 6)"))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   val SimBits = 60   // portable hash width
@@ -145,15 +142,15 @@ object Dedup {
         posexplode(expr(
           s"transform(sequence(0, ${SimBands - 1}), b -> (simhash >> (b * 15)) & 32767)"))
           .as(Seq("band", "band_val")))
+    // hamming is filtered per band hit, before the distinct — at
+    // scale most candidate pairs die here without ever shuffling.
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 }

@@ -96,19 +96,21 @@ object Similarity {
       .withColumn("sigbits", expr(signatureExpr("vec", nBits, dim)))
       .withColumn("bands", expr(
         s"transform(sequence(0, ${nBands - 1}), b -> (sigbits >> (b * $bitsPerBand)) & ${(1 << bitsPerBand) - 1})"))
+    // The repartition on the band key is a materialization barrier:
+    // the (interpreted, expensive) signature expression is evaluated
+    // exactly once per banded row at the exchange, and the self-join
+    // reuses that single exchange for both sides (ReuseExchange)
+    // instead of recomputing signatures in each branch.
     val banded = prep.select(col("vec_id"), col("vec"), col("nrm"),
-      posexplode(col("bands")).as(Seq("band", "band_val")))
+        posexplode(col("bands")).as(Seq("band", "band_val")))
+      .repartition(col("band"), col("band_val"))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-              col("a.vec").as("va"), col("a.nrm").as("na"),
-              col("b.vec").as("vb"), col("b.nrm").as("nb"))
+        expr(s"round(${dotExpr("a.vec", "b.vec")} / (a.nrm * b.nrm), 6)").as("cos_sim"))
       .distinct()
-    pairs
-      .withColumn("cos_sim", expr(s"round(${dotExpr("va", "vb")} / (na * nb), 6)"))
-      .filter(col("cos_sim") >= threshold)
-      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+    pairs.filter(col("cos_sim") >= threshold)
   }
 }

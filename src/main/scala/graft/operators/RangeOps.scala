@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object RangeOps {
 
-  private val seriesKey: Seq[Column] = Seq(col("metric"), col("labels"))
+  private val seriesKey: Seq[Column] = Seq(col("metric"), col("labels_str"))
 
   /** Collapse sub-second duplicates exactly like the reference's
     * GROUP BY (metric, labels, t[DateTime seconds]) → max(value)
@@ -26,7 +26,8 @@ object RangeOps {
   def dedupPerSecond(samples: DataFrame): DataFrame =
     samples
       .withColumn("t_sec", Downsample.bucketSec("ts_us", 1L))
-      .groupBy(col("metric"), col("labels"), col("t_sec"))
+      .withColumn("labels_str", array_join(col("labels"), ","))
+      .groupBy(col("metric"), col("labels_str"), col("t_sec"))
       .agg(max(col("value")).as("value"))
 
   /** Per-series per-second rate between consecutive points —
@@ -51,7 +52,7 @@ object RangeOps {
   def overTime(deduped: DataFrame, intervalSec: Long, aggs: Seq[Column]): DataFrame =
     deduped
       .withColumn("bucket", expr(s"t_sec DIV $intervalSec * $intervalSec"))
-      .groupBy(col("metric"), col("labels"), col("bucket"))
+      .groupBy(col("metric"), col("labels_str"), col("bucket"))
       .agg(aggs.head, aggs.tail: _*)
 
   /** Counter increase per bucket: last-first, clamped at 0 (PromQL
@@ -71,7 +72,7 @@ object RangeOps {
     val bucketed = overTime(deduped, intervalSec,
       Seq(round(sum(col("value")), 6).as("sum_value")))
     val w = Window.partitionBy(col("metric"), col("bucket"))
-      .orderBy(col("sum_value").desc, array_join(col("labels"), ",").asc)
+      .orderBy(col("sum_value").desc, col("labels_str").asc)
     bucketed
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -80,7 +81,7 @@ object RangeOps {
   /** Latest point per series (instant vector). Input deduped. */
   def lastPoint(deduped: DataFrame): DataFrame =
     deduped
-      .groupBy(col("metric"), col("labels"))
+      .groupBy(col("metric"), col("labels_str"))
       .agg(max(col("t_sec")).as("last_t"),
            max_by(col("value"), col("t_sec")).as("last_value"))
 
@@ -93,13 +94,13 @@ object RangeOps {
     val bucketed = overTime(deduped, intervalSec,
       Seq(round(avg(col("value")), 6).as("avg_value")))
     val grid = bucketed
-      .groupBy(col("metric"), col("labels"))
+      .groupBy(col("metric"), col("labels_str"))
       .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
-      .select(col("metric"), col("labels"),
+      .select(col("metric"), col("labels_str"),
         explode(sequence(col("b0"), col("b1"), lit(intervalSec))).as("bucket"))
     val w = Window.partitionBy(seriesKey: _*).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(bucketed, Seq("metric", "labels", "bucket"), "left")
+    grid.join(bucketed, Seq("metric", "labels_str", "bucket"), "left")
       .withColumn("filled_value", last(col("avg_value"), ignoreNulls = true).over(w))
       .withColumn("is_gap", col("avg_value").isNull)
       .drop("avg_value")

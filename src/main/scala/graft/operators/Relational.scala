@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational spine over the TPC-H-ish testdata — the general
+  * analytic shapes (wide aggregate, dimension joins, fact-fact join)
+  * that sit beside the TSDB surface.
+  *
+  * Scale notes baked into each shape:
+  *  - q1: single scan, map-side partial aggregation, grouping keys
+  *    with tiny cardinality — the shuffle carries a handful of rows.
+  *  - broadcast join: dimensions (region/nation/customer) are orders
+  *    of magnitude smaller than the fact side — broadcast() keeps the
+  *    fact table unshuffled end-to-end.
+  *  - shuffle join: orders⋈lineitem are both fact-sized; AQE handles
+  *    skew/coalescing, the filter on lineitem is pushed to the scan
+  *    before the exchange.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: pricing summary by returnflag/linestatus. */
+  def q1(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Revenue by region: fact orders joined through broadcast dims. */
+  def revenueByRegion(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("revenue"))
+
+  /** Fact-fact shuffle join: returned-item share per order priority. */
+  def returnedByPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+           count(lit(1)).as("n_lineitems"),
+           round(sum(col("l_extendedprice")), 2).as("returned_value"))
+}

@@ -48,18 +48,23 @@ object SeriesRead {
       df = df.filter(expr("ts_us DIV 1000000") <= q.endMs / 1000)
     df = df.filter(Matchers.compile(q.matchers, ignoreLabel))
     val interval = math.max(Downsample.hintIntervalSec(q.stepMs, q.rangeMs, ignoreHints), 1L)
+    // Matchers run on the labels ARRAY (has()/arrayExists semantics);
+    // grouping runs on the ","-joined string key — labels are already
+    // sorted and comma-free, so the join is injective, and string
+    // grouping keys stay in fast hash aggregation (array keys do not).
     df.withColumn("t_sec", Downsample.bucketSec("ts_us", interval))
-      .groupBy(col("metric"), col("labels"), col("t_sec"))
+      .withColumn("labels_str", array_join(col("labels"), ","))
+      .groupBy(col("metric"), col("labels_str"), col("t_sec"))
       .agg(max(col("value")).as("max_value"))
   }
 
   /** Rows → one row per series with its time-ordered samples —
     * the distributed twin of read.go:62-97's run-length reassembly
     * into prompb.TimeSeries. Output:
-    * metric, labels, points ARRAY<STRUCT<t_sec, max_value>>. */
+    * metric, labels_str, points ARRAY<STRUCT<t_sec, max_value>>. */
   def assemble(selected: DataFrame): DataFrame =
     selected
-      .groupBy(col("metric"), col("labels"))
+      .groupBy(col("metric"), col("labels_str"))
       .agg(sort_array(collect_list(struct(col("t_sec"), col("max_value")))).as("points"))
 
   /** Scalar per-series summary of an assembled read — oracle-friendly
@@ -68,7 +73,7 @@ object SeriesRead {
   def assembleSummary(selected: DataFrame): DataFrame =
     assemble(selected).select(
       col("metric"),
-      array_join(col("labels"), ",").as("labels_str"),
+      col("labels_str"),
       size(col("points")).as("n_points"),
       col("points")(0)("t_sec").as("first_t"),
       element_at(col("points"), -1)("t_sec").as("last_t"),

@@ -85,9 +85,9 @@ object SparkEntry {
 
     "read_response_encode" -> ((s, dir) => {
       import s.implicits._
-      val asm = SeriesRead.assemble(SeriesRead.select(samples(s, dir),
+      val asm = SeriesRead.assemble(SeriesRead.selectKeyed(samples(s, dir),
         ReadQuery(WinStartMs, WinEndMs, Seq(Matchers.eq("__name__", "view")))))
-      asm.select(col("metric").as("_1"), split(col("labels_str"), ",").as("_2"),
+      asm.select(col("metric").as("_1"), col("labels").as("_2"),
           col("points").as("_3").cast("array<struct<_1:bigint,_2:double>>"))
         .as[(String, Seq[String], Seq[(Long, Double)])]
         .map { case (m, ls, pts) =>
@@ -148,12 +148,12 @@ object SparkEntry {
 
     "read_series_assembly" -> ((s, dir) =>
       SeriesRead.assembleSummary(
-        SeriesRead.select(samples(s, dir),
+        SeriesRead.selectKeyed(samples(s, dir),
           ReadQuery(WinStartMs, WinEndMs, Seq(Matchers.eq("__name__", "signup")))))),
 
     "read_full_pipeline" -> ((s, dir) =>
       SeriesRead.assembleSummary(
-        SeriesRead.select(samples(s, dir),
+        SeriesRead.selectKeyed(samples(s, dir),
           ReadQuery(WinStartMs, WinEndMs,
             Seq(Matchers.re("__name__", "p[a-z]+chase|click"),
                 Matchers.eq("user", "7")),
@@ -192,6 +192,28 @@ object SparkEntry {
 
     "ts_gap_fill" -> ((s, dir) => (
       RangeOps.gapFill(RangeOps.dedupPerSecond(samples(s, dir)), 3600L))),
+
+    "ts_delta" -> ((s, dir) => (
+      RangeOps.delta(RangeOps.dedupPerSecond(samples(s, dir)), 21600L))),
+
+    "ts_resets" -> ((s, dir) => (
+      RangeOps.resets(RangeOps.dedupPerSecond(samples(s, dir)), 86400L))),
+
+    "ts_deriv_predict" -> ((s, dir) => (
+      RangeOps.derivPredict(RangeOps.dedupPerSecond(samples(s, dir)), 86400L, 3600L))),
+
+    "ts_stddev_over_time" -> ((s, dir) => (
+      RangeOps.stddevOverTime(RangeOps.dedupPerSecond(samples(s, dir)), 21600L))),
+
+    "ts_agg_across_series" -> ((s, dir) => (
+      RangeOps.aggAcrossSeries(RangeOps.dedupPerSecond(samples(s, dir)), 3600L))),
+
+    "ingest_streaming_window" -> ((s, dir) => {
+      val src = workDir("stream_win_src", dir)
+      Tables.events(s, dir).write.mode("overwrite").parquet(src)
+      StreamIngest.runWindowedToMemory(s, src,
+        s"streamwin_${new java.io.File(dir).getName.replace(".", "_")}")
+    }),
 
     // ---- §2.4 dedup ------------------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
@@ -266,7 +288,7 @@ object SparkEntry {
        |SELECT metric, array_to_string(labels, ',') AS labels_str,
        |       count(*) AS n_points,
        |       min(t_sec) AS first_t, max(t_sec) AS last_t,
-       |       string_agg(t_sec || ':' || printf('%.2f', max_value), ';' ORDER BY t_sec) AS points_str
+       |       string_agg(t_sec || ':' || CAST(floor(max_value * 100 + 0.5) AS BIGINT), ';' ORDER BY t_sec) AS points_str
        |FROM sel GROUP BY 1, 2""".stripMargin
 
   // DuckDB mirrors of the portable-hash LLM pipelines (SURVEY §6):
@@ -465,6 +487,74 @@ object SparkEntry {
          |       max(t_sec) AS last_t, arg_max(value, t_sec) AS last_value
          |FROM deduped GROUP BY 1, 2""".stripMargin,
 
+    "ts_delta" ->
+      s"""$dedupCte
+         |SELECT metric, array_to_string(labels, ',') AS labels_str,
+         |       t_sec // 21600 * 21600 AS bucket,
+         |       round(arg_max(value, t_sec) - arg_min(value, t_sec), 6) AS delta,
+         |       max(t_sec) - min(t_sec) AS span_sec,
+         |       count(*) AS n_points
+         |FROM deduped GROUP BY 1, 2, 3""".stripMargin,
+
+    "ts_resets" ->
+      s"""$dedupCte, flagged AS (
+         |  SELECT metric, labels, t_sec,
+         |         CASE WHEN value < lag(value) OVER (
+         |           PARTITION BY metric, labels ORDER BY t_sec) THEN 1 ELSE 0 END AS is_reset
+         |  FROM deduped
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str,
+         |       t_sec // 86400 * 86400 AS bucket,
+         |       CAST(sum(is_reset) AS BIGINT) AS n_resets, count(*) AS n_points
+         |FROM flagged GROUP BY 1, 2, 3""".stripMargin,
+
+    "ts_deriv_predict" ->
+      s"""$dedupCte, xs AS (
+         |  SELECT metric, labels, t_sec // 86400 * 86400 AS bucket,
+         |         (t_sec - t_sec // 86400 * 86400)::DOUBLE AS x, value AS y
+         |  FROM deduped
+         |), sums AS (
+         |  SELECT metric, labels, bucket,
+         |         count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         |         sum(x*x) AS sxx, sum(x*y) AS sxy, max(x) AS x_last
+         |  FROM xs GROUP BY 1, 2, 3
+         |), fit AS (
+         |  SELECT *, CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+         |                 ELSE (n*sxy - sx*sy) / (n*sxx - sx*sx) END AS slope
+         |  FROM sums
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, bucket,
+         |       round(slope, 6) AS deriv,
+         |       round(slope * (x_last + 3600) + (sy - slope * sx) / n, 6) AS predicted,
+         |       n::BIGINT AS n_points
+         |FROM fit""".stripMargin,
+
+    "ts_stddev_over_time" ->
+      s"""$dedupCte, sums AS (
+         |  SELECT metric, labels, t_sec // 21600 * 21600 AS bucket,
+         |         sum(value) AS sy, sum(value*value) AS syy, count(*)::DOUBLE AS n
+         |  FROM deduped GROUP BY 1, 2, 3
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, bucket,
+         |       round(sqrt(greatest(syy/n - (sy/n)*(sy/n), 0)), 6) AS stddev,
+         |       n::BIGINT AS n_points
+         |FROM sums""".stripMargin,
+
+    "ts_agg_across_series" ->
+      s"""$dedupCte
+         |SELECT metric, t_sec // 3600 * 3600 AS bucket,
+         |       round(sum(value), 6) AS sum_value,
+         |       round(avg(value), 6) AS avg_value,
+         |       count(*) AS n_points,
+         |       count(DISTINCT labels) AS n_series
+         |FROM deduped GROUP BY 1, 2""".stripMargin,
+
+    "ingest_streaming_window" ->
+      s"""$S
+         |SELECT metric, ts_us // 1000000 // 3600 * 3600 AS bucket,
+         |       count(*) AS n_samples, round(sum(value), 6) AS sum_value
+         |FROM samples GROUP BY 1, 2""".stripMargin,
+
     "ts_gap_fill" ->
       s"""$dedupCte, bucketed AS (
          |  SELECT metric, labels, t_sec // 3600 * 3600 AS bucket,
@@ -633,13 +723,14 @@ object SparkEntry {
     "mm_binary_pipeline" ->
       """WITH b AS (
         |  SELECT doc_id, text, strlen(text) AS n_bytes,
-        |         list_sum(list_transform(string_split(text, ''), c -> ascii(c)))::BIGINT AS bsum
+        |         coalesce(list_sum(list_transform(string_split(text, ''), c -> ascii(c)))::BIGINT, 0) AS bsum
         |  FROM documents
         |)
         |SELECT doc_id, n_bytes, bsum % 997 AS checksum,
         |       ascii(substr(text, 1, 1)) % 64 + 1 AS width,
         |       ascii(substr(text, 2, 1)) % 64 + 1 AS height,
-        |       round(bsum::DOUBLE / n_bytes, 6) AS mean_intensity
+        |       CASE WHEN n_bytes = 0 THEN 0.0
+        |            ELSE round(bsum::DOUBLE / n_bytes, 6) END AS mean_intensity
         |FROM b""".stripMargin,
 
     "rel_q1_agg" ->

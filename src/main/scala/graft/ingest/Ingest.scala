@@ -187,4 +187,33 @@ object StreamIngest {
     q.stop()
     spark.table(queryName)
   }
+
+  /** Event-time tumbling-window ingestion: per-(metric, hour window)
+    * counts/sums with a declared watermark — the Structured Streaming
+    * shape of a continuously-aggregating write path. Complete output
+    * keeps the result deterministic under processAllAvailable (append
+    * mode would hold back the final, still-open window); on a real
+    * cluster the same plan runs append mode with the watermark
+    * expiring state. Output: metric, bucket (epoch sec), n_samples,
+    * sum_value. */
+  def runWindowedToMemory(spark: SparkSession, srcDir: String, queryName: String): DataFrame = {
+    val stream = spark.readStream.schema(eventsSchema).parquet(srcDir)
+      .select(
+        timestamp_micros(expr("ts DIV 1000")).as("event_ts"),
+        col("event_type").as("metric"),
+        col("value"))
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour"), col("metric"))
+      .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
+      .select(col("metric"), unix_timestamp(col("window.start")).as("bucket"),
+              col("n_samples"), col("sum_value"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
 }

@@ -11,19 +11,32 @@ import java.io.ByteArrayOutputStream
   */
 object ProtoWire {
 
+  /** Thrown on truncated/corrupt input — the analogue of the
+    * generated prompb Unmarshal failing cleanly on bad bytes. */
+  final class WireFormatException(msg: String) extends IllegalArgumentException(msg)
+
   final class Reader(val buf: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
+
+    /** Every read validates against `end`, so a malformed length in an
+      * untrusted body can never walk a sub-reader past its message
+      * boundary into sibling bytes or off the buffer. */
+    private def require(n: Int): Unit =
+      if (n < 0 || pos + n > end)
+        throw new WireFormatException(
+          s"truncated message: need $n bytes at $pos, end $end")
 
     def readVarint(): Long = {
       var shift = 0
       var res = 0L
       while (shift < 64) {
+        if (pos >= end) throw new WireFormatException(s"truncated varint at $pos, end $end")
         val b = buf(pos); pos += 1
         res |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return res
         shift += 7
       }
-      throw new IllegalArgumentException("malformed varint")
+      throw new WireFormatException("malformed varint")
     }
 
     /** Returns (fieldNumber, wireType). */
@@ -33,6 +46,7 @@ object ProtoWire {
     }
 
     def readFixed64(): Long = {
+      require(8)
       var r = 0L
       var i = 0
       while (i < 8) { r |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
@@ -45,6 +59,7 @@ object ProtoWire {
     /** Sub-reader over a length-delimited field. */
     def readMessage(): Reader = {
       val len = readVarint().toInt
+      require(len)
       val r = new Reader(buf, pos, pos + len)
       pos += len
       r
@@ -52,6 +67,7 @@ object ProtoWire {
 
     def readString(): String = {
       val len = readVarint().toInt
+      require(len)
       val s = new String(buf, pos, len, "UTF-8")
       pos += len
       s
@@ -59,10 +75,10 @@ object ProtoWire {
 
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
-      case 1 => pos += 8
-      case 2 => val len = readVarint().toInt; pos += len
-      case 5 => pos += 4
-      case w => throw new IllegalArgumentException(s"unsupported wire type $w")
+      case 1 => require(8); pos += 8
+      case 2 => val len = readVarint().toInt; require(len); pos += len
+      case 5 => require(4); pos += 4
+      case w => throw new WireFormatException(s"unsupported wire type $w")
     }
   }
 

@@ -87,7 +87,7 @@ object Dedup {
         col("a.band_sig") === col("b.band_sig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr(s"round(size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v)) / ${NumPerms}.0, 6)")
+        expr(s"round(CAST(size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v)) AS DOUBLE) / $NumPerms, 6)")
           .as("est_sim"))
       .distinct()
   }

@@ -39,12 +39,13 @@ object Multimodal {
     * the distributed plumbing is testable. */
   def decodeStub(payload: Array[Byte]): (Int, Long, Int, Int, Double) = {
     val n = payload.length
+    if (n == 0) return (0, 0L, 1, 1, 0.0) // empty payload → zeroed features
     var sum = 0L
     var i = 0
     while (i < n) { sum += payload(i) & 0xff; i += 1 }
     val checksum = sum % 997
     val width = (payload(0) & 0xff) % 64 + 1
-    val height = (payload(1) & 0xff) % 64 + 1
+    val height = if (n >= 2) (payload(1) & 0xff) % 64 + 1 else 1
     val meanIntensity = sum.toDouble / n
     (n, checksum, width, height, meanIntensity)
   }

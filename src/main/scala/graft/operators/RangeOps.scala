@@ -15,19 +15,25 @@ import org.apache.spark.sql.functions._
   * — cardinality of SERIES, never of samples. Window functions
   * partition by series; bucketed aggs do one partial-agg shuffle.
   * All expressions are native `functions._` (codegen'd, no UDFs).
+  *
+  * The series key is the labels ARRAY itself (like the reference's
+  * GROUP BY on the ClickHouse array column) — a ',' inside a label
+  * value can never conflate two series. `labels_str` is derived only
+  * in each op's final output projection.
   */
 object RangeOps {
 
-  private val seriesKey: Seq[Column] = Seq(col("metric"), col("labels_str"))
+  private val seriesKey: Seq[Column] = Seq(col("metric"), col("labels"))
+
+  private val labelsStr: Column = array_join(col("labels"), ",").as("labels_str")
 
   /** Collapse sub-second duplicates exactly like the reference's
     * GROUP BY (metric, labels, t[DateTime seconds]) → max(value)
-    * (read.go:58). Output: metric, labels, t_sec, value. */
+    * (read.go:58). Output: metric, labels ARRAY, t_sec, value. */
   def dedupPerSecond(samples: DataFrame): DataFrame =
     samples
       .withColumn("t_sec", Downsample.bucketSec("ts_us", 1L))
-      .withColumn("labels_str", array_join(col("labels"), ","))
-      .groupBy(col("metric"), col("labels_str"), col("t_sec"))
+      .groupBy(col("metric"), col("labels"), col("t_sec"))
       .agg(max(col("value")).as("value"))
 
   /** Per-series per-second rate between consecutive points —
@@ -44,16 +50,25 @@ object RangeOps {
       .withColumn("rate",
         when(col("dv") < 0, lit(null).cast("double"))
           .otherwise(round(col("dv") / col("dt").cast("double"), 6)))
-      .drop("dv", "dt")
+      .select(col("metric"), labelsStr, col("t_sec"), col("value"), col("rate"))
   }
 
-  /** Bucketed per-series aggregates (the *_over_time family).
-    * One shuffle on (metric, labels, bucket); map-side partials. */
-  def overTime(deduped: DataFrame, intervalSec: Long, aggs: Seq[Column]): DataFrame =
+  /** Bucketed per-series aggregates keyed on the labels array.
+    * One shuffle on (metric, labels, bucket); map-side partials.
+    * Output: metric, labels ARRAY, bucket, <aggs>. */
+  def overTimeKeyed(deduped: DataFrame, intervalSec: Long, aggs: Seq[Column]): DataFrame =
     deduped
       .withColumn("bucket", expr(s"t_sec DIV $intervalSec * $intervalSec"))
-      .groupBy(col("metric"), col("labels_str"), col("bucket"))
+      .groupBy(col("metric"), col("labels"), col("bucket"))
       .agg(aggs.head, aggs.tail: _*)
+
+  /** overTimeKeyed with the series key flattened to labels_str (the
+    * *_over_time family's oracle-facing shape). */
+  def overTime(deduped: DataFrame, intervalSec: Long, aggs: Seq[Column]): DataFrame = {
+    val keyed = overTimeKeyed(deduped, intervalSec, aggs)
+    val rest = keyed.columns.filterNot(c => c == "metric" || c == "labels").map(col)
+    keyed.select(col("metric") +: labelsStr +: rest.toSeq: _*)
+  }
 
   /** Counter increase per bucket: last-first, clamped at 0 (PromQL
     * increase ignores decreases absent resets); delta is the raw
@@ -64,6 +79,82 @@ object RangeOps {
       round(greatest(max_by(col("value"), col("t_sec")) - min_by(col("value"), col("t_sec")), lit(0.0)), 6).as("increase"),
       round(max_by(col("value"), col("t_sec")) - min_by(col("value"), col("t_sec")), 6).as("delta"),
       count(lit(1)).as("n_points")))
+
+  /** Gauge delta per bucket: raw last-first over the window (PromQL
+    * `delta`), with the bucket's observed time span for context. */
+  def delta(deduped: DataFrame, intervalSec: Long): DataFrame =
+    overTime(deduped, intervalSec, Seq(
+      round(max_by(col("value"), col("t_sec")) - min_by(col("value"), col("t_sec")), 6).as("delta"),
+      (max(col("t_sec")) - min(col("t_sec"))).as("span_sec"),
+      count(lit(1)).as("n_points")))
+
+  /** Counter resets per bucket (PromQL `resets`): the number of
+    * consecutive-point decreases inside each bucket. The lag runs per
+    * series ordered by time; the count aggregates per bucket. */
+  def resets(deduped: DataFrame, intervalSec: Long): DataFrame = {
+    val w = Window.partitionBy(seriesKey: _*).orderBy(col("t_sec"))
+    deduped
+      .withColumn("is_reset",
+        when(col("value") < lag(col("value"), 1).over(w), 1L).otherwise(0L))
+      .withColumn("bucket", expr(s"t_sec DIV $intervalSec * $intervalSec"))
+      .groupBy(col("metric"), col("labels"), col("bucket"))
+      .agg(sum(col("is_reset")).as("n_resets"), count(lit(1)).as("n_points"))
+      .select(col("metric"), labelsStr, col("bucket"), col("n_resets"), col("n_points"))
+  }
+
+  /** Per-series least-squares slope per bucket (PromQL `deriv`), and
+    * the `predict_linear` extrapolation `horizonSec` past the bucket's
+    * last sample. x is centered on the bucket start so x² sums stay
+    * well-conditioned in double (epoch-squared would not); the slope
+    * formula is the explicit closed form — identical arithmetic in
+    * any engine, no regr_* implementation variance. */
+  def derivPredict(deduped: DataFrame, intervalSec: Long, horizonSec: Long): DataFrame =
+    overTimeKeyed(
+      deduped.withColumn("bucket", expr(s"t_sec DIV $intervalSec * $intervalSec"))
+             .withColumn("x", (col("t_sec") - col("bucket")).cast("double")),
+      intervalSec,
+      Seq(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).as("sx"), sum(col("value")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("value")).as("sxy"),
+          max(col("x")).as("x_last")))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope",
+        when(col("den") =!= 0.0, (col("n") * col("sxy") - col("sx") * col("sy")) / col("den")))
+      .withColumn("intercept",
+        when(col("den") =!= 0.0, (col("sy") - col("slope") * col("sx")) / col("n")))
+      .select(col("metric"), labelsStr, col("bucket"),
+        round(col("slope"), 6).as("deriv"),
+        round(col("slope") * (col("x_last") + lit(horizonSec.toDouble)) + col("intercept"), 6)
+          .as("predicted"),
+        col("n").cast("long").as("n_points"))
+
+  /** Population stddev per bucket (stddev_over_time), from explicit
+    * Σv/Σv² so both engines share the formula; clamped at 0 before
+    * the sqrt against tiny negative round-off. */
+  def stddevOverTime(deduped: DataFrame, intervalSec: Long): DataFrame =
+    overTime(deduped, intervalSec, Seq(
+      sum(col("value")).as("sy"),
+      sum(col("value") * col("value")).as("syy"),
+      count(lit(1)).cast("double").as("n")))
+      .withColumn("stddev",
+        round(sqrt(greatest(col("syy") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n")),
+                            lit(0.0))), 6))
+      .select(col("metric"), col("labels_str"), col("bucket"),
+        col("stddev"), col("n").cast("long").as("n_points"))
+
+  /** Cross-series aggregation (PromQL `sum by (metric)` /
+    * `avg by (metric)` over an instant bucket): collapses the label
+    * dimension entirely — the second-stage shuffle is only
+    * |metrics| × |buckets| keys. */
+  def aggAcrossSeries(deduped: DataFrame, intervalSec: Long): DataFrame =
+    deduped
+      .withColumn("bucket", expr(s"t_sec DIV $intervalSec * $intervalSec"))
+      .groupBy(col("metric"), col("bucket"))
+      .agg(round(sum(col("value")), 6).as("sum_value"),
+           round(avg(col("value")), 6).as("avg_value"),
+           count(lit(1)).as("n_points"),
+           countDistinct(col("labels")).as("n_series"))
 
   /** Top-k series per (metric, bucket) by rounded sum(value).
     * Rounding before ranking keeps the order stable across engines;
@@ -81,9 +172,10 @@ object RangeOps {
   /** Latest point per series (instant vector). Input deduped. */
   def lastPoint(deduped: DataFrame): DataFrame =
     deduped
-      .groupBy(col("metric"), col("labels_str"))
+      .groupBy(col("metric"), col("labels"))
       .agg(max(col("t_sec")).as("last_t"),
            max_by(col("value"), col("t_sec")).as("last_value"))
+      .select(col("metric"), labelsStr, col("last_t"), col("last_value"))
 
   /** Dense per-series time grid with previous-value carry-forward
     * (staleness fill). Grid = every `intervalSec` bucket between each
@@ -91,19 +183,19 @@ object RangeOps {
     * output size and the carry is a per-series window — both scale
     * with series-count × buckets, independent of raw sample count. */
   def gapFill(deduped: DataFrame, intervalSec: Long): DataFrame = {
-    val bucketed = overTime(deduped, intervalSec,
+    val bucketed = overTimeKeyed(deduped, intervalSec,
       Seq(round(avg(col("value")), 6).as("avg_value")))
     val grid = bucketed
-      .groupBy(col("metric"), col("labels_str"))
+      .groupBy(col("metric"), col("labels"))
       .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
-      .select(col("metric"), col("labels_str"),
+      .select(col("metric"), col("labels"),
         explode(sequence(col("b0"), col("b1"), lit(intervalSec))).as("bucket"))
     val w = Window.partitionBy(seriesKey: _*).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(bucketed, Seq("metric", "labels_str", "bucket"), "left")
+    grid.join(bucketed, Seq("metric", "labels", "bucket"), "left")
       .withColumn("filled_value", last(col("avg_value"), ignoreNulls = true).over(w))
       .withColumn("is_gap", col("avg_value").isNull)
-      .drop("avg_value")
+      .select(col("metric"), labelsStr, col("bucket"), col("filled_value"), col("is_gap"))
   }
 
   /** Grafana label projection (README.md:100-104):

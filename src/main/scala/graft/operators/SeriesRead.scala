@@ -28,11 +28,18 @@ final case class ReadQuery(
   * single shuffle end-to-end and no per-row work ever lands on the
   * driver (the reference streams all rows through one goroutine;
   * at 100 TB that loop is the bottleneck, a shuffle is not).
+  *
+  * Grouping runs on the labels ARRAY itself, exactly like the
+  * reference's GROUP BY on the ClickHouse array column — a label
+  * value containing ',' can never conflate two distinct series. The
+  * ","-joined `labels_str` is derived only at output, for scalar
+  * oracle-safe columns.
   */
 object SeriesRead {
 
-  /** Filter + bucket + per-(series, t) max. Output:
-    * metric, labels, t_sec BIGINT, max_value DOUBLE.
+  /** Filter + bucket + per-(series, t) max, keyed on the labels
+    * array. Output: metric, labels ARRAY<STRING>, t_sec BIGINT,
+    * max_value DOUBLE.
     *
     * Time bounds divide ms→s with truncation exactly like the
     * reference (read.go:24-28 `q.StartTimestampMs/1000`), and apply
@@ -40,46 +47,53 @@ object SeriesRead {
     * Grouping always happens at least at 1s resolution — ClickHouse
     * DateTime is seconds, so the reference's GROUP BY t dedups
     * sub-second samples even without hints. */
-  def select(samples: DataFrame, q: ReadQuery,
-             ignoreLabel: Option[String] = Some("remote=clickhouse"),
-             ignoreHints: Boolean = false): DataFrame = {
+  def selectKeyed(samples: DataFrame, q: ReadQuery,
+                  ignoreLabel: Option[String] = Some("remote=clickhouse"),
+                  ignoreHints: Boolean = false): DataFrame = {
     var df = samples.filter(expr("ts_us DIV 1000000") >= q.startMs / 1000)
     if (q.endMs > 0)
       df = df.filter(expr("ts_us DIV 1000000") <= q.endMs / 1000)
     df = df.filter(Matchers.compile(q.matchers, ignoreLabel))
     val interval = math.max(Downsample.hintIntervalSec(q.stepMs, q.rangeMs, ignoreHints), 1L)
-    // Matchers run on the labels ARRAY (has()/arrayExists semantics);
-    // grouping runs on the ","-joined string key — labels are already
-    // sorted and comma-free, so the join is injective, and string
-    // grouping keys stay in fast hash aggregation (array keys do not).
     df.withColumn("t_sec", Downsample.bucketSec("ts_us", interval))
-      .withColumn("labels_str", array_join(col("labels"), ","))
-      .groupBy(col("metric"), col("labels_str"), col("t_sec"))
+      .groupBy(col("metric"), col("labels"), col("t_sec"))
       .agg(max(col("value")).as("max_value"))
   }
 
-  /** Rows → one row per series with its time-ordered samples —
+  /** selectKeyed with the series key flattened to scalar labels_str —
+    * the oracle-facing row shape of the reference's read SQL. */
+  def select(samples: DataFrame, q: ReadQuery,
+             ignoreLabel: Option[String] = Some("remote=clickhouse"),
+             ignoreHints: Boolean = false): DataFrame =
+    selectKeyed(samples, q, ignoreLabel, ignoreHints)
+      .select(col("metric"), array_join(col("labels"), ",").as("labels_str"),
+              col("t_sec"), col("max_value"))
+
+  /** Keyed rows → one row per series with its time-ordered samples —
     * the distributed twin of read.go:62-97's run-length reassembly
     * into prompb.TimeSeries. Output:
-    * metric, labels_str, points ARRAY<STRUCT<t_sec, max_value>>. */
-  def assemble(selected: DataFrame): DataFrame =
-    selected
-      .groupBy(col("metric"), col("labels_str"))
+    * metric, labels, points ARRAY<STRUCT<t_sec, max_value>>. */
+  def assemble(selectedKeyed: DataFrame): DataFrame =
+    selectedKeyed
+      .groupBy(col("metric"), col("labels"))
       .agg(sort_array(collect_list(struct(col("t_sec"), col("max_value")))).as("points"))
 
   /** Scalar per-series summary of an assembled read — oracle-friendly
     * (no nested arrays): series key, sample count, time span, and a
-    * deterministic "t:v" digest string of the ordered points. */
-  def assembleSummary(selected: DataFrame): DataFrame =
-    assemble(selected).select(
+    * deterministic "t:centivalue" digest of the ordered points. The
+    * value digest is floor(v*100 + 0.5) — pure double arithmetic, so
+    * any IEEE-754 engine computes the identical integer (unlike
+    * %.2f, whose tie-rounding differs between Java and C). */
+  def assembleSummary(selectedKeyed: DataFrame): DataFrame =
+    assemble(selectedKeyed).select(
       col("metric"),
-      col("labels_str"),
+      array_join(col("labels"), ",").as("labels_str"),
       size(col("points")).as("n_points"),
       col("points")(0)("t_sec").as("first_t"),
       element_at(col("points"), -1)("t_sec").as("last_t"),
       array_join(
         transform(col("points"),
           p => concat(p("t_sec").cast("string"), lit(":"),
-                      format_string("%.2f", p("max_value")))),
+                      floor(p("max_value") * lit(100.0) + lit(0.5)).cast("long").cast("string"))),
         ";").as("points_str"))
 }

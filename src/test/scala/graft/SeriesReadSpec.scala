@@ -33,7 +33,7 @@ class SeriesReadSpec extends SparkSpecBase {
                           Matchers.nre("__name__", "vi.w"))))
     assert(reSel.select("metric").distinct().collect().map(_.getString(0)).toSet == Set("purchase"))
 
-    val labSel = SeriesRead.select(samples,
+    val labSel = SeriesRead.selectKeyed(samples,
       ReadQuery(0, 0, Seq(Matchers.eq("user", "3"))))
     assert(labSel.filter(!array_contains(col("labels"), "user=3")).count() == 0)
     assert(labSel.count() > 0)
@@ -67,7 +67,7 @@ class SeriesReadSpec extends SparkSpecBase {
   }
 
   test("assembly yields one row per series with ordered points") {
-    val sel = SeriesRead.select(samples, ReadQuery(0, 0, Nil))
+    val sel = SeriesRead.selectKeyed(samples, ReadQuery(0, 0, Nil))
     val asm = SeriesRead.assemble(sel)
     assert(asm.count() == sel.select("metric", "labels").distinct().count())
     val pts = asm.filter(size(col("points")) > 1)

@@ -92,11 +92,16 @@ object Ingest {
 object SamplesStore {
   private val DaySec = 86400L
 
+  /** `date` leads the within-partition sort so the dynamic-partition
+    * writer's required ordering (partition columns first) is already
+    * satisfied and it does NOT inject its own partition-column-only
+    * sort — which would destroy the (metric, labels, ts_us) file
+    * order this store's row-group pruning depends on. */
   def write(samples: DataFrame, path: String): Unit =
     samples
       .withColumn("date", expr("ts_us DIV 1000000 DIV 86400 * 86400"))
       .repartition(col("date"))
-      .sortWithinPartitions(col("metric"), col("labels"), col("ts_us"))
+      .sortWithinPartitions(col("date"), col("metric"), col("labels"), col("ts_us"))
       .write.mode("overwrite").partitionBy("date").parquet(path)
 
   def read(spark: SparkSession, path: String): DataFrame =
@@ -115,9 +120,13 @@ object SamplesStore {
       if (fullyInside) {
         fs.delete(dir, true)
       } else if (overlaps) {
-        // boundary day: rewrite the partition without the deleted rows
+        // boundary day: rewrite the partition without the deleted rows,
+        // re-sorted so the rewrite keeps the store's within-file
+        // (metric, labels, ts_us) order — the row-group min/max pruning
+        // `write` established must survive deletes.
         val remaining = spark.read.parquet(dir.toString)
           .filter(col("ts_us") < startUs || col("ts_us") >= endUs)
+          .sortWithinPartitions(col("metric"), col("labels"), col("ts_us"))
         val tmp = new Path(dir.getParent, s".tmp_${dir.getName}")
         remaining.write.mode("overwrite").parquet(tmp.toString)
         fs.delete(dir, true)

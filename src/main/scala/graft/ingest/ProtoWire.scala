@@ -20,11 +20,25 @@ object ProtoWire {
 
     /** Every read validates against `end`, so a malformed length in an
       * untrusted body can never walk a sub-reader past its message
-      * boundary into sibling bytes or off the buffer. */
+      * boundary into sibling bytes or off the buffer. `n > end - pos`
+      * (not `pos + n > end`) so lengths near Int.MaxValue cannot
+      * overflow the check into passing. */
     private def require(n: Int): Unit =
-      if (n < 0 || pos + n > end)
+      if (n < 0 || n > end - pos)
         throw new WireFormatException(
           s"truncated message: need $n bytes at $pos, end $end")
+
+    /** Length-delimited field length: the full 64-bit varint is
+      * validated against the remaining bytes BEFORE narrowing to Int,
+      * so a 64-bit length like 0x1_0000_0005 fails cleanly instead of
+      * silently truncating to 5 and misreading the body. */
+    private def readLen(): Int = {
+      val len64 = readVarint()
+      if (len64 < 0L || len64 > (end - pos).toLong)
+        throw new WireFormatException(
+          s"bad field length $len64 at $pos, end $end")
+      len64.toInt
+    }
 
     def readVarint(): Long = {
       var shift = 0
@@ -58,16 +72,14 @@ object ProtoWire {
 
     /** Sub-reader over a length-delimited field. */
     def readMessage(): Reader = {
-      val len = readVarint().toInt
-      require(len)
+      val len = readLen()
       val r = new Reader(buf, pos, pos + len)
       pos += len
       r
     }
 
     def readString(): String = {
-      val len = readVarint().toInt
-      require(len)
+      val len = readLen()
       val s = new String(buf, pos, len, "UTF-8")
       pos += len
       s
@@ -76,7 +88,7 @@ object ProtoWire {
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
       case 1 => require(8); pos += 8
-      case 2 => val len = readVarint().toInt; require(len); pos += len
+      case 2 => pos += readLen()
       case 5 => require(4); pos += 4
       case w => throw new WireFormatException(s"unsupported wire type $w")
     }

@@ -88,9 +88,12 @@ object RangeOps {
       (max(col("t_sec")) - min(col("t_sec"))).as("span_sec"),
       count(lit(1)).as("n_points")))
 
-  /** Counter resets per bucket (PromQL `resets`): the number of
-    * consecutive-point decreases inside each bucket. The lag runs per
-    * series ordered by time; the count aggregates per bucket. */
+  /** Counter resets per bucket: consecutive-point decreases, counted
+    * into the bucket of the LATER point. The lag spans the whole
+    * series (not bucket-partitioned), so a bucket's first point is
+    * compared against the previous bucket's last point — a decrease
+    * across a bucket boundary counts as a reset in the later bucket.
+    * The DuckDB oracle shares these semantics exactly. */
   def resets(deduped: DataFrame, intervalSec: Long): DataFrame = {
     val w = Window.partitionBy(seriesKey: _*).orderBy(col("t_sec"))
     deduped

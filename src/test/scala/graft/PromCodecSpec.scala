@@ -35,6 +35,31 @@ class PromCodecSpec extends SparkSpecBase {
     assert(r.readTag() == ((2, 0)) && r.readVarint() == Long.MaxValue)
   }
 
+  test("corrupt lengths fail cleanly as WireFormatException") {
+    // length-delimited field whose varint length exceeds the buffer
+    val w = new ProtoWire.Writer
+    w.writeTag(1, 2)
+    w.writeVarint(0x7FFFFFFFL) // near Int.MaxValue: overflow-prone check
+    intercept[ProtoWire.WireFormatException] {
+      val r = ProtoWire.reader(w.toBytes)
+      r.readTag(); r.readString()
+    }
+    // 64-bit length that would silently truncate to a small Int
+    val w2 = new ProtoWire.Writer
+    w2.writeTag(1, 2)
+    w2.writeVarint(0x100000005L) // .toInt == 5
+    w2.writeVarint(0) // some trailing bytes
+    intercept[ProtoWire.WireFormatException] {
+      val r = ProtoWire.reader(w2.toBytes)
+      r.readTag(); r.readMessage()
+    }
+    // skip() takes the same validated path
+    intercept[ProtoWire.WireFormatException] {
+      val r = ProtoWire.reader(w2.toBytes)
+      val (_, wire) = r.readTag(); r.skip(wire)
+    }
+  }
+
   test("ReadRequest decodes queries, matchers and hints") {
     // Build a ReadRequest{queries:[Query{start,end,matchers[type,name,value],hints{step,range}}]}
     val m = new ProtoWire.Writer

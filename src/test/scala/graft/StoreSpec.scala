@@ -1,0 +1,57 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.SamplesStore
+import graft.sources.Tables
+
+/** SamplesStore invariants: day partitioning, and the within-file
+  * (metric, labels, ts_us) sort order surviving boundary-day rewrites
+  * in deleteRange (row-group min/max pruning depends on it). */
+class StoreSpec extends SparkSpecBase {
+
+  private def sortedWithinFiles(path: String): Boolean = {
+    val dayDirs = new File(path).listFiles().filter(f => f.isDirectory && f.getName.startsWith("date="))
+    dayDirs.forall { day =>
+      day.listFiles().filter(_.getName.endsWith(".parquet")).forall { f =>
+        val rows = spark.read.parquet(f.getAbsolutePath)
+          .select(col("metric"), array_join(col("labels"), ",").as("ls"), col("ts_us"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        rows.sameElements(rows.sortBy(identity))
+      }
+    }
+  }
+
+  test("write day-partitions and sorts within files") {
+    val path = "/tmp/graft_test/store_sort"
+    SamplesStore.write(Tables.samples(spark, Sf), path)
+    assert(sortedWithinFiles(path))
+  }
+
+  test("deleteRange drops whole days and keeps boundary files sorted") {
+    val path = "/tmp/graft_test/store_delete"
+    val samples = Tables.samples(spark, Sf)
+    SamplesStore.write(samples, path)
+    val total = samples.count()
+    // delete [2024-01-10T12:00Z, 2024-01-14T06:00Z): two boundary days
+    // rewrite, three whole days drop as directories.
+    val startUs = 1704888000000000L
+    val endUs = 1705212000000000L
+    SamplesStore.deleteRange(spark, path, startUs, endUs)
+
+    val back = SamplesStore.read(spark, path)
+    val expected = samples.filter(col("ts_us") < startUs || col("ts_us") >= endUs).count()
+    assert(back.count() == expected && expected < total)
+    assert(back.filter(col("ts_us") >= startUs && col("ts_us") < endUs).count() == 0)
+
+    // whole days inside the range are gone as directories
+    val dayNames = new File(path).listFiles().map(_.getName).filter(_.startsWith("date=")).toSet
+    assert(!dayNames.contains("date=1704931200")) // 2024-01-11, fully inside
+    assert(dayNames.contains("date=1704844800"))  // 2024-01-10, boundary rewrite
+
+    assert(sortedWithinFiles(path))
+  }
+}

@@ -9,6 +9,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.maxFields", "200")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -19,27 +20,32 @@ object Bench {
       Seq("events", "documents", "embeddings", "lineitem", "orders")
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     } catch { case _: Throwable => () }
-    // Each query runs twice; the WARM (second) run is the headline so
-    // per-query numbers measure the plan, not run order / first-touch
-    // JIT. Cold runs are reported alongside for reference.
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Each query runs twice; the WARM (second) run is the headline
+    // ("methodology":"warm" flags that r3+ numbers are not comparable
+    // to the single-run totals of r1/r2). A failed run reports in the
+    // "errors" array instead of masquerading as a fast time.
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val cold = time(fn)
-      val warm = time(fn)
-      (name, warm, cold)
+      val (cold, okCold) = time(fn)
+      val (warm, okWarm) = time(fn)
+      (name, warm, cold, okCold && okWarm)
     }
-    def json(sel: ((String, Double, Double)) => (String, Double)): String =
-      results.map { r => val (k, v) = sel(r); s"\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
-    val qs = json { case (k, w, _) => (k, w) }
-    val qsCold = json { case (k, _, c) => (k, c) }
-    val total = results.map(_._2).sum
-    val totalCold = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"total_cold":$totalCold,"sf":"$sfDir"}""")
+    def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    // Per-query COLD times go to stderr only: keeping the stdout JSON
+    // line short (one map, 3-decimal values) is what lets the driver's
+    // bounded tail buffer capture the whole line (r3's two-map line
+    // overflowed it and the round lost its headline number).
+    System.err.println(results.map { case (k, _, c, _) => s"$k=${ms(c)}" }
+      .mkString("[bench cold] ", " ", ""))
+    val qs = results.map { case (k, w, _, _) => s"\"$k\":${ms(w)}" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, false) => s"\"$k\"" }.mkString("[", ",", "]")
+    val total = math.rint(results.map(_._2).sum * 1000) / 1000
+    val totalCold = math.rint(results.map(_._3).sum * 1000) / 1000
+    println(s"""{"metric":"total","value":$total,"unit":"sec","methodology":"warm","queries":$qs,"total_cold":$totalCold,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -298,7 +298,9 @@ object SparkEntry {
   private def duckHash(s: String): String =
     s"(('0x' || substr(md5($s), 1, 15))::BIGINT % $H)"
 
-  /** docs → 3-gram shingle hashes → 16-perm MinHash sigs → 4 band keys. */
+  /** docs → 3-gram shingle hashes → 128-perm MinHash sigs → 16 band
+    * keys (8 rows/band; band_sig is the coefficient-weighted fold the
+    * Spark side computes with aggregate()). */
   private val minhashCte =
     s"""WITH sh AS (
        |  SELECT doc_id,
@@ -312,13 +314,14 @@ object SparkEntry {
        |  SELECT doc_id, hs,
        |         [list_min(list_transform(hs, h ->
        |            ((j*2654435761+1) % $H * h + (j*40503+7) % $H) % $H))
-       |          for j in range(0, 16)] AS sig
+       |          for j in range(0, 128)] AS sig
        |  FROM hs
        |), banded AS (
        |  SELECT doc_id, hs, sig, t.b AS band,
-       |         (sig[t.b*4+1]*(t.b*4+1) + sig[t.b*4+2]*(t.b*4+2) +
-       |          sig[t.b*4+3]*(t.b*4+3) + sig[t.b*4+4]*(t.b*4+4)) % $H AS band_sig
-       |  FROM sig, range(0, 4) t(b)
+       |         list_reduce(list_prepend(0::BIGINT,
+       |           [sig[t.b*8+i+1] * (t.b*8+i+1) for i in range(0, 8)]),
+       |           (acc, x) -> acc + x) % $H AS band_sig
+       |  FROM sig, range(0, 16) t(b)
        |)""".stripMargin
 
   /** embeddings → double vecs + norms (left-fold) + LCG hyperplane
@@ -580,21 +583,22 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""$minhashCte
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       round(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))::DOUBLE / 16, 6) AS est_sim
+         |       round(len(list_filter(range(1, 129), i -> a.sig[i] = b.sig[i]))::DOUBLE / 128, 6) AS est_sim
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""$minhashCte, pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         list_distinct(a.hs) AS ha, list_distinct(b.hs) AS hb
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM banded a JOIN banded b
          |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+         |), hsets AS (
+         |  SELECT doc_id, list_distinct(hs) AS h FROM hs
          |)
          |SELECT doc_a, doc_b,
-         |       round(len(list_intersect(ha, hb)) / len(list_distinct(ha || hb))::DOUBLE, 6) AS jaccard
-         |FROM pairs
-         |WHERE round(len(list_intersect(ha, hb)) / len(list_distinct(ha || hb))::DOUBLE, 6) >= 0.8""".stripMargin,
+         |       round(len(list_intersect(ha.h, hb.h)) / len(list_distinct(ha.h || hb.h))::DOUBLE, 6) AS jaccard
+         |FROM pairs JOIN hsets ha ON doc_a = ha.doc_id JOIN hsets hb ON doc_b = hb.doc_id
+         |WHERE round(len(list_intersect(ha.h, hb.h)) / len(list_distinct(ha.h || hb.h))::DOUBLE, 6) >= 0.8""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH hs AS (

@@ -1,24 +1,50 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
   * Scale shape: candidate generation never compares documents
-  * pairwise — it shuffles small integer signatures (16 longs per doc
+  * pairwise — it shuffles small integer signatures (128 longs per doc
   * for MinHash, one long for SimHash) and joins on band buckets, so
   * the shuffle volume is O(docs × signature), not O(docs²) and not
   * O(total text bytes). Verification (Jaccard / hamming) only touches
   * candidate pairs. All hashing is the portable md5-60bit → mod-P
   * integer scheme, so signatures are engine-reproducible.
+  *
+  * Every band self-join is guarded by a bucket-size cap (default
+  * [[DefaultMaxBucket]], inert on the test corpora): a degenerate
+  * band value — boilerplate-heavy corpora produce them — would make
+  * one bucket O(n²) and kill the job at 100 TB. The cap is a window
+  * count over the SAME hash partitioning the join needs, so the
+  * guard rides the join's exchange instead of adding a shuffle;
+  * buckets above the cap are dropped (standard LSH practice: a
+  * bucket that hot carries no similarity signal).
   */
 object Dedup {
   import Portable._
 
-  val NumPerms = 16  // MinHash permutations
-  val NumBands = 4   // 4 bands × 4 rows
+  val NumPerms = 128 // MinHash permutations (SURVEY §2.4)
+  val NumBands = 16  // 16 bands × 8 rows
   val RowsPerBand = NumPerms / NumBands
+
+  /** Band buckets above this size are dropped from candidate
+    * generation. Inert on the test corpora (orders of magnitude above
+    * any sf0.1 bucket); at 100 TB you'd tune it to the skew of the
+    * corpus (10³–10⁴ keeps the worst bucket's pair count bounded). */
+  val DefaultMaxBucket: Int = 1000000
+
+  /** Drops rows in (keys...) buckets with more than `cap` rows. The
+    * count is a window over the join's own hash partitioning — no
+    * extra shuffle; the filter runs before any pair is generated. */
+  private[llm] def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    banded.withColumn("bkt_n", count(lit(1)).over(w))
+      .filter(col("bkt_n") <= cap)
+      .drop("bkt_n")
+  }
 
   /** Exact dedup: one row per distinct text with the kept (minimum)
     * doc_id and the number of copies. Hash-groupBy on the text —
@@ -46,11 +72,20 @@ object Dedup {
         .as("s"))
       .select(col("doc_id"), expr(hash60SqlSpark("s")).as("h"))
 
+  /** (doc_id, shs) — the distinct shingle-hash set per document, for
+    * exact-Jaccard verification. Kept OUT of the signature/band path
+    * so candidate generation never shuffles shingle sets. */
+  def shingleSets(documents: DataFrame): DataFrame =
+    shingleHashes(documents)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("shs"))
+
   /** doc_id + MinHash signature (NumPerms longs) + per-band bucket
-    * keys + the distinct shingle-hash set. Permutation j is
-    * (a_j·h + b_j) mod P with a_j = (j·2654435761+1) mod P,
-    * b_j = (j·40503+7) mod P; each is a map-side-combined min
-    * aggregate, so one shuffle of integer partials per doc. */
+    * keys. Permutation j is (a_j·h + b_j) mod P with
+    * a_j = (j·2654435761+1) mod P, b_j = (j·40503+7) mod P; each is a
+    * map-side-combined min aggregate, so one shuffle of integer
+    * partials per doc — the shuffle carries 128 longs per doc, never
+    * the shingle set. */
   def minhashSignatures(documents: DataFrame): DataFrame = {
     val permAggs = (0 until NumPerms).map { j =>
       min(expr(
@@ -59,29 +94,29 @@ object Dedup {
     }
     shingleHashes(documents)
       .groupBy(col("doc_id"))
-      .agg(permAggs.head, (permAggs.tail :+ collect_set(col("h")).as("shs")): _*)
+      .agg(permAggs.head, permAggs.tail: _*)
       .withColumn("sig", array((0 until NumPerms).map(j => col(s"sig_$j")): _*))
       .withColumn("bands", expr(
         s"""transform(sequence(0, ${NumBands - 1}), b ->
-           |  (sig[b*$RowsPerBand]   * (b*$RowsPerBand+1) +
-           |   sig[b*$RowsPerBand+1] * (b*$RowsPerBand+2) +
-           |   sig[b*$RowsPerBand+2] * (b*$RowsPerBand+3) +
-           |   sig[b*$RowsPerBand+3] * (b*$RowsPerBand+4)) % ${P}L)""".stripMargin))
-      .select(col("doc_id"), col("sig"), col("bands"), col("shs"))
+           |  aggregate(sequence(0, ${RowsPerBand - 1}), 0L,
+           |    (acc, i) -> acc + sig[b*$RowsPerBand + i] * (b*$RowsPerBand + i + 1)) % ${P}L)""".stripMargin))
+      .select(col("doc_id"), col("sig"), col("bands"))
   }
 
   /** MinHash+LSH candidate pairs: docs sharing any band bucket, with
     * the estimated similarity = fraction of matching signature
-    * components. Shuffle = (doc, band) keys only. */
-  def minhashLsh(documents: DataFrame): DataFrame = {
+    * components (granularity 1/128). Shuffle = (doc, band) keys only. */
+  def minhashLsh(documents: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sigs = minhashSignatures(documents)
-    val banded = sigs.select(col("doc_id"), col("sig"),
-        posexplode(col("bands")).as(Seq("band", "band_sig")))
+    val banded = capBuckets(
+      sigs.select(col("doc_id"), col("sig"),
+        posexplode(col("bands")).as(Seq("band", "band_sig"))),
+      Seq("band", "band_sig"), maxBucket)
     val a = banded.as("a")
     val b = banded.as("b")
     // est_sim is computed per band hit and the signature arrays are
     // dropped BEFORE the distinct — the dedup shuffle then carries
-    // (id, id, double), not 16-long arrays.
+    // (id, id, double), not 128-long arrays.
     a.join(b,
         col("a.band") === col("b.band") &&
         col("a.band_sig") === col("b.band_sig") &&
@@ -94,21 +129,30 @@ object Dedup {
 
   /** Jaccard verification over the LSH candidates: exact
     * |A∩B| / |A∪B| on distinct shingle-hash sets (integer counts →
-    * deterministic ratio). Only candidate pairs are joined back to
-    * their shingle sets. */
-  def ngramJaccard(documents: DataFrame, threshold: Double): DataFrame = {
-    val sigs = minhashSignatures(documents)
-      .select(col("doc_id"), col("bands"), col("shs"))
-    val banded = sigs.select(col("doc_id"), col("shs"),
-        posexplode(col("bands")).as(Seq("band", "band_sig")))
-    banded.as("a").join(banded.as("b"),
+    * deterministic ratio). Candidate pairs come from signatures
+    * ALONE — the band self-join carries (doc_id, band, band_sig)
+    * only; shingle sets are joined back to the (small) pair list
+    * afterwards, so the shuffle moves shingle sets once per join
+    * side instead of once per (doc, band) row. */
+  def ngramJaccard(documents: DataFrame, threshold: Double,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val banded = capBuckets(
+      minhashSignatures(documents).select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band", "band_sig"))),
+      Seq("band", "band_sig"), maxBucket)
+    val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_sig") === col("b.band_sig") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("round(size(array_intersect(a.shs, b.shs)) / CAST(size(array_union(a.shs, b.shs)) AS DOUBLE), 6)")
-          .as("jaccard"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    val sets = shingleSets(documents)
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("round(size(array_intersect(shs_a, shs_b)) / CAST(size(array_union(shs_a, shs_b)) AS DOUBLE), 6)")
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -136,12 +180,15 @@ object Dedup {
 
   /** SimHash near-dup pairs: band on 15-bit slices, verify hamming
     * distance ≤ maxHamming via bit_count(xor). */
-  def simhashPairs(documents: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashPairs(documents: DataFrame, maxHamming: Int,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sigs = simhashSignatures(documents)
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+    val banded = capBuckets(
+      sigs.select(col("doc_id"), col("simhash"),
         posexplode(expr(
           s"transform(sequence(0, ${SimBands - 1}), b -> (simhash >> (b * 15)) & 32767)"))
-          .as(Seq("band", "band_val")))
+          .as(Seq("band", "band_val"))),
+      Seq("band", "band_val"), maxBucket)
     // hamming is filtered per band hit, before the distinct — at
     // scale most candidate pairs die here without ever shuffling.
     banded.as("a").join(banded.as("b"),

@@ -88,22 +88,31 @@ object Similarity {
   }
 
   /** Embedding near-dup pairs via banded hyperplane LSH
-    * (nBands bands × bitsPerBand bits) + exact cosine ≥ threshold. */
+    * (nBands bands × bitsPerBand bits) + exact cosine ≥ threshold.
+    *
+    * The hash partitioning on (band, band_val) has only
+    * nBands × 2^bitsPerBand distinct keys — at 100 TB run wider
+    * bands (e.g. 8 × 16 bits = 512 Ki keys); both are parameters.
+    * maxBucket caps degenerate buckets (all-zero embeddings land in
+    * one band value) before any pair is generated. */
   def nearDupPairs(embeddings: DataFrame, nBands: Int, bitsPerBand: Int,
-                   threshold: Double, dim: Int = 64): DataFrame = {
+                   threshold: Double, dim: Int = 64,
+                   maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val nBits = nBands * bitsPerBand
     val prep = prepared(embeddings)
       .withColumn("sigbits", expr(signatureExpr("vec", nBits, dim)))
       .withColumn("bands", expr(
         s"transform(sequence(0, ${nBands - 1}), b -> (sigbits >> (b * $bitsPerBand)) & ${(1 << bitsPerBand) - 1})"))
-    // The repartition on the band key is a materialization barrier:
-    // the (interpreted, expensive) signature expression is evaluated
-    // exactly once per banded row at the exchange, and the self-join
-    // reuses that single exchange for both sides (ReuseExchange)
-    // instead of recomputing signatures in each branch.
-    val banded = prep.select(col("vec_id"), col("vec"), col("nrm"),
-        posexplode(col("bands")).as(Seq("band", "band_val")))
-      .repartition(col("band"), col("band_val"))
+    // The bucket-cap window doubles as a materialization barrier: its
+    // exchange hash-partitions on the join key, the (interpreted,
+    // expensive) signature expression is evaluated exactly once per
+    // banded row below that exchange, and the self-join reuses the
+    // single exchange for both sides (ReuseExchange) instead of
+    // recomputing signatures in each branch.
+    val banded = Dedup.capBuckets(
+      prep.select(col("vec_id"), col("vec"), col("nrm"),
+        posexplode(col("bands")).as(Seq("band", "band_val"))),
+      Seq("band", "band_val"), maxBucket)
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_val") === col("b.band_val") &&

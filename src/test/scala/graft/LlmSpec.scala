@@ -61,6 +61,39 @@ class LlmSpec extends SparkSpecBase {
     assert(fp1 == fp2)
   }
 
+  test("hot-bucket cap bounds candidate pairs on a degenerate corpus") {
+    import spark.implicits._
+    // 200 identical documents: every LSH band bucket is one hot bucket
+    // of 200 rows → uncapped candidate generation is 200·199/2 pairs.
+    val text = "the same boilerplate text repeated across the corpus forever"
+    val skewed = (0L until 200L).map(i => (i, text)).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val uncapped = Dedup.minhashLsh(skewed)
+    assert(uncapped.count() == 200L * 199L / 2)
+    // cap below the bucket size → ALL hot buckets drop; no pairs leak.
+    assert(Dedup.minhashLsh(skewed, maxBucket = 100).count() == 0)
+    assert(Dedup.simhashPairs(skewed, 8, maxBucket = 100).count() == 0)
+    assert(Dedup.ngramJaccard(skewed, 0.0, maxBucket = 100).count() == 0)
+    // a mixed corpus: hot bucket drops, distinct docs still pair up
+    // when they share a non-hot bucket (identical pair 1000/1001).
+    val mixed = skewed.unionByName(
+      Seq((1000L, "a genuinely unique document about spark physical plans"),
+          (1001L, "a genuinely unique document about spark physical plans"))
+        .toDF("doc_id", "text").withColumn("n_chars", length(col("text"))))
+    val guarded = Dedup.minhashLsh(mixed, maxBucket = 100)
+    assert(guarded.count() == 1)
+    assert(guarded.select("doc_a", "doc_b").as[(Long, Long)].first() == ((1000L, 1001L)))
+  }
+
+  test("embedding near-dup bucket cap bounds a degenerate bucket") {
+    import spark.implicits._
+    // identical embeddings → identical signatures → one hot bucket/band
+    val vec = (0 until 64).map(i => (i % 7).toFloat / 7f)
+    val skewed = (0L until 100L).map(i => (i, "x", vec)).toDF("vec_id", "label", "embedding")
+    assert(Similarity.nearDupPairs(skewed, 4, 6, 0.0).count() == 100L * 99L / 2)
+    assert(Similarity.nearDupPairs(skewed, 4, 6, 0.0, maxBucket = 50).count() == 0)
+  }
+
   test("multimodal stub decode is deterministic with real binary plumbing") {
     val media = Multimodal.packFromDocuments(docs)
     assert(media.schema("payload").dataType.typeName == "binary")

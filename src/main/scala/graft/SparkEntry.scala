@@ -85,8 +85,10 @@ object SparkEntry {
 
     "read_response_encode" -> ((s, dir) => {
       import s.implicits._
-      val asm = SeriesRead.assemble(SeriesRead.selectKeyed(samples(s, dir),
-        ReadQuery(WinStartMs, WinEndMs, Seq(Matchers.eq("__name__", "view")))))
+      // day-chunked assembly: one blob per (series, day), so a hot
+      // series encodes as many bounded frames instead of one huge one
+      val asm = SeriesRead.assembleChunked(SeriesRead.selectKeyed(samples(s, dir),
+        ReadQuery(WinStartMs, WinEndMs, Seq(Matchers.eq("__name__", "view")))), 86400L)
       asm.select(col("metric").as("_1"), col("labels").as("_2"),
           col("points").as("_3").cast("array<struct<_1:bigint,_2:double>>"))
         .as[(String, Seq[String], Seq[(Long, Double)])]
@@ -109,6 +111,25 @@ object SparkEntry {
     }),
 
     // ---- §2.2 remote-read path -------------------------------------
+    // The reference's whole /read contract end-to-end: build a
+    // ReadRequest blob (with an ignored remote=clickhouse matcher,
+    // exercising the -read.ignore-label drop), serve it through the
+    // distributed pipeline, decode the ReadResponse blob back to rows.
+    "read_request_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val blob = PromRemoteCodec.encodeReadRequest(Seq(
+        ReadQuery(WinStartMs, WinEndMs,
+          Seq(Matchers.eq("__name__", "signup"), Matchers.eq("remote", "clickhouse")))))
+      val resp = graft.serve.RemoteRead.serve(samples(s, dir), blob)
+      val rows = PromRemoteCodec.decodeReadResponse(resp).flatMap { ts =>
+        val metric = ts.labels.find(_.name == "__name__").map(_.value).getOrElse("")
+        val rest = ts.labels.filter(_.name != "__name__")
+          .map(l => s"${l.name}=${l.value}").mkString(",")
+        ts.samples.map(sm => (metric, rest, sm.timestampMs / 1000L, sm.value))
+      }
+      s.createDataset(rows).toDF("metric", "labels_str", "t_sec", "max_value")
+    }),
+
     "read_time_range" -> ((s, dir) => (
       SeriesRead.select(samples(s, dir),
         ReadQuery(WinStartMs, WinEndMs, Nil)))),
@@ -387,6 +408,8 @@ object SparkEntry {
          |FROM samples
          |WHERE $inWin AND metric = 'view'
          |GROUP BY 1, 2, 3""".stripMargin,
+
+    "read_request_e2e" -> readAgg(s"$inWin AND metric = 'signup'"),
 
     "read_time_range" -> readAgg(inWin),
 

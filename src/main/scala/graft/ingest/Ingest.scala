@@ -16,13 +16,18 @@ import PromRemoteCodec._
   */
 object Ingest {
 
-  /** Canonical samples → one remote-write request blob per series
-    * (labels → PromLabel pairs, metric → __name__, µs → ms). */
-  def toWriteRequestBlobs(samples: DataFrame): DataFrame = {
+  /** Canonical samples → remote-write request blobs, one per
+    * (series, chunkSec window) — labels → PromLabel pairs, metric →
+    * __name__, µs → ms. Chunking bounds the collect_list: a hot
+    * series at 100 TB never materializes all its points in one
+    * row/blob (one day of one series is the store's own partition
+    * grain, and the remote-write protocol allows any number of
+    * requests per series). */
+  def toWriteRequestBlobs(samples: DataFrame, chunkSec: Long = 86400L): DataFrame = {
     val spark = samples.sparkSession
     import spark.implicits._
     samples
-      .groupBy(col("metric"), col("labels"))
+      .groupBy(col("metric"), col("labels"), expr(s"ts_us DIV 1000000 DIV $chunkSec").as("chunk"))
       .agg(sort_array(collect_list(struct(col("ts_us").as("_1"), col("value").as("_2")))).as("points"))
       .select(col("metric").as("_1"), col("labels").as("_2"), col("points").as("_3"))
       .as[(String, Seq[String], Seq[(Long, Double)])]
@@ -41,12 +46,27 @@ object Ingest {
   }
 
   /** Binary remote-write blobs → canonical samples (ts at ms
-    * precision, as on the wire). Distributed decode. */
+    * precision, as on the wire). Distributed decode. Counter wiring
+    * mirrors the reference's `/write` handler (main.go:125-141):
+    * every blob counts as a write request, a malformed blob counts an
+    * error and is skipped (the reference 500s that one request and
+    * keeps serving), decoded samples count as written. */
   def decodeWriteRequestBlobs(blobs: DataFrame): DataFrame = {
     val spark = blobs.sparkSession
     import spark.implicits._
+    val m = graft.OpsMetrics(spark)
+    val (reqs, errs, written) = (m.writeRequests, m.writeErrors, m.samplesWritten)
     blobs.select(col("body")).as[Array[Byte]]
-      .flatMap(b => toSamples(decodeWriteRequest(b)))
+      .flatMap { b =>
+        reqs.add(1)
+        try {
+          val out = toSamples(decodeWriteRequest(b)).toVector
+          written.add(out.size.toLong)
+          out
+        } catch {
+          case scala.util.control.NonFatal(_) => errs.add(1); Vector.empty
+        }
+      }
       .toDF()
       .select(col("ts_us"), col("metric"), col("labels"), col("value"))
   }

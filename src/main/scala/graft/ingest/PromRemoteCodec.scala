@@ -102,7 +102,21 @@ object PromRemoteCodec {
         IngestedSample(s.timestampMs * 1000L, metric, sorted, s.value))
     }
 
+  /** Max read-request body, compressed or inflated (reference:
+    * codec.go:23-24 `decodeReadLimit`, applied via io.LimitReader).
+    * Checking the snappy header's declared uncompressed length BEFORE
+    * inflating also closes the decompression-bomb hole the reference's
+    * compressed-side-only limit leaves open. */
+  val DecodeReadLimit: Int = 32 * 1024 * 1024
+
   def decodeReadRequest(snappyBody: Array[Byte]): Seq[ReadQuery] = {
+    if (snappyBody.length > DecodeReadLimit)
+      throw new ProtoWire.WireFormatException(
+        s"read request body ${snappyBody.length} bytes exceeds limit $DecodeReadLimit")
+    val inflated = Snappy.uncompressedLength(snappyBody)
+    if (inflated > DecodeReadLimit)
+      throw new ProtoWire.WireFormatException(
+        s"read request inflates to $inflated bytes, exceeds limit $DecodeReadLimit")
     val r = ProtoWire.reader(Snappy.uncompress(snappyBody))
     val queries = Seq.newBuilder[ReadQuery]
     while (r.hasMore) {
@@ -184,13 +198,51 @@ object PromRemoteCodec {
     w
   }
 
+  /** ReadRequest{queries: [Query{start, end, matchers, hints}]} — the
+    * client side of the read endpoint, for building requests that
+    * [[decodeReadRequest]] / the serving loop consume. */
+  def encodeReadRequest(queries: Seq[ReadQuery]): Array[Byte] = {
+    val w = new ProtoWire.Writer
+    queries.foreach { q =>
+      val qw = new ProtoWire.Writer
+      qw.writeVarintField(1, q.startMs)
+      qw.writeVarintField(2, q.endMs)
+      q.matchers.foreach { m =>
+        val mw = new ProtoWire.Writer
+        val t = m.mtype match {
+          case MatcherType.Eq => 0; case MatcherType.Neq => 1
+          case MatcherType.Re => 2; case MatcherType.Nre => 3
+        }
+        mw.writeVarintField(1, t.toLong)
+        mw.writeStringField(2, m.name)
+        mw.writeStringField(3, m.value)
+        qw.writeMessageField(3, mw)
+      }
+      if (q.stepMs > 0 || q.rangeMs > 0) {
+        val hw = new ProtoWire.Writer
+        hw.writeVarintField(1, q.stepMs)
+        hw.writeVarintField(7, q.rangeMs)
+        qw.writeMessageField(4, hw)
+      }
+      w.writeMessageField(1, qw)
+    }
+    Snappy.compress(w.toBytes)
+  }
+
   /** ReadResponse{results: [QueryResult{timeseries}]} — the encode
     * side of the read endpoint (codec.go:69-78). One result set. */
-  def encodeReadResponse(series: Seq[PromTimeSeries]): Array[Byte] = {
-    val qr = new ProtoWire.Writer
-    series.foreach(ts => qr.writeMessageField(1, writeTimeSeries(ts)))
+  def encodeReadResponse(series: Seq[PromTimeSeries]): Array[Byte] =
+    encodeReadResponseResults(Seq(series))
+
+  /** Multi-query form: one QueryResult per request query, in request
+    * order (read.go:16-20 appends one QueryResult per q). */
+  def encodeReadResponseResults(results: Seq[Seq[PromTimeSeries]]): Array[Byte] = {
     val w = new ProtoWire.Writer
-    w.writeMessageField(1, qr)
+    results.foreach { series =>
+      val qr = new ProtoWire.Writer
+      series.foreach(ts => qr.writeMessageField(1, writeTimeSeries(ts)))
+      w.writeMessageField(1, qr)
+    }
     Snappy.compress(w.toBytes)
   }
 

@@ -78,6 +78,18 @@ object SeriesRead {
       .groupBy(col("metric"), col("labels"))
       .agg(sort_array(collect_list(struct(col("t_sec"), col("max_value")))).as("points"))
 
+  /** assemble, chunked by time window: one row per (series, chunkSec
+    * bucket), so a hot series never materializes unbounded points in
+    * one row — the encode paths frame each chunk as its own
+    * prompb.TimeSeries, which the remote protocols explicitly allow.
+    * Same single-shuffle shape as assemble (the chunk key is derived
+    * from t_sec). */
+  def assembleChunked(selectedKeyed: DataFrame, chunkSec: Long): DataFrame =
+    selectedKeyed
+      .groupBy(col("metric"), col("labels"), expr(s"t_sec DIV $chunkSec").as("chunk"))
+      .agg(sort_array(collect_list(struct(col("t_sec"), col("max_value")))).as("points"))
+      .drop("chunk")
+
   /** Scalar per-series summary of an assembled read — oracle-friendly
     * (no nested arrays): series key, sample count, time span, and a
     * deterministic "t:centivalue" digest of the ordered points. The

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.SamplesStore
+import graft.operators.{Matchers, ReadQuery, SeriesRead}
+import graft.sources.Tables
+
+/** Physical-plan assertions (SURVEY §5.8): predicates reach the
+  * parquet scan, day partitions prune, no plan degenerates into a
+  * cartesian product, and the ANN joins broadcast their small side.
+  * These are the properties that decide whether the same plans
+  * survive a 100 TB input, so they gate `sbt test` like any
+  * correctness spec. */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("store reads push metric/time filters and prune day partitions") {
+    val path = "/tmp/graft_test/plan_store"
+    SamplesStore.write(Tables.samples(spark, Sf), path)
+    val read = SamplesStore.read(spark, path)
+      .filter(col("metric") === "view" &&
+              col("ts_us") >= 1704412800000000L &&
+              col("date") === 1704412800L)
+    val p = plan(read)
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("EqualTo(metric,view)"), s"metric filter not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(ts_us,"), s"time filter not pushed:\n$p")
+    assert(p.contains("PartitionFilters:") && p.contains("(date"),
+      s"day partition not pruned:\n$p")
+    // the store's pruned read returns exactly the filtered rows
+    val expected = Tables.samples(spark, Sf)
+      .filter(col("metric") === "view" &&
+              col("ts_us") >= 1704412800000000L &&
+              expr("ts_us DIV 1000000 DIV 86400 * 86400") === 1704412800L)
+      .count()
+    assert(read.count() == expected)
+  }
+
+  test("read path scans only the columns it needs") {
+    // other suites cache the samples view; drop caches so the
+    // assertions see the parquet scan, not an InMemoryTableScan
+    spark.catalog.clearCache()
+    val q = SeriesRead.select(Tables.samples(spark, Sf),
+      ReadQuery(1704412800000L, 1705708800000L, Seq(Matchers.eq("__name__", "view"))))
+    val p = plan(q)
+    // the events scan must not read event_id (pruned by the projection)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("event_id"), s"column not pruned:\n$readSchema")
+    // metric equality pushes down through the event_type alias
+    assert(p.contains("EqualTo(event_type,view)"), s"metric filter not pushed:\n$p")
+  }
+
+  test("no SparkEntry plan contains a cartesian product; ann joins broadcast") {
+    val sideEffecting = Set(
+      "ingest_samples_sink", "ingest_delete_range", "ingest_streaming",
+      "ingest_streaming_window", "ingest_bulk_tsv", "read_request_e2e")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!sideEffecting(name)) {
+        val p = plan(fn(spark, Sf))
+        assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
+        if (name.startsWith("ann_"))
+          assert(p.contains("Broadcast"), s"$name does not broadcast its query side:\n$p")
+      }
+    }
+  }
+}

@@ -89,9 +89,71 @@ class PromCodecSpec extends SparkSpecBase {
     assert(decodeReadResponse(blob) == Seq(series))
   }
 
+  test("encodeReadRequest round-trips through decodeReadRequest") {
+    import graft.operators.{Matchers, ReadQuery}
+    val qs = Seq(
+      ReadQuery(1704067200000L, 1704153600000L,
+        Seq(Matchers.re("__name__", "go_.*"), Matchers.neq("job", "api")),
+        stepMs = 60000L, rangeMs = 300000L),
+      ReadQuery(0L, 1L, Seq(Matchers.eq("user", "3"))))
+    assert(decodeReadRequest(encodeReadRequest(qs)) == qs)
+  }
+
+  test("oversized read request bodies are rejected before inflating") {
+    // 33 MiB of zeros compresses tiny: the compressed-size check alone
+    // would admit it, the declared-inflated-length check must not.
+    val bomb = org.xerial.snappy.Snappy.compress(new Array[Byte](33 * 1024 * 1024))
+    assert(bomb.length < DecodeReadLimit)
+    val e = intercept[ProtoWire.WireFormatException](decodeReadRequest(bomb))
+    assert(e.getMessage.contains("inflates"))
+  }
+
+  test("read serving loop answers a ReadRequest blob and counts requests") {
+    import graft.operators.{Matchers, ReadQuery}
+    val m = graft.OpsMetrics(spark)
+    val (r0, e0) = (m.readRequests.value, m.readErrors.value)
+    val req = encodeReadRequest(Seq(
+      ReadQuery(0L, 0L, Seq(Matchers.eq("__name__", "view"))),
+      ReadQuery(0L, 0L, Seq(Matchers.eq("__name__", "click")))))
+    val resp = graft.serve.RemoteRead.serve(Tables.samples(spark, Sf), req)
+    val back = decodeReadResponse(resp)
+    assert(back.nonEmpty)
+    assert(back.forall(_.labels.exists(l => l.name == "__name__" && Set("view", "click")(l.value))))
+    // samples inside each series are time-ordered (assemble sorts points)
+    assert(back.forall(ts => ts.samples.map(_.timestampMs) == ts.samples.map(_.timestampMs).sorted))
+    assert(m.readRequests.value == r0 + 1 && m.readErrors.value == e0)
+    // a corrupt request counts an error
+    intercept[Throwable](graft.serve.RemoteRead.serve(
+      Tables.samples(spark, Sf), Array[Byte](1, 2, 3)))
+    assert(m.readErrors.value == e0 + 1)
+  }
+
+  test("write decode skips malformed blobs and advances counters") {
+    val m = graft.OpsMetrics(spark)
+    val (w0, e0, s0) = (m.writeRequests.value, m.writeErrors.value, m.samplesWritten.value)
+    val good = encodeWriteRequest(PromWriteRequest(Seq(series)))
+    val bad = org.xerial.snappy.Snappy.compress(Array[Byte](0x7f, 0x01, 0x02))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Tuple1(good), Tuple1(bad)), 1)
+        .map(t => org.apache.spark.sql.Row(t._1)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("body",
+          org.apache.spark.sql.types.BinaryType))))
+    val out = Ingest.decodeWriteRequestBlobs(df)
+    assert(out.count() == 2) // two samples from the good blob, none from the bad
+    assert(m.writeRequests.value == w0 + 2)
+    assert(m.writeErrors.value == e0 + 1)
+    assert(m.samplesWritten.value == s0 + 2)
+    assert(m.render.contains("# TYPE samples_written_total counter"))
+  }
+
   test("distributed blob decode equals source samples at ms precision") {
     val s = Tables.samples(spark, Sf)
-    val decoded = Ingest.decodeWriteRequestBlobs(Ingest.toWriteRequestBlobs(s))
+    val blobs = Ingest.toWriteRequestBlobs(s)
+    // day-chunked: a series spanning the month yields multiple bounded
+    // blobs, never one unbounded collect_list row
+    assert(blobs.count() > s.select("metric", "labels").distinct().count())
+    val decoded = Ingest.decodeWriteRequestBlobs(blobs)
     assert(decoded.count() == s.count())
     import org.apache.spark.sql.functions._
     val a = decoded.select(col("metric"), expr("ts_us DIV 1000").as("t"), col("value"))

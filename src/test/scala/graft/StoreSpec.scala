@@ -14,8 +14,11 @@ class StoreSpec extends SparkSpecBase {
 
   private def sortedWithinFiles(path: String): Boolean = {
     val dayDirs = new File(path).listFiles().filter(f => f.isDirectory && f.getName.startsWith("date="))
-    dayDirs.forall { day =>
-      day.listFiles().filter(_.getName.endsWith(".parquet")).forall { f =>
+    // a store that silently wrote nothing must NOT satisfy the sort
+    // invariant vacuously: require day dirs, each with parquet files
+    dayDirs.nonEmpty && dayDirs.forall { day =>
+      val files = day.listFiles().filter(_.getName.endsWith(".parquet"))
+      files.nonEmpty && files.forall { f =>
         val rows = spark.read.parquet(f.getAbsolutePath)
           .select(col("metric"), array_join(col("labels"), ",").as("ls"), col("ts_us"))
           .collect()

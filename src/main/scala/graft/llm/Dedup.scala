@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -39,7 +40,7 @@ object Dedup {
   /** Drops rows in (keys...) buckets with more than `cap` rows. The
     * count is a window over the join's own hash partitioning — no
     * extra shuffle; the filter runs before any pair is generated. */
-  private[llm] def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+  private[graft] def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
     banded.withColumn("bkt_n", count(lit(1)).over(w))
       .filter(col("bkt_n") <= cap)
@@ -81,19 +82,26 @@ object Dedup {
       .agg(collect_set(col("h")).as("shs"))
 
   /** doc_id + MinHash signature (NumPerms longs) + per-band bucket
-    * keys. Permutation j is (a_j·h + b_j) mod P with
-    * a_j = (j·2654435761+1) mod P, b_j = (j·40503+7) mod P; each is a
-    * map-side-combined min aggregate, so one shuffle of integer
-    * partials per doc — the shuffle carries 128 longs per doc, never
-    * the shingle set. */
-  def minhashSignatures(documents: DataFrame): DataFrame = {
+    * keys, from a (doc_id, h) shingle-hash relation. Permutation j is
+    * (a_j·h + b_j) mod P with a_j = (j·2654435761+1) mod P,
+    * b_j = (j·40503+7) mod P; each is a map-side-combined min
+    * aggregate, so one shuffle of integer partials per doc — the
+    * shuffle carries 128 longs per doc, never the shingle set.
+    *
+    * The 128 min columns stay a plain HashAggregate so the whole
+    * build is whole-stage-codegen'd — this NEEDS
+    * spark.sql.codegen.maxFields ≥ 129 (we set 200 everywhere);
+    * interpreted evaluation is ~10× slower. Folding collect_set into
+    * the same aggregate would demote it to a (non-codegen, sort-based
+    * fallback) ObjectHashAggregate — measured 16× worse — which is
+    * why the set path stays a separate aggregation. */
+  private[graft] def sigsFromShingles(sh: DataFrame): DataFrame = {
     val permAggs = (0 until NumPerms).map { j =>
       min(expr(
         s"((${j}L * 2654435761L + 1) % ${P}L * h + (${j}L * 40503L + 7) % ${P}L) % ${P}L"))
         .as(s"sig_$j")
     }
-    shingleHashes(documents)
-      .groupBy(col("doc_id"))
+    sh.groupBy(col("doc_id"))
       .agg(permAggs.head, permAggs.tail: _*)
       .withColumn("sig", array((0 until NumPerms).map(j => col(s"sig_$j")): _*))
       .withColumn("bands", expr(
@@ -103,41 +111,61 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("bands"))
   }
 
+  def minhashSignatures(documents: DataFrame): DataFrame =
+    sigsFromShingles(shingleHashes(documents))
+
   /** MinHash+LSH candidate pairs: docs sharing any band bucket, with
     * the estimated similarity = fraction of matching signature
-    * components (granularity 1/128). Shuffle = (doc, band) keys only. */
+    * components (granularity 1/128).
+    *
+    * The band self-join carries (doc_id, band, band_sig) ONLY — the
+    * 128-long signature arrays never ride the candidate shuffle
+    * (ids-only join ≈ 50× less shuffle than sig-carrying band rows at
+    * 16 bands/doc). Signatures join back to the distinct pair list
+    * once per side to compute est_sim. The signature relation is
+    * persisted because two consumers (the band explode and the
+    * join-back) would otherwise each re-scan and re-shingle the
+    * corpus — at 100 TB this is a disk-backed materialization of
+    * ~1 KB/doc, far below the corpus itself. */
   def minhashLsh(documents: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sigs = minhashSignatures(documents)
+    val sigs = minhashSignatures(documents).persist(StorageLevel.MEMORY_AND_DISK)
     val banded = capBuckets(
-      sigs.select(col("doc_id"), col("sig"),
-        posexplode(col("bands")).as(Seq("band", "band_sig"))),
+      sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "band_sig"))),
       Seq("band", "band_sig"), maxBucket)
-    val a = banded.as("a")
-    val b = banded.as("b")
-    // est_sim is computed per band hit and the signature arrays are
-    // dropped BEFORE the distinct — the dedup shuffle then carries
-    // (id, id, double), not 128-long arrays.
-    a.join(b,
+    val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_sig") === col("b.band_sig") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr(s"round(CAST(size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v)) AS DOUBLE) / $NumPerms, 6)")
-          .as("est_sim"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"round(CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) AS DOUBLE) / $NumPerms, 6)")
+          .as("est_sim"))
   }
 
   /** Jaccard verification over the LSH candidates: exact
     * |A∩B| / |A∪B| on distinct shingle-hash sets (integer counts →
-    * deterministic ratio). Candidate pairs come from signatures
+    * deterministic ratio). Candidate pairs come from band keys
     * ALONE — the band self-join carries (doc_id, band, band_sig)
     * only; shingle sets are joined back to the (small) pair list
     * afterwards, so the shuffle moves shingle sets once per join
-    * side instead of once per (doc, band) row. */
+    * side instead of once per (doc, band) row.
+    *
+    * The (doc_id, h) shingle-hash relation is computed ONCE and
+    * persisted; the signature/band branch and the set branch both
+    * aggregate from the cache instead of each re-reading and
+    * re-shingling the corpus (r4's 16× regression). At 100 TB that
+    * cache is a disk-backed relation of 8-byte hashes — far below the
+    * corpus itself, and exactly what the two aggregations' map sides
+    * would each have re-derived from a full text scan. */
   def ngramJaccard(documents: DataFrame, threshold: Double,
                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val sh = shingleHashes(documents).persist(StorageLevel.MEMORY_AND_DISK)
     val banded = capBuckets(
-      minhashSignatures(documents).select(col("doc_id"),
+      sigsFromShingles(sh).select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band", "band_sig"))),
       Seq("band", "band_sig"), maxBucket)
     val pairs = banded.as("a").join(banded.as("b"),
@@ -146,7 +174,7 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sets = shingleSets(documents)
+    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("shs"))
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")

@@ -25,18 +25,43 @@ import graft.operators.SeriesRead
   */
 object RemoteRead {
 
+  /** Default cap on post-aggregation samples a single read query may
+    * return. The request side is bounded by the 32 MiB decode limit;
+    * this bounds the RESPONSE — without it, a match-everything query
+    * collects the whole store's assembled series into driver memory
+    * before encoding (the reference is implicitly bounded by streaming
+    * one ClickHouse resultset through its handler; at 100 TB an
+    * unbounded collect is the one driver-side OOM). 10M samples ≈
+    * a few hundred MB encoded, comfortably under driver heap. */
+  val DefaultMaxReadSamples: Long = 10000000L
+
+  /** Thrown when a query would return more than maxSamples — the HTTP
+    * shim maps it to the reference's 500 path. */
+  final class ResponseTooLargeException(msg: String) extends RuntimeException(msg)
+
   /** ReadRequest blob → ReadResponse blob over the canonical samples
     * DataFrame. ignoreLabel/ignoreHints mirror the reference's
-    * -read.ignore-label / -read.ignore-hints flags. */
+    * -read.ignore-label / -read.ignore-hints flags. Each query's
+    * result size is counted (cheap: a count over the aggregate — the
+    * scan it repeats is the same pushed-filter scan, and the count
+    * never materializes points) BEFORE series assembly; an over-limit
+    * query errors like the reference's HTTP-500 path and increments
+    * read_errors. */
   def serve(samples: DataFrame, readRequestBlob: Array[Byte],
             ignoreLabel: Option[String] = Some("remote=clickhouse"),
-            ignoreHints: Boolean = false): Array[Byte] = {
+            ignoreHints: Boolean = false,
+            maxSamples: Long = DefaultMaxReadSamples): Array[Byte] = {
     val m = OpsMetrics(samples.sparkSession)
     m.readRequests.add(1)
     try {
       val queries = PromRemoteCodec.decodeReadRequest(readRequestBlob)
       val results = queries.map { q =>
-        SeriesRead.assemble(SeriesRead.selectKeyed(samples, q, ignoreLabel, ignoreHints))
+        val sel = SeriesRead.selectKeyed(samples, q, ignoreLabel, ignoreHints)
+        val n = sel.count()
+        if (n > maxSamples)
+          throw new ResponseTooLargeException(
+            s"query matches $n samples, exceeds response limit $maxSamples")
+        SeriesRead.assemble(sel)
           .orderBy(col("metric"), col("labels")) // read.go ORDER BY metric_name, slb, t
           .collect().iterator.map(rowToSeries).toSeq
       }

@@ -110,6 +110,23 @@ object SparkEntry {
         .toDF("metric", "labels_str", "t_ms", "max_value")
     }),
 
+    // The reference's whole /write contract end-to-end: remote-write
+    // blobs (one per series/day, as a real client batches) served
+    // through RemoteWrite into a fresh day-partitioned store, then the
+    // store read back and aggregated — blob → decode → append → scan.
+    "write_request_e2e" -> ((s, dir) => {
+      val path = workDir("wserve", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true) // serve appends; reruns must start empty
+      val blobs = Ingest.toWriteRequestBlobs(samples(s, dir))
+        .collect().map(_.getAs[Array[Byte]](0)).toSeq
+      graft.serve.RemoteWrite.serveAll(s, path, blobs)
+      SamplesStore.read(s, path)
+        .groupBy(col("metric"), col("date").cast("long").as("date"))
+        .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
+    }),
+
     // ---- §2.2 remote-read path -------------------------------------
     // The reference's whole /read contract end-to-end: build a
     // ReadRequest blob (with an ignored remote=clickhouse matcher,
@@ -410,6 +427,12 @@ object SparkEntry {
          |GROUP BY 1, 2, 3""".stripMargin,
 
     "read_request_e2e" -> readAgg(s"$inWin AND metric = 'signup'"),
+
+    "write_request_e2e" ->
+      s"""$S
+         |SELECT metric, ts_us // 1000000 // 86400 * 86400 AS date,
+         |       count(*) AS n_samples, round(sum(value), 6) AS sum_value
+         |FROM samples GROUP BY 1, 2""".stripMargin,
 
     "read_time_range" -> readAgg(inWin),
 

@@ -125,11 +125,21 @@ object SamplesStore {
     * sort — which would destroy the (metric, labels, ts_us) file
     * order this store's row-group pruning depends on. */
   def write(samples: DataFrame, path: String): Unit =
+    layout(samples).write.mode("overwrite").partitionBy("date").parquet(path)
+
+  /** Append with the same layout/sort — the serving write path
+    * (each remote-write request lands as new files in its day
+    * partitions, the MergeTree-insert analogue; ClickHouse merges
+    * parts in the background, here a periodic compaction rewrite
+    * would play that role). */
+  def append(samples: DataFrame, path: String): Unit =
+    layout(samples).write.mode("append").partitionBy("date").parquet(path)
+
+  private def layout(samples: DataFrame): DataFrame =
     samples
       .withColumn("date", expr("ts_us DIV 1000000 DIV 86400 * 86400"))
       .repartition(col("date"))
       .sortWithinPartitions(col("date"), col("metric"), col("labels"), col("ts_us"))
-      .write.mode("overwrite").partitionBy("date").parquet(path)
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

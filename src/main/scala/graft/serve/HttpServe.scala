@@ -1,0 +1,103 @@
+package graft.serve
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.OpsMetrics
+import graft.ingest.{PromRemoteCodec, SamplesStore}
+
+/** The reference's HTTP surface bound over the serving twins
+  * (reference: main.go:116-166): `POST /write` → [[RemoteWrite.serve]]
+  * appending to the day-partitioned store, `POST /read` →
+  * [[RemoteRead.serve]] over the store, `GET /metrics` →
+  * [[OpsMetrics.render]], anything else → 404 with the reference's
+  * root body. Handler errors map to plain-text 500 responses exactly
+  * like the reference's `http.Error(w, err.Error(), 500)`; the read
+  * response carries the reference's `Content-Type:
+  * application/x-protobuf` + `Content-Encoding: snappy` headers
+  * (main.go:66-67).
+  *
+  * This is the driver-side front door: Spark executes every query
+  * distributed, the listener only frames blobs — the same division
+  * of labor as the reference's one Go process in front of a
+  * ClickHouse cluster. Request bodies are read through the same
+  * 32 MiB bound the codec enforces
+  * ([[PromRemoteCodec.DecodeReadLimit]], io.LimitReader in
+  * codec.go:49) so an oversized body can't buffer unbounded heap
+  * before the decode limit would catch it.
+  */
+final class GraftHttpServer private[serve] (server: HttpServer) {
+  def port: Int = server.getAddress.getPort
+  def stop(): Unit = server.stop(0)
+}
+
+object HttpServe {
+
+  /** Start serving `storePath` on `port` (0 = ephemeral, for specs).
+    * ignoreLabel/ignoreHints mirror the reference's -read.* flags. */
+  def start(spark: SparkSession, storePath: String, port: Int = 0,
+            ignoreLabel: Option[String] = Some("remote=clickhouse"),
+            ignoreHints: Boolean = false,
+            maxReadSamples: Long = RemoteRead.DefaultMaxReadSamples): GraftHttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+    def respond(ex: HttpExchange, status: Int, body: Array[Byte],
+                headers: Seq[(String, String)] = Nil): Unit = {
+      headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+      // sendResponseHeaders uses 0 for "unknown length" — an empty
+      // body must pass -1 to mean "no body".
+      ex.sendResponseHeaders(status, if (body.isEmpty) -1L else body.length.toLong)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+      ex.close()
+    }
+
+    def body(ex: HttpExchange): Array[Byte] = {
+      val b = ex.getRequestBody.readNBytes(PromRemoteCodec.DecodeReadLimit + 1)
+      if (b.length > PromRemoteCodec.DecodeReadLimit)
+        throw new ProtoTooLargeException(
+          s"request body exceeds ${PromRemoteCodec.DecodeReadLimit} bytes")
+      b
+    }
+
+    def guarded(ex: HttpExchange)(f: => Unit): Unit =
+      try f catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+          respond(ex, 500, (msg + "\n").getBytes(UTF_8),
+            Seq("Content-Type" -> "text/plain; charset=utf-8"))
+      }
+
+    // main.go:116-120 — unknown paths 404 with the service name body.
+    server.createContext("/", (ex: HttpExchange) => guarded(ex) {
+      respond(ex, 404, "graft".getBytes(UTF_8),
+        Seq("Content-Type" -> "text/plain; charset=utf-8"))
+    })
+
+    server.createContext("/write", (ex: HttpExchange) => guarded(ex) {
+      RemoteWrite.serve(spark, storePath, body(ex))
+      respond(ex, 200, Array.emptyByteArray)
+    })
+
+    server.createContext("/read", (ex: HttpExchange) => guarded(ex) {
+      val resp = RemoteRead.serve(SamplesStore.read(spark, storePath),
+        body(ex), ignoreLabel, ignoreHints, maxReadSamples)
+      respond(ex, 200, resp, Seq(
+        "Content-Type" -> "application/x-protobuf",
+        "Content-Encoding" -> "snappy"))
+    })
+
+    server.createContext("/metrics", (ex: HttpExchange) => guarded(ex) {
+      respond(ex, 200, OpsMetrics(spark).render.getBytes(UTF_8),
+        Seq("Content-Type" -> "text/plain; version=0.0.4; charset=utf-8"))
+    })
+
+    server.start()
+    new GraftHttpServer(server)
+  }
+
+  final class ProtoTooLargeException(msg: String) extends RuntimeException(msg)
+}

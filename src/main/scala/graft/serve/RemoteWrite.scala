@@ -1,0 +1,66 @@
+package graft.serve
+
+import org.apache.spark.sql.SparkSession
+
+import graft.OpsMetrics
+import graft.ingest.{PromRemoteCodec, SamplesStore}
+
+/** The end-to-end remote-write serving loop — the reference's whole
+  * `/write` contract in one function (reference: main.go:124-143 +
+  * internal/clickhouse/write.go): WriteRequest blob in → decode →
+  * label-normalized samples appended to the store → written count
+  * out. Counter wiring mirrors the handler exactly: every blob counts
+  * a write request, a malformed blob counts an error and throws (the
+  * HTTP shim maps it to 500), decoded samples count samples_written.
+  *
+  * The blob decodes on the driver — it is one bounded HTTP body, the
+  * same place the reference's handler inflates it — and the append is
+  * a distributed day-partitioned store write. Bulk/replay ingestion
+  * of MANY blobs should go through
+  * [[graft.ingest.Ingest.decodeWriteRequestBlobs]] instead, which
+  * decodes inside executors.
+  */
+object RemoteWrite {
+
+  /** WriteRequest blob → store append at `storePath`; returns the
+    * number of samples written. */
+  def serve(spark: SparkSession, storePath: String,
+            writeRequestBlob: Array[Byte]): Long = {
+    val m = OpsMetrics(spark)
+    m.writeRequests.add(1)
+    val req =
+      try PromRemoteCodec.decodeWriteRequest(writeRequestBlob)
+      catch { case e: Throwable => m.writeErrors.add(1); throw e }
+    val rows = PromRemoteCodec.toSamples(req).toSeq
+    if (rows.nonEmpty) {
+      import spark.implicits._
+      SamplesStore.append(
+        rows.toDF("ts_us", "metric", "labels", "value"), storePath)
+      m.samplesWritten.add(rows.size.toLong)
+    }
+    rows.size.toLong
+  }
+
+  /** Batched form: decode+append MANY blobs as ONE store write (one
+    * Spark job instead of one per request) — the shape a replay or a
+    * buffering front-end uses. Malformed blobs throw; counters as in
+    * [[serve]]. */
+  def serveAll(spark: SparkSession, storePath: String,
+               blobs: Seq[Array[Byte]]): Long = {
+    val m = OpsMetrics(spark)
+    val rows = blobs.flatMap { b =>
+      m.writeRequests.add(1)
+      val req =
+        try PromRemoteCodec.decodeWriteRequest(b)
+        catch { case e: Throwable => m.writeErrors.add(1); throw e }
+      PromRemoteCodec.toSamples(req)
+    }
+    if (rows.nonEmpty) {
+      import spark.implicits._
+      SamplesStore.append(
+        rows.toDF("ts_us", "metric", "labels", "value"), storePath)
+      m.samplesWritten.add(rows.size.toLong)
+    }
+    rows.size.toLong
+  }
+}

@@ -53,10 +53,28 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("EqualTo(event_type,view)"), s"metric filter not pushed:\n$p")
   }
 
+  test("LSH band self-joins shuffle ids only — no signature arrays ride the join") {
+    spark.catalog.clearCache()
+    for (df <- Seq(graft.llm.Dedup.minhashLsh(Tables.documents(spark, Sf)),
+                   graft.llm.Dedup.ngramJaccard(Tables.documents(spark, Sf), 0.8))) {
+      val bandJoins = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.condition.exists(_.references.exists(_.name == "band")) => j
+      }
+      assert(bandJoins.nonEmpty, "expected a band self-join in the plan")
+      bandJoins.foreach { j =>
+        val outs = (j.left.output ++ j.right.output).map(_.name)
+        assert(!outs.exists(n => n == "sig" || n == "shs"),
+          s"band join input carries per-doc arrays: $outs")
+      }
+    }
+  }
+
   test("no SparkEntry plan contains a cartesian product; ann joins broadcast") {
     val sideEffecting = Set(
       "ingest_samples_sink", "ingest_delete_range", "ingest_streaming",
-      "ingest_streaming_window", "ingest_bulk_tsv", "read_request_e2e")
+      "ingest_streaming_window", "ingest_bulk_tsv", "read_request_e2e",
+      "write_request_e2e")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!sideEffecting(name)) {
         val p = plan(fn(spark, Sf))

@@ -1,0 +1,126 @@
+package graft
+
+import java.net.{HttpURLConnection, URL}
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.PromRemoteCodec
+import graft.ingest.PromRemoteCodec.{PromLabel, PromSample, PromTimeSeries, PromWriteRequest}
+import graft.operators.{Matchers, ReadQuery}
+import graft.serve.{HttpServe, RemoteRead, RemoteWrite}
+import graft.sources.Tables
+
+/** The serving twins and the HTTP front door: write blob → store →
+  * read blob, response-size bound, and the reference's status/header
+  * contract (404 root, 500 on malformed, snappy+protobuf read reply). */
+class ServeSpec extends SparkSpecBase {
+
+  private def tmpStore(name: String): String = {
+    val p = s"/tmp/graft_test/servespec_$name"
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    p
+  }
+
+  private def writeBlob(metric: String, n: Int): Array[Byte] = {
+    val series = (0 until n).map { i =>
+      PromTimeSeries(
+        Seq(PromLabel("__name__", metric), PromLabel("k", s"v$i")),
+        Seq(PromSample(i.toDouble, 1704412800000L + i * 1000L)))
+    }
+    PromRemoteCodec.encodeWriteRequest(PromWriteRequest(series))
+  }
+
+  test("RemoteWrite.serve appends decoded samples to the store") {
+    val store = tmpStore("write")
+    val written = RemoteWrite.serve(spark, store, writeBlob("req_total", 7))
+    assert(written === 7)
+    val back = graft.ingest.SamplesStore.read(spark, store)
+    assert(back.count() === 7)
+    assert(back.select(col("metric")).distinct().collect().map(_.getString(0)).toSeq === Seq("req_total"))
+    // second request appends, never overwrites
+    RemoteWrite.serve(spark, store, writeBlob("req_total", 3))
+    assert(graft.ingest.SamplesStore.read(spark, store).count() === 10)
+  }
+
+  test("RemoteWrite.serve rejects a malformed blob and counts the error") {
+    val store = tmpStore("badwrite")
+    val m = OpsMetrics(spark)
+    val before = m.writeErrors.value
+    intercept[Throwable](RemoteWrite.serve(spark, store, Array[Byte](1, 2, 3)))
+    assert(m.writeErrors.value === before + 1)
+  }
+
+  test("RemoteRead.serve rejects an over-limit response and counts the error") {
+    val samples = Tables.samples(spark, Sf)
+    val blob = PromRemoteCodec.encodeReadRequest(Seq(
+      ReadQuery(0L, 0L, Seq(Matchers.eq("__name__", "view")))))
+    val m = OpsMetrics(spark)
+    val before = m.readErrors.value
+    intercept[RemoteRead.ResponseTooLargeException](
+      RemoteRead.serve(samples, blob, maxSamples = 10L))
+    assert(m.readErrors.value === before + 1)
+    // the same query under the default limit still serves
+    assert(PromRemoteCodec.decodeReadResponse(RemoteRead.serve(samples, blob)).nonEmpty)
+  }
+
+  // ---- HTTP front door --------------------------------------------
+
+  private def post(url: String, body: Array[Byte]): (Int, Array[Byte], Map[String, String]) = {
+    val c = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    c.setRequestMethod("POST"); c.setDoOutput(true)
+    c.getOutputStream.write(body); c.getOutputStream.close()
+    val code = c.getResponseCode
+    val is = if (code >= 400) c.getErrorStream else c.getInputStream
+    val bytes = if (is == null) Array.emptyByteArray else is.readAllBytes()
+    val headers = Seq("Content-Type", "Content-Encoding")
+      .flatMap(h => Option(c.getHeaderField(h)).map(h -> _)).toMap
+    (code, bytes, headers)
+  }
+
+  private def get(url: String): (Int, String) = {
+    val c = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    val code = c.getResponseCode
+    val is = if (code >= 400) c.getErrorStream else c.getInputStream
+    (code, if (is == null) "" else new String(is.readAllBytes(), "UTF-8"))
+  }
+
+  test("HTTP shim round-trips write → read with the reference's contract") {
+    val store = tmpStore("http")
+    val srv = HttpServe.start(spark, store)
+    try {
+      val base = s"http://localhost:${srv.port}"
+
+      // unknown path → 404 (main.go:116-120)
+      assert(get(s"$base/nope")._1 === 404)
+
+      // POST /write with a real snappy+proto body → 200, lands in store
+      val (wc, _, _) = post(s"$base/write", writeBlob("http_metric", 5))
+      assert(wc === 200)
+
+      // POST /read with a real ReadRequest → snappy ReadResponse with
+      // the reference's headers (main.go:66-67)
+      val readBlob = PromRemoteCodec.encodeReadRequest(Seq(
+        ReadQuery(1704412800000L, 1704412900000L,
+          Seq(Matchers.eq("__name__", "http_metric")))))
+      val (rc, rbody, rheaders) = post(s"$base/read", readBlob)
+      assert(rc === 200)
+      assert(rheaders.get("Content-Type").contains("application/x-protobuf"))
+      assert(rheaders.get("Content-Encoding").contains("snappy"))
+      val series = PromRemoteCodec.decodeReadResponse(rbody)
+      assert(series.map(_.samples.size).sum === 5)
+      assert(series.forall(_.labels.exists(l =>
+        l.name == "__name__" && l.value == "http_metric")))
+
+      // malformed write body → 500 (the reference's http.Error path)
+      assert(post(s"$base/write", Array[Byte](9, 9, 9))._1 === 500)
+
+      // GET /metrics → text exposition with the five counters
+      val (mc, mbody) = get(s"$base/metrics")
+      assert(mc === 200)
+      assert(mbody.contains("samples_written_total"))
+      assert(mbody.contains("write_errors_total"))
+    } finally srv.stop()
+  }
+}

@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
-  * All dot products / norms are left-fold double arithmetic
-  * (`aggregate(zip_with(...), 0D, +)`): deterministic and
-  * bit-reproducible in any engine that folds sequentially, which is
-  * what makes the cosine scores oracle-checkable after round(6).
+  * All dot products / norms are left-fold double arithmetic:
+  * deterministic and bit-reproducible in any engine that folds
+  * sequentially, which is what makes the cosine scores
+  * oracle-checkable after round(6). The folds run through the native
+  * codegen'd kernels in [[graft.functions.VectorExpressions]] — the
+  * equivalent `aggregate(zip_with(...))` HOF forms evaluate their
+  * lambdas interpreted, which made cosine verification the hot path.
   *
   * Scale shape: the brute-force path broadcasts the (small) query
   * side and scans candidates once — at 100 TB of vectors that is the
@@ -20,19 +23,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-fold double dot product of two array<double> columns. */
+  /** Sequential-fold double dot product of two array<double> columns
+    * (codegen'd kernel). */
   private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    s"graft_dot($a, $b)"
 
   private def normExpr(a: String): String =
     s"sqrt(${dotExpr(a, a)})"
 
   /** vec_id + embedding cast to double + precomputed norm. */
-  def prepared(embeddings: DataFrame): DataFrame =
+  def prepared(embeddings: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
     embeddings
       .withColumn("vec", col("embedding").cast("array<double>"))
       .withColumn("nrm", expr(normExpr("vec")))
       .select(col("vec_id"), col("label"), col("vec"), col("nrm"))
+  }
 
   /** Exact cosine top-k: queries = vec_id < nQueries (broadcast),
     * candidates = everything else. Output query_id, vec_id, cos_sim,
@@ -54,18 +60,12 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rank"))
   }
 
-  /** Random-hyperplane component r(j, d) as a SQL fragment —
-    * LCG((j·dim + d)) mapped into [-0.5, 0.5), exact in double. */
-  private def hyperplaneExpr(j: String, d: String, dim: Int): String =
-    s"(CAST((1103515245L * ($j * $dim + $d) + 12345) % 2147483648L AS DOUBLE) / 2147483648.0D - 0.5D)"
-
-  /** Signature bits [0, nBits): bit j = sign of <vec, r_j>. */
+  /** Signature bits [0, nBits): bit j = sign of <vec, r_j>, with
+    * r(j, d) the LCG((j·dim + d)) hyperplane component mapped into
+    * [-0.5, 0.5) — the codegen'd kernel; dim is taken from the vector
+    * itself (the `dim` parameter is kept for call-site clarity). */
   def signatureExpr(vecCol: String, nBits: Int, dim: Int): String =
-    s"""aggregate(sequence(0, ${nBits - 1}), CAST(0 AS BIGINT), (acc, j) ->
-       |  acc + CASE WHEN aggregate(zip_with($vecCol, sequence(0, ${dim - 1}), (x, d) ->
-       |                     x * ${hyperplaneExpr("j", "d", dim)}),
-       |                   CAST(0 AS DOUBLE), (a, v) -> a + v) > 0
-       |             THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    s"graft_hyperplane_sig($vecCol, $nBits)"
 
   /** LSH-bucketed ANN top-k: join queries to candidates within the
     * same nBits-signature bucket, exact cosine inside the bucket. */
@@ -94,7 +94,16 @@ object Similarity {
     * nBands × 2^bitsPerBand distinct keys — at 100 TB run wider
     * bands (e.g. 8 × 16 bits = 512 Ki keys); both are parameters.
     * maxBucket caps degenerate buckets (all-zero embeddings land in
-    * one band value) before any pair is generated. */
+    * one band value) before any pair is generated.
+    *
+    * Ids-only band join: the self-join shuffles (vec_id, band,
+    * band_val) rows — never the 64-double vectors — and the exact
+    * cosine is computed once per DISTINCT candidate pair after the
+    * vectors join back per side (≈ nBands× less fold work and ~70×
+    * less candidate-shuffle volume than vec-carrying band rows). The
+    * vector join-back branch never evaluates the (interpreted,
+    * expensive) hyperplane signature — column pruning drops it, so
+    * signatures are computed exactly once, in the band branch. */
   def nearDupPairs(embeddings: DataFrame, nBands: Int, bitsPerBand: Int,
                    threshold: Double, dim: Int = 64,
                    maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
@@ -103,23 +112,22 @@ object Similarity {
       .withColumn("sigbits", expr(signatureExpr("vec", nBits, dim)))
       .withColumn("bands", expr(
         s"transform(sequence(0, ${nBands - 1}), b -> (sigbits >> (b * $bitsPerBand)) & ${(1 << bitsPerBand) - 1})"))
-    // The bucket-cap window doubles as a materialization barrier: its
-    // exchange hash-partitions on the join key, the (interpreted,
-    // expensive) signature expression is evaluated exactly once per
-    // banded row below that exchange, and the self-join reuses the
-    // single exchange for both sides (ReuseExchange) instead of
-    // recomputing signatures in each branch.
     val banded = Dedup.capBuckets(
-      prep.select(col("vec_id"), col("vec"), col("nrm"),
+      prep.select(col("vec_id"),
         posexplode(col("bands")).as(Seq("band", "band_val"))),
       Seq("band", "band_val"), maxBucket)
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        expr(s"round(${dotExpr("a.vec", "b.vec")} / (a.nrm * b.nrm), 6)").as("cos_sim"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-    pairs.filter(col("cos_sim") >= threshold)
+    val vecs = prepared(embeddings)
+    pairs
+      .join(vecs.select(col("vec_id").as("vec_a"), col("vec").as("va"), col("nrm").as("na")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("vec").as("vb"), col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        expr(s"round(${dotExpr("va", "vb")} / (na * nb), 6)").as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
   }
 }

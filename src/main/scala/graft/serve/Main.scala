@@ -1,0 +1,86 @@
+package graft.serve
+
+import org.apache.spark.sql.SparkSession
+
+/** Validated serving configuration — the twin of the reference's flag
+  * surface + adapter config (reference: main.go:76-95, conn.go:13-14 +
+  * conn.go:39-46). The ClickHouse address/database/table flags
+  * collapse into the store path (the Spark engine owns its storage
+  * layout); the identifier-regex check conn.go applies to the table
+  * name applies here to the store path and the ignore-label, so a
+  * malformed flag fails at startup, not mid-request.
+  */
+final case class ServeConfig(
+    listen: String = "9131",
+    storePath: String = "",
+    readIgnoreLabel: String = "remote=clickhouse",
+    readIgnoreHints: Boolean = false,
+    maxReadSamples: Long = RemoteRead.DefaultMaxReadSamples) {
+
+  /** [address:]port → port int (main.go:93-95 prefixes ":" when no
+    * host given; the JDK server binds all interfaces either way). */
+  def port: Int = {
+    val p = listen.substring(listen.lastIndexOf(':') + 1)
+    p.toIntOption.filter(v => v >= 0 && v <= 65535).getOrElse(
+      throw new IllegalArgumentException(s"invalid listen port: $listen"))
+  }
+
+  def validated: ServeConfig = {
+    if (storePath.isEmpty || storePath.exists(c => c.isWhitespace || c.isControl))
+      throw new IllegalArgumentException(
+        s"invalid store path '$storePath': must be a non-empty path without whitespace")
+    if (readIgnoreLabel.nonEmpty) {
+      val i = readIgnoreLabel.indexOf('=')
+      if (i <= 0 || i == readIgnoreLabel.length - 1)
+        throw new IllegalArgumentException(
+          s"invalid read.ignore-label '$readIgnoreLabel': must be name=value")
+    }
+    if (maxReadSamples <= 0)
+      throw new IllegalArgumentException(
+        s"invalid read.max-samples $maxReadSamples: must be positive")
+    port // validates listen
+    this
+  }
+
+  def ignoreLabelOpt: Option[String] =
+    if (readIgnoreLabel.isEmpty) None else Some(readIgnoreLabel)
+}
+
+/** Runnable service: parse flags, validate, build the session, bind
+  * the HTTP front door, block — `main.go` end to end. A user of the
+  * reference starts this the same way they start the Go binary:
+  *
+  *   spark-submit --class graft.serve.Main graft.jar \
+  *     -http 9131 -store /data/graft_store
+  */
+object Main {
+
+  def parseArgs(args: Seq[String]): ServeConfig = {
+    def loop(rest: List[String], c: ServeConfig): ServeConfig = rest match {
+      case "-http" :: v :: t => loop(t, c.copy(listen = v))
+      case "-store" :: v :: t => loop(t, c.copy(storePath = v))
+      case "-read.ignore-label" :: v :: t => loop(t, c.copy(readIgnoreLabel = v))
+      case "-read.ignore-hints" :: t => loop(t, c.copy(readIgnoreHints = true))
+      case "-read.max-samples" :: v :: t => loop(t, c.copy(maxReadSamples = v.toLong))
+      case Nil => c
+      case other :: _ =>
+        throw new IllegalArgumentException(s"unknown flag: $other")
+    }
+    loop(args.toList, ServeConfig()).validated
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parseArgs(args.toIndexedSeq)
+    val spark = SparkSession.builder()
+      .appName("graft-serve")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.maxFields", "200")
+      .getOrCreate()
+    val server = HttpServe.start(spark, cfg.storePath, cfg.port,
+      cfg.ignoreLabelOpt, cfg.readIgnoreHints, cfg.maxReadSamples)
+    // main.go:157-162's "listening" log line, then serve forever.
+    println(s"graft-serve listening on :${server.port} store=${cfg.storePath}")
+    Thread.currentThread.join()
+  }
+}

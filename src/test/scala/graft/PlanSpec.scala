@@ -56,7 +56,8 @@ class PlanSpec extends SparkSpecBase {
   test("LSH band self-joins shuffle ids only — no signature arrays ride the join") {
     spark.catalog.clearCache()
     for (df <- Seq(graft.llm.Dedup.minhashLsh(Tables.documents(spark, Sf)),
-                   graft.llm.Dedup.ngramJaccard(Tables.documents(spark, Sf), 0.8))) {
+                   graft.llm.Dedup.ngramJaccard(Tables.documents(spark, Sf), 0.8),
+                   graft.llm.Similarity.nearDupPairs(Tables.embeddings(spark, Sf), 4, 6, 0.4))) {
       val bandJoins = df.queryExecution.optimizedPlan.collect {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join
             if j.condition.exists(_.references.exists(_.name == "band")) => j
@@ -64,7 +65,7 @@ class PlanSpec extends SparkSpecBase {
       assert(bandJoins.nonEmpty, "expected a band self-join in the plan")
       bandJoins.foreach { j =>
         val outs = (j.left.output ++ j.right.output).map(_.name)
-        assert(!outs.exists(n => n == "sig" || n == "shs"),
+        assert(!outs.exists(n => n == "sig" || n == "shs" || n == "vec" || n == "nrm"),
           s"band join input carries per-doc arrays: $outs")
       }
     }

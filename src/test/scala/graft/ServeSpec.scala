@@ -86,6 +86,24 @@ class ServeSpec extends SparkSpecBase {
     (code, if (is == null) "" else new String(is.readAllBytes(), "UTF-8"))
   }
 
+  test("ServeConfig validates the flag surface like the reference adapter") {
+    import graft.serve.Main.parseArgs
+    val c = parseArgs(Seq("-http", "0.0.0.0:9131", "-store", "/tmp/s",
+      "-read.ignore-hints", "-read.max-samples", "5"))
+    assert(c.port === 9131 && c.storePath === "/tmp/s" &&
+      c.readIgnoreHints && c.maxReadSamples === 5L)
+    assert(parseArgs(Seq("-store", "/tmp/s")).port === 9131) // bare-port default
+    intercept[IllegalArgumentException](parseArgs(Seq.empty)) // empty store path
+    intercept[IllegalArgumentException](
+      parseArgs(Seq("-store", "/tmp/has space")))
+    intercept[IllegalArgumentException](
+      parseArgs(Seq("-store", "/tmp/s", "-read.ignore-label", "noequals")))
+    intercept[IllegalArgumentException](
+      parseArgs(Seq("-store", "/tmp/s", "-http", "notaport")))
+    intercept[IllegalArgumentException](
+      parseArgs(Seq("-store", "/tmp/s", "-bogus", "x")))
+  }
+
   test("HTTP shim round-trips write → read with the reference's contract") {
     val store = tmpStore("http")
     val srv = HttpServe.start(spark, store)

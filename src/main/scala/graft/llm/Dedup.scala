@@ -207,7 +207,18 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: band on 15-bit slices, verify hamming
-    * distance ≤ maxHamming via bit_count(xor). */
+    * distance ≤ maxHamming via bit_count(xor).
+    *
+    * Pair dedup is FIRST-MATCH, not distinct: both join sides carry
+    * the full (8-byte) simhash, so a pair that collides in several
+    * bands is emitted only from the lowest matching band — a codegen'd
+    * bit-compare filter per band hit — and the multi-million-row
+    * distinct exchange the clustered corpus used to pay disappears
+    * (the output row set is identical). Under an ACTIVE bucket cap
+    * this drops a pair whose lowest-band bucket was capped even if a
+    * later band matched — acceptable: LSH candidate recall is
+    * approximate by construction and a capped bucket carries no
+    * similarity signal. */
   def simhashPairs(documents: DataFrame, maxHamming: Int,
                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sigs = simhashSignatures(documents)
@@ -217,15 +228,18 @@ object Dedup {
           s"transform(sequence(0, ${SimBands - 1}), b -> (simhash >> (b * 15)) & 32767)"))
           .as(Seq("band", "band_val"))),
       Seq("band", "band_val"), maxBucket)
-    // hamming is filtered per band hit, before the distinct — at
+    val firstMatch = (0 until SimBands - 1).map { b =>
+      s"WHEN ((a.simhash >> ${b * 15}) & 32767) = ((b.simhash >> ${b * 15}) & 32767) THEN $b"
+    }.mkString("CASE ", " ", s" ELSE ${SimBands - 1} END")
+    // hamming is filtered per band hit, before any exchange — at
     // scale most candidate pairs die here without ever shuffling.
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.doc_id") < col("b.doc_id"))
+      .filter(expr(s"a.band = ($firstMatch)"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 }

@@ -6,8 +6,9 @@ object Bench {
     * "slow" array so the driver's next bench flags a re-regression. */
   val Budgets: Map[String, Double] = Map(
     "dedup_ngram_jaccard" -> 8.0,
-    "dedup_minhash_lsh" -> 13.0,
-    "dedup_simhash" -> 15.0)
+    "dedup_minhash_lsh" -> 6.0,
+    "dedup_simhash" -> 6.0,
+    "dedup_embedding" -> 4.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

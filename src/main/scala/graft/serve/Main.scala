@@ -76,6 +76,7 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.codegen.maxFields", "200")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     val server = HttpServe.start(spark, cfg.storePath, cfg.port,
       cfg.ignoreLabelOpt, cfg.readIgnoreHints, cfg.maxReadSamples)

@@ -30,6 +30,16 @@ object Profile {
     val docs = Tables.documents(spark, sfDir)
     t("warmup count")(docs.count())
 
+    import org.apache.spark.sql.functions._
+    val words = docs.withColumn("words", split(col("text"), " ")).filter(size(col("words")) >= 3)
+    t("a: split only")(words.select(col("doc_id"), size(col("words"))).count())
+    val tr = words.select(col("doc_id"), expr(
+      "transform(sequence(0, size(words)-3), i -> concat_ws(' ', words[i], words[i+1], words[i+2]))").as("sh"))
+    t("b: + transform")(tr.select(col("doc_id"), size(col("sh"))).count())
+    t("c: + distinct")(tr.select(col("doc_id"), size(expr("array_distinct(sh)"))).count())
+    val ex = tr.select(col("doc_id"), explode(expr("array_distinct(sh)")).as("s"))
+    t("d: + explode")(ex.count())
+    t("e: + md5hash")(ex.select(col("doc_id"), expr(graft.llm.Portable.hash60SqlSpark("s")).as("h")).agg(sum("h")).count())
     t("shingleHashes")(Dedup.shingleHashes(docs).count())
     t("sigsFromShingles")(Dedup.minhashSignatures(docs).count())
     t("minhashLsh cold")(Dedup.minhashLsh(docs).count())

@@ -83,6 +83,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
     }),
 
+    // Fragmented store (every append lands small files per day — the
+    // serving write path's real shape) → compact → read back: the
+    // ClickHouse background-merge analogue, results invariant.
+    "store_compact" -> ((s, dir) => {
+      val path = workDir("compactstore", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val all = samples(s, dir)
+      SamplesStore.append(all.filter(expr("ts_us % 2 = 0")), path)
+      SamplesStore.append(all.filter(expr("ts_us % 2 = 1")), path)
+      SamplesStore.compact(s, path)
+      SamplesStore.read(s, path)
+        .groupBy(col("metric"), col("date").cast("long").as("date"))
+        .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
+    }),
+
+    // Replayed ingestion (same events delivered twice = client retry
+    // under at-least-once) → stateful streaming dedup keeps exactly
+    // the first occurrence of each event_id.
+    "ingest_streaming_dedup" -> ((s, dir) => {
+      val src = workDir("stream_dedup_src", dir)
+      Tables.events(s, dir).write.mode("overwrite").parquet(src)
+      Tables.events(s, dir).write.mode("append").parquet(src)
+      StreamIngest.runDedupToMemory(s, src,
+        s"streamdd_${new java.io.File(dir).getName.replace(".", "_")}")
+    }),
+
     "read_response_encode" -> ((s, dir) => {
       import s.implicits._
       // day-chunked assembly: one blob per (series, day), so a hot
@@ -272,6 +300,10 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), nQueries = 10, nBits = 6, k = 10)),
 
+    "ann_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir),
+        nQueries = 10, nCentroids = 16, nProbe = 4, k = 10)),
+
     // ---- §2.6 text analysis ----------------------------------------
     "text_langid" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
 
@@ -398,6 +430,19 @@ object SparkEntry {
          |SELECT metric, ts_us // 1000000 // 86400 * 86400 AS date,
          |       count(*) AS n_samples, round(sum(value), 6) AS sum_value
          |FROM samples GROUP BY 1, 2""".stripMargin,
+
+    // compaction must be result-invariant: same oracle as the sink
+    "store_compact" ->
+      s"""$S
+         |SELECT metric, ts_us // 1000000 // 86400 * 86400 AS date,
+         |       count(*) AS n_samples, round(sum(value), 6) AS sum_value
+         |FROM samples GROUP BY 1, 2""".stripMargin,
+
+    // dedup of the doubled replay == one copy of events
+    "ingest_streaming_dedup" ->
+      """SELECT event_type AS metric, count(*) AS n_samples,
+        |       round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     "ingest_bulk_tsv" ->
       s"""$S
@@ -703,6 +748,44 @@ object SparkEntry {
          |         round(${duckDot("q.vec", "c.vec")} / (q.nrm * c.nrm), 6) AS cos_sim
          |  FROM prep q JOIN prep c
          |    ON q.sigbits = c.sigbits AND q.vec_id < 10 AND c.vec_id >= 10
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // IVF: centroids = vec_id in [10, 26); every candidate joins its
+    // nearest centroid's inverted list; queries probe the 4 nearest
+    // lists; exact cosine + rank inside the probed lists only.
+    "ann_ivf_topk" ->
+      s"""WITH prepn AS (
+         |  SELECT vec_id, vec, sqrt(${duckDot("vec", "vec")}) AS nrm
+         |  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+         |        FROM embeddings)
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnrm
+         |  FROM prepn WHERE vec_id >= 10 AND vec_id < 26
+         |), assign AS (
+         |  SELECT cent_id, vec_id, vec, nrm FROM (
+         |    SELECT c.cent_id, v.vec_id, v.vec, v.nrm,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${duckDot("c.cvec", "v.vec")} / (c.cnrm * v.nrm) DESC,
+         |                      c.cent_id ASC) AS arank
+         |    FROM prepn v, cents c WHERE v.vec_id >= 10)
+         |  WHERE arank = 1
+         |), probes AS (
+         |  SELECT query_id, qvec, qnrm, cent_id FROM (
+         |    SELECT q.vec_id AS query_id, q.vec AS qvec, q.nrm AS qnrm, c.cent_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${duckDot("c.cvec", "q.vec")} / (c.cnrm * q.nrm) DESC,
+         |                      c.cent_id ASC) AS prank
+         |    FROM prepn q, cents c WHERE q.vec_id < 10)
+         |  WHERE prank <= 4
+         |), scored AS (
+         |  SELECT p.query_id, a.vec_id,
+         |         round(${duckDot("p.qvec", "a.vec")} / (p.qnrm * a.nrm), 6) AS cos_sim
+         |  FROM probes p JOIN assign a USING (cent_id)
          |), ranked AS (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank

@@ -144,6 +144,30 @@ object SamplesStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compaction — the ClickHouse background-merge analogue
+    * (README.md:17-28: MergeTree merges its parts; here every
+    * serving-path [[append]] lands new small files in its day
+    * partitions, and compaction folds them back into one sorted file
+    * per day). One distributed job: read everything, re-establish the
+    * layout (repartition by day + within-file (metric, labels, ts_us)
+    * sort, so row-group pruning survives), write to a shadow dir,
+    * atomically swap. At 100 TB you'd compact only the days whose
+    * file count crossed a threshold and repartition hot days into
+    * multiple files by metric range — the per-day job shape is
+    * identical, this rewrites all days for determinism. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(new Path(path).getParent, new Path(path).getName + ".compacting")
+    fs.delete(tmp, true)
+    // `date` is re-derived from ts_us inside layout(), so the rewrite
+    // cannot drift from the read-side partition values.
+    write(read(spark, path).drop("date"), tmp.toString)
+    val dst = new Path(path)
+    fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"compact: rename $tmp -> $dst failed")
+  }
+
   /** Delete samples with startUs <= ts_us < endUs. */
   def deleteRange(spark: SparkSession, path: String, startUs: Long, endUs: Long): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -261,5 +285,50 @@ object StreamIngest {
     q.processAllAvailable()
     q.stop()
     spark.table(queryName)
+  }
+
+  /** Stateful streaming exact-dedup: first occurrence of each
+    * event_id passes, every replay is dropped — the at-least-once
+    * ingestion guard (a remote-write client retries on timeout, so
+    * the same request body can arrive twice; reference ingestion is
+    * idempotent only through ClickHouse's ReplacingMergeTree-style
+    * dedup at merge time — here it's exact and online).
+    *
+    * Custom state via flatMapGroupsWithState (Append): one boolean
+    * per seen key. The built-in dropDuplicates would compose the same
+    * plan; the explicit GroupState form is the extension point for
+    * richer per-key ingest state (last-seen ts, out-of-order
+    * counters). At 100 TB the state store shards by key across
+    * executors; a production stream bounds it with
+    * GroupStateTimeout.EventTimeTimeout + watermark so keys expire
+    * after the replay horizon — NoTimeout here keeps the test
+    * deterministic (the synthetic replay arrives in-batch).
+    *
+    * The stream emits deduped ROWS (append mode); the per-metric
+    * report is a batch aggregate over the sink table. */
+  def runDedupToMemory(spark: SparkSession, srcDir: String, queryName: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stream = spark.readStream.schema(eventsSchema).parquet(srcDir)
+      .select(col("event_id"), expr("ts DIV 1000").as("ts_us"),
+              col("event_type").as("metric"), col("value"))
+      .as[(Long, Long, String, Double)]
+    val deduped = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[(Long, Long, String, Double)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); rows.take(1) })
+      .toDF("event_id", "ts_us", "metric", "value")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
   }
 }

@@ -130,4 +130,59 @@ object Similarity {
         expr(s"round(${dotExpr("va", "vb")} / (na * nb), 6)").as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** IVF (inverted-file) ANN top-k — the scale path past LSH
+    * bucketing: a coarse quantizer assigns every candidate vector to
+    * its nearest centroid ONCE (the inverted lists), and each query
+    * probes only the nProbe nearest lists, so query cost is
+    * O(candidates/nCentroids × nProbe) instead of a full scan.
+    *
+    * The quantizer here is training-free and deterministic — the
+    * nCentroids lowest-id candidate vectors ARE the centroids — so
+    * the whole index is oracle-reproducible; a production build would
+    * k-means a sample instead (same plan shape: the centroid set is
+    * small and broadcast, the assignment is one broadcast-join +
+    * per-key argmax over the corpus, linear and shuffle-light at
+    * 100 TB; the inverted lists are what you'd persist/bucket by
+    * cent_id so probes prune at the scan).
+    *
+    * Assignment ties (equal cosine) break to the lower cent_id, ranks
+    * break to the lower vec_id — both engine-stable. */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int, nCentroids: Int,
+              nProbe: Int, k: Int): DataFrame = {
+    val prep = prepared(embeddings)
+    val cents = prep
+      .filter(col("vec_id") >= nQueries && col("vec_id") < nQueries + nCentroids)
+      .select(col("vec_id").as("cent_id"), col("vec").as("cvec"), col("nrm").as("cnrm"))
+    val cands = prep.filter(col("vec_id") >= nQueries)
+    // inverted lists: nearest centroid per candidate (broadcast cross
+    // of the small centroid set; argmax = per-key window over exactly
+    // nCentroids rows — keyed by vec_id, so no skew)
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cc").desc, col("cent_id").asc)
+    val assign = cands.join(broadcast(cents))
+      .withColumn("cc", expr(s"${dotExpr("cvec", "vec")} / (cnrm * nrm)"))
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") === 1)
+      .select(col("cent_id"), col("vec_id"), col("vec"), col("nrm"))
+    // probe set: nProbe nearest centroids per query
+    val queries = prep.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("qc").desc, col("cent_id").asc)
+    val probes = queries.join(broadcast(cents))
+      .withColumn("qc", expr(s"${dotExpr("cvec", "qvec")} / (cnrm * qnrm)"))
+      .withColumn("prank", row_number().over(pw))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("qnrm"), col("cent_id"))
+    // exact cosine only inside the probed lists
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    assign.join(broadcast(probes), Seq("cent_id"))
+      .withColumn("cos_sim", expr(
+        s"round(${dotExpr("qvec", "vec")} / (qnrm * nrm), 6)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rank"))
+  }
 }

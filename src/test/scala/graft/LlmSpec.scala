@@ -42,6 +42,23 @@ class LlmSpec extends SparkSpecBase {
     assert(lsh.exceptAll(bf).count() == 0)
   }
 
+  test("IVF with a full probe set reproduces brute-force exactly") {
+    // probing every inverted list == scanning every candidate, so the
+    // IVF result must equal the exhaustive top-k bit-for-bit
+    val ivf = Similarity.ivfTopK(embs, nQueries = 10, nCentroids = 16, nProbe = 16, k = 10)
+    val bf = Similarity.bruteForceTopK(embs, nQueries = 10, k = 10)
+    assert(ivf.exceptAll(bf).count() == 0 && bf.exceptAll(ivf).count() == 0)
+  }
+
+  test("IVF partial probe is a subset of exhaustive scoring with correct ranks") {
+    val ivf = Similarity.ivfTopK(embs, nQueries = 10, nCentroids = 16, nProbe = 4, k = 10)
+    val bfAll = Similarity.bruteForceTopK(embs, 10, 1000000)
+      .select("query_id", "vec_id", "cos_sim")
+    assert(ivf.select("query_id", "vec_id", "cos_sim").exceptAll(bfAll).count() == 0)
+    val perQuery = ivf.groupBy("query_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+    assert(perQuery.filter(col("n") =!= col("mx")).count() == 0)
+  }
+
   test("top-k ranks are dense per query") {
     val bf = Similarity.bruteForceTopK(embs, 5, 10)
     val perQuery = bf.groupBy("query_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))

@@ -57,4 +57,31 @@ class StoreSpec extends SparkSpecBase {
 
     assert(sortedWithinFiles(path))
   }
+
+  test("compact folds fragmented appends into one sorted file per day") {
+    val path = "/tmp/graft_test/store_compact"
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    val samples = Tables.samples(spark, Sf).cache()
+    SamplesStore.append(samples.filter(expr("ts_us % 2 = 0")), path)
+    SamplesStore.append(samples.filter(expr("ts_us % 2 = 1")), path)
+
+    def filesPerDay: Map[String, Int] =
+      new File(path).listFiles().filter(f => f.isDirectory && f.getName.startsWith("date="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(filesPerDay.nonEmpty && filesPerDay.values.exists(_ >= 2),
+      "two appends must fragment at least one day")
+
+    val before = SamplesStore.read(spark, path)
+      .select("ts_us", "metric", "labels", "value").collect().toSet
+    SamplesStore.compact(spark, path)
+    val after = filesPerDay
+    assert(after.nonEmpty && after.values.forall(_ == 1),
+      s"compaction must leave one file per day, got $after")
+    val rows = SamplesStore.read(spark, path)
+      .select("ts_us", "metric", "labels", "value").collect().toSet
+    assert(rows == before, "compaction must be result-invariant")
+    assert(sortedWithinFiles(path))
+  }
 }

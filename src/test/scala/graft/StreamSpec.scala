@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.StreamIngest
+import graft.sources.Tables
+
+/** Structured Streaming ingestion invariants, sf0.001. */
+class StreamSpec extends SparkSpecBase {
+
+  test("stateful streaming dedup drops a full replay of the input") {
+    val src = "/tmp/graft_test/stream_dedup_src"
+    val events = Tables.events(spark, Sf)
+    events.write.mode("overwrite").parquet(src)
+    events.write.mode("append").parquet(src) // the at-least-once replay
+    val out = StreamIngest.runDedupToMemory(spark, src, "spec_stream_dedup")
+    val expected = events
+      .groupBy(col("event_type").as("metric"))
+      .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
+    assert(out.exceptAll(expected).count() == 0 && expected.exceptAll(out).count() == 0,
+      "deduped replayed stream must equal a single copy of events")
+  }
+
+  test("windowed streaming aggregation buckets by event-time hour") {
+    val src = "/tmp/graft_test/stream_win_src"
+    Tables.events(spark, Sf).write.mode("overwrite").parquet(src)
+    val out = StreamIngest.runWindowedToMemory(spark, src, "spec_stream_win")
+    assert(out.filter(expr("bucket % 3600 != 0")).count() == 0, "buckets align to hours")
+    val total = out.agg(sum("n_samples")).first().getLong(0)
+    assert(total == Tables.events(spark, Sf).count())
+  }
+}

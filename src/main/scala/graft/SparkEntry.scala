@@ -321,6 +321,11 @@ object SparkEntry {
     "rel_q1_agg" -> ((s, dir) => Relational.q1(s, dir)),
     "rel_join_broadcast" -> ((s, dir) => Relational.revenueByRegion(s, dir)),
     "rel_join_shuffle" -> ((s, dir) => Relational.returnedByPriority(s, dir)),
+    "rel_join_bucketed" -> ((s, dir) =>
+      Relational.returnedByPriorityBucketed(s, dir, workDir("bucketed", dir))),
+
+    // ---- series metadata -------------------------------------------
+    "meta_label_values" -> ((s, dir) => Meta.labelValues(samples(s, dir), "user")),
   )
 
   // ---- DuckDB oracles ----------------------------------------------
@@ -896,5 +901,25 @@ object SparkEntry {
         |JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE l_returnflag = 'R'
         |GROUP BY 1""".stripMargin,
+
+    // the bucketed layout must not change the join's result
+    "rel_join_bucketed" ->
+      """SELECT o_orderpriority,
+        |       count(DISTINCT o_orderkey) AS n_orders,
+        |       count(*) AS n_lineitems,
+        |       round(sum(l_extendedprice), 2) AS returned_value
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1""".stripMargin,
+
+    "meta_label_values" ->
+      s"""$S
+         |SELECT substr(l, 6) AS label_value,
+         |       count(DISTINCT metric) AS n_metrics,
+         |       count(*) AS n_samples
+         |FROM (SELECT metric, unnest(labels) AS l FROM samples)
+         |WHERE l LIKE 'user=%'
+         |GROUP BY 1""".stripMargin,
   )
 }

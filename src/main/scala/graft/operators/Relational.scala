@@ -56,4 +56,38 @@ object Relational {
       .agg(countDistinct(col("o_orderkey")).as("n_orders"),
            count(lit(1)).as("n_lineitems"),
            round(sum(col("l_extendedprice")), 2).as("returned_value"))
+
+  /** The same fact-fact join with NO runtime join shuffle: both sides
+    * written bucketed (and sorted) on the join key, so the sort-merge
+    * join reads co-located buckets directly. This is the 100 TB
+    * pattern for repeated fact-fact joins — pay the layout once at
+    * write time, and every subsequent join on the bucket key skips
+    * both exchanges (the join keys' hashpartitioning never appears in
+    * the plan; PlanSpec asserts it). The merge hint keeps the planner
+    * on SMJ so the bucket layout, not a broadcast, is what's
+    * exercised; nBuckets scales to cluster width in deployment.
+    * Results are identical to [[returnedByPriority]] — same oracle. */
+  def returnedByPriorityBucketed(spark: SparkSession, dir: String,
+                                 warehouseDir: String, nBuckets: Int = 8): DataFrame = {
+    val suffix = new java.io.File(dir).getName.replace(".", "_")
+    val tOrders = s"orders_bkt_$suffix"
+    val tLine = s"lineitem_bkt_$suffix"
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderpriority").write
+      .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$warehouseDir/$tOrders")
+      .mode("overwrite").format("parquet").saveAsTable(tOrders)
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_returnflag", "l_extendedprice").write
+      .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$warehouseDir/$tLine")
+      .mode("overwrite").format("parquet").saveAsTable(tLine)
+    spark.table(tOrders).hint("merge")
+      .join(spark.table(tLine).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+           count(lit(1)).as("n_lineitems"),
+           round(sum(col("l_extendedprice")), 2).as("returned_value"))
+  }
 }

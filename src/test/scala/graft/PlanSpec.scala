@@ -71,6 +71,19 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("bucketed fact-fact join plans no exchange on the join keys") {
+    val df = graft.operators.Relational.returnedByPriorityBucketed(
+      spark, Sf, "/tmp/graft_test/bucketed_wh")
+    val p = plan(df)
+    assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+    assert(!p.contains("hashpartitioning(o_orderkey") &&
+           !p.contains("hashpartitioning(l_orderkey"),
+      s"bucketed join still shuffles on the join key:\n$p")
+    // the layout must not change the result
+    val plain = graft.operators.Relational.returnedByPriority(spark, Sf)
+    assert(df.exceptAll(plain).count() == 0 && plain.exceptAll(df).count() == 0)
+  }
+
   test("no SparkEntry plan contains a cartesian product; ann joins broadcast") {
     val sideEffecting = Set(
       "ingest_samples_sink", "ingest_delete_range", "ingest_streaming",

@@ -100,6 +100,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
     }),
 
+    // The continuous write path: file-source stream → foreachBatch
+    // append into the day-partitioned store → read back. Fresh store
+    // + checkpoint per run (the stream must re-ingest, not resume).
+    "ingest_streaming_store" -> ((s, dir) => {
+      val base = workDir("stream_store", dir)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = s"$base/src"
+      Tables.events(s, dir).write.mode("overwrite").parquet(src)
+      StreamIngest.runToStore(s, src, s"$base/store", s"$base/ckpt")
+        .groupBy(col("metric"), col("date").cast("long").as("date"))
+        .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
+    }),
+
     // Replayed ingestion (same events delivered twice = client retry
     // under at-least-once) → stateful streaming dedup keeps exactly
     // the first occurrence of each event_id.
@@ -438,6 +453,13 @@ object SparkEntry {
 
     // compaction must be result-invariant: same oracle as the sink
     "store_compact" ->
+      s"""$S
+         |SELECT metric, ts_us // 1000000 // 86400 * 86400 AS date,
+         |       count(*) AS n_samples, round(sum(value), 6) AS sum_value
+         |FROM samples GROUP BY 1, 2""".stripMargin,
+
+    // streamed store ingestion lands the same day/metric footprint
+    "ingest_streaming_store" ->
       s"""$S
          |SELECT metric, ts_us // 1000000 // 86400 * 86400 AS date,
          |       count(*) AS n_samples, round(sum(value), 6) AS sum_value

@@ -287,6 +287,38 @@ object StreamIngest {
     spark.table(queryName)
   }
 
+  /** Continuous ingestion INTO the day-partitioned store — the
+    * reference's actual serving write path as a stream (main.go's
+    * accept-loop ≙ the file source; each ClickHouse INSERT ≙ one
+    * microbatch append). foreachBatch gives the sink the full
+    * DataFrame writer surface, so every microbatch lands with the
+    * store's layout (day partitions, sorted files) and exactly-once
+    * per-batch semantics ride the checkpoint; at 100 TB the same
+    * query runs unmodified with a durable checkpoint dir and the
+    * background [[SamplesStore.compact]] folding the per-batch files.
+    * Returns the store read-back. */
+  def runToStore(spark: SparkSession, srcDir: String, storePath: String,
+                 checkpointDir: String): DataFrame = {
+    val stream = spark.readStream.schema(eventsSchema).parquet(srcDir)
+      .select(
+        expr("ts DIV 1000").as("ts_us"),
+        col("event_type").as("metric"),
+        array_sort(array(
+          concat(lit("k="), regexp_extract(col("props"), "[0-9]+", 0)),
+          concat(lit("user="), col("user_id").cast("string")))).as("labels"),
+        col("value"))
+    val appendBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => SamplesStore.append(batch, storePath)
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(appendBatch)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    SamplesStore.read(spark, storePath)
+  }
+
   /** Stateful streaming exact-dedup: first occurrence of each
     * event_id passes, every replay is dropped — the at-least-once
     * ingestion guard (a remote-write client retries on timeout, so

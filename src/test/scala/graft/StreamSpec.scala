@@ -21,6 +21,20 @@ class StreamSpec extends SparkSpecBase {
       "deduped replayed stream must equal a single copy of events")
   }
 
+  test("foreachBatch streaming ingestion lands the store layout") {
+    val base = "/tmp/graft_test/stream_store"
+    new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    Tables.events(spark, Sf).write.mode("overwrite").parquet(s"$base/src")
+    val back = StreamIngest.runToStore(spark, s"$base/src", s"$base/store", s"$base/ckpt")
+    assert(back.count() == Tables.events(spark, Sf).count())
+    // day-partition layout present
+    val days = new java.io.File(s"$base/store").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("date="))
+    assert(days.nonEmpty, "store must be day-partitioned")
+  }
+
   test("windowed streaming aggregation buckets by event-time hour") {
     val src = "/tmp/graft_test/stream_win_src"
     Tables.events(spark, Sf).write.mode("overwrite").parquet(src)

@@ -301,6 +301,8 @@ object SparkEntry {
 
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
 
+    "dedup_minhash_keep" -> ((s, dir) => Dedup.minhashKeep(Tables.documents(s, dir))),
+
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), 0.8)),
 
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 8)),
@@ -704,6 +706,16 @@ object SparkEntry {
          |       round(len(list_filter(range(1, 129), i -> a.sig[i] = b.sig[i]))::DOUBLE / 128, 6) AS est_sim
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id""".stripMargin,
+
+    // greedy bucket-min dedup: keep_id = min doc_id over the doc's
+    // band buckets; kept iff the doc is its own representative
+    "dedup_minhash_keep" ->
+      s"""$minhashCte, bmin AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, band_sig) AS bucket_min
+         |  FROM banded
+         |)
+         |SELECT doc_id, CAST(keep_id = doc_id AS INT) AS kept, keep_id
+         |FROM (SELECT doc_id, min(bucket_min) AS keep_id FROM bmin GROUP BY 1)""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""$minhashCte, pairs AS (

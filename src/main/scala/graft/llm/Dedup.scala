@@ -184,6 +184,35 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Greedy LSH dedup — the linear-output production contract: every
+    * band bucket keeps its minimum doc_id and DROPS every other
+    * member, so a duplicate cluster of size d emits d rows (one kept,
+    * d−1 dropped), not d²/2 pairs (SCALE.md: pair output is the
+    * quadratic term at scale; a 4× dup-heavy corpus produced 16× the
+    * pairs). One row per document: (doc_id, kept, keep_id) where
+    * keep_id is the smallest doc_id sharing any band bucket (the
+    * doc's greedy representative; keep_id = doc_id for kept docs).
+    *
+    * Cost shape: the bucket-min is a window over the banded rows'
+    * own hash partitioning (no extra shuffle beyond the band
+    * explode), then one min-aggregate per doc — never a pair join.
+    * Greedy bucket-dedup under-merges transitive clusters that share
+    * no bucket (standard LSH trade-off, same recall as the pair
+    * candidates) but never exceeds linear output. */
+  def minhashKeep(documents: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val banded = capBuckets(
+      minhashSignatures(documents)
+        .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "band_sig"))),
+      Seq("band", "band_sig"), maxBucket)
+    val w = Window.partitionBy(col("band"), col("band_sig"))
+    banded
+      .withColumn("bucket_min", min(col("doc_id")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(min(col("bucket_min")).as("keep_id"))
+      .select(col("doc_id"),
+        (col("keep_id") === col("doc_id")).cast("int").as("kept"), col("keep_id"))
+  }
+
   val SimBits = 60   // portable hash width
   val SimBands = 4   // 4 bands × 15 bits for candidate bucketing
 

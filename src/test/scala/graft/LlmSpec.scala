@@ -42,6 +42,21 @@ class LlmSpec extends SparkSpecBase {
     assert(lsh.exceptAll(bf).count() == 0)
   }
 
+  test("greedy minhash keep is linear-output and consistent with LSH candidates") {
+    val keep = Dedup.minhashKeep(docs).cache()
+    // one row per shingled doc, keepers are their own representative
+    val shingled = docs.filter(size(split(col("text"), " ")) >= 3).count()
+    assert(keep.count() == shingled)
+    assert(keep.filter(col("kept") === 1 && col("keep_id") =!= col("doc_id")).count() == 0)
+    assert(keep.filter(col("keep_id") > col("doc_id")).count() == 0,
+      "a representative must never have a larger id")
+    // every dropped doc shares a band bucket with some smaller doc —
+    // i.e. appears as doc_b in the LSH candidate pairs
+    val dropped = keep.filter(col("kept") === 0).select(col("doc_id").as("doc_b"))
+    val cands = Dedup.minhashLsh(docs).select("doc_b").distinct()
+    assert(dropped.exceptAll(cands).count() == 0)
+  }
+
   test("IVF with a full probe set reproduces brute-force exactly") {
     // probing every inverted list == scanning every candidate, so the
     // IVF result must equal the exhaustive top-k bit-for-bit

@@ -334,6 +334,9 @@ object SparkEntry {
     "mm_binary_pipeline" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.packFromDocuments(Tables.documents(s, dir)))),
 
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.packFromDocuments(Tables.documents(s, dir)))),
+
     // ---- §2.8 relational spine -------------------------------------
     "rel_q1_agg" -> ((s, dir) => Relational.q1(s, dir)),
     "rel_join_broadcast" -> ((s, dir) => Relational.revenueByRegion(s, dir)),
@@ -904,6 +907,19 @@ object SparkEntry {
         |       CASE WHEN n_bytes = 0 THEN 0.0
         |            ELSE round(bsum::DOUBLE / n_bytes, 6) END AS mean_intensity
         |FROM b""".stripMargin,
+
+    // every 3rd 256-byte frame; the corpus is ASCII so byte slices
+    // equal substr char slices
+    "mm_frame_sample" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text,
+         |         unnest([i for i in range(0, (strlen(text) + 255) // 256) if i % 3 = 0]) AS i
+         |  FROM documents
+         |)
+         |SELECT doc_id, i AS frame_idx,
+         |       strlen(substr(text, (i*256 + 1)::INT, 256)) AS frame_len,
+         |       ${duckHash("substr(text, (i*256 + 1)::INT, 256)")} AS frame_h
+         |FROM f""".stripMargin,
 
     "rel_q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -50,6 +50,40 @@ object Multimodal {
     (n, checksum, width, height, meanIntensity)
   }
 
+  /** One sampled frame: fixed-size payload slice + portable content
+    * hash (what a downstream embedding/captioning stage would key
+    * on). */
+  final case class SampledFrame(doc_id: Long, frame_idx: Long, frame_len: Long, frame_h: Long)
+
+  /** Frame sampling over the binary payload: the payload is read as
+    * fixed-size frames (frameBytes each, a stand-in for a video
+    * container's frame boundaries) and every `everyK`-th frame is
+    * emitted — the decimation step a video pipeline runs before the
+    * expensive per-frame model. Executed as one iterator pass per
+    * partition over the byte arrays (no per-frame task overhead; at
+    * 100 TB the parallelism is the partition count and the output is
+    * input_bytes/everyK — the sampling happens before any shuffle).
+    * frame_h is the portable md5-60 hash of the frame slice, so
+    * sampled frames are content-addressable across engines. */
+  def frameSample(media: DataFrame, frameBytes: Int = 256, everyK: Int = 3): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hash = graft.llm.Portable.hash60 _
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (docId, payload) =>
+          val nFrames = (payload.length + frameBytes - 1) / frameBytes
+          Iterator.range(0, nFrames).filter(_ % everyK == 0).map { i =>
+            val from = i * frameBytes
+            val until = math.min(from + frameBytes, payload.length)
+            val slice = java.util.Arrays.copyOfRange(payload, from, until)
+            SampledFrame(docId, i.toLong, (until - from).toLong,
+              hash(new String(slice, java.nio.charset.StandardCharsets.UTF_8)))
+          }
+        }
+      }.toDF()
+  }
+
   /** Batched feature extraction over the binary column. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession

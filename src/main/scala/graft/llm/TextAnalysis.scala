@@ -21,6 +21,15 @@ object Portable {
   /** Same, as a DuckDB SQL fragment. */
   def hash60SqlDuck(s: String): String =
     s"(('0x' || substr(md5($s), 1, 15))::BIGINT % $P)"
+
+  /** Same, as a JVM function (for executor-side Scala code paths —
+    * identical to the SQL forms bit-for-bit). */
+  def hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % P
+  }
 }
 
 /** Text-analysis operators over the `documents` table: language ID,

@@ -126,6 +126,23 @@ class LlmSpec extends SparkSpecBase {
     assert(Similarity.nearDupPairs(skewed, 4, 6, 0.0, maxBucket = 50).count() == 0)
   }
 
+  test("frame sampling emits every k-th fixed-size slice, content-hashed") {
+    val frames = Multimodal.frameSample(Multimodal.packFromDocuments(docs),
+      frameBytes = 64, everyK = 2).cache()
+    assert(frames.filter(expr("frame_idx % 2 != 0")).count() == 0)
+    assert(frames.filter(col("frame_len") > 64 || col("frame_len") <= 0).count() == 0)
+    // frame count per doc matches ceil(len/64) decimated by 2
+    val expected = docs.select(col("doc_id"),
+      expr("CAST(ceil(length(text) / 64.0) AS BIGINT)").as("nf"))
+      .select(sum(expr("(nf + 1) DIV 2"))).first().getLong(0)
+    assert(frames.count() == expected)
+    // hashes are the portable scheme (re-derivable from the text)
+    val one = frames.filter(col("frame_idx") === 0)
+      .join(docs.filter(length(col("text")) >= 64), "doc_id")
+      .select(col("frame_h"), col("text")).limit(1).first()
+    assert(one.getLong(0) == graft.llm.Portable.hash60(one.getString(1).substring(0, 64)))
+  }
+
   test("multimodal stub decode is deterministic with real binary plumbing") {
     val media = Multimodal.packFromDocuments(docs)
     assert(media.schema("payload").dataType.typeName == "binary")

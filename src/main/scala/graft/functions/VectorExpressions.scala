@@ -139,6 +139,105 @@ case class HyperplaneSig(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The full 128-permutation MinHash signature of one document's word
+  * array, in one per-row pass: 3-gram shingles are hashed (portable
+  * md5-60 → mod P) and folded into per-permutation minima without
+  * ever leaving the row — sig[j] = min over shingles of
+  * ((j·2654435761+1) mod P · h + (j·40503+7) mod P) mod P, exactly
+  * the arithmetic of the previous explode → 128-min-aggregate plan
+  * and of the DuckDB oracle. Replacing that plan removes the shingle
+  * explode (50×+ row amplification) AND the 128-column aggregate's
+  * exchange from the signature build — at 100 TB the signature pass
+  * becomes a narrow map over the corpus scan with NO shuffle at all.
+  * Duplicate shingles need no dedup here: minima are idempotent. */
+object ShingleMinHashKernel {
+  import graft.llm.Portable.P
+  val NumPerms = 128
+  private val A = Array.tabulate(NumPerms)(j => (j.toLong * 2654435761L + 1) % P)
+  private val B = Array.tabulate(NumPerms)(j => (j.toLong * 40503L + 7) % P)
+  private val Md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  val NumBands = 16
+  val RowsPerBand = NumPerms / NumBands
+
+  /** sig[0..127] ++ bands[0..15] — the band keys are computed here
+    * too (band b = Σ_{i<8} sig[b·8+i]·(b·8+i+1) mod P, identical to
+    * the previous HOF transform and the oracle), so downstream
+    * projections slice a cheap column instead of referencing the
+    * non-cheap kernel call many times (CollapseProject would inline
+    * it per reference — measured as a 10× blow-up when the bands
+    * lambda referenced sig[] 128 times). */
+  def compute(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    val out = new Array[Long](NumPerms + NumBands)
+    java.util.Arrays.fill(out, 0, NumPerms, Long.MaxValue)
+    val digest = Md.get()
+    var i = 0
+    while (i <= n - 3) {
+      val s = org.apache.spark.unsafe.types.UTF8String.concatWs(Space,
+        words.getUTF8String(i), words.getUTF8String(i + 1), words.getUTF8String(i + 2))
+      digest.reset()
+      val d = digest.digest(s.getBytes)
+      // first 15 hex digits of the md5 = 7 bytes + the high nibble of
+      // byte 7 — identical to conv(substring(md5(s),1,15),16,10)
+      var h = 0L
+      var k = 0
+      while (k < 7) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      h = ((h << 4) | ((d(7) & 0xf0L) >> 4)) % P
+      var j = 0
+      while (j < NumPerms) {
+        val v = (A(j) * h + B(j)) % P
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    var b = 0
+    while (b < NumBands) {
+      var acc = 0L
+      var i2 = 0
+      while (i2 < RowsPerBand) {
+        val idx = b * RowsPerBand + i2
+        acc += out(idx) * (idx + 1)
+        i2 += 1
+      }
+      out(NumPerms + b) = acc % P
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** words array<string> → 128-long MinHash signature (see
+  * [[ShingleMinHashKernel]]); rows must be pre-filtered to ≥3 words
+  * (no shingles → an all-MaxValue signature, which the operators
+  * never produce because they filter first). */
+case class ShingleMinHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_shingle_minhash requires array<string>, got $t")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_minhash"
+
+  override protected def nullSafeEval(w: Any): Any =
+    ShingleMinHashKernel.compute(w.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, w =>
+      s"${ev.value} = graft.functions.ShingleMinHashKernel.compute($w);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMinHash =
+    copy(child = newChild)
+}
+
 /** Session-scoped SQL registration so operators can use the kernels
   * from `expr(...)` strings; idempotent per session. */
 object VectorFunctions {
@@ -150,5 +249,8 @@ object VectorFunctions {
     if (!reg.functionExists(FunctionIdentifier("graft_hyperplane_sig")))
       reg.createOrReplaceTempFunction("graft_hyperplane_sig",
         (args: Seq[Expression]) => HyperplaneSig(args(0), args(1)), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("graft_shingle_minhash")))
+      reg.createOrReplaceTempFunction("graft_shingle_minhash",
+        (args: Seq[Expression]) => ShingleMinHash(args(0)), "built-in")
   }
 }

@@ -82,37 +82,26 @@ object Dedup {
       .agg(collect_set(col("h")).as("shs"))
 
   /** doc_id + MinHash signature (NumPerms longs) + per-band bucket
-    * keys, from a (doc_id, h) shingle-hash relation. Permutation j is
-    * (a_j·h + b_j) mod P with a_j = (j·2654435761+1) mod P,
-    * b_j = (j·40503+7) mod P; each is a map-side-combined min
-    * aggregate, so one shuffle of integer partials per doc — the
-    * shuffle carries 128 longs per doc, never the shingle set.
-    *
-    * The 128 min columns stay a plain HashAggregate so the whole
-    * build is whole-stage-codegen'd — this NEEDS
-    * spark.sql.codegen.maxFields ≥ 129 (we set 200 everywhere);
-    * interpreted evaluation is ~10× slower. Folding collect_set into
-    * the same aggregate would demote it to a (non-codegen, sort-based
-    * fallback) ObjectHashAggregate — measured 16× worse — which is
-    * why the set path stays a separate aggregation. */
-  private[graft] def sigsFromShingles(sh: DataFrame): DataFrame = {
-    val permAggs = (0 until NumPerms).map { j =>
-      min(expr(
-        s"((${j}L * 2654435761L + 1) % ${P}L * h + (${j}L * 40503L + 7) % ${P}L) % ${P}L"))
-        .as(s"sig_$j")
-    }
-    sh.groupBy(col("doc_id"))
-      .agg(permAggs.head, permAggs.tail: _*)
-      .withColumn("sig", array((0 until NumPerms).map(j => col(s"sig_$j")): _*))
-      .withColumn("bands", expr(
-        s"""transform(sequence(0, ${NumBands - 1}), b ->
-           |  aggregate(sequence(0, ${RowsPerBand - 1}), 0L,
-           |    (acc, i) -> acc + sig[b*$RowsPerBand + i] * (b*$RowsPerBand + i + 1)) % ${P}L)""".stripMargin))
-      .select(col("doc_id"), col("sig"), col("bands"))
+    * keys. The signature is ONE narrow per-row pass — the codegen'd
+    * [[graft.functions.ShingleMinHash]] kernel folds every shingle's
+    * portable hash into the 128 per-permutation minima inside the
+    * row (permutation j is (a_j·h + b_j) mod P with
+    * a_j = (j·2654435761+1) mod P, b_j = (j·40503+7) mod P). No
+    * shingle explode, no 128-column aggregate, NO SHUFFLE: at 100 TB
+    * the signature build is a map over the corpus scan. (The
+    * previous explode → 128-min-HashAggregate plan computed the same
+    * arithmetic with a 50×+ row amplification and an exchange of
+    * integer partials; the band keys below are unchanged.) */
+  def minhashSignatures(documents: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(documents.sparkSession)
+    documents
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), expr("graft_shingle_minhash(words)").as("sb"))
+      .select(col("doc_id"),
+        expr(s"slice(sb, 1, $NumPerms)").as("sig"),
+        expr(s"slice(sb, ${NumPerms + 1}, $NumBands)").as("bands"))
   }
-
-  def minhashSignatures(documents: DataFrame): DataFrame =
-    sigsFromShingles(shingleHashes(documents))
 
   /** MinHash+LSH candidate pairs: docs sharing any band bucket, with
     * the estimated similarity = fraction of matching signature
@@ -154,18 +143,16 @@ object Dedup {
     * afterwards, so the shuffle moves shingle sets once per join
     * side instead of once per (doc, band) row.
     *
-    * The (doc_id, h) shingle-hash relation is computed ONCE and
-    * persisted; the signature/band branch and the set branch both
-    * aggregate from the cache instead of each re-reading and
-    * re-shingling the corpus (r4's 16× regression). At 100 TB that
-    * cache is a disk-backed relation of 8-byte hashes — far below the
-    * corpus itself, and exactly what the two aggregations' map sides
-    * would each have re-derived from a full text scan. */
+    * The band branch is the shuffle-free [[minhashSignatures]] kernel
+    * pass; the verification branch re-scans the corpus once for its
+    * shingle-set aggregate — two narrow scans of the input, no shared
+    * materialization needed (the r4 16× regression came from
+    * re-SHINGLING through an exploded 50×-amplified relation; the
+    * kernel form shingles inside the row). */
   def ngramJaccard(documents: DataFrame, threshold: Double,
                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sh = shingleHashes(documents).persist(StorageLevel.MEMORY_AND_DISK)
     val banded = capBuckets(
-      sigsFromShingles(sh).select(col("doc_id"),
+      minhashSignatures(documents).select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band", "band_sig"))),
       Seq("band", "band_sig"), maxBucket)
     val pairs = banded.as("a").join(banded.as("b"),
@@ -174,7 +161,7 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("shs"))
+    val sets = shingleSets(documents)
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")

@@ -210,6 +210,73 @@ object ShingleMinHashKernel {
   }
 }
 
+/** 60-bit SimHash over a token array in one per-row pass: each token
+  * is portable-hashed (md5-60 mod P, identical to
+  * [[ShingleMinHashKernel]]'s extraction) and bit i of the result is
+  * set when Σ_tokens (2·bit_i(h) − 1) > 0 — the same arithmetic as
+  * the previous explode → 60-bit-sum aggregate, with duplicate
+  * tokens contributing once per occurrence. No explode, no
+  * aggregate, no shuffle. */
+object SimHashKernel {
+  import graft.llm.Portable.P
+  val SimBits = 60
+  private val Md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  def compute(words: ArrayData): Long = {
+    val n = words.numElements()
+    val counts = new Array[Int](SimBits)
+    val digest = Md.get()
+    var i = 0
+    while (i < n) {
+      digest.reset()
+      val d = digest.digest(words.getUTF8String(i).getBytes)
+      var h = 0L
+      var k = 0
+      while (k < 7) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      h = ((h << 4) | ((d(7) & 0xf0L) >> 4)) % P
+      var b = 0
+      while (b < SimBits) {
+        counts(b) += (((h >> b) & 1L).toInt * 2) - 1
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < SimBits) {
+      if (counts(b) > 0) sim += (1L << b)
+      b += 1
+    }
+    sim
+  }
+}
+
+/** words array<string> → 60-bit SimHash (see [[SimHashKernel]]). */
+case class SimHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash requires array<string>, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(w: Any): Any =
+    SimHashKernel.compute(w.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, w =>
+      s"${ev.value} = graft.functions.SimHashKernel.compute($w);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
 /** words array<string> → 128-long MinHash signature (see
   * [[ShingleMinHashKernel]]); rows must be pre-filtered to ≥3 words
   * (no shingles → an all-MaxValue signature, which the operators
@@ -252,5 +319,8 @@ object VectorFunctions {
     if (!reg.functionExists(FunctionIdentifier("graft_shingle_minhash")))
       reg.createOrReplaceTempFunction("graft_shingle_minhash",
         (args: Seq[Expression]) => ShingleMinHash(args(0)), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("graft_simhash")))
+      reg.createOrReplaceTempFunction("graft_simhash",
+        (args: Seq[Expression]) => SimHash(args(0)), "built-in")
   }
 }

@@ -204,22 +204,15 @@ object Dedup {
   val SimBands = 4   // 4 bands × 15 bits for candidate bucketing
 
   /** doc_id + 60-bit SimHash over (duplicated) tokens: bit i set when
-    * Σ_tokens (2·bit_i(h60(t)) − 1) > 0. Tokens explode once through
-    * a codegen'd hash projection; the 60 bit-sums are one
-    * map-side-combined aggregate. */
+    * Σ_tokens (2·bit_i(h60(t)) − 1) > 0 — one per-row pass through
+    * the codegen'd [[graft.functions.SimHash]] kernel (no token
+    * explode, no 60-bit-sum aggregate, NO SHUFFLE: the signature
+    * build is a map over the corpus scan, same as MinHash). */
   def simhashSignatures(documents: DataFrame): DataFrame = {
-    val hashed = documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .select(col("doc_id"), expr(hash60SqlSpark("t")).as("h"))
-    val bitAggs = (0 until SimBits).map(i =>
-      sum(expr(s"CAST((h >> $i) & 1 AS INT) * 2 - 1")).as(s"b_$i"))
-    hashed
-      .groupBy(col("doc_id"))
-      .agg(bitAggs.head, bitAggs.tail: _*)
-      .withColumn("simhash",
-        (0 until SimBits).map(i =>
-          when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _))
-      .select(col("doc_id"), col("simhash"))
+    graft.functions.VectorFunctions.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"),
+        expr("graft_simhash(split(text, ' '))").as("simhash"))
   }
 
   /** SimHash near-dup pairs: band on 15-bit slices, verify hamming

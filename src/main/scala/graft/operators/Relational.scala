@@ -69,19 +69,27 @@ object Relational {
     * Results are identical to [[returnedByPriority]] — same oracle. */
   def returnedByPriorityBucketed(spark: SparkSession, dir: String,
                                  warehouseDir: String, nBuckets: Int = 8): DataFrame = {
-    val suffix = new java.io.File(dir).getName.replace(".", "_")
+    // table identity covers BOTH inputs (sf dir) and layout home
+    // (warehouse dir), so two call sites never alias each other's data
+    val suffix = new java.io.File(dir).getName.replace(".", "_") +
+      "_" + (warehouseDir.hashCode & 0x7fffffff).toString
     val tOrders = s"orders_bkt_$suffix"
     val tLine = s"lineitem_bkt_$suffix"
-    Tables.orders(spark, dir)
-      .select("o_orderkey", "o_orderpriority").write
-      .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$warehouseDir/$tOrders")
-      .mode("overwrite").format("parquet").saveAsTable(tOrders)
-    Tables.lineitem(spark, dir)
-      .select("l_orderkey", "l_returnflag", "l_extendedprice").write
-      .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$warehouseDir/$tLine")
-      .mode("overwrite").format("parquet").saveAsTable(tLine)
+    // pay-once layout: rewrite only when this session hasn't built
+    // the bucketed tables yet (the pattern's whole point — every
+    // subsequent join reuses the co-located files)
+    if (!spark.catalog.tableExists(tOrders) || !spark.catalog.tableExists(tLine)) {
+      Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderpriority").write
+        .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$warehouseDir/$tOrders")
+        .mode("overwrite").format("parquet").saveAsTable(tOrders)
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_returnflag", "l_extendedprice").write
+        .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$warehouseDir/$tLine")
+        .mode("overwrite").format("parquet").saveAsTable(tLine)
+    }
     spark.table(tOrders).hint("merge")
       .join(spark.table(tLine).filter(col("l_returnflag") === "R"),
         col("o_orderkey") === col("l_orderkey"))

@@ -1,0 +1,131 @@
+package graft
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.{PromRemoteCodec, ProtoWire}
+import graft.ingest.PromRemoteCodec.{PromLabel, PromSample, PromTimeSeries, PromWriteRequest}
+import graft.operators.{LabelMatcher, MatcherType, ReadQuery}
+
+/** Deterministic fuzz of the hand-rolled proto wire codec — a
+  * server-facing decoder must round-trip arbitrary field content
+  * (unicode, empty strings, NaN/±Inf, extreme int64) and fail with
+  * ONLY WireFormatException-class errors on garbage bytes, never
+  * with array/offset errors that would crash the serving loop.
+  * Seeded Random keeps every run identical (no scalacheck shrinkage
+  * nondeterminism in CI). */
+class CodecFuzzSpec extends AnyFunSuite {
+
+  private val rnd = new Random(42)
+
+  private def randString(): String = {
+    val n = rnd.nextInt(12)
+    val sb = new StringBuilder
+    (0 until n).foreach { _ =>
+      rnd.nextInt(4) match {
+        case 0 => sb += (rnd.nextInt(26) + 'a').toChar
+        case 1 => sb += (rnd.nextInt(0x7ff - 0x80) + 0x80).toChar // 2-byte utf8
+        case 2 => sb += (rnd.nextInt(0xd7ff - 0x800) + 0x800).toChar // 3-byte utf8
+        case 3 => sb += "=,; \t\"'\\".charAt(rnd.nextInt(8))
+      }
+    }
+    sb.result()
+  }
+
+  private def randDouble(): Double = rnd.nextInt(6) match {
+    case 0 => Double.NaN
+    case 1 => Double.PositiveInfinity
+    case 2 => Double.NegativeInfinity
+    case 3 => -0.0
+    case 4 => java.lang.Double.longBitsToDouble(rnd.nextLong())
+    case _ => rnd.nextDouble() * 1e6 - 5e5
+  }
+
+  private def randLong(): Long = rnd.nextInt(4) match {
+    case 0 => Long.MaxValue - rnd.nextInt(10)
+    case 1 => Long.MinValue + rnd.nextInt(10)
+    case 2 => rnd.nextLong()
+    case _ => rnd.nextInt(1 << 20).toLong
+  }
+
+  private def bitsEq(a: Double, b: Double): Boolean =
+    java.lang.Double.doubleToRawLongBits(a) == java.lang.Double.doubleToRawLongBits(b)
+
+  test("WriteRequest round-trips 300 randomized messages bit-exactly") {
+    (1 to 300).foreach { _ =>
+      val req = PromWriteRequest((0 until rnd.nextInt(4)).map { _ =>
+        PromTimeSeries(
+          (0 until rnd.nextInt(5)).map(_ => PromLabel(randString(), randString())),
+          (0 until rnd.nextInt(6)).map(_ => PromSample(randDouble(), randLong())))
+      })
+      val back = PromRemoteCodec.decodeWriteRequest(PromRemoteCodec.encodeWriteRequest(req))
+      assert(back.timeseries.size == req.timeseries.size)
+      back.timeseries.zip(req.timeseries).foreach { case (b, a) =>
+        assert(b.labels == a.labels)
+        assert(b.samples.size == a.samples.size)
+        b.samples.zip(a.samples).foreach { case (bs, as) =>
+          assert(bs.timestampMs == as.timestampMs)
+          assert(bitsEq(bs.value, as.value), s"${bs.value} vs ${as.value}")
+        }
+      }
+    }
+  }
+
+  test("ReadRequest round-trips 300 randomized query sets") {
+    val types = Seq(MatcherType.Eq, MatcherType.Neq, MatcherType.Re, MatcherType.Nre)
+    (1 to 300).foreach { _ =>
+      val qs = (0 until rnd.nextInt(3) + 1).map { _ =>
+        ReadQuery(
+          math.abs(randLong() % (1L << 40)), math.abs(randLong() % (1L << 40)),
+          (0 until rnd.nextInt(4)).map(_ =>
+            LabelMatcher(types(rnd.nextInt(4)), randString(), randString())),
+          stepMs = rnd.nextInt(1 << 20).toLong)
+      }
+      val back = PromRemoteCodec.decodeReadRequest(PromRemoteCodec.encodeReadRequest(qs))
+      assert(back.map(q => (q.startMs, q.endMs, q.matchers, q.stepMs)) ==
+             qs.map(q => (q.startMs, q.endMs, q.matchers, q.stepMs)))
+    }
+  }
+
+  test("ReadResponse round-trips randomized series") {
+    (1 to 100).foreach { _ =>
+      val series = (0 until rnd.nextInt(4)).map { _ =>
+        PromTimeSeries(
+          (0 until rnd.nextInt(4)).map(_ => PromLabel(randString(), randString())),
+          (0 until rnd.nextInt(5)).map(_ => PromSample(randDouble(), randLong())))
+      }
+      val back = PromRemoteCodec.decodeReadResponse(PromRemoteCodec.encodeReadResponse(series))
+      assert(back.size == series.size)
+      back.zip(series).foreach { case (b, a) =>
+        assert(b.labels == a.labels)
+        assert(b.samples.map(_.timestampMs) == a.samples.map(_.timestampMs))
+        b.samples.zip(a.samples).foreach { case (bs, as) => assert(bitsEq(bs.value, as.value)) }
+      }
+    }
+  }
+
+  test("garbage bytes never escape the codec's declared failure modes") {
+    // acceptable: clean wire/format errors (mapped to the reference's
+    // HTTP 400/500 path). NOT acceptable: index/negative-size/OOM-class
+    // errors — those would kill the serving loop on hostile input.
+    def assertClean(f: => Any): Unit =
+      try { f; () } catch {
+        case _: ProtoWire.WireFormatException => ()
+        case _: java.io.IOException => () // snappy: failed to uncompress
+        case _: IllegalArgumentException => ()
+        case t: Throwable => fail(s"codec leaked ${t.getClass.getName}: ${t.getMessage}")
+      }
+    (1 to 500).foreach { _ =>
+      val raw = Array.fill(rnd.nextInt(80))(rnd.nextInt(256).toByte)
+      assertClean(PromRemoteCodec.decodeWriteRequest(raw))
+      assertClean(PromRemoteCodec.decodeReadRequest(raw))
+      assertClean(PromRemoteCodec.decodeReadResponse(raw))
+      // valid snappy frame wrapping garbage proto bytes
+      val framed = org.xerial.snappy.Snappy.compress(raw)
+      assertClean(PromRemoteCodec.decodeWriteRequest(framed))
+      assertClean(PromRemoteCodec.decodeReadRequest(framed))
+      assertClean(PromRemoteCodec.decodeReadResponse(framed))
+    }
+  }
+}

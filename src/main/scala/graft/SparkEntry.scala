@@ -190,6 +190,21 @@ object SparkEntry {
       s.createDataset(rows).toDF("metric", "labels_str", "t_sec", "max_value")
     }),
 
+    // the same read pipeline with the day-partitioned STORE as its
+    // input — the reference's actual read path (ClickHouse table ≙
+    // store): time bounds prune day partitions, metric equality rides
+    // row-group stats (PlanSpec asserts both). The store is built
+    // once per session (_SUCCESS-guarded) — pay-once layout.
+    "read_store_pruned" -> ((s, dir) => {
+      val path = workDir("readstore", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+        SamplesStore.write(samples(s, dir), path)
+      SeriesRead.select(SamplesStore.read(s, path),
+        ReadQuery(WinStartMs, WinEndMs, Seq(Matchers.eq("__name__", "click"))))
+    }),
+
     "read_time_range" -> ((s, dir) => (
       SeriesRead.select(samples(s, dir),
         ReadQuery(WinStartMs, WinEndMs, Nil)))),
@@ -514,6 +529,9 @@ object SparkEntry {
     "read_time_range" -> readAgg(inWin),
 
     "read_name_eq" -> readAgg(s"$inWin AND metric = 'purchase' AND metric != 'error'"),
+
+    // same rows whether served from the view or the store layout
+    "read_store_pruned" -> readAgg(s"$inWin AND metric = 'click'"),
 
     "read_name_regex" -> readAgg(
       s"$inWin AND regexp_matches(metric, '^p[a-z]+chase|view$$') AND NOT regexp_matches(metric, '^vi.w$$')"),

@@ -148,14 +148,21 @@ class PromCodecSpec extends SparkSpecBase {
   }
 
   test("distributed blob decode equals source samples at ms precision") {
+    import org.apache.spark.sql.functions._
     val s = Tables.samples(spark, Sf)
     val blobs = Ingest.toWriteRequestBlobs(s)
-    // day-chunked: a series spanning the month yields multiple bounded
-    // blobs, never one unbounded collect_list row
-    assert(blobs.count() > s.select("metric", "labels").distinct().count())
+    // wire shape: many series per request, day-chunked per series —
+    // far fewer frames than series, each bounded at 256 series and
+    // together carrying every (series, day) chunk exactly once
+    val nChunks = s.select(col("metric"), col("labels"),
+      expr("ts_us DIV 1000000 DIV 86400")).distinct().count()
+    val perBlob = blobs.collect().map(r =>
+      decodeWriteRequest(r.getAs[Array[Byte]](0)).timeseries.size)
+    assert(perBlob.length < s.select("metric", "labels").distinct().count())
+    assert(perBlob.forall(_ <= 256))
+    assert(perBlob.map(_.toLong).sum == nChunks)
     val decoded = Ingest.decodeWriteRequestBlobs(blobs)
     assert(decoded.count() == s.count())
-    import org.apache.spark.sql.functions._
     val a = decoded.select(col("metric"), expr("ts_us DIV 1000").as("t"), col("value"))
     val b = s.select(col("metric"), expr("ts_us DIV 1000").as("t"), col("value"))
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)

@@ -45,6 +45,19 @@ object ScaleSmoke {
       time(s"minhashLsh      m=$m cap=2000")(Dedup.minhashLsh(d, maxBucket = 2000).count())
       time(s"simhashPairs    m=$m cap=2000")(Dedup.simhashPairs(d, 8, maxBucket = 2000).count())
     }
+
+    val emb0 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    def scaledEmb(m: Int): org.apache.spark.sql.DataFrame =
+      (0 until m).map(i => emb0.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+        .reduce(_ unionAll _)
+    import graft.llm.Similarity
+    for (m <- Seq(1, 2, 4)) {
+      val e = scaledEmb(m)
+      time(s"annBruteForce   m=$m")(Similarity.bruteForceTopK(e, 10, 10).count())
+      time(s"annLsh          m=$m")(Similarity.lshTopK(e, 10, 6, 10).count())
+      time(s"annIvf          m=$m")(Similarity.ivfTopK(e, 10, 16, 4, 10).count())
+      time(s"embNearDup      m=$m")(Similarity.nearDupPairs(e, 4, 6, 0.4).count())
+    }
     spark.stop()
   }
 }

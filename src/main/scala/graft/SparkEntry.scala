@@ -342,6 +342,9 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir), nBands = 4, bitsPerBand = 6, threshold = 0.4)),
 
+    "dedup_embedding_keep" -> ((s, dir) =>
+      Similarity.embeddingKeep(Tables.embeddings(s, dir), nBands = 4, bitsPerBand = 6)),
+
     // ---- §2.5 similarity search ------------------------------------
     "ann_bruteforce_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), nQueries = 10, k = 10)),
@@ -806,6 +809,19 @@ object SparkEntry {
          |SELECT vec_a, vec_b, round(${duckDot("va", "vb")} / (na * nb), 6) AS cos_sim
          |FROM pairs
          |WHERE round(${duckDot("va", "vb")} / (na * nb), 6) >= 0.4""".stripMargin,
+
+    // greedy bucket-min dedup over the same hyperplane bands
+    "dedup_embedding_keep" ->
+      s"""${embCte(24)}, banded AS (
+         |  SELECT vec_id, t.b AS band,
+         |         (sigbits >> (t.b * 6)) & 63 AS band_val
+         |  FROM prep, range(0, 4) t(b)
+         |), bmin AS (
+         |  SELECT vec_id, min(vec_id) OVER (PARTITION BY band, band_val) AS bucket_min
+         |  FROM banded
+         |)
+         |SELECT vec_id, CAST(keep_id = vec_id AS INT) AS kept, keep_id
+         |FROM (SELECT vec_id, min(bucket_min) AS keep_id FROM bmin GROUP BY 1)""".stripMargin,
 
     "ann_bruteforce_topk" ->
       s"""${embCte(1)}, scored AS (

@@ -131,6 +131,32 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Greedy linear-output embedding dedup — the keep/drop contract
+    * for vectors (see SCALE.md and [[Dedup.minhashKeep]]): every
+    * (band, band_val) bucket keeps its minimum vec_id, and a vector
+    * is dropped when ANY of its buckets holds a smaller id. One
+    * (vec_id, kept, keep_id) row per vector — no pair join, output
+    * linear in corpus size regardless of duplicate-cluster shape.
+    * Bucket-min rides the band explode's own hash partitioning. */
+  def embeddingKeep(embeddings: DataFrame, nBands: Int, bitsPerBand: Int,
+                    maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val nBits = nBands * bitsPerBand
+    val banded = Dedup.capBuckets(
+      prepared(embeddings)
+        .withColumn("sigbits", expr(signatureExpr("vec", nBits, 64)))
+        .select(col("vec_id"), posexplode(expr(
+          s"transform(sequence(0, ${nBands - 1}), b -> (sigbits >> (b * $bitsPerBand)) & ${(1 << bitsPerBand) - 1})"))
+          .as(Seq("band", "band_val"))),
+      Seq("band", "band_val"), maxBucket)
+    val w = Window.partitionBy(col("band"), col("band_val"))
+    banded
+      .withColumn("bucket_min", min(col("vec_id")).over(w))
+      .groupBy(col("vec_id"))
+      .agg(min(col("bucket_min")).as("keep_id"))
+      .select(col("vec_id"),
+        (col("keep_id") === col("vec_id")).cast("int").as("kept"), col("keep_id"))
+  }
+
   /** IVF (inverted-file) ANN top-k — the scale path past LSH
     * bucketing: a coarse quantizer assigns every candidate vector to
     * its nearest centroid ONCE (the inverted lists), and each query

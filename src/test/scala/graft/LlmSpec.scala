@@ -57,6 +57,19 @@ class LlmSpec extends SparkSpecBase {
     assert(dropped.exceptAll(cands).count() == 0)
   }
 
+  test("greedy embedding keep mirrors the near-dup candidate structure") {
+    val keep = Similarity.embeddingKeep(embs, 4, 6).cache()
+    assert(keep.count() == embs.count())
+    assert(keep.filter(col("kept") === 1 && col("keep_id") =!= col("vec_id")).count() == 0)
+    assert(keep.filter(col("keep_id") > col("vec_id")).count() == 0)
+    // every dropped vector shares a band bucket with a smaller id —
+    // i.e. appears as vec_b among the UNFILTERED banded candidates
+    val dropped = keep.filter(col("kept") === 0).select(col("vec_id").as("vec_b"))
+    val cands = Similarity.nearDupPairs(embs, 4, 6, threshold = -1.0)
+      .select("vec_b").distinct()
+    assert(dropped.exceptAll(cands).count() == 0)
+  }
+
   test("IVF with a full probe set reproduces brute-force exactly") {
     // probing every inverted list == scanning every candidate, so the
     // IVF result must equal the exhaustive top-k bit-for-bit

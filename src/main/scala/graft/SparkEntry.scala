@@ -298,6 +298,9 @@ object SparkEntry {
     "ts_quantile_over_time" -> ((s, dir) =>
       RangeOps.quantileOverTime(RangeOps.dedupPerSecond(samples(s, dir)), 86400L, 0.5)),
 
+    "ts_histogram_quantile" -> ((s, dir) =>
+      RangeOps.histogramQuantile(samples(s, dir), 86400L, 0.9)),
+
     "ts_label_project" -> ((s, dir) =>
       RangeOps.labelProject(samples(s, dir), "user=", 8.0)),
 
@@ -637,6 +640,25 @@ object SparkEntry {
          |       round(quantile_cont(value, 0.5), 6) AS q_value,
          |       count(*) AS n_points
          |FROM deduped GROUP BY 1, 2""".stripMargin,
+
+    // cumulative le-bucket counts + the SAME generated interpolation
+    // CASE the Spark side evaluates (RangeOps.hqCaseSql) — identical
+    // double arithmetic text in both engines
+    "ts_histogram_quantile" -> {
+      val cnts = RangeOps.DefaultLes.zipWithIndex.map { case (le, i) =>
+        s"CAST(sum(CASE WHEN value <= $le THEN 1 ELSE 0 END) AS DOUBLE) AS c_$i"
+      }.mkString(",\n         ")
+      s"""$S, h AS (
+         |  SELECT metric, ts_us // 1000000 // 86400 * 86400 AS t_sec,
+         |         $cnts,
+         |         CAST(count(*) AS DOUBLE) AS total
+         |  FROM samples GROUP BY 1, 2
+         |), r AS (SELECT *, 0.9 * total AS rk FROM h)
+         |SELECT metric, t_sec,
+         |       round(${RangeOps.hqCaseSql(RangeOps.DefaultLes)}, 6) AS q_est,
+         |       CAST(total AS BIGINT) AS n_points
+         |FROM r""".stripMargin
+    },
 
     "ts_label_project" ->
       s"""$S

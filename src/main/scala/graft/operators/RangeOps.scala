@@ -219,4 +219,46 @@ object RangeOps {
       .groupBy(col("metric"), col("bucket"))
       .agg(round(percentile(col("value"), lit(q)), 6).as("q_value"),
            count(lit(1)).as("n_points"))
+
+  /** Default cumulative-bucket bounds for [[histogramQuantile]]
+    * (chosen for the testdata's 0–500 value range; a real deployment
+    * takes them from the histogram metric's `le` labels). */
+  val DefaultLes: Seq[Double] = Seq(10.0, 25.0, 50.0, 100.0, 200.0)
+
+  /** The piecewise-linear interpolation CASE — Prometheus's
+    * histogram_quantile over cumulative bucket counts c_0..c_{n-1}
+    * and a target rank `rk`: the first bucket whose cumulative count
+    * reaches rk interpolates between its bounds; above the last
+    * finite bucket the result clamps to its upper bound (the +Inf
+    * bucket's lower edge, as Prometheus does). Plain CASE/arithmetic
+    * only, so the SAME generated text runs in Spark and DuckDB —
+    * bit-identical double math on both sides. */
+  def hqCaseSql(les: Seq[Double]): String = {
+    val arms = les.zipWithIndex.map { case (hi, i) =>
+      val lo = if (i == 0) 0.0 else les(i - 1)
+      val prev = if (i == 0) "0.0" else s"c_${i - 1}"
+      s"WHEN c_$i >= rk THEN $lo + ($hi - $lo) * (rk - $prev) / (c_$i - $prev)"
+    }
+    arms.mkString("CASE ", " ", s" ELSE ${les.last} END")
+  }
+
+  /** PromQL `histogram_quantile(q, rate(..._bucket[w]))` shape over
+    * the raw samples: per (metric, bucketSec window), cumulative
+    * counts for the `le` bounds (one map-side-combined conditional
+    * aggregate — the 100 TB shuffle carries n_les+1 doubles per
+    * group), then the piecewise-linear estimate. */
+  def histogramQuantile(samples: DataFrame, bucketSec: Long, q: Double,
+                        les: Seq[Double] = DefaultLes): DataFrame = {
+    val cnts = les.zipWithIndex.map { case (le, i) =>
+      sum(when(col("value") <= le, 1).otherwise(0)).cast("double").as(s"c_$i")
+    } :+ count(lit(1)).cast("double").as("total")
+    samples
+      .withColumn("t_sec", expr(s"ts_us DIV 1000000 DIV $bucketSec * $bucketSec"))
+      .groupBy(col("metric"), col("t_sec"))
+      .agg(cnts.head, cnts.tail: _*)
+      .withColumn("rk", expr(s"$q * total"))
+      .select(col("metric"), col("t_sec"),
+        expr(s"round(${hqCaseSql(les)}, 6)").as("q_est"),
+        col("total").cast("long").as("n_points"))
+  }
 }

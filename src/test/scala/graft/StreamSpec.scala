@@ -35,6 +35,26 @@ class StreamSpec extends SparkSpecBase {
     assert(days.nonEmpty, "store must be day-partitioned")
   }
 
+  test("checkpointed store ingestion resumes without re-processing old files") {
+    val base = "/tmp/graft_test/stream_resume"
+    new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    val events = Tables.events(spark, Sf).cache()
+    val n = events.count()
+    // first half arrives, stream ingests it
+    events.filter(expr("event_id % 2 = 0")).write.mode("overwrite").parquet(s"$base/src")
+    val firstRows = StreamIngest
+      .runToStore(spark, s"$base/src", s"$base/store", s"$base/ckpt").count()
+    assert(firstRows < n && firstRows > 0)
+    // second half lands as NEW files; the resumed stream (same
+    // checkpoint) must ingest only those — no duplicate appends of
+    // the files it already committed
+    events.filter(expr("event_id % 2 = 1")).write.mode("append").parquet(s"$base/src")
+    val back = StreamIngest.runToStore(spark, s"$base/src", s"$base/store", s"$base/ckpt")
+    assert(back.count() == n, "resume must add exactly the new files' rows")
+  }
+
   test("windowed streaming aggregation buckets by event-time hour") {
     val src = "/tmp/graft_test/stream_win_src"
     Tables.events(spark, Sf).write.mode("overwrite").parquet(src)

@@ -39,28 +39,39 @@ object Bench {
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     } catch { case _: Throwable => () }
     // Each query runs 1 cold + 3 warm; the headline is the MINIMUM of
-    // the warm runs ("methodology":"min3warm"). Why min, not median:
-    // r5/r6 driver-side benches showed 4-10× slowdowns on CONTIGUOUS
-    // ALPHABETICAL BLOCKS of queries (a different block each round)
-    // that no isolated rerun of the same binary could reproduce —
-    // bursty external load on the bench box, not code. Min over three
-    // warm runs estimates steady-state cost and is the statistic
-    // least distorted by such bursts; the median-of-3 total and the
-    // cold total are still emitted ("total_median3"/"total_cold") so
-    // every previous round's number stays comparable. The SQL cache
-    // is cleared before every run so operator-internal persists
-    // (dedup's shared signature pass) are paid inside each timed run,
-    // never carried across runs. A failed run reports in "errors"
-    // instead of masquerading as fast.
+    // the warm runs ("methodology":"min3warmIlv"). Why min, not
+    // median: r5/r6 driver-side benches showed 4-10× slowdowns on
+    // CONTIGUOUS ALPHABETICAL BLOCKS of queries (a different block
+    // each round) that no isolated rerun of the same binary could
+    // reproduce — bursty external load on the bench box, not code.
+    // Why INTERLEAVED warm passes (3 full passes over all queries,
+    // not 3 back-to-back repeats per query): r7's burst outlasted the
+    // 3 consecutive repeats of a whole block (rel_q1_agg 7.0 s,
+    // text_fingerprint 9.3 s min-of-3 for single-scan queries that
+    // run in <0.6 s in isolation), so even the min was contaminated.
+    // With passes, a burst hits each query at most once per pass, and
+    // the min survives any burst shorter than one full pass (~60 s).
+    // The median-of-3 total and the cold total are still emitted
+    // ("total_median3"/"total_cold") so every previous round's number
+    // stays comparable. The SQL cache is cleared before every run so
+    // operator-internal persists (dedup's shared signature pass) are
+    // paid inside each timed run, never carried across runs. A failed
+    // run reports in "errors" instead of masquerading as fast.
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       spark.sqlContext.clearCache()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (cold, okCold) = time(fn)
-      val warms = Seq.fill(3)(time(fn))
+    // Local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 runs a subset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val colds = selected.map { case (name, fn) => name -> time(fn) }.toMap
+    val warmPasses = Seq.fill(3)(selected.map { case (name, fn) => name -> time(fn) }.toMap)
+    val results = selected.map { case (name, _) =>
+      val (cold, okCold) = colds(name)
+      val warms = warmPasses.map(_(name))
       val ws = warms.map(_._1).sorted
       (name, ws(1), ws.head, cold, okCold && warms.forall(_._2))
     }
@@ -76,10 +87,16 @@ object Bench {
     val slow = results.collect {
       case (k, _, mn, _, _) if Budgets.get(k).exists(mn > _) => s"\"$k\""
     }.mkString("[", ",", "]")
+    // Bimodality flag: a median far above the min means 2 of 3 warm
+    // passes were slow — either a genuine sometimes-slow plan (GC /
+    // spill) or a long contention burst; either way worth eyes.
+    val bimodal = results.collect {
+      case (k, med, mn, _, _) if med > math.max(2 * mn, mn + 1.0) => s"\"$k\""
+    }.mkString("[", ",", "]")
     val total = math.rint(results.map(_._3).sum * 1000) / 1000
     val totalMed = math.rint(results.map(_._2).sum * 1000) / 1000
     val totalCold = math.rint(results.map(_._4).sum * 1000) / 1000
-    println(s"""{"metric":"total","value":$total,"unit":"sec","methodology":"min3warm","queries":$qs,"total_median3":$totalMed,"total_cold":$totalCold,"slow":$slow,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","methodology":"min3warmIlv","queries":$qs,"total_median3":$totalMed,"total_cold":$totalCold,"slow":$slow,"bimodal":$bimodal,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -39,23 +39,51 @@ object SparkEntry {
   private def workDir(name: String, dir: String): String =
     s"/tmp/graft_work/${name}_${new java.io.File(dir).getName}"
 
+  /** Fingerprint of a source parquet file (size + mtime) — embedded
+    * in pay-once markers so regenerated testdata under the same path
+    * invalidates the cached copy instead of silently serving stale
+    * data across processes (/tmp/graft_work outlives the JVM). */
+  private def srcFingerprint(dir: String, table: String): String = {
+    val f = new java.io.File(dir, s"$table.parquet")
+    s"${f.length}:${f.lastModified}"
+  }
+
+  /** Build `path` once behind a `_READY` marker whose CONTENT is the
+    * source fingerprint: absent marker (partial build) or mismatched
+    * content (regenerated testdata) both force a rebuild; the marker
+    * is written only after `build` completes. */
+  private def payOnce(s: SparkSession, path: String, want: String)(build: => Unit): Unit = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(path, "_READY")
+    val have =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), utf8))
+        finally in.close()
+      }
+    if (!have.contains(want)) {
+      build
+      val out = fs.create(marker, true)
+      try out.write(want.getBytes(utf8))
+      finally out.close()
+    }
+  }
+
   /** Deterministic events-source dir for the streaming queries,
     * built once (`copies` concatenated copies of events) behind a
-    * ready-marker — the source is test scaffolding, not the work the
-    * query measures, so repeat runs must not re-pay it. The marker
-    * is written AFTER the copies, so a partially-built dir (absent
-    * marker) is rebuilt from scratch. */
+    * fingerprinted ready-marker — the source is test scaffolding, not
+    * the work the query measures, so repeat runs must not re-pay it,
+    * but a regenerated events.parquet forces a rebuild. */
   private def ensureEventsSrc(s: SparkSession, dir: String,
                               name: String, copies: Int = 1): String = {
     val src = workDir(name, dir)
-    val fs = new org.apache.hadoop.fs.Path(src)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(src, "_READY")
-    if (!fs.exists(marker)) {
+    payOnce(s, src, s"${srcFingerprint(dir, "events")}:copies=$copies") {
       Tables.events(s, dir).write.mode("overwrite").parquet(src)
       (1 until copies).foreach(_ =>
         Tables.events(s, dir).write.mode("append").parquet(src))
-      fs.create(marker, true).close()
     }
     src
   }
@@ -212,13 +240,13 @@ object SparkEntry {
     // input — the reference's actual read path (ClickHouse table ≙
     // store): time bounds prune day partitions, metric equality rides
     // row-group stats (PlanSpec asserts both). The store is built
-    // once per session (_SUCCESS-guarded) — pay-once layout.
+    // once behind a fingerprinted marker — pay-once layout that
+    // rebuilds if the source testdata is regenerated.
     "read_store_pruned" -> ((s, dir) => {
       val path = workDir("readstore", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+      payOnce(s, path, srcFingerprint(dir, "events")) {
         SamplesStore.write(samples(s, dir), path)
+      }
       SeriesRead.select(SamplesStore.read(s, path),
         ReadQuery(WinStartMs, WinEndMs, Seq(Matchers.eq("__name__", "click"))))
     }),

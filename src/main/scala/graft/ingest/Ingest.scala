@@ -140,6 +140,49 @@ object SamplesStore {
   def append(samples: DataFrame, path: String): Unit =
     layout(samples).write.mode("append").partitionBy("date").parquet(path)
 
+  /** Exactly-once batch append for checkpointed streams. A bare
+    * [[append]] inside foreachBatch is only at-least-once: a crash
+    * between the append and the checkpoint commit re-delivers the
+    * batch on restart and duplicates its rows. This variant makes the
+    * replay a no-op: the batch is staged to a shadow dir, its files
+    * moved into the day partitions under batchId-stamped names, and a
+    * commit marker written last. On re-delivery the marker short-
+    * circuits; on a crash mid-move the next attempt first sweeps any
+    * `b<id>-` orphans (the marker is absent, so the move redoes from
+    * a clean slate). Layout (day dirs, sorted files) is identical to
+    * [[append]]'s. */
+  def appendBatch(samples: DataFrame, path: String, batchId: Long): Unit = {
+    val spark = samples.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(path, s"_commits/$batchId")
+    if (fs.exists(marker)) return
+    val prefix = s"b$batchId-"
+    // sweep a partial prior attempt of this batch
+    if (fs.exists(new Path(path))) {
+      fs.listStatus(new Path(path)).filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+        .foreach { day =>
+          fs.listStatus(day.getPath).filter(_.getPath.getName.startsWith(prefix))
+            .foreach(f => fs.delete(f.getPath, false))
+        }
+    }
+    val staging = new Path(path, s".staging-$batchId")
+    fs.delete(staging, true)
+    layout(samples).write.mode("overwrite").partitionBy("date").parquet(staging.toString)
+    fs.listStatus(staging).filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .foreach { day =>
+        val dstDay = new Path(path, day.getPath.getName)
+        fs.mkdirs(dstDay)
+        fs.listStatus(day.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            if (!fs.rename(f.getPath, new Path(dstDay, prefix + f.getPath.getName)))
+              throw new java.io.IOException(s"appendBatch: move ${f.getPath} failed")
+          }
+      }
+    fs.delete(staging, true)
+    fs.mkdirs(new Path(path, "_commits"))
+    fs.create(marker, true).close()
+  }
+
   private def layout(samples: DataFrame): DataFrame =
     samples
       .withColumn("date", expr("ts_us DIV 1000000 DIV 86400 * 86400"))
@@ -162,15 +205,29 @@ object SamplesStore {
     * identical, this rewrites all days for determinism. */
   def compact(spark: SparkSession, path: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(new Path(path).getParent, new Path(path).getName + ".compacting")
+    val dst = new Path(path)
+    val tmp = new Path(dst.getParent, dst.getName + ".compacting")
+    val old = new Path(dst.getParent, dst.getName + ".old")
     fs.delete(tmp, true)
+    fs.delete(old, true)
     // `date` is re-derived from ts_us inside layout(), so the rewrite
     // cannot drift from the read-side partition values.
     write(read(spark, path).drop("date"), tmp.toString)
-    val dst = new Path(path)
-    fs.delete(dst, true)
-    if (!fs.rename(tmp, dst))
+    // Swap via rename-aside (never delete-then-rename): the live path
+    // always resolves to either the old or the new layout, and a crash
+    // mid-swap leaves a complete copy at `path` or `path.old` — no
+    // window where the only copy sits in the shadow dir.
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"compact: rename $dst -> $old failed")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(old, dst) // roll back so the store stays readable
       throw new java.io.IOException(s"compact: rename $tmp -> $dst failed")
+    }
+    // carry the appendBatch commit markers across the rewrite, so a
+    // stream replay after a compaction still short-circuits
+    val oldCommits = new Path(old, "_commits")
+    if (fs.exists(oldCommits)) fs.rename(oldCommits, new Path(dst, "_commits"))
+    fs.delete(old, true)
   }
 
   /** Delete samples with startUs <= ts_us < endUs. */
@@ -296,10 +353,12 @@ object StreamIngest {
     * reference's actual serving write path as a stream (main.go's
     * accept-loop ≙ the file source; each ClickHouse INSERT ≙ one
     * microbatch append). foreachBatch gives the sink the full
-    * DataFrame writer surface, so every microbatch lands with the
-    * store's layout (day partitions, sorted files) and exactly-once
-    * per-batch semantics ride the checkpoint; at 100 TB the same
-    * query runs unmodified with a durable checkpoint dir and the
+    * DataFrame writer surface; the checkpoint alone only makes the
+    * sink at-least-once (a crash between append and checkpoint commit
+    * re-delivers the batch), so the write goes through
+    * [[SamplesStore.appendBatch]], whose batchId commit markers turn
+    * replays into no-ops — end-to-end exactly-once. At 100 TB the
+    * same query runs unmodified with a durable checkpoint dir and the
     * background [[SamplesStore.compact]] folding the per-batch files.
     * Returns the store read-back. */
   def runToStore(spark: SparkSession, srcDir: String, storePath: String,
@@ -313,7 +372,7 @@ object StreamIngest {
           concat(lit("user="), col("user_id").cast("string")))).as("labels"),
         col("value"))
     val appendBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, _) => SamplesStore.append(batch, storePath)
+      (batch, id) => SamplesStore.appendBatch(batch, storePath, id)
     val q = stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

@@ -63,12 +63,17 @@ object Multimodal {
     * partition over the byte arrays (no per-frame task overhead; at
     * 100 TB the parallelism is the partition count and the output is
     * input_bytes/everyK — the sampling happens before any shuffle).
-    * frame_h is the portable md5-60 hash of the frame slice, so
-    * sampled frames are content-addressable across engines. */
+    * frame_h is the portable md5-60 hash over the RAW frame bytes
+    * (Portable.hash60Bytes — never a String round-trip, which would
+    * collapse invalid UTF-8 to U+FFFD and alias distinct binary
+    * frames), so sampled frames are content-addressable for arbitrary
+    * payloads. The DuckDB oracle can only mirror this on ASCII
+    * corpora (its md5/substr are VARCHAR/char-positional), which the
+    * synthetic documents table satisfies. */
   def frameSample(media: DataFrame, frameBytes: Int = 256, everyK: Int = 3): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val hash = graft.llm.Portable.hash60 _
+    val hash = graft.llm.Portable.hash60Bytes _
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (docId, payload) =>
@@ -76,9 +81,8 @@ object Multimodal {
           Iterator.range(0, nFrames).filter(_ % everyK == 0).map { i =>
             val from = i * frameBytes
             val until = math.min(from + frameBytes, payload.length)
-            val slice = java.util.Arrays.copyOfRange(payload, from, until)
             SampledFrame(docId, i.toLong, (until - from).toLong,
-              hash(new String(slice, java.nio.charset.StandardCharsets.UTF_8)))
+              hash(java.util.Arrays.copyOfRange(payload, from, until)))
           }
         }
       }.toDF()

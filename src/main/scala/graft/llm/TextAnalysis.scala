@@ -24,10 +24,17 @@ object Portable {
 
   /** Same, as a JVM function (for executor-side Scala code paths —
     * identical to the SQL forms bit-for-bit). */
-  def hash60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val hex = d.map(b => f"$b%02x").mkString
+  def hash60(s: String): Long =
+    hash60Bytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** The byte-level primitive: md5 over raw bytes, first 15 hex
+    * digits, mod P. For binary payloads this is the ONLY correct
+    * form — round-tripping bytes through a String collapses invalid
+    * UTF-8 sequences to U+FFFD, so distinct non-UTF-8 payloads would
+    * hash identically. For UTF-8 text it equals [[hash60]] exactly. */
+  def hash60Bytes(b: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(b)
+    val hex = d.map(x => f"$x%02x").mkString
     java.lang.Long.parseLong(hex.substring(0, 15), 16) % P
   }
 }

@@ -156,6 +156,21 @@ class LlmSpec extends SparkSpecBase {
     assert(one.getLong(0) == graft.llm.Portable.hash60(one.getString(1).substring(0, 64)))
   }
 
+  test("frame hashing is byte-exact on non-UTF8 binary payloads") {
+    import spark.implicits._
+    // two distinct invalid-UTF-8 payloads that a String round-trip
+    // would both collapse to U+FFFD — byte hashing must distinguish
+    val a = Array[Byte](-1, -2, 0x41)
+    val b = Array[Byte](-3, -4, 0x41)
+    assert(new String(a, java.nio.charset.StandardCharsets.UTF_8) ==
+           new String(b, java.nio.charset.StandardCharsets.UTF_8))
+    val media = Seq((1L, a), (2L, b)).toDF("doc_id", "payload")
+    val hs = Multimodal.frameSample(media, frameBytes = 256, everyK = 1)
+      .select("frame_h").as[Long].collect().toSet
+    assert(hs.size == 2, "distinct binary frames must hash distinctly")
+    assert(hs.contains(graft.llm.Portable.hash60Bytes(a)))
+  }
+
   test("multimodal stub decode is deterministic with real binary plumbing") {
     val media = Multimodal.packFromDocuments(docs)
     assert(media.schema("payload").dataType.typeName == "binary")

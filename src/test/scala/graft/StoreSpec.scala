@@ -84,4 +84,29 @@ class StoreSpec extends SparkSpecBase {
     assert(rows == before, "compaction must be result-invariant")
     assert(sortedWithinFiles(path))
   }
+
+  test("appendBatch is idempotent per batchId and survives compaction") {
+    val path = "/tmp/graft_test/store_batch"
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    val samples = Tables.samples(spark, Sf).cache()
+    val b0 = samples.filter(expr("ts_us % 2 = 0"))
+    val b1 = samples.filter(expr("ts_us % 2 = 1"))
+    SamplesStore.appendBatch(b0, path, 0L)
+    val afterB0 = SamplesStore.read(spark, path).count()
+    assert(afterB0 == b0.count())
+    // a checkpoint-replayed batch must be a no-op
+    SamplesStore.appendBatch(b0, path, 0L)
+    assert(SamplesStore.read(spark, path).count() == afterB0,
+      "replaying a committed batchId must not duplicate rows")
+    SamplesStore.appendBatch(b1, path, 1L)
+    assert(SamplesStore.read(spark, path).count() == samples.count())
+    assert(sortedWithinFiles(path))
+    // commit markers survive a compaction, so replays stay no-ops
+    SamplesStore.compact(spark, path)
+    SamplesStore.appendBatch(b1, path, 1L)
+    assert(SamplesStore.read(spark, path).count() == samples.count(),
+      "replay after compaction must still short-circuit")
+  }
 }

@@ -9,7 +9,12 @@ object Bench {
     "dedup_ngram_jaccard" -> 8.0,
     "dedup_minhash_lsh" -> 6.0,
     "dedup_simhash" -> 6.0,
-    "dedup_embedding" -> 4.0)
+    "dedup_embedding" -> 4.0,
+    // the two honestly-IO-heavy queries, budgeted at ~2× their healthy
+    // r8 warm times so a silent regression (e.g. a lost batching or a
+    // double store rewrite) flags instead of hiding in the total
+    "write_request_e2e" -> 5.0,
+    "store_compact" -> 4.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

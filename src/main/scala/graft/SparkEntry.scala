@@ -42,10 +42,14 @@ object SparkEntry {
   /** Fingerprint of a source parquet file (size + mtime) — embedded
     * in pay-once markers so regenerated testdata under the same path
     * invalidates the cached copy instead of silently serving stale
-    * data across processes (/tmp/graft_work outlives the JVM). */
-  private def srcFingerprint(dir: String, table: String): String = {
-    val f = new java.io.File(dir, s"$table.parquet")
-    s"${f.length}:${f.lastModified}"
+    * data across processes (/tmp/graft_work outlives the JVM).
+    * Resolved through the same Hadoop FileSystem payOnce uses: a
+    * java.io.File on a non-local URI silently reports 0:0, which
+    * would pin the marker to a constant and serve stale data. */
+  private def srcFingerprint(s: SparkSession, dir: String, table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir, s"$table.parquet")
+    val st = p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p)
+    s"${st.getLen}:${st.getModificationTime}"
   }
 
   /** Build `path` once behind a `_READY` marker whose CONTENT is the
@@ -80,7 +84,7 @@ object SparkEntry {
   private def ensureEventsSrc(s: SparkSession, dir: String,
                               name: String, copies: Int = 1): String = {
     val src = workDir(name, dir)
-    payOnce(s, src, s"${srcFingerprint(dir, "events")}:copies=$copies") {
+    payOnce(s, src, s"${srcFingerprint(s, dir, "events")}:copies=$copies") {
       Tables.events(s, dir).write.mode("overwrite").parquet(src)
       (1 until copies).foreach(_ =>
         Tables.events(s, dir).write.mode("append").parquet(src))
@@ -244,7 +248,7 @@ object SparkEntry {
     // rebuilds if the source testdata is regenerated.
     "read_store_pruned" -> ((s, dir) => {
       val path = workDir("readstore", dir)
-      payOnce(s, path, srcFingerprint(dir, "events")) {
+      payOnce(s, path, srcFingerprint(s, dir, "events")) {
         SamplesStore.write(samples(s, dir), path)
       }
       SeriesRead.select(SamplesStore.read(s, path),
@@ -412,6 +416,7 @@ object SparkEntry {
 
     // ---- series metadata -------------------------------------------
     "meta_label_values" -> ((s, dir) => Meta.labelValues(samples(s, dir), "user")),
+    "meta_label_names" -> ((s, dir) => Meta.labelNames(samples(s, dir))),
   )
 
   // ---- DuckDB oracles ----------------------------------------------
@@ -1071,6 +1076,14 @@ object SparkEntry {
          |       count(*) AS n_samples
          |FROM (SELECT metric, unnest(labels) AS l FROM samples)
          |WHERE l LIKE 'user=%'
+         |GROUP BY 1""".stripMargin,
+
+    "meta_label_names" ->
+      s"""$S
+         |SELECT split_part(l, '=', 1) AS label_name,
+         |       count(DISTINCT metric) AS n_metrics,
+         |       count(*) AS n_samples
+         |FROM (SELECT metric, unnest(labels) AS l FROM samples)
          |GROUP BY 1""".stripMargin,
   )
 }

@@ -124,21 +124,69 @@ object Ingest {
 object SamplesStore {
   private val DaySec = 86400L
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Auto-compaction threshold: once any day partition holds more
+    * parquet files than this, the serving append paths fold the store
+    * (the ClickHouse background-merge analogue — without it a
+    * long-running server fragments until an operator intervenes).
+    * ~64 files/day keeps the per-request listing cheap and bounds the
+    * read-side footer fan-out; at 100 TB you would tune this per
+    * store alongside the per-day target file size. */
+  val AutoCompactFilesPerDay = 64
+
+  /** One exclusive mutation lock per store path: the HTTP front door
+    * serves handlers concurrently, and two Spark jobs appending into
+    * the same directory tree race their FileOutputCommitter
+    * `_temporary` staging; compaction's rename-aside swap must never
+    * overlap an append at all. Mutations serialize per store within
+    * this JVM (the serving process is one JVM, like the reference's
+    * one Go process in front of ClickHouse); reads stay lock-free. */
+  private val storeLocks = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.locks.ReentrantLock]
+  private def locked[T](path: String)(f: => T): T = {
+    val l = storeLocks.getOrElseUpdate(new Path(path).toString,
+      new java.util.concurrent.locks.ReentrantLock)
+    l.lock()
+    try f finally l.unlock()
+  }
+
+  private val BatchFilePattern = "^b(\\d+)-.*".r
+
+  /** Batch ids that have `b<id>-` files in some day partition but no
+    * `_commits/<id>` marker — a crash mid-[[appendBatch]]. Their files
+    * belong to the checkpoint replay's sweep; folding them into
+    * unprefixed compacted files would strand that sweep and duplicate
+    * the whole batch on replay. */
+  private def uncommittedBatchIds(fs: org.apache.hadoop.fs.FileSystem,
+                                  root: Path): Seq[Long] = {
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .flatMap(day => fs.listStatus(day.getPath).map(_.getPath.getName)
+        .collect { case BatchFilePattern(id) => id.toLong })
+      .distinct
+      .filterNot(id => fs.exists(new Path(root, s"_commits/$id")))
+      .toSeq
+  }
+
   /** `date` leads the within-partition sort so the dynamic-partition
     * writer's required ordering (partition columns first) is already
     * satisfied and it does NOT inject its own partition-column-only
     * sort — which would destroy the (metric, labels, ts_us) file
     * order this store's row-group pruning depends on. */
-  def write(samples: DataFrame, path: String): Unit =
+  def write(samples: DataFrame, path: String): Unit = locked(path) {
     layout(samples).write.mode("overwrite").partitionBy("date").parquet(path)
+  }
 
   /** Append with the same layout/sort — the serving write path
     * (each remote-write request lands as new files in its day
     * partitions, the MergeTree-insert analogue; ClickHouse merges
     * parts in the background, here a periodic compaction rewrite
     * would play that role). */
-  def append(samples: DataFrame, path: String): Unit =
+  def append(samples: DataFrame, path: String): Unit = locked(path) {
     layout(samples).write.mode("append").partitionBy("date").parquet(path)
+  }
 
   /** Exactly-once batch append for checkpointed streams. A bare
     * [[append]] inside foreachBatch is only at-least-once: a crash
@@ -151,11 +199,26 @@ object SamplesStore {
     * `b<id>-` orphans (the marker is absent, so the move redoes from
     * a clean slate). Layout (day dirs, sorted files) is identical to
     * [[append]]'s. */
-  def appendBatch(samples: DataFrame, path: String, batchId: Long): Unit = {
+  def appendBatch(samples: DataFrame, path: String, batchId: Long,
+                  autoCompactFilesPerDay: Int = AutoCompactFilesPerDay): Unit = locked(path) {
     val spark = samples.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(path, s"_commits/$batchId")
-    if (fs.exists(marker)) return
+    if (!fs.exists(marker)) {
+      appendBatchUncommitted(samples, path, batchId, fs)
+      // ClickHouse merges parts in the background; here the writer
+      // itself folds the store once fragmentation crosses the
+      // threshold. Runs AFTER this batch's commit marker lands, so
+      // the orphan check inside sees only committed files (this
+      // thread is the store's single stream writer; other writers
+      // are excluded by the store lock).
+      maybeCompact(spark, path, autoCompactFilesPerDay)
+    }
+  }
+
+  private def appendBatchUncommitted(samples: DataFrame, path: String, batchId: Long,
+                                     fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val marker = new Path(path, s"_commits/$batchId")
     val prefix = s"b$batchId-"
     // sweep a partial prior attempt of this batch
     if (fs.exists(new Path(path))) {
@@ -203,9 +266,19 @@ object SamplesStore {
     * file count crossed a threshold and repartition hot days into
     * multiple files by metric range — the per-day job shape is
     * identical, this rewrites all days for determinism. */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String): Unit = locked(path) {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new Path(path)
+    // Refuse to fold a crashed appendBatch's uncommitted files: they
+    // belong to the replay sweep (which matches only the b<id>- prefix),
+    // and compacting them into unprefixed files would make the replay
+    // re-append the whole batch — duplicated rows. The replay (stream
+    // restart) clears the orphans; compact after that.
+    val orphans = uncommittedBatchIds(fs, dst)
+    if (orphans.nonEmpty)
+      throw new IllegalStateException(
+        s"compact: uncommitted batch files present (batch ids ${orphans.mkString(",")}) " +
+        "— replay the batch (restart the stream) before compacting")
     val tmp = new Path(dst.getParent, dst.getName + ".compacting")
     val old = new Path(dst.getParent, dst.getName + ".old")
     fs.delete(tmp, true)
@@ -213,10 +286,13 @@ object SamplesStore {
     // `date` is re-derived from ts_us inside layout(), so the rewrite
     // cannot drift from the read-side partition values.
     write(read(spark, path).drop("date"), tmp.toString)
-    // Swap via rename-aside (never delete-then-rename): the live path
-    // always resolves to either the old or the new layout, and a crash
-    // mid-swap leaves a complete copy at `path` or `path.old` — no
-    // window where the only copy sits in the shadow dir.
+    // Swap via rename-aside (never delete-then-rename): this is a
+    // CRASH-safety guarantee — a crash mid-swap leaves a complete copy
+    // at `path` or `path.old`, never only in the shadow dir. It is NOT
+    // an atomic-visibility guarantee: between the two renames the live
+    // path briefly does not exist, so a concurrent reader can see a
+    // transient miss and must retry (in-JVM writers are excluded by
+    // the store lock; readers are not).
     if (!fs.rename(dst, old))
       throw new java.io.IOException(s"compact: rename $dst -> $old failed")
     if (!fs.rename(tmp, dst)) {
@@ -224,14 +300,42 @@ object SamplesStore {
       throw new java.io.IOException(s"compact: rename $tmp -> $dst failed")
     }
     // carry the appendBatch commit markers across the rewrite, so a
-    // stream replay after a compaction still short-circuits
+    // stream replay after a compaction still short-circuits; a silent
+    // rename failure here would drop every marker and turn the next
+    // checkpoint replay into wholesale row duplication
     val oldCommits = new Path(old, "_commits")
-    if (fs.exists(oldCommits)) fs.rename(oldCommits, new Path(dst, "_commits"))
+    if (fs.exists(oldCommits) && !fs.rename(oldCommits, new Path(dst, "_commits")))
+      throw new java.io.IOException(
+        s"compact: rename $oldCommits -> $dst/_commits failed — commit markers would be lost")
     fs.delete(old, true)
   }
 
+  /** Opportunistic compaction for the serving append paths: compacts
+    * when some day partition's parquet-file count exceeds
+    * `maxFilesPerDay`, skips (with a log line) when a crashed batch's
+    * uncommitted files are present — a serving loop must keep
+    * accepting writes, not die on a compaction precondition. Returns
+    * whether a compaction ran. */
+  def maybeCompact(spark: SparkSession, path: String,
+                   maxFilesPerDay: Int = AutoCompactFilesPerDay): Boolean = locked(path) {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    val fragmented = fs.exists(root) && fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .exists(day => fs.listStatus(day.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerDay)
+    if (!fragmented) false
+    else if (uncommittedBatchIds(fs, root).nonEmpty) {
+      log.warn(s"maybeCompact($path): skipping — uncommitted batch files present")
+      false
+    } else {
+      compact(spark, path)
+      true
+    }
+  }
+
   /** Delete samples with startUs <= ts_us < endUs. */
-  def deleteRange(spark: SparkSession, path: String, startUs: Long, endUs: Long): Unit = {
+  def deleteRange(spark: SparkSession, path: String, startUs: Long, endUs: Long): Unit = locked(path) {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirs = fs.listStatus(new Path(path)).filter(_.isDirectory)
       .map(_.getPath).filter(_.getName.startsWith("date="))
@@ -402,6 +506,45 @@ object StreamIngest {
     *
     * The stream emits deduped ROWS (append mode); the per-metric
     * report is a batch aggregate over the sink table. */
+  /** The production-bounded variant of [[runDedupToMemory]]'s state
+    * (SURVEY §5.11): watermark + EventTimeTimeout expire each seen
+    * key `horizonMs` past its newest event, so the state store tracks
+    * the replay horizon, not the key universe — at 100 TB the
+    * NoTimeout form above would grow one entry per event forever.
+    * Within the horizon a replayed event_id is dropped; once the
+    * watermark passes a key's expiry its state is removed and a LATER
+    * replay is re-admitted (the correct trade: at-least-once clients
+    * retry within the horizon, and bounded state is what survives at
+    * scale). Returns the STREAMING deduped rows — the caller owns the
+    * sink; StreamSpec drives microbatch boundaries to exercise the
+    * expiry path. */
+  def dedupWithWatermark(spark: SparkSession, srcDir: String,
+                         horizonMs: Long = 3600L * 1000): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    spark.readStream.schema(eventsSchema).parquet(srcDir)
+      .select(col("event_id"), timestamp_micros(expr("ts DIV 1000")).as("event_ts"),
+              col("event_type").as("metric"), col("value"))
+      .withWatermark("event_ts", s"$horizonMs milliseconds")
+      .as[(Long, java.sql.Timestamp, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: Long, rows: Iterator[(Long, java.sql.Timestamp, String, Double)],
+         state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = rows.toVector
+            val out = if (state.exists) Iterator.empty
+                      else { state.update(true); rs.iterator.take(1) }
+            // (re)arm expiry at horizon past this key's newest event;
+            // rows below the watermark never reach here, so this is
+            // always ahead of the current watermark
+            state.setTimeoutTimestamp(rs.map(_._2.getTime).max + horizonMs)
+            out
+          })
+      .toDF("event_id", "event_ts", "metric", "value")
+  }
+
   def runDedupToMemory(spark: SparkSession, srcDir: String, queryName: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

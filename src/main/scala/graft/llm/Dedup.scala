@@ -3,7 +3,6 @@ package graft.llm
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -111,13 +110,16 @@ object Dedup {
     * 128-long signature arrays never ride the candidate shuffle
     * (ids-only join ≈ 50× less shuffle than sig-carrying band rows at
     * 16 bands/doc). Signatures join back to the distinct pair list
-    * once per side to compute est_sim. The signature relation is
-    * persisted because two consumers (the band explode and the
-    * join-back) would otherwise each re-scan and re-shingle the
-    * corpus — at 100 TB this is a disk-backed materialization of
-    * ~1 KB/doc, far below the corpus itself. */
+    * once per side to compute est_sim. The signature relation has two
+    * consumers (the band explode and the join-back) and is NOT
+    * persisted: the build is a shuffle-free narrow kernel pass, so
+    * recomputing it costs one extra corpus scan — cheaper at 100 TB
+    * than materializing ~1 KB/doc cluster-wide, and a returned-lazy
+    * DataFrame gives no sound point to unpersist (an internal persist
+    * here leaked a cached relation per call in a long-lived session;
+    * LlmSpec pins the no-residue behavior). */
   def minhashLsh(documents: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sigs = minhashSignatures(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignatures(documents)
     val banded = capBuckets(
       sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "band_sig"))),
       Seq("band", "band_sig"), maxBucket)

@@ -27,4 +27,16 @@ object Meta {
       .groupBy(col("label_value"))
       .agg(countDistinct(col("metric")).as("n_metrics"),
            count(lit(1)).as("n_samples"))
+
+  /** The `/api/v1/labels` twin of [[labelValues]]: distinct label
+    * KEYS with the same per-key footprint. Same plan shape — narrow
+    * explode, one aggregate whose cardinality is the label-key domain
+    * (tiny: tens of keys against billions of samples). */
+  def labelNames(samples: DataFrame): DataFrame =
+    samples
+      .select(col("metric"), explode(col("labels")).as("l"))
+      .select(substring_index(col("l"), "=", 1).as("label_name"), col("metric"))
+      .groupBy(col("label_name"))
+      .agg(countDistinct(col("metric")).as("n_metrics"),
+           count(lit(1)).as("n_samples"))
 }

@@ -2,10 +2,13 @@ package graft.serve
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{ExecutorService, Executors, ThreadFactory, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 import org.apache.spark.sql.SparkSession
+import org.slf4j.LoggerFactory
 
 import graft.OpsMetrics
 import graft.ingest.{PromRemoteCodec, SamplesStore}
@@ -30,12 +33,32 @@ import graft.ingest.{PromRemoteCodec, SamplesStore}
   * codec.go:49) so an oversized body can't buffer unbounded heap
   * before the decode limit would catch it.
   */
-final class GraftHttpServer private[serve] (server: HttpServer) {
+final class GraftHttpServer private[serve] (server: HttpServer, pool: ExecutorService) {
   def port: Int = server.getAddress.getPort
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdown()
+    pool.awaitTermination(5, TimeUnit.SECONDS)
+  }
+  /** Spec-only escape hatch: lets ServeSpec register a latch-blocked
+    * context to prove handlers run concurrently. */
+  private[graft] def underlying: HttpServer = server
 }
 
 object HttpServe {
+
+  private val log = LoggerFactory.getLogger(getClass)
+
+  /** Handler pool size. The reference's net/http spawns one goroutine
+    * per connection (main.go:162); a JDK HttpServer with NO executor
+    * dispatches every exchange on its single dispatcher thread, so one
+    * slow /read head-of-line blocks every concurrent /write and
+    * /metrics scrape — and a hung handler wedges the whole server. A
+    * bounded pool gives the same concurrency with a resource cap
+    * (goroutines are cheap; platform threads each pin a Spark driver
+    * action, so unbounded would let a request flood exhaust the
+    * driver). */
+  val HandlerThreads = 16
 
   /** Start serving `storePath` on `port` (0 = ephemeral, for specs).
     * ignoreLabel/ignoreHints mirror the reference's -read.* flags. */
@@ -44,6 +67,17 @@ object HttpServe {
             ignoreHints: Boolean = false,
             maxReadSamples: Long = RemoteRead.DefaultMaxReadSamples): GraftHttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
+    val pool = {
+      val n = new AtomicInteger()
+      Executors.newFixedThreadPool(HandlerThreads, new ThreadFactory {
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-http-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+    }
+    server.setExecutor(pool)
 
     def respond(ex: HttpExchange, status: Int, body: Array[Byte],
                 headers: Seq[(String, String)] = Nil): Unit = {
@@ -67,6 +101,9 @@ object HttpServe {
       try f catch {
         case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+          // the reference logs every handler failure (main.go:130/136/149
+          // via zap) — without this line a 3 am 500 is invisible
+          log.warn(s"${ex.getRequestMethod} ${ex.getRequestURI} -> 500: $msg")
           respond(ex, 500, (msg + "\n").getBytes(UTF_8),
             Seq("Content-Type" -> "text/plain; charset=utf-8"))
       }
@@ -96,7 +133,7 @@ object HttpServe {
     })
 
     server.start()
-    new GraftHttpServer(server)
+    new GraftHttpServer(server, pool)
   }
 
   final class ProtoTooLargeException(msg: String) extends RuntimeException(msg)

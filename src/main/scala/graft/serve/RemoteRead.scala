@@ -2,6 +2,7 @@ package graft.serve
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.storage.StorageLevel
 
 import graft.OpsMetrics
 import graft.ingest.PromRemoteCodec
@@ -42,11 +43,17 @@ object RemoteRead {
   /** ReadRequest blob → ReadResponse blob over the canonical samples
     * DataFrame. ignoreLabel/ignoreHints mirror the reference's
     * -read.ignore-label / -read.ignore-hints flags. Each query's
-    * result size is counted (cheap: a count over the aggregate — the
-    * scan it repeats is the same pushed-filter scan, and the count
-    * never materializes points) BEFORE series assembly; an over-limit
+    * result size is counted BEFORE series assembly; an over-limit
     * query errors like the reference's HTTP-500 path and increments
-    * read_errors. */
+    * read_errors.
+    *
+    * The selected aggregate is persisted across the two actions (the
+    * size-guard count and the assembly collect) so each `/read` runs
+    * its filter+aggregate ONCE — without the persist every request
+    * paid the full pushed-filter scan twice. The cache is bounded by
+    * maxSamples (the count rejects anything bigger before assembly
+    * materializes) and dropped in a finally, so a failed or oversized
+    * query leaks nothing. */
   def serve(samples: DataFrame, readRequestBlob: Array[Byte],
             ignoreLabel: Option[String] = Some("remote=clickhouse"),
             ignoreHints: Boolean = false,
@@ -57,13 +64,16 @@ object RemoteRead {
       val queries = PromRemoteCodec.decodeReadRequest(readRequestBlob)
       val results = queries.map { q =>
         val sel = SeriesRead.selectKeyed(samples, q, ignoreLabel, ignoreHints)
-        val n = sel.count()
-        if (n > maxSamples)
-          throw new ResponseTooLargeException(
-            s"query matches $n samples, exceeds response limit $maxSamples")
-        SeriesRead.assemble(sel)
-          .orderBy(col("metric"), col("labels")) // read.go ORDER BY metric_name, slb, t
-          .collect().iterator.map(rowToSeries).toSeq
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val n = sel.count()
+          if (n > maxSamples)
+            throw new ResponseTooLargeException(
+              s"query matches $n samples, exceeds response limit $maxSamples")
+          SeriesRead.assemble(sel)
+            .orderBy(col("metric"), col("labels")) // read.go ORDER BY metric_name, slb, t
+            .collect().iterator.map(rowToSeries).toSeq
+        } finally sel.unpersist(false)
       }
       PromRemoteCodec.encodeReadResponseResults(results)
     } catch {

@@ -37,6 +37,10 @@ object RemoteWrite {
       SamplesStore.append(
         rows.toDF("ts_us", "metric", "labels", "value"), storePath)
       m.samplesWritten.add(rows.size.toLong)
+      // background-merge analogue: each request lands a small file set
+      // in its day partitions; fold once fragmentation crosses the
+      // threshold so a long-running server never needs an operator
+      SamplesStore.maybeCompact(spark, storePath)
     }
     rows.size.toLong
   }
@@ -60,6 +64,7 @@ object RemoteWrite {
       SamplesStore.append(
         rows.toDF("ts_us", "metric", "labels", "value"), storePath)
       m.samplesWritten.add(rows.size.toLong)
+      SamplesStore.maybeCompact(spark, storePath)
     }
     rows.size.toLong
   }

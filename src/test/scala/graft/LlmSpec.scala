@@ -24,6 +24,16 @@ class LlmSpec extends SparkSpecBase {
     assert(est >= strong, s"minhash est ($est) should cover strong pairs ($strong)")
   }
 
+  test("minhashLsh leaves no cached relations behind (long-lived session safety)") {
+    docs.count() // materialize the suite's own cache first
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.minhashLsh(docs).count()
+    Dedup.minhashLsh(docs).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"repeated operator calls must not accumulate cached relations, leaked ids: $leaked")
+  }
+
   test("simhash of identical texts is identical") {
     val sigs = Dedup.simhashSignatures(docs)
     val selfJoin = docs.select(col("doc_id"), col("text"))

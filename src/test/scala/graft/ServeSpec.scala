@@ -1,6 +1,13 @@
 package graft
 
 import java.net.{HttpURLConnection, URL}
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration._
+
+import com.sun.net.httpserver.HttpExchange
 
 import org.apache.spark.sql.functions._
 
@@ -140,5 +147,68 @@ class ServeSpec extends SparkSpecBase {
       assert(mbody.contains("samples_written_total"))
       assert(mbody.contains("write_errors_total"))
     } finally srv.stop()
+  }
+
+  test("HTTP handlers run concurrently — a parked handler does not wedge the server") {
+    val store = tmpStore("conc")
+    RemoteWrite.serve(spark, store, writeBlob("conc_metric", 3))
+    val srv = HttpServe.start(spark, store)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      val gate = new CountDownLatch(1)
+      val entered = new CountDownLatch(1)
+      // a deliberately hung handler stands in for a slow /read: with
+      // the pre-executor single-dispatcher server, EVERY request below
+      // would block behind it
+      srv.underlying.createContext("/slow", (ex: HttpExchange) => {
+        entered.countDown()
+        gate.await(30, TimeUnit.SECONDS)
+        ex.sendResponseHeaders(204, -1L)
+        ex.close()
+      })
+      val slow = Future(get(s"$base/slow"))
+      assert(entered.await(10, TimeUnit.SECONDS), "slow handler never entered")
+      // while /slow is parked, a scrape and a write must still serve
+      val (mc, mbody) = get(s"$base/metrics")
+      assert(mc === 200 && mbody.contains("read_requests_total"))
+      assert(post(s"$base/write", writeBlob("conc_metric", 2))._1 === 200)
+      assert(entered.getCount === 0 && gate.getCount === 1, "slow handler must still be parked")
+      gate.countDown()
+      assert(Await.result(slow, 30.seconds)._1 === 204)
+    } finally srv.stop()
+  }
+
+  test("RemoteRead.serve runs the selection once per query (guard + assembly share one pass)") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("readscan_rows")
+    val touch = udf { (v: Double) => acc.add(1); v }
+    val n = 1000
+    val samples = (0 until n)
+      .map(i => (1704412800000000L + i * 1000000L, "m", Seq("k=v"), i.toDouble))
+      .toDF("ts_us", "metric", "labels", "value")
+      .withColumn("value", touch(col("value")))
+    val blob = PromRemoteCodec.encodeReadRequest(Seq(
+      ReadQuery(1704412800000L, 1704412800000L + n * 1000L,
+        Seq(Matchers.eq("__name__", "m")))))
+    val series = PromRemoteCodec.decodeReadResponse(RemoteRead.serve(samples, blob))
+    assert(series.map(_.samples.size).sum === n)
+    // the size-guard count and the assembly collect must share ONE
+    // evaluation of the selection — 2n here means the guard re-ran the
+    // whole scan (the pre-persist behavior)
+    assert(acc.value === n, s"expected one pass ($n row evals), got ${acc.value}")
+  }
+
+  test("/metrics exposes parseable process gauges next to the counters") {
+    val body = OpsMetrics(spark).render
+    for (g <- Seq("process_uptime_seconds", "jvm_memory_heap_used_bytes",
+                  "jvm_memory_heap_max_bytes", "jvm_threads_current"))
+      assert(body.contains(s"# TYPE $g gauge") && body.contains(g + " "), s"missing gauge $g")
+    // every exposition line is a comment or `name value` with numeric value
+    body.linesIterator.filter(_.nonEmpty).foreach { line =>
+      assert(line.startsWith("#") || {
+        val parts = line.split(" ")
+        parts.length == 2 && parts(1).toDoubleOption.isDefined
+      }, s"unparseable exposition line: $line")
+    }
   }
 }

@@ -109,4 +109,52 @@ class StoreSpec extends SparkSpecBase {
     assert(SamplesStore.read(spark, path).count() == samples.count(),
       "replay after compaction must still short-circuit")
   }
+
+  test("sustained appends keep per-day file counts bounded via auto-compaction") {
+    val path = "/tmp/graft_test/store_autocompact"
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    val batch = Tables.samples(spark, Sf).limit(200).cache()
+    val perBatch = batch.count()
+    def maxFilesPerDay: Int =
+      new File(path).listFiles().filter(f => f.isDirectory && f.getName.startsWith("date="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    for (i <- 0 until 6) {
+      SamplesStore.appendBatch(batch, path, i.toLong, autoCompactFilesPerDay = 2)
+      assert(maxFilesPerDay <= 3,
+        s"append $i: auto-compaction must keep per-day file counts bounded")
+    }
+    assert(SamplesStore.read(spark, path).count() == 6 * perBatch,
+      "auto-compaction must not lose or duplicate rows")
+    assert(sortedWithinFiles(path))
+  }
+
+  test("compact refuses a crashed batch's uncommitted files; maybeCompact skips them") {
+    val path = "/tmp/graft_test/store_orphan"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val samples = Tables.samples(spark, Sf).cache()
+    val b0 = samples.filter(expr("ts_us % 2 = 0"))
+    val b1 = samples.filter(expr("ts_us % 2 = 1"))
+    SamplesStore.appendBatch(b0, path, 0L)
+    // simulate a crash mid-appendBatch of batch 1: a b1- prefixed file
+    // in a day partition with NO _commits/1 marker
+    val day = new File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("date=")).head
+    val orphan = new org.apache.hadoop.fs.Path(day.getAbsolutePath, "b1-orphan.parquet")
+    fs.create(orphan, true).close()
+    // folding the orphan into unprefixed files would strand the replay
+    // sweep and duplicate batch 1 — compact must refuse
+    intercept[IllegalStateException](SamplesStore.compact(spark, path))
+    // the serving path's opportunistic variant skips instead of dying
+    assert(!SamplesStore.maybeCompact(spark, path, maxFilesPerDay = 0))
+    // the checkpoint replay of batch 1 sweeps the orphan and commits;
+    // compaction is then legal again and result-invariant
+    SamplesStore.appendBatch(b1, path, 1L)
+    SamplesStore.compact(spark, path)
+    assert(SamplesStore.read(spark, path).count() == samples.count())
+    assert(sortedWithinFiles(path))
+  }
 }

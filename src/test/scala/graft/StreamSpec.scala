@@ -55,6 +55,44 @@ class StreamSpec extends SparkSpecBase {
     assert(back.count() == n, "resume must add exactly the new files' rows")
   }
 
+  test("watermarked dedup bounds state: in-horizon replays drop, expired keys re-admit") {
+    import spark.implicits._
+    val base = "/tmp/graft_test/stream_wm"
+    new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    val src = s"$base/src"
+    val hourMs = 3600L * 1000
+    val t0 = 1704412800000L
+    // eventsSchema rows; ts is raw nanos
+    def ev(id: Long, tMs: Long, v: Double) = (id, tMs * 1000000L, 1L, "m", v, "p1")
+    def land(rows: (Long, Long, Long, String, Double, String)*): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(src)
+
+    land(ev(1, t0, 1.0), ev(50, t0, 2.0))
+    val q = StreamIngest.dedupWithWatermark(spark, src, hourMs)
+      .writeStream.outputMode("append").format("memory").queryName("spec_wm_dedup").start()
+    try {
+      q.processAllAvailable() // batch 1: both admitted; expiry armed at t0+1h
+      // batch 2: replay of id 1 within the horizon → dropped; a far
+      // event pushes the watermark to t0+4h (past id 1's expiry)
+      land(ev(1, t0, 1.0), ev(60, t0 + 5 * hourMs, 3.0))
+      q.processAllAvailable()
+      // batch 3: its trigger processes the now-due timeouts of ids 1/50
+      land(ev(70, t0 + 5 * hourMs + 1000, 4.0))
+      q.processAllAvailable()
+      // batch 4: id 1 again, AFTER its state expired → re-admitted
+      land(ev(1, t0 + 5 * hourMs + 2000, 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("spec_wm_dedup")
+    assert(out.count() == 5, "1,50 | drop,60 | 70 | 1-readmitted = 5 rows")
+    assert(out.filter(col("event_id") === 1).count() == 2,
+      "an expired key must re-admit a later replay")
+    assert(out.filter(col("event_id") === 50).count() == 1)
+  }
+
   test("windowed streaming aggregation buckets by event-time hour") {
     val src = "/tmp/graft_test/stream_win_src"
     Tables.events(spark, Sf).write.mode("overwrite").parquet(src)

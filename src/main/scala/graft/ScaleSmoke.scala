@@ -9,10 +9,16 @@ import graft.sources.Tables
 /** Scale-behavior smoke (not driver-run): the dedup family on 1×/2×/4×
   * unions of the sf0.1 documents corpus (ids shifted per copy — every
   * doc gains m−1 exact duplicates, the dup-heavy shape real crawl
-  * corpora have). Measures how candidate generation scales and what
-  * the hot-bucket cap buys when tuned; numbers land in SCALE.md. */
+  * corpora have), the similarity family on scaled embeddings, and the
+  * read pipeline (select → assemble → serve) on a scaled samples
+  * corpus (labels suffixed per copy — series COUNT scales, the axis
+  * that grows at 100 TB). Measures how each stage scales; numbers
+  * land in SCALE.md. `SPARK_GRAFT_SCALE_ONLY=read|dedup|ann` runs one
+  * section. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+    def sectionEnabled(name: String): Boolean = only.forall(_ == name)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -37,7 +43,7 @@ object ScaleSmoke {
       println(f"SCALE $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
 
-    for (m <- Seq(1, 2, 4)) {
+    for (m <- Seq(1, 2, 4) if sectionEnabled("dedup")) {
       val d = scaled(m)
       time(s"minhashLsh      m=$m cap=inert")(Dedup.minhashLsh(d).count())
       time(s"ngramJaccard    m=$m cap=inert")(Dedup.ngramJaccard(d, 0.8).count())
@@ -51,12 +57,41 @@ object ScaleSmoke {
       (0 until m).map(i => emb0.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
         .reduce(_ unionAll _)
     import graft.llm.Similarity
-    for (m <- Seq(1, 2, 4)) {
+    for (m <- Seq(1, 2, 4) if sectionEnabled("ann")) {
       val e = scaledEmb(m)
       time(s"annBruteForce   m=$m")(Similarity.bruteForceTopK(e, 10, 10).count())
       time(s"annLsh          m=$m")(Similarity.lshTopK(e, 10, 6, 10).count())
       time(s"annIvf          m=$m")(Similarity.ivfTopK(e, 10, 16, 4, 10).count())
       time(s"embNearDup      m=$m")(Similarity.nearDupPairs(e, 4, 6, 0.4).count())
+    }
+
+    // ---- read pipeline: select → assemble → full /read serve -------
+    // Series count scales with m (each copy's labels get a distinct
+    // suffix, preserving the array's sort order), sample count scales
+    // with it — the growth axis of a real TSDB.
+    import graft.ingest.PromRemoteCodec
+    import graft.operators.{Matchers, ReadQuery, SeriesRead}
+    import graft.serve.RemoteRead
+    val samples0 = graft.sources.Tables.samples(spark, "/root/testdata/sf0.1")
+    def scaledSamples(m: Int): DataFrame =
+      (0 until m).map { i =>
+        if (i == 0) samples0
+        else samples0.withColumn("labels",
+          expr(s"transform(labels, l -> concat(l, '_c$i'))"))
+      }.reduce(_ unionAll _)
+    // the driver's read window over a hot metric (SparkEntry's flagship
+    // window: 2024-01-05 .. 2024-01-20)
+    val rq = ReadQuery(1704412800000L, 1705708800000L,
+      Seq(Matchers.eq("__name__", "click")))
+    for (m <- Seq(1, 2, 4) if sectionEnabled("read")) {
+      val smp = scaledSamples(m)
+      time(s"readSelect      m=$m")(SeriesRead.selectKeyed(smp, rq).count())
+      time(s"readAssemble    m=$m")(
+        SeriesRead.assemble(SeriesRead.selectKeyed(smp, rq)).count())
+      time(s"readServeE2E    m=$m") {
+        val blob = PromRemoteCodec.encodeReadRequest(Seq(rq))
+        RemoteRead.serve(smp, blob).length.toLong
+      }
     }
     spark.stop()
   }

@@ -246,20 +246,28 @@ object PromRemoteCodec {
     Snappy.compress(w.toBytes)
   }
 
-  def decodeReadResponse(snappyBody: Array[Byte]): Seq[PromTimeSeries] = {
+  def decodeReadResponse(snappyBody: Array[Byte]): Seq[PromTimeSeries] =
+    decodeReadResponsePerQuery(snappyBody).flatten
+
+  /** Per-query decode: one series list per QueryResult, in response
+    * order — the shape a multi-query client consumes (each request
+    * query must be answered by its own QueryResult, read.go:16-20). */
+  def decodeReadResponsePerQuery(snappyBody: Array[Byte]): Seq[Seq[PromTimeSeries]] = {
     val r = ProtoWire.reader(Snappy.uncompress(snappyBody))
-    val series = Seq.newBuilder[PromTimeSeries]
+    val results = Seq.newBuilder[Seq[PromTimeSeries]]
     while (r.hasMore) {
       val (field, wire) = r.readTag()
       if (field == 1 && wire == 2) {
         val qr = r.readMessage()
+        val series = Seq.newBuilder[PromTimeSeries]
         while (qr.hasMore) {
           val (qf, qw) = qr.readTag()
           if (qf == 1 && qw == 2) series += readTimeSeries(qr.readMessage())
           else qr.skip(qw)
         }
+        results += series.result()
       } else r.skip(wire)
     }
-    series.result()
+    results.result()
   }
 }

@@ -178,6 +178,38 @@ class ServeSpec extends SparkSpecBase {
     } finally srv.stop()
   }
 
+  test("concurrent /write requests all land — store mutations serialize safely") {
+    val store = tmpStore("concwrite")
+    val srv = HttpServe.start(spark, store)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      // 4 overlapping writes, distinct metrics: with concurrent handler
+      // threads, unsynchronized appends would race their
+      // FileOutputCommitter _temporary staging and lose files
+      val posts = (0 until 4).map { i =>
+        Future(post(s"$base/write", writeBlob(s"cw_metric_$i", 5)))
+      }
+      posts.foreach(p => assert(Await.result(p, 60.seconds)._1 === 200))
+      val back = graft.ingest.SamplesStore.read(spark, store)
+      assert(back.count() === 20, "every concurrent write's rows must land")
+      assert(back.select(col("metric")).distinct().count() === 4)
+    } finally srv.stop()
+  }
+
+  test("one /read request carrying several queries answers each in order") {
+    val samples = Tables.samples(spark, Sf)
+    val blob = PromRemoteCodec.encodeReadRequest(Seq(
+      ReadQuery(0L, 0L, Seq(Matchers.eq("__name__", "view"))),
+      ReadQuery(0L, 0L, Seq(Matchers.eq("__name__", "click")))))
+    val raw = RemoteRead.serve(samples, blob)
+    val perQuery = PromRemoteCodec.decodeReadResponsePerQuery(raw)
+    assert(perQuery.size === 2, "one QueryResult per request query")
+    def metrics(ts: Seq[PromRemoteCodec.PromTimeSeries]): Set[String] =
+      ts.flatMap(_.labels.collect { case l if l.name == "__name__" => l.value }).toSet
+    assert(metrics(perQuery(0)) === Set("view"))
+    assert(metrics(perQuery(1)) === Set("click"))
+  }
+
   test("RemoteRead.serve runs the selection once per query (guard + assembly share one pass)") {
     import spark.implicits._
     val acc = spark.sparkContext.longAccumulator("readscan_rows")

@@ -120,8 +120,16 @@ object HttpServe {
     })
 
     server.createContext("/read", (ex: HttpExchange) => guarded(ex) {
-      val resp = RemoteRead.serve(SamplesStore.read(spark, storePath),
-        body(ex), ignoreLabel, ignoreHints, maxReadSamples)
+      val b = body(ex)
+      // compact()'s rename-aside swap has a brief window where the
+      // store path does not resolve (crash-safe, not atomically
+      // visible) — and auto-compaction now runs on the serving append
+      // path, so a concurrent /read can land inside it. A transient
+      // path miss retries; every other failure surfaces as the 500.
+      val resp = retryTransientMiss() {
+        RemoteRead.serve(SamplesStore.read(spark, storePath),
+          b, ignoreLabel, ignoreHints, maxReadSamples)
+      }
       respond(ex, 200, resp, Seq(
         "Content-Type" -> "application/x-protobuf",
         "Content-Encoding" -> "snappy"))
@@ -134,6 +142,31 @@ object HttpServe {
 
     server.start()
     new GraftHttpServer(server, pool)
+  }
+
+  /** True when the failure (anywhere in the cause chain) is a missing
+    * path/file — the signature of reading through compact()'s swap
+    * window, where the whole store or one of its files is mid-rename. */
+  private[graft] def isTransientMiss(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(c.getMessage).exists(m =>
+          m.contains("does not exist") || m.contains("PATH_NOT_FOUND"))
+    }
+
+  /** Run `f`, retrying a [[isTransientMiss]] failure up to `attempts`
+    * times with a short backoff (the swap window is two renames long);
+    * any other failure — and a miss that persists — propagates. */
+  private[graft] def retryTransientMiss[T](attempts: Int = 3, backoffMs: Long = 150)(f: => T): T = {
+    var left = attempts
+    while (true) {
+      try return f catch {
+        case e: Throwable if left > 1 && isTransientMiss(e) =>
+          left -= 1
+          Thread.sleep(backoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   final class ProtoTooLargeException(msg: String) extends RuntimeException(msg)

@@ -230,6 +230,34 @@ class ServeSpec extends SparkSpecBase {
     assert(acc.value === n, s"expected one pass ($n row evals), got ${acc.value}")
   }
 
+  test("/read's retry absorbs compact()'s swap window, nothing else") {
+    // transient-miss classifier walks the cause chain
+    val sparkWrapped = new RuntimeException("job aborted",
+      new java.io.FileNotFoundException("/store/date=0/part-0.parquet"))
+    assert(HttpServe.isTransientMiss(sparkWrapped))
+    assert(HttpServe.isTransientMiss(new RuntimeException("Path does not exist: /store")))
+    assert(!HttpServe.isTransientMiss(new RuntimeException("bad matcher")))
+    // a miss that resolves within the retry budget succeeds...
+    var calls = 0
+    val got = HttpServe.retryTransientMiss(attempts = 3, backoffMs = 1) {
+      calls += 1
+      if (calls < 3) throw new java.io.FileNotFoundException("mid-swap")
+      "ok"
+    }
+    assert(got === "ok" && calls === 3)
+    // ...a persistent miss and a non-transient failure both propagate
+    intercept[java.io.FileNotFoundException](
+      HttpServe.retryTransientMiss(attempts = 2, backoffMs = 1) {
+        throw new java.io.FileNotFoundException("gone for good")
+      })
+    var once = 0
+    intercept[RuntimeException](
+      HttpServe.retryTransientMiss(attempts = 3, backoffMs = 1) {
+        once += 1; throw new RuntimeException("bad matcher")
+      })
+    assert(once === 1, "non-transient failures must not retry")
+  }
+
   test("/metrics exposes parseable process gauges next to the counters") {
     val body = OpsMetrics(spark).render
     for (g <- Seq("process_uptime_seconds", "jvm_memory_heap_used_bytes",

@@ -462,9 +462,11 @@ object StreamIngest {
     * re-delivers the batch), so the write goes through
     * [[SamplesStore.appendBatch]], whose batchId commit markers turn
     * replays into no-ops — end-to-end exactly-once. At 100 TB the
-    * same query runs unmodified with a durable checkpoint dir and the
-    * background [[SamplesStore.compact]] folding the per-batch files.
-    * Returns the store read-back. */
+    * same query runs unmodified with a durable checkpoint dir;
+    * appendBatch itself folds the per-batch files once a day
+    * partition fragments past its threshold (in-path, after the
+    * commit marker lands — never a concurrent background job racing
+    * the stream's renames). Returns the store read-back. */
   def runToStore(spark: SparkSession, srcDir: String, storePath: String,
                  checkpointDir: String): DataFrame = {
     val stream = spark.readStream.schema(eventsSchema).parquet(srcDir)

@@ -22,6 +22,25 @@ import graft.ingest.{PromRemoteCodec, SamplesStore}
   */
 object RemoteWrite {
 
+  /** Fragmentation checks list every day partition, which is O(days in
+    * store) namenode/object-store calls — too much to pay on EVERY
+    * request at a multi-year store. The serving path probes at most
+    * once per this interval per store; fragmentation between probes is
+    * bounded by the request rate × interval, which the next probe
+    * folds. */
+  val CompactCheckIntervalMs: Long = 10000L
+  private val lastCompactCheck =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def maybeCompactRateLimited(spark: SparkSession, storePath: String): Unit = {
+    val now = System.currentTimeMillis()
+    val last = lastCompactCheck.getOrElse(storePath, 0L)
+    if (now - last >= CompactCheckIntervalMs &&
+        lastCompactCheck.replace(storePath, last, now) ||
+        lastCompactCheck.putIfAbsent(storePath, now).isEmpty)
+      SamplesStore.maybeCompact(spark, storePath)
+  }
+
   /** WriteRequest blob → store append at `storePath`; returns the
     * number of samples written. */
   def serve(spark: SparkSession, storePath: String,
@@ -40,7 +59,7 @@ object RemoteWrite {
       // background-merge analogue: each request lands a small file set
       // in its day partitions; fold once fragmentation crosses the
       // threshold so a long-running server never needs an operator
-      SamplesStore.maybeCompact(spark, storePath)
+      maybeCompactRateLimited(spark, storePath)
     }
     rows.size.toLong
   }
@@ -64,7 +83,7 @@ object RemoteWrite {
       SamplesStore.append(
         rows.toDF("ts_us", "metric", "labels", "value"), storePath)
       m.samplesWritten.add(rows.size.toLong)
-      SamplesStore.maybeCompact(spark, storePath)
+      maybeCompactRateLimited(spark, storePath)
     }
     rows.size.toLong
   }

@@ -366,25 +366,107 @@ object SamplesStore {
 /** TSV bulk import/export — the promtool-dump → `INSERT … FORMAT
   * TabSeparated` path (reference: README.md:142-161). Line format
   * mirrors ClickHouse TabSeparated for the samples table:
-  * `epoch_sec \t metric \t ['k=v','k=v'] \t value`. */
+  * `epoch_sec \t metric \t ['k=v','k=v'] \t value`, including its
+  * backslash escaping (`\t \n \r \\` in any string, plus `\'` inside
+  * array elements) — Prometheus label values are arbitrary UTF-8, so
+  * an unescaped quote/tab/newline must not break framing. Encode and
+  * parse run inside executors via mapPartitions: this is a wire codec
+  * (like [[PromRemoteCodec]]), and unescaping needs a single-pass
+  * scanner — chained regexp substitutions mis-handle sequences like
+  * `\'` followed by a real element boundary. */
 object TsvBulk {
 
-  def export(samples: DataFrame, path: String): Unit =
-    samples.select(concat_ws("\t",
-        expr("ts_us DIV 1000000"),
-        col("metric"),
-        concat(lit("['"), array_join(col("labels"), "','"), lit("']")),
-        col("value").cast("string")).as("line"))
-      .write.mode("overwrite").text(path)
+  private[graft] def escape(s: String, quote: Boolean): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '\t' => b.append("\\t")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\'' => if (quote) b.append("\\'") else b.append('\'')
+      case c    => b.append(c)
+    }
+    b.toString
+  }
 
-  def importTsv(spark: SparkSession, path: String): DataFrame =
+  private[graft] def unescape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't'   => b.append('\t')
+          case 'n'   => b.append('\n')
+          case 'r'   => b.append('\r')
+          case other => b.append(other) // covers \\ and \'
+        }
+        i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  /** `['el','el']` with `\`-escaped content → elements. A plain split
+    * on `','` is wrong: content `a','b` encodes as `a\',\'b`, whose
+    * char sequence contains `','`. */
+  private[graft] def parseArray(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 1 // skip [
+    val end = s.length - 1
+    while (i < end) {
+      if (s.charAt(i) == '\'') {
+        val b = new StringBuilder
+        i += 1
+        var open = true
+        while (open) {
+          val c = s.charAt(i)
+          if (c == '\\' && i + 1 < end) {
+            s.charAt(i + 1) match {
+              case 't'   => b.append('\t')
+              case 'n'   => b.append('\n')
+              case 'r'   => b.append('\r')
+              case other => b.append(other)
+            }
+            i += 2
+          } else if (c == '\'') { open = false; i += 1 }
+          else { b.append(c); i += 1 }
+        }
+        out += b.toString
+      } else i += 1 // separator comma
+    }
+    out.result()
+  }
+
+  def export(samples: DataFrame, path: String): Unit = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples
+      // value goes through the SAME double→string cast the engine uses
+      // everywhere else, so export→import round-trips bit-exactly
+      .select(expr("ts_us DIV 1000000").as("_1"), col("metric").as("_2"),
+              col("labels").as("_3"), col("value").cast("string").as("_4"))
+      .as[(Long, String, Seq[String], String)]
+      .mapPartitions(_.map { case (sec, metric, labels, value) =>
+        val arr = labels.map(l => "'" + escape(l, quote = true) + "'").mkString("[", ",", "]")
+        s"$sec\t${escape(metric, quote = false)}\t$arr\t$value"
+      })
+      .toDF("line")
+      .write.mode("overwrite").text(path)
+  }
+
+  def importTsv(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
     spark.read.text(path)
-      .select(split(col("value"), "\t").as("f"))
-      .select(
-        (col("f")(0).cast("long") * 1000000L).as("ts_us"),
-        col("f")(1).as("metric"),
-        split(regexp_replace(col("f")(2), "^\\['|'\\]$", ""), "','").as("labels"),
-        col("f")(3).cast("double").as("value"))
+      .as[String]
+      .mapPartitions(_.map { line =>
+        // real tabs are structural (content tabs are escaped \t)
+        val f = line.split('\t')
+        (f(0).toLong * 1000000L, unescape(f(1)), parseArray(f(2)),
+          java.lang.Double.parseDouble(f(3)))
+      })
+      .toDF("ts_us", "metric", "labels", "value")
+  }
 }
 
 /** Structured Streaming ingestion (reference main.go serves a

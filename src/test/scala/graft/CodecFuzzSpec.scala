@@ -105,6 +105,22 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("TabSeparated escaping round-trips adversarial strings and arrays") {
+    import graft.ingest.TsvBulk
+    (1 to 500).foreach { _ =>
+      val s = randString() + (if (rnd.nextBoolean()) "\n\r" else "")
+      assert(TsvBulk.unescape(TsvBulk.escape(s, quote = false)) == s)
+      val arr = (0 until rnd.nextInt(5)).map(_ => randString() + "\t\n")
+      val enc = arr.map(e => "'" + TsvBulk.escape(e, quote = true) + "'").mkString("[", ",", "]")
+      assert(TsvBulk.parseArray(enc) == arr)
+    }
+    // the aliasing case a plain "','" split mis-parses: content a','b
+    // encodes to a\',\'b whose raw chars still contain ','
+    assert(TsvBulk.parseArray("""['a\',\'b']""") == Seq("a','b"))
+    assert(TsvBulk.parseArray("['a','b']") == Seq("a", "b"))
+    assert(TsvBulk.parseArray("[]") == Nil)
+  }
+
   test("garbage bytes never escape the codec's declared failure modes") {
     // acceptable: clean wire/format errors (mapped to the reference's
     // HTTP 400/500 path). NOT acceptable: index/negative-size/OOM-class

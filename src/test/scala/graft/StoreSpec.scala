@@ -130,6 +130,23 @@ class StoreSpec extends SparkSpecBase {
     assert(sortedWithinFiles(path))
   }
 
+  test("TSV bulk round-trips labels containing tabs, quotes, newlines") {
+    import spark.implicits._
+    import graft.ingest.TsvBulk
+    val path = "/tmp/graft_test/tsv_adversarial"
+    // Prometheus label values are arbitrary UTF-8 — the TabSeparated
+    // framing characters must survive an export → import round-trip
+    val rows = Seq(
+      (1704412800000000L, "m\twith\ttabs", Seq("k='quoted'", "q=a','b"), 1.5),
+      (1704412801000000L, "m\nnewline", Seq("s=back\\slash", "t=tab\tval"), -2.25),
+      (1704412802000000L, "plain", Seq.empty[String], Double.MaxValue),
+      (1704412803000000L, "uni", Seq("u=日本語"), 1e-7))
+    TsvBulk.export(rows.toDF("ts_us", "metric", "labels", "value"), path)
+    val back = TsvBulk.importTsv(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2).toList, r.getDouble(3))).toSet
+    assert(back == rows.map(t => (t._1, t._2, t._3.toList, t._4)).toSet)
+  }
+
   test("compact refuses a crashed batch's uncommitted files; maybeCompact skips them") {
     val path = "/tmp/graft_test/store_orphan"
     val fs = new org.apache.hadoop.fs.Path(path)

@@ -153,6 +153,43 @@ object SamplesStore {
 
   private val BatchFilePattern = "^b(\\d+)-.*".r
 
+  /** Repair a store left inside [[compact]]'s swap window by a crash —
+    * run at the start of EVERY mutation (under the store lock), because
+    * auto-compaction makes the window a routine serving event, and an
+    * unaware writer would otherwise re-create an empty live path while
+    * a later compact's cleanup deletes `.old`, the only complete copy:
+    *  - live path missing, `.old` present → the crash hit between the
+    *    two swap renames; restore `.old` (the rewrite in `.compacting`
+    *    is redone later).
+    *  - live path AND `.old` present → the crash hit after the swap
+    *    but before the marker carry / cleanup; carry `_commits` into
+    *    the new layout if it lacks them (losing the marker set would
+    *    turn the next checkpoint replay into wholesale duplication),
+    *    then drop `.old`.
+    *  - `.compacting` remnants are an incomplete rewrite — disposable. */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val dst = new Path(path)
+    val tmp = new Path(dst.getParent, dst.getName + ".compacting")
+    val old = new Path(dst.getParent, dst.getName + ".old")
+    if (fs.exists(old)) {
+      if (!fs.exists(dst)) {
+        if (!fs.rename(old, dst))
+          throw new java.io.IOException(s"recoverSwap: restore $old -> $dst failed")
+      } else {
+        val oldCommits = new Path(old, "_commits")
+        if (fs.exists(oldCommits) && !fs.exists(new Path(dst, "_commits")) &&
+            !fs.rename(oldCommits, new Path(dst, "_commits")))
+          throw new java.io.IOException(
+            s"recoverSwap: marker carry $oldCommits -> $dst/_commits failed")
+        fs.delete(old, true)
+      }
+    }
+    fs.delete(tmp, true)
+  }
+
+  private def fsFor(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** Batch ids that have `b<id>-` files in some day partition but no
     * `_commits/<id>` marker — a crash mid-[[appendBatch]]. Their files
     * belong to the checkpoint replay's sweep; folding them into
@@ -176,6 +213,7 @@ object SamplesStore {
     * sort — which would destroy the (metric, labels, ts_us) file
     * order this store's row-group pruning depends on. */
   def write(samples: DataFrame, path: String): Unit = locked(path) {
+    recoverSwap(fsFor(samples.sparkSession, path), path)
     layout(samples).write.mode("overwrite").partitionBy("date").parquet(path)
   }
 
@@ -185,6 +223,7 @@ object SamplesStore {
     * parts in the background, here a periodic compaction rewrite
     * would play that role). */
   def append(samples: DataFrame, path: String): Unit = locked(path) {
+    recoverSwap(fsFor(samples.sparkSession, path), path)
     layout(samples).write.mode("append").partitionBy("date").parquet(path)
   }
 
@@ -202,22 +241,29 @@ object SamplesStore {
   def appendBatch(samples: DataFrame, path: String, batchId: Long,
                   autoCompactFilesPerDay: Int = AutoCompactFilesPerDay): Unit = locked(path) {
     val spark = samples.sparkSession
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(spark, path)
+    recoverSwap(fs, path)
     val marker = new Path(path, s"_commits/$batchId")
     if (!fs.exists(marker)) {
-      appendBatchUncommitted(samples, path, batchId, fs)
+      val maxTouchedDayFiles = appendBatchUncommitted(samples, path, batchId, fs)
       // ClickHouse merges parts in the background; here the writer
       // itself folds the store once fragmentation crosses the
-      // threshold. Runs AFTER this batch's commit marker lands, so
-      // the orphan check inside sees only committed files (this
+      // threshold. The probe costs only the TOUCHED days' listings
+      // (already paid by the move above) — never an O(all days) scan
+      // per microbatch. Runs AFTER this batch's commit marker lands,
+      // so the orphan check inside sees only committed files (this
       // thread is the store's single stream writer; other writers
       // are excluded by the store lock).
-      maybeCompact(spark, path, autoCompactFilesPerDay)
+      if (maxTouchedDayFiles > autoCompactFilesPerDay)
+        maybeCompact(spark, path, autoCompactFilesPerDay)
     }
   }
 
+  /** Stage + move + commit one batch; returns the max parquet-file
+    * count across the day partitions this batch touched (the
+    * fragmentation signal for the auto-compaction probe). */
   private def appendBatchUncommitted(samples: DataFrame, path: String, batchId: Long,
-                                     fs: org.apache.hadoop.fs.FileSystem): Unit = {
+                                     fs: org.apache.hadoop.fs.FileSystem): Int = {
     val marker = new Path(path, s"_commits/$batchId")
     val prefix = s"b$batchId-"
     // sweep a partial prior attempt of this batch
@@ -231,6 +277,7 @@ object SamplesStore {
     val staging = new Path(path, s".staging-$batchId")
     fs.delete(staging, true)
     layout(samples).write.mode("overwrite").partitionBy("date").parquet(staging.toString)
+    var maxDayFiles = 0
     fs.listStatus(staging).filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
       .foreach { day =>
         val dstDay = new Path(path, day.getPath.getName)
@@ -240,10 +287,13 @@ object SamplesStore {
             if (!fs.rename(f.getPath, new Path(dstDay, prefix + f.getPath.getName)))
               throw new java.io.IOException(s"appendBatch: move ${f.getPath} failed")
           }
+        maxDayFiles = math.max(maxDayFiles,
+          fs.listStatus(dstDay).count(_.getPath.getName.endsWith(".parquet")))
       }
     fs.delete(staging, true)
     fs.mkdirs(new Path(path, "_commits"))
     fs.create(marker, true).close()
+    maxDayFiles
   }
 
   private def layout(samples: DataFrame): DataFrame =
@@ -267,8 +317,11 @@ object SamplesStore {
     * multiple files by metric range — the per-day job shape is
     * identical, this rewrites all days for determinism. */
   def compact(spark: SparkSession, path: String): Unit = locked(path) {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(spark, path)
     val dst = new Path(path)
+    // first repair any prior crashed swap — restores a stranded `.old`
+    // copy and its markers instead of deleting them below
+    recoverSwap(fs, path)
     // Refuse to fold a crashed appendBatch's uncommitted files: they
     // belong to the replay sweep (which matches only the b<id>- prefix),
     // and compacting them into unprefixed files would make the replay
@@ -281,8 +334,6 @@ object SamplesStore {
         "— replay the batch (restart the stream) before compacting")
     val tmp = new Path(dst.getParent, dst.getName + ".compacting")
     val old = new Path(dst.getParent, dst.getName + ".old")
-    fs.delete(tmp, true)
-    fs.delete(old, true)
     // `date` is re-derived from ts_us inside layout(), so the rewrite
     // cannot drift from the read-side partition values.
     write(read(spark, path).drop("date"), tmp.toString)
@@ -318,8 +369,9 @@ object SamplesStore {
     * whether a compaction ran. */
   def maybeCompact(spark: SparkSession, path: String,
                    maxFilesPerDay: Int = AutoCompactFilesPerDay): Boolean = locked(path) {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(spark, path)
     val root = new Path(path)
+    recoverSwap(fs, path)
     val fragmented = fs.exists(root) && fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
       .exists(day => fs.listStatus(day.getPath)
@@ -336,7 +388,8 @@ object SamplesStore {
 
   /** Delete samples with startUs <= ts_us < endUs. */
   def deleteRange(spark: SparkSession, path: String, startUs: Long, endUs: Long): Unit = locked(path) {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(spark, path)
+    recoverSwap(fs, path)
     val dirs = fs.listStatus(new Path(path)).filter(_.isDirectory)
       .map(_.getPath).filter(_.getName.startsWith("date="))
     dirs.foreach { dir =>
@@ -409,8 +462,13 @@ object TsvBulk {
 
   /** `['el','el']` with `\`-escaped content → elements. A plain split
     * on `','` is wrong: content `a','b` encodes as `a\',\'b`, whose
-    * char sequence contains `','`. */
+    * char sequence contains `','`. Malformed input (truncated line,
+    * unterminated element) fails with IllegalArgumentException — a
+    * bulk-import codec must never leak index-class errors on garbage
+    * (same contract as [[PromRemoteCodec]]'s wire decode). */
   private[graft] def parseArray(s: String): Seq[String] = {
+    if (s.length < 2 || s.charAt(0) != '[' || s.charAt(s.length - 1) != ']')
+      throw new IllegalArgumentException(s"malformed TabSeparated array: $s")
     val out = Seq.newBuilder[String]
     var i = 1 // skip [
     val end = s.length - 1
@@ -420,8 +478,14 @@ object TsvBulk {
         i += 1
         var open = true
         while (open) {
+          if (i >= end)
+            throw new IllegalArgumentException(
+              s"malformed TabSeparated array (unterminated element): $s")
           val c = s.charAt(i)
-          if (c == '\\' && i + 1 < end) {
+          if (c == '\\') {
+            if (i + 1 >= end)
+              throw new IllegalArgumentException(
+                s"malformed TabSeparated array (dangling escape): $s")
             s.charAt(i + 1) match {
               case 't'   => b.append('\t')
               case 'n'   => b.append('\n')
@@ -462,6 +526,11 @@ object TsvBulk {
       .mapPartitions(_.map { line =>
         // real tabs are structural (content tabs are escaped \t)
         val f = line.split('\t')
+        if (f.length != 4)
+          throw new IllegalArgumentException(
+            s"malformed TabSeparated line (${f.length} fields): $line")
+        // toLong/parseDouble throw NumberFormatException, an
+        // IllegalArgumentException — same clean failure class
         (f(0).toLong * 1000000L, unescape(f(1)), parseArray(f(2)),
           java.lang.Double.parseDouble(f(3)))
       })
@@ -571,25 +640,6 @@ object StreamIngest {
     SamplesStore.read(spark, storePath)
   }
 
-  /** Stateful streaming exact-dedup: first occurrence of each
-    * event_id passes, every replay is dropped — the at-least-once
-    * ingestion guard (a remote-write client retries on timeout, so
-    * the same request body can arrive twice; reference ingestion is
-    * idempotent only through ClickHouse's ReplacingMergeTree-style
-    * dedup at merge time — here it's exact and online).
-    *
-    * Custom state via flatMapGroupsWithState (Append): one boolean
-    * per seen key. The built-in dropDuplicates would compose the same
-    * plan; the explicit GroupState form is the extension point for
-    * richer per-key ingest state (last-seen ts, out-of-order
-    * counters). At 100 TB the state store shards by key across
-    * executors; a production stream bounds it with
-    * GroupStateTimeout.EventTimeTimeout + watermark so keys expire
-    * after the replay horizon — NoTimeout here keeps the test
-    * deterministic (the synthetic replay arrives in-batch).
-    *
-    * The stream emits deduped ROWS (append mode); the per-metric
-    * report is a batch aggregate over the sink table. */
   /** The production-bounded variant of [[runDedupToMemory]]'s state
     * (SURVEY §5.11): watermark + EventTimeTimeout expire each seen
     * key `horizonMs` past its newest event, so the state store tracks
@@ -629,6 +679,25 @@ object StreamIngest {
       .toDF("event_id", "event_ts", "metric", "value")
   }
 
+  /** Stateful streaming exact-dedup: first occurrence of each
+    * event_id passes, every replay is dropped — the at-least-once
+    * ingestion guard (a remote-write client retries on timeout, so
+    * the same request body can arrive twice; reference ingestion is
+    * idempotent only through ClickHouse's ReplacingMergeTree-style
+    * dedup at merge time — here it's exact and online).
+    *
+    * Custom state via flatMapGroupsWithState (Append): one boolean
+    * per seen key. The built-in dropDuplicates would compose the same
+    * plan; the explicit GroupState form is the extension point for
+    * richer per-key ingest state (last-seen ts, out-of-order
+    * counters). At 100 TB the state store shards by key across
+    * executors; a production stream bounds it with
+    * [[dedupWithWatermark]]'s EventTimeTimeout + watermark so keys
+    * expire after the replay horizon — NoTimeout here keeps the test
+    * deterministic (the synthetic replay arrives in-batch).
+    *
+    * The stream emits deduped ROWS (append mode); the per-metric
+    * report is a batch aggregate over the sink table. */
   def runDedupToMemory(spark: SparkSession, srcDir: String, queryName: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

@@ -120,16 +120,19 @@ object HttpServe {
     })
 
     server.createContext("/read", (ex: HttpExchange) => guarded(ex) {
-      val b = body(ex)
       // compact()'s rename-aside swap has a brief window where the
       // store path does not resolve (crash-safe, not atomically
-      // visible) — and auto-compaction now runs on the serving append
-      // path, so a concurrent /read can land inside it. A transient
-      // path miss retries; every other failure surfaces as the 500.
-      val resp = retryTransientMiss() {
-        RemoteRead.serve(SamplesStore.read(spark, storePath),
-          b, ignoreLabel, ignoreHints, maxReadSamples)
-      }
+      // visible) — and auto-compaction runs on the serving append
+      // path, so a concurrent /read can land inside it. serve()
+      // re-resolves the store (by-name samples) and retries a
+      // transient miss; a store that simply doesn't exist yet (fresh
+      // server before the first /write) fails fast instead — that
+      // miss is permanent, not a swap window.
+      val resp = RemoteRead.serve(SamplesStore.read(spark, storePath),
+        body(ex), ignoreLabel, ignoreHints, maxReadSamples,
+        transientRetries = 2,
+        transientClassifier = e =>
+          RemoteRead.isTransientMiss(e) && storeSwapRecoverable(spark, storePath))
       respond(ex, 200, resp, Seq(
         "Content-Type" -> "application/x-protobuf",
         "Content-Encoding" -> "snappy"))
@@ -144,29 +147,18 @@ object HttpServe {
     new GraftHttpServer(server, pool)
   }
 
-  /** True when the failure (anywhere in the cause chain) is a missing
-    * path/file — the signature of reading through compact()'s swap
-    * window, where the whole store or one of its files is mid-rename. */
-  private[graft] def isTransientMiss(e: Throwable): Boolean =
-    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { c =>
-      c.isInstanceOf[java.io.FileNotFoundException] ||
-        Option(c.getMessage).exists(m =>
-          m.contains("does not exist") || m.contains("PATH_NOT_FOUND"))
-    }
-
-  /** Run `f`, retrying a [[isTransientMiss]] failure up to `attempts`
-    * times with a short backoff (the swap window is two renames long);
-    * any other failure — and a miss that persists — propagates. */
-  private[graft] def retryTransientMiss[T](attempts: Int = 3, backoffMs: Long = 150)(f: => T): T = {
-    var left = attempts
-    while (true) {
-      try return f catch {
-        case e: Throwable if left > 1 && isTransientMiss(e) =>
-          left -= 1
-          Thread.sleep(backoffMs)
-      }
-    }
-    throw new IllegalStateException("unreachable")
+  /** A missing-path read failure is only worth retrying when the
+    * store could be mid-swap: the live path exists (file-level miss
+    * during re-list) or its `.old` copy does (between the two swap
+    * renames). A store that was never written — the normal first-boot
+    * state, created by the first /write — has neither, and retrying
+    * that permanent miss would just burn the backoff budget on every
+    * probe request. */
+  private[graft] def storeSwapRecoverable(spark: SparkSession, storePath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) ||
+      fs.exists(new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".old"))
   }
 
   final class ProtoTooLargeException(msg: String) extends RuntimeException(msg)

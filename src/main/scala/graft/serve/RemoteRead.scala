@@ -1,8 +1,8 @@
 package graft.serve
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.col
-import org.apache.spark.storage.StorageLevel
 
 import graft.OpsMetrics
 import graft.ingest.PromRemoteCodec
@@ -16,70 +16,138 @@ import graft.operators.SeriesRead
   * out, one QueryResult per request query, in request order.
   *
   * Execution is fully distributed (SeriesRead's single-shuffle
-  * select+assemble); only the final assembled series are collected to
-  * be framed into the response — the reference's HTTP handler
-  * materializes exactly the same rows in its one goroutine, and the
-  * response is driver-bounded by construction: the matchers select a
-  * series subset and the remote-read protocol ships it as one
-  * protobuf body either way. The request side is bounded by the
-  * 32 MiB decode limit (PromRemoteCodec.DecodeReadLimit).
+  * select+assemble, computed EXACTLY ONCE per query); the assembled
+  * series stream to the driver partition-by-partition via
+  * toLocalIterator, with the response-size guard enforced DURING the
+  * stream — driver memory is bounded by maxSamples plus one partition,
+  * and an over-limit query aborts without ever materializing the full
+  * result anywhere (the reference's handler is implicitly bounded by
+  * streaming one ClickHouse resultset; at 100 TB an unbounded collect
+  * or a cluster-wide cache of a match-everything query is the failure
+  * mode this shape avoids). The request side is bounded by the 32 MiB
+  * decode limit (PromRemoteCodec.DecodeReadLimit).
   */
 object RemoteRead {
 
   /** Default cap on post-aggregation samples a single read query may
-    * return. The request side is bounded by the 32 MiB decode limit;
-    * this bounds the RESPONSE — without it, a match-everything query
-    * collects the whole store's assembled series into driver memory
-    * before encoding (the reference is implicitly bounded by streaming
-    * one ClickHouse resultset through its handler; at 100 TB an
-    * unbounded collect is the one driver-side OOM). 10M samples ≈
-    * a few hundred MB encoded, comfortably under driver heap. */
+    * return. Bounds the RESPONSE: without it, a match-everything query
+    * would stream the whole store's assembled series into driver
+    * memory before encoding. 10M samples ≈ a few hundred MB encoded,
+    * comfortably under driver heap. */
   val DefaultMaxReadSamples: Long = 10000000L
+
+  /** Backoff between transient-miss retries — compact()'s swap window
+    * is two renames long, so one short sleep normally clears it. */
+  val TransientBackoffMs: Long = 150L
 
   /** Thrown when a query would return more than maxSamples — the HTTP
     * shim maps it to the reference's 500 path. */
   final class ResponseTooLargeException(msg: String) extends RuntimeException(msg)
 
+  /** True when the failure (anywhere in the cause chain) is a missing
+    * path/file — the signature of reading through compact()'s swap
+    * window, where the whole store or one of its files is mid-rename. */
+  private[graft] def isTransientMiss(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(c.getMessage).exists(m =>
+          m.contains("does not exist") || m.contains("PATH_NOT_FOUND"))
+    }
+
   /** ReadRequest blob → ReadResponse blob over the canonical samples
     * DataFrame. ignoreLabel/ignoreHints mirror the reference's
-    * -read.ignore-label / -read.ignore-hints flags. Each query's
-    * result size is counted BEFORE series assembly; an over-limit
+    * -read.ignore-label / -read.ignore-hints flags. An over-limit
     * query errors like the reference's HTTP-500 path and increments
     * read_errors.
     *
-    * The selected aggregate is persisted across the two actions (the
-    * size-guard count and the assembly collect) so each `/read` runs
-    * its filter+aggregate ONCE — without the persist every request
-    * paid the full pushed-filter scan twice. The cache is bounded by
-    * maxSamples (the count rejects anything bigger before assembly
-    * materializes) and dropped in a finally, so a failed or oversized
-    * query leaks nothing. */
-  def serve(samples: DataFrame, readRequestBlob: Array[Byte],
+    * `samples` is by-name and re-evaluated on each retry: a transient
+    * miss (per `transientClassifier`, compact()'s swap window) retries
+    * up to `transientRetries` times with a fresh store resolution —
+    * the first attempt's DataFrame holds a stale file listing, so
+    * re-running it could never succeed. Counters fire once per request
+    * regardless of attempts (read_requests on the first resolution,
+    * read_errors only when the request ultimately fails). */
+  def serve(samples: => DataFrame, readRequestBlob: Array[Byte],
             ignoreLabel: Option[String] = Some("remote=clickhouse"),
             ignoreHints: Boolean = false,
-            maxSamples: Long = DefaultMaxReadSamples): Array[Byte] = {
-    val m = OpsMetrics(samples.sparkSession)
-    m.readRequests.add(1)
+            maxSamples: Long = DefaultMaxReadSamples,
+            transientRetries: Int = 0,
+            transientClassifier: Throwable => Boolean = isTransientMiss): Array[Byte] = {
+    var m: OpsMetrics = null
+    var queries: Seq[graft.operators.ReadQuery] = null
+    def attempt(): Array[Byte] = {
+      val df = samples // re-resolves the store's file listing each try
+      if (m == null) { m = OpsMetrics(df.sparkSession); m.readRequests.add(1) }
+      if (queries == null) queries = PromRemoteCodec.decodeReadRequest(readRequestBlob)
+      PromRemoteCodec.encodeReadResponseResults(
+        queries.map(runQuery(df, _, ignoreLabel, ignoreHints, maxSamples)))
+    }
     try {
-      val queries = PromRemoteCodec.decodeReadRequest(readRequestBlob)
-      val results = queries.map { q =>
-        val sel = SeriesRead.selectKeyed(samples, q, ignoreLabel, ignoreHints)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        try {
-          val n = sel.count()
-          if (n > maxSamples)
-            throw new ResponseTooLargeException(
-              s"query matches $n samples, exceeds response limit $maxSamples")
-          SeriesRead.assemble(sel)
-            .orderBy(col("metric"), col("labels")) // read.go ORDER BY metric_name, slb, t
-            .collect().iterator.map(rowToSeries).toSeq
-        } finally sel.unpersist(false)
+      var left = transientRetries + 1
+      var out: Array[Byte] = null
+      while (out == null) {
+        try out = attempt()
+        catch {
+          case e: Throwable if left > 1 && transientClassifier(e) =>
+            left -= 1
+            Thread.sleep(TransientBackoffMs)
+        }
       }
-      PromRemoteCodec.encodeReadResponseResults(results)
+      out
     } catch {
-      case e: Throwable => m.readErrors.add(1); throw e
+      case e: Throwable => if (m != null) m.readErrors.add(1); throw e
     }
   }
+
+  /** One query: distributed select+assemble computed once, streamed to
+    * the driver with the size guard applied as rows arrive. Series are
+    * sorted on the driver (bounded by the guard) in the reference's
+    * ORDER BY (metric_name, labels) — byte-wise UTF-8, matching the
+    * engine's binary string ordering. */
+  private def runQuery(samples: DataFrame, q: graft.operators.ReadQuery,
+                       ignoreLabel: Option[String], ignoreHints: Boolean,
+                       maxSamples: Long): Seq[PromTimeSeries] = {
+    val sel = SeriesRead.selectKeyed(samples, q, ignoreLabel, ignoreHints)
+    val it = SeriesRead.assemble(sel).toLocalIterator().asScala
+    val out = Vector.newBuilder[(String, Seq[String], PromTimeSeries)]
+    var points = 0L
+    while (it.hasNext) {
+      val row = it.next()
+      points += row.getSeq[Row](2).size
+      if (points > maxSamples)
+        throw new ResponseTooLargeException(
+          s"query matches more than $maxSamples samples, exceeds response limit")
+      out += ((row.getString(0), row.getSeq[String](1), rowToSeries(row)))
+    }
+    out.result()
+      .sortBy { case (metric, labels, _) => (metric, labels) }(SeriesKeyOrdering)
+      .map(_._3)
+  }
+
+  /** (metric, labels) ordering over UTF-8 bytes — identical to the
+    * binary string order a `ORDER BY metric_name, labels` yields in
+    * the engine (Java String compareTo is UTF-16 code-unit order,
+    * which diverges above the BMP). */
+  private val Utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      var r = 0
+      while (r == 0 && i < n) { r = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+      if (r != 0) r else x.length - y.length
+    }
+  }
+
+  private val SeriesKeyOrdering: Ordering[(String, Seq[String])] =
+    new Ordering[(String, Seq[String])] {
+      private val labelsOrd = Ordering.Iterable(Utf8Ordering)
+      def compare(a: (String, Seq[String]), b: (String, Seq[String])): Int = {
+        val c = Utf8Ordering.compare(a._1, b._1)
+        if (c != 0) c else labelsOrd.compare(a._2, b._2)
+      }
+    }
 
   /** One assembled (metric, labels, points) row → prompb.TimeSeries:
     * __name__ rejoins the sorted "k=v" labels, second buckets go back

@@ -121,6 +121,25 @@ class CodecFuzzSpec extends AnyFunSuite {
     assert(TsvBulk.parseArray("[]") == Nil)
   }
 
+  test("malformed TSV never escapes the codec's declared failure modes") {
+    import graft.ingest.TsvBulk
+    // same contract as the proto codec: garbage input fails with
+    // IllegalArgumentException-class errors only — an index error
+    // would abort a whole bulk-import job uncleanly
+    def assertClean(f: => Any): Unit =
+      try { f; () } catch {
+        case _: IllegalArgumentException => () // incl. NumberFormatException
+        case t: Throwable => fail(s"TSV codec leaked ${t.getClass.getName}: ${t.getMessage}")
+      }
+    (1 to 500).foreach { _ =>
+      assertClean(TsvBulk.parseArray(randString()))
+      // truncations of a valid encoding (the crash-mid-write case)
+      val valid = Seq("a=1", "k='q'", "t=x\ty", "s=b\\k")
+        .map(e => "'" + TsvBulk.escape(e, quote = true) + "'").mkString("[", ",", "]")
+      assertClean(TsvBulk.parseArray(valid.substring(0, rnd.nextInt(valid.length))))
+    }
+  }
+
   test("garbage bytes never escape the codec's declared failure modes") {
     // acceptable: clean wire/format errors (mapped to the reference's
     // HTTP 400/500 path). NOT acceptable: index/negative-size/OOM-class

@@ -234,28 +234,43 @@ class ServeSpec extends SparkSpecBase {
     // transient-miss classifier walks the cause chain
     val sparkWrapped = new RuntimeException("job aborted",
       new java.io.FileNotFoundException("/store/date=0/part-0.parquet"))
-    assert(HttpServe.isTransientMiss(sparkWrapped))
-    assert(HttpServe.isTransientMiss(new RuntimeException("Path does not exist: /store")))
-    assert(!HttpServe.isTransientMiss(new RuntimeException("bad matcher")))
-    // a miss that resolves within the retry budget succeeds...
+    assert(RemoteRead.isTransientMiss(sparkWrapped))
+    assert(RemoteRead.isTransientMiss(new RuntimeException("Path does not exist: /store")))
+    assert(!RemoteRead.isTransientMiss(new RuntimeException("bad matcher")))
+
+    val real = Tables.samples(spark, Sf)
+    val blob = PromRemoteCodec.encodeReadRequest(Seq(
+      ReadQuery(0L, 0L, Seq(Matchers.eq("__name__", "view")))))
+    val m = OpsMetrics(spark)
+
+    // a store resolution that fails mid-swap twice, then resolves:
+    // serve must re-evaluate the by-name samples each attempt (the
+    // stale first DataFrame could never succeed) and count ONE
+    // request, ZERO errors for the ultimately-successful read
     var calls = 0
-    val got = HttpServe.retryTransientMiss(attempts = 3, backoffMs = 1) {
-      calls += 1
-      if (calls < 3) throw new java.io.FileNotFoundException("mid-swap")
-      "ok"
-    }
-    assert(got === "ok" && calls === 3)
-    // ...a persistent miss and a non-transient failure both propagate
+    def flaky = { calls += 1; if (calls < 3) throw new java.io.FileNotFoundException("mid-swap"); real }
+    val (reqs0, errs0) = (m.readRequests.value, m.readErrors.value)
+    val resp = RemoteRead.serve(flaky, blob, transientRetries = 3)
+    assert(PromRemoteCodec.decodeReadResponse(resp).nonEmpty && calls === 3)
+    assert(m.readRequests.value === reqs0 + 1, "retries must not double-count requests")
+    assert(m.readErrors.value === errs0, "a recovered read must not count as an error")
+
+    // a persistent miss exhausts the budget and propagates
+    var always = 0
     intercept[java.io.FileNotFoundException](
-      HttpServe.retryTransientMiss(attempts = 2, backoffMs = 1) {
-        throw new java.io.FileNotFoundException("gone for good")
-      })
+      RemoteRead.serve({ always += 1; throw new java.io.FileNotFoundException("gone") },
+        blob, transientRetries = 2))
+    assert(always === 3)
+
+    // non-transient failures never retry
     var once = 0
     intercept[RuntimeException](
-      HttpServe.retryTransientMiss(attempts = 3, backoffMs = 1) {
-        once += 1; throw new RuntimeException("bad matcher")
-      })
-    assert(once === 1, "non-transient failures must not retry")
+      RemoteRead.serve({ once += 1; throw new RuntimeException("bad matcher") },
+        blob, transientRetries = 3))
+    assert(once === 1)
+
+    // fresh-server fast-fail: no store and no .old copy → not recoverable
+    assert(!HttpServe.storeSwapRecoverable(spark, "/tmp/graft_test/never_written_store"))
   }
 
   test("/metrics exposes parseable process gauges next to the counters") {

@@ -130,6 +130,44 @@ class StoreSpec extends SparkSpecBase {
     assert(sortedWithinFiles(path))
   }
 
+  test("a crashed compaction swap is repaired by the next mutation, never lost") {
+    val path = "/tmp/graft_test/store_swapcrash"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.delete(p(path), true); fs.delete(p(path + ".old"), true); fs.delete(p(path + ".compacting"), true)
+    val samples = Tables.samples(spark, Sf).cache()
+    val b0 = samples.filter(expr("ts_us % 2 = 0"))
+    val b1 = samples.filter(expr("ts_us % 2 = 1"))
+    SamplesStore.appendBatch(b0, path, 0L)
+    val rowsBefore = SamplesStore.read(spark, path).count()
+
+    // crash state 1: between the two swap renames — `.old` holds the
+    // ONLY copy, the live path is gone, a stale rewrite sits in
+    // `.compacting`. An unaware append would re-create an empty store
+    // and the next compact would delete `.old` — total data loss.
+    assert(fs.rename(p(path), p(path + ".old")))
+    fs.mkdirs(p(path + ".compacting"))
+    SamplesStore.appendBatch(b1, path, 1L) // must recover FIRST
+    assert(SamplesStore.read(spark, path).count() == samples.count(),
+      "recovery must restore the stranded .old copy before appending")
+    assert(!fs.exists(p(path + ".old")) && !fs.exists(p(path + ".compacting")))
+    // the restored markers still short-circuit replays
+    SamplesStore.appendBatch(b0, path, 0L)
+    assert(SamplesStore.read(spark, path).count() == samples.count())
+
+    // crash state 2: after the swap, before the marker carry — the
+    // live path has data but no _commits; `.old` still holds them.
+    // Losing the markers would re-append every batch on replay.
+    assert(fs.mkdirs(p(path + ".old")))
+    assert(fs.rename(p(s"$path/_commits"), p(s"$path.old/_commits")))
+    SamplesStore.appendBatch(b1, path, 1L) // replay: must see carried markers
+    assert(SamplesStore.read(spark, path).count() == samples.count(),
+      "carried markers must keep the replay a no-op")
+    assert(!fs.exists(p(path + ".old")))
+    assert(rowsBefore < samples.count())
+  }
+
   test("TSV bulk round-trips labels containing tabs, quotes, newlines") {
     import spark.implicits._
     import graft.ingest.TsvBulk

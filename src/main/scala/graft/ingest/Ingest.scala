@@ -135,6 +135,13 @@ object SamplesStore {
     * store alongside the per-day target file size. */
   val AutoCompactFilesPerDay = 64
 
+  /** Target compacted-file size per day. A fragmented day folds into
+    * `ceil(dayBytes / TargetFileBytes)` metric-range-partitioned files,
+    * so a hot day at 100 TB compacts into many well-sized sorted files
+    * instead of one unwritable monolith, and row-group pruning still
+    * sees contiguous (metric, labels, ts_us) runs per file. */
+  val TargetFileBytes: Long = 512L * 1024 * 1024
+
   /** One exclusive mutation lock per store path: the HTTP front door
     * serves handlers concurrently, and two Spark jobs appending into
     * the same directory tree race their FileOutputCommitter
@@ -185,6 +192,55 @@ object SamplesStore {
       }
     }
     fs.delete(tmp, true)
+    recoverDaySwaps(fs, dst)
+  }
+
+  private val OldDayPrefix = ".old_"      // rename-aside copy of one day dir
+  private val RewriteDayPrefix = ".rewrite_" // in-progress per-day rewrite
+
+  /** Repair per-day swap remnants left by a crash inside [[swapDay]]
+    * (day-level compaction / boundary-day delete): an `.old_date=X`
+    * whose live `date=X` is missing means the crash hit between the
+    * two renames — restore it; with the live dir present the swap
+    * completed — drop the aside copy. `.rewrite_date=X` dirs are
+    * incomplete rewrites — disposable (the dot prefix hides them from
+    * the parquet reader either way). */
+  private def recoverDaySwaps(fs: org.apache.hadoop.fs.FileSystem, root: Path): Unit = {
+    if (!fs.exists(root)) return
+    val children = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+    children.filter(_.getName.startsWith(OldDayPrefix)).foreach { oldDay =>
+      val live = new Path(root, oldDay.getName.stripPrefix(OldDayPrefix))
+      if (!fs.exists(live)) {
+        if (!fs.rename(oldDay, live))
+          throw new java.io.IOException(s"recoverDaySwaps: restore $oldDay -> $live failed")
+      } else fs.delete(oldDay, true)
+    }
+    children.filter(_.getName.startsWith(RewriteDayPrefix))
+      .foreach(p => fs.delete(p, true))
+  }
+
+  /** Replace one day partition with its rewritten copy via rename-aside
+    * (crash-safe at every step, see [[recoverDaySwaps]]; NOT atomically
+    * visible). Visibility caveat, stronger than [[compact]]'s: between
+    * the two renames the day dir is absent, so a reader that LISTS the
+    * store inside that window silently omits the day (a reader that
+    * already listed and then scans gets a loud FileNotFound, which the
+    * serving /read retries). The window is two metadata renames; at
+    * 100 TB you would close it by fronting the store with a manifest
+    * (snapshot file listing à la Iceberg/Delta) so the swap becomes a
+    * single manifest commit — the per-day job shape stays identical.
+    * `rewrite` must already hold the new parquet files for the day. */
+  private def swapDay(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                      dayName: String, rewrite: Path): Unit = {
+    val live = new Path(root, dayName)
+    val aside = new Path(root, OldDayPrefix + dayName)
+    if (!fs.rename(live, aside))
+      throw new java.io.IOException(s"swapDay: rename $live -> $aside failed")
+    if (!fs.rename(rewrite, live)) {
+      fs.rename(aside, live) // roll back so the day stays readable
+      throw new java.io.IOException(s"swapDay: rename $rewrite -> $live failed")
+    }
+    fs.delete(aside, true)
   }
 
   private def fsFor(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
@@ -312,10 +368,10 @@ object SamplesStore {
     * per day). One distributed job: read everything, re-establish the
     * layout (repartition by day + within-file (metric, labels, ts_us)
     * sort, so row-group pruning survives), write to a shadow dir,
-    * atomically swap. At 100 TB you'd compact only the days whose
-    * file count crossed a threshold and repartition hot days into
-    * multiple files by metric range — the per-day job shape is
-    * identical, this rewrites all days for determinism. */
+    * atomically swap. This whole-store rewrite is the deterministic
+    * full-rebuild tool (schema/layout migrations, the oracle query);
+    * the serving path compacts through [[compactFragmentedDays]],
+    * which rewrites only the days that actually fragmented. */
   def compact(spark: SparkSession, path: String): Unit = locked(path) {
     val fs = fsFor(spark, path)
     val dst = new Path(path)
@@ -361,29 +417,69 @@ object SamplesStore {
     fs.delete(old, true)
   }
 
-  /** Opportunistic compaction for the serving append paths: compacts
-    * when some day partition's parquet-file count exceeds
-    * `maxFilesPerDay`, skips (with a log line) when a crashed batch's
-    * uncommitted files are present — a serving loop must keep
-    * accepting writes, not die on a compaction precondition. Returns
-    * whether a compaction ran. */
-  def maybeCompact(spark: SparkSession, path: String,
-                   maxFilesPerDay: Int = AutoCompactFilesPerDay): Boolean = locked(path) {
+  /** Selective compaction — the 100 TB shape of [[compact]]: rewrite
+    * ONLY the day partitions whose parquet-file count exceeds
+    * `maxFilesPerDay`, each in its own crash-safe [[swapDay]], leaving
+    * every healthy day's files untouched. On a store with years of
+    * history only the hot write frontier ever fragments, so the
+    * rewrite cost is O(fragmented days), not O(store). Each rewritten
+    * day is range-partitioned by (metric, labels, ts_us) into
+    * `ceil(dayBytes / targetFileBytes)` files, so a hot day folds
+    * into several well-sized sorted files and row-group pruning keeps
+    * its contiguous metric runs. Days carrying a crashed batch's
+    * uncommitted `b<id>-` files are skipped with a log line (those
+    * files belong to the replay sweep — folding them would duplicate
+    * the batch on replay; the other days still compact). `_commits`
+    * markers live outside the day dirs and are untouched. Returns the
+    * number of days rewritten. */
+  def compactFragmentedDays(spark: SparkSession, path: String,
+                            maxFilesPerDay: Int = AutoCompactFilesPerDay,
+                            targetFileBytes: Long = TargetFileBytes): Int = locked(path) {
     val fs = fsFor(spark, path)
     val root = new Path(path)
     recoverSwap(fs, path)
-    val fragmented = fs.exists(root) && fs.listStatus(root)
+    if (!fs.exists(root)) return 0
+    val orphanIds = uncommittedBatchIds(fs, root).toSet
+    var rewritten = 0
+    fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
-      .exists(day => fs.listStatus(day.getPath)
-        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerDay)
-    if (!fragmented) false
-    else if (uncommittedBatchIds(fs, root).nonEmpty) {
-      log.warn(s"maybeCompact($path): skipping — uncommitted batch files present")
-      false
-    } else {
-      compact(spark, path)
-      true
-    }
+      .foreach { day =>
+        val files = fs.listStatus(day.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        if (files.length > maxFilesPerDay) {
+          val hasOrphan = files.exists(f => f.getPath.getName match {
+            case BatchFilePattern(id) => orphanIds.contains(id.toLong)
+            case _                    => false
+          })
+          if (hasOrphan) {
+            log.warn(s"compactFragmentedDays($path): skipping ${day.getPath.getName}" +
+              " — uncommitted batch files present (replay the batch first)")
+          } else {
+            val nFiles = math.max(1L,
+              (files.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes).toInt
+            val rewrite = new Path(root, RewriteDayPrefix + day.getPath.getName)
+            fs.delete(rewrite, true)
+            spark.read.parquet(day.getPath.toString)
+              .repartitionByRange(nFiles, col("metric"), col("labels"), col("ts_us"))
+              .sortWithinPartitions(col("metric"), col("labels"), col("ts_us"))
+              .write.mode("overwrite").parquet(rewrite.toString)
+            swapDay(fs, root, day.getPath.getName, rewrite)
+            rewritten += 1
+          }
+        }
+      }
+    rewritten
+  }
+
+  /** Opportunistic compaction for the serving append paths: folds any
+    * day partition whose parquet-file count exceeds `maxFilesPerDay`
+    * via [[compactFragmentedDays]] (day-selective — a serving store
+    * never pays an O(all history) rewrite, and a crashed batch's
+    * orphan files only defer their own day, not the whole store).
+    * Returns whether any day was rewritten. */
+  def maybeCompact(spark: SparkSession, path: String,
+                   maxFilesPerDay: Int = AutoCompactFilesPerDay): Boolean = locked(path) {
+    compactFragmentedDays(spark, path, maxFilesPerDay) > 0
   }
 
   /** Delete samples with startUs <= ts_us < endUs. */
@@ -403,14 +499,18 @@ object SamplesStore {
         // boundary day: rewrite the partition without the deleted rows,
         // re-sorted so the rewrite keeps the store's within-file
         // (metric, labels, ts_us) order — the row-group min/max pruning
-        // `write` established must survive deletes.
+        // `write` established must survive deletes. Swapped in via the
+        // same rename-aside as compaction (a delete-then-rename here
+        // would lose the whole day to a crash between the two steps;
+        // a crash mid-swap instead restores the day and the caller
+        // re-runs the delete — at-least-once, never data loss).
         val remaining = spark.read.parquet(dir.toString)
           .filter(col("ts_us") < startUs || col("ts_us") >= endUs)
           .sortWithinPartitions(col("metric"), col("labels"), col("ts_us"))
-        val tmp = new Path(dir.getParent, s".tmp_${dir.getName}")
-        remaining.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(dir, true)
-        fs.rename(tmp, dir)
+        val rewrite = new Path(dir.getParent, RewriteDayPrefix + dir.getName)
+        fs.delete(rewrite, true)
+        remaining.write.mode("overwrite").parquet(rewrite.toString)
+        swapDay(fs, dir.getParent, dir.getName, rewrite)
       }
     }
   }

@@ -168,6 +168,79 @@ class StoreSpec extends SparkSpecBase {
     assert(rowsBefore < samples.count())
   }
 
+  test("compactFragmentedDays rewrites only the fragmented day, splitting by size") {
+    import spark.implicits._
+    val path = "/tmp/graft_test/store_selective"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val day0 = 1704412800L // 2024-01-05
+    val day1 = day0 + 86400
+    def rowsFor(daySec: Long, off: Int) =
+      (0 until 40).map(i =>
+        (daySec * 1000000L + (off * 40 + i) * 1000000L, s"m${i % 7}", Seq(s"k=v$i"), i.toDouble))
+        .toDF("ts_us", "metric", "labels", "value")
+    for (i <- 0 until 4) SamplesStore.append(rowsFor(day0, i), path) // day0: 4 files
+    SamplesStore.append(rowsFor(day1, 0), path)                      // day1: 1 file
+    def files(dayName: String): Set[String] =
+      new File(path, dayName).listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val day1Before = files(s"date=$day1")
+    val before = SamplesStore.read(spark, path)
+      .select("ts_us", "metric", "labels", "value").collect().toSet
+
+    // a tiny target size forces the fragmented day to split into
+    // multiple metric-range files — the hot-day shape at 100 TB
+    val n = SamplesStore.compactFragmentedDays(spark, path,
+      maxFilesPerDay = 2, targetFileBytes = 2048L)
+    assert(n == 1, "only the over-threshold day must be rewritten")
+    assert(files(s"date=$day1") == day1Before,
+      "a healthy day's files must be byte-identical (same names, never rewritten)")
+    assert(files(s"date=$day0").size > 1,
+      "a day larger than targetFileBytes must fold into multiple range files")
+    // at the default target the same day folds all the way to one file
+    assert(SamplesStore.compactFragmentedDays(spark, path, maxFilesPerDay = 1) == 1)
+    assert(files(s"date=$day0").size == 1)
+    assert(files(s"date=$day1") == day1Before)
+    val rows = SamplesStore.read(spark, path)
+      .select("ts_us", "metric", "labels", "value").collect().toSet
+    assert(rows == before, "selective compaction must be result-invariant")
+    assert(sortedWithinFiles(path))
+    // idempotent: nothing left over threshold
+    assert(SamplesStore.compactFragmentedDays(spark, path, maxFilesPerDay = 2) == 0)
+  }
+
+  test("a crashed day swap is repaired by the next mutation") {
+    val path = "/tmp/graft_test/store_dayswapcrash"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.delete(p(path), true)
+    val samples = Tables.samples(spark, Sf).cache()
+    SamplesStore.write(samples, path)
+    val total = samples.count()
+    val day = new File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("date=")).head.getName
+
+    // crash state: between swapDay's two renames — the aside copy is
+    // the ONLY copy of the day, plus a stale half-written rewrite dir
+    assert(fs.rename(p(s"$path/$day"), p(s"$path/.old_$day")))
+    fs.mkdirs(p(s"$path/.rewrite_$day"))
+    // day-level miss: the live listing no longer has the day
+    assert(SamplesStore.read(spark, path).count() < total)
+
+    // ANY mutation repairs first — restore the day, drop the remnant
+    SamplesStore.maybeCompact(spark, path)
+    assert(SamplesStore.read(spark, path).count() == total,
+      "recovery must restore the stranded day from its aside copy")
+    assert(!fs.exists(p(s"$path/.old_$day")) && !fs.exists(p(s"$path/.rewrite_$day")))
+
+    // completed-swap crash state: live day present, aside copy stale
+    assert(fs.mkdirs(p(s"$path/.old_$day")))
+    SamplesStore.maybeCompact(spark, path)
+    assert(!fs.exists(p(s"$path/.old_$day")), "a stale aside copy is dropped")
+    assert(SamplesStore.read(spark, path).count() == total)
+  }
+
   test("TSV bulk round-trips labels containing tabs, quotes, newlines") {
     import spark.implicits._
     import graft.ingest.TsvBulk
@@ -203,8 +276,14 @@ class StoreSpec extends SparkSpecBase {
     // folding the orphan into unprefixed files would strand the replay
     // sweep and duplicate batch 1 — compact must refuse
     intercept[IllegalStateException](SamplesStore.compact(spark, path))
-    // the serving path's opportunistic variant skips instead of dying
-    assert(!SamplesStore.maybeCompact(spark, path, maxFilesPerDay = 0))
+    // the serving path's opportunistic variant skips the orphan's day
+    // (its files, orphan included, stay exactly as they are — the
+    // replay sweep still finds them) while healthy days still fold
+    val orphanDayBefore = day.listFiles().map(_.getName).toSet
+    SamplesStore.maybeCompact(spark, path, maxFilesPerDay = 0)
+    assert(day.listFiles().map(_.getName).toSet == orphanDayBefore,
+      "the day carrying uncommitted batch files must not be rewritten")
+    assert(fs.exists(orphan))
     // the checkpoint replay of batch 1 sweeps the orphan and commits;
     // compaction is then legal again and result-invariant
     SamplesStore.appendBatch(b1, path, 1L)

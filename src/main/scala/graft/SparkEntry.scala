@@ -152,6 +152,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
     }),
 
+    // Day-selective compaction — the serving store's actual merge
+    // path (maybeCompact): only day partitions over the file-count
+    // threshold rewrite, behind per-day crash-safe swaps; results
+    // invariant. At 100 TB this is O(fragmented days), never the
+    // whole-store rewrite above.
+    "store_compact_days" -> ((s, dir) => {
+      val path = workDir("compactdays", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val all = samples(s, dir)
+      SamplesStore.append(all.filter(expr("ts_us % 3 = 0")), path)
+      SamplesStore.append(all.filter(expr("ts_us % 3 = 1")), path)
+      SamplesStore.append(all.filter(expr("ts_us % 3 = 2")), path)
+      SamplesStore.compactFragmentedDays(s, path, maxFilesPerDay = 2)
+      SamplesStore.read(s, path)
+        .groupBy(col("metric"), col("date").cast("long").as("date"))
+        .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
+    }),
+
     // The continuous write path: file-source stream → foreachBatch
     // append into the day-partitioned store → read back. Fresh store
     // + checkpoint per run (the stream must re-ingest, not resume).
@@ -522,6 +542,13 @@ object SparkEntry {
     "ingest_label_normalize" -> sampleMs,
 
     "ingest_samples_sink" ->
+      s"""$S
+         |SELECT metric, ts_us // 1000000 // 86400 * 86400 AS date,
+         |       count(*) AS n_samples, round(sum(value), 6) AS sum_value
+         |FROM samples GROUP BY 1, 2""".stripMargin,
+
+    // selective compaction must be result-invariant too
+    "store_compact_days" ->
       s"""$S
          |SELECT metric, ts_us // 1000000 // 86400 * 86400 AS date,
          |       count(*) AS n_samples, round(sum(value), 6) AS sum_value

@@ -13,8 +13,8 @@ import graft.sources.Tables
   * read pipeline (select → assemble → serve) on a scaled samples
   * corpus (labels suffixed per copy — series COUNT scales, the axis
   * that grows at 100 TB). Measures how each stage scales; numbers
-  * land in SCALE.md. `SPARK_GRAFT_SCALE_ONLY=read|dedup|ann` runs one
-  * section. */
+  * land in SCALE.md. `SPARK_GRAFT_SCALE_ONLY=read|dedup|ann|compact`
+  * runs one section. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
@@ -91,6 +91,38 @@ object ScaleSmoke {
       time(s"readServeE2E    m=$m") {
         val blob = PromRemoteCodec.encodeReadRequest(Seq(rq))
         RemoteRead.serve(smp, blob).length.toLong
+      }
+    }
+
+    // Compaction: history length (m× days of store, ts shifted per
+    // copy) grows; fragmentation stays constant (8 small appends into
+    // the FIRST day only — the hot write frontier). Full compact pays
+    // O(history); the day-selective path must stay flat.
+    if (sectionEnabled("compact")) {
+      import graft.ingest.SamplesStore
+      import org.apache.hadoop.fs.Path
+      val samples0 = graft.sources.Tables.samples(spark, "/root/testdata/sf0.1")
+      val spanDays = 30L // the corpus spans 30 days; shift per copy
+      val hot = samples0.filter(col("ts_us") < lit(1704499200000000L)).limit(2000).cache()
+      hot.count()
+      for (m <- Seq(1, 2, 4)) {
+        val path = s"/tmp/graft_scale/compact_m$m"
+        val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def nDays = fs.listStatus(new Path(path))
+          .count(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+        def fragment(): Unit =
+          for (_ <- 0 until 8) SamplesStore.append(hot, path)
+        fs.delete(new Path(path), true)
+        SamplesStore.write(
+          (0 until m).map(i => samples0.withColumn("ts_us",
+            col("ts_us") + lit(i * spanDays * 86400L * 1000000L))).reduce(_ unionAll _),
+          path)
+        fragment()
+        time(s"compactDays     m=$m days=$nDays")(
+          SamplesStore.compactFragmentedDays(spark, path, maxFilesPerDay = 4).toLong)
+        fragment()
+        time(s"compactFull     m=$m days=$nDays")(
+          { SamplesStore.compact(spark, path); nDays.toLong })
       }
     }
     spark.stop()

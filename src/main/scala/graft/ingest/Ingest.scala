@@ -142,18 +142,39 @@ object SamplesStore {
     * sees contiguous (metric, labels, ts_us) runs per file. */
   val TargetFileBytes: Long = 512L * 1024 * 1024
 
-  /** One exclusive mutation lock per store path: the HTTP front door
-    * serves handlers concurrently, and two Spark jobs appending into
-    * the same directory tree race their FileOutputCommitter
-    * `_temporary` staging; compaction's rename-aside swap must never
-    * overlap an append at all. Mutations serialize per store within
-    * this JVM (the serving process is one JVM, like the reference's
-    * one Go process in front of ClickHouse); reads stay lock-free. */
+  /** One read-write lock per store path: the HTTP front door serves
+    * handlers concurrently, and two Spark jobs appending into the
+    * same directory tree race their FileOutputCommitter `_temporary`
+    * staging; compaction's rename-aside swap must never overlap an
+    * append at all. Mutations take the WRITE lock and serialize per
+    * store within this JVM (the serving process is one JVM, like the
+    * reference's one Go process in front of ClickHouse). Readers that
+    * want snapshot consistency across the swap windows — the serving
+    * `/read` — wrap their whole query execution in [[readLocked]]:
+    * many reads run concurrently, none can interleave a swap's two
+    * renames (which would silently drop a day from partition
+    * discovery). The lock is FAIR so a stream of reads cannot starve
+    * compaction nor vice versa. Bare [[read]] stays lock-free — it
+    * returns a lazy DataFrame, and out-of-process readers can't take
+    * an in-JVM lock anyway (they retry transient misses instead). */
   private val storeLocks = scala.collection.concurrent.TrieMap
-    .empty[String, java.util.concurrent.locks.ReentrantLock]
+    .empty[String, java.util.concurrent.locks.ReentrantReadWriteLock]
+  private def lockFor(path: String) =
+    storeLocks.getOrElseUpdate(new Path(path).toString,
+      new java.util.concurrent.locks.ReentrantReadWriteLock(true))
   private def locked[T](path: String)(f: => T): T = {
-    val l = storeLocks.getOrElseUpdate(new Path(path).toString,
-      new java.util.concurrent.locks.ReentrantLock)
+    val l = lockFor(path).writeLock()
+    l.lock()
+    try f finally l.unlock()
+  }
+
+  /** Run `f` (a read's full plan-to-action execution) holding the
+    * store's read lock: concurrent with other reads, excluded from
+    * mutation swap windows. In-JVM serving reads get a consistent
+    * store listing for free; this must never wrap anything that
+    * mutates the same store (read→write upgrade deadlocks). */
+  def readLocked[T](path: String)(f: => T): T = {
+    val l = lockFor(path).readLock()
     l.lock()
     try f finally l.unlock()
   }
@@ -224,11 +245,13 @@ object SamplesStore {
     * visible). Visibility caveat, stronger than [[compact]]'s: between
     * the two renames the day dir is absent, so a reader that LISTS the
     * store inside that window silently omits the day (a reader that
-    * already listed and then scans gets a loud FileNotFound, which the
-    * serving /read retries). The window is two metadata renames; at
-    * 100 TB you would close it by fronting the store with a manifest
-    * (snapshot file listing à la Iceberg/Delta) so the swap becomes a
-    * single manifest commit — the per-day job shape stays identical.
+    * already listed and then scans gets a loud FileNotFound). In-JVM
+    * serving reads are excluded from the window entirely via
+    * [[readLocked]]; out-of-process readers retry loud misses and
+    * tolerate the ms-scale listing window. At 100 TB you would close
+    * it for everyone by fronting the store with a manifest (snapshot
+    * file listing à la Iceberg/Delta) so the swap becomes a single
+    * manifest commit — the per-day job shape stays identical.
     * `rewrite` must already hold the new parquet files for the day. */
   private def swapDay(fs: org.apache.hadoop.fs.FileSystem, root: Path,
                       dayName: String, rewrite: Path): Unit = {
@@ -419,19 +442,22 @@ object SamplesStore {
 
   /** Selective compaction — the 100 TB shape of [[compact]]: rewrite
     * ONLY the day partitions whose parquet-file count exceeds
-    * `maxFilesPerDay`, each in its own crash-safe [[swapDay]], leaving
-    * every healthy day's files untouched. On a store with years of
-    * history only the hot write frontier ever fragments, so the
-    * rewrite cost is O(fragmented days), not O(store). Each rewritten
-    * day is range-partitioned by (metric, labels, ts_us) into
-    * `ceil(dayBytes / targetFileBytes)` files, so a hot day folds
-    * into several well-sized sorted files and row-group pruning keeps
-    * its contiguous metric runs. Days carrying a crashed batch's
-    * uncommitted `b<id>-` files are skipped with a log line (those
-    * files belong to the replay sweep — folding them would duplicate
-    * the batch on replay; the other days still compact). `_commits`
-    * markers live outside the day dirs and are untouched. Returns the
-    * number of days rewritten. */
+    * `maxFilesPerDay`, leaving every healthy day's files untouched.
+    * On a store with years of history only the hot write frontier
+    * ever fragments, so the rewrite cost is O(fragmented days), not
+    * O(store) — and it is ONE distributed job over exactly those
+    * days' bytes (not a job per day: F small sequential jobs would
+    * pay F× scheduling overhead), followed by one crash-safe
+    * metadata-only [[swapDay]] per day. The rewrite range-partitions
+    * on (date, metric, labels, ts_us) into
+    * `max(F, ceil(bytes / targetFileBytes))` tasks, so a hot day
+    * folds into several well-sized sorted files and row-group pruning
+    * keeps its contiguous metric runs. Days carrying a crashed
+    * batch's uncommitted `b<id>-` files are skipped with a log line
+    * (those files belong to the replay sweep — folding them would
+    * duplicate the batch on replay; the other days still compact).
+    * `_commits` markers live outside the day dirs and are untouched.
+    * Returns the number of days rewritten. */
   def compactFragmentedDays(spark: SparkSession, path: String,
                             maxFilesPerDay: Int = AutoCompactFilesPerDay,
                             targetFileBytes: Long = TargetFileBytes): Int = locked(path) {
@@ -440,34 +466,48 @@ object SamplesStore {
     recoverSwap(fs, path)
     if (!fs.exists(root)) return 0
     val orphanIds = uncommittedBatchIds(fs, root).toSet
-    var rewritten = 0
-    fs.listStatus(root)
+    val fragmented = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
-      .foreach { day =>
-        val files = fs.listStatus(day.getPath)
-          .filter(_.getPath.getName.endsWith(".parquet"))
-        if (files.length > maxFilesPerDay) {
-          val hasOrphan = files.exists(f => f.getPath.getName match {
-            case BatchFilePattern(id) => orphanIds.contains(id.toLong)
-            case _                    => false
-          })
-          if (hasOrphan) {
-            log.warn(s"compactFragmentedDays($path): skipping ${day.getPath.getName}" +
-              " — uncommitted batch files present (replay the batch first)")
-          } else {
-            val nFiles = math.max(1L,
-              (files.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes).toInt
-            val rewrite = new Path(root, RewriteDayPrefix + day.getPath.getName)
-            fs.delete(rewrite, true)
-            spark.read.parquet(day.getPath.toString)
-              .repartitionByRange(nFiles, col("metric"), col("labels"), col("ts_us"))
-              .sortWithinPartitions(col("metric"), col("labels"), col("ts_us"))
-              .write.mode("overwrite").parquet(rewrite.toString)
-            swapDay(fs, root, day.getPath.getName, rewrite)
-            rewritten += 1
-          }
-        }
+      .map(day => day.getPath ->
+        fs.listStatus(day.getPath).filter(_.getPath.getName.endsWith(".parquet")))
+      .filter(_._2.length > maxFilesPerDay)
+    val (deferred, targets) = fragmented.partition { case (_, files) =>
+      files.exists(f => f.getPath.getName match {
+        case BatchFilePattern(id) => orphanIds.contains(id.toLong)
+        case _                    => false
+      })
+    }
+    deferred.foreach { case (day, _) =>
+      log.warn(s"compactFragmentedDays($path): skipping ${day.getName}" +
+        " — uncommitted batch files present (replay the batch first)")
+    }
+    if (targets.isEmpty) return 0
+
+    val totalBytes = targets.iterator.flatMap(_._2).map(_.getLen).sum
+    val nTasks = math.max(targets.length.toLong,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val shadow = new Path(root, RewriteDayPrefix + "batch")
+    fs.delete(shadow, true)
+    // `date` is re-derived from ts_us (as in layout()), and leads both
+    // the range partitioning and the within-partition sort so the
+    // dynamic-partition writer splits cleanly per day without
+    // injecting its own sort.
+    spark.read.parquet(targets.map(_._1.toString): _*)
+      .withColumn("date", expr("ts_us DIV 1000000 DIV 86400 * 86400"))
+      .repartitionByRange(nTasks, col("date"), col("metric"), col("labels"), col("ts_us"))
+      .sortWithinPartitions(col("date"), col("metric"), col("labels"), col("ts_us"))
+      .write.mode("overwrite").partitionBy("date").parquet(shadow.toString)
+    var rewritten = 0
+    targets.foreach { case (day, _) =>
+      val newDay = new Path(shadow, day.getName)
+      // a day whose files held zero rows produces no shadow output;
+      // leave it in place rather than swap in nothing
+      if (fs.exists(newDay)) {
+        swapDay(fs, root, day.getName, newDay)
+        rewritten += 1
       }
+    }
+    fs.delete(shadow, true)
     rewritten
   }
 

@@ -120,19 +120,23 @@ object HttpServe {
     })
 
     server.createContext("/read", (ex: HttpExchange) => guarded(ex) {
-      // compact()'s rename-aside swap has a brief window where the
-      // store path does not resolve (crash-safe, not atomically
-      // visible) — and auto-compaction runs on the serving append
-      // path, so a concurrent /read can land inside it. serve()
-      // re-resolves the store (by-name samples) and retries a
-      // transient miss; a store that simply doesn't exist yet (fresh
-      // server before the first /write) fails fast instead — that
-      // miss is permanent, not a swap window.
-      val resp = RemoteRead.serve(SamplesStore.read(spark, storePath),
-        body(ex), ignoreLabel, ignoreHints, maxReadSamples,
-        transientRetries = 2,
-        transientClassifier = e =>
-          RemoteRead.isTransientMiss(e) && storeSwapRecoverable(spark, storePath))
+      // The store's read lock excludes this query's whole execution
+      // from any compaction/delete swap window (in-JVM mutations hold
+      // the write lock), so a /read never sees a half-swapped store —
+      // neither the loud FileNotFound nor the silent missing-day
+      // listing. The retry below remains for OUT-of-process mutators
+      // (another JVM compacting the same store), whose swaps the lock
+      // can't see; a store that simply doesn't exist yet (fresh server
+      // before the first /write) fails fast instead — that miss is
+      // permanent, not a swap window.
+      val reqBody = body(ex)
+      val resp = SamplesStore.readLocked(storePath) {
+        RemoteRead.serve(SamplesStore.read(spark, storePath),
+          reqBody, ignoreLabel, ignoreHints, maxReadSamples,
+          transientRetries = 2,
+          transientClassifier = e =>
+            RemoteRead.isTransientMiss(e) && storeSwapRecoverable(spark, storePath))
+      }
       respond(ex, 200, resp, Seq(
         "Content-Type" -> "application/x-protobuf",
         "Content-Encoding" -> "snappy"))

@@ -241,6 +241,49 @@ class StoreSpec extends SparkSpecBase {
     assert(SamplesStore.read(spark, path).count() == total)
   }
 
+  test("readLocked reads never observe a half-swapped store during compaction") {
+    val path = "/tmp/graft_test/store_readlock"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val samples = Tables.samples(spark, Sf).cache()
+    SamplesStore.write(samples, path)
+    val total = samples.count()
+    val extra = samples.limit(50).cache(); extra.count()
+
+    // reader thread: hammer consistent-snapshot counts; every
+    // observation must see a complete store (without the read lock
+    // the day-swap window makes a silent < expected count possible —
+    // the crashed-day-swap test above demonstrates exactly that state)
+    @volatile var stop = false
+    @volatile var minExtras = Long.MaxValue
+    val bad = new java.util.concurrent.atomic.AtomicLong(0)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = new Thread(() => {
+      while (!stop) {
+        val n = SamplesStore.readLocked(path)(SamplesStore.read(spark, path).count())
+        seen.incrementAndGet()
+        // store holds total + k*50 for some completed append count k —
+        // any other value means a torn read
+        if (n < total || (n - total) % 50 != 0) bad.incrementAndGet()
+        minExtras = math.min(minExtras, n - total)
+      }
+    })
+    reader.start()
+    try {
+      // mutate continuously: append small batches into the hot day,
+      // compact selectively once fragmented — many swap windows
+      for (i <- 0 until 6) {
+        SamplesStore.append(extra, path)
+        SamplesStore.compactFragmentedDays(spark, path, maxFilesPerDay = 1)
+      }
+    } finally { stop = true; reader.join(30000) }
+    assert(seen.get() > 0, "the reader must have completed observations")
+    assert(bad.get() == 0,
+      s"every locked read must see a complete store (${bad.get()} torn reads)")
+    assert(SamplesStore.read(spark, path).count() == total + 6 * 50)
+  }
+
   test("TSV bulk round-trips labels containing tabs, quotes, newlines") {
     import spark.implicits._
     import graft.ingest.TsvBulk

@@ -238,6 +238,12 @@ object SamplesStore {
     }
     children.filter(_.getName.startsWith(RewriteDayPrefix))
       .foreach(p => fs.delete(p, true))
+    // a crashed appendBatch's staging dir is replay-swept IF the batch
+    // replays; a stream that is never restarted would leak it forever.
+    // Safe to sweep here: this runs under the store's write lock, so
+    // no appendBatch can be mid-staging concurrently.
+    children.filter(_.getName.startsWith(".staging-"))
+      .foreach(p => fs.delete(p, true))
   }
 
   /** Replace one day partition with its rewritten copy via rename-aside
@@ -438,6 +444,10 @@ object SamplesStore {
       throw new java.io.IOException(
         s"compact: rename $oldCommits -> $dst/_commits failed — commit markers would be lost")
     fs.delete(old, true)
+    val m = graft.OpsMetrics(spark)
+    m.compactions.add(1)
+    m.daysRewritten.add(
+      fs.listStatus(dst).count(s => s.isDirectory && s.getPath.getName.startsWith("date=")).toLong)
   }
 
   /** Selective compaction — the 100 TB shape of [[compact]]: rewrite
@@ -508,6 +518,9 @@ object SamplesStore {
       }
     }
     fs.delete(shadow, true)
+    val m = graft.OpsMetrics(spark)
+    m.compactions.add(1)
+    m.daysRewritten.add(rewritten.toLong)
     rewritten
   }
 

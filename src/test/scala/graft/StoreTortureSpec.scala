@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.SamplesStore
+
+/** Model-based torture of the samples store: a seeded random
+  * interleaving of every mutation the serving paths perform —
+  * plain appends, exactly-once batch appends, checkpoint REPLAYS of
+  * old batches, time-ranged deletes, selective and opportunistic
+  * compaction — continuously checked against a driver-side model of
+  * what the store must contain. This is the component with
+  * hand-rolled filesystem logic (staging, markers, rename-aside
+  * swaps), so it gets property-level coverage beyond the directed
+  * crash-state specs in StoreSpec: the bugs these interleavings
+  * catch are marker loss (replay duplication), orphan folding, and
+  * delete/compact interactions that directed tests don't enumerate. */
+class StoreTortureSpec extends SparkSpecBase {
+
+  private type Row4 = (Long, String, String, Double)
+
+  test("random mutation interleavings always match the in-memory model (seed=20260812)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260812)
+    val path = "/tmp/graft_test/store_torture"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+
+    val day0Us = 1704412800000000L // 2024-01-05, 3-day window
+    var nextTs = day0Us
+    def mkRows(n: Int): Vector[Row4] = Vector.fill(n) {
+      // unique, monotonically increasing ts inside a 3-day window —
+      // multiset equality degrades to set equality
+      val ts = nextTs + rng.nextInt(1000).toLong
+      nextTs = ts + (if (rng.nextBoolean()) 90L * 1000000L else 1L)
+      if (nextTs >= day0Us + 3L * 86400 * 1000000L) nextTs = day0Us + rng.nextInt(1000).toLong * 7L
+      (ts, s"m${rng.nextInt(4)}", s"h=h${rng.nextInt(3)}", rng.nextInt(100).toDouble)
+    }
+    def toDf(rows: Vector[Row4]) =
+      rows.toDF("ts_us", "metric", "l", "value")
+        .select(col("ts_us"), col("metric"), array(col("l")).as("labels"), col("value"))
+
+    var model = Set.empty[Row4]
+    var batches = Map.empty[Long, Vector[Row4]] // committed batch id → its rows
+    var nextBatch = 0L
+
+    def verify(tag: String): Unit = {
+      val arr = SamplesStore.read(spark, path)
+        .select(col("ts_us"), col("metric"), concat_ws(",", col("labels")).as("l"), col("value"))
+        .as[Row4].collect()
+      val got = arr.toSet
+      // length vs set size catches DUPLICATION (replay bugs), which
+      // set equality alone would silently collapse
+      val ok = arr.length == model.size && got == model
+      assert(ok,
+        s"$tag: store diverged from model (rows=${arr.length} distinct=${got.size} model=${model.size}, " +
+        s"extra=${(got -- model).take(3)}, missing=${(model -- got).take(3)})")
+    }
+
+    // seed the store so early deletes/compactions have substance
+    val seedRows = mkRows(60)
+    SamplesStore.write(toDf(seedRows), path)
+    model ++= seedRows
+
+    for (step <- 0 until 22) {
+      rng.nextInt(6) match {
+        case 0 =>
+          val rows = mkRows(20 + rng.nextInt(20))
+          SamplesStore.append(toDf(rows), path)
+          model ++= rows
+        case 1 =>
+          val rows = mkRows(20 + rng.nextInt(20))
+          val id = nextBatch; nextBatch += 1
+          SamplesStore.appendBatch(toDf(rows), path, id, autoCompactFilesPerDay = 6)
+          model ++= rows; batches += id -> rows
+        case 2 if batches.nonEmpty =>
+          // checkpoint replay of a random COMMITTED batch — its marker
+          // must short-circuit regardless of every compaction/delete
+          // that ran since; the model does not change
+          val (id, rows) = batches.toSeq(rng.nextInt(batches.size))
+          SamplesStore.appendBatch(toDf(rows), path, id, autoCompactFilesPerDay = 6)
+        case 3 =>
+          SamplesStore.compactFragmentedDays(spark, path, maxFilesPerDay = 1 + rng.nextInt(3))
+        case 4 =>
+          val t0 = day0Us + rng.nextInt(3 * 86400).toLong * 1000000L
+          val t1 = t0 + (1 + rng.nextInt(86400)).toLong * 1000000L
+          SamplesStore.deleteRange(spark, path, t0, t1)
+          model = model.filterNot(r => r._1 >= t0 && r._1 < t1)
+        case _ =>
+          SamplesStore.maybeCompact(spark, path, maxFilesPerDay = 2)
+      }
+      if (step % 4 == 3) verify(s"after step $step")
+    }
+    verify("final")
+    assert(model.nonEmpty, "the torture run must end with data to have verified anything")
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ingest.{Ingest, PromRemoteCodec, SamplesStore, StreamIngest, TsvBulk}
 import graft.ingest.PromRemoteCodec.{PromLabel, PromSample, PromTimeSeries}
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.operators._
 import graft.sources.Tables
 
@@ -419,6 +419,18 @@ object SparkEntry {
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
 
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
+
+    // Deterministic split assignment: membership is a pure function
+    // of (salt, doc_id) — stable across runs, partitionings, and
+    // cluster sizes, unlike Dataset.sample. Narrow per-row math.
+    "sample_split" -> ((s, dir) =>
+      Sampling.withSplit(Tables.documents(s, dir), "doc_id")
+        .select(col("doc_id"), col("bucket"), col("split"))),
+
+    // Reproducible 10% sample by key hash under a named salt.
+    "sample_deterministic" -> ((s, dir) =>
+      Sampling.sampleByKey(Tables.documents(s, dir), "doc_id", "s1", 100)
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
 
     // ---- §2.7 multimodal -------------------------------------------
     "mm_binary_pipeline" -> ((s, dir) =>
@@ -1027,6 +1039,18 @@ object SparkEntry {
          |       list_reduce(list_prepend(0::BIGINT, hs), (acc, h) -> (acc * 131 + h) % $H) AS fingerprint,
          |       len(toks) AS n_tokens
          |FROM hs""".stripMargin,
+
+    "sample_split" ->
+      s"""SELECT doc_id,
+         |       ${duckHash("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket,
+         |       CASE WHEN ${duckHash("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 800 THEN 'train'
+         |            WHEN ${duckHash("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 900 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+
+    "sample_deterministic" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${duckHash("'s1:' || CAST(doc_id AS VARCHAR)")} % 1000 < 100""".stripMargin,
 
     "mm_binary_pipeline" ->
       """WITH b AS (

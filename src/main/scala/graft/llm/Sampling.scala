@@ -1,0 +1,48 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and split assignment over a keyed corpus —
+  * the data-mixing primitives a training pipeline runs in front of
+  * every job. Spark's `Dataset.sample` draws per-partition random
+  * numbers: the subset changes with partitioning, retries, and runs,
+  * which is unacceptable for held-out splits (a val document that
+  * drifts into train between runs silently leaks). Here membership is
+  * a pure function of (salt, key) via the portable 60-bit md5 hash
+  * ([[Portable.hash60SqlSpark]]), so:
+  *  - the same corpus always yields the same split, on any cluster
+  *    topology, at any scale;
+  *  - different salts give independent samples (epoch subsets,
+  *    ablation slices) without coordination;
+  *  - it is a narrow per-row projection/filter — no shuffle, no
+  *    driver state, prunes to (key) at the scan at 100 TB.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) as a pure function of
+    * (salt, key column), portable across engines bit-for-bit. */
+  def hashBucket(keySql: String, salt: String, buckets: Int): Column =
+    expr(s"(${Portable.hash60SqlSpark(s"concat('$salt:', CAST($keySql AS STRING))")}) % $buckets")
+
+  /** Assign every row a stable train/val/test split by key hash:
+    * bucket < trainPermille → train, < train+val → val, else test.
+    * Emits `bucket` too so downstream re-slicing (finer holdouts,
+    * deterministic shards) reuses the same hash. */
+  def withSplit(df: DataFrame, keyCol: String, salt: String = "split",
+                trainPermille: Int = 800, valPermille: Int = 100): DataFrame =
+    df.withColumn("bucket", hashBucket(keyCol, salt, 1000))
+      .withColumn("split",
+        when(col("bucket") < trainPermille, lit("train"))
+          .when(col("bucket") < trainPermille + valPermille, lit("val"))
+          .otherwise(lit("test")))
+
+  /** Keep rows whose (salt, key) hash lands under `permille`/1000 —
+    * a reproducible sample: stable across runs and cluster layouts,
+    * composable (permille 100 of salt s is a superset of permille 50
+    * of salt s). */
+  def sampleByKey(df: DataFrame, keyCol: String, salt: String,
+                  permille: Int): DataFrame =
+    df.filter(hashBucket(keyCol, salt, 1000) < permille)
+}

@@ -189,4 +189,34 @@ class LlmSpec extends SparkSpecBase {
     assert(f1.sameElements(f2))
     assert(f1.length == docs.count())
   }
+
+  test("deterministic splits are stable, partition-invariant, and exhaustive") {
+    import graft.llm.Sampling
+    val n = docs.count()
+    def splits(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, String)] =
+      Sampling.withSplit(df, "doc_id").select("doc_id", "bucket", "split")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val s1 = splits(docs)
+    // identical under a different partitioning — Dataset.sample fails this
+    assert(s1 == splits(docs.repartition(17)))
+    assert(s1.size == n, "every row gets exactly one split")
+    val byS = s1.values.groupBy(_._2).view.mapValues(_.size).toMap
+    // 80/10/10 permille targets; the corpus is small, allow slack
+    assert(byS("train") > byS("val") && byS("train") > byS("test"))
+    assert(Set("train", "val", "test").subsetOf(byS.keySet))
+    assert(s1.values.forall { case (b, sp) =>
+      (b < 800) == (sp == "train") && (b >= 900) == (sp == "test") })
+  }
+
+  test("keyed samples are reproducible, salt-independent, and composable") {
+    import graft.llm.Sampling
+    def ids(salt: String, permille: Int): Set[Long] =
+      Sampling.sampleByKey(docs, "doc_id", salt, permille)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids("s1", 100)
+    assert(a == ids("s1", 100), "same salt+rate must reproduce exactly")
+    assert(ids("s1", 50).subsetOf(a), "lower rate under the same salt nests")
+    assert(a != ids("s2", 100), "a different salt draws an independent sample")
+    assert(a.nonEmpty && a.size < docs.count(), "a 10% sample is a strict non-empty subset")
+  }
 }

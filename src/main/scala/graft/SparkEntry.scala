@@ -432,6 +432,12 @@ object SparkEntry {
       Sampling.sampleByKey(Tables.documents(s, dir), "doc_id", "s1", 100)
         .select(col("doc_id"), col("lang"), col("n_chars"))),
 
+    // The whole corpus-prep pipeline in one pass: quality gate →
+    // language gate → exact dedup → split assignment. One scan, one
+    // shuffle (the dedup window) — plan-asserted in PlanSpec.
+    "pipeline_corpus_prep" -> ((s, dir) =>
+      graft.llm.CorpusPrep.prepare(Tables.documents(s, dir))),
+
     // ---- §2.7 multimodal -------------------------------------------
     "mm_binary_pipeline" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.packFromDocuments(Tables.documents(s, dir)))),
@@ -1051,6 +1057,45 @@ object SparkEntry {
     "sample_deterministic" ->
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE ${duckHash("'s1:' || CAST(doc_id AS VARCHAR)")} % 1000 < 100""".stripMargin,
+
+    "pipeline_corpus_prep" -> {
+      def score(words: Seq[String]) =
+        s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+      val Seq(en, es, de, fr) = TextAnalysis.StopWords.map(_._2)
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         |         strlen(replace(text, ' ', '')) AS n_alpha
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id, text, len(toks) AS n_words, n_alpha,
+         |         ${score(en)} AS score_en, ${score(es)} AS score_es,
+         |         ${score(de)} AS score_de, ${score(fr)} AS score_fr
+         |  FROM t
+         |), g AS (
+         |  SELECT doc_id, text,
+         |    round(least(n_words::DOUBLE / 100, 1.0::DOUBLE) * 0.5::DOUBLE +
+         |          least(score_en::DOUBLE / n_words * 5.0::DOUBLE, 1.0::DOUBLE) * 0.3::DOUBLE +
+         |          CASE WHEN n_alpha::DOUBLE / n_words BETWEEN 3.0::DOUBLE AND 8.0::DOUBLE
+         |               THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END, 6) AS quality_score,
+         |    CASE
+         |      WHEN score_en = 0 AND score_es = 0 AND score_de = 0 AND score_fr = 0 THEN 'und'
+         |      WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+         |      WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+         |      WHEN score_de >= score_fr THEN 'de'
+         |      ELSE 'fr'
+         |    END AS pred_lang
+         |  FROM f
+         |), kept AS (
+         |  SELECT doc_id, quality_score,
+         |         min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+         |  FROM g WHERE quality_score >= 0.5 AND pred_lang = 'en'
+         |)
+         |SELECT doc_id, quality_score,
+         |  CASE WHEN ${duckHash("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 800 THEN 'train'
+         |       WHEN ${duckHash("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM kept WHERE doc_id = keep_id""".stripMargin
+    },
 
     "mm_binary_pipeline" ->
       """WITH b AS (

@@ -1,0 +1,36 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus-preparation pipeline a training run fronts
+  * its data with: quality gate → language gate → exact dedup →
+  * deterministic split assignment. The point is the COMPOSITION
+  * shape, not any single operator: every per-row stage
+  * ([[TextAnalysis.withQualityScore]], [[TextAnalysis.withLangPred]],
+  * [[Sampling.withSplit]]) appends columns on the SAME scan — no
+  * joins between derived frames — so the whole pipeline is one narrow
+  * pass plus exactly ONE shuffle (the dedup window over md5(text),
+  * which carries gated rows only, already thinned by the filters).
+  * At 100 TB that is the difference between a single pass over the
+  * corpus and a cascade of scan+join stages.
+  */
+object CorpusPrep {
+
+  /** documents → (doc_id, quality_score, split) for the de-duplicated,
+    * quality- and language-gated corpus. Dedup keeps the min doc_id
+    * per distinct text, evaluated as a window over the dedup hash —
+    * one shuffle, no join-back. */
+  def prepare(documents: DataFrame, minQuality: Double = 0.5,
+              lang: String = "en"): DataFrame = {
+    val gated = TextAnalysis.withLangPred(TextAnalysis.withQualityScore(documents))
+      .filter(col("quality_score") >= minQuality && col("pred_lang") === lang)
+    val kept = gated
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("keep_id"))
+    Sampling.withSplit(kept, "doc_id")
+      .select(col("doc_id"), col("quality_score"), col("split"))
+  }
+}

@@ -60,17 +60,21 @@ object TextAnalysis {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  /** doc_id, predicted lang + per-language stopword scores.
-    * Deterministic argmax with fixed priority en>es>de>fr; zero
-    * evidence → 'und'. */
-  def langId(documents: DataFrame): DataFrame = {
-    val withScores = StopWords.foldLeft(documents.withColumn("toks", tokensCol)) {
+  private def withToks(df: DataFrame): DataFrame =
+    if (df.columns.contains("toks")) df else df.withColumn("toks", tokensCol)
+
+  /** Append `pred_lang` + per-language stopword scores as columns —
+    * the composable form: still a narrow per-row transform, so a
+    * pipeline can stack it with [[withQualityScore]] on ONE scan
+    * instead of joining two derived frames. Deterministic argmax with
+    * fixed priority en>es>de>fr; zero evidence → 'und'. */
+  def withLangPred(documents: DataFrame): DataFrame = {
+    val withScores = StopWords.foldLeft(withToks(documents)) {
       case (df, (lang, words)) =>
         df.withColumn(s"score_$lang",
           size(filter(col("toks"), t => t.isin(words: _*))))
     }
-    withScores.select(
-      col("doc_id"),
+    withScores.withColumn("pred_lang",
       expr(
         """CASE
           |  WHEN score_en = 0 AND score_es = 0 AND score_de = 0 AND score_fr = 0 THEN 'und'
@@ -78,29 +82,41 @@ object TextAnalysis {
           |  WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
           |  WHEN score_de >= score_fr THEN 'de'
           |  ELSE 'fr'
-          |END""".stripMargin).as("pred_lang"),
-      col("score_en"), col("score_es"), col("score_de"), col("score_fr"))
+          |END""".stripMargin))
   }
 
-  /** doc_id + quality features + composite score (round 6). */
-  def quality(documents: DataFrame): DataFrame =
-    documents
-      .withColumn("toks", tokensCol)
+  /** doc_id, predicted lang + per-language stopword scores. */
+  def langId(documents: DataFrame): DataFrame =
+    withLangPred(documents).select(
+      col("doc_id"), col("pred_lang"),
+      col("score_en"), col("score_es"), col("score_de"), col("score_fr"))
+
+  /** Append the quality features + composite `quality_score` (round 6)
+    * as columns — the composable per-row form. */
+  def withQualityScore(documents: DataFrame): DataFrame =
+    withToks(documents)
       .withColumn("n_words", size(col("toks")))
       .withColumn("n_chars_raw", length(col("text")))
       .withColumn("n_alpha", length(regexp_replace(col("text"), " ", "")))
       .withColumn("n_stop",
         size(filter(col("toks"), t => t.isin(StopWords.head._2: _*))))
-      .select(
-        col("doc_id"), col("n_words"), col("n_chars_raw"),
-        round(col("n_alpha").cast("double") / col("n_words"), 6).as("avg_word_len"),
-        round(col("n_stop").cast("double") / col("n_words"), 6).as("stop_ratio"),
+      .withColumn("avg_word_len",
+        round(col("n_alpha").cast("double") / col("n_words"), 6))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / col("n_words"), 6))
+      .withColumn("quality_score",
         round(
           least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.5 +
           least(col("n_stop").cast("double") / col("n_words") * 5.0, lit(1.0)) * 0.3 +
           when((col("n_alpha").cast("double") / col("n_words")).between(3.0, 8.0), 0.2)
             .otherwise(0.0),
-          6).as("quality_score"))
+          6))
+
+  /** doc_id + quality features + composite score (round 6). */
+  def quality(documents: DataFrame): DataFrame =
+    withQualityScore(documents).select(
+      col("doc_id"), col("n_words"), col("n_chars_raw"),
+      col("avg_word_len"), col("stop_ratio"), col("quality_score"))
 
   /** doc_id, whitespace token count, BPE-ish regex token count
     * (`[a-z0-9]+` runs plus isolated symbols), metadata check. */

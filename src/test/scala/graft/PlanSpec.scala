@@ -84,6 +84,19 @@ class PlanSpec extends SparkSpecBase {
     assert(df.exceptAll(plain).count() == 0 && plain.exceptAll(df).count() == 0)
   }
 
+  test("corpus-prep pipeline composes on one scan with exactly one shuffle") {
+    spark.catalog.clearCache()
+    val df = graft.llm.CorpusPrep.prepare(Tables.documents(spark, Sf))
+    val p = plan(df)
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"pipeline must read the corpus once, found $scans scans:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1,
+      s"pipeline must shuffle exactly once (the dedup window), found $exchanges:\n$p")
+    // and that shuffle carries the gated rows into the dedup window
+    assert(p.contains("Window"), s"expected the dedup window:\n$p")
+  }
+
   test("no SparkEntry plan contains a cartesian product; ann joins broadcast") {
     val sideEffecting = Set(
       "ingest_samples_sink", "ingest_delete_range", "ingest_streaming",

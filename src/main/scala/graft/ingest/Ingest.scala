@@ -450,78 +450,140 @@ object SamplesStore {
       fs.listStatus(dst).count(s => s.isDirectory && s.getPath.getName.startsWith("date=")).toLong)
   }
 
+  /** Shadow dir for the staged compaction rewrite. NOT under
+    * [[RewriteDayPrefix]]: recovery sweeps `.rewrite_*` at every
+    * mutation, and the staging here runs OUTSIDE the store lock —
+    * a concurrent append's recovery pass must not delete it. Stale
+    * copies (crash mid-staging) are swept by the next compaction's
+    * own snapshot phase, which cannot race an active staging thanks
+    * to the single-flight guard. */
+  private val StageDirName = ".stage_compact"
+
+  /** One compaction in flight per store: concurrent probes return
+    * immediately instead of queueing rewrites. */
+  private val compacting = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.atomic.AtomicBoolean]
+  private def compactingFlag(path: String) =
+    compacting.getOrElseUpdate(new Path(path).toString,
+      new java.util.concurrent.atomic.AtomicBoolean(false))
+
   /** Selective compaction — the 100 TB shape of [[compact]]: rewrite
     * ONLY the day partitions whose parquet-file count exceeds
     * `maxFilesPerDay`, leaving every healthy day's files untouched.
     * On a store with years of history only the hot write frontier
     * ever fragments, so the rewrite cost is O(fragmented days), not
-    * O(store) — and it is ONE distributed job over exactly those
-    * days' bytes (not a job per day: F small sequential jobs would
-    * pay F× scheduling overhead), followed by one crash-safe
-    * metadata-only [[swapDay]] per day. The rewrite range-partitions
-    * on (date, metric, labels, ts_us) into
-    * `max(F, ceil(bytes / targetFileBytes))` tasks, so a hot day
-    * folds into several well-sized sorted files and row-group pruning
-    * keeps its contiguous metric runs. Days carrying a crashed
-    * batch's uncommitted `b<id>-` files are skipped with a log line
-    * (those files belong to the replay sweep — folding them would
-    * duplicate the batch on replay; the other days still compact).
-    * `_commits` markers live outside the day dirs and are untouched.
-    * Returns the number of days rewritten. */
+    * O(store) — ONE distributed job over exactly those days' bytes
+    * (not a job per day: F small sequential jobs would pay F×
+    * scheduling overhead), range-partitioned on (date, metric,
+    * labels, ts_us) into `max(F, ceil(bytes / targetFileBytes))`
+    * tasks so a hot day folds into several well-sized sorted files
+    * and row-group pruning keeps its contiguous metric runs.
+    *
+    * Locking follows the ClickHouse background-merge contract — the
+    * expensive rewrite never blocks serving:
+    *  1. SNAPSHOT (write lock, ms): record each fragmented day's
+    *     exact file set.
+    *  2. STAGE (no lock): rewrite the RECORDED files into a shadow
+    *     dir while appends and reads proceed.
+    *  3. SWAP (write lock, ms): per day, swap only if the live
+    *     listing still equals the snapshot; a day that gained files
+    *     meanwhile is left intact for the next probe — concurrent
+    *     appends can defer a day's fold but never lose data.
+    * Single-flight per store; `afterStage` is a test seam invoked
+    * between phases 2 and 3. Returns the number of days rewritten. */
   def compactFragmentedDays(spark: SparkSession, path: String,
                             maxFilesPerDay: Int = AutoCompactFilesPerDay,
-                            targetFileBytes: Long = TargetFileBytes): Int = locked(path) {
-    val fs = fsFor(spark, path)
-    val root = new Path(path)
-    recoverSwap(fs, path)
-    if (!fs.exists(root)) return 0
-    val orphanIds = uncommittedBatchIds(fs, root).toSet
-    val fragmented = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
-      .map(day => day.getPath ->
-        fs.listStatus(day.getPath).filter(_.getPath.getName.endsWith(".parquet")))
-      .filter(_._2.length > maxFilesPerDay)
-    val (deferred, targets) = fragmented.partition { case (_, files) =>
-      files.exists(f => f.getPath.getName match {
-        case BatchFilePattern(id) => orphanIds.contains(id.toLong)
-        case _                    => false
-      })
-    }
-    deferred.foreach { case (day, _) =>
-      log.warn(s"compactFragmentedDays($path): skipping ${day.getName}" +
-        " — uncommitted batch files present (replay the batch first)")
-    }
-    if (targets.isEmpty) return 0
+                            targetFileBytes: Long = TargetFileBytes,
+                            afterStage: () => Unit = () => ()): Int = {
+    val flag = compactingFlag(path)
+    if (!flag.compareAndSet(false, true)) return 0 // single-flight
+    try {
+      val fs = fsFor(spark, path)
+      val root = new Path(path)
+      val shadow = new Path(root, StageDirName)
 
-    val totalBytes = targets.iterator.flatMap(_._2).map(_.getLen).sum
-    val nTasks = math.max(targets.length.toLong,
-      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val shadow = new Path(root, RewriteDayPrefix + "batch")
-    fs.delete(shadow, true)
-    // `date` is re-derived from ts_us (as in layout()), and leads both
-    // the range partitioning and the within-partition sort so the
-    // dynamic-partition writer splits cleanly per day without
-    // injecting its own sort.
-    spark.read.parquet(targets.map(_._1.toString): _*)
-      .withColumn("date", expr("ts_us DIV 1000000 DIV 86400 * 86400"))
-      .repartitionByRange(nTasks, col("date"), col("metric"), col("labels"), col("ts_us"))
-      .sortWithinPartitions(col("date"), col("metric"), col("labels"), col("ts_us"))
-      .write.mode("overwrite").partitionBy("date").parquet(shadow.toString)
-    var rewritten = 0
-    targets.foreach { case (day, _) =>
-      val newDay = new Path(shadow, day.getName)
-      // a day whose files held zero rows produces no shadow output;
-      // leave it in place rather than swap in nothing
-      if (fs.exists(newDay)) {
-        swapDay(fs, root, day.getName, newDay)
-        rewritten += 1
+      // Phase 1 — SNAPSHOT under the write lock: repair crash
+      // remnants, then record each fragmented day's exact parquet
+      // file set (names are immutable once written — appends only ADD
+      // files). Days carrying a crashed batch's uncommitted `b<id>-`
+      // files are deferred: those files belong to the replay sweep,
+      // and folding them would duplicate the batch on replay.
+      val targets: Seq[(String, Set[String], Long)] = locked(path) {
+        recoverSwap(fs, path)
+        fs.delete(shadow, true)
+        if (!fs.exists(root)) Seq.empty
+        else {
+          val orphanIds = uncommittedBatchIds(fs, root).toSet
+          val fragmented = fs.listStatus(root)
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+            .map(day => day.getPath ->
+              fs.listStatus(day.getPath).filter(_.getPath.getName.endsWith(".parquet")))
+            .filter(_._2.length > maxFilesPerDay)
+          val (deferred, ok) = fragmented.partition { case (_, files) =>
+            files.exists(f => f.getPath.getName match {
+              case BatchFilePattern(id) => orphanIds.contains(id.toLong)
+              case _                    => false
+            })
+          }
+          deferred.foreach { case (day, _) =>
+            log.warn(s"compactFragmentedDays($path): skipping ${day.getName}" +
+              " — uncommitted batch files present (replay the batch first)")
+          }
+          ok.toSeq.map { case (day, files) =>
+            (day.getName, files.map(_.getPath.getName).toSet, files.map(_.getLen).sum)
+          }
+        }
       }
-    }
-    fs.delete(shadow, true)
-    val m = graft.OpsMetrics(spark)
-    m.compactions.add(1)
-    m.daysRewritten.add(rewritten.toLong)
-    rewritten
+      if (targets.isEmpty) return 0
+
+      // Phase 2 — STAGE with NO lock held: the rewrite job reads the
+      // RECORDED files (never the live day dirs, so files appended
+      // meanwhile neither leak into the rewrite nor get lost by the
+      // swap) while concurrent /write appends and /read queries
+      // proceed — the ClickHouse background-merge contract. `date` is
+      // re-derived from ts_us (as in layout()) and leads both the
+      // range partitioning and the within-partition sort so the
+      // dynamic-partition writer splits cleanly per day.
+      val totalBytes = targets.map(_._3).sum
+      val nTasks = math.max(targets.length.toLong,
+        (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val stagedFiles = targets.flatMap { case (dayName, files, _) =>
+        files.map(f => new Path(new Path(root, dayName), f).toString)
+      }
+      spark.read.parquet(stagedFiles: _*)
+        .withColumn("date", expr("ts_us DIV 1000000 DIV 86400 * 86400"))
+        .repartitionByRange(nTasks, col("date"), col("metric"), col("labels"), col("ts_us"))
+        .sortWithinPartitions(col("date"), col("metric"), col("labels"), col("ts_us"))
+        .write.mode("overwrite").partitionBy("date").parquet(shadow.toString)
+      afterStage()
+
+      // Phase 3 — SWAP under the write lock, held only for metadata
+      // renames: each target day swaps ONLY if its live listing still
+      // equals the snapshot (a day that gained files meanwhile is
+      // left intact — nothing lost, the next probe folds it).
+      var rewritten = 0
+      locked(path) {
+        targets.foreach { case (dayName, recorded, _) =>
+          val live = new Path(root, dayName)
+          val newDay = new Path(shadow, dayName)
+          val unchanged = fs.exists(live) &&
+            fs.listStatus(live).filter(_.getPath.getName.endsWith(".parquet"))
+              .map(_.getPath.getName).toSet == recorded
+          if (unchanged && fs.exists(newDay)) {
+            swapDay(fs, root, dayName, newDay)
+            rewritten += 1
+          } else if (!unchanged) {
+            log.info(s"compactFragmentedDays($path): $dayName changed during " +
+              "staging — leaving it for the next probe")
+          }
+        }
+        fs.delete(shadow, true)
+      }
+      val m = graft.OpsMetrics(spark)
+      m.compactions.add(1)
+      m.daysRewritten.add(rewritten.toLong)
+      rewritten
+    } finally flag.set(false)
   }
 
   /** Opportunistic compaction for the serving append paths: folds any

@@ -27,18 +27,49 @@ object RemoteWrite {
     * request at a multi-year store. The serving path probes at most
     * once per this interval per store; fragmentation between probes is
     * bounded by the request rate × interval, which the next probe
-    * folds. */
-  val CompactCheckIntervalMs: Long = 10000L
+    * folds. Mutable so specs (and deployments) can tune the cadence. */
+  @volatile var compactCheckIntervalMs: Long = 10000L
+
+  /** Per-day file-count threshold the serving probe hands to
+    * [[SamplesStore.maybeCompact]]; an ops knob like the interval. */
+  @volatile var autoCompactFilesPerDay: Int = SamplesStore.AutoCompactFilesPerDay
+
   private val lastCompactCheck =
     scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Background merge pool (the ClickHouse analogue): compaction runs
+    * OFF the request path, so the /write that happens to trip the
+    * probe doesn't pay the rewrite's latency. One thread, no queue —
+    * at most one compaction at a time, extra triggers are dropped on
+    * the floor (the next rate-limited probe re-submits; the store
+    * also single-flights internally). */
+  private val compactPool = new java.util.concurrent.ThreadPoolExecutor(
+    0, 1, 30, java.util.concurrent.TimeUnit.SECONDS,
+    new java.util.concurrent.SynchronousQueue[Runnable],
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-store-compact")
+      t.setDaemon(true)
+      t
+    },
+    new java.util.concurrent.ThreadPoolExecutor.DiscardPolicy)
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private def maybeCompactRateLimited(spark: SparkSession, storePath: String): Unit = {
     val now = System.currentTimeMillis()
     val last = lastCompactCheck.getOrElse(storePath, 0L)
-    if (now - last >= CompactCheckIntervalMs &&
+    if (now - last >= compactCheckIntervalMs &&
         lastCompactCheck.replace(storePath, last, now) ||
         lastCompactCheck.putIfAbsent(storePath, now).isEmpty)
-      SamplesStore.maybeCompact(spark, storePath)
+      compactPool.execute { () =>
+        try SamplesStore.maybeCompact(spark, storePath, autoCompactFilesPerDay)
+        catch {
+          // a failed background merge must not be silent — but it must
+          // also never take the serving loop down; the next probe retries
+          case scala.util.control.NonFatal(e) =>
+            log.warn(s"background compaction of $storePath failed: ${e.getMessage}")
+        }
+      }
   }
 
   /** WriteRequest blob → store append at `storePath`; returns the

@@ -51,6 +51,39 @@ class ServeSpec extends SparkSpecBase {
     assert(graft.ingest.SamplesStore.read(spark, store).count() === 10)
   }
 
+  test("the serving write path folds fragmentation in the background") {
+    val store = tmpStore("bgcompact")
+    val (interval, threshold) =
+      (RemoteWrite.compactCheckIntervalMs, RemoteWrite.autoCompactFilesPerDay)
+    RemoteWrite.compactCheckIntervalMs = 0L
+    RemoteWrite.autoCompactFilesPerDay = 2
+    try {
+      // every request lands one file in the single day partition; the
+      // probe fires per request (interval 0) and merges OFF this thread
+      for (i <- 0 until 6) RemoteWrite.serve(spark, store, writeBlob(s"bg_$i", 5))
+      def dayFiles: Int = {
+        val day = new java.io.File(store).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("date="))
+        if (day.isEmpty) Int.MaxValue
+        else day.map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+      }
+      // background merge: poll until the day folds under the threshold
+      val deadline = System.currentTimeMillis() + 60000
+      var last = dayFiles
+      while (last > 3 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); last = dayFiles
+      }
+      assert(last <= 3, s"background compaction never folded the day (still $last files)")
+      // merges must be result-invariant: all 30 samples, 6 metrics
+      val back = graft.ingest.SamplesStore.read(spark, store)
+      assert(back.count() === 30)
+      assert(back.select(col("metric")).distinct().count() === 6)
+    } finally {
+      RemoteWrite.compactCheckIntervalMs = interval
+      RemoteWrite.autoCompactFilesPerDay = threshold
+    }
+  }
+
   test("RemoteWrite.serve rejects a malformed blob and counts the error") {
     val store = tmpStore("badwrite")
     val m = OpsMetrics(spark)

@@ -209,6 +209,34 @@ class StoreSpec extends SparkSpecBase {
     assert(SamplesStore.compactFragmentedDays(spark, path, maxFilesPerDay = 2) == 0)
   }
 
+  test("an append landing during compaction staging is never lost") {
+    import spark.implicits._
+    val path = "/tmp/graft_test/store_stage_race"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val day0 = 1704412800L
+    def rowsFor(off: Int) =
+      (0 until 30).map(i => (day0 * 1000000L + (off * 30 + i) * 1000000L,
+        s"m${i % 5}", Seq("k=v"), i.toDouble)).toDF("ts_us", "metric", "labels", "value")
+    for (i <- 0 until 3) SamplesStore.append(rowsFor(i), path)
+    val baseCount = SamplesStore.read(spark, path).count()
+
+    // the test seam fires between STAGE and SWAP — exactly the window
+    // where a /write can add files to a day being compacted
+    var appended = false
+    val n = SamplesStore.compactFragmentedDays(spark, path, maxFilesPerDay = 2,
+      afterStage = () => { SamplesStore.append(rowsFor(3), path); appended = true })
+    assert(appended)
+    assert(n == 0, "a day that gained files during staging must NOT be swapped")
+    assert(SamplesStore.read(spark, path).count() == baseCount + 30,
+      "neither the staged rows nor the concurrent append may be lost")
+    // nothing in flight anymore: the next probe folds the day
+    assert(SamplesStore.compactFragmentedDays(spark, path, maxFilesPerDay = 2) == 1)
+    assert(SamplesStore.read(spark, path).count() == baseCount + 30)
+    assert(sortedWithinFiles(path))
+  }
+
   test("a crashed day swap is repaired by the next mutation") {
     val path = "/tmp/graft_test/store_dayswapcrash"
     val fs = new org.apache.hadoop.fs.Path(path)

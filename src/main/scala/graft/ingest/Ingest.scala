@@ -142,39 +142,64 @@ object SamplesStore {
     * sees contiguous (metric, labels, ts_us) runs per file. */
   val TargetFileBytes: Long = 512L * 1024 * 1024
 
-  /** One read-write lock per store path: the HTTP front door serves
-    * handlers concurrently, and two Spark jobs appending into the
-    * same directory tree race their FileOutputCommitter `_temporary`
-    * staging; compaction's rename-aside swap must never overlap an
-    * append at all. Mutations take the WRITE lock and serialize per
-    * store within this JVM (the serving process is one JVM, like the
-    * reference's one Go process in front of ClickHouse). Readers that
-    * want snapshot consistency across the swap windows — the serving
-    * `/read` — wrap their whole query execution in [[readLocked]]:
-    * many reads run concurrently, none can interleave a swap's two
-    * renames (which would silently drop a day from partition
-    * discovery). The lock is FAIR so a stream of reads cannot starve
-    * compaction nor vice versa. Bare [[read]] stays lock-free — it
-    * returns a lazy DataFrame, and out-of-process readers can't take
-    * an in-JVM lock anyway (they retry transient misses instead). */
+  /** Two locks per store path, with distinct jobs:
+    *
+    * MUTATION lock — one exclusive lock per store: the HTTP front
+    * door serves handlers concurrently, and two Spark jobs appending
+    * into the same directory tree race their FileOutputCommitter
+    * `_temporary` staging; compaction's swap must never overlap an
+    * append at all. Mutations serialize per store within this JVM
+    * (the serving process is one JVM, like the reference's one Go
+    * process in front of ClickHouse).
+    *
+    * VISIBILITY lock — a fair read-write lock held in WRITE mode only
+    * around the ms-scale metadata events that make the store LOSE
+    * data transiently from a reader's viewpoint: day/store swap
+    * renames, crash-recovery restores, delete's day drops. Readers
+    * ([[readLocked]], the serving `/read`) hold its READ side for
+    * their whole query execution: they run concurrently with each
+    * other AND with append/rewrite jobs (a remote-write request's
+    * samples have no atomic-visibility contract — gradual appearance
+    * is fine), but can never interleave a swap's two renames, which
+    * would silently drop a whole day from partition discovery. Lock
+    * order is always mutation → visibility, and readers take only
+    * the visibility side, so no cycle exists. Bare [[read]] stays
+    * lock-free — it returns a lazy DataFrame, and out-of-process
+    * readers can't take an in-JVM lock anyway (they retry the loud
+    * transient miss instead). */
   private val storeLocks = scala.collection.concurrent.TrieMap
-    .empty[String, java.util.concurrent.locks.ReentrantReadWriteLock]
-  private def lockFor(path: String) =
-    storeLocks.getOrElseUpdate(new Path(path).toString,
-      new java.util.concurrent.locks.ReentrantReadWriteLock(true))
+    .empty[String, java.util.concurrent.locks.ReentrantLock]
   private def locked[T](path: String)(f: => T): T = {
-    val l = lockFor(path).writeLock()
+    val l = storeLocks.getOrElseUpdate(new Path(path).toString,
+      new java.util.concurrent.locks.ReentrantLock)
+    l.lock()
+    try f finally l.unlock()
+  }
+
+  private val visibilityLocks = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.locks.ReentrantReadWriteLock]
+  private def visibilityFor(path: String) =
+    visibilityLocks.getOrElseUpdate(new Path(path).toString,
+      new java.util.concurrent.locks.ReentrantReadWriteLock(true))
+
+  /** Wrap a transient-invisibility window (swap renames, restores,
+    * day drops) — excludes [[readLocked]] readers for its ms-scale
+    * duration. Always entered while holding the mutation lock. */
+  private def visible[T](path: String)(f: => T): T = {
+    val l = visibilityFor(path).writeLock()
     l.lock()
     try f finally l.unlock()
   }
 
   /** Run `f` (a read's full plan-to-action execution) holding the
-    * store's read lock: concurrent with other reads, excluded from
-    * mutation swap windows. In-JVM serving reads get a consistent
-    * store listing for free; this must never wrap anything that
+    * store's visibility read lock: concurrent with other reads and
+    * with append/compaction REWRITE jobs, excluded only from the
+    * ms-scale swap windows. In-JVM serving reads can thus never
+    * observe a half-swapped store, and their latency is decoupled
+    * from concurrent write jobs. Must never wrap anything that
     * mutates the same store (read→write upgrade deadlocks). */
   def readLocked[T](path: String)(f: => T): T = {
-    val l = lockFor(path).readLock()
+    val l = visibilityFor(path).readLock()
     l.lock()
     try f finally l.unlock()
   }
@@ -195,7 +220,7 @@ object SamplesStore {
     *    turn the next checkpoint replay into wholesale duplication),
     *    then drop `.old`.
     *  - `.compacting` remnants are an incomplete rewrite — disposable. */
-  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = visible(path) {
     val dst = new Path(path)
     val tmp = new Path(dst.getParent, dst.getName + ".compacting")
     val old = new Path(dst.getParent, dst.getName + ".old")
@@ -260,7 +285,7 @@ object SamplesStore {
     * manifest commit — the per-day job shape stays identical.
     * `rewrite` must already hold the new parquet files for the day. */
   private def swapDay(fs: org.apache.hadoop.fs.FileSystem, root: Path,
-                      dayName: String, rewrite: Path): Unit = {
+                      dayName: String, rewrite: Path): Unit = visible(root.toString) {
     val live = new Path(root, dayName)
     val aside = new Path(root, OldDayPrefix + dayName)
     if (!fs.rename(live, aside))
@@ -429,11 +454,13 @@ object SamplesStore {
     // path briefly does not exist, so a concurrent reader can see a
     // transient miss and must retry (in-JVM writers are excluded by
     // the store lock; readers are not).
-    if (!fs.rename(dst, old))
-      throw new java.io.IOException(s"compact: rename $dst -> $old failed")
-    if (!fs.rename(tmp, dst)) {
-      fs.rename(old, dst) // roll back so the store stays readable
-      throw new java.io.IOException(s"compact: rename $tmp -> $dst failed")
+    visible(path) {
+      if (!fs.rename(dst, old))
+        throw new java.io.IOException(s"compact: rename $dst -> $old failed")
+      if (!fs.rename(tmp, dst)) {
+        fs.rename(old, dst) // roll back so the store stays readable
+        throw new java.io.IOException(s"compact: rename $tmp -> $dst failed")
+      }
     }
     // carry the appendBatch commit markers across the rewrite, so a
     // stream replay after a compaction still short-circuits; a silent
@@ -609,7 +636,10 @@ object SamplesStore {
       val fullyInside = dayStartUs >= startUs && dayEndUs <= endUs
       val overlaps = dayStartUs < endUs && dayEndUs > startUs
       if (fullyInside) {
-        fs.delete(dir, true)
+        // a whole-day drop is itself a visibility event: without the
+        // exclusion a reader mid-scan gets FileNotFound on the day's
+        // files rather than the intended clean disappearance
+        visible(path)(fs.delete(dir, true))
       } else if (overlaps) {
         // boundary day: rewrite the partition without the deleted rows,
         // re-sorted so the rewrite keeps the store's within-file

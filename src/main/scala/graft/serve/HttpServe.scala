@@ -120,13 +120,14 @@ object HttpServe {
     })
 
     server.createContext("/read", (ex: HttpExchange) => guarded(ex) {
-      // The store's read lock excludes this query's whole execution
-      // from any compaction/delete swap window (in-JVM mutations hold
-      // the write lock), so a /read never sees a half-swapped store —
-      // neither the loud FileNotFound nor the silent missing-day
-      // listing. The retry below remains for OUT-of-process mutators
-      // (another JVM compacting the same store), whose swaps the lock
-      // can't see; a store that simply doesn't exist yet (fresh server
+      // The store's visibility read lock excludes this query's whole
+      // execution from the ms-scale swap/restore/drop windows — a
+      // /read never sees a half-swapped store (neither the loud
+      // FileNotFound nor the silent missing-day listing) while still
+      // running CONCURRENTLY with append and compaction rewrite jobs.
+      // The retry below remains for OUT-of-process mutators (another
+      // JVM compacting the same store), whose swaps the lock can't
+      // see; a store that simply doesn't exist yet (fresh server
       // before the first /write) fails fast instead — that miss is
       // permanent, not a swap window.
       val reqBody = body(ex)

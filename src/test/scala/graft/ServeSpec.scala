@@ -211,6 +211,50 @@ class ServeSpec extends SparkSpecBase {
     } finally srv.stop()
   }
 
+  test("/read stays correct while writes trigger background merges") {
+    val store = tmpStore("readmerge")
+    val (interval, threshold) =
+      (RemoteWrite.compactCheckIntervalMs, RemoteWrite.autoCompactFilesPerDay)
+    RemoteWrite.compactCheckIntervalMs = 0L
+    RemoteWrite.autoCompactFilesPerDay = 2
+    val srv = HttpServe.start(spark, store)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      assert(post(s"$base/write", writeBlob("rm_0", 4))._1 === 200)
+      val readBlob = PromRemoteCodec.encodeReadRequest(Seq(
+        ReadQuery(1704412800000L, 1704413000000L,
+          Seq(Matchers.re("__name__", "rm_.*")))))
+      // writer: 6 more requests, each tripping the async merge probe
+      val writer = Future {
+        (1 to 6).map(i => post(s"$base/write", writeBlob(s"rm_$i", 4))._1)
+      }
+      // reader: poll /read throughout — every response must decode and
+      // the visible sample count must never regress (swap windows and
+      // background merges stay invisible to the HTTP client)
+      var lastSeen = 0
+      var observations = 0
+      var done = false
+      while (!done || observations == 0) {
+        done = writer.isCompleted
+        val (rc, rbody, _) = post(s"$base/read", readBlob)
+        assert(rc === 200, s"/read failed mid-merge: ${new String(rbody, "UTF-8")}")
+        val n = PromRemoteCodec.decodeReadResponse(rbody).map(_.samples.size).sum
+        assert(n >= lastSeen, s"visible samples regressed $lastSeen -> $n")
+        lastSeen = n; observations += 1
+      }
+      assert(Await.result(writer, 120.seconds).forall(_ == 200))
+      // settle: final read sees all 28 samples exactly once
+      val (fc, fbody, _) = post(s"$base/read", readBlob)
+      assert(fc === 200)
+      assert(PromRemoteCodec.decodeReadResponse(fbody).map(_.samples.size).sum === 28)
+      assert(observations > 0)
+    } finally {
+      srv.stop()
+      RemoteWrite.compactCheckIntervalMs = interval
+      RemoteWrite.autoCompactFilesPerDay = threshold
+    }
+  }
+
   test("concurrent /write requests all land — store mutations serialize safely") {
     val store = tmpStore("concwrite")
     val srv = HttpServe.start(spark, store)

@@ -155,7 +155,9 @@ object SamplesStore {
     * VISIBILITY lock — a fair read-write lock held in WRITE mode only
     * around the ms-scale metadata events that make the store LOSE
     * data transiently from a reader's viewpoint: day/store swap
-    * renames, crash-recovery restores, delete's day drops. Readers
+    * renames and delete's day drops (crash-recovery restores need no
+    * exclusion — they only bring back what a reader already could
+    * not see). Readers
     * ([[readLocked]], the serving `/read`) hold its READ side for
     * their whole query execution: they run concurrently with each
     * other AND with append/rewrite jobs (a remote-write request's
@@ -182,9 +184,9 @@ object SamplesStore {
     visibilityLocks.getOrElseUpdate(new Path(path).toString,
       new java.util.concurrent.locks.ReentrantReadWriteLock(true))
 
-  /** Wrap a transient-invisibility window (swap renames, restores,
-    * day drops) — excludes [[readLocked]] readers for its ms-scale
-    * duration. Always entered while holding the mutation lock. */
+  /** Wrap a transient-invisibility window (swap renames, day drops)
+    * — excludes [[readLocked]] readers for its ms-scale duration.
+    * Always entered while holding the mutation lock. */
   private def visible[T](path: String)(f: => T): T = {
     val l = visibilityFor(path).writeLock()
     l.lock()
@@ -219,8 +221,15 @@ object SamplesStore {
     *    the new layout if it lacks them (losing the marker set would
     *    turn the next checkpoint replay into wholesale duplication),
     *    then drop `.old`.
-    *  - `.compacting` remnants are an incomplete rewrite — disposable. */
-  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = visible(path) {
+    *  - `.compacting` remnants are an incomplete rewrite — disposable.
+    *
+    * Deliberately NOT under the visibility lock: every recovery
+    * transition either restores data a reader already could not see
+    * (the crash left it missing) or touches dot/underscore-hidden
+    * paths — readers can only gain from it, and taking the visibility
+    * write lock here would make every mutation's (almost always
+    * no-op) recovery probe drain in-flight reads first. */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
     val dst = new Path(path)
     val tmp = new Path(dst.getParent, dst.getName + ".compacting")
     val old = new Path(dst.getParent, dst.getName + ".old")

@@ -15,7 +15,9 @@ final case class ServeConfig(
     storePath: String = "",
     readIgnoreLabel: String = "remote=clickhouse",
     readIgnoreHints: Boolean = false,
-    maxReadSamples: Long = RemoteRead.DefaultMaxReadSamples) {
+    maxReadSamples: Long = RemoteRead.DefaultMaxReadSamples,
+    compactIntervalMs: Long = 10000L,
+    compactFilesPerDay: Int = graft.ingest.SamplesStore.AutoCompactFilesPerDay) {
 
   /** [address:]port → port int (main.go:93-95 prefixes ":" when no
     * host given; the JDK server binds all interfaces either way). */
@@ -38,6 +40,12 @@ final case class ServeConfig(
     if (maxReadSamples <= 0)
       throw new IllegalArgumentException(
         s"invalid read.max-samples $maxReadSamples: must be positive")
+    if (compactIntervalMs < 0)
+      throw new IllegalArgumentException(
+        s"invalid store.compact-interval-ms $compactIntervalMs: must be >= 0")
+    if (compactFilesPerDay <= 0)
+      throw new IllegalArgumentException(
+        s"invalid store.compact-files-per-day $compactFilesPerDay: must be positive")
     port // validates listen
     this
   }
@@ -62,6 +70,8 @@ object Main {
       case "-read.ignore-label" :: v :: t => loop(t, c.copy(readIgnoreLabel = v))
       case "-read.ignore-hints" :: t => loop(t, c.copy(readIgnoreHints = true))
       case "-read.max-samples" :: v :: t => loop(t, c.copy(maxReadSamples = v.toLong))
+      case "-store.compact-interval-ms" :: v :: t => loop(t, c.copy(compactIntervalMs = v.toLong))
+      case "-store.compact-files-per-day" :: v :: t => loop(t, c.copy(compactFilesPerDay = v.toInt))
       case Nil => c
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown flag: $other")
@@ -78,6 +88,10 @@ object Main {
       .config("spark.sql.codegen.maxFields", "200")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
+    // background-merge knobs (the reference exposes its ops knobs as
+    // flags too; these bound the write path's compaction probe)
+    RemoteWrite.compactCheckIntervalMs = cfg.compactIntervalMs
+    RemoteWrite.autoCompactFilesPerDay = cfg.compactFilesPerDay
     val server = HttpServe.start(spark, cfg.storePath, cfg.port,
       cfg.ignoreLabelOpt, cfg.readIgnoreHints, cfg.maxReadSamples)
     // main.go:157-162's "listening" log line, then serve forever.

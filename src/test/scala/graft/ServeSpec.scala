@@ -142,6 +142,14 @@ class ServeSpec extends SparkSpecBase {
       parseArgs(Seq("-store", "/tmp/s", "-http", "notaport")))
     intercept[IllegalArgumentException](
       parseArgs(Seq("-store", "/tmp/s", "-bogus", "x")))
+    // background-merge knobs parse and validate
+    val k = parseArgs(Seq("-store", "/tmp/s",
+      "-store.compact-interval-ms", "500", "-store.compact-files-per-day", "16"))
+    assert(k.compactIntervalMs === 500L && k.compactFilesPerDay === 16)
+    intercept[IllegalArgumentException](
+      parseArgs(Seq("-store", "/tmp/s", "-store.compact-files-per-day", "0")))
+    intercept[IllegalArgumentException](
+      parseArgs(Seq("-store", "/tmp/s", "-store.compact-interval-ms", "-1")))
   }
 
   test("HTTP shim round-trips write → read with the reference's contract") {

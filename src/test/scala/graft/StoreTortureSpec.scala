@@ -19,10 +19,11 @@ class StoreTortureSpec extends SparkSpecBase {
 
   private type Row4 = (Long, String, String, Double)
 
-  test("random mutation interleavings always match the in-memory model (seed=20260812)") {
+  for (seed <- Seq(20260812, 424242))
+  test(s"random mutation interleavings always match the in-memory model (seed=$seed)") {
     import spark.implicits._
-    val rng = new scala.util.Random(20260812)
-    val path = "/tmp/graft_test/store_torture"
+    val rng = new scala.util.Random(seed)
+    val path = s"/tmp/graft_test/store_torture_$seed"
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)

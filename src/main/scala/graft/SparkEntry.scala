@@ -163,10 +163,9 @@ object SparkEntry {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
       val all = samples(s, dir)
-      SamplesStore.append(all.filter(expr("ts_us % 3 = 0")), path)
-      SamplesStore.append(all.filter(expr("ts_us % 3 = 1")), path)
-      SamplesStore.append(all.filter(expr("ts_us % 3 = 2")), path)
-      SamplesStore.compactFragmentedDays(s, path, maxFilesPerDay = 2)
+      SamplesStore.append(all.filter(expr("ts_us % 2 = 0")), path)
+      SamplesStore.append(all.filter(expr("ts_us % 2 = 1")), path)
+      SamplesStore.compactFragmentedDays(s, path, maxFilesPerDay = 1)
       SamplesStore.read(s, path)
         .groupBy(col("metric"), col("date").cast("long").as("date"))
         .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))

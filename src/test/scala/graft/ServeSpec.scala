@@ -62,10 +62,13 @@ class ServeSpec extends SparkSpecBase {
       // probe fires per request (interval 0) and merges OFF this thread
       for (i <- 0 until 6) RemoteWrite.serve(spark, store, writeBlob(s"bg_$i", 5))
       def dayFiles: Int = {
-        val day = new java.io.File(store).listFiles()
+        // polled concurrently with the background merge: a day dir can
+        // vanish for the swap's ms window, making listFiles() null
+        val day = Option(new java.io.File(store).listFiles()).getOrElse(Array.empty)
           .filter(f => f.isDirectory && f.getName.startsWith("date="))
         if (day.isEmpty) Int.MaxValue
-        else day.map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+        else day.map(d => Option(d.listFiles()).getOrElse(Array.empty)
+          .count(_.getName.endsWith(".parquet"))).max
       }
       // background merge: poll until the day folds under the threshold
       val deadline = System.currentTimeMillis() + 60000

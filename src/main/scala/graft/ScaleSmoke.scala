@@ -13,7 +13,7 @@ import graft.sources.Tables
   * read pipeline (select → assemble → serve) on a scaled samples
   * corpus (labels suffixed per copy — series COUNT scales, the axis
   * that grows at 100 TB). Measures how each stage scales; numbers
-  * land in SCALE.md. `SPARK_GRAFT_SCALE_ONLY=read|dedup|ann|compact`
+  * land in SCALE.md. `SPARK_GRAFT_SCALE_ONLY=read|dedup|ann|prep|compact`
   * runs one section. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -92,6 +92,14 @@ object ScaleSmoke {
         val blob = PromRemoteCodec.encodeReadRequest(Seq(rq))
         RemoteRead.serve(smp, blob).length.toLong
       }
+    }
+
+    // Corpus-prep pipeline: quality gate → lang gate → exact dedup →
+    // split, one scan + one shuffle. Runtime must track corpus size
+    // linearly (the only shuffle carries gated rows).
+    for (m <- Seq(1, 2, 4) if sectionEnabled("prep")) {
+      val d = scaled(m)
+      time(s"corpusPrep      m=$m")(graft.llm.CorpusPrep.prepare(d).count())
     }
 
     // Compaction: history length (m× days of store, ts shifted per

@@ -140,6 +140,35 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("truncated and bit-flipped VALID messages fail cleanly too") {
+    // different failure paths than pure garbage: a truncated valid
+    // message exercises every length-prefix boundary (crash
+    // mid-transfer), a bit-flip exercises field-tag and varint
+    // corruption (a flip can also land in string content and still
+    // decode — success is legal, leaking index errors is not)
+    def assertClean(f: => Any): Unit =
+      try { f; () } catch {
+        case _: ProtoWire.WireFormatException => ()
+        case _: java.io.IOException => ()
+        case _: IllegalArgumentException => ()
+        case t: Throwable => fail(s"codec leaked ${t.getClass.getName}: ${t.getMessage}")
+      }
+    (1 to 300).foreach { _ =>
+      val req = PromWriteRequest((0 until rnd.nextInt(3) + 1).map { _ =>
+        PromTimeSeries(
+          (0 until rnd.nextInt(4)).map(_ => PromLabel(randString(), randString())),
+          (0 until rnd.nextInt(5)).map(_ => PromSample(randDouble(), randLong())))
+      })
+      val enc = PromRemoteCodec.encodeWriteRequest(req)
+      assertClean(PromRemoteCodec.decodeWriteRequest(
+        enc.take(rnd.nextInt(enc.length))))
+      val flipped = enc.clone()
+      val i = rnd.nextInt(flipped.length)
+      flipped(i) = (flipped(i) ^ (1 << rnd.nextInt(8))).toByte
+      assertClean(PromRemoteCodec.decodeWriteRequest(flipped))
+    }
+  }
+
   test("garbage bytes never escape the codec's declared failure modes") {
     // acceptable: clean wire/format errors (mapped to the reference's
     // HTTP 400/500 path). NOT acceptable: index/negative-size/OOM-class

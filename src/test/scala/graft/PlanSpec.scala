@@ -106,6 +106,9 @@ class PlanSpec extends SparkSpecBase {
       if (!sideEffecting(name)) {
         val p = plan(fn(spark, Sf))
         assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
+        // no operator smuggles a Scala UDF into its plan — everything
+        // is native functions, HOFs, or custom codegen expressions
+        assert(!p.contains("ScalaUDF"), s"$name plans a Scala UDF:\n$p")
         if (name.startsWith("ann_"))
           assert(p.contains("Broadcast"), s"$name does not broadcast its query side:\n$p")
       }

@@ -17,7 +17,8 @@ final case class ServeConfig(
     readIgnoreHints: Boolean = false,
     maxReadSamples: Long = RemoteRead.DefaultMaxReadSamples,
     compactIntervalMs: Long = 10000L,
-    compactFilesPerDay: Int = graft.ingest.SamplesStore.AutoCompactFilesPerDay) {
+    compactFilesPerDay: Int = graft.ingest.SamplesStore.AutoCompactFilesPerDay,
+    retentionDays: Int = 0) {
 
   /** [address:]port → port int (main.go:93-95 prefixes ":" when no
     * host given; the JDK server binds all interfaces either way). */
@@ -46,6 +47,9 @@ final case class ServeConfig(
     if (compactFilesPerDay <= 0)
       throw new IllegalArgumentException(
         s"invalid store.compact-files-per-day $compactFilesPerDay: must be positive")
+    if (retentionDays < 0)
+      throw new IllegalArgumentException(
+        s"invalid store.retention-days $retentionDays: must be >= 0 (0 disables)")
     port // validates listen
     this
   }
@@ -72,6 +76,7 @@ object Main {
       case "-read.max-samples" :: v :: t => loop(t, c.copy(maxReadSamples = v.toLong))
       case "-store.compact-interval-ms" :: v :: t => loop(t, c.copy(compactIntervalMs = v.toLong))
       case "-store.compact-files-per-day" :: v :: t => loop(t, c.copy(compactFilesPerDay = v.toInt))
+      case "-store.retention-days" :: v :: t => loop(t, c.copy(retentionDays = v.toInt))
       case Nil => c
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown flag: $other")
@@ -92,6 +97,7 @@ object Main {
     // flags too; these bound the write path's compaction probe)
     RemoteWrite.compactCheckIntervalMs = cfg.compactIntervalMs
     RemoteWrite.autoCompactFilesPerDay = cfg.compactFilesPerDay
+    RemoteWrite.retentionDays = cfg.retentionDays
     val server = HttpServe.start(spark, cfg.storePath, cfg.port,
       cfg.ignoreLabelOpt, cfg.readIgnoreHints, cfg.maxReadSamples)
     // main.go:157-162's "listening" log line, then serve forever.

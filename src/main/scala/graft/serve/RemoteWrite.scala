@@ -34,6 +34,13 @@ object RemoteWrite {
     * [[SamplesStore.maybeCompact]]; an ops knob like the interval. */
   @volatile var autoCompactFilesPerDay: Int = SamplesStore.AutoCompactFilesPerDay
 
+  /** Retention horizon in days; 0 disables. The ClickHouse `TTL`
+    * clause analogue: the background maintenance pass drops day
+    * partitions that end before `now - retentionDays`. The cutoff is
+    * day-aligned, so expiry is always whole-directory drops — never
+    * a boundary rewrite — and costs one listing plus k deletes. */
+  @volatile var retentionDays: Int = 0
+
   private val lastCompactCheck =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
@@ -62,12 +69,20 @@ object RemoteWrite {
         lastCompactCheck.replace(storePath, last, now) ||
         lastCompactCheck.putIfAbsent(storePath, now).isEmpty)
       compactPool.execute { () =>
-        try SamplesStore.maybeCompact(spark, storePath, autoCompactFilesPerDay)
-        catch {
+        try {
+          SamplesStore.maybeCompact(spark, storePath, autoCompactFilesPerDay)
+          val horizon = retentionDays
+          if (horizon > 0) {
+            val cutoffUs =
+              System.currentTimeMillis() / 1000 / 86400 * 86400 * 1000000L -
+                horizon * 86400L * 1000000L
+            SamplesStore.deleteRange(spark, storePath, Long.MinValue, cutoffUs)
+          }
+        } catch {
           // a failed background merge must not be silent — but it must
           // also never take the serving loop down; the next probe retries
           case scala.util.control.NonFatal(e) =>
-            log.warn(s"background compaction of $storePath failed: ${e.getMessage}")
+            log.warn(s"background store maintenance of $storePath failed: ${e.getMessage}")
         }
       }
   }

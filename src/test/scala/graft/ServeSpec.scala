@@ -87,6 +87,38 @@ class ServeSpec extends SparkSpecBase {
     }
   }
 
+  test("retention expires whole old days in the background, sparing the horizon") {
+    val store = tmpStore("retention")
+    val saved = (RemoteWrite.compactCheckIntervalMs, RemoteWrite.retentionDays)
+    RemoteWrite.compactCheckIntervalMs = 0L
+    RemoteWrite.retentionDays = 30
+    try {
+      // one series far past the horizon (2024) and one written now
+      val nowMs = System.currentTimeMillis()
+      val series = Seq(
+        PromTimeSeries(Seq(PromLabel("__name__", "ret_old")),
+          Seq(PromSample(1.0, 1704412800000L))),
+        PromTimeSeries(Seq(PromLabel("__name__", "ret_new")),
+          Seq(PromSample(2.0, nowMs))))
+      RemoteWrite.serve(spark, store,
+        PromRemoteCodec.encodeWriteRequest(PromWriteRequest(series)))
+      // the background maintenance pass drops the 2024 day directory
+      val deadline = System.currentTimeMillis() + 60000
+      def metrics: Set[String] =
+        graft.ingest.SamplesStore.read(spark, store)
+          .select(col("metric")).distinct().collect().map(_.getString(0)).toSet
+      var m = metrics
+      while (m.contains("ret_old") && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); m = metrics
+      }
+      assert(m === Set("ret_new"),
+        s"retention must drop only the expired day, saw $m")
+    } finally {
+      RemoteWrite.compactCheckIntervalMs = saved._1
+      RemoteWrite.retentionDays = saved._2
+    }
+  }
+
   test("RemoteWrite.serve rejects a malformed blob and counts the error") {
     val store = tmpStore("badwrite")
     val m = OpsMetrics(spark)
@@ -153,6 +185,9 @@ class ServeSpec extends SparkSpecBase {
       parseArgs(Seq("-store", "/tmp/s", "-store.compact-files-per-day", "0")))
     intercept[IllegalArgumentException](
       parseArgs(Seq("-store", "/tmp/s", "-store.compact-interval-ms", "-1")))
+    assert(parseArgs(Seq("-store", "/tmp/s", "-store.retention-days", "90")).retentionDays === 90)
+    intercept[IllegalArgumentException](
+      parseArgs(Seq("-store", "/tmp/s", "-store.retention-days", "-1")))
   }
 
   test("HTTP shim round-trips write → read with the reference's contract") {

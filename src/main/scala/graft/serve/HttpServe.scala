@@ -60,6 +60,11 @@ object HttpServe {
     * driver). */
   val HandlerThreads = 16
 
+  /** Cap on `/api/v1/labels` and `/api/v1/label/<k>/values` response
+    * entries — a runaway-cardinality label (user ids…) must bound the
+    * driver collect, like `maxReadSamples` bounds `/read`. */
+  val MetaValuesLimit = 10000
+
   /** Start serving `storePath` on `port` (0 = ephemeral, for specs).
     * ignoreLabel/ignoreHints mirror the reference's -read.* flags. */
   def start(spark: SparkSession, storePath: String, port: Int = 0,
@@ -146,6 +151,67 @@ object HttpServe {
     server.createContext("/metrics", (ex: HttpExchange) => guarded(ex) {
       respond(ex, 200, OpsMetrics(spark).render.getBytes(UTF_8),
         Seq("Content-Type" -> "text/plain; version=0.0.4; charset=utf-8"))
+    })
+
+    // ---- Prometheus metadata API over the store ---------------------
+    // The reference delegates these to Prometheus itself; serving them
+    // here lets a Grafana variables query hit the store directly. A
+    // store that doesn't exist yet answers success+empty (the
+    // Prometheus behavior for no data), not 500. Value domains are
+    // capped — a runaway-cardinality label must not OOM the driver.
+
+    def jsonList(values: Seq[String]): Array[Byte] = {
+      def esc(s: String): String = s.flatMap {
+        case '"'           => "\\\""
+        case '\\'          => "\\\\"
+        case c if c < ' '  => f"\\u${c.toInt}%04x"
+        case c             => c.toString
+      }
+      values.map(v => s""""${esc(v)}"""").mkString(
+        """{"status":"success","data":[""", ",", "]}").getBytes(UTF_8)
+    }
+
+    def storeSamples(): Option[org.apache.spark.sql.DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(storePath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(SamplesStore.read(spark, storePath)) else None
+    }
+
+    server.createContext("/api/v1/labels", (ex: HttpExchange) => guarded(ex) {
+      val names = SamplesStore.readLocked(storePath) {
+        storeSamples().map { df =>
+          "__name__" +: graft.operators.Meta.labelNames(df)
+            .select("label_name").orderBy("label_name").limit(MetaValuesLimit)
+            .collect().map(_.getString(0)).toSeq
+        }.getOrElse(Seq.empty)
+      }
+      respond(ex, 200, jsonList(names),
+        Seq("Content-Type" -> "application/json"))
+    })
+
+    server.createContext("/api/v1/label/", (ex: HttpExchange) => guarded(ex) {
+      // /api/v1/label/<key>/values
+      val parts = ex.getRequestURI.getPath.split("/").toSeq
+      if (parts.length != 6 || parts(5) != "values") {
+        respond(ex, 404, "graft".getBytes(UTF_8),
+          Seq("Content-Type" -> "text/plain; charset=utf-8"))
+      } else {
+        val key = java.net.URLDecoder.decode(parts(4), "UTF-8")
+        val values = SamplesStore.readLocked(storePath) {
+          storeSamples().map { df =>
+            val domain = if (key == "__name__")
+              df.select(org.apache.spark.sql.functions.col("metric").as("v")).distinct()
+            else graft.operators.Meta.labelValues(df, key)
+              .select(org.apache.spark.sql.functions.col("label_value").as("v"))
+            // limit INSIDE the plan (ordered for determinism) — the
+            // cap must bound the collect, not trim after it
+            domain.orderBy("v").limit(MetaValuesLimit)
+              .collect().map(_.getString(0)).toSeq
+          }.getOrElse(Seq.empty)
+        }
+        respond(ex, 200, jsonList(values),
+          Seq("Content-Type" -> "application/json"))
+      }
     })
 
     server.start()

@@ -228,6 +228,32 @@ class ServeSpec extends SparkSpecBase {
     } finally srv.stop()
   }
 
+  test("metadata API serves label names and values as Prometheus JSON") {
+    val store = tmpStore("metaapi")
+    val srv = HttpServe.start(spark, store)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      // fresh server, no store yet: success + empty, never a 500 —
+      // a Grafana variables query must not error on an empty TSDB
+      assert(get(s"$base/api/v1/labels") ===
+        ((200, """{"status":"success","data":[]}""")))
+      assert(post(s"$base/write", writeBlob("meta_metric", 3))._1 === 200)
+      val (lc, lbody) = get(s"$base/api/v1/labels")
+      assert(lc === 200)
+      assert(lbody === """{"status":"success","data":["__name__","k"]}""")
+      val (vc, vbody) = get(s"$base/api/v1/label/k/values")
+      assert(vc === 200)
+      assert(vbody === """{"status":"success","data":["v0","v1","v2"]}""")
+      // __name__ resolves to the metric domain
+      assert(get(s"$base/api/v1/label/__name__/values")._2
+        === """{"status":"success","data":["meta_metric"]}""")
+      // unknown label: success + empty; malformed path: the 404 body
+      assert(get(s"$base/api/v1/label/nope/values")._2
+        === """{"status":"success","data":[]}""")
+      assert(get(s"$base/api/v1/label/k")._1 === 404)
+    } finally srv.stop()
+  }
+
   test("HTTP handlers run concurrently — a parked handler does not wedge the server") {
     val store = tmpStore("conc")
     RemoteWrite.serve(spark, store, writeBlob("conc_metric", 3))

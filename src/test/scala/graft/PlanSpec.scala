@@ -84,6 +84,18 @@ class PlanSpec extends SparkSpecBase {
     assert(df.exceptAll(plain).count() == 0 && plain.exceptAll(df).count() == 0)
   }
 
+  test("deterministic sampling ops plan zero exchanges") {
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, Sf)
+    for ((name, df) <- Seq(
+        "withSplit" -> graft.llm.Sampling.withSplit(docs, "doc_id"),
+        "sampleByKey" -> graft.llm.Sampling.sampleByKey(docs, "doc_id", "s1", 100))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"),
+        s"$name must be a narrow per-row plan, found a shuffle:\n$p")
+    }
+  }
+
   test("corpus-prep pipeline composes on one scan with exactly one shuffle") {
     spark.catalog.clearCache()
     val df = graft.llm.CorpusPrep.prepare(Tables.documents(spark, Sf))

@@ -332,8 +332,12 @@ object SparkEntry {
       RangeOps.increaseDelta(RangeOps.dedupPerSecond(samples(s, dir)), 3600L))),
 
     "ts_avg_over_time" -> ((s, dir) => (
+      // integer-exact mean (1e-5 units) — see RangeOps.aggAcrossSeries:
+      // round(avg,6) lands on exact decimal midpoints for power-of-2
+      // bucket counts, which the two engines round differently
       RangeOps.overTime(RangeOps.dedupPerSecond(samples(s, dir)), 3600L,
-        Seq(round(avg(col("value")), 6).as("avg_value"))))),
+        Seq(expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) * 1000 DIV count(1)")
+          .as("avg_value_e5"))))),
 
     "ts_minmax_over_time" -> ((s, dir) => (
       RangeOps.overTime(RangeOps.dedupPerSecond(samples(s, dir)), 3600L,
@@ -680,7 +684,7 @@ object SparkEntry {
       s"""$dedupCte
          |SELECT metric, array_to_string(labels, ',') AS labels_str,
          |       t_sec // 3600 * 3600 AS bucket,
-         |       round(avg(value), 6) AS avg_value
+         |       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) * 1000 // count(*) AS avg_value_e5
          |FROM deduped GROUP BY 1, 2, 3""".stripMargin,
 
     "ts_minmax_over_time" ->
@@ -807,7 +811,7 @@ object SparkEntry {
       s"""$dedupCte
          |SELECT metric, t_sec // 3600 * 3600 AS bucket,
          |       round(sum(value), 6) AS sum_value,
-         |       round(avg(value), 6) AS avg_value,
+         |       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) * 1000 // count(*) AS avg_value_e5,
          |       count(*) AS n_points,
          |       count(DISTINCT labels) AS n_series
          |FROM deduped GROUP BY 1, 2""".stripMargin,

@@ -155,7 +155,15 @@ object RangeOps {
       .withColumn("bucket", expr(s"t_sec DIV $intervalSec * $intervalSec"))
       .groupBy(col("metric"), col("bucket"))
       .agg(round(sum(col("value")), 6).as("sum_value"),
-           round(avg(col("value")), 6).as("avg_value"),
+           // integer-exact mean in 1e-5 units: the input values carry
+           // exactly two decimals, so sum*100 snaps to an integer
+           // (floor(+0.5) absorbs the ~1e-12 float error) and the
+           // division is integer — engine-portable where round(avg,6)
+           // is not: a power-of-2 count makes avg an exact decimal
+           // MIDPOINT (961.49/32 = 30.0465625), which Spark's HALF_UP
+           // and a C-style double round resolve differently
+           expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) * 1000 DIV count(1)")
+             .as("avg_value_e5"),
            count(lit(1)).as("n_points"),
            countDistinct(col("labels")).as("n_series"))
 

@@ -736,7 +736,7 @@ object SparkEntry {
          |  FROM samples GROUP BY 1, 2
          |), r AS (SELECT *, 0.9 * total AS rk FROM h)
          |SELECT metric, t_sec,
-         |       round(${RangeOps.hqCaseSql(RangeOps.DefaultLes)}, 6) AS q_est,
+         |       CAST(floor((${RangeOps.hqCaseSql(RangeOps.DefaultLes)}) * 1000000 + 0.5) AS BIGINT) AS q_est_e6,
          |       CAST(total AS BIGINT) AS n_points
          |FROM r""".stripMargin
     },
@@ -825,7 +825,7 @@ object SparkEntry {
     "ts_gap_fill" ->
       s"""$dedupCte, bucketed AS (
          |  SELECT metric, labels, t_sec // 3600 * 3600 AS bucket,
-         |         round(avg(value), 6) AS avg_value
+         |         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) * 1000 // count(*) AS avg_value
          |  FROM deduped GROUP BY 1, 2, 3
          |), grid AS (
          |  SELECT metric, labels, unnest(generate_series(min(bucket), max(bucket), 3600)) AS bucket

@@ -194,8 +194,11 @@ object RangeOps {
     * output size and the carry is a per-series window — both scale
     * with series-count × buckets, independent of raw sample count. */
   def gapFill(deduped: DataFrame, intervalSec: Long): DataFrame = {
+    // integer-exact bucket mean (1e-5 units, see aggAcrossSeries) —
+    // the carried fill value must hash identically across engines
     val bucketed = overTimeKeyed(deduped, intervalSec,
-      Seq(round(avg(col("value")), 6).as("avg_value")))
+      Seq(expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) * 1000 DIV count(1)")
+        .as("avg_value")))
     val grid = bucketed
       .groupBy(col("metric"), col("labels"))
       .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
@@ -266,7 +269,12 @@ object RangeOps {
       .agg(cnts.head, cnts.tail: _*)
       .withColumn("rk", expr(s"$q * total"))
       .select(col("metric"), col("t_sec"),
-        expr(s"round(${hqCaseSql(les)}, 6)").as("q_est"),
+        // floor-scaled integer, not round(x,6): the interpolation can
+        // land on exact 6dp midpoints (width 0.25 over a 32-count
+        // bucket -> 0.2578125) where the engines' round() disagree;
+        // floor(x*1e6+0.5) is pure IEEE arithmetic on a double both
+        // engines computed identically from this same CASE text
+        expr(s"CAST(floor((${hqCaseSql(les)}) * 1000000 + 0.5) AS BIGINT)").as("q_est_e6"),
         col("total").cast("long").as("n_points"))
   }
 }

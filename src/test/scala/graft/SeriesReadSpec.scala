@@ -89,12 +89,13 @@ class SeriesReadSpec extends SparkSpecBase {
 
   test("histogram_quantile estimates are bounded and monotone in q") {
     val q50 = RangeOps.histogramQuantile(samples, 86400L, 0.5)
-      .select(col("metric"), col("t_sec"), col("q_est").as("e50"))
+      .select(col("metric"), col("t_sec"), col("q_est_e6").as("e50"))
     val q90 = RangeOps.histogramQuantile(samples, 86400L, 0.9)
-      .select(col("metric"), col("t_sec"), col("q_est").as("e90"))
+      .select(col("metric"), col("t_sec"), col("q_est_e6").as("e90"))
     val joined = q50.join(q90, Seq("metric", "t_sec")).cache()
     assert(joined.count() > 0)
-    assert(joined.filter(col("e50") < 0 || col("e90") > RangeOps.DefaultLes.last).count() == 0)
+    assert(joined.filter(col("e50") < 0 ||
+      col("e90") > RangeOps.DefaultLes.last * 1e6).count() == 0)
     assert(joined.filter(col("e50") > col("e90")).count() == 0, "quantile must be monotone in q")
   }
 

@@ -668,7 +668,8 @@ object SparkEntry {
          |  WINDOW w AS (PARTITION BY metric, labels ORDER BY t_sec)
          |)
          |SELECT metric, array_to_string(labels, ',') AS labels_str, t_sec, value,
-         |       CASE WHEN dv < 0 THEN NULL ELSE round(dv / dt, 6) END AS rate
+         |       CASE WHEN dv < 0 THEN NULL
+         |            ELSE CAST(floor(dv / dt::DOUBLE * 1000000 + 0.5) AS BIGINT) END AS rate_e6
          |FROM diffed WHERE dt IS NOT NULL AND dt > 0""".stripMargin,
 
     "ts_increase" ->
@@ -791,8 +792,8 @@ object SparkEntry {
          |  FROM sums
          |)
          |SELECT metric, array_to_string(labels, ',') AS labels_str, bucket,
-         |       round(slope, 6) AS deriv,
-         |       round(slope * (x_last + 3600) + (sy - slope * sx) / n, 6) AS predicted,
+         |       CAST(floor(slope * 1000000 + 0.5) AS BIGINT) AS deriv_e6,
+         |       CAST(floor((slope * (x_last + 3600.0) + (sy - slope * sx) / n) * 1000000 + 0.5) AS BIGINT) AS predicted_e6,
          |       n::BIGINT AS n_points
          |FROM fit""".stripMargin,
 
@@ -803,7 +804,7 @@ object SparkEntry {
          |  FROM deduped GROUP BY 1, 2, 3
          |)
          |SELECT metric, array_to_string(labels, ',') AS labels_str, bucket,
-         |       round(sqrt(greatest(syy/n - (sy/n)*(sy/n), 0)), 6) AS stddev,
+         |       CAST(floor(sqrt(greatest(syy/n - (sy/n)*(sy/n), 0)) * 1000000 + 0.5) AS BIGINT) AS stddev_e6,
          |       n::BIGINT AS n_points
          |FROM sums""".stripMargin,
 

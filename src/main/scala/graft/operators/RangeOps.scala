@@ -47,10 +47,13 @@ object RangeOps {
       .withColumn("dv", col("value") - lag(col("value"), 1).over(w))
       .withColumn("dt", col("t_sec") - lag(col("t_sec"), 1).over(w))
       .filter(col("dt").isNotNull && col("dt") > 0)
-      .withColumn("rate",
-        when(col("dv") < 0, lit(null).cast("double"))
-          .otherwise(round(col("dv") / col("dt").cast("double"), 6)))
-      .select(col("metric"), labelsStr, col("t_sec"), col("value"), col("rate"))
+      .withColumn("rate_e6",
+        // floor-scaled integer of a double both engines compute from
+        // the identical lag-diff formula — round(x,6) disagrees across
+        // engines on exact 6dp midpoints (dv=0.01 over a 20000s gap)
+        when(col("dv") < 0, lit(null).cast("bigint"))
+          .otherwise(expr("CAST(floor(dv / CAST(dt AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")))
+      .select(col("metric"), labelsStr, col("t_sec"), col("value"), col("rate_e6"))
   }
 
   /** Bucketed per-series aggregates keyed on the labels array.
@@ -127,9 +130,11 @@ object RangeOps {
       .withColumn("intercept",
         when(col("den") =!= 0.0, (col("sy") - col("slope") * col("sx")) / col("n")))
       .select(col("metric"), labelsStr, col("bucket"),
-        round(col("slope"), 6).as("deriv"),
-        round(col("slope") * (col("x_last") + lit(horizonSec.toDouble)) + col("intercept"), 6)
-          .as("predicted"),
+        // floor-scaled — the slope is a ratio of small integers, so
+        // exact 6dp midpoints occur; both engines share the formula
+        expr("CAST(floor(slope * 1000000 + 0.5) AS BIGINT)").as("deriv_e6"),
+        expr(s"CAST(floor((slope * (x_last + ${horizonSec.toDouble}) + intercept) " +
+          "* 1000000 + 0.5) AS BIGINT)").as("predicted_e6"),
         col("n").cast("long").as("n_points"))
 
   /** Population stddev per bucket (stddev_over_time), from explicit
@@ -140,11 +145,11 @@ object RangeOps {
       sum(col("value")).as("sy"),
       sum(col("value") * col("value")).as("syy"),
       count(lit(1)).cast("double").as("n")))
-      .withColumn("stddev",
-        round(sqrt(greatest(col("syy") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n")),
-                            lit(0.0))), 6))
+      .withColumn("stddev_e6",
+        expr("CAST(floor(sqrt(greatest(syy / n - (sy / n) * (sy / n), 0.0D)) " +
+          "* 1000000 + 0.5) AS BIGINT)"))
       .select(col("metric"), col("labels_str"), col("bucket"),
-        col("stddev"), col("n").cast("long").as("n_points"))
+        col("stddev_e6"), col("n").cast("long").as("n_points"))
 
   /** Cross-series aggregation (PromQL `sum by (metric)` /
     * `avg by (metric)` over an instant bucket): collapses the label

@@ -77,7 +77,7 @@ class SeriesReadSpec extends SparkSpecBase {
 
   test("rate guard: negative differences become NULL, dt>0 enforced") {
     val rated = RangeOps.ratePerSecond(RangeOps.dedupPerSecond(samples))
-    assert(rated.filter(col("rate") < 0).count() == 0)
+    assert(rated.filter(col("rate_e6") < 0).count() == 0)
     assert(rated.count() > 0)
   }
 

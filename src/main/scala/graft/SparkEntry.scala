@@ -848,7 +848,7 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""$minhashCte
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       round(len(list_filter(range(1, 129), i -> a.sig[i] = b.sig[i]))::DOUBLE / 128, 6) AS est_sim
+         |       len(list_filter(range(1, 129), i -> a.sig[i] = b.sig[i]))::BIGINT * 1000000 // 128 AS est_sim_e6
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id""".stripMargin,
 
@@ -871,9 +871,9 @@ object SparkEntry {
          |  SELECT doc_id, list_distinct(hs) AS h FROM hs
          |)
          |SELECT doc_a, doc_b,
-         |       round(len(list_intersect(ha.h, hb.h)) / len(list_distinct(ha.h || hb.h))::DOUBLE, 6) AS jaccard
+         |       len(list_intersect(ha.h, hb.h))::BIGINT * 1000000 // len(list_distinct(ha.h || hb.h)) AS jaccard_e6
          |FROM pairs JOIN hsets ha ON doc_a = ha.doc_id JOIN hsets hb ON doc_b = hb.doc_id
-         |WHERE round(len(list_intersect(ha.h, hb.h)) / len(list_distinct(ha.h || hb.h))::DOUBLE, 6) >= 0.8""".stripMargin,
+         |WHERE len(list_intersect(ha.h, hb.h))::BIGINT * 1000000 // len(list_distinct(ha.h || hb.h)) >= 800000""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH hs AS (
@@ -1022,12 +1022,12 @@ object SparkEntry {
          |  FROM t
          |)
          |SELECT doc_id, n_words, n_chars_raw,
-         |       round(n_alpha::DOUBLE / n_words, 6) AS avg_word_len,
-         |       round(n_stop::DOUBLE / n_words, 6) AS stop_ratio,
-         |       round(least(n_words::DOUBLE / 100, 1.0::DOUBLE) * 0.5::DOUBLE +
-         |             least(n_stop::DOUBLE / n_words * 5.0::DOUBLE, 1.0::DOUBLE) * 0.3::DOUBLE +
-         |             CASE WHEN n_alpha::DOUBLE / n_words BETWEEN 3.0::DOUBLE AND 8.0::DOUBLE
-         |                  THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END, 6) AS quality_score
+         |       n_alpha::BIGINT * 1000000 // n_words AS avg_word_len_e6,
+         |       n_stop::BIGINT * 1000000 // n_words AS stop_ratio_e6,
+         |       least(n_words::BIGINT * 5000, 500000) +
+         |       least(n_stop::BIGINT * 1500000 // n_words, 300000) +
+         |       CASE WHEN n_alpha >= 3 * n_words AND n_alpha <= 8 * n_words
+         |            THEN 200000 ELSE 0 END AS quality_score_e6
          |FROM f""".stripMargin
     },
 
@@ -1077,10 +1077,10 @@ object SparkEntry {
          |  FROM t
          |), g AS (
          |  SELECT doc_id, text,
-         |    round(least(n_words::DOUBLE / 100, 1.0::DOUBLE) * 0.5::DOUBLE +
-         |          least(score_en::DOUBLE / n_words * 5.0::DOUBLE, 1.0::DOUBLE) * 0.3::DOUBLE +
-         |          CASE WHEN n_alpha::DOUBLE / n_words BETWEEN 3.0::DOUBLE AND 8.0::DOUBLE
-         |               THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END, 6) AS quality_score,
+         |    least(n_words::BIGINT * 5000, 500000) +
+         |    least(score_en::BIGINT * 1500000 // n_words, 300000) +
+         |    CASE WHEN n_alpha >= 3 * n_words AND n_alpha <= 8 * n_words
+         |         THEN 200000 ELSE 0 END AS quality_score_e6,
          |    CASE
          |      WHEN score_en = 0 AND score_es = 0 AND score_de = 0 AND score_fr = 0 THEN 'und'
          |      WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
@@ -1090,11 +1090,11 @@ object SparkEntry {
          |    END AS pred_lang
          |  FROM f
          |), kept AS (
-         |  SELECT doc_id, quality_score,
+         |  SELECT doc_id, quality_score_e6,
          |         min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
-         |  FROM g WHERE quality_score >= 0.5 AND pred_lang = 'en'
+         |  FROM g WHERE quality_score_e6 >= 500000 AND pred_lang = 'en'
          |)
-         |SELECT doc_id, quality_score,
+         |SELECT doc_id, quality_score_e6,
          |  CASE WHEN ${duckHash("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 800 THEN 'train'
          |       WHEN ${duckHash("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 900 THEN 'val'
          |       ELSE 'test' END AS split
@@ -1110,8 +1110,8 @@ object SparkEntry {
         |SELECT doc_id, n_bytes, bsum % 997 AS checksum,
         |       ascii(substr(text, 1, 1)) % 64 + 1 AS width,
         |       ascii(substr(text, 2, 1)) % 64 + 1 AS height,
-        |       CASE WHEN n_bytes = 0 THEN 0.0
-        |            ELSE round(bsum::DOUBLE / n_bytes, 6) END AS mean_intensity
+        |       CASE WHEN n_bytes = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(floor(bsum::DOUBLE / n_bytes * 1000000 + 0.5) AS BIGINT) END AS mean_intensity_e6
         |FROM b""".stripMargin,
 
     // every 3rd 256-byte frame; the corpus is ASCII so byte slices

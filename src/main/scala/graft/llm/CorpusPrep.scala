@@ -25,12 +25,13 @@ object CorpusPrep {
   def prepare(documents: DataFrame, minQuality: Double = 0.5,
               lang: String = "en"): DataFrame = {
     val gated = TextAnalysis.withLangPred(TextAnalysis.withQualityScore(documents))
-      .filter(col("quality_score") >= minQuality && col("pred_lang") === lang)
+      .filter(col("quality_score_e6") >= math.round(minQuality * 1e6) &&
+              col("pred_lang") === lang)
     val kept = gated
       .withColumn("keep_id",
         min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
       .filter(col("doc_id") === col("keep_id"))
     Sampling.withSplit(kept, "doc_id")
-      .select(col("doc_id"), col("quality_score"), col("split"))
+      .select(col("doc_id"), col("quality_score_e6"), col("split"))
   }
 }

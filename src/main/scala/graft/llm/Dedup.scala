@@ -133,8 +133,8 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        expr(s"round(CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) AS DOUBLE) / $NumPerms, 6)")
-          .as("est_sim"))
+        expr(s"CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) AS BIGINT) * 1000000 DIV $NumPerms")
+          .as("est_sim_e6"))
   }
 
   /** Jaccard verification over the LSH candidates: exact
@@ -168,9 +168,9 @@ object Dedup {
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        expr("round(size(array_intersect(shs_a, shs_b)) / CAST(size(array_union(shs_a, shs_b)) AS DOUBLE), 6)")
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        expr("CAST(size(array_intersect(shs_a, shs_b)) AS BIGINT) * 1000000 " +
+          "DIV size(array_union(shs_a, shs_b))").as("jaccard_e6"))
+      .filter(col("jaccard_e6") >= math.round(threshold * 1e6))
   }
 
   /** Greedy LSH dedup — the linear-output production contract: every

@@ -99,6 +99,8 @@ object Multimodal {
         MediaFeatures(r.doc_id, n, checksum, w, h, mean)
       }
     }.toDF()
-      .withColumn("mean_intensity", round(col("mean_intensity"), 6))
+      .withColumn("mean_intensity_e6",
+        expr("CAST(floor(mean_intensity * 1000000 + 0.5) AS BIGINT)"))
+      .drop("mean_intensity")
   }
 }

@@ -100,23 +100,25 @@ object TextAnalysis {
       .withColumn("n_alpha", length(regexp_replace(col("text"), " ", "")))
       .withColumn("n_stop",
         size(filter(col("toks"), t => t.isin(StopWords.head._2: _*))))
-      .withColumn("avg_word_len",
-        round(col("n_alpha").cast("double") / col("n_words"), 6))
-      .withColumn("stop_ratio",
-        round(col("n_stop").cast("double") / col("n_words"), 6))
-      .withColumn("quality_score",
-        round(
-          least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.5 +
-          least(col("n_stop").cast("double") / col("n_words") * 5.0, lit(1.0)) * 0.3 +
-          when((col("n_alpha").cast("double") / col("n_words")).between(3.0, 8.0), 0.2)
-            .otherwise(0.0),
-          6))
+      // integer-exact 1e-6-unit ratios (SURVEY §6): round(int/int, 6)
+      // hits exact decimal midpoints the engines round differently
+      // (denominators like 640 = 2^7·5); integer DIV is portable at
+      // any scale and both engines truncate identically
+      .withColumn("avg_word_len_e6",
+        expr("CAST(n_alpha AS BIGINT) * 1000000 DIV n_words"))
+      .withColumn("stop_ratio_e6",
+        expr("CAST(n_stop AS BIGINT) * 1000000 DIV n_words"))
+      .withColumn("quality_score_e6", expr(
+        "least(CAST(n_words AS BIGINT) * 5000, 500000L) + " +
+        "least(CAST(n_stop AS BIGINT) * 1500000 DIV n_words, 300000L) + " +
+        "CASE WHEN n_alpha >= 3 * n_words AND n_alpha <= 8 * n_words " +
+        "THEN 200000L ELSE 0L END"))
 
-  /** doc_id + quality features + composite score (round 6). */
+  /** doc_id + quality features + composite score (1e-6 units). */
   def quality(documents: DataFrame): DataFrame =
     withQualityScore(documents).select(
       col("doc_id"), col("n_words"), col("n_chars_raw"),
-      col("avg_word_len"), col("stop_ratio"), col("quality_score"))
+      col("avg_word_len_e6"), col("stop_ratio_e6"), col("quality_score_e6"))
 
   /** doc_id, whitespace token count, BPE-ish regex token count
     * (`[a-z0-9]+` runs plus isolated symbols), metadata check. */

@@ -19,8 +19,8 @@ class LlmSpec extends SparkSpecBase {
     val pairs = Dedup.ngramJaccard(docs, 0.8)
     assert(pairs.count() > 0, "expected planted near-dups at jaccard >= 0.8")
     // estimates correlate: every >=0.9-jaccard pair must be an LSH candidate
-    val strong = pairs.filter(col("jaccard") >= 0.95).count()
-    val est = Dedup.minhashLsh(docs).filter(col("est_sim") >= 0.75).count()
+    val strong = pairs.filter(col("jaccard_e6") >= 950000).count()
+    val est = Dedup.minhashLsh(docs).filter(col("est_sim_e6") >= 750000).count()
     assert(est >= strong, s"minhash est ($est) should cover strong pairs ($strong)")
   }
 
@@ -107,7 +107,7 @@ class LlmSpec extends SparkSpecBase {
     val lang = TextAnalysis.langId(docs)
     assert(lang.filter(col("pred_lang").isin("en", "es", "de", "fr", "und")).count() == docs.count())
     val q = TextAnalysis.quality(docs)
-    assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
+    assert(q.filter(col("quality_score_e6") < 0 || col("quality_score_e6") > 1000000).count() == 0)
   }
 
   test("fingerprint is deterministic and order-sensitive") {

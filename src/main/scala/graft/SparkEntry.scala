@@ -910,9 +910,9 @@ object SparkEntry {
          |  FROM banded a JOIN banded b
          |    ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
          |)
-         |SELECT vec_a, vec_b, round(${duckDot("va", "vb")} / (na * nb), 6) AS cos_sim
+         |SELECT vec_a, vec_b, CAST(floor(${duckDot("va", "vb")} / (na * nb) * 1000000 + 0.5) AS BIGINT) AS cos_sim_e6
          |FROM pairs
-         |WHERE round(${duckDot("va", "vb")} / (na * nb), 6) >= 0.4""".stripMargin,
+         |WHERE CAST(floor(${duckDot("va", "vb")} / (na * nb) * 1000000 + 0.5) AS BIGINT) >= 400000""".stripMargin,
 
     // greedy bucket-min dedup over the same hyperplane bands
     "dedup_embedding_keep" ->
@@ -930,27 +930,27 @@ object SparkEntry {
     "ann_bruteforce_topk" ->
       s"""${embCte(1)}, scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-         |         round(${duckDot("q.vec", "c.vec")} / (q.nrm * c.nrm), 6) AS cos_sim
+         |         CAST(floor(${duckDot("q.vec", "c.vec")} / (q.nrm * c.nrm) * 1000000 + 0.5) AS BIGINT) AS cos_sim_e6
          |  FROM prep q JOIN prep c ON q.vec_id < 10 AND c.vec_id >= 10
          |), ranked AS (
          |  SELECT *, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+         |    PARTITION BY query_id ORDER BY cos_sim_e6 DESC, vec_id ASC) AS rank
          |  FROM scored
          |)
-         |SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10""".stripMargin,
+         |SELECT query_id, vec_id, cos_sim_e6, rank FROM ranked WHERE rank <= 10""".stripMargin,
 
     "ann_lsh_topk" ->
       s"""${embCte(6)}, scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-         |         round(${duckDot("q.vec", "c.vec")} / (q.nrm * c.nrm), 6) AS cos_sim
+         |         CAST(floor(${duckDot("q.vec", "c.vec")} / (q.nrm * c.nrm) * 1000000 + 0.5) AS BIGINT) AS cos_sim_e6
          |  FROM prep q JOIN prep c
          |    ON q.sigbits = c.sigbits AND q.vec_id < 10 AND c.vec_id >= 10
          |), ranked AS (
          |  SELECT *, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+         |    PARTITION BY query_id ORDER BY cos_sim_e6 DESC, vec_id ASC) AS rank
          |  FROM scored
          |)
-         |SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10""".stripMargin,
+         |SELECT query_id, vec_id, cos_sim_e6, rank FROM ranked WHERE rank <= 10""".stripMargin,
 
     // IVF: centroids = vec_id in [10, 26); every candidate joins its
     // nearest centroid's inverted list; queries probe the 4 nearest
@@ -981,14 +981,14 @@ object SparkEntry {
          |  WHERE prank <= 4
          |), scored AS (
          |  SELECT p.query_id, a.vec_id,
-         |         round(${duckDot("p.qvec", "a.vec")} / (p.qnrm * a.nrm), 6) AS cos_sim
+         |         CAST(floor(${duckDot("p.qvec", "a.vec")} / (p.qnrm * a.nrm) * 1000000 + 0.5) AS BIGINT) AS cos_sim_e6
          |  FROM probes p JOIN assign a USING (cent_id)
          |), ranked AS (
          |  SELECT *, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+         |    PARTITION BY query_id ORDER BY cos_sim_e6 DESC, vec_id ASC) AS rank
          |  FROM scored
          |)
-         |SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10""".stripMargin,
+         |SELECT query_id, vec_id, cos_sim_e6, rank FROM ranked WHERE rank <= 10""".stripMargin,
 
     "text_langid" -> {
       def score(words: Seq[String]) =
@@ -1132,8 +1132,8 @@ object SparkEntry {
         |       round(sum(l_quantity), 2) AS sum_qty,
         |       round(sum(l_extendedprice), 2) AS sum_base_price,
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |       round(avg(l_quantity), 4) AS avg_qty,
-        |       round(avg(l_discount), 4) AS avg_disc,
+        |       CAST(floor(sum(l_quantity) + 0.5) AS BIGINT) * 10000 // count(*) AS avg_qty_e4,
+        |       CAST(floor(sum(l_discount) * 100 + 0.5) AS BIGINT) * 100 // count(*) AS avg_disc_e4,
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

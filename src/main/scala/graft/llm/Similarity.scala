@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * All dot products / norms are left-fold double arithmetic:
   * deterministic and bit-reproducible in any engine that folds
   * sequentially, which is what makes the cosine scores
-  * oracle-checkable after round(6). The folds run through the native
+  * oracle-checkable as floor-scaled 1e-6-unit integers (round(x,6) is
+  * not engine-portable on exact decimal midpoints; both engines
+  * compute the identical fold double, so the floor is too). The folds run through the native
   * codegen'd kernels in [[graft.functions.VectorExpressions]] — the
   * equivalent `aggregate(zip_with(...))` HOF forms evaluate their
   * lambdas interpreted, which made cosine verification the hot path.
@@ -50,14 +52,14 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
     val cands = prep.filter(col("vec_id") >= nQueries)
     val scored = cands.join(broadcast(queries))
-      .withColumn("cos_sim", expr(
-        s"round(${dotExpr("qvec", "vec")} / (qnrm * nrm), 6)"))
+      .withColumn("cos_sim_e6", expr(
+        s"CAST(floor(${dotExpr("qvec", "vec")} / (qnrm * nrm) * 1000000 + 0.5) AS BIGINT)"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .orderBy(col("cos_sim_e6").desc, col("vec_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .select(col("query_id"), col("vec_id"), col("cos_sim_e6"), col("rank"))
   }
 
   /** Signature bits [0, nBits): bit j = sign of <vec, r_j>, with
@@ -77,14 +79,14 @@ object Similarity {
               col("nrm").as("qnrm"), col("bucket"))
     val cands = prep.filter(col("vec_id") >= nQueries)
     val scored = cands.join(broadcast(queries), Seq("bucket"))
-      .withColumn("cos_sim", expr(
-        s"round(${dotExpr("qvec", "vec")} / (qnrm * nrm), 6)"))
+      .withColumn("cos_sim_e6", expr(
+        s"CAST(floor(${dotExpr("qvec", "vec")} / (qnrm * nrm) * 1000000 + 0.5) AS BIGINT)"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .orderBy(col("cos_sim_e6").desc, col("vec_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .select(col("query_id"), col("vec_id"), col("cos_sim_e6"), col("rank"))
   }
 
   /** Embedding near-dup pairs via banded hyperplane LSH
@@ -127,8 +129,9 @@ object Similarity {
       .join(vecs.select(col("vec_id").as("vec_a"), col("vec").as("va"), col("nrm").as("na")), "vec_a")
       .join(vecs.select(col("vec_id").as("vec_b"), col("vec").as("vb"), col("nrm").as("nb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        expr(s"round(${dotExpr("va", "vb")} / (na * nb), 6)").as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+        expr(s"CAST(floor(${dotExpr("va", "vb")} / (na * nb) * 1000000 + 0.5) AS BIGINT)")
+          .as("cos_sim_e6"))
+      .filter(col("cos_sim_e6") >= math.round(threshold * 1e6))
   }
 
   /** Greedy linear-output embedding dedup — the keep/drop contract
@@ -203,12 +206,12 @@ object Similarity {
       .select(col("query_id"), col("qvec"), col("qnrm"), col("cent_id"))
     // exact cosine only inside the probed lists
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .orderBy(col("cos_sim_e6").desc, col("vec_id").asc)
     assign.join(broadcast(probes), Seq("cent_id"))
-      .withColumn("cos_sim", expr(
-        s"round(${dotExpr("qvec", "vec")} / (qnrm * nrm), 6)"))
+      .withColumn("cos_sim_e6", expr(
+        s"CAST(floor(${dotExpr("qvec", "vec")} / (qnrm * nrm) * 1000000 + 0.5) AS BIGINT)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .select(col("query_id"), col("vec_id"), col("cos_sim_e6"), col("rank"))
   }
 }

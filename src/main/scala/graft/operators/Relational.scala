@@ -30,8 +30,12 @@ object Relational {
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        // integer-exact means (SURVEY §6): quantities are integers and
+        // discounts 2-decimal, so these are exact at any group size
+        expr("CAST(floor(sum(l_quantity) + 0.5) AS BIGINT) * 10000 DIV count(1)")
+          .as("avg_qty_e4"),
+        expr("CAST(floor(sum(l_discount) * 100 + 0.5) AS BIGINT) * 100 DIV count(1)")
+          .as("avg_disc_e4"),
         count(lit(1)).as("count_order"))
 
   /** Revenue by region: fact orders joined through broadcast dims. */

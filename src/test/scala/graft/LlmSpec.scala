@@ -46,8 +46,8 @@ class LlmSpec extends SparkSpecBase {
   }
 
   test("brute-force top-k is a superset of LSH top-k hits") {
-    val bf = Similarity.bruteForceTopK(embs, 10, 500).select("query_id", "vec_id", "cos_sim")
-    val lsh = Similarity.lshTopK(embs, 10, 6, 10).select("query_id", "vec_id", "cos_sim")
+    val bf = Similarity.bruteForceTopK(embs, 10, 500).select("query_id", "vec_id", "cos_sim_e6")
+    val lsh = Similarity.lshTopK(embs, 10, 6, 10).select("query_id", "vec_id", "cos_sim_e6")
     // every LSH result must appear in the exhaustive scoring with the same score
     assert(lsh.exceptAll(bf).count() == 0)
   }
@@ -91,8 +91,8 @@ class LlmSpec extends SparkSpecBase {
   test("IVF partial probe is a subset of exhaustive scoring with correct ranks") {
     val ivf = Similarity.ivfTopK(embs, nQueries = 10, nCentroids = 16, nProbe = 4, k = 10)
     val bfAll = Similarity.bruteForceTopK(embs, 10, 1000000)
-      .select("query_id", "vec_id", "cos_sim")
-    assert(ivf.select("query_id", "vec_id", "cos_sim").exceptAll(bfAll).count() == 0)
+      .select("query_id", "vec_id", "cos_sim_e6")
+    assert(ivf.select("query_id", "vec_id", "cos_sim_e6").exceptAll(bfAll).count() == 0)
     val perQuery = ivf.groupBy("query_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
     assert(perQuery.filter(col("n") =!= col("mx")).count() == 0)
   }

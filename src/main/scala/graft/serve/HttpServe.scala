@@ -177,12 +177,32 @@ object HttpServe {
       if (fs.exists(p)) Some(SamplesStore.read(spark, storePath)) else None
     }
 
+    // Prometheus metadata queries carry optional start/end (unix
+    // seconds); bounding them prunes the scan to the queried DAY
+    // PARTITIONS — on a multi-year store an unbounded label scan
+    // reads all of history for no reason.
+    def timeBounded(df: org.apache.spark.sql.DataFrame,
+                    query: String): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions.col
+      val params = Option(query).getOrElse("").split("&").iterator
+        .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+      def sec(k: String): Option[Long] =
+        params.get(k).flatMap(v => scala.util.Try(v.toDouble.toLong).toOption)
+      val lo = sec("start").map(s => df.filter(col("date") >= s / 86400 * 86400))
+        .getOrElse(df)
+      sec("end").map(e => lo.filter(col("date") <= e)).getOrElse(lo)
+    }
+
     server.createContext("/api/v1/labels", (ex: HttpExchange) => guarded(ex) {
       val names = SamplesStore.readLocked(storePath) {
-        storeSamples().map { df =>
-          "__name__" +: graft.operators.Meta.labelNames(df)
+        storeSamples().map(timeBounded(_, ex.getRequestURI.getQuery)).map { df =>
+          val keys = graft.operators.Meta.labelNames(df)
             .select("label_name").orderBy("label_name").limit(MetaValuesLimit)
             .collect().map(_.getString(0)).toSeq
+          // __name__ exists iff the bounded window holds any series at
+          // all (a labels-empty series still has a metric name)
+          if (keys.nonEmpty || !df.limit(1).isEmpty) "__name__" +: keys
+          else Seq.empty
         }.getOrElse(Seq.empty)
       }
       respond(ex, 200, jsonList(names),
@@ -198,7 +218,7 @@ object HttpServe {
       } else {
         val key = java.net.URLDecoder.decode(parts(4), "UTF-8")
         val values = SamplesStore.readLocked(storePath) {
-          storeSamples().map { df =>
+          storeSamples().map(timeBounded(_, ex.getRequestURI.getQuery)).map { df =>
             val domain = if (key == "__name__")
               df.select(org.apache.spark.sql.functions.col("metric").as("v")).distinct()
             else graft.operators.Meta.labelValues(df, key)

@@ -251,6 +251,15 @@ class ServeSpec extends SparkSpecBase {
       assert(get(s"$base/api/v1/label/nope/values")._2
         === """{"status":"success","data":[]}""")
       assert(get(s"$base/api/v1/label/k")._1 === 404)
+      // start/end bound the scan to the queried day partitions: a
+      // window ending before the data's day sees nothing, a window
+      // covering it sees everything
+      assert(get(s"$base/api/v1/label/__name__/values?start=100&end=8640000")._2
+        === """{"status":"success","data":[]}""")
+      assert(get(s"$base/api/v1/label/__name__/values?start=1704412800&end=1704499199")._2
+        === """{"status":"success","data":["meta_metric"]}""")
+      assert(get(s"$base/api/v1/labels?end=8640000")._2
+        === """{"status":"success","data":[]}""")
     } finally srv.stop()
   }
 

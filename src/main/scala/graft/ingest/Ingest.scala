@@ -169,10 +169,26 @@ object SamplesStore {
     * lock-free — it returns a lazy DataFrame, and out-of-process
     * readers can't take an in-JVM lock anyway (they retry the loud
     * transient miss instead). */
+  /** EVERY lock map keys through this normalization. Store paths
+    * reach the lock sites in two spellings — the caller's raw string
+    * (`/tmp/store`, what `readLocked` sees) and filesystem-qualified
+    * (`file:/tmp/store`, what `fs.listStatus` children report via
+    * `.getParent`) — and `new Path(path).toString` preserves that
+    * difference, so keying on it hands the two spellings DIFFERENT
+    * locks: a swap "excluding" readers then excludes nobody and a
+    * concurrent read can observe the day mid-rename. Keying on the
+    * URI path component collapses both spellings (two stores on
+    * different filesystems with the same path would share a lock —
+    * harmless over-locking, and a serving JVM fronts one filesystem). */
+  private[graft] def lockKey(path: String): String = {
+    val p = new Path(path).toUri.getPath
+    if (p == null || p.isEmpty) new Path(path).toString else p
+  }
+
   private val storeLocks = scala.collection.concurrent.TrieMap
     .empty[String, java.util.concurrent.locks.ReentrantLock]
   private def locked[T](path: String)(f: => T): T = {
-    val l = storeLocks.getOrElseUpdate(new Path(path).toString,
+    val l = storeLocks.getOrElseUpdate(lockKey(path),
       new java.util.concurrent.locks.ReentrantLock)
     l.lock()
     try f finally l.unlock()
@@ -181,8 +197,13 @@ object SamplesStore {
   private val visibilityLocks = scala.collection.concurrent.TrieMap
     .empty[String, java.util.concurrent.locks.ReentrantReadWriteLock]
   private def visibilityFor(path: String) =
-    visibilityLocks.getOrElseUpdate(new Path(path).toString,
+    visibilityLocks.getOrElseUpdate(lockKey(path),
       new java.util.concurrent.locks.ReentrantReadWriteLock(true))
+
+  /** Test seam: the visibility lock instance backing `path` — lets
+    * specs assert the qualified and raw spellings of one store
+    * resolve to ONE lock object. */
+  private[graft] def visibilityLockHandle(path: String) = visibilityFor(path)
 
   /** Wrap a transient-invisibility window (swap renames, day drops)
     * — excludes [[readLocked]] readers for its ms-scale duration.
@@ -358,24 +379,28 @@ object SamplesStore {
     * a clean slate). Layout (day dirs, sorted files) is identical to
     * [[append]]'s. */
   def appendBatch(samples: DataFrame, path: String, batchId: Long,
-                  autoCompactFilesPerDay: Int = AutoCompactFilesPerDay): Unit = locked(path) {
+                  autoCompactFilesPerDay: Int = AutoCompactFilesPerDay): Unit = {
     val spark = samples.sparkSession
     val fs = fsFor(spark, path)
-    recoverSwap(fs, path)
-    val marker = new Path(path, s"_commits/$batchId")
-    if (!fs.exists(marker)) {
-      val maxTouchedDayFiles = appendBatchUncommitted(samples, path, batchId, fs)
-      // ClickHouse merges parts in the background; here the writer
-      // itself folds the store once fragmentation crosses the
-      // threshold. The probe costs only the TOUCHED days' listings
-      // (already paid by the move above) — never an O(all days) scan
-      // per microbatch. Runs AFTER this batch's commit marker lands,
-      // so the orphan check inside sees only committed files (this
-      // thread is the store's single stream writer; other writers
-      // are excluded by the store lock).
-      if (maxTouchedDayFiles > autoCompactFilesPerDay)
-        maybeCompact(spark, path, autoCompactFilesPerDay)
+    val maxTouchedDayFiles = locked(path) {
+      recoverSwap(fs, path)
+      val marker = new Path(path, s"_commits/$batchId")
+      if (!fs.exists(marker)) appendBatchUncommitted(samples, path, batchId, fs)
+      else 0
     }
+    // ClickHouse merges parts in the background; here the writer
+    // itself folds the store once fragmentation crosses the
+    // threshold. The probe costs only the TOUCHED days' listings
+    // (already paid by the move above) — never an O(all days) scan
+    // per microbatch. Runs AFTER this batch's commit marker lands, so
+    // the orphan check inside sees only committed files — and AFTER
+    // the mutation lock above releases: compaction's expensive STAGE
+    // phase runs unlocked (it takes the lock itself only for the
+    // ms-scale SNAPSHOT and SWAP phases), so a concurrent /write or
+    // the stream's own next microbatch proceeds during the rewrite
+    // instead of stalling behind it.
+    if (maxTouchedDayFiles > autoCompactFilesPerDay)
+      maybeCompact(spark, path, autoCompactFilesPerDay)
   }
 
   /** Stage + move + commit one batch; returns the max parquet-file
@@ -500,7 +525,7 @@ object SamplesStore {
   private val compacting = scala.collection.concurrent.TrieMap
     .empty[String, java.util.concurrent.atomic.AtomicBoolean]
   private def compactingFlag(path: String) =
-    compacting.getOrElseUpdate(new Path(path).toString,
+    compacting.getOrElseUpdate(lockKey(path),
       new java.util.concurrent.atomic.AtomicBoolean(false))
 
   /** Selective compaction — the 100 TB shape of [[compact]]: rewrite
@@ -627,11 +652,19 @@ object SamplesStore {
     * via [[compactFragmentedDays]] (day-selective — a serving store
     * never pays an O(all history) rewrite, and a crashed batch's
     * orphan files only defer their own day, not the whole store).
-    * Returns whether any day was rewritten. */
+    * Deliberately takes NO lock of its own: the compaction locks only
+    * its SNAPSHOT and SWAP phases internally, so the distributed
+    * STAGE rewrite runs while concurrent appends and reads proceed —
+    * wrapping this in `locked(path)` would hold the mutation lock
+    * across the whole rewrite and stall every concurrent /write for
+    * its duration, the exact failure the snapshot/stage/swap design
+    * exists to prevent. `afterStage` is the same phase-2/3 test seam
+    * as [[compactFragmentedDays]]'s. Returns whether any day was
+    * rewritten. */
   def maybeCompact(spark: SparkSession, path: String,
-                   maxFilesPerDay: Int = AutoCompactFilesPerDay): Boolean = locked(path) {
-    compactFragmentedDays(spark, path, maxFilesPerDay) > 0
-  }
+                   maxFilesPerDay: Int = AutoCompactFilesPerDay,
+                   afterStage: () => Unit = () => ()): Boolean =
+    compactFragmentedDays(spark, path, maxFilesPerDay, afterStage = afterStage) > 0
 
   /** Delete samples with startUs <= ts_us < endUs. */
   def deleteRange(spark: SparkSession, path: String, startUs: Long, endUs: Long): Unit = locked(path) {

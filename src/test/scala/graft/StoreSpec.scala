@@ -313,6 +313,121 @@ class StoreSpec extends SparkSpecBase {
     assert(SamplesStore.read(spark, path).count() == total + 6 * 50)
   }
 
+  test("maybeCompact stages lock-free: a concurrent append completes while staging is parked") {
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val path = "/tmp/graft_test/store_stage_unlocked"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val day0 = 1704412800L
+    def rowsFor(off: Int) =
+      (0 until 30).map(i => (day0 * 1000000L + (off * 30 + i) * 1000000L,
+        s"m${i % 5}", Seq("k=v"), i.toDouble)).toDF("ts_us", "metric", "labels", "value")
+    for (i <- 0 until 3) SamplesStore.append(rowsFor(i), path)
+    val baseCount = SamplesStore.read(spark, path).count()
+
+    // park the compaction between STAGE and SWAP via the seam, THROUGH
+    // the serving-path entry point maybeCompact — the regression this
+    // guards is maybeCompact (or its appendBatch caller) holding the
+    // store mutation lock across the distributed STAGE rewrite, which
+    // would block every concurrent /write for the rewrite's duration
+    val staged = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    var rewrote = false
+    val compactor = new Thread(() => {
+      rewrote = SamplesStore.maybeCompact(spark, path, maxFilesPerDay = 2,
+        afterStage = () => { staged.countDown(); release.await(60, TimeUnit.SECONDS); () })
+    }, "spec-compactor")
+    compactor.start()
+    assert(staged.await(60, TimeUnit.SECONDS), "compaction must reach the staging seam")
+
+    // the append runs on its own thread with a timeout so a relocking
+    // regression fails the assert instead of deadlocking the suite
+    // (releasing the seam would unblock phase 3, which needs the very
+    // lock the blocked append would be queued on)
+    val appendDone = new CountDownLatch(1)
+    val appender = new Thread(() => {
+      SamplesStore.append(rowsFor(3), path); appendDone.countDown()
+    }, "spec-appender")
+    appender.start()
+    val appendedInFlight = appendDone.await(30, TimeUnit.SECONDS)
+    release.countDown()
+    compactor.join(60000); appender.join(60000)
+    assert(appendedInFlight,
+      "an append must complete while compaction staging is in flight — the mutation " +
+      "lock may only be held for the ms-scale SNAPSHOT and SWAP phases")
+    // the append raced the staged day, so the swap correctly deferred;
+    // nothing lost, and the next probe folds it
+    assert(!rewrote, "a day that gained files during staging must defer its swap")
+    assert(SamplesStore.read(spark, path).count() == baseCount + 30)
+    assert(SamplesStore.compactFragmentedDays(spark, path, maxFilesPerDay = 2) == 1)
+    assert(SamplesStore.read(spark, path).count() == baseCount + 30)
+    assert(sortedWithinFiles(path))
+  }
+
+  test("lock maps key scheme-insensitively: qualified and raw store paths share one lock") {
+    // deleteRange's boundary-day swap locks via a path derived from
+    // fs.listStatus (scheme-qualified, file:/…), while serving readers
+    // lock via the caller's raw string (/…) — these MUST resolve to
+    // the same lock object or the swap excludes nobody
+    assert(SamplesStore.visibilityLockHandle("/tmp/graft_test/lockkey") eq
+           SamplesStore.visibilityLockHandle("file:/tmp/graft_test/lockkey"))
+    assert(SamplesStore.lockKey("file:///tmp/graft_test/lockkey") ==
+           SamplesStore.lockKey("/tmp/graft_test/lockkey"))
+  }
+
+  test("a readLocked reader is excluded from deleteRange's boundary-day swap window") {
+    import spark.implicits._
+    val path = "/tmp/graft_test/store_delete_visibility"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val day0 = 1704412800L
+    val rows = (0 until 120).map(i =>
+      (day0 * 1000000L + i * 600L * 1000000L, s"m${i % 5}", Seq("k=v"), i.toDouble))
+      .toDF("ts_us", "metric", "labels", "value")
+    SamplesStore.write(rows, path)
+    // delete a 6h slice INSIDE day0 — a boundary rewrite + swap, no
+    // whole-day drops
+    val startUs = (day0 + 6 * 3600L) * 1000000L
+    val endUs = (day0 + 12 * 3600L) * 1000000L
+    val liveDay = new org.apache.hadoop.fs.Path(path, s"date=$day0")
+    val rewriteDay = new org.apache.hadoop.fs.Path(path, s".rewrite_date=$day0")
+
+    val deleteDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val deleter = new Thread(() => {
+      SamplesStore.deleteRange(spark, path, startUs, endUs)
+      deleteDone.set(true)
+    }, "spec-deleter")
+    // hold the visibility READ lock on the caller's RAW path — exactly
+    // what the serving /read does — across the whole delete attempt
+    SamplesStore.readLocked(path) {
+      val before = SamplesStore.read(spark, path).count()
+      deleter.start()
+      // wait until the boundary rewrite is staged: the delete's next
+      // step is the swap, which must now block on OUR read lock (the
+      // historical bug: swapDay keyed its lock on the fs-qualified
+      // path, a DIFFERENT key, and swapped right through the reader)
+      val t0 = System.nanoTime()
+      while (!fs.exists(rewriteDay) && !deleteDone.get &&
+             (System.nanoTime() - t0) < 60e9) Thread.sleep(10)
+      Thread.sleep(300) // give a buggy swap time to complete wrongly
+      assert(!deleteDone.get,
+        "the boundary-day swap must wait for the in-flight reader")
+      assert(fs.exists(liveDay), "the live day must never vanish under a read lock")
+      assert(SamplesStore.read(spark, path).count() == before,
+        "a reader holding the visibility lock must see the pre-delete store")
+    }
+    deleter.join(60000)
+    assert(deleteDone.get, "the delete must proceed once the reader releases")
+    assert(SamplesStore.read(spark, path)
+      .filter(col("ts_us") >= startUs && col("ts_us") < endUs).count() == 0)
+    assert(SamplesStore.read(spark, path).count() ==
+      rows.filter(col("ts_us") < startUs || col("ts_us") >= endUs).count())
+    assert(sortedWithinFiles(path))
+  }
+
   test("TSV bulk round-trips labels containing tabs, quotes, newlines") {
     import spark.implicits._
     import graft.ingest.TsvBulk

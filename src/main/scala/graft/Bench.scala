@@ -14,7 +14,17 @@ object Bench {
     // r8 warm times so a silent regression (e.g. a lost batching or a
     // double store rewrite) flags instead of hiding in the total
     "write_request_e2e" -> 5.0,
-    "store_compact" -> 4.0)
+    "store_compact" -> 4.0,
+    // the remaining top-cost queries (r10 warm ranking): the store
+    // maintenance rewrite and the streaming trio are the paths most
+    // likely to regress silently from a locking or checkpoint change,
+    // budgeted at ~2× their healthy r10 warm times
+    "store_compact_days" -> 4.0,
+    "ingest_streaming_store" -> 3.0,
+    "ingest_streaming_window" -> 2.5,
+    "ingest_streaming" -> 2.5,
+    "ingest_streaming_dedup" -> 2.5,
+    "ingest_delete_range" -> 3.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -207,11 +207,32 @@ object SamplesStore {
 
   /** Wrap a transient-invisibility window (swap renames, day drops)
     * — excludes [[readLocked]] readers for its ms-scale duration.
-    * Always entered while holding the mutation lock. */
+    * Always entered while holding the mutation lock. The lock is
+    * FAIR, so a waiting swap blocks new readers behind the longest
+    * in-flight read — deferrable callers (the background compaction)
+    * use [[visibleTry]] to bound that coupling. */
   private def visible[T](path: String)(f: => T): T = {
     val l = visibilityFor(path).writeLock()
     l.lock()
     try f finally l.unlock()
+  }
+
+  /** How long a DEFERRABLE swap waits for the visibility write lock
+    * before giving up (the day is left intact for the next probe).
+    * Bounds the fair-lock coupling: a queued swap blocks new readers
+    * and mutations behind the longest in-flight /read, so an
+    * unbounded wait would let one slow dashboard query stall every
+    * concurrent reader for its whole duration — with the timeout the
+    * stall is capped and the rewrite work is simply retried later. */
+  val SwapLockTimeoutMs: Long = 5000L
+
+  /** [[visible]] with a bounded wait: returns false WITHOUT running
+    * `f` when the write lock cannot be taken inside `timeoutMs` (a
+    * long-running reader has it parked). */
+  private def visibleTry(path: String, timeoutMs: Long)(f: => Unit): Boolean = {
+    val l = visibilityFor(path).writeLock()
+    if (!l.tryLock(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)) false
+    else { try f finally l.unlock(); true }
   }
 
   /** Run `f` (a read's full plan-to-action execution) holding the
@@ -313,18 +334,29 @@ object SamplesStore {
     * it for everyone by fronting the store with a manifest (snapshot
     * file listing à la Iceberg/Delta) so the swap becomes a single
     * manifest commit — the per-day job shape stays identical.
-    * `rewrite` must already hold the new parquet files for the day. */
+    * `rewrite` must already hold the new parquet files for the day.
+    *
+    * `lockTimeoutMs` < 0 blocks for the visibility lock (delete's
+    * boundary rewrite: the delete MUST happen); >= 0 bounds the wait
+    * and returns false with the live day untouched when a
+    * long-running reader keeps the lock parked (compaction: the fold
+    * is opportunistic, the next probe retries). */
   private def swapDay(fs: org.apache.hadoop.fs.FileSystem, root: Path,
-                      dayName: String, rewrite: Path): Unit = visible(root.toString) {
-    val live = new Path(root, dayName)
-    val aside = new Path(root, OldDayPrefix + dayName)
-    if (!fs.rename(live, aside))
-      throw new java.io.IOException(s"swapDay: rename $live -> $aside failed")
-    if (!fs.rename(rewrite, live)) {
-      fs.rename(aside, live) // roll back so the day stays readable
-      throw new java.io.IOException(s"swapDay: rename $rewrite -> $live failed")
+                      dayName: String, rewrite: Path,
+                      lockTimeoutMs: Long = -1L): Boolean = {
+    def doSwap(): Unit = {
+      val live = new Path(root, dayName)
+      val aside = new Path(root, OldDayPrefix + dayName)
+      if (!fs.rename(live, aside))
+        throw new java.io.IOException(s"swapDay: rename $live -> $aside failed")
+      if (!fs.rename(rewrite, live)) {
+        fs.rename(aside, live) // roll back so the day stays readable
+        throw new java.io.IOException(s"swapDay: rename $rewrite -> $live failed")
+      }
+      fs.delete(aside, true)
     }
-    fs.delete(aside, true)
+    if (lockTimeoutMs < 0) { visible(root.toString)(doSwap()); true }
+    else visibleTry(root.toString, lockTimeoutMs)(doSwap())
   }
 
   private def fsFor(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
@@ -549,13 +581,18 @@ object SamplesStore {
     *  3. SWAP (write lock, ms): per day, swap only if the live
     *     listing still equals the snapshot; a day that gained files
     *     meanwhile is left intact for the next probe — concurrent
-    *     appends can defer a day's fold but never lose data.
+    *     appends can defer a day's fold but never lose data. The
+    *     visibility write lock is taken with a BOUNDED wait
+    *     (`swapLockTimeoutMs`): a long-running reader parking the
+    *     fair lock defers the day instead of stalling every new
+    *     reader and mutation queued behind the swap.
     * Single-flight per store; `afterStage` is a test seam invoked
     * between phases 2 and 3. Returns the number of days rewritten. */
   def compactFragmentedDays(spark: SparkSession, path: String,
                             maxFilesPerDay: Int = AutoCompactFilesPerDay,
                             targetFileBytes: Long = TargetFileBytes,
-                            afterStage: () => Unit = () => ()): Int = {
+                            afterStage: () => Unit = () => (),
+                            swapLockTimeoutMs: Long = SwapLockTimeoutMs): Int = {
     val flag = compactingFlag(path)
     if (!flag.compareAndSet(false, true)) return 0 // single-flight
     try {
@@ -631,8 +668,12 @@ object SamplesStore {
             fs.listStatus(live).filter(_.getPath.getName.endsWith(".parquet"))
               .map(_.getPath.getName).toSet == recorded
           if (unchanged && fs.exists(newDay)) {
-            swapDay(fs, root, dayName, newDay)
-            rewritten += 1
+            // bounded wait: a parked long-running reader defers this
+            // day to the next probe instead of stalling every new
+            // reader and mutation behind the fair lock's queue
+            if (swapDay(fs, root, dayName, newDay, swapLockTimeoutMs)) rewritten += 1
+            else log.info(s"compactFragmentedDays($path): $dayName swap deferred — " +
+              "visibility lock held by a long-running reader; next probe retries")
           } else if (!unchanged) {
             log.info(s"compactFragmentedDays($path): $dayName changed during " +
               "staging — leaving it for the next probe")

@@ -104,6 +104,16 @@ object HttpServe {
 
     def guarded(ex: HttpExchange)(f: => Unit): Unit =
       try f catch {
+        case e: Throwable if isClientDisconnect(e) =>
+          // the CLIENT went away mid-request or mid-response (a
+          // dashboard refresh aborting its previous query) — the
+          // reference's handler skips its error counter on exactly
+          // this case (main.go:150, context.Canceled) so disconnects
+          // don't inflate the error rate. Not a server error: no 500
+          // (undeliverable anyway), no warn, just close the exchange.
+          log.info(s"${ex.getRequestMethod} ${ex.getRequestURI} client disconnected: " +
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+          ex.close()
         case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
           // the reference logs every handler failure (main.go:130/136/149
@@ -177,22 +187,6 @@ object HttpServe {
       if (fs.exists(p)) Some(SamplesStore.read(spark, storePath)) else None
     }
 
-    // Prometheus metadata queries carry optional start/end (unix
-    // seconds); bounding them prunes the scan to the queried DAY
-    // PARTITIONS — on a multi-year store an unbounded label scan
-    // reads all of history for no reason.
-    def timeBounded(df: org.apache.spark.sql.DataFrame,
-                    query: String): org.apache.spark.sql.DataFrame = {
-      import org.apache.spark.sql.functions.col
-      val params = Option(query).getOrElse("").split("&").iterator
-        .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
-      def sec(k: String): Option[Long] =
-        params.get(k).flatMap(v => scala.util.Try(v.toDouble.toLong).toOption)
-      val lo = sec("start").map(s => df.filter(col("date") >= s / 86400 * 86400))
-        .getOrElse(df)
-      sec("end").map(e => lo.filter(col("date") <= e)).getOrElse(lo)
-    }
-
     server.createContext("/api/v1/labels", (ex: HttpExchange) => guarded(ex) {
       val names = SamplesStore.readLocked(storePath) {
         storeSamples().map(timeBounded(_, ex.getRequestURI.getQuery)).map { df =>
@@ -236,6 +230,56 @@ object HttpServe {
 
     server.start()
     new GraftHttpServer(server, pool)
+  }
+
+  /** True when the failure (anywhere in the cause chain) is the
+    * transport telling us the CLIENT abandoned the connection — the
+    * JDK server surfaces an aborted peer as an IOException from the
+    * exchange's streams with one of these kernel/stream messages.
+    * The analogue of the reference's `context.Canceled` check
+    * (main.go:150): a canceled request is the client's choice, not a
+    * server error, and must not count toward error rates. */
+  private[graft] def isClientDisconnect(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists {
+      case io: java.io.IOException =>
+        val m = Option(io.getMessage).getOrElse("").toLowerCase
+        m.contains("broken pipe") || m.contains("connection reset") ||
+        m.contains("stream is closed") || m.contains("stream closed") ||
+        m.contains("connection closed") || m.contains("insufficient bytes written")
+      case _ => false
+    }
+
+  /** One metadata-API time bound: unix seconds (float allowed, the
+    * Prometheus HTTP convention) with RFC3339 as the fallback — which
+    * is what Grafana actually sends by default, so without it the
+    * most common client silently lost the bound and the label scan
+    * read ALL of history. An unparsable value yields None: the bound
+    * drops and the answer is a capped superset — the lenient choice a
+    * variables query prefers over a 400. */
+  private[graft] def parseTimeParam(v: String): Option[Long] =
+    scala.util.Try(v.toDouble.toLong).toOption
+      .orElse(scala.util.Try(
+        java.time.OffsetDateTime.parse(v).toInstant.getEpochSecond).toOption)
+
+  /** Prometheus metadata queries carry optional start/end; bounding
+    * them prunes the scan to the queried DAY PARTITIONS — on a
+    * multi-year store an unbounded label scan reads all of history
+    * for no reason. The bounds are deliberately asymmetric: `date` is
+    * each partition's day START, so `start` FLOORS to its own
+    * day-start (a bound anywhere inside a day must keep that whole
+    * partition) while `end` compares raw (`date <= end` already keeps
+    * exactly the days that begin inside the bound) — together the
+    * kept partitions are precisely those overlapping [start, end].
+    * `query` is the URI's decoded query string. */
+  private[graft] def timeBounded(df: org.apache.spark.sql.DataFrame,
+                                 query: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val params = Option(query).getOrElse("").split("&").iterator
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    def sec(k: String): Option[Long] = params.get(k).flatMap(parseTimeParam)
+    val lo = sec("start").map(s => df.filter(col("date") >= s / 86400 * 86400))
+      .getOrElse(df)
+    sec("end").map(e => lo.filter(col("date") <= e)).getOrElse(lo)
   }
 
   /** A missing-path read failure is only worth retrying when the

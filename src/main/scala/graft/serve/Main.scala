@@ -18,7 +18,8 @@ final case class ServeConfig(
     maxReadSamples: Long = RemoteRead.DefaultMaxReadSamples,
     compactIntervalMs: Long = 10000L,
     compactFilesPerDay: Int = graft.ingest.SamplesStore.AutoCompactFilesPerDay,
-    retentionDays: Int = 0) {
+    retentionDays: Int = 0,
+    debug: Boolean = false) {
 
   /** [address:]port → port int (main.go:93-95 prefixes ":" when no
     * host given; the JDK server binds all interfaces either way). */
@@ -77,6 +78,9 @@ object Main {
       case "-store.compact-interval-ms" :: v :: t => loop(t, c.copy(compactIntervalMs = v.toLong))
       case "-store.compact-files-per-day" :: v :: t => loop(t, c.copy(compactFilesPerDay = v.toInt))
       case "-store.retention-days" :: v :: t => loop(t, c.copy(retentionDays = v.toInt))
+      // main.go:89's -debug (zap debug logging) — here it lifts the
+      // Spark log level so request handling and store jobs trace
+      case "-debug" :: t => loop(t, c.copy(debug = true))
       case Nil => c
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown flag: $other")
@@ -93,6 +97,7 @@ object Main {
       .config("spark.sql.codegen.maxFields", "200")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
+    if (cfg.debug) spark.sparkContext.setLogLevel("DEBUG")
     // background-merge knobs (the reference exposes its ops knobs as
     // flags too; these bound the write path's compaction probe)
     RemoteWrite.compactCheckIntervalMs = cfg.compactIntervalMs

@@ -71,13 +71,7 @@ object RemoteWrite {
       compactPool.execute { () =>
         try {
           SamplesStore.maybeCompact(spark, storePath, autoCompactFilesPerDay)
-          val horizon = retentionDays
-          if (horizon > 0) {
-            val cutoffUs =
-              System.currentTimeMillis() / 1000 / 86400 * 86400 * 1000000L -
-                horizon * 86400L * 1000000L
-            SamplesStore.deleteRange(spark, storePath, Long.MinValue, cutoffUs)
-          }
+          retentionPass(spark, storePath, retentionDays)
         } catch {
           // a failed background merge must not be silent — but it must
           // also never take the serving loop down; the next probe retries
@@ -85,6 +79,32 @@ object RemoteWrite {
             log.warn(s"background store maintenance of $storePath failed: ${e.getMessage}")
         }
       }
+  }
+
+  /** One background retention pass: drop the day partitions that end
+    * before `now - horizonDays` (day-aligned, so expiry is always
+    * whole-directory drops). Consults the day listing FIRST and skips
+    * the deleteRange entirely when nothing can expire — the
+    * steady-state on every pass but the first of a new day, where the
+    * unconditional full-range delete would otherwise take the store
+    * mutation lock and walk every day's boundary logic each interval
+    * on a multi-year store. The probe itself is one listStatus call.
+    * Returns whether a delete was actually issued. */
+  private[graft] def retentionPass(spark: SparkSession, storePath: String,
+                                   horizonDays: Int): Boolean = {
+    if (horizonDays <= 0) return false
+    val cutoffUs = System.currentTimeMillis() / 1000 / 86400 * 86400 * 1000000L -
+      horizonDays * 86400L * 1000000L
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val anyExpired = fs.exists(root) && fs.listStatus(root).exists { s =>
+      s.isDirectory && s.getPath.getName.startsWith("date=") &&
+        s.getPath.getName.stripPrefix("date=").toLongOption
+          .exists(day => (day + 86400L) * 1000000L <= cutoffUs)
+    }
+    if (anyExpired)
+      SamplesStore.deleteRange(spark, storePath, Long.MinValue, cutoffUs)
+    anyExpired
   }
 
   /** WriteRequest blob → store append at `storePath`; returns the

@@ -188,6 +188,9 @@ class ServeSpec extends SparkSpecBase {
     assert(parseArgs(Seq("-store", "/tmp/s", "-store.retention-days", "90")).retentionDays === 90)
     intercept[IllegalArgumentException](
       parseArgs(Seq("-store", "/tmp/s", "-store.retention-days", "-1")))
+    // -debug (main.go:89 parity): a bare switch, default off
+    assert(parseArgs(Seq("-store", "/tmp/s", "-debug")).debug)
+    assert(!parseArgs(Seq("-store", "/tmp/s")).debug)
   }
 
   test("HTTP shim round-trips write → read with the reference's contract") {
@@ -260,7 +263,119 @@ class ServeSpec extends SparkSpecBase {
         === """{"status":"success","data":["meta_metric"]}""")
       assert(get(s"$base/api/v1/labels?end=8640000")._2
         === """{"status":"success","data":[]}""")
+      // RFC3339 bounds — what Grafana sends by default — must bound
+      // exactly like their numeric equivalents
+      assert(get(s"$base/api/v1/label/__name__/values?start=1970-01-01T00:00:00Z&end=1970-04-11T00:00:00Z")._2
+        === """{"status":"success","data":[]}""")
+      assert(get(s"$base/api/v1/label/__name__/values?start=2024-01-05T00:00:00Z&end=2024-01-05T23:59:59Z")._2
+        === """{"status":"success","data":["meta_metric"]}""")
     } finally srv.stop()
+  }
+
+  test("metadata time bounds accept RFC3339 and prune to the queried day partitions") {
+    import spark.implicits._
+    val store = tmpStore("metarfc")
+    val day0 = 1704412800L // 2024-01-05
+    val day1 = 1705276800L // 2024-01-15
+    val rows = Seq(day0, day1).flatMap(d => (0 until 10).map(i =>
+      (d * 1000000L + i * 1000000L, s"m_$d", Seq("k=v"), i.toDouble)))
+      .toDF("ts_us", "metric", "labels", "value")
+    graft.ingest.SamplesStore.write(rows, store)
+    def scannedPartitions(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.selectedPartitions.partitionCount
+      }.sum
+    val df = graft.ingest.SamplesStore.read(spark, store)
+    assert(scannedPartitions(df) === 2)
+    // an RFC3339-bounded query must PRUNE the scan, not just filter —
+    // the pre-fix behavior silently dropped the bound and read all of
+    // history for Grafana's default time format
+    val bounded = HttpServe.timeBounded(df,
+      "start=2024-01-05T00:00:00Z&end=2024-01-05T23:59:59Z")
+    assert(scannedPartitions(bounded) === 1,
+      "RFC3339 bounds must prune the scan to the queried day partition")
+    assert(bounded.select("metric").distinct().collect().map(_.getString(0)).toSeq
+      === Seq(s"m_$day0"))
+    // numeric and RFC3339 spellings of the same bound agree
+    val numeric = HttpServe.timeBounded(df, s"start=$day0&end=${day0 + 86399}")
+    assert(numeric.collect().toSeq === bounded.collect().toSeq)
+    // the parser itself: floats, zone offsets, garbage
+    assert(HttpServe.parseTimeParam("1704412800.5") === Some(1704412800L))
+    assert(HttpServe.parseTimeParam("2024-01-05T00:00:00Z") === Some(1704412800L))
+    assert(HttpServe.parseTimeParam("2024-01-05T02:00:00+02:00") === Some(1704412800L))
+    assert(HttpServe.parseTimeParam("bogus") === None)
+  }
+
+  test("retention passes are no-ops when no day is past the horizon") {
+    val store = tmpStore("retnoop")
+    // a store that does not exist yet: nothing to do, no failure
+    assert(!RemoteWrite.retentionPass(spark, store, 30))
+    // only current-day data: the pass must consult the listing and
+    // SKIP the deleteRange (at scale the unconditional delete walked
+    // every day's boundary logic under the store lock each interval)
+    val nowMs = System.currentTimeMillis()
+    RemoteWrite.serve(spark, store, PromRemoteCodec.encodeWriteRequest(PromWriteRequest(Seq(
+      PromTimeSeries(Seq(PromLabel("__name__", "ret_fresh")), Seq(PromSample(1.0, nowMs)))))))
+    assert(!RemoteWrite.retentionPass(spark, store, 30),
+      "no deleteRange may be issued when the oldest day is inside the horizon")
+    assert(graft.ingest.SamplesStore.read(spark, store).count() === 1)
+    // an expired day present: the pass fires and drops exactly it
+    RemoteWrite.serve(spark, store, PromRemoteCodec.encodeWriteRequest(PromWriteRequest(Seq(
+      PromTimeSeries(Seq(PromLabel("__name__", "ret_old")),
+        Seq(PromSample(2.0, 1704412800000L)))))))
+    assert(RemoteWrite.retentionPass(spark, store, 30))
+    val metrics = graft.ingest.SamplesStore.read(spark, store)
+      .select(col("metric")).distinct().collect().map(_.getString(0)).toSet
+    assert(metrics === Set("ret_fresh"))
+    // and the store is immediately back to steady-state no-ops
+    assert(!RemoteWrite.retentionPass(spark, store, 30))
+  }
+
+  test("a client disconnect mid-read is not counted as a read error") {
+    val store = tmpStore("disconnect")
+    RemoteWrite.serve(spark, store, writeBlob("dc_metric", 5))
+    val srv = HttpServe.start(spark, store)
+    try {
+      val m = OpsMetrics(spark)
+      val (reqBefore, errsBefore) = (m.readRequests.value, m.readErrors.value)
+      val readBlob = PromRemoteCodec.encodeReadRequest(Seq(
+        ReadQuery(1704412800000L, 1704412900000L,
+          Seq(Matchers.eq("__name__", "dc_metric")))))
+      // raw socket: send the full request, then abort the connection
+      // (SO_LINGER 0 → RST) before reading the response — the
+      // handler's response write hits a dead peer, the reference's
+      // context.Canceled analogue
+      val sock = new java.net.Socket("localhost", srv.port)
+      sock.setSoLinger(true, 0)
+      val out = sock.getOutputStream
+      out.write((s"POST /read HTTP/1.1\r\nHost: localhost\r\n" +
+        s"Content-Length: ${readBlob.length}\r\n\r\n").getBytes("UTF-8"))
+      out.write(readBlob); out.flush()
+      sock.close()
+      // wait until the handler has served the aborted exchange
+      val deadline = System.currentTimeMillis() + 30000
+      while (m.readRequests.value === reqBefore && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(500) // let the handler unwind through guarded
+      assert(m.readRequests.value === reqBefore + 1, "the aborted read must have run")
+      assert(m.readErrors.value === errsBefore,
+        "a client disconnect must not inflate read_errors (main.go:150)")
+      // the server keeps serving normally afterwards
+      val (rc, rbody, _) = post(s"http://localhost:${srv.port}/read", readBlob)
+      assert(rc === 200)
+      assert(PromRemoteCodec.decodeReadResponse(rbody).map(_.samples.size).sum === 5)
+    } finally srv.stop()
+  }
+
+  test("isClientDisconnect classifies peer aborts, never server faults") {
+    assert(HttpServe.isClientDisconnect(new java.io.IOException("Broken pipe")))
+    assert(HttpServe.isClientDisconnect(
+      new RuntimeException("wrapped", new java.io.IOException("Connection reset by peer"))))
+    assert(HttpServe.isClientDisconnect(new java.io.IOException("stream is closed")))
+    assert(!HttpServe.isClientDisconnect(new java.io.IOException("No space left on device")))
+    // the message alone is not enough — it must be an IOException
+    assert(!HttpServe.isClientDisconnect(new RuntimeException("Broken pipe")))
   }
 
   test("HTTP handlers run concurrently — a parked handler does not wedge the server") {

@@ -366,6 +366,42 @@ class StoreSpec extends SparkSpecBase {
     assert(sortedWithinFiles(path))
   }
 
+  test("a long-running reader defers the compaction swap instead of being stalled by it") {
+    import spark.implicits._
+    val path = "/tmp/graft_test/store_swap_defer"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val day0 = 1704412800L
+    def rowsFor(off: Int) =
+      (0 until 30).map(i => (day0 * 1000000L + (off * 30 + i) * 1000000L,
+        s"m${i % 5}", Seq("k=v"), i.toDouble)).toDF("ts_us", "metric", "labels", "value")
+    for (i <- 0 until 3) SamplesStore.append(rowsFor(i), path)
+    val before = SamplesStore.read(spark, path).count()
+
+    // a reader holding the visibility read lock for its whole query —
+    // the slow-dashboard shape. The swap's bounded tryLock must give
+    // up and defer the day rather than queue on the fair lock (where
+    // it would block every NEW reader behind this one for the whole
+    // read duration). Same-thread read→write upgrade can never
+    // acquire, so a missing timeout would deadlock here — the spec
+    // would hang, not just fail.
+    SamplesStore.readLocked(path) {
+      val t0 = System.nanoTime()
+      val n = SamplesStore.compactFragmentedDays(spark, path,
+        maxFilesPerDay = 2, swapLockTimeoutMs = 250L)
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(n == 0, "the swap must defer while a reader holds the visibility lock")
+      assert(SamplesStore.read(spark, path).count() == before,
+        "a deferred swap must leave the store untouched")
+      assert(elapsedMs < 30000, s"deferral must be prompt, took ${elapsedMs}ms")
+    }
+    // lock released: the next probe folds the day as usual
+    assert(SamplesStore.compactFragmentedDays(spark, path, maxFilesPerDay = 2) == 1)
+    assert(SamplesStore.read(spark, path).count() == before)
+    assert(sortedWithinFiles(path))
+  }
+
   test("lock maps key scheme-insensitively: qualified and raw store paths share one lock") {
     // deleteRange's boundary-day swap locks via a path derived from
     // fs.listStatus (scheme-qualified, file:/…), while serving readers

@@ -118,8 +118,29 @@ object Ingest {
   * updated_at)`: time predicates prune partitions, metric/label
   * predicates ride parquet row-group min/max + dictionary pages.
   * Time-ranged delete (README.md:166 `ALTER TABLE … DELETE WHERE`)
-  * is partition-level: whole days drop as directories, boundary days
-  * rewrite — never a full-table scan.
+  * is partition-level: whole days drop, boundary days rewrite —
+  * never a full-table scan.
+  *
+  * COMMITTED STATE IS DEFINED BY A SNAPSHOT MANIFEST, not by the
+  * directory tree. Every mutation ends by atomically publishing
+  * `_manifests/m-<gen>`: the complete list of live data files plus
+  * the newest committed stream batch id. [[read]] plans from the
+  * latest manifest, so EVERY read — in-process or from another JVM —
+  * observes exactly one committed snapshot: appends appear atomically,
+  * compaction is invisible (same rows, new files), deletes are
+  * all-or-nothing. This is what ClickHouse's atomic part commits give
+  * the reference for ALL its readers, re-derived in the
+  * manifest/snapshot style of the open table formats. Two corollaries:
+  *  - The directory tree is NOT a valid table: superseded and
+  *    crashed-attempt files linger until [[expireSnapshots]] (grace-
+  *    period GC) removes them. Read through [[read]], never by
+  *    scanning the directories.
+  *  - Rewrites never rename or delete a live file in place — they ADD
+  *    files, publish a manifest that stops referencing the old ones,
+  *    and let GC reclaim them after `GcGraceMs`. A reader that
+  *    planned on manifest G keeps scanning G's files successfully
+  *    while G+1 lands; it must only finish within the grace window
+  *    (the Iceberg/Delta snapshot-expiry contract).
   */
 object SamplesStore {
   private val DaySec = 86400L
@@ -141,6 +162,15 @@ object SamplesStore {
     * instead of one unwritable monolith, and row-group pruning still
     * sees contiguous (metric, labels, ts_us) runs per file. */
   val TargetFileBytes: Long = 512L * 1024 * 1024
+
+  /** How long a superseded data file outlives the manifest that
+    * stopped referencing it. Any reader that planned on an older
+    * snapshot must finish its scan within this window — after it,
+    * [[expireSnapshots]] (or the in-path GC after compaction/delete)
+    * may reclaim the file. 10 min comfortably covers serving reads
+    * (bounded by maxReadSamples); a long analytical scan over the
+    * store should pin its own copy or raise the grace. */
+  val GcGraceMs: Long = 10L * 60 * 1000
 
   /** Two locks per store path, with distinct jobs:
     *
@@ -248,29 +278,131 @@ object SamplesStore {
     try f finally l.unlock()
   }
 
-  private val BatchFilePattern = "^b(\\d+)-.*".r
+  // ---- snapshot manifests -----------------------------------------
+  // One committed snapshot per mutation: `_manifests/m-<gen>` lists
+  // every live data file (relative `date=X/part-….parquet` path) and
+  // the newest committed stream batch id. The commit is a single
+  // atomic rename of a fully-written temp file, so any reader — this
+  // JVM or another process — either sees gen G or gen G+1, never a
+  // half-state. Batch ids are monotone through the store's single
+  // stream writer (Structured Streaming delivers foreachBatch in
+  // order), so ONE max id is the whole exactly-once ledger: a replay
+  // of id ≤ max short-circuits, and a crash before the commit leaves
+  // files no manifest references — invisible, re-staged by the
+  // replay, reclaimed by GC. This replaces a per-batch marker-file
+  // scheme whose markers had to be carried across every rewrite.
 
-  /** Repair a store left inside [[compact]]'s swap window by a crash —
-    * run at the start of EVERY mutation (under the store lock), because
-    * auto-compaction makes the window a routine serving event, and an
-    * unaware writer would otherwise re-create an empty live path while
-    * a later compact's cleanup deletes `.old`, the only complete copy:
+  private val ManifestDir = "_manifests"
+  private val ManifestPattern = "^m-(\\d{20})$".r
+
+  /** One committed store snapshot: manifest generation, newest
+    * committed stream batch id, and the live data files (relative
+    * paths, sorted). */
+  final case class StoreSnapshot(gen: Long, maxBatchId: Long, files: Vector[String]) {
+    /** day name (`date=X`) → its live files. */
+    lazy val byDay: Map[String, Vector[String]] = files.groupBy(f => f.takeWhile(_ != '/'))
+  }
+
+  private def manifestFile(root: Path, gen: Long): Path =
+    new Path(new Path(root, ManifestDir), f"m-$gen%020d")
+
+  /** The latest committed snapshot, or None for a store that has
+    * never committed one (fresh path, or a plain parquet tree built
+    * by other tools). Lock-free: one small file read. */
+  private[graft] def latestSnapshot(fs: org.apache.hadoop.fs.FileSystem,
+                                    root: Path): Option[StoreSnapshot] = {
+    val dir = new Path(root, ManifestDir)
+    val gens =
+      try fs.listStatus(dir).map(_.getPath.getName)
+        .collect { case ManifestPattern(g) => g.toLong }
+      catch { case _: java.io.FileNotFoundException => Array.empty[Long] }
+    if (gens.isEmpty) None else Some(readManifest(fs, root, gens.max))
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                           gen: Long): StoreSnapshot = {
+    val in = fs.open(manifestFile(root, gen))
+    try {
+      val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      var maxBatch = -1L
+      val files = Vector.newBuilder[String]
+      lines.foreach { l =>
+        if (l.startsWith("max-batch-id ")) maxBatch = l.stripPrefix("max-batch-id ").toLong
+        else if (l.startsWith("F ")) files += l.stripPrefix("F ")
+      }
+      StoreSnapshot(gen, maxBatch, files.result())
+    } finally in.close()
+  }
+
+  /** Publish a new snapshot: write the complete manifest to a temp
+    * file, fsync-close, then RENAME into its generation slot — the
+    * rename is the commit point (it fails on an existing target, so a
+    * generation can never be half-written or double-claimed; on a
+    * lost race the writer bumps the generation and retries). Called
+    * under the mutation lock. */
+  private def commitSnapshot(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                             maxBatchId: Long, files: Seq[String],
+                             prevGen: Long): StoreSnapshot = {
+    val dir = new Path(root, ManifestDir)
+    fs.mkdirs(dir)
+    val sorted = files.toVector.sorted
+    val content = ("graft-manifest v1" +: s"max-batch-id $maxBatchId" +:
+      sorted.map("F " + _)).mkString("\n")
+    var gen = prevGen + 1
+    var done = false
+    while (!done) {
+      val tmp = new Path(dir, s".tmp-$gen-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      if (fs.rename(tmp, manifestFile(root, gen))) done = true
+      else { fs.delete(tmp, false); gen += 1 }
+    }
+    StoreSnapshot(gen, maxBatchId, sorted)
+  }
+
+  /** Full recursive data-file listing (relative paths) — the
+    * O(all days) bootstrap/rebuild path only; incremental mutations
+    * never call this. */
+  private def listingFiles(fs: org.apache.hadoop.fs.FileSystem, root: Path): Vector[String] =
+    if (!fs.exists(root)) Vector.empty
+    else fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .flatMap(day => fs.listStatus(day.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => day.getPath.getName + "/" + f.getPath.getName))
+      .toVector
+
+  /** The store's snapshot, adopting a manifest-less tree (legacy
+    * store, or a parquet layout produced by [[write]]'s bulk rebuild)
+    * by committing gen 1 from a full listing. Mutation-lock holders
+    * only. */
+  private def snapshotOrAdopt(fs: org.apache.hadoop.fs.FileSystem,
+                              root: Path): StoreSnapshot =
+    latestSnapshot(fs, root).getOrElse(
+      commitSnapshot(fs, root, -1L, listingFiles(fs, root), 0L))
+
+  private val RewriteDayPrefix = ".rewrite_" // hidden per-day rewrite staging
+
+  /** Repair a store left inside [[compact]]'s whole-store swap window
+    * by a crash — run at the start of every mutation (under the store
+    * lock), because an unaware writer would otherwise re-create an
+    * empty live path while a later compact's cleanup deletes `.old`,
+    * the only complete copy:
     *  - live path missing, `.old` present → the crash hit between the
     *    two swap renames; restore `.old` (the rewrite in `.compacting`
     *    is redone later).
-    *  - live path AND `.old` present → the crash hit after the swap
-    *    but before the marker carry / cleanup; carry `_commits` into
-    *    the new layout if it lacks them (losing the marker set would
-    *    turn the next checkpoint replay into wholesale duplication),
-    *    then drop `.old`.
+    *  - live path AND `.old` present → the swap completed (the new
+    *    layout carries its own `_manifests`, written before the swap,
+    *    so nothing needs carrying) — drop `.old`.
     *  - `.compacting` remnants are an incomplete rewrite — disposable.
+    * Day-level rewrites need NO crash repair: they only ADD files, and
+    * a crash before the manifest commit leaves them unreferenced —
+    * invisible garbage that [[expireSnapshots]] reclaims by age.
     *
-    * Deliberately NOT under the visibility lock: every recovery
-    * transition either restores data a reader already could not see
-    * (the crash left it missing) or touches dot/underscore-hidden
-    * paths — readers can only gain from it, and taking the visibility
-    * write lock here would make every mutation's (almost always
-    * no-op) recovery probe drain in-flight reads first. */
+    * Deliberately NOT under the visibility lock: every transition
+    * either restores data a reader already could not see or touches
+    * hidden paths — readers can only gain from it. */
   private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
     val dst = new Path(path)
     val tmp = new Path(dst.getParent, dst.getName + ".compacting")
@@ -279,247 +411,198 @@ object SamplesStore {
       if (!fs.exists(dst)) {
         if (!fs.rename(old, dst))
           throw new java.io.IOException(s"recoverSwap: restore $old -> $dst failed")
-      } else {
-        val oldCommits = new Path(old, "_commits")
-        if (fs.exists(oldCommits) && !fs.exists(new Path(dst, "_commits")) &&
-            !fs.rename(oldCommits, new Path(dst, "_commits")))
-          throw new java.io.IOException(
-            s"recoverSwap: marker carry $oldCommits -> $dst/_commits failed")
-        fs.delete(old, true)
-      }
+      } else fs.delete(old, true)
     }
     fs.delete(tmp, true)
-    recoverDaySwaps(fs, dst)
-  }
-
-  private val OldDayPrefix = ".old_"      // rename-aside copy of one day dir
-  private val RewriteDayPrefix = ".rewrite_" // in-progress per-day rewrite
-
-  /** Repair per-day swap remnants left by a crash inside [[swapDay]]
-    * (day-level compaction / boundary-day delete): an `.old_date=X`
-    * whose live `date=X` is missing means the crash hit between the
-    * two renames — restore it; with the live dir present the swap
-    * completed — drop the aside copy. `.rewrite_date=X` dirs are
-    * incomplete rewrites — disposable (the dot prefix hides them from
-    * the parquet reader either way). */
-  private def recoverDaySwaps(fs: org.apache.hadoop.fs.FileSystem, root: Path): Unit = {
-    if (!fs.exists(root)) return
-    val children = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-    children.filter(_.getName.startsWith(OldDayPrefix)).foreach { oldDay =>
-      val live = new Path(root, oldDay.getName.stripPrefix(OldDayPrefix))
-      if (!fs.exists(live)) {
-        if (!fs.rename(oldDay, live))
-          throw new java.io.IOException(s"recoverDaySwaps: restore $oldDay -> $live failed")
-      } else fs.delete(oldDay, true)
-    }
-    children.filter(_.getName.startsWith(RewriteDayPrefix))
-      .foreach(p => fs.delete(p, true))
-    // a crashed appendBatch's staging dir is replay-swept IF the batch
-    // replays; a stream that is never restarted would leak it forever.
-    // Safe to sweep here: this runs under the store's write lock, so
-    // no appendBatch can be mid-staging concurrently.
-    children.filter(_.getName.startsWith(".staging-"))
-      .foreach(p => fs.delete(p, true))
-  }
-
-  /** Replace one day partition with its rewritten copy via rename-aside
-    * (crash-safe at every step, see [[recoverDaySwaps]]; NOT atomically
-    * visible). Visibility caveat, stronger than [[compact]]'s: between
-    * the two renames the day dir is absent, so a reader that LISTS the
-    * store inside that window silently omits the day (a reader that
-    * already listed and then scans gets a loud FileNotFound). In-JVM
-    * serving reads are excluded from the window entirely via
-    * [[readLocked]]; out-of-process readers retry loud misses and
-    * tolerate the ms-scale listing window. At 100 TB you would close
-    * it for everyone by fronting the store with a manifest (snapshot
-    * file listing à la Iceberg/Delta) so the swap becomes a single
-    * manifest commit — the per-day job shape stays identical.
-    * `rewrite` must already hold the new parquet files for the day.
-    *
-    * `lockTimeoutMs` < 0 blocks for the visibility lock (delete's
-    * boundary rewrite: the delete MUST happen); >= 0 bounds the wait
-    * and returns false with the live day untouched when a
-    * long-running reader keeps the lock parked (compaction: the fold
-    * is opportunistic, the next probe retries). */
-  private def swapDay(fs: org.apache.hadoop.fs.FileSystem, root: Path,
-                      dayName: String, rewrite: Path,
-                      lockTimeoutMs: Long = -1L): Boolean = {
-    def doSwap(): Unit = {
-      val live = new Path(root, dayName)
-      val aside = new Path(root, OldDayPrefix + dayName)
-      if (!fs.rename(live, aside))
-        throw new java.io.IOException(s"swapDay: rename $live -> $aside failed")
-      if (!fs.rename(rewrite, live)) {
-        fs.rename(aside, live) // roll back so the day stays readable
-        throw new java.io.IOException(s"swapDay: rename $rewrite -> $live failed")
-      }
-      fs.delete(aside, true)
-    }
-    if (lockTimeoutMs < 0) { visible(root.toString)(doSwap()); true }
-    else visibleTry(root.toString, lockTimeoutMs)(doSwap())
   }
 
   private def fsFor(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Batch ids that have `b<id>-` files in some day partition but no
-    * `_commits/<id>` marker — a crash mid-[[appendBatch]]. Their files
-    * belong to the checkpoint replay's sweep; folding them into
-    * unprefixed compacted files would strand that sweep and duplicate
-    * the whole batch on replay. */
-  private def uncommittedBatchIds(fs: org.apache.hadoop.fs.FileSystem,
-                                  root: Path): Seq[Long] = {
-    if (!fs.exists(root)) Nil
-    else fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
-      .flatMap(day => fs.listStatus(day.getPath).map(_.getPath.getName)
-        .collect { case BatchFilePattern(id) => id.toLong })
-      .distinct
-      .filterNot(id => fs.exists(new Path(root, s"_commits/$id")))
-      .toSeq
-  }
 
   /** `date` leads the within-partition sort so the dynamic-partition
     * writer's required ordering (partition columns first) is already
     * satisfied and it does NOT inject its own partition-column-only
     * sort — which would destroy the (metric, labels, ts_us) file
     * order this store's row-group pruning depends on. */
-  def write(samples: DataFrame, path: String): Unit = locked(path) {
-    recoverSwap(fsFor(samples.sparkSession, path), path)
-    layout(samples).write.mode("overwrite").partitionBy("date").parquet(path)
-  }
-
-  /** Append with the same layout/sort — the serving write path
-    * (each remote-write request lands as new files in its day
-    * partitions, the MergeTree-insert analogue; ClickHouse merges
-    * parts in the background, here a periodic compaction rewrite
-    * would play that role). */
-  def append(samples: DataFrame, path: String): Unit = locked(path) {
-    recoverSwap(fsFor(samples.sparkSession, path), path)
-    layout(samples).write.mode("append").partitionBy("date").parquet(path)
-  }
-
-  /** Exactly-once batch append for checkpointed streams. A bare
-    * [[append]] inside foreachBatch is only at-least-once: a crash
-    * between the append and the checkpoint commit re-delivers the
-    * batch on restart and duplicates its rows. This variant makes the
-    * replay a no-op: the batch is staged to a shadow dir, its files
-    * moved into the day partitions under batchId-stamped names, and a
-    * commit marker written last. On re-delivery the marker short-
-    * circuits; on a crash mid-move the next attempt first sweeps any
-    * `b<id>-` orphans (the marker is absent, so the move redoes from
-    * a clean slate). Layout (day dirs, sorted files) is identical to
-    * [[append]]'s. */
-  def appendBatch(samples: DataFrame, path: String, batchId: Long,
-                  autoCompactFilesPerDay: Int = AutoCompactFilesPerDay): Unit = {
-    val spark = samples.sparkSession
-    val fs = fsFor(spark, path)
-    val maxTouchedDayFiles = locked(path) {
-      recoverSwap(fs, path)
-      val marker = new Path(path, s"_commits/$batchId")
-      if (!fs.exists(marker)) appendBatchUncommitted(samples, path, batchId, fs)
-      else 0
-    }
-    // ClickHouse merges parts in the background; here the writer
-    // itself folds the store once fragmentation crosses the
-    // threshold. The probe costs only the TOUCHED days' listings
-    // (already paid by the move above) — never an O(all days) scan
-    // per microbatch. Runs AFTER this batch's commit marker lands, so
-    // the orphan check inside sees only committed files — and AFTER
-    // the mutation lock above releases: compaction's expensive STAGE
-    // phase runs unlocked (it takes the lock itself only for the
-    // ms-scale SNAPSHOT and SWAP phases), so a concurrent /write or
-    // the stream's own next microbatch proceeds during the rewrite
-    // instead of stalling behind it.
-    if (maxTouchedDayFiles > autoCompactFilesPerDay)
-      maybeCompact(spark, path, autoCompactFilesPerDay)
-  }
-
-  /** Stage + move + commit one batch; returns the max parquet-file
-    * count across the day partitions this batch touched (the
-    * fragmentation signal for the auto-compaction probe). */
-  private def appendBatchUncommitted(samples: DataFrame, path: String, batchId: Long,
-                                     fs: org.apache.hadoop.fs.FileSystem): Int = {
-    val marker = new Path(path, s"_commits/$batchId")
-    val prefix = s"b$batchId-"
-    // sweep a partial prior attempt of this batch
-    if (fs.exists(new Path(path))) {
-      fs.listStatus(new Path(path)).filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
-        .foreach { day =>
-          fs.listStatus(day.getPath).filter(_.getPath.getName.startsWith(prefix))
-            .foreach(f => fs.delete(f.getPath, false))
-        }
-    }
-    val staging = new Path(path, s".staging-$batchId")
-    fs.delete(staging, true)
-    layout(samples).write.mode("overwrite").partitionBy("date").parquet(staging.toString)
-    var maxDayFiles = 0
-    fs.listStatus(staging).filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
-      .foreach { day =>
-        val dstDay = new Path(path, day.getPath.getName)
-        fs.mkdirs(dstDay)
-        fs.listStatus(day.getPath).filter(_.getPath.getName.endsWith(".parquet"))
-          .foreach { f =>
-            if (!fs.rename(f.getPath, new Path(dstDay, prefix + f.getPath.getName)))
-              throw new java.io.IOException(s"appendBatch: move ${f.getPath} failed")
-          }
-        maxDayFiles = math.max(maxDayFiles,
-          fs.listStatus(dstDay).count(_.getPath.getName.endsWith(".parquet")))
-      }
-    fs.delete(staging, true)
-    fs.mkdirs(new Path(path, "_commits"))
-    fs.create(marker, true).close()
-    maxDayFiles
-  }
-
   private def layout(samples: DataFrame): DataFrame =
     samples
       .withColumn("date", expr("ts_us DIV 1000000 DIV 86400 * 86400"))
       .repartition(col("date"))
       .sortWithinPartitions(col("date"), col("metric"), col("labels"), col("ts_us"))
 
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** Stage `samples` in the canonical layout under a hidden dir, then
+    * MOVE the parquet files into their live day partitions — pure
+    * metadata renames; Spark part-file names carry a per-job UUID, so
+    * moved names never collide, and a crashed attempt's files are
+    * never referenced by any manifest (invisible, GC'd by age).
+    * Returns the moved files' relative paths. Caller holds the
+    * mutation lock and commits the manifest. */
+  private def stageAndMove(samples: DataFrame, path: String,
+                           fs: org.apache.hadoop.fs.FileSystem,
+                           prefix: String): Vector[String] = {
+    val staging = new Path(path, s".staging-${java.util.UUID.randomUUID()}")
+    fs.delete(staging, true)
+    layout(samples).write.mode("overwrite").partitionBy("date").parquet(staging.toString)
+    val moved = Vector.newBuilder[String]
+    fs.listStatus(staging).filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .foreach { day =>
+        val dstDay = new Path(path, day.getPath.getName)
+        fs.mkdirs(dstDay)
+        fs.listStatus(day.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            val name = prefix + f.getPath.getName
+            if (!fs.rename(f.getPath, new Path(dstDay, name)))
+              throw new java.io.IOException(s"stageAndMove: move ${f.getPath} failed")
+            moved += day.getPath.getName + "/" + name
+          }
+      }
+    fs.delete(staging, true)
+    moved.result()
+  }
 
-  /** Compaction — the ClickHouse background-merge analogue
-    * (README.md:17-28: MergeTree merges its parts; here every
-    * serving-path [[append]] lands new small files in its day
-    * partitions, and compaction folds them back into one sorted file
-    * per day). One distributed job: read everything, re-establish the
+  /** Shared append path: stage + move + ONE manifest commit. For a
+    * stream batch (`batchId` present) the commit also advances the
+    * batch ledger, and a replayed id ≤ the ledger short-circuits
+    * BEFORE staging — the exactly-once guarantee, now a single atomic
+    * commit point instead of marker files that had to be carried
+    * across every rewrite. Returns the max live-file count across the
+    * touched days (manifest math, no extra listing) — the caller's
+    * fragmentation signal. */
+  private def appendSnapshot(samples: DataFrame, path: String,
+                             batchId: Option[Long]): Int = {
+    val fs = fsFor(samples.sparkSession, path)
+    locked(path) {
+      recoverSwap(fs, path)
+      val root = new Path(path)
+      val prev = snapshotOrAdopt(fs, root)
+      if (batchId.exists(_ <= prev.maxBatchId)) 0 // checkpoint replay: already committed
+      else {
+        val prefix = batchId.map(id => s"b$id-").getOrElse("")
+        val moved = stageAndMove(samples, path, fs, prefix)
+        val snap = commitSnapshot(fs, root, batchId.getOrElse(prev.maxBatchId),
+          prev.files ++ moved, prev.gen)
+        val touched = moved.iterator.map(_.takeWhile(_ != '/')).toSet
+        if (touched.isEmpty) 0
+        else touched.iterator.map(d => snap.byDay.getOrElse(d, Vector.empty).size).max
+      }
+    }
+  }
+
+  /** Bulk (re)build: full overwrite of the store path in the
+    * canonical layout, then a fresh manifest from the complete
+    * listing. OFFLINE-tool semantics: the overwrite truncates the
+    * directory (prior manifests included), so run it only on a store
+    * without live readers — the serving paths are [[append]] /
+    * [[appendBatch]], which commit incremental snapshots. */
+  def write(samples: DataFrame, path: String): Unit =
+    writeInternal(samples, path, -1L)
+
+  private def writeInternal(samples: DataFrame, path: String,
+                            maxBatchId: Long): Unit = locked(path) {
+    val fs = fsFor(samples.sparkSession, path)
+    recoverSwap(fs, path)
+    layout(samples).write.mode("overwrite").partitionBy("date").parquet(path)
+    commitSnapshot(fs, new Path(path), maxBatchId,
+      listingFiles(fs, new Path(path)), 0L)
+  }
+
+  /** Append with the same layout/sort — the serving write path (each
+    * remote-write request lands as new files in its day partitions,
+    * the MergeTree-insert analogue). The manifest commit makes the
+    * request atomically visible: a reader sees all of its samples or
+    * none, never a partial request. */
+  def append(samples: DataFrame, path: String): Unit = {
+    appendSnapshot(samples, path, None); ()
+  }
+
+  /** Exactly-once batch append for checkpointed streams. A bare
+    * [[append]] inside foreachBatch is only at-least-once: a crash
+    * between the append and the checkpoint commit re-delivers the
+    * batch on restart and duplicates its rows. Here the manifest's
+    * batch ledger makes the replay a no-op: batch ids are monotone
+    * through the store's single stream writer, so a replayed id ≤ the
+    * committed maximum short-circuits; a crash BEFORE the commit
+    * leaves only unreferenced staging files that the replay simply
+    * re-stages (old attempt's files are invisible and age out via
+    * GC). Layout (day dirs, sorted files) is identical to
+    * [[append]]'s. */
+  def appendBatch(samples: DataFrame, path: String, batchId: Long,
+                  autoCompactFilesPerDay: Int = AutoCompactFilesPerDay): Unit = {
+    val maxTouchedDayFiles = appendSnapshot(samples, path, Some(batchId))
+    // ClickHouse merges parts in the background; here the writer
+    // itself folds the store once fragmentation crosses the
+    // threshold. The probe costs nothing (manifest math over the
+    // TOUCHED days — never an O(all days) scan per microbatch) and
+    // runs AFTER the append's mutation lock releases: compaction's
+    // expensive STAGE phase takes no lock (only the ms-scale SNAPSHOT
+    // and PUBLISH phases do), so a concurrent /write or the stream's
+    // own next microbatch proceeds during the rewrite instead of
+    // stalling behind it.
+    if (maxTouchedDayFiles > autoCompactFilesPerDay)
+      maybeCompact(samples.sparkSession, path, autoCompactFilesPerDay)
+  }
+
+  /** The store as a DataFrame — planned from the LATEST committed
+    * snapshot: an explicit file list (with basePath, so the `date`
+    * partition column and its pruning survive) that no concurrent
+    * mutation can yank away, because superseded files outlive their
+    * manifest by [[GcGraceMs]]. Lock-free and valid from ANY process —
+    * this is the atomic-part-visibility contract the reference
+    * delegates to ClickHouse. A manifest-less path (a plain parquet
+    * tree from other tools) falls back to directory listing. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val fs = fsFor(spark, path)
+    val root = new Path(path)
+    latestSnapshot(fs, root) match {
+      case Some(snap) if snap.files.isEmpty => emptySamples(spark)
+      case Some(snap) =>
+        spark.read.option("basePath", path)
+          .parquet(snap.files.map(f => new Path(root, f).toString): _*)
+      case None => spark.read.parquet(path)
+    }
+  }
+
+  /** Schema of an empty-snapshot read, matching the inferred schema
+    * of a non-empty one (the `date` partition value infers as
+    * IntegerType for epoch-day seconds until 2038). */
+  private def emptySamples(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("ts_us", LongType), StructField("metric", StringType),
+        StructField("labels", ArrayType(StringType)), StructField("value", DoubleType),
+        StructField("date", IntegerType))))
+  }
+
+  /** Compaction — the ClickHouse background-merge analogue as a
+    * whole-store rebuild: read the latest snapshot, re-establish the
     * layout (repartition by day + within-file (metric, labels, ts_us)
-    * sort, so row-group pruning survives), write to a shadow dir,
-    * atomically swap. This whole-store rewrite is the deterministic
-    * full-rebuild tool (schema/layout migrations, the oracle query);
-    * the serving path compacts through [[compactFragmentedDays]],
-    * which rewrites only the days that actually fragmented. */
+    * sort, so row-group pruning survives), write to a shadow tree,
+    * swap the trees. The rebuilt tree carries its OWN manifest
+    * (batch ledger included) written BEFORE the swap, so the live
+    * path always holds a complete committed store even across a
+    * crash. OFFLINE-tool semantics (schema/layout migrations, the
+    * oracle query): the directory swap breaks snapshot retention for
+    * other-process readers mid-scan — the serving path compacts
+    * through [[compactFragmentedDays]], whose publish is a pure
+    * manifest commit. In-JVM readers stay safe here via the
+    * visibility lock. */
   def compact(spark: SparkSession, path: String): Unit = locked(path) {
     val fs = fsFor(spark, path)
     val dst = new Path(path)
-    // first repair any prior crashed swap — restores a stranded `.old`
-    // copy and its markers instead of deleting them below
     recoverSwap(fs, path)
-    // Refuse to fold a crashed appendBatch's uncommitted files: they
-    // belong to the replay sweep (which matches only the b<id>- prefix),
-    // and compacting them into unprefixed files would make the replay
-    // re-append the whole batch — duplicated rows. The replay (stream
-    // restart) clears the orphans; compact after that.
-    val orphans = uncommittedBatchIds(fs, dst)
-    if (orphans.nonEmpty)
-      throw new IllegalStateException(
-        s"compact: uncommitted batch files present (batch ids ${orphans.mkString(",")}) " +
-        "— replay the batch (restart the stream) before compacting")
+    val prev = snapshotOrAdopt(fs, dst)
     val tmp = new Path(dst.getParent, dst.getName + ".compacting")
     val old = new Path(dst.getParent, dst.getName + ".old")
     // `date` is re-derived from ts_us inside layout(), so the rewrite
-    // cannot drift from the read-side partition values.
-    write(read(spark, path).drop("date"), tmp.toString)
-    // Swap via rename-aside (never delete-then-rename): this is a
-    // CRASH-safety guarantee — a crash mid-swap leaves a complete copy
-    // at `path` or `path.old`, never only in the shadow dir. It is NOT
-    // an atomic-visibility guarantee: between the two renames the live
-    // path briefly does not exist, so a concurrent reader can see a
-    // transient miss and must retry (in-JVM writers are excluded by
-    // the store lock; readers are not).
+    // cannot drift from the read-side partition values; the source is
+    // the SNAPSHOT (via read), so crashed-append garbage is never
+    // folded into committed data.
+    writeInternal(read(spark, path).drop("date"), tmp.toString, prev.maxBatchId)
+    // Swap via rename-aside (never delete-then-rename): a crash
+    // mid-swap leaves a complete copy at `path` or `path.old`, never
+    // only in the shadow dir — recoverSwap repairs either state.
     visible(path) {
       if (!fs.rename(dst, old))
         throw new java.io.IOException(s"compact: rename $dst -> $old failed")
@@ -528,14 +611,6 @@ object SamplesStore {
         throw new java.io.IOException(s"compact: rename $tmp -> $dst failed")
       }
     }
-    // carry the appendBatch commit markers across the rewrite, so a
-    // stream replay after a compaction still short-circuits; a silent
-    // rename failure here would drop every marker and turn the next
-    // checkpoint replay into wholesale row duplication
-    val oldCommits = new Path(old, "_commits")
-    if (fs.exists(oldCommits) && !fs.rename(oldCommits, new Path(dst, "_commits")))
-      throw new java.io.IOException(
-        s"compact: rename $oldCommits -> $dst/_commits failed — commit markers would be lost")
     fs.delete(old, true)
     val m = graft.OpsMetrics(spark)
     m.compactions.add(1)
@@ -543,13 +618,10 @@ object SamplesStore {
       fs.listStatus(dst).count(s => s.isDirectory && s.getPath.getName.startsWith("date=")).toLong)
   }
 
-  /** Shadow dir for the staged compaction rewrite. NOT under
-    * [[RewriteDayPrefix]]: recovery sweeps `.rewrite_*` at every
-    * mutation, and the staging here runs OUTSIDE the store lock —
-    * a concurrent append's recovery pass must not delete it. Stale
-    * copies (crash mid-staging) are swept by the next compaction's
-    * own snapshot phase, which cannot race an active staging thanks
-    * to the single-flight guard. */
+  /** Shadow dir for the staged compaction rewrite. Hidden from the
+    * parquet reader; the staging runs OUTSIDE the store lock, so
+    * [[expireSnapshots]] skips it while a compaction is in flight
+    * (single-flight guard) and reclaims stale crashed copies by age. */
   private val StageDirName = ".stage_compact"
 
   /** One compaction in flight per store: concurrent probes return
@@ -561,8 +633,8 @@ object SamplesStore {
       new java.util.concurrent.atomic.AtomicBoolean(false))
 
   /** Selective compaction — the 100 TB shape of [[compact]]: rewrite
-    * ONLY the day partitions whose parquet-file count exceeds
-    * `maxFilesPerDay`, leaving every healthy day's files untouched.
+    * ONLY the day partitions whose live-file count (per the manifest)
+    * exceeds `maxFilesPerDay`, leaving every healthy day untouched.
     * On a store with years of history only the hot write frontier
     * ever fragments, so the rewrite cost is O(fragmented days), not
     * O(store) — ONE distributed job over exactly those days' bytes
@@ -572,27 +644,30 @@ object SamplesStore {
     * tasks so a hot day folds into several well-sized sorted files
     * and row-group pruning keeps its contiguous metric runs.
     *
-    * Locking follows the ClickHouse background-merge contract — the
-    * expensive rewrite never blocks serving:
-    *  1. SNAPSHOT (write lock, ms): record each fragmented day's
-    *     exact file set.
+    * The expensive rewrite never blocks serving (the ClickHouse
+    * background-merge contract):
+    *  1. SNAPSHOT (mutation lock, ms): record each fragmented day's
+    *     exact file set from the manifest.
     *  2. STAGE (no lock): rewrite the RECORDED files into a shadow
     *     dir while appends and reads proceed.
-    *  3. SWAP (write lock, ms): per day, swap only if the live
-    *     listing still equals the snapshot; a day that gained files
-    *     meanwhile is left intact for the next probe — concurrent
-    *     appends can defer a day's fold but never lose data. The
-    *     visibility write lock is taken with a BOUNDED wait
-    *     (`swapLockTimeoutMs`): a long-running reader parking the
-    *     fair lock defers the day instead of stalling every new
-    *     reader and mutation queued behind the swap.
+    *  3. PUBLISH (mutation lock, ms): move staged files into their
+    *     live day dirs under new names (old files untouched) and
+    *     commit ONE manifest swapping every still-unchanged day's
+    *     file set; a day that gained files during staging is left for
+    *     the next probe — concurrent appends can defer a day's fold
+    *     but never lose data. Readers need no exclusion at all: the
+    *     commit is atomic, and superseded files outlive the grace
+    *     window for anyone mid-scan. Their deletion (grace-expired
+    *     GC) is the only visibility-lock consumer left, and it defers
+    *     on a bounded tryLock rather than stalling behind a
+    *     long-running reader.
     * Single-flight per store; `afterStage` is a test seam invoked
     * between phases 2 and 3. Returns the number of days rewritten. */
   def compactFragmentedDays(spark: SparkSession, path: String,
                             maxFilesPerDay: Int = AutoCompactFilesPerDay,
                             targetFileBytes: Long = TargetFileBytes,
                             afterStage: () => Unit = () => (),
-                            swapLockTimeoutMs: Long = SwapLockTimeoutMs): Int = {
+                            gcGraceMs: Long = GcGraceMs): Int = {
     val flag = compactingFlag(path)
     if (!flag.compareAndSet(false, true)) return 0 // single-flight
     try {
@@ -600,35 +675,22 @@ object SamplesStore {
       val root = new Path(path)
       val shadow = new Path(root, StageDirName)
 
-      // Phase 1 — SNAPSHOT under the write lock: repair crash
-      // remnants, then record each fragmented day's exact parquet
-      // file set (names are immutable once written — appends only ADD
-      // files). Days carrying a crashed batch's uncommitted `b<id>-`
-      // files are deferred: those files belong to the replay sweep,
-      // and folding them would duplicate the batch on replay.
+      // Phase 1 — SNAPSHOT under the mutation lock: fragmented days
+      // and their exact file sets come from the MANIFEST, so a
+      // crashed append's unreferenced files neither inflate the
+      // fragmentation count nor get folded into committed data.
+      // Sizes cost one listing per fragmented day only.
       val targets: Seq[(String, Set[String], Long)] = locked(path) {
         recoverSwap(fs, path)
         fs.delete(shadow, true)
         if (!fs.exists(root)) Seq.empty
         else {
-          val orphanIds = uncommittedBatchIds(fs, root).toSet
-          val fragmented = fs.listStatus(root)
-            .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
-            .map(day => day.getPath ->
-              fs.listStatus(day.getPath).filter(_.getPath.getName.endsWith(".parquet")))
-            .filter(_._2.length > maxFilesPerDay)
-          val (deferred, ok) = fragmented.partition { case (_, files) =>
-            files.exists(f => f.getPath.getName match {
-              case BatchFilePattern(id) => orphanIds.contains(id.toLong)
-              case _                    => false
-            })
-          }
-          deferred.foreach { case (day, _) =>
-            log.warn(s"compactFragmentedDays($path): skipping ${day.getName}" +
-              " — uncommitted batch files present (replay the batch first)")
-          }
-          ok.toSeq.map { case (day, files) =>
-            (day.getName, files.map(_.getPath.getName).toSet, files.map(_.getLen).sum)
+          val snap = snapshotOrAdopt(fs, root)
+          snap.byDay.toSeq.collect { case (day, dayFiles) if dayFiles.size > maxFilesPerDay =>
+            val names = dayFiles.map(_.stripPrefix(day + "/")).toSet
+            val bytes = fs.listStatus(new Path(root, day))
+              .filter(f => names.contains(f.getPath.getName)).map(_.getLen).sum
+            (day, names, bytes)
           }
         }
       }
@@ -637,16 +699,15 @@ object SamplesStore {
       // Phase 2 — STAGE with NO lock held: the rewrite job reads the
       // RECORDED files (never the live day dirs, so files appended
       // meanwhile neither leak into the rewrite nor get lost by the
-      // swap) while concurrent /write appends and /read queries
-      // proceed — the ClickHouse background-merge contract. `date` is
-      // re-derived from ts_us (as in layout()) and leads both the
-      // range partitioning and the within-partition sort so the
-      // dynamic-partition writer splits cleanly per day.
+      // publish) while concurrent /write appends and /read queries
+      // proceed. `date` is re-derived from ts_us (as in layout()) and
+      // leads both the range partitioning and the within-partition
+      // sort so the dynamic-partition writer splits cleanly per day.
       val totalBytes = targets.map(_._3).sum
       val nTasks = math.max(targets.length.toLong,
         (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-      val stagedFiles = targets.flatMap { case (dayName, files, _) =>
-        files.map(f => new Path(new Path(root, dayName), f).toString)
+      val stagedFiles = targets.flatMap { case (dayName, names, _) =>
+        names.map(f => new Path(new Path(root, dayName), f).toString)
       }
       spark.read.parquet(stagedFiles: _*)
         .withColumn("date", expr("ts_us DIV 1000000 DIV 86400 * 86400"))
@@ -655,29 +716,49 @@ object SamplesStore {
         .write.mode("overwrite").partitionBy("date").parquet(shadow.toString)
       afterStage()
 
-      // Phase 3 — SWAP under the write lock, held only for metadata
-      // renames: each target day swaps ONLY if its live listing still
-      // equals the snapshot (a day that gained files meanwhile is
-      // left intact — nothing lost, the next probe folds it).
+      // Phase 3 — PUBLISH under the mutation lock: metadata renames
+      // plus one atomic manifest commit. The compacted files REPLACE
+      // exactly the recorded snapshot; files APPENDED during staging
+      // simply stay in the day's live set — compaction never loses
+      // the race to a busy write frontier (the liveness property a
+      // defer-on-any-change rule lacks: under continuous appends a
+      // hot day would never fold). Only a DELETE that removed
+      // recorded files defers the day — folding would resurrect the
+      // deleted rows — and the next probe re-stages from the
+      // post-delete snapshot.
       var rewritten = 0
       locked(path) {
+        val prev = snapshotOrAdopt(fs, root)
+        var files = prev.files
+        val replacedDays = Vector.newBuilder[String]
         targets.foreach { case (dayName, recorded, _) =>
-          val live = new Path(root, dayName)
+          val current = prev.byDay.getOrElse(dayName, Vector.empty)
+            .map(_.stripPrefix(dayName + "/")).toSet
           val newDay = new Path(shadow, dayName)
-          val unchanged = fs.exists(live) &&
-            fs.listStatus(live).filter(_.getPath.getName.endsWith(".parquet"))
-              .map(_.getPath.getName).toSet == recorded
-          if (unchanged && fs.exists(newDay)) {
-            // bounded wait: a parked long-running reader defers this
-            // day to the next probe instead of stalling every new
-            // reader and mutation behind the fair lock's queue
-            if (swapDay(fs, root, dayName, newDay, swapLockTimeoutMs)) rewritten += 1
-            else log.info(s"compactFragmentedDays($path): $dayName swap deferred — " +
-              "visibility lock held by a long-running reader; next probe retries")
-          } else if (!unchanged) {
-            log.info(s"compactFragmentedDays($path): $dayName changed during " +
-              "staging — leaving it for the next probe")
+          if (recorded.subsetOf(current) && fs.exists(newDay)) {
+            val moved = Vector.newBuilder[String]
+            fs.listStatus(newDay).filter(_.getPath.getName.endsWith(".parquet"))
+              .foreach { f =>
+                val name = s"c${prev.gen + 1}-" + f.getPath.getName
+                if (!fs.rename(f.getPath, new Path(new Path(root, dayName), name)))
+                  throw new java.io.IOException(
+                    s"compactFragmentedDays: move ${f.getPath} failed")
+                moved += dayName + "/" + name
+              }
+            files = files.filterNot(f => f.startsWith(dayName + "/") &&
+              recorded.contains(f.stripPrefix(dayName + "/"))) ++ moved.result()
+            replacedDays += dayName
+            rewritten += 1
+          } else if (!recorded.subsetOf(current)) {
+            log.info(s"compactFragmentedDays($path): $dayName lost recorded files " +
+              "during staging (concurrent delete) — leaving it for the next probe")
           }
+        }
+        if (rewritten > 0) {
+          commitSnapshot(fs, root, prev.maxBatchId, files, prev.gen)
+          // reclaim the swapped days' superseded files once the grace
+          // expires (0 = eager, for quiesced stores and specs)
+          gcDataFiles(fs, root, replacedDays.result(), gcGraceMs)
         }
         fs.delete(shadow, true)
       }
@@ -689,59 +770,166 @@ object SamplesStore {
   }
 
   /** Opportunistic compaction for the serving append paths: folds any
-    * day partition whose parquet-file count exceeds `maxFilesPerDay`
-    * via [[compactFragmentedDays]] (day-selective — a serving store
-    * never pays an O(all history) rewrite, and a crashed batch's
-    * orphan files only defer their own day, not the whole store).
-    * Deliberately takes NO lock of its own: the compaction locks only
-    * its SNAPSHOT and SWAP phases internally, so the distributed
-    * STAGE rewrite runs while concurrent appends and reads proceed —
-    * wrapping this in `locked(path)` would hold the mutation lock
-    * across the whole rewrite and stall every concurrent /write for
-    * its duration, the exact failure the snapshot/stage/swap design
-    * exists to prevent. `afterStage` is the same phase-2/3 test seam
-    * as [[compactFragmentedDays]]'s. Returns whether any day was
-    * rewritten. */
+    * day partition whose live-file count exceeds `maxFilesPerDay` via
+    * [[compactFragmentedDays]] (day-selective — a serving store never
+    * pays an O(all history) rewrite). Deliberately takes NO lock of
+    * its own: the compaction locks only its ms-scale SNAPSHOT and
+    * PUBLISH phases internally, so the distributed STAGE rewrite runs
+    * while concurrent appends and reads proceed — wrapping this in
+    * `locked(path)` would stall every concurrent /write for the
+    * rewrite's duration, the exact failure the snapshot/stage/publish
+    * design exists to prevent. `afterStage` is the same phase-2/3
+    * test seam as [[compactFragmentedDays]]'s. Returns whether any
+    * day was rewritten. */
   def maybeCompact(spark: SparkSession, path: String,
                    maxFilesPerDay: Int = AutoCompactFilesPerDay,
-                   afterStage: () => Unit = () => ()): Boolean =
-    compactFragmentedDays(spark, path, maxFilesPerDay, afterStage = afterStage) > 0
+                   afterStage: () => Unit = () => (),
+                   gcGraceMs: Long = GcGraceMs): Boolean =
+    compactFragmentedDays(spark, path, maxFilesPerDay, afterStage = afterStage,
+      gcGraceMs = gcGraceMs) > 0
 
-  /** Delete samples with startUs <= ts_us < endUs. */
-  def deleteRange(spark: SparkSession, path: String, startUs: Long, endUs: Long): Unit = locked(path) {
+  /** Delete data files in `days` that the LATEST manifest no longer
+    * references and whose age exceeds `graceMs`, then drop day dirs
+    * left empty. Deletions take the visibility write lock with a
+    * bounded wait: in-JVM [[readLocked]] readers are never pulled out
+    * from under, and a long-running reader defers the GC to the next
+    * pass instead of being stalled behind it. */
+  private def gcDataFiles(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                          days: Iterable[String], graceMs: Long): Int = {
+    if (days.isEmpty) 0
+    else {
+      val referenced = latestSnapshot(fs, root).map(_.files.toSet).getOrElse(Set.empty)
+      val cutoff = System.currentTimeMillis() - graceMs
+      var removed = 0
+      val ok = visibleTry(root.toString, SwapLockTimeoutMs) {
+        days.foreach { day =>
+          val dir = new Path(root, day)
+          if (fs.exists(dir)) {
+            fs.listStatus(dir).foreach { f =>
+              val n = f.getPath.getName
+              if (n.endsWith(".parquet") && !referenced.contains(day + "/" + n) &&
+                  f.getModificationTime <= cutoff) {
+                fs.delete(f.getPath, false)
+                removed += 1
+              }
+            }
+            if (fs.listStatus(dir).isEmpty) fs.delete(dir, true)
+          }
+        }
+      }
+      if (!ok) log.info(s"gc($root): deferred — visibility lock busy (long-running reader)")
+      removed
+    }
+  }
+
+  /** Snapshot expiry — the store-wide GC and the only place old
+    * MANIFESTS are reclaimed (the Iceberg expire-snapshots analogue):
+    * retain the latest manifest plus every manifest younger than
+    * `graceMs`, delete the rest, then delete every data file no
+    * retained manifest references (aged past the grace), stale
+    * staging remnants included, and drop day dirs left empty.
+    * `graceMs = 0` force-cleans a quiesced store (ops tooling and
+    * specs); the serving path runs the default from its background
+    * maintenance pass. Returns the number of data files reclaimed. */
+  def expireSnapshots(spark: SparkSession, path: String,
+                      graceMs: Long = GcGraceMs): Int = locked(path) {
+    val fs = fsFor(spark, path)
+    val root = new Path(path)
+    latestSnapshot(fs, root) match {
+      case None => 0
+      case Some(latest) =>
+        val cutoff = System.currentTimeMillis() - graceMs
+        val mdir = new Path(root, ManifestDir)
+        val (kept, dropped) = fs.listStatus(mdir)
+          .flatMap(s => s.getPath.getName match {
+            case ManifestPattern(g) => Some((g.toLong, s))
+            case _                  => None
+          })
+          .partition { case (g, s) => g == latest.gen || s.getModificationTime > cutoff }
+        dropped.foreach { case (_, s) => fs.delete(s.getPath, false) }
+        val referenced = kept.flatMap { case (g, _) => readManifest(fs, root, g).files }.toSet
+        var removed = 0
+        val ok = visibleTry(root.toString, SwapLockTimeoutMs) {
+          fs.listStatus(root).filter(_.isDirectory).map(_.getPath).foreach { child =>
+            val n = child.getName
+            if (n.startsWith("date=")) {
+              fs.listStatus(child).foreach { f =>
+                val fn = f.getPath.getName
+                if (fn.endsWith(".parquet") && !referenced.contains(n + "/" + fn) &&
+                    f.getModificationTime <= cutoff) {
+                  fs.delete(f.getPath, false)
+                  removed += 1
+                }
+              }
+              if (fs.listStatus(child).isEmpty) fs.delete(child, true)
+            } else if ((n.startsWith(".staging-") || n.startsWith(RewriteDayPrefix) ||
+                        (n == StageDirName && !compactingFlag(path).get)) &&
+                       fs.getFileStatus(child).getModificationTime <= cutoff) {
+              // crashed staging remnants — never referenced, safe by age
+              fs.delete(child, true)
+            }
+          }
+        }
+        if (!ok) log.info(s"expireSnapshots($path): deferred — visibility lock busy")
+        removed
+    }
+  }
+
+  /** Delete samples with startUs <= ts_us < endUs — partition-level,
+    * never a full-table scan, and atomically visible in ONE manifest
+    * commit: whole days inside the range leave the snapshot (their
+    * directories drain via GC after the grace); boundary days rewrite
+    * their remaining rows into new files (re-sorted, so the
+    * within-file (metric, labels, ts_us) order and its row-group
+    * pruning survive deletes), published by the same commit. */
+  def deleteRange(spark: SparkSession, path: String, startUs: Long, endUs: Long,
+                  gcGraceMs: Long = GcGraceMs): Unit = locked(path) {
     val fs = fsFor(spark, path)
     recoverSwap(fs, path)
-    val dirs = fs.listStatus(new Path(path)).filter(_.isDirectory)
-      .map(_.getPath).filter(_.getName.startsWith("date="))
-    dirs.foreach { dir =>
-      val dayStartUs = dir.getName.stripPrefix("date=").toLong * 1000000L
-      val dayEndUs = dayStartUs + DaySec * 1000000L
-      val fullyInside = dayStartUs >= startUs && dayEndUs <= endUs
-      val overlaps = dayStartUs < endUs && dayEndUs > startUs
-      if (fullyInside) {
-        // a whole-day drop is itself a visibility event: without the
-        // exclusion a reader mid-scan gets FileNotFound on the day's
-        // files rather than the intended clean disappearance
-        visible(path)(fs.delete(dir, true))
-      } else if (overlaps) {
-        // boundary day: rewrite the partition without the deleted rows,
-        // re-sorted so the rewrite keeps the store's within-file
-        // (metric, labels, ts_us) order — the row-group min/max pruning
-        // `write` established must survive deletes. Swapped in via the
-        // same rename-aside as compaction (a delete-then-rename here
-        // would lose the whole day to a crash between the two steps;
-        // a crash mid-swap instead restores the day and the caller
-        // re-runs the delete — at-least-once, never data loss).
-        val remaining = spark.read.parquet(dir.toString)
-          .filter(col("ts_us") < startUs || col("ts_us") >= endUs)
-          .sortWithinPartitions(col("metric"), col("labels"), col("ts_us"))
-        val rewrite = new Path(dir.getParent, RewriteDayPrefix + dir.getName)
-        fs.delete(rewrite, true)
-        remaining.write.mode("overwrite").parquet(rewrite.toString)
-        swapDay(fs, dir.getParent, dir.getName, rewrite)
+    val root = new Path(path)
+    if (fs.exists(root)) {
+      val prev = snapshotOrAdopt(fs, root)
+      var files = prev.files
+      val touched = Vector.newBuilder[String]
+      prev.byDay.foreach { case (dayName, dayFiles) =>
+        val dayStartUs = dayName.stripPrefix("date=").toLong * 1000000L
+        val dayEndUs = dayStartUs + DaySec * 1000000L
+        val fullyInside = dayStartUs >= startUs && dayEndUs <= endUs
+        val overlaps = dayStartUs < endUs && dayEndUs > startUs
+        if (fullyInside) {
+          files = files.filterNot(_.startsWith(dayName + "/"))
+          touched += dayName
+        } else if (overlaps) {
+          // boundary day: rewrite from the SNAPSHOT's files
+          val remaining = spark.read
+            .parquet(dayFiles.map(f => new Path(root, f).toString): _*)
+            .filter(col("ts_us") < startUs || col("ts_us") >= endUs)
+            .sortWithinPartitions(col("metric"), col("labels"), col("ts_us"))
+          val rewrite = new Path(root, RewriteDayPrefix + dayName)
+          fs.delete(rewrite, true)
+          remaining.write.mode("overwrite").parquet(rewrite.toString)
+          val moved = Vector.newBuilder[String]
+          fs.listStatus(rewrite).filter(_.getPath.getName.endsWith(".parquet"))
+            .foreach { f =>
+              val name = s"d${prev.gen + 1}-" + f.getPath.getName
+              if (!fs.rename(f.getPath, new Path(new Path(root, dayName), name)))
+                throw new java.io.IOException(s"deleteRange: move ${f.getPath} failed")
+              moved += dayName + "/" + name
+            }
+          fs.delete(rewrite, true)
+          val dayFileSet = dayFiles.toSet
+          files = files.filterNot(dayFileSet.contains) ++ moved.result()
+          touched += dayName
+        }
+      }
+      val touchedDays = touched.result()
+      if (touchedDays.nonEmpty) {
+        commitSnapshot(fs, root, prev.maxBatchId, files, prev.gen)
+        gcDataFiles(fs, root, touchedDays, gcGraceMs)
       }
     }
   }
+
 }
 
 /** TSV bulk import/export — the promtool-dump → `INSERT … FORMAT
@@ -939,7 +1127,7 @@ object StreamIngest {
     * DataFrame writer surface; the checkpoint alone only makes the
     * sink at-least-once (a crash between append and checkpoint commit
     * re-delivers the batch), so the write goes through
-    * [[SamplesStore.appendBatch]], whose batchId commit markers turn
+    * [[SamplesStore.appendBatch]], whose manifest batch ledger turns
     * replays into no-ops — end-to-end exactly-once. At 100 TB the
     * same query runs unmodified with a durable checkpoint dir;
     * appendBatch itself folds the per-batch files once a day

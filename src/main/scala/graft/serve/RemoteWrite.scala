@@ -37,22 +37,31 @@ object RemoteWrite {
   /** Retention horizon in days; 0 disables. The ClickHouse `TTL`
     * clause analogue: the background maintenance pass drops day
     * partitions that end before `now - retentionDays`. The cutoff is
-    * day-aligned, so expiry is always whole-directory drops — never
-    * a boundary rewrite — and costs one listing plus k deletes. */
+    * day-aligned, so expiry is always whole-day manifest removals —
+    * never a boundary rewrite — and costs one listing plus a commit. */
   @volatile var retentionDays: Int = 0
+
+  /** Snapshot-retention grace handed to the background compaction and
+    * expiry passes: how long superseded data files stay on disk for
+    * in-flight readers (see [[SamplesStore.GcGraceMs]]). An ops knob
+    * like the interval. */
+  @volatile var gcGraceMs: Long = SamplesStore.GcGraceMs
 
   private val lastCompactCheck =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
   /** Background merge pool (the ClickHouse analogue): compaction runs
     * OFF the request path, so the /write that happens to trip the
-    * probe doesn't pay the rewrite's latency. One thread, no queue —
-    * at most one compaction at a time, extra triggers are dropped on
-    * the floor (the next rate-limited probe re-submits; the store
-    * also single-flights internally). */
+    * probe doesn't pay the rewrite's latency. One thread plus ONE
+    * coalescing queue slot: at most one maintenance pass runs while
+    * one re-check waits, and further triggers drop on the floor. The
+    * queued slot matters for liveness — it guarantees a pass STARTS
+    * after the newest accepted trigger's write landed, so the last
+    * write of a burst always gets its fold even though the probes
+    * that fired mid-burst were coalesced away. */
   private val compactPool = new java.util.concurrent.ThreadPoolExecutor(
     0, 1, 30, java.util.concurrent.TimeUnit.SECONDS,
-    new java.util.concurrent.SynchronousQueue[Runnable],
+    new java.util.concurrent.LinkedBlockingQueue[Runnable](1),
     (r: Runnable) => {
       val t = new Thread(r, "graft-store-compact")
       t.setDaemon(true)
@@ -70,8 +79,13 @@ object RemoteWrite {
         lastCompactCheck.putIfAbsent(storePath, now).isEmpty)
       compactPool.execute { () =>
         try {
-          SamplesStore.maybeCompact(spark, storePath, autoCompactFilesPerDay)
+          SamplesStore.maybeCompact(spark, storePath, autoCompactFilesPerDay,
+            gcGraceMs = gcGraceMs)
           retentionPass(spark, storePath, retentionDays)
+          // reclaim grace-expired superseded files and old manifests —
+          // the store's disk footprint self-maintains like ClickHouse
+          // dropping inactive parts after a merge
+          SamplesStore.expireSnapshots(spark, storePath, gcGraceMs)
         } catch {
           // a failed background merge must not be silent — but it must
           // also never take the serving loop down; the next probe retries
@@ -97,13 +111,23 @@ object RemoteWrite {
       horizonDays * 86400L * 1000000L
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val anyExpired = fs.exists(root) && fs.listStatus(root).exists { s =>
-      s.isDirectory && s.getPath.getName.startsWith("date=") &&
-        s.getPath.getName.stripPrefix("date=").toLongOption
-          .exists(day => (day + 86400L) * 1000000L <= cutoffUs)
-    }
+    // consult the LIVE day set (the manifest) — a deleted day's
+    // directory lingers physically until grace expiry, and re-deleting
+    // it every pass would defeat the skip
+    val liveDays: Iterable[String] =
+      SamplesStore.latestSnapshot(fs, root).map(_.byDay.keys)
+        .getOrElse {
+          if (!fs.exists(root)) Nil
+          else fs.listStatus(root)
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+            .map(_.getPath.getName).toSeq
+        }
+    val anyExpired = liveDays.exists(
+      _.stripPrefix("date=").toLongOption
+        .exists(day => (day + 86400L) * 1000000L <= cutoffUs))
     if (anyExpired)
-      SamplesStore.deleteRange(spark, storePath, Long.MinValue, cutoffUs)
+      SamplesStore.deleteRange(spark, storePath, Long.MinValue, cutoffUs,
+        gcGraceMs = gcGraceMs)
     anyExpired
   }
 

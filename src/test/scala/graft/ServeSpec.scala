@@ -53,10 +53,15 @@ class ServeSpec extends SparkSpecBase {
 
   test("the serving write path folds fragmentation in the background") {
     val store = tmpStore("bgcompact")
-    val (interval, threshold) =
-      (RemoteWrite.compactCheckIntervalMs, RemoteWrite.autoCompactFilesPerDay)
+    val (interval, threshold, grace) =
+      (RemoteWrite.compactCheckIntervalMs, RemoteWrite.autoCompactFilesPerDay,
+       RemoteWrite.gcGraceMs)
     RemoteWrite.compactCheckIntervalMs = 0L
     RemoteWrite.autoCompactFilesPerDay = 2
+    // grace 0: the background pass also GCs superseded files eagerly,
+    // so the PHYSICAL footprint below proves the whole maintenance
+    // loop (fold + expiry), not just the manifest fold
+    RemoteWrite.gcGraceMs = 0L
     try {
       // every request lands one file in the single day partition; the
       // probe fires per request (interval 0) and merges OFF this thread
@@ -84,6 +89,7 @@ class ServeSpec extends SparkSpecBase {
     } finally {
       RemoteWrite.compactCheckIntervalMs = interval
       RemoteWrite.autoCompactFilesPerDay = threshold
+      RemoteWrite.gcGraceMs = grace
     }
   }
 

@@ -50,10 +50,16 @@ class StoreSpec extends SparkSpecBase {
     assert(back.count() == expected && expected < total)
     assert(back.filter(col("ts_us") >= startUs && col("ts_us") < endUs).count() == 0)
 
-    // whole days inside the range are gone as directories
+    // deleted days left the SNAPSHOT atomically; their files (and the
+    // boundary days' superseded originals) are retained on disk for
+    // the grace window, then a forced expiry reclaims them and drains
+    // the empty day directories
+    SamplesStore.expireSnapshots(spark, path, graceMs = 0L)
     val dayNames = new File(path).listFiles().map(_.getName).filter(_.startsWith("date=")).toSet
     assert(!dayNames.contains("date=1704931200")) // 2024-01-11, fully inside
     assert(dayNames.contains("date=1704844800"))  // 2024-01-10, boundary rewrite
+    assert(SamplesStore.read(spark, path).count() == expected,
+      "expiry must only reclaim unreferenced files, never data")
 
     assert(sortedWithinFiles(path))
   }
@@ -103,7 +109,8 @@ class StoreSpec extends SparkSpecBase {
     SamplesStore.appendBatch(b1, path, 1L)
     assert(SamplesStore.read(spark, path).count() == samples.count())
     assert(sortedWithinFiles(path))
-    // commit markers survive a compaction, so replays stay no-ops
+    // the manifest's batch ledger survives a compaction, so replays
+    // stay no-ops
     SamplesStore.compact(spark, path)
     SamplesStore.appendBatch(b1, path, 1L)
     assert(SamplesStore.read(spark, path).count() == samples.count(),
@@ -117,16 +124,31 @@ class StoreSpec extends SparkSpecBase {
       .delete(new org.apache.hadoop.fs.Path(path), true)
     val batch = Tables.samples(spark, Sf).limit(200).cache()
     val perBatch = batch.count()
-    def maxFilesPerDay: Int =
-      new File(path).listFiles().filter(f => f.isDirectory && f.getName.startsWith("date="))
-        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    // the LIVE file count — what every read plans over — comes from
+    // the manifest; superseded files awaiting grace-expiry GC are not
+    // part of any read's footprint
+    def maxLiveFilesPerDay: Int = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      SamplesStore.latestSnapshot(fs, new org.apache.hadoop.fs.Path(path))
+        .map(_.byDay.values.map(_.size).max).getOrElse(0)
+    }
     for (i <- 0 until 6) {
       SamplesStore.appendBatch(batch, path, i.toLong, autoCompactFilesPerDay = 2)
-      assert(maxFilesPerDay <= 3,
-        s"append $i: auto-compaction must keep per-day file counts bounded")
+      assert(maxLiveFilesPerDay <= 3,
+        s"append $i: auto-compaction must keep per-day live-file counts bounded")
     }
     assert(SamplesStore.read(spark, path).count() == 6 * perBatch,
       "auto-compaction must not lose or duplicate rows")
+    // after a forced expiry the PHYSICAL footprint matches the live
+    // set, so disk usage is bounded too
+    SamplesStore.expireSnapshots(spark, path, graceMs = 0L)
+    def maxPhysicalFilesPerDay: Int =
+      new File(path).listFiles().filter(f => f.isDirectory && f.getName.startsWith("date="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(maxPhysicalFilesPerDay <= 3,
+      "expiry must reclaim every superseded file")
+    assert(SamplesStore.read(spark, path).count() == 6 * perBatch)
     assert(sortedWithinFiles(path))
   }
 
@@ -156,14 +178,15 @@ class StoreSpec extends SparkSpecBase {
     SamplesStore.appendBatch(b0, path, 0L)
     assert(SamplesStore.read(spark, path).count() == samples.count())
 
-    // crash state 2: after the swap, before the marker carry — the
-    // live path has data but no _commits; `.old` still holds them.
-    // Losing the markers would re-append every batch on replay.
+    // crash state 2: after the swap, before the cleanup — the live
+    // path is a complete store (its manifests, batch ledger included,
+    // were written into the rebuilt tree BEFORE the swap) and a stale
+    // `.old` copy lingers. Recovery just drops the remnant, and the
+    // ledger keeps replays no-ops.
     assert(fs.mkdirs(p(path + ".old")))
-    assert(fs.rename(p(s"$path/_commits"), p(s"$path.old/_commits")))
-    SamplesStore.appendBatch(b1, path, 1L) // replay: must see carried markers
+    SamplesStore.appendBatch(b1, path, 1L) // replay: ledger short-circuits
     assert(SamplesStore.read(spark, path).count() == samples.count(),
-      "carried markers must keep the replay a no-op")
+      "the manifest batch ledger must keep the replay a no-op")
     assert(!fs.exists(p(path + ".old")))
     assert(rowsBefore < samples.count())
   }
@@ -189,16 +212,19 @@ class StoreSpec extends SparkSpecBase {
       .select("ts_us", "metric", "labels", "value").collect().toSet
 
     // a tiny target size forces the fragmented day to split into
-    // multiple metric-range files — the hot-day shape at 100 TB
+    // multiple metric-range files — the hot-day shape at 100 TB.
+    // gcGraceMs = 0: no readers in flight, so superseded files are
+    // reclaimed eagerly and the physical tree equals the live set
     val n = SamplesStore.compactFragmentedDays(spark, path,
-      maxFilesPerDay = 2, targetFileBytes = 2048L)
+      maxFilesPerDay = 2, targetFileBytes = 2048L, gcGraceMs = 0L)
     assert(n == 1, "only the over-threshold day must be rewritten")
     assert(files(s"date=$day1") == day1Before,
       "a healthy day's files must be byte-identical (same names, never rewritten)")
     assert(files(s"date=$day0").size > 1,
       "a day larger than targetFileBytes must fold into multiple range files")
     // at the default target the same day folds all the way to one file
-    assert(SamplesStore.compactFragmentedDays(spark, path, maxFilesPerDay = 1) == 1)
+    assert(SamplesStore.compactFragmentedDays(spark, path, maxFilesPerDay = 1,
+      gcGraceMs = 0L) == 1)
     assert(files(s"date=$day0").size == 1)
     assert(files(s"date=$day1") == day1Before)
     val rows = SamplesStore.read(spark, path)
@@ -222,22 +248,29 @@ class StoreSpec extends SparkSpecBase {
     for (i <- 0 until 3) SamplesStore.append(rowsFor(i), path)
     val baseCount = SamplesStore.read(spark, path).count()
 
-    // the test seam fires between STAGE and SWAP — exactly the window
-    // where a /write can add files to a day being compacted
+    // the test seam fires between STAGE and PUBLISH — exactly the
+    // window where a /write can add files to a day being compacted
     var appended = false
     val n = SamplesStore.compactFragmentedDays(spark, path, maxFilesPerDay = 2,
-      afterStage = () => { SamplesStore.append(rowsFor(3), path); appended = true })
+      afterStage = () => { SamplesStore.append(rowsFor(3), path); appended = true },
+      gcGraceMs = 0L)
     assert(appended)
-    assert(n == 0, "a day that gained files during staging must NOT be swapped")
+    assert(n == 1,
+      "the fold must publish even when the day gained files during staging " +
+      "— compaction never loses the race to a busy write frontier")
     assert(SamplesStore.read(spark, path).count() == baseCount + 30,
       "neither the staged rows nor the concurrent append may be lost")
-    // nothing in flight anymore: the next probe folds the day
-    assert(SamplesStore.compactFragmentedDays(spark, path, maxFilesPerDay = 2) == 1)
+    // the live day now holds the compacted file + the raced append
+    val fs2 = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveDay0 = SamplesStore.latestSnapshot(fs2, new org.apache.hadoop.fs.Path(path))
+      .get.byDay(s"date=$day0")
+    assert(liveDay0.size == 2, s"compacted + raced-append files expected, got $liveDay0")
     assert(SamplesStore.read(spark, path).count() == baseCount + 30)
     assert(sortedWithinFiles(path))
   }
 
-  test("a crashed day swap is repaired by the next mutation") {
+  test("a crashed day rewrite leaves only invisible garbage, reclaimed by expiry") {
     val path = "/tmp/graft_test/store_dayswapcrash"
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -249,23 +282,24 @@ class StoreSpec extends SparkSpecBase {
     val day = new File(path).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("date=")).head.getName
 
-    // crash state: between swapDay's two renames — the aside copy is
-    // the ONLY copy of the day, plus a stale half-written rewrite dir
-    assert(fs.rename(p(s"$path/$day"), p(s"$path/.old_$day")))
+    // crash state: a day-level rewrite died after moving some staged
+    // files into the live day dir but BEFORE its manifest commit.
+    // Under the snapshot protocol those files are simply unreferenced
+    // — readers keep planning the committed manifest, so nothing is
+    // ever missing or doubled — and a stale rewrite staging dir is
+    // equally invisible.
+    val crashed = p(s"$path/$day/c999-crashed-attempt.parquet")
+    fs.create(crashed, true).close()
     fs.mkdirs(p(s"$path/.rewrite_$day"))
-    // day-level miss: the live listing no longer has the day
-    assert(SamplesStore.read(spark, path).count() < total)
-
-    // ANY mutation repairs first — restore the day, drop the remnant
-    SamplesStore.maybeCompact(spark, path)
     assert(SamplesStore.read(spark, path).count() == total,
-      "recovery must restore the stranded day from its aside copy")
-    assert(!fs.exists(p(s"$path/.old_$day")) && !fs.exists(p(s"$path/.rewrite_$day")))
+      "uncommitted rewrite remnants must be invisible to readers")
+    SamplesStore.maybeCompact(spark, path) // mutations don't trip on remnants
+    assert(SamplesStore.read(spark, path).count() == total)
 
-    // completed-swap crash state: live day present, aside copy stale
-    assert(fs.mkdirs(p(s"$path/.old_$day")))
-    SamplesStore.maybeCompact(spark, path)
-    assert(!fs.exists(p(s"$path/.old_$day")), "a stale aside copy is dropped")
+    // snapshot expiry reclaims both remnants by age (grace 0 = now)
+    SamplesStore.expireSnapshots(spark, path, graceMs = 0L)
+    assert(!fs.exists(crashed), "expiry must reclaim the crashed attempt's file")
+    assert(!fs.exists(p(s"$path/.rewrite_$day")), "expiry must sweep stale staging dirs")
     assert(SamplesStore.read(spark, path).count() == total)
   }
 
@@ -279,13 +313,12 @@ class StoreSpec extends SparkSpecBase {
     val total = samples.count()
     val extra = samples.limit(50).cache(); extra.count()
 
-    // reader thread: hammer locked reads. The visibility contract is
-    // NOT snapshot isolation (an append's samples may appear
-    // gradually — remote-write has no atomicity contract) but it IS
-    // no-day-loss: counts never dip below the seeded total and never
-    // go backwards (appends only add; compaction is result-invariant;
-    // a half-swapped day would violate both — the crashed-day-swap
-    // test above demonstrates exactly that state).
+    // reader thread: hammer locked reads. Under the snapshot protocol
+    // every read plans one committed manifest, so the contract is
+    // full snapshot isolation: counts never dip below the seeded
+    // total and never go backwards (appends commit atomically,
+    // compaction is result-invariant, and superseded files outlive
+    // any in-flight plan via the GC grace).
     @volatile var stop = false
     val bad = new java.util.concurrent.atomic.AtomicLong(0)
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
@@ -356,17 +389,15 @@ class StoreSpec extends SparkSpecBase {
     compactor.join(60000); appender.join(60000)
     assert(appendedInFlight,
       "an append must complete while compaction staging is in flight — the mutation " +
-      "lock may only be held for the ms-scale SNAPSHOT and SWAP phases")
-    // the append raced the staged day, so the swap correctly deferred;
-    // nothing lost, and the next probe folds it
-    assert(!rewrote, "a day that gained files during staging must defer its swap")
-    assert(SamplesStore.read(spark, path).count() == baseCount + 30)
-    assert(SamplesStore.compactFragmentedDays(spark, path, maxFilesPerDay = 2) == 1)
+      "lock may only be held for the ms-scale SNAPSHOT and PUBLISH phases")
+    // the fold publishes regardless of the raced append: the recorded
+    // files fold, the append's file rides along in the live set
+    assert(rewrote, "the fold must publish despite the concurrent append")
     assert(SamplesStore.read(spark, path).count() == baseCount + 30)
     assert(sortedWithinFiles(path))
   }
 
-  test("a long-running reader defers the compaction swap instead of being stalled by it") {
+  test("a long-running reader defers only the GC — the compaction fold never waits") {
     import spark.implicits._
     val path = "/tmp/graft_test/store_swap_defer"
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -380,24 +411,30 @@ class StoreSpec extends SparkSpecBase {
     val before = SamplesStore.read(spark, path).count()
 
     // a reader holding the visibility read lock for its whole query —
-    // the slow-dashboard shape. The swap's bounded tryLock must give
-    // up and defer the day rather than queue on the fair lock (where
-    // it would block every NEW reader behind this one for the whole
-    // read duration). Same-thread read→write upgrade can never
-    // acquire, so a missing timeout would deadlock here — the spec
-    // would hang, not just fail.
+    // the slow-dashboard shape. The FOLD itself proceeds regardless
+    // (its publish is one atomic manifest commit, no reader exclusion
+    // needed); only the eager GC of the superseded files must defer,
+    // via its bounded tryLock — a same-thread read→write upgrade can
+    // never acquire, so a blocking lock here would deadlock the spec,
+    // not just fail it.
+    val day0Dir = new File(path, s"date=$day0")
+    def physicalFiles: Int = day0Dir.listFiles().count(_.getName.endsWith(".parquet"))
     SamplesStore.readLocked(path) {
-      val t0 = System.nanoTime()
+      val preDf = SamplesStore.read(spark, path) // plans the pre-fold snapshot
+      assert(preDf.count() == before)
       val n = SamplesStore.compactFragmentedDays(spark, path,
-        maxFilesPerDay = 2, swapLockTimeoutMs = 250L)
-      val elapsedMs = (System.nanoTime() - t0) / 1000000L
-      assert(n == 0, "the swap must defer while a reader holds the visibility lock")
-      assert(SamplesStore.read(spark, path).count() == before,
-        "a deferred swap must leave the store untouched")
-      assert(elapsedMs < 30000, s"deferral must be prompt, took ${elapsedMs}ms")
+        maxFilesPerDay = 2, gcGraceMs = 0L)
+      assert(n == 1, "the fold must proceed — a reader never delays compaction")
+      assert(physicalFiles > 1,
+        "GC must defer while a reader holds the visibility lock")
+      // the reader's already-planned snapshot stays fully scannable
+      assert(preDf.count() == before,
+        "a pre-fold plan must keep scanning its superseded files")
+      assert(SamplesStore.read(spark, path).count() == before)
     }
-    // lock released: the next probe folds the day as usual
-    assert(SamplesStore.compactFragmentedDays(spark, path, maxFilesPerDay = 2) == 1)
+    // lock released: expiry reclaims the superseded files
+    SamplesStore.expireSnapshots(spark, path, graceMs = 0L)
+    assert(physicalFiles == 1)
     assert(SamplesStore.read(spark, path).count() == before)
     assert(sortedWithinFiles(path))
   }
@@ -413,7 +450,7 @@ class StoreSpec extends SparkSpecBase {
            SamplesStore.lockKey("/tmp/graft_test/lockkey"))
   }
 
-  test("a readLocked reader is excluded from deleteRange's boundary-day swap window") {
+  test("a reader's planned snapshot survives a concurrent boundary-day delete") {
     import spark.implicits._
     val path = "/tmp/graft_test/store_delete_visibility"
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -424,12 +461,11 @@ class StoreSpec extends SparkSpecBase {
       (day0 * 1000000L + i * 600L * 1000000L, s"m${i % 5}", Seq("k=v"), i.toDouble))
       .toDF("ts_us", "metric", "labels", "value")
     SamplesStore.write(rows, path)
-    // delete a 6h slice INSIDE day0 — a boundary rewrite + swap, no
-    // whole-day drops
+    // delete a 6h slice INSIDE day0 — a boundary rewrite, no whole-day
+    // drops
     val startUs = (day0 + 6 * 3600L) * 1000000L
     val endUs = (day0 + 12 * 3600L) * 1000000L
-    val liveDay = new org.apache.hadoop.fs.Path(path, s"date=$day0")
-    val rewriteDay = new org.apache.hadoop.fs.Path(path, s".rewrite_date=$day0")
+    val expectedAfter = rows.filter(col("ts_us") < startUs || col("ts_us") >= endUs).count()
 
     val deleteDone = new java.util.concurrent.atomic.AtomicBoolean(false)
     val deleter = new Thread(() => {
@@ -437,30 +473,31 @@ class StoreSpec extends SparkSpecBase {
       deleteDone.set(true)
     }, "spec-deleter")
     // hold the visibility READ lock on the caller's RAW path — exactly
-    // what the serving /read does — across the whole delete attempt
+    // what the serving /read does — across the whole delete
     SamplesStore.readLocked(path) {
-      val before = SamplesStore.read(spark, path).count()
+      val preDf = SamplesStore.read(spark, path) // plans the pre-delete snapshot
+      val before = preDf.count()
       deleter.start()
-      // wait until the boundary rewrite is staged: the delete's next
-      // step is the swap, which must now block on OUR read lock (the
-      // historical bug: swapDay keyed its lock on the fs-qualified
-      // path, a DIFFERENT key, and swapped right through the reader)
-      val t0 = System.nanoTime()
-      while (!fs.exists(rewriteDay) && !deleteDone.get &&
-             (System.nanoTime() - t0) < 60e9) Thread.sleep(10)
-      Thread.sleep(300) // give a buggy swap time to complete wrongly
-      assert(!deleteDone.get,
-        "the boundary-day swap must wait for the in-flight reader")
-      assert(fs.exists(liveDay), "the live day must never vanish under a read lock")
-      assert(SamplesStore.read(spark, path).count() == before,
-        "a reader holding the visibility lock must see the pre-delete store")
+      // the delete COMPLETES while the reader is in flight — its
+      // publish is an atomic manifest commit, and only its eager GC
+      // defers on the reader's lock (bounded tryLock, the historical
+      // bug keyed that lock on the fs-qualified path and deleted
+      // right through the reader)
+      deleter.join(60000)
+      assert(deleteDone.get, "a delete must never stall behind a reader")
+      // the reader's in-flight plan still scans its snapshot in full:
+      // the boundary day's superseded files are grace-retained
+      assert(preDf.count() === before,
+        "a pre-delete plan must keep scanning its superseded files")
+      // a FRESH read inside the same lock sees the post-delete snapshot
+      assert(SamplesStore.read(spark, path).count() === expectedAfter)
     }
-    deleter.join(60000)
-    assert(deleteDone.get, "the delete must proceed once the reader releases")
     assert(SamplesStore.read(spark, path)
       .filter(col("ts_us") >= startUs && col("ts_us") < endUs).count() == 0)
-    assert(SamplesStore.read(spark, path).count() ==
-      rows.filter(col("ts_us") < startUs || col("ts_us") >= endUs).count())
+    assert(SamplesStore.read(spark, path).count() === expectedAfter)
+    // quiesced: expiry reclaims the superseded boundary files
+    SamplesStore.expireSnapshots(spark, path, graceMs = 0L)
+    assert(SamplesStore.read(spark, path).count() === expectedAfter)
     assert(sortedWithinFiles(path))
   }
 
@@ -481,7 +518,7 @@ class StoreSpec extends SparkSpecBase {
     assert(back == rows.map(t => (t._1, t._2, t._3.toList, t._4)).toSet)
   }
 
-  test("compact refuses a crashed batch's uncommitted files; maybeCompact skips them") {
+  test("a crashed batch's uncommitted files are invisible and never folded") {
     val path = "/tmp/graft_test/store_orphan"
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -490,26 +527,29 @@ class StoreSpec extends SparkSpecBase {
     val b0 = samples.filter(expr("ts_us % 2 = 0"))
     val b1 = samples.filter(expr("ts_us % 2 = 1"))
     SamplesStore.appendBatch(b0, path, 0L)
-    // simulate a crash mid-appendBatch of batch 1: a b1- prefixed file
-    // in a day partition with NO _commits/1 marker
+    val committed = SamplesStore.read(spark, path).count()
+    // simulate a crash mid-appendBatch of batch 1: a moved b1- file
+    // whose manifest commit never happened. Under the snapshot
+    // protocol it is unreferenced — no reader sees it, no compaction
+    // folds it, so the eventual replay of batch 1 can never
+    // double-count its rows.
     val day = new File(path).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("date=")).head
     val orphan = new org.apache.hadoop.fs.Path(day.getAbsolutePath, "b1-orphan.parquet")
     fs.create(orphan, true).close()
-    // folding the orphan into unprefixed files would strand the replay
-    // sweep and duplicate batch 1 — compact must refuse
-    intercept[IllegalStateException](SamplesStore.compact(spark, path))
-    // the serving path's opportunistic variant skips the orphan's day
-    // (its files, orphan included, stay exactly as they are — the
-    // replay sweep still finds them) while healthy days still fold
-    val orphanDayBefore = day.listFiles().map(_.getName).toSet
-    SamplesStore.maybeCompact(spark, path, maxFilesPerDay = 0)
-    assert(day.listFiles().map(_.getName).toSet == orphanDayBefore,
-      "the day carrying uncommitted batch files must not be rewritten")
-    assert(fs.exists(orphan))
-    // the checkpoint replay of batch 1 sweeps the orphan and commits;
-    // compaction is then legal again and result-invariant
+    assert(SamplesStore.read(spark, path).count() == committed,
+      "an uncommitted batch file must be invisible to readers")
+    // selective compaction folds from the manifest only — the orphan
+    // is neither an input nor a fragmentation signal
+    SamplesStore.maybeCompact(spark, path, maxFilesPerDay = 0, gcGraceMs = 0L)
+    assert(SamplesStore.read(spark, path).count() == committed)
+    // the replay of batch 1 stages fresh files and commits; the stale
+    // orphan ages out via snapshot expiry
     SamplesStore.appendBatch(b1, path, 1L)
+    assert(SamplesStore.read(spark, path).count() == samples.count())
+    SamplesStore.expireSnapshots(spark, path, graceMs = 0L)
+    assert(!fs.exists(orphan), "expiry must reclaim the crashed batch's file")
+    // whole-store compact remains result-invariant
     SamplesStore.compact(spark, path)
     assert(SamplesStore.read(spark, path).count() == samples.count())
     assert(sortedWithinFiles(path))

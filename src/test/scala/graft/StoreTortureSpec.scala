@@ -96,4 +96,100 @@ class StoreTortureSpec extends SparkSpecBase {
     verify("final")
     assert(model.nonEmpty, "the torture run must end with data to have verified anything")
   }
+
+  test("a concurrent fresh-planning reader always observes a committed snapshot") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(77777)
+    val path = "/tmp/graft_test/store_torture_reader"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+
+    val day0Us = 1704412800000000L
+    var nextTs = day0Us
+    def mkRows(n: Int): Vector[Row4] = Vector.fill(n) {
+      val ts = nextTs + rng.nextInt(1000).toLong
+      nextTs = ts + (if (rng.nextBoolean()) 90L * 1000000L else 1L)
+      if (nextTs >= day0Us + 3L * 86400 * 1000000L) nextTs = day0Us + rng.nextInt(1000).toLong * 7L
+      (ts, s"m${rng.nextInt(4)}", s"h=h${rng.nextInt(3)}", rng.nextInt(100).toDouble)
+    }
+    def toDf(rows: Vector[Row4]) =
+      rows.toDF("ts_us", "metric", "l", "value")
+        .select(col("ts_us"), col("metric"), array(col("l")).as("labels"), col("value"))
+
+    // every state the store ever COMMITS, registered BEFORE the
+    // mutation that creates it — so whichever manifest a racing
+    // reader resolves, its row-set must be in here. This is the
+    // snapshot-isolation contract: atomic appends/deletes, invisible
+    // compaction, and NO transient misses, for a reader that plans
+    // fresh from the manifest with no in-JVM locks — exactly what a
+    // second JVM reading the same store path does. (Superseded files
+    // outlive their manifest via the default GC grace, which is what
+    // keeps an in-flight plan scannable.)
+    val states = java.util.concurrent.ConcurrentHashMap.newKeySet[Set[Row4]]()
+    var model = Set.empty[Row4]
+    var nextBatch = 0L // batch ids are monotone through a stream's single writer
+
+    val seedRows = mkRows(60)
+    states.add(seedRows.toSet)
+    SamplesStore.write(toDf(seedRows), path)
+    model = seedRows.toSet
+
+    @volatile var stop = false
+    val anomalies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val observations = new java.util.concurrent.atomic.AtomicLong()
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val got = SamplesStore.read(spark, path)
+            .select(col("ts_us"), col("metric"), concat_ws(",", col("labels")).as("l"), col("value"))
+            .as[Row4].collect().toSet
+          observations.incrementAndGet()
+          if (!states.contains(got))
+            anomalies.add(s"observed a row-set matching NO committed state (${got.size} rows)")
+        } catch {
+          case e: Throwable => anomalies.add(s"reader failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    }, "torture-snapshot-reader")
+    reader.start()
+    try {
+      for (_ <- 0 until 14) {
+        rng.nextInt(5) match {
+          case 0 =>
+            val rows = mkRows(20 + rng.nextInt(20))
+            states.add(model ++ rows)
+            SamplesStore.append(toDf(rows), path)
+            model ++= rows
+          case 1 =>
+            val rows = mkRows(20 + rng.nextInt(20))
+            states.add(model ++ rows)
+            val id = nextBatch; nextBatch += 1
+            SamplesStore.appendBatch(toDf(rows), path, id, autoCompactFilesPerDay = 6)
+            model ++= rows
+          case 2 =>
+            // result-invariant: no new state to register
+            SamplesStore.compactFragmentedDays(spark, path, maxFilesPerDay = 1 + rng.nextInt(3))
+          case 3 =>
+            val t0 = day0Us + rng.nextInt(3 * 86400).toLong * 1000000L
+            val t1 = t0 + (1 + rng.nextInt(86400)).toLong * 1000000L
+            val after = model.filterNot(r => r._1 >= t0 && r._1 < t1)
+            states.add(after)
+            SamplesStore.deleteRange(spark, path, t0, t1)
+            model = after
+          case _ =>
+            SamplesStore.maybeCompact(spark, path, maxFilesPerDay = 2)
+        }
+      }
+    } finally { stop = true; reader.join(60000) }
+    assert(observations.get() > 0, "the reader must have completed observations")
+    assert(anomalies.isEmpty,
+      s"${anomalies.size} snapshot violations, first: ${Option(anomalies.peek()).getOrElse("")}")
+    // the final committed state is intact
+    val finalSet = SamplesStore.read(spark, path)
+      .select(col("ts_us"), col("metric"), concat_ws(",", col("labels")).as("l"), col("value"))
+      .as[Row4].collect().toSet
+    assert(finalSet == model, "final store must match the model")
+  }
 }

@@ -306,9 +306,21 @@ object SamplesStore {
   private def manifestFile(root: Path, gen: Long): Path =
     new Path(new Path(root, ManifestDir), f"m-$gen%020d")
 
+  /** Parsed snapshots by store, keyed to their generation. A
+    * generation's content is immutable once its rename lands, so the
+    * cache can never be wrong — only stale, and staleness is detected
+    * by the one cheap `_manifests` listing every [[latestSnapshot]]
+    * call already does. At 100 TB the manifest is O(total files)
+    * lines; without this, every read request would re-read and
+    * re-parse megabytes of file list. */
+  private val snapshotCache = scala.collection.concurrent.TrieMap
+    .empty[String, StoreSnapshot]
+
   /** The latest committed snapshot, or None for a store that has
     * never committed one (fresh path, or a plain parquet tree built
-    * by other tools). Lock-free: one small file read. */
+    * by other tools). Lock-free: one listing, plus one small file
+    * read only when the generation advanced (another process's
+    * commits are picked up the same way). */
   private[graft] def latestSnapshot(fs: org.apache.hadoop.fs.FileSystem,
                                     root: Path): Option[StoreSnapshot] = {
     val dir = new Path(root, ManifestDir)
@@ -316,7 +328,16 @@ object SamplesStore {
       try fs.listStatus(dir).map(_.getPath.getName)
         .collect { case ManifestPattern(g) => g.toLong }
       catch { case _: java.io.FileNotFoundException => Array.empty[Long] }
-    if (gens.isEmpty) None else Some(readManifest(fs, root, gens.max))
+    if (gens.isEmpty) { snapshotCache.remove(lockKey(root.toString)); None }
+    else {
+      val gen = gens.max
+      val key = lockKey(root.toString)
+      snapshotCache.get(key).filter(_.gen == gen).orElse {
+        val snap = readManifest(fs, root, gen)
+        snapshotCache.put(key, snap)
+        Some(snap)
+      }
+    }
   }
 
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem, root: Path,
@@ -358,7 +379,9 @@ object SamplesStore {
       if (fs.rename(tmp, manifestFile(root, gen))) done = true
       else { fs.delete(tmp, false); gen += 1 }
     }
-    StoreSnapshot(gen, maxBatchId, sorted)
+    val snap = StoreSnapshot(gen, maxBatchId, sorted)
+    snapshotCache.put(lockKey(root.toString), snap)
+    snap
   }
 
   /** Full recursive data-file listing (relative paths) — the

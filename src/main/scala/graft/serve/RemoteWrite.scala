@@ -50,6 +50,9 @@ object RemoteWrite {
   private val lastCompactCheck =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
+  private val lastExpiry =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   /** Background merge pool (the ClickHouse analogue): compaction runs
     * OFF the request path, so the /write that happens to trip the
     * probe doesn't pay the rewrite's latency. One thread plus ONE
@@ -84,8 +87,16 @@ object RemoteWrite {
           retentionPass(spark, storePath, retentionDays)
           // reclaim grace-expired superseded files and old manifests —
           // the store's disk footprint self-maintains like ClickHouse
-          // dropping inactive parts after a merge
-          SamplesStore.expireSnapshots(spark, storePath, gcGraceMs)
+          // dropping inactive parts after a merge. The expiry walk is
+          // O(days) listings, and nothing becomes reclaimable sooner
+          // than the grace, so it runs at most every graceMs/4 —
+          // never per probe on a multi-year store.
+          val nowE = System.currentTimeMillis()
+          val lastE = lastExpiry.getOrElse(storePath, 0L)
+          if (nowE - lastE >= gcGraceMs / 4) {
+            lastExpiry.put(storePath, nowE)
+            SamplesStore.expireSnapshots(spark, storePath, gcGraceMs)
+          }
         } catch {
           // a failed background merge must not be silent — but it must
           // also never take the serving loop down; the next probe retries

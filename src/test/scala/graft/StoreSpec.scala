@@ -439,6 +439,31 @@ class StoreSpec extends SparkSpecBase {
     assert(sortedWithinFiles(path))
   }
 
+  test("snapshot parsing is cached per generation and invalidated by any commit") {
+    import spark.implicits._
+    val path = "/tmp/graft_test/store_snapcache"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val day0 = 1704412800L
+    def rowsFor(off: Int) =
+      (0 until 10).map(i => (day0 * 1000000L + (off * 10 + i) * 1000000L,
+        "m", Seq("k=v"), i.toDouble)).toDF("ts_us", "metric", "labels", "value")
+    SamplesStore.append(rowsFor(0), path)
+    // a manifest generation is immutable, so repeat resolutions reuse
+    // the parsed instance — at 100 TB the manifest is megabytes of
+    // file list, and re-parsing it per read request would dominate
+    // planning
+    val s1 = SamplesStore.latestSnapshot(fs, root).get
+    val s2 = SamplesStore.latestSnapshot(fs, root).get
+    assert(s1 eq s2, "an unchanged generation must resolve to the cached instance")
+    SamplesStore.append(rowsFor(1), path)
+    val s3 = SamplesStore.latestSnapshot(fs, root).get
+    assert(s3.gen > s1.gen, "a commit must advance the resolved generation")
+    assert(s3.files.size > s1.files.size)
+  }
+
   test("lock maps key scheme-insensitively: qualified and raw store paths share one lock") {
     // deleteRange's boundary-day swap locks via a path derived from
     // fs.listStatus (scheme-qualified, file:/…), while serving readers

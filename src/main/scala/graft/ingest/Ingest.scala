@@ -175,30 +175,27 @@ object SamplesStore {
   /** Two locks per store path, with distinct jobs:
     *
     * MUTATION lock — one exclusive lock per store: the HTTP front
-    * door serves handlers concurrently, and two Spark jobs appending
-    * into the same directory tree race their FileOutputCommitter
-    * `_temporary` staging; compaction's swap must never overlap an
-    * append at all. Mutations serialize per store within this JVM
-    * (the serving process is one JVM, like the reference's one Go
-    * process in front of ClickHouse).
+    * door serves handlers concurrently, and two Spark jobs staging
+    * into the same directory tree would race their staging dirs and
+    * manifest generations. Mutations serialize per store within this
+    * JVM (the serving process is one JVM, like the reference's one
+    * Go process in front of ClickHouse); their expensive distributed
+    * phases (compaction's STAGE) run OUTSIDE it.
     *
-    * VISIBILITY lock — a fair read-write lock held in WRITE mode only
-    * around the ms-scale metadata events that make the store LOSE
-    * data transiently from a reader's viewpoint: day/store swap
-    * renames and delete's day drops (crash-recovery restores need no
-    * exclusion — they only bring back what a reader already could
-    * not see). Readers
-    * ([[readLocked]], the serving `/read`) hold its READ side for
-    * their whole query execution: they run concurrently with each
-    * other AND with append/rewrite jobs (a remote-write request's
-    * samples have no atomic-visibility contract — gradual appearance
-    * is fine), but can never interleave a swap's two renames, which
-    * would silently drop a whole day from partition discovery. Lock
-    * order is always mutation → visibility, and readers take only
-    * the visibility side, so no cycle exists. Bare [[read]] stays
-    * lock-free — it returns a lazy DataFrame, and out-of-process
-    * readers can't take an in-JVM lock anyway (they retry the loud
-    * transient miss instead). */
+    * VISIBILITY lock — a fair read-write lock. Snapshot manifests
+    * carry almost all of the visibility story (readers plan one
+    * committed snapshot with no lock at all), so the write side
+    * survives in exactly two places: the grace-expired GC's file
+    * deletions (taken with a BOUNDED tryLock — GC defers to a
+    * long-running reader, never the reverse) and [[compact]]'s
+    * offline whole-store directory swap. [[readLocked]] (the serving
+    * `/read`) holds the READ side for its whole query execution,
+    * which lets even a grace-0 force-expiry never yank files from an
+    * in-flight in-JVM plan; out-of-process readers rely on the grace
+    * window instead (they cannot take an in-JVM lock). Lock order is
+    * always mutation → visibility, and readers take only the
+    * visibility side, so no cycle exists. Bare [[read]] is entirely
+    * lock-free. */
   /** EVERY lock map keys through this normalization. Store paths
     * reach the lock sites in two spellings — the caller's raw string
     * (`/tmp/store`, what `readLocked` sees) and filesystem-qualified
@@ -235,25 +232,26 @@ object SamplesStore {
     * resolve to ONE lock object. */
   private[graft] def visibilityLockHandle(path: String) = visibilityFor(path)
 
-  /** Wrap a transient-invisibility window (swap renames, day drops)
-    * — excludes [[readLocked]] readers for its ms-scale duration.
-    * Always entered while holding the mutation lock. The lock is
-    * FAIR, so a waiting swap blocks new readers behind the longest
-    * in-flight read — deferrable callers (the background compaction)
-    * use [[visibleTry]] to bound that coupling. */
+  /** Wrap a transient-invisibility window — excludes [[readLocked]]
+    * readers for its duration. Post-manifest, the only blocking user
+    * is [[compact]]'s offline whole-store directory swap; everything
+    * deferrable (GC deletions) goes through [[visibleTry]], because
+    * the lock is FAIR and a waiting writer blocks new readers behind
+    * the longest in-flight read. Always entered while holding the
+    * mutation lock. */
   private def visible[T](path: String)(f: => T): T = {
     val l = visibilityFor(path).writeLock()
     l.lock()
     try f finally l.unlock()
   }
 
-  /** How long a DEFERRABLE swap waits for the visibility write lock
-    * before giving up (the day is left intact for the next probe).
-    * Bounds the fair-lock coupling: a queued swap blocks new readers
-    * and mutations behind the longest in-flight /read, so an
+  /** How long a DEFERRABLE visibility-lock taker (grace-expired GC)
+    * waits before giving up and leaving the cleanup for the next
+    * pass. Bounds the fair-lock coupling: a queued writer blocks new
+    * readers and mutations behind the longest in-flight /read, so an
     * unbounded wait would let one slow dashboard query stall every
     * concurrent reader for its whole duration — with the timeout the
-    * stall is capped and the rewrite work is simply retried later. */
+    * stall is capped and the reclaim is simply retried later. */
   val SwapLockTimeoutMs: Long = 5000L
 
   /** [[visible]] with a bounded wait: returns false WITHOUT running

@@ -171,6 +171,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
     }),
 
+    // Snapshot time travel: pin the store's generation, keep
+    // ingesting AND compacting (which rewrites the pinned files into
+    // new ones), then read back exactly the pinned corpus — the
+    // reproducible-training-set contract the manifest protocol buys.
+    // Superseded files are grace-retained, so the pinned plan stays
+    // scannable while the live store moves on.
+    "store_time_travel" -> ((s, dir) => {
+      val path = workDir("timetravel", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val all = samples(s, dir)
+      SamplesStore.write(all.filter(expr("ts_us % 2 = 0")), path)
+      val pinned = SamplesStore.currentGen(s, path).get
+      SamplesStore.append(all.filter(expr("ts_us % 2 = 1")), path)
+      SamplesStore.compactFragmentedDays(s, path, maxFilesPerDay = 1)
+      SamplesStore.readAt(s, path, pinned)
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
+    }),
+
     // The continuous write path: file-source stream → foreachBatch
     // append into the day-partitioned store → read back. Fresh store
     // + checkpoint per run (the stream must re-ingest, not resume).
@@ -574,6 +595,13 @@ object SparkEntry {
          |SELECT metric, ts_us // 1000000 // 86400 * 86400 AS date,
          |       count(*) AS n_samples, round(sum(value), 6) AS sum_value
          |FROM samples GROUP BY 1, 2""".stripMargin,
+
+    // the pinned generation holds exactly the pre-append half of the
+    // corpus, regardless of the append+compaction that followed
+    "store_time_travel" ->
+      s"""$S
+         |SELECT metric, count(*) AS n_samples, round(sum(value), 6) AS sum_value
+         |FROM samples WHERE ts_us % 2 = 0 GROUP BY 1""".stripMargin,
 
     // compaction must be result-invariant: same oracle as the sink
     "store_compact" ->

@@ -584,6 +584,36 @@ object SamplesStore {
     }
   }
 
+  /** The store AS OF a specific committed generation — time travel.
+    * Manifests are immutable and superseded data files outlive them
+    * by the GC grace (and forever on a quiesced store), so a pipeline
+    * can PIN a snapshot ([[currentGen]]) and keep reading exactly
+    * that corpus while ingestion, compaction, and deletes continue —
+    * the reproducible-training-set contract (run the same job
+    * tomorrow over today's data), for the price of delaying
+    * [[expireSnapshots]] past the job's runtime. An expired or
+    * never-committed generation fails loudly. */
+  def readAt(spark: SparkSession, path: String, gen: Long): DataFrame = {
+    val fs = fsFor(spark, path)
+    val root = new Path(path)
+    val snap =
+      try readManifest(fs, root, gen)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(
+            s"readAt: snapshot generation $gen of $path does not exist " +
+            "(never committed, or reclaimed by expireSnapshots)")
+      }
+    if (snap.files.isEmpty) emptySamples(spark)
+    else spark.read.option("basePath", path)
+      .parquet(snap.files.map(f => new Path(root, f).toString): _*)
+  }
+
+  /** The latest committed generation, if any — the handle a pipeline
+    * pins before a long job and hands to [[readAt]]. */
+  def currentGen(spark: SparkSession, path: String): Option[Long] =
+    latestSnapshot(fsFor(spark, path), new Path(path)).map(_.gen)
+
   /** Schema of an empty-snapshot read, matching the inferred schema
     * of a non-empty one (the `date` partition value infers as
     * IntegerType for epoch-day seconds until 2038). */

@@ -439,6 +439,58 @@ class StoreSpec extends SparkSpecBase {
     assert(sortedWithinFiles(path))
   }
 
+  test("time travel: a pinned generation reads its exact corpus across append+compact+delete") {
+    val path = "/tmp/graft_test/store_timetravel"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val samples = Tables.samples(spark, Sf).cache()
+    val even = samples.filter(expr("ts_us % 2 = 0"))
+    val odd = samples.filter(expr("ts_us % 2 = 1"))
+    SamplesStore.write(even, path)
+    val pinned = SamplesStore.currentGen(spark, path).get
+    val pinnedSet = even.select("ts_us", "metric", "value").collect().toSet
+
+    // the live store moves on: append, compact (rewrites the pinned
+    // files into new ones), delete a slice
+    SamplesStore.append(odd, path)
+    SamplesStore.compactFragmentedDays(spark, path, maxFilesPerDay = 1)
+    SamplesStore.deleteRange(spark, path, 1704888000000000L, 1705212000000000L)
+    assert(SamplesStore.readAt(spark, path, pinned)
+      .select("ts_us", "metric", "value").collect().toSet == pinnedSet,
+      "the pinned snapshot must read exactly its corpus, bit-for-bit")
+    assert(SamplesStore.read(spark, path).count() ==
+      samples.filter(col("ts_us") < 1704888000000000L || col("ts_us") >= 1705212000000000L).count())
+    // a generation that never existed fails loudly
+    intercept[IllegalArgumentException](SamplesStore.readAt(spark, path, 99999L).count())
+    // snapshot expiry reclaims the pinned generation — after it, the
+    // pin fails loudly instead of returning partial data
+    SamplesStore.expireSnapshots(spark, path, graceMs = 0L)
+    intercept[IllegalArgumentException](SamplesStore.readAt(spark, path, pinned).count())
+    assert(SamplesStore.read(spark, path).count() > 0)
+  }
+
+  test("an empty snapshot reads with the same schema as a populated one") {
+    import spark.implicits._
+    val path = "/tmp/graft_test/store_empty"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val day0 = 1704412800L
+    val rows = (0 until 10).map(i => (day0 * 1000000L + i * 1000000L,
+      "m", Seq("k=v"), i.toDouble)).toDF("ts_us", "metric", "labels", "value")
+    SamplesStore.write(rows, path)
+    val populated = SamplesStore.read(spark, path).schema
+    // delete EVERYTHING: the manifest goes empty, and the read must
+    // keep the exact schema (a downstream select/filter chain built
+    // against a populated store must not break on an emptied one)
+    SamplesStore.deleteRange(spark, path, Long.MinValue, Long.MaxValue)
+    val empty = SamplesStore.read(spark, path)
+    assert(empty.count() == 0)
+    assert(empty.schema == populated,
+      s"empty-snapshot schema ${empty.schema} must equal populated $populated")
+  }
+
   test("snapshot parsing is cached per generation and invalidated by any commit") {
     import spark.implicits._
     val path = "/tmp/graft_test/store_snapcache"

@@ -24,7 +24,10 @@ object Bench {
     "ingest_streaming_window" -> 2.5,
     "ingest_streaming" -> 2.5,
     "ingest_streaming_dedup" -> 2.5,
-    "ingest_delete_range" -> 3.0)
+    "ingest_delete_range" -> 3.0,
+    // write + append + compact + pinned-generation read-back; tracks
+    // store_compact_days' cost shape plus one extra store write
+    "store_time_travel" -> 5.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -401,6 +401,14 @@ object SparkEntry {
     "ts_agg_across_series" -> ((s, dir) => (
       RangeOps.aggAcrossSeries(RangeOps.dedupPerSecond(samples(s, dir)), 3600L))),
 
+    // PromQL-style binary op with on(user) matching: hourly
+    // sum-by-user of one metric over another — the "ratio of two
+    // series selections" query the read path can't express as a
+    // single-metric aggregate.
+    "ts_binary_op" -> ((s, dir) => (
+      RangeOps.binaryOpByLabel(
+        RangeOps.dedupPerSecond(samples(s, dir)), "click", "view", "user", 3600L))),
+
     "ingest_streaming_window" -> ((s, dir) => {
       val src = ensureEventsSrc(s, dir, "stream_win_src")
       StreamIngest.runWindowedToMemory(s, src,
@@ -417,6 +425,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), 0.8)),
 
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 8)),
+
+    // Benchmark decontamination: every 50th doc plays the held-out
+    // eval set; training docs sharing any word 4-gram with it flag.
+    "dedup_decontaminate" -> ((s, dir) =>
+      Dedup.decontaminate(Tables.documents(s, dir), col("doc_id") % 50 === 0)),
 
     "dedup_embedding" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir), nBands = 4, bitsPerBand = 6, threshold = 0.4)),
@@ -435,6 +448,11 @@ object SparkEntry {
       Similarity.ivfTopK(Tables.embeddings(s, dir),
         nQueries = 10, nCentroids = 16, nProbe = 4, k = 10)),
 
+    // Embedding-space clustering (SemDeDup-style curation): nearest
+    // deterministic centroid per vector, broadcast + argmax window.
+    "cluster_assign" -> ((s, dir) =>
+      Similarity.clusterAssign(Tables.embeddings(s, dir), nCentroids = 16)),
+
     // ---- §2.6 text analysis ----------------------------------------
     "text_langid" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
 
@@ -443,6 +461,8 @@ object SparkEntry {
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
 
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
+
+    "text_ngram_freq" -> ((s, dir) => TextAnalysis.ngramFreq(Tables.documents(s, dir))),
 
     // Deterministic split assignment: membership is a pure function
     // of (salt, doc_id) — stable across runs, partitionings, and
@@ -845,6 +865,26 @@ object SparkEntry {
          |       count(DISTINCT labels) AS n_series
          |FROM deduped GROUP BY 1, 2""".stripMargin,
 
+    // hourly sum-by-user click/view with the integer-exact 1e-2 sum
+    // convention; ratio is floor-scaled on the exact integer quotient
+    "ts_binary_op" ->
+      s"""$dedupCte, a AS (
+         |  SELECT [l for l in labels if l LIKE 'user=%'][1] AS lbl,
+         |         t_sec // 3600 * 3600 AS bucket,
+         |         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS a_sum_e2
+         |  FROM deduped WHERE metric = 'click' GROUP BY 1, 2
+         |), b AS (
+         |  SELECT [l for l in labels if l LIKE 'user=%'][1] AS lbl,
+         |         t_sec // 3600 * 3600 AS bucket,
+         |         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS b_sum_e2
+         |  FROM deduped WHERE metric = 'view' GROUP BY 1, 2
+         |)
+         |SELECT lbl, bucket, a_sum_e2, b_sum_e2,
+         |       CASE WHEN b_sum_e2 = 0 THEN NULL
+         |            ELSE CAST(floor(a_sum_e2::DOUBLE / b_sum_e2::DOUBLE * 1000000 + 0.5) AS BIGINT)
+         |       END AS ratio_e6
+         |FROM a JOIN b USING (lbl, bucket)""".stripMargin,
+
     "ingest_streaming_window" ->
       s"""$S
          |SELECT metric, ts_us // 1000000 // 3600 * 3600 AS bucket,
@@ -926,6 +966,27 @@ object SparkEntry {
          |)
          |SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
          |FROM pairs WHERE bit_count(xor(sa, sb)) <= 8""".stripMargin,
+
+    // benchmark = every 50th doc; a training doc's hit count is its
+    // distinct word 4-grams (hashed with the portable scheme, so any
+    // collisions are identical in both engines) that appear anywhere
+    // in the benchmark set
+    "dedup_decontaminate" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, doc_id % 50 = 0 AS is_bench,
+         |         list_transform(
+         |           list_distinct([array_to_string(words[i:i+3], ' ')
+         |                          for i in range(1, len(words)-2)]),
+         |           s -> ${duckHash("s")}) AS ghs
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+         |  WHERE len(words) >= 4
+         |), bg AS (SELECT DISTINCT unnest(ghs) AS h FROM g WHERE is_bench),
+         |tg AS (SELECT doc_id, unnest(ghs) AS h FROM g WHERE NOT is_bench),
+         |hits AS (SELECT doc_id, count(*) AS n_hit_grams FROM tg JOIN bg USING (h) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(h.n_hit_grams, 0)::BIGINT AS n_hit_grams,
+         |       (coalesce(h.n_hit_grams, 0) > 0)::INT AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id % 50 <> 0""".stripMargin,
 
     "dedup_embedding" ->
       s"""${embCte(24)}, banded AS (
@@ -1018,6 +1079,27 @@ object SparkEntry {
          |)
          |SELECT query_id, vec_id, cos_sim_e6, rank FROM ranked WHERE rank <= 10""".stripMargin,
 
+    // nearest deterministic centroid per vector (centroids = 16
+    // lowest-id vecs); argmax on the raw fold double, cent_id tiebreak
+    "cluster_assign" ->
+      s"""WITH prepn AS (
+         |  SELECT vec_id, vec, sqrt(${duckDot("vec", "vec")}) AS nrm
+         |  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+         |        FROM embeddings)
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnrm
+         |  FROM prepn WHERE vec_id < 16
+         |)
+         |SELECT vec_id, cent_id, CAST(floor(cc * 1000000 + 0.5) AS BIGINT) AS cos_sim_e6
+         |FROM (
+         |  SELECT v.vec_id, c.cent_id,
+         |         ${duckDot("c.cvec", "v.vec")} / (c.cnrm * v.nrm) AS cc,
+         |         row_number() OVER (PARTITION BY v.vec_id
+         |           ORDER BY ${duckDot("c.cvec", "v.vec")} / (c.cnrm * v.nrm) DESC,
+         |                    c.cent_id ASC) AS arank
+         |  FROM prepn v, cents c)
+         |WHERE arank = 1""".stripMargin,
+
     "text_langid" -> {
       def score(words: Seq[String]) =
         s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
@@ -1077,6 +1159,16 @@ object SparkEntry {
          |       list_reduce(list_prepend(0::BIGINT, hs), (acc, h) -> (acc * 131 + h) % $H) AS fingerprint,
          |       len(toks) AS n_tokens
          |FROM hs""".stripMargin,
+
+    // top-100 corpus bigrams, every occurrence counted; count-desc
+    // gram-asc makes the LIMIT boundary engine-deterministic
+    "text_ngram_freq" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+        |g AS (SELECT unnest([array_to_string(words[i:i+1], ' ')
+        |                     for i in range(1, len(words))]) AS gram
+        |      FROM w WHERE len(words) >= 2)
+        |SELECT gram, count(*) AS n_occurrences FROM g GROUP BY 1
+        |ORDER BY n_occurrences DESC, gram ASC LIMIT 100""".stripMargin,
 
     "sample_split" ->
       s"""SELECT doc_id,

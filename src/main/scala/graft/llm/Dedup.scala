@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -200,6 +200,44 @@ object Dedup {
       .agg(min(col("bucket_min")).as("keep_id"))
       .select(col("doc_id"),
         (col("keep_id") === col("doc_id")).cast("int").as("kept"), col("keep_id"))
+  }
+
+  /** Benchmark decontamination — the held-out-eval hygiene pass a
+    * training pipeline runs before every model: a training document
+    * is CONTAMINATED when it shares any word-level n-gram with the
+    * benchmark set. One row per training document:
+    * (doc_id, n_hit_grams, contaminated), where n_hit_grams counts
+    * this doc's distinct grams that appear anywhere in the benchmark.
+    *
+    * Scale shape: the benchmark corpus is tiny next to training data
+    * (MBs of eval suites vs 100 TB), so its distinct gram-hash set
+    * BROADCASTS and the training-side gram stream joins map-side —
+    * candidate generation never shuffles the corpus; the only
+    * exchanges are the per-doc hit count and the final doc_id join,
+    * both keyed by doc_id. Gram hashes ride the portable 60-bit
+    * scheme (8 bytes each, never gram text). A production run swaps
+    * the exact broadcast set for a Bloom filter at the same plan
+    * shape when the benchmark suite outgrows executor memory. */
+  def decontaminate(documents: DataFrame, isBench: Column, n: Int = 4): DataFrame = {
+    val terms = (0 until n).map(j => s"words[i+$j]").mkString(", ")
+    val grams = documents
+      .withColumn("is_bench", isBench)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= n)
+      .select(col("doc_id"), col("is_bench"), explode(expr(
+        s"array_distinct(transform(sequence(0, size(words)-$n), i -> concat_ws(' ', $terms)))"))
+        .as("g"))
+      .select(col("doc_id"), col("is_bench"), expr(hash60SqlSpark("g")).as("h"))
+    val benchSet = grams.filter(col("is_bench")).select(col("h")).distinct()
+    val hits = grams.filter(!col("is_bench"))
+      .join(broadcast(benchSet), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_grams"))
+    documents.filter(!isBench).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        (coalesce(col("n_hit_grams"), lit(0L)) > 0).cast("int").as("contaminated"))
   }
 
   val SimBits = 60   // portable hash width

@@ -160,6 +160,35 @@ object Similarity {
         (col("keep_id") === col("vec_id")).cast("int").as("kept"), col("keep_id"))
   }
 
+  /** Embedding-space cluster assignment — the curation primitive
+    * behind semantic dedup (dedupe within a cluster, not across the
+    * corpus) and cluster-balanced sampling: every vector goes to its
+    * nearest-by-cosine centroid. The quantizer is the same
+    * training-free deterministic one as [[ivfTopK]]'s — the
+    * nCentroids lowest-id vectors ARE the centroids, so the whole
+    * assignment is oracle-reproducible (a production build k-means a
+    * sample instead; identical plan shape). Output one row per
+    * vector: (vec_id, cent_id, cos_sim_e6). Ties break to the lower
+    * cent_id on the raw fold double — engine-stable.
+    *
+    * Scale shape: the centroid set is small and BROADCAST; the
+    * assignment is one broadcast join + per-vec_id argmax window over
+    * exactly nCentroids rows — linear in corpus size with no skew
+    * (the window keys on vec_id, which is unique). */
+  def clusterAssign(embeddings: DataFrame, nCentroids: Int): DataFrame = {
+    val prep = prepared(embeddings)
+    val cents = prep.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("vec").as("cvec"), col("nrm").as("cnrm"))
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cc").desc, col("cent_id").asc)
+    prep.join(broadcast(cents))
+      .withColumn("cc", expr(s"${dotExpr("cvec", "vec")} / (cnrm * nrm)"))
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("cent_id"),
+        expr("CAST(floor(cc * 1000000 + 0.5) AS BIGINT)").as("cos_sim_e6"))
+  }
+
   /** IVF (inverted-file) ANN top-k — the scale path past LSH
     * bucketing: a coarse quantizer assigns every candidate vector to
     * its nearest centroid ONCE (the inverted lists), and each query

@@ -130,6 +130,30 @@ object TextAnalysis {
       col("n_chars").as("n_chars_meta"),
       length(col("text")).as("n_chars_actual"))
 
+  /** Corpus-wide n-gram frequency: the k most frequent word n-grams
+    * with occurrence counts — the vocabulary statistics a tokenizer
+    * training or corpus-QA pass starts from. Every occurrence counts
+    * (no per-doc distinct). Ties rank gram-ascending, so the top-k
+    * SET is engine-deterministic.
+    *
+    * Scale shape: explode → hash-aggregate with map-side partial
+    * counts (the exchange carries one (gram, partial) row per
+    * distinct gram per partition, not per occurrence) →
+    * TakeOrderedAndProject for the top-k: no global sort, no
+    * full-aggregate collect. */
+  def ngramFreq(documents: DataFrame, n: Int = 2, k: Int = 100): DataFrame = {
+    val terms = (0 until n).map(j => s"words[i+$j]").mkString(", ")
+    documents
+      .withColumn("words", tokensCol)
+      .filter(size(col("words")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(0, size(words)-$n), i -> concat_ws(' ', $terms))")).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("gram").asc)
+      .limit(k)
+  }
+
   /** doc_id + polynomial rolling-hash fingerprint over token hashes:
     * acc = (acc*131 + h60(token)) % P, left fold from 0 in token
     * order. Tokens explode once through a codegen'd hash projection;

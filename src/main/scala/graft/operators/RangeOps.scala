@@ -172,6 +172,37 @@ object RangeOps {
            count(lit(1)).as("n_points"),
            countDistinct(col("labels")).as("n_series"))
 
+  /** PromQL-style binary operation with on(<labelKey>) vector
+    * matching: `sum by (key) (metricA) <op> sum by (key) (metricB)`
+    * per intervalSec bucket — the "error ratio = errors / requests"
+    * dashboard query. Both side sums are integer-exact 1e-2 units
+    * (input values carry two decimals; floor(+0.5) absorbs float
+    * noise, see avg_value_e5 above), and the ratio is the
+    * floor-scaled 1e-6 integer of the exact integer quotient — NULL
+    * when the denominator bucket sums to zero (PromQL emits +Inf;
+    * NULL survives the parquet/oracle comparison).
+    *
+    * Scale shape: one aggregation per side keyed on (label, bucket)
+    * with map-side partials, then a join on the same keys — each side
+    * shuffles once, and AQE broadcasts the smaller side when a
+    * selective metric makes it small. No pairwise series matching
+    * ever materializes: matching is the equi-join. */
+  def binaryOpByLabel(deduped: DataFrame, metricA: String, metricB: String,
+                      labelKey: String, intervalSec: Long): DataFrame = {
+    def side(m: String, out: String): DataFrame = deduped
+      .filter(col("metric") === m)
+      .withColumn("lbl", expr(s"filter(labels, l -> l LIKE '$labelKey=%')[0]"))
+      .withColumn("bucket", expr(s"t_sec DIV $intervalSec * $intervalSec"))
+      .groupBy(col("lbl"), col("bucket"))
+      .agg(expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").as(out))
+    side(metricA, "a_sum_e2").join(side(metricB, "b_sum_e2"), Seq("lbl", "bucket"))
+      .select(col("lbl"), col("bucket"), col("a_sum_e2"), col("b_sum_e2"),
+        when(col("b_sum_e2") === 0, lit(null).cast("bigint"))
+          .otherwise(expr(
+            "CAST(floor(CAST(a_sum_e2 AS DOUBLE) / CAST(b_sum_e2 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"))
+          .as("ratio_e6"))
+  }
+
   /** Top-k series per (metric, bucket) by rounded sum(value).
     * Rounding before ranking keeps the order stable across engines;
     * labels digest breaks exact ties deterministically. */

@@ -103,6 +103,49 @@ class LlmSpec extends SparkSpecBase {
     assert(perQuery.filter(col("n") =!= col("mx")).count() == 0)
   }
 
+  test("decontamination flags copies of benchmark docs and covers every training doc") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),  // benchmark (id % 5 == 0)
+      (1L, "alpha beta gamma delta epsilon zeta"),  // exact copy → contaminated
+      (2L, "one two three four five six seven"),    // clean
+      (3L, "x y alpha beta gamma delta z"),         // shares one 4-gram
+      (4L, "tiny doc")                              // shorter than n → clean
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, col("doc_id") % 5 === 0, n = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "one row per training doc, bench excluded")
+    // doc 1 shares all 3 distinct 4-grams of the 6-word bench doc
+    assert(out(1L) == (3L, 1))
+    assert(out(2L) == (0L, 0))
+    assert(out(3L) == (1L, 1))
+    assert(out(4L) == (0L, 0))
+  }
+
+  test("ngram frequency counts every occurrence and respects the top-k bound") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a b a b c"),   // "a b"×2, "b a"×1, "b c"×1
+      (1L, "a b")          // "a b"×1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramFreq(corpus, n = 2, k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(out == Set("a b" -> 3L, "b a" -> 1L),
+      "count-desc gram-asc: 'a b' 3×, then 'b a' before 'b c' at the k boundary")
+  }
+
+  test("cluster assignment covers every vector; centroids self-assign at cos=1") {
+    val nCents = 16
+    val assigned = Similarity.clusterAssign(embs, nCents).cache()
+    assert(assigned.count() == embs.count(), "one row per vector")
+    assert(assigned.filter(col("cent_id") >= nCents || col("cent_id") < 0).count() == 0)
+    val selfs = assigned.filter(col("vec_id") < nCents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(selfs.forall(s => s._1 == s._2 && s._3 == 1000000L),
+      s"centroids must self-assign at cos_sim_e6=1000000, got ${selfs.mkString(",")}")
+    assigned.unpersist()
+  }
+
   test("langid scores and quality features are sane") {
     val lang = TextAnalysis.langId(docs)
     assert(lang.filter(col("pred_lang").isin("en", "es", "de", "fr", "und")).count() == docs.count())

@@ -121,8 +121,10 @@ class PlanSpec extends SparkSpecBase {
         // no operator smuggles a Scala UDF into its plan — everything
         // is native functions, HOFs, or custom codegen expressions
         assert(!p.contains("ScalaUDF"), s"$name plans a Scala UDF:\n$p")
-        if (name.startsWith("ann_"))
-          assert(p.contains("Broadcast"), s"$name does not broadcast its query side:\n$p")
+        // small-side-broadcast operators: ANN query sides, the
+        // decontamination benchmark gram set, the cluster centroids
+        if (name.startsWith("ann_") || name == "cluster_assign" || name == "dedup_decontaminate")
+          assert(p.contains("Broadcast"), s"$name does not broadcast its small side:\n$p")
       }
     }
   }

@@ -75,6 +75,26 @@ class SeriesReadSpec extends SparkSpecBase {
     assert(pts == pts.sorted)
   }
 
+  test("binary op: sum-by-label ratio matches hand computation, zero denominator yields NULL") {
+    import spark.implicits._
+    val deduped = Seq(
+      ("a", Seq("k=1", "user=7"), 100L, 2.0),
+      ("a", Seq("k=2", "user=7"), 200L, 4.0),   // same user+bucket as above
+      ("b", Seq("k=9", "user=7"), 300L, 8.0),
+      ("a", Seq("k=1", "user=8"), 100L, 1.0),
+      ("b", Seq("k=1", "user=8"), 100L, 0.0),   // zero denominator
+      ("a", Seq("k=1", "user=9"), 100L, 5.0)    // no matching b side
+    ).toDF("metric", "labels", "t_sec", "value")
+    val out = RangeOps.binaryOpByLabel(deduped, "a", "b", "user", 3600L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+    assert(out == Set(
+      // user=7: a = 2.0 + 4.0 = 6.0 → 600, b = 8.0 → 800, ratio 0.75
+      ("user=7", 0L, 600L, 800L, Some(750000L)),
+      // user=8: denominator sums to zero → NULL ratio
+      ("user=8", 0L, 100L, 0L, None)))
+  }
+
   test("rate guard: negative differences become NULL, dt>0 enforced") {
     val rated = RangeOps.ratePerSecond(RangeOps.dedupPerSecond(samples))
     assert(rated.filter(col("rate_e6") < 0).count() == 0)

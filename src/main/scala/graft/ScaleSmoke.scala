@@ -13,7 +13,7 @@ import graft.sources.Tables
   * read pipeline (select → assemble → serve) on a scaled samples
   * corpus (labels suffixed per copy — series COUNT scales, the axis
   * that grows at 100 TB). Measures how each stage scales; numbers
-  * land in SCALE.md. `SPARK_GRAFT_SCALE_ONLY=read|dedup|ann|prep|compact`
+  * land in SCALE.md. `SPARK_GRAFT_SCALE_ONLY=read|dedup|ann|curate|prep|compact`
   * runs one section. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -92,6 +92,26 @@ object ScaleSmoke {
         val blob = PromRemoteCodec.encodeReadRequest(Seq(rq))
         RemoteRead.serve(smp, blob).length.toLong
       }
+    }
+
+    // Curation operators: decontamination (training side scales m×,
+    // benchmark stays FIXED at the unshifted copy — the real shape:
+    // eval suites don't grow with the crawl), n-gram frequency,
+    // cluster assignment (vectors scale, centroids fixed), binary op
+    // (series count scales). All must track input size linearly.
+    for (m <- Seq(1, 2, 4) if sectionEnabled("curate")) {
+      val d = scaled(m)
+      time(s"decontaminate   m=$m")(
+        graft.llm.Dedup.decontaminate(d,
+          col("doc_id") % 50 === 0 && col("doc_id") < 1000000L).count())
+      time(s"ngramFreq       m=$m")(graft.llm.TextAnalysis.ngramFreq(d).count())
+      val e = scaledEmb(m)
+      time(s"clusterAssign   m=$m")(Similarity.clusterAssign(e, 16).count())
+      val smp = scaledSamples(m)
+      time(s"binaryOp        m=$m")(
+        graft.operators.RangeOps.binaryOpByLabel(
+          graft.operators.RangeOps.dedupPerSecond(smp),
+          "click", "view", "user", 3600L).count())
     }
 
     // Corpus-prep pipeline: quality gate → lang gate → exact dedup →

@@ -409,6 +409,12 @@ object SparkEntry {
       RangeOps.binaryOpByLabel(
         RangeOps.dedupPerSecond(samples(s, dir)), "click", "view", "user", 3600L))),
 
+    // PromQL `offset` comparison: each series' hourly mean next to
+    // its own value exactly one day earlier (day-over-day delta).
+    "ts_offset_compare" -> ((s, dir) => (
+      RangeOps.offsetCompare(
+        RangeOps.dedupPerSecond(samples(s, dir)), 3600L, 86400L))),
+
     "ingest_streaming_window" -> ((s, dir) => {
       val src = ensureEventsSrc(s, dir, "stream_win_src")
       StreamIngest.runWindowedToMemory(s, src,
@@ -475,6 +481,12 @@ object SparkEntry {
     "sample_deterministic" -> ((s, dir) =>
       Sampling.sampleByKey(Tables.documents(s, dir), "doc_id", "s1", 100)
         .select(col("doc_id"), col("lang"), col("n_chars"))),
+
+    // Language-balanced quota: at most 50 docs per lang, picked by
+    // deterministic hash rank — stable across runs and partitionings.
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id", "strat", 50)
+        .select(col("doc_id"), col("lang"), col("srank"))),
 
     // The whole corpus-prep pipeline in one pass: quality gate →
     // language gate → exact dedup → split assignment. One scan, one
@@ -885,6 +897,21 @@ object SparkEntry {
          |       END AS ratio_e6
          |FROM a JOIN b USING (lbl, bucket)""".stripMargin,
 
+    // day-over-day: the shifted point comes from a RANGE frame pinned
+    // exactly 86400 s back; absent → NULL prev/delta
+    "ts_offset_compare" ->
+      s"""$dedupCte, bucketed AS (
+         |  SELECT metric, labels, t_sec // 3600 * 3600 AS bucket,
+         |         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) * 1000 // count(*) AS avg_value_e5
+         |  FROM deduped GROUP BY 1, 2, 3
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, bucket, avg_value_e5,
+         |       max(avg_value_e5) OVER (PARTITION BY metric, labels ORDER BY bucket
+         |         RANGE BETWEEN 86400 PRECEDING AND 86400 PRECEDING) AS prev_value_e5,
+         |       avg_value_e5 - max(avg_value_e5) OVER (PARTITION BY metric, labels ORDER BY bucket
+         |         RANGE BETWEEN 86400 PRECEDING AND 86400 PRECEDING) AS delta_e5
+         |FROM bucketed""".stripMargin,
+
     "ingest_streaming_window" ->
       s"""$S
          |SELECT metric, ts_us // 1000000 // 3600 * 3600 AS bucket,
@@ -1181,6 +1208,18 @@ object SparkEntry {
     "sample_deterministic" ->
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE ${duckHash("'s1:' || CAST(doc_id AS VARCHAR)")} % 1000 < 100""".stripMargin,
+
+    // at most 50 docs per lang by (salt, doc_id) hash rank, doc_id
+    // tiebreak — the same portable hash as sample_deterministic
+    "sample_stratified" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, lang,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY ${duckHash("'strat:' || CAST(doc_id AS VARCHAR)")} ASC,
+         |                    doc_id ASC) AS srank
+         |  FROM documents
+         |)
+         |SELECT doc_id, lang, srank FROM r WHERE srank <= 50""".stripMargin,
 
     "pipeline_corpus_prep" -> {
       def score(words: Seq[String]) =

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling and split assignment over a keyed corpus —
@@ -45,4 +46,34 @@ object Sampling {
   def sampleByKey(df: DataFrame, keyCol: String, salt: String,
                   permille: Int): DataFrame =
     df.filter(hashBucket(keyCol, salt, 1000) < permille)
+
+  /** Deterministic stratified sampling: keep AT MOST `perGroup` rows
+    * per group, chosen by (salt, key) hash rank — the language/
+    * source-balancing primitive ("at most n docs per language").
+    * The pick is a pure function of the group's key set: stable
+    * across runs, partitionings, and cluster sizes, and adding or
+    * removing one group never changes another group's picks. Hash
+    * ties break on the key itself, so the selection is total. Emits
+    * `srank` (1-based rank within the group) for downstream
+    * sub-slicing.
+    *
+    * Scale shape: one exchange on the group column for the rank
+    * window. Group skew is the knob to watch at 100 TB (a
+    * 90%-English corpus puts 90% of rows in one window partition) —
+    * when it bites, pre-thin each group with [[sampleByKey]] to a
+    * few× perGroup first (a narrow scan-side filter), then rank the
+    * survivors; the quota semantics are unchanged because the
+    * pre-thinning keeps a superset of every possible pick only when
+    * thinned by the same (salt, key) hash ORDER — so thin by hash
+    * THRESHOLD, not count, and leave the final quota to the rank. */
+  def stratifiedSample(df: DataFrame, groupCol: String, keyCol: String,
+                       salt: String, perGroup: Int): DataFrame = {
+    val h = expr(Portable.hash60SqlSpark(s"concat('$salt:', CAST($keyCol AS STRING))"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("srank_h").asc, col(keyCol).asc)
+    df.withColumn("srank_h", h)
+      .withColumn("srank", row_number().over(w))
+      .filter(col("srank") <= perGroup)
+      .drop("srank_h")
+  }
 }

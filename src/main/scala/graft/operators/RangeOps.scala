@@ -172,6 +172,35 @@ object RangeOps {
            count(lit(1)).as("n_points"),
            countDistinct(col("labels")).as("n_series"))
 
+  /** Time-shifted self-comparison — PromQL's `x offset 1d` pattern
+    * (the day-over-day / week-over-week dashboard query): each
+    * series' bucketed value next to its own value exactly offsetSec
+    * earlier, plus the delta. A RANGE window frame pinned at
+    * [-offset, -offset] fetches the shifted point in the SAME pass
+    * as the bucketing — no self-join, no second scan. Buckets with
+    * no point exactly offset back get NULL (PromQL drops the sample;
+    * NULL keeps the row countable and survives the oracle compare).
+    * Values are the integer-exact 1e-5 bucket means (see
+    * avg_value_e5 above).
+    *
+    * Scale shape: one aggregate with map-side partials + one window,
+    * both keyed on the series — two exchanges, each carrying one row
+    * per (series, bucket), never raw samples. */
+  def offsetCompare(deduped: DataFrame, intervalSec: Long, offsetSec: Long): DataFrame = {
+    val bucketed = deduped
+      .withColumn("bucket", expr(s"t_sec DIV $intervalSec * $intervalSec"))
+      .groupBy(col("metric"), col("labels"), col("bucket"))
+      .agg(expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) * 1000 DIV count(1)")
+        .as("avg_value_e5"))
+    val w = Window.partitionBy(col("metric"), col("labels")).orderBy(col("bucket"))
+      .rangeBetween(-offsetSec, -offsetSec)
+    bucketed
+      .withColumn("prev_value_e5", max(col("avg_value_e5")).over(w))
+      .select(col("metric"), labelsStr, col("bucket"), col("avg_value_e5"),
+        col("prev_value_e5"),
+        (col("avg_value_e5") - col("prev_value_e5")).as("delta_e5"))
+  }
+
   /** PromQL-style binary operation with on(<labelKey>) vector
     * matching: `sum by (key) (metricA) <op> sum by (key) (metricB)`
     * per intervalSec bucket — the "error ratio = errors / requests"

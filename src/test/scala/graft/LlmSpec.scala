@@ -262,4 +262,23 @@ class LlmSpec extends SparkSpecBase {
     assert(a != ids("s2", 100), "a different salt draws an independent sample")
     assert(a.nonEmpty && a.size < docs.count(), "a 10% sample is a strict non-empty subset")
   }
+
+  test("stratified sample enforces the per-group quota, deterministically and group-locally") {
+    import graft.llm.Sampling
+    def pick(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Long]] =
+      Sampling.stratifiedSample(df, "lang", "doc_id", "strat", 10)
+        .select("lang", "doc_id").collect()
+        .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSeq.sorted).toMap
+    val base = pick(docs)
+    val groupSizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    base.foreach { case (lang, ids) =>
+      assert(ids.size == math.min(10L, groupSizes(lang)),
+        s"$lang quota: got ${ids.size}, group size ${groupSizes(lang)}")
+    }
+    assert(base == pick(docs.repartition(7)), "picks are partitioning-invariant")
+    // dropping one group leaves every other group's picks unchanged
+    val without = pick(docs.filter(col("lang") =!= base.keys.head))
+    assert(without == base - base.keys.head, "group picks are independent")
+  }
 }

@@ -95,6 +95,25 @@ class SeriesReadSpec extends SparkSpecBase {
       ("user=8", 0L, 100L, 0L, None)))
   }
 
+  test("offset compare: the shifted point comes from exactly offset seconds back") {
+    import spark.implicits._
+    val deduped = Seq(
+      ("m", Seq("user=1"), 0L, 1.0),        // bucket 0
+      ("m", Seq("user=1"), 86400L, 3.0),    // bucket 86400 → prev = bucket 0
+      ("m", Seq("user=1"), 90000L, 5.0),    // bucket 90000 → 3600 back is empty → NULL
+      ("m", Seq("user=2"), 86400L, 7.0)     // other series, no day-old point → NULL
+    ).toDF("metric", "labels", "t_sec", "value")
+    val out = RangeOps.offsetCompare(deduped, 3600L, 86400L)
+      .collect().map(r => (r.getString(1), r.getLong(2),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSet
+    assert(out == Set(
+      ("user=1", 0L, None, None),
+      ("user=1", 86400L, Some(100000L), Some(200000L)),  // 3.0 vs 1.0 → +2.0
+      ("user=1", 90000L, None, None),
+      ("user=2", 86400L, None, None)))
+  }
+
   test("rate guard: negative differences become NULL, dt>0 enforced") {
     val rated = RangeOps.ratePerSecond(RangeOps.dedupPerSecond(samples))
     assert(rated.filter(col("rate_e6") < 0).count() == 0)

@@ -511,6 +511,14 @@ object SparkEntry {
     // ---- series metadata -------------------------------------------
     "meta_label_values" -> ((s, dir) => Meta.labelValues(samples(s, dir), "user")),
     "meta_label_names" -> ((s, dir) => Meta.labelNames(samples(s, dir))),
+
+    // /api/v1/series: distinct series matching a parsed PromQL
+    // selector inside the flagship window, with per-series footprint
+    "meta_series" -> ((s, dir) =>
+      Meta.series(samples(s, dir),
+        ReadQuery(WinStartMs, WinEndMs,
+          Matchers.parseSelector("""{__name__=~"click|view",user=~"1[0-9]"}""")
+            .getOrElse(sys.error("selector must parse"))))),
   )
 
   // ---- DuckDB oracles ----------------------------------------------
@@ -1344,5 +1352,21 @@ object SparkEntry {
          |       count(*) AS n_samples
          |FROM (SELECT metric, unnest(labels) AS l FROM samples)
          |GROUP BY 1""".stripMargin,
+
+    // the parsed selector {__name__=~"click|view",user=~"1[0-9]"}
+    // compiles to the same anchored-regex + whole-"k=v" matcher
+    // semantics as the read path ('^click|view$' alternation quirk
+    // included; the label regex anchors over the full "user=..." pair)
+    "meta_series" ->
+      s"""$S
+         |SELECT metric, array_to_string(labels, ',') AS labels_str,
+         |       count(*) AS n_samples,
+         |       min(ts_us // 1000000) AS first_t,
+         |       max(ts_us // 1000000) AS last_t
+         |FROM samples
+         |WHERE $inWin
+         |  AND regexp_matches(metric, '^click|view$$')
+         |  AND len([l for l in labels if regexp_matches(l, '^user=1[0-9]$$')]) > 0
+         |GROUP BY metric, labels""".stripMargin,
   )
 }

@@ -52,6 +52,67 @@ object Matchers {
 
   private def anchor(re: String): String = "^" + re + "$"
 
+  private val SelName = "([a-zA-Z_:][a-zA-Z0-9_:]*)".r
+  private val SelPair =
+    """\s*([a-zA-Z_][a-zA-Z0-9_]*)\s*(=~|!~|!=|=)\s*"((?:[^"\\]|\\.)*)"\s*(?:,|(?=\}))""".r
+
+  private def unescape(v: String): String = {
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      if (v.charAt(i) == '\\' && i + 1 < v.length) {
+        sb.append(v.charAt(i + 1) match {
+          case 'n' => '\n'
+          case 't' => '\t'
+          case c   => c // \" \\ and any other escaped char literally
+        })
+        i += 2
+      } else { sb.append(v.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Parses one PromQL instant-vector selector — `m{k="v",k2=~"re"}`,
+    * `{k!="v"}`, or bare `m` — into prompb-style matchers (the shape
+    * `/api/v1/series` receives in `match[]` params). Values are
+    * double-quoted with `\"`, `\\`, `\n`, `\t` escapes. Returns None
+    * on malformed input (the endpoint answers 400). */
+  def parseSelector(s: String): Option[Seq[LabelMatcher]] = {
+    val t = s.trim
+    val (name, rest) = SelName.findPrefixOf(t) match {
+      case Some(n) => (Some(n), t.substring(n.length).trim)
+      case None    => (None, t)
+    }
+    val nameMatcher = name.map(LabelMatcher(MatcherType.Eq, NameLabel, _)).toSeq
+    if (rest.isEmpty) {
+      if (name.isEmpty) None else Some(nameMatcher)
+    } else if (!(rest.startsWith("{") && rest.endsWith("}"))) None
+    else {
+      // the lookahead-terminated pair regex must consume the whole
+      // braced body — anything left over is malformed
+      val body = rest.substring(1, rest.length - 1) + "}"
+      var idx = 0
+      val pairs = Seq.newBuilder[LabelMatcher]
+      var ok = true
+      while (ok && idx < body.length - 1) {
+        SelPair.findPrefixMatchOf(body.substring(idx)) match {
+          case Some(m) =>
+            val op = m.group(2) match {
+              case "="  => MatcherType.Eq
+              case "!=" => MatcherType.Neq
+              case "=~" => MatcherType.Re
+              case "!~" => MatcherType.Nre
+            }
+            pairs += LabelMatcher(op, m.group(1), unescape(m.group(3)))
+            idx += m.end
+          case None => ok = false
+        }
+      }
+      val all = nameMatcher ++ pairs.result()
+      if (ok && all.nonEmpty) Some(all) else None
+    }
+  }
+
   private def clause(m: LabelMatcher, ignoreLabel: Option[String]): Option[Column] =
     if (m.name == NameLabel) {
       val c = col("metric")

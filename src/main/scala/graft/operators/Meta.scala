@@ -28,6 +28,26 @@ object Meta {
       .agg(countDistinct(col("metric")).as("n_metrics"),
            count(lit(1)).as("n_samples"))
 
+  /** The `/api/v1/series` twin: the distinct series (metric + full
+    * label set) matching a selector inside a time window, with
+    * per-series footprint (sample count, first/last second). One
+    * aggregate keyed on the series — output cardinality is the
+    * series domain, not the sample count; time bounds and matchers
+    * compile through the same scan-level predicate path as the read
+    * pipeline (metric equality and time reach parquet pushed). */
+  def series(samples: DataFrame, q: graft.operators.ReadQuery,
+             ignoreLabel: Option[String] = Some("remote=clickhouse")): DataFrame = {
+    var df = samples.filter(expr("ts_us DIV 1000000") >= q.startMs / 1000)
+    if (q.endMs > 0) df = df.filter(expr("ts_us DIV 1000000") <= q.endMs / 1000)
+    df.filter(Matchers.compile(q.matchers, ignoreLabel))
+      .groupBy(col("metric"), col("labels"))
+      .agg(count(lit(1)).as("n_samples"),
+           min(expr("ts_us DIV 1000000")).as("first_t"),
+           max(expr("ts_us DIV 1000000")).as("last_t"))
+      .select(col("metric"), array_join(col("labels"), ",").as("labels_str"),
+              col("n_samples"), col("first_t"), col("last_t"))
+  }
+
   /** The `/api/v1/labels` twin of [[labelValues]]: distinct label
     * KEYS with the same per-key footprint. Same plan shape — narrow
     * explode, one aggregate whose cardinality is the label-key domain

@@ -170,16 +170,16 @@ object HttpServe {
     // Prometheus behavior for no data), not 500. Value domains are
     // capped — a runaway-cardinality label must not OOM the driver.
 
-    def jsonList(values: Seq[String]): Array[Byte] = {
-      def esc(s: String): String = s.flatMap {
-        case '"'           => "\\\""
-        case '\\'          => "\\\\"
-        case c if c < ' '  => f"\\u${c.toInt}%04x"
-        case c             => c.toString
-      }
+    def esc(s: String): String = s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+
+    def jsonList(values: Seq[String]): Array[Byte] =
       values.map(v => s""""${esc(v)}"""").mkString(
         """{"status":"success","data":[""", ",", "]}").getBytes(UTF_8)
-    }
 
     def storeSamples(): Option[org.apache.spark.sql.DataFrame] = {
       val p = new org.apache.hadoop.fs.Path(storePath)
@@ -224,6 +224,55 @@ object HttpServe {
           }.getOrElse(Seq.empty)
         }
         respond(ex, 200, jsonList(values),
+          Seq("Content-Type" -> "application/json"))
+      }
+    })
+
+    // /api/v1/series?match[]=<selector>&start=&end= — the third leg
+    // of the metadata API (the reference delegates it to Prometheus).
+    // Multiple match[] params union, compiled as ONE OR-predicate so
+    // the store scans once; the response is capped in-plan like the
+    // label domains. Malformed selectors answer 400 bad_data (the
+    // Prometheus behavior), not a silent empty set.
+    server.createContext("/api/v1/series", (ex: HttpExchange) => guarded(ex) {
+      val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      val params = raw.split("&").iterator.filter(_.nonEmpty)
+        .map(_.split("=", 2)).map {
+          case Array(k, v) => java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8")
+          case a => java.net.URLDecoder.decode(a(0), "UTF-8") -> ""
+        }.toSeq
+      val parsed = params.collect { case ("match[]", v) =>
+        graft.operators.Matchers.parseSelector(v) }
+      if (parsed.isEmpty || parsed.exists(_.isEmpty)) {
+        respond(ex, 400,
+          """{"status":"error","errorType":"bad_data","error":"match[] missing or malformed"}"""
+            .getBytes(UTF_8),
+          Seq("Content-Type" -> "application/json"))
+      } else {
+        val series = SamplesStore.readLocked(storePath) {
+          storeSamples().map(timeBounded(_, ex.getRequestURI.getQuery)).map { df =>
+            val pred = parsed.flatten
+              .map(graft.operators.Matchers.compile(_, ignoreLabel))
+              .reduce(_ || _)
+            df.filter(pred)
+              .select(org.apache.spark.sql.functions.col("metric"),
+                      org.apache.spark.sql.functions.col("labels"))
+              .distinct()
+              .orderBy("metric", "labels")
+              .limit(MetaValuesLimit)
+              .collect()
+              .map(r => (r.getString(0), r.getSeq[String](1).toSeq)).toSeq
+          }.getOrElse(Seq.empty)
+        }
+        val body = series.map { case (metric, labels) =>
+          (("__name__", metric) +: labels.map { l =>
+            val i = l.indexOf('=')
+            if (i < 0) (l, "") else (l.substring(0, i), l.substring(i + 1))
+          }).map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+            .mkString("{", ",", "}")
+        }.mkString("""{"status":"success","data":[""", ",", "]}")
+        respond(ex, 200, body.getBytes(UTF_8),
           Seq("Content-Type" -> "application/json"))
       }
     })

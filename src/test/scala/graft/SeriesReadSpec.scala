@@ -75,6 +75,27 @@ class SeriesReadSpec extends SparkSpecBase {
     assert(pts == pts.sorted)
   }
 
+  test("selector parser covers the PromQL matcher surface and rejects malformed input") {
+    import MatcherType._
+    assert(Matchers.parseSelector("click") ===
+      Some(Seq(LabelMatcher(Eq, "__name__", "click"))))
+    assert(Matchers.parseSelector("""click{user="3",k=~"v.*",a!="b",c!~"d"}""") ===
+      Some(Seq(
+        LabelMatcher(Eq, "__name__", "click"),
+        LabelMatcher(Eq, "user", "3"),
+        LabelMatcher(Re, "k", "v.*"),
+        LabelMatcher(Neq, "a", "b"),
+        LabelMatcher(Nre, "c", "d"))))
+    assert(Matchers.parseSelector("""{__name__=~"click|view"}""") ===
+      Some(Seq(LabelMatcher(Re, "__name__", "click|view"))))
+    // escapes in quoted values
+    assert(Matchers.parseSelector("""{k="a\"b\\c"}""") ===
+      Some(Seq(LabelMatcher(Eq, "k", """a"b\c"""))))
+    // malformed: empty, bare braces, unbalanced, junk between pairs
+    for (bad <- Seq("", "{}", "{k=\"v\"", "click{k=\"v\" x}", "{k=v}", "1metric"))
+      assert(Matchers.parseSelector(bad) === None, s"should reject: $bad")
+  }
+
   test("binary op: sum-by-label ratio matches hand computation, zero denominator yields NULL") {
     import spark.implicits._
     val deduped = Seq(

@@ -278,6 +278,35 @@ class ServeSpec extends SparkSpecBase {
     } finally srv.stop()
   }
 
+  test("/api/v1/series unions match[] selectors with the read path's matcher semantics") {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val m = enc("match[]")
+    val store = tmpStore("metaseries")
+    val srv = HttpServe.start(spark, store)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      // no match[] or a malformed selector → 400 bad_data, Prometheus-style
+      assert(get(s"$base/api/v1/series")._1 === 400)
+      assert(get(s"$base/api/v1/series?$m=" + enc("{bad"))._1 === 400)
+      assert(post(s"$base/write", writeBlob("series_a", 2))._1 === 200)
+      assert(post(s"$base/write", writeBlob("series_b", 1))._1 === 200)
+      // bare-name selector: every series of that metric, full label sets
+      assert(get(s"$base/api/v1/series?$m=series_a") ===
+        ((200, """{"status":"success","data":[""" +
+          """{"__name__":"series_a","k":"v0"},{"__name__":"series_a","k":"v1"}]}""")))
+      // two selectors union on ONE scan, label matcher + anchored regex
+      val (c2, b2) = get(
+        s"$base/api/v1/series?$m=" + enc("""series_a{k="v0"}""") +
+        s"&$m=" + enc("""{__name__=~"series_b"}"""))
+      assert(c2 === 200)
+      assert(b2 === """{"status":"success","data":[""" +
+        """{"__name__":"series_a","k":"v0"},{"__name__":"series_b","k":"v0"}]}""")
+      // time bounds prune like the other metadata endpoints
+      assert(get(s"$base/api/v1/series?$m=series_a&end=8640000")._2
+        === """{"status":"success","data":[]}""")
+    } finally srv.stop()
+  }
+
   test("metadata time bounds accept RFC3339 and prune to the queried day partitions") {
     import spark.implicits._
     val store = tmpStore("metarfc")

@@ -27,7 +27,10 @@ object Bench {
     "ingest_delete_range" -> 3.0,
     // write + append + compact + pinned-generation read-back; tracks
     // store_compact_days' cost shape plus one extra store write
-    "store_time_travel" -> 5.0)
+    "store_time_travel" -> 5.0,
+    // store write + rollup build (+ append + incremental re-roll)
+    "store_rollup" -> 5.0,
+    "store_rollup_incremental" -> 6.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ingest.{Ingest, PromRemoteCodec, SamplesStore, StreamIngest, TsvBulk}
+import graft.ingest.{Ingest, PromRemoteCodec, RollupStore, SamplesStore, StreamIngest, TsvBulk}
 import graft.ingest.PromRemoteCodec.{PromLabel, PromSample, PromTimeSeries}
 import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.operators._
@@ -138,6 +138,48 @@ object SparkEntry {
     // Fragmented store (every append lands small files per day — the
     // serving write path's real shape) → compact → read back: the
     // ClickHouse background-merge analogue, results invariant.
+    // Materialized hourly rollup over the store: build, roll, read
+    // back the aggregate rows — must answer exactly the dedup'd
+    // per-second GROUP BY the raw read path computes.
+    "store_rollup" -> ((s, dir) => {
+      val path = workDir("rollupstore", dir)
+      val rpath = workDir("rollupstore_roll", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.delete(new org.apache.hadoop.fs.Path(rpath), true)
+      SamplesStore.write(samples(s, dir), path)
+      RollupStore.rollup(s, path, rpath, 3600L)
+      RollupStore.read(s, rpath).select(
+        col("metric"), array_join(col("labels"), ",").as("labels_str"), col("bucket"),
+        round(col("min_value"), 6).as("min_value"),
+        round(col("max_value"), 6).as("max_value"),
+        expr("CAST(floor(sum_value * 100 + 0.5) AS BIGINT)").as("sum_e2"),
+        col("n_points"))
+    }),
+
+    // The incremental contract end-to-end: roll half the corpus,
+    // append the other half, roll AGAIN (only the touched days
+    // re-aggregate) — the final rollup must equal a full recompute
+    // of everything, which is exactly what the oracle computes.
+    "store_rollup_incremental" -> ((s, dir) => {
+      val path = workDir("rollupinc", dir)
+      val rpath = workDir("rollupinc_roll", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.delete(new org.apache.hadoop.fs.Path(rpath), true)
+      val all = samples(s, dir)
+      SamplesStore.write(all.filter(expr("ts_us % 2 = 0")), path)
+      RollupStore.rollup(s, path, rpath, 3600L)
+      SamplesStore.append(all.filter(expr("ts_us % 2 = 1")), path)
+      RollupStore.rollup(s, path, rpath, 3600L)
+      RollupStore.read(s, rpath).select(
+        col("metric"), array_join(col("labels"), ",").as("labels_str"), col("bucket"),
+        expr("CAST(floor(sum_value * 100 + 0.5) AS BIGINT)").as("sum_e2"),
+        col("n_points"))
+    }),
+
     "store_compact" -> ((s, dir) => {
       val path = workDir("compactstore", dir)
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -628,6 +670,26 @@ object SparkEntry {
          |SELECT metric, ts_us // 1000000 // 86400 * 86400 AS date,
          |       count(*) AS n_samples, round(sum(value), 6) AS sum_value
          |FROM samples GROUP BY 1, 2""".stripMargin,
+
+    // the rollup answers the dedup'd per-second GROUP BY, bucketed
+    "store_rollup" ->
+      s"""$dedupCte
+         |SELECT metric, array_to_string(labels, ',') AS labels_str,
+         |       t_sec // 3600 * 3600 AS bucket,
+         |       round(min(value), 6) AS min_value,
+         |       round(max(value), 6) AS max_value,
+         |       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_e2,
+         |       count(*) AS n_points
+         |FROM deduped GROUP BY 1, 2, 3""".stripMargin,
+
+    // incremental maintenance must equal a full recompute
+    "store_rollup_incremental" ->
+      s"""$dedupCte
+         |SELECT metric, array_to_string(labels, ',') AS labels_str,
+         |       t_sec // 3600 * 3600 AS bucket,
+         |       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_e2,
+         |       count(*) AS n_points
+         |FROM deduped GROUP BY 1, 2, 3""".stripMargin,
 
     // selective compaction must be result-invariant too
     "store_compact_days" ->

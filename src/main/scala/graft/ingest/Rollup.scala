@@ -1,0 +1,303 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.slf4j.LoggerFactory
+
+/** Incrementally-maintained time rollups over a [[SamplesStore]] —
+  * the ClickHouse-materialized-view / Prometheus-recording-rule
+  * analogue the reference leans on ClickHouse for. A rollup store
+  * holds per-interval aggregates of the DEDUPED samples (per-second
+  * max, exactly the read path's GROUP BY semantics), so a long-range
+  * dashboard query reads bucket rows instead of raw samples — at
+  * 100 TB that is the difference between scanning terabytes and
+  * scanning the rollup's few gigabytes.
+  *
+  * Incremental contract: [[rollup]] re-aggregates ONLY the days whose
+  * source file set changed since the last run. The source manifest's
+  * per-day file list IS the change signal — a digest per day is
+  * recorded in the rollup's own manifest, so appends, compactions,
+  * and deletes each invalidate exactly the days they touched (a
+  * compaction that rewrites a day's files re-aggregates that day and
+  * lands on identical rollup rows — rebuild is result-invariant by
+  * construction, since day partitions are bucket-aligned:
+  * intervalSec divides 86400). A day that left the source snapshot
+  * leaves the rollup in the same commit.
+  *
+  * Atomicity mirrors the samples store: rolled files stage under a
+  * hidden dir, move into day partitions, and ONE manifest rename
+  * publishes the new state; readers plan from the latest committed
+  * manifest, and superseded files are reclaimed by [[expireRollups]]
+  * after a grace window.
+  */
+object RollupStore {
+
+  private val log = LoggerFactory.getLogger(getClass)
+  private val ManifestDir = "_manifests"
+  private val ManifestPattern = """m-(\d{20})""".r
+
+  /** One committed rollup state: interval, day → source-digest map,
+    * live data files. */
+  final case class RollupSnapshot(gen: Long, intervalSec: Long,
+                                  dayDigests: Map[String, String],
+                                  files: Vector[String]) {
+    lazy val byDay: Map[String, Vector[String]] =
+      files.groupBy(f => f.takeWhile(_ != '/'))
+  }
+
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestFile(root: Path, gen: Long): Path =
+    new Path(new Path(root, ManifestDir), f"m-$gen%020d")
+
+  /** In-process mutation serialization (one maintenance job per store
+    * path is the intended deployment; a cross-process double-run is
+    * safe — the generation rename arbitrates, last committer wins a
+    * complete, self-consistent state). */
+  private val locks = scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def locked[T](path: String)(f: => T): T =
+    locks.getOrElseUpdate(new Path(path).toString, new Object).synchronized(f)
+
+  private[graft] def latestRollup(fs: FileSystem, root: Path): Option[RollupSnapshot] = {
+    val dir = new Path(root, ManifestDir)
+    val gens =
+      try fs.listStatus(dir).map(_.getPath.getName)
+        .collect { case ManifestPattern(g) => g.toLong }
+      catch { case _: java.io.FileNotFoundException => Array.empty[Long] }
+    if (gens.isEmpty) None else Some(readManifest(fs, root, gens.max))
+  }
+
+  private def readManifest(fs: FileSystem, root: Path, gen: Long): RollupSnapshot = {
+    val in = fs.open(manifestFile(root, gen))
+    try {
+      var interval = 0L
+      val days = Map.newBuilder[String, String]
+      val files = Vector.newBuilder[String]
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().foreach { l =>
+        if (l.startsWith("interval ")) interval = l.stripPrefix("interval ").toLong
+        else if (l.startsWith("D ")) l.stripPrefix("D ").split(" ", 2) match {
+          case Array(d, dig) => days += d -> dig
+          case _             =>
+        }
+        else if (l.startsWith("F ")) files += l.stripPrefix("F ")
+      }
+      RollupSnapshot(gen, interval, days.result(), files.result())
+    } finally in.close()
+  }
+
+  private def commitManifest(fs: FileSystem, root: Path, intervalSec: Long,
+                             dayDigests: Map[String, String],
+                             files: Seq[String], prevGen: Long): RollupSnapshot = {
+    val dir = new Path(root, ManifestDir)
+    fs.mkdirs(dir)
+    val sorted = files.toVector.sorted
+    val content = (Vector("graft-rollup v1", s"interval $intervalSec") ++
+      dayDigests.toVector.sorted.map { case (d, dig) => s"D $d $dig" } ++
+      sorted.map("F " + _)).mkString("\n")
+    var gen = prevGen + 1
+    var done = false
+    while (!done) {
+      val tmp = new Path(dir, s".tmp-$gen-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      if (fs.rename(tmp, manifestFile(root, gen))) done = true
+      else { fs.delete(tmp, false); gen += 1 }
+    }
+    RollupSnapshot(gen, intervalSec, dayDigests, sorted)
+  }
+
+  /** md5 digest of a day's sorted source-file list — the exact
+    * invalidation key: any append/compact/delete that touches the
+    * day changes its live-file set and therefore the digest. */
+  private def digest(files: Seq[String]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(files.sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** The source's day → live-files map: manifest-backed when the
+    * store has one (any [[SamplesStore]] mutation commits one), else
+    * a plain directory listing (a parquet tree built by other
+    * tools). */
+  private def sourceDays(fs: FileSystem, srcRoot: Path): Map[String, Vector[String]] =
+    SamplesStore.latestSnapshot(fs, srcRoot) match {
+      case Some(snap) => snap.byDay
+      case None =>
+        if (!fs.exists(srcRoot)) Map.empty
+        else fs.listStatus(srcRoot)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+          .map { day =>
+            day.getPath.getName -> fs.listStatus(day.getPath)
+              .filter(_.getPath.getName.endsWith(".parquet"))
+              .map(f => day.getPath.getName + "/" + f.getPath.getName)
+              .toVector.sorted
+          }.toMap
+    }
+
+  /** Bring `rollupPath` up to date with `srcPath` at `intervalSec`
+    * buckets; returns the number of day partitions re-aggregated.
+    * Cost is O(changed days) — an idle store is a pure metadata
+    * no-op (one manifest read per side), an append invalidates only
+    * the appended days, and the rebuild itself is ONE Spark job over
+    * exactly the changed days' files. An existing rollup at a
+    * different interval rebuilds fully (the interval is part of the
+    * manifest, not a hidden assumption). */
+  def rollup(spark: SparkSession, srcPath: String, rollupPath: String,
+             intervalSec: Long = 3600L): Int = locked(rollupPath) {
+    require(86400L % intervalSec == 0,
+      s"intervalSec=$intervalSec must divide a day: day-partitioned rebuilds depend on bucket alignment")
+    val fs = fsFor(spark, rollupPath)
+    val srcFs = fsFor(spark, srcPath)
+    val root = new Path(rollupPath)
+    val src = sourceDays(srcFs, new Path(srcPath))
+    val srcDigests = src.map { case (d, fls) => d -> digest(fls) }
+    val prev = latestRollup(fs, root).filter(_.intervalSec == intervalSec)
+    val prevDigests = prev.map(_.dayDigests).getOrElse(Map.empty)
+    val changed = srcDigests.filter { case (d, dig) => !prevDigests.get(d).contains(dig) }
+    val dropped = prevDigests.keySet -- srcDigests.keySet
+    if (changed.isEmpty && dropped.isEmpty && prev.nonEmpty) 0
+    else {
+      val srcRoot = new Path(srcPath)
+      val moved =
+        if (changed.isEmpty) Vector.empty[String]
+        else {
+          val paths = changed.keys.toSeq.flatMap(src(_)).map(f => new Path(srcRoot, f).toString)
+          val raw = spark.read.option("basePath", srcPath).parquet(paths: _*)
+          // dedup to the read path's per-second GROUP BY max, THEN
+          // aggregate per bucket — the rollup must answer exactly
+          // what the raw read path would
+          val deduped = raw
+            .withColumn("t_sec", expr("ts_us DIV 1000000"))
+            .groupBy(col("date"), col("metric"), col("labels"), col("t_sec"))
+            .agg(max(col("value")).as("v"))
+          val rolled = deduped
+            .withColumn("bucket", expr(s"t_sec DIV $intervalSec * $intervalSec"))
+            .groupBy(col("date"), col("metric"), col("labels"), col("bucket"))
+            .agg(min(col("v")).as("min_value"), max(col("v")).as("max_value"),
+                 sum(col("v")).as("sum_value"), count(lit(1)).as("n_points"))
+          val staging = new Path(rollupPath, s".staging-${java.util.UUID.randomUUID()}")
+          fs.delete(staging, true)
+          rolled
+            .repartition(col("date"))
+            .sortWithinPartitions(col("date"), col("metric"), col("labels"), col("bucket"))
+            .write.mode("overwrite").partitionBy("date").parquet(staging.toString)
+          val out = Vector.newBuilder[String]
+          fs.listStatus(staging)
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+            .foreach { day =>
+              val dstDay = new Path(root, day.getPath.getName)
+              fs.mkdirs(dstDay)
+              fs.listStatus(day.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+                .foreach { f =>
+                  val name = "r-" + f.getPath.getName
+                  if (!fs.rename(f.getPath, new Path(dstDay, name)))
+                    throw new java.io.IOException(s"rollup: move ${f.getPath} failed")
+                  out += day.getPath.getName + "/" + name
+                }
+            }
+          fs.delete(staging, true)
+          out.result()
+        }
+      val invalidated = changed.keySet ++ dropped
+      val keptFiles = prev.map(_.files).getOrElse(Vector.empty)
+        .filterNot(f => invalidated.contains(f.takeWhile(_ != '/')))
+      commitManifest(fs, root, intervalSec, srcDigests,
+        keptFiles ++ moved, prev.map(_.gen).getOrElse(0L))
+      log.info(s"rollup($rollupPath): rebuilt ${changed.size} day(s), dropped ${dropped.size}")
+      changed.size
+    }
+  }
+
+  /** The rollup as a DataFrame — planned from the latest committed
+    * manifest (same snapshot-isolation contract as the samples
+    * store: a concurrent [[rollup]] never yanks a planned file before
+    * the GC grace). Columns: date, metric, labels, bucket,
+    * min_value, max_value, sum_value, n_points. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val fs = fsFor(spark, path)
+    latestRollup(fs, new Path(path)) match {
+      case Some(snap) if snap.files.nonEmpty =>
+        spark.read.option("basePath", path)
+          .parquet(snap.files.map(f => new Path(new Path(path), f).toString): _*)
+      case _ => emptyRollup(spark)
+    }
+  }
+
+  private def emptyRollup(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("metric", StringType), StructField("labels", ArrayType(StringType)),
+        StructField("bucket", LongType), StructField("min_value", DoubleType),
+        StructField("max_value", DoubleType), StructField("sum_value", DoubleType),
+        StructField("n_points", LongType), StructField("date", IntegerType))))
+  }
+
+  /** Serve a read-path query from the rollup: matchers compile over
+    * the same (metric, labels) columns, time bounds prune on the
+    * bucket (and the `date` partition), and a coarser hint interval
+    * re-buckets with max — exactly [[graft.operators.SeriesRead]]'s
+    * GROUP BY shape, O(rollup rows) instead of O(raw samples).
+    * Requires the query interval to be a multiple of the rollup's;
+    * the caller routes (raw store for fine intervals, rollup for
+    * coarse) — see StoreSpec's routing case. */
+  def selectKeyed(rollup: DataFrame, q: graft.operators.ReadQuery,
+                  queryIntervalSec: Long,
+                  rollupIntervalSec: Long = 3600L,
+                  ignoreLabel: Option[String] = Some("remote=clickhouse")): DataFrame = {
+    require(queryIntervalSec % rollupIntervalSec == 0 && queryIntervalSec > 0,
+      s"query interval $queryIntervalSec must be a positive multiple of rollup interval $rollupIntervalSec")
+    var df = rollup.filter(col("bucket") >= q.startMs / 1000 / rollupIntervalSec * rollupIntervalSec)
+    if (q.endMs > 0) df = df.filter(col("bucket") <= q.endMs / 1000)
+    df.filter(graft.operators.Matchers.compile(q.matchers, ignoreLabel))
+      .withColumn("t_sec", expr(s"bucket DIV $queryIntervalSec * $queryIntervalSec"))
+      .groupBy(col("metric"), col("labels"), col("t_sec"))
+      .agg(max(col("max_value")).as("max_value"))
+  }
+
+  /** Grace-window GC for superseded rollup files — keep the latest
+    * manifest plus any younger than `graceMs`, then delete data
+    * files nothing retained references (and stale staging). The
+    * [[SamplesStore.expireSnapshots]] twin. */
+  def expireRollups(spark: SparkSession, path: String,
+                    graceMs: Long = SamplesStore.GcGraceMs): Int = locked(path) {
+    val fs = fsFor(spark, path)
+    val root = new Path(path)
+    latestRollup(fs, root) match {
+      case None => 0
+      case Some(latest) =>
+        val cutoff = System.currentTimeMillis() - graceMs
+        val mdir = new Path(root, ManifestDir)
+        val (kept, droppedM) = fs.listStatus(mdir)
+          .flatMap(s => s.getPath.getName match {
+            case ManifestPattern(g) => Some((g.toLong, s))
+            case _                  => None
+          })
+          .partition { case (g, s) => g == latest.gen || s.getModificationTime > cutoff }
+        droppedM.foreach { case (_, s) => fs.delete(s.getPath, false) }
+        val referenced = kept.flatMap { case (g, _) => readManifest(fs, root, g).files }.toSet
+        var removed = 0
+        fs.listStatus(root).filter(_.isDirectory).map(_.getPath).foreach { child =>
+          val n = child.getName
+          if (n.startsWith("date=")) {
+            fs.listStatus(child).foreach { f =>
+              val fn = f.getPath.getName
+              if (fn.endsWith(".parquet") && !referenced.contains(n + "/" + fn) &&
+                  f.getModificationTime <= cutoff) {
+                fs.delete(f.getPath, false)
+                removed += 1
+              }
+            }
+            if (fs.listStatus(child).isEmpty) fs.delete(child, true)
+          } else if (n.startsWith(".staging-") &&
+                     fs.getFileStatus(child).getModificationTime <= cutoff) {
+            fs.delete(child, true)
+          }
+        }
+        removed
+    }
+  }
+}

@@ -470,6 +470,77 @@ class StoreSpec extends SparkSpecBase {
     assert(SamplesStore.read(spark, path).count() > 0)
   }
 
+  test("rollup maintains per-day aggregates incrementally and result-invariantly") {
+    import graft.ingest.RollupStore
+    val path = "/tmp/graft_test/store_rollup"
+    val rpath = "/tmp/graft_test/store_rollup_roll"
+    val fullPath = "/tmp/graft_test/store_rollup_full"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (p <- Seq(path, rpath, fullPath))
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    val samples = Tables.samples(spark, Sf).cache()
+    val nDays = samples.select(expr("ts_us DIV 1000000 DIV 86400")).distinct().count().toInt
+
+    SamplesStore.write(samples.filter(expr("ts_us % 2 = 0")), path)
+    assert(RollupStore.rollup(spark, path, rpath) == nDays, "first rollup builds every day")
+    assert(RollupStore.rollup(spark, path, rpath) == 0, "an idle store is a metadata no-op")
+
+    // an append invalidates exactly the days it touched
+    val day0End = samples.agg(min(expr("ts_us DIV 1000000 DIV 86400 * 86400"))).first().getLong(0) + 86400
+    SamplesStore.append(
+      samples.filter(expr("ts_us % 2 = 1") && expr("ts_us DIV 1000000") < day0End), path)
+    assert(RollupStore.rollup(spark, path, rpath) == 1, "append to one day rebuilds one day")
+
+    // compaction rewrites files (same rows): touched days re-digest
+    // and re-aggregate, and the rollup result must not change
+    val before = RollupStore.read(spark, rpath)
+      .select("metric", "bucket", "n_points").collect().toSet
+    SamplesStore.compactFragmentedDays(spark, path, maxFilesPerDay = 1)
+    assert(RollupStore.rollup(spark, path, rpath) >= 1, "rewritten days re-aggregate")
+    assert(RollupStore.read(spark, rpath)
+      .select("metric", "bucket", "n_points").collect().toSet == before,
+      "compaction must not change rollup results")
+
+    // append the rest everywhere; incremental must equal a fresh
+    // full rollup of an identical store
+    SamplesStore.append(
+      samples.filter(expr("ts_us % 2 = 1") && expr("ts_us DIV 1000000") >= day0End), path)
+    RollupStore.rollup(spark, path, rpath)
+    SamplesStore.write(samples, fullPath)
+    val fullR = fullPath + "_roll"
+    RollupStore.rollup(spark, fullPath, fullR)
+    def rows(p: String) = RollupStore.read(spark, p)
+      .select(col("metric"), array_join(col("labels"), ",").as("ls"), col("bucket"),
+        col("min_value"), col("max_value"),
+        expr("CAST(floor(sum_value * 100 + 0.5) AS BIGINT)"), col("n_points"))
+      .collect().map(_.toSeq).toSet
+    assert(rows(rpath) == rows(fullR), "incremental rollup must equal full recompute")
+
+    // a deleted day leaves the rollup in the same commit
+    val cut = day0End * 1000000L
+    SamplesStore.deleteRange(spark, path, Long.MinValue, cut)
+    RollupStore.rollup(spark, path, rpath)
+    assert(RollupStore.read(spark, rpath)
+      .filter(col("bucket") < day0End).count() == 0, "dropped day must leave the rollup")
+
+    // rollup-served reads match the raw read path at a coarse interval
+    val q = graft.operators.ReadQuery(
+      day0End * 1000L, (day0End + 10 * 86400) * 1000L,
+      Seq(graft.operators.Matchers.eq("__name__", "click")))
+    val raw = graft.operators.SeriesRead.selectKeyed(
+        SamplesStore.read(spark, path), q, ignoreHints = true)
+      .withColumn("t_sec", expr("t_sec DIV 7200 * 7200"))
+      .groupBy(col("metric"), col("labels"), col("t_sec"))
+      .agg(max("max_value").as("max_value"))
+    val rolled = RollupStore.selectKeyed(RollupStore.read(spark, rpath), q, 7200L)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("metric"), array_join(col("labels"), ",").as("ls"),
+        col("t_sec"), col("max_value")).collect().map(_.toSeq).toSet
+    assert(keyed(rolled) == keyed(raw),
+      "rollup-served coarse reads must equal the raw read path")
+  }
+
   test("an empty snapshot reads with the same schema as a populated one") {
     import spark.implicits._
     val path = "/tmp/graft_test/store_empty"

@@ -19,6 +19,7 @@ final case class ServeConfig(
     compactIntervalMs: Long = 10000L,
     compactFilesPerDay: Int = graft.ingest.SamplesStore.AutoCompactFilesPerDay,
     retentionDays: Int = 0,
+    rollupIntervalSec: Long = 0L,
     debug: Boolean = false) {
 
   /** [address:]port → port int (main.go:93-95 prefixes ":" when no
@@ -51,6 +52,9 @@ final case class ServeConfig(
     if (retentionDays < 0)
       throw new IllegalArgumentException(
         s"invalid store.retention-days $retentionDays: must be >= 0 (0 disables)")
+    if (rollupIntervalSec < 0 || (rollupIntervalSec > 0 && 86400L % rollupIntervalSec != 0))
+      throw new IllegalArgumentException(
+        s"invalid store.rollup-interval-sec $rollupIntervalSec: must divide a day (0 disables)")
     port // validates listen
     this
   }
@@ -78,6 +82,7 @@ object Main {
       case "-store.compact-interval-ms" :: v :: t => loop(t, c.copy(compactIntervalMs = v.toLong))
       case "-store.compact-files-per-day" :: v :: t => loop(t, c.copy(compactFilesPerDay = v.toInt))
       case "-store.retention-days" :: v :: t => loop(t, c.copy(retentionDays = v.toInt))
+      case "-store.rollup-interval-sec" :: v :: t => loop(t, c.copy(rollupIntervalSec = v.toLong))
       // main.go:89's -debug (zap debug logging) — here it lifts the
       // Spark log level so request handling and store jobs trace
       case "-debug" :: t => loop(t, c.copy(debug = true))
@@ -103,6 +108,7 @@ object Main {
     RemoteWrite.compactCheckIntervalMs = cfg.compactIntervalMs
     RemoteWrite.autoCompactFilesPerDay = cfg.compactFilesPerDay
     RemoteWrite.retentionDays = cfg.retentionDays
+    RemoteWrite.rollupIntervalSec = cfg.rollupIntervalSec
     val server = HttpServe.start(spark, cfg.storePath, cfg.port,
       cfg.ignoreLabelOpt, cfg.readIgnoreHints, cfg.maxReadSamples)
     // main.go:157-162's "listening" log line, then serve forever.

@@ -47,6 +47,18 @@ object RemoteWrite {
     * like the interval. */
   @volatile var gcGraceMs: Long = SamplesStore.GcGraceMs
 
+  /** Rollup bucket width in seconds; 0 disables background rollup
+    * maintenance. When enabled, each maintenance pass brings
+    * `<storePath>_rollup` up to date — O(days the writes touched
+    * since the last pass), a metadata no-op when nothing changed
+    * (the materialized-view refresh the reference gets from
+    * ClickHouse). Must divide a day (see [[RollupStore.rollup]]). */
+  @volatile var rollupIntervalSec: Long = 0L
+
+  /** The rollup twin of a store path (kept next to the store so the
+    * pair moves together). */
+  def rollupPathFor(storePath: String): String = storePath + "_rollup"
+
   private val lastCompactCheck =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
@@ -91,11 +103,15 @@ object RemoteWrite {
           // O(days) listings, and nothing becomes reclaimable sooner
           // than the grace, so it runs at most every graceMs/4 —
           // never per probe on a multi-year store.
+          rollupPass(spark, storePath, rollupIntervalSec)
           val nowE = System.currentTimeMillis()
           val lastE = lastExpiry.getOrElse(storePath, 0L)
           if (nowE - lastE >= gcGraceMs / 4) {
             lastExpiry.put(storePath, nowE)
             SamplesStore.expireSnapshots(spark, storePath, gcGraceMs)
+            if (rollupIntervalSec > 0)
+              graft.ingest.RollupStore.expireRollups(spark,
+                rollupPathFor(storePath), gcGraceMs)
           }
         } catch {
           // a failed background merge must not be silent — but it must
@@ -105,6 +121,15 @@ object RemoteWrite {
         }
       }
   }
+
+  /** One background rollup pass — refresh the store's rollup twin;
+    * no-op when disabled (intervalSec 0) or when no source day
+    * changed since the last pass. Returns days re-aggregated. */
+  private[graft] def rollupPass(spark: SparkSession, storePath: String,
+                                intervalSec: Long): Int =
+    if (intervalSec <= 0) 0
+    else graft.ingest.RollupStore.rollup(spark, storePath,
+      rollupPathFor(storePath), intervalSec)
 
   /** One background retention pass: drop the day partitions that end
     * before `now - horizonDays` (day-aligned, so expiry is always

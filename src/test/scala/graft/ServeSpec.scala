@@ -342,6 +342,26 @@ class ServeSpec extends SparkSpecBase {
     assert(HttpServe.parseTimeParam("bogus") === None)
   }
 
+  test("background rollup passes keep the store's rollup twin fresh") {
+    import graft.ingest.RollupStore
+    val store = tmpStore("rollpass")
+    val rpath = RemoteWrite.rollupPathFor(store)
+    // disabled (interval 0) and missing-store cases: clean no-ops
+    assert(RemoteWrite.rollupPass(spark, store, 0L) === 0)
+    assert(RemoteWrite.rollupPass(spark, store, 3600L) === 0)
+    // a served write then a pass: the rollup twin materializes
+    RemoteWrite.serve(spark, store, writeBlob("roll_metric", 3))
+    assert(RemoteWrite.rollupPass(spark, store, 3600L) === 1,
+      "one day written -> one day rolled")
+    val rolled = RollupStore.read(spark, rpath)
+    // writeBlob: 3 series (k=v0..v2), one sample each, same hour
+    assert(rolled.count() === 3)
+    assert(rolled.select("metric").distinct().first().getString(0) === "roll_metric")
+    assert(rolled.agg(sum("n_points")).first().getLong(0) === 3)
+    assert(RemoteWrite.rollupPass(spark, store, 3600L) === 0,
+      "steady state is a metadata no-op")
+  }
+
   test("retention passes are no-ops when no day is past the horizon") {
     val store = tmpStore("retnoop")
     // a store that does not exist yet: nothing to do, no failure

@@ -13,8 +13,8 @@ import graft.sources.Tables
   * read pipeline (select → assemble → serve) on a scaled samples
   * corpus (labels suffixed per copy — series COUNT scales, the axis
   * that grows at 100 TB). Measures how each stage scales; numbers
-  * land in SCALE.md. `SPARK_GRAFT_SCALE_ONLY=read|dedup|ann|curate|prep|compact`
-  * runs one section. */
+  * land in SCALE.md. `SPARK_GRAFT_SCALE_ONLY=
+  * read|dedup|ann|curate|prep|rollup|compact` runs one section. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
@@ -120,6 +120,33 @@ object ScaleSmoke {
     for (m <- Seq(1, 2, 4) if sectionEnabled("prep")) {
       val d = scaled(m)
       time(s"corpusPrep      m=$m")(graft.llm.CorpusPrep.prepare(d).count())
+    }
+
+    // Rollup maintenance: history length grows m× (like compact);
+    // the initial build pays O(all days) once, then an append to the
+    // FIRST day must re-aggregate O(1 day) — flat in history — and
+    // an idle pass must be a metadata no-op.
+    if (sectionEnabled("rollup")) {
+      import graft.ingest.{RollupStore, SamplesStore}
+      import org.apache.hadoop.fs.Path
+      val samples0 = graft.sources.Tables.samples(spark, "/root/testdata/sf0.1")
+      val spanDays = 30L
+      val hot = samples0.filter(col("ts_us") < lit(1704499200000000L)).limit(2000).cache()
+      hot.count()
+      for (m <- Seq(1, 2, 4)) {
+        val path = s"/tmp/graft_scale/rollup_m$m"
+        val rpath = path + "_roll"
+        val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(path), true); fs.delete(new Path(rpath), true)
+        SamplesStore.write(
+          (0 until m).map(i => samples0.withColumn("ts_us",
+            col("ts_us") + lit(i * spanDays * 86400L * 1000000L))).reduce(_ unionAll _),
+          path)
+        time(s"rollupInit      m=$m")(RollupStore.rollup(spark, path, rpath).toLong)
+        SamplesStore.append(hot, path)
+        time(s"rollupIncr      m=$m")(RollupStore.rollup(spark, path, rpath).toLong)
+        time(s"rollupNoop      m=$m")(RollupStore.rollup(spark, path, rpath).toLong)
+      }
     }
 
     // Compaction: history length (m× days of store, ts shifted per

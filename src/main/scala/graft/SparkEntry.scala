@@ -422,6 +422,14 @@ object SparkEntry {
     "ts_label_project" -> ((s, dir) =>
       RangeOps.labelProject(samples(s, dir), "user=", 8.0)),
 
+    // PromQL label_replace: shard = first digit of the user id
+    "ts_label_replace" -> ((s, dir) =>
+      RangeOps.labelReplace(samples(s, dir), "shard", "user", "([0-9])[0-9]*")),
+
+    // PromQL count_values: the value distribution per metric
+    "ts_count_values" -> ((s, dir) =>
+      RangeOps.countValues(RangeOps.dedupPerSecond(samples(s, dir)))),
+
     "ts_last_point" -> ((s, dir) => (
       RangeOps.lastPoint(RangeOps.dedupPerSecond(samples(s, dir))))),
 
@@ -547,6 +555,10 @@ object SparkEntry {
     "rel_q1_agg" -> ((s, dir) => Relational.q1(s, dir)),
     "rel_join_broadcast" -> ((s, dir) => Relational.revenueByRegion(s, dir)),
     "rel_join_shuffle" -> ((s, dir) => Relational.returnedByPriority(s, dir)),
+
+    // TPC-H Q3 shape: broadcast segment gate + date-filtered
+    // fact-fact join + top-10 by integer-exact revenue
+    "rel_q3_topk" -> ((s, dir) => Relational.q3Shipping(s, dir)),
     "rel_join_bucketed" -> ((s, dir) =>
       Relational.returnedByPriorityBucketed(s, dir, workDir("bucketed", dir))),
 
@@ -878,6 +890,29 @@ object SparkEntry {
          |       array_to_string(list_filter(labels, x -> starts_with(x, 'user=')), ',') AS labels_str,
          |       round(value * 8.0, 6) AS scaled_value
          |FROM samples""".stripMargin,
+
+    // label_replace: full-match gate on the src value, capture group
+    // 1 becomes the dst label, existing dst dropped, labels re-sorted
+    "ts_label_replace" ->
+      s"""$S
+         |SELECT ts_us, metric,
+         |       array_to_string(
+         |         CASE WHEN src_val IS NOT NULL
+         |                   AND regexp_matches(src_val, '^([0-9])[0-9]*$$')
+         |              THEN list_sort(
+         |                [l for l in labels if NOT starts_with(l, 'shard=')] ||
+         |                ['shard=' || regexp_extract(src_val, '^([0-9])[0-9]*$$', 1)])
+         |              ELSE labels END, ',') AS labels_str,
+         |       value
+         |FROM (SELECT ts_us, metric, labels, value,
+         |             substr([l for l in labels if l LIKE 'user=%'][1], 6) AS src_val
+         |      FROM samples)""".stripMargin,
+
+    "ts_count_values" ->
+      s"""$dedupCte
+         |SELECT metric, CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_e2,
+         |       count(*) AS n_points, count(DISTINCT labels) AS n_series
+         |FROM deduped GROUP BY 1, 2""".stripMargin,
 
     "ts_last_point" ->
       s"""$dedupCte
@@ -1386,6 +1421,19 @@ object SparkEntry {
         |JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE l_returnflag = 'R'
         |GROUP BY 1""".stripMargin,
+
+    "rel_q3_topk" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE)::VARCHAR AS o_orderdate,
+        |       o_orderpriority,
+        |       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT) AS revenue_e4
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_e4 DESC, o_orderkey ASC LIMIT 10""".stripMargin,
 
     // the bucketed layout must not change the join's result
     "rel_join_bucketed" ->

@@ -220,7 +220,7 @@ object RangeOps {
                       labelKey: String, intervalSec: Long): DataFrame = {
     def side(m: String, out: String): DataFrame = deduped
       .filter(col("metric") === m)
-      .withColumn("lbl", expr(s"filter(labels, l -> l LIKE '$labelKey=%')[0]"))
+      .withColumn("lbl", expr(s"get(filter(labels, l -> l LIKE '$labelKey=%'), 0)"))
       .withColumn("bucket", expr(s"t_sec DIV $intervalSec * $intervalSec"))
       .groupBy(col("lbl"), col("bucket"))
       .agg(expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").as(out))
@@ -285,6 +285,42 @@ object RangeOps {
       col("metric"),
       array_join(filter(col("labels"), _.startsWith(labelPrefix)), ",").as("labels_str"),
       round(col("value") * scale, 6).as("scaled_value"))
+
+  /** PromQL `label_replace(v, dst, "$1", src, regex)`: when `regex`
+    * matches the FULL value of label `src`, (re)write label `dst`
+    * from the first capture group; otherwise the series passes
+    * unchanged — including when `src` is absent (PromQL matches the
+    * empty string then; an absent label here leaves the row as-is,
+    * the lenient reading for "k=v" label sets). A narrow per-row
+    * projection: no shuffle, scales with the scan. */
+  def labelReplace(samples: DataFrame, dst: String, src: String,
+                   regex: String): DataFrame = {
+    val anchored = "^" + regex + "$"
+    samples
+      .withColumn("src_val",
+        expr(s"substring(get(filter(labels, l -> l LIKE '$src=%'), 0), ${src.length + 2})"))
+      .withColumn("labels2",
+        when(col("src_val").isNotNull && col("src_val").rlike(anchored),
+          array_sort(concat(
+            filter(col("labels"), l => !l.startsWith(dst + "=")),
+            array(concat(lit(dst + "="),
+              regexp_extract(col("src_val"), anchored, 1))))))
+          .otherwise(col("labels")))
+      .select(col("ts_us"), col("metric"),
+        array_join(col("labels2"), ",").as("labels_str"), col("value"))
+  }
+
+  /** PromQL `count_values`: the distribution of sample values per
+    * metric — how many deduped points and distinct series carry each
+    * value. Values land as exact 1e-2 integers (the inputs carry two
+    * decimals). One aggregate whose cardinality is the value domain;
+    * map-side partials carry the long tail. */
+  def countValues(deduped: DataFrame): DataFrame =
+    deduped
+      .groupBy(col("metric"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("value_e2"))
+      .agg(count(lit(1)).as("n_points"),
+           countDistinct(col("labels")).as("n_series"))
 
   /** Exact bucketed quantile per metric (quantile_over_time shape,
     * aggregated across a metric's series). Exact `percentile` with

@@ -51,6 +51,33 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"),
            round(sum(col("o_totalprice")), 2).as("revenue"))
 
+  /** TPC-H Q3 shape: top-10 highest-revenue undelivered orders for a
+    * market segment — broadcast dimension gate (customer), fact-fact
+    * shuffle join (orders⋈lineitem, both date-filtered AT THE SCAN),
+    * then TakeOrdered for the top-k (no global sort materializes).
+    * Revenue ranks on the integer-exact 1e-4 sum (price×(1−disc) is
+    * a 4-decimal product, so the floor-scaled sum is exact and the
+    * ordering engine-stable; o_orderkey breaks ties). */
+  def q3Shipping(spark: SparkSession, dir: String, segment: String = "BUILDING",
+                 cutoff: String = "1998-06-01", k: Int = 10): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .join(broadcast(Tables.customer(spark, dir)
+          .filter(col("c_mktsegment") === segment)),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, dir)
+          .filter(col("l_shipdate") > lit(cutoff).cast("timestamp")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(expr(
+        "CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)")
+        .as("revenue_e4"))
+      .select(col("o_orderkey"),
+        expr("CAST(o_orderdate AS DATE)").cast("string").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("o_orderkey").asc)
+      .limit(k)
+
   /** Fact-fact shuffle join: returned-item share per order priority. */
   def returnedByPriority(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -96,6 +96,20 @@ class SeriesReadSpec extends SparkSpecBase {
       assert(Matchers.parseSelector(bad) === None, s"should reject: $bad")
   }
 
+  test("label_replace gates on a full match, rewrites dst, leaves non-matches untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "m", Seq("shard=old", "user=42"), 1.0),  // match → shard rewritten to 4
+      (2L, "m", Seq("user=x9"), 2.0),               // regex does not FULL-match "x9"
+      (3L, "m", Seq("k=1"), 3.0)                    // no user label → unchanged
+    ).toDF("ts_us", "metric", "labels", "value")
+    val out = RangeOps.labelReplace(rows, "shard", "user", "([0-9])[0-9]*")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "shard=4,user=42")
+    assert(out(2L) == "user=x9")
+    assert(out(3L) == "k=1")
+  }
+
   test("binary op: sum-by-label ratio matches hand computation, zero denominator yields NULL") {
     import spark.implicits._
     val deduped = Seq(

@@ -97,6 +97,71 @@ class StoreTortureSpec extends SparkSpecBase {
     assert(model.nonEmpty, "the torture run must end with data to have verified anything")
   }
 
+  test("a rollup loop racing the mutation storm converges to the full recompute") {
+    import graft.ingest.RollupStore
+    import spark.implicits._
+    val rng = new scala.util.Random(13131)
+    val path = "/tmp/graft_test/store_torture_rollup"
+    val rpath = path + "_roll"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.delete(new org.apache.hadoop.fs.Path(rpath), true)
+
+    val day0Us = 1704412800000000L
+    def mkRows(n: Int): Vector[Row4] = Vector.fill(n) {
+      (day0Us + rng.nextInt(3 * 86400).toLong * 1000000L,
+        s"m${rng.nextInt(3)}", s"h=h${rng.nextInt(2)}", rng.nextInt(100).toDouble)
+    }
+    def toDf(rows: Vector[Row4]) =
+      rows.toDF("ts_us", "metric", "l", "value")
+        .select(col("ts_us"), col("metric"), array(col("l")).as("labels"), col("value"))
+
+    SamplesStore.write(toDf(mkRows(50)), path)
+    // a maintenance thread refreshing the rollup continuously — each
+    // pass sees SOME committed source snapshot; racing mutations only
+    // mean the next pass has work
+    @volatile var stop = false
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val roller = new Thread(() => {
+      while (!stop) {
+        try RollupStore.rollup(spark, path, rpath)
+        catch { case e: Throwable =>
+          failures.add(s"rollup failed: ${e.getClass.getSimpleName}: ${e.getMessage}") }
+      }
+    }, "torture-roller")
+    roller.start()
+    try {
+      for (_ <- 0 until 10) {
+        rng.nextInt(4) match {
+          case 0 | 1 => SamplesStore.append(toDf(mkRows(15 + rng.nextInt(15))), path)
+          case 2 => SamplesStore.compactFragmentedDays(spark, path, maxFilesPerDay = 2)
+          case _ =>
+            val t0 = day0Us + rng.nextInt(3 * 86400).toLong * 1000000L
+            SamplesStore.deleteRange(spark, path, t0, t0 + 3600L * 1000000L)
+        }
+      }
+    } finally { stop = true; roller.join(120000) }
+    assert(failures.isEmpty,
+      s"${failures.size} rollup failures, first: ${Option(failures.peek()).getOrElse("")}")
+    // one final pass from the quiesced store, then compare against a
+    // fresh full rollup of an identical copy
+    RollupStore.rollup(spark, path, rpath)
+    val copy = path + "_copy"
+    fs.delete(new org.apache.hadoop.fs.Path(copy), true)
+    fs.delete(new org.apache.hadoop.fs.Path(copy + "_roll"), true)
+    SamplesStore.write(SamplesStore.read(spark, path)
+      .select("ts_us", "metric", "labels", "value"), copy)
+    RollupStore.rollup(spark, copy, copy + "_roll")
+    def rows(p: String) = RollupStore.read(spark, p)
+      .select(col("metric"), concat_ws(",", col("labels")).as("l"), col("bucket"),
+        col("min_value"), col("max_value"),
+        expr("CAST(floor(sum_value * 100 + 0.5) AS BIGINT)"), col("n_points"))
+      .collect().map(_.toSeq).toSet
+    assert(rows(rpath) == rows(copy + "_roll"),
+      "the raced rollup must converge to the full recompute")
+  }
+
   test("a concurrent fresh-planning reader always observes a committed snapshot") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -60,13 +60,29 @@ object RollupStore {
   private def locked[T](path: String)(f: => T): T =
     locks.getOrElseUpdate(new Path(path).toString, new Object).synchronized(f)
 
+  /** Parsed rollup manifests by store, keyed to their generation —
+    * same immutability argument as the samples-store snapshot cache:
+    * a generation's content never changes after its rename, so the
+    * cache is only ever stale, and staleness is caught by the one
+    * listing every call does. Keeps the per-request freshness gate
+    * on the read path at one listing instead of a manifest parse. */
+  private val rollupCache = scala.collection.concurrent.TrieMap.empty[String, RollupSnapshot]
+
   private[graft] def latestRollup(fs: FileSystem, root: Path): Option[RollupSnapshot] = {
     val dir = new Path(root, ManifestDir)
     val gens =
       try fs.listStatus(dir).map(_.getPath.getName)
         .collect { case ManifestPattern(g) => g.toLong }
       catch { case _: java.io.FileNotFoundException => Array.empty[Long] }
-    if (gens.isEmpty) None else Some(readManifest(fs, root, gens.max))
+    if (gens.isEmpty) { rollupCache.remove(root.toString); None }
+    else {
+      val gen = gens.max
+      rollupCache.get(root.toString).filter(_.gen == gen).orElse {
+        val snap = readManifest(fs, root, gen)
+        rollupCache.put(root.toString, snap)
+        Some(snap)
+      }
+    }
   }
 
   private def readManifest(fs: FileSystem, root: Path, gen: Long): RollupSnapshot = {
@@ -106,7 +122,9 @@ object RollupStore {
       if (fs.rename(tmp, manifestFile(root, gen))) done = true
       else { fs.delete(tmp, false); gen += 1 }
     }
-    RollupSnapshot(gen, intervalSec, dayDigests, sorted)
+    val snap = RollupSnapshot(gen, intervalSec, dayDigests, sorted)
+    rollupCache.put(root.toString, snap)
+    snap
   }
 
   /** md5 digest of a day's sorted source-file list — the exact
@@ -256,6 +274,28 @@ object RollupStore {
       .withColumn("t_sec", expr(s"bucket DIV $queryIntervalSec * $queryIntervalSec"))
       .groupBy(col("metric"), col("labels"), col("t_sec"))
       .agg(max(col("max_value")).as("max_value"))
+  }
+
+  /** True when the latest rollup manifest matches `intervalSec` AND
+    * every source day overlapping [startSec, endSec] (endSec ≤ 0 =
+    * unbounded) carries an up-to-date digest — the exactness gate
+    * that lets the read path serve a coarse query from the rollup:
+    * fresh means the rollup answer IS the raw answer, not an
+    * approximation of it. Metadata-only (one cached manifest read
+    * per side), so the serving path can ask per request. */
+  def freshFor(spark: SparkSession, srcPath: String, rollupPath: String,
+               intervalSec: Long, startSec: Long, endSec: Long): Boolean = {
+    val fs = fsFor(spark, rollupPath)
+    latestRollup(fs, new Path(rollupPath)) match {
+      case Some(r) if r.intervalSec == intervalSec =>
+        val src = sourceDays(fsFor(spark, srcPath), new Path(srcPath))
+        src.forall { case (day, files) =>
+          val overlaps = day.stripPrefix("date=").toLongOption.forall(ds =>
+            (endSec <= 0 || ds <= endSec) && ds + 86400 > startSec)
+          !overlaps || r.dayDigests.get(day).contains(digest(files))
+        }
+      case _ => false
+    }
   }
 
   /** Grace-window GC for superseded rollup files — keep the latest

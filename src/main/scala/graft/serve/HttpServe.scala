@@ -151,7 +151,13 @@ object HttpServe {
           reqBody, ignoreLabel, ignoreHints, maxReadSamples,
           transientRetries = 2,
           transientClassifier = e =>
-            RemoteRead.isTransientMiss(e) && storeSwapRecoverable(spark, storePath))
+            RemoteRead.isTransientMiss(e) && storeSwapRecoverable(spark, storePath),
+          // coarse, shape-exact queries serve from the rollup twin
+          // when background rollup maintenance keeps one (and only
+          // while its manifest is provably fresh for the window)
+          rollupRoute = Option(RemoteWrite.rollupIntervalSec).filter(_ > 0)
+            .map(iv => RemoteRead.RollupRoute(storePath,
+              RemoteWrite.rollupPathFor(storePath), iv)))
       }
       respond(ex, 200, resp, Seq(
         "Content-Type" -> "application/x-protobuf",

@@ -44,6 +44,28 @@ object RemoteRead {
     * shim maps it to the reference's 500 path. */
   final class ResponseTooLargeException(msg: String) extends RuntimeException(msg)
 
+  /** A rollup twin the read path may serve coarse queries from (see
+    * [[graft.ingest.RollupStore]]). Routing is per query and gated
+    * twice: the SHAPE gate (the effective downsample interval is a
+    * multiple of the rollup's and the time bounds are
+    * interval-aligned, so the rollup answer is exact, never a
+    * partial-bucket approximation) and the FRESHNESS gate
+    * ([[graft.ingest.RollupStore.freshFor]] — every overlapping
+    * source day's digest is current, so a write that hasn't been
+    * rolled up yet routes the query back to raw samples; staleness
+    * is impossible by construction, not by timing). */
+  final case class RollupRoute(srcPath: String, rollupPath: String, intervalSec: Long)
+
+  /** The shape gate: effective interval ≥ and a multiple of the
+    * rollup's, start aligned, end aligned (or unbounded). */
+  private def rollupShaped(r: RollupRoute, q: graft.operators.ReadQuery,
+                           ignoreHints: Boolean): Boolean = {
+    val interval = graft.operators.Downsample.hintIntervalSec(q.stepMs, q.rangeMs, ignoreHints)
+    interval > 0 && interval % r.intervalSec == 0 &&
+      (q.startMs / 1000) % interval == 0 &&
+      (q.endMs == 0 || (q.endMs / 1000 + 1) % interval == 0)
+  }
+
   /** True when the failure (anywhere in the cause chain) is a missing
     * path/file — the signature of reading through compact()'s swap
     * window, where the whole store or one of its files is mid-rename. */
@@ -72,7 +94,8 @@ object RemoteRead {
             ignoreHints: Boolean = false,
             maxSamples: Long = DefaultMaxReadSamples,
             transientRetries: Int = 0,
-            transientClassifier: Throwable => Boolean = isTransientMiss): Array[Byte] = {
+            transientClassifier: Throwable => Boolean = isTransientMiss,
+            rollupRoute: Option[RollupRoute] = None): Array[Byte] = {
     var m: OpsMetrics = null
     var queries: Seq[graft.operators.ReadQuery] = null
     def attempt(): Array[Byte] = {
@@ -80,7 +103,7 @@ object RemoteRead {
       if (m == null) { m = OpsMetrics(df.sparkSession); m.readRequests.add(1) }
       if (queries == null) queries = PromRemoteCodec.decodeReadRequest(readRequestBlob)
       PromRemoteCodec.encodeReadResponseResults(
-        queries.map(runQuery(df, _, ignoreLabel, ignoreHints, maxSamples)))
+        queries.map(runQuery(df, _, ignoreLabel, ignoreHints, maxSamples, rollupRoute)))
     }
     try {
       var left = transientRetries + 1
@@ -106,8 +129,22 @@ object RemoteRead {
     * engine's binary string ordering. */
   private def runQuery(samples: DataFrame, q: graft.operators.ReadQuery,
                        ignoreLabel: Option[String], ignoreHints: Boolean,
-                       maxSamples: Long): Seq[PromTimeSeries] = {
-    val sel = SeriesRead.selectKeyed(samples, q, ignoreLabel, ignoreHints)
+                       maxSamples: Long,
+                       rollupRoute: Option[RollupRoute] = None): Seq[PromTimeSeries] = {
+    import graft.ingest.RollupStore
+    val fromRollup = rollupRoute.filter { r =>
+      rollupShaped(r, q, ignoreHints) &&
+        RollupStore.freshFor(samples.sparkSession, r.srcPath, r.rollupPath,
+          r.intervalSec, q.startMs / 1000, if (q.endMs > 0) q.endMs / 1000 else 0L)
+    }
+    val sel = fromRollup match {
+      case Some(r) =>
+        OpsMetrics(samples.sparkSession).readsFromRollup.add(1)
+        RollupStore.selectKeyed(RollupStore.read(samples.sparkSession, r.rollupPath), q,
+          graft.operators.Downsample.hintIntervalSec(q.stepMs, q.rangeMs, ignoreHints),
+          r.intervalSec, ignoreLabel)
+      case None => SeriesRead.selectKeyed(samples, q, ignoreLabel, ignoreHints)
+    }
     val it = SeriesRead.assemble(sel).toLocalIterator().asScala
     val out = Vector.newBuilder[(String, Seq[String], PromTimeSeries)]
     var points = 0L

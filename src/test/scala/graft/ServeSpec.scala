@@ -362,6 +362,50 @@ class ServeSpec extends SparkSpecBase {
       "steady state is a metadata no-op")
   }
 
+  test("coarse reads serve from a fresh rollup and fall back to raw the moment it is stale") {
+    import graft.ingest.{PromRemoteCodec, SamplesStore}
+    val store = tmpStore("rollroute")
+    val day0 = 1704412800L
+    def write(v: Double, atSec: Long): Unit =
+      RemoteWrite.serve(spark, store, PromRemoteCodec.encodeWriteRequest(PromWriteRequest(Seq(
+        PromTimeSeries(Seq(PromLabel("__name__", "route_metric"), PromLabel("k", "a")),
+          Seq(PromSample(v, atSec * 1000L)))))))
+    write(1.0, day0)
+    write(5.0, day0 + 3600)
+    RemoteWrite.rollupPass(spark, store, 3600L)
+    val route = Some(RemoteRead.RollupRoute(store, RemoteWrite.rollupPathFor(store), 3600L))
+    // stepMs 7200s → effective interval 3600; aligned start and end
+    val q = ReadQuery(day0 * 1000L, (day0 + 7199) * 1000L,
+      Seq(Matchers.eq("__name__", "route_metric")), stepMs = 7200000L)
+    val blob = PromRemoteCodec.encodeReadRequest(Seq(q))
+    def served(): Seq[(Long, Double)] =
+      PromRemoteCodec.decodeReadResponse(
+        RemoteRead.serve(SamplesStore.read(spark, store), blob, rollupRoute = route))
+        .flatMap(_.samples).map(s => (s.timestampMs, s.value)).sorted
+    val m = OpsMetrics(spark)
+    val base = m.readsFromRollup.value
+    val fromRollup = served()
+    assert(m.readsFromRollup.value === base + 1, "fresh + shape-exact must route to the rollup")
+    assert(fromRollup === Seq((day0 * 1000L, 1.0), ((day0 + 3600) * 1000L, 5.0)))
+    // a write the rollup has NOT absorbed: the freshness gate must
+    // route back to raw so the new sample is immediately visible
+    write(9.0, day0 + 10)
+    val fromRaw = served()
+    assert(m.readsFromRollup.value === base + 1, "a stale rollup must never serve")
+    assert(fromRaw.map(_._2).contains(9.0), "raw fallback must see the unrolled write")
+    // after the maintenance pass the route resumes, answers identical
+    RemoteWrite.rollupPass(spark, store, 3600L)
+    val again = served()
+    assert(m.readsFromRollup.value === base + 2)
+    assert(again === fromRaw, "rollup-served and raw answers must be identical")
+    // an unaligned window fails the shape gate even when fresh
+    val qUnaligned = ReadQuery(day0 * 1000L + 1000L, (day0 + 7199) * 1000L,
+      Seq(Matchers.eq("__name__", "route_metric")), stepMs = 7200000L)
+    RemoteRead.serve(SamplesStore.read(spark, store),
+      PromRemoteCodec.encodeReadRequest(Seq(qUnaligned)), rollupRoute = route)
+    assert(m.readsFromRollup.value === base + 2, "unaligned bounds must not route")
+  }
+
   test("retention passes are no-ops when no day is past the horizon") {
     val store = tmpStore("retnoop")
     // a store that does not exist yet: nothing to do, no failure

@@ -268,8 +268,15 @@ object RollupStore {
                   ignoreLabel: Option[String] = Some("remote=clickhouse")): DataFrame = {
     require(queryIntervalSec % rollupIntervalSec == 0 && queryIntervalSec > 0,
       s"query interval $queryIntervalSec must be a positive multiple of rollup interval $rollupIntervalSec")
-    var df = rollup.filter(col("bucket") >= q.startMs / 1000 / rollupIntervalSec * rollupIntervalSec)
-    if (q.endMs > 0) df = df.filter(col("bucket") <= q.endMs / 1000)
+    val startBucket = q.startMs / 1000 / rollupIntervalSec * rollupIntervalSec
+    // the redundant date bounds are what PRUNE DAY PARTITIONS at the
+    // scan (the bucket bounds alone only prune row groups inside
+    // already-opened files) — on a multi-year rollup the query lists
+    // exactly its days, like the raw store's read path
+    var df = rollup.filter(col("bucket") >= startBucket &&
+      col("date") >= startBucket / 86400 * 86400)
+    if (q.endMs > 0)
+      df = df.filter(col("bucket") <= q.endMs / 1000 && col("date") <= q.endMs / 1000)
     df.filter(graft.operators.Matchers.compile(q.matchers, ignoreLabel))
       .withColumn("t_sec", expr(s"bucket DIV $queryIntervalSec * $queryIntervalSec"))
       .groupBy(col("metric"), col("labels"), col("t_sec"))

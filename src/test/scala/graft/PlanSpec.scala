@@ -39,6 +39,27 @@ class PlanSpec extends SparkSpecBase {
     assert(read.count() == expected)
   }
 
+  test("rollup-served reads prune day partitions and push bucket bounds") {
+    import graft.ingest.RollupStore
+    val path = "/tmp/graft_test/plan_rollup_src"
+    val rpath = "/tmp/graft_test/plan_rollup"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.delete(new org.apache.hadoop.fs.Path(rpath), true)
+    SamplesStore.write(Tables.samples(spark, Sf), path)
+    RollupStore.rollup(spark, path, rpath)
+    val q = graft.operators.ReadQuery(1704499200000L, 1704585599000L,
+      Seq(graft.operators.Matchers.eq("__name__", "click")), stepMs = 7200000L)
+    val p = plan(RollupStore.selectKeyed(RollupStore.read(spark, rpath), q, 3600L))
+    assert(p.contains("PartitionFilters:") && p.contains("(date"),
+      s"rollup read does not prune day partitions:\n$p")
+    assert(p.contains("GreaterThanOrEqual(bucket,"), s"bucket bound not pushed:\n$p")
+    // the scan's PushedFilters list truncates in toString; the
+    // compiled matcher is visible in the data filter either way
+    assert(p.contains("= click)"), s"metric matcher not compiled into the scan filter:\n$p")
+  }
+
   test("read path scans only the columns it needs") {
     // other suites cache the samples view; drop caches so the
     // assertions see the parquet scan, not an InMemoryTableScan

@@ -169,6 +169,50 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("the selector parser never throws; round-trips every structured selector") {
+    val rnd2 = new Random(4242)
+    def randSel(): String = {
+      val sb = new StringBuilder
+      if (rnd2.nextBoolean()) sb ++= ("m" + rnd2.nextInt(100))
+      if (rnd2.nextBoolean() || sb.isEmpty) {
+        sb += '{'
+        val n = rnd2.nextInt(4)
+        (0 until n).foreach { i =>
+          if (i > 0) sb += ','
+          sb ++= s"k${rnd2.nextInt(10)}"
+          sb ++= Seq("=", "!=", "=~", "!~")(rnd2.nextInt(4))
+          sb += '"'
+          // escaped content only — quotes/backslashes always escaped
+          (0 until rnd2.nextInt(6)).foreach { _ =>
+            rnd2.nextInt(4) match {
+              case 0 => sb ++= "\\\""
+              case 1 => sb ++= "\\\\"
+              case 2 => sb += (rnd2.nextInt(26) + 'a').toChar
+              case 3 => sb += (rnd2.nextInt(10) + '0').toChar
+            }
+          }
+          sb += '"'
+        }
+        sb += '}'
+      }
+      sb.result()
+    }
+    (0 until 500).foreach { _ =>
+      val sel = randSel()
+      val parsed = graft.operators.Matchers.parseSelector(sel) // must not throw
+      // every generated selector is well-formed except the bare "{}"
+      // (no name, no matchers) and the empty string
+      val wellFormed = sel.nonEmpty && sel != "{}"
+      assert(parsed.isDefined == wellFormed, s"selector <$sel> parsed=$parsed")
+    }
+    // arbitrary garbage: never throws, just None or Some
+    val chars = "mk{}=!~\"',_0a \t\""
+    (0 until 2000).foreach { _ =>
+      val g = (0 until rnd2.nextInt(16)).map(_ => chars.charAt(rnd2.nextInt(chars.length))).mkString
+      graft.operators.Matchers.parseSelector(g) // must not throw
+    }
+  }
+
   test("garbage bytes never escape the codec's declared failure modes") {
     // acceptable: clean wire/format errors (mapped to the reference's
     // HTTP 400/500 path). NOT acceptable: index/negative-size/OOM-class

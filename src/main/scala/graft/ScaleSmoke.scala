@@ -146,6 +146,17 @@ object ScaleSmoke {
         SamplesStore.append(hot, path)
         time(s"rollupIncr      m=$m")(RollupStore.rollup(spark, path, rpath).toLong)
         time(s"rollupNoop      m=$m")(RollupStore.rollup(spark, path, rpath).toLong)
+        // the read win: the same coarse whole-history query answered
+        // from raw samples vs from the rollup — the gap is what a
+        // long-range dashboard pays without the recording-rule path
+        val q = graft.operators.ReadQuery(
+          1704412800000L, (1704412800L + m * spanDays * 86400L) * 1000L,
+          Seq(graft.operators.Matchers.eq("__name__", "click")), stepMs = 7200000L)
+        time(s"coarseReadRaw   m=$m")(
+          graft.operators.SeriesRead.selectKeyed(
+            SamplesStore.read(spark, path), q).count())
+        time(s"coarseReadRoll  m=$m")(
+          RollupStore.selectKeyed(RollupStore.read(spark, rpath), q, 3600L).count())
       }
     }
 

@@ -14,7 +14,7 @@ import graft.sources.Tables
   * corpus (labels suffixed per copy — series COUNT scales, the axis
   * that grows at 100 TB). Measures how each stage scales; numbers
   * land in SCALE.md. `SPARK_GRAFT_SCALE_ONLY=
-  * read|dedup|ann|curate|prep|rollup|compact` runs one section. */
+  * read|dedup|ann|curate|prep|rollup|rolldense|compact` runs one section. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
@@ -158,6 +158,36 @@ object ScaleSmoke {
         time(s"coarseReadRoll  m=$m")(
           RollupStore.selectKeyed(RollupStore.read(spark, rpath), q, 3600L).count())
       }
+    }
+
+    // Dense-corpus rollup read win: the sf corpora are too sparse for
+    // hourly buckets to compress (SCALE.md), so synthesize a
+    // production-density store — a 15 s scrape interval, 240 points
+    // per series-hour — and measure the same coarse query from both
+    // paths. THIS is the regime the read-path rollup route exists for.
+    if (sectionEnabled("rolldense")) {
+      import graft.ingest.{RollupStore, SamplesStore}
+      import org.apache.hadoop.fs.Path
+      val path = "/tmp/graft_scale/rolldense"
+      val rpath = path + "_roll"
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(path), true); fs.delete(new Path(rpath), true)
+      val day0 = 1704412800L
+      val dense = spark.range(0, 3L * 86400 / 15) // 3 days of 15s ticks
+        .crossJoin(spark.range(0, 50).selectExpr("id AS s")) // 50 series
+        .selectExpr(
+          s"(${day0}L + id * 15) * 1000000 AS ts_us",
+          "'dense_metric' AS metric",
+          "array(concat('s=', CAST(s AS STRING))) AS labels",
+          "CAST((id * 7 + s) % 100 AS DOUBLE) AS value")
+      SamplesStore.write(dense, path)
+      RollupStore.rollup(spark, path, rpath)
+      val q = graft.operators.ReadQuery(day0 * 1000L, (day0 + 3 * 86400L) * 1000L - 1000L,
+        Seq(graft.operators.Matchers.eq("__name__", "dense_metric")), stepMs = 7200000L)
+      time("denseReadRaw    864k samples")(
+        graft.operators.SeriesRead.selectKeyed(SamplesStore.read(spark, path), q).count())
+      time("denseReadRoll   864k samples")(
+        RollupStore.selectKeyed(RollupStore.read(spark, rpath), q, 3600L).count())
     }
 
     // Compaction: history length (m× days of store, ts shifted per

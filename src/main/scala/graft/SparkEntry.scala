@@ -180,6 +180,26 @@ object SparkEntry {
         col("n_points"))
     }),
 
+    // The rollup-served read path: a coarse aligned window query
+    // answered from rollup rows must equal the raw read path's
+    // per-second-dedup + bucketed max — which is what the oracle
+    // computes from the raw samples.
+    "store_rollup_serve" -> ((s, dir) => {
+      val path = workDir("rollupserve", dir)
+      val rpath = workDir("rollupserve_roll", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.delete(new org.apache.hadoop.fs.Path(rpath), true)
+      SamplesStore.write(samples(s, dir), path)
+      RollupStore.rollup(s, path, rpath, 3600L)
+      val q = ReadQuery(WinStartMs, WinEndMs - 1000L,
+        Seq(Matchers.eq("__name__", "click")), stepMs = 7200000L)
+      RollupStore.selectKeyed(RollupStore.read(s, rpath), q, 3600L)
+        .select(col("metric"), array_join(col("labels"), ",").as("labels_str"),
+          col("t_sec"), round(col("max_value"), 6).as("max_value"))
+    }),
+
     "store_compact" -> ((s, dir) => {
       val path = workDir("compactstore", dir)
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -702,6 +722,17 @@ object SparkEntry {
          |       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_e2,
          |       count(*) AS n_points
          |FROM deduped GROUP BY 1, 2, 3""".stripMargin,
+
+    // the rollup-SERVED read equals the raw dedup + bucketed max
+    "store_rollup_serve" ->
+      s"""$dedupCte
+         |SELECT metric, array_to_string(labels, ',') AS labels_str,
+         |       t_sec // 3600 * 3600 AS t_sec,
+         |       round(max(value), 6) AS max_value
+         |FROM deduped
+         |WHERE metric = 'click'
+         |  AND t_sec >= $WinStartSec AND t_sec <= ${WinEndSec - 1}
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     // selective compaction must be result-invariant too
     "store_compact_days" ->

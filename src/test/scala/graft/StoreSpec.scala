@@ -541,6 +541,29 @@ class StoreSpec extends SparkSpecBase {
       "rollup-served coarse reads must equal the raw read path")
   }
 
+  test("a fully-emptied source leaves an empty rollup with a stable schema") {
+    import graft.ingest.RollupStore
+    import spark.implicits._
+    val path = "/tmp/graft_test/store_rollup_empty"
+    val rpath = path + "_roll"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.delete(new org.apache.hadoop.fs.Path(rpath), true)
+    val day0 = 1704412800L
+    val rows = (0 until 10).map(i => (day0 * 1000000L + i * 1000000L,
+      "m", Seq("k=v"), i.toDouble)).toDF("ts_us", "metric", "labels", "value")
+    SamplesStore.write(rows, path)
+    RollupStore.rollup(spark, path, rpath)
+    val populated = RollupStore.read(spark, rpath).schema
+    SamplesStore.deleteRange(spark, path, Long.MinValue, Long.MaxValue)
+    RollupStore.rollup(spark, path, rpath)
+    val empty = RollupStore.read(spark, rpath)
+    assert(empty.count() == 0, "every rollup day must follow its deleted source day")
+    assert(empty.schema == populated,
+      s"empty-rollup schema ${empty.schema} must equal populated $populated")
+  }
+
   test("an empty snapshot reads with the same schema as a populated one") {
     import spark.implicits._
     val path = "/tmp/graft_test/store_empty"

@@ -277,21 +277,36 @@ object SamplesStore {
   }
 
   // ---- snapshot manifests -----------------------------------------
-  // One committed snapshot per mutation: `_manifests/m-<gen>` lists
-  // every live data file (relative `date=X/part-….parquet` path) and
-  // the newest committed stream batch id. The commit is a single
+  // One committed snapshot per mutation: `_manifests/m-<gen>` is
+  // either a CHECKPOINT listing every live data file (relative
+  // `date=X/part-….parquet` path, `F` lines) or a DELTA (`base G` +
+  // `A`/`R` lines) naming only the files this mutation added and
+  // removed on top of snapshot G. Either way the commit is a single
   // atomic rename of a fully-written temp file, so any reader — this
   // JVM or another process — either sees gen G or gen G+1, never a
-  // half-state. Batch ids are monotone through the store's single
-  // stream writer (Structured Streaming delivers foreachBatch in
-  // order), so ONE max id is the whole exactly-once ledger: a replay
-  // of id ≤ max short-circuits, and a crash before the commit leaves
-  // files no manifest references — invisible, re-staged by the
-  // replay, reclaimed by GC. This replaces a per-batch marker-file
-  // scheme whose markers had to be carried across every rewrite.
+  // half-state. Deltas are what makes the serving append path scale:
+  // a /write request's commit writes O(its own files) bytes, not
+  // O(total store files) — at ~200k live files (100 TB at the 512 MB
+  // target) a full list is 10-15 MB per request, a delta tens of
+  // bytes (the Delta-log/Iceberg-manifest-list move). A checkpoint
+  // every [[CheckpointEvery]] generations bounds every resolve chain,
+  // so cold reads stay O(CheckpointEvery) small files + one full
+  // list. The newest committed stream batch id rides every manifest:
+  // batch ids are monotone through the store's single stream writer
+  // (Structured Streaming delivers foreachBatch in order), so ONE
+  // max id is the whole exactly-once ledger: a replay of id ≤ max
+  // short-circuits, and a crash before the commit leaves files no
+  // manifest references — invisible, re-staged by the replay,
+  // reclaimed by GC.
 
   private val ManifestDir = "_manifests"
   private val ManifestPattern = "^m-(\\d{20})$".r
+
+  /** Every Nth generation is a full checkpoint: bounds delta-chain
+    * resolution for cold readers and bounds how long a superseded
+    * file can stay GC-pinned by an old checkpoint a retained delta
+    * chains through. */
+  private[graft] val CheckpointEvery: Long = 25L
 
   /** One committed store snapshot: manifest generation, newest
     * committed stream batch id, and the live data files (relative
@@ -316,9 +331,11 @@ object SamplesStore {
 
   /** The latest committed snapshot, or None for a store that has
     * never committed one (fresh path, or a plain parquet tree built
-    * by other tools). Lock-free: one listing, plus one small file
-    * read only when the generation advanced (another process's
-    * commits are picked up the same way). */
+    * by other tools). Lock-free: one listing, plus — when the
+    * generation advanced — reading only the NEW delta manifests on
+    * top of the cached snapshot (another process's commits are picked
+    * up the same way); a cold cache walks at most one checkpoint
+    * chain. */
   private[graft] def latestSnapshot(fs: org.apache.hadoop.fs.FileSystem,
                                     root: Path): Option[StoreSnapshot] = {
     val dir = new Path(root, ManifestDir)
@@ -331,53 +348,129 @@ object SamplesStore {
       val gen = gens.max
       val key = lockKey(root.toString)
       snapshotCache.get(key).filter(_.gen == gen).orElse {
-        val snap = readManifest(fs, root, gen)
+        val snap = readManifest(fs, root, gen, snapshotCache.get(key))
         snapshotCache.put(key, snap)
         Some(snap)
       }
     }
   }
 
-  private def readManifest(fs: org.apache.hadoop.fs.FileSystem, root: Path,
-                           gen: Long): StoreSnapshot = {
+  /** One manifest file, unresolved: a checkpoint carries the full
+    * file list (`fulls`, base None); a delta carries its base
+    * generation plus added/removed files. */
+  private final case class ManifestRec(base: Option[Long], maxBatch: Long,
+                                       fulls: Vector[String], adds: Vector[String],
+                                       removes: Vector[String])
+
+  private def readManifestRec(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                              gen: Long): ManifestRec = {
     val in = fs.open(manifestFile(root, gen))
     try {
       val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
       var maxBatch = -1L
-      val files = Vector.newBuilder[String]
+      var base: Option[Long] = None
+      val fulls = Vector.newBuilder[String]
+      val adds = Vector.newBuilder[String]
+      val removes = Vector.newBuilder[String]
       lines.foreach { l =>
         if (l.startsWith("max-batch-id ")) maxBatch = l.stripPrefix("max-batch-id ").toLong
-        else if (l.startsWith("F ")) files += l.stripPrefix("F ")
+        else if (l.startsWith("base ")) base = Some(l.stripPrefix("base ").toLong)
+        else if (l.startsWith("F ")) fulls += l.stripPrefix("F ")
+        else if (l.startsWith("A ")) adds += l.stripPrefix("A ")
+        else if (l.startsWith("R ")) removes += l.stripPrefix("R ")
       }
-      StoreSnapshot(gen, maxBatch, files.result())
+      ManifestRec(base, maxBatch, fulls.result(), adds.result(), removes.result())
     } finally in.close()
   }
 
-  /** Publish a new snapshot: write the complete manifest to a temp
-    * file, fsync-close, then RENAME into its generation slot — the
-    * rename is the commit point (it fails on an existing target, so a
-    * generation can never be half-written or double-claimed; on a
-    * lost race the writer bumps the generation and retries). Called
+  /** Resolve generation `gen` to its full snapshot: walk the delta
+    * chain back (base pointers) until a checkpoint — or until
+    * `cached`'s generation, whose resolved file set seeds the replay —
+    * then apply the deltas forward. Chains are ≤ [[CheckpointEvery]]
+    * deltas long, and commit history is linear (commits serialize on
+    * the store's mutation lock; a lost rename race re-bases), so a
+    * cached generation on file is always an ancestor of `gen`. */
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                           gen: Long, cached: Option[StoreSnapshot] = None): StoreSnapshot = {
+    val usable = cached.filter(_.gen < gen)
+    var chain = List.empty[ManifestRec]
+    var rec = readManifestRec(fs, root, gen)
+    var baseFiles: Set[String] = Set.empty
+    var done = false
+    while (!done) {
+      chain ::= rec
+      rec.base match {
+        case None => baseFiles = Set.empty; done = true
+        case Some(b) if usable.exists(_.gen == b) =>
+          baseFiles = usable.get.files.toSet; done = true
+        case Some(b) => rec = readManifestRec(fs, root, b)
+      }
+    }
+    // chain is base-first; the head's fulls seed a checkpoint chain
+    val files = chain.foldLeft(baseFiles) { (acc, r) =>
+      if (r.base.isEmpty) r.fulls.toSet
+      else acc -- r.removes ++ r.adds
+    }
+    StoreSnapshot(gen, chain.last.maxBatch, files.toVector.sorted)
+  }
+
+  /** Write manifest `content` for the next generation after
+    * `prevGen` and RENAME it into its slot — the commit point (rename
+    * fails on an existing target, so a generation can never be
+    * half-written or double-claimed; on a lost race the writer bumps
+    * the generation and retries `render`ed for the new slot). Called
     * under the mutation lock. */
-  private def commitSnapshot(fs: org.apache.hadoop.fs.FileSystem, root: Path,
-                             maxBatchId: Long, files: Seq[String],
-                             prevGen: Long): StoreSnapshot = {
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                            prevGen: Long)(render: Long => String): Long = {
     val dir = new Path(root, ManifestDir)
     fs.mkdirs(dir)
-    val sorted = files.toVector.sorted
-    val content = ("graft-manifest v1" +: s"max-batch-id $maxBatchId" +:
-      sorted.map("F " + _)).mkString("\n")
     var gen = prevGen + 1
     var done = false
     while (!done) {
       val tmp = new Path(dir, s".tmp-$gen-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, true)
-      out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.write(render(gen).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.close()
       if (fs.rename(tmp, manifestFile(root, gen))) done = true
       else { fs.delete(tmp, false); gen += 1 }
     }
+    gen
+  }
+
+  /** Publish a full-checkpoint snapshot (bootstrap/adopt/rebuild, and
+    * every [[CheckpointEvery]]th incremental commit). */
+  private def commitSnapshot(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                             maxBatchId: Long, files: Seq[String],
+                             prevGen: Long): StoreSnapshot = {
+    val sorted = files.toVector.sorted
+    val content = ("graft-manifest v1" +: s"max-batch-id $maxBatchId" +:
+      sorted.map("F " + _)).mkString("\n")
+    val gen = writeManifest(fs, root, prevGen)(_ => content)
     val snap = StoreSnapshot(gen, maxBatchId, sorted)
+    snapshotCache.put(lockKey(root.toString), snap)
+    snap
+  }
+
+  /** Publish a mutation as a DELTA on top of `prev`: the manifest
+    * write is O(files this mutation touched), never O(total store
+    * files) — the property that keeps /write metadata cost flat as
+    * the store grows. Every [[CheckpointEvery]]th generation rolls
+    * the accumulated state into a full checkpoint instead, bounding
+    * the resolve chain for cold readers. */
+  private def commitDelta(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                          maxBatchId: Long, prev: StoreSnapshot,
+                          added: Seq[String], removed: Set[String]): StoreSnapshot = {
+    val files = ((prev.files.toSet -- removed) ++ added).toVector.sorted
+    val gen = writeManifest(fs, root, prev.gen) { g =>
+      if (g % CheckpointEvery == 0)
+        ("graft-manifest v1" +: s"max-batch-id $maxBatchId" +:
+          files.map("F " + _)).mkString("\n")
+      else
+        (Vector("graft-manifest v1", s"base ${prev.gen}", s"max-batch-id $maxBatchId") ++
+          removed.toVector.sorted.map("R " + _) ++
+          added.toVector.sorted.map("A " + _)).mkString("\n")
+    }
+    val snap = StoreSnapshot(gen, maxBatchId, files)
     snapshotCache.put(lockKey(root.toString), snap)
     snap
   }
@@ -501,8 +594,8 @@ object SamplesStore {
       else {
         val prefix = batchId.map(id => s"b$id-").getOrElse("")
         val moved = stageAndMove(samples, path, fs, prefix)
-        val snap = commitSnapshot(fs, root, batchId.getOrElse(prev.maxBatchId),
-          prev.files ++ moved, prev.gen)
+        val snap = commitDelta(fs, root, batchId.getOrElse(prev.maxBatchId),
+          prev, moved, Set.empty)
         val touched = moved.iterator.map(_.takeWhile(_ != '/')).toSet
         if (touched.isEmpty) 0
         else touched.iterator.map(d => snap.byDay.getOrElse(d, Vector.empty).size).max
@@ -780,24 +873,23 @@ object SamplesStore {
       var rewritten = 0
       locked(path) {
         val prev = snapshotOrAdopt(fs, root)
-        var files = prev.files
+        val added = Vector.newBuilder[String]
+        val removed = Set.newBuilder[String]
         val replacedDays = Vector.newBuilder[String]
         targets.foreach { case (dayName, recorded, _) =>
           val current = prev.byDay.getOrElse(dayName, Vector.empty)
             .map(_.stripPrefix(dayName + "/")).toSet
           val newDay = new Path(shadow, dayName)
           if (recorded.subsetOf(current) && fs.exists(newDay)) {
-            val moved = Vector.newBuilder[String]
             fs.listStatus(newDay).filter(_.getPath.getName.endsWith(".parquet"))
               .foreach { f =>
                 val name = s"c${prev.gen + 1}-" + f.getPath.getName
                 if (!fs.rename(f.getPath, new Path(new Path(root, dayName), name)))
                   throw new java.io.IOException(
                     s"compactFragmentedDays: move ${f.getPath} failed")
-                moved += dayName + "/" + name
+                added += dayName + "/" + name
               }
-            files = files.filterNot(f => f.startsWith(dayName + "/") &&
-              recorded.contains(f.stripPrefix(dayName + "/"))) ++ moved.result()
+            removed ++= recorded.map(dayName + "/" + _)
             replacedDays += dayName
             rewritten += 1
           } else if (!recorded.subsetOf(current)) {
@@ -806,7 +898,7 @@ object SamplesStore {
           }
         }
         if (rewritten > 0) {
-          commitSnapshot(fs, root, prev.maxBatchId, files, prev.gen)
+          commitDelta(fs, root, prev.maxBatchId, prev, added.result(), removed.result())
           // reclaim the swapped days' superseded files once the grace
           // expires (0 = eager, for quiesced stores and specs)
           gcDataFiles(fs, root, replacedDays.result(), gcGraceMs)
@@ -875,30 +967,74 @@ object SamplesStore {
 
   /** Snapshot expiry — the store-wide GC and the only place old
     * MANIFESTS are reclaimed (the Iceberg expire-snapshots analogue):
-    * retain the latest manifest plus every manifest younger than
-    * `graceMs`, delete the rest, then delete every data file no
-    * retained manifest references (aged past the grace), stale
-    * staging remnants included, and drop day dirs left empty.
-    * `graceMs = 0` force-cleans a quiesced store (ops tooling and
-    * specs); the serving path runs the default from its background
-    * maintenance pass. Returns the number of data files reclaimed. */
+    * retain the latest manifest, every manifest younger than
+    * `graceMs`, and every manifest a retained DELTA resolves through
+    * (its base chain down to a checkpoint — dropping a base would
+    * orphan the retained snapshot), delete the rest, then delete
+    * every data file no kept manifest references (aged past the
+    * grace), stale staging remnants included, and drop day dirs left
+    * empty. A chain-kept old checkpoint pins its files a little
+    * longer than age-based retention alone would — bounded by the
+    * [[CheckpointEvery]] cadence, the documented price of O(touched)
+    * commits. `graceMs = 0` force-cleans a quiesced store (ops
+    * tooling and specs); the serving path runs the default from its
+    * background maintenance pass. Returns the number of data files
+    * reclaimed. */
   def expireSnapshots(spark: SparkSession, path: String,
                       graceMs: Long = GcGraceMs): Int = locked(path) {
     val fs = fsFor(spark, path)
     val root = new Path(path)
     latestSnapshot(fs, root) match {
       case None => 0
-      case Some(latest) =>
+      case Some(latest0) =>
         val cutoff = System.currentTimeMillis() - graceMs
         val mdir = new Path(root, ManifestDir)
-        val (kept, dropped) = fs.listStatus(mdir)
-          .flatMap(s => s.getPath.getName match {
-            case ManifestPattern(g) => Some((g.toLong, s))
-            case _                  => None
-          })
-          .partition { case (g, s) => g == latest.gen || s.getModificationTime > cutoff }
-        dropped.foreach { case (_, s) => fs.delete(s.getPath, false) }
-        val referenced = kept.flatMap { case (g, _) => readManifest(fs, root, g).files }.toSet
+        def listManifests(): Map[Long, org.apache.hadoop.fs.FileStatus] =
+          fs.listStatus(mdir)
+            .flatMap(s => s.getPath.getName match {
+              case ManifestPattern(g) => Some((g.toLong, s))
+              case _                  => None
+            }).toMap
+        var all = listManifests()
+        val recs = scala.collection.mutable.Map.empty[Long, ManifestRec]
+        def rec(g: Long): ManifestRec =
+          recs.getOrElseUpdate(g, readManifestRec(fs, root, g))
+        def chain(g0: Long): List[Long] = {
+          var out = List(g0)
+          while (rec(out.head).base.exists(all.contains)) out ::= rec(out.head).base.get
+          out
+        }
+        // If the LIVE snapshot is a delta chaining through manifests
+        // this pass is about to drop, roll it into a checkpoint first
+        // (O(live files), but only here on the rare expiry pass —
+        // never on the per-mutation commit path): the live file set
+        // then stands alone and the stale chain can go. Without this,
+        // the chain closure would pin the live snapshot's whole
+        // ancestry — and every superseded file those ancestors name —
+        // forever.
+        val latest =
+          if (chain(latest0.gen).exists(g =>
+              g != latest0.gen && all(g).getModificationTime <= cutoff)) {
+            val snap = commitSnapshot(fs, root, latest0.maxBatchId,
+              latest0.files, latest0.gen)
+            all = listManifests()
+            snap
+          } else latest0
+        val retained = all.collect {
+          case (g, s) if g == latest.gen || s.getModificationTime > cutoff => g
+        }.toSet
+        val needed = scala.collection.mutable.Set.empty[Long]
+        retained.foreach { g0 =>
+          var g: Option[Long] = Some(g0)
+          while (g.exists(x => all.contains(x) && needed.add(x)))
+            g = rec(g.get).base
+        }
+        all.foreach { case (g, s) => if (!needed.contains(g)) fs.delete(s.getPath, false) }
+        // Union of kept checkpoints' F-lines and kept deltas' A-lines
+        // == union of every kept generation's RESOLVED file set: each
+        // resolved set replays exactly these lines, and every chain
+        // member is in `needed` by construction.
+        val referenced = needed.iterator.flatMap(g => rec(g).fulls ++ rec(g).adds).toSet
         var removed = 0
         val ok = visibleTry(root.toString, SwapLockTimeoutMs) {
           fs.listStatus(root).filter(_.isDirectory).map(_.getPath).foreach { child =>
@@ -940,7 +1076,8 @@ object SamplesStore {
     val root = new Path(path)
     if (fs.exists(root)) {
       val prev = snapshotOrAdopt(fs, root)
-      var files = prev.files
+      val added = Vector.newBuilder[String]
+      val removed = Set.newBuilder[String]
       val touched = Vector.newBuilder[String]
       prev.byDay.foreach { case (dayName, dayFiles) =>
         val dayStartUs = dayName.stripPrefix("date=").toLong * 1000000L
@@ -948,7 +1085,7 @@ object SamplesStore {
         val fullyInside = dayStartUs >= startUs && dayEndUs <= endUs
         val overlaps = dayStartUs < endUs && dayEndUs > startUs
         if (fullyInside) {
-          files = files.filterNot(_.startsWith(dayName + "/"))
+          removed ++= dayFiles
           touched += dayName
         } else if (overlaps) {
           // boundary day: rewrite from the SNAPSHOT's files
@@ -968,14 +1105,14 @@ object SamplesStore {
               moved += dayName + "/" + name
             }
           fs.delete(rewrite, true)
-          val dayFileSet = dayFiles.toSet
-          files = files.filterNot(dayFileSet.contains) ++ moved.result()
+          removed ++= dayFiles
+          added ++= moved.result()
           touched += dayName
         }
       }
       val touchedDays = touched.result()
       if (touchedDays.nonEmpty) {
-        commitSnapshot(fs, root, prev.maxBatchId, files, prev.gen)
+        commitDelta(fs, root, prev.maxBatchId, prev, added.result(), removed.result())
         gcDataFiles(fs, root, touchedDays, gcGraceMs)
       }
     }

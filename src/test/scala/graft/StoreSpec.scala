@@ -689,6 +689,69 @@ class StoreSpec extends SparkSpecBase {
     assert(back == rows.map(t => (t._1, t._2, t._3.toList, t._4)).toSet)
   }
 
+  test("append commit bytes are O(touched files), independent of store size") {
+    import spark.implicits._
+    val path = "/tmp/graft_test/store_delta_manifest"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val day0 = 1704412800L
+    def rowsFor(off: Int) =
+      (0 until 5).map(i => (day0 * 1000000L + (off * 5 + i) * 1000000L,
+        "m", Seq("k=v"), i.toDouble)).toDF("ts_us", "metric", "labels", "value")
+    def manifests: Seq[(Long, Long)] = // (gen, bytes), ascending
+      new File(path, "_manifests").listFiles().toSeq
+        .filter(_.getName.startsWith("m-"))
+        .map(f => (f.getName.stripPrefix("m-").toLong, f.length())).sortBy(_._1)
+
+    // cross a checkpoint boundary: 30 appends, each landing one new
+    // file in the same day, with generations climbing through
+    // CheckpointEvery (25)
+    val n = SamplesStore.CheckpointEvery.toInt + 5
+    for (i <- 0 until n) SamplesStore.append(rowsFor(i), path)
+    val byGen = manifests.toMap
+    val gens = manifests.map(_._1)
+    // n appends = n delta commits on top of the gen-1 bootstrap adopt
+    assert(gens.size == n + 1 && gens.last >= SamplesStore.CheckpointEvery,
+      s"expected ${n + 1} generations crossing the checkpoint cadence, got $gens")
+
+    // THE scale property: a delta commit's size does not grow with the
+    // number of unrelated live files. The store holds ~5x more files
+    // at the last delta than at the first, so compare them directly.
+    val deltaGens = gens.filter(_ % SamplesStore.CheckpointEvery != 0).filter(_ > 1)
+    val (early, late) = (byGen(deltaGens.head), byGen(deltaGens.last))
+    assert(late <= early + 32,
+      s"delta at gen ${deltaGens.last} ($late B) must not grow with store size " +
+      s"(gen ${deltaGens.head} wrote $early B)")
+    // while the periodic checkpoint DOES carry the full list — it must
+    // dwarf its neighbouring deltas (that contrast is what proves the
+    // deltas are deltas)
+    val ckpt = gens.find(_ % SamplesStore.CheckpointEvery == 0).get
+    assert(byGen(ckpt) > 4 * late,
+      s"checkpoint gen $ckpt (${byGen(ckpt)} B) should carry the full file list")
+    assert(byGen(ckpt + 1) <= early + 32,
+      "the commit after a checkpoint must drop back to delta size")
+
+    // resolution correctness, warm (cached ancestor) and cold (readAt
+    // walks the chain from scratch): both equal the appended corpus
+    val expected = (0 until n).map(rowsFor).reduce(_ union _)
+      .select("ts_us", "value").collect().toSet
+    assert(SamplesStore.read(spark, path).select("ts_us", "value")
+      .collect().toSet == expected)
+    val pin = SamplesStore.currentGen(spark, path).get
+    assert(SamplesStore.readAt(spark, path, pin).select("ts_us", "value")
+      .collect().toSet == expected,
+      "cold chain resolution (checkpoint + deltas) must replay to the same corpus")
+
+    // expiry on a quiesced store rolls the live delta chain into a
+    // standalone checkpoint and drops the stale chain — reads survive
+    SamplesStore.expireSnapshots(spark, path, graceMs = 0L)
+    assert(SamplesStore.read(spark, path).select("ts_us", "value")
+      .collect().toSet == expected)
+    assert(manifests.size <= 2,
+      s"expiry must drop the superseded chain, kept ${manifests.map(_._1)}")
+  }
+
   test("a crashed batch's uncommitted files are invisible and never folded") {
     val path = "/tmp/graft_test/store_orphan"
     val fs = new org.apache.hadoop.fs.Path(path)

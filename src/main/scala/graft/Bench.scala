@@ -31,7 +31,8 @@ object Bench {
     // store write + rollup build (+ append + incremental re-roll)
     "store_rollup" -> 5.0,
     "store_rollup_incremental" -> 6.0,
-    "store_rollup_serve" -> 5.0)
+    "store_rollup_serve" -> 5.0,
+    "store_rollup_serve_unaligned" -> 5.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -200,6 +200,32 @@ object SparkEntry {
           col("t_sec"), round(col("max_value"), 6).as("max_value"))
     }),
 
+    // The UNALIGNED rollup-served read — the now-anchored dashboard
+    // window: start/end land 900s inside their buckets, so the serve
+    // path splits at the first/last complete-bucket boundary, answers
+    // the interior from rollup rows and the two partial edge buckets
+    // from raw samples. The union must equal the raw read path over
+    // the same window — which is what the oracle computes.
+    "store_rollup_serve_unaligned" -> ((s, dir) => {
+      val path = workDir("rollupserveun", dir)
+      val rpath = workDir("rollupserveun_roll", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.delete(new org.apache.hadoop.fs.Path(rpath), true)
+      SamplesStore.write(samples(s, dir), path)
+      RollupStore.rollup(s, path, rpath, 3600L)
+      val q = ReadQuery(WinStartMs + 900000L, WinEndMs - 901000L,
+        Seq(Matchers.eq("__name__", "click")), stepMs = 7200000L)
+      val sel = graft.serve.RemoteRead.rollupSelect(
+        graft.serve.RemoteRead.RollupRoute(path, rpath, 3600L), q,
+        SamplesStore.read(s, path))
+        .getOrElse(throw new IllegalStateException(
+          "an unaligned window with interior buckets must route to the rollup"))
+      sel.select(col("metric"), array_join(col("labels"), ",").as("labels_str"),
+        col("t_sec"), round(col("max_value"), 6).as("max_value"))
+    }),
+
     "store_compact" -> ((s, dir) => {
       val path = workDir("compactstore", dir)
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -732,6 +758,18 @@ object SparkEntry {
          |FROM deduped
          |WHERE metric = 'click'
          |  AND t_sec >= $WinStartSec AND t_sec <= ${WinEndSec - 1}
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // the split route (rollup interior + raw partial edges) equals
+    // the raw dedup + bucketed max over the unaligned window
+    "store_rollup_serve_unaligned" ->
+      s"""$dedupCte
+         |SELECT metric, array_to_string(labels, ',') AS labels_str,
+         |       t_sec // 3600 * 3600 AS t_sec,
+         |       round(max(value), 6) AS max_value
+         |FROM deduped
+         |WHERE metric = 'click'
+         |  AND t_sec >= ${WinStartSec + 900} AND t_sec <= ${WinEndSec - 901}
          |GROUP BY 1, 2, 3""".stripMargin,
 
     // selective compaction must be result-invariant too

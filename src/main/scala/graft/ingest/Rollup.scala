@@ -289,7 +289,18 @@ object RollupStore {
     * that lets the read path serve a coarse query from the rollup:
     * fresh means the rollup answer IS the raw answer, not an
     * approximation of it. Metadata-only (one cached manifest read
-    * per side), so the serving path can ask per request. */
+    * per side), so the serving path can ask per request.
+    *
+    * The gate-then-[[read]] sequence on the serving path is
+    * check-then-act, and that is SAFE, not racy: the rollup read
+    * plans its own committed manifest, so a source mutation landing
+    * between the gate and the read cannot tear the result — the
+    * query serves the complete pre-mutation snapshot, which is the
+    * serializable outcome where the read ordered before the write.
+    * Prometheus remote-read makes no read-your-own-write promise
+    * across concurrent requests, and the raced write becomes visible
+    * the moment the next maintenance pass re-digests its day (until
+    * then this gate routes queries over that day back to raw). */
   def freshFor(spark: SparkSession, srcPath: String, rollupPath: String,
                intervalSec: Long, startSec: Long, endSec: Long): Boolean = {
     val fs = fsFor(spark, rollupPath)

@@ -47,23 +47,69 @@ object RemoteRead {
   /** A rollup twin the read path may serve coarse queries from (see
     * [[graft.ingest.RollupStore]]). Routing is per query and gated
     * twice: the SHAPE gate (the effective downsample interval is a
-    * multiple of the rollup's and the time bounds are
-    * interval-aligned, so the rollup answer is exact, never a
-    * partial-bucket approximation) and the FRESHNESS gate
+    * multiple of the rollup's, so complete query buckets are exact
+    * unions of full rollup buckets) and the FRESHNESS gate
     * ([[graft.ingest.RollupStore.freshFor]] — every overlapping
     * source day's digest is current, so a write that hasn't been
     * rolled up yet routes the query back to raw samples; staleness
-    * is impossible by construction, not by timing). */
+    * is impossible by construction, not by timing).
+    *
+    * Time bounds need NOT be bucket-aligned: the real dashboard
+    * window ("last 7 days", now-anchored) almost never is, and
+    * requiring alignment made the rollup useless for exactly the
+    * long-range queries it exists for. An unaligned query splits at
+    * its first/last interior query-bucket boundary — the interior
+    * (complete buckets) serves from rollup rows, the two partial
+    * edge buckets compute from raw samples, and the union is exactly
+    * the raw answer (a recording rule's interior + raw-edge shape).
+    * The edges scan at most one query interval of raw data each, so
+    * the raw cost is bounded by the window's EDGE, not its length. */
   final case class RollupRoute(srcPath: String, rollupPath: String, intervalSec: Long)
 
-  /** The shape gate: effective interval ≥ and a multiple of the
-    * rollup's, start aligned, end aligned (or unbounded). */
-  private def rollupShaped(r: RollupRoute, q: graft.operators.ReadQuery,
-                           ignoreHints: Boolean): Boolean = {
-    val interval = graft.operators.Downsample.hintIntervalSec(q.stepMs, q.rangeMs, ignoreHints)
-    interval > 0 && interval % r.intervalSec == 0 &&
-      (q.startMs / 1000) % interval == 0 &&
-      (q.endMs == 0 || (q.endMs / 1000 + 1) % interval == 0)
+  /** The split-routing plan: the keyed select for a query the rollup
+    * can serve (interior from rollup rows, partial edges unioned in
+    * from raw samples), or None to route the whole query raw —
+    * interval not a multiple, no complete bucket inside the window,
+    * or a stale rollup over the interior days. */
+  private[graft] def rollupSelect(r: RollupRoute, q: graft.operators.ReadQuery,
+                                  samples: DataFrame,
+                                  ignoreLabel: Option[String] = Some("remote=clickhouse"),
+                                  ignoreHints: Boolean = false): Option[DataFrame] = {
+    import graft.ingest.RollupStore
+    import graft.operators.{Downsample, ReadQuery}
+    val qI = Downsample.hintIntervalSec(q.stepMs, q.rangeMs, ignoreHints)
+    val startSec = q.startMs / 1000
+    // end is inclusive ms on the wire; endExcl is the first second
+    // PAST the window (None = unbounded)
+    val endExcl = if (q.endMs > 0) Some(q.endMs / 1000 + 1) else None
+    if (qI <= 0 || qI % r.intervalSec != 0) None
+    else {
+      val lo = (startSec + qI - 1) / qI * qI     // first complete-bucket start
+      val hi = endExcl.map(_ / qI * qI)          // first second past the last complete bucket
+      val hasInterior = hi.forall(_ > lo)
+      if (!hasInterior ||
+          !RollupStore.freshFor(samples.sparkSession, r.srcPath, r.rollupPath,
+            r.intervalSec, lo, hi.map(_ - 1).getOrElse(0L)))
+        None
+      else {
+        val interiorQ = q.copy(startMs = lo * 1000L,
+          endMs = hi.map(_ * 1000L - 1).getOrElse(0L))
+        var sel = RollupStore.selectKeyed(
+          RollupStore.read(samples.sparkSession, r.rollupPath), interiorQ,
+          qI, r.intervalSec, ignoreLabel)
+        // leading partial bucket [start, lo) and trailing [hi, end] —
+        // raw scans bounded by one query interval each, bucketed by
+        // the same qI so their t_sec values are exactly the partial
+        // buckets the interior cannot produce
+        if (startSec < lo)
+          sel = sel.unionByName(SeriesRead.selectKeyed(
+            samples, q.copy(endMs = lo * 1000L - 1), ignoreLabel, ignoreHints))
+        for (h <- hi if endExcl.get > h)
+          sel = sel.unionByName(SeriesRead.selectKeyed(
+            samples, q.copy(startMs = h * 1000L), ignoreLabel, ignoreHints))
+        Some(sel)
+      }
+    }
   }
 
   /** True when the failure (anywhere in the cause chain) is a missing
@@ -131,18 +177,11 @@ object RemoteRead {
                        ignoreLabel: Option[String], ignoreHints: Boolean,
                        maxSamples: Long,
                        rollupRoute: Option[RollupRoute] = None): Seq[PromTimeSeries] = {
-    import graft.ingest.RollupStore
-    val fromRollup = rollupRoute.filter { r =>
-      rollupShaped(r, q, ignoreHints) &&
-        RollupStore.freshFor(samples.sparkSession, r.srcPath, r.rollupPath,
-          r.intervalSec, q.startMs / 1000, if (q.endMs > 0) q.endMs / 1000 else 0L)
-    }
-    val sel = fromRollup match {
-      case Some(r) =>
+    val sel = rollupRoute
+      .flatMap(rollupSelect(_, q, samples, ignoreLabel, ignoreHints)) match {
+      case Some(routed) =>
         OpsMetrics(samples.sparkSession).readsFromRollup.add(1)
-        RollupStore.selectKeyed(RollupStore.read(samples.sparkSession, r.rollupPath), q,
-          graft.operators.Downsample.hintIntervalSec(q.stepMs, q.rangeMs, ignoreHints),
-          r.intervalSec, ignoreLabel)
+        routed
       case None => SeriesRead.selectKeyed(samples, q, ignoreLabel, ignoreHints)
     }
     val it = SeriesRead.assemble(sel).toLocalIterator().asScala

@@ -247,7 +247,33 @@ class ServeSpec extends SparkSpecBase {
       assert(get(s"$base/api/v1/labels") ===
         ((200, """{"status":"success","data":[]}""")))
       assert(post(s"$base/write", writeBlob("meta_metric", 3))._1 === 200)
-      val (lc, lbody) = get(s"$base/api/v1/labels")
+      // one Spark action per labels request — the __name__ existence
+      // probe must ride the key-list collect (a marker row in the
+      // same plan), not fire a second job on the serving path
+      val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        def onSuccess(funcName: String,
+                      qe: org.apache.spark.sql.execution.QueryExecution,
+                      durationNs: Long): Unit = { execs.incrementAndGet(); () }
+        def onFailure(funcName: String,
+                      qe: org.apache.spark.sql.execution.QueryExecution,
+                      exception: Exception): Unit = ()
+      }
+      def actionsFor(body: => Unit): Int = {
+        spark.listenerManager.register(listener)
+        try {
+          execs.set(0)
+          body
+          // the listener fires via the async bus; wait for it to drain
+          val deadline = System.nanoTime() + 3000000000L
+          while (execs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+          Thread.sleep(200) // catch any SECOND action trailing in
+          execs.get()
+        } finally spark.listenerManager.unregister(listener)
+      }
+      var lc = 0; var lbody = ""
+      assert(actionsFor { val r = get(s"$base/api/v1/labels"); lc = r._1; lbody = r._2 } === 1,
+        "a labels request must cost exactly one Spark action")
       assert(lc === 200)
       assert(lbody === """{"status":"success","data":["__name__","k"]}""")
       val (vc, vbody) = get(s"$base/api/v1/label/k/values")
@@ -398,12 +424,31 @@ class ServeSpec extends SparkSpecBase {
     val again = served()
     assert(m.readsFromRollup.value === base + 2)
     assert(again === fromRaw, "rollup-served and raw answers must be identical")
-    // an unaligned window fails the shape gate even when fresh
+    // an UNALIGNED window routes too — the now-anchored dashboard
+    // shape: the interior complete bucket serves from the rollup, the
+    // leading partial bucket reads raw, and the union is exactly the
+    // raw answer. start=day0+1s excludes the day0 sample but keeps
+    // day0+10 (the raced 9.0 write) in the partial lead bucket.
     val qUnaligned = ReadQuery(day0 * 1000L + 1000L, (day0 + 7199) * 1000L,
       Seq(Matchers.eq("__name__", "route_metric")), stepMs = 7200000L)
+    val ublob = PromRemoteCodec.encodeReadRequest(Seq(qUnaligned))
+    def servedU(r: Option[RemoteRead.RollupRoute]): Seq[(Long, Double)] =
+      PromRemoteCodec.decodeReadResponse(
+        RemoteRead.serve(SamplesStore.read(spark, store), ublob, rollupRoute = r))
+        .flatMap(_.samples).map(s => (s.timestampMs, s.value)).sorted
+    val viaSplit = servedU(route)
+    assert(m.readsFromRollup.value === base + 3,
+      "an unaligned window with a complete interior bucket must route")
+    assert(viaSplit === servedU(None),
+      "interior-from-rollup + raw edges must equal the all-raw answer")
+    assert(viaSplit === Seq((day0 * 1000L, 9.0), ((day0 + 3600) * 1000L, 5.0)))
+    // a window too small to hold one complete bucket stays raw
+    val qNoInterior = ReadQuery(day0 * 1000L + 1000L, (day0 + 3598) * 1000L,
+      Seq(Matchers.eq("__name__", "route_metric")), stepMs = 7200000L)
     RemoteRead.serve(SamplesStore.read(spark, store),
-      PromRemoteCodec.encodeReadRequest(Seq(qUnaligned)), rollupRoute = route)
-    assert(m.readsFromRollup.value === base + 2, "unaligned bounds must not route")
+      PromRemoteCodec.encodeReadRequest(Seq(qNoInterior)), rollupRoute = route)
+    assert(m.readsFromRollup.value === base + 3,
+      "no complete interior bucket -> nothing the rollup can serve exactly")
   }
 
   test("retention passes are no-ops when no day is past the horizon") {

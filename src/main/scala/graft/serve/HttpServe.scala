@@ -198,17 +198,17 @@ object HttpServe {
         storeSamples().map(timeBounded(_, ex.getRequestURI.getQuery)).map { df =>
           // __name__ exists iff the bounded window holds any series at
           // all (a labels-empty series still has a metric name). That
-          // probe rides the SAME collect as the key list: a " "
+          // probe rides the SAME collect as the key list: a NUL-string
           // marker row — unioned from limit(1) of the window, sorting
           // before any legal label name — so a labels request costs
           // exactly one Spark action on every path, empty included
           import org.apache.spark.sql.functions.lit
-          val marker = df.limit(1).select(lit(" ").as("label_name"))
+          val marker = df.limit(1).select(lit("\u0000").as("label_name"))
           val rows = graft.operators.Meta.labelNames(df)
             .select("label_name").union(marker)
             .orderBy("label_name").limit(MetaValuesLimit + 1)
             .collect().map(_.getString(0)).toSeq
-          val keys = rows.filterNot(_ == " ")
+          val keys = rows.filterNot(_ == "\u0000")
           if (rows.size > keys.size) "__name__" +: keys else Seq.empty
         }.getOrElse(Seq.empty)
       }

@@ -690,6 +690,106 @@ class ServeSpec extends SparkSpecBase {
     assert(!HttpServe.storeSwapRecoverable(spark, "/tmp/graft_test/never_written_store"))
   }
 
+  test("soak: rollup-routed serving stays exact under concurrent writes and maintenance") {
+    import graft.ingest.{PromRemoteCodec, SamplesStore}
+    val store = tmpStore("rollsoak")
+    val (pi, pc) = (RemoteWrite.rollupIntervalSec, RemoteWrite.compactCheckIntervalMs)
+    RemoteWrite.rollupIntervalSec = 3600L
+    RemoteWrite.compactCheckIntervalMs = 0L // every write may trigger maintenance
+    val srv = HttpServe.start(spark, store)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      val day0 = 1704412800L
+      val m = OpsMetrics(spark)
+
+      // writes land monotone-increasing values scattered over 48 hour
+      // buckets × 3 series — so every (series, bucket) max can only
+      // grow, which is what makes exactness checkable mid-churn
+      def writeOnce(i: Int): Unit = {
+        val blob = PromRemoteCodec.encodeWriteRequest(PromWriteRequest(Seq(
+          PromTimeSeries(
+            Seq(PromLabel("__name__", "soak_metric"), PromLabel("k", s"v${i % 3}")),
+            Seq(PromSample(i.toDouble, (day0 + (i % 48) * 3600L + (i % 53) * 7) * 1000L))))))
+        assert(post(s"$base/write", blob)._1 === 200)
+      }
+
+      // two coarse windows over the corpus: bucket-aligned, and the
+      // now-anchored unaligned shape (interior + raw edges)
+      val matchers = Seq(Matchers.eq("__name__", "soak_metric"))
+      val qAligned = ReadQuery(day0 * 1000L, (day0 + 48 * 3600L) * 1000L - 1000L,
+        matchers, stepMs = 7200000L)
+      val qUnaligned = ReadQuery((day0 + 900) * 1000L, (day0 + 48 * 3600L - 901) * 1000L,
+        matchers, stepMs = 7200000L)
+
+      def decode(blob: Array[Byte]): Map[(String, Long), Double] =
+        PromRemoteCodec.decodeReadResponse(blob).flatMap { ts =>
+          val key = ts.labels.sortBy(_.name).map(l => s"${l.name}=${l.value}").mkString(",")
+          ts.samples.map(s => (key, s.timestampMs) -> s.value)
+        }.toMap
+      def servedHttp(q: ReadQuery): Map[(String, Long), Double] = {
+        val (code, body, _) = post(s"$base/read",
+          PromRemoteCodec.encodeReadRequest(Seq(q)))
+        assert(code === 200)
+        decode(body)
+      }
+      def rawDirect(q: ReadQuery): Map[(String, Long), Double] =
+        decode(RemoteRead.serve(SamplesStore.read(spark, store),
+          PromRemoteCodec.encodeReadRequest(Seq(q)), rollupRoute = None))
+
+      writeOnce(0)
+      val writerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val writer = new Thread(() => {
+        try for (i <- 1 until 36) { writeOnce(i); Thread.sleep(15) }
+        finally writerDone.set(true)
+      }, "soak-writer")
+      writer.start()
+
+      // mid-churn exactness: values are monotone per (series, bucket),
+      // so every served answer must sit BETWEEN a raw answer computed
+      // before it and one computed after it — series can only appear,
+      // buckets can only grow. This holds whether the route picked the
+      // rollup (fresh) or fell back to raw (stale), across compaction
+      // and expiry running in the background pool.
+      var checks = 0
+      while (!writerDone.get()) {
+        for (q <- Seq(qAligned, qUnaligned)) {
+          val before = rawDirect(q)
+          val served = servedHttp(q)
+          val after = rawDirect(q)
+          assert(before.keySet.subsetOf(served.keySet) &&
+                 served.keySet.subsetOf(after.keySet),
+            s"served keys must sit between the before/after raw snapshots")
+          served.foreach { case (k, v) =>
+            assert(before.get(k).forall(_ <= v) && v <= after(k),
+              s"bucket $k served $v outside [${before.get(k)}, ${after(k)}]")
+          }
+          checks += 1
+        }
+      }
+      writer.join(60000)
+      assert(checks >= 2, "the soak must have checked reads mid-churn")
+
+      // quiesce: drain maintenance, then a final explicit pass — both
+      // windows must now ROUTE to the rollup and EQUAL the raw path
+      Thread.sleep(500)
+      RemoteWrite.rollupPass(spark, store, 3600L)
+      val routedBefore = m.readsFromRollup.value
+      for (q <- Seq(qAligned, qUnaligned)) {
+        val served = servedHttp(q)
+        assert(served === rawDirect(q),
+          "a quiesced rollup-routed answer must equal the raw answer exactly")
+        assert(served.nonEmpty && served.values.max === 35.0,
+          "the last write must be visible after quiesce")
+      }
+      assert(m.readsFromRollup.value === routedBefore + 2,
+        "both quiesced coarse windows must serve from the fresh rollup")
+    } finally {
+      srv.stop()
+      RemoteWrite.rollupIntervalSec = pi
+      RemoteWrite.compactCheckIntervalMs = pc
+    }
+  }
+
   test("/metrics exposes parseable process gauges next to the counters") {
     val body = OpsMetrics(spark).render
     for (g <- Seq("process_uptime_seconds", "jvm_memory_heap_used_bytes",

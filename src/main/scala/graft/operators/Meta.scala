@@ -37,9 +37,8 @@ object Meta {
     * pipeline (metric equality and time reach parquet pushed). */
   def series(samples: DataFrame, q: graft.operators.ReadQuery,
              ignoreLabel: Option[String] = Some("remote=clickhouse")): DataFrame = {
-    var df = samples.filter(expr("ts_us DIV 1000000") >= q.startMs / 1000)
-    if (q.endMs > 0) df = df.filter(expr("ts_us DIV 1000000") <= q.endMs / 1000)
-    df.filter(Matchers.compile(q.matchers, ignoreLabel))
+    SeriesRead.timeBound(samples, q.startMs, q.endMs)
+      .filter(Matchers.compile(q.matchers, ignoreLabel))
       .groupBy(col("metric"), col("labels"))
       .agg(count(lit(1)).as("n_samples"),
            min(expr("ts_us DIV 1000000")).as("first_t"),

@@ -37,22 +37,47 @@ final case class ReadQuery(
   */
 object SeriesRead {
 
+  /** Time bounds as PUSHABLE scan predicates. The reference divides
+    * ms→s with truncation and compares at second resolution
+    * (read.go:24-28 `q.StartTimestampMs/1000`); for the store's
+    * non-negative epoch-µs axis `ts_us DIV 1e6 >= s` is exactly
+    * `ts_us >= s*1e6` and `DIV <= e` is exactly `ts_us < (e+1)*1e6` —
+    * and the direct comparisons reach the parquet scan as
+    * PushedFilters (row-group min/max pruning, which the files' ts
+    * sort order makes surgical), where the DIV form only evaluated
+    * AFTER every row was read. On the day-partitioned store the
+    * redundant `date` bounds additionally prune whole day partitions
+    * at planning time — a 1-hour query over a multi-year store must
+    * list one day, not all of history. (`date` is each partition's
+    * day START, so the start bound floors to its own day and the end
+    * bound compares raw — the kept days are exactly those overlapping
+    * the window.) */
+  private[graft] def timeBound(samples: DataFrame, startMs: Long,
+                               endMs: Long): DataFrame = {
+    val startSec = startMs / 1000
+    var df = samples.filter(col("ts_us") >= startSec * 1000000L)
+    if (endMs > 0)
+      df = df.filter(col("ts_us") < (endMs / 1000 + 1) * 1000000L)
+    if (samples.columns.contains("date")) {
+      df = df.filter(col("date") >= startSec / 86400 * 86400)
+      if (endMs > 0) df = df.filter(col("date") <= endMs / 1000)
+    }
+    df
+  }
+
   /** Filter + bucket + per-(series, t) max, keyed on the labels
     * array. Output: metric, labels ARRAY<STRING>, t_sec BIGINT,
     * max_value DOUBLE.
     *
-    * Time bounds divide ms→s with truncation exactly like the
-    * reference (read.go:24-28 `q.StartTimestampMs/1000`), and apply
-    * at second resolution against the DateTime-equivalent axis.
-    * Grouping always happens at least at 1s resolution — ClickHouse
-    * DateTime is seconds, so the reference's GROUP BY t dedups
-    * sub-second samples even without hints. */
+    * Time bounds apply at second resolution against the
+    * DateTime-equivalent axis via [[timeBound]] (pushed + partition
+    * -pruned). Grouping always happens at least at 1s resolution —
+    * ClickHouse DateTime is seconds, so the reference's GROUP BY t
+    * dedups sub-second samples even without hints. */
   def selectKeyed(samples: DataFrame, q: ReadQuery,
                   ignoreLabel: Option[String] = Some("remote=clickhouse"),
                   ignoreHints: Boolean = false): DataFrame = {
-    var df = samples.filter(expr("ts_us DIV 1000000") >= q.startMs / 1000)
-    if (q.endMs > 0)
-      df = df.filter(expr("ts_us DIV 1000000") <= q.endMs / 1000)
+    var df = timeBound(samples, q.startMs, q.endMs)
     df = df.filter(Matchers.compile(q.matchers, ignoreLabel))
     val interval = math.max(Downsample.hintIntervalSec(q.stepMs, q.rangeMs, ignoreHints), 1L)
     df.withColumn("t_sec", Downsample.bucketSec("ts_us", interval))

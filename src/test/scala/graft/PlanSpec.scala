@@ -60,6 +60,65 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("= click)"), s"metric matcher not compiled into the scan filter:\n$p")
   }
 
+  test("the SERVING read path pushes its time bounds and prunes day partitions") {
+    val path = "/tmp/graft_test/plan_serve_read"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    SamplesStore.write(Tables.samples(spark, Sf), path)
+    // the exact shape /read executes: SeriesRead over the store, one
+    // day's window. At 100 TB this is the difference between listing
+    // one day partition and opening every file of a multi-year store.
+    val q = ReadQuery(1704499200000L, 1704585599000L,
+      Seq(Matchers.eq("__name__", "click")))
+    val p = plan(SeriesRead.selectKeyed(SamplesStore.read(spark, path), q))
+    assert(p.contains("GreaterThanOrEqual(ts_us,1704499200000000)"),
+      s"start bound not pushed to the scan:\n$p")
+    assert(p.contains("LessThan(ts_us,"), s"end bound not pushed to the scan:\n$p")
+    assert(p.contains("PartitionFilters:") && p.contains("(date"),
+      s"time bounds must prune day partitions:\n$p")
+    // and the bounds are EXACTLY the reference's second-resolution
+    // semantics: same rows as the DIV-form filter
+    val expected = SamplesStore.read(spark, path)
+      .filter(expr("ts_us DIV 1000000") >= 1704499200L &&
+              expr("ts_us DIV 1000000") <= 1704585599L &&
+              col("metric") === "click").count()
+    assert(SeriesRead.selectKeyed(SamplesStore.read(spark, path), q)
+      .agg(sum("max_value")).count() >= 0) // force analysis
+    assert(SeriesRead.timeBound(SamplesStore.read(spark, path),
+      1704499200000L, 1704585599000L).filter(col("metric") === "click")
+      .count() == expected)
+  }
+
+  test("the unaligned rollup split plans a pruned rollup interior plus bounded raw edges") {
+    import graft.ingest.RollupStore
+    import graft.serve.RemoteRead
+    val path = "/tmp/graft_test/plan_split_src"
+    val rpath = "/tmp/graft_test/plan_split_roll"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.delete(new org.apache.hadoop.fs.Path(rpath), true)
+    SamplesStore.write(Tables.samples(spark, Sf), path)
+    RollupStore.rollup(spark, path, rpath)
+    val q = ReadQuery(1704499200000L + 900000L, 1704585599000L - 900000L,
+      Seq(Matchers.eq("__name__", "click")), stepMs = 7200000L)
+    val sel = RemoteRead.rollupSelect(
+      RemoteRead.RollupRoute(path, rpath, 3600L), q,
+      SamplesStore.read(spark, path))
+      .getOrElse(fail("the unaligned window must route"))
+    val p = plan(sel)
+    assert(p.contains("Union"), s"expected interior+edges union:\n$p")
+    // every scan in the union prunes its day partitions — the rollup
+    // interior AND both raw edges
+    val scanLines = p.linesIterator.filter(_.contains("Scan parquet")).toSeq
+    assert(scanLines.size == 3, s"expected rollup + two edge scans:\n$p")
+    scanLines.foreach { l =>
+      assert(l.contains("PartitionFilters: [") && !l.contains("PartitionFilters: []"),
+        s"a split scan does not prune day partitions:\n$l")
+    }
+  }
+
   test("read path scans only the columns it needs") {
     // other suites cache the samples view; drop caches so the
     // assertions see the parquet scan, not an InMemoryTableScan

@@ -190,6 +190,36 @@ object ScaleSmoke {
         RollupStore.selectKeyed(RollupStore.read(spark, rpath), q, 3600L).count())
     }
 
+    // Append metadata cost vs store size: land the SAME small append
+    // in stores holding m× history. With delta commits the manifest
+    // bytes a /write pays must be FLAT in m (pre-delta they were the
+    // full live-file list — linear in store size); append wall time
+    // tracks the data staged, not the history held.
+    if (sectionEnabled("manifest")) {
+      import graft.ingest.SamplesStore
+      import org.apache.hadoop.fs.Path
+      val samples0 = graft.sources.Tables.samples(spark, "/root/testdata/sf0.1")
+      val spanDays = 30L
+      val hot = samples0.filter(col("ts_us") < lit(1704499200000000L)).limit(2000).cache()
+      hot.count()
+      for (m <- Seq(1, 2, 4)) {
+        val path = s"/tmp/graft_scale/manifest_m$m"
+        val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(path), true)
+        SamplesStore.write(
+          (0 until m).map(i => samples0.withColumn("ts_us",
+            col("ts_us") + lit(i * spanDays * 86400L * 1000000L))).reduce(_ unionAll _),
+          path)
+        val mdir = new Path(path, "_manifests")
+        def newestManifestBytes: Long = fs.listStatus(mdir)
+          .filter(_.getPath.getName.startsWith("m-"))
+          .maxBy(_.getPath.getName).getLen
+        val checkpointBytes = newestManifestBytes // the bulk write's full list
+        time(s"appendToStore   m=$m ckptB=$checkpointBytes")(
+          { SamplesStore.append(hot, path); newestManifestBytes })
+      }
+    }
+
     // Compaction: history length (m× days of store, ts shifted per
     // copy) grows; fragmentation stays constant (8 small appends into
     // the FIRST day only — the hot write frontier). Full compact pays

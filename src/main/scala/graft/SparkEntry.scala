@@ -511,6 +511,27 @@ object SparkEntry {
       RangeOps.offsetCompare(
         RangeOps.dedupPerSecond(samples(s, dir)), 3600L, 86400L))),
 
+    // PromQL irate: rate between each hourly bucket's last two points
+    "ts_irate" -> ((s, dir) => (
+      RangeOps.irate(RangeOps.dedupPerSecond(samples(s, dir)), 3600L))),
+
+    // PromQL changes: value-change count per 6h bucket
+    "ts_changes" -> ((s, dir) => (
+      RangeOps.changes(RangeOps.dedupPerSecond(samples(s, dir)), 21600L))),
+
+    // PromQL clamp/clamp_min/clamp_max over the value range
+    "ts_clamp" -> ((s, dir) => (
+      RangeOps.clamp(RangeOps.dedupPerSecond(samples(s, dir)), 50.0, 300.0))),
+
+    // PromQL bottomk: the 3 quietest series per metric-day
+    "ts_bottomk" -> ((s, dir) => (
+      RangeOps.bottomK(RangeOps.dedupPerSecond(samples(s, dir)), 86400L, 3))),
+
+    // PromQL absent_over_time over the flagship window's day grid
+    "ts_absent" -> ((s, dir) => (
+      RangeOps.absentOverTime(RangeOps.dedupPerSecond(samples(s, dir)),
+        86400L, WinStartMs / 1000, WinEndMs / 1000))),
+
     "ingest_streaming_window" -> ((s, dir) => {
       val src = ensureEventsSrc(s, dir, "stream_win_src")
       StreamIngest.runWindowedToMemory(s, src,
@@ -565,6 +586,26 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
 
     "text_ngram_freq" -> ((s, dir) => TextAnalysis.ngramFreq(Tables.documents(s, dir))),
+
+    // PII scrub over documents with deterministic synthetic PII
+    // injected into every third doc (the corpus itself is clean, so
+    // the injection is what proves the patterns fire); the oracle
+    // applies the identical injection expression.
+    "text_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(Tables.documents(s, dir).withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(
+          col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@ex"), (col("doc_id") % 7).cast("string"),
+          lit(".com via 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string"),
+          lit(" tel 555"), (col("doc_id") * 9973).cast("string")))
+          .otherwise(col("text"))))),
+
+    // Gopher-style repetition filters: distinct-word ratio, top-word
+    // share, duplicate-bigram fraction.
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(Tables.documents(s, dir))),
 
     // Deterministic split assignment: membership is a pure function
     // of (salt, doc_id) — stable across runs, partitionings, and
@@ -1086,6 +1127,82 @@ object SparkEntry {
          |         RANGE BETWEEN 86400 PRECEDING AND 86400 PRECEDING) AS delta_e5
          |FROM bucketed""".stripMargin,
 
+    // last-two-points instant rate; reset (last < prev) takes the
+    // post-reset value as the delta; single-point buckets → NULL
+    "ts_irate" ->
+      s"""$dedupCte, ranked AS (
+         |  SELECT metric, labels, t_sec // 3600 * 3600 AS bucket, t_sec, value,
+         |         row_number() OVER (PARTITION BY metric, labels, t_sec // 3600 * 3600
+         |                            ORDER BY t_sec DESC) AS rn
+         |  FROM deduped
+         |), tail2 AS (
+         |  SELECT metric, labels, bucket,
+         |         max(t_sec) AS t_last, arg_max(value, t_sec) AS v_last,
+         |         min(t_sec) AS t_prev, arg_min(value, t_sec) AS v_prev,
+         |         count(*) AS n_tail_points
+         |  FROM ranked WHERE rn <= 2 GROUP BY 1, 2, 3
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, bucket,
+         |       CASE WHEN n_tail_points < 2 THEN NULL
+         |            ELSE CAST(floor((CASE WHEN v_last >= v_prev THEN v_last - v_prev ELSE v_last END)
+         |                 / (t_last - t_prev)::DOUBLE * 1000000 + 0.5) AS BIGINT)
+         |       END AS irate_e6,
+         |       n_tail_points
+         |FROM tail2""".stripMargin,
+
+    "ts_changes" ->
+      s"""$dedupCte, flagged AS (
+         |  SELECT metric, labels, t_sec, value,
+         |         lag(value) OVER (PARTITION BY metric, labels ORDER BY t_sec) AS prev
+         |  FROM deduped
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str,
+         |       t_sec // 21600 * 21600 AS bucket,
+         |       CAST(sum(CASE WHEN prev IS NOT NULL AND value <> prev THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         |       count(*) AS n_points
+         |FROM flagged GROUP BY 1, 2, 3""".stripMargin,
+
+    "ts_clamp" ->
+      s"""$dedupCte
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, t_sec, value,
+         |       least(greatest(value, 50.0), 300.0) AS clamped,
+         |       greatest(value, 50.0) AS clamped_min,
+         |       least(value, 300.0) AS clamped_max
+         |FROM deduped""".stripMargin,
+
+    "ts_bottomk" ->
+      s"""$dedupCte, bucketed AS (
+         |  SELECT metric, labels, t_sec // 86400 * 86400 AS bucket,
+         |         round(sum(value), 6) AS sum_value
+         |  FROM deduped GROUP BY 1, 2, 3
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY metric, bucket
+         |    ORDER BY sum_value ASC, array_to_string(labels, ',') ASC) AS rk
+         |  FROM bucketed
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, bucket, sum_value, rk
+         |FROM ranked WHERE rk <= 3""".stripMargin,
+
+    // dense metric × day grid over the flagship window; absent where
+    // the metric reported no samples that day
+    "ts_absent" ->
+      s"""$dedupCte, grid AS (
+         |  SELECT m.metric, g.bucket
+         |  FROM (SELECT DISTINCT metric FROM deduped) m,
+         |       range($WinStartSec // 86400 * 86400,
+         |             ($WinEndSec - 1) // 86400 * 86400 + 86400, 86400) g(bucket)
+         |), present AS (
+         |  SELECT metric, t_sec // 86400 * 86400 AS bucket, count(*) AS n_points
+         |  FROM deduped
+         |  WHERE t_sec >= $WinStartSec // 86400 * 86400 AND t_sec < $WinEndSec
+         |  GROUP BY 1, 2
+         |)
+         |SELECT grid.metric, grid.bucket,
+         |       present.n_points IS NULL AS absent,
+         |       coalesce(present.n_points, 0) AS n_points
+         |FROM grid LEFT JOIN present USING (metric, bucket)""".stripMargin,
+
     "ingest_streaming_window" ->
       s"""$S
          |SELECT metric, ts_us // 1000000 // 3600 * 3600 AS bucket,
@@ -1360,6 +1477,60 @@ object SparkEntry {
          |       list_reduce(list_prepend(0::BIGINT, hs), (acc, h) -> (acc * 131 + h) % $H) AS fingerprint,
          |       len(toks) AS n_tokens
          |FROM hs""".stripMargin,
+
+    // identical injection expression, then the same three ordered
+    // regex passes with the 'g' flag (DuckDB defaults to first-match;
+    // Spark replaces all)
+    "text_pii_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      val run = "[0-9]{7,}"
+      s"""WITH injected AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 3 = 0 THEN text
+         |                || ' contact u' || CAST(doc_id AS VARCHAR)
+         |                || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+         |                || '.com via 10.' || CAST(doc_id % 256 AS VARCHAR)
+         |                || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+         |                || ' tel 555' || CAST(doc_id * 9973 AS VARCHAR)
+         |              ELSE text END AS text
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |       len(regexp_extract_all(text, '$email')) AS n_emails,
+         |       len(regexp_extract_all(text, '$ipv4')) AS n_ipv4,
+         |       len(regexp_extract_all(text, '$run')) AS n_digit_runs,
+         |       md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |         '$email', '<EMAIL>', 'g'), '$ipv4', '<IP>', 'g'), '$run', '<NUM>', 'g'))
+         |         AS scrubbed_md5,
+         |       strlen(regexp_replace(regexp_replace(regexp_replace(text,
+         |         '$email', '<EMAIL>', 'g'), '$ipv4', '<IP>', 'g'), '$run', '<NUM>', 'g'))
+         |         AS n_chars_scrubbed
+         |FROM injected""".stripMargin
+    },
+
+    "text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), feat AS (
+        |  SELECT doc_id, len(words) AS n_words,
+        |         len(list_distinct(words)) AS n_distinct_words,
+        |         CASE WHEN len(words) >= 2
+        |              THEN [words[i] || ' ' || words[i+1] for i in range(1, len(words))]
+        |              ELSE [] END AS grams,
+        |         list_max(list_transform(list_distinct(words),
+        |           x -> len(list_filter(words, y -> y = x)))) AS top_word_count
+        |  FROM w
+        |)
+        |SELECT doc_id, n_words, n_distinct_words,
+        |       n_distinct_words::BIGINT * 1000000 // n_words AS distinct_ratio_e6,
+        |       top_word_count,
+        |       top_word_count * 1000000 // n_words AS top_word_frac_e6,
+        |       len(grams) AS n_grams,
+        |       CASE WHEN len(grams) = 0 THEN NULL
+        |            ELSE (len(grams) - len(list_distinct(grams)))::BIGINT * 1000000 // len(grams)
+        |       END AS dup_gram_frac_e6
+        |FROM feat""".stripMargin,
 
     // top-100 corpus bigrams, every occurrence counted; count-desc
     // gram-asc makes the LIMIT boundary engine-deterministic

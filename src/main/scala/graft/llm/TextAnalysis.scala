@@ -154,6 +154,82 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** PII patterns shared by the scrub and its oracle. Kept to syntax
+    * with identical semantics in Java regex and RE2 (no backrefs, no
+    * lookaround, no alternation whose leftmost-first vs
+    * leftmost-longest resolution could differ). */
+  val EmailRe    = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re     = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val DigitRunRe = "[0-9]{7,}"
+
+  /** PII scrub: per-doc counts of email / IPv4 / long-digit-run
+    * matches, plus the md5 and length of the text with all three
+    * redacted to typed placeholders. Redaction order matters and is
+    * fixed (emails first — they contain dots and digits an IP or
+    * digit-run pattern would partially claim; then IPs; digit runs
+    * last see only digits neither earlier pattern consumed). Counts
+    * are over the ORIGINAL text: an IPv4 octet is ≤3 digits, so no
+    * digit-run can hide inside a counted IP, and the synthetic corpus
+    * carries no IP-in-email corner.
+    *
+    * A narrow per-row projection — three regex passes per row, no
+    * shuffle; at 100 TB it scales with the scan like any filter. */
+  def piiScrub(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(Ipv4Re)).as("n_ipv4"),
+      regexp_count(col("text"), lit(DigitRunRe)).as("n_digit_runs"),
+      md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+        EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), DigitRunRe, "<NUM>"))
+        .as("scrubbed_md5"),
+      length(regexp_replace(regexp_replace(regexp_replace(col("text"),
+        EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), DigitRunRe, "<NUM>"))
+        .as("n_chars_scrubbed"))
+
+  /** Gopher-style repetition signals per doc: distinct-word ratio,
+    * most-frequent-word share, duplicate-2-gram fraction — the
+    * filters that catch boilerplate and degenerate generations where
+    * stopword/length heuristics ([[quality]]) pass.
+    *
+    * Scale shape: the array features (distinct counts, gram counts)
+    * are per-row codegen'd higher-order functions on the scan; only
+    * the top-word count shuffles, and it shuffles (doc_id, word)
+    * partial counts with map-side combine — never full texts — then
+    * reduces to one row per doc for an equi-join back on doc_id that
+    * AQE handles. The O(distinct²) alternative (count each distinct
+    * word with a nested filter, zero shuffle) loses on real corpora
+    * where docs run to 10k+ words. */
+  def repetition(documents: DataFrame): DataFrame = {
+    val feats = documents
+      .select(col("doc_id"), tokensCol.as("words"))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("n_distinct_words", size(array_distinct(col("words"))))
+      .withColumn("grams",
+        when(size(col("words")) >= 2, expr(
+          "transform(sequence(0, size(words)-2), i -> concat(words[i], ' ', words[i+1]))"))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+      .withColumn("n_grams", size(col("grams")))
+      .withColumn("n_distinct_grams", size(array_distinct(col("grams"))))
+    val topWord = documents
+      .select(col("doc_id"), explode(tokensCol).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_word_count"))
+    feats.join(topWord, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        // integer-exact 1e-6 ratios, like the quality features
+        expr("CAST(n_distinct_words AS BIGINT) * 1000000 DIV n_words")
+          .as("distinct_ratio_e6"),
+        col("top_word_count"),
+        expr("top_word_count * 1000000 DIV n_words").as("top_word_frac_e6"),
+        col("n_grams"),
+        expr("CASE WHEN n_grams = 0 THEN NULL ELSE " +
+          "CAST(n_grams - n_distinct_grams AS BIGINT) * 1000000 DIV n_grams END")
+          .as("dup_gram_frac_e6"))
+  }
+
   /** doc_id + polynomial rolling-hash fingerprint over token hashes:
     * acc = (acc*131 + h60(token)) % P, left fold from 0 in token
     * order. Tokens explode once through a codegen'd hash projection;

@@ -378,4 +378,109 @@ object RangeOps {
         expr(s"CAST(floor((${hqCaseSql(les)}) * 1000000 + 0.5) AS BIGINT)").as("q_est_e6"),
         col("total").cast("long").as("n_points"))
   }
+
+  /** PromQL `irate`: the per-second rate between each bucket's LAST
+    * TWO points — the spiky-counter instant rate, vs [[ratePerSecond]]'s
+    * every-consecutive-pair form. A counter reset (last < prev) takes
+    * the post-reset value as the delta, exactly Prometheus's reset
+    * handling; single-point buckets emit NULL (no pair to rate).
+    *
+    * Scale shape: one window (row_number per series-bucket, keyed on
+    * the same columns the following aggregate groups by, so the sort
+    * and the agg share one exchange) + one map-side-combined
+    * aggregate. The tail filter drops all but 2 rows per group before
+    * the agg, so the second stage carries series × buckets rows. */
+  def irate(deduped: DataFrame, intervalSec: Long): DataFrame = {
+    val w = Window.partitionBy(col("metric"), col("labels"), col("bucket"))
+      .orderBy(col("t_sec").desc)
+    deduped
+      .withColumn("bucket", expr(s"t_sec DIV $intervalSec * $intervalSec"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("metric"), col("labels"), col("bucket"))
+      .agg(max(col("t_sec")).as("t_last"),
+           max_by(col("value"), col("t_sec")).as("v_last"),
+           min(col("t_sec")).as("t_prev"),
+           min_by(col("value"), col("t_sec")).as("v_prev"),
+           count(lit(1)).as("n_tail_points"))
+      .withColumn("irate_e6",
+        when(col("n_tail_points") < 2, lit(null).cast("bigint"))
+          .otherwise(expr(
+            // floor-scaled like ratePerSecond: identical lag-diff
+            // arithmetic in both engines, no round() midpoint hazard
+            "CAST(floor((CASE WHEN v_last >= v_prev THEN v_last - v_prev ELSE v_last END) " +
+            "/ CAST(t_last - t_prev AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")))
+      .select(col("metric"), labelsStr, col("bucket"), col("irate_e6"),
+        col("n_tail_points"))
+  }
+
+  /** PromQL `changes`: how many times a series' value differed from
+    * its previous point, counted into the LATER point's bucket (the
+    * same cross-boundary convention as [[resets]] — a change across a
+    * bucket edge belongs to the bucket that observed it). A series'
+    * first point has no predecessor and counts zero. */
+  def changes(deduped: DataFrame, intervalSec: Long): DataFrame = {
+    val w = Window.partitionBy(seriesKey: _*).orderBy(col("t_sec"))
+    deduped
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .withColumn("is_change",
+        when(col("prev").isNotNull && col("value") =!= col("prev"), 1L).otherwise(0L))
+      .withColumn("bucket", expr(s"t_sec DIV $intervalSec * $intervalSec"))
+      .groupBy(col("metric"), col("labels"), col("bucket"))
+      .agg(sum(col("is_change")).as("n_changes"), count(lit(1)).as("n_points"))
+      .select(col("metric"), labelsStr, col("bucket"), col("n_changes"), col("n_points"))
+  }
+
+  /** PromQL `clamp` / `clamp_min` / `clamp_max` in one narrow per-row
+    * projection — no shuffle, scales with the scan. The outputs are
+    * either the stored double or the literal bound, so they hash
+    * identically across engines with no rounding convention. */
+  def clamp(deduped: DataFrame, lo: Double, hi: Double): DataFrame =
+    deduped.select(col("metric"), labelsStr, col("t_sec"), col("value"),
+      least(greatest(col("value"), lit(lo)), lit(hi)).as("clamped"),
+      greatest(col("value"), lit(lo)).as("clamped_min"),
+      least(col("value"), lit(hi)).as("clamped_max"))
+
+  /** Bottom-k series per (metric, bucket) by rounded sum(value) —
+    * [[topK]]'s mirror (PromQL `bottomk`). Same determinism contract:
+    * round-before-rank, labels digest breaks exact ties. */
+  def bottomK(deduped: DataFrame, intervalSec: Long, k: Int): DataFrame = {
+    val bucketed = overTime(deduped, intervalSec,
+      Seq(round(sum(col("value")), 6).as("sum_value")))
+    val w = Window.partitionBy(col("metric"), col("bucket"))
+      .orderBy(col("sum_value").asc, col("labels_str").asc)
+    bucketed
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** PromQL `absent_over_time` materialized over the query grid: one
+    * row per (metric, bucket) for every `intervalSec` bucket covering
+    * [startSec, endSec), with `absent` = true when the metric has no
+    * samples there — the alerting primitive ("did this target stop
+    * reporting?") a raw sample scan can't express because missing
+    * data has no rows.
+    *
+    * Scale shape: the grid is |metrics| × |buckets| rows — built from
+    * a DISTINCT over pre-aggregated metric names, independent of
+    * sample count — and the present side is one map-side-combined
+    * aggregate whose output is the same small cardinality, so the
+    * final left join broadcasts at any raw-data scale. */
+  def absentOverTime(deduped: DataFrame, intervalSec: Long,
+                     startSec: Long, endSec: Long): DataFrame = {
+    val b0 = startSec / intervalSec * intervalSec
+    val b1 = (endSec - 1) / intervalSec * intervalSec
+    val grid = deduped.select(col("metric")).distinct()
+      .select(col("metric"),
+        explode(sequence(lit(b0), lit(b1), lit(intervalSec))).as("bucket"))
+    val present = deduped
+      .filter(col("t_sec") >= b0 && col("t_sec") < endSec)
+      .withColumn("bucket", expr(s"t_sec DIV $intervalSec * $intervalSec"))
+      .groupBy(col("metric"), col("bucket"))
+      .agg(count(lit(1)).as("n_points"))
+    grid.join(present, Seq("metric", "bucket"), "left")
+      .select(col("metric"), col("bucket"),
+        col("n_points").isNull.as("absent"),
+        coalesce(col("n_points"), lit(0L)).as("n_points"))
+  }
 }

@@ -153,6 +153,40 @@ class LlmSpec extends SparkSpecBase {
     assert(q.filter(col("quality_score_e6") < 0 || col("quality_score_e6") > 1000000).count() == 0)
   }
 
+  test("pii scrub counts and redacts emails, IPs, digit runs; clean docs untouched") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "reach me at bob.smith+x@mail-svc.co.uk or 192.168.0.1 ref 12345678 end"),
+      (2L, "nothing sensitive here at all"),
+      (3L, "a@b.io a@c.io")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(d).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out(1L) == ((1, 1, 1)))
+    assert(out(2L) == ((0, 0, 0)))
+    assert(out(3L) == ((2, 0, 0)))
+    // clean doc's scrubbed md5 equals the md5 of the original text
+    val clean = TextAnalysis.piiScrub(d).filter(col("doc_id") === 2L)
+      .select(col("scrubbed_md5")).first().getString(0)
+    val direct = d.filter(col("doc_id") === 2L)
+      .select(md5(col("text"))).first().getString(0)
+    assert(clean == direct)
+  }
+
+  test("repetition features: hand-checked ratios on a degenerate doc") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spam spam spam spam"),          // 4 words, 1 distinct, 3 grams all equal
+      (2L, "all words here are different")  // 5 words, 5 distinct, 4 distinct grams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(d).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6), r.getLong(7))).toMap
+    //           n_words n_distinct ratio_e6  top  top_frac  n_grams dup_frac
+    assert(out(1L) == ((4, 1, 250000L, 4L, 1000000L, 3, 666666L)))
+    assert(out(2L) == ((5, 5, 1000000L, 1L, 200000L, 4, 0L)))
+  }
+
   test("fingerprint is deterministic and order-sensitive") {
     val fp1 = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val fp2 = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap

@@ -173,6 +173,67 @@ class SeriesReadSpec extends SparkSpecBase {
     assert(joined.filter(col("e50") > col("e90")).count() == 0, "quantile must be monotone in q")
   }
 
+  test("irate takes the bucket's last two points, handles resets, NULLs singletons") {
+    import spark.implicits._
+    val deduped = Seq(
+      ("m", Seq("user=1"), 100L, 10.0),   // dropped: only last TWO points rate
+      ("m", Seq("user=1"), 200L, 20.0),
+      ("m", Seq("user=1"), 300L, 26.0),   // irate = (26-20)/100 = 0.06
+      ("m", Seq("user=2"), 100L, 5.0),    // singleton bucket → NULL
+      ("m", Seq("user=3"), 100L, 50.0),
+      ("m", Seq("user=3"), 200L, 3.0)     // reset: delta = post-reset value 3.0
+    ).toDF("metric", "labels", "t_sec", "value")
+    val out = RangeOps.irate(deduped, 3600L)
+      .collect().map(r => (r.getString(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4))).toSet
+    assert(out == Set(
+      ("user=1", Some(60000L), 2L),
+      ("user=2", None, 1L),
+      ("user=3", Some(30000L), 2L)))
+  }
+
+  test("changes counts value differences into the later bucket, first point free") {
+    import spark.implicits._
+    val deduped = Seq(
+      ("m", Seq("u=1"), 100L, 1.0),
+      ("m", Seq("u=1"), 200L, 1.0),      // no change
+      ("m", Seq("u=1"), 300L, 2.0),      // change
+      ("m", Seq("u=1"), 21700L, 3.0)     // change, lands in SECOND bucket
+    ).toDF("metric", "labels", "t_sec", "value")
+    val out = RangeOps.changes(deduped, 21600L)
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(out == Map(0L -> 1L, 21600L -> 1L))
+  }
+
+  test("clamp bounds values both ways and one-sided") {
+    val out = RangeOps.clamp(RangeOps.dedupPerSecond(samples), 50.0, 300.0)
+    assert(out.filter(col("clamped") < 50.0 || col("clamped") > 300.0).count() == 0)
+    assert(out.filter(col("clamped_min") < 50.0).count() == 0)
+    assert(out.filter(col("clamped_max") > 300.0).count() == 0)
+    assert(out.count() == RangeOps.dedupPerSecond(samples).count())
+  }
+
+  test("bottomk is topk's mirror: k quietest series, deterministic ties") {
+    val bot = RangeOps.bottomK(RangeOps.dedupPerSecond(samples), 86400L, 3)
+    val top = RangeOps.topK(RangeOps.dedupPerSecond(samples), 86400L, 3)
+    assert(bot.filter(col("rk") > 3).count() == 0)
+    // on any (metric, bucket) with >3 series the sets differ
+    val botMin = bot.groupBy("metric", "bucket").agg(min("sum_value").as("b"))
+    val topMax = top.groupBy("metric", "bucket").agg(max("sum_value").as("t"))
+    val j = botMin.join(topMax, Seq("metric", "bucket"))
+    assert(j.filter(col("b") > col("t")).count() == 0)
+  }
+
+  test("absent_over_time grid covers every metric × bucket; absent ⇔ zero points") {
+    val deduped = RangeOps.dedupPerSecond(samples)
+    val out = RangeOps.absentOverTime(deduped, 86400L, 1704412800L, 1705708800L).cache()
+    val nMetrics = deduped.select("metric").distinct().count()
+    val nBuckets = (1705708800L - 1704412800L) / 86400L
+    assert(out.count() == nMetrics * nBuckets)
+    assert(out.filter(col("absent") && col("n_points") > 0).count() == 0)
+    assert(out.filter(!col("absent") && col("n_points") === 0).count() == 0)
+  }
+
   test("every declared query returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, Sf).count()

@@ -7,6 +7,7 @@ import graft.ingest.{Ingest, PromRemoteCodec, RollupStore, SamplesStore, StreamI
 import graft.ingest.PromRemoteCodec.{PromLabel, PromSample, PromTimeSeries}
 import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.operators._
+import graft.serve.PromQL
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -84,10 +85,10 @@ object SparkEntry {
   private def ensureEventsSrc(s: SparkSession, dir: String,
                               name: String, copies: Int = 1): String = {
     val src = workDir(name, dir)
-    payOnce(s, src, s"${srcFingerprint(s, dir, "events")}:copies=$copies") {
-      Tables.events(s, dir).write.mode("overwrite").parquet(src)
+    payOnce(s, src, s"${srcFingerprint(s, dir, "events")}:copies=$copies:ts_us") {
+      Tables.eventsNorm(s, dir).write.mode("overwrite").parquet(src)
       (1 until copies).foreach(_ =>
-        Tables.events(s, dir).write.mode("append").parquet(src))
+        Tables.eventsNorm(s, dir).write.mode("append").parquet(src))
     }
     src
   }
@@ -224,6 +225,25 @@ object SparkEntry {
           "an unaligned window with interior buckets must route to the rollup"))
       sel.select(col("metric"), array_join(col("labels"), ",").as("labels_str"),
         col("t_sec"), round(col("max_value"), 6).as("max_value"))
+    }),
+
+    // the rollup's payoff inside the PromQL evaluator: an aligned
+    // tiling sum_over_time serves from rollup rows (sum of per-bucket
+    // sums), and the answer equals the raw-samples computation the
+    // oracle performs — the recording-rule contract for the query API
+    "store_rollup_serve_sum" -> ((s, dir) => {
+      val path = workDir("rollupservesum", dir)
+      val rpath = workDir("rollupservesum_roll", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.delete(new org.apache.hadoop.fs.Path(rpath), true)
+      SamplesStore.write(samples(s, dir), path)
+      RollupStore.rollup(s, path, rpath, 3600L)
+      promqlStr(PromQL.eval(SamplesStore.read(s, path),
+        parsePromQL("sum_over_time(click[2h])"),
+        WinStartSec + 7200, WinEndSec, 7200L,
+        rollup = Some(PromQL.RollupGrid(path, rpath, 3600L))))
     }),
 
     "store_compact" -> ((s, dir) => {
@@ -660,7 +680,37 @@ object SparkEntry {
         ReadQuery(WinStartMs, WinEndMs,
           Matchers.parseSelector("""{__name__=~"click|view",user=~"1[0-9]"}""")
             .getOrElse(sys.error("selector must parse"))))),
+
+    // ---- PromQL query endpoint (the evaluator behind
+    // /api/v1/query_range — grammar/semantics in serve/PromQL.scala).
+    // Each entry goes through the REAL parser, so the string → AST →
+    // plan path is what the oracle checks end-to-end.
+
+    // per-series observed-span rate on the step grid (overlapping
+    // [t-7d, t) windows, step 1d)
+    "promql_rate_range" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir), parsePromQL("rate(click[7d])"),
+        WinStartSec, WinEndSec, 86400L))),
+
+    // full pipeline: range fn → sum by (user) → topk, one expression
+    "promql_agg_topk" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("topk(3, sum by (user) (sum_over_time(click[1d])))"),
+        WinStartSec, WinEndSec, 86400L))),
+
+    // instant vector on a 6h grid with a 1d staleness lookback
+    "promql_instant" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir), parsePromQL("click"),
+        WinStartSec, WinEndSec, 21600L, lookbackSec = 86400L))),
   )
+
+  /** PromQL evaluator output → oracle-safe scalar columns. */
+  private def promqlStr(df: DataFrame): DataFrame =
+    df.select(col("metric"), array_join(col("labels"), ",").as("labels_str"),
+      col("t"), col("v_e6"))
+
+  private def parsePromQL(q: String): PromQL.Expr =
+    PromQL.parse(q).fold(e => sys.error(s"promql must parse: $e"), identity)
 
   // ---- DuckDB oracles ----------------------------------------------
 
@@ -811,6 +861,19 @@ object SparkEntry {
          |FROM deduped
          |WHERE metric = 'click'
          |  AND t_sec >= ${WinStartSec + 900} AND t_sec <= ${WinEndSec - 901}
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // the rollup-served tiling sum_over_time equals the raw sum per
+    // window [t-7200, t) — samples at t_sec land in the window ending
+    // at the NEXT 7200 boundary (grid origin is 7200-aligned)
+    "store_rollup_serve_sum" ->
+      s"""$dedupCte
+         |SELECT metric, array_to_string(labels, ',') AS labels_str,
+         |       t_sec // 7200 * 7200 + 7200 AS t,
+         |       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) * 10000 AS v_e6
+         |FROM deduped
+         |WHERE metric = 'click'
+         |  AND t_sec >= $WinStartSec AND t_sec < $WinEndSec
          |GROUP BY 1, 2, 3""".stripMargin,
 
     // selective compaction must be result-invariant too
@@ -1503,7 +1566,7 @@ object SparkEntry {
          |       md5(regexp_replace(regexp_replace(regexp_replace(text,
          |         '$email', '<EMAIL>', 'g'), '$ipv4', '<IP>', 'g'), '$run', '<NUM>', 'g'))
          |         AS scrubbed_md5,
-         |       strlen(regexp_replace(regexp_replace(regexp_replace(text,
+         |       length(regexp_replace(regexp_replace(regexp_replace(text,
          |         '$email', '<EMAIL>', 'g'), '$ipv4', '<IP>', 'g'), '$run', '<NUM>', 'g'))
          |         AS n_chars_scrubbed
          |FROM injected""".stripMargin
@@ -1511,7 +1574,7 @@ object SparkEntry {
 
     "text_repetition" ->
       """WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words FROM documents
         |), feat AS (
         |  SELECT doc_id, len(words) AS n_words,
         |         len(list_distinct(words)) AS n_distinct_words,
@@ -1718,5 +1781,83 @@ object SparkEntry {
          |  AND regexp_matches(metric, '^click|view$$')
          |  AND len([l for l in labels if regexp_matches(l, '^user=1[0-9]$$')]) > 0
          |GROUP BY metric, labels""".stripMargin,
+
+    // ---- PromQL evaluator (serve/PromQL.scala semantics: windows
+    // [t-d, t) on the grid t = start + k*step; exact integer
+    // micro-units; rate = observed-span Δv/Δt, half-up rounded) ----
+
+    "promql_rate_range" ->
+      s"""$dedupCte, sel AS (
+         |  SELECT * FROM deduped
+         |  WHERE metric = 'click'
+         |    AND t_sec >= ${WinStartSec - 604800} AND t_sec <= ${WinEndSec - 1}
+         |), grid AS (SELECT unnest(range(0, 16)) AS k),
+         |j AS (
+         |  SELECT s.metric, s.labels, $WinStartSec + g.k * 86400 AS t,
+         |         s.t_sec, s.value
+         |  FROM sel s JOIN grid g
+         |    ON s.t_sec >= $WinStartSec + g.k * 86400 - 604800
+         |   AND s.t_sec <  $WinStartSec + g.k * 86400
+         |), st AS (
+         |  SELECT metric, labels, t, count(*) AS n,
+         |         min(t_sec) AS tf, max(t_sec) AS tl,
+         |         arg_min(value, t_sec) AS vf, arg_max(value, t_sec) AS vl
+         |  FROM j GROUP BY 1, 2, 3
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, t,
+         |       CAST(floor((2.0 * (CAST(floor((vl - vf) * 100 + 0.5) AS BIGINT) * 10000)
+         |            + (tl - tf)) / (2.0 * (tl - tf))) AS BIGINT) AS v_e6
+         |FROM st
+         |WHERE n >= 2 AND tl > tf
+         |  AND CAST(floor((vl - vf) * 100 + 0.5) AS BIGINT) >= 0""".stripMargin,
+
+    "promql_agg_topk" ->
+      s"""$dedupCte, sel AS (
+         |  SELECT * FROM deduped
+         |  WHERE metric = 'click'
+         |    AND t_sec >= ${WinStartSec - 86400} AND t_sec <= ${WinEndSec - 1}
+         |), grid AS (SELECT unnest(range(0, 16)) AS k),
+         |j AS (
+         |  SELECT s.labels, $WinStartSec + g.k * 86400 AS t, s.value
+         |  FROM sel s JOIN grid g
+         |    ON s.t_sec >= $WinStartSec + g.k * 86400 - 86400
+         |   AND s.t_sec <  $WinStartSec + g.k * 86400
+         |), sot AS (
+         |  SELECT labels, t,
+         |         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) * 10000 AS v_e6
+         |  FROM j GROUP BY 1, 2
+         |), agg AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
+         |         CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2
+         |), rk AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY t
+         |    ORDER BY v_e6 DESC, array_to_string(labels, ',') ASC) AS rk
+         |  FROM agg
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(labels, ',') AS labels_str, t, v_e6
+         |FROM rk WHERE rk <= 3""".stripMargin,
+
+    "promql_instant" ->
+      s"""$dedupCte, sel AS (
+         |  SELECT * FROM deduped
+         |  WHERE metric = 'click'
+         |    AND t_sec >= ${WinStartSec - 86400 + 1} AND t_sec <= $WinEndSec
+         |), grid AS (SELECT unnest(range(0, 61)) AS k),
+         |j AS (
+         |  SELECT s.metric, s.labels, $WinStartSec + g.k * 21600 AS t,
+         |         s.t_sec, s.value
+         |  FROM sel s JOIN grid g
+         |    ON s.t_sec <= $WinStartSec + g.k * 21600
+         |   AND s.t_sec >  $WinStartSec + g.k * 21600 - 86400
+         |), st AS (
+         |  SELECT metric, labels, t, arg_max(value, t_sec) AS v
+         |  FROM j GROUP BY 1, 2, 3
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, t,
+         |       CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS v_e6
+         |FROM st""".stripMargin,
   )
 }

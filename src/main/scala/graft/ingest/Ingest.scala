@@ -388,7 +388,8 @@ object SamplesStore {
     * `cached`'s generation, whose resolved file set seeds the replay —
     * then apply the deltas forward. Chains are ≤ [[CheckpointEvery]]
     * deltas long, and commit history is linear (commits serialize on
-    * the store's mutation lock; a lost rename race re-bases), so a
+    * the store's mutation lock; a rename landing on an occupied slot
+    * aborts the commit loudly rather than fork the chain), so a
     * cached generation on file is always an ancestor of `gen`. */
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem, root: Path,
                            gen: Long, cached: Option[StoreSnapshot] = None): StoreSnapshot = {
@@ -417,22 +418,32 @@ object SamplesStore {
   /** Write manifest `content` for the next generation after
     * `prevGen` and RENAME it into its slot — the commit point (rename
     * fails on an existing target, so a generation can never be
-    * half-written or double-claimed; on a lost race the writer bumps
-    * the generation and retries `render`ed for the new slot). Called
-    * under the mutation lock. */
+    * half-written or double-claimed). Called under the mutation lock,
+    * which makes a failed rename IMPOSSIBLE in-contract: every commit
+    * in this JVM serialized behind us, so an occupied `m-(prevGen+1)`
+    * slot means a SECOND WRITER PROCESS committed against the same
+    * store. Retrying on the next slot would silently orphan that
+    * writer's generation (the delta chain follows `base` pointers and
+    * would skip it), so the out-of-contract misconfiguration fails
+    * loudly instead — the store is left exactly as the other writer
+    * committed it, nothing is lost. */
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem, root: Path,
                             prevGen: Long)(render: Long => String): Long = {
     val dir = new Path(root, ManifestDir)
     fs.mkdirs(dir)
-    var gen = prevGen + 1
-    var done = false
-    while (!done) {
-      val tmp = new Path(dir, s".tmp-$gen-${java.util.UUID.randomUUID()}")
-      val out = fs.create(tmp, true)
-      out.write(render(gen).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out.close()
-      if (fs.rename(tmp, manifestFile(root, gen))) done = true
-      else { fs.delete(tmp, false); gen += 1 }
+    val gen = prevGen + 1
+    val tmp = new Path(dir, s".tmp-$gen-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    out.write(render(gen).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    if (!fs.rename(tmp, manifestFile(root, gen))) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"concurrent writer detected: manifest generation $gen already exists " +
+        s"under $root/$ManifestDir — this store has a single-writer-process " +
+        "contract (mutations serialize on an in-JVM lock); a second process " +
+        "appears to be committing to the same store path. Aborting this " +
+        "commit; the other writer's generation is preserved.")
     }
     gen
   }
@@ -583,6 +594,14 @@ object SamplesStore {
     * across every rewrite. Returns the max live-file count across the
     * touched days (manifest math, no extra listing) — the caller's
     * fragmentation signal. */
+  /** Test seam: runs after an append resolves its base snapshot but
+    * before it stages and commits — the TOCTOU window where a second
+    * writer PROCESS (out of contract; mutations only serialize on the
+    * in-JVM lock) could claim the next manifest generation first.
+    * Lets StoreSpec fake that foreign commit deterministically and
+    * assert the loud [[writeManifest]] abort. */
+  private[graft] var onAppendSnapshotResolved: () => Unit = () => ()
+
   private def appendSnapshot(samples: DataFrame, path: String,
                              batchId: Option[Long]): Int = {
     val fs = fsFor(samples.sparkSession, path)
@@ -590,6 +609,7 @@ object SamplesStore {
       recoverSwap(fs, path)
       val root = new Path(path)
       val prev = snapshotOrAdopt(fs, root)
+      onAppendSnapshotResolved()
       if (batchId.exists(_ <= prev.maxBatchId)) 0 // checkpoint replay: already committed
       else {
         val prefix = batchId.map(id => s"b$id-").getOrElse("")
@@ -1250,9 +1270,13 @@ object StreamIngest {
 
   import org.apache.spark.sql.types._
 
-  /** events parquet schema with ts as raw INT64 nanos (nanosAsLong). */
+  /** Staging schema for streaming sources: the [[graft.sources.Tables.eventsNorm]]
+    * form with the time axis already normalized to epoch-µs BIGINT —
+    * a file-source stream needs a declared schema, and declaring the
+    * normalized one keeps the stream independent of which parquet
+    * timestamp generation the raw testdata carries. */
   val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts_us", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -1261,7 +1285,7 @@ object StreamIngest {
   def runToMemory(spark: SparkSession, srcDir: String, queryName: String): DataFrame = {
     val stream = spark.readStream.schema(eventsSchema).parquet(srcDir)
       .select(
-        expr("ts DIV 1000").as("ts_us"),
+        col("ts_us"),
         col("event_type").as("metric"),
         array_sort(array(
           concat(lit("k="), regexp_extract(col("props"), "[0-9]+", 0)),
@@ -1290,7 +1314,7 @@ object StreamIngest {
   def runWindowedToMemory(spark: SparkSession, srcDir: String, queryName: String): DataFrame = {
     val stream = spark.readStream.schema(eventsSchema).parquet(srcDir)
       .select(
-        timestamp_micros(expr("ts DIV 1000")).as("event_ts"),
+        timestamp_micros(col("ts_us")).as("event_ts"),
         col("event_type").as("metric"),
         col("value"))
       .withWatermark("event_ts", "1 hour")
@@ -1326,7 +1350,7 @@ object StreamIngest {
                  checkpointDir: String): DataFrame = {
     val stream = spark.readStream.schema(eventsSchema).parquet(srcDir)
       .select(
-        expr("ts DIV 1000").as("ts_us"),
+        col("ts_us"),
         col("event_type").as("metric"),
         array_sort(array(
           concat(lit("k="), regexp_extract(col("props"), "[0-9]+", 0)),
@@ -1361,7 +1385,7 @@ object StreamIngest {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     spark.readStream.schema(eventsSchema).parquet(srcDir)
-      .select(col("event_id"), timestamp_micros(expr("ts DIV 1000")).as("event_ts"),
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("event_ts"),
               col("event_type").as("metric"), col("value"))
       .withWatermark("event_ts", s"$horizonMs milliseconds")
       .as[(Long, java.sql.Timestamp, String, Double)]
@@ -1406,7 +1430,7 @@ object StreamIngest {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val stream = spark.readStream.schema(eventsSchema).parquet(srcDir)
-      .select(col("event_id"), expr("ts DIV 1000").as("ts_us"),
+      .select(col("event_id"), col("ts_us"),
               col("event_type").as("metric"), col("value"))
       .as[(Long, Long, String, Double)]
     val deduped = stream

@@ -201,8 +201,13 @@ object TextAnalysis {
     * word with a nested filter, zero shuffle) loses on real corpora
     * where docs run to 10k+ words. */
   def repetition(documents: DataFrame): DataFrame = {
+    // NULL text tokenizes as empty text: split(NULL) is NULL, explode
+    // of NULL emits nothing, and the doc would silently vanish from
+    // the inner join below while an engine that keeps NULL-feature
+    // rows would not — coalesce pins one convention on both sides
+    val toks = split(coalesce(col("text"), lit("")), " ")
     val feats = documents
-      .select(col("doc_id"), tokensCol.as("words"))
+      .select(col("doc_id"), toks.as("words"))
       .withColumn("n_words", size(col("words")))
       .withColumn("n_distinct_words", size(array_distinct(col("words"))))
       .withColumn("grams",
@@ -212,7 +217,7 @@ object TextAnalysis {
       .withColumn("n_grams", size(col("grams")))
       .withColumn("n_distinct_grams", size(array_distinct(col("grams"))))
     val topWord = documents
-      .select(col("doc_id"), explode(tokensCol).as("w"))
+      .select(col("doc_id"), explode(toks).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))

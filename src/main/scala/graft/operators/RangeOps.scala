@@ -234,7 +234,7 @@ object RangeOps {
 
   /** Top-k series per (metric, bucket) by rounded sum(value).
     * Rounding before ranking keeps the order stable across engines;
-    * labels digest breaks exact ties deterministically. */
+    * exact ties break on the joined labels string ascending. */
   def topK(deduped: DataFrame, intervalSec: Long, k: Int): DataFrame = {
     val bucketed = overTime(deduped, intervalSec,
       Seq(round(sum(col("value")), 6).as("sum_value")))
@@ -443,7 +443,8 @@ object RangeOps {
 
   /** Bottom-k series per (metric, bucket) by rounded sum(value) —
     * [[topK]]'s mirror (PromQL `bottomk`). Same determinism contract:
-    * round-before-rank, labels digest breaks exact ties. */
+    * round-before-rank, ties break on the joined labels string
+    * ascending. */
   def bottomK(deduped: DataFrame, intervalSec: Long, k: Int): DataFrame = {
     val bucketed = overTime(deduped, intervalSec,
       Seq(round(sum(col("value")), 6).as("sum_value")))

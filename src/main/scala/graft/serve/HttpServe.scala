@@ -290,9 +290,133 @@ object HttpServe {
       }
     })
 
+    // ---- PromQL query API ------------------------------------------
+    // The layer the reference lacks entirely: it serves remote-read
+    // and needs a Prometheus in front to evaluate anything. graft
+    // owns the operators, so /api/v1/query_range evaluates a
+    // whitelisted PromQL subset directly over the store (PromQL.scala
+    // documents grammar + semantics) — Grafana can point at graft as
+    // a Prometheus datasource with nothing in between.
+
+    def queryParams(ex: HttpExchange): Map[String, String] =
+      Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        .split("&").iterator.filter(_.nonEmpty)
+        .map(_.split("=", 2)).map {
+          case Array(k, v) => java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8")
+          case a => java.net.URLDecoder.decode(a(0), "UTF-8") -> ""
+        }.toMap
+
+    def badData(ex: HttpExchange, msg: String): Unit =
+      respond(ex, 400,
+        s"""{"status":"error","errorType":"bad_data","error":"${esc(msg)}"}"""
+          .getBytes(UTF_8),
+        Seq("Content-Type" -> "application/json"))
+
+    // Prometheus duration ("5m") or plain (float) seconds.
+    def parseStep(v: String): Option[Long] =
+      scala.util.Try(v.toDouble).toOption.map(d => math.max(1L, d.toLong))
+        .orElse(PromQL.parse(s"rate(x[$v])").toOption.collect {
+          case PromQL.RangeCall(_, _, d) => d
+        })
+
+    def servePromQuery(ex: HttpExchange, rangeMode: Boolean): Unit = {
+      val params = queryParams(ex)
+      val exprE = params.get("query").toRight("missing query parameter")
+        .flatMap(PromQL.parse)
+      val boundsE: Either[String, (Long, Long, Long)] =
+        if (rangeMode) for {
+          s <- params.get("start").flatMap(parseTimeParam)
+            .toRight("missing or unparsable start")
+          e <- params.get("end").flatMap(parseTimeParam)
+            .toRight("missing or unparsable end")
+          st <- params.get("step").flatMap(parseStep)
+            .toRight("missing or unparsable step")
+          _ <- Either.cond(e >= s, (), "end must be >= start")
+          _ <- Either.cond((e - s) / st + 1 <= MaxQuerySteps, (),
+            s"exceeded maximum resolution of $MaxQuerySteps points per series")
+        } yield (s, e, st)
+        else {
+          val t = params.get("time").flatMap(parseTimeParam)
+            .getOrElse(System.currentTimeMillis() / 1000L)
+          Right((t, t, 1L))
+        }
+      (for { e <- exprE; b <- boundsE } yield (e, b)) match {
+        case Left(err) => badData(ex, err)
+        case Right((expr, (startSec, endSec, stepSec))) =>
+          val rows = SamplesStore.readLocked(storePath) {
+            storeSamples().map { df =>
+              PromQL.eval(df, expr, startSec, endSec, stepSec,
+                  ignoreLabel = ignoreLabel,
+                  rollup = Option(RemoteWrite.rollupIntervalSec)
+                    .filter(_ > 0).map(iv => PromQL.RollupGrid(storePath,
+                      RemoteWrite.rollupPathFor(storePath), iv)))
+                // bound the collect IN-PLAN, like the metadata caps
+                .limit(MaxQueryCells + 1)
+                .collect()
+            }.getOrElse(Array.empty[org.apache.spark.sql.Row])
+          }
+          if (rows.length > MaxQueryCells) {
+            respond(ex, 422,
+              s"""{"status":"error","errorType":"execution","error":"query would return more than $MaxQueryCells samples"}"""
+                .getBytes(UTF_8),
+              Seq("Content-Type" -> "application/json"))
+          } else {
+            val bySeries = rows
+              .map(r => ((Option(r.getString(0)), r.getSeq[String](1).toSeq),
+                (r.getLong(2), r.getLong(3))))
+              .groupBy(_._1).toSeq
+              .sortBy { case ((m, ls), _) => (m.getOrElse(""), ls.mkString(",")) }
+            def labelsJson(metric: Option[String], ls: Seq[String]): String =
+              (metric.map(m => s""""__name__":"${esc(m)}"""").toSeq ++ ls.map { l =>
+                val c = l.indexOf('=')
+                val (k, v) = if (c < 0) (l, "") else (l.substring(0, c), l.substring(c + 1))
+                s""""${esc(k)}":"${esc(v)}""""
+              }).mkString("{", ",", "}")
+            val body =
+              if (rangeMode) bySeries.map { case ((m, ls), pts) =>
+                val vals = pts.map(_._2).sortBy(_._1)
+                  .map { case (t, v) => s"""[$t,"${PromQL.formatE6(v)}"]""" }
+                  .mkString("[", ",", "]")
+                s"""{"metric":${labelsJson(m, ls)},"values":$vals}"""
+              }.mkString(
+                """{"status":"success","data":{"resultType":"matrix","result":[""",
+                ",", "]}}")
+              else bySeries.map { case ((m, ls), pts) =>
+                val (t, v) = pts.map(_._2).maxBy(_._1)
+                s"""{"metric":${labelsJson(m, ls)},"value":[$t,"${PromQL.formatE6(v)}"]}"""
+              }.mkString(
+                """{"status":"success","data":{"resultType":"vector","result":[""",
+                ",", "]}}")
+            respond(ex, 200, body.getBytes(UTF_8),
+              Seq("Content-Type" -> "application/json"))
+          }
+      }
+    }
+
+    server.createContext("/api/v1/query_range", (ex: HttpExchange) => guarded(ex) {
+      servePromQuery(ex, rangeMode = true)
+    })
+    server.createContext("/api/v1/query", (ex: HttpExchange) => guarded(ex) {
+      // JDK context matching is longest-prefix: query_range binds its
+      // own context above; anything else under this prefix that is
+      // not exactly /api/v1/query is an unknown path.
+      if (ex.getRequestURI.getPath != "/api/v1/query")
+        respond(ex, 404, "graft".getBytes(UTF_8),
+          Seq("Content-Type" -> "text/plain; charset=utf-8"))
+      else servePromQuery(ex, rangeMode = false)
+    })
+
     server.start()
     new GraftHttpServer(server, pool)
   }
+
+  /** Prometheus's query_range resolution cap (11k points/series). */
+  val MaxQuerySteps = 11000L
+
+  /** Cap on (series × steps) result cells one query may collect to
+    * the driver — the query API's analogue of maxReadSamples. */
+  val MaxQueryCells = 1000000
 
   /** True when the failure (anywhere in the cause chain) is the
     * transport telling us the CLIENT abandoned the connection — the

@@ -1,0 +1,544 @@
+package graft.serve
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.OpsMetrics
+import graft.ingest.RollupStore
+import graft.operators.{LabelMatcher, Matchers, SeriesRead}
+
+/** A small PromQL evaluator over the samples store — the layer the
+  * reference never had: it serves remote-read and leaves all query
+  * evaluation to the Prometheus in front of it (reference:
+  * main.go:55-74 only decodes prompb), so a user needs a whole
+  * Prometheus server just to chart. graft already owns the
+  * oracle-proven range operators (graft.operators.RangeOps) and the
+  * selector parser (Matchers.parseSelector); this module wires a
+  * whitelisted expression grammar over the same primitives so Grafana
+  * can talk to graft directly via `/api/v1/query_range`.
+  *
+  * Grammar (whitelist — anything else answers 400):
+  *   expr     := agg | rank | rangecall | selector
+  *   agg      := op ["by" "(" names ")"] "(" expr ")" ["by" "(" names ")"]
+  *               op ∈ sum avg min max count
+  *   rank     := ("topk"|"bottomk") "(" int "," expr ")"
+  *   rangecall:= fn "(" selector "[" dur "]" ")"
+  *               fn ∈ rate increase delta avg_over_time min_over_time
+  *                    max_over_time sum_over_time count_over_time
+  *   selector := PromQL instant-vector selector (Matchers.parseSelector)
+  *   dur      := (\d+ [smhdw])+ | \d+   (seconds resolution)
+  *
+  * Evaluation semantics (documented deviations from Prometheus, all
+  * chosen so the distributed plan is exact and engine-portable):
+  *  - The grid is t = start + k·step, 0 ≤ k, t ≤ end — Prometheus's.
+  *  - Range windows are LEFT-CLOSED [t-d, t), not (t-d, t]: aligned
+  *    windows then tile exactly onto the store's bucket convention
+  *    (`t DIV interval`), which is what lets a coarse
+  *    `sum_over_time` query serve from the ROLLUP twin byte-exactly
+  *    (see [[rangeFromRollup]]). Instant-selector lookback keeps the
+  *    Prometheus form (t-L, t] — "the latest sample at or before t".
+  *  - `rate` is the observed-span rate (Δv / (t_last - t_first), ≥2
+  *    points), the engine's runningDifference semantics
+  *    (README.md:124-140) — no Prometheus boundary extrapolation. A
+  *    window whose Δv is negative (counter reset) yields no sample,
+  *    like the read path's negative-difference guard.
+  *  - Values are exact integer MICRO-units end-to-end (`v_e6`
+  *    BIGINT): inputs carry two decimals, so sums snap to 1e-2
+  *    integers (floor(x·100+0.5) absorbs float noise) and every
+  *    ratio is rounded half-up in pure integer arithmetic
+  *    ([[halfUpSql]]) — bit-identical in any engine, no float-sum
+  *    order dependence anywhere in the tree. The HTTP layer formats
+  *    v_e6 back to decimal text; µ precision is far inside any
+  *    dashboard's needs.
+  *
+  * Scale shape: no joins anywhere. Each leaf is one pushed-down scan
+  * (time bounds + metric equality reach parquet via
+  * SeriesRead.timeBound), a per-second dedup, then an explode of each
+  * sample onto the ≤ d/step grid steps whose window holds it — the
+  * overlap amplification Prometheus pays per-step, paid once as rows
+  * that partial-aggregate map-side before the single (series, t)
+  * shuffle. Aggregation/rank nodes reuse the same keys. A coarse
+  * aligned *_over_time goes to the rollup instead: O(rollup rows)
+  * with the same output.
+  */
+object PromQL {
+
+  /** Prometheus's instant-vector staleness lookback: a selector at t
+    * answers the latest sample in (t-L, t]. */
+  val DefaultLookbackSec = 300L
+
+  // ---- AST --------------------------------------------------------
+
+  sealed trait Expr
+  /** Bare selector: instant vector at each grid step. */
+  final case class Instant(matchers: Seq[LabelMatcher]) extends Expr
+  /** fn(selector[d]) over window [t-d, t) at each grid step. */
+  final case class RangeCall(fn: String, matchers: Seq[LabelMatcher],
+                             rangeSec: Long) extends Expr
+  /** op by (keys) (child); empty keys = aggregate everything. */
+  final case class Agg(op: String, by: Seq[String], child: Expr) extends Expr
+  /** topk/bottomk(k, child) per grid step. */
+  final case class Rank(bottom: Boolean, k: Int, child: Expr) extends Expr
+
+  val RangeFns: Set[String] = Set("rate", "increase", "delta",
+    "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
+    "count_over_time")
+  val AggOps: Set[String] = Set("sum", "avg", "min", "max", "count")
+  /** The *_over_time subset a fresh aligned rollup can answer. */
+  private val RollupServable: Set[String] = Set("sum_over_time",
+    "min_over_time", "max_over_time", "count_over_time", "avg_over_time")
+
+  // ---- Parser -----------------------------------------------------
+
+  /** Parse a whitelisted PromQL expression; Left(message) → HTTP 400. */
+  def parse(input: String): Either[String, Expr] = {
+    val p = new Parser(input)
+    p.expr().flatMap { e =>
+      p.ws()
+      if (p.atEnd) Right(e)
+      else Left(s"unexpected trailing input at '${p.rest.take(20)}'")
+    }
+  }
+
+  private final class Parser(s: String) {
+    private var i = 0
+    def atEnd: Boolean = i >= s.length
+    def rest: String = s.substring(math.min(i, s.length))
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+
+    private def isIdentStart(c: Char) = c.isLetter || c == '_' || c == ':'
+    private def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_' || c == ':'
+
+    private def peekIdent(): Option[String] = {
+      ws()
+      if (i < s.length && isIdentStart(s.charAt(i))) {
+        var j = i + 1
+        while (j < s.length && isIdentChar(s.charAt(j))) j += 1
+        Some(s.substring(i, j))
+      } else None
+    }
+    private def takeIdent(): Option[String] =
+      peekIdent().map { id => i += id.length; id }
+
+    private def eat(c: Char): Either[String, Unit] = {
+      ws()
+      if (i < s.length && s.charAt(i) == c) { i += 1; Right(()) }
+      else Left(s"expected '$c' at '${rest.take(20)}'")
+    }
+
+    private def peekChar: Option[Char] = { ws(); if (atEnd) None else Some(s.charAt(i)) }
+
+    def expr(): Either[String, Expr] = {
+      ws()
+      val save = i
+      peekIdent() match {
+        case Some(id) if id == "topk" || id == "bottomk" =>
+          i += id.length
+          rank(bottom = id == "bottomk")
+        case Some(id) if AggOps(id) =>
+          i += id.length
+          val after = { val s2 = i; ws(); val c = peekChar; i = s2; c }
+          val kw = { val s2 = i; ws(); val k = peekIdent(); i = s2; k }
+          if (after.contains('(') || kw.contains("by") || kw.contains("without"))
+            agg(id)
+          else { i = save; selector() }
+        case Some(id) if RangeFns(id) =>
+          i += id.length
+          rangeCall(id)
+        case _ => selector()
+      }
+    }
+
+    private def rank(bottom: Boolean): Either[String, Expr] =
+      for {
+        _ <- eat('(')
+        k <- int()
+        _ <- eat(',')
+        child <- expr()
+        _ <- eat(')')
+        _ <- if (k > 0) Right(()) else Left("topk/bottomk k must be positive")
+      } yield Rank(bottom, k, child)
+
+    private def int(): Either[String, Int] = {
+      ws()
+      var j = i
+      while (j < s.length && s.charAt(j).isDigit) j += 1
+      if (j == i) Left(s"expected integer at '${rest.take(20)}'")
+      else {
+        val v = s.substring(i, j); i = j
+        v.toIntOption.toRight(s"integer out of range: $v")
+      }
+    }
+
+    private def agg(op: String): Either[String, Expr] = {
+      def byClause(): Either[String, Seq[String]] = {
+        val kw = { val s2 = i; ws(); val k = peekIdent(); i = s2; k }
+        kw match {
+          case Some("without") => Left("unsupported grouping modifier: without")
+          case Some("by") =>
+            ws(); i += 2
+            for {
+              _ <- eat('(')
+              names <- identList()
+              _ <- eat(')')
+            } yield names
+          case _ => Right(Seq.empty)
+        }
+      }
+      for {
+        pre <- byClause()
+        _ <- eat('(')
+        child <- expr()
+        _ <- eat(')')
+        post <- byClause()
+        by <- if (pre.nonEmpty && post.nonEmpty)
+                Left("duplicate by clause") else Right(pre ++ post)
+      } yield Agg(op, by, child)
+    }
+
+    private def identList(): Either[String, Seq[String]] = {
+      val names = Seq.newBuilder[String]
+      var done = false
+      var err: Option[String] = None
+      var first = true
+      while (!done && err.isEmpty) {
+        ws()
+        if (peekChar.contains(')') && first) done = true // by ()
+        else takeIdent() match {
+          case Some(n) =>
+            names += n
+            first = false
+            ws()
+            if (peekChar.contains(',')) i += 1 else done = true
+          case None => err = Some(s"expected label name at '${rest.take(20)}'")
+        }
+      }
+      err.toLeft(names.result())
+    }
+
+    private def rangeCall(fn: String): Either[String, Expr] =
+      for {
+        _ <- eat('(')
+        sel <- selectorMatchers()
+        _ <- eat('[')
+        d <- duration()
+        _ <- eat(']')
+        _ <- eat(')')
+      } yield RangeCall(fn, sel, d)
+
+    private def duration(): Either[String, Long] = {
+      ws()
+      var total = 0L
+      var any = false
+      var err: Option[String] = None
+      var more = true
+      while (more && err.isEmpty) {
+        var j = i
+        while (j < s.length && s.charAt(j).isDigit) j += 1
+        if (j == i) more = false
+        else {
+          val n = s.substring(i, j).toLongOption.getOrElse(-1L)
+          if (n < 0) err = Some("duration out of range")
+          else {
+            i = j
+            val unit = if (i < s.length) s.charAt(i) else ']'
+            val mult = unit match {
+              case 's' => 1L case 'm' => 60L case 'h' => 3600L
+              case 'd' => 86400L case 'w' => 604800L
+              case ']' => -1L // bare seconds, unit omitted
+              case c => -2L
+            }
+            mult match {
+              case -2L => err = Some(s"unsupported duration unit '$unit'")
+              case -1L => total += n; any = true; more = false
+              case m => i += 1; total += n * m; any = true
+            }
+          }
+        }
+      }
+      err match {
+        case Some(e) => Left(e)
+        case None if !any || total <= 0 => Left("expected positive duration")
+        case None => Right(total)
+      }
+    }
+
+    private def selector(): Either[String, Expr] =
+      selectorMatchers().map(Instant(_))
+
+    /** Scan one selector slice (name, optional balanced quote-aware
+      * braces) and delegate to the shared parser the `/api/v1/series`
+      * endpoint already uses. */
+    private def selectorMatchers(): Either[String, Seq[LabelMatcher]] = {
+      ws()
+      val start = i
+      while (i < s.length && isIdentChar(s.charAt(i))) i += 1
+      val afterName = i
+      ws()
+      if (i < s.length && s.charAt(i) == '{') {
+        i += 1
+        var inStr = false
+        var fine = true
+        while (fine && i < s.length && (inStr || s.charAt(i) != '}')) {
+          val c = s.charAt(i)
+          if (inStr && c == '\\') i += 1
+          else if (c == '"') inStr = !inStr
+          i += 1
+        }
+        if (i >= s.length) return Left("unterminated '{' in selector")
+        i += 1
+      } else i = afterName
+      val slice = s.substring(start, i).trim
+      if (slice.isEmpty) Left(s"expected selector at '${rest.take(20)}'")
+      else Matchers.parseSelector(slice)
+        .toRight(s"malformed selector '$slice'")
+    }
+  }
+
+  // ---- Evaluator --------------------------------------------------
+
+  /** A rollup twin the evaluator may serve coarse aligned
+    * *_over_time calls from — same config as RemoteRead.RollupRoute. */
+  final case class RollupGrid(srcPath: String, rollupPath: String, intervalSec: Long)
+
+  /** Engine-portable half-up rounding of the integer ratio a/b
+    * (b > 0): floor((2a+b)/(2b)) in double arithmetic. 2a+b and 2b
+    * are exact doubles for |a| < 2^52; when the true ratio is an
+    * integer both engines hit it exactly, and otherwise it sits ≥
+    * 1/(2b) from one — far beyond double rounding error. No engine's
+    * round() midpoint convention is ever consulted. */
+  private def halfUpSql(a: String, b: String): String =
+    s"CAST(FLOOR((2.0D * ($a) + ($b)) / (2.0D * ($b))) AS BIGINT)"
+
+  /** Evaluate `expr` on the grid t = startSec + k·stepSec ≤ endSec.
+    * Output: metric STRING (NULL above an aggregation), labels
+    * ARRAY<STRING>, t BIGINT, v_e6 BIGINT (micro-units). */
+  def eval(samples: DataFrame, expr0: Expr, startSec: Long, endSec: Long,
+           stepSec: Long, lookbackSec: Long = DefaultLookbackSec,
+           rollup: Option[RollupGrid] = None,
+           ignoreLabel: Option[String] = Some("remote=clickhouse")): DataFrame = {
+    require(stepSec > 0, "step must be positive")
+    require(endSec >= startSec, "end must be >= start")
+    expr0 match {
+      case Instant(ms) => instant(samples, ms, startSec, endSec, stepSec,
+        lookbackSec, ignoreLabel)
+      case RangeCall(fn, ms, d) =>
+        rollup.flatMap(rangeFromRollup(samples.sparkSession, _, fn, ms,
+            startSec, endSec, stepSec, d, ignoreLabel))
+          .getOrElse(rangeRaw(samples, fn, ms, startSec, endSec, stepSec, d,
+            ignoreLabel))
+      case Agg(op, by, child) =>
+        aggregate(eval(samples, child, startSec, endSec, stepSec, lookbackSec,
+          rollup, ignoreLabel), op, by)
+      case Rank(bottom, k, child) =>
+        rank(eval(samples, child, startSec, endSec, stepSec, lookbackSec,
+          rollup, ignoreLabel), bottom, k)
+    }
+  }
+
+  /** Matcher-filtered, time-bounded, per-second-deduped scan — the
+    * same select shape as the remote-read path (pushed ts_us bounds +
+    * day-partition pruning via SeriesRead.timeBound, per-second
+    * GROUP BY max like read.go:58). */
+  private def dedupedWindow(samples: DataFrame, matchers: Seq[LabelMatcher],
+                            loSec: Long, hiSec: Long,
+                            ignoreLabel: Option[String]): DataFrame =
+    SeriesRead.timeBound(samples, loSec * 1000L, hiSec * 1000L)
+      .filter(Matchers.compile(matchers, ignoreLabel))
+      .withColumn("t_sec", expr("ts_us DIV 1000000"))
+      .groupBy(col("metric"), col("labels"), col("t_sec"))
+      .agg(max(col("value")).as("value"))
+
+  /** Explode each deduped sample onto the grid steps whose window
+    * holds it, then one (series, t) aggregate. k-bound arithmetic is
+    * offset to stay non-negative so integer DIV is floor division in
+    * every engine. */
+  private def rangeRaw(samples: DataFrame, fn: String,
+                       matchers: Seq[LabelMatcher], start: Long, end: Long,
+                       step: Long, d: Long,
+                       ignoreLabel: Option[String]): DataFrame = {
+    val off = d / step + 2
+    val kTop = (end - start) / step
+    val stats = dedupedWindow(samples, matchers, start - d, end, ignoreLabel)
+      .filter(col("t_sec") >= start - d && col("t_sec") <= end - 1)
+      // window [t-d, t) ∋ t_sec  ⇔  t_sec < t ≤ t_sec + d
+      .withColumn("kmin", greatest(lit(0L),
+        expr(s"(t_sec - $start + ${off * step}) DIV $step - $off + 1")))
+      .withColumn("kmax", least(lit(kTop),
+        expr(s"(t_sec + $d - $start) DIV $step")))
+      .filter(col("kmax") >= col("kmin"))
+      .withColumn("k", explode(expr("sequence(kmin, kmax)")))
+      .withColumn("t", expr(s"$start + k * $step"))
+      .groupBy(col("metric"), col("labels"), col("t"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").as("sum_e2"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        min(col("t_sec")).as("t_first"), max(col("t_sec")).as("t_last"),
+        min_by(col("value"), col("t_sec")).as("v_first"),
+        max_by(col("value"), col("t_sec")).as("v_last"))
+    project(stats, fn)
+  }
+
+  /** Per-window stats → v_e6 for one range function (shared by the
+    * raw and rollup paths where applicable). */
+  private def project(stats: DataFrame, fn: String): DataFrame = {
+    val base = Seq(col("metric"), col("labels"), col("t"))
+    fn match {
+      case "sum_over_time" =>
+        stats.select(base :+ expr("sum_e2 * 10000").as("v_e6"): _*)
+      case "count_over_time" =>
+        stats.select(base :+ expr("n * 1000000").as("v_e6"): _*)
+      case "avg_over_time" =>
+        stats.select(base :+ expr(halfUpSql("sum_e2 * 10000", "n")).as("v_e6"): _*)
+      case "min_over_time" =>
+        stats.select(base :+
+          expr("CAST(floor(vmin * 1000000 + 0.5) AS BIGINT)").as("v_e6"): _*)
+      case "max_over_time" =>
+        stats.select(base :+
+          expr("CAST(floor(vmax * 1000000 + 0.5) AS BIGINT)").as("v_e6"): _*)
+      case "rate" =>
+        stats
+          .withColumn("dv_e2",
+            expr("CAST(floor((v_last - v_first) * 100 + 0.5) AS BIGINT)"))
+          .filter(col("n") >= 2 && col("t_last") > col("t_first") &&
+            col("dv_e2") >= 0)
+          .select(base :+
+            expr(halfUpSql("dv_e2 * 10000", "t_last - t_first")).as("v_e6"): _*)
+      case "increase" =>
+        stats
+          .filter(col("n") >= 2)
+          .select(base :+ expr(
+            "greatest(CAST(floor((v_last - v_first) * 100 + 0.5) AS BIGINT), 0L) * 10000")
+            .as("v_e6"): _*)
+      case "delta" =>
+        stats
+          .filter(col("n") >= 2)
+          .select(base :+ expr(
+            "CAST(floor((v_last - v_first) * 100 + 0.5) AS BIGINT) * 10000")
+            .as("v_e6"): _*)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported range function: $other")
+    }
+  }
+
+  /** Serve an aligned tiling *_over_time from the rollup twin:
+    * requires step == range (windows tile), range a multiple of the
+    * rollup interval, a bucket-aligned grid (start ≡ 0 mod interval),
+    * and a FRESH rollup over [start-d, end] — then every window
+    * [t-d, t) is an exact union of complete rollup buckets, and
+    * partial re-aggregation of the rollup's (sum, min, max, n)
+    * equals the raw answer bit-for-bit (the 1e-2 snap absorbs the
+    * partial-sum float noise exactly as it does the raw sum's).
+    * O(rollup rows) instead of O(raw samples) — the recording-rule
+    * payoff inside the evaluator. */
+  private def rangeFromRollup(spark: SparkSession, r: RollupGrid, fn: String,
+                              matchers: Seq[LabelMatcher], start: Long,
+                              end: Long, step: Long, d: Long,
+                              ignoreLabel: Option[String]): Option[DataFrame] = {
+    val servable = RollupServable(fn) && step == d && r.intervalSec > 0 &&
+      d % r.intervalSec == 0 && start % r.intervalSec == 0
+    if (!servable) None
+    else if (!RollupStore.freshFor(spark, r.srcPath, r.rollupPath,
+        r.intervalSec, start - d, end)) None
+    else Some {
+      OpsMetrics(spark).readsFromRollup.add(1)
+      val lo = start - d
+      val stats = RollupStore.read(spark, r.rollupPath)
+        .filter(col("bucket") >= lo && col("bucket") < end &&
+          col("date") >= lo / 86400 * 86400 && col("date") <= end)
+        .filter(Matchers.compile(matchers, ignoreLabel))
+        // the unique tiling window [t-d, t) containing bucket b
+        .withColumn("t", expr(s"(bucket - $lo) DIV $d * $d + $start"))
+        .filter(col("t") <= end)
+        .groupBy(col("metric"), col("labels"), col("t"))
+        .agg(sum(col("n_points")).as("n"),
+          expr("CAST(floor(sum(sum_value) * 100 + 0.5) AS BIGINT)").as("sum_e2"),
+          min(col("min_value")).as("vmin"), max(col("max_value")).as("vmax"))
+      project(stats, fn)
+    }
+  }
+
+  /** Instant vector: the latest sample in (t-L, t] per series per
+    * grid step — same explode shape with the Prometheus lookback
+    * convention. */
+  private def instant(samples: DataFrame, matchers: Seq[LabelMatcher],
+                      start: Long, end: Long, step: Long, lookback: Long,
+                      ignoreLabel: Option[String]): DataFrame = {
+    val off = lookback / step + 2
+    val kTop = (end - start) / step
+    dedupedWindow(samples, matchers, start - lookback + 1, end, ignoreLabel)
+      .filter(col("t_sec") >= start - lookback + 1 && col("t_sec") <= end)
+      // (t-L, t] ∋ t_sec  ⇔  t_sec ≤ t < t_sec + L
+      .withColumn("kmin", greatest(lit(0L),
+        expr(s"(t_sec - $start + ${off * step} + $step - 1) DIV $step - $off")))
+      .withColumn("kmax", least(lit(kTop),
+        expr(s"(t_sec + $lookback - 1 - $start) DIV $step")))
+      .filter(col("kmax") >= col("kmin"))
+      .withColumn("k", explode(expr("sequence(kmin, kmax)")))
+      .withColumn("t", expr(s"$start + k * $step"))
+      .groupBy(col("metric"), col("labels"), col("t"))
+      .agg(max_by(col("value"), col("t_sec")).as("v"))
+      .select(col("metric"), col("labels"), col("t"),
+        expr("CAST(floor(v * 1000000 + 0.5) AS BIGINT)").as("v_e6"))
+  }
+
+  /** sum/avg/min/max/count by (keys): Prometheus drops every label
+    * outside `by` (and the metric name). The kept "k=v" entries are a
+    * filter over the sorted labels array, so the grouped key stays
+    * sorted; cross-metric series with equal kept labels merge, as in
+    * Prometheus. */
+  private def aggregate(child: DataFrame, op: String, by: Seq[String]): DataFrame = {
+    val kept =
+      if (by.isEmpty) expr("CAST(array() AS ARRAY<STRING>)")
+      else expr(s"filter(labels, l -> ${
+        by.map(k => s"l LIKE '$k=%'").mkString(" OR ")})")
+    val g = child
+      .withColumn("labels", kept)
+      .groupBy(col("labels"), col("t"))
+      .agg(sum(col("v_e6")).as("s"), count(lit(1)).as("n"),
+        min(col("v_e6")).as("mn"), max(col("v_e6")).as("mx"))
+    val v = op match {
+      case "sum"   => expr("s")
+      case "min"   => expr("mn")
+      case "max"   => expr("mx")
+      case "count" => expr("n * 1000000")
+      case "avg"   => expr(halfUpSql("s", "n"))
+    }
+    g.select(lit(null).cast("string").as("metric"), col("labels"), col("t"),
+      v.cast("long").as("v_e6"))
+  }
+
+  /** topk/bottomk per grid step. Deterministic: ties break on the
+    * (metric, joined-labels) strings ascending. The per-t rank
+    * partition holds one row per SERIES (never raw samples), so the
+    * window's skew ceiling is series cardinality per step. */
+  private def rank(child: DataFrame, bottom: Boolean, k: Int): DataFrame = {
+    val ordered =
+      if (bottom) Seq(col("v_e6").asc) else Seq(col("v_e6").desc)
+    val w = Window.partitionBy(col("t")).orderBy(ordered ++ Seq(
+      coalesce(col("metric"), lit("")).asc, col("ls").asc): _*)
+    child
+      .withColumn("ls", array_join(col("labels"), ","))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("metric"), col("labels"), col("t"), col("v_e6"))
+  }
+
+  // ---- Result encoding -------------------------------------------
+
+  /** v_e6 → Prometheus's decimal sample-value text, by pure integer
+    * formatting (never through a double). */
+  def formatE6(v: Long): String = {
+    if (v < 0) "-" + formatE6(-v)
+    else {
+      val whole = v / 1000000L
+      val frac = (v % 1000000L).toInt
+      if (frac == 0) whole.toString
+      else {
+        val f = f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+        s"$whole.$f"
+      }
+    }
+  }
+}

@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   *
   * The test mapping derives samples from `events.parquet`:
   * metric=event_type, labels=sort([user=<user_id>, k=<props.k>]).
-  * `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark only
-  * reads with spark.sql.legacy.parquet.nanosAsLong=true (session must
-  * set it); ns DIV 1000 truncation matches DuckDB's ns→µs read.
+  * `events.ts` has shipped in two parquet generations — INT64
+  * TIMESTAMP(NANOS) (readable only as raw longs via
+  * spark.sql.legacy.parquet.nanosAsLong=true) and a native µs
+  * timestamp — so [[eventsNorm]] dispatches on the read schema and
+  * both normalize to the same epoch-µs BIGINT axis DuckDB's
+  * epoch_us(ts) yields on either file.
   */
 object Tables {
   def events(spark: SparkSession, dir: String): DataFrame =
@@ -44,12 +47,27 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/region.parquet")
 
+  /** events with the time axis normalized to epoch-µs BIGINT
+    * `ts_us`, whichever parquet generation produced the file: INT64
+    * TIMESTAMP(NANOS) arrives as raw nano longs (nanosAsLong) and
+    * truncates, a native (NTZ) µs timestamp converts under the UTC
+    * session. The canonical staging schema for streaming sources. */
+  def eventsNorm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val tsUs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    ev.select(col("event_id"), tsUs.as("ts_us"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+  }
+
   /** events → canonical samples. Mirrors write.go:34-46 label
     * normalization (sorted "k=v" strings, name split out). */
   def samples(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir).select(
-      expr("ts DIV 1000").as("ts_us"),
-      timestamp_micros(expr("ts DIV 1000")).as("ts"),
+    eventsNorm(spark, dir).select(
+      col("ts_us"),
+      timestamp_micros(col("ts_us")).as("ts"),
       col("event_type").as("metric"),
       array_sort(array(
         concat(lit("k="), regexp_extract(col("props"), "[0-9]+", 0)),

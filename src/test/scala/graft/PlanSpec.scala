@@ -119,6 +119,26 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("PromQL evaluation pushes time bounds to the scan and prunes day partitions") {
+    val path = "/tmp/graft_test/plan_promql"
+    SamplesStore.write(Tables.samples(spark, Sf), path)
+    val e = graft.serve.PromQL.parse("rate(click[30m])")
+      .getOrElse(sys.error("must parse"))
+    val df = graft.serve.PromQL.eval(SamplesStore.read(spark, path), e,
+      1704499200L, 1704585600L, 900L)
+    val p = plan(df)
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThanOrEqual(ts_us,"), s"time bound not pushed:\n$p")
+    assert(p.contains("PartitionFilters:") && p.contains("(date"),
+      s"PromQL query does not prune day partitions:\n$p")
+    // the selector's metric equality reaches the scan (pushed or as a
+    // codegen'd scan filter — never a post-shuffle filter)
+    assert(p.contains("EqualTo(metric,click)") || p.contains("= click)"),
+      s"metric matcher not at the scan:\n$p")
+    // one scan, no joins anywhere in the evaluator tree
+    assert(!p.contains("Join"), s"PromQL plan must be join-free:\n$p")
+  }
+
   test("read path scans only the columns it needs") {
     // other suites cache the samples view; drop caches so the
     // assertions see the parquet scan, not an InMemoryTableScan

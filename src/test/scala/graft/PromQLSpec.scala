@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{RollupStore, SamplesStore}
+import graft.serve.PromQL
+import graft.serve.PromQL._
+
+/** PromQL parser + evaluator semantics (serve/PromQL.scala): grammar
+  * whitelist, the left-closed [t-d, t) range-window convention, the
+  * (t-L, t] instant lookback, integer micro-unit values, and the
+  * aligned-tiling rollup route. */
+class PromQLSpec extends SparkSpecBase {
+
+  // ---- parser -----------------------------------------------------
+
+  test("parser accepts the whitelisted grammar") {
+    assert(PromQL.parse("rate(click[5m])") ===
+      Right(RangeCall("rate", Seq(graft.operators.Matchers.eq("__name__", "click")), 300L)))
+    assert(PromQL.parse("""sum by (user) (sum_over_time(m{k="v"}[1h]))""") match {
+      case Right(Agg("sum", Seq("user"), RangeCall("sum_over_time", ms, 3600L))) =>
+        ms.exists(m => m.name == "k" && m.value == "v")
+      case _ => false
+    })
+    assert(PromQL.parse("topk(3, sum by (a) (rate(x[5m])))") match {
+      case Right(Rank(false, 3, Agg("sum", Seq("a"), RangeCall("rate", _, 300L)))) => true
+      case _ => false
+    })
+    // suffix by-clause, bottomk, compound + bare-second durations
+    assert(PromQL.parse("avg(rate(x[1h30m])) by (user)") match {
+      case Right(Agg("avg", Seq("user"), RangeCall("rate", _, 5400L))) => true
+      case _ => false
+    })
+    assert(PromQL.parse("bottomk(2, x)") ===
+      Right(Rank(bottom = true, 2,
+        Instant(Seq(graft.operators.Matchers.eq("__name__", "x"))))))
+    assert(PromQL.parse("max_over_time(x[90])") ===
+      Right(RangeCall("max_over_time", Seq(graft.operators.Matchers.eq("__name__", "x")), 90L)))
+    // a metric that merely SPELLS like an operator stays a selector
+    assert(PromQL.parse("""sum{job="a"}""") match {
+      case Right(Instant(ms)) => ms.exists(m => m.name == "__name__" && m.value == "sum")
+      case _ => false
+    })
+  }
+
+  test("parser rejects everything off the whitelist with a message") {
+    val bad = Seq(
+      "sum without (a) (x)",      // unsupported grouping
+      "rate(x)",                  // range fn needs [d]
+      "x[5m]",                    // bare range selector
+      "topk(0, x)",               // k must be positive
+      "rate(x[0s])",              // zero duration
+      "rate(x[5q])",              // unknown unit
+      "irate(x[5m])",             // fn off the whitelist → selector + trailing
+      "sum by (a) by (b) (x)",    // malformed
+      """m{k="v"""",              // unterminated braces
+      "",                         // empty
+      "rate(x[5m]) + 1")          // arithmetic unsupported → trailing input
+    bad.foreach { q =>
+      assert(PromQL.parse(q).isLeft, s"should reject: $q")
+    }
+  }
+
+  test("formatE6 prints exact micro-unit decimals") {
+    assert(PromQL.formatE6(1500000L) === "1.5")
+    assert(PromQL.formatE6(1000000L) === "1")
+    assert(PromQL.formatE6(123L) === "0.000123")
+    assert(PromQL.formatE6(-1500000L) === "-1.5")
+    assert(PromQL.formatE6(0L) === "0")
+    assert(PromQL.formatE6(50000L) === "0.05")
+  }
+
+  // ---- evaluator --------------------------------------------------
+
+  private val T0 = 1704412800L // aligned to every interval used below
+
+  /** One tiny two-series corpus: s1 = counter-ish on metric m,
+    * s2 = a second series on metric m with its own label set. */
+  private def tinySamples = {
+    import spark.implicits._
+    Seq(
+      (T0 * 1000000L,          "m", Seq("host=a", "user=1"), 1.0),
+      ((T0 + 30) * 1000000L,   "m", Seq("host=a", "user=1"), 2.5),
+      ((T0 + 60) * 1000000L,   "m", Seq("host=a", "user=1"), 4.0),
+      ((T0 + 95) * 1000000L,   "m", Seq("host=a", "user=1"), 1.0), // reset
+      (T0 * 1000000L,          "m", Seq("host=b", "user=2"), 10.0),
+      ((T0 + 45) * 1000000L,   "m", Seq("host=b", "user=2"), 10.25)
+    ).toDF("ts_us", "metric", "labels", "value")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, Long, Long)] =
+    df.select(coalesce(col("metric"), lit("")), array_join(col("labels"), ","),
+        col("t"), col("v_e6"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("range windows are left-closed [t-d, t): a sample AT t belongs to the next window") {
+    val out = rows(PromQL.eval(tinySamples,
+      parse("sum_over_time(m[60s])").toOption.get, T0 + 60, T0 + 120, 60L))
+    // window ending t0+60 = [t0, t0+60): 1.0 + 2.5 (the 4.0 AT t0+60 is out)
+    assert(out.contains(("m", "host=a,user=1", T0 + 60, 3500000L)))
+    // window ending t0+120 = [t0+60, t0+120): 4.0 + 1.0
+    assert(out.contains(("m", "host=a,user=1", T0 + 120, 5000000L)))
+    assert(out.contains(("m", "host=b,user=2", T0 + 60, 20250000L))) // 10.0 + 10.25
+    // series b has nothing in [t0+60, t0+120) — no row, not a zero
+    assert(!out.exists(r => r._2 == "host=b,user=2" && r._3 == T0 + 120))
+  }
+
+  test("instant lookback is (t-L, t]: the latest sample at or before t") {
+    val out = rows(PromQL.eval(tinySamples, parse("m").toOption.get,
+      T0 + 60, T0 + 60, 1L, lookbackSec = 50L))
+    // at t0+60: series a's latest in (t0+10, t0+60] is 4.0 (inclusive
+    // right edge); series b's latest is 10.25 at t0+45
+    assert(out === Set(
+      ("m", "host=a,user=1", T0 + 60, 4000000L),
+      ("m", "host=b,user=2", T0 + 60, 10250000L)))
+  }
+
+  test("rate is the observed-span Δv/Δt, half-up in micro-units; resets drop the window") {
+    val out = rows(PromQL.eval(tinySamples, parse("rate(m[60s])").toOption.get,
+      T0 + 60, T0 + 120, 60L))
+    // [t0, t0+60): points 1.0@t0, 2.5@t0+30 → 1.5/30 = 0.05
+    assert(out.contains(("m", "host=a,user=1", T0 + 60, 50000L)))
+    // [t0+60, t0+120): 4.0@t0+60 → 1.0@t0+95 is a reset → dropped
+    assert(!out.exists(r => r._2 == "host=a,user=1" && r._3 == T0 + 120))
+    // series b: 0.25 over 45s = 0.005555... → half-up 5556 µ
+    assert(out.contains(("m", "host=b,user=2", T0 + 60, 5556L)))
+  }
+
+  test("sum by (label) merges series, drops the metric name, keeps sorted kept-labels") {
+    val out = PromQL.eval(tinySamples,
+      parse("sum by (host) (sum_over_time(m[60s]))").toOption.get,
+      T0 + 60, T0 + 60, 60L)
+    assert(out.filter(col("metric").isNotNull).count() === 0)
+    assert(rows(out) === Set(
+      ("", "host=a", T0 + 60, 3500000L),
+      ("", "host=b", T0 + 60, 20250000L)))
+    // count + avg over the same group shape
+    val cnt = rows(PromQL.eval(tinySamples,
+      parse("count(sum_over_time(m[60s]))").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(cnt === Set(("", "", T0 + 60, 2000000L)))
+  }
+
+  test("topk/bottomk rank per step with deterministic tie-breaks") {
+    val top = rows(PromQL.eval(tinySamples,
+      parse("topk(1, sum by (host) (sum_over_time(m[60s])))").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(top === Set(("", "host=b", T0 + 60, 20250000L)))
+    val bot = rows(PromQL.eval(tinySamples,
+      parse("bottomk(1, sum by (host) (sum_over_time(m[60s])))").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(bot === Set(("", "host=a", T0 + 60, 3500000L)))
+  }
+
+  test("an aligned tiling sum_over_time routes to the rollup and equals the raw answer") {
+    val path = "/tmp/graft_test/promql_rollup"
+    val rpath = path + "_roll"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.delete(new org.apache.hadoop.fs.Path(rpath), true)
+    SamplesStore.write(graft.sources.Tables.samples(spark, Sf), path)
+    RollupStore.rollup(spark, path, rpath, 3600L)
+    val stored = SamplesStore.read(spark, path)
+    val e = parse("sum_over_time(click[2h])").toOption.get
+    val (start, end, step) = (T0 + 7200, T0 + 86400, 7200L)
+    val m = graft.OpsMetrics(spark)
+    val before = m.readsFromRollup.value
+    val routed = rows(PromQL.eval(stored, e, start, end, step,
+      rollup = Some(RollupGrid(path, rpath, 3600L))))
+    assert(m.readsFromRollup.value === before + 1,
+      "an aligned fresh tiling query must route to the rollup")
+    val raw = rows(PromQL.eval(stored, e, start, end, step))
+    assert(routed === raw, "rollup-served answer must equal the raw answer")
+    assert(routed.nonEmpty)
+
+    // breaking any gate routes raw: unaligned start, step≠range, or a
+    // stale rollup (a write the rollup hasn't digested)
+    val b2 = m.readsFromRollup.value
+    PromQL.eval(stored, e, start + 60, end, step,
+      rollup = Some(RollupGrid(path, rpath, 3600L))).count()
+    PromQL.eval(stored, e, start, end, 3600L,
+      rollup = Some(RollupGrid(path, rpath, 3600L))).count()
+    import spark.implicits._
+    SamplesStore.append(Seq((start * 1000000L, "click", Seq("k=1", "user=9"), 1.0))
+      .toDF("ts_us", "metric", "labels", "value"), path)
+    PromQL.eval(SamplesStore.read(spark, path), e, start, end, step,
+      rollup = Some(RollupGrid(path, rpath, 3600L))).count()
+    assert(m.readsFromRollup.value === b2,
+      "unaligned, non-tiling, or stale queries must not route to the rollup")
+  }
+}

@@ -226,7 +226,7 @@ class SeriesReadSpec extends SparkSpecBase {
 
   test("absent_over_time grid covers every metric × bucket; absent ⇔ zero points") {
     val deduped = RangeOps.dedupPerSecond(samples)
-    val out = RangeOps.absentOverTime(deduped, 86400L, 1704412800L, 1705708800L).cache()
+    val out = RangeOps.absentOverTime(deduped, 86400L, 1704412800L, 1705708800L)
     val nMetrics = deduped.select("metric").distinct().count()
     val nBuckets = (1705708800L - 1704412800L) / 86400L
     assert(out.count() == nMetrics * nBuckets)

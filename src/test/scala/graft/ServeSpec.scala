@@ -790,6 +790,104 @@ class ServeSpec extends SparkSpecBase {
     }
   }
 
+  test("/api/v1/query_range evaluates PromQL over HTTP with Prometheus JSON") {
+    val store = tmpStore("queryrange")
+    val srv = HttpServe.start(spark, store)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      val t0 = 1704412800L
+      // one series: 1.0@t0, 2.5@t0+30, 4.0@t0+60
+      val blob = PromRemoteCodec.encodeWriteRequest(PromWriteRequest(Seq(
+        PromTimeSeries(Seq(PromLabel("__name__", "qr_total"), PromLabel("k", "v")),
+          Seq(PromSample(1.0, t0 * 1000L), PromSample(2.5, (t0 + 30) * 1000L),
+              PromSample(4.0, (t0 + 60) * 1000L))))))
+      assert(post(s"$base/write", blob)._1 === 200)
+
+      // sum_over_time on tiling [t-60, t) windows
+      val (c1, b1) = get(s"$base/api/v1/query_range?query=" +
+        java.net.URLEncoder.encode("sum_over_time(qr_total[60s])", "UTF-8") +
+        s"&start=${t0 + 60}&end=${t0 + 120}&step=60")
+      assert(c1 === 200)
+      assert(b1 === s"""{"status":"success","data":{"resultType":"matrix","result":[""" +
+        s"""{"metric":{"__name__":"qr_total","k":"v"},""" +
+        s""""values":[[${t0 + 60},"3.5"],[${t0 + 120},"4"]]}]}}""")
+
+      // rate over the same window: (2.5-1.0)/30s = 0.05
+      val (c2, b2) = get(s"$base/api/v1/query_range?query=" +
+        java.net.URLEncoder.encode("rate(qr_total[1m])", "UTF-8") +
+        s"&start=${t0 + 60}&end=${t0 + 60}&step=60")
+      assert(c2 === 200)
+      assert(b2.contains(s""""values":[[${t0 + 60},"0.05"]]"""), b2)
+
+      // instant /query: latest sample in the 5m lookback at t0+90
+      val (c3, b3) = get(s"$base/api/v1/query?query=qr_total&time=${t0 + 90}")
+      assert(c3 === 200)
+      assert(b3 === s"""{"status":"success","data":{"resultType":"vector","result":[""" +
+        s"""{"metric":{"__name__":"qr_total","k":"v"},"value":[${t0 + 90},"4"]}]}}""")
+
+      // aggregation drops __name__ from the JSON label set
+      val (c4, b4) = get(s"$base/api/v1/query_range?query=" +
+        java.net.URLEncoder.encode("sum(sum_over_time(qr_total[60s]))", "UTF-8") +
+        s"&start=${t0 + 60}&end=${t0 + 60}&step=60")
+      assert(c4 === 200)
+      assert(b4.contains(""""metric":{}"""), b4)
+
+      // the 400 surface: missing params, off-whitelist grammar,
+      // resolution overrun — bad_data like Prometheus, never a 500
+      for (url <- Seq(
+        s"$base/api/v1/query_range?query=qr_total&start=1&end=2", // no step
+        s"$base/api/v1/query_range?query=" +
+          java.net.URLEncoder.encode("sum without (a) (x)", "UTF-8") +
+          "&start=1&end=2&step=1",
+        s"$base/api/v1/query_range?query=qr_total&start=0&end=999999&step=1",
+        s"$base/api/v1/query_range?query=qr_total&start=9&end=2&step=1")) {
+        val (code, body) = get(url)
+        assert(code === 400 && body.contains("\"bad_data\""), s"$url -> $code $body")
+      }
+      // unknown path under the query prefix stays a 404
+      assert(get(s"$base/api/v1/queryfoo")._1 === 404)
+      // a fresh store-less server answers success+empty, not 500
+      val empty = tmpStore("queryrange_empty")
+      val srv2 = HttpServe.start(spark, empty)
+      try assert(get(s"http://localhost:${srv2.port}/api/v1/query_range" +
+        s"?query=x&start=$t0&end=$t0&step=60") ===
+        ((200, """{"status":"success","data":{"resultType":"matrix","result":[]}}""")))
+      finally srv2.stop()
+    } finally srv.stop()
+  }
+
+  test("/api/v1/query_range routes aligned tiling windows through the rollup twin") {
+    val store = tmpStore("queryrange_rollup")
+    val prevIv = RemoteWrite.rollupIntervalSec
+    RemoteWrite.rollupIntervalSec = 3600L
+    val srv = HttpServe.start(spark, store)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      val t0 = 1704412800L
+      val blob = PromRemoteCodec.encodeWriteRequest(PromWriteRequest(Seq(
+        PromTimeSeries(Seq(PromLabel("__name__", "qr_roll")),
+          (0 until 8).map(i => PromSample(i.toDouble, (t0 + i * 1800L) * 1000L))))))
+      assert(post(s"$base/write", blob)._1 === 200)
+      // build the twin the background pass would maintain
+      RemoteWrite.rollupPass(spark, store, 3600L)
+      val m = OpsMetrics(spark)
+      val before = m.readsFromRollup.value
+      val url = s"$base/api/v1/query_range?query=" +
+        java.net.URLEncoder.encode("sum_over_time(qr_roll[1h])", "UTF-8") +
+        s"&start=${t0 + 3600}&end=${t0 + 14400}&step=3600"
+      val (code, body) = get(url)
+      assert(code === 200)
+      assert(m.readsFromRollup.value === before + 1,
+        "an aligned fresh tiling query over HTTP must serve from the rollup")
+      // values: each [t-1h, t) window sums two half-hour samples
+      assert(body.contains(s"""[[${t0 + 3600},"1"],[${t0 + 7200},"5"],""" +
+        s"""[${t0 + 10800},"9"],[${t0 + 14400},"13"]]"""), body)
+    } finally {
+      srv.stop()
+      RemoteWrite.rollupIntervalSec = prevIv
+    }
+  }
+
   test("/metrics exposes parseable process gauges next to the counters") {
     val body = OpsMetrics(spark).render
     for (g <- Seq("process_uptime_seconds", "jvm_memory_heap_used_bytes",

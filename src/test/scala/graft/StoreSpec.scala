@@ -788,4 +788,49 @@ class StoreSpec extends SparkSpecBase {
     assert(SamplesStore.read(spark, path).count() == samples.count())
     assert(sortedWithinFiles(path))
   }
+
+  test("a concurrent-writer manifest collision fails loudly, store unchanged") {
+    import spark.implicits._
+    val path = "/tmp/graft_test/store_second_writer"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val day0 = 1704412800L
+    def rowsFor(off: Int) =
+      (0 until 3).map(i => (day0 * 1000000L + (off * 3 + i) * 1000000L,
+        "m", Seq("k=v"), i.toDouble)).toDF("ts_us", "metric", "labels", "value")
+    SamplesStore.append(rowsFor(0), path)
+    val gen = SamplesStore.currentGen(spark, path).get
+    val before = SamplesStore.read(spark, path)
+      .select("ts_us", "value").collect().toSet
+
+    // simulate a second writer process winning the race: its commit
+    // lands in the next generation slot INSIDE this append's
+    // resolve→rename window (a copy of the current manifest stands in
+    // for the other writer's valid commit)
+    val mdir = new org.apache.hadoop.fs.Path(path, "_manifests")
+    val cur = new org.apache.hadoop.fs.Path(mdir, f"m-$gen%020d")
+    val next = new org.apache.hadoop.fs.Path(mdir, f"m-${gen + 1}%020d")
+    SamplesStore.onAppendSnapshotResolved = () => {
+      org.apache.hadoop.fs.FileUtil.copy(fs, cur, fs, next, false,
+        spark.sparkContext.hadoopConfiguration); ()
+    }
+
+    // this JVM's commit must abort — NOT bump past the foreign
+    // generation (which would orphan it from the delta chain)
+    val e =
+      try intercept[IllegalStateException] { SamplesStore.append(rowsFor(1), path) }
+      finally SamplesStore.onAppendSnapshotResolved = () => ()
+    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+    // the other writer's generation survives untouched and remains
+    // the latest; the aborted append's rows never became visible
+    assert(SamplesStore.currentGen(spark, path).contains(gen + 1))
+    assert(SamplesStore.read(spark, path)
+      .select("ts_us", "value").collect().toSet == before,
+      "an aborted commit must leave the visible corpus unchanged")
+    // no half-committed temp manifest litter
+    val litter = fs.listStatus(mdir).map(_.getPath.getName)
+      .filter(_.startsWith(".tmp-"))
+    assert(litter.isEmpty, s"aborted commit left temp files: ${litter.toSeq}")
+  }
 }

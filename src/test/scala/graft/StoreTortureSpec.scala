@@ -257,4 +257,71 @@ class StoreTortureSpec extends SparkSpecBase {
       .as[Row4].collect().toSet
     assert(finalSet == model, "final store must match the model")
   }
+
+  test("a second READER PROCESS only ever observes committed snapshots") {
+    // The in-JVM reader test above shares the writer's process; the
+    // documented out-of-process contract (Ingest.scala's grace-window
+    // notes: atomic manifest visibility + grace-retained files, no
+    // in-JVM locks available) has so far only been ARGUED. Here a
+    // real second JVM (CrossReaderMain: own SparkSession, lock-free
+    // SamplesStore.read) loops reads while this JVM appends batches,
+    // compacts days, and expires snapshots under the grace. Each
+    // batch carries batchSize rows of one value, so a torn (partially
+    // visible) batch, a vanished planned file, or any read error
+    // makes the child exit non-zero.
+    import spark.implicits._
+    val path = "/tmp/graft_test/store_cross_process"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val day0Us = 1704412800000000L
+    val batchSize = 10
+    def batch(i: Int) = (0 until batchSize).map(j =>
+        (day0Us + (i.toLong * batchSize + j) * 60L * 1000000L, "m",
+          Seq("k=v"), i.toDouble))
+      .toDF("ts_us", "metric", "labels", "value")
+    SamplesStore.write(batch(0), path)
+
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g", "-cp",
+      System.getProperty("java.class.path"),
+      "graft.CrossReaderMain", path, "30", batchSize.toString)
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val childOut = new StringBuilder
+    val drain = new Thread(() => {
+      scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
+        .getLines().foreach(l => childOut.synchronized { childOut ++= l += '\n' })
+    }, "crossreader-drain")
+    drain.start()
+
+    // writer storm for as long as the reader runs (bounded): atomic
+    // appends, invisible day rewrites, grace-window expiry
+    var i = 1
+    try {
+      while (proc.isAlive && i < 300) {
+        SamplesStore.append(batch(i), path)
+        if (i % 7 == 0)
+          SamplesStore.maybeCompact(spark, path, maxFilesPerDay = 2,
+            gcGraceMs = 60000L)
+        if (i % 11 == 0) SamplesStore.expireSnapshots(spark, path, graceMs = 60000L)
+        i += 1
+      }
+      assert(proc.waitFor(240, java.util.concurrent.TimeUnit.SECONDS),
+        "cross-process reader did not finish")
+      drain.join(5000)
+      val out = childOut.synchronized(childOut.toString)
+      assert(proc.exitValue() === 0,
+        s"cross-process reader exited ${proc.exitValue()}:\n$out")
+      assert(i > 3, "the writer must actually have raced the reader")
+    } finally if (proc.isAlive) proc.destroyForcibly()
+  }
 }

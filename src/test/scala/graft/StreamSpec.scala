@@ -10,7 +10,7 @@ class StreamSpec extends SparkSpecBase {
 
   test("stateful streaming dedup drops a full replay of the input") {
     val src = "/tmp/graft_test/stream_dedup_src"
-    val events = Tables.events(spark, Sf)
+    val events = Tables.eventsNorm(spark, Sf)
     events.write.mode("overwrite").parquet(src)
     events.write.mode("append").parquet(src) // the at-least-once replay
     val out = StreamIngest.runDedupToMemory(spark, src, "spec_stream_dedup")
@@ -26,7 +26,7 @@ class StreamSpec extends SparkSpecBase {
     new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(base), true)
-    Tables.events(spark, Sf).write.mode("overwrite").parquet(s"$base/src")
+    Tables.eventsNorm(spark, Sf).write.mode("overwrite").parquet(s"$base/src")
     val back = StreamIngest.runToStore(spark, s"$base/src", s"$base/store", s"$base/ckpt")
     assert(back.count() == Tables.events(spark, Sf).count())
     // day-partition layout present
@@ -40,7 +40,7 @@ class StreamSpec extends SparkSpecBase {
     new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(base), true)
-    val events = Tables.events(spark, Sf).cache()
+    val events = Tables.eventsNorm(spark, Sf).cache()
     val n = events.count()
     // first half arrives, stream ingests it
     events.filter(expr("event_id % 2 = 0")).write.mode("overwrite").parquet(s"$base/src")
@@ -64,10 +64,10 @@ class StreamSpec extends SparkSpecBase {
     val src = s"$base/src"
     val hourMs = 3600L * 1000
     val t0 = 1704412800000L
-    // eventsSchema rows; ts is raw nanos
-    def ev(id: Long, tMs: Long, v: Double) = (id, tMs * 1000000L, 1L, "m", v, "p1")
+    // eventsSchema rows; ts_us is epoch microseconds
+    def ev(id: Long, tMs: Long, v: Double) = (id, tMs * 1000L, 1L, "m", v, "p1")
     def land(rows: (Long, Long, Long, String, Double, String)*): Unit =
-      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      rows.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
         .write.mode("append").parquet(src)
 
     land(ev(1, t0, 1.0), ev(50, t0, 2.0))
@@ -95,7 +95,7 @@ class StreamSpec extends SparkSpecBase {
 
   test("windowed streaming aggregation buckets by event-time hour") {
     val src = "/tmp/graft_test/stream_win_src"
-    Tables.events(spark, Sf).write.mode("overwrite").parquet(src)
+    Tables.eventsNorm(spark, Sf).write.mode("overwrite").parquet(src)
     val out = StreamIngest.runWindowedToMemory(spark, src, "spec_stream_win")
     assert(out.filter(expr("bucket % 3600 != 0")).count() == 0, "buckets align to hours")
     val total = out.agg(sum("n_samples")).first().getLong(0)

@@ -702,6 +702,13 @@ object SparkEntry {
     "promql_instant" -> ((s, dir) =>
       promqlStr(PromQL.eval(samples(s, dir), parsePromQL("click"),
         WinStartSec, WinEndSec, 21600L, lookbackSec = 86400L))),
+
+    // the offset modifier (day-over-day dashboards) composed with
+    // last_over_time: each step answers the window one day back
+    "promql_offset_last" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("last_over_time(click[1d] offset 1d)"),
+        WinStartSec + 172800, WinEndSec, 86400L))),
   )
 
   /** PromQL evaluator output → oracle-safe scalar columns. */
@@ -1852,6 +1859,28 @@ object SparkEntry {
          |  FROM sel s JOIN grid g
          |    ON s.t_sec <= $WinStartSec + g.k * 21600
          |   AND s.t_sec >  $WinStartSec + g.k * 21600 - 86400
+         |), st AS (
+         |  SELECT metric, labels, t, arg_max(value, t_sec) AS v
+         |  FROM j GROUP BY 1, 2, 3
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, t,
+         |       CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS v_e6
+         |FROM st""".stripMargin,
+
+    // offset 1d shifts each [t-1d, t) window back one day: the data
+    // window for grid point t is [t-2d, t-1d)
+    "promql_offset_last" ->
+      s"""$dedupCte, sel AS (
+         |  SELECT * FROM deduped
+         |  WHERE metric = 'click'
+         |    AND t_sec >= $WinStartSec AND t_sec <= ${WinEndSec - 86400 - 1}
+         |), grid AS (SELECT unnest(range(0, 14)) AS k),
+         |j AS (
+         |  SELECT s.metric, s.labels, ${WinStartSec + 172800} + g.k * 86400 AS t,
+         |         s.t_sec, s.value
+         |  FROM sel s JOIN grid g
+         |    ON s.t_sec >= ${WinStartSec + 172800} + g.k * 86400 - 172800
+         |   AND s.t_sec <  ${WinStartSec + 172800} + g.k * 86400 - 86400
          |), st AS (
          |  SELECT metric, labels, t, arg_max(value, t_sec) AS v
          |  FROM j GROUP BY 1, 2, 3

@@ -298,14 +298,27 @@ object HttpServe {
     // documents grammar + semantics) — Grafana can point at graft as
     // a Prometheus datasource with nothing in between.
 
-    def queryParams(ex: HttpExchange): Map[String, String] =
-      Option(ex.getRequestURI.getRawQuery).getOrElse("")
-        .split("&").iterator.filter(_.nonEmpty)
+    def decodeForm(raw: String): Map[String, String] =
+      raw.split("&").iterator.filter(_.nonEmpty)
         .map(_.split("=", 2)).map {
           case Array(k, v) => java.net.URLDecoder.decode(k, "UTF-8") ->
             java.net.URLDecoder.decode(v, "UTF-8")
           case a => java.net.URLDecoder.decode(a(0), "UTF-8") -> ""
         }.toMap
+
+    // Prometheus accepts query-API parameters in the URL or as a
+    // form-encoded POST body (what Grafana sends once expressions get
+    // long); body values win on collision, like Go's Request.Form.
+    def queryParams(ex: HttpExchange): Map[String, String] = {
+      val url = decodeForm(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+      val form =
+        if (ex.getRequestMethod == "POST" &&
+            Option(ex.getRequestHeaders.getFirst("Content-Type"))
+              .exists(_.startsWith("application/x-www-form-urlencoded")))
+          decodeForm(new String(body(ex), UTF_8))
+        else Map.empty[String, String]
+      url ++ form
+    }
 
     def badData(ex: HttpExchange, msg: String): Unit =
       respond(ex, 400,
@@ -317,7 +330,7 @@ object HttpServe {
     def parseStep(v: String): Option[Long] =
       scala.util.Try(v.toDouble).toOption.map(d => math.max(1L, d.toLong))
         .orElse(PromQL.parse(s"rate(x[$v])").toOption.collect {
-          case PromQL.RangeCall(_, _, d) => d
+          case PromQL.RangeCall(_, _, d, _) => d
         })
 
     def servePromQuery(ex: HttpExchange, rangeMode: Boolean): Unit = {

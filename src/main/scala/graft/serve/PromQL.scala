@@ -23,10 +23,13 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   *   agg      := op ["by" "(" names ")"] "(" expr ")" ["by" "(" names ")"]
   *               op ∈ sum avg min max count
   *   rank     := ("topk"|"bottomk") "(" int "," expr ")"
-  *   rangecall:= fn "(" selector "[" dur "]" ")"
+  *   rangecall:= fn "(" selector "[" dur "]" [offset] ")"
   *               fn ∈ rate increase delta avg_over_time min_over_time
   *                    max_over_time sum_over_time count_over_time
+  *                    last_over_time stddev_over_time
   *   selector := PromQL instant-vector selector (Matchers.parseSelector)
+  *               [offset]
+  *   offset   := "offset" dur      (shifts every window back by dur)
   *   dur      := (\d+ [smhdw])+ | \d+   (seconds resolution)
   *
   * Evaluation semantics (documented deviations from Prometheus, all
@@ -71,11 +74,14 @@ object PromQL {
   // ---- AST --------------------------------------------------------
 
   sealed trait Expr
-  /** Bare selector: instant vector at each grid step. */
-  final case class Instant(matchers: Seq[LabelMatcher]) extends Expr
-  /** fn(selector[d]) over window [t-d, t) at each grid step. */
+  /** Bare selector: instant vector at each grid step (shifted back
+    * `offsetSec` — PromQL's `offset` modifier). */
+  final case class Instant(matchers: Seq[LabelMatcher],
+                           offsetSec: Long = 0L) extends Expr
+  /** fn(selector[d] [offset o]) over window [t-o-d, t-o) at each
+    * grid step. */
   final case class RangeCall(fn: String, matchers: Seq[LabelMatcher],
-                             rangeSec: Long) extends Expr
+                             rangeSec: Long, offsetSec: Long = 0L) extends Expr
   /** op by (keys) (child); empty keys = aggregate everything. */
   final case class Agg(op: String, by: Seq[String], child: Expr) extends Expr
   /** topk/bottomk(k, child) per grid step. */
@@ -83,7 +89,7 @@ object PromQL {
 
   val RangeFns: Set[String] = Set("rate", "increase", "delta",
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
-    "count_over_time")
+    "count_over_time", "last_over_time", "stddev_over_time")
   val AggOps: Set[String] = Set("sum", "avg", "min", "max", "count")
   /** The *_over_time subset a fresh aligned rollup can answer. */
   private val RollupServable: Set[String] = Set("sum_over_time",
@@ -224,8 +230,16 @@ object PromQL {
         _ <- eat('[')
         d <- duration()
         _ <- eat(']')
+        off <- offsetClause()
         _ <- eat(')')
-      } yield RangeCall(fn, sel, d)
+      } yield RangeCall(fn, sel, d, off)
+
+    /** Optional ` offset <dur>` modifier. */
+    private def offsetClause(): Either[String, Long] = {
+      val kw = { val s2 = i; ws(); val k = peekIdent(); i = s2; k }
+      if (!kw.contains("offset")) Right(0L)
+      else { ws(); i += "offset".length; duration() }
+    }
 
     private def duration(): Either[String, Long] = {
       ws()
@@ -265,7 +279,8 @@ object PromQL {
     }
 
     private def selector(): Either[String, Expr] =
-      selectorMatchers().map(Instant(_))
+      for { ms <- selectorMatchers(); off <- offsetClause() }
+        yield Instant(ms, off)
 
     /** Scan one selector slice (name, optional balanced quote-aware
       * braces) and delegate to the shared parser the `/api/v1/series`
@@ -320,14 +335,24 @@ object PromQL {
            ignoreLabel: Option[String] = Some("remote=clickhouse")): DataFrame = {
     require(stepSec > 0, "step must be positive")
     require(endSec >= startSec, "end must be >= start")
+    // `offset o` shifts every window back by o: evaluate the
+    // unshifted form on the grid translated to (start-o, end-o), then
+    // put the grid timestamps back — exact, and every downstream
+    // shape (pushdown, rollup route) applies to the shifted window
+    // unchanged.
+    def unshift(df: DataFrame, off: Long): DataFrame =
+      if (off == 0) df else df.withColumn("t", col("t") + off)
     expr0 match {
-      case Instant(ms) => instant(samples, ms, startSec, endSec, stepSec,
-        lookbackSec, ignoreLabel)
-      case RangeCall(fn, ms, d) =>
-        rollup.flatMap(rangeFromRollup(samples.sparkSession, _, fn, ms,
-            startSec, endSec, stepSec, d, ignoreLabel))
-          .getOrElse(rangeRaw(samples, fn, ms, startSec, endSec, stepSec, d,
-            ignoreLabel))
+      case Instant(ms, off) => unshift(instant(samples, ms, startSec - off,
+        endSec - off, stepSec, lookbackSec, ignoreLabel), off)
+      case RangeCall(fn, ms, d, off) =>
+        val (s0, e0) = (startSec - off, endSec - off)
+        unshift(
+          rollup.flatMap(rangeFromRollup(samples.sparkSession, _, fn, ms,
+              s0, e0, stepSec, d, ignoreLabel))
+            .getOrElse(rangeRaw(samples, fn, ms, s0, e0, stepSec, d,
+              ignoreLabel)),
+          off)
       case Agg(op, by, child) =>
         aggregate(eval(samples, child, startSec, endSec, stepSec, lookbackSec,
           rollup, ignoreLabel), op, by)
@@ -373,6 +398,8 @@ object PromQL {
       .groupBy(col("metric"), col("labels"), col("t"))
       .agg(count(lit(1)).as("n"),
         expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").as("sum_e2"),
+        sum(col("value")).as("sy"),
+        sum(col("value") * col("value")).as("syy"),
         min(col("value")).as("vmin"), max(col("value")).as("vmax"),
         min(col("t_sec")).as("t_first"), max(col("t_sec")).as("t_last"),
         min_by(col("value"), col("t_sec")).as("v_first"),
@@ -397,6 +424,15 @@ object PromQL {
       case "max_over_time" =>
         stats.select(base :+
           expr("CAST(floor(vmax * 1000000 + 0.5) AS BIGINT)").as("v_e6"): _*)
+      case "last_over_time" =>
+        stats.select(base :+
+          expr("CAST(floor(v_last * 1000000 + 0.5) AS BIGINT)").as("v_e6"): _*)
+      case "stddev_over_time" =>
+        // the population-stddev formula ts_stddev_over_time proved
+        // engine-portable (explicit Σv/Σv², clamped before the sqrt)
+        stats.select(base :+ expr(
+          "CAST(floor(sqrt(greatest(syy / n - (sy / n) * (sy / n), 0.0D)) " +
+          "* 1000000 + 0.5) AS BIGINT)").as("v_e6"): _*)
       case "rate" =>
         stats
           .withColumn("dv_e2",

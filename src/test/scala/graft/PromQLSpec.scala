@@ -18,27 +18,43 @@ class PromQLSpec extends SparkSpecBase {
     assert(PromQL.parse("rate(click[5m])") ===
       Right(RangeCall("rate", Seq(graft.operators.Matchers.eq("__name__", "click")), 300L)))
     assert(PromQL.parse("""sum by (user) (sum_over_time(m{k="v"}[1h]))""") match {
-      case Right(Agg("sum", Seq("user"), RangeCall("sum_over_time", ms, 3600L))) =>
+      case Right(Agg("sum", Seq("user"), RangeCall("sum_over_time", ms, 3600L, 0L))) =>
         ms.exists(m => m.name == "k" && m.value == "v")
       case _ => false
     })
     assert(PromQL.parse("topk(3, sum by (a) (rate(x[5m])))") match {
-      case Right(Rank(false, 3, Agg("sum", Seq("a"), RangeCall("rate", _, 300L)))) => true
+      case Right(Rank(false, 3, Agg("sum", Seq("a"), RangeCall("rate", _, 300L, _)))) => true
       case _ => false
     })
     // suffix by-clause, bottomk, compound + bare-second durations
     assert(PromQL.parse("avg(rate(x[1h30m])) by (user)") match {
-      case Right(Agg("avg", Seq("user"), RangeCall("rate", _, 5400L))) => true
+      case Right(Agg("avg", Seq("user"), RangeCall("rate", _, 5400L, _))) => true
       case _ => false
     })
     assert(PromQL.parse("bottomk(2, x)") ===
       Right(Rank(bottom = true, 2,
-        Instant(Seq(graft.operators.Matchers.eq("__name__", "x"))))))
+        Instant(Seq(graft.operators.Matchers.eq("__name__", "x")), 0L))))
     assert(PromQL.parse("max_over_time(x[90])") ===
       Right(RangeCall("max_over_time", Seq(graft.operators.Matchers.eq("__name__", "x")), 90L)))
+    // the offset modifier shifts windows back, on range calls and
+    // bare selectors alike; last/stddev_over_time are in the grammar
+    assert(PromQL.parse("rate(x[5m] offset 1h)") match {
+      case Right(RangeCall("rate", _, 300L, 3600L)) => true
+      case _ => false
+    })
+    assert(PromQL.parse("m offset 30s") match {
+      case Right(Instant(_, 30L)) => true
+      case _ => false
+    })
+    assert(PromQL.parse("last_over_time(x[1d])") match {
+      case Right(RangeCall("last_over_time", _, 86400L, 0L)) => true
+      case _ => false
+    })
+    assert(PromQL.parse("stddev_over_time(x[1h])").isRight)
+    assert(PromQL.parse("m offset").isLeft) // offset needs a duration
     // a metric that merely SPELLS like an operator stays a selector
     assert(PromQL.parse("""sum{job="a"}""") match {
-      case Right(Instant(ms)) => ms.exists(m => m.name == "__name__" && m.value == "sum")
+      case Right(Instant(ms, 0L)) => ms.exists(m => m.name == "__name__" && m.value == "sum")
       case _ => false
     })
   }
@@ -125,6 +141,27 @@ class PromQLSpec extends SparkSpecBase {
     assert(!out.exists(r => r._2 == "host=a,user=1" && r._3 == T0 + 120))
     // series b: 0.25 over 45s = 0.005555... → half-up 5556 µ
     assert(out.contains(("m", "host=b,user=2", T0 + 60, 5556L)))
+  }
+
+  test("offset shifts every window back; last_over_time takes the window's newest point") {
+    // last_over_time on [t-60, t): at t0+120 the window [t0+60, t0+120)
+    // holds 4.0@t0+60 and 1.0@t0+95 → last = 1.0
+    val last = rows(PromQL.eval(tinySamples,
+      parse("last_over_time(m[60s])").toOption.get, T0 + 120, T0 + 120, 60L))
+    assert(last.contains(("m", "host=a,user=1", T0 + 120, 1000000L)))
+    // the same call `offset 60s` at t0+180 answers the t0+120 window
+    val off = rows(PromQL.eval(tinySamples,
+      parse("last_over_time(m[60s] offset 60s)").toOption.get,
+      T0 + 180, T0 + 180, 60L))
+    assert(off === last.map { case (m, l, t, v) => (m, l, t + 60, v) })
+    // an offset bare selector equals the unshifted selector evaluated
+    // at the shifted time, re-stamped onto the query grid
+    val shifted = rows(PromQL.eval(tinySamples,
+      parse("m offset 60s").toOption.get, T0 + 120, T0 + 120, 1L,
+      lookbackSec = 50L))
+    val direct = rows(PromQL.eval(tinySamples, parse("m").toOption.get,
+      T0 + 60, T0 + 60, 1L, lookbackSec = 50L))
+    assert(shifted === direct.map { case (m, l, t, v) => (m, l, t + 60, v) })
   }
 
   test("sum by (label) merges series, drops the metric name, keeps sorted kept-labels") {

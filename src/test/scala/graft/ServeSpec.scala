@@ -825,6 +825,14 @@ class ServeSpec extends SparkSpecBase {
       assert(b3 === s"""{"status":"success","data":{"resultType":"vector","result":[""" +
         s"""{"metric":{"__name__":"qr_total","k":"v"},"value":[${t0 + 90},"4"]}]}}""")
 
+      // POST with a form-encoded body (what Grafana sends once the
+      // expression gets long) answers exactly like the GET
+      val form = ("query=" +
+        java.net.URLEncoder.encode("sum_over_time(qr_total[60s])", "UTF-8") +
+        s"&start=${t0 + 60}&end=${t0 + 120}&step=60").getBytes("UTF-8")
+      val (pc, pb, _) = post(s"$base/api/v1/query_range", form)
+      assert(pc === 200 && new String(pb, "UTF-8") === b1)
+
       // aggregation drops __name__ from the JSON label set
       val (c4, b4) = get(s"$base/api/v1/query_range?query=" +
         java.net.URLEncoder.encode("sum(sum_over_time(qr_total[60s]))", "UTF-8") +

@@ -709,6 +709,14 @@ object SparkEntry {
       promqlStr(PromQL.eval(samples(s, dir),
         parsePromQL("last_over_time(click[1d] offset 1d)"),
         WinStartSec + 172800, WinEndSec, 86400L))),
+
+    // binary vector arithmetic with full-label-set matching — the
+    // error-ratio dashboard idiom, pre-aggregated per side
+    "promql_ratio" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("sum by (user) (sum_over_time(click[1d]))" +
+          " / sum by (user) (sum_over_time(view[1d]))"),
+        WinStartSec, WinEndSec, 86400L))),
   )
 
   /** PromQL evaluator output → oracle-safe scalar columns. */
@@ -1888,5 +1896,32 @@ object SparkEntry {
          |SELECT metric, array_to_string(labels, ',') AS labels_str, t,
          |       CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS v_e6
          |FROM st""".stripMargin,
+
+    // both sides aggregate to (user, t) integers; the ratio is IEEE
+    // division of the SAME two integers in either engine
+    "promql_ratio" ->
+      s"""$dedupCte, grid AS (SELECT unnest(range(0, 16)) AS k),
+         |j AS (
+         |  SELECT s.metric, s.labels, $WinStartSec + g.k * 86400 AS t, s.value
+         |  FROM deduped s JOIN grid g
+         |    ON s.t_sec >= $WinStartSec + g.k * 86400 - 86400
+         |   AND s.t_sec <  $WinStartSec + g.k * 86400
+         |  WHERE s.metric IN ('click', 'view')
+         |    AND s.t_sec >= ${WinStartSec - 86400} AND s.t_sec <= ${WinEndSec - 1}
+         |), sot AS (
+         |  SELECT metric, labels, t,
+         |         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) * 10000 AS v_e6
+         |  FROM j GROUP BY 1, 2, 3
+         |), agg AS (
+         |  SELECT metric, list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
+         |         CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2, 3
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(a.labels, ',') AS labels_str, a.t,
+         |       CAST(floor(CAST(a.v_e6 AS DOUBLE) / CAST(b.v_e6 AS DOUBLE)
+         |            * 1000000 + 0.5) AS BIGINT) AS v_e6
+         |FROM agg a JOIN agg b ON a.labels = b.labels AND a.t = b.t
+         |WHERE a.metric = 'click' AND b.metric = 'view' AND b.v_e6 != 0""".stripMargin,
   )
 }

@@ -19,7 +19,8 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   * can talk to graft directly via `/api/v1/query_range`.
   *
   * Grammar (whitelist — anything else answers 400):
-  *   expr     := agg | rank | rangecall | selector
+  *   expr     := term {("+"|"-"|"*"|"/") term}   (left-assoc, one level)
+  *   term     := agg | rank | rangecall | selector | number | "(" expr ")"
   *   agg      := op ["by" "(" names ")"] "(" expr ")" ["by" "(" names ")"]
   *               op ∈ sum avg min max count
   *   rank     := ("topk"|"bottomk") "(" int "," expr ")"
@@ -31,6 +32,19 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   *               [offset]
   *   offset   := "offset" dur      (shifts every window back by dur)
   *   dur      := (\d+ [smhdw])+ | \d+   (seconds resolution)
+  *
+  * Binary arithmetic: vector∘scalar is a per-row projection;
+  * vector∘vector matches series on their FULL label sets (the
+  * Prometheus default, __name__ excluded) via an equi-join on
+  * (labels, step) — series missing on either side drop, a zero
+  * divisor drops its row (Prometheus emits +Inf; a dropped sample
+  * survives the exact integer value model, an Inf cannot). Selectors
+  * spanning several metrics should pre-aggregate (`sum by (...)`)
+  * first — unaggregated cross-metric matches multiply through the
+  * join where Prometheus would error on many-to-many. No precedence
+  * levels: operators chain left-associatively; parenthesize anything
+  * subtle. A bare number is not a query (400), matching Prometheus's
+  * scalar-only rejection on the vector endpoints.
   *
   * Evaluation semantics (documented deviations from Prometheus, all
   * chosen so the distributed plan is exact and engine-portable):
@@ -86,6 +100,11 @@ object PromQL {
   final case class Agg(op: String, by: Seq[String], child: Expr) extends Expr
   /** topk/bottomk(k, child) per grid step. */
   final case class Rank(bottom: Boolean, k: Int, child: Expr) extends Expr
+  /** left op right — vector∘vector (full-label-set matching) or
+    * vector∘scalar when either side is [[ScalarLit]]. */
+  final case class Binary(op: Char, left: Expr, right: Expr) extends Expr
+  /** A number literal — only legal as one side of a [[Binary]]. */
+  final case class ScalarLit(v: Double) extends Expr
 
   val RangeFns: Set[String] = Set("rate", "increase", "delta",
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
@@ -102,8 +121,11 @@ object PromQL {
     val p = new Parser(input)
     p.expr().flatMap { e =>
       p.ws()
-      if (p.atEnd) Right(e)
-      else Left(s"unexpected trailing input at '${p.rest.take(20)}'")
+      if (!p.atEnd) Left(s"unexpected trailing input at '${p.rest.take(20)}'")
+      else e match {
+        case ScalarLit(_) => Left("scalar-only expressions are not queries")
+        case _ => Right(e)
+      }
     }
   }
 
@@ -135,10 +157,43 @@ object PromQL {
 
     private def peekChar: Option[Char] = { ws(); if (atEnd) None else Some(s.charAt(i)) }
 
-    def expr(): Either[String, Expr] = {
+    def expr(): Either[String, Expr] = term().flatMap(infix)
+
+    /** Left-associative {+ - * /} chain over terms. */
+    private def infix(left: Expr): Either[String, Expr] = {
+      ws()
+      if (!atEnd && "+-*/".contains(s.charAt(i))) {
+        val op = s.charAt(i); i += 1
+        term().flatMap { right =>
+          (left, right) match {
+            case (ScalarLit(_), ScalarLit(_)) =>
+              Left("scalar-only expressions are not queries")
+            case _ => infix(Binary(op, left, right))
+          }
+        }
+      } else Right(left)
+    }
+
+    private def number(): Option[Double] = {
+      ws()
+      var j = i
+      if (j < s.length && s.charAt(j) == '-') j += 1
+      val d0 = j
+      while (j < s.length && (s.charAt(j).isDigit || s.charAt(j) == '.')) j += 1
+      if (j == d0) None
+      else s.substring(i, j).toDoubleOption.map { v => i = j; v }
+    }
+
+    private def term(): Either[String, Expr] = {
       ws()
       val save = i
-      peekIdent() match {
+      if (peekChar.contains('(')) {
+        i += 1
+        for { e <- expr(); _ <- eat(')') } yield e
+      } else if (peekChar.exists(c => c.isDigit || c == '-')) {
+        number().map(v => Right(ScalarLit(v)))
+          .getOrElse(Left(s"expected number at '${rest.take(20)}'"))
+      } else peekIdent() match {
         case Some(id) if id == "topk" || id == "bottomk" =>
           i += id.length
           rank(bottom = id == "bottomk")
@@ -359,7 +414,70 @@ object PromQL {
       case Rank(bottom, k, child) =>
         rank(eval(samples, child, startSec, endSec, stepSec, lookbackSec,
           rollup, ignoreLabel), bottom, k)
+      case Binary(op, ScalarLit(k), right) =>
+        scalarArith(eval(samples, right, startSec, endSec, stepSec,
+          lookbackSec, rollup, ignoreLabel), op, k, scalarOnLeft = true)
+      case Binary(op, left, ScalarLit(k)) =>
+        scalarArith(eval(samples, left, startSec, endSec, stepSec,
+          lookbackSec, rollup, ignoreLabel), op, k, scalarOnLeft = false)
+      case Binary(op, left, right) =>
+        vectorArith(
+          eval(samples, left, startSec, endSec, stepSec, lookbackSec, rollup,
+            ignoreLabel),
+          eval(samples, right, startSec, endSec, stepSec, lookbackSec, rollup,
+            ignoreLabel), op)
+      case ScalarLit(_) =>
+        throw new IllegalArgumentException("scalar-only expressions are not queries")
     }
+  }
+
+  /** vector∘vector: inner equi-join on the full label set + step (the
+    * Prometheus default matching, __name__ excluded — the result
+    * drops the metric name like every Prometheus binary op). All
+    * arithmetic runs on the two sides' exact micro-unit integers, so
+    * the IEEE double steps are bit-identical in any engine. A zero
+    * divisor drops its row. Scale shape: one equi-join on rows that
+    * are already one-per-(series, step); AQE broadcasts a selective
+    * side. */
+  private def vectorArith(l: DataFrame, r: DataFrame, op: Char): DataFrame = {
+    val j = l.select(col("labels"), col("t"), col("v_e6").as("lv"))
+      .join(r.select(col("labels"), col("t"), col("v_e6").as("rv")),
+        Seq("labels", "t"))
+    val v = op match {
+      case '+' => expr("lv + rv")
+      case '-' => expr("lv - rv")
+      case '*' => expr(
+        "CAST(floor(CAST(lv AS DOUBLE) * CAST(rv AS DOUBLE) / 1000000.0D + 0.5) AS BIGINT)")
+      case '/' => expr(
+        "CAST(floor(CAST(lv AS DOUBLE) / CAST(rv AS DOUBLE) * 1000000.0D + 0.5) AS BIGINT)")
+    }
+    val filtered = if (op == '/') j.filter(col("rv") =!= 0L) else j
+    filtered.select(lit(null).cast("string").as("metric"), col("labels"),
+      col("t"), v.as("v_e6"))
+  }
+
+  /** vector∘scalar: a per-row projection on the micro-unit integers
+    * (deterministic IEEE arithmetic on values both engines share
+    * exactly). Division by a zero vector value drops the row, like
+    * [[vectorArith]]. */
+  private def scalarArith(child: DataFrame, op: Char, k: Double,
+                          scalarOnLeft: Boolean): DataFrame = {
+    val kE6 = math.floor(k * 1e6 + 0.5).toLong
+    val v = (op, scalarOnLeft) match {
+      case ('+', _)     => expr(s"v_e6 + ${kE6}L")
+      case ('-', false) => expr(s"v_e6 - ${kE6}L")
+      case ('-', true)  => expr(s"${kE6}L - v_e6")
+      case ('*', _)     => expr(s"CAST(floor(CAST(v_e6 AS DOUBLE) * ${k}D + 0.5) AS BIGINT)")
+      case ('/', false) => expr(s"CAST(floor(CAST(v_e6 AS DOUBLE) / ${k}D + 0.5) AS BIGINT)")
+      case ('/', true)  => expr(s"CAST(floor(${k}D * 1.0e12D / CAST(v_e6 AS DOUBLE) + 0.5) AS BIGINT)")
+    }
+    val base = if (op == '/' && scalarOnLeft) child.filter(col("v_e6") =!= 0L)
+      else if (op == '/' && k == 0.0)
+        throw new IllegalArgumentException("division by literal zero")
+      else child
+    // like every Prometheus binary op, arithmetic drops __name__
+    base.select(lit(null).cast("string").as("metric"), col("labels"),
+      col("t"), v.as("v_e6"))
   }
 
   /** Matcher-filtered, time-bounded, per-second-deduped scan — the

@@ -52,6 +52,19 @@ class PromQLSpec extends SparkSpecBase {
     })
     assert(PromQL.parse("stddev_over_time(x[1h])").isRight)
     assert(PromQL.parse("m offset").isLeft) // offset needs a duration
+    // binary arithmetic: vector∘scalar, vector∘vector, grouping
+    assert(PromQL.parse("rate(x[5m]) * 100") match {
+      case Right(Binary('*', RangeCall("rate", _, 300L, _), ScalarLit(100.0))) => true
+      case _ => false
+    })
+    assert(PromQL.parse("(sum by (a) (x)) / sum by (a) (y)") match {
+      case Right(Binary('/', Agg("sum", _, _), Agg("sum", _, _))) => true
+      case _ => false
+    })
+    assert(PromQL.parse("100 - m") match {
+      case Right(Binary('-', ScalarLit(100.0), Instant(_, _))) => true
+      case _ => false
+    })
     // a metric that merely SPELLS like an operator stays a selector
     assert(PromQL.parse("""sum{job="a"}""") match {
       case Right(Instant(ms, 0L)) => ms.exists(m => m.name == "__name__" && m.value == "sum")
@@ -71,7 +84,9 @@ class PromQLSpec extends SparkSpecBase {
       "sum by (a) by (b) (x)",    // malformed
       """m{k="v"""",              // unterminated braces
       "",                         // empty
-      "rate(x[5m]) + 1")          // arithmetic unsupported → trailing input
+      "5",                        // bare scalar is not a query
+      "1 + 2",                    // scalar-only arithmetic
+      "rate(x[5m]) %")            // unknown operator → trailing input
     bad.foreach { q =>
       assert(PromQL.parse(q).isLeft, s"should reject: $q")
     }
@@ -176,6 +191,32 @@ class PromQLSpec extends SparkSpecBase {
     val cnt = rows(PromQL.eval(tinySamples,
       parse("count(sum_over_time(m[60s]))").toOption.get, T0 + 60, T0 + 60, 60L))
     assert(cnt === Set(("", "", T0 + 60, 2000000L)))
+  }
+
+  test("binary arithmetic: scalar projections and full-label-set vector matching") {
+    // vector * scalar scales every row
+    val scaled = rows(PromQL.eval(tinySamples,
+      parse("sum_over_time(m[60s]) * 100").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(scaled === Set(
+      ("", "host=a,user=1", T0 + 60, 350000000L),
+      ("", "host=b,user=2", T0 + 60, 2025000000L)))
+    // scalar-on-left subtraction
+    val inv = rows(PromQL.eval(tinySamples,
+      parse("100 - sum_over_time(m[60s])").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(inv.contains(("", "host=a,user=1", T0 + 60, 96500000L)))
+    // vector / vector on matching label sets: the self-ratio is 1
+    val self = rows(PromQL.eval(tinySamples,
+      parse("sum_over_time(m[60s]) / sum_over_time(m[60s])").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(self === Set(
+      ("", "host=a,user=1", T0 + 60, 1000000L),
+      ("", "host=b,user=2", T0 + 60, 1000000L)))
+    // series present on only one side drop (inner matching): b has no
+    // points in [t0+60, t0+120), so only a survives the self-ratio
+    val partial = rows(PromQL.eval(tinySamples,
+      parse("sum_over_time(m[60s]) / sum_over_time(m[60s])").toOption.get,
+      T0 + 120, T0 + 120, 60L))
+    assert(partial.map(_._2) === Set("host=a,user=1"))
   }
 
   test("topk/bottomk rank per step with deterministic tie-breaks") {

@@ -220,6 +220,36 @@ object ScaleSmoke {
       }
     }
 
+    // latestSnapshot lists `_manifests` on every uncached read — the
+    // serving path's per-request metadata cost. Measure snapshot
+    // resolution against a RETAINED generation count far above what
+    // expiry ever leaves (the documented worst case: a high write
+    // rate inside the 10-min grace) to decide whether a max-gen hint
+    // file is warranted. Cold = cache evicted (a fresh process);
+    // warm = the serving steady state (cache hit, one listing).
+    if (sectionEnabled("listing")) {
+      import graft.ingest.SamplesStore
+      import org.apache.hadoop.fs.Path
+      import spark.implicits._
+      val day0 = 1704412800L
+      def tiny(i: Int) = Seq((day0 * 1000000L + i * 1000000L, "m", Seq("k=v"), 1.0))
+        .toDF("ts_us", "metric", "labels", "value")
+      var gens = 0
+      val path = "/tmp/graft_scale/listing"
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(path), true)
+      for (target <- Seq(100, 500, 2000)) {
+        while (gens < target) { SamplesStore.append(tiny(gens), path); gens += 1 }
+        def timeMs(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+        }
+        SamplesStore.invalidateSnapshotCache(path)
+        val cold = timeMs(SamplesStore.currentGen(spark, path))
+        val warm = (0 until 20).map(_ => timeMs(SamplesStore.currentGen(spark, path))).min
+        println(f"SCALE listing gens=$target%-5d cold=${cold}%8.2f ms  warm=${warm}%8.3f ms")
+      }
+    }
+
     // Compaction: history length (m× days of store, ts shifted per
     // copy) grows; fragmentation stays constant (8 small appends into
     // the FIRST day only — the hot write frontier). Full compact pays

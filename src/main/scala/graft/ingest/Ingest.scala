@@ -326,32 +326,89 @@ object SamplesStore {
     * call already does. At 100 TB the manifest is O(total files)
     * lines; without this, every read request would re-read and
     * re-parse megabytes of file list. */
+  /** Test/measurement seam: drop the cached parsed snapshot so the
+    * next resolution replays the manifest chain cold, as a fresh
+    * process would. */
+  private[graft] def invalidateSnapshotCache(path: String): Unit = {
+    snapshotCache.remove(lockKey(path)); ()
+  }
+
   private val snapshotCache = scala.collection.concurrent.TrieMap
     .empty[String, StoreSnapshot]
 
+  /** Name of the max-generation HINT file inside `_manifests`. The
+    * hint is an optimization, never a source of truth: commits rename
+    * their manifest first (the commit point) and then best-effort
+    * rewrite the hint, so the hint can be missing (crash window,
+    * pre-hint store) or BEHIND (never ahead — expiry keeps the latest
+    * manifest). Resolution reads the hint and probes forward for the
+    * few generations a crash could have left unhinted; any doubt
+    * falls back to the full listing. Why it exists: listing
+    * `_manifests` is O(retained generations) per uncached read, and
+    * a high write rate inside the GC grace retains thousands —
+    * measured 41 ms/read at 2000 generations (SCALE.md, round 13)
+    * where the hint path is two small reads. */
+  private val MaxGenHint = ".maxgen"
+
+  private def writeMaxGenHint(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+                              gen: Long): Unit =
+    try {
+      val tmp = new Path(dir, s".maxgen-tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      out.write(gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      val hint = new Path(dir, MaxGenHint)
+      fs.delete(hint, false)
+      if (!fs.rename(tmp, hint)) fs.delete(tmp, false)
+    } catch { case _: Exception => () } // best effort — readers fall back
+
+  /** Latest generation via the hint + forward probe, or None when the
+    * hint is absent/corrupt/pointing at an expired file (→ caller
+    * lists). A hint behind by k (k = crashed commits since the last
+    * hint rewrite, almost always 0) costs k+1 existence probes. */
+  private def maxGenViaHint(fs: org.apache.hadoop.fs.FileSystem,
+                            root: Path, dir: Path): Option[Long] =
+    try {
+      val in = fs.open(new Path(dir, MaxGenHint))
+      val g0 = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      if (!fs.exists(manifestFile(root, g0))) None
+      else {
+        var g = g0
+        while (fs.exists(manifestFile(root, g + 1))) g += 1
+        Some(g)
+      }
+    } catch { case _: Exception => None }
+
   /** The latest committed snapshot, or None for a store that has
     * never committed one (fresh path, or a plain parquet tree built
-    * by other tools). Lock-free: one listing, plus — when the
-    * generation advanced — reading only the NEW delta manifests on
-    * top of the cached snapshot (another process's commits are picked
-    * up the same way); a cold cache walks at most one checkpoint
-    * chain. */
+    * by other tools). Lock-free: the max-gen hint (two small reads)
+    * or one listing, plus — when the generation advanced — reading
+    * only the NEW delta manifests on top of the cached snapshot
+    * (another process's commits are picked up the same way); a cold
+    * cache walks at most one checkpoint chain. */
   private[graft] def latestSnapshot(fs: org.apache.hadoop.fs.FileSystem,
                                     root: Path): Option[StoreSnapshot] = {
     val dir = new Path(root, ManifestDir)
-    val gens =
-      try fs.listStatus(dir).map(_.getPath.getName)
-        .collect { case ManifestPattern(g) => g.toLong }
-      catch { case _: java.io.FileNotFoundException => Array.empty[Long] }
-    if (gens.isEmpty) { snapshotCache.remove(lockKey(root.toString)); None }
-    else {
-      val gen = gens.max
-      val key = lockKey(root.toString)
-      snapshotCache.get(key).filter(_.gen == gen).orElse {
-        val snap = readManifest(fs, root, gen, snapshotCache.get(key))
-        snapshotCache.put(key, snap)
-        Some(snap)
-      }
+    val genOpt = maxGenViaHint(fs, root, dir).orElse {
+      val gens =
+        try fs.listStatus(dir).map(_.getPath.getName)
+          .collect { case ManifestPattern(g) => g.toLong }
+        catch { case _: java.io.FileNotFoundException => Array.empty[Long] }
+      if (gens.isEmpty) None else Some(gens.max)
+    }
+    genOpt match {
+      case None =>
+        snapshotCache.remove(lockKey(root.toString)); None
+      case Some(gen) =>
+        val key = lockKey(root.toString)
+        snapshotCache.get(key).filter(_.gen == gen).orElse {
+          val snap = readManifest(fs, root, gen, snapshotCache.get(key))
+          snapshotCache.put(key, snap)
+          Some(snap)
+        }
     }
   }
 
@@ -445,6 +502,7 @@ object SamplesStore {
         "appears to be committing to the same store path. Aborting this " +
         "commit; the other writer's generation is preserved.")
     }
+    writeMaxGenHint(fs, dir, gen) // after the commit point, best effort
     gen
   }
 
@@ -1050,6 +1108,14 @@ object SamplesStore {
             g = rec(g.get).base
         }
         all.foreach { case (g, s) => if (!needed.contains(g)) fs.delete(s.getPath, false) }
+        // crashed commit/hint temp files (".tmp-…", ".maxgen-tmp-…")
+        // are never referenced — reclaim by age, sparing the live hint
+        fs.listStatus(mdir).foreach { s =>
+          val n = s.getPath.getName
+          if (n.startsWith(".") && n != MaxGenHint &&
+              s.getModificationTime <= cutoff)
+            fs.delete(s.getPath, false)
+        }
         // Union of kept checkpoints' F-lines and kept deltas' A-lines
         // == union of every kept generation's RESOLVED file set: each
         // resolved set replays exactly these lines, and every chain

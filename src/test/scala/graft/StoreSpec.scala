@@ -789,6 +789,52 @@ class StoreSpec extends SparkSpecBase {
     assert(sortedWithinFiles(path))
   }
 
+  test("the max-gen hint accelerates snapshot resolution and is never load-bearing") {
+    import spark.implicits._
+    val path = "/tmp/graft_test/store_maxgen_hint"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val day0 = 1704412800L
+    def rowsFor(off: Int) =
+      Seq((day0 * 1000000L + off * 1000000L, "m", Seq("k=v"), off.toDouble))
+        .toDF("ts_us", "metric", "labels", "value")
+    for (i <- 0 until 5) SamplesStore.append(rowsFor(i), path)
+    val gen = SamplesStore.currentGen(spark, path).get
+    val hint = new org.apache.hadoop.fs.Path(path, "_manifests/.maxgen")
+    def hintSays: String = {
+      val in = fs.open(hint)
+      try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+    }
+    assert(fs.exists(hint) && hintSays == gen.toString,
+      "every commit must refresh the hint to the committed generation")
+    def freshRead(): Set[(Long, Double)] = {
+      SamplesStore.invalidateSnapshotCache(path)
+      SamplesStore.read(spark, path).select("ts_us", "value")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    }
+    val expectedT = freshRead()
+
+    // hint BEHIND (the crash-between-rename-and-hint window): forward
+    // probe must still find the real latest
+    val out = fs.create(hint, true)
+    out.write("1".getBytes("UTF-8")); out.close()
+    assert(freshRead() == expectedT)
+    assert(SamplesStore.currentGen(spark, path).contains(gen))
+
+    // corrupt hint → full-listing fallback
+    val out2 = fs.create(hint, true)
+    out2.write("not-a-number".getBytes("UTF-8")); out2.close()
+    assert(freshRead() == expectedT)
+
+    // missing hint (pre-hint store) → full-listing fallback, and the
+    // next commit restores it
+    fs.delete(hint, false)
+    assert(freshRead() == expectedT)
+    SamplesStore.append(rowsFor(99), path)
+    assert(fs.exists(hint) && hintSays == (gen + 1).toString)
+  }
+
   test("a concurrent-writer manifest collision fails loudly, store unchanged") {
     import spark.implicits._
     val path = "/tmp/graft_test/store_second_writer"

@@ -356,6 +356,21 @@ object HttpServe {
         }
       (for { e <- exprE; b <- boundsE } yield (e, b)) match {
         case Left(err) => badData(ex, err)
+        case Right((PromQL.ScalarLit(v), (startSec, endSec, stepSec))) =>
+          // Prometheus's scalar forms: Grafana health-probes the
+          // datasource with `1+1` and expects resultType "scalar";
+          // query_range promotes a scalar to a constant {} series
+          val sv = PromQL.formatE6(math.floor(v * 1e6 + 0.5).toLong)
+          val body =
+            if (rangeMode) {
+              val vals = (startSec to endSec by stepSec)
+                .map(t => s"""[$t,"$sv"]""").mkString("[", ",", "]")
+              s"""{"status":"success","data":{"resultType":"matrix","result":[""" +
+                s"""{"metric":{},"values":$vals}]}}"""
+            } else
+              s"""{"status":"success","data":{"resultType":"scalar","result":[$startSec,"$sv"]}}"""
+          respond(ex, 200, body.getBytes(UTF_8),
+            Seq("Content-Type" -> "application/json"))
         case Right((expr, (startSec, endSec, stepSec))) =>
           val rows = SamplesStore.readLocked(storePath) {
             storeSamples().map { df =>

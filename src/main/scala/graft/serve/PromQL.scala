@@ -43,8 +43,10 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   * first — unaggregated cross-metric matches multiply through the
   * join where Prometheus would error on many-to-many. No precedence
   * levels: operators chain left-associatively; parenthesize anything
-  * subtle. A bare number is not a query (400), matching Prometheus's
-  * scalar-only rejection on the vector endpoints.
+  * subtle. Scalar∘scalar folds at parse time, and a scalar-only
+  * query answers as Prometheus does: resultType "scalar" on
+  * /api/v1/query (Grafana's `1+1` datasource health probe), a
+  * constant {}-labeled series on query_range.
   *
   * Evaluation semantics (documented deviations from Prometheus, all
   * chosen so the distributed plan is exact and engine-portable):
@@ -116,16 +118,16 @@ object PromQL {
 
   // ---- Parser -----------------------------------------------------
 
-  /** Parse a whitelisted PromQL expression; Left(message) → HTTP 400. */
+  /** Parse a whitelisted PromQL expression; Left(message) → HTTP 400.
+    * A scalar-only input parses to [[ScalarLit]] (folded): the HTTP
+    * layer answers it directly ([[eval]] rejects it — a scalar is not
+    * a vector plan). */
   def parse(input: String): Either[String, Expr] = {
     val p = new Parser(input)
     p.expr().flatMap { e =>
       p.ws()
       if (!p.atEnd) Left(s"unexpected trailing input at '${p.rest.take(20)}'")
-      else e match {
-        case ScalarLit(_) => Left("scalar-only expressions are not queries")
-        case _ => Right(e)
-      }
+      else Right(e)
     }
   }
 
@@ -159,15 +161,24 @@ object PromQL {
 
     def expr(): Either[String, Expr] = term().flatMap(infix)
 
-    /** Left-associative {+ - * /} chain over terms. */
+    /** Left-associative {+ - * /} chain over terms. Scalar∘scalar
+      * folds at parse time (Grafana's `1+1` health probe arrives
+      * here); a scalar-only RESULT is legal — the endpoints answer it
+      * as Prometheus's scalar/constant-series forms. */
     private def infix(left: Expr): Either[String, Expr] = {
       ws()
       if (!atEnd && "+-*/".contains(s.charAt(i))) {
         val op = s.charAt(i); i += 1
         term().flatMap { right =>
           (left, right) match {
-            case (ScalarLit(_), ScalarLit(_)) =>
-              Left("scalar-only expressions are not queries")
+            case (ScalarLit(a), ScalarLit(b)) =>
+              if (op == '/' && b == 0.0) Left("division by zero")
+              else infix(ScalarLit(op match {
+                case '+' => a + b
+                case '-' => a - b
+                case '*' => a * b
+                case '/' => a / b
+              }))
             case _ => infix(Binary(op, left, right))
           }
         }

@@ -65,6 +65,13 @@ class PromQLSpec extends SparkSpecBase {
       case Right(Binary('-', ScalarLit(100.0), Instant(_, _))) => true
       case _ => false
     })
+    // scalar-only expressions fold at parse time (the Grafana health
+    // probe); the evaluator still refuses them as vector plans
+    assert(PromQL.parse("1+1") === Right(ScalarLit(2.0)))
+    assert(PromQL.parse("(2 * 3) - 1") === Right(ScalarLit(5.0)))
+    assertThrows[IllegalArgumentException] {
+      PromQL.eval(tinySamples, ScalarLit(2.0), T0, T0, 1L)
+    }
     // a metric that merely SPELLS like an operator stays a selector
     assert(PromQL.parse("""sum{job="a"}""") match {
       case Right(Instant(ms, 0L)) => ms.exists(m => m.name == "__name__" && m.value == "sum")
@@ -84,8 +91,7 @@ class PromQLSpec extends SparkSpecBase {
       "sum by (a) by (b) (x)",    // malformed
       """m{k="v"""",              // unterminated braces
       "",                         // empty
-      "5",                        // bare scalar is not a query
-      "1 + 2",                    // scalar-only arithmetic
+      "1 / 0",                    // scalar division by zero
       "rate(x[5m]) %")            // unknown operator → trailing input
     bad.foreach { q =>
       assert(PromQL.parse(q).isLeft, s"should reject: $q")
@@ -251,6 +257,20 @@ class PromQLSpec extends SparkSpecBase {
     val raw = rows(PromQL.eval(stored, e, start, end, step))
     assert(routed === raw, "rollup-served answer must equal the raw answer")
     assert(routed.nonEmpty)
+
+    // every rollup-servable function re-aggregates exactly: the
+    // (sum, min, max, n) partials must reproduce the raw answer for
+    // min/max/count/avg too, not just the sum the oracle covers
+    for (fn <- Seq("min_over_time", "max_over_time", "count_over_time",
+                   "avg_over_time")) {
+      val eF = parse(s"$fn(click[2h])").toOption.get
+      val bF = m.readsFromRollup.value
+      val routedF = rows(PromQL.eval(stored, eF, start, end, step,
+        rollup = Some(RollupGrid(path, rpath, 3600L))))
+      assert(m.readsFromRollup.value === bF + 1, s"$fn must route to the rollup")
+      assert(routedF === rows(PromQL.eval(stored, eF, start, end, step)),
+        s"$fn rollup answer must equal the raw answer")
+    }
 
     // breaking any gate routes raw: unaligned start, step≠range, or a
     // stale rollup (a write the rollup hasn't digested)

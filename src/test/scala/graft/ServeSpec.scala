@@ -852,6 +852,18 @@ class ServeSpec extends SparkSpecBase {
         val (code, body) = get(url)
         assert(code === 400 && body.contains("\"bad_data\""), s"$url -> $code $body")
       }
+      // Grafana's datasource health probe: a scalar expression
+      // answers resultType "scalar" (instant) / a constant {} series
+      // (range) — without this, adding graft as a datasource fails
+      val (hc, hb) = get(s"$base/api/v1/query?query=${java.net.URLEncoder
+        .encode("1+1", "UTF-8")}&time=${t0 + 60}")
+      assert(hc === 200)
+      assert(hb === s"""{"status":"success","data":{"resultType":"scalar","result":[${t0 + 60},"2"]}}""")
+      val (hc2, hb2) = get(s"$base/api/v1/query_range?query=7&start=${t0}&end=${t0 + 120}&step=60")
+      assert(hc2 === 200)
+      assert(hb2 === s"""{"status":"success","data":{"resultType":"matrix","result":[""" +
+        s"""{"metric":{},"values":[[$t0,"7"],[${t0 + 60},"7"],[${t0 + 120},"7"]]}]}}""")
+
       // unknown path under the query prefix stays a 404
       assert(get(s"$base/api/v1/queryfoo")._1 === 404)
       // a fresh store-less server answers success+empty, not 500

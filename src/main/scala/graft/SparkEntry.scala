@@ -717,6 +717,12 @@ object SparkEntry {
         parsePromQL("sum by (user) (sum_over_time(click[1d]))" +
           " / sum by (user) (sum_over_time(view[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
+
+    // exact interpolated per-window quantile (the latency-p90 idiom)
+    "promql_quantile" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("quantile_over_time(0.9, click[1d])"),
+        WinStartSec, WinEndSec, 86400L))),
   )
 
   /** PromQL evaluator output → oracle-safe scalar columns. */
@@ -1923,5 +1929,21 @@ object SparkEntry {
          |            * 1000000 + 0.5) AS BIGINT) AS v_e6
          |FROM agg a JOIN agg b ON a.labels = b.labels AND a.t = b.t
          |WHERE a.metric = 'click' AND b.metric = 'view' AND b.v_e6 != 0""".stripMargin,
+
+    // quantile_cont ≡ Spark percentile (the ts_quantile_over_time
+    // pairing), per [t-1d, t) window per series
+    "promql_quantile" ->
+      s"""$dedupCte, grid AS (SELECT unnest(range(0, 16)) AS k),
+         |j AS (
+         |  SELECT s.metric, s.labels, $WinStartSec + g.k * 86400 AS t, s.value
+         |  FROM deduped s JOIN grid g
+         |    ON s.t_sec >= $WinStartSec + g.k * 86400 - 86400
+         |   AND s.t_sec <  $WinStartSec + g.k * 86400
+         |  WHERE s.metric = 'click'
+         |    AND s.t_sec >= ${WinStartSec - 86400} AND s.t_sec <= ${WinEndSec - 1}
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, t,
+         |       CAST(floor(quantile_cont(value, 0.9) * 1000000 + 0.5) AS BIGINT) AS v_e6
+         |FROM j GROUP BY 1, 2, 3""".stripMargin,
   )
 }

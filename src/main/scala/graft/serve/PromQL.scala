@@ -24,6 +24,7 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   *   agg      := op ["by" "(" names ")"] "(" expr ")" ["by" "(" names ")"]
   *               op ∈ sum avg min max count
   *   rank     := ("topk"|"bottomk") "(" int "," expr ")"
+  *   quantile := "quantile_over_time" "(" φ "," selector "[" dur "]" [offset] ")"
   *   rangecall:= fn "(" selector "[" dur "]" [offset] ")"
   *               fn ∈ rate increase delta avg_over_time min_over_time
   *                    max_over_time sum_over_time count_over_time
@@ -105,6 +106,10 @@ object PromQL {
   /** left op right — vector∘vector (full-label-set matching) or
     * vector∘scalar when either side is [[ScalarLit]]. */
   final case class Binary(op: Char, left: Expr, right: Expr) extends Expr
+  /** quantile_over_time(φ, selector[d] [offset o]): the exact
+    * interpolated per-window quantile. */
+  final case class Quantile(q: Double, matchers: Seq[LabelMatcher],
+                            rangeSec: Long, offsetSec: Long = 0L) extends Expr
   /** A number literal — only legal as one side of a [[Binary]]. */
   final case class ScalarLit(v: Double) extends Expr
 
@@ -208,6 +213,20 @@ object PromQL {
         case Some(id) if id == "topk" || id == "bottomk" =>
           i += id.length
           rank(bottom = id == "bottomk")
+        case Some(id) if id == "quantile_over_time" =>
+          i += id.length
+          for {
+            _ <- eat('(')
+            q <- number().filter(v => v >= 0.0 && v <= 1.0)
+              .toRight("quantile_over_time needs φ in [0, 1]")
+            _ <- eat(',')
+            sel <- selectorMatchers()
+            _ <- eat('[')
+            d <- duration()
+            _ <- eat(']')
+            off <- offsetClause()
+            _ <- eat(')')
+          } yield Quantile(q, sel, d, off)
         case Some(id) if AggOps(id) =>
           i += id.length
           val after = { val s2 = i; ws(); val c = peekChar; i = s2; c }
@@ -419,6 +438,9 @@ object PromQL {
             .getOrElse(rangeRaw(samples, fn, ms, s0, e0, stepSec, d,
               ignoreLabel)),
           off)
+      case Quantile(q, ms, d, off) =>
+        unshift(quantileRange(samples, q, ms, startSec - off, endSec - off,
+          stepSec, d, ignoreLabel), off)
       case Agg(op, by, child) =>
         aggregate(eval(samples, child, startSec, endSec, stepSec, lookbackSec,
           rollup, ignoreLabel), op, by)
@@ -508,13 +530,15 @@ object PromQL {
     * holds it, then one (series, t) aggregate. k-bound arithmetic is
     * offset to stay non-negative so integer DIV is floor division in
     * every engine. */
-  private def rangeRaw(samples: DataFrame, fn: String,
-                       matchers: Seq[LabelMatcher], start: Long, end: Long,
-                       step: Long, d: Long,
-                       ignoreLabel: Option[String]): DataFrame = {
+  /** Deduped samples exploded onto the grid steps whose [t-d, t)
+    * window holds them: one row per (sample, containing step), ready
+    * for a (series, t) aggregate. */
+  private def gridExplode(samples: DataFrame, matchers: Seq[LabelMatcher],
+                          start: Long, end: Long, step: Long, d: Long,
+                          ignoreLabel: Option[String]): DataFrame = {
     val off = d / step + 2
     val kTop = (end - start) / step
-    val stats = dedupedWindow(samples, matchers, start - d, end, ignoreLabel)
+    dedupedWindow(samples, matchers, start - d, end, ignoreLabel)
       .filter(col("t_sec") >= start - d && col("t_sec") <= end - 1)
       // window [t-d, t) ∋ t_sec  ⇔  t_sec < t ≤ t_sec + d
       .withColumn("kmin", greatest(lit(0L),
@@ -524,6 +548,13 @@ object PromQL {
       .filter(col("kmax") >= col("kmin"))
       .withColumn("k", explode(expr("sequence(kmin, kmax)")))
       .withColumn("t", expr(s"$start + k * $step"))
+  }
+
+  private def rangeRaw(samples: DataFrame, fn: String,
+                       matchers: Seq[LabelMatcher], start: Long, end: Long,
+                       step: Long, d: Long,
+                       ignoreLabel: Option[String]): DataFrame = {
+    val stats = gridExplode(samples, matchers, start, end, step, d, ignoreLabel)
       .groupBy(col("metric"), col("labels"), col("t"))
       .agg(count(lit(1)).as("n"),
         expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").as("sum_e2"),
@@ -586,6 +617,25 @@ object PromQL {
         throw new IllegalArgumentException(s"unsupported range function: $other")
     }
   }
+
+  /** quantile_over_time: the exact interpolated per-window quantile
+    * (Spark `percentile` ≡ DuckDB quantile_cont — the pairing
+    * ts_quantile_over_time's oracle established). Unlike the partial
+    * stats the other range functions reduce to, the quantile needs
+    * each window's value multiset, so this is the one function whose
+    * shuffle carries the exploded rows themselves — still one row per
+    * (sample, containing window), bounded by the d/step amplification
+    * like every other range call, and never servable from the rollup
+    * (a quantile does not decompose into bucket partials). */
+  private def quantileRange(samples: DataFrame, q: Double,
+                            matchers: Seq[LabelMatcher], start: Long,
+                            end: Long, step: Long, d: Long,
+                            ignoreLabel: Option[String]): DataFrame =
+    gridExplode(samples, matchers, start, end, step, d, ignoreLabel)
+      .groupBy(col("metric"), col("labels"), col("t"))
+      .agg(percentile(col("value"), lit(q)).as("qv"))
+      .select(col("metric"), col("labels"), col("t"),
+        expr("CAST(floor(qv * 1000000 + 0.5) AS BIGINT)").as("v_e6"))
 
   /** Serve an aligned tiling *_over_time from the rollup twin:
     * requires step == range (windows tile), range a multiple of the

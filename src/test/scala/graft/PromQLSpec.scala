@@ -225,6 +225,24 @@ class PromQLSpec extends SparkSpecBase {
     assert(partial.map(_._2) === Set("host=a,user=1"))
   }
 
+  test("quantile_over_time interpolates exactly per window") {
+    assert(PromQL.parse("quantile_over_time(0.9, x[5m])") match {
+      case Right(Quantile(0.9, _, 300L, 0L)) => true
+      case _ => false
+    })
+    assert(PromQL.parse("quantile_over_time(1.5, x[5m])").isLeft)
+    // [t0, t0+60) for series a holds {1.0, 2.5}: the median
+    // interpolates to 1.75, φ=1 is the max
+    val med = rows(PromQL.eval(tinySamples,
+      parse("quantile_over_time(0.5, m[60s])").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(med.contains(("m", "host=a,user=1", T0 + 60, 1750000L)))
+    val max = rows(PromQL.eval(tinySamples,
+      parse("quantile_over_time(1, m[60s])").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(max.contains(("m", "host=a,user=1", T0 + 60, 2500000L)))
+  }
+
   test("topk/bottomk rank per step with deterministic tie-breaks") {
     val top = rows(PromQL.eval(tinySamples,
       parse("topk(1, sum by (host) (sum_over_time(m[60s])))").toOption.get,

@@ -422,6 +422,16 @@ object HttpServe {
       }
     }
 
+    // Grafana feature-detects its Prometheus datasource via
+    // buildinfo; answering a modern version unlocks the standard
+    // query editor against graft's query API
+    server.createContext("/api/v1/status/buildinfo", (ex: HttpExchange) => guarded(ex) {
+      respond(ex, 200,
+        """{"status":"success","data":{"version":"2.45.0","application":"graft"}}"""
+          .getBytes(UTF_8),
+        Seq("Content-Type" -> "application/json"))
+    })
+
     server.createContext("/api/v1/query_range", (ex: HttpExchange) => guarded(ex) {
       servePromQuery(ex, rangeMode = true)
     })

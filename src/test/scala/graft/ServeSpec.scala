@@ -864,6 +864,10 @@ class ServeSpec extends SparkSpecBase {
       assert(hb2 === s"""{"status":"success","data":{"resultType":"matrix","result":[""" +
         s"""{"metric":{},"values":[[$t0,"7"],[${t0 + 60},"7"],[${t0 + 120},"7"]]}]}}""")
 
+      // buildinfo: the Grafana feature-detection probe
+      val (bc, bb) = get(s"$base/api/v1/status/buildinfo")
+      assert(bc === 200 && bb.contains("\"version\""), bb)
+
       // unknown path under the query prefix stays a 404
       assert(get(s"$base/api/v1/queryfoo")._1 === 404)
       // a fresh store-less server answers success+empty, not 500

@@ -18,17 +18,30 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   * whitelisted expression grammar over the same primitives so Grafana
   * can talk to graft directly via `/api/v1/query_range`.
   *
-  * Grammar (whitelist — anything else answers 400):
-  *   expr     := term {("+"|"-"|"*"|"/") term}   (left-assoc, one level)
-  *   term     := agg | rank | rangecall | selector | number | "(" expr ")"
-  *   agg      := op ["by" "(" names ")"] "(" expr ")" ["by" "(" names ")"]
-  *               op ∈ sum avg min max count
+  * Grammar (whitelist — anything else answers 400). Operator
+  * precedence is Prometheus's, loosest first:
+  *   expr     := andExpr {"or" andExpr}
+  *   andExpr  := cmpExpr {("and"|"unless") cmpExpr}
+  *   cmpExpr  := addExpr {("=="|"!="|"<="|"<"|">="|">") ["bool"] addExpr}
+  *   addExpr  := mulExpr {("+"|"-") mulExpr}
+  *   mulExpr  := term {("*"|"/") term}
+  *   term     := agg | rank | rangecall | mathfn | predict | absent
+  *             | selector | number | "(" expr ")"
+  *   agg      := op [grouping] "(" [φ ","] expr ")" [grouping]
+  *               op ∈ sum avg min max count group quantile(φ)
+  *   grouping := ("by"|"without") "(" names ")"
   *   rank     := ("topk"|"bottomk") "(" int "," expr ")"
   *   quantile := "quantile_over_time" "(" φ "," selector "[" dur "]" [offset] ")"
   *   rangecall:= fn "(" selector "[" dur "]" [offset] ")"
-  *               fn ∈ rate increase delta avg_over_time min_over_time
-  *                    max_over_time sum_over_time count_over_time
-  *                    last_over_time stddev_over_time
+  *               fn ∈ rate irate increase delta idelta deriv changes
+  *                    resets avg_over_time min_over_time max_over_time
+  *                    sum_over_time count_over_time last_over_time
+  *                    stddev_over_time
+  *   predict  := "predict_linear" "(" selector "[" dur "]" [offset] "," num ")"
+  *   absent   := "absent_over_time" "(" selector "[" dur "]" [offset] ")"
+  *   mathfn   := fn "(" expr ["," num]* ")"
+  *               fn ∈ abs ceil floor sgn round(v[,n]) clamp(v,lo,hi)
+  *                    clamp_min(v,lo) clamp_max(v,hi)
   *   selector := PromQL instant-vector selector (Matchers.parseSelector)
   *               [offset]
   *   offset   := "offset" dur      (shifts every window back by dur)
@@ -42,12 +55,26 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   * survives the exact integer value model, an Inf cannot). Selectors
   * spanning several metrics should pre-aggregate (`sum by (...)`)
   * first — unaggregated cross-metric matches multiply through the
-  * join where Prometheus would error on many-to-many. No precedence
-  * levels: operators chain left-associatively; parenthesize anything
-  * subtle. Scalar∘scalar folds at parse time, and a scalar-only
-  * query answers as Prometheus does: resultType "scalar" on
-  * /api/v1/query (Grafana's `1+1` datasource health probe), a
-  * constant {}-labeled series on query_range.
+  * join where Prometheus would error on many-to-many. Scalar∘scalar
+  * folds at parse time, and a scalar-only query answers as Prometheus
+  * does: resultType "scalar" on /api/v1/query (Grafana's `1+1`
+  * datasource health probe), a constant {}-labeled series on
+  * query_range.
+  *
+  * Comparison operators (== != < <= > >=) are Prometheus filters:
+  * vector∘scalar keeps the rows (and the metric name) where the
+  * predicate holds; vector∘vector matches on the full label set and
+  * keeps the LEFT side's passing rows. With `bool` the value becomes
+  * 1/0 per (matched) element and the metric name drops, like every
+  * value-transforming op. Scalar∘scalar comparisons require `bool`
+  * (Prometheus's rule) and fold at parse time.
+  *
+  * Set operators match on the full label set per step (__name__
+  * excluded): `and` keeps left rows with a match on the right
+  * (semi join), `unless` keeps left rows without one (anti join),
+  * `or` is left plus the right rows whose label set is absent from
+  * the left at that step — all three preserve each side's values
+  * and metric names, as Prometheus does.
   *
   * Evaluation semantics (documented deviations from Prometheus, all
   * chosen so the distributed plan is exact and engine-portable):
@@ -99,13 +126,35 @@ object PromQL {
     * grid step. */
   final case class RangeCall(fn: String, matchers: Seq[LabelMatcher],
                              rangeSec: Long, offsetSec: Long = 0L) extends Expr
-  /** op by (keys) (child); empty keys = aggregate everything. */
-  final case class Agg(op: String, by: Seq[String], child: Expr) extends Expr
+  /** op by (keys) (child); empty keys + without=false = aggregate
+    * everything; without=true drops `keys` (and __name__) instead of
+    * keeping them. `param` carries quantile's φ. */
+  final case class Agg(op: String, by: Seq[String], child: Expr,
+                       without: Boolean = false,
+                       param: Option[Double] = None) extends Expr
   /** topk/bottomk(k, child) per grid step. */
   final case class Rank(bottom: Boolean, k: Int, child: Expr) extends Expr
   /** left op right — vector∘vector (full-label-set matching) or
     * vector∘scalar when either side is [[ScalarLit]]. */
   final case class Binary(op: Char, left: Expr, right: Expr) extends Expr
+  /** Comparison filter (== != < <= > >=); `bool` → 1/0 values. */
+  final case class Cmp(op: String, bool: Boolean,
+                       left: Expr, right: Expr) extends Expr
+  /** and | or | unless on full label sets per step. */
+  final case class SetOp(op: String, left: Expr, right: Expr) extends Expr
+  /** Per-row math over any vector: abs ceil floor sgn round clamp
+    * clamp_min clamp_max; `args` holds the trailing scalar
+    * arguments (round's to_nearest, clamp's bounds). */
+  final case class MathFn(fn: String, child: Expr,
+                          args: Seq[Double] = Nil) extends Expr
+  /** predict_linear(sel[d] [offset], horizonSec): least-squares
+    * extrapolation of each window to t + horizon. */
+  final case class Predict(matchers: Seq[LabelMatcher], rangeSec: Long,
+                           horizonSec: Long, offsetSec: Long = 0L) extends Expr
+  /** absent_over_time(sel[d] [offset]): 1 at grid steps whose window
+    * holds no sample, labeled from the selector's = matchers. */
+  final case class Absent(matchers: Seq[LabelMatcher], rangeSec: Long,
+                          offsetSec: Long = 0L) extends Expr
   /** quantile_over_time(φ, selector[d] [offset o]): the exact
     * interpolated per-window quantile. */
   final case class Quantile(q: Double, matchers: Seq[LabelMatcher],
@@ -115,8 +164,15 @@ object PromQL {
 
   val RangeFns: Set[String] = Set("rate", "increase", "delta",
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
-    "count_over_time", "last_over_time", "stddev_over_time")
-  val AggOps: Set[String] = Set("sum", "avg", "min", "max", "count")
+    "count_over_time", "last_over_time", "stddev_over_time",
+    "irate", "idelta", "deriv", "changes", "resets")
+  /** The RangeFns subset needing each point's PREDECESSOR (a
+    * per-series lag), not just decomposable window partials. */
+  val PairFns: Set[String] = Set("irate", "idelta", "changes", "resets")
+  val AggOps: Set[String] = Set("sum", "avg", "min", "max", "count",
+    "group", "quantile")
+  val MathFns: Set[String] = Set("abs", "ceil", "floor", "sgn", "round",
+    "clamp", "clamp_min", "clamp_max")
   /** The *_over_time subset a fresh aligned rollup can answer. */
   private val RollupServable: Set[String] = Set("sum_over_time",
     "min_over_time", "max_over_time", "count_over_time", "avg_over_time")
@@ -164,30 +220,110 @@ object PromQL {
 
     private def peekChar: Option[Char] = { ws(); if (atEnd) None else Some(s.charAt(i)) }
 
-    def expr(): Either[String, Expr] = term().flatMap(infix)
+    /** Prometheus's precedence ladder, loosest first: or < and/unless
+      * < comparisons < +- < * /. Each level is a left-associative
+      * chain over the next. Scalar∘scalar arithmetic folds at parse
+      * time (Grafana's `1+1` health probe arrives here); a
+      * scalar-only RESULT is legal — the endpoints answer it as
+      * Prometheus's scalar/constant-series forms. */
+    def expr(): Either[String, Expr] = orExpr()
 
-    /** Left-associative {+ - * /} chain over terms. Scalar∘scalar
-      * folds at parse time (Grafana's `1+1` health probe arrives
-      * here); a scalar-only RESULT is legal — the endpoints answer it
-      * as Prometheus's scalar/constant-series forms. */
-    private def infix(left: Expr): Either[String, Expr] = {
+    private def peekKeyword(kws: Set[String]): Option[String] = {
+      val save = i
       ws()
-      if (!atEnd && "+-*/".contains(s.charAt(i))) {
-        val op = s.charAt(i); i += 1
-        term().flatMap { right =>
-          (left, right) match {
-            case (ScalarLit(a), ScalarLit(b)) =>
-              if (op == '/' && b == 0.0) Left("division by zero")
-              else infix(ScalarLit(op match {
-                case '+' => a + b
-                case '-' => a - b
-                case '*' => a * b
-                case '/' => a / b
-              }))
-            case _ => infix(Binary(op, left, right))
-          }
+      val k = peekIdent().filter(kws)
+      if (k.isEmpty) i = save
+      k
+    }
+
+    private def orExpr(): Either[String, Expr] =
+      chainKw(andExpr, Set("or")) { (op, l, r) =>
+        (l, r) match {
+          case (ScalarLit(_), _) | (_, ScalarLit(_)) =>
+            Left(s"set operator '$op' requires two vectors")
+          case _ => Right(SetOp(op, l, r))
         }
-      } else Right(left)
+      }
+
+    private def andExpr(): Either[String, Expr] =
+      chainKw(cmpExpr, Set("and", "unless")) { (op, l, r) =>
+        (l, r) match {
+          case (ScalarLit(_), _) | (_, ScalarLit(_)) =>
+            Left(s"set operator '$op' requires two vectors")
+          case _ => Right(SetOp(op, l, r))
+        }
+      }
+
+    private def chainKw(next: () => Either[String, Expr], kws: Set[String])(
+        mk: (String, Expr, Expr) => Either[String, Expr]): Either[String, Expr] = {
+      def loop(left: Expr): Either[String, Expr] =
+        peekKeyword(kws) match {
+          case Some(op) =>
+            i += op.length
+            next().flatMap(r => mk(op, left, r)).flatMap(loop)
+          case None => Right(left)
+        }
+      next().flatMap(loop)
+    }
+
+    private val CmpOps = Seq("==", "!=", "<=", ">=", "<", ">")
+
+    private def cmpExpr(): Either[String, Expr] = {
+      def peekCmp(): Option[String] = {
+        ws()
+        CmpOps.find(op => s.startsWith(op, i))
+      }
+      def loop(left: Expr): Either[String, Expr] =
+        peekCmp() match {
+          case Some(op) =>
+            i += op.length
+            val bool = peekKeyword(Set("bool")).exists { k => i += k.length; true }
+            addExpr().flatMap { right =>
+              (left, right) match {
+                case (ScalarLit(a), ScalarLit(b)) =>
+                  if (!bool)
+                    Left("comparisons between scalars must use the bool modifier")
+                  else {
+                    val ok = op match {
+                      case "==" => a == b case "!=" => a != b
+                      case "<" => a < b case "<=" => a <= b
+                      case ">" => a > b case ">=" => a >= b
+                    }
+                    loop(ScalarLit(if (ok) 1.0 else 0.0))
+                  }
+                case _ => loop(Cmp(op, bool, left, right))
+              }
+            }
+          case None => Right(left)
+        }
+      addExpr().flatMap(loop)
+    }
+
+    private def addExpr(): Either[String, Expr] = arith(mulExpr, "+-")
+    private def mulExpr(): Either[String, Expr] = arith(term, "*/")
+
+    private def arith(next: () => Either[String, Expr],
+                      ops: String): Either[String, Expr] = {
+      def loop(left: Expr): Either[String, Expr] = {
+        ws()
+        if (!atEnd && ops.contains(s.charAt(i))) {
+          val op = s.charAt(i); i += 1
+          next().flatMap { right =>
+            (left, right) match {
+              case (ScalarLit(a), ScalarLit(b)) =>
+                if (op == '/' && b == 0.0) Left("division by zero")
+                else loop(ScalarLit(op match {
+                  case '+' => a + b
+                  case '-' => a - b
+                  case '*' => a * b
+                  case '/' => a / b
+                }))
+              case _ => loop(Binary(op, left, right))
+            }
+          }
+        } else Right(left)
+      }
+      next().flatMap(loop)
     }
 
     private def number(): Option[Double] = {
@@ -227,6 +363,34 @@ object PromQL {
             off <- offsetClause()
             _ <- eat(')')
           } yield Quantile(q, sel, d, off)
+        case Some(id) if id == "predict_linear" =>
+          i += id.length
+          for {
+            _ <- eat('(')
+            sel <- selectorMatchers()
+            _ <- eat('[')
+            d <- duration()
+            _ <- eat(']')
+            off <- offsetClause()
+            _ <- eat(',')
+            h <- number().toRight("predict_linear needs a horizon in seconds")
+            _ <- eat(')')
+          } yield Predict(sel, d, h.toLong, off)
+        case Some(id) if id == "absent_over_time" =>
+          i += id.length
+          for {
+            _ <- eat('(')
+            sel <- selectorMatchers()
+            _ <- eat('[')
+            d <- duration()
+            _ <- eat(']')
+            off <- offsetClause()
+            _ <- eat(')')
+          } yield Absent(sel, d, off)
+        case Some(id) if MathFns(id) =>
+          i += id.length
+          val after = { val s2 = i; ws(); val c = peekChar; i = s2; c }
+          if (after.contains('(')) mathCall(id) else { i = save; selector() }
         case Some(id) if AggOps(id) =>
           i += id.length
           val after = { val s2 = i; ws(); val c = peekChar; i = s2; c }
@@ -240,6 +404,40 @@ object PromQL {
         case _ => selector()
       }
     }
+
+    /** mathfn(expr [, num]*) with per-function arity/validity rules. */
+    private def mathCall(fn: String): Either[String, Expr] =
+      for {
+        _ <- eat('(')
+        child <- expr()
+        args <- {
+          val b = Seq.newBuilder[Double]
+          var err: Option[String] = None
+          while (err.isEmpty && peekChar.contains(',')) {
+            i += 1
+            number() match {
+              case Some(v) => b += v
+              case None => err = Some(s"$fn: expected numeric argument")
+            }
+          }
+          err.toLeft(b.result())
+        }
+        _ <- eat(')')
+        _ <- (fn, args) match {
+          case ("abs" | "ceil" | "floor" | "sgn", Seq()) => Right(())
+          case ("round", Seq()) | ("round", Seq(_)) =>
+            if (args.forall(_ > 0.0)) Right(())
+            else Left("round: to_nearest must be positive")
+          case ("clamp", Seq(lo, hi)) =>
+            if (lo <= hi) Right(()) else Left("clamp: min must be <= max")
+          case ("clamp_min", Seq(_)) | ("clamp_max", Seq(_)) => Right(())
+          case _ => Left(s"$fn: wrong number of arguments")
+        }
+        _ <- child match {
+          case ScalarLit(_) => Left(s"$fn requires a vector argument")
+          case _ => Right(())
+        }
+      } yield MathFn(fn, child, args)
 
     private def rank(bottom: Boolean): Either[String, Expr] =
       for {
@@ -263,29 +461,42 @@ object PromQL {
     }
 
     private def agg(op: String): Either[String, Expr] = {
-      def byClause(): Either[String, Seq[String]] = {
+      /** `by (names)` or `without (names)`, if present. */
+      def grouping(): Either[String, Option[(Boolean, Seq[String])]] = {
         val kw = { val s2 = i; ws(); val k = peekIdent(); i = s2; k }
         kw match {
-          case Some("without") => Left("unsupported grouping modifier: without")
-          case Some("by") =>
-            ws(); i += 2
+          case Some(k @ ("by" | "without")) =>
+            ws(); i += k.length
             for {
               _ <- eat('(')
               names <- identList()
               _ <- eat(')')
-            } yield names
-          case _ => Right(Seq.empty)
+            } yield Some((k == "without", names))
+          case _ => Right(None)
         }
       }
       for {
-        pre <- byClause()
+        pre <- grouping()
         _ <- eat('(')
+        param <- if (op != "quantile") Right(None)
+          else for {
+            q <- number().filter(v => v >= 0.0 && v <= 1.0)
+              .toRight("quantile needs φ in [0, 1]")
+            _ <- eat(',')
+          } yield Some(q)
         child <- expr()
         _ <- eat(')')
-        post <- byClause()
-        by <- if (pre.nonEmpty && post.nonEmpty)
-                Left("duplicate by clause") else Right(pre ++ post)
-      } yield Agg(op, by, child)
+        post <- grouping()
+        g <- if (pre.nonEmpty && post.nonEmpty)
+               Left("duplicate grouping clause") else Right(pre.orElse(post))
+        _ <- child match {
+          case ScalarLit(_) => Left(s"$op requires a vector argument")
+          case _ => Right(())
+        }
+      } yield {
+        val (without, names) = g.getOrElse((false, Seq.empty))
+        Agg(op, names, child, without, param)
+      }
     }
 
     private def identList(): Either[String, Seq[String]] = {
@@ -430,6 +641,12 @@ object PromQL {
     expr0 match {
       case Instant(ms, off) => unshift(instant(samples, ms, startSec - off,
         endSec - off, stepSec, lookbackSec, ignoreLabel), off)
+      case RangeCall(fn, ms, d, off) if PairFns(fn) =>
+        unshift(pairRange(samples, fn, ms, startSec - off, endSec - off,
+          stepSec, d, ignoreLabel), off)
+      case RangeCall("deriv", ms, d, off) =>
+        unshift(regressionRange(samples, ms, startSec - off, endSec - off,
+          stepSec, d, ignoreLabel, horizonSec = None), off)
       case RangeCall(fn, ms, d, off) =>
         val (s0, e0) = (startSec - off, endSec - off)
         unshift(
@@ -438,12 +655,39 @@ object PromQL {
             .getOrElse(rangeRaw(samples, fn, ms, s0, e0, stepSec, d,
               ignoreLabel)),
           off)
+      case Predict(ms, d, h, off) =>
+        unshift(regressionRange(samples, ms, startSec - off, endSec - off,
+          stepSec, d, ignoreLabel, horizonSec = Some(h)), off)
+      case Absent(ms, d, off) =>
+        unshift(absentRange(samples, ms, startSec - off, endSec - off,
+          stepSec, d, ignoreLabel), off)
       case Quantile(q, ms, d, off) =>
         unshift(quantileRange(samples, q, ms, startSec - off, endSec - off,
           stepSec, d, ignoreLabel), off)
-      case Agg(op, by, child) =>
+      case Agg(op, by, child, without, param) =>
         aggregate(eval(samples, child, startSec, endSec, stepSec, lookbackSec,
-          rollup, ignoreLabel), op, by)
+          rollup, ignoreLabel), op, by, without, param)
+      case MathFn(fn, child, args) =>
+        mathProject(eval(samples, child, startSec, endSec, stepSec,
+          lookbackSec, rollup, ignoreLabel), fn, args)
+      case Cmp(op, bool, ScalarLit(k), right) =>
+        scalarCmp(eval(samples, right, startSec, endSec, stepSec, lookbackSec,
+          rollup, ignoreLabel), op, bool, k, scalarOnLeft = true)
+      case Cmp(op, bool, left, ScalarLit(k)) =>
+        scalarCmp(eval(samples, left, startSec, endSec, stepSec, lookbackSec,
+          rollup, ignoreLabel), op, bool, k, scalarOnLeft = false)
+      case Cmp(op, bool, left, right) =>
+        vectorCmp(
+          eval(samples, left, startSec, endSec, stepSec, lookbackSec, rollup,
+            ignoreLabel),
+          eval(samples, right, startSec, endSec, stepSec, lookbackSec, rollup,
+            ignoreLabel), op, bool)
+      case SetOp(op, left, right) =>
+        setOp(
+          eval(samples, left, startSec, endSec, stepSec, lookbackSec, rollup,
+            ignoreLabel),
+          eval(samples, right, startSec, endSec, stepSec, lookbackSec, rollup,
+            ignoreLabel), op)
       case Rank(bottom, k, child) =>
         rank(eval(samples, child, startSec, endSec, stepSec, lookbackSec,
           rollup, ignoreLabel), bottom, k)
@@ -511,6 +755,100 @@ object PromQL {
     // like every Prometheus binary op, arithmetic drops __name__
     base.select(lit(null).cast("string").as("metric"), col("labels"),
       col("t"), v.as("v_e6"))
+  }
+
+  private def cmpCol(op: String, l: Column, r: Column): Column = op match {
+    case "==" => l === r
+    case "!=" => l =!= r
+    case "<"  => l < r
+    case "<=" => l <= r
+    case ">"  => l > r
+    case ">=" => l >= r
+  }
+
+  /** vector∘scalar comparison. Prometheus filter semantics: without
+    * `bool` the passing rows survive untouched (metric name kept);
+    * with `bool` every row becomes 1/0 and the name drops. Exact on
+    * the micro-unit integers — no float compare anywhere. */
+  private def scalarCmp(child: DataFrame, op: String, bool: Boolean,
+                        k: Double, scalarOnLeft: Boolean): DataFrame = {
+    val kE6 = lit(math.floor(k * 1e6 + 0.5).toLong)
+    val pred = if (scalarOnLeft) cmpCol(op, kE6, col("v_e6"))
+               else cmpCol(op, col("v_e6"), kE6)
+    if (!bool) child.filter(pred)
+    else child.select(lit(null).cast("string").as("metric"), col("labels"),
+      col("t"), when(pred, 1000000L).otherwise(0L).as("v_e6"))
+  }
+
+  /** vector∘vector comparison: full-label-set match (same equi-join
+    * as [[vectorArith]]), then filter keeping the LEFT side's rows —
+    * or 1/0 per matched pair under `bool`. */
+  private def vectorCmp(l: DataFrame, r: DataFrame, op: String,
+                        bool: Boolean): DataFrame = {
+    val j = l.select(col("metric"), col("labels"), col("t"),
+        col("v_e6").as("lv"))
+      .join(r.select(col("labels"), col("t"), col("v_e6").as("rv")),
+        Seq("labels", "t"))
+    val pred = cmpCol(op, col("lv"), col("rv"))
+    if (!bool)
+      j.filter(pred).select(col("metric"), col("labels"), col("t"),
+        col("lv").as("v_e6"))
+    else
+      j.select(lit(null).cast("string").as("metric"), col("labels"),
+        col("t"), when(pred, 1000000L).otherwise(0L).as("v_e6"))
+  }
+
+  /** and | or | unless on the full label set per step (__name__
+    * excluded, like binary matching). Values and metric names pass
+    * through from whichever side a row came from. Scale shape: the
+    * probe side reduces to DISTINCT (labels, t) keys before the
+    * semi/anti join, so AQE can broadcast a selective right side. */
+  private def setOp(l: DataFrame, r: DataFrame, op: String): DataFrame = {
+    val cols = Seq(col("metric"), col("labels"), col("t"), col("v_e6"))
+    op match {
+      case "and" =>
+        l.join(r.select("labels", "t").distinct(), Seq("labels", "t"),
+          "left_semi").select(cols: _*)
+      case "unless" =>
+        l.join(r.select("labels", "t").distinct(), Seq("labels", "t"),
+          "left_anti").select(cols: _*)
+      case "or" =>
+        l.select(cols: _*).unionByName(
+          r.join(l.select("labels", "t").distinct(), Seq("labels", "t"),
+            "left_anti").select(cols: _*))
+    }
+  }
+
+  /** Per-row math (abs ceil floor sgn round clamp clamp_min
+    * clamp_max) on the micro-unit integers — a narrow projection, no
+    * shuffle. ceil/floor/round go through a double only to divide by
+    * the unit (exact for |v_e6| < 2^52) and the same expression text
+    * runs in any engine; everything else is pure integer CASE /
+    * least / greatest. The metric name drops, as for every
+    * Prometheus value-transforming function. */
+  private def mathProject(child: DataFrame, fn: String,
+                          args: Seq[Double]): DataFrame = {
+    def e6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val v: Column = fn match {
+      case "abs" => expr("abs(v_e6)")
+      case "floor" =>
+        expr("CAST(floor(CAST(v_e6 AS DOUBLE) / 1000000.0D) AS BIGINT) * 1000000")
+      case "ceil" =>
+        expr("-(CAST(floor(CAST(-v_e6 AS DOUBLE) / 1000000.0D) AS BIGINT) * 1000000)")
+      case "sgn" =>
+        expr("CASE WHEN v_e6 > 0 THEN 1000000L WHEN v_e6 < 0 THEN -1000000L ELSE 0L END")
+      case "round" =>
+        // Prometheus rounds half UP (toward +Inf) to the nearest
+        // multiple of to_nearest (default 1)
+        val n = e6(args.headOption.getOrElse(1.0))
+        expr(s"CAST(floor(CAST(v_e6 AS DOUBLE) / ${n}D + 0.5D) AS BIGINT) * ${n}L")
+      case "clamp" =>
+        expr(s"least(greatest(v_e6, ${e6(args(0))}L), ${e6(args(1))}L)")
+      case "clamp_min" => expr(s"greatest(v_e6, ${e6(args(0))}L)")
+      case "clamp_max" => expr(s"least(v_e6, ${e6(args(0))}L)")
+    }
+    child.select(lit(null).cast("string").as("metric"), col("labels"),
+      col("t"), v.cast("long").as("v_e6"))
   }
 
   /** Matcher-filtered, time-bounded, per-second-deduped scan — the
@@ -637,6 +975,141 @@ object PromQL {
       .select(col("metric"), col("labels"), col("t"),
         expr("CAST(floor(qv * 1000000 + 0.5) AS BIGINT)").as("v_e6"))
 
+  /** irate / idelta / changes / resets: the range functions that need
+    * each sample's PREDECESSOR, not a decomposable window partial.
+    * One per-series lag over the deduped scan attaches (prev_t,
+    * prev_v) to every sample; the usual grid explode then carries the
+    * pair into each window holding the sample, and a pair "counts"
+    * for a window [t-d, t) iff the predecessor is inside too
+    * (prev_t ≥ t-d) — exactly Prometheus's within-the-window pairing
+    * (a change across the window edge belongs to no window that
+    * can't see both points). The lag's sort shares its
+    * (metric, labels) exchange shape with the per-second dedup that
+    * feeds it; everything after is the same explode + one
+    * map-side-combined aggregate as every other range call.
+    *
+    *  - changes: pairs with value ≠ prev value (a series' first
+    *    point has no predecessor and counts zero — a window with
+    *    samples but no in-window pair answers 0, like Prometheus);
+    *  - resets: pairs with value < prev value;
+    *  - irate: the LAST in-window pair's per-second rate,
+    *    reset-aware (post-reset value as the delta — the
+    *    ts_irate/RangeOps.irate convention, read.go-compatible);
+    *  - idelta: the last pair's raw difference (gauges — may be
+    *    negative). irate/idelta need ≥2 in-window points, which is
+    *    precisely "some pair is fully in-window". */
+  private def pairRange(samples: DataFrame, fn: String,
+                        matchers: Seq[LabelMatcher], start: Long, end: Long,
+                        step: Long, d: Long,
+                        ignoreLabel: Option[String]): DataFrame = {
+    val w = Window.partitionBy(col("metric"), col("labels"))
+      .orderBy(col("t_sec"))
+    val off = d / step + 2
+    val kTop = (end - start) / step
+    val paired = dedupedWindow(samples, matchers, start - d, end, ignoreLabel)
+      .withColumn("prev_t", lag(col("t_sec"), 1).over(w))
+      .withColumn("prev_v", lag(col("value"), 1).over(w))
+      .filter(col("t_sec") >= start - d && col("t_sec") <= end - 1)
+      .withColumn("kmin", greatest(lit(0L),
+        expr(s"(t_sec - $start + ${off * step}) DIV $step - $off + 1")))
+      .withColumn("kmax", least(lit(kTop),
+        expr(s"(t_sec + $d - $start) DIV $step")))
+      .filter(col("kmax") >= col("kmin"))
+      .withColumn("k", explode(expr("sequence(kmin, kmax)")))
+      .withColumn("t", expr(s"$start + k * $step"))
+      .withColumn("pair_ok",
+        col("prev_t").isNotNull && col("prev_t") >= col("t") - d)
+    val base = Seq(col("metric"), col("labels"), col("t"))
+    fn match {
+      case "changes" | "resets" =>
+        val hit = if (fn == "changes") col("value") =!= col("prev_v")
+                  else col("value") < col("prev_v")
+        paired
+          .groupBy(base: _*)
+          .agg(sum(when(col("pair_ok") && hit, 1L).otherwise(0L)).as("c"))
+          .select(base :+ expr("c * 1000000").as("v_e6"): _*)
+      case "irate" | "idelta" =>
+        val last = paired.filter(col("pair_ok"))
+          .groupBy(base: _*)
+          .agg(max(col("t_sec")).as("lt"),
+            max_by(col("value"), col("t_sec")).as("lv"),
+            max_by(col("prev_v"), col("t_sec")).as("pv"),
+            max_by(col("prev_t"), col("t_sec")).as("pt"))
+        val v = if (fn == "irate")
+          // the RangeOps.irate floor-scaled text: identical IEEE
+          // arithmetic in both engines, no round() midpoint hazard
+          expr("CAST(floor((CASE WHEN lv >= pv THEN lv - pv ELSE lv END) " +
+            "/ CAST(lt - pt AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
+        else expr("CAST(floor((lv - pv) * 1000000 + 0.5) AS BIGINT)")
+        last.select(base :+ v.as("v_e6"): _*)
+    }
+  }
+
+  /** deriv / predict_linear: per-window simple least squares, from
+    * exact integer partials. Each exploded sample contributes
+    * t' = t_sec - (t-d) ∈ [0, d) (window-relative, so the sums stay
+    * far from 2^63) and v_e2 = floor(value·100 + .5); the per-window
+    * aggregate reduces to (n, Σt', Σv, Σt'², Σt'v) — all exact
+    * BIGINTs — and numer = n·Σt'v − Σt'·Σv, denom = n·Σt'² − (Σt')².
+    * slope = numer/denom [e2-units/s] and the prediction at horizon h
+    * is ȳ + slope·((d+h) − t̄') — evaluated as ONE double expression
+    * whose text both engines run on the same exact integers, so the
+    * result is bit-identical (the promql_ratio determinism argument).
+    * Windows need ≥2 distinct timestamps (denom > 0). Bounds: with
+    * d ≤ 1w and ≤10⁵ points/window the largest partial product stays
+    * under ~2^62. */
+  private def regressionRange(samples: DataFrame, matchers: Seq[LabelMatcher],
+                              start: Long, end: Long, step: Long, d: Long,
+                              ignoreLabel: Option[String],
+                              horizonSec: Option[Long]): DataFrame = {
+    val base = Seq(col("metric"), col("labels"), col("t"))
+    val g = gridExplode(samples, matchers, start, end, step, d, ignoreLabel)
+      .withColumn("tp", col("t_sec") - (col("t") - d))
+      .withColumn("v_e2", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .groupBy(base: _*)
+      .agg(count(lit(1)).as("n"), sum(col("tp")).as("st"),
+        sum(col("v_e2")).as("sv"), sum(col("tp") * col("tp")).as("stt"),
+        sum(col("tp") * col("v_e2")).as("stv"))
+      .withColumn("numer", expr("n * stv - st * sv"))
+      .withColumn("denom", expr("n * stt - st * st"))
+      .filter(col("n") >= 2 && col("denom") > 0)
+    val v = horizonSec match {
+      case None =>
+        expr("CAST(floor(CAST(numer AS DOUBLE) / CAST(denom AS DOUBLE) " +
+          "* 10000 + 0.5) AS BIGINT)")
+      case Some(h) =>
+        val tpred = d + h // the prediction instant in t' coordinates
+        expr(s"CAST(floor((CAST(sv AS DOUBLE) / n + CAST(numer AS DOUBLE) " +
+          s"/ CAST(denom AS DOUBLE) * (${tpred}D - CAST(st AS DOUBLE) / n)) " +
+          "* 10000 + 0.5) AS BIGINT)")
+    }
+    g.select(base :+ v.as("v_e6"): _*)
+  }
+
+  /** absent_over_time: 1 at every grid step whose window [t-d, t)
+    * holds NO sample of the selector, labeled from the selector's
+    * equality matchers (__name__ excluded) — Prometheus's label
+    * derivation. The present-step set reduces to DISTINCT t (at most
+    * grid-size rows) before an anti-join against the generated grid,
+    * so the join broadcasts at any raw-data scale. */
+  private def absentRange(samples: DataFrame, matchers: Seq[LabelMatcher],
+                          start: Long, end: Long, step: Long, d: Long,
+                          ignoreLabel: Option[String]): DataFrame = {
+    val spark = samples.sparkSession
+    val kTop = (end - start) / step
+    val present = gridExplode(samples, matchers, start, end, step, d,
+      ignoreLabel).select(col("t")).distinct()
+    val lbls = matchers
+      .filter(m => m.mtype == graft.operators.MatcherType.Eq &&
+        m.name != Matchers.NameLabel)
+      .map(m => s"${m.name}=${m.value}").sorted
+    spark.range(0, kTop + 1)
+      .select((lit(start) + col("id") * step).as("t"))
+      .join(present, Seq("t"), "left_anti")
+      .select(lit(null).cast("string").as("metric"),
+        typedLit(lbls).as("labels"), col("t"), lit(1000000L).as("v_e6"))
+  }
+
   /** Serve an aligned tiling *_over_time from the rollup twin:
     * requires step == range (windows tile), range a multiple of the
     * rollup interval, a bucket-aligned grid (start ≡ 0 mod interval),
@@ -698,27 +1171,43 @@ object PromQL {
         expr("CAST(floor(v * 1000000 + 0.5) AS BIGINT)").as("v_e6"))
   }
 
-  /** sum/avg/min/max/count by (keys): Prometheus drops every label
-    * outside `by` (and the metric name). The kept "k=v" entries are a
+  /** sum/avg/min/max/count/group/quantile, grouped `by (keys)` (keep
+    * exactly those) or `without (keys)` (drop those): Prometheus
+    * drops the metric name either way. The kept "k=v" entries are a
     * filter over the sorted labels array, so the grouped key stays
     * sorted; cross-metric series with equal kept labels merge, as in
-    * Prometheus. */
-  private def aggregate(child: DataFrame, op: String, by: Seq[String]): DataFrame = {
+    * Prometheus. quantile(φ) buffers each group's values (Spark
+    * `percentile` — the exact interpolated form ≡ DuckDB
+    * quantile_cont); the group size is the series count sharing the
+    * kept labels, never raw samples. */
+  private def aggregate(child: DataFrame, op: String, by: Seq[String],
+                        without: Boolean, param: Option[Double]): DataFrame = {
+    val anyListed = by.map(k => s"l LIKE '$k=%'").mkString(" OR ")
     val kept =
-      if (by.isEmpty) expr("CAST(array() AS ARRAY<STRING>)")
-      else expr(s"filter(labels, l -> ${
-        by.map(k => s"l LIKE '$k=%'").mkString(" OR ")})")
+      if (without) {
+        if (by.isEmpty) col("labels")
+        else expr(s"filter(labels, l -> NOT ($anyListed))")
+      } else if (by.isEmpty) expr("CAST(array() AS ARRAY<STRING>)")
+      else expr(s"filter(labels, l -> $anyListed)")
+    val aggs = Seq(sum(col("v_e6")).as("s"), count(lit(1)).as("n"),
+      min(col("v_e6")).as("mn"), max(col("v_e6")).as("mx")) ++
+      (if (op == "quantile")
+         Seq(percentile(col("v_e6"), lit(param.getOrElse(0.5))).as("qv"))
+       else Nil)
     val g = child
       .withColumn("labels", kept)
       .groupBy(col("labels"), col("t"))
-      .agg(sum(col("v_e6")).as("s"), count(lit(1)).as("n"),
-        min(col("v_e6")).as("mn"), max(col("v_e6")).as("mx"))
+      .agg(aggs.head, aggs.tail: _*)
     val v = op match {
       case "sum"   => expr("s")
       case "min"   => expr("mn")
       case "max"   => expr("mx")
       case "count" => expr("n * 1000000")
       case "avg"   => expr(halfUpSql("s", "n"))
+      case "group" => expr("1000000")
+      // qv interpolates between two exact BIGINTs — identical
+      // arithmetic in DuckDB's quantile_cont, half-up to the unit
+      case "quantile" => expr("CAST(floor(qv + 0.5D) AS BIGINT)")
     }
     g.select(lit(null).cast("string").as("metric"), col("labels"), col("t"),
       v.cast("long").as("v_e6"))

@@ -18,17 +18,17 @@ class PromQLSpec extends SparkSpecBase {
     assert(PromQL.parse("rate(click[5m])") ===
       Right(RangeCall("rate", Seq(graft.operators.Matchers.eq("__name__", "click")), 300L)))
     assert(PromQL.parse("""sum by (user) (sum_over_time(m{k="v"}[1h]))""") match {
-      case Right(Agg("sum", Seq("user"), RangeCall("sum_over_time", ms, 3600L, 0L))) =>
+      case Right(Agg("sum", Seq("user"), RangeCall("sum_over_time", ms, 3600L, 0L), false, None)) =>
         ms.exists(m => m.name == "k" && m.value == "v")
       case _ => false
     })
     assert(PromQL.parse("topk(3, sum by (a) (rate(x[5m])))") match {
-      case Right(Rank(false, 3, Agg("sum", Seq("a"), RangeCall("rate", _, 300L, _)))) => true
+      case Right(Rank(false, 3, Agg("sum", Seq("a"), RangeCall("rate", _, 300L, _), _, _))) => true
       case _ => false
     })
     // suffix by-clause, bottomk, compound + bare-second durations
     assert(PromQL.parse("avg(rate(x[1h30m])) by (user)") match {
-      case Right(Agg("avg", Seq("user"), RangeCall("rate", _, 5400L, _))) => true
+      case Right(Agg("avg", Seq("user"), RangeCall("rate", _, 5400L, _), _, _)) => true
       case _ => false
     })
     assert(PromQL.parse("bottomk(2, x)") ===
@@ -58,7 +58,7 @@ class PromQLSpec extends SparkSpecBase {
       case _ => false
     })
     assert(PromQL.parse("(sum by (a) (x)) / sum by (a) (y)") match {
-      case Right(Binary('/', Agg("sum", _, _), Agg("sum", _, _))) => true
+      case Right(Binary('/', Agg("sum", _, _, _, _), Agg("sum", _, _, _, _))) => true
       case _ => false
     })
     assert(PromQL.parse("100 - m") match {
@@ -81,13 +81,11 @@ class PromQLSpec extends SparkSpecBase {
 
   test("parser rejects everything off the whitelist with a message") {
     val bad = Seq(
-      "sum without (a) (x)",      // unsupported grouping
       "rate(x)",                  // range fn needs [d]
       "x[5m]",                    // bare range selector
       "topk(0, x)",               // k must be positive
       "rate(x[0s])",              // zero duration
       "rate(x[5q])",              // unknown unit
-      "irate(x[5m])",             // fn off the whitelist → selector + trailing
       "sum by (a) by (b) (x)",    // malformed
       """m{k="v"""",              // unterminated braces
       "",                         // empty
@@ -96,6 +94,90 @@ class PromQLSpec extends SparkSpecBase {
     bad.foreach { q =>
       assert(PromQL.parse(q).isLeft, s"should reject: $q")
     }
+  }
+
+  test("parser: precedence ladder, comparisons, set ops, grouping modifiers, math fns") {
+    // * binds over +, + over >, > over and, and over or
+    assert(PromQL.parse("a + b * 2 > 5 and c or d") match {
+      case Right(SetOp("or",
+        SetOp("and",
+          Cmp(">", false,
+            Binary('+', Instant(_, _), Binary('*', Instant(_, _), ScalarLit(2.0))),
+            ScalarLit(5.0)),
+          Instant(_, _)),
+        Instant(_, _))) => true
+      case _ => false
+    })
+    assert(PromQL.parse("x > bool 5") match {
+      case Right(Cmp(">", true, Instant(_, _), ScalarLit(5.0))) => true
+      case _ => false
+    })
+    assert(PromQL.parse("1 < bool 2") === Right(ScalarLit(1.0)))
+    assert(PromQL.parse("x unless y{a=\"b\"}") match {
+      case Right(SetOp("unless", Instant(_, _), Instant(_, _))) => true
+      case _ => false
+    })
+    assert(PromQL.parse("sum without (user) (x)") match {
+      case Right(Agg("sum", Seq("user"), Instant(_, _), true, None)) => true
+      case _ => false
+    })
+    assert(PromQL.parse("quantile(0.9, x)") match {
+      case Right(Agg("quantile", Seq(), Instant(_, _), false, Some(0.9))) => true
+      case _ => false
+    })
+    assert(PromQL.parse("group by (host) (x)") match {
+      case Right(Agg("group", Seq("host"), Instant(_, _), false, None)) => true
+      case _ => false
+    })
+    assert(PromQL.parse("irate(x[5m])") match {
+      case Right(RangeCall("irate", _, 300L, 0L)) => true
+      case _ => false
+    })
+    Seq("idelta", "changes", "resets", "deriv").foreach { fn =>
+      assert(PromQL.parse(s"$fn(x[1h])") match {
+        case Right(RangeCall(`fn`, _, 3600L, 0L)) => true
+        case _ => false
+      }, fn)
+    }
+    assert(PromQL.parse("predict_linear(x[1h], 3600)") match {
+      case Right(Predict(_, 3600L, 3600L, 0L)) => true
+      case _ => false
+    })
+    assert(PromQL.parse("absent_over_time(x{job=\"a\"}[1h] offset 1d)") match {
+      case Right(Absent(_, 3600L, 86400L)) => true
+      case _ => false
+    })
+    assert(PromQL.parse("clamp(x, 1, 5)") match {
+      case Right(MathFn("clamp", Instant(_, _), Seq(1.0, 5.0))) => true
+      case _ => false
+    })
+    assert(PromQL.parse("round(sum_over_time(x[1h]), 10)") match {
+      case Right(MathFn("round", RangeCall("sum_over_time", _, _, _), Seq(10.0))) => true
+      case _ => false
+    })
+    // a metric merely SPELLING like a function stays a selector
+    assert(PromQL.parse("clamp{job=\"a\"}") match {
+      case Right(Instant(ms, 0L)) =>
+        ms.exists(m => m.name == "__name__" && m.value == "clamp")
+      case _ => false
+    })
+    assert(PromQL.parse("group") match {
+      case Right(Instant(ms, 0L)) =>
+        ms.exists(m => m.name == "__name__" && m.value == "group")
+      case _ => false
+    })
+    // new rejects
+    Seq(
+      "clamp(x, 5, 1)",           // min > max
+      "clamp(x)",                 // wrong arity
+      "round(x, 0)",              // to_nearest must be positive
+      "quantile(1.5, x)",         // φ out of range
+      "1 < 2",                    // scalar comparison needs bool
+      "x and 1",                  // set op needs two vectors
+      "abs(5)",                   // math fn needs a vector
+      "sum without (a) by (b) (x)", // duplicate grouping
+      "predict_linear(x[1h])"     // missing horizon
+    ).foreach { q => assert(PromQL.parse(q).isLeft, s"should reject: $q") }
   }
 
   test("formatE6 prints exact micro-unit decimals") {
@@ -252,6 +334,133 @@ class PromQLSpec extends SparkSpecBase {
       parse("bottomk(1, sum by (host) (sum_over_time(m[60s])))").toOption.get,
       T0 + 60, T0 + 60, 60L))
     assert(bot === Set(("", "host=a", T0 + 60, 3500000L)))
+  }
+
+  test("comparisons filter (keeping the metric name) or answer 1/0 under bool") {
+    // [t0, t0+60): a = 3.5, b = 20.25
+    val filt = rows(PromQL.eval(tinySamples,
+      parse("sum_over_time(m[60s]) * 1 > 5").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(filt === Set(("", "host=b,user=2", T0 + 60, 20250000L)))
+    // without an arithmetic wrapper the metric name survives a filter
+    val keep = rows(PromQL.eval(tinySamples,
+      parse("sum_over_time(m[60s]) <= 5").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(keep === Set(("m", "host=a,user=1", T0 + 60, 3500000L)))
+    val bool = rows(PromQL.eval(tinySamples,
+      parse("sum_over_time(m[60s]) > bool 5").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(bool === Set(
+      ("", "host=a,user=1", T0 + 60, 0L),
+      ("", "host=b,user=2", T0 + 60, 1000000L)))
+    // vector∘vector: self-comparison >= keeps every matched row
+    val vv = rows(PromQL.eval(tinySamples,
+      parse("sum_over_time(m[60s]) >= sum_over_time(m[60s])").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(vv.map(_._4) === Set(3500000L, 20250000L))
+  }
+
+  test("and/unless/or match on the full label set per step") {
+    val and = rows(PromQL.eval(tinySamples,
+      parse("m and m{host=\"a\"}").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(and.map(_._2) === Set("host=a,user=1"))
+    assert(and.forall(_._1 == "m")) // set ops keep the metric name
+    val unless = rows(PromQL.eval(tinySamples,
+      parse("m unless m{host=\"a\"}").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(unless.map(_._2) === Set("host=b,user=2"))
+    // or: left rows win; right fills only label sets the left lacks
+    val or = rows(PromQL.eval(tinySamples,
+      parse("sum_over_time(m{host=\"a\"}[60s]) or sum_over_time(m[60s])")
+        .toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(or === Set(
+      ("m", "host=a,user=1", T0 + 60, 3500000L),
+      ("m", "host=b,user=2", T0 + 60, 20250000L)))
+  }
+
+  test("math functions project per row on exact micro-units") {
+    def one(q: String): Set[(String, String, Long, Long)] =
+      rows(PromQL.eval(tinySamples, parse(q).toOption.get, T0 + 60, T0 + 60, 60L))
+    // a = 3.5, b = 20.25 over [t0, t0+60)
+    assert(one("ceil(sum_over_time(m[60s]))").map(_._4) === Set(4000000L, 21000000L))
+    assert(one("floor(sum_over_time(m[60s]))").map(_._4) === Set(3000000L, 20000000L))
+    assert(one("round(sum_over_time(m[60s]))").map(_._4) === Set(4000000L, 20000000L))
+    assert(one("round(sum_over_time(m[60s]), 10)").map(_._4) === Set(0L, 20000000L))
+    assert(one("abs(0 - sum_over_time(m[60s]))").map(_._4) === Set(3500000L, 20250000L))
+    assert(one("sgn(0 - sum_over_time(m[60s]))").map(_._4) === Set(-1000000L))
+    assert(one("clamp(sum_over_time(m[60s]), 5, 10)").map(_._4) === Set(5000000L, 10000000L))
+    assert(one("clamp_min(sum_over_time(m[60s]), 5)").map(_._4) === Set(5000000L, 20250000L))
+    assert(one("clamp_max(sum_over_time(m[60s]), 5)").map(_._4) === Set(3500000L, 5000000L))
+    assert(one("ceil(sum_over_time(m[60s]))").forall(_._1 == "")) // name drops
+  }
+
+  test("changes/resets count in-window pairs; irate/idelta use the last pair") {
+    def one(q: String): Set[(String, String, Long, Long)] =
+      rows(PromQL.eval(tinySamples, parse(q).toOption.get, T0 + 120, T0 + 120, 120L))
+    // window [t0, t0+120): a = 1.0, 2.5, 4.0, 1.0 (3 changes, 1 reset);
+    // b = 10.0, 10.25 (1 change, 0 resets)
+    assert(one("changes(m[120s])") === Set(
+      ("m", "host=a,user=1", T0 + 120, 3000000L),
+      ("m", "host=b,user=2", T0 + 120, 1000000L)))
+    assert(one("resets(m[120s])") === Set(
+      ("m", "host=a,user=1", T0 + 120, 1000000L),
+      ("m", "host=b,user=2", T0 + 120, 0L)))
+    // irate: a's last pair 4.0@+60 → 1.0@+95 is a reset → post-reset
+    // value over 35 s = 1/35; b: 0.25/45
+    assert(one("irate(m[120s])") === Set(
+      ("m", "host=a,user=1", T0 + 120, 28571L),
+      ("m", "host=b,user=2", T0 + 120, 5556L)))
+    assert(one("idelta(m[120s])") === Set(
+      ("m", "host=a,user=1", T0 + 120, -3000000L),
+      ("m", "host=b,user=2", T0 + 120, 250000L)))
+    // a window whose only pair straddles the edge answers 0 changes:
+    // [t0+90, t0+120) holds just 1.0@+95 (predecessor at +60 outside)
+    val edge = rows(PromQL.eval(tinySamples,
+      parse("changes(m[30s])").toOption.get, T0 + 120, T0 + 120, 30L))
+    assert(edge.contains(("m", "host=a,user=1", T0 + 120, 0L)))
+    // and irate has no in-window pair there → no row at all
+    val ir = rows(PromQL.eval(tinySamples,
+      parse("irate(m[30s])").toOption.get, T0 + 120, T0 + 120, 30L))
+    assert(!ir.exists(_._3 == T0 + 120))
+  }
+
+  test("deriv is the window's least-squares slope; predict_linear extrapolates it") {
+    // series b over [t0, t0+120): (0 s, 10.0), (45 s, 10.25) — the
+    // fitted line IS the two points: slope 0.25/45 /s, at +60 s past
+    // the window end (t' = 180) the line reads exactly 11.0
+    val d = rows(PromQL.eval(tinySamples,
+      parse("deriv(m[120s])").toOption.get, T0 + 120, T0 + 120, 120L))
+    assert(d.contains(("m", "host=b,user=2", T0 + 120, 5556L)))
+    val p = rows(PromQL.eval(tinySamples,
+      parse("predict_linear(m[120s], 60)").toOption.get, T0 + 120, T0 + 120, 120L))
+    assert(p.contains(("m", "host=b,user=2", T0 + 120, 11000000L)))
+    // single-point windows emit nothing (no slope from one point)
+    val single = rows(PromQL.eval(tinySamples,
+      parse("deriv(m[30s])").toOption.get, T0 + 120, T0 + 120, 30L))
+    assert(!single.exists(r => r._2 == "host=a,user=1" && r._3 == T0 + 120))
+  }
+
+  test("absent_over_time emits 1 on empty windows, labeled from the = matchers") {
+    val out = rows(PromQL.eval(tinySamples,
+      parse("absent_over_time(m{host=\"a\"}[60s])").toOption.get,
+      T0 + 60, T0 + 240, 60L))
+    // host=a has samples in [t0, t0+60) and [t0+60, t0+120); nothing after
+    assert(out === Set(
+      ("", "host=a", T0 + 180, 1000000L),
+      ("", "host=a", T0 + 240, 1000000L)))
+  }
+
+  test("without drops listed labels; group answers 1; quantile interpolates across series") {
+    val wo = rows(PromQL.eval(tinySamples,
+      parse("sum without (user) (sum_over_time(m[60s]))").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(wo === Set(
+      ("", "host=a", T0 + 60, 3500000L),
+      ("", "host=b", T0 + 60, 20250000L)))
+    val grp = rows(PromQL.eval(tinySamples,
+      parse("group(sum_over_time(m[60s]))").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(grp === Set(("", "", T0 + 60, 1000000L)))
+    // median of {3.5, 20.25} interpolates to 11.875
+    val q = rows(PromQL.eval(tinySamples,
+      parse("quantile(0.5, sum_over_time(m[60s]))").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(q === Set(("", "", T0 + 60, 11875000L)))
   }
 
   test("an aligned tiling sum_over_time routes to the rollup and equals the raw answer") {

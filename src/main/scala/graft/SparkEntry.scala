@@ -723,6 +723,69 @@ object SparkEntry {
       promqlStr(PromQL.eval(samples(s, dir),
         parsePromQL("quantile_over_time(0.9, click[1d])"),
         WinStartSec, WinEndSec, 86400L))),
+
+    // irate: the last in-window pair's per-second rate, reset-aware
+    "promql_irate" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir), parsePromQL("irate(click[7d])"),
+        WinStartSec, WinEndSec, 86400L))),
+
+    // changes: in-window adjacent pairs whose value differed
+    "promql_changes" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir), parsePromQL("changes(click[7d])"),
+        WinStartSec, WinEndSec, 86400L))),
+
+    // resets: in-window adjacent pairs that went DOWN (counter resets)
+    "promql_resets" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir), parsePromQL("resets(click[7d])"),
+        WinStartSec, WinEndSec, 86400L))),
+
+    // deriv: per-window least-squares slope from exact integer partials
+    "promql_deriv" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir), parsePromQL("deriv(click[7d])"),
+        WinStartSec, WinEndSec, 86400L))),
+
+    // predict_linear: the fitted line read 1d past each window's end
+    "promql_predict" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("predict_linear(click[7d], 86400)"),
+        WinStartSec, WinEndSec, 86400L))),
+
+    // math-fn chain through the parser: round to the unit, then clamp
+    "promql_clamp_round" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("clamp(round(sum_over_time(click[1d])), 10, 40)"),
+        WinStartSec, WinEndSec, 86400L))),
+
+    // comparison as a Prometheus filter over an aggregation
+    "promql_filter" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("sum by (user) (sum_over_time(click[1d])) > 30"),
+        WinStartSec, WinEndSec, 86400L))),
+
+    // set op: click-sums per user, minus users whose view-sum ran hot
+    "promql_setop" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("sum by (user) (sum_over_time(click[1d]))" +
+          " unless (sum by (user) (sum_over_time(view[1d])) > 35)"),
+        WinStartSec, WinEndSec, 86400L))),
+
+    // absent_over_time: 1 on the days user 7 clicked nothing
+    "promql_absent" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("""absent_over_time(click{user="7"}[1d])"""),
+        WinStartSec, WinEndSec, 86400L))),
+
+    // cross-series quantile aggregation per step
+    "promql_quantile_agg" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("quantile(0.9, sum_over_time(click[1d]))"),
+        WinStartSec, WinEndSec, 86400L))),
+
+    // without: drop the k label, merging each user's series
+    "promql_without" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("avg without (k) (sum_over_time(click[1d]))"),
+        WinStartSec, WinEndSec, 86400L))),
   )
 
   /** PromQL evaluator output → oracle-safe scalar columns. */
@@ -756,6 +819,72 @@ object SparkEntry {
     s"""$S, deduped AS (
        |  SELECT metric, labels, ts_us // 1000000 AS t_sec, max(value) AS value
        |  FROM samples GROUP BY 1, 2, 3
+       |)""".stripMargin
+
+  /** PromQL pair-function oracle prefix (irate/idelta/changes/resets):
+    * per-series lag over the bounded scan, then each sample joined
+    * onto the 1d-step grid windows [t-d, t) that hold it — the
+    * PromQL.pairRange shape. */
+  private def promqlPairCte(metric: String, d: Long): String =
+    s"""$dedupCte, sel AS (
+       |  SELECT * FROM deduped
+       |  WHERE metric = '$metric'
+       |    AND t_sec >= ${WinStartSec - d} AND t_sec <= ${WinEndSec - 1}
+       |), lagged AS (
+       |  SELECT metric, labels, t_sec, value,
+       |         lag(t_sec) OVER w AS prev_t, lag(value) OVER w AS prev_v
+       |  FROM sel WINDOW w AS (PARTITION BY metric, labels ORDER BY t_sec)
+       |), grid AS (SELECT unnest(range(0, 16)) AS k),
+       |j AS (
+       |  SELECT l.*, $WinStartSec + g.k * 86400 AS t
+       |  FROM lagged l JOIN grid g
+       |    ON l.t_sec >= $WinStartSec + g.k * 86400 - $d
+       |   AND l.t_sec <  $WinStartSec + g.k * 86400
+       |)""".stripMargin
+
+  /** PromQL regression oracle prefix (deriv/predict_linear): exact
+    * integer least-squares partials per [t-d, t) window with
+    * window-relative t' — the PromQL.regressionRange shape. */
+  private def promqlRegCte(metric: String, d: Long): String =
+    s"""$dedupCte, grid AS (SELECT unnest(range(0, 16)) AS k),
+       |j AS (
+       |  SELECT s.metric, s.labels, $WinStartSec + g.k * 86400 AS t,
+       |         s.t_sec - ($WinStartSec + g.k * 86400 - $d) AS tp,
+       |         CAST(floor(s.value * 100 + 0.5) AS BIGINT) AS v_e2
+       |  FROM deduped s JOIN grid g
+       |    ON s.t_sec >= $WinStartSec + g.k * 86400 - $d
+       |   AND s.t_sec <  $WinStartSec + g.k * 86400
+       |  WHERE s.metric = '$metric'
+       |    AND s.t_sec >= ${WinStartSec - d} AND s.t_sec <= ${WinEndSec - 1}
+       |), reg AS (
+       |  SELECT metric, labels, t, count(*) AS n,
+       |         CAST(sum(tp) AS BIGINT) AS s_t,
+       |         CAST(sum(v_e2) AS BIGINT) AS s_v,
+       |         CAST(sum(tp * tp) AS BIGINT) AS s_tt,
+       |         CAST(sum(tp * v_e2) AS BIGINT) AS s_tv
+       |  FROM j GROUP BY 1, 2, 3
+       |), fin AS (
+       |  SELECT *, n * s_tv - s_t * s_v AS numer,
+       |         n * s_tt - s_t * s_t AS denom
+       |  FROM reg WHERE n >= 2
+       |)""".stripMargin
+
+  /** PromQL per-series sum_over_time(metric[1d]) on the 1d grid →
+    * (labels, t, v_e6) — the shared prefix of the aggregation-shaped
+    * promql oracles. */
+  private def promqlSotCte(metric: String): String =
+    s"""$dedupCte, grid AS (SELECT unnest(range(0, 16)) AS k),
+       |j AS (
+       |  SELECT s.metric, s.labels, $WinStartSec + g.k * 86400 AS t, s.value
+       |  FROM deduped s JOIN grid g
+       |    ON s.t_sec >= $WinStartSec + g.k * 86400 - 86400
+       |   AND s.t_sec <  $WinStartSec + g.k * 86400
+       |  WHERE s.metric = '$metric'
+       |    AND s.t_sec >= ${WinStartSec - 86400} AND s.t_sec <= ${WinEndSec - 1}
+       |), sot AS (
+       |  SELECT metric, labels, t,
+       |         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) * 10000 AS v_e6
+       |  FROM j GROUP BY 1, 2, 3
        |)""".stripMargin
 
   private def summarySql(where: String, interval: Long): String =
@@ -1945,5 +2074,131 @@ object SparkEntry {
          |SELECT metric, array_to_string(labels, ',') AS labels_str, t,
          |       CAST(floor(quantile_cont(value, 0.9) * 1000000 + 0.5) AS BIGINT) AS v_e6
          |FROM j GROUP BY 1, 2, 3""".stripMargin,
+
+    // the last in-window pair per series; reset-aware delta
+    "promql_irate" ->
+      s"""${promqlPairCte("click", 604800L)}, last AS (
+         |  SELECT metric, labels, t, max(t_sec) AS lt,
+         |         arg_max(value, t_sec) AS lv, arg_max(prev_v, t_sec) AS pv,
+         |         arg_max(prev_t, t_sec) AS pt
+         |  FROM j WHERE prev_t IS NOT NULL AND prev_t >= t - 604800
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, t,
+         |       CAST(floor((CASE WHEN lv >= pv THEN lv - pv ELSE lv END)
+         |            / CAST(lt - pt AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v_e6
+         |FROM last""".stripMargin,
+
+    "promql_changes" ->
+      s"""${promqlPairCte("click", 604800L)}
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, t,
+         |       CAST(sum(CASE WHEN prev_t IS NOT NULL AND prev_t >= t - 604800
+         |                      AND value != prev_v THEN 1 ELSE 0 END)
+         |            * 1000000 AS BIGINT) AS v_e6
+         |FROM j GROUP BY metric, labels, t""".stripMargin,
+
+    "promql_resets" ->
+      s"""${promqlPairCte("click", 604800L)}
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, t,
+         |       CAST(sum(CASE WHEN prev_t IS NOT NULL AND prev_t >= t - 604800
+         |                      AND value < prev_v THEN 1 ELSE 0 END)
+         |            * 1000000 AS BIGINT) AS v_e6
+         |FROM j GROUP BY metric, labels, t""".stripMargin,
+
+    "promql_deriv" ->
+      s"""${promqlRegCte("click", 604800L)}
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, t,
+         |       CAST(floor(CAST(numer AS DOUBLE) / CAST(denom AS DOUBLE)
+         |            * 10000 + 0.5) AS BIGINT) AS v_e6
+         |FROM fin WHERE denom > 0""".stripMargin,
+
+    // the fitted line read at t' = d + h = 604800 + 86400 = 691200
+    "promql_predict" ->
+      s"""${promqlRegCte("click", 604800L)}
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, t,
+         |       CAST(floor((CAST(s_v AS DOUBLE) / n
+         |            + CAST(numer AS DOUBLE) / CAST(denom AS DOUBLE)
+         |            * (691200 - CAST(s_t AS DOUBLE) / n)) * 10000 + 0.5) AS BIGINT) AS v_e6
+         |FROM fin WHERE denom > 0""".stripMargin,
+
+    // round-to-unit then clamp [10, 40], on micro-unit integers
+    "promql_clamp_round" ->
+      s"""${promqlSotCte("click")}
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(labels, ',') AS labels_str, t,
+         |       least(greatest(
+         |         CAST(floor(CAST(v_e6 AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT) * 1000000,
+         |         10000000), 40000000) AS v_e6
+         |FROM sot""".stripMargin,
+
+    // > 30 filters the per-user sums (metric already dropped by sum by)
+    "promql_filter" ->
+      s"""${promqlSotCte("click")}, agg AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
+         |         CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(labels, ',') AS labels_str, t, v_e6
+         |FROM agg WHERE v_e6 > 30000000""".stripMargin,
+
+    // unless: per-user click sums minus users whose view sums > 35
+    "promql_setop" ->
+      s"""$dedupCte, grid AS (SELECT unnest(range(0, 16)) AS k),
+         |j AS (
+         |  SELECT s.metric, s.labels, $WinStartSec + g.k * 86400 AS t, s.value
+         |  FROM deduped s JOIN grid g
+         |    ON s.t_sec >= $WinStartSec + g.k * 86400 - 86400
+         |   AND s.t_sec <  $WinStartSec + g.k * 86400
+         |  WHERE s.metric IN ('click', 'view')
+         |    AND s.t_sec >= ${WinStartSec - 86400} AND s.t_sec <= ${WinEndSec - 1}
+         |), sot AS (
+         |  SELECT metric, labels, t,
+         |         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) * 10000 AS v_e6
+         |  FROM j GROUP BY 1, 2, 3
+         |), agg AS (
+         |  SELECT metric, list_filter(labels, l -> l LIKE 'user=%') AS labels,
+         |         t, CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2, 3
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(c.labels, ',') AS labels_str, c.t, c.v_e6
+         |FROM agg c
+         |WHERE c.metric = 'click' AND NOT EXISTS (
+         |  SELECT 1 FROM agg v
+         |  WHERE v.metric = 'view' AND v.labels = c.labels AND v.t = c.t
+         |    AND v.v_e6 > 35000000)""".stripMargin,
+
+    // 1 on each 1d window where click{user=7} has no sample
+    "promql_absent" ->
+      s"""$dedupCte, grid AS (
+         |  SELECT $WinStartSec + unnest(range(0, 16)) * 86400 AS t
+         |), present AS (
+         |  SELECT DISTINCT g.t FROM deduped s JOIN grid g
+         |    ON s.t_sec >= g.t - 86400 AND s.t_sec < g.t
+         |  WHERE s.metric = 'click' AND list_contains(s.labels, 'user=7')
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric, 'user=7' AS labels_str,
+         |       g.t, CAST(1000000 AS BIGINT) AS v_e6
+         |FROM grid g WHERE g.t NOT IN (SELECT t FROM present)""".stripMargin,
+
+    // cross-series p90 of the per-series 1d sums, per step
+    "promql_quantile_agg" ->
+      s"""${promqlSotCte("click")}
+         |SELECT CAST(NULL AS VARCHAR) AS metric, '' AS labels_str, t,
+         |       CAST(floor(quantile_cont(CAST(v_e6 AS DOUBLE), 0.9) + 0.5) AS BIGINT) AS v_e6
+         |FROM sot GROUP BY t""".stripMargin,
+
+    // without (k): merge each user's k-series, integer half-up mean
+    "promql_without" ->
+      s"""${promqlSotCte("click")}, agg AS (
+         |  SELECT list_filter(labels, l -> NOT (l LIKE 'k=%')) AS labels, t,
+         |         CAST(sum(v_e6) AS BIGINT) AS s, count(*) AS n
+         |  FROM sot GROUP BY 1, 2
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(labels, ',') AS labels_str, t,
+         |       CAST(FLOOR((2.0 * (s) + (n)) / (2.0 * (n))) AS BIGINT) AS v_e6
+         |FROM agg""".stripMargin,
   )
 }

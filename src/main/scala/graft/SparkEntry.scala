@@ -786,6 +786,25 @@ object SparkEntry {
       promqlStr(PromQL.eval(samples(s, dir),
         parsePromQL("avg without (k) (sum_over_time(click[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
+
+    // histogram_quantile over data-driven cumulative le buckets: each
+    // click sample expands to 0/1 observations per bucket (the
+    // _bucket counter-series ingest shape), sum_over_time accumulates
+    // each window's cumulative histogram, and the estimator
+    // interpolates rank φ·total per (k, user) group
+    "promql_histogram" -> ((s, dir) => {
+      val clicks = samples(s, dir).filter(col("metric") === "click")
+      val parts = Seq("2", "5", "10").map { le =>
+        clicks.select(col("ts_us"), lit("click_bucket").as("metric"),
+          array_sort(concat(col("labels"), array(lit(s"le=$le")))).as("labels"),
+          when(col("value") <= le.toDouble, 1.0).otherwise(0.0).as("value"))
+      } :+ clicks.select(col("ts_us"), lit("click_bucket").as("metric"),
+        array_sort(concat(col("labels"), array(lit("le=+Inf")))).as("labels"),
+        lit(1.0).as("value"))
+      promqlStr(PromQL.eval(parts.reduce(_ unionByName _),
+        parsePromQL("histogram_quantile(0.9, sum_over_time(click_bucket[1d]))"),
+        WinStartSec, WinEndSec, 86400L))
+    }),
   )
 
   /** PromQL evaluator output → oracle-safe scalar columns. */
@@ -2188,6 +2207,65 @@ object SparkEntry {
          |SELECT CAST(NULL AS VARCHAR) AS metric, '' AS labels_str, t,
          |       CAST(floor(quantile_cont(CAST(v_e6 AS DOUBLE), 0.9) + 0.5) AS BIGINT) AS v_e6
          |FROM sot GROUP BY t""".stripMargin,
+
+    // the evaluator's dynamic-bucket estimator over the same 0/1
+    // bucket expansion; selection by row_number instead of Spark's
+    // min-struct, but the crossing bucket — and every arithmetic
+    // step after it — is identical
+    "promql_histogram" ->
+      s"""$S, bucket AS (
+         |  SELECT ts_us, 'click_bucket' AS metric,
+         |         list_sort(list_append(labels, 'le=' || le.l)) AS labels,
+         |         CASE WHEN le.l = '+Inf' THEN 1.0
+         |              WHEN value <= CAST(le.l AS DOUBLE) THEN 1.0
+         |              ELSE 0.0 END AS value
+         |  FROM samples, (VALUES ('2'), ('5'), ('10'), ('+Inf')) le(l)
+         |  WHERE metric = 'click'
+         |), deduped AS (
+         |  SELECT metric, labels, ts_us // 1000000 AS t_sec, max(value) AS value
+         |  FROM bucket GROUP BY 1, 2, 3
+         |), grid AS (SELECT unnest(range(0, 16)) AS k),
+         |j AS (
+         |  SELECT s.labels, $WinStartSec + g.k * 86400 AS t, s.value
+         |  FROM deduped s JOIN grid g
+         |    ON s.t_sec >= $WinStartSec + g.k * 86400 - 86400
+         |   AND s.t_sec <  $WinStartSec + g.k * 86400
+         |  WHERE s.t_sec >= ${WinStartSec - 86400} AND s.t_sec <= ${WinEndSec - 1}
+         |), sot AS (
+         |  SELECT labels, t,
+         |         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) * 10000 AS v_e6
+         |  FROM j GROUP BY 1, 2
+         |), tagged AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'le=%')[1] AS le_str,
+         |         list_filter(labels, l -> NOT (l LIKE 'le=%')) AS glabels,
+         |         t, CAST(v_e6 AS DOUBLE) / 1000000.0 AS c
+         |  FROM sot
+         |), finite AS (
+         |  SELECT glabels, t, CAST(substr(le_str, 4) AS DOUBLE) AS le, c,
+         |         coalesce(lag(c) OVER w, 0.0) AS prev_c,
+         |         coalesce(lag(CAST(substr(le_str, 4) AS DOUBLE)) OVER w, 0.0) AS prev_le
+         |  FROM tagged WHERE le_str != 'le=+Inf'
+         |  WINDOW w AS (PARTITION BY glabels, t
+         |               ORDER BY CAST(substr(le_str, 4) AS DOUBLE))
+         |), totals AS (
+         |  SELECT glabels, t, c AS total FROM tagged WHERE le_str = 'le=+Inf'
+         |), cand AS (
+         |  SELECT f.*, 0.9 * tt.total AS rk
+         |  FROM finite f JOIN totals tt ON f.glabels = tt.glabels AND f.t = tt.t
+         |), win AS (
+         |  SELECT glabels, t, le, prev_le, prev_c, c, rk,
+         |         row_number() OVER (PARTITION BY glabels, t ORDER BY le) AS rn
+         |  FROM cand WHERE c >= rk
+         |), base AS (
+         |  SELECT glabels, t, max(le) AS le_max FROM cand GROUP BY 1, 2
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(b.glabels, ',') AS labels_str, b.t,
+         |       CAST(floor(coalesce(
+         |         w2.prev_le + (w2.le - w2.prev_le) * (w2.rk - w2.prev_c)
+         |           / (w2.c - w2.prev_c), b.le_max) * 1000000 + 0.5) AS BIGINT) AS v_e6
+         |FROM base b LEFT JOIN win w2
+         |  ON w2.glabels = b.glabels AND w2.t = b.t AND w2.rn = 1""".stripMargin,
 
     // without (k): merge each user's k-series, integer half-up mean
     "promql_without" ->

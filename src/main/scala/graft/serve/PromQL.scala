@@ -155,6 +155,9 @@ object PromQL {
     * holds no sample, labeled from the selector's = matchers. */
   final case class Absent(matchers: Seq[LabelMatcher], rangeSec: Long,
                           offsetSec: Long = 0L) extends Expr
+  /** histogram_quantile(φ, child): piecewise-linear quantile estimate
+    * over the child's cumulative `le`-labeled bucket series. */
+  final case class HistQ(q: Double, child: Expr) extends Expr
   /** quantile_over_time(φ, selector[d] [offset o]): the exact
     * interpolated per-window quantile. */
   final case class Quantile(q: Double, matchers: Seq[LabelMatcher],
@@ -363,6 +366,21 @@ object PromQL {
             off <- offsetClause()
             _ <- eat(')')
           } yield Quantile(q, sel, d, off)
+        case Some(id) if id == "histogram_quantile" =>
+          i += id.length
+          for {
+            _ <- eat('(')
+            q <- number().filter(v => v > 0.0 && v <= 1.0)
+              .toRight("histogram_quantile needs φ in (0, 1]")
+            _ <- eat(',')
+            child <- expr()
+            _ <- eat(')')
+            _ <- child match {
+              case ScalarLit(_) =>
+                Left("histogram_quantile requires a vector argument")
+              case _ => Right(())
+            }
+          } yield HistQ(q, child)
         case Some(id) if id == "predict_linear" =>
           i += id.length
           for {
@@ -670,6 +688,9 @@ object PromQL {
       case MathFn(fn, child, args) =>
         mathProject(eval(samples, child, startSec, endSec, stepSec,
           lookbackSec, rollup, ignoreLabel), fn, args)
+      case HistQ(q, child) =>
+        histQuantile(eval(samples, child, startSec, endSec, stepSec,
+          lookbackSec, rollup, ignoreLabel), q)
       case Cmp(op, bool, ScalarLit(k), right) =>
         scalarCmp(eval(samples, right, startSec, endSec, stepSec, lookbackSec,
           rollup, ignoreLabel), op, bool, k, scalarOnLeft = true)
@@ -849,6 +870,65 @@ object PromQL {
     }
     child.select(lit(null).cast("string").as("metric"), col("labels"),
       col("t"), v.cast("long").as("v_e6"))
+  }
+
+  /** histogram_quantile(φ, child): Prometheus's piecewise-linear
+    * estimate over cumulative `le`-labeled buckets, with DYNAMIC
+    * bucket bounds read from the data (unlike
+    * RangeOps.histogramQuantile's fixed `les`). Series group on their
+    * label set minus `le` (and metric, kept in the key so distinct
+    * metrics never mix); within a group at each step the first bucket
+    * whose count reaches rank = φ·total (total = the le="+Inf"
+    * series) interpolates between its bounds — lower bound 0 for the
+    * first bucket — and a rank landing in the +Inf bucket clamps to
+    * the highest finite bound, both RangeOps.hqCaseSql's conventions.
+    * Groups without a +Inf series drop (no total to rank against).
+    *
+    * Determinism: counts come off the child's exact v_e6 integers and
+    * the interpolation is one fixed-text IEEE expression, identical
+    * in any engine. φ > 0 guarantees the crossing bucket strictly
+    * exceeds its predecessor, so the division is well-defined.
+    *
+    * Scale shape: rows in are one per (series, step) — already
+    * aggregated, never raw samples — and the lag + group pair runs on
+    * one (glabels…, t) exchange; skew ceiling is buckets per
+    * histogram, a config constant. */
+  private def histQuantile(child: DataFrame, q: Double): DataFrame = {
+    val tagged = child
+      .withColumn("le_str", expr("filter(labels, l -> l LIKE 'le=%')[0]"))
+      .filter(col("le_str").isNotNull)
+      .withColumn("glabels", expr("filter(labels, l -> NOT (l LIKE 'le=%'))"))
+      .withColumn("c", expr("CAST(v_e6 AS DOUBLE) / 1000000.0D"))
+    val finite = tagged.filter(col("le_str") =!= "le=+Inf")
+      .withColumn("le", expr("CAST(substring(le_str, 4) AS DOUBLE)"))
+      .filter(col("le").isNotNull)
+    val totals = tagged.filter(col("le_str") === "le=+Inf")
+      .select(col("metric").as("tm"), col("glabels"), col("t"),
+        col("c").as("total"))
+    val w = Window.partitionBy(col("metric"), col("glabels"), col("t"))
+      .orderBy(col("le"))
+    val cand = finite
+      .withColumn("prev_c", coalesce(lag(col("c"), 1).over(w), lit(0.0)))
+      .withColumn("prev_le", coalesce(lag(col("le"), 1).over(w), lit(0.0)))
+      .join(totals,
+        coalesce(col("metric"), lit("")) === coalesce(col("tm"), lit("")) &&
+          finite("glabels") === totals("glabels") &&
+          finite("t") === totals("t"))
+      .drop("tm").drop(totals("glabels")).drop(totals("t"))
+      .withColumn("rk", lit(q) * col("total"))
+    cand
+      .groupBy(col("metric"), col("glabels"), col("t"))
+      .agg(
+        min(when(col("c") >= col("rk"),
+          struct(col("le"), col("prev_le"), col("prev_c"), col("c"),
+            col("rk")))).as("arm"),
+        max(col("le")).as("le_max"))
+      .select(lit(null).cast("string").as("metric"),
+        col("glabels").as("labels"), col("t"),
+        expr("CAST(floor(coalesce(" +
+          "arm.prev_le + (arm.le - arm.prev_le) * (arm.rk - arm.prev_c) " +
+          "/ (arm.c - arm.prev_c), le_max) * 1000000 + 0.5) AS BIGINT)")
+          .as("v_e6"))
   }
 
   /** Matcher-filtered, time-bounded, per-second-deduped scan — the

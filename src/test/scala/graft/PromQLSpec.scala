@@ -463,6 +463,41 @@ class PromQLSpec extends SparkSpecBase {
     assert(q === Set(("", "", T0 + 60, 11875000L)))
   }
 
+  test("histogram_quantile interpolates cumulative le buckets and clamps at +Inf") {
+    import spark.implicits._
+    // one histogram at t0+30: counts 2 ≤1, 5 ≤2, 9 ≤4, 10 total
+    val buckets = Seq(
+      ((T0 + 30) * 1000000L, "mb", Seq("host=x", "le=1"), 2.0),
+      ((T0 + 30) * 1000000L, "mb", Seq("host=x", "le=2"), 5.0),
+      ((T0 + 30) * 1000000L, "mb", Seq("host=x", "le=4"), 9.0),
+      ((T0 + 30) * 1000000L, "mb", Seq("host=x", "le=+Inf"), 10.0)
+    ).toDF("ts_us", "metric", "labels", "value")
+    assert(PromQL.parse("histogram_quantile(0.9, rate(x[5m]))") match {
+      case Right(HistQ(0.9, RangeCall("rate", _, 300L, 0L))) => true
+      case _ => false
+    })
+    assert(PromQL.parse("histogram_quantile(0, x)").isLeft)
+    // rank 0.5·10 = 5 crosses at le=2: 1 + (2-1)·(5-2)/(5-2) = 2;
+    // the le label drops from the output group
+    val med = rows(PromQL.eval(buckets,
+      parse("histogram_quantile(0.5, mb)").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(med === Set(("", "host=x", T0 + 60, 2000000L)))
+    // rank 9.5 > the last finite count 9 → clamp to its bound 4
+    val p95 = rows(PromQL.eval(buckets,
+      parse("histogram_quantile(0.95, mb)").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(p95 === Set(("", "host=x", T0 + 60, 4000000L)))
+    // a rank inside the FIRST bucket interpolates from lower bound 0:
+    // rank 1 → 0 + (1-0)·(1-0)/(2-0) = 0.5
+    val p10 = rows(PromQL.eval(buckets,
+      parse("histogram_quantile(0.1, mb)").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(p10 === Set(("", "host=x", T0 + 60, 500000L)))
+    // groups without a +Inf series drop entirely
+    val noInf = rows(PromQL.eval(
+      buckets.filter(!array_contains(col("labels"), "le=+Inf")),
+      parse("histogram_quantile(0.5, mb)").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(noInf === Set.empty)
+  }
+
   test("an aligned tiling sum_over_time routes to the rollup and equals the raw answer") {
     val path = "/tmp/graft_test/promql_rollup"
     val rpath = path + "_roll"

@@ -787,6 +787,15 @@ object SparkEntry {
         parsePromQL("avg without (k) (sum_over_time(click[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
 
+    // subquery: each user's max DAILY click-sum over the trailing
+    // 7 days — the inner aggregation evaluated on the absolute 1d
+    // grid, then max'd per outer window
+    "promql_subquery" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL(
+          "max_over_time(sum by (user) (sum_over_time(click[1d]))[7d:1d])"),
+        WinStartSec, WinEndSec, 86400L))),
+
     // histogram_quantile over data-driven cumulative le buckets: each
     // click sample expands to 0/1 observations per bucket (the
     // _bucket counter-series ingest shape), sum_over_time accumulates
@@ -2207,6 +2216,39 @@ object SparkEntry {
          |SELECT CAST(NULL AS VARCHAR) AS metric, '' AS labels_str, t,
          |       CAST(floor(quantile_cont(CAST(v_e6 AS DOUBLE), 0.9) + 0.5) AS BIGINT) AS v_e6
          |FROM sot GROUP BY t""".stripMargin,
+
+    // inner per-user daily sums on the absolute 1d grid (j in
+    // [-7, 16) covers every point an outer window can see), then the
+    // outer [7d) window max per user
+    "promql_subquery" ->
+      s"""$dedupCte, igrid AS (SELECT unnest(range(-7, 16)) AS j),
+         |ij AS (
+         |  SELECT s.labels, $WinStartSec + ig.j * 86400 AS tv, s.value
+         |  FROM deduped s JOIN igrid ig
+         |    ON s.t_sec >= $WinStartSec + ig.j * 86400 - 86400
+         |   AND s.t_sec <  $WinStartSec + ig.j * 86400
+         |  WHERE s.metric = 'click'
+         |    AND s.t_sec >= ${WinStartSec - 604800 - 86400}
+         |    AND s.t_sec <= ${WinEndSec - 1}
+         |), sot AS (
+         |  SELECT labels, tv,
+         |         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) * 10000 AS v_e6
+         |  FROM ij GROUP BY 1, 2
+         |), agg AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, tv,
+         |         CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2
+         |), grid AS (SELECT unnest(range(0, 16)) AS k),
+         |oj AS (
+         |  SELECT a.labels, $WinStartSec + g.k * 86400 AS t, a.v_e6
+         |  FROM agg a JOIN grid g
+         |    ON a.tv >= $WinStartSec + g.k * 86400 - 604800
+         |   AND a.tv <  $WinStartSec + g.k * 86400
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(labels, ',') AS labels_str, t,
+         |       CAST(max(v_e6) AS BIGINT) AS v_e6
+         |FROM oj GROUP BY labels, t""".stripMargin,
 
     // the evaluator's dynamic-bucket estimator over the same 0/1
     // bucket expansion; selection by row_number instead of Spark's

@@ -37,6 +37,9 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   *                    resets avg_over_time min_over_time max_over_time
   *                    sum_over_time count_over_time last_over_time
   *                    stddev_over_time
+  *   subquery := fn "(" expr "[" dur ":" dur "]" [offset] ")"
+  *               fn ∈ sum/avg/min/max/count/last_over_time
+  *   histq    := "histogram_quantile" "(" φ "," expr ")"
   *   predict  := "predict_linear" "(" selector "[" dur "]" [offset] "," num ")"
   *   absent   := "absent_over_time" "(" selector "[" dur "]" [offset] ")"
   *   mathfn   := fn "(" expr ["," num]* ")"
@@ -158,6 +161,11 @@ object PromQL {
   /** histogram_quantile(φ, child): piecewise-linear quantile estimate
     * over the child's cumulative `le`-labeled bucket series. */
   final case class HistQ(q: Double, child: Expr) extends Expr
+  /** fn(child[d:res] [offset]): a subquery — the child evaluated on
+    * the absolute res-aligned grid, then fn aggregated over each
+    * outer window [t-d, t). */
+  final case class Subquery(fn: String, child: Expr, rangeSec: Long,
+                            resSec: Long, offsetSec: Long = 0L) extends Expr
   /** quantile_over_time(φ, selector[d] [offset o]): the exact
     * interpolated per-window quantile. */
   final case class Quantile(q: Double, matchers: Seq[LabelMatcher],
@@ -174,6 +182,10 @@ object PromQL {
   val PairFns: Set[String] = Set("irate", "idelta", "changes", "resets")
   val AggOps: Set[String] = Set("sum", "avg", "min", "max", "count",
     "group", "quantile")
+  /** The RangeFns subset valid over a subquery — the ones whose
+    * aggregation is exact on the inner vector's integer values. */
+  val SubFns: Set[String] = Set("sum_over_time", "avg_over_time",
+    "min_over_time", "max_over_time", "count_over_time", "last_over_time")
   val MathFns: Set[String] = Set("abs", "ceil", "floor", "sgn", "round",
     "clamp", "clamp_min", "clamp_max")
   /** The *_over_time subset a fresh aligned rollup can answer. */
@@ -537,16 +549,30 @@ object PromQL {
       err.toLeft(names.result())
     }
 
+    /** fn(selector[d]) — or, when a ':' follows the duration, the
+      * subquery form fn(expr[d:res]) over any inner expression. */
     private def rangeCall(fn: String): Either[String, Expr] =
       for {
         _ <- eat('(')
-        sel <- selectorMatchers()
+        child <- expr()
         _ <- eat('[')
         d <- duration()
+        sub <- if (peekChar.contains(':')) { i += 1; duration().map(Some(_)) }
+               else Right(None)
         _ <- eat(']')
         off <- offsetClause()
         _ <- eat(')')
-      } yield RangeCall(fn, sel, d, off)
+        result <- (sub, child) match {
+          case (None, Instant(ms, 0L)) => Right(RangeCall(fn, ms, d, off))
+          case (None, _) =>
+            Left(s"$fn over a compound expression needs a subquery [d:res]")
+          case (Some(_), ScalarLit(_)) =>
+            Left(s"$fn requires a vector argument")
+          case (Some(res), c) =>
+            if (!SubFns(fn)) Left(s"$fn does not support subqueries")
+            else Right(Subquery(fn, c, d, res, off))
+        }
+      } yield result
 
     /** Optional ` offset <dur>` modifier. */
     private def offsetClause(): Either[String, Long] = {
@@ -574,7 +600,7 @@ object PromQL {
             val mult = unit match {
               case 's' => 1L case 'm' => 60L case 'h' => 3600L
               case 'd' => 86400L case 'w' => 604800L
-              case ']' => -1L // bare seconds, unit omitted
+              case ']' | ':' => -1L // bare seconds, unit omitted
               case c => -2L
             }
             mult match {
@@ -691,6 +717,10 @@ object PromQL {
       case HistQ(q, child) =>
         histQuantile(eval(samples, child, startSec, endSec, stepSec,
           lookbackSec, rollup, ignoreLabel), q)
+      case Subquery(fn, child, d, res, off) =>
+        unshift(subqueryRange(samples, fn, child, startSec - off,
+          endSec - off, stepSec, d, res, lookbackSec, rollup, ignoreLabel),
+          off)
       case Cmp(op, bool, ScalarLit(k), right) =>
         scalarCmp(eval(samples, right, startSec, endSec, stepSec, lookbackSec,
           rollup, ignoreLabel), op, bool, k, scalarOnLeft = true)
@@ -1164,6 +1194,56 @@ object PromQL {
           "* 10000 + 0.5) AS BIGINT)")
     }
     g.select(base :+ v.as("v_e6"): _*)
+  }
+
+  /** Subquery fn(child[d:res]): evaluate the child on the ABSOLUTE
+    * res-aligned grid (every point a multiple of res, Prometheus's
+    * subquery alignment — results don't depend on the outer query's
+    * start), then aggregate each outer window [t-d, t) over the inner
+    * points it holds. The aggregation runs on the inner vector's
+    * exact v_e6 integers, so sum/min/max/count/last are exact and avg
+    * is the engine-portable integer half-up — which is why SubFns is
+    * the whitelist (a stddev over v_e6² could overflow int64).
+    *
+    * Scale shape: the inner eval is one distributed plan; its output
+    * is one row per (series, inner step) — already aggregated. The
+    * explode amplifies by ≤ d/res (the window/resolution ratio, a
+    * query constant) before a map-side-combined (series, t)
+    * aggregate, exactly the gridExplode physics one level up. */
+  private def subqueryRange(samples: DataFrame, fn: String, child: Expr,
+                            start: Long, end: Long, step: Long, d: Long,
+                            res: Long, lookbackSec: Long,
+                            rollup: Option[RollupGrid],
+                            ignoreLabel: Option[String]): DataFrame = {
+    val innerStart = (start - d + res - 1) / res * res
+    val inner = eval(samples, child, innerStart, end, res, lookbackSec,
+      rollup, ignoreLabel)
+    val off2 = d / step + 2
+    val kTop = (end - start) / step
+    val g = inner
+      .withColumnRenamed("t", "tv")
+      .filter(col("tv") <= end - 1) // outer windows are right-open
+      .withColumn("kmin", greatest(lit(0L),
+        expr(s"(tv - $start + ${off2 * step}) DIV $step - $off2 + 1")))
+      .withColumn("kmax", least(lit(kTop),
+        expr(s"(tv + $d - $start) DIV $step")))
+      .filter(col("kmax") >= col("kmin"))
+      .withColumn("k", explode(expr("sequence(kmin, kmax)")))
+      .withColumn("t", expr(s"$start + k * $step"))
+      .groupBy(col("metric"), col("labels"), col("t"))
+      .agg(sum(col("v_e6")).as("s"), count(lit(1)).as("n"),
+        min(col("v_e6")).as("mn"), max(col("v_e6")).as("mx"),
+        max_by(col("v_e6"), col("tv")).as("lastv"))
+    val v = fn match {
+      case "sum_over_time"   => expr("s")
+      case "count_over_time" => expr("n * 1000000")
+      case "avg_over_time"   => expr(halfUpSql("s", "n"))
+      case "min_over_time"   => expr("mn")
+      case "max_over_time"   => expr("mx")
+      case "last_over_time"  => expr("lastv")
+    }
+    g.select(col("metric"), col("labels"), col("t"),
+      v.cast("long").as("v_e6"))
   }
 
   /** absent_over_time: 1 at every grid step whose window [t-d, t)

@@ -498,6 +498,47 @@ class PromQLSpec extends SparkSpecBase {
     assert(noInf === Set.empty)
   }
 
+  test("subqueries evaluate the inner expr on the res grid, then window it") {
+    assert(PromQL.parse("max_over_time(rate(x[5m])[1h:5m])") match {
+      case Right(Subquery("max_over_time", RangeCall("rate", _, 300L, 0L),
+        3600L, 300L, 0L)) => true
+      case _ => false
+    })
+    assert(PromQL.parse("sum_over_time(sum by (a) (x)[120:60])") match {
+      case Right(Subquery("sum_over_time", Agg("sum", Seq("a"), _, _, _),
+        120L, 60L, 0L)) => true
+      case _ => false
+    })
+    assert(PromQL.parse("rate(x[1h:5m])").isLeft)     // rate: no subqueries
+    assert(PromQL.parse("max_over_time(sum(x)[1h])").isLeft) // compound needs :res
+    // inner sum_over_time(m[60s]) on the absolute 60 s grid has
+    // points at t0+60 (a=3.5, b=20.25) and t0+120 (a=5.0); the outer
+    // [120s] window at t0+120 sees only t0+60 (right-open)
+    val mx = rows(PromQL.eval(tinySamples,
+      parse("max_over_time(sum_over_time(m[60s])[120s:60s])").toOption.get,
+      T0 + 120, T0 + 120, 120L))
+    assert(mx === Set(
+      ("m", "host=a,user=1", T0 + 120, 3500000L),
+      ("m", "host=b,user=2", T0 + 120, 20250000L)))
+    // at t0+180 the window [t0+60, t0+180) holds t0+60 and t0+120:
+    // a's max is max(3.5, 5.0), b's is its single point
+    val mx2 = rows(PromQL.eval(tinySamples,
+      parse("max_over_time(sum_over_time(m[60s])[120s:60s])").toOption.get,
+      T0 + 180, T0 + 180, 120L))
+    assert(mx2 === Set(
+      ("m", "host=a,user=1", T0 + 180, 5000000L),
+      ("m", "host=b,user=2", T0 + 180, 20250000L)))
+    // count/avg over the same inner points
+    val cnt = rows(PromQL.eval(tinySamples,
+      parse("count_over_time(sum_over_time(m[60s])[120s:60s])").toOption.get,
+      T0 + 180, T0 + 180, 120L))
+    assert(cnt.contains(("m", "host=a,user=1", T0 + 180, 2000000L)))
+    val avg = rows(PromQL.eval(tinySamples,
+      parse("avg_over_time(sum_over_time(m[60s])[120s:60s])").toOption.get,
+      T0 + 180, T0 + 180, 120L))
+    assert(avg.contains(("m", "host=a,user=1", T0 + 180, 4250000L)))
+  }
+
   test("an aligned tiling sum_over_time routes to the rollup and equals the raw answer") {
     val path = "/tmp/graft_test/promql_rollup"
     val rpath = path + "_roll"

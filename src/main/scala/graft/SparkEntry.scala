@@ -1469,7 +1469,7 @@ object SparkEntry {
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
-        |       max(strlen(text)) AS n_chars
+        |       max(length(text)) AS n_chars
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
     "dedup_minhash_lsh" ->
@@ -1682,8 +1682,8 @@ object SparkEntry {
       val en = TextAnalysis.StopWords.head._2.map(w => s"'$w'").mkString(", ")
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks,
-         |         strlen(text) AS n_chars_raw,
-         |         strlen(replace(text, ' ', '')) AS n_alpha
+         |         length(text) AS n_chars_raw,
+         |         length(replace(text, ' ', '')) AS n_alpha
          |  FROM documents
          |), f AS (
          |  SELECT doc_id, len(toks) AS n_words, n_chars_raw, n_alpha,
@@ -1705,7 +1705,7 @@ object SparkEntry {
         |       len(string_split(text, ' ')) AS n_ws_tokens,
         |       len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS n_re_tokens,
         |       n_chars AS n_chars_meta,
-        |       strlen(text) AS n_chars_actual
+        |       length(text) AS n_chars_actual
         |FROM documents""".stripMargin,
 
     "text_fingerprint" ->
@@ -1813,7 +1813,7 @@ object SparkEntry {
       val Seq(en, es, de, fr) = TextAnalysis.StopWords.map(_._2)
       s"""WITH t AS (
          |  SELECT doc_id, text, string_split(text, ' ') AS toks,
-         |         strlen(replace(text, ' ', '')) AS n_alpha
+         |         length(replace(text, ' ', '')) AS n_alpha
          |  FROM documents
          |), f AS (
          |  SELECT doc_id, text, len(toks) AS n_words, n_alpha,
@@ -1848,7 +1848,7 @@ object SparkEntry {
 
     "mm_binary_pipeline" ->
       """WITH b AS (
-        |  SELECT doc_id, text, strlen(text) AS n_bytes,
+        |  SELECT doc_id, text, length(text) AS n_bytes,
         |         coalesce(list_sum(list_transform(string_split(text, ''), c -> ascii(c)))::BIGINT, 0) AS bsum
         |  FROM documents
         |)
@@ -1864,11 +1864,11 @@ object SparkEntry {
     "mm_frame_sample" ->
       s"""WITH f AS (
          |  SELECT doc_id, text,
-         |         unnest([i for i in range(0, (strlen(text) + 255) // 256) if i % 3 = 0]) AS i
+         |         unnest([i for i in range(0, (length(text) + 255) // 256) if i % 3 = 0]) AS i
          |  FROM documents
          |)
          |SELECT doc_id, i AS frame_idx,
-         |       strlen(substr(text, (i*256 + 1)::INT, 256)) AS frame_len,
+         |       length(substr(text, (i*256 + 1)::INT, 256)) AS frame_len,
          |       ${duckHash("substr(text, (i*256 + 1)::INT, 256)")} AS frame_h
          |FROM f""".stripMargin,
 

@@ -167,10 +167,12 @@ class SeriesReadSpec extends SparkSpecBase {
     val q90 = RangeOps.histogramQuantile(samples, 86400L, 0.9)
       .select(col("metric"), col("t_sec"), col("q_est_e6").as("e90"))
     val joined = q50.join(q90, Seq("metric", "t_sec")).cache()
-    assert(joined.count() > 0)
-    assert(joined.filter(col("e50") < 0 ||
-      col("e90") > RangeOps.DefaultLes.last * 1e6).count() == 0)
-    assert(joined.filter(col("e50") > col("e90")).count() == 0, "quantile must be monotone in q")
+    try {
+      assert(joined.count() > 0)
+      assert(joined.filter(col("e50") < 0 ||
+        col("e90") > RangeOps.DefaultLes.last * 1e6).count() == 0)
+      assert(joined.filter(col("e50") > col("e90")).count() == 0, "quantile must be monotone in q")
+    } finally joined.unpersist()
   }
 
   test("irate takes the bucket's last two points, handles resets, NULLs singletons") {

@@ -845,13 +845,34 @@ class ServeSpec extends SparkSpecBase {
       for (url <- Seq(
         s"$base/api/v1/query_range?query=qr_total&start=1&end=2", // no step
         s"$base/api/v1/query_range?query=" +
-          java.net.URLEncoder.encode("sum without (a) (x)", "UTF-8") +
+          java.net.URLEncoder.encode("ln(x)", "UTF-8") + // off-whitelist fn
+          "&start=1&end=2&step=1",
+        s"$base/api/v1/query_range?query=" +
+          java.net.URLEncoder.encode("rate(x[1h:5m])", "UTF-8") + // no rate subqueries
           "&start=1&end=2&step=1",
         s"$base/api/v1/query_range?query=qr_total&start=0&end=999999&step=1",
         s"$base/api/v1/query_range?query=qr_total&start=9&end=2&step=1")) {
         val (code, body) = get(url)
         assert(code === 400 && body.contains("\"bad_data\""), s"$url -> $code $body")
       }
+
+      // the round-13 grammar over HTTP: a comparison filter keeps the
+      // passing row with its metric name...
+      val (fc, fb) = get(s"$base/api/v1/query_range?query=" +
+        java.net.URLEncoder.encode("sum_over_time(qr_total[60s]) > 3.6", "UTF-8") +
+        s"&start=${t0 + 60}&end=${t0 + 120}&step=60")
+      assert(fc === 200)
+      assert(fb === s"""{"status":"success","data":{"resultType":"matrix","result":[""" +
+        s"""{"metric":{"__name__":"qr_total","k":"v"},""" +
+        s""""values":[[${t0 + 120},"4"]]}]}}""", fb)
+      // ...and a subquery windows the inner evaluation: max of the
+      // two tiling sums over [t-120, t)
+      val (sc2, sb2) = get(s"$base/api/v1/query_range?query=" +
+        java.net.URLEncoder.encode(
+          "max_over_time(sum_over_time(qr_total[60s])[120s:60s])", "UTF-8") +
+        s"&start=${t0 + 120}&end=${t0 + 120}&step=120")
+      assert(sc2 === 200)
+      assert(sb2.contains(s""""values":[[${t0 + 120},"3.5"]]"""), sb2)
       // Grafana's datasource health probe: a scalar expression
       // answers resultType "scalar" (instant) / a constant {} series
       // (range) — without this, adding graft as a datasource fails

@@ -787,6 +787,15 @@ object SparkEntry {
         parsePromQL("avg without (k) (sum_over_time(click[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
 
+    // many-to-one matching: each (k, user) series' share of its
+    // user's daily click total — on(user) pairs the k-split sums
+    // with the per-user totals, group_left keeps the k label
+    "promql_group_left" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("sum by (k, user) (sum_over_time(click[1d]))" +
+          " / on(user) group_left sum by (user) (sum_over_time(click[1d]))"),
+        WinStartSec, WinEndSec, 86400L))),
+
     // subquery: each user's max DAILY click-sum over the trailing
     // 7 days — the inner aggregation evaluated on the absolute 1d
     // grid, then max'd per outer window
@@ -2216,6 +2225,27 @@ object SparkEntry {
          |SELECT CAST(NULL AS VARCHAR) AS metric, '' AS labels_str, t,
          |       CAST(floor(quantile_cont(CAST(v_e6 AS DOUBLE), 0.9) + 0.5) AS BIGINT) AS v_e6
          |FROM sot GROUP BY t""".stripMargin,
+
+    // the k-split sums join their user totals on the user label only;
+    // the many side's full (k, user) labels survive
+    "promql_group_left" ->
+      s"""${promqlSotCte("click")}, aggku AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'k=%' OR l LIKE 'user=%')
+         |           AS labels, t, CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2
+         |), agguser AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
+         |         CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(a.labels, ',') AS labels_str, a.t,
+         |       CAST(floor(CAST(a.v_e6 AS DOUBLE) / CAST(b.v_e6 AS DOUBLE)
+         |            * 1000000.0 + 0.5) AS BIGINT) AS v_e6
+         |FROM aggku a JOIN agguser b
+         |  ON list_filter(a.labels, l -> l LIKE 'user=%') = b.labels
+         | AND a.t = b.t
+         |WHERE b.v_e6 != 0""".stripMargin,
 
     // inner per-user daily sums on the absolute 1d grid (j in
     // [-7, 16) covers every point an outer window can see), then the

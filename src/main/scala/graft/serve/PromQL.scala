@@ -20,11 +20,15 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   *
   * Grammar (whitelist — anything else answers 400). Operator
   * precedence is Prometheus's, loosest first:
-  *   expr     := andExpr {"or" andExpr}
-  *   andExpr  := cmpExpr {("and"|"unless") cmpExpr}
-  *   cmpExpr  := addExpr {("=="|"!="|"<="|"<"|">="|">") ["bool"] addExpr}
-  *   addExpr  := mulExpr {("+"|"-") mulExpr}
-  *   mulExpr  := term {("*"|"/") term}
+  *   expr     := andExpr {"or" [matching] andExpr}
+  *   andExpr  := cmpExpr {("and"|"unless") [matching] cmpExpr}
+  *   cmpExpr  := addExpr {("=="|"!="|"<="|"<"|">="|">") ["bool"]
+  *               [matching] addExpr}
+  *   addExpr  := mulExpr {("+"|"-") [matching] mulExpr}
+  *   mulExpr  := term {("*"|"/") [matching] term}
+  *   matching := ("on"|"ignoring") "(" names ")"
+  *               [("group_left"|"group_right") ["(" names ")"]]
+  *               (group_* on arithmetic/comparisons only)
   *   term     := agg | rank | rangecall | mathfn | predict | absent
   *             | selector | number | "(" expr ")"
   *   agg      := op [grouping] "(" [φ ","] expr ")" [grouping]
@@ -137,14 +141,26 @@ object PromQL {
                        param: Option[Double] = None) extends Expr
   /** topk/bottomk(k, child) per grid step. */
   final case class Rank(bottom: Boolean, k: Int, child: Expr) extends Expr
-  /** left op right — vector∘vector (full-label-set matching) or
-    * vector∘scalar when either side is [[ScalarLit]]. */
-  final case class Binary(op: Char, left: Expr, right: Expr) extends Expr
+  /** left op right — vector∘vector (full-label-set matching by
+    * default, or per `matching`) or vector∘scalar when either side
+    * is [[ScalarLit]]. */
+  final case class Binary(op: Char, left: Expr, right: Expr,
+                          matching: Option[Matching] = None) extends Expr
+  /** Vector-matching modifier on a binary/comparison/set operator:
+    * `on (keys)` joins on exactly those labels, `ignoring (keys)` on
+    * all labels minus them. card 0 = one-to-one (output carries the
+    * matching labels only), 1 = group_left, 2 = group_right (the
+    * "many" side's full labels survive, plus any `include` labels
+    * copied over from the "one" side). */
+  final case class Matching(on: Boolean, keys: Seq[String],
+                            card: Int = 0, include: Seq[String] = Nil)
   /** Comparison filter (== != < <= > >=); `bool` → 1/0 values. */
   final case class Cmp(op: String, bool: Boolean,
-                       left: Expr, right: Expr) extends Expr
+                       left: Expr, right: Expr,
+                       matching: Option[Matching] = None) extends Expr
   /** and | or | unless on full label sets per step. */
-  final case class SetOp(op: String, left: Expr, right: Expr) extends Expr
+  final case class SetOp(op: String, left: Expr, right: Expr,
+                         matching: Option[Matching] = None) extends Expr
   /** Per-row math over any vector: abs ceil floor sgn round clamp
     * clamp_min clamp_max; `args` holds the trailing scalar
     * arguments (round's to_nearest, clamp's bounds). */
@@ -252,34 +268,70 @@ object PromQL {
     }
 
     private def orExpr(): Either[String, Expr] =
-      chainKw(andExpr, Set("or")) { (op, l, r) =>
+      chainKw(andExpr, Set("or")) { (op, m, l, r) =>
         (l, r) match {
           case (ScalarLit(_), _) | (_, ScalarLit(_)) =>
             Left(s"set operator '$op' requires two vectors")
-          case _ => Right(SetOp(op, l, r))
+          case _ => Right(SetOp(op, l, r, m))
         }
       }
 
     private def andExpr(): Either[String, Expr] =
-      chainKw(cmpExpr, Set("and", "unless")) { (op, l, r) =>
+      chainKw(cmpExpr, Set("and", "unless")) { (op, m, l, r) =>
         (l, r) match {
           case (ScalarLit(_), _) | (_, ScalarLit(_)) =>
             Left(s"set operator '$op' requires two vectors")
-          case _ => Right(SetOp(op, l, r))
+          case _ => Right(SetOp(op, l, r, m))
         }
       }
 
     private def chainKw(next: () => Either[String, Expr], kws: Set[String])(
-        mk: (String, Expr, Expr) => Either[String, Expr]): Either[String, Expr] = {
+        mk: (String, Option[Matching], Expr, Expr) => Either[String, Expr])
+        : Either[String, Expr] = {
       def loop(left: Expr): Either[String, Expr] =
         peekKeyword(kws) match {
           case Some(op) =>
             i += op.length
-            next().flatMap(r => mk(op, left, r)).flatMap(loop)
+            for {
+              m <- matchingClause(allowGroup = false)
+              r <- next()
+              e <- mk(op, m, left, r)
+              out <- loop(e)
+            } yield out
           case None => Right(left)
         }
       next().flatMap(loop)
     }
+
+    /** Optional `on (keys)` / `ignoring (keys)`, then (where legal)
+      * `group_left` / `group_right` with an optional include list. */
+    private def matchingClause(allowGroup: Boolean)
+        : Either[String, Option[Matching]] =
+      peekKeyword(Set("on", "ignoring")) match {
+        case None => Right(None)
+        case Some(kw) =>
+          i += kw.length
+          for {
+            _ <- eat('(')
+            keys <- identList()
+            _ <- eat(')')
+            m <- peekKeyword(Set("group_left", "group_right")) match {
+              case None => Right(Matching(kw == "on", keys))
+              case Some(g) if !allowGroup =>
+                Left(s"$g is not allowed on set operators")
+              case Some(g) =>
+                i += g.length
+                val card = if (g == "group_left") 1 else 2
+                val save2 = i
+                ws()
+                if (peekChar.contains('(')) {
+                  i += 1
+                  for { inc <- identList(); _ <- eat(')') }
+                    yield Matching(kw == "on", keys, card, inc)
+                } else { i = save2; Right(Matching(kw == "on", keys, card)) }
+            }
+          } yield Some(m)
+      }
 
     private val CmpOps = Seq("==", "!=", "<=", ">=", "<", ">")
 
@@ -293,20 +345,24 @@ object PromQL {
           case Some(op) =>
             i += op.length
             val bool = peekKeyword(Set("bool")).exists { k => i += k.length; true }
-            addExpr().flatMap { right =>
-              (left, right) match {
-                case (ScalarLit(a), ScalarLit(b)) =>
-                  if (!bool)
-                    Left("comparisons between scalars must use the bool modifier")
-                  else {
-                    val ok = op match {
-                      case "==" => a == b case "!=" => a != b
-                      case "<" => a < b case "<=" => a <= b
-                      case ">" => a > b case ">=" => a >= b
+            matchingClause(allowGroup = true).flatMap { m =>
+              addExpr().flatMap { right =>
+                (left, right, m) match {
+                  case (ScalarLit(a), ScalarLit(b), None) =>
+                    if (!bool)
+                      Left("comparisons between scalars must use the bool modifier")
+                    else {
+                      val ok = op match {
+                        case "==" => a == b case "!=" => a != b
+                        case "<" => a < b case "<=" => a <= b
+                        case ">" => a > b case ">=" => a >= b
+                      }
+                      loop(ScalarLit(if (ok) 1.0 else 0.0))
                     }
-                    loop(ScalarLit(if (ok) 1.0 else 0.0))
-                  }
-                case _ => loop(Cmp(op, bool, left, right))
+                  case (ScalarLit(_), _, Some(_)) | (_, ScalarLit(_), Some(_)) =>
+                    Left("vector matching requires two vectors")
+                  case _ => loop(Cmp(op, bool, left, right, m))
+                }
               }
             }
           case None => Right(left)
@@ -323,17 +379,21 @@ object PromQL {
         ws()
         if (!atEnd && ops.contains(s.charAt(i))) {
           val op = s.charAt(i); i += 1
-          next().flatMap { right =>
-            (left, right) match {
-              case (ScalarLit(a), ScalarLit(b)) =>
-                if (op == '/' && b == 0.0) Left("division by zero")
-                else loop(ScalarLit(op match {
-                  case '+' => a + b
-                  case '-' => a - b
-                  case '*' => a * b
-                  case '/' => a / b
-                }))
-              case _ => loop(Binary(op, left, right))
+          matchingClause(allowGroup = true).flatMap { m =>
+            next().flatMap { right =>
+              (left, right, m) match {
+                case (ScalarLit(a), ScalarLit(b), None) =>
+                  if (op == '/' && b == 0.0) Left("division by zero")
+                  else loop(ScalarLit(op match {
+                    case '+' => a + b
+                    case '-' => a - b
+                    case '*' => a * b
+                    case '/' => a / b
+                  }))
+                case (ScalarLit(_), _, Some(_)) | (_, ScalarLit(_), Some(_)) =>
+                  Left("vector matching requires two vectors")
+                case _ => loop(Binary(op, left, right, m))
+              }
             }
           }
         } else Right(left)
@@ -721,56 +781,98 @@ object PromQL {
         unshift(subqueryRange(samples, fn, child, startSec - off,
           endSec - off, stepSec, d, res, lookbackSec, rollup, ignoreLabel),
           off)
-      case Cmp(op, bool, ScalarLit(k), right) =>
+      case Cmp(op, bool, ScalarLit(k), right, _) =>
         scalarCmp(eval(samples, right, startSec, endSec, stepSec, lookbackSec,
           rollup, ignoreLabel), op, bool, k, scalarOnLeft = true)
-      case Cmp(op, bool, left, ScalarLit(k)) =>
+      case Cmp(op, bool, left, ScalarLit(k), _) =>
         scalarCmp(eval(samples, left, startSec, endSec, stepSec, lookbackSec,
           rollup, ignoreLabel), op, bool, k, scalarOnLeft = false)
-      case Cmp(op, bool, left, right) =>
+      case Cmp(op, bool, left, right, m) =>
         vectorCmp(
           eval(samples, left, startSec, endSec, stepSec, lookbackSec, rollup,
             ignoreLabel),
           eval(samples, right, startSec, endSec, stepSec, lookbackSec, rollup,
-            ignoreLabel), op, bool)
-      case SetOp(op, left, right) =>
+            ignoreLabel), op, bool, m)
+      case SetOp(op, left, right, m) =>
         setOp(
           eval(samples, left, startSec, endSec, stepSec, lookbackSec, rollup,
             ignoreLabel),
           eval(samples, right, startSec, endSec, stepSec, lookbackSec, rollup,
-            ignoreLabel), op)
+            ignoreLabel), op, m)
       case Rank(bottom, k, child) =>
         rank(eval(samples, child, startSec, endSec, stepSec, lookbackSec,
           rollup, ignoreLabel), bottom, k)
-      case Binary(op, ScalarLit(k), right) =>
+      case Binary(op, ScalarLit(k), right, _) =>
         scalarArith(eval(samples, right, startSec, endSec, stepSec,
           lookbackSec, rollup, ignoreLabel), op, k, scalarOnLeft = true)
-      case Binary(op, left, ScalarLit(k)) =>
+      case Binary(op, left, ScalarLit(k), _) =>
         scalarArith(eval(samples, left, startSec, endSec, stepSec,
           lookbackSec, rollup, ignoreLabel), op, k, scalarOnLeft = false)
-      case Binary(op, left, right) =>
+      case Binary(op, left, right, m) =>
         vectorArith(
           eval(samples, left, startSec, endSec, stepSec, lookbackSec, rollup,
             ignoreLabel),
           eval(samples, right, startSec, endSec, stepSec, lookbackSec, rollup,
-            ignoreLabel), op)
+            ignoreLabel), op, m)
       case ScalarLit(_) =>
         throw new IllegalArgumentException("scalar-only expressions are not queries")
     }
   }
 
-  /** vector∘vector: inner equi-join on the full label set + step (the
-    * Prometheus default matching, __name__ excluded — the result
-    * drops the metric name like every Prometheus binary op). All
-    * arithmetic runs on the two sides' exact micro-unit integers, so
-    * the IEEE double steps are bit-identical in any engine. A zero
-    * divisor drops its row. Scale shape: one equi-join on rows that
-    * are already one-per-(series, step); AQE broadcasts a selective
-    * side. */
-  private def vectorArith(l: DataFrame, r: DataFrame, op: Char): DataFrame = {
-    val j = l.select(col("labels"), col("t"), col("v_e6").as("lv"))
-      .join(r.select(col("labels"), col("t"), col("v_e6").as("rv")),
-        Seq("labels", "t"))
+  /** The join-key labels under a matching modifier: `on` keeps
+    * exactly the listed labels, `ignoring` drops them; no modifier =
+    * the full label set (the Prometheus default, __name__ always
+    * excluded since `labels` never carries it). */
+  private def matchKey(m: Option[Matching]): Column = m match {
+    case Some(Matching(true, keys, _, _)) =>
+      if (keys.isEmpty) expr("CAST(array() AS ARRAY<STRING>)")
+      else expr(s"filter(labels, l -> ${
+        keys.map(k => s"l LIKE '$k=%'").mkString(" OR ")})")
+    case Some(Matching(false, keys, _, _)) if keys.nonEmpty =>
+      expr(s"filter(labels, l -> NOT (${
+        keys.map(k => s"l LIKE '$k=%'").mkString(" OR ")}))")
+    case _ => col("labels")
+  }
+
+  /** Result labels of a matched arithmetic pair: one-to-one carries
+    * the MATCHING labels; group_left/right carries the "many" side's
+    * full labels, plus any include labels copied (overwriting) from
+    * the "one" side — Prometheus's rules. */
+  private def outLabels(m: Option[Matching]): Column = m match {
+    case Some(Matching(_, _, card, inc)) if card != 0 =>
+      val many = if (card == 1) "l_labels" else "r_labels"
+      val one = if (card == 1) "r_labels" else "l_labels"
+      if (inc.isEmpty) col(many)
+      else {
+        val anyInc = inc.map(k => s"l LIKE '$k=%'").mkString(" OR ")
+        expr(s"array_sort(concat(filter($many, l -> NOT ($anyInc)), " +
+          s"filter($one, l -> $anyInc)))")
+      }
+    case _ => col("jk")
+  }
+
+  /** Both sides keyed for a matched join on (jk, t). */
+  private def matchedPair(l: DataFrame, r: DataFrame,
+                          m: Option[Matching]): DataFrame = {
+    val lj = l.withColumn("jk", matchKey(m))
+      .select(col("jk"), col("t"), col("v_e6").as("lv"),
+        col("labels").as("l_labels"))
+    val rj = r.withColumn("jk", matchKey(m))
+      .select(col("jk"), col("t"), col("v_e6").as("rv"),
+        col("labels").as("r_labels"))
+    lj.join(rj, Seq("jk", "t"))
+  }
+
+  /** vector∘vector: inner equi-join on the matched label set + step
+    * (full set by default — the result drops the metric name like
+    * every Prometheus binary op). All arithmetic runs on the two
+    * sides' exact micro-unit integers, so the IEEE double steps are
+    * bit-identical in any engine. A zero divisor drops its row.
+    * Scale shape: one equi-join on rows that are already
+    * one-per-(series, step); AQE broadcasts a selective side. */
+  private def vectorArith(l: DataFrame, r: DataFrame, op: Char,
+                          m: Option[Matching]): DataFrame = {
+    val j = matchedPair(l, r, m)
     val v = op match {
       case '+' => expr("lv + rv")
       case '-' => expr("lv - rv")
@@ -780,8 +882,8 @@ object PromQL {
         "CAST(floor(CAST(lv AS DOUBLE) / CAST(rv AS DOUBLE) * 1000000.0D + 0.5) AS BIGINT)")
     }
     val filtered = if (op == '/') j.filter(col("rv") =!= 0L) else j
-    filtered.select(lit(null).cast("string").as("metric"), col("labels"),
-      col("t"), v.as("v_e6"))
+    filtered.select(lit(null).cast("string").as("metric"),
+      outLabels(m).as("labels"), col("t"), v.as("v_e6"))
   }
 
   /** vector∘scalar: a per-row projection on the micro-unit integers
@@ -831,42 +933,49 @@ object PromQL {
       col("t"), when(pred, 1000000L).otherwise(0L).as("v_e6"))
   }
 
-  /** vector∘vector comparison: full-label-set match (same equi-join
-    * as [[vectorArith]]), then filter keeping the LEFT side's rows —
-    * or 1/0 per matched pair under `bool`. */
+  /** vector∘vector comparison: matched equi-join (same keying as
+    * [[vectorArith]]), then filter keeping the LEFT side's rows with
+    * their full labels and metric name — or 1/0 per matched pair
+    * under `bool` (name dropped, left labels kept). */
   private def vectorCmp(l: DataFrame, r: DataFrame, op: String,
-                        bool: Boolean): DataFrame = {
-    val j = l.select(col("metric"), col("labels"), col("t"),
-        col("v_e6").as("lv"))
-      .join(r.select(col("labels"), col("t"), col("v_e6").as("rv")),
-        Seq("labels", "t"))
+                        bool: Boolean, m: Option[Matching]): DataFrame = {
+    val lj = l.withColumn("jk", matchKey(m))
+      .select(col("metric"), col("jk"), col("t"), col("v_e6").as("lv"),
+        col("labels").as("l_labels"))
+    val rj = r.withColumn("jk", matchKey(m))
+      .select(col("jk"), col("t"), col("v_e6").as("rv"))
+    val j = lj.join(rj, Seq("jk", "t"))
     val pred = cmpCol(op, col("lv"), col("rv"))
     if (!bool)
-      j.filter(pred).select(col("metric"), col("labels"), col("t"),
-        col("lv").as("v_e6"))
+      j.filter(pred).select(col("metric"), col("l_labels").as("labels"),
+        col("t"), col("lv").as("v_e6"))
     else
-      j.select(lit(null).cast("string").as("metric"), col("labels"),
-        col("t"), when(pred, 1000000L).otherwise(0L).as("v_e6"))
+      j.select(lit(null).cast("string").as("metric"),
+        col("l_labels").as("labels"), col("t"),
+        when(pred, 1000000L).otherwise(0L).as("v_e6"))
   }
 
-  /** and | or | unless on the full label set per step (__name__
-    * excluded, like binary matching). Values and metric names pass
-    * through from whichever side a row came from. Scale shape: the
-    * probe side reduces to DISTINCT (labels, t) keys before the
-    * semi/anti join, so AQE can broadcast a selective right side. */
-  private def setOp(l: DataFrame, r: DataFrame, op: String): DataFrame = {
+  /** and | or | unless on the matched label set per step (full set by
+    * default, __name__ excluded like binary matching). Values, full
+    * labels, and metric names pass through from whichever side a row
+    * came from. Scale shape: the probe side reduces to DISTINCT
+    * (key, t) before the semi/anti join, so AQE can broadcast a
+    * selective right side. */
+  private def setOp(l: DataFrame, r: DataFrame, op: String,
+                    m: Option[Matching]): DataFrame = {
     val cols = Seq(col("metric"), col("labels"), col("t"), col("v_e6"))
+    val lk = l.withColumn("jk", matchKey(m))
+    val rk = r.withColumn("jk", matchKey(m)).select("jk", "t").distinct()
     op match {
       case "and" =>
-        l.join(r.select("labels", "t").distinct(), Seq("labels", "t"),
-          "left_semi").select(cols: _*)
+        lk.join(rk, Seq("jk", "t"), "left_semi").select(cols: _*)
       case "unless" =>
-        l.join(r.select("labels", "t").distinct(), Seq("labels", "t"),
-          "left_anti").select(cols: _*)
+        lk.join(rk, Seq("jk", "t"), "left_anti").select(cols: _*)
       case "or" =>
+        val lkeys = lk.select("jk", "t").distinct()
         l.select(cols: _*).unionByName(
-          r.join(l.select("labels", "t").distinct(), Seq("labels", "t"),
-            "left_anti").select(cols: _*))
+          r.withColumn("jk", matchKey(m))
+            .join(lkeys, Seq("jk", "t"), "left_anti").select(cols: _*))
     }
   }
 
@@ -933,8 +1042,8 @@ object PromQL {
       .withColumn("le", expr("CAST(substring(le_str, 4) AS DOUBLE)"))
       .filter(col("le").isNotNull)
     val totals = tagged.filter(col("le_str") === "le=+Inf")
-      .select(col("metric").as("tm"), col("glabels"), col("t"),
-        col("c").as("total"))
+      .select(col("metric").as("tm"), col("glabels").as("tg"),
+        col("t").as("tt"), col("c").as("total"))
     val w = Window.partitionBy(col("metric"), col("glabels"), col("t"))
       .orderBy(col("le"))
     val cand = finite
@@ -942,9 +1051,8 @@ object PromQL {
       .withColumn("prev_le", coalesce(lag(col("le"), 1).over(w), lit(0.0)))
       .join(totals,
         coalesce(col("metric"), lit("")) === coalesce(col("tm"), lit("")) &&
-          finite("glabels") === totals("glabels") &&
-          finite("t") === totals("t"))
-      .drop("tm").drop(totals("glabels")).drop(totals("t"))
+          col("glabels") === col("tg") && col("t") === col("tt"))
+      .drop("tm", "tg", "tt")
       .withColumn("rk", lit(q) * col("total"))
     cand
       .groupBy(col("metric"), col("glabels"), col("t"))

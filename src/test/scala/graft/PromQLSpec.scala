@@ -54,15 +54,15 @@ class PromQLSpec extends SparkSpecBase {
     assert(PromQL.parse("m offset").isLeft) // offset needs a duration
     // binary arithmetic: vector∘scalar, vector∘vector, grouping
     assert(PromQL.parse("rate(x[5m]) * 100") match {
-      case Right(Binary('*', RangeCall("rate", _, 300L, _), ScalarLit(100.0))) => true
+      case Right(Binary('*', RangeCall("rate", _, 300L, _), ScalarLit(100.0), _)) => true
       case _ => false
     })
     assert(PromQL.parse("(sum by (a) (x)) / sum by (a) (y)") match {
-      case Right(Binary('/', Agg("sum", _, _, _, _), Agg("sum", _, _, _, _))) => true
+      case Right(Binary('/', Agg("sum", _, _, _, _), Agg("sum", _, _, _, _), _)) => true
       case _ => false
     })
     assert(PromQL.parse("100 - m") match {
-      case Right(Binary('-', ScalarLit(100.0), Instant(_, _))) => true
+      case Right(Binary('-', ScalarLit(100.0), Instant(_, _), _)) => true
       case _ => false
     })
     // scalar-only expressions fold at parse time (the Grafana health
@@ -102,19 +102,19 @@ class PromQLSpec extends SparkSpecBase {
       case Right(SetOp("or",
         SetOp("and",
           Cmp(">", false,
-            Binary('+', Instant(_, _), Binary('*', Instant(_, _), ScalarLit(2.0))),
-            ScalarLit(5.0)),
-          Instant(_, _)),
-        Instant(_, _))) => true
+            Binary('+', Instant(_, _), Binary('*', Instant(_, _), ScalarLit(2.0), _), _),
+            ScalarLit(5.0), _),
+          Instant(_, _), _),
+        Instant(_, _), _)) => true
       case _ => false
     })
     assert(PromQL.parse("x > bool 5") match {
-      case Right(Cmp(">", true, Instant(_, _), ScalarLit(5.0))) => true
+      case Right(Cmp(">", true, Instant(_, _), ScalarLit(5.0), None)) => true
       case _ => false
     })
     assert(PromQL.parse("1 < bool 2") === Right(ScalarLit(1.0)))
     assert(PromQL.parse("x unless y{a=\"b\"}") match {
-      case Right(SetOp("unless", Instant(_, _), Instant(_, _))) => true
+      case Right(SetOp("unless", Instant(_, _), Instant(_, _), _)) => true
       case _ => false
     })
     assert(PromQL.parse("sum without (user) (x)") match {
@@ -496,6 +496,63 @@ class PromQLSpec extends SparkSpecBase {
       buckets.filter(!array_contains(col("labels"), "le=+Inf")),
       parse("histogram_quantile(0.5, mb)").toOption.get, T0 + 60, T0 + 60, 60L))
     assert(noInf === Set.empty)
+  }
+
+  test("on/ignoring match label subsets; group_left joins many-to-one") {
+    assert(PromQL.parse("a / on(user) b") match {
+      case Right(Binary('/', _, _, Some(Matching(true, Seq("user"), 0, Seq())))) => true
+      case _ => false
+    })
+    assert(PromQL.parse("a * ignoring(k) group_left(extra) b") match {
+      case Right(Binary('*', _, _,
+        Some(Matching(false, Seq("k"), 1, Seq("extra"))))) => true
+      case _ => false
+    })
+    assert(PromQL.parse("a > on(user) b") match {
+      case Right(Cmp(">", false, _, _, Some(Matching(true, Seq("user"), 0, _)))) => true
+      case _ => false
+    })
+    assert(PromQL.parse("a and on(user) b") match {
+      case Right(SetOp("and", _, _, Some(Matching(true, Seq("user"), 0, _)))) => true
+      case _ => false
+    })
+    assert(PromQL.parse("a and on(user) group_left b").isLeft) // no group on set ops
+    assert(PromQL.parse("a + on(user) 5").isLeft) // matching needs two vectors
+    // tinySamples series differ on BOTH host and user; full-label
+    // matching of a vs its host-stripped twin finds nothing, but
+    // on(user) pairs them: self-ratio 1 per series
+    val ratio = rows(PromQL.eval(tinySamples,
+      parse("sum by (host, user) (sum_over_time(m[60s]))" +
+        " / on(user) sum by (user) (sum_over_time(m[60s]))").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    // one-to-one on(user): output carries ONLY the matching label
+    assert(ratio === Set(
+      ("", "user=1", T0 + 60, 1000000L),
+      ("", "user=2", T0 + 60, 1000000L)))
+    // group_left keeps the many side's full labels
+    val gl = rows(PromQL.eval(tinySamples,
+      parse("sum by (host, user) (sum_over_time(m[60s]))" +
+        " / on(user) group_left sum by (user) (sum_over_time(m[60s]))").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(gl === Set(
+      ("", "host=a,user=1", T0 + 60, 1000000L),
+      ("", "host=b,user=2", T0 + 60, 1000000L)))
+    // ignoring(host) is the same pairing spelled as a complement
+    val ig = rows(PromQL.eval(tinySamples,
+      parse("sum by (host, user) (sum_over_time(m[60s]))" +
+        " / ignoring(host) sum by (user) (sum_over_time(m[60s]))").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(ig.map(_._4) === Set(1000000L) && ig.size === 2)
+    // set op with on(): and matched on user only still keeps full rows
+    val and = rows(PromQL.eval(tinySamples,
+      parse("m and on(user) m{host=\"a\"}").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(and.map(_._2) === Set("host=a,user=1"))
+    // comparison with group_left-free on(): left rows keep full labels
+    val cmp = rows(PromQL.eval(tinySamples,
+      parse("sum by (host, user) (sum_over_time(m[60s]))" +
+        " >= on(user) sum by (user) (sum_over_time(m[60s]))").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(cmp.map(_._2) === Set("host=a,user=1", "host=b,user=2"))
   }
 
   test("subqueries evaluate the inner expr on the res grid, then window it") {

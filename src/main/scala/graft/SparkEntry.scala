@@ -787,6 +787,14 @@ object SparkEntry {
         parsePromQL("avg without (k) (sum_over_time(click[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
 
+    // label_replace: derive a tier label from the user id's first
+    // digit, per row over an aggregation
+    "promql_label_replace" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("""label_replace(sum by (user) (sum_over_time(click[1d])),""" +
+          """ "tier", "t$1", "user", "([0-9]).*")"""),
+        WinStartSec, WinEndSec, 86400L))),
+
     // many-to-one matching: each (k, user) series' share of its
     // user's daily click total — on(user) pairs the k-split sums
     // with the per-user totals, group_left keeps the k label
@@ -2225,6 +2233,32 @@ object SparkEntry {
          |SELECT CAST(NULL AS VARCHAR) AS metric, '' AS labels_str, t,
          |       CAST(floor(quantile_cont(CAST(v_e6 AS DOUBLE), 0.9) + 0.5) AS BIGINT) AS v_e6
          |FROM sot GROUP BY t""".stripMargin,
+
+    // DuckDB's regexp_full_match + \1 backrefs mirror the Spark
+    // side's anchored regexp_like + $1 template; the CASE keeps
+    // Prometheus's unmatched-row and empty-removes-dst conventions
+    "promql_label_replace" ->
+      s"""${promqlSotCte("click")}, agg AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
+         |         CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2
+         |), lr AS (
+         |  SELECT coalesce(substr(list_filter(labels, l -> l LIKE 'user=%')[1], 6), '')
+         |           AS src_val, labels, t, v_e6
+         |  FROM agg
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(
+         |         CASE WHEN NOT regexp_full_match(src_val, '(?:([0-9]).*)')
+         |                THEN labels
+         |              WHEN regexp_replace(src_val, '^(?:([0-9]).*)$$', 't\\1') = ''
+         |                THEN list_filter(labels, l -> NOT (l LIKE 'tier=%'))
+         |              ELSE list_sort(list_concat(
+         |                list_filter(labels, l -> NOT (l LIKE 'tier=%')),
+         |                ['tier=' || regexp_replace(src_val, '^(?:([0-9]).*)$$', 't\\1')]))
+         |         END, ',') AS labels_str,
+         |       t, v_e6
+         |FROM lr""".stripMargin,
 
     // the k-split sums join their user totals on the user label only;
     // the many side's full (k, user) labels survive

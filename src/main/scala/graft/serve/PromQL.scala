@@ -182,6 +182,12 @@ object PromQL {
     * outer window [t-d, t). */
   final case class Subquery(fn: String, child: Expr, rangeSec: Long,
                             resSec: Long, offsetSec: Long = 0L) extends Expr
+  /** label_replace(child, dst, replacement, src, regex): where regex
+    * matches src's ENTIRE value, dst becomes the replacement (with
+    * capture groups); an empty result removes dst; unmatched rows
+    * pass through untouched. */
+  final case class LabelReplace(child: Expr, dst: String, replacement: String,
+                                src: String, regex: String) extends Expr
   /** quantile_over_time(φ, selector[d] [offset o]): the exact
     * interpolated per-window quantile. */
   final case class Quantile(q: Double, matchers: Seq[LabelMatcher],
@@ -438,6 +444,32 @@ object PromQL {
             off <- offsetClause()
             _ <- eat(')')
           } yield Quantile(q, sel, d, off)
+        case Some(id) if id == "label_replace" =>
+          i += id.length
+          for {
+            _ <- eat('(')
+            child <- expr()
+            _ <- eat(',')
+            dst <- stringLit()
+            _ <- eat(',')
+            rep <- stringLit()
+            _ <- eat(',')
+            src <- stringLit()
+            _ <- eat(',')
+            re <- stringLit()
+            _ <- eat(')')
+            _ <- child match {
+              case ScalarLit(_) => Left("label_replace requires a vector")
+              case _ => Right(())
+            }
+            _ <- if (Seq(dst, src).forall(n =>
+                   n.nonEmpty && isIdentStart(n.head) && n.forall(isIdentChar) &&
+                   n != "__name__"))
+                 Right(())
+                 else Left("label_replace: dst and src must be plain label names")
+            _ <- try { java.util.regex.Pattern.compile(re); Right(()) }
+                 catch { case _: Exception => Left(s"invalid regex: $re") }
+          } yield LabelReplace(child, dst, rep, src, re)
         case Some(id) if id == "histogram_quantile" =>
           i += id.length
           for {
@@ -493,6 +525,22 @@ object PromQL {
           rangeCall(id)
         case _ => selector()
       }
+    }
+
+    /** A double-quoted string literal with \" \\ escapes. */
+    private def stringLit(): Either[String, String] = {
+      ws()
+      if (atEnd || s.charAt(i) != '"')
+        return Left(s"expected string literal at '${rest.take(20)}'")
+      i += 1
+      val sb = new StringBuilder
+      while (i < s.length && s.charAt(i) != '"') {
+        if (s.charAt(i) == '\\' && i + 1 < s.length) {
+          sb += s.charAt(i + 1); i += 2
+        } else { sb += s.charAt(i); i += 1 }
+      }
+      if (i >= s.length) Left("unterminated string literal")
+      else { i += 1; Right(sb.toString) }
     }
 
     /** mathfn(expr [, num]*) with per-function arity/validity rules. */
@@ -781,6 +829,9 @@ object PromQL {
         unshift(subqueryRange(samples, fn, child, startSec - off,
           endSec - off, stepSec, d, res, lookbackSec, rollup, ignoreLabel),
           off)
+      case LabelReplace(child, dst, rep, src, re) =>
+        labelReplaceProject(eval(samples, child, startSec, endSec, stepSec,
+          lookbackSec, rollup, ignoreLabel), dst, rep, src, re)
       case Cmp(op, bool, ScalarLit(k), right, _) =>
         scalarCmp(eval(samples, right, startSec, endSec, stepSec, lookbackSec,
           rollup, ignoreLabel), op, bool, k, scalarOnLeft = true)
@@ -1009,6 +1060,29 @@ object PromQL {
     }
     child.select(lit(null).cast("string").as("metric"), col("labels"),
       col("t"), v.cast("long").as("v_e6"))
+  }
+
+  /** label_replace: where `regex` matches the ENTIRE value of `src`
+    * (missing label = ""), set `dst` to the replacement with capture
+    * groups expanded; an empty result removes dst, a non-match leaves
+    * the row untouched — Prometheus's rules, metric name and value
+    * kept. A narrow per-row projection, no shuffle. The label names
+    * are parser-validated identifiers; the regex and replacement ride
+    * in as `lit` columns, never spliced into SQL text. */
+  private def labelReplaceProject(child: DataFrame, dst: String, rep: String,
+                                  src: String, re: String): DataFrame = {
+    val srcVal = coalesce(
+      expr(s"substring(filter(labels, l -> l LIKE '$src=%')[0], ${src.length + 2})"),
+      lit(""))
+    val anchored = "^(?:" + re + ")$"
+    val matched = regexp_like(srcVal, lit(anchored))
+    val newVal = regexp_replace(srcVal, lit(anchored), lit(rep))
+    val without = expr(s"filter(labels, l -> NOT (l LIKE '$dst=%'))")
+    val rebuilt = when(!matched, col("labels"))
+      .when(newVal === "", without)
+      .otherwise(array_sort(concat(without,
+        array(concat(lit(dst + "="), newVal)))))
+    child.select(col("metric"), rebuilt.as("labels"), col("t"), col("v_e6"))
   }
 
   /** histogram_quantile(φ, child): Prometheus's piecewise-linear

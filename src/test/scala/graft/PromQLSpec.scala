@@ -555,6 +555,33 @@ class PromQLSpec extends SparkSpecBase {
     assert(cmp.map(_._2) === Set("host=a,user=1", "host=b,user=2"))
   }
 
+  test("label_replace rewrites a label from a full-match regex, per row") {
+    assert(PromQL.parse(
+      """label_replace(x, "dst", "$1", "src", "(.*)")""") match {
+      case Right(LabelReplace(Instant(_, _), "dst", "$1", "src", "(.*)")) => true
+      case _ => false
+    })
+    assert(PromQL.parse("""label_replace(x, "d-st", "r", "src", ".*")""").isLeft)
+    assert(PromQL.parse("""label_replace(x, "dst", "r", "src", "(")""").isLeft)
+    // host=a → tier=ha (capture group), metric name kept
+    val out = rows(PromQL.eval(tinySamples,
+      parse("""label_replace(sum_over_time(m[60s]), "tier", "h$1", "host", "([a-z])")""")
+        .toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(out === Set(
+      ("m", "host=a,tier=ha,user=1", T0 + 60, 3500000L),
+      ("m", "host=b,tier=hb,user=2", T0 + 60, 20250000L)))
+    // a non-matching regex leaves every row untouched
+    val none = rows(PromQL.eval(tinySamples,
+      parse("""label_replace(sum_over_time(m[60s]), "tier", "x", "host", "[0-9]+")""")
+        .toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(none.map(_._2) === Set("host=a,user=1", "host=b,user=2"))
+    // an empty replacement REMOVES the destination label
+    val rm = rows(PromQL.eval(tinySamples,
+      parse("""label_replace(sum_over_time(m[60s]), "user", "", "host", "[a-z]")""")
+        .toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(rm.map(_._2) === Set("host=a", "host=b"))
+  }
+
   test("subqueries evaluate the inner expr on the res grid, then window it") {
     assert(PromQL.parse("max_over_time(rate(x[5m])[1h:5m])") match {
       case Right(Subquery("max_over_time", RangeCall("rate", _, 300L, 0L),

@@ -787,6 +787,13 @@ object SparkEntry {
         parsePromQL("avg without (k) (sum_over_time(click[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
 
+    // time() in arithmetic: the per-step timestamp minus each
+    // series' last value in the window
+    "promql_time_arith" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("time() - last_over_time(click[1d])"),
+        WinStartSec, WinEndSec, 86400L))),
+
     // label_replace: derive a tier label from the user id's first
     // digit, per row over an aggregation
     "promql_label_replace" -> ((s, dir) =>
@@ -2233,6 +2240,25 @@ object SparkEntry {
          |SELECT CAST(NULL AS VARCHAR) AS metric, '' AS labels_str, t,
          |       CAST(floor(quantile_cont(CAST(v_e6 AS DOUBLE), 0.9) + 0.5) AS BIGINT) AS v_e6
          |FROM sot GROUP BY t""".stripMargin,
+
+    "promql_time_arith" ->
+      s"""$dedupCte, grid AS (SELECT unnest(range(0, 16)) AS k),
+         |j AS (
+         |  SELECT s.metric, s.labels, $WinStartSec + g.k * 86400 AS t,
+         |         s.t_sec, s.value
+         |  FROM deduped s JOIN grid g
+         |    ON s.t_sec >= $WinStartSec + g.k * 86400 - 86400
+         |   AND s.t_sec <  $WinStartSec + g.k * 86400
+         |  WHERE s.metric = 'click'
+         |    AND s.t_sec >= ${WinStartSec - 86400} AND s.t_sec <= ${WinEndSec - 1}
+         |), st AS (
+         |  SELECT metric, labels, t, arg_max(value, t_sec) AS v
+         |  FROM j GROUP BY 1, 2, 3
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(labels, ',') AS labels_str, t,
+         |       t * 1000000 - CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS v_e6
+         |FROM st""".stripMargin,
 
     // DuckDB's regexp_full_match + \1 backrefs mirror the Spark
     // side's anchored regexp_like + $1 template; the CASE keeps

@@ -194,6 +194,10 @@ object PromQL {
                             rangeSec: Long, offsetSec: Long = 0L) extends Expr
   /** A number literal — only legal as one side of a [[Binary]]. */
   final case class ScalarLit(v: Double) extends Expr
+  /** time(): the evaluation timestamp — a per-step scalar. In binary
+    * arithmetic it projects onto the other side per row; standalone
+    * it answers the {}-labeled grid series (t, t). */
+  case object TimeFn extends Expr
 
   val RangeFns: Set[String] = Set("rate", "increase", "delta",
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
@@ -444,6 +448,11 @@ object PromQL {
             off <- offsetClause()
             _ <- eat(')')
           } yield Quantile(q, sel, d, off)
+        case Some(id) if id == "time" =>
+          i += id.length
+          val after = { val s2 = i; ws(); val c = peekChar; i = s2; c }
+          if (!after.contains('(')) { i = save; selector() }
+          else for { _ <- eat('('); _ <- eat(')') } yield TimeFn
         case Some(id) if id == "label_replace" =>
           i += id.length
           for {
@@ -859,12 +868,25 @@ object PromQL {
       case Binary(op, left, ScalarLit(k), _) =>
         scalarArith(eval(samples, left, startSec, endSec, stepSec,
           lookbackSec, rollup, ignoreLabel), op, k, scalarOnLeft = false)
+      case Binary(op, TimeFn, right, _) =>
+        timeArith(eval(samples, right, startSec, endSec, stepSec, lookbackSec,
+          rollup, ignoreLabel), op, timeOnLeft = true)
+      case Binary(op, left, TimeFn, _) =>
+        timeArith(eval(samples, left, startSec, endSec, stepSec, lookbackSec,
+          rollup, ignoreLabel), op, timeOnLeft = false)
       case Binary(op, left, right, m) =>
         vectorArith(
           eval(samples, left, startSec, endSec, stepSec, lookbackSec, rollup,
             ignoreLabel),
           eval(samples, right, startSec, endSec, stepSec, lookbackSec, rollup,
             ignoreLabel), op, m)
+      case TimeFn =>
+        val kTop = (endSec - startSec) / stepSec
+        samples.sparkSession.range(0, kTop + 1)
+          .select(lit(null).cast("string").as("metric"),
+            expr("CAST(array() AS ARRAY<STRING>)").as("labels"),
+            (lit(startSec) + col("id") * stepSec).as("t"),
+            ((lit(startSec) + col("id") * stepSec) * 1000000L).as("v_e6"))
       case ScalarLit(_) =>
         throw new IllegalArgumentException("scalar-only expressions are not queries")
     }
@@ -957,6 +979,33 @@ object PromQL {
         throw new IllegalArgumentException("division by literal zero")
       else child
     // like every Prometheus binary op, arithmetic drops __name__
+    base.select(lit(null).cast("string").as("metric"), col("labels"),
+      col("t"), v.as("v_e6"))
+  }
+
+  /** vector∘time(): [[scalarArith]] with the per-step timestamp as
+    * the scalar — same formulas, the literal replaced by the row's
+    * own t (exact below 2^52 seconds). Enables the staleness idiom
+    * `time() - last_over_time(sel[d])`. */
+  private def timeArith(child: DataFrame, op: Char,
+                        timeOnLeft: Boolean): DataFrame = {
+    val tE6 = col("t") * 1000000L
+    val v: Column = (op, timeOnLeft) match {
+      case ('+', _)     => col("v_e6") + tE6
+      case ('-', true)  => tE6 - col("v_e6")
+      case ('-', false) => col("v_e6") - tE6
+      case ('*', _)     =>
+        floor(col("v_e6").cast("double") * col("t").cast("double") + lit(0.5))
+          .cast("long")
+      case ('/', false) =>
+        floor(col("v_e6").cast("double") / col("t").cast("double") + lit(0.5))
+          .cast("long")
+      case ('/', true)  =>
+        floor(col("t").cast("double") * lit(1.0e12) /
+          col("v_e6").cast("double") + lit(0.5)).cast("long")
+    }
+    val base = if (op == '/' && timeOnLeft) child.filter(col("v_e6") =!= 0L)
+               else child
     base.select(lit(null).cast("string").as("metric"), col("labels"),
       col("t"), v.as("v_e6"))
   }

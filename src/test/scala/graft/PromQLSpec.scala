@@ -582,6 +582,33 @@ class PromQLSpec extends SparkSpecBase {
     assert(rm.map(_._2) === Set("host=a", "host=b"))
   }
 
+  test("time() is the per-step timestamp, standalone and in arithmetic") {
+    assert(PromQL.parse("time()") === Right(TimeFn))
+    // a metric actually NAMED time stays a selector
+    assert(PromQL.parse("""time{k="v"}""") match {
+      case Right(Instant(_, _)) => true
+      case _ => false
+    })
+    val grid = rows(PromQL.eval(tinySamples, TimeFn, T0, T0 + 120, 60L))
+    assert(grid === Set(
+      ("", "", T0, T0 * 1000000L),
+      ("", "", T0 + 60, (T0 + 60) * 1000000L),
+      ("", "", T0 + 120, (T0 + 120) * 1000000L)))
+    // the staleness idiom: seconds since each series' last sample
+    val age = rows(PromQL.eval(tinySamples,
+      parse("time() - last_over_time(m[120s])").toOption.get,
+      T0 + 120, T0 + 120, 120L))
+    // subtracting the VALUE, not the sample time: last values are
+    // a = 1.0, b = 10.25 → t-1, t-10.25 in micro-units
+    assert(age === Set(
+      ("", "host=a,user=1", T0 + 120, (T0 + 120) * 1000000L - 1000000L),
+      ("", "host=b,user=2", T0 + 120, (T0 + 120) * 1000000L - 10250000L)))
+    // time() on the scalar side folds through scalar arithmetic
+    val half = rows(PromQL.eval(tinySamples,
+      parse("time() / 2").toOption.get, T0, T0, 60L))
+    assert(half === Set(("", "", T0, T0 * 1000000L / 2)))
+  }
+
   test("subqueries evaluate the inner expr on the res grid, then window it") {
     assert(PromQL.parse("max_over_time(rate(x[5m])[1h:5m])") match {
       case Right(Subquery("max_over_time", RangeCall("rate", _, 300L, 0L),

@@ -729,6 +729,11 @@ object SparkEntry {
       promqlStr(PromQL.eval(samples(s, dir), parsePromQL("irate(click[7d])"),
         WinStartSec, WinEndSec, 86400L))),
 
+    // idelta: the last in-window pair's raw difference (gauges)
+    "promql_idelta" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir), parsePromQL("idelta(click[7d])"),
+        WinStartSec, WinEndSec, 86400L))),
+
     // changes: in-window adjacent pairs whose value differed
     "promql_changes" -> ((s, dir) =>
       promqlStr(PromQL.eval(samples(s, dir), parsePromQL("changes(click[7d])"),
@@ -2139,6 +2144,17 @@ object SparkEntry {
          |SELECT metric, array_to_string(labels, ',') AS labels_str, t,
          |       CAST(floor((CASE WHEN lv >= pv THEN lv - pv ELSE lv END)
          |            / CAST(lt - pt AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v_e6
+         |FROM last""".stripMargin,
+
+    "promql_idelta" ->
+      s"""${promqlPairCte("click", 604800L)}, last AS (
+         |  SELECT metric, labels, t,
+         |         arg_max(value, t_sec) AS lv, arg_max(prev_v, t_sec) AS pv
+         |  FROM j WHERE prev_t IS NOT NULL AND prev_t >= t - 604800
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, t,
+         |       CAST(floor((lv - pv) * 1000000 + 0.5) AS BIGINT) AS v_e6
          |FROM last""".stripMargin,
 
     "promql_changes" ->

@@ -792,6 +792,14 @@ object SparkEntry {
         parsePromQL("avg without (k) (sum_over_time(click[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
 
+    // scalar(): each user's share of the day's total clicks — the
+    // scalar side joins on the step alone, labels ignored
+    "promql_scalar_share" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("sum by (user) (sum_over_time(click[1d]))" +
+          " / scalar(sum(sum_over_time(click[1d])))"),
+        WinStartSec, WinEndSec, 86400L))),
+
     // time() in arithmetic: the per-step timestamp minus each
     // series' last value in the window
     "promql_time_arith" -> ((s, dir) =>
@@ -2256,6 +2264,21 @@ object SparkEntry {
          |SELECT CAST(NULL AS VARCHAR) AS metric, '' AS labels_str, t,
          |       CAST(floor(quantile_cont(CAST(v_e6 AS DOUBLE), 0.9) + 0.5) AS BIGINT) AS v_e6
          |FROM sot GROUP BY t""".stripMargin,
+
+    "promql_scalar_share" ->
+      s"""${promqlSotCte("click")}, agguser AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
+         |         CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT t, CAST(sum(v_e6) AS BIGINT) AS sv FROM sot GROUP BY t
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(a.labels, ',') AS labels_str, a.t,
+         |       CAST(floor(CAST(a.v_e6 AS DOUBLE)
+         |            / (CAST(b.sv AS DOUBLE) / 1000000.0) + 0.5) AS BIGINT) AS v_e6
+         |FROM agguser a JOIN tot b ON a.t = b.t
+         |WHERE b.sv != 0""".stripMargin,
 
     "promql_time_arith" ->
       s"""$dedupCte, grid AS (SELECT unnest(range(0, 16)) AS k),

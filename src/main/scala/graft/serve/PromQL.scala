@@ -198,6 +198,15 @@ object PromQL {
     * arithmetic it projects onto the other side per row; standalone
     * it answers the {}-labeled grid series (t, t). */
   case object TimeFn extends Expr
+  /** vector(s): the constant scalar as a {}-labeled instant vector on
+    * every grid step — the `sum(x) or vector(0)` fallback idiom. */
+  final case class VectorLit(v: Double) extends Expr
+  /** scalar(child): the child's single series as a per-step scalar;
+    * steps where the child has ≠ 1 series emit nothing (Prometheus
+    * answers NaN there — a dropped step is the exact-integer model's
+    * NaN). In binary arithmetic it projects per step onto the other
+    * side's rows regardless of labels. */
+  final case class ScalarOf(child: Expr) extends Expr
 
   val RangeFns: Set[String] = Set("rate", "increase", "delta",
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
@@ -453,6 +462,28 @@ object PromQL {
           val after = { val s2 = i; ws(); val c = peekChar; i = s2; c }
           if (!after.contains('(')) { i = save; selector() }
           else for { _ <- eat('('); _ <- eat(')') } yield TimeFn
+        case Some(id) if id == "vector" =>
+          i += id.length
+          val after = { val s2 = i; ws(); val c = peekChar; i = s2; c }
+          if (!after.contains('(')) { i = save; selector() }
+          else for {
+            _ <- eat('(')
+            v <- number().toRight("vector() needs a number")
+            _ <- eat(')')
+          } yield VectorLit(v)
+        case Some(id) if id == "scalar" =>
+          i += id.length
+          val after = { val s2 = i; ws(); val c = peekChar; i = s2; c }
+          if (!after.contains('(')) { i = save; selector() }
+          else for {
+            _ <- eat('(')
+            child <- expr()
+            _ <- eat(')')
+            _ <- child match {
+              case ScalarLit(_) => Left("scalar() requires a vector")
+              case _ => Right(())
+            }
+          } yield ScalarOf(child)
         case Some(id) if id == "label_replace" =>
           i += id.length
           for {
@@ -868,6 +899,18 @@ object PromQL {
       case Binary(op, left, ScalarLit(k), _) =>
         scalarArith(eval(samples, left, startSec, endSec, stepSec,
           lookbackSec, rollup, ignoreLabel), op, k, scalarOnLeft = false)
+      case Binary(op, ScalarOf(c), right, _) =>
+        scalarOfArith(
+          eval(samples, c, startSec, endSec, stepSec, lookbackSec, rollup,
+            ignoreLabel),
+          eval(samples, right, startSec, endSec, stepSec, lookbackSec, rollup,
+            ignoreLabel), op, scalarOnLeft = true)
+      case Binary(op, left, ScalarOf(c), _) =>
+        scalarOfArith(
+          eval(samples, c, startSec, endSec, stepSec, lookbackSec, rollup,
+            ignoreLabel),
+          eval(samples, left, startSec, endSec, stepSec, lookbackSec, rollup,
+            ignoreLabel), op, scalarOnLeft = false)
       case Binary(op, TimeFn, right, _) =>
         timeArith(eval(samples, right, startSec, endSec, stepSec, lookbackSec,
           rollup, ignoreLabel), op, timeOnLeft = true)
@@ -887,6 +930,23 @@ object PromQL {
             expr("CAST(array() AS ARRAY<STRING>)").as("labels"),
             (lit(startSec) + col("id") * stepSec).as("t"),
             ((lit(startSec) + col("id") * stepSec) * 1000000L).as("v_e6"))
+      case VectorLit(v) =>
+        val kE6 = math.floor(v * 1e6 + 0.5).toLong
+        val kTop = (endSec - startSec) / stepSec
+        samples.sparkSession.range(0, kTop + 1)
+          .select(lit(null).cast("string").as("metric"),
+            expr("CAST(array() AS ARRAY<STRING>)").as("labels"),
+            (lit(startSec) + col("id") * stepSec).as("t"),
+            lit(kE6).as("v_e6"))
+      case ScalarOf(child) =>
+        eval(samples, child, startSec, endSec, stepSec, lookbackSec, rollup,
+          ignoreLabel)
+          .groupBy(col("t"))
+          .agg(count(lit(1)).as("n"), max(col("v_e6")).as("sv"))
+          .filter(col("n") === 1)
+          .select(lit(null).cast("string").as("metric"),
+            expr("CAST(array() AS ARRAY<STRING>)").as("labels"),
+            col("t"), col("sv").as("v_e6"))
       case ScalarLit(_) =>
         throw new IllegalArgumentException("scalar-only expressions are not queries")
     }
@@ -1006,6 +1066,39 @@ object PromQL {
     }
     val base = if (op == '/' && timeOnLeft) child.filter(col("v_e6") =!= 0L)
                else child
+    base.select(lit(null).cast("string").as("metric"), col("labels"),
+      col("t"), v.as("v_e6"))
+  }
+
+  /** vector∘scalar(child): the child's per-step single-series value
+    * joins the other side on t alone (labels ignored — Prometheus's
+    * scalar semantics) and applies the [[scalarArith]] formulas with
+    * that value as the scalar. Steps where the child has ≠ 1 series
+    * drop. Scale shape: the scalar side is ≤ |grid| rows, so the
+    * join broadcasts. */
+  private def scalarOfArith(scDf: DataFrame, child: DataFrame, op: Char,
+                            scalarOnLeft: Boolean): DataFrame = {
+    val sc = scDf.groupBy(col("t"))
+      .agg(count(lit(1)).as("n"), max(col("v_e6")).as("sv"))
+      .filter(col("n") === 1).select(col("t"), col("sv"))
+    val j = child.join(sc, Seq("t"))
+    val k = col("sv").cast("double") / lit(1000000.0)
+    val v: Column = (op, scalarOnLeft) match {
+      case ('+', _)     => col("v_e6") + col("sv")
+      case ('-', false) => col("v_e6") - col("sv")
+      case ('-', true)  => col("sv") - col("v_e6")
+      case ('*', _)     =>
+        floor(col("v_e6").cast("double") * k + lit(0.5)).cast("long")
+      case ('/', false) =>
+        floor(col("v_e6").cast("double") / k + lit(0.5)).cast("long")
+      case ('/', true)  =>
+        floor(k * lit(1.0e12) / col("v_e6").cast("double") + lit(0.5))
+          .cast("long")
+    }
+    val base =
+      if (op == '/' && scalarOnLeft) j.filter(col("v_e6") =!= 0L)
+      else if (op == '/') j.filter(col("sv") =!= 0L)
+      else j
     base.select(lit(null).cast("string").as("metric"), col("labels"),
       col("t"), v.as("v_e6"))
   }

@@ -609,6 +609,45 @@ class PromQLSpec extends SparkSpecBase {
     assert(half === Set(("", "", T0, T0 * 1000000L / 2)))
   }
 
+  test("vector() fills gaps via or; scalar() projects a single series per step") {
+    assert(PromQL.parse("vector(0)") === Right(VectorLit(0.0)))
+    assert(PromQL.parse("scalar(x)") match {
+      case Right(ScalarOf(Instant(_, _))) => true
+      case _ => false
+    })
+    assert(PromQL.parse("scalar(5)").isLeft)
+    // metrics named vector/scalar stay selectors
+    assert(PromQL.parse("vector offset 30s") match {
+      case Right(Instant(_, 30L)) => true
+      case _ => false
+    })
+    // the alerting fallback: sum(...) or vector(0) answers 0 on
+    // steps where the sum has no rows
+    val fb = rows(PromQL.eval(tinySamples,
+      parse("sum(sum_over_time(m[60s])) or vector(0)").toOption.get,
+      T0 + 120, T0 + 240, 60L))
+    // t0+120 window has a's 5.0; t0+180 and t0+240 are empty → 0
+    assert(fb === Set(
+      ("", "", T0 + 120, 5000000L),
+      ("", "", T0 + 180, 0L),
+      ("", "", T0 + 240, 0L)))
+    // normalize-by-total: each host's share of the step's sum
+    val share = rows(PromQL.eval(tinySamples,
+      parse("sum by (host) (sum_over_time(m[60s]))" +
+        " / scalar(sum(sum_over_time(m[60s])))").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    // 3.5 / 23.75 and 20.25 / 23.75
+    assert(share === Set(
+      ("", "host=a", T0 + 60, 147368L),
+      ("", "host=b", T0 + 60, 852632L)))
+    // scalar() of a multi-series vector drops the step
+    val multi = rows(PromQL.eval(tinySamples,
+      parse("sum by (host) (sum_over_time(m[60s]))" +
+        " / scalar(sum by (host) (sum_over_time(m[60s])))").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(multi === Set.empty)
+  }
+
   test("subqueries evaluate the inner expr on the res grid, then window it") {
     assert(PromQL.parse("max_over_time(rate(x[5m])[1h:5m])") match {
       case Right(Subquery("max_over_time", RangeCall("rate", _, 300L, 0L),

@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ingest.{PromRemoteCodec, ProtoWire}
 import graft.ingest.PromRemoteCodec.{PromLabel, PromSample, PromTimeSeries, PromWriteRequest}
 import graft.operators.{LabelMatcher, MatcherType, ReadQuery}
+import graft.serve.PromQL
 
 /** Deterministic fuzz of the hand-rolled proto wire codec — a
   * server-facing decoder must round-trip arbitrary field content
@@ -210,6 +211,49 @@ class CodecFuzzSpec extends AnyFunSuite {
     (0 until 2000).foreach { _ =>
       val g = (0 until rnd2.nextInt(16)).map(_ => chars.charAt(rnd2.nextInt(chars.length))).mkString
       graft.operators.Matchers.parseSelector(g) // must not throw
+    }
+  }
+
+  test("the PromQL parser never throws: structured expressions and garbage") {
+    val rnd3 = new Random(1313)
+    val fns = Seq("rate", "irate", "increase", "delta", "idelta", "deriv",
+      "changes", "resets", "sum_over_time", "avg_over_time", "min_over_time",
+      "max_over_time", "count_over_time", "last_over_time", "stddev_over_time")
+    val aggs = Seq("sum", "avg", "min", "max", "count", "group")
+    val maths = Seq("abs", "ceil", "floor", "sgn")
+    def randExpr(depth: Int): String = {
+      if (depth <= 0) s"m${rnd3.nextInt(10)}"
+      else rnd3.nextInt(10) match {
+        case 0 => s"${fns(rnd3.nextInt(fns.length))}(m${rnd3.nextInt(10)}[${1 + rnd3.nextInt(120)}m])"
+        case 1 => s"${aggs(rnd3.nextInt(aggs.length))} by (k${rnd3.nextInt(5)}) (${randExpr(depth - 1)})"
+        case 2 => s"${aggs(rnd3.nextInt(aggs.length))} without (k${rnd3.nextInt(5)}) (${randExpr(depth - 1)})"
+        case 3 => s"topk(${1 + rnd3.nextInt(5)}, ${randExpr(depth - 1)})"
+        case 4 => s"${maths(rnd3.nextInt(maths.length))}(${randExpr(depth - 1)})"
+        case 5 =>
+          val op = "+-*/".charAt(rnd3.nextInt(4))
+          s"(${randExpr(depth - 1)}) $op (${randExpr(depth - 1)})"
+        case 6 =>
+          val op = Seq("==", "!=", "<", "<=", ">", ">=")(rnd3.nextInt(6))
+          s"${randExpr(depth - 1)} $op ${rnd3.nextInt(100)}"
+        case 7 =>
+          val op = Seq("and", "or", "unless")(rnd3.nextInt(3))
+          s"(${randExpr(depth - 1)}) $op (${randExpr(depth - 1)})"
+        case 8 => s"clamp(${randExpr(depth - 1)}, 0, ${1 + rnd3.nextInt(100)})"
+        case 9 => s"max_over_time((${randExpr(depth - 1)})[1h:${1 + rnd3.nextInt(30)}m])"
+      }
+    }
+    // every structured expression parses (the generator stays inside
+    // the documented grammar)
+    (0 until 500).foreach { _ =>
+      val q = randExpr(1 + rnd3.nextInt(3))
+      assert(PromQL.parse(q).isRight, s"should parse: $q")
+    }
+    // arbitrary garbage: Left with a message, never a throw
+    val chars = "mk{}()[]=!~<>\"',:._ +-*/0123456789abdorstu\t"
+    (0 until 5000).foreach { _ =>
+      val g = (0 until rnd3.nextInt(24))
+        .map(_ => chars.charAt(rnd3.nextInt(chars.length))).mkString
+      PromQL.parse(g) // must not throw
     }
   }
 

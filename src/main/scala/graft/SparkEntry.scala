@@ -780,6 +780,13 @@ object SparkEntry {
         parsePromQL("""absent_over_time(click{user="7"}[1d])"""),
         WinStartSec, WinEndSec, 86400L))),
 
+    // present_over_time: absent's complement on the same sparse
+    // selector; stdvar rides the same stats in the evaluator
+    "promql_present" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("""present_over_time(click{user="7"}[1d])"""),
+        WinStartSec, WinEndSec, 86400L))),
+
     // cross-series quantile aggregation per step
     "promql_quantile_agg" -> ((s, dir) =>
       promqlStr(PromQL.eval(samples(s, dir),
@@ -2257,6 +2264,17 @@ object SparkEntry {
          |SELECT CAST(NULL AS VARCHAR) AS metric, 'user=7' AS labels_str,
          |       g.t, CAST(1000000 AS BIGINT) AS v_e6
          |FROM grid g WHERE g.t NOT IN (SELECT t FROM present)""".stripMargin,
+
+    "promql_present" ->
+      s"""$dedupCte, grid AS (
+         |  SELECT $WinStartSec + unnest(range(0, 16)) * 86400 AS t
+         |)
+         |SELECT DISTINCT s.metric,
+         |       array_to_string(s.labels, ',') AS labels_str, g.t,
+         |       CAST(1000000 AS BIGINT) AS v_e6
+         |FROM deduped s JOIN grid g
+         |  ON s.t_sec >= g.t - 86400 AND s.t_sec < g.t
+         |WHERE s.metric = 'click' AND list_contains(s.labels, 'user=7')""".stripMargin,
 
     // cross-series p90 of the per-series 1d sums, per step
     "promql_quantile_agg" ->

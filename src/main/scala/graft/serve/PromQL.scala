@@ -40,7 +40,8 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   *               fn ∈ rate irate increase delta idelta deriv changes
   *                    resets avg_over_time min_over_time max_over_time
   *                    sum_over_time count_over_time last_over_time
-  *                    stddev_over_time
+  *                    stddev_over_time stdvar_over_time
+  *                    present_over_time
   *   subquery := fn "(" expr "[" dur ":" dur "]" [offset] ")"
   *               fn ∈ sum/avg/min/max/count/last_over_time
   *   histq    := "histogram_quantile" "(" φ "," expr ")"
@@ -211,6 +212,7 @@ object PromQL {
   val RangeFns: Set[String] = Set("rate", "increase", "delta",
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
     "count_over_time", "last_over_time", "stddev_over_time",
+    "stdvar_over_time", "present_over_time",
     "irate", "idelta", "deriv", "changes", "resets")
   /** The RangeFns subset needing each point's PREDECESSOR (a
     * per-series lag), not just decomposable window partials. */
@@ -1365,6 +1367,15 @@ object PromQL {
         stats.select(base :+ expr(
           "CAST(floor(sqrt(greatest(syy / n - (sy / n) * (sy / n), 0.0D)) " +
           "* 1000000 + 0.5) AS BIGINT)").as("v_e6"): _*)
+      case "stdvar_over_time" =>
+        // the same clamped moment formula without the sqrt
+        stats.select(base :+ expr(
+          "CAST(floor(greatest(syy / n - (sy / n) * (sy / n), 0.0D) " +
+          "* 1000000 + 0.5) AS BIGINT)").as("v_e6"): _*)
+      case "present_over_time" =>
+        // any sample in the window answers 1 (the window having a
+        // stats row IS presence)
+        stats.select(base :+ lit(1000000L).as("v_e6"): _*)
       case "rate" =>
         stats
           .withColumn("dv_e2",

@@ -648,6 +648,21 @@ class PromQLSpec extends SparkSpecBase {
     assert(multi === Set.empty)
   }
 
+  test("stdvar_over_time is stddev squared; present_over_time answers 1") {
+    // [t0, t0+60) for series a holds {1.0, 2.5}: variance 0.5625
+    val sv = rows(PromQL.eval(tinySamples,
+      parse("stdvar_over_time(m[60s])").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(sv.contains(("m", "host=a,user=1", T0 + 60, 562500L)))
+    val pr = rows(PromQL.eval(tinySamples,
+      parse("present_over_time(m[60s])").toOption.get, T0 + 60, T0 + 240, 60L))
+    // present only where windows hold samples: both series at t0+60,
+    // a at t0+120, nothing after
+    assert(pr === Set(
+      ("m", "host=a,user=1", T0 + 60, 1000000L),
+      ("m", "host=b,user=2", T0 + 60, 1000000L),
+      ("m", "host=a,user=1", T0 + 120, 1000000L)))
+  }
+
   test("subqueries evaluate the inner expr on the res grid, then window it") {
     assert(PromQL.parse("max_over_time(rate(x[5m])[1h:5m])") match {
       case Right(Subquery("max_over_time", RangeCall("rate", _, 300L, 0L),

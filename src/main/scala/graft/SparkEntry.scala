@@ -799,6 +799,13 @@ object SparkEntry {
         parsePromQL("avg without (k) (sum_over_time(click[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
 
+    // count_values: how many series share each exact daily sum, the
+    // value's decimal text as a label
+    "promql_count_values" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("""count_values("s", sum_over_time(click[1d]))"""),
+        WinStartSec, WinEndSec, 86400L))),
+
     // scalar(): each user's share of the day's total clicks — the
     // scalar side joins on the step alone, labels ignored
     "promql_scalar_share" -> ((s, dir) =>
@@ -2282,6 +2289,23 @@ object SparkEntry {
          |SELECT CAST(NULL AS VARCHAR) AS metric, '' AS labels_str, t,
          |       CAST(floor(quantile_cont(CAST(v_e6 AS DOUBLE), 0.9) + 0.5) AS BIGINT) AS v_e6
          |FROM sot GROUP BY t""".stripMargin,
+
+    // the formatE6 decimal text built with the same integer/string
+    // steps the evaluator uses
+    "promql_count_values" ->
+      s"""${promqlSotCte("click")}, fmt AS (
+         |  SELECT t,
+         |    CASE WHEN v_e6 < 0 THEN '-' ELSE '' END ||
+         |    CAST(CAST(floor(abs(v_e6) / 1000000.0) AS BIGINT) AS VARCHAR) ||
+         |    CASE WHEN abs(v_e6) % 1000000 = 0 THEN ''
+         |         ELSE '.' || regexp_replace(
+         |           lpad(CAST(abs(v_e6) % 1000000 AS VARCHAR), 6, '0'), '0+$$', '')
+         |    END AS vs
+         |  FROM sot
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric, 's=' || vs AS labels_str, t,
+         |       CAST(count(*) * 1000000 AS BIGINT) AS v_e6
+         |FROM fmt GROUP BY vs, t""".stripMargin,
 
     "promql_scalar_share" ->
       s"""${promqlSotCte("click")}, agguser AS (

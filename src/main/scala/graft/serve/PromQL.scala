@@ -202,6 +202,11 @@ object PromQL {
   /** vector(s): the constant scalar as a {}-labeled instant vector on
     * every grid step — the `sum(x) or vector(0)` fallback idiom. */
   final case class VectorLit(v: Double) extends Expr
+  /** count_values [by/without] ("dst", child): count the series
+    * sharing each exact value per group and step; the value's decimal
+    * text (the formatE6 form) becomes the `dst` label. */
+  final case class CountValues(dst: String, child: Expr, by: Seq[String],
+                               without: Boolean) extends Expr
   /** scalar(child): the child's single series as a per-step scalar;
     * steps where the child has ≠ 1 series emit nothing (Prometheus
     * answers NaN there — a dropped step is the exact-integer model's
@@ -486,6 +491,9 @@ object PromQL {
               case _ => Right(())
             }
           } yield ScalarOf(child)
+        case Some(id) if id == "count_values" =>
+          i += id.length
+          countValuesCall()
         case Some(id) if id == "label_replace" =>
           i += id.length
           for {
@@ -640,21 +648,46 @@ object PromQL {
       }
     }
 
-    private def agg(op: String): Either[String, Expr] = {
-      /** `by (names)` or `without (names)`, if present. */
-      def grouping(): Either[String, Option[(Boolean, Seq[String])]] = {
-        val kw = { val s2 = i; ws(); val k = peekIdent(); i = s2; k }
-        kw match {
-          case Some(k @ ("by" | "without")) =>
-            ws(); i += k.length
-            for {
-              _ <- eat('(')
-              names <- identList()
-              _ <- eat(')')
-            } yield Some((k == "without", names))
-          case _ => Right(None)
-        }
+    /** `by (names)` or `without (names)`, if present. */
+    private def grouping(): Either[String, Option[(Boolean, Seq[String])]] = {
+      val kw = { val s2 = i; ws(); val k = peekIdent(); i = s2; k }
+      kw match {
+        case Some(k @ ("by" | "without")) =>
+          ws(); i += k.length
+          for {
+            _ <- eat('(')
+            names <- identList()
+            _ <- eat(')')
+          } yield Some((k == "without", names))
+        case _ => Right(None)
       }
+    }
+
+    /** count_values [grouping] ("dst", expr) [grouping]. */
+    private def countValuesCall(): Either[String, Expr] =
+      for {
+        pre <- grouping()
+        _ <- eat('(')
+        dst <- stringLit()
+        _ <- if (dst.nonEmpty && isIdentStart(dst.head) &&
+                 dst.forall(isIdentChar) && dst != "__name__") Right(())
+             else Left("count_values: dst must be a plain label name")
+        _ <- eat(',')
+        child <- expr()
+        _ <- eat(')')
+        post <- grouping()
+        g <- if (pre.nonEmpty && post.nonEmpty)
+               Left("duplicate grouping clause") else Right(pre.orElse(post))
+        _ <- child match {
+          case ScalarLit(_) => Left("count_values requires a vector argument")
+          case _ => Right(())
+        }
+      } yield {
+        val (without, names) = g.getOrElse((false, Seq.empty))
+        CountValues(dst, child, names, without)
+      }
+
+    private def agg(op: String): Either[String, Expr] = {
       for {
         pre <- grouping()
         _ <- eat('(')
@@ -861,6 +894,9 @@ object PromQL {
       case Agg(op, by, child, without, param) =>
         aggregate(eval(samples, child, startSec, endSec, stepSec, lookbackSec,
           rollup, ignoreLabel), op, by, without, param)
+      case CountValues(dst, child, by, without) =>
+        countValues(eval(samples, child, startSec, endSec, stepSec,
+          lookbackSec, rollup, ignoreLabel), dst, by, without)
       case MathFn(fn, child, args) =>
         mathProject(eval(samples, child, startSec, endSec, stepSec,
           lookbackSec, rollup, ignoreLabel), fn, args)
@@ -1675,15 +1711,46 @@ object PromQL {
     * `percentile` — the exact interpolated form ≡ DuckDB
     * quantile_cont); the group size is the series count sharing the
     * kept labels, never raw samples. */
+  /** The labels an aggregation keeps: `by` keeps exactly the listed
+    * ones, `without` drops them (metric always drops separately). */
+  private def keptLabels(by: Seq[String], without: Boolean): Column = {
+    val anyListed = by.map(k => s"l LIKE '$k=%'").mkString(" OR ")
+    if (without) {
+      if (by.isEmpty) col("labels")
+      else expr(s"filter(labels, l -> NOT ($anyListed))")
+    } else if (by.isEmpty) expr("CAST(array() AS ARRAY<STRING>)")
+    else expr(s"filter(labels, l -> $anyListed)")
+  }
+
+  /** count_values: how many series share each exact value, per group
+    * and step — the `dst` label carries the value's decimal text
+    * (identical to [[formatE6]]: sign, integer part, fraction with
+    * trailing zeros trimmed — pure integer/string ops, so any engine
+    * renders the same text). One map-side-combined aggregate over
+    * rows already reduced to one per (series, step). */
+  private def countValues(child: DataFrame, dst: String, by: Seq[String],
+                          without: Boolean): DataFrame = {
+    val a = abs(col("v_e6"))
+    // a is non-negative and < 2^52, so the double floor-div is exact
+    val whole = floor(a.cast("double") / 1000000.0).cast("long")
+    val frac = (a % 1000000L).cast("long")
+    val fracStr = when(frac === 0L, lit("")).otherwise(
+      concat(lit("."),
+        regexp_replace(lpad(frac.cast("string"), 6, "0"), "0+$", "")))
+    val vstr = concat(when(col("v_e6") < 0L, lit("-")).otherwise(lit("")),
+      whole.cast("string"), fracStr)
+    child
+      .withColumn("labels", array_sort(concat(keptLabels(by, without),
+        array(concat(lit(dst + "="), vstr)))))
+      .groupBy(col("labels"), col("t"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit(null).cast("string").as("metric"), col("labels"),
+        col("t"), (col("n") * 1000000L).as("v_e6"))
+  }
+
   private def aggregate(child: DataFrame, op: String, by: Seq[String],
                         without: Boolean, param: Option[Double]): DataFrame = {
-    val anyListed = by.map(k => s"l LIKE '$k=%'").mkString(" OR ")
-    val kept =
-      if (without) {
-        if (by.isEmpty) col("labels")
-        else expr(s"filter(labels, l -> NOT ($anyListed))")
-      } else if (by.isEmpty) expr("CAST(array() AS ARRAY<STRING>)")
-      else expr(s"filter(labels, l -> $anyListed)")
+    val kept = keptLabels(by, without)
     val aggs = Seq(sum(col("v_e6")).as("s"), count(lit(1)).as("n"),
       min(col("v_e6")).as("mn"), max(col("v_e6")).as("mx")) ++
       (if (op == "quantile")

@@ -663,6 +663,31 @@ class PromQLSpec extends SparkSpecBase {
       ("m", "host=a,user=1", T0 + 120, 1000000L)))
   }
 
+  test("count_values labels each exact value's decimal text with its count") {
+    assert(PromQL.parse("""count_values("v", x)""") match {
+      case Right(CountValues("v", Instant(_, _), Seq(), false)) => true
+      case _ => false
+    })
+    assert(PromQL.parse("""count_values by (host) ("v", x)""") match {
+      case Right(CountValues("v", Instant(_, _), Seq("host"), false)) => true
+      case _ => false
+    })
+    assert(PromQL.parse("""count_values("__name__", x)""").isLeft)
+    // sums over [t0, t0+60): a = 3.5, b = 20.25 — distinct values,
+    // each counted once, labeled with formatE6 text
+    val out = rows(PromQL.eval(tinySamples,
+      parse("""count_values("s", sum_over_time(m[60s]))""").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(out === Set(
+      ("", "s=3.5", T0 + 60, 1000000L),
+      ("", "s=20.25", T0 + 60, 1000000L)))
+    // equal values merge into one counted row
+    val eq = rows(PromQL.eval(tinySamples,
+      parse("""count_values("c", count_over_time(m[60s]))""").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(eq === Set(("", "c=2", T0 + 60, 2000000L)))
+  }
+
   test("subqueries evaluate the inner expr on the res grid, then window it") {
     assert(PromQL.parse("max_over_time(rate(x[5m])[1h:5m])") match {
       case Right(Subquery("max_over_time", RangeCall("rate", _, 300L, 0L),

@@ -799,6 +799,15 @@ object SparkEntry {
         parsePromQL("avg without (k) (sum_over_time(click[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
 
+    // @: each user's daily sum minus their day-1 baseline — the
+    // pinned evaluation replicated across the grid through binary
+    // arithmetic
+    "promql_at_baseline" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("sum by (user) (sum_over_time(click[1d]))" +
+          s" - sum by (user) (sum_over_time(click[1d] @ ${WinStartSec + 86400}))"),
+        WinStartSec, WinEndSec, 86400L))),
+
     // count_values: how many series share each exact daily sum, the
     // value's decimal text as a label
     "promql_count_values" -> ((s, dir) =>
@@ -2289,6 +2298,21 @@ object SparkEntry {
          |SELECT CAST(NULL AS VARCHAR) AS metric, '' AS labels_str, t,
          |       CAST(floor(quantile_cont(CAST(v_e6 AS DOUBLE), 0.9) + 0.5) AS BIGINT) AS v_e6
          |FROM sot GROUP BY t""".stripMargin,
+
+    // the baseline is the per-user sum over [t0, t0+1d), joined to
+    // every grid step's sum on the user label
+    "promql_at_baseline" ->
+      s"""${promqlSotCte("click")}, agg AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
+         |         CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2
+         |), base AS (
+         |  SELECT labels, v_e6 FROM agg WHERE t = ${WinStartSec + 86400}
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(a.labels, ',') AS labels_str, a.t,
+         |       a.v_e6 - b.v_e6 AS v_e6
+         |FROM agg a JOIN base b ON a.labels = b.labels""".stripMargin,
 
     // the formatE6 decimal text built with the same integer/string
     // steps the evaluator uses

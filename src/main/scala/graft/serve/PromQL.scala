@@ -202,6 +202,10 @@ object PromQL {
   /** vector(s): the constant scalar as a {}-labeled instant vector on
     * every grid step — the `sum(x) or vector(0)` fallback idiom. */
   final case class VectorLit(v: Double) extends Expr
+  /** child @ tsSec: the child evaluated once at the fixed timestamp,
+    * replicated across every grid step (Prometheus's `@` modifier —
+    * the fixed-baseline comparison idiom). */
+  final case class At(tsSec: Long, child: Expr) extends Expr
   /** count_values [by/without] ("dst", child): count the series
     * sharing each exact value per group and step; the value's decimal
     * text (the formatE6 form) becomes the `dst` label. */
@@ -743,17 +747,18 @@ object PromQL {
         sub <- if (peekChar.contains(':')) { i += 1; duration().map(Some(_)) }
                else Right(None)
         _ <- eat(']')
-        off <- offsetClause()
+        mods <- modifiers()
         _ <- eat(')')
         result <- (sub, child) match {
-          case (None, Instant(ms, 0L)) => Right(RangeCall(fn, ms, d, off))
+          case (None, Instant(ms, 0L)) =>
+            Right(withAt(mods._2, RangeCall(fn, ms, d, mods._1)))
           case (None, _) =>
             Left(s"$fn over a compound expression needs a subquery [d:res]")
           case (Some(_), ScalarLit(_)) =>
             Left(s"$fn requires a vector argument")
           case (Some(res), c) =>
             if (!SubFns(fn)) Left(s"$fn does not support subqueries")
-            else Right(Subquery(fn, c, d, res, off))
+            else Right(withAt(mods._2, Subquery(fn, c, d, res, mods._1)))
         }
       } yield result
 
@@ -763,6 +768,29 @@ object PromQL {
       if (!kw.contains("offset")) Right(0L)
       else { ws(); i += "offset".length; duration() }
     }
+
+    /** Optional ` @ <unix-seconds>` modifier. */
+    private def atClause(): Either[String, Option[Long]] = {
+      ws()
+      if (atEnd || s.charAt(i) != '@') Right(None)
+      else {
+        i += 1
+        number().filter(_ >= 0)
+          .map(v => Some(v.toLong))
+          .toRight("@ needs a non-negative unix timestamp in seconds")
+      }
+    }
+
+    /** `[offset d] [@ t]`, in either order. */
+    private def modifiers(): Either[String, (Long, Option[Long])] =
+      for {
+        off1 <- offsetClause()
+        at <- atClause()
+        off2 <- if (off1 == 0L) offsetClause() else Right(0L)
+      } yield (off1 + off2, at)
+
+    private def withAt(at: Option[Long], e: Expr): Expr =
+      at.fold(e)(t => At(t, e))
 
     private def duration(): Either[String, Long] = {
       ws()
@@ -802,8 +830,8 @@ object PromQL {
     }
 
     private def selector(): Either[String, Expr] =
-      for { ms <- selectorMatchers(); off <- offsetClause() }
-        yield Instant(ms, off)
+      for { ms <- selectorMatchers(); m <- modifiers() }
+        yield withAt(m._2, Instant(ms, m._1))
 
     /** Scan one selector slice (name, optional balanced quote-aware
       * braces) and delegate to the shared parser the `/api/v1/series`
@@ -897,6 +925,17 @@ object PromQL {
       case CountValues(dst, child, by, without) =>
         countValues(eval(samples, child, startSec, endSec, stepSec,
           lookbackSec, rollup, ignoreLabel), dst, by, without)
+      case At(ts, child) =>
+        // one evaluation at the pinned instant, replicated onto the
+        // grid — the single-point side is tiny, so the cross join
+        // broadcasts
+        val single = eval(samples, child, ts, ts, stepSec, lookbackSec,
+          rollup, ignoreLabel).drop("t")
+        val kTop = (endSec - startSec) / stepSec
+        val grid = samples.sparkSession.range(0, kTop + 1)
+          .select((lit(startSec) + col("id") * stepSec).as("t"))
+        single.crossJoin(grid)
+          .select(col("metric"), col("labels"), col("t"), col("v_e6"))
       case MathFn(fn, child, args) =>
         mathProject(eval(samples, child, startSec, endSec, stepSec,
           lookbackSec, rollup, ignoreLabel), fn, args)

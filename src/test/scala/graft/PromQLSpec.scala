@@ -688,6 +688,32 @@ class PromQLSpec extends SparkSpecBase {
     assert(eq === Set(("", "c=2", T0 + 60, 2000000L)))
   }
 
+  test("@ pins evaluation to a fixed instant, replicated across the grid") {
+    assert(PromQL.parse("m @ 1704412800") match {
+      case Right(At(1704412800L, Instant(_, 0L))) => true
+      case _ => false
+    })
+    assert(PromQL.parse("sum_over_time(m[60s] @ 1704412800 offset 30s)") match {
+      case Right(At(1704412800L, RangeCall("sum_over_time", _, 60L, 30L))) => true
+      case _ => false
+    })
+    assert(PromQL.parse("m @ -5").isLeft)
+    // the pinned window [t0, t0+60) answers 3.5/20.25 at EVERY step
+    val out = rows(PromQL.eval(tinySamples,
+      parse(s"sum_over_time(m[60s] @ ${T0 + 60})").toOption.get,
+      T0 + 120, T0 + 240, 60L))
+    assert(out.size === 6)
+    assert(out.map(r => (r._2, r._4)) === Set(
+      ("host=a,user=1", 3500000L), ("host=b,user=2", 20250000L)))
+    assert(out.map(_._3) === Set(T0 + 120, T0 + 180, T0 + 240))
+    // baseline-comparison idiom: current sum minus the pinned one
+    val dlt = rows(PromQL.eval(tinySamples,
+      parse(s"sum_over_time(m[60s]) - sum_over_time(m[60s] @ ${T0 + 60})")
+        .toOption.get, T0 + 120, T0 + 120, 60L))
+    // a: 5.0 - 3.5 = 1.5; b absent now → drops
+    assert(dlt === Set(("", "host=a,user=1", T0 + 120, 1500000L)))
+  }
+
   test("subqueries evaluate the inner expr on the res grid, then window it") {
     assert(PromQL.parse("max_over_time(rate(x[5m])[1h:5m])") match {
       case Right(Subquery("max_over_time", RangeCall("rate", _, 300L, 0L),

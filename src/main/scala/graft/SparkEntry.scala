@@ -799,6 +799,12 @@ object SparkEntry {
         parsePromQL("avg without (k) (sum_over_time(click[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
 
+    // sqrt over an aggregation (IEEE correctly-rounded → portable)
+    "promql_sqrt" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("sqrt(sum by (user) (sum_over_time(click[1d])))"),
+        WinStartSec, WinEndSec, 86400L))),
+
     // @: each user's daily sum minus their day-1 baseline — the
     // pinned evaluation replicated across the grid through binary
     // arithmetic
@@ -2298,6 +2304,18 @@ object SparkEntry {
          |SELECT CAST(NULL AS VARCHAR) AS metric, '' AS labels_str, t,
          |       CAST(floor(quantile_cont(CAST(v_e6 AS DOUBLE), 0.9) + 0.5) AS BIGINT) AS v_e6
          |FROM sot GROUP BY t""".stripMargin,
+
+    "promql_sqrt" ->
+      s"""${promqlSotCte("click")}, agg AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
+         |         CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(labels, ',') AS labels_str, t,
+         |       CAST(floor(sqrt(CAST(v_e6 AS DOUBLE) / 1000000.0)
+         |            * 1000000 + 0.5) AS BIGINT) AS v_e6
+         |FROM agg WHERE v_e6 >= 0""".stripMargin,
 
     // the baseline is the per-user sum over [t0, t0+1d), joined to
     // every grid step's sum on the user label

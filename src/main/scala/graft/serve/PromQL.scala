@@ -48,8 +48,9 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   *   predict  := "predict_linear" "(" selector "[" dur "]" [offset] "," num ")"
   *   absent   := "absent_over_time" "(" selector "[" dur "]" [offset] ")"
   *   mathfn   := fn "(" expr ["," num]* ")"
-  *               fn ∈ abs ceil floor sgn round(v[,n]) clamp(v,lo,hi)
-  *                    clamp_min(v,lo) clamp_max(v,hi)
+  *               fn ∈ abs ceil floor sgn sqrt round(v[,n])
+  *                    clamp(v,lo,hi) clamp_min(v,lo) clamp_max(v,hi)
+  *                    hour minute day_of_week  (empty arg = time())
   *   selector := PromQL instant-vector selector (Matchers.parseSelector)
   *               [offset]
   *   offset   := "offset" dur      (shifts every window back by dur)
@@ -233,7 +234,8 @@ object PromQL {
   val SubFns: Set[String] = Set("sum_over_time", "avg_over_time",
     "min_over_time", "max_over_time", "count_over_time", "last_over_time")
   val MathFns: Set[String] = Set("abs", "ceil", "floor", "sgn", "round",
-    "clamp", "clamp_min", "clamp_max")
+    "clamp", "clamp_min", "clamp_max", "sqrt",
+    "hour", "minute", "day_of_week")
   /** The *_over_time subset a fresh aligned rollup can answer. */
   private val RollupServable: Set[String] = Set("sum_over_time",
     "min_over_time", "max_over_time", "count_over_time", "avg_over_time")
@@ -597,11 +599,17 @@ object PromQL {
       else { i += 1; Right(sb.toString) }
     }
 
-    /** mathfn(expr [, num]*) with per-function arity/validity rules. */
+    /** mathfn(expr [, num]*) with per-function arity/validity rules.
+      * The calendar functions allow an empty argument list, which
+      * defaults to the evaluation timestamp (hour() ≙
+      * hour(vector(time())), Prometheus's convention). */
     private def mathCall(fn: String): Either[String, Expr] =
       for {
         _ <- eat('(')
-        child <- expr()
+        child <- if (peekChar.contains(')') &&
+                     Set("hour", "minute", "day_of_week")(fn))
+                   Right(TimeFn: Expr)
+                 else expr()
         args <- {
           val b = Seq.newBuilder[Double]
           var err: Option[String] = None
@@ -616,7 +624,8 @@ object PromQL {
         }
         _ <- eat(')')
         _ <- (fn, args) match {
-          case ("abs" | "ceil" | "floor" | "sgn", Seq()) => Right(())
+          case ("abs" | "ceil" | "floor" | "sgn" | "sqrt" |
+                "hour" | "minute" | "day_of_week", Seq()) => Right(())
           case ("round", Seq()) | ("round", Seq(_)) =>
             if (args.forall(_ > 0.0)) Right(())
             else Left("round: to_nearest must be positive")
@@ -1276,8 +1285,24 @@ object PromQL {
         expr(s"least(greatest(v_e6, ${e6(args(0))}L), ${e6(args(1))}L)")
       case "clamp_min" => expr(s"greatest(v_e6, ${e6(args(0))}L)")
       case "clamp_max" => expr(s"least(v_e6, ${e6(args(0))}L)")
+      // sqrt is IEEE correctly-rounded — the one transcendental-ish
+      // function every engine computes bit-identically
+      case "sqrt" =>
+        expr("CAST(floor(sqrt(CAST(v_e6 AS DOUBLE) / 1000000.0D) " +
+          "* 1000000 + 0.5) AS BIGINT)")
+      // calendar functions read the value as epoch SECONDS (UTC) —
+      // pure integer arithmetic; epoch day 0 was a Thursday
+      case "hour" =>
+        expr("(v_e6 DIV 1000000) % 86400 DIV 3600 * 1000000")
+      case "minute" =>
+        expr("(v_e6 DIV 1000000) % 3600 DIV 60 * 1000000")
+      case "day_of_week" =>
+        expr("((v_e6 DIV 1000000) DIV 86400 + 4) % 7 * 1000000")
     }
-    child.select(lit(null).cast("string").as("metric"), col("labels"),
+    // Prometheus answers NaN for sqrt of a negative; the exact
+    // integer model drops the row instead (the idelta-style deviation)
+    val base = if (fn == "sqrt") child.filter(col("v_e6") >= 0L) else child
+    base.select(lit(null).cast("string").as("metric"), col("labels"),
       col("t"), v.cast("long").as("v_e6"))
   }
 

@@ -714,6 +714,29 @@ class PromQLSpec extends SparkSpecBase {
     assert(dlt === Set(("", "host=a,user=1", T0 + 120, 1500000L)))
   }
 
+  test("sqrt and the calendar functions project per row") {
+    // sum over [t0, t0+60) for b = 20.25 → sqrt = 4.5
+    val sq = rows(PromQL.eval(tinySamples,
+      parse("sqrt(sum_over_time(m[60s]))").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(sq.contains(("", "host=b,user=2", T0 + 60, 4500000L)))
+    // a negative value drops (the exact-integer stand-in for NaN)
+    val neg = rows(PromQL.eval(tinySamples,
+      parse("sqrt(0 - sum_over_time(m[60s]))").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(neg === Set.empty)
+    // T0 = 2024-01-05 00:00 UTC, a Friday: hour()/minute() read the
+    // grid timestamp via the implicit time() argument
+    val hr = rows(PromQL.eval(tinySamples,
+      parse("hour()").toOption.get, T0 + 3600 * 7 + 120, T0 + 3600 * 7 + 120, 60L))
+    assert(hr === Set(("", "", T0 + 3600 * 7 + 120, 7000000L)))
+    val mn = rows(PromQL.eval(tinySamples,
+      parse("minute()").toOption.get, T0 + 120, T0 + 120, 60L))
+    assert(mn === Set(("", "", T0 + 120, 2000000L)))
+    val dw = rows(PromQL.eval(tinySamples,
+      parse("day_of_week()").toOption.get, T0, T0, 60L))
+    assert(dw === Set(("", "", T0, 5000000L))) // Friday = 5
+  }
+
   test("subqueries evaluate the inner expr on the res grid, then window it") {
     assert(PromQL.parse("max_over_time(rate(x[5m])[1h:5m])") match {
       case Right(Subquery("max_over_time", RangeCall("rate", _, 300L, 0L),

@@ -799,6 +799,18 @@ object SparkEntry {
         parsePromQL("avg without (k) (sum_over_time(click[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
 
+    // label_join: a composite id label from k and user, per series
+    "promql_label_join" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("""label_join(sum_over_time(click[1d]), "id", "-", "k", "user")"""),
+        WinStartSec, WinEndSec, 86400L))),
+
+    // calendar read of the evaluation timestamp on the grid
+    "promql_calendar" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("day_of_week() + month() * 100"),
+        WinStartSec, WinEndSec, 86400L))),
+
     // sqrt over an aggregation (IEEE correctly-rounded → portable)
     "promql_sqrt" -> ((s, dir) =>
       promqlStr(PromQL.eval(samples(s, dir),
@@ -2304,6 +2316,31 @@ object SparkEntry {
          |SELECT CAST(NULL AS VARCHAR) AS metric, '' AS labels_str, t,
          |       CAST(floor(quantile_cont(CAST(v_e6 AS DOUBLE), 0.9) + 0.5) AS BIGINT) AS v_e6
          |FROM sot GROUP BY t""".stripMargin,
+
+    // Spark evaluates through a DATE (tz-free); the mirror uses
+    // DuckDB's own date arithmetic — the proleptic Gregorian calendar
+    // is exact in both
+    "promql_label_join" ->
+      s"""${promqlSotCte("click")}
+         |SELECT metric,
+         |       array_to_string(list_sort(list_concat(labels,
+         |         ['id=' ||
+         |          coalesce(substr(list_filter(labels, l -> l LIKE 'k=%')[1], 3), '')
+         |          || '-' ||
+         |          coalesce(substr(list_filter(labels, l -> l LIKE 'user=%')[1], 6), '')])),
+         |         ',') AS labels_str,
+         |       t, v_e6
+         |FROM sot""".stripMargin,
+
+    "promql_calendar" ->
+      s"""WITH grid AS (
+         |  SELECT $WinStartSec + unnest(range(0, 16)) * 86400 AS t
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric, '' AS labels_str, t,
+         |       CAST((t // 86400 + 4) % 7 * 1000000
+         |            + date_part('month', DATE '1970-01-01'
+         |                + CAST(t // 86400 AS INT)) * 100000000 AS BIGINT) AS v_e6
+         |FROM grid""".stripMargin,
 
     "promql_sqrt" ->
       s"""${promqlSotCte("click")}, agg AS (

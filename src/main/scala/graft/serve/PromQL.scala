@@ -47,6 +47,7 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   *   histq    := "histogram_quantile" "(" φ "," expr ")"
   *   predict  := "predict_linear" "(" selector "[" dur "]" [offset] "," num ")"
   *   absent   := "absent_over_time" "(" selector "[" dur "]" [offset] ")"
+  *             | "absent" "(" selector [offset] ")"
   *   mathfn   := fn "(" expr ["," num]* ")"
   *               fn ∈ abs ceil floor sgn sqrt round(v[,n])
   *                    clamp(v,lo,hi) clamp_min(v,lo) clamp_max(v,hi)
@@ -176,6 +177,15 @@ object PromQL {
     * holds no sample, labeled from the selector's = matchers. */
   final case class Absent(matchers: Seq[LabelMatcher], rangeSec: Long,
                           offsetSec: Long = 0L) extends Expr
+  /** absent(sel [offset]): the instant-vector form — 1 at grid steps
+    * where the lookback finds no sample. */
+  final case class AbsentI(matchers: Seq[LabelMatcher],
+                           offsetSec: Long = 0L) extends Expr
+  /** label_join(child, dst, sep, srcs…): dst = the source labels'
+    * values joined by sep (missing = ""); an empty result removes
+    * dst. */
+  final case class LabelJoin(child: Expr, dst: String, sep: String,
+                             srcs: Seq[String]) extends Expr
   /** histogram_quantile(φ, child): piecewise-linear quantile estimate
     * over the child's cumulative `le`-labeled bucket series. */
   final case class HistQ(q: Double, child: Expr) extends Expr
@@ -235,7 +245,12 @@ object PromQL {
     "min_over_time", "max_over_time", "count_over_time", "last_over_time")
   val MathFns: Set[String] = Set("abs", "ceil", "floor", "sgn", "round",
     "clamp", "clamp_min", "clamp_max", "sqrt",
-    "hour", "minute", "day_of_week")
+    "hour", "minute", "day_of_week", "day_of_month", "day_of_year",
+    "month", "year", "days_in_month")
+  /** The MathFns subset reading the value as an epoch timestamp,
+    * with an empty argument list defaulting to time(). */
+  val CalendarFns: Set[String] = Set("hour", "minute", "day_of_week",
+    "day_of_month", "day_of_year", "month", "year", "days_in_month")
   /** The *_over_time subset a fresh aligned rollup can answer. */
   private val RollupServable: Set[String] = Set("sum_over_time",
     "min_over_time", "max_over_time", "count_over_time", "avg_over_time")
@@ -565,6 +580,48 @@ object PromQL {
             off <- offsetClause()
             _ <- eat(')')
           } yield Absent(sel, d, off)
+        case Some(id) if id == "absent" =>
+          i += id.length
+          val after = { val s2 = i; ws(); val c = peekChar; i = s2; c }
+          if (!after.contains('(')) { i = save; selector() }
+          else for {
+            _ <- eat('(')
+            sel <- selectorMatchers()
+            off <- offsetClause()
+            _ <- eat(')')
+          } yield AbsentI(sel, off)
+        case Some(id) if id == "label_join" =>
+          i += id.length
+          for {
+            _ <- eat('(')
+            child <- expr()
+            _ <- eat(',')
+            dst <- stringLit()
+            _ <- eat(',')
+            sep <- stringLit()
+            srcs <- {
+              val b = Seq.newBuilder[String]
+              var err: Option[String] = None
+              while (err.isEmpty && peekChar.contains(',')) {
+                i += 1
+                stringLit() match {
+                  case Right(v) => b += v
+                  case Left(e) => err = Some(e)
+                }
+              }
+              err.toLeft(b.result())
+            }
+            _ <- eat(')')
+            _ <- child match {
+              case ScalarLit(_) => Left("label_join requires a vector")
+              case _ => Right(())
+            }
+            _ <- if ((dst +: srcs).forall(n => n.nonEmpty &&
+                   isIdentStart(n.head) && n.forall(isIdentChar) &&
+                   n != "__name__"))
+                 Right(())
+                 else Left("label_join: labels must be plain label names")
+          } yield LabelJoin(child, dst, sep, srcs)
         case Some(id) if MathFns(id) =>
           i += id.length
           val after = { val s2 = i; ws(); val c = peekChar; i = s2; c }
@@ -606,8 +663,7 @@ object PromQL {
     private def mathCall(fn: String): Either[String, Expr] =
       for {
         _ <- eat('(')
-        child <- if (peekChar.contains(')') &&
-                     Set("hour", "minute", "day_of_week")(fn))
+        child <- if (peekChar.contains(')') && CalendarFns(fn))
                    Right(TimeFn: Expr)
                  else expr()
         args <- {
@@ -624,8 +680,8 @@ object PromQL {
         }
         _ <- eat(')')
         _ <- (fn, args) match {
-          case ("abs" | "ceil" | "floor" | "sgn" | "sqrt" |
-                "hour" | "minute" | "day_of_week", Seq()) => Right(())
+          case (f, Seq()) if f == "abs" || f == "ceil" || f == "floor" ||
+               f == "sgn" || f == "sqrt" || CalendarFns(f) => Right(())
           case ("round", Seq()) | ("round", Seq(_)) =>
             if (args.forall(_ > 0.0)) Right(())
             else Left("round: to_nearest must be positive")
@@ -925,6 +981,15 @@ object PromQL {
       case Absent(ms, d, off) =>
         unshift(absentRange(samples, ms, startSec - off, endSec - off,
           stepSec, d, ignoreLabel), off)
+      case AbsentI(ms, off) =>
+        val (s0, e0) = (startSec - off, endSec - off)
+        val present = instant(samples, ms, s0, e0, stepSec, lookbackSec,
+          ignoreLabel).select(col("t")).distinct()
+        unshift(absentGrid(samples.sparkSession, ms, s0,
+          (e0 - s0) / stepSec, stepSec, present), off)
+      case LabelJoin(child, dst, sep, srcs) =>
+        labelJoinProject(eval(samples, child, startSec, endSec, stepSec,
+          lookbackSec, rollup, ignoreLabel), dst, sep, srcs)
       case Quantile(q, ms, d, off) =>
         unshift(quantileRange(samples, q, ms, startSec - off, endSec - off,
           stepSec, d, ignoreLabel), off)
@@ -1268,6 +1333,8 @@ object PromQL {
   private def mathProject(child: DataFrame, fn: String,
                           args: Seq[Double]): DataFrame = {
     def e6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val asDate =
+      "date_add(DATE'1970-01-01', CAST((v_e6 DIV 1000000) DIV 86400 AS INT))"
     val v: Column = fn match {
       case "abs" => expr("abs(v_e6)")
       case "floor" =>
@@ -1298,6 +1365,14 @@ object PromQL {
         expr("(v_e6 DIV 1000000) % 3600 DIV 60 * 1000000")
       case "day_of_week" =>
         expr("((v_e6 DIV 1000000) DIV 86400 + 4) % 7 * 1000000")
+      // the remaining calendar reads go through a DATE (tz-free
+      // proleptic Gregorian — exact integers in any engine)
+      case "day_of_month" => expr(s"dayofmonth($asDate) * 1000000L")
+      case "day_of_year"  => expr(s"dayofyear($asDate) * 1000000L")
+      case "month"        => expr(s"month($asDate) * 1000000L")
+      case "year"         => expr(s"year($asDate) * 1000000L")
+      case "days_in_month" =>
+        expr(s"dayofmonth(last_day($asDate)) * 1000000L")
     }
     // Prometheus answers NaN for sqrt of a negative; the exact
     // integer model drops the row instead (the idelta-style deviation)
@@ -1690,10 +1765,17 @@ object PromQL {
   private def absentRange(samples: DataFrame, matchers: Seq[LabelMatcher],
                           start: Long, end: Long, step: Long, d: Long,
                           ignoreLabel: Option[String]): DataFrame = {
-    val spark = samples.sparkSession
-    val kTop = (end - start) / step
     val present = gridExplode(samples, matchers, start, end, step, d,
       ignoreLabel).select(col("t")).distinct()
+    absentGrid(samples.sparkSession, matchers, start, (end - start) / step,
+      step, present)
+  }
+
+  /** The shared absent tail: generated grid anti-joined against the
+    * present steps, labeled from the equality matchers. */
+  private def absentGrid(spark: SparkSession, matchers: Seq[LabelMatcher],
+                         start: Long, kTop: Long, step: Long,
+                         present: DataFrame): DataFrame = {
     val lbls = matchers
       .filter(m => m.mtype == graft.operators.MatcherType.Eq &&
         m.name != Matchers.NameLabel)
@@ -1703,6 +1785,26 @@ object PromQL {
       .join(present, Seq("t"), "left_anti")
       .select(lit(null).cast("string").as("metric"),
         typedLit(lbls).as("labels"), col("t"), lit(1000000L).as("v_e6"))
+  }
+
+  /** label_join: dst = the source labels' values joined by sep
+    * (missing = ""), empty removes dst — a per-row projection like
+    * [[labelReplaceProject]]. */
+  private def labelJoinProject(child: DataFrame, dst: String, sep: String,
+                               srcs: Seq[String]): DataFrame = {
+    val vals = srcs.map { s0 =>
+      coalesce(
+        expr(s"substring(filter(labels, l -> l LIKE '$s0=%')[0], ${s0.length + 2})"),
+        lit(""))
+    }
+    val newVal =
+      if (vals.isEmpty) lit("")
+      else vals.reduce((a, b) => concat(a, lit(sep), b))
+    val without = expr(s"filter(labels, l -> NOT (l LIKE '$dst=%'))")
+    val rebuilt = when(newVal === "", without)
+      .otherwise(array_sort(concat(without,
+        array(concat(lit(dst + "="), newVal)))))
+    child.select(col("metric"), rebuilt.as("labels"), col("t"), col("v_e6"))
   }
 
   /** Serve an aligned tiling *_over_time from the rollup twin:

@@ -737,6 +737,34 @@ class PromQLSpec extends SparkSpecBase {
     assert(dw === Set(("", "", T0, 5000000L))) // Friday = 5
   }
 
+  test("absent() instant form; label_join; date-based calendar functions") {
+    // absent: series exist within lookback at t0+60, none at t0+600
+    val ab = rows(PromQL.eval(tinySamples,
+      parse("absent(m{host=\"a\"})").toOption.get,
+      T0 + 60, T0 + 600, 540L, lookbackSec = 300L))
+    assert(ab === Set(("", "host=a", T0 + 600, 1000000L)))
+    // a metric named absent stays a selector
+    assert(PromQL.parse("absent offset 30s") match {
+      case Right(Instant(_, 30L)) => true
+      case _ => false
+    })
+    // label_join: id = host + "-" + user
+    val lj = rows(PromQL.eval(tinySamples,
+      parse("""label_join(sum_over_time(m[60s]), "id", "-", "host", "user")""")
+        .toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(lj.map(_._2) === Set(
+      "host=a,id=a-1,user=1", "host=b,id=b-2,user=2"))
+    // T0 = 2024-01-05: month 1, year 2024, day 5, doy 5, Jan has 31
+    def cal(q: String): Long =
+      rows(PromQL.eval(tinySamples, parse(q).toOption.get, T0, T0, 60L))
+        .head._4
+    assert(cal("month()") === 1000000L)
+    assert(cal("year()") === 2024000000L)
+    assert(cal("day_of_month()") === 5000000L)
+    assert(cal("day_of_year()") === 5000000L)
+    assert(cal("days_in_month()") === 31000000L)
+  }
+
   test("subqueries evaluate the inner expr on the res grid, then window it") {
     assert(PromQL.parse("max_over_time(rate(x[5m])[1h:5m])") match {
       case Right(Subquery("max_over_time", RangeCall("rate", _, 300L, 0L),

@@ -607,6 +607,10 @@ object SparkEntry {
 
     "text_ngram_freq" -> ((s, dir) => TextAnalysis.ngramFreq(Tables.documents(s, dir))),
 
+    "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfKeywords(Tables.documents(s, dir))),
+
+    "sample_pack" -> ((s, dir) => Sampling.packSequences(Tables.documents(s, dir))),
+
     // PII scrub over documents with deterministic synthetic PII
     // injected into every third doc (the corpus itself is clean, so
     // the injection is what proves the patterns fire); the oracle
@@ -1860,6 +1864,50 @@ object SparkEntry {
         |      FROM w WHERE len(words) >= 2)
         |SELECT gram, count(*) AS n_occurrences FROM g GROUP BY 1
         |ORDER BY n_occurrences DESC, gram ASC LIMIT 100""".stripMargin,
+
+    // integer-exact log-free TF-IDF: tf_e6 = c·1e6 // n_words,
+    // score = tf_e6 · n_docs // df; top-5 per doc, word-asc ties
+    "text_tfidf" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w
+        |  FROM documents
+        |), tf AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS n_words FROM w GROUP BY 1),
+        |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT t.doc_id, t.w, t.c, f.df,
+        |         (t.c * 1000000 // l.n_words) * nd.n_docs // f.df AS score_e6
+        |  FROM tf t JOIN dl l USING (doc_id) JOIN dfq f USING (w) CROSS JOIN nd
+        |), rk AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score_e6 DESC, w ASC) AS rk
+        |  FROM sc
+        |)
+        |SELECT doc_id, w AS word, c AS n_occurrences, df AS doc_freq,
+        |       score_e6, rk
+        |FROM rk WHERE rk <= 5""".stripMargin,
+
+    // concat-then-chunk packing: running token offsets per shard
+    // (doc_id mod 8) sliced into 2048-token chunks
+    "sample_pack" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         len(string_split(coalesce(text, ''), ' ')) AS n_tokens
+        |  FROM documents
+        |), run AS (
+        |  SELECT *, sum(n_tokens) OVER (
+        |    PARTITION BY shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS end_offset
+        |  FROM base
+        |)
+        |SELECT doc_id, shard, n_tokens,
+        |       CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
+        |       CAST((end_offset - n_tokens) // 2048 AS BIGINT) AS first_chunk,
+        |       CAST((end_offset - 1) // 2048 AS BIGINT) AS last_chunk,
+        |       CAST((end_offset - 1) // 2048
+        |            - (end_offset - n_tokens) // 2048 + 1 AS BIGINT) AS n_chunks
+        |FROM run""".stripMargin,
 
     "sample_split" ->
       s"""SELECT doc_id,

@@ -47,6 +47,35 @@ object Sampling {
                   permille: Int): DataFrame =
     df.filter(hashBucket(keyCol, salt, 1000) < permille)
 
+  /** Sequence packing for pre-training batches: documents
+    * concatenate in doc_id order within `shards` deterministic
+    * shards (shard = doc_id mod shards) and the token stream slices
+    * into fixed `capacityTokens` chunks — the standard
+    * concat-then-chunk packing, where a document may straddle a
+    * chunk boundary. Emits each document's stream offsets and the
+    * chunk range it lands in, all pure integer arithmetic off one
+    * running sum.
+    *
+    * Scale shape: the only exchange is the hash partition on shard;
+    * the running sum is one window per shard ordered by doc_id, so
+    * parallelism = shards (pick shards ≈ cluster cores; each shard's
+    * packing is independent, deterministic, and resumable). No
+    * global sort, no driver state. */
+  def packSequences(documents: DataFrame, capacityTokens: Int = 2048,
+                    shards: Int = 8): DataFrame = {
+    val n = size(split(coalesce(col("text"), lit("")), " "))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    documents.select(col("doc_id"), n.as("n_tokens"))
+      .withColumn("shard", expr(s"doc_id % $shards"))
+      .withColumn("end_offset", sum(col("n_tokens")).over(w))
+      .withColumn("start_offset", col("end_offset") - col("n_tokens"))
+      .withColumn("first_chunk", expr(s"start_offset DIV $capacityTokens"))
+      .withColumn("last_chunk", expr(s"(end_offset - 1) DIV $capacityTokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("start_offset"), col("first_chunk"), col("last_chunk"),
+        (col("last_chunk") - col("first_chunk") + 1L).as("n_chunks"))
+  }
+
   /** Deterministic stratified sampling: keep AT MOST `perGroup` rows
     * per group, chosen by (salt, key) hash rank — the language/
     * source-balancing primitive ("at most n docs per language").

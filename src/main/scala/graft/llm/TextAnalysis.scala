@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cross-engine-deterministic primitives shared by the LLM-pipeline
@@ -129,6 +130,41 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]")).as("n_re_tokens"),
       col("n_chars").as("n_chars_meta"),
       length(col("text")).as("n_chars_actual"))
+
+  /** Top-k keywords per document by an integer-exact TF-IDF ratio:
+    * tf_e6 = occurrences·1e6 DIV doc length, score_e6 = tf_e6 ·
+    * n_docs DIV document frequency. Deliberately log-free — the
+    * classic ln(N/df) weighting hangs per-corpus ranks on libm's
+    * last ulp, while this ratio is pure integer arithmetic, identical
+    * in any engine, and induces a per-document keyword RANKING that
+    * still rewards rare terms (score is monotone decreasing in df for
+    * fixed tf). Ties break on the word ascending.
+    *
+    * Scale shape: one token explode → a map-side-combined (doc, word)
+    * count; document frequency reduces that to vocabulary cardinality
+    * (AQE broadcasts it back when small); corpus size joins in as a
+    * broadcast 1-row literal — never a driver-side collect; the final
+    * per-doc rank partitions on doc_id with ≤ distinct-words rows per
+    * partition. */
+  def tfidfKeywords(documents: DataFrame, k: Int = 5): DataFrame = {
+    val toks = split(coalesce(col("text"), lit("")), " ")
+    val words = documents.select(col("doc_id"), explode(toks).as("w"))
+    val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val docLen = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n_words"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = documents.select(countDistinct(col("doc_id")).as("n_docs"))
+    val wnd = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_e6").desc, col("w").asc)
+    tf.join(docLen, "doc_id").join(dfreq, "w")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tf_e6", expr("c * 1000000 DIV n_words"))
+      .withColumn("score_e6", expr("tf_e6 * n_docs DIV df"))
+      .withColumn("rk", row_number().over(wnd))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("w").as("word"),
+        col("c").as("n_occurrences"), col("df").as("doc_freq"),
+        col("score_e6"), col("rk").cast("long").as("rk"))
+  }
 
   /** Corpus-wide n-gram frequency: the k most frequent word n-grams
     * with occurrence counts — the vocabulary statistics a tokenizer

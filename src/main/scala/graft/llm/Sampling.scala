@@ -65,7 +65,7 @@ object Sampling {
                     shards: Int = 8): DataFrame = {
     val n = size(split(coalesce(col("text"), lit("")), " "))
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-    documents.select(col("doc_id"), n.as("n_tokens"))
+    documents.select(col("doc_id"), n.cast("long").as("n_tokens"))
       .withColumn("shard", expr(s"doc_id % $shards"))
       .withColumn("end_offset", sum(col("n_tokens")).over(w))
       .withColumn("start_offset", col("end_offset") - col("n_tokens"))

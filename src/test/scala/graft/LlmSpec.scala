@@ -315,4 +315,54 @@ class LlmSpec extends SparkSpecBase {
     val without = pick(docs.filter(col("lang") =!= base.keys.head))
     assert(without == base - base.keys.head, "group picks are independent")
   }
+
+  test("tfidf keywords rank rare terms above common ones, exactly k per doc") {
+    import graft.llm.TextAnalysis
+    import spark.implicits._
+    // "rare" appears once in one doc; "common" in every doc
+    val corpus = Seq(
+      (1L, "common rare common"),
+      (2L, "common a b c d"),
+      (3L, "common e f g h")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(corpus, k = 2)
+      .select("doc_id", "word", "score_e6", "rk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.count(_._1 == 1L) === 2)
+    // doc 1: rare (tf 1/3, df 1, N 3) → 333333·3 = 999999 beats
+    // common (tf 2/3, df 3) → 666666·3/3 = 666666
+    assert(out.contains((1L, "rare", 999999L, 1L)))
+    assert(out.contains((1L, "common", 666666L, 2L)))
+    // full-corpus shape: exactly 5 per doc at the default k
+    val full = TextAnalysis.tfidfKeywords(docs)
+    val perDoc = full.groupBy("doc_id").count().select("count").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(perDoc.forall(_ <= 5) && perDoc.contains(5L))
+  }
+
+  test("sequence packing is a per-shard running chunking, gapless and exact") {
+    import graft.llm.Sampling
+    val out = Sampling.packSequences(docs, capacityTokens = 64, shards = 4)
+    val rows = out.collect()
+    assert(rows.length === docs.count())
+    // offsets within each shard are gapless: sorted by doc_id, each
+    // start equals the previous end
+    rows.groupBy(_.getLong(1)).foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(_.getLong(0))
+      sorted.foldLeft(0L) { (expectStart, r) =>
+        assert(r.getLong(3) === expectStart,
+          s"shard $shard doc ${r.getLong(0)} offset gap")
+        expectStart + r.getLong(2)
+      }
+    }
+    // chunk span matches the offsets arithmetic
+    rows.foreach { r =>
+      val (n, start, first, last, nchunks) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(first === start / 64 && last === (start + n - 1) / 64 &&
+        nchunks === last - first + 1)
+    }
+    // a straddling doc spans > 1 chunk somewhere in a 64-token stream
+    assert(rows.exists(_.getLong(6) > 1L))
+  }
 }

@@ -803,6 +803,13 @@ object SparkEntry {
         parsePromQL("avg without (k) (sum_over_time(click[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
 
+    // holt_winters: per-window double exponential smoothing (the
+    // trend-aware level estimate), sequential left fold
+    "promql_holt" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("holt_winters(click[7d], 0.5, 0.5)"),
+        WinStartSec, WinEndSec, 86400L))),
+
     // label_join: a composite id label from k and user, per series
     "promql_label_join" -> ((s, dir) =>
       promqlStr(PromQL.eval(samples(s, dir),
@@ -2364,6 +2371,34 @@ object SparkEntry {
          |SELECT CAST(NULL AS VARCHAR) AS metric, '' AS labels_str, t,
          |       CAST(floor(quantile_cont(CAST(v_e6 AS DOUBLE), 0.9) + 0.5) AS BIGINT) AS v_e6
          |FROM sot GROUP BY t""".stripMargin,
+
+    // the same sequential [level, trend] fold via list_reduce with a
+    // prepended init pair — identical arithmetic order, so the
+    // doubles match bit-for-bit (the left-fold portability contract)
+    "promql_holt" ->
+      s"""$dedupCte, grid AS (SELECT unnest(range(0, 16)) AS k),
+         |j AS (
+         |  SELECT s.metric, s.labels, $WinStartSec + g.k * 86400 AS t,
+         |         s.t_sec, s.value
+         |  FROM deduped s JOIN grid g
+         |    ON s.t_sec >= $WinStartSec + g.k * 86400 - 604800
+         |   AND s.t_sec <  $WinStartSec + g.k * 86400
+         |  WHERE s.metric = 'click'
+         |    AND s.t_sec >= ${WinStartSec - 604800} AND s.t_sec <= ${WinEndSec - 1}
+         |), lst AS (
+         |  SELECT metric, labels, t, list(value ORDER BY t_sec) AS vs
+         |  FROM j GROUP BY 1, 2, 3
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, t,
+         |  CAST(floor(
+         |    list_reduce(
+         |      list_concat([[vs[1], vs[2] - vs[1]]],
+         |                  list_transform(vs[2:], x -> [x, 0.0])),
+         |      (acc, p) -> [0.5 * p[1] + (1.0 - 0.5) * (acc[1] + acc[2]),
+         |                   0.5 * ((0.5 * p[1] + (1.0 - 0.5) * (acc[1] + acc[2]))
+         |                          - acc[1]) + (1.0 - 0.5) * acc[2]]
+         |    )[1] * 1000000 + 0.5) AS BIGINT) AS v_e6
+         |FROM lst WHERE len(vs) >= 2""".stripMargin,
 
     // Spark evaluates through a DATE (tz-free); the mirror uses
     // DuckDB's own date arithmetic — the proleptic Gregorian calendar

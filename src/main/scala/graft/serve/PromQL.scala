@@ -213,6 +213,11 @@ object PromQL {
   /** vector(s): the constant scalar as a {}-labeled instant vector on
     * every grid step — the `sum(x) or vector(0)` fallback idiom. */
   final case class VectorLit(v: Double) extends Expr
+  /** holt_winters(sel[d], sf, tf) (v3: double_exponential_smoothing):
+    * per-window double exponential smoothing — level sf, trend tf. */
+  final case class HoltWinters(matchers: Seq[LabelMatcher], rangeSec: Long,
+                               sf: Double, tf: Double,
+                               offsetSec: Long = 0L) extends Expr
   /** child @ tsSec: the child evaluated once at the fixed timestamp,
     * replicated across every grid step (Prometheus's `@` modifier —
     * the fixed-baseline comparison idiom). */
@@ -556,6 +561,24 @@ object PromQL {
               case _ => Right(())
             }
           } yield HistQ(q, child)
+        case Some(id) if id == "holt_winters" ||
+                         id == "double_exponential_smoothing" =>
+          i += id.length
+          for {
+            _ <- eat('(')
+            sel <- selectorMatchers()
+            _ <- eat('[')
+            d <- duration()
+            _ <- eat(']')
+            off <- offsetClause()
+            _ <- eat(',')
+            sf <- number().filter(v => v > 0.0 && v < 1.0)
+              .toRight("holt_winters: smoothing factor must be in (0, 1)")
+            _ <- eat(',')
+            tf <- number().filter(v => v > 0.0 && v < 1.0)
+              .toRight("holt_winters: trend factor must be in (0, 1)")
+            _ <- eat(')')
+          } yield HoltWinters(sel, d, sf, tf, off)
         case Some(id) if id == "predict_linear" =>
           i += id.length
           for {
@@ -978,6 +1001,9 @@ object PromQL {
       case Predict(ms, d, h, off) =>
         unshift(regressionRange(samples, ms, startSec - off, endSec - off,
           stepSec, d, ignoreLabel, horizonSec = Some(h)), off)
+      case HoltWinters(ms, d, sf, tf, off) =>
+        unshift(holtWintersRange(samples, ms, startSec - off, endSec - off,
+          stepSec, d, sf, tf, ignoreLabel), off)
       case Absent(ms, d, off) =>
         unshift(absentRange(samples, ms, startSec - off, endSec - off,
           stepSec, d, ignoreLabel), off)
@@ -1754,6 +1780,45 @@ object PromQL {
     }
     g.select(col("metric"), col("labels"), col("t"),
       v.cast("long").as("v_e6"))
+  }
+
+  /** holt_winters (double exponential smoothing): per window, the
+    * time-ordered values fold through Prometheus's recurrence —
+    * s₀ = v₀, b₀ = v₁−v₀, then for each later x:
+    * s' = sf·x + (1−sf)(s+b), b' = tf·(s'−s) + (1−tf)·b — answering
+    * the final level s. The fold is a SEQUENTIAL left fold over an
+    * [s, b] array accumulator (Spark `aggregate`), so the double
+    * arithmetic has one fixed order and any engine folding the same
+    * sorted list reproduces it bit-for-bit (the left-fold portability
+    * the MinHash oracle established). Windows need ≥ 2 points.
+    *
+    * Scale shape: like quantile_over_time, the one range function
+    * whose shuffle carries each window's value multiset (a smoothing
+    * recurrence doesn't decompose into partials) — rows stay bounded
+    * by the d/step explode amplification, and the fold itself is a
+    * per-row codegen'd higher-order function. */
+  private def holtWintersRange(samples: DataFrame,
+                               matchers: Seq[LabelMatcher], start: Long,
+                               end: Long, step: Long, d: Long, sf: Double,
+                               tf: Double,
+                               ignoreLabel: Option[String]): DataFrame = {
+    val sfD = s"${sf}D"
+    val tfD = s"${tf}D"
+    val sNext = s"$sfD * x + (1.0D - $sfD) * (acc[0] + acc[1])"
+    gridExplode(samples, matchers, start, end, step, d, ignoreLabel)
+      .groupBy(col("metric"), col("labels"), col("t"))
+      .agg(expr("transform(array_sort(collect_list(struct(t_sec, value)))," +
+        " p -> CAST(p.value AS DOUBLE))").as("vs"))
+      .filter(size(col("vs")) >= 2)
+      .select(col("metric"), col("labels"), col("t"),
+        expr(
+          s"""CAST(floor(aggregate(
+             |  slice(vs, 2, size(vs) - 1),
+             |  array(CAST(vs[0] AS DOUBLE), CAST(vs[1] - vs[0] AS DOUBLE)),
+             |  (acc, x) -> array($sNext,
+             |    $tfD * (($sNext) - acc[0]) + (1.0D - $tfD) * acc[1]),
+             |  acc -> acc[0]) * 1000000 + 0.5) AS BIGINT)""".stripMargin
+        ).as("v_e6"))
   }
 
   /** absent_over_time: 1 at every grid step whose window [t-d, t)

@@ -765,6 +765,31 @@ class PromQLSpec extends SparkSpecBase {
     assert(cal("days_in_month()") === 31000000L)
   }
 
+  test("holt_winters folds the window's sorted values through the recurrence") {
+    assert(PromQL.parse("holt_winters(x[1h], 0.5, 0.5)") match {
+      case Right(HoltWinters(_, 3600L, 0.5, 0.5, 0L)) => true
+      case _ => false
+    })
+    assert(PromQL.parse("double_exponential_smoothing(x[1h], 0.3, 0.2)").isRight)
+    assert(PromQL.parse("holt_winters(x[1h], 0, 0.5)").isLeft)
+    assert(PromQL.parse("holt_winters(x[1h], 0.5, 1)").isLeft)
+    // series a over [t0, t0+120): v = 1.0, 2.5, 4.0, 1.0 with
+    // sf=tf=0.5: s=1, b=1.5 → (2.5, 1.5) → (4.0, 1.5) →
+    // s=0.5·1+0.5·5.5=3.25, the final level
+    val hw = rows(PromQL.eval(tinySamples,
+      parse("holt_winters(m[120s], 0.5, 0.5)").toOption.get,
+      T0 + 120, T0 + 120, 120L))
+    assert(hw.contains(("m", "host=a,user=1", T0 + 120, 3250000L)))
+    // two-point windows answer the second value (the recurrence's
+    // first step lands exactly on it)
+    assert(hw.contains(("m", "host=b,user=2", T0 + 120, 10250000L)))
+    // single-point windows drop
+    val single = rows(PromQL.eval(tinySamples,
+      parse("holt_winters(m[30s], 0.5, 0.5)").toOption.get,
+      T0 + 120, T0 + 120, 30L))
+    assert(!single.exists(r => r._2 == "host=a,user=1" && r._3 == T0 + 120))
+  }
+
   test("subqueries evaluate the inner expr on the res grid, then window it") {
     assert(PromQL.parse("max_over_time(rate(x[5m])[1h:5m])") match {
       case Right(Subquery("max_over_time", RangeCall("rate", _, 300L, 0L),

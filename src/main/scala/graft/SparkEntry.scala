@@ -803,6 +803,13 @@ object SparkEntry {
         parsePromQL("avg without (k) (sum_over_time(click[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
 
+    // timestamp(): the true staleness age — seconds since each
+    // series' latest sample, on a 6h grid with a 1d lookback
+    "promql_timestamp" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("time() - timestamp(click)"),
+        WinStartSec, WinEndSec, 21600L, lookbackSec = 86400L))),
+
     // holt_winters: per-window double exponential smoothing (the
     // trend-aware level estimate), sequential left fold
     "promql_holt" -> ((s, dir) =>
@@ -2371,6 +2378,26 @@ object SparkEntry {
          |SELECT CAST(NULL AS VARCHAR) AS metric, '' AS labels_str, t,
          |       CAST(floor(quantile_cont(CAST(v_e6 AS DOUBLE), 0.9) + 0.5) AS BIGINT) AS v_e6
          |FROM sot GROUP BY t""".stripMargin,
+
+    "promql_timestamp" ->
+      s"""$dedupCte, sel AS (
+         |  SELECT * FROM deduped
+         |  WHERE metric = 'click'
+         |    AND t_sec >= ${WinStartSec - 86400 + 1} AND t_sec <= $WinEndSec
+         |), grid AS (SELECT unnest(range(0, 61)) AS k),
+         |j AS (
+         |  SELECT s.metric, s.labels, $WinStartSec + g.k * 21600 AS t, s.t_sec
+         |  FROM sel s JOIN grid g
+         |    ON s.t_sec <= $WinStartSec + g.k * 21600
+         |   AND s.t_sec >  $WinStartSec + g.k * 21600 - 86400
+         |), st AS (
+         |  SELECT metric, labels, t, max(t_sec) AS ts
+         |  FROM j GROUP BY 1, 2, 3
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(labels, ',') AS labels_str, t,
+         |       (t - ts) * 1000000 AS v_e6
+         |FROM st""".stripMargin,
 
     // the same sequential [level, trend] fold via list_reduce with a
     // prepended init pair — identical arithmetic order, so the

@@ -213,6 +213,11 @@ object PromQL {
   /** vector(s): the constant scalar as a {}-labeled instant vector on
     * every grid step — the `sum(x) or vector(0)` fallback idiom. */
   final case class VectorLit(v: Double) extends Expr
+  /** timestamp(sel [offset]): each series' latest-sample TIME (epoch
+    * seconds) as the value, per step — `time() - timestamp(sel)` is
+    * the true staleness age. */
+  final case class TimestampOf(matchers: Seq[LabelMatcher],
+                               offsetSec: Long = 0L) extends Expr
   /** holt_winters(sel[d], sf, tf) (v3: double_exponential_smoothing):
     * per-window double exponential smoothing — level sf, trend tf. */
   final case class HoltWinters(matchers: Seq[LabelMatcher], rangeSec: Long,
@@ -613,6 +618,16 @@ object PromQL {
             off <- offsetClause()
             _ <- eat(')')
           } yield AbsentI(sel, off)
+        case Some(id) if id == "timestamp" =>
+          i += id.length
+          val after = { val s2 = i; ws(); val c = peekChar; i = s2; c }
+          if (!after.contains('(')) { i = save; selector() }
+          else for {
+            _ <- eat('(')
+            sel <- selectorMatchers()
+            off <- offsetClause()
+            _ <- eat(')')
+          } yield TimestampOf(sel, off)
         case Some(id) if id == "label_join" =>
           i += id.length
           for {
@@ -984,6 +999,9 @@ object PromQL {
     expr0 match {
       case Instant(ms, off) => unshift(instant(samples, ms, startSec - off,
         endSec - off, stepSec, lookbackSec, ignoreLabel), off)
+      case TimestampOf(ms, off) => unshift(instant(samples, ms,
+        startSec - off, endSec - off, stepSec, lookbackSec, ignoreLabel,
+        valueIsTime = true), off)
       case RangeCall(fn, ms, d, off) if PairFns(fn) =>
         unshift(pairRange(samples, fn, ms, startSec - off, endSec - off,
           stepSec, d, ignoreLabel), off)
@@ -1914,7 +1932,8 @@ object PromQL {
     * convention. */
   private def instant(samples: DataFrame, matchers: Seq[LabelMatcher],
                       start: Long, end: Long, step: Long, lookback: Long,
-                      ignoreLabel: Option[String]): DataFrame = {
+                      ignoreLabel: Option[String],
+                      valueIsTime: Boolean = false): DataFrame = {
     val off = lookback / step + 2
     val kTop = (end - start) / step
     dedupedWindow(samples, matchers, start - lookback + 1, end, ignoreLabel)
@@ -1928,9 +1947,11 @@ object PromQL {
       .withColumn("k", explode(expr("sequence(kmin, kmax)")))
       .withColumn("t", expr(s"$start + k * $step"))
       .groupBy(col("metric"), col("labels"), col("t"))
-      .agg(max_by(col("value"), col("t_sec")).as("v"))
+      .agg(max_by(col("value"), col("t_sec")).as("v"),
+        max(col("t_sec")).as("ts"))
       .select(col("metric"), col("labels"), col("t"),
-        expr("CAST(floor(v * 1000000 + 0.5) AS BIGINT)").as("v_e6"))
+        (if (valueIsTime) expr("ts * 1000000")
+         else expr("CAST(floor(v * 1000000 + 0.5) AS BIGINT)")).as("v_e6"))
   }
 
   /** sum/avg/min/max/count/group/quantile, grouped `by (keys)` (keep

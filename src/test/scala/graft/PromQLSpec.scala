@@ -790,6 +790,28 @@ class PromQLSpec extends SparkSpecBase {
     assert(!single.exists(r => r._2 == "host=a,user=1" && r._3 == T0 + 120))
   }
 
+  test("timestamp() answers each series' latest-sample time; staleness composes") {
+    assert(PromQL.parse("timestamp(m)") match {
+      case Right(TimestampOf(_, 0L)) => true
+      case _ => false
+    })
+    // at t0+120 with a 2 m lookback: a's latest sample is @ t0+95,
+    // b's @ t0+45
+    val ts = rows(PromQL.eval(tinySamples,
+      parse("timestamp(m)").toOption.get, T0 + 120, T0 + 120, 60L,
+      lookbackSec = 120L))
+    assert(ts === Set(
+      ("m", "host=a,user=1", T0 + 120, (T0 + 95) * 1000000L),
+      ("m", "host=b,user=2", T0 + 120, (T0 + 45) * 1000000L)))
+    // the true staleness age in seconds
+    val age = rows(PromQL.eval(tinySamples,
+      parse("time() - timestamp(m)").toOption.get, T0 + 120, T0 + 120, 60L,
+      lookbackSec = 120L))
+    assert(age === Set(
+      ("", "host=a,user=1", T0 + 120, 25000000L),
+      ("", "host=b,user=2", T0 + 120, 75000000L)))
+  }
+
   test("subqueries evaluate the inner expr on the res grid, then window it") {
     assert(PromQL.parse("max_over_time(rate(x[5m])[1h:5m])") match {
       case Right(Subquery("max_over_time", RangeCall("rate", _, 300L, 0L),

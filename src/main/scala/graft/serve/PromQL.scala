@@ -29,33 +29,50 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   *   matching := ("on"|"ignoring") "(" names ")"
   *               [("group_left"|"group_right") ["(" names ")"]]
   *               (group_* on arithmetic/comparisons only)
-  *   term     := agg | rank | rangecall | mathfn | predict | absent
-  *             | selector | number | "(" expr ")"
+  *   term     := agg | countv | rank | rangecall | subquery | histq
+  *             | predict | holt | absent | tstamp | mathfn | labelfn
+  *             | "time" "()" | "vector" "(" num ")"
+  *             | "scalar" "(" expr ")" | selector | number
+  *             | "(" expr ")"
   *   agg      := op [grouping] "(" [φ ","] expr ")" [grouping]
   *               op ∈ sum avg min max count group quantile(φ)
+  *   countv   := "count_values" [grouping] "(" str "," expr ")" [grouping]
   *   grouping := ("by"|"without") "(" names ")"
   *   rank     := ("topk"|"bottomk") "(" int "," expr ")"
   *   quantile := "quantile_over_time" "(" φ "," selector "[" dur "]" [offset] ")"
-  *   rangecall:= fn "(" selector "[" dur "]" [offset] ")"
+  *   rangecall:= fn "(" selector "[" dur "]" [mods] ")"
   *               fn ∈ rate irate increase delta idelta deriv changes
   *                    resets avg_over_time min_over_time max_over_time
   *                    sum_over_time count_over_time last_over_time
   *                    stddev_over_time stdvar_over_time
   *                    present_over_time
-  *   subquery := fn "(" expr "[" dur ":" dur "]" [offset] ")"
+  *   subquery := fn "(" expr "[" dur ":" dur "]" [mods] ")"
   *               fn ∈ sum/avg/min/max/count/last_over_time
   *   histq    := "histogram_quantile" "(" φ "," expr ")"
   *   predict  := "predict_linear" "(" selector "[" dur "]" [offset] "," num ")"
+  *   holt     := ("holt_winters"|"double_exponential_smoothing")
+  *               "(" selector "[" dur "]" [offset] "," sf "," tf ")"
   *   absent   := "absent_over_time" "(" selector "[" dur "]" [offset] ")"
   *             | "absent" "(" selector [offset] ")"
+  *   tstamp   := "timestamp" "(" selector [offset] ")"
   *   mathfn   := fn "(" expr ["," num]* ")"
   *               fn ∈ abs ceil floor sgn sqrt round(v[,n])
   *                    clamp(v,lo,hi) clamp_min(v,lo) clamp_max(v,hi)
-  *                    hour minute day_of_week  (empty arg = time())
+  *                    hour minute day_of_week day_of_month day_of_year
+  *                    month year days_in_month  (empty arg = time())
+  *   labelfn  := "label_replace" "(" expr "," str "," str "," str "," str ")"
+  *             | "label_join" "(" expr "," str "," str {"," str} ")"
   *   selector := PromQL instant-vector selector (Matchers.parseSelector)
-  *               [offset]
+  *               [mods]
+  *   mods     := [offset] [@ num]   (either order)
   *   offset   := "offset" dur      (shifts every window back by dur)
   *   dur      := (\d+ [smhdw])+ | \d+   (seconds resolution)
+  *
+  * Deliberately NOT in the grammar: ln/log2/log10/exp — libm
+  * transcendentals are not correctly-rounded, so two engines can
+  * disagree in the last ulp and the exact-arithmetic value model
+  * would go non-portable (sqrt IS correctly rounded, so it ships);
+  * and sort/sort_desc — the result sets here carry no order.
   *
   * Binary arithmetic: vector∘scalar is a per-row projection;
   * vector∘vector matches series on their FULL label sets (the

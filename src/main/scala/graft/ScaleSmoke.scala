@@ -14,7 +14,7 @@ import graft.sources.Tables
   * corpus (labels suffixed per copy — series COUNT scales, the axis
   * that grows at 100 TB). Measures how each stage scales; numbers
   * land in SCALE.md. `SPARK_GRAFT_SCALE_ONLY=
-  * read|dedup|ann|curate|prep|rollup|rolldense|compact` runs one section. */
+  * read|promql|dedup|ann|curate|prep|rollup|rolldense|compact` runs one section. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
@@ -92,6 +92,31 @@ object ScaleSmoke {
         val blob = PromRemoteCodec.encodeReadRequest(Seq(rq))
         RemoteRead.serve(smp, blob).length.toLong
       }
+    }
+
+    // PromQL evaluator physics: (a) runtime tracks the series count
+    // linearly (m× label-forked corpora); (b) the d/step explode
+    // amplification is the knob — the SAME scan with a 7d window at
+    // 1d steps costs ~7× the exploded rows of the tiling form, never
+    // more; (c) a pinned @ evaluation is O(one step) regardless of
+    // grid length.
+    for (m <- Seq(1, 2, 4) if sectionEnabled("promql")) {
+      val smp = scaledSamples(m)
+      val (w0, w1) = (1704412800L, 1705708800L)
+      def run(q: String, step: Long = 86400L): Long =
+        graft.serve.PromQL.eval(smp,
+          graft.serve.PromQL.parse(q).toOption.get, w0, w1, step).count()
+      time(s"pqlRate7d       m=$m")(run("rate(click[7d])"))
+      time(s"pqlSumTile1d    m=$m")(run("sum_over_time(click[1d])"))
+      time(s"pqlTopkAgg      m=$m")(
+        run("topk(3, sum by (user) (sum_over_time(click[1d])))"))
+      time(s"pqlRatioMatch   m=$m")(
+        run("sum by (user) (sum_over_time(click[1d]))" +
+          " / on(user) sum by (user) (sum_over_time(view[1d]))"))
+      time(s"pqlSubquery     m=$m")(
+        run("max_over_time(sum by (user) (sum_over_time(click[1d]))[7d:1d])"))
+      time(s"pqlAtPinned     m=$m")(
+        run(s"sum by (user) (sum_over_time(click[1d] @ ${w0 + 86400}))"))
     }
 
     // Curation operators: decontamination (training side scales m×,

@@ -803,6 +803,26 @@ object SparkEntry {
         parsePromQL("avg without (k) (sum_over_time(click[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
 
+    // recording rule: evaluate a per-user daily-sum rule over the
+    // store, append under a new metric name, read the recorded series
+    // back RAW — proving it landed as first-class samples
+    "rule_record" -> ((s, dir) => {
+      val path = workDir("rulerecord", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      SamplesStore.write(samples(s, dir), path)
+      graft.serve.Recording.record(s, path,
+        graft.serve.Recording.Rule("click:daily:by_user",
+          "sum by (user) (sum_over_time(click[1d]))", 86400L),
+        WinStartSec, WinEndSec)
+      SamplesStore.read(s, path)
+        .filter(col("metric") === "click:daily:by_user")
+        .select(col("metric"), array_join(col("labels"), ",").as("labels_str"),
+          expr("ts_us DIV 1000000").as("t"),
+          expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("v_e6"))
+    }),
+
     // timestamp(): the true staleness age — seconds since each
     // series' latest sample, on a 6h grid with a 1d lookback
     "promql_timestamp" -> ((s, dir) =>
@@ -2378,6 +2398,16 @@ object SparkEntry {
          |SELECT CAST(NULL AS VARCHAR) AS metric, '' AS labels_str, t,
          |       CAST(floor(quantile_cont(CAST(v_e6 AS DOUBLE), 0.9) + 0.5) AS BIGINT) AS v_e6
          |FROM sot GROUP BY t""".stripMargin,
+
+    // the recorded series must equal the rule's direct evaluation
+    // (value round-trips exactly through the double micro-units)
+    "rule_record" ->
+      s"""${promqlSotCte("click")}
+         |SELECT 'click:daily:by_user' AS metric,
+         |       array_to_string(list_filter(labels, l -> l LIKE 'user=%'), ',')
+         |         AS labels_str,
+         |       t, CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |FROM sot GROUP BY 2, 3""".stripMargin,
 
     "promql_timestamp" ->
       s"""$dedupCte, sel AS (

@@ -853,6 +853,40 @@ class PromQLSpec extends SparkSpecBase {
     assert(avg.contains(("m", "host=a,user=1", T0 + 180, 4250000L)))
   }
 
+  test("recording rules append evaluator output as queryable first-class series") {
+    import graft.serve.Recording
+    val path = "/tmp/graft_test/promql_record"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    SamplesStore.write(tinySamples, path)
+    assertThrows[IllegalArgumentException](
+      Recording.Rule("bad name", "m", 60L))
+    assertThrows[IllegalArgumentException](
+      Recording.Rule("r", "rate(m)", 60L)) // bad expr fails eagerly
+    val rule = Recording.Rule("m:sum1m:by_host",
+      "sum by (host) (sum_over_time(m[60s]))", 60L)
+    Recording.record(spark, path, rule, T0 + 60, T0 + 120)
+    // the recorded series is a first-class instant vector now
+    val back = rows(PromQL.eval(SamplesStore.read(spark, path),
+      parse("m:sum1m:by_host").toOption.get, T0 + 60, T0 + 120, 60L,
+      lookbackSec = 1L))
+    assert(back === Set(
+      ("m:sum1m:by_host", "host=a", T0 + 60, 3500000L),
+      ("m:sum1m:by_host", "host=b", T0 + 60, 20250000L),
+      ("m:sum1m:by_host", "host=a", T0 + 120, 5000000L)))
+    // re-recording an overlapping window is idempotent at read time
+    Recording.record(spark, path, rule, T0 + 60, T0 + 120)
+    val again = rows(PromQL.eval(SamplesStore.read(spark, path),
+      parse("m:sum1m:by_host").toOption.get, T0 + 60, T0 + 120, 60L,
+      lookbackSec = 1L))
+    assert(again === back)
+    // and the original series are untouched
+    assert(rows(PromQL.eval(SamplesStore.read(spark, path),
+      parse("sum by (host) (sum_over_time(m[60s]))").toOption.get,
+      T0 + 60, T0 + 60, 60L)).map(_._4) === Set(3500000L, 20250000L))
+  }
+
   test("an aligned tiling sum_over_time routes to the rollup and equals the raw answer") {
     val path = "/tmp/graft_test/promql_rollup"
     val rpath = path + "_roll"

@@ -823,6 +823,17 @@ object SparkEntry {
           expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("v_e6"))
     }),
 
+    // alert rule: per-user daily click-sums over 30 go pending, and
+    // firing once the breach holds for 2 consecutive days
+    "rule_alert" -> ((s, dir) =>
+      graft.serve.Alerting.alerts(samples(s, dir),
+        graft.serve.Alerting.AlertRule("click_hot",
+          "sum by (user) (sum_over_time(click[1d])) > 30",
+          forSec = 172800L, stepSec = 86400L),
+        WinStartSec, WinEndSec)
+        .select(col("metric"), array_join(col("labels"), ",").as("labels_str"),
+          col("t"), col("v_e6"))),
+
     // timestamp(): the true staleness age — seconds since each
     // series' latest sample, on a 6h grid with a 1d lookback
     "promql_timestamp" -> ((s, dir) =>
@@ -2398,6 +2409,40 @@ object SparkEntry {
          |SELECT CAST(NULL AS VARCHAR) AS metric, '' AS labels_str, t,
          |       CAST(floor(quantile_cont(CAST(v_e6 AS DOUBLE), 0.9) + 0.5) AS BIGINT) AS v_e6
          |FROM sot GROUP BY t""".stripMargin,
+
+    // extended grid warms the 2d for-window before the first
+    // reported step; presence counts via a trailing RANGE window
+    "rule_alert" ->
+      s"""$dedupCte, grid AS (SELECT unnest(range(-2, 16)) AS k),
+         |j AS (
+         |  SELECT s.labels, $WinStartSec + g.k * 86400 AS t, s.value
+         |  FROM deduped s JOIN grid g
+         |    ON s.t_sec >= $WinStartSec + g.k * 86400 - 86400
+         |   AND s.t_sec <  $WinStartSec + g.k * 86400
+         |  WHERE s.metric = 'click'
+         |    AND s.t_sec >= ${WinStartSec - 259200} AND s.t_sec <= ${WinEndSec - 1}
+         |), sot AS (
+         |  SELECT labels, t,
+         |         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) * 10000 AS v_e6
+         |  FROM j GROUP BY 1, 2
+         |), agg AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
+         |         CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2
+         |), m AS (SELECT * FROM agg WHERE v_e6 > 30000000),
+         |st AS (
+         |  SELECT labels, t, count(*) OVER (
+         |    PARTITION BY labels ORDER BY t
+         |    RANGE BETWEEN 172800 PRECEDING AND CURRENT ROW) AS n
+         |  FROM m
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(list_sort(list_concat(labels,
+         |         ['alertname=click_hot',
+         |          'alertstate=' || CASE WHEN n >= 3 THEN 'firing'
+         |                                ELSE 'pending' END])), ',') AS labels_str,
+         |       t, CAST(1000000 AS BIGINT) AS v_e6
+         |FROM st WHERE t >= $WinStartSec""".stripMargin,
 
     // the recorded series must equal the rule's direct evaluation
     // (value round-trips exactly through the double micro-units)

@@ -887,6 +887,34 @@ class PromQLSpec extends SparkSpecBase {
       T0 + 60, T0 + 60, 60L)).map(_._4) === Set(3500000L, 20250000L))
   }
 
+  test("alert rules go pending then firing after the for-duration holds") {
+    import graft.serve.Alerting
+    assertThrows[IllegalArgumentException](
+      Alerting.AlertRule("a", "m", forSec = 90L, stepSec = 60L)) // not a multiple
+    // series a's 1m sums: [t0,t0+60)=3.5, [t0+60,t0+120)=5.0, then
+    // nothing; alert on > 3 with for=1m (need 2 consecutive steps)
+    val rule = Alerting.AlertRule("hot_m",
+      "sum by (host) (sum_over_time(m[60s])) > 3", forSec = 60L, stepSec = 60L)
+    val out = rows(Alerting.alerts(tinySamples, rule, T0 + 60, T0 + 240))
+    // t0+60: first match → pending; t0+120: two consecutive → firing
+    assert(out.contains(
+      ("", "alertname=hot_m,alertstate=pending,host=a", T0 + 60, 1000000L)))
+    assert(out.contains(
+      ("", "alertname=hot_m,alertstate=firing,host=a", T0 + 120, 1000000L)))
+    // the series stops matching after t0+120 → no rows (resolved)
+    assert(!out.exists(r => r._3 > T0 + 120 && r._2.contains("host=a")))
+    // host=b matches only at t0+60 (20.25 > 3), never again → one
+    // pending row, never firing
+    assert(out.contains(
+      ("", "alertname=hot_m,alertstate=pending,host=b", T0 + 60, 1000000L)))
+    assert(!out.exists(r => r._2.contains("host=b") && r._2.contains("firing")))
+    // for = 0 fires immediately
+    val now = Alerting.AlertRule("hot_now",
+      "sum by (host) (sum_over_time(m[60s])) > 3", forSec = 0L, stepSec = 60L)
+    val o2 = rows(Alerting.alerts(tinySamples, now, T0 + 60, T0 + 60))
+    assert(o2.forall(_._2.contains("alertstate=firing")))
+  }
+
   test("an aligned tiling sum_over_time routes to the rollup and equals the raw answer") {
     val path = "/tmp/graft_test/promql_rollup"
     val rpath = path + "_roll"

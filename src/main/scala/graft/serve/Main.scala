@@ -20,6 +20,7 @@ final case class ServeConfig(
     compactFilesPerDay: Int = graft.ingest.SamplesStore.AutoCompactFilesPerDay,
     retentionDays: Int = 0,
     rollupIntervalSec: Long = 0L,
+    recordRules: Seq[String] = Nil,
     debug: Boolean = false) {
 
   /** [address:]port → port int (main.go:93-95 prefixes ":" when no
@@ -55,12 +56,29 @@ final case class ServeConfig(
     if (rollupIntervalSec < 0 || (rollupIntervalSec > 0 && 86400L % rollupIntervalSec != 0))
       throw new IllegalArgumentException(
         s"invalid store.rollup-interval-sec $rollupIntervalSec: must divide a day (0 disables)")
+    parsedRules // validates every -rule.record at startup
     port // validates listen
     this
   }
 
   def ignoreLabelOpt: Option[String] =
     if (readIgnoreLabel.isEmpty) None else Some(readIgnoreLabel)
+
+  /** `-rule.record <stepSec>|<name>|<expr>` → eagerly-parsed rules
+    * (a malformed rule fails at startup, like every other flag). The
+    * expression is everything after the second '|', so regex
+    * alternation inside it stays intact. */
+  def parsedRules: Seq[Recording.Rule] = recordRules.map { raw =>
+    raw.split("\\|", 3) match {
+      case Array(step, name, expr) =>
+        val stepSec = step.toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"invalid -rule.record step '$step' in '$raw'"))
+        Recording.Rule(name, expr, stepSec)
+      case _ => throw new IllegalArgumentException(
+        s"invalid -rule.record '$raw': want <stepSec>|<name>|<expr>")
+    }
+  }
 }
 
 /** Runnable service: parse flags, validate, build the session, bind
@@ -83,6 +101,7 @@ object Main {
       case "-store.compact-files-per-day" :: v :: t => loop(t, c.copy(compactFilesPerDay = v.toInt))
       case "-store.retention-days" :: v :: t => loop(t, c.copy(retentionDays = v.toInt))
       case "-store.rollup-interval-sec" :: v :: t => loop(t, c.copy(rollupIntervalSec = v.toLong))
+      case "-rule.record" :: v :: t => loop(t, c.copy(recordRules = c.recordRules :+ v))
       // main.go:89's -debug (zap debug logging) — here it lifts the
       // Spark log level so request handling and store jobs trace
       case "-debug" :: t => loop(t, c.copy(debug = true))
@@ -108,6 +127,7 @@ object Main {
     RemoteWrite.compactCheckIntervalMs = cfg.compactIntervalMs
     RemoteWrite.autoCompactFilesPerDay = cfg.compactFilesPerDay
     RemoteWrite.retentionDays = cfg.retentionDays
+    RemoteWrite.recordingRules = cfg.parsedRules
     RemoteWrite.rollupIntervalSec = cfg.rollupIntervalSec
     val server = HttpServe.start(spark, cfg.storePath, cfg.port,
       cfg.ignoreLabelOpt, cfg.readIgnoreHints, cfg.maxReadSamples)

@@ -104,6 +104,7 @@ object RemoteWrite {
           // than the grace, so it runs at most every graceMs/4 —
           // never per probe on a multi-year store.
           rollupPass(spark, storePath, rollupIntervalSec)
+          recordingPass(spark, storePath)
           val nowE = System.currentTimeMillis()
           val lastE = lastExpiry.getOrElse(storePath, 0L)
           if (nowE - lastE >= gcGraceMs / 4) {
@@ -130,6 +131,56 @@ object RemoteWrite {
     if (intervalSec <= 0) 0
     else graft.ingest.RollupStore.rollup(spark, storePath,
       rollupPathFor(storePath), intervalSec)
+
+  /** Recording rules the background maintenance evaluates (empty =
+    * disabled). Configured via `-rule.record` flags. */
+  @volatile var recordingRules: Seq[Recording.Rule] = Nil
+  /** How many rule steps a cold start (or a long outage) backfills. */
+  @volatile var recordingBackfillSteps: Int = 7
+  private val lastRecorded =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** One background recording pass: advance every rule to the latest
+    * complete grid point the DATA reaches (store time, not wall
+    * time — a replayed backlog records correctly), evaluating only
+    * the steps since the rule's watermark (bounded by the backfill
+    * horizon on a cold start). Returns grid points recorded.
+    *
+    * The newest-sample probe reads the max day from the partition
+    * values, then max(ts) inside that one pruned day — never a full
+    * scan. Crash/restart safety needs no persisted watermark:
+    * re-recording an overlapping window appends byte-identical
+    * samples the read path's per-second dedup collapses
+    * (Recording.record's idempotence contract). */
+  private[graft] def recordingPass(spark: SparkSession,
+                                   storePath: String): Long = {
+    if (recordingRules.isEmpty) return 0L
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (SamplesStore.latestSnapshot(fs, root).isEmpty) return 0L
+    import org.apache.spark.sql.functions.{col, expr, max}
+    val df = SamplesStore.read(spark, storePath)
+    val maxDayRow = df.agg(max(col("date").cast("long"))).first()
+    if (maxDayRow.isNullAt(0)) return 0L
+    val maxDay = maxDayRow.getLong(0)
+    val maxTs = df.filter(col("date").cast("long") === maxDay)
+      .agg(max(expr("ts_us DIV 1000000"))).first().getLong(0)
+    var recorded = 0L
+    recordingRules.foreach { rule =>
+      val hi = maxTs / rule.stepSec * rule.stepSec
+      val key = s"$storePath|${rule.recordName}"
+      val lo = Option(lastRecorded.get(key))
+        .map(_.longValue + rule.stepSec)
+        .getOrElse(Long.MinValue)
+        .max(hi - recordingBackfillSteps.toLong * rule.stepSec)
+      if (hi >= lo) {
+        Recording.record(spark, storePath, rule, lo, hi)
+        lastRecorded.put(key, hi)
+        recorded += (hi - lo) / rule.stepSec + 1
+      }
+    }
+    recorded
+  }
 
   /** One background retention pass: drop the day partitions that end
     * before `now - horizonDays` (day-aligned, so expiry is always

@@ -388,6 +388,52 @@ class ServeSpec extends SparkSpecBase {
       "steady state is a metadata no-op")
   }
 
+  test("background recording passes advance rules to the data's edge, idempotently") {
+    import graft.serve.Recording
+    val store = tmpStore("recpass")
+    val t0 = 1704412800L
+    val prevRules = RemoteWrite.recordingRules
+    try {
+      // disabled / missing-store / empty cases are clean no-ops
+      RemoteWrite.recordingRules = Nil
+      assert(RemoteWrite.recordingPass(spark, store) === 0L)
+      RemoteWrite.recordingRules = Seq(
+        Recording.Rule("rec:minutely:sum", "sum(rec_m)", 60L))
+      assert(RemoteWrite.recordingPass(spark, store) === 0L)
+      // samples at t0, t0+1, t0+2 (writeBlob's spacing): the data
+      // edge t0+2 caps the grid at floor((t0+2)/60)·60 = t0, and the
+      // instant sum at t0 sees the t0 sample in its lookback
+      RemoteWrite.serve(spark, store, writeBlob("rec_m", 3))
+      assert(RemoteWrite.recordingPass(spark, store) > 0L)
+      // the serve() above also triggers the BACKGROUND maintenance
+      // pass, which may record concurrently — duplicate appends are
+      // the design (read-time dedup collapses them), so assert on
+      // the DEDUPED series
+      def recDistinct: Set[(Long, Double)] =
+        graft.ingest.SamplesStore.read(spark, store)
+          .filter(col("metric") === "rec:minutely:sum")
+          .select("ts_us", "value").distinct()
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val d1 = recDistinct
+      assert(d1.nonEmpty, "the rule's series must have landed in the store")
+      // re-running without new data is a watermark no-op
+      assert(RemoteWrite.recordingPass(spark, store) === 0L)
+      assert(recDistinct === d1)
+    } finally RemoteWrite.recordingRules = prevRules
+  }
+
+  test("ServeConfig parses and validates -rule.record flags eagerly") {
+    val cfg = graft.serve.Main.parseArgs(Seq("-store", "/tmp/x", "-rule.record",
+      "60|rec:sum|sum by (k) (sum_over_time(m[60s]))"))
+    assert(cfg.parsedRules === Seq(graft.serve.Recording.Rule(
+      "rec:sum", "sum by (k) (sum_over_time(m[60s]))", 60L)))
+    // malformed step, shape, or EXPRESSION all fail at startup
+    for (bad <- Seq("x|rec|m", "60|rec", "60|rec|rate(m)")) {
+      assertThrows[IllegalArgumentException](
+        graft.serve.Main.parseArgs(Seq("-store", "/tmp/x", "-rule.record", bad)))
+    }
+  }
+
   test("coarse reads serve from a fresh rollup and fall back to raw the moment it is stale") {
     import graft.ingest.{PromRemoteCodec, SamplesStore}
     val store = tmpStore("rollroute")

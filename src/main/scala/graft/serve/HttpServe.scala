@@ -432,6 +432,24 @@ object HttpServe {
         Seq("Content-Type" -> "application/json"))
     })
 
+    // the configured recording rules, in Prometheus's /api/v1/rules
+    // shape — what Grafana's rules UI lists
+    server.createContext("/api/v1/rules", (ex: HttpExchange) => guarded(ex) {
+      val rules = RemoteWrite.recordingRules.map { r =>
+        s"""{"name":"${esc(r.recordName)}","query":"${esc(r.expr)}",""" +
+          s""""duration":0,"labels":{},"health":"ok","type":"recording"}"""
+      }.mkString(",")
+      val body =
+        if (RemoteWrite.recordingRules.isEmpty)
+          """{"status":"success","data":{"groups":[]}}"""
+        else
+          s"""{"status":"success","data":{"groups":[{"name":"graft",""" +
+            s""""file":"","interval":${RemoteWrite.compactCheckIntervalMs / 1000},""" +
+            s""""rules":[$rules]}]}}"""
+      respond(ex, 200, body.getBytes(UTF_8),
+        Seq("Content-Type" -> "application/json"))
+    })
+
     server.createContext("/api/v1/query_range", (ex: HttpExchange) => guarded(ex) {
       servePromQuery(ex, rangeMode = true)
     })

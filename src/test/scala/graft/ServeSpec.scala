@@ -422,6 +422,26 @@ class ServeSpec extends SparkSpecBase {
     } finally RemoteWrite.recordingRules = prevRules
   }
 
+  test("/api/v1/rules lists the configured recording rules as Prometheus JSON") {
+    import graft.serve.Recording
+    val store = tmpStore("rulesapi")
+    val prev = RemoteWrite.recordingRules
+    val srv = HttpServe.start(spark, store)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      RemoteWrite.recordingRules = Nil
+      assert(get(s"$base/api/v1/rules") ===
+        ((200, """{"status":"success","data":{"groups":[]}}""")))
+      RemoteWrite.recordingRules = Seq(
+        Recording.Rule("rec:sum", """sum(m{k="v"})""", 60L))
+      val (c, b) = get(s"$base/api/v1/rules")
+      assert(c === 200)
+      assert(b.contains(""""name":"rec:sum""""), b)
+      assert(b.contains(""""query":"sum(m{k=\"v\"})""""), b) // escaped
+      assert(b.contains(""""type":"recording""""), b)
+    } finally { RemoteWrite.recordingRules = prev; srv.stop() }
+  }
+
   test("ServeConfig parses and validates -rule.record flags eagerly") {
     val cfg = graft.serve.Main.parseArgs(Seq("-store", "/tmp/x", "-rule.record",
       "60|rec:sum|sum by (k) (sum_over_time(m[60s]))"))

@@ -76,4 +76,32 @@ object Alerting {
                       rule: AlertRule, startSec: Long,
                       endSec: Long): DataFrame =
     alerts(SamplesStore.read(spark, storePath), rule, startSec, endSec)
+
+  /** The current alert set at the DATA edge (store time, like the
+    * recording watermark): each rule evaluated at its latest complete
+    * grid point, answering (alert labels, state) rows — what
+    * /api/v1/alerts serves. Cardinality is alerting series, so the
+    * collect is boundary-bounded like the metadata endpoints. */
+  def currentAlerts(spark: SparkSession, storePath: String,
+                    rules: Seq[AlertRule]): Seq[(Seq[String], String, Long)] = {
+    if (rules.isEmpty) return Nil
+    val df = SamplesStore.read(spark, storePath)
+    import org.apache.spark.sql.functions.{col, expr, max}
+    val maxDayRow = df.agg(max(col("date").cast("long"))).first()
+    if (maxDayRow.isNullAt(0)) return Nil
+    val maxTs = df.filter(col("date").cast("long") === maxDayRow.getLong(0))
+      .agg(max(expr("ts_us DIV 1000000"))).first().getLong(0)
+    rules.flatMap { rule =>
+      val edge = maxTs / rule.stepSec * rule.stepSec
+      alerts(df, rule, edge, edge)
+        .select(col("labels"), col("t"))
+        .collect()
+        .map { r =>
+          val ls = r.getSeq[String](0)
+          val state = ls.find(_.startsWith("alertstate="))
+            .map(_.stripPrefix("alertstate=")).getOrElse("pending")
+          (ls.filterNot(_.startsWith("alertstate=")), state, r.getLong(1))
+        }
+    }
+  }
 }

@@ -49,6 +49,10 @@ object HttpServe {
 
   private val log = LoggerFactory.getLogger(getClass)
 
+  /** Alerting rules /api/v1/alerts evaluates on demand (empty =
+    * disabled). Configured via `-rule.alert` flags. */
+  @volatile var alertRules: Seq[Alerting.AlertRule] = Nil
+
   /** Handler pool size. The reference's net/http spawns one goroutine
     * per connection (main.go:162); a JDK HttpServer with NO executor
     * dispatches every exchange on its single dispatcher thread, so one
@@ -432,21 +436,47 @@ object HttpServe {
         Seq("Content-Type" -> "application/json"))
     })
 
-    // the configured recording rules, in Prometheus's /api/v1/rules
-    // shape — what Grafana's rules UI lists
+    // the configured recording + alerting rules, in Prometheus's
+    // /api/v1/rules shape — what Grafana's rules UI lists
     server.createContext("/api/v1/rules", (ex: HttpExchange) => guarded(ex) {
-      val rules = RemoteWrite.recordingRules.map { r =>
+      val recording = RemoteWrite.recordingRules.map { r =>
         s"""{"name":"${esc(r.recordName)}","query":"${esc(r.expr)}",""" +
           s""""duration":0,"labels":{},"health":"ok","type":"recording"}"""
-      }.mkString(",")
+      }
+      val alerting = HttpServe.alertRules.map { r =>
+        s"""{"name":"${esc(r.alertname)}","query":"${esc(r.expr)}",""" +
+          s""""duration":${r.forSec},"labels":{},"health":"ok","type":"alerting"}"""
+      }
+      val rules = (recording ++ alerting).mkString(",")
       val body =
-        if (RemoteWrite.recordingRules.isEmpty)
-          """{"status":"success","data":{"groups":[]}}"""
+        if (rules.isEmpty) """{"status":"success","data":{"groups":[]}}"""
         else
           s"""{"status":"success","data":{"groups":[{"name":"graft",""" +
             s""""file":"","interval":${RemoteWrite.compactCheckIntervalMs / 1000},""" +
             s""""rules":[$rules]}]}}"""
       respond(ex, 200, body.getBytes(UTF_8),
+        Seq("Content-Type" -> "application/json"))
+    })
+
+    // the current alert set, evaluated on demand at the data edge
+    server.createContext("/api/v1/alerts", (ex: HttpExchange) => guarded(ex) {
+      val items = storeSamples() match {
+        case None => Nil
+        case Some(_) =>
+          Alerting.currentAlerts(spark, storePath, HttpServe.alertRules)
+            .map { case (ls, state, t) =>
+              val labelsJson = ls.map { kv =>
+                val i = kv.indexOf('=')
+                s""""${esc(kv.take(i))}":"${esc(kv.drop(i + 1))}""""
+              }.mkString(",")
+              val at = java.time.Instant.ofEpochSecond(t).toString
+              s"""{"labels":{$labelsJson},"annotations":{},""" +
+                s""""state":"$state","activeAt":"$at","value":"1"}"""
+            }
+      }
+      respond(ex, 200,
+        s"""{"status":"success","data":{"alerts":[${items.mkString(",")}]}}"""
+          .getBytes(UTF_8),
         Seq("Content-Type" -> "application/json"))
     })
 

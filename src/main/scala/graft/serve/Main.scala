@@ -21,6 +21,7 @@ final case class ServeConfig(
     retentionDays: Int = 0,
     rollupIntervalSec: Long = 0L,
     recordRules: Seq[String] = Nil,
+    alertRules: Seq[String] = Nil,
     debug: Boolean = false) {
 
   /** [address:]port → port int (main.go:93-95 prefixes ":" when no
@@ -57,6 +58,7 @@ final case class ServeConfig(
       throw new IllegalArgumentException(
         s"invalid store.rollup-interval-sec $rollupIntervalSec: must divide a day (0 disables)")
     parsedRules // validates every -rule.record at startup
+    parsedAlertRules // and every -rule.alert
     port // validates listen
     this
   }
@@ -77,6 +79,23 @@ final case class ServeConfig(
         Recording.Rule(name, expr, stepSec)
       case _ => throw new IllegalArgumentException(
         s"invalid -rule.record '$raw': want <stepSec>|<name>|<expr>")
+    }
+  }
+
+  /** `-rule.alert <stepSec>|<forSec>|<name>|<expr>`, parsed eagerly
+    * like the recording rules. */
+  def parsedAlertRules: Seq[Alerting.AlertRule] = alertRules.map { raw =>
+    raw.split("\\|", 4) match {
+      case Array(step, forS, name, expr) =>
+        val stepSec = step.toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"invalid -rule.alert step '$step' in '$raw'"))
+        val forSec = forS.toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"invalid -rule.alert for-duration '$forS' in '$raw'"))
+        Alerting.AlertRule(name, expr, forSec, stepSec)
+      case _ => throw new IllegalArgumentException(
+        s"invalid -rule.alert '$raw': want <stepSec>|<forSec>|<name>|<expr>")
     }
   }
 }
@@ -102,6 +121,7 @@ object Main {
       case "-store.retention-days" :: v :: t => loop(t, c.copy(retentionDays = v.toInt))
       case "-store.rollup-interval-sec" :: v :: t => loop(t, c.copy(rollupIntervalSec = v.toLong))
       case "-rule.record" :: v :: t => loop(t, c.copy(recordRules = c.recordRules :+ v))
+      case "-rule.alert" :: v :: t => loop(t, c.copy(alertRules = c.alertRules :+ v))
       // main.go:89's -debug (zap debug logging) — here it lifts the
       // Spark log level so request handling and store jobs trace
       case "-debug" :: t => loop(t, c.copy(debug = true))
@@ -128,6 +148,7 @@ object Main {
     RemoteWrite.autoCompactFilesPerDay = cfg.compactFilesPerDay
     RemoteWrite.retentionDays = cfg.retentionDays
     RemoteWrite.recordingRules = cfg.parsedRules
+    HttpServe.alertRules = cfg.parsedAlertRules
     RemoteWrite.rollupIntervalSec = cfg.rollupIntervalSec
     val server = HttpServe.start(spark, cfg.storePath, cfg.port,
       cfg.ignoreLabelOpt, cfg.readIgnoreHints, cfg.maxReadSamples)

@@ -442,6 +442,34 @@ class ServeSpec extends SparkSpecBase {
     } finally { RemoteWrite.recordingRules = prev; srv.stop() }
   }
 
+  test("/api/v1/alerts evaluates the configured alert rules at the data edge") {
+    import graft.serve.Alerting
+    val store = tmpStore("alertsapi")
+    val prev = HttpServe.alertRules
+    val srv = HttpServe.start(spark, store)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      // no rules / no store: success + empty, never a 500
+      assert(get(s"$base/api/v1/alerts") ===
+        ((200, """{"status":"success","data":{"alerts":[]}}""")))
+      // writeBlob series carry values 0,1,2 at t0..t0+2; with step 1
+      // the data edge lands on t0+2, whose lookback sees all three —
+      // only series k=v2 (value 2) clears the > 1 threshold
+      HttpServe.alertRules = Seq(Alerting.AlertRule("hot_series",
+        "sum by (k) (al_m) > 1", forSec = 0L, stepSec = 1L))
+      assert(post(s"$base/write", writeBlob("al_m", 3))._1 === 200)
+      val (c, b) = get(s"$base/api/v1/alerts")
+      assert(c === 200)
+      assert(b.contains(""""alertname":"hot_series""""), b)
+      assert(b.contains(""""k":"v2""""), b)
+      assert(b.contains(""""state":"firing""""), b)
+      assert(!b.contains(""""k":"v0""""), b) // value 0 is under threshold
+      // the rules listing includes the alerting rule with its for
+      val (rc, rb) = get(s"$base/api/v1/rules")
+      assert(rc === 200 && rb.contains(""""type":"alerting""""), rb)
+    } finally { HttpServe.alertRules = prev; srv.stop() }
+  }
+
   test("ServeConfig parses and validates -rule.record flags eagerly") {
     val cfg = graft.serve.Main.parseArgs(Seq("-store", "/tmp/x", "-rule.record",
       "60|rec:sum|sum by (k) (sum_over_time(m[60s]))"))

@@ -1452,7 +1452,8 @@ object PromQL {
   private def labelReplaceProject(child: DataFrame, dst: String, rep: String,
                                   src: String, re: String): DataFrame = {
     val srcVal = coalesce(
-      expr(s"substring(filter(labels, l -> l LIKE '$src=%')[0], ${src.length + 2})"),
+      expr(s"substring(get(filter(labels, l -> l LIKE '$src=%'), 0), " +
+        s"${src.length + 2})"),
       lit(""))
     val anchored = "^(?:" + re + ")$"
     val matched = regexp_like(srcVal, lit(anchored))
@@ -1488,7 +1489,8 @@ object PromQL {
     * histogram, a config constant. */
   private def histQuantile(child: DataFrame, q: Double): DataFrame = {
     val tagged = child
-      .withColumn("le_str", expr("filter(labels, l -> l LIKE 'le=%')[0]"))
+      .withColumn("le_str",
+        expr("get(filter(labels, l -> l LIKE 'le=%'), 0)"))
       .filter(col("le_str").isNotNull)
       .withColumn("glabels", expr("filter(labels, l -> NOT (l LIKE 'le=%'))"))
       .withColumn("c", expr("CAST(v_e6 AS DOUBLE) / 1000000.0D"))
@@ -1894,7 +1896,8 @@ object PromQL {
                                srcs: Seq[String]): DataFrame = {
     val vals = srcs.map { s0 =>
       coalesce(
-        expr(s"substring(filter(labels, l -> l LIKE '$s0=%')[0], ${s0.length + 2})"),
+        expr(s"substring(get(filter(labels, l -> l LIKE '$s0=%'), 0), " +
+          s"${s0.length + 2})"),
         lit(""))
     }
     val newVal =

@@ -1495,7 +1495,9 @@ object PromQL {
       .withColumn("glabels", expr("filter(labels, l -> NOT (l LIKE 'le=%'))"))
       .withColumn("c", expr("CAST(v_e6 AS DOUBLE) / 1000000.0D"))
     val finite = tagged.filter(col("le_str") =!= "le=+Inf")
-      .withColumn("le", expr("CAST(substring(le_str, 4) AS DOUBLE)"))
+      // TRY_CAST: a malformed finite bound (le=abc) must drop the
+      // row, not throw under ANSI mode
+      .withColumn("le", expr("TRY_CAST(substring(le_str, 4) AS DOUBLE)"))
       .filter(col("le").isNotNull)
     val totals = tagged.filter(col("le_str") === "le=+Inf")
       .select(col("metric").as("tm"), col("glabels").as("tg"),

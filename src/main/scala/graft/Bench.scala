@@ -32,7 +32,13 @@ object Bench {
     "store_rollup" -> 5.0,
     "store_rollup_incremental" -> 6.0,
     "store_rollup_serve" -> 5.0,
-    "store_rollup_serve_unaligned" -> 5.0)
+    "store_rollup_serve_unaligned" -> 5.0,
+    // round-13 additions worth watching: the recording rule pays a
+    // full store write + evaluation + append per entry; the histogram
+    // estimator pays a 4-way bucket expansion + window + join.
+    // Budgeted at ~2x their healthy warm times.
+    "rule_record" -> 4.0,
+    "promql_histogram" -> 2.5)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -611,6 +611,15 @@ object SparkEntry {
 
     "sample_pack" -> ((s, dir) => Sampling.packSequences(Tables.documents(s, dir))),
 
+    // the full front-of-training composition: corpus prep's train
+    // split semi-joined back and packed into token-stream chunks
+    "pipeline_pack_prep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val trainIds = graft.llm.CorpusPrep.prepare(docs)
+        .filter(col("split") === "train").select("doc_id")
+      Sampling.packSequences(docs.join(trainIds, Seq("doc_id"), "left_semi"))
+    }),
+
     // PII scrub over documents with deterministic synthetic PII
     // injected into every third doc (the corpus itself is clean, so
     // the injection is what proves the patterns fire); the oracle
@@ -975,6 +984,42 @@ object SparkEntry {
        |  SELECT metric, labels, ts_us // 1000000 AS t_sec, max(value) AS value
        |  FROM samples GROUP BY 1, 2, 3
        |)""".stripMargin
+
+  /** DuckDB mirror of CorpusPrep.prepare up to the `kept` CTE
+    * (quality gate -> language gate -> exact-dedup keep ids). */
+  private lazy val corpusPrepCte: String = {
+    def score(words: Seq[String]) =
+      s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+    val Seq(en, es, de, fr) = TextAnalysis.StopWords.map(_._2)
+    s"""WITH t AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+       |         length(replace(text, ' ', '')) AS n_alpha
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id, text, len(toks) AS n_words, n_alpha,
+       |         ${score(en)} AS score_en, ${score(es)} AS score_es,
+       |         ${score(de)} AS score_de, ${score(fr)} AS score_fr
+       |  FROM t
+       |), g AS (
+       |  SELECT doc_id, text,
+       |    least(n_words::BIGINT * 5000, 500000) +
+       |    least(score_en::BIGINT * 1500000 // n_words, 300000) +
+       |    CASE WHEN n_alpha >= 3 * n_words AND n_alpha <= 8 * n_words
+       |         THEN 200000 ELSE 0 END AS quality_score_e6,
+       |    CASE
+       |      WHEN score_en = 0 AND score_es = 0 AND score_de = 0 AND score_fr = 0 THEN 'und'
+       |      WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+       |      WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+       |      WHEN score_de >= score_fr THEN 'de'
+       |      ELSE 'fr'
+       |    END AS pred_lang
+       |  FROM f
+       |), kept AS (
+       |  SELECT doc_id, quality_score_e6, text,
+       |         min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+       |  FROM g WHERE quality_score_e6 >= 500000 AND pred_lang = 'en'
+       |)""".stripMargin
+  }
 
   /** PromQL pair-function oracle prefix (irate/idelta/changes/resets):
     * per-series lag over the bounded scan, then each sample joined
@@ -1978,44 +2023,38 @@ object SparkEntry {
          |)
          |SELECT doc_id, lang, srank FROM r WHERE srank <= 50""".stripMargin,
 
-    "pipeline_corpus_prep" -> {
-      def score(words: Seq[String]) =
-        s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
-      val Seq(en, es, de, fr) = TextAnalysis.StopWords.map(_._2)
-      s"""WITH t AS (
-         |  SELECT doc_id, text, string_split(text, ' ') AS toks,
-         |         length(replace(text, ' ', '')) AS n_alpha
-         |  FROM documents
-         |), f AS (
-         |  SELECT doc_id, text, len(toks) AS n_words, n_alpha,
-         |         ${score(en)} AS score_en, ${score(es)} AS score_es,
-         |         ${score(de)} AS score_de, ${score(fr)} AS score_fr
-         |  FROM t
-         |), g AS (
-         |  SELECT doc_id, text,
-         |    least(n_words::BIGINT * 5000, 500000) +
-         |    least(score_en::BIGINT * 1500000 // n_words, 300000) +
-         |    CASE WHEN n_alpha >= 3 * n_words AND n_alpha <= 8 * n_words
-         |         THEN 200000 ELSE 0 END AS quality_score_e6,
-         |    CASE
-         |      WHEN score_en = 0 AND score_es = 0 AND score_de = 0 AND score_fr = 0 THEN 'und'
-         |      WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
-         |      WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
-         |      WHEN score_de >= score_fr THEN 'de'
-         |      ELSE 'fr'
-         |    END AS pred_lang
-         |  FROM f
-         |), kept AS (
-         |  SELECT doc_id, quality_score_e6,
-         |         min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
-         |  FROM g WHERE quality_score_e6 >= 500000 AND pred_lang = 'en'
-         |)
+    "pipeline_corpus_prep" ->
+      s"""$corpusPrepCte
          |SELECT doc_id, quality_score_e6,
          |  CASE WHEN ${duckHash("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 800 THEN 'train'
          |       WHEN ${duckHash("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 900 THEN 'val'
          |       ELSE 'test' END AS split
-         |FROM kept WHERE doc_id = keep_id""".stripMargin
-    },
+         |FROM kept WHERE doc_id = keep_id""".stripMargin,
+
+    // the prepared train split fed straight into sequence packing —
+    // the full front-of-training composition
+    "pipeline_pack_prep" ->
+      s"""$corpusPrepCte, train AS (
+         |  SELECT doc_id FROM kept
+         |  WHERE doc_id = keep_id
+         |    AND ${duckHash("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 800
+         |), base AS (
+         |  SELECT d.doc_id, d.doc_id % 8 AS shard,
+         |         len(string_split(coalesce(d.text, ''), ' ')) AS n_tokens
+         |  FROM documents d JOIN train ON d.doc_id = train.doc_id
+         |), run AS (
+         |  SELECT *, sum(n_tokens) OVER (
+         |    PARTITION BY shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS end_offset
+         |  FROM base
+         |)
+         |SELECT doc_id, shard, n_tokens,
+         |       CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
+         |       CAST((end_offset - n_tokens) // 2048 AS BIGINT) AS first_chunk,
+         |       CAST((end_offset - 1) // 2048 AS BIGINT) AS last_chunk,
+         |       CAST((end_offset - 1) // 2048
+         |            - (end_offset - n_tokens) // 2048 + 1 AS BIGINT) AS n_chunks
+         |FROM run""".stripMargin,
 
     "mm_binary_pipeline" ->
       """WITH b AS (

@@ -543,6 +543,15 @@ class PromQLSpec extends SparkSpecBase {
         " / ignoring(host) sum by (user) (sum_over_time(m[60s]))").toOption.get,
       T0 + 60, T0 + 60, 60L))
     assert(ig.map(_._4) === Set(1000000L) && ig.size === 2)
+    // group_right mirrors group_left: the many side is on the RIGHT
+    // and its full labels survive
+    val gr = rows(PromQL.eval(tinySamples,
+      parse("sum by (user) (sum_over_time(m[60s]))" +
+        " / on(user) group_right sum by (host, user) (sum_over_time(m[60s]))")
+        .toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(gr === Set(
+      ("", "host=a,user=1", T0 + 60, 1000000L),
+      ("", "host=b,user=2", T0 + 60, 1000000L)))
     // set op with on(): and matched on user only still keeps full rows
     val and = rows(PromQL.eval(tinySamples,
       parse("m and on(user) m{host=\"a\"}").toOption.get, T0 + 60, T0 + 60, 60L))

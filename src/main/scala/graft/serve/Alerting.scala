@@ -86,11 +86,7 @@ object Alerting {
                     rules: Seq[AlertRule]): Seq[(Seq[String], String, Long)] = {
     if (rules.isEmpty) return Nil
     val df = SamplesStore.read(spark, storePath)
-    import org.apache.spark.sql.functions.{col, expr, max}
-    val maxDayRow = df.agg(max(col("date").cast("long"))).first()
-    if (maxDayRow.isNullAt(0)) return Nil
-    val maxTs = df.filter(col("date").cast("long") === maxDayRow.getLong(0))
-      .agg(max(expr("ts_us DIV 1000000"))).first().getLong(0)
+    val maxTs = Recording.dataEdgeSec(spark, storePath).getOrElse(return Nil)
     rules.flatMap { rule =>
       val edge = maxTs / rule.stepSec * rule.stepSec
       alerts(df, rule, edge, edge)

@@ -738,8 +738,11 @@ object PromQL {
           case (f, Seq()) if f == "abs" || f == "ceil" || f == "floor" ||
                f == "sgn" || f == "sqrt" || CalendarFns(f) => Right(())
           case ("round", Seq()) | ("round", Seq(_)) =>
-            if (args.forall(_ > 0.0)) Right(())
-            else Left("round: to_nearest must be positive")
+            // the bound is on the e6-converted integer: 1e-7 would
+            // truncate to a zero divisor
+            if (args.forall(v => math.floor(v * 1e6 + 0.5) >= 1.0))
+              Right(())
+            else Left("round: to_nearest must be at least 1e-6")
           case ("clamp", Seq(lo, hi)) =>
             if (lo <= hi) Right(()) else Left("clamp: min must be <= max")
           case ("clamp_min", Seq(_)) | ("clamp_max", Seq(_)) => Right(())
@@ -1090,6 +1093,24 @@ object PromQL {
       case Cmp(op, bool, left, ScalarLit(k), _) =>
         scalarCmp(eval(samples, left, startSec, endSec, stepSec, lookbackSec,
           rollup, ignoreLabel), op, bool, k, scalarOnLeft = false)
+      case Cmp(op, bool, left, TimeFn, _) =>
+        timeCmp(eval(samples, left, startSec, endSec, stepSec, lookbackSec,
+          rollup, ignoreLabel), op, bool, timeOnLeft = false)
+      case Cmp(op, bool, TimeFn, right, _) =>
+        timeCmp(eval(samples, right, startSec, endSec, stepSec, lookbackSec,
+          rollup, ignoreLabel), op, bool, timeOnLeft = true)
+      case Cmp(op, bool, left, ScalarOf(c), _) =>
+        scalarOfCmp(
+          eval(samples, c, startSec, endSec, stepSec, lookbackSec, rollup,
+            ignoreLabel),
+          eval(samples, left, startSec, endSec, stepSec, lookbackSec, rollup,
+            ignoreLabel), op, bool, scalarOnLeft = false)
+      case Cmp(op, bool, ScalarOf(c), right, _) =>
+        scalarOfCmp(
+          eval(samples, c, startSec, endSec, stepSec, lookbackSec, rollup,
+            ignoreLabel),
+          eval(samples, right, startSec, endSec, stepSec, lookbackSec, rollup,
+            ignoreLabel), op, bool, scalarOnLeft = true)
       case Cmp(op, bool, left, right, m) =>
         vectorCmp(
           eval(samples, left, startSec, endSec, stepSec, lookbackSec, rollup,
@@ -1172,10 +1193,10 @@ object PromQL {
     case Some(Matching(true, keys, _, _)) =>
       if (keys.isEmpty) expr("CAST(array() AS ARRAY<STRING>)")
       else expr(s"filter(labels, l -> ${
-        keys.map(k => s"l LIKE '$k=%'").mkString(" OR ")})")
+        keys.map(k => s"startswith(l, '$k=')").mkString(" OR ")})")
     case Some(Matching(false, keys, _, _)) if keys.nonEmpty =>
       expr(s"filter(labels, l -> NOT (${
-        keys.map(k => s"l LIKE '$k=%'").mkString(" OR ")}))")
+        keys.map(k => s"startswith(l, '$k=')").mkString(" OR ")}))")
     case _ => col("labels")
   }
 
@@ -1189,7 +1210,7 @@ object PromQL {
       val one = if (card == 1) "r_labels" else "l_labels"
       if (inc.isEmpty) col(many)
       else {
-        val anyInc = inc.map(k => s"l LIKE '$k=%'").mkString(" OR ")
+        val anyInc = inc.map(k => s"startswith(l, '$k=')").mkString(" OR ")
         expr(s"array_sort(concat(filter($many, l -> NOT ($anyInc)), " +
           s"filter($one, l -> $anyInc)))")
       }
@@ -1200,8 +1221,8 @@ object PromQL {
   private def matchedPair(l: DataFrame, r: DataFrame,
                           m: Option[Matching]): DataFrame = {
     val lj = l.withColumn("jk", matchKey(m))
-      .select(col("jk"), col("t"), col("v_e6").as("lv"),
-        col("labels").as("l_labels"))
+      .select(col("metric").as("l_metric"), col("jk"), col("t"),
+        col("v_e6").as("lv"), col("labels").as("l_labels"))
     val rj = r.withColumn("jk", matchKey(m))
       .select(col("jk"), col("t"), col("v_e6").as("rv"),
         col("labels").as("r_labels"))
@@ -1340,24 +1361,56 @@ object PromQL {
 
   /** vector∘vector comparison: matched equi-join (same keying as
     * [[vectorArith]]), then filter keeping the LEFT side's rows with
-    * their full labels and metric name — or 1/0 per matched pair
-    * under `bool` (name dropped, left labels kept). */
+    * their full labels and metric name — or, under `bool`, 1/0 per
+    * matched pair with the ARITHMETIC label rules (name dropped,
+    * matching labels for one-to-one, the many side's under
+    * group_left/right). */
   private def vectorCmp(l: DataFrame, r: DataFrame, op: String,
                         bool: Boolean, m: Option[Matching]): DataFrame = {
-    val lj = l.withColumn("jk", matchKey(m))
-      .select(col("metric"), col("jk"), col("t"), col("v_e6").as("lv"),
-        col("labels").as("l_labels"))
-    val rj = r.withColumn("jk", matchKey(m))
-      .select(col("jk"), col("t"), col("v_e6").as("rv"))
-    val j = lj.join(rj, Seq("jk", "t"))
+    val j = matchedPair(l, r, m)
     val pred = cmpCol(op, col("lv"), col("rv"))
     if (!bool)
-      j.filter(pred).select(col("metric"), col("l_labels").as("labels"),
-        col("t"), col("lv").as("v_e6"))
+      j.filter(pred).select(col("l_metric").as("metric"),
+        col("l_labels").as("labels"), col("t"), col("lv").as("v_e6"))
     else
       j.select(lit(null).cast("string").as("metric"),
-        col("l_labels").as("labels"), col("t"),
+        outLabels(m).as("labels"), col("t"),
         when(pred, 1000000L).otherwise(0L).as("v_e6"))
+  }
+
+  /** vector∘time() comparison: the per-step timestamp as the scalar.
+    * Filter semantics keep the row (metric included); `bool` answers
+    * 1/0 with the name dropped — the `x < time() - 3600` alert shape
+    * (with the subtraction on the time side folded first). */
+  private def timeCmp(child: DataFrame, op: String, bool: Boolean,
+                      timeOnLeft: Boolean): DataFrame = {
+    val tE6 = col("t") * 1000000L
+    val pred = if (timeOnLeft) cmpCol(op, tE6, col("v_e6"))
+               else cmpCol(op, col("v_e6"), tE6)
+    if (!bool) child.filter(pred)
+    else child.select(lit(null).cast("string").as("metric"), col("labels"),
+      col("t"), when(pred, 1000000L).otherwise(0L).as("v_e6"))
+  }
+
+  /** vector∘scalar(child) comparison: the scalar side reduces to its
+    * per-step single-series value and joins on the step alone (labels
+    * ignored, like [[scalarOfArith]]); steps where the scalar child
+    * has ≠ 1 series drop. Filter semantics keep the vector side's
+    * rows; `bool` answers 1/0, name dropped. */
+  private def scalarOfCmp(scDf: DataFrame, child: DataFrame, op: String,
+                          bool: Boolean, scalarOnLeft: Boolean): DataFrame = {
+    val sc = scDf.groupBy(col("t"))
+      .agg(count(lit(1)).as("n"), max(col("v_e6")).as("sv"))
+      .filter(col("n") === 1).select(col("t"), col("sv"))
+    val j = child.join(sc, Seq("t"))
+    val pred = if (scalarOnLeft) cmpCol(op, col("sv"), col("v_e6"))
+               else cmpCol(op, col("v_e6"), col("sv"))
+    if (!bool)
+      j.filter(pred).select(col("metric"), col("labels"), col("t"),
+        col("v_e6"))
+    else
+      j.select(lit(null).cast("string").as("metric"), col("labels"),
+        col("t"), when(pred, 1000000L).otherwise(0L).as("v_e6"))
   }
 
   /** and | or | unless on the matched label set per step (full set by
@@ -1452,13 +1505,13 @@ object PromQL {
   private def labelReplaceProject(child: DataFrame, dst: String, rep: String,
                                   src: String, re: String): DataFrame = {
     val srcVal = coalesce(
-      expr(s"substring(get(filter(labels, l -> l LIKE '$src=%'), 0), " +
+      expr(s"substring(get(filter(labels, l -> startswith(l, '$src=')), 0), " +
         s"${src.length + 2})"),
       lit(""))
     val anchored = "^(?:" + re + ")$"
     val matched = regexp_like(srcVal, lit(anchored))
     val newVal = regexp_replace(srcVal, lit(anchored), lit(rep))
-    val without = expr(s"filter(labels, l -> NOT (l LIKE '$dst=%'))")
+    val without = expr(s"filter(labels, l -> NOT (startswith(l, '$dst=')))")
     val rebuilt = when(!matched, col("labels"))
       .when(newVal === "", without)
       .otherwise(array_sort(concat(without,
@@ -1490,9 +1543,9 @@ object PromQL {
   private def histQuantile(child: DataFrame, q: Double): DataFrame = {
     val tagged = child
       .withColumn("le_str",
-        expr("get(filter(labels, l -> l LIKE 'le=%'), 0)"))
+        expr("get(filter(labels, l -> startswith(l, 'le=')), 0)"))
       .filter(col("le_str").isNotNull)
-      .withColumn("glabels", expr("filter(labels, l -> NOT (l LIKE 'le=%'))"))
+      .withColumn("glabels", expr("filter(labels, l -> NOT (startswith(l, 'le=')))"))
       .withColumn("c", expr("CAST(v_e6 AS DOUBLE) / 1000000.0D"))
     val finite = tagged.filter(col("le_str") =!= "le=+Inf")
       // TRY_CAST: a malformed finite bound (le=abc) must drop the
@@ -1511,6 +1564,10 @@ object PromQL {
         coalesce(col("metric"), lit("")) === coalesce(col("tm"), lit("")) &&
           col("glabels") === col("tg") && col("t") === col("tt"))
       .drop("tm", "tg", "tt")
+      // an idle histogram (total 0) has no quantile: rk would be 0 and
+      // the first bucket's 0/0 interpolation is NaN — drop the group
+      // (the exact-integer stand-in for Prometheus's NaN)
+      .filter(col("total") > 0.0)
       .withColumn("rk", lit(q) * col("total"))
     cand
       .groupBy(col("metric"), col("glabels"), col("t"))
@@ -1898,14 +1955,14 @@ object PromQL {
                                srcs: Seq[String]): DataFrame = {
     val vals = srcs.map { s0 =>
       coalesce(
-        expr(s"substring(get(filter(labels, l -> l LIKE '$s0=%'), 0), " +
+        expr(s"substring(get(filter(labels, l -> startswith(l, '$s0=')), 0), " +
           s"${s0.length + 2})"),
         lit(""))
     }
     val newVal =
       if (vals.isEmpty) lit("")
       else vals.reduce((a, b) => concat(a, lit(sep), b))
-    val without = expr(s"filter(labels, l -> NOT (l LIKE '$dst=%'))")
+    val without = expr(s"filter(labels, l -> NOT (startswith(l, '$dst=')))")
     val rebuilt = when(newVal === "", without)
       .otherwise(array_sort(concat(without,
         array(concat(lit(dst + "="), newVal)))))
@@ -1971,7 +2028,12 @@ object PromQL {
       .groupBy(col("metric"), col("labels"), col("t"))
       .agg(max_by(col("value"), col("t_sec")).as("v"),
         max(col("t_sec")).as("ts"))
-      .select(col("metric"), col("labels"), col("t"),
+      .select(
+        // timestamp() is a value-transforming function: the metric
+        // name drops, like abs() or every arithmetic op
+        (if (valueIsTime) lit(null).cast("string") else col("metric"))
+          .as("metric"),
+        col("labels"), col("t"),
         (if (valueIsTime) expr("ts * 1000000")
          else expr("CAST(floor(v * 1000000 + 0.5) AS BIGINT)")).as("v_e6"))
   }
@@ -1988,7 +2050,7 @@ object PromQL {
   /** The labels an aggregation keeps: `by` keeps exactly the listed
     * ones, `without` drops them (metric always drops separately). */
   private def keptLabels(by: Seq[String], without: Boolean): Column = {
-    val anyListed = by.map(k => s"l LIKE '$k=%'").mkString(" OR ")
+    val anyListed = by.map(k => s"startswith(l, '$k=')").mkString(" OR ")
     if (without) {
       if (by.isEmpty) col("labels")
       else expr(s"filter(labels, l -> NOT ($anyListed))")
@@ -2013,8 +2075,12 @@ object PromQL {
         regexp_replace(lpad(frac.cast("string"), 6, "0"), "0+$", "")))
     val vstr = concat(when(col("v_e6") < 0L, lit("-")).otherwise(lit("")),
       whole.cast("string"), fracStr)
+    // any kept label named dst is OVERWRITTEN by the value text,
+    // Prometheus's rule — never a duplicate key in the label set
+    val keptMinusDst =
+      filter(keptLabels(by, without), l => !l.startsWith(dst + "="))
     child
-      .withColumn("labels", array_sort(concat(keptLabels(by, without),
+      .withColumn("labels", array_sort(concat(keptMinusDst,
         array(concat(lit(dst + "="), vstr)))))
       .groupBy(col("labels"), col("t"))
       .agg(count(lit(1)).as("n"))

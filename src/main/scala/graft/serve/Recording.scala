@@ -48,6 +48,21 @@ object Recording {
       identity)
   }
 
+  /** The newest sample second in the store — the "data edge" the
+    * background rules advance to (store time, not wall time, so a
+    * replayed backlog records correctly). Reads the max partition day
+    * from the partition values, then max(ts) inside that ONE pruned
+    * day — never a full scan. None when the store is empty. */
+  private[serve] def dataEdgeSec(spark: SparkSession,
+                                 storePath: String): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, expr, max}
+    val df = SamplesStore.read(spark, storePath)
+    val maxDayRow = df.agg(max(col("date").cast("long"))).first()
+    if (maxDayRow.isNullAt(0)) None
+    else Some(df.filter(col("date").cast("long") === maxDayRow.getLong(0))
+      .agg(max(expr("ts_us DIV 1000000"))).first().getLong(0))
+  }
+
   /** Evaluate the rule on t = startSec + k·stepSec ≤ endSec over the
     * store at `storePath` and append the result under its name. */
   def record(spark: SparkSession, storePath: String, rule: Rule,

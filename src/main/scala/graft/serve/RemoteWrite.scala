@@ -158,13 +158,7 @@ object RemoteWrite {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (SamplesStore.latestSnapshot(fs, root).isEmpty) return 0L
-    import org.apache.spark.sql.functions.{col, expr, max}
-    val df = SamplesStore.read(spark, storePath)
-    val maxDayRow = df.agg(max(col("date").cast("long"))).first()
-    if (maxDayRow.isNullAt(0)) return 0L
-    val maxDay = maxDayRow.getLong(0)
-    val maxTs = df.filter(col("date").cast("long") === maxDay)
-      .agg(max(expr("ts_us DIV 1000000"))).first().getLong(0)
+    val maxTs = Recording.dataEdgeSec(spark, storePath).getOrElse(return 0L)
     var recorded = 0L
     recordingRules.foreach { rule =>
       val hi = maxTs / rule.stepSec * rule.stepSec

@@ -810,8 +810,8 @@ class PromQLSpec extends SparkSpecBase {
       parse("timestamp(m)").toOption.get, T0 + 120, T0 + 120, 60L,
       lookbackSec = 120L))
     assert(ts === Set(
-      ("m", "host=a,user=1", T0 + 120, (T0 + 95) * 1000000L),
-      ("m", "host=b,user=2", T0 + 120, (T0 + 45) * 1000000L)))
+      ("", "host=a,user=1", T0 + 120, (T0 + 95) * 1000000L),
+      ("", "host=b,user=2", T0 + 120, (T0 + 45) * 1000000L)))
     // the true staleness age in seconds
     val age = rows(PromQL.eval(tinySamples,
       parse("time() - timestamp(m)").toOption.get, T0 + 120, T0 + 120, 60L,
@@ -922,6 +922,50 @@ class PromQLSpec extends SparkSpecBase {
       "sum by (host) (sum_over_time(m[60s])) > 3", forSec = 0L, stepSec = 60L)
     val o2 = rows(Alerting.alerts(tinySamples, now, T0 + 60, T0 + 60))
     assert(o2.forall(_._2.contains("alertstate=firing")))
+  }
+
+  test("review fixes: scalar()/time() comparisons, idle histograms, label-key precision") {
+    import spark.implicits._
+    // comparison against scalar(): series above the cross-series mean
+    val aboveMean = rows(PromQL.eval(tinySamples,
+      parse("sum by (host) (sum_over_time(m[60s]))" +
+        " > scalar(avg(sum_over_time(m[60s])))").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    // mean of {3.5, 20.25} = 11.875: only host=b clears it
+    assert(aboveMean === Set(("", "host=b", T0 + 60, 20250000L)))
+    // comparison against time(): values are far below the timestamp
+    val belowTime = rows(PromQL.eval(tinySamples,
+      parse("sum_over_time(m[60s]) < time()").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(belowTime.size === 2) // both series pass the filter
+    // an idle histogram (all counts 0, including +Inf) drops instead
+    // of crashing on the 0/0 interpolation
+    val idle = Seq(
+      ((T0 + 30) * 1000000L, "mb", Seq("le=1"), 0.0),
+      ((T0 + 30) * 1000000L, "mb", Seq("le=+Inf"), 0.0)
+    ).toDF("ts_us", "metric", "labels", "value")
+    assert(rows(PromQL.eval(idle,
+      parse("histogram_quantile(0.5, mb)").toOption.get,
+      T0 + 60, T0 + 60, 60L)) === Set.empty)
+    // label keys match exactly, never as LIKE patterns: host_id's
+    // underscore must not swallow hostXid
+    val tricky = Seq(
+      (T0 * 1000000L, "m2", Seq("host_id=1", "hostXid=9"), 4.0),
+      (T0 * 1000000L, "m2", Seq("host_id=2", "hostXid=9"), 6.0)
+    ).toDF("ts_us", "metric", "labels", "value")
+    val byExact = rows(PromQL.eval(tricky,
+      parse("sum by (host_id) (sum_over_time(m2[60s]))").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(byExact === Set(
+      ("", "host_id=1", T0 + 60, 4000000L),
+      ("", "host_id=2", T0 + 60, 6000000L)))
+    // round's to_nearest must survive the micro-unit conversion
+    assert(PromQL.parse("round(x, 0.0000001)").isLeft)
+    // count_values overwrites an existing dst label, never duplicates
+    val cv = rows(PromQL.eval(tinySamples,
+      parse("""count_values by (host) ("host", count_over_time(m[60s]))""")
+        .toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(cv === Set(("", "host=2", T0 + 60, 2000000L)))
   }
 
   test("fuzz: every generated whitelisted expression evaluates without throwing") {

@@ -806,6 +806,25 @@ object SparkEntry {
         parsePromQL("quantile(0.9, sum_over_time(click[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
 
+    // % — exact truncated remainder on the micro-unit integers
+    // (the `timestamp % 86400`-style bucketing idiom)
+    "promql_mod" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("sum by (user) (sum_over_time(click[1d])) % 3"),
+        WinStartSec, WinEndSec, 86400L))),
+
+    // ^ with a literal integer exponent: the rounded-multiply chain
+    "promql_pow" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("sum by (user) (sum_over_time(click[1d])) ^ 2"),
+        WinStartSec, WinEndSec, 86400L))),
+
+    // cross-series population stddev per user group and step
+    "promql_stddev_agg" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("stddev by (user) (sum_over_time(click[1d]))"),
+        WinStartSec, WinEndSec, 86400L))),
+
     // without: drop the k label, merging each user's series
     "promql_without" -> ((s, dir) =>
       promqlStr(PromQL.eval(samples(s, dir),
@@ -2448,6 +2467,52 @@ object SparkEntry {
          |SELECT CAST(NULL AS VARCHAR) AS metric, '' AS labels_str, t,
          |       CAST(floor(quantile_cont(CAST(v_e6 AS DOUBLE), 0.9) + 0.5) AS BIGINT) AS v_e6
          |FROM sot GROUP BY t""".stripMargin,
+
+    // % on e6 BIGINTs: both engines' integer `%` is the truncated
+    // dividend-sign remainder — (a/1e6) mod (b/1e6) = (a mod b)/1e6
+    "promql_mod" ->
+      s"""${promqlSotCte("click")}
+         |, agg AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
+         |         CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(labels, ',') AS labels_str, t,
+         |       v_e6 % 3000000 AS v_e6
+         |FROM agg""".stripMargin,
+
+    // ^2 as one step of the rounded-multiply chain (the `*` formula)
+    "promql_pow" ->
+      s"""${promqlSotCte("click")}
+         |, agg AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
+         |         CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(labels, ',') AS labels_str, t,
+         |       CAST(floor(CAST(v_e6 AS DOUBLE) * CAST(v_e6 AS DOUBLE)
+         |            / 1000000.0 + 0.5) AS BIGINT) AS v_e6
+         |FROM agg""".stripMargin,
+
+    // population stddev from clamped double moments — the same
+    // formula text the evaluator runs, micro-unit rounded
+    "promql_stddev_agg" ->
+      s"""${promqlSotCte("click")}
+         |, agg AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
+         |         sum(CAST(v_e6 AS DOUBLE) / 1000000.0) AS sy,
+         |         sum((CAST(v_e6 AS DOUBLE) / 1000000.0)
+         |           * (CAST(v_e6 AS DOUBLE) / 1000000.0)) AS syy,
+         |         count(*) AS n
+         |  FROM sot GROUP BY 1, 2
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(labels, ',') AS labels_str, t,
+         |       CAST(floor(sqrt(greatest(syy / n - (sy / n) * (sy / n), 0.0))
+         |            * 1000000 + 0.5) AS BIGINT) AS v_e6
+         |FROM agg""".stripMargin,
 
     // extended grid warms the 2d for-window before the first
     // reported step; presence counts via a trailing RANGE window

@@ -25,7 +25,9 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   *   cmpExpr  := addExpr {("=="|"!="|"<="|"<"|">="|">") ["bool"]
   *               [matching] addExpr}
   *   addExpr  := mulExpr {("+"|"-") [matching] mulExpr}
-  *   mulExpr  := term {("*"|"/") [matching] term}
+  *   mulExpr  := powExpr {("*"|"/"|"%") [matching] powExpr}
+  *   powExpr  := term ["^" powExpr]   (right-assoc; exponent must be
+  *               a literal integer in [0, 8] — see PowInt)
   *   matching := ("on"|"ignoring") "(" names ")"
   *               [("group_left"|"group_right") ["(" names ")"]]
   *               (group_* on arithmetic/comparisons only)
@@ -36,6 +38,7 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   *             | "(" expr ")"
   *   agg      := op [grouping] "(" [φ ","] expr ")" [grouping]
   *               op ∈ sum avg min max count group quantile(φ)
+  *                    stddev stdvar (population, clamped moments)
   *   countv   := "count_values" [grouping] "(" str "," expr ")" [grouping]
   *   grouping := ("by"|"without") "(" names ")"
   *   rank     := ("topk"|"bottomk") "(" int "," expr ")"
@@ -68,11 +71,15 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   *   offset   := "offset" dur      (shifts every window back by dur)
   *   dur      := (\d+ [smhdw])+ | \d+   (seconds resolution)
   *
-  * Deliberately NOT in the grammar: ln/log2/log10/exp — libm
-  * transcendentals are not correctly-rounded, so two engines can
-  * disagree in the last ulp and the exact-arithmetic value model
-  * would go non-portable (sqrt IS correctly rounded, so it ships);
-  * and sort/sort_desc — the result sets here carry no order.
+  * Deliberately NOT in the grammar: ln/log2/log10/exp and `^` with
+  * a fractional exponent — libm transcendentals are not
+  * correctly-rounded, so two engines can disagree in the last ulp
+  * and the exact-arithmetic value model would go non-portable
+  * (sqrt IS correctly rounded, so it ships; integer-exponent `^`
+  * ships as a rounded-multiply chain); and sort/sort_desc — the
+  * result sets here carry no order. `%` is the exact truncated
+  * (dividend-sign) remainder on the micro-unit integers — Go
+  * math.Mod's convention on values both engines hold exactly.
   *
   * Binary arithmetic: vector∘scalar is a per-row projection;
   * vector∘vector matches series on their FULL label sets (the
@@ -255,6 +262,12 @@ object PromQL {
     * NaN). In binary arithmetic it projects per step onto the other
     * side's rows regardless of labels. */
   final case class ScalarOf(child: Expr) extends Expr
+  /** child ^ n (literal integer exponent 0..8): x^n as a per-row
+    * chain of the `*` operator's rounded double multiplies — each
+    * step re-snaps to the micro-unit lattice, so the chain is
+    * bit-identical in any IEEE engine. Fractional exponents are
+    * rejected at parse time (libm pow is not correctly rounded). */
+  final case class PowInt(child: Expr, n: Int) extends Expr
 
   val RangeFns: Set[String] = Set("rate", "increase", "delta",
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
@@ -265,7 +278,7 @@ object PromQL {
     * per-series lag), not just decomposable window partials. */
   val PairFns: Set[String] = Set("irate", "idelta", "changes", "resets")
   val AggOps: Set[String] = Set("sum", "avg", "min", "max", "count",
-    "group", "quantile")
+    "group", "quantile", "stddev", "stdvar")
   /** The RangeFns subset valid over a subquery — the ones whose
     * aggregation is exact on the inner vector's integer values. */
   val SubFns: Set[String] = Set("sum_over_time", "avg_over_time",
@@ -445,7 +458,32 @@ object PromQL {
     }
 
     private def addExpr(): Either[String, Expr] = arith(mulExpr, "+-")
-    private def mulExpr(): Either[String, Expr] = arith(term, "*/")
+    private def mulExpr(): Either[String, Expr] = arith(powExpr, "*/%")
+
+    /** `^` binds tighter than * / % and associates RIGHT, like
+      * Prometheus. Only literal non-negative integer exponents ≤ 8
+      * ship: the value model evaluates x^n as a chain of
+      * correctly-rounded double multiplies (engine-portable), while
+      * a fractional exponent would need libm pow — the same
+      * last-ulp portability hazard that keeps ln/exp out of the
+      * grammar. */
+    private def powExpr(): Either[String, Expr] =
+      term().flatMap { base =>
+        ws()
+        if (!atEnd && s.charAt(i) == '^') {
+          i += 1
+          powExpr().flatMap {
+            case ScalarLit(n) if n == math.floor(n) && n >= 0 && n <= 8 =>
+              base match {
+                case ScalarLit(a) => Right(ScalarLit(math.pow(a, n)))
+                case _            => Right(PowInt(base, n.toInt))
+              }
+            case ScalarLit(_) =>
+              Left("^ supports literal integer exponents in [0, 8] only")
+            case _ => Left("^ needs a literal scalar exponent")
+          }
+        } else Right(base)
+      }
 
     private def arith(next: () => Either[String, Expr],
                       ops: String): Either[String, Expr] = {
@@ -457,12 +495,14 @@ object PromQL {
             next().flatMap { right =>
               (left, right, m) match {
                 case (ScalarLit(a), ScalarLit(b), None) =>
-                  if (op == '/' && b == 0.0) Left("division by zero")
+                  if ((op == '/' || op == '%') && b == 0.0)
+                    Left(s"$op by zero")
                   else loop(ScalarLit(op match {
                     case '+' => a + b
                     case '-' => a - b
                     case '*' => a * b
                     case '/' => a / b
+                    case '%' => a % b // truncated, dividend sign = Go math.Mod
                   }))
                 case (ScalarLit(_), _, Some(_)) | (_, ScalarLit(_), Some(_)) =>
                   Left("vector matching requires two vectors")
@@ -1126,6 +1166,9 @@ object PromQL {
       case Rank(bottom, k, child) =>
         rank(eval(samples, child, startSec, endSec, stepSec, lookbackSec,
           rollup, ignoreLabel), bottom, k)
+      case PowInt(child, n) =>
+        powInt(eval(samples, child, startSec, endSec, stepSec, lookbackSec,
+          rollup, ignoreLabel), n)
       case Binary(op, ScalarLit(k), right, _) =>
         scalarArith(eval(samples, right, startSec, endSec, stepSec,
           lookbackSec, rollup, ignoreLabel), op, k, scalarOnLeft = true)
@@ -1246,8 +1289,15 @@ object PromQL {
         "CAST(floor(CAST(lv AS DOUBLE) * CAST(rv AS DOUBLE) / 1000000.0D + 0.5) AS BIGINT)")
       case '/' => expr(
         "CAST(floor(CAST(lv AS DOUBLE) / CAST(rv AS DOUBLE) * 1000000.0D + 0.5) AS BIGINT)")
+      // (a/1e6) mod (b/1e6) = (a mod b)/1e6 exactly for the
+      // truncated (dividend-sign) remainder both engines' integer
+      // `%` computes — Go math.Mod's convention, no rounding at all
+      case '%' => expr("lv % rv")
     }
-    val filtered = if (op == '/') j.filter(col("rv") =!= 0L) else j
+    // a zero divisor/modulus drops its row (Prometheus emits
+    // +Inf/NaN; neither survives the exact integer value model)
+    val filtered =
+      if (op == '/' || op == '%') j.filter(col("rv") =!= 0L) else j
     filtered.select(lit(null).cast("string").as("metric"),
       outLabels(m).as("labels"), col("t"), v.as("v_e6"))
   }
@@ -1266,10 +1316,14 @@ object PromQL {
       case ('*', _)     => expr(s"CAST(floor(CAST(v_e6 AS DOUBLE) * ${k}D + 0.5) AS BIGINT)")
       case ('/', false) => expr(s"CAST(floor(CAST(v_e6 AS DOUBLE) / ${k}D + 0.5) AS BIGINT)")
       case ('/', true)  => expr(s"CAST(floor(${k}D * 1.0e12D / CAST(v_e6 AS DOUBLE) + 0.5) AS BIGINT)")
+      case ('%', false) => expr(s"v_e6 % ${kE6}L")
+      case ('%', true)  => expr(s"${kE6}L % v_e6")
     }
-    val base = if (op == '/' && scalarOnLeft) child.filter(col("v_e6") =!= 0L)
-      else if (op == '/' && k == 0.0)
-        throw new IllegalArgumentException("division by literal zero")
+    val base =
+      if ((op == '/' || op == '%') && scalarOnLeft)
+        child.filter(col("v_e6") =!= 0L)
+      else if ((op == '/' || op == '%') && k == 0.0)
+        throw new IllegalArgumentException(s"$op by literal zero")
       else child
     // like every Prometheus binary op, arithmetic drops __name__
     base.select(lit(null).cast("string").as("metric"), col("labels"),
@@ -1296,9 +1350,13 @@ object PromQL {
       case ('/', true)  =>
         floor(col("t").cast("double") * lit(1.0e12) /
           col("v_e6").cast("double") + lit(0.5)).cast("long")
+      case ('%', false) => col("v_e6") % tE6
+      case ('%', true)  => tE6 % col("v_e6")
     }
-    val base = if (op == '/' && timeOnLeft) child.filter(col("v_e6") =!= 0L)
-               else child
+    val base =
+      if ((op == '/' || op == '%') && timeOnLeft)
+        child.filter(col("v_e6") =!= 0L)
+      else child
     base.select(lit(null).cast("string").as("metric"), col("labels"),
       col("t"), v.as("v_e6"))
   }
@@ -1327,12 +1385,35 @@ object PromQL {
       case ('/', true)  =>
         floor(k * lit(1.0e12) / col("v_e6").cast("double") + lit(0.5))
           .cast("long")
+      case ('%', false) => col("v_e6") % col("sv")
+      case ('%', true)  => col("sv") % col("v_e6")
     }
     val base =
-      if (op == '/' && scalarOnLeft) j.filter(col("v_e6") =!= 0L)
-      else if (op == '/') j.filter(col("sv") =!= 0L)
+      if ((op == '/' || op == '%') && scalarOnLeft)
+        j.filter(col("v_e6") =!= 0L)
+      else if (op == '/' || op == '%') j.filter(col("sv") =!= 0L)
       else j
     base.select(lit(null).cast("string").as("metric"), col("labels"),
+      col("t"), v.as("v_e6"))
+  }
+
+  /** x^n for a literal integer exponent: a per-row chain of the `*`
+    * operator's formula — multiply in double, divide by 1e6, round
+    * half-up back onto the micro-unit lattice at every step. Each
+    * double op is correctly rounded IEEE, so the chain is
+    * bit-identical in any engine (the reason fractional exponents,
+    * which would need libm pow, are rejected at parse time). Like
+    * every value-transforming op, the metric name drops. */
+  private def powInt(child: DataFrame, n: Int): DataFrame = {
+    val v =
+      if (n == 0) lit(1000000L)
+      else {
+        var e = "CAST(v_e6 AS DOUBLE)"
+        for (_ <- 2 to n)
+          e = s"floor($e * CAST(v_e6 AS DOUBLE) / 1000000.0D + 0.5)"
+        expr(s"CAST($e AS BIGINT)")
+      }
+    child.select(lit(null).cast("string").as("metric"), col("labels"),
       col("t"), v.as("v_e6"))
   }
 
@@ -2095,6 +2176,15 @@ object PromQL {
       min(col("v_e6")).as("mn"), max(col("v_e6")).as("mx")) ++
       (if (op == "quantile")
          Seq(percentile(col("v_e6"), lit(param.getOrElse(0.5))).as("qv"))
+       else Nil) ++
+      (if (op == "stddev" || op == "stdvar")
+         // double moments of the real value (v_e6² would overflow
+         // int64) — the same clamped population formula the
+         // *_over_time twins proved engine-portable: float-sum order
+         // noise sits far below the final micro-unit rounding
+         Seq(sum(col("v_e6").cast("double") / 1000000.0d).as("sy"),
+           sum((col("v_e6").cast("double") / 1000000.0d) *
+             (col("v_e6").cast("double") / 1000000.0d)).as("syy"))
        else Nil)
     val g = child
       .withColumn("labels", kept)
@@ -2110,6 +2200,12 @@ object PromQL {
       // qv interpolates between two exact BIGINTs — identical
       // arithmetic in DuckDB's quantile_cont, half-up to the unit
       case "quantile" => expr("CAST(floor(qv + 0.5D) AS BIGINT)")
+      case "stddev" => expr(
+        "CAST(floor(sqrt(greatest(syy / n - (sy / n) * (sy / n), 0.0D)) " +
+        "* 1000000 + 0.5) AS BIGINT)")
+      case "stdvar" => expr(
+        "CAST(floor(greatest(syy / n - (sy / n) * (sy / n), 0.0D) " +
+        "* 1000000 + 0.5) AS BIGINT)")
     }
     g.select(lit(null).cast("string").as("metric"), col("labels"), col("t"),
       v.cast("long").as("v_e6"))

@@ -1054,4 +1054,82 @@ class PromQLSpec extends SparkSpecBase {
     assert(m.readsFromRollup.value === b2,
       "unaligned, non-tiling, or stale queries must not route to the rollup")
   }
+
+  test("% is the exact truncated remainder; zero modulus drops/rejects") {
+    // vector % scalar on the micro-unit integers: 3.5 % 2 = 1.5,
+    // 20.25 % 2 = 0.25 — no rounding anywhere
+    val v = rows(PromQL.eval(tinySamples,
+      parse("sum_over_time(m[60s]) % 2").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(v === Set(
+      ("", "host=a,user=1", T0 + 60, 1500000L),
+      ("", "host=b,user=2", T0 + 60, 250000L)))
+    // scalar % vector: 7 % 3.5 = 0, 7 % 20.25 = 7
+    val sv = rows(PromQL.eval(tinySamples,
+      parse("7 % sum_over_time(m[60s])").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(sv === Set(
+      ("", "host=a,user=1", T0 + 60, 0L),
+      ("", "host=b,user=2", T0 + 60, 7000000L)))
+    // vector % vector: x % x = 0 on every matched row
+    val vv = rows(PromQL.eval(tinySamples,
+      parse("sum_over_time(m[60s]) % sum_over_time(m[60s])").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(vv.map(_._4) === Set(0L) && vv.size === 2)
+    // scalar folding keeps Go math.Mod's dividend sign
+    assert(parse("-7 % 2") === Right(ScalarLit(-1.0)))
+    assert(parse("7 % -2") === Right(ScalarLit(1.0)))
+    // literal zero modulus is a parse error (like division)
+    assert(parse("1 % 0").isLeft)
+    assertThrows[IllegalArgumentException] {
+      PromQL.eval(tinySamples, parse("m % 0.0").toOption.get, T0, T0, 1L)
+    }
+  }
+
+  test("^ with a literal integer exponent is a rounded-multiply chain") {
+    // 3.5^2 = 12.25, 20.25^2 = 410.0625 — exact through the chain
+    val sq = rows(PromQL.eval(tinySamples,
+      parse("sum_over_time(m[60s]) ^ 2").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(sq === Set(
+      ("", "host=a,user=1", T0 + 60, 12250000L),
+      ("", "host=b,user=2", T0 + 60, 410062500L)))
+    // ^3: 3.5³ = 42.875
+    val cu = rows(PromQL.eval(tinySamples,
+      parse("sum_over_time(m[60s]) ^ 3").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(cu.contains(("", "host=a,user=1", T0 + 60, 42875000L)))
+    // ^0 = 1 with the metric name dropped
+    val one = rows(PromQL.eval(tinySamples,
+      parse("m ^ 0").toOption.get, T0 + 60, T0 + 60, 1L, lookbackSec = 86400L))
+    assert(one.forall(r => r._1 == "" && r._4 == 1000000L) && one.size === 2)
+    // right-associative: m ^ 2 ^ 2 = m ^ 4; scalars fold
+    assert(parse("m ^ 2 ^ 2") match {
+      case Right(PowInt(Instant(_, _), 4)) => true
+      case _ => false
+    })
+    assert(parse("2 ^ 3") === Right(ScalarLit(8.0)))
+    // ^ binds tighter than *: 2 * m ^ 2 parses as 2 * (m ^ 2)
+    assert(parse("2 * m ^ 2") match {
+      case Right(Binary('*', ScalarLit(2.0), PowInt(_, 2), _)) => true
+      case _ => false
+    })
+    // fractional, negative, oversized, and vector exponents reject
+    assert(parse("m ^ 2.5").isLeft)
+    assert(parse("m ^ -1").isLeft)
+    assert(parse("m ^ 9").isLeft)
+    assert(parse("m ^ m").isLeft)
+  }
+
+  test("stddev/stdvar aggregate across series with the clamped population formula") {
+    // values 3.5 and 20.25: mean 11.875, deviations ±8.375
+    // → stdvar 70.140625, stddev 8.375 (both exact in micro-units)
+    val sd = rows(PromQL.eval(tinySamples,
+      parse("stddev(sum_over_time(m[60s]))").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(sd === Set(("", "", T0 + 60, 8375000L)))
+    val sv = rows(PromQL.eval(tinySamples,
+      parse("stdvar(sum_over_time(m[60s]))").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(sv === Set(("", "", T0 + 60, 70140625L)))
+    // single-element groups have zero spread
+    val by = rows(PromQL.eval(tinySamples,
+      parse("stddev by (host) (sum_over_time(m[60s]))").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(by === Set(("", "host=a", T0 + 60, 0L), ("", "host=b", T0 + 60, 0L)))
+  }
 }

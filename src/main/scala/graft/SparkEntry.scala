@@ -825,6 +825,26 @@ object SparkEntry {
         parsePromQL("stddev by (user) (sum_over_time(click[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
 
+    // mad_over_time: interpolated median absolute deviation per
+    // window, exact integer arithmetic end-to-end
+    "promql_mad" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("mad_over_time(click[1d])"),
+        WinStartSec, WinEndSec, 86400L))),
+
+    // limitk: deterministic k-series cap (identity order, not value
+    // order — the "show me a few" dashboard idiom)
+    "promql_limitk" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("limitk(5, sum_over_time(click[1d]))"),
+        WinStartSec, WinEndSec, 86400L))),
+
+    // limit_ratio: deterministic hash-banded series sample
+    "promql_limit_ratio" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("limit_ratio(0.5, sum_over_time(click[1d]))"),
+        WinStartSec, WinEndSec, 86400L))),
+
     // without: drop the k label, merging each user's series
     "promql_without" -> ((s, dir) =>
       promqlStr(PromQL.eval(samples(s, dir),
@@ -2513,6 +2533,49 @@ object SparkEntry {
          |       CAST(floor(sqrt(greatest(syy / n - (sy / n) * (sy / n), 0.0))
          |            * 1000000 + 0.5) AS BIGINT) AS v_e6
          |FROM agg""".stripMargin,
+
+    // the k first series by (metric, labels) order per step
+    "promql_limitk" ->
+      s"""${promqlSotCte("click")}
+         |, rk AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY t
+         |    ORDER BY metric ASC, array_to_string(labels, ',') ASC) AS rk
+         |  FROM sot
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, t, v_e6
+         |FROM rk WHERE rk <= 5""".stripMargin,
+
+    // the identical md5-derived identity-hash band the evaluator uses
+    "promql_limit_ratio" ->
+      s"""${promqlSotCte("click")}
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, t, v_e6
+         |FROM sot
+         |WHERE (('0x' || substr(md5(metric || '|' || array_to_string(labels, ',')), 1, 15))::BIGINT
+         |       % 1000000007) % 1000000 < 500000""".stripMargin,
+
+    // MAD in pure integers: e2 snap → ×10 median (even-n midpoint
+    // stays integral) → e3 deviations → ×10 second median → ×100
+    // onto the micro-unit lattice; list ops mirror Spark's exactly
+    "promql_mad" ->
+      s"""${promqlSotCte("click")}
+         |, st AS (
+         |  SELECT metric, labels, t,
+         |         list_sort(list(CAST(floor(value * 100 + 0.5) AS BIGINT))) AS vs
+         |  FROM j GROUP BY 1, 2, 3
+         |), m1 AS (SELECT *, len(vs) AS n FROM st),
+         |m2 AS (
+         |  SELECT *, CASE WHEN n % 2 = 1 THEN vs[(n + 1) // 2] * 10
+         |                 ELSE (vs[n // 2] + vs[n // 2 + 1]) * 5 END AS med
+         |  FROM m1
+         |), m3 AS (
+         |  SELECT *, list_sort(list_transform(vs, x -> abs(x * 10 - med))) AS devs
+         |  FROM m2
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, t,
+         |       (CASE WHEN n % 2 = 1 THEN devs[(n + 1) // 2] * 10
+         |             ELSE (devs[n // 2] + devs[n // 2 + 1]) * 5 END) * 100 AS v_e6
+         |FROM m3""".stripMargin,
 
     // extended grid warms the 2d for-window before the first
     // reported step; presence counts via a trailing RANGE window

@@ -42,13 +42,17 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   *   countv   := "count_values" [grouping] "(" str "," expr ")" [grouping]
   *   grouping := ("by"|"without") "(" names ")"
   *   rank     := ("topk"|"bottomk") "(" int "," expr ")"
+  *   limit    := "limitk" "(" int "," expr ")"
+  *             | "limit_ratio" "(" r "," expr ")"   r ∈ [-1, 1]
+  *               (deterministic: identity order / identity hash —
+  *                see LimitK/LimitRatio)
   *   quantile := "quantile_over_time" "(" φ "," selector "[" dur "]" [offset] ")"
   *   rangecall:= fn "(" selector "[" dur "]" [mods] ")"
   *               fn ∈ rate irate increase delta idelta deriv changes
   *                    resets avg_over_time min_over_time max_over_time
   *                    sum_over_time count_over_time last_over_time
   *                    stddev_over_time stdvar_over_time
-  *                    present_over_time
+  *                    present_over_time mad_over_time
   *   subquery := fn "(" expr "[" dur ":" dur "]" [mods] ")"
   *               fn ∈ sum/avg/min/max/count/last_over_time
   *   histq    := "histogram_quantile" "(" φ "," expr ")"
@@ -268,11 +272,24 @@ object PromQL {
     * bit-identical in any IEEE engine. Fractional exponents are
     * rejected at parse time (libm pow is not correctly rounded). */
   final case class PowInt(child: Expr, n: Int) extends Expr
+  /** limitk(k, expr): at most k series per step. DETERMINISTIC
+    * deviation from Prometheus (which samples randomly): the k first
+    * series by (metric, joined-labels) order — stable across runs,
+    * engines, and partitionings, which random sampling can never be
+    * in a distributed exact-compare setting. */
+  final case class LimitK(k: Int, child: Expr) extends Expr
+  /** limit_ratio(r, expr): a deterministic ~|r| fraction of series,
+    * chosen by a portable series-identity hash so a series is
+    * consistently in or out across every step. r ≥ 0 keeps the
+    * bucket band [0, r); r < 0 keeps [1+r, 1) — so limit_ratio(0.7)
+    * and limit_ratio(-0.3) partition the series set exactly,
+    * Prometheus's pairing convention. */
+  final case class LimitRatio(r: Double, child: Expr) extends Expr
 
   val RangeFns: Set[String] = Set("rate", "increase", "delta",
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
     "count_over_time", "last_over_time", "stddev_over_time",
-    "stdvar_over_time", "present_over_time",
+    "stdvar_over_time", "present_over_time", "mad_over_time",
     "irate", "idelta", "deriv", "changes", "resets")
   /** The RangeFns subset needing each point's PREDECESSOR (a
     * per-series lag), not just decomposable window partials. */
@@ -538,6 +555,27 @@ object PromQL {
         case Some(id) if id == "topk" || id == "bottomk" =>
           i += id.length
           rank(bottom = id == "bottomk")
+        case Some(id) if id == "limitk" =>
+          i += id.length
+          for {
+            _ <- eat('(')
+            k <- int()
+            _ <- eat(',')
+            child <- expr()
+            _ <- eat(')')
+            _ <- if (k > 0) Right(()) else Left("limitk k must be positive")
+          } yield LimitK(k, child)
+        case Some(id) if id == "limit_ratio" =>
+          i += id.length
+          for {
+            _ <- eat('(')
+            r <- number().toRight("limit_ratio needs a number")
+            _ <- if (r >= -1.0 && r <= 1.0) Right(())
+                 else Left("limit_ratio needs r in [-1, 1]")
+            _ <- eat(',')
+            child <- expr()
+            _ <- eat(')')
+          } yield LimitRatio(r, child)
         case Some(id) if id == "quantile_over_time" =>
           i += id.length
           for {
@@ -1068,6 +1106,10 @@ object PromQL {
       case RangeCall("deriv", ms, d, off) =>
         unshift(regressionRange(samples, ms, startSec - off, endSec - off,
           stepSec, d, ignoreLabel, horizonSec = None), off)
+      case RangeCall("mad_over_time", ms, d, off) =>
+        // never rollup-served: MAD doesn't decompose into partials
+        unshift(madRange(samples, ms, startSec - off, endSec - off,
+          stepSec, d, ignoreLabel), off)
       case RangeCall(fn, ms, d, off) =>
         val (s0, e0) = (startSec - off, endSec - off)
         unshift(
@@ -1169,6 +1211,12 @@ object PromQL {
       case PowInt(child, n) =>
         powInt(eval(samples, child, startSec, endSec, stepSec, lookbackSec,
           rollup, ignoreLabel), n)
+      case LimitK(k, child) =>
+        limitK(eval(samples, child, startSec, endSec, stepSec, lookbackSec,
+          rollup, ignoreLabel), k)
+      case LimitRatio(r, child) =>
+        limitRatio(eval(samples, child, startSec, endSec, stepSec,
+          lookbackSec, rollup, ignoreLabel), r)
       case Binary(op, ScalarLit(k), right, _) =>
         scalarArith(eval(samples, right, startSec, endSec, stepSec,
           lookbackSec, rollup, ignoreLabel), op, k, scalarOnLeft = true)
@@ -1798,6 +1846,41 @@ object PromQL {
       .select(col("metric"), col("labels"), col("t"),
         expr("CAST(floor(qv * 1000000 + 0.5) AS BIGINT)").as("v_e6"))
 
+  /** mad_over_time(sel[d]): per-window median absolute deviation —
+    * median(|v - median(v)|) with Prometheus's interpolated median
+    * (for even n the midpoint average), computed ENTIRELY in exact
+    * integer arithmetic: values snap to e2 ints, the median scales
+    * ×10 so the even-n midpoint stays integral (e3), deviations live
+    * in e3, the second median scales ×10 again (e4), and ×100 lands
+    * on the micro-unit lattice. No doubles anywhere — bit-identical
+    * in any engine by construction.
+    *
+    * Scale shape: the one aggregate collects each window's values
+    * into a sorted array, so the per-group memory is points-per-
+    * window (d / scrape interval — the same bound the holt_winters
+    * fold documents), never raw-corpus-sized; everything before it
+    * is the shared pushed-down scan + explode. */
+  private def madRange(samples: DataFrame, matchers: Seq[LabelMatcher],
+                       start: Long, end: Long, step: Long, d: Long,
+                       ignoreLabel: Option[String]): DataFrame =
+    gridExplode(samples, matchers, start, end, step, d, ignoreLabel)
+      .groupBy(col("metric"), col("labels"), col("t"))
+      .agg(sort_array(collect_list(
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))).as("vs"))
+      .withColumn("n", size(col("vs")).cast("long"))
+      .withColumn("med_e3", expr(
+        "CASE WHEN n % 2 = 1 THEN element_at(vs, CAST((n + 1) DIV 2 AS INT)) * 10 " +
+        "ELSE (element_at(vs, CAST(n DIV 2 AS INT)) + " +
+        "element_at(vs, CAST(n DIV 2 + 1 AS INT))) * 5 END"))
+      .withColumn("devs",
+        array_sort(expr("transform(vs, x -> abs(x * 10 - med_e3))")))
+      .withColumn("mad_e4", expr(
+        "CASE WHEN n % 2 = 1 THEN element_at(devs, CAST((n + 1) DIV 2 AS INT)) * 10 " +
+        "ELSE (element_at(devs, CAST(n DIV 2 AS INT)) + " +
+        "element_at(devs, CAST(n DIV 2 + 1 AS INT))) * 5 END"))
+      .select(col("metric"), col("labels"), col("t"),
+        (col("mad_e4") * 100L).as("v_e6"))
+
   /** irate / idelta / changes / resets: the range functions that need
     * each sample's PREDECESSOR, not a decomposable window partial.
     * One per-series lag over the deduped scan attaches (prev_t,
@@ -2224,6 +2307,37 @@ object PromQL {
       .withColumn("ls", array_join(col("labels"), ","))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
+      .select(col("metric"), col("labels"), col("t"), col("v_e6"))
+  }
+
+  /** limitk: the k first series per step by (metric, joined-labels)
+    * order — [[rank]]'s window without the value ordering. Series
+    * identity and values pass through unchanged (a filter, not a
+    * transform), so the metric name survives, like topk. */
+  private def limitK(child: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("t")).orderBy(
+      coalesce(col("metric"), lit("")).asc, col("ls").asc)
+    child
+      .withColumn("ls", array_join(col("labels"), ","))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("metric"), col("labels"), col("t"), col("v_e6"))
+  }
+
+  /** limit_ratio: series whose portable identity-hash bucket lands
+    * in [0, r·10⁶) (r ≥ 0) or [(1+r)·10⁶, 10⁶) (r < 0). A pure
+    * per-row filter — no shuffle at all — and the same md5-derived
+    * hash the sampling operators use, so the DuckDB oracle computes
+    * the identical buckets. */
+  private def limitRatio(child: DataFrame, r: Double): DataFrame = {
+    val bucket = expr(
+      s"(${graft.llm.Portable.hash60SqlSpark(
+        "concat(coalesce(metric, ''), '|', array_join(labels, ','))")}) % 1000000")
+    val thr = math.floor(math.abs(r) * 1e6 + 0.5).toLong
+    val keep =
+      if (r >= 0) bucket < lit(thr)
+      else bucket >= lit(1000000L - thr)
+    child.filter(keep)
       .select(col("metric"), col("labels"), col("t"), col("v_e6"))
   }
 

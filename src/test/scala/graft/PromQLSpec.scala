@@ -1117,6 +1117,57 @@ class PromQLSpec extends SparkSpecBase {
     assert(parse("m ^ m").isLeft)
   }
 
+  test("mad_over_time is the interpolated median absolute deviation, exact integers") {
+    // series a window [T0, T0+120): values 1.0, 2.5, 4.0, 1.0 →
+    // median (1.0+2.5)/2 = 1.75, deviations {0.75, 0.75, 0.75, 2.25}
+    // → MAD (0.75+0.75)/2 = 0.75; series b: 10.0, 10.25 → MAD 0.125
+    val even = rows(PromQL.eval(tinySamples,
+      parse("mad_over_time(m[120s])").toOption.get, T0 + 120, T0 + 120, 120L))
+    assert(even === Set(
+      ("m", "host=a,user=1", T0 + 120, 750000L),
+      ("m", "host=b,user=2", T0 + 120, 125000L)))
+    // odd n: series a window [T0, T0+90) holds 1.0, 2.5, 4.0 →
+    // median 2.5, deviations {1.5, 0, 1.5} → MAD 1.5
+    val odd = rows(PromQL.eval(tinySamples,
+      parse("mad_over_time(m[90s])").toOption.get, T0 + 90, T0 + 90, 90L))
+    assert(odd.contains(("m", "host=a,user=1", T0 + 90, 1500000L)))
+    // a single-point window has zero MAD: [T0+30, T0+45) holds only
+    // the 2.5 sample
+    val one = rows(PromQL.eval(tinySamples,
+      parse("mad_over_time(m[15s])").toOption.get, T0 + 45, T0 + 45, 15L))
+    assert(one === Set(("m", "host=a,user=1", T0 + 45, 0L)))
+  }
+
+  test("limitk caps series deterministically; limit_ratio bands partition") {
+    // limitk(1, m): the first series by (metric, labels) order —
+    // host=a,user=1 sorts before host=b,user=2 — with the metric
+    // name preserved (a filter, not a transform)
+    val k1 = rows(PromQL.eval(tinySamples,
+      parse("limitk(1, sum_over_time(m[60s]))").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(k1 === Set(("m", "host=a,user=1", T0 + 60, 3500000L)))
+    // k ≥ series count passes everything through
+    val k9 = rows(PromQL.eval(tinySamples,
+      parse("limitk(9, sum_over_time(m[60s]))").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(k9.size === 2)
+    // limit_ratio(1.0) keeps all; r and -(1-r) partition the set
+    val all = rows(PromQL.eval(tinySamples,
+      parse("limit_ratio(1.0, sum_over_time(m[60s]))").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(all.size === 2)
+    val lo = rows(PromQL.eval(tinySamples,
+      parse("limit_ratio(0.5, sum_over_time(m[60s]))").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    val hi = rows(PromQL.eval(tinySamples,
+      parse("limit_ratio(-0.5, sum_over_time(m[60s]))").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert((lo ++ hi) === all && lo.intersect(hi).isEmpty)
+    // parse guards
+    assert(parse("limitk(0, m)").isLeft)
+    assert(parse("limit_ratio(1.5, m)").isLeft)
+  }
+
   test("stddev/stdvar aggregate across series with the clamped population formula") {
     // values 3.5 and 20.25: mean 11.875, deviations ±8.375
     // → stdvar 70.140625, stddev 8.375 (both exact in micro-units)

@@ -574,6 +574,11 @@ object SparkEntry {
     "dedup_decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(Tables.documents(s, dir), col("doc_id") % 50 === 0)),
 
+    // C4-style boilerplate removal: non-overlapping 8-word chunks
+    // occurring ≥3 times corpus-wide are scrubbed from every doc
+    "dedup_span_scrub" -> ((s, dir) =>
+      Dedup.scrubRepeatedSpans(Tables.documents(s, dir))),
+
     "dedup_embedding" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir), nBands = 4, bitsPerBand = 6, threshold = 0.4)),
 
@@ -1757,6 +1762,28 @@ object SparkEntry {
          |       (coalesce(h.n_hit_grams, 0) > 0)::INT AS contaminated
          |FROM documents d LEFT JOIN hits h USING (doc_id)
          |WHERE d.doc_id % 50 <> 0""".stripMargin,
+
+    // same chunking, same md5-60bit hashes, same blocklist filter
+    "dedup_span_scrub" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, list_transform(range(((len(toks) - 1) // 8) + 1),
+         |    i -> array_to_string(toks[(i * 8 + 1):(i * 8 + 8)], ' ')) AS chunks
+         |  FROM d
+         |), f AS (SELECT unnest(chunks) AS ch FROM c),
+         |freq AS (
+         |  SELECT ${duckHash("ch")} AS h
+         |  FROM f GROUP BY 1 HAVING count(*) >= 3
+         |), bad AS (SELECT coalesce(list(h), []) AS bl FROM freq)
+         |SELECT doc_id,
+         |  array_to_string(list_filter(chunks, ch ->
+         |    NOT list_contains(bl, ${duckHash("ch")})), ' ') AS text_clean,
+         |  len(chunks)::BIGINT AS n_chunks,
+         |  (len(chunks) - len(list_filter(chunks, ch ->
+         |    NOT list_contains(bl, ${duckHash("ch")}))))::BIGINT AS n_removed
+         |FROM c, bad""".stripMargin,
 
     "dedup_embedding" ->
       s"""${embCte(24)}, banded AS (

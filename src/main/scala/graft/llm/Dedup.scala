@@ -240,6 +240,48 @@ object Dedup {
         (coalesce(col("n_hit_grams"), lit(0L)) > 0).cast("int").as("contaminated"))
   }
 
+  /** C4-style repeated-span scrub (the T5 corpus pipeline,
+    * arXiv:1910.10683 §2.2, removed any three-sentence span occurring
+    * more than once in the dataset): the text splits into
+    * NON-OVERLAPPING `window`-word chunks, every chunk whose exact
+    * content occurs ≥ `minCount` times corpus-wide (occurrences, not
+    * distinct docs) is removed from every document, and the
+    * survivors rejoin in order. Emits (doc_id, text_clean, n_chunks,
+    * n_removed) — n_removed > 0 rows are the boilerplate carriers.
+    *
+    * Scale shape: chunking is a per-row transform on the corpus scan
+    * (no word explode, no shuffle); the frequent-set build is the
+    * plan's ONE exchange — a map-side-combined count over exploded
+    * chunk hashes (8-byte integers, never chunk text); membership
+    * ships back as a single broadcast array row (the decontaminate
+    * blocklist pattern) bounded by the Zipf head of ≥minCount
+    * chunks, and the scrub itself is again a per-row filter. At
+    * 100 TB the broadcast is the knob: a corpus whose frequent set
+    * outgrows executor memory raises minCount or swaps the cross
+    * join for a broadcast semi-join on exploded chunks. */
+  def scrubRepeatedSpans(documents: DataFrame, window: Int = 8,
+                         minCount: Int = 3): DataFrame = {
+    val chunked = documents
+      .withColumn("toks", split(coalesce(col("text"), lit("")), " "))
+      .withColumn("chunks", expr(
+        s"transform(sequence(0, (size(toks) - 1) DIV $window), " +
+        s"i -> concat_ws(' ', slice(toks, i * $window + 1, $window)))"))
+    val freq = chunked
+      .select(explode(col("chunks")).as("c"))
+      .select(expr(hash60SqlSpark("c")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val freqArr = freq.agg(
+      sort_array(collect_list(col("h"))).as("bad"))
+    chunked.crossJoin(broadcast(freqArr))
+      .withColumn("kept", expr(
+        s"filter(chunks, c -> NOT array_contains(bad, ${hash60SqlSpark("c")}))"))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("text_clean"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        (size(col("chunks")) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
   val SimBits = 60   // portable hash width
   val SimBands = 4   // 4 bands × 15 bits for candidate bucketing
 

@@ -294,6 +294,80 @@ object HttpServe {
       }
     })
 
+    // GET /federate?match[]=<selector>[&match[]=…][&time=<sec>] —
+    // the Prometheus federation endpoint: each matching series'
+    // CURRENT value in text exposition format, so a downstream
+    // Prometheus can scrape graft as an ordinary federation source.
+    // Selectors union as ONE OR-predicate on a single scan (the
+    // /api/v1/series shape); per series the latest sample in the
+    // (t-5m, t] instant lookback answers, stamped in milliseconds.
+    // `time` is a graft extension (Prometheus federates at wall-now
+    // only) so scrapes are reproducible against a historical store;
+    // absent, the scrape time is wall-clock now.
+    server.createContext("/federate", (ex: HttpExchange) => guarded(ex) {
+      import org.apache.spark.sql.functions.{col, expr, max}
+      val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      val params = raw.split("&").iterator.filter(_.nonEmpty)
+        .map(_.split("=", 2)).map {
+          case Array(k, v) => java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8")
+          case a => java.net.URLDecoder.decode(a(0), "UTF-8") -> ""
+        }.toSeq
+      val parsed = params.collect { case ("match[]", v) =>
+        graft.operators.Matchers.parseSelector(v) }
+      if (parsed.isEmpty || parsed.exists(_.isEmpty)) {
+        respond(ex, 400,
+          """{"status":"error","errorType":"bad_data","error":"match[] missing or malformed"}"""
+            .getBytes(UTF_8),
+          Seq("Content-Type" -> "application/json"))
+      } else {
+        val t = params.collectFirst { case ("time", v) => v }
+          .flatMap(parseTimeParam)
+          .getOrElse(System.currentTimeMillis() / 1000L)
+        val lookback = 300L
+        val rows = SamplesStore.readLocked(storePath) {
+          storeSamples().map { df =>
+            val pred = parsed.flatten
+              .map(graft.operators.Matchers.compile(_, ignoreLabel))
+              .reduce(_ || _)
+            df.filter(pred)
+              // (t-L, t] in pushable ts_us bounds + day pruning
+              .filter(col("ts_us") > (t - lookback) * 1000000L &&
+                      col("ts_us") <= t * 1000000L)
+              .filter(col("date") >= (t - lookback) / 86400L * 86400L &&
+                      col("date") <= t)
+              .groupBy(col("metric"), col("labels"))
+              // latest sample; same-µs ties take the max value (the
+              // read path's dedup convention)
+              .agg(max(col("ts_us")).as("ts_us"),
+                expr("max_by(value, struct(ts_us, value))").as("value"))
+              .orderBy("metric", "labels")
+              .limit(MetaValuesLimit)
+              .collect()
+              .map(r => (r.getString(0), r.getSeq[String](1).toSeq,
+                r.getLong(2), r.getDouble(3)))
+              .toSeq
+          }.getOrElse(Seq.empty)
+        }
+        val sb = new StringBuilder
+        rows.foreach { case (metric, labels, tsUs, value) =>
+          val lbl =
+            if (labels.isEmpty) ""
+            else labels.map { l =>
+              val i = l.indexOf('=')
+              val (k, v) = if (i < 0) (l, "") else (l.take(i), l.drop(i + 1))
+              s"""$k="${esc(v)}""""
+            }.mkString("{", ",", "}")
+          val vtxt = PromQL.formatE6(math.floor(value * 1e6 + 0.5).toLong)
+          sb.append(metric).append(lbl).append(' ').append(vtxt)
+            .append(' ').append(tsUs / 1000L).append('\n')
+        }
+        respond(ex, 200, sb.toString.getBytes(UTF_8),
+          Seq("Content-Type" ->
+            "text/plain; version=0.0.4; charset=utf-8"))
+      }
+    })
+
     // ---- PromQL query API ------------------------------------------
     // The layer the reference lacks entirely: it serves remote-read
     // and needs a Prometheus in front to evaluate anything. graft

@@ -71,7 +71,7 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   *             | "label_join" "(" expr "," str "," str {"," str} ")"
   *   selector := PromQL instant-vector selector (Matchers.parseSelector)
   *               [mods]
-  *   mods     := [offset] [@ num]   (either order)
+  *   mods     := [offset] [@ (num|"start()"|"end()")]  (either order)
   *   offset   := "offset" dur      (shifts every window back by dur)
   *   dur      := (\d+ [smhdw])+ | \d+   (seconds resolution)
   *
@@ -255,6 +255,9 @@ object PromQL {
     * replicated across every grid step (Prometheus's `@` modifier —
     * the fixed-baseline comparison idiom). */
   final case class At(tsSec: Long, child: Expr) extends Expr
+  /** child @ start() / @ end(): [[At]] with the query range's own
+    * edge as the pinned instant, resolved at evaluation time. */
+  final case class AtEdge(atStart: Boolean, child: Expr) extends Expr
   /** count_values [by/without] ("dst", child): count the series
     * sharing each exact value per group and step; the value's decimal
     * text (the formatE6 form) becomes the `dst` label. */
@@ -971,27 +974,39 @@ object PromQL {
     }
 
     /** Optional ` @ <unix-seconds>` modifier. */
-    private def atClause(): Either[String, Option[Long]] = {
+    private def atClause(): Either[String, Option[Either[Boolean, Long]]] = {
       ws()
       if (atEnd || s.charAt(i) != '@') Right(None)
       else {
         i += 1
-        number().filter(_ >= 0)
-          .map(v => Some(v.toLong))
-          .toRight("@ needs a non-negative unix timestamp in seconds")
+        ws()
+        peekIdent() match {
+          case Some(k) if k == "start" || k == "end" =>
+            // @ start() / @ end(): the query range's own edges,
+            // resolved at evaluation time (Prometheus v2.25+)
+            i += k.length
+            for { _ <- eat('('); _ <- eat(')') } yield Some(Left(k == "start"))
+          case _ =>
+            number().filter(_ >= 0)
+              .map(v => Some(Right(v.toLong)))
+              .toRight("@ needs a unix timestamp in seconds, start(), or end()")
+        }
       }
     }
 
     /** `[offset d] [@ t]`, in either order. */
-    private def modifiers(): Either[String, (Long, Option[Long])] =
+    private def modifiers(): Either[String, (Long, Option[Either[Boolean, Long]])] =
       for {
         off1 <- offsetClause()
         at <- atClause()
         off2 <- if (off1 == 0L) offsetClause() else Right(0L)
       } yield (off1 + off2, at)
 
-    private def withAt(at: Option[Long], e: Expr): Expr =
-      at.fold(e)(t => At(t, e))
+    private def withAt(at: Option[Either[Boolean, Long]], e: Expr): Expr =
+      at.fold(e) {
+        case Right(t)      => At(t, e)
+        case Left(isStart) => AtEdge(isStart, e)
+      }
 
     private def duration(): Either[String, Long] = {
       ws()
@@ -1145,6 +1160,9 @@ object PromQL {
       case CountValues(dst, child, by, without) =>
         countValues(eval(samples, child, startSec, endSec, stepSec,
           lookbackSec, rollup, ignoreLabel), dst, by, without)
+      case AtEdge(atStart, child) =>
+        eval(samples, At(if (atStart) startSec else endSec, child),
+          startSec, endSec, stepSec, lookbackSec, rollup, ignoreLabel)
       case At(ts, child) =>
         // one evaluation at the pinned instant, replicated onto the
         // grid — the single-point side is tiny, so the cross join

@@ -193,6 +193,35 @@ class LlmSpec extends SparkSpecBase {
     assert(fp1 == fp2)
   }
 
+  test("repeated-span scrub removes frequent chunks, keeps order, counts exactly") {
+    import spark.implicits._
+    // window=2: "a b" appears in docs 1, 2, 3 (3 occurrences → scrub
+    // at minCount=3); "x y" only twice (survives)
+    val corpus = Seq(
+      (1L, "a b x y"),
+      (2L, "p q a b x y"),
+      (3L, "a b"),
+      (4L, "solo words only here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubRepeatedSpans(corpus, window = 2, minCount = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("x y", 2L, 1L)))
+    assert(out(2L) === (("p q x y", 3L, 1L))) // order preserved
+    assert(out(3L) === (("", 1L, 1L)))        // fully scrubbed → empty
+    assert(out(4L) === (("solo words only here", 2L, 0L)))
+    // with nothing frequent the scrub is the identity
+    val noop = Dedup.scrubRepeatedSpans(corpus, window = 2, minCount = 9)
+      .join(corpus, Seq("doc_id"))
+    assert(noop.filter(col("n_removed") =!= 0L).count() === 0L)
+    assert(noop.filter(col("text_clean") =!= col("text")).count() === 0L)
+    // the corpus-level invariant on the real table: clean text never
+    // grows, and removed + kept chunk counts reconcile
+    val real = Dedup.scrubRepeatedSpans(docs)
+    assert(real.filter(length(col("text_clean")) > lit(0)).count() > 0)
+    assert(real.filter(col("n_removed") < 0L || col("n_removed") > col("n_chunks")).count() === 0L)
+  }
+
   test("hot-bucket cap bounds candidate pairs on a degenerate corpus") {
     import spark.implicits._
     // 200 identical documents: every LSH band bucket is one hot bucket

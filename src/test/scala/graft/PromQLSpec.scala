@@ -1138,6 +1138,28 @@ class PromQLSpec extends SparkSpecBase {
     assert(one === Set(("m", "host=a,user=1", T0 + 45, 0L)))
   }
 
+  test("@ start() and @ end() pin to the query range's own edges") {
+    // @ end() at every step equals the plain evaluation at the last
+    // step, replicated across the grid
+    val atEnd = rows(PromQL.eval(tinySamples,
+      parse("sum_over_time(m[60s] @ end())").toOption.get,
+      T0 + 60, T0 + 120, 60L))
+    val plainLast = rows(PromQL.eval(tinySamples,
+      parse("sum_over_time(m[60s])").toOption.get, T0 + 120, T0 + 120, 60L))
+    assert(atEnd.filter(_._3 == T0 + 120) === plainLast)
+    assert(atEnd.size === 2 * plainLast.size) // two grid steps
+    // @ start() mirrors with the first step's answer
+    val atStart = rows(PromQL.eval(tinySamples,
+      parse("sum_over_time(m[60s] @ start())").toOption.get,
+      T0 + 60, T0 + 120, 60L))
+    val plainFirst = rows(PromQL.eval(tinySamples,
+      parse("sum_over_time(m[60s])").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(atStart.filter(_._3 == T0 + 60) === plainFirst)
+    // malformed forms reject
+    assert(parse("m @ start").isLeft)
+    assert(parse("m @ begin()").isLeft)
+  }
+
   test("limitk caps series deterministically; limit_ratio bands partition") {
     // limitk(1, m): the first series by (metric, labels) order —
     // host=a,user=1 sorts before host=b,user=2 — with the metric

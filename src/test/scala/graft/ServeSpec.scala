@@ -884,6 +884,44 @@ class ServeSpec extends SparkSpecBase {
     }
   }
 
+  test("/federate serves latest values in text exposition format") {
+    val store = tmpStore("federate")
+    val srv = HttpServe.start(spark, store)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      val m = enc("match[]")
+      // no match[] → 400 bad_data, like the series endpoint
+      assert(get(s"$base/federate")._1 === 400)
+      assert(post(s"$base/write", writeBlob("fed_metric", 3))._1 === 200)
+      // t inside the 5m lookback of every sample: selector narrows
+      // to two of the three series, sorted output, ms timestamps
+      val sel = enc("""fed_metric{k=~"v[01]"}""")
+      val (c1, b1) = get(s"$base/federate?$m=$sel&time=1704412900")
+      assert(c1 === 200)
+      assert(b1 ===
+        "fed_metric{k=\"v0\"} 0 1704412800000\n" +
+        "fed_metric{k=\"v1\"} 1 1704412801000\n")
+      // multiple match[] union on one scan
+      val s0 = enc("""fed_metric{k="v0"}""")
+      val s2 = enc("""fed_metric{k="v2"}""")
+      assert(get(s"$base/federate?$m=$s0&$m=$s2&time=1704412900")._2 ===
+        "fed_metric{k=\"v0\"} 0 1704412800000\n" +
+        "fed_metric{k=\"v2\"} 2 1704412802000\n")
+      // a newer sample for v0 wins (instant semantics, not history)
+      val blob = PromRemoteCodec.encodeWriteRequest(
+        PromWriteRequest(Seq(PromTimeSeries(
+          Seq(PromLabel("__name__", "fed_metric"), PromLabel("k", "v0")),
+          Seq(PromSample(9.5, 1704412860000L))))))
+      assert(post(s"$base/write", blob)._1 === 200)
+      assert(get(s"$base/federate?$m=$s0&time=1704412900")._2 ===
+        "fed_metric{k=\"v0\"} 9.5 1704412860000\n")
+      // a scrape time past the lookback sees nothing — 200, empty
+      assert(get(s"$base/federate?$m=$s0&time=1704413200") ===
+        ((200, "")))
+    } finally srv.stop()
+  }
+
   test("/api/v1/query_range evaluates PromQL over HTTP with Prometheus JSON") {
     val store = tmpStore("queryrange")
     val srv = HttpServe.start(spark, store)

@@ -14,7 +14,8 @@ import graft.sources.Tables
   * corpus (labels suffixed per copy — series COUNT scales, the axis
   * that grows at 100 TB). Measures how each stage scales; numbers
   * land in SCALE.md. `SPARK_GRAFT_SCALE_ONLY=
-  * read|promql|dedup|ann|curate|prep|rollup|rolldense|compact` runs one section. */
+  * read|promql|dedup|ann|curate|prep|scrub|rollup|rolldense|compact`
+  * runs one section. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
@@ -117,6 +118,9 @@ object ScaleSmoke {
         run("max_over_time(sum by (user) (sum_over_time(click[1d]))[7d:1d])"))
       time(s"pqlAtPinned     m=$m")(
         run(s"sum by (user) (sum_over_time(click[1d] @ ${w0 + 86400}))"))
+      time(s"pqlMad1d        m=$m")(run("mad_over_time(click[1d])"))
+      time(s"pqlStddevAgg    m=$m")(
+        run("stddev by (user) (sum_over_time(click[1d]))"))
     }
 
     // Curation operators: decontamination (training side scales m×,
@@ -145,6 +149,18 @@ object ScaleSmoke {
     for (m <- Seq(1, 2, 4) if sectionEnabled("prep")) {
       val d = scaled(m)
       time(s"corpusPrep      m=$m")(graft.llm.CorpusPrep.prepare(d).count())
+    }
+
+    // Span scrub: per-row chunking + ONE hash-count exchange +
+    // broadcast blocklist. An m× corpus replicates every doc, so each
+    // chunk's count scales m× and the m=2/4 blocklists grow with the
+    // duplicated-chunk head — runtime must stay linear in rows, and
+    // scrubbed-row counts prove the blocklist actually fires at scale.
+    for (m <- Seq(1, 2, 4) if sectionEnabled("scrub")) {
+      val d = scaled(m)
+      time(s"spanScrub       m=$m")(
+        Dedup.scrubRepeatedSpans(d)
+          .filter(col("n_removed") > 0L).count())
     }
 
     // Rollup maintenance: history length grows m× (like compact);

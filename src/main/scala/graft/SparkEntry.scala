@@ -850,6 +850,12 @@ object SparkEntry {
         parsePromQL("limit_ratio(0.5, sum_over_time(click[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
 
+    // unary minus (0 - expr desugar) through the real parser
+    "promql_neg" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("-sum by (user) (sum_over_time(click[1d]))"),
+        WinStartSec, WinEndSec, 86400L))),
+
     // without: drop the k label, merging each user's series
     "promql_without" -> ((s, dir) =>
       promqlStr(PromQL.eval(samples(s, dir),
@@ -2559,6 +2565,19 @@ object SparkEntry {
          |       array_to_string(labels, ',') AS labels_str, t,
          |       CAST(floor(sqrt(greatest(syy / n - (sy / n) * (sy / n), 0.0))
          |            * 1000000 + 0.5) AS BIGINT) AS v_e6
+         |FROM agg""".stripMargin,
+
+    // 0 - v on the micro-unit integers
+    "promql_neg" ->
+      s"""${promqlSotCte("click")}
+         |, agg AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
+         |         CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(labels, ',') AS labels_str, t,
+         |       -v_e6 AS v_e6
          |FROM agg""".stripMargin,
 
     // the k first series by (metric, labels) order per step

@@ -250,15 +250,19 @@ object Dedup {
     * n_removed) — n_removed > 0 rows are the boilerplate carriers.
     *
     * Scale shape: chunking is a per-row transform on the corpus scan
-    * (no word explode, no shuffle); the frequent-set build is the
-    * plan's ONE exchange — a map-side-combined count over exploded
-    * chunk hashes (8-byte integers, never chunk text); membership
-    * ships back as a single broadcast array row (the decontaminate
-    * blocklist pattern) bounded by the Zipf head of ≥minCount
-    * chunks, and the scrub itself is again a per-row filter. At
-    * 100 TB the broadcast is the knob: a corpus whose frequent set
-    * outgrows executor memory raises minCount or swaps the cross
-    * join for a broadcast semi-join on exploded chunks. */
+    * (no word explode); the frequent-set build is a map-side-combined
+    * count over exploded chunk HASHES (8-byte integers — chunk text
+    * never shuffles). Membership is decided at the (doc_id, pos,
+    * hash) level: hash rows join the frequent set (AQE broadcasts it
+    * while it fits — the common Zipf-head case), the REMOVED
+    * positions re-aggregate per doc, and the per-doc removal list
+    * joins back (again broadcast while small) so the final scrub is
+    * an in-row index filter. Work is O(corpus + removed positions)
+    * in every regime — a boilerplate-heavy corpus whose blocklist is
+    * huge degrades to ordinary shuffle joins instead of the
+    * O(corpus × |blocklist|) scan a broadcast-array membership test
+    * would pay (measured: the m=4 ScaleSmoke replication, where
+    * EVERY chunk is frequent, stays linear). */
   def scrubRepeatedSpans(documents: DataFrame, window: Int = 8,
                          minCount: Int = 3): DataFrame = {
     val chunked = documents
@@ -266,20 +270,25 @@ object Dedup {
       .withColumn("chunks", expr(
         s"transform(sequence(0, (size(toks) - 1) DIV $window), " +
         s"i -> concat_ws(' ', slice(toks, i * $window + 1, $window)))"))
-    val freq = chunked
-      .select(explode(col("chunks")).as("c"))
-      .select(expr(hash60SqlSpark("c")).as("h"))
+      .select(col("doc_id"), col("chunks"))
+    val hashes = chunked.select(col("doc_id"),
+      posexplode(expr(s"transform(chunks, c -> ${hash60SqlSpark("c")})"))
+        .as(Seq("pos", "h")))
+    val freq = hashes
       .groupBy(col("h")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
-    val freqArr = freq.agg(
-      sort_array(collect_list(col("h"))).as("bad"))
-    chunked.crossJoin(broadcast(freqArr))
-      .withColumn("kept", expr(
-        s"filter(chunks, c -> NOT array_contains(bad, ${hash60SqlSpark("c")}))"))
+      .select(col("h"))
+    val removed = hashes.join(freq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("rm"))
+    chunked.join(removed, Seq("doc_id"), "left")
+      .withColumn("rm",
+        coalesce(col("rm"), expr("CAST(array() AS ARRAY<INT>)")))
       .select(col("doc_id"),
-        array_join(col("kept"), " ").as("text_clean"),
+        expr("array_join(filter(chunks, (c, i) -> NOT array_contains(rm, i)), ' ')")
+          .as("text_clean"),
         size(col("chunks")).cast("long").as("n_chunks"),
-        (size(col("chunks")) - size(col("kept"))).cast("long").as("n_removed"))
+        size(col("rm")).cast("long").as("n_removed"))
   }
 
   val SimBits = 60   // portable hash width

@@ -510,6 +510,45 @@ object HttpServe {
         Seq("Content-Type" -> "application/json"))
     })
 
+    // liveness/readiness (Prometheus's /-/healthy and /-/ready —
+    // what k8s probes and load balancers hit). The server being able
+    // to run the handler IS the health signal, like Prometheus's.
+    server.createContext("/-/healthy", (ex: HttpExchange) => guarded(ex) {
+      respond(ex, 200, "graft is Healthy.\n".getBytes(UTF_8),
+        Seq("Content-Type" -> "text/plain; charset=utf-8"))
+    })
+    server.createContext("/-/ready", (ex: HttpExchange) => guarded(ex) {
+      respond(ex, 200, "graft is Ready.\n".getBytes(UTF_8),
+        Seq("Content-Type" -> "text/plain; charset=utf-8"))
+    })
+
+    // /api/v1/metadata: metric HELP/TYPE metadata. Remote write
+    // carries none (prompb drops it), so the truthful answer is the
+    // empty set — success, never 404, or Grafana's metadata probe
+    // errors on every dashboard load.
+    server.createContext("/api/v1/metadata", (ex: HttpExchange) => guarded(ex) {
+      respond(ex, 200, """{"status":"success","data":{}}""".getBytes(UTF_8),
+        Seq("Content-Type" -> "application/json"))
+    })
+
+    // /api/v1/status/flags: the effective serving configuration, in
+    // Prometheus's flag-map shape (string values)
+    server.createContext("/api/v1/status/flags", (ex: HttpExchange) => guarded(ex) {
+      val flags = Seq(
+        "store.path" -> storePath,
+        "read.ignore-label" -> ignoreLabel.getOrElse(""),
+        "read.ignore-hints" -> ignoreHints.toString,
+        "read.max-samples" -> maxReadSamples.toString,
+        "store.rollup-interval" -> RemoteWrite.rollupIntervalSec.toString,
+        "rule.record-count" -> RemoteWrite.recordingRules.size.toString,
+        "rule.alert-count" -> HttpServe.alertRules.size.toString)
+        .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+        .mkString(",")
+      respond(ex, 200,
+        s"""{"status":"success","data":{$flags}}""".getBytes(UTF_8),
+        Seq("Content-Type" -> "application/json"))
+    })
+
     // the configured recording + alerting rules, in Prometheus's
     // /api/v1/rules shape — what Grafana's rules UI lists
     server.createContext("/api/v1/rules", (ex: HttpExchange) => guarded(ex) {

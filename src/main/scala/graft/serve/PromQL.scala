@@ -553,7 +553,19 @@ object PromQL {
         for { e <- expr(); _ <- eat(')') } yield e
       } else if (peekChar.exists(c => c.isDigit || c == '-')) {
         number().map(v => Right(ScalarLit(v)))
-          .getOrElse(Left(s"expected number at '${rest.take(20)}'"))
+          .getOrElse {
+            // unary minus on a non-literal: Prometheus's `-expr`,
+            // desugared to 0 - expr (same label/name semantics).
+            // The operand is a powExpr so -m ^ 2 = -(m^2), matching
+            // Prometheus's precedence (unary binds looser than ^).
+            if (peekChar.contains('-')) {
+              i += 1
+              powExpr().map {
+                case ScalarLit(v) => ScalarLit(-v) // --5 folds
+                case e => Binary('-', ScalarLit(0.0), e, None)
+              }
+            } else Left(s"expected number at '${rest.take(20)}'")
+          }
       } else peekIdent() match {
         case Some(id) if id == "topk" || id == "bottomk" =>
           i += id.length

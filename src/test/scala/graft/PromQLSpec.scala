@@ -1138,6 +1138,22 @@ class PromQLSpec extends SparkSpecBase {
     assert(one === Set(("m", "host=a,user=1", T0 + 45, 0L)))
   }
 
+  test("unary minus negates vectors with Prometheus precedence") {
+    val neg = rows(PromQL.eval(tinySamples,
+      parse("-sum_over_time(m[60s])").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(neg === Set(
+      ("", "host=a,user=1", T0 + 60, -3500000L),
+      ("", "host=b,user=2", T0 + 60, -20250000L)))
+    // -m ^ 2 = -(m^2), not (-m)^2: unary binds looser than ^
+    assert(parse("-m ^ 2") match {
+      case Right(Binary('-', ScalarLit(0.0), PowInt(_, 2), _)) => true
+      case _ => false
+    })
+    // scalar folds still work, including the double negative
+    assert(parse("--5") === Right(ScalarLit(5.0)))
+    assert(parse("5 - -3") === Right(ScalarLit(8.0)))
+  }
+
   test("@ start() and @ end() pin to the query range's own edges") {
     // @ end() at every step equals the plain evaluation at the last
     // step, replicated across the grid

@@ -884,6 +884,23 @@ class ServeSpec extends SparkSpecBase {
     }
   }
 
+  test("health, metadata, and flags endpoints answer the Prometheus shapes") {
+    val store = tmpStore("statusapi")
+    val srv = HttpServe.start(spark, store)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      assert(get(s"$base/-/healthy") === ((200, "graft is Healthy.\n")))
+      assert(get(s"$base/-/ready") === ((200, "graft is Ready.\n")))
+      assert(get(s"$base/api/v1/metadata") ===
+        ((200, """{"status":"success","data":{}}""")))
+      val (fc, fbody) = get(s"$base/api/v1/status/flags")
+      assert(fc === 200)
+      assert(fbody.contains(""""status":"success""""))
+      assert(fbody.contains(s""""store.path":"${store.replace("\\", "\\\\")}""""))
+      assert(fbody.contains(""""read.ignore-label":"remote=clickhouse""""))
+    } finally srv.stop()
+  }
+
   test("/federate serves latest values in text exposition format") {
     val store = tmpStore("federate")
     val srv = HttpServe.start(spark, store)

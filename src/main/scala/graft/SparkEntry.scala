@@ -663,6 +663,19 @@ object SparkEntry {
       Sampling.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id", "strat", 50)
         .select(col("doc_id"), col("lang"), col("srank"))),
 
+    // Deterministic domain mixing: per-source keep rates, the corpus
+    // mixture primitive (keep all of src0/src1, half of src2/src3,
+    // a quarter of src4, 10% of the long tail).
+    "sample_mixture" -> ((s, dir) =>
+      Sampling.sampleMixture(Tables.documents(s, dir), "source", "doc_id",
+          "mix", Map("src0" -> 1000, "src1" -> 1000, "src2" -> 500,
+            "src3" -> 500, "src4" -> 250), defaultPermille = 100)
+        .select(col("doc_id"), col("source"), col("keep_rate"))),
+
+    // Symmetric int8 embedding quantization (per-vector scale)
+    "embedding_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir))),
+
     // The whole corpus-prep pipeline in one pass: quality gate →
     // language gate → exact dedup → split assignment. One scan, one
     // shuffle (the dedup window) — plan-asserted in PlanSpec.
@@ -2094,6 +2107,35 @@ object SparkEntry {
          |  FROM documents
          |)
          |SELECT doc_id, lang, srank FROM r WHERE srank <= 50""".stripMargin,
+
+    // the same literal rate CASE + the same portable hash bucket
+    "sample_mixture" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |         CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 1000
+         |              WHEN 'src2' THEN 500 WHEN 'src3' THEN 500
+         |              WHEN 'src4' THEN 250 ELSE 100 END AS keep_rate
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, keep_rate FROM r
+         |WHERE ${duckHash("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000 < keep_rate""".stripMargin,
+
+    // scale = max|x|/127, q = halfUp(x/max|x|·127) — float32 inputs
+    // are exact in double, so the per-element IEEE ops match
+    "embedding_quantize" ->
+      s"""WITH p AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+         |), m AS (
+         |  SELECT vec_id, vec,
+         |         list_max(list_transform(vec, x -> abs(x))) AS mx
+         |  FROM p
+         |)
+         |SELECT vec_id,
+         |  CAST(floor(mx / 127.0 * 1000000.0 + 0.5) AS BIGINT) AS scale_e6,
+         |  CASE WHEN mx = 0.0 THEN list_transform(vec, x -> 0)
+         |       ELSE list_transform(vec, x -> CAST(floor(x / mx * 127.0 + 0.5) AS INT))
+         |  END AS qvec
+         |FROM m""".stripMargin,
 
     "pipeline_corpus_prep" ->
       s"""$corpusPrepCte

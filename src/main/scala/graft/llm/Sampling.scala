@@ -105,4 +105,29 @@ object Sampling {
       .filter(col("srank") <= perGroup)
       .drop("srank_h")
   }
+
+  /** Deterministic domain mixing: a per-`groupCol` keep rate in
+    * permille — the corpus-mixture primitive ("all of books, 30% of
+    * web, none of the rest"). Rows keep when their (salt, key) hash
+    * bucket lands under the group's rate, so a mixture over the same
+    * salt COMPOSES with [[sampleByKey]]/[[withSplit]] (a group's 300‰
+    * is a superset of its 100‰, and the kept set never depends on
+    * partitioning or cluster size). Unlisted groups fall to
+    * `defaultPermille`. Emits `keep_rate` for downstream audit.
+    *
+    * Scale shape: a pure per-row projection + filter — zero
+    * exchanges; the rate table folds into the plan as a literal
+    * CASE chain (mixtures are a handful of corpus sources, never
+    * data-sized). */
+  def sampleMixture(df: DataFrame, groupCol: String, keyCol: String,
+                    salt: String, permilleByGroup: Map[String, Int],
+                    defaultPermille: Int = 0): DataFrame = {
+    // sorted fold → deterministic plan text for a given mixture
+    val rate = permilleByGroup.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPermille)) { case (acc, (g, p)) =>
+        when(col(groupCol) === g, lit(p)).otherwise(acc)
+      }
+    df.withColumn("keep_rate", rate.cast("int"))
+      .filter(hashBucket(keyCol, salt, 1000) < col("keep_rate"))
+  }
 }

@@ -218,19 +218,21 @@ class CodecFuzzSpec extends AnyFunSuite {
     val rnd3 = new Random(1313)
     val fns = Seq("rate", "irate", "increase", "delta", "idelta", "deriv",
       "changes", "resets", "sum_over_time", "avg_over_time", "min_over_time",
-      "max_over_time", "count_over_time", "last_over_time", "stddev_over_time")
-    val aggs = Seq("sum", "avg", "min", "max", "count", "group")
+      "max_over_time", "count_over_time", "last_over_time",
+      "stddev_over_time", "mad_over_time", "present_over_time")
+    val aggs = Seq("sum", "avg", "min", "max", "count", "group",
+      "stddev", "stdvar")
     val maths = Seq("abs", "ceil", "floor", "sgn")
     def randExpr(depth: Int): String = {
       if (depth <= 0) s"m${rnd3.nextInt(10)}"
-      else rnd3.nextInt(10) match {
+      else rnd3.nextInt(14) match {
         case 0 => s"${fns(rnd3.nextInt(fns.length))}(m${rnd3.nextInt(10)}[${1 + rnd3.nextInt(120)}m])"
         case 1 => s"${aggs(rnd3.nextInt(aggs.length))} by (k${rnd3.nextInt(5)}) (${randExpr(depth - 1)})"
         case 2 => s"${aggs(rnd3.nextInt(aggs.length))} without (k${rnd3.nextInt(5)}) (${randExpr(depth - 1)})"
         case 3 => s"topk(${1 + rnd3.nextInt(5)}, ${randExpr(depth - 1)})"
         case 4 => s"${maths(rnd3.nextInt(maths.length))}(${randExpr(depth - 1)})"
         case 5 =>
-          val op = "+-*/".charAt(rnd3.nextInt(4))
+          val op = "+-*/%".charAt(rnd3.nextInt(5))
           s"(${randExpr(depth - 1)}) $op (${randExpr(depth - 1)})"
         case 6 =>
           val op = Seq("==", "!=", "<", "<=", ">", ">=")(rnd3.nextInt(6))
@@ -240,6 +242,12 @@ class CodecFuzzSpec extends AnyFunSuite {
           s"(${randExpr(depth - 1)}) $op (${randExpr(depth - 1)})"
         case 8 => s"clamp(${randExpr(depth - 1)}, 0, ${1 + rnd3.nextInt(100)})"
         case 9 => s"max_over_time((${randExpr(depth - 1)})[1h:${1 + rnd3.nextInt(30)}m])"
+        case 10 => s"(${randExpr(depth - 1)}) ^ ${rnd3.nextInt(9)}"
+        case 11 => s"limitk(${1 + rnd3.nextInt(5)}, ${randExpr(depth - 1)})"
+        case 12 => s"limit_ratio(${Seq("0.5", "-0.5", "1.0", "0.25")(rnd3.nextInt(4))}, ${randExpr(depth - 1)})"
+        case 13 =>
+          val at = Seq("start()", "end()", "1704412800")(rnd3.nextInt(3))
+          s"sum_over_time(m${rnd3.nextInt(10)}[${1 + rnd3.nextInt(60)}m] @ $at)"
       }
     }
     // every structured expression parses (the generator stays inside

@@ -326,6 +326,69 @@ class LlmSpec extends SparkSpecBase {
     assert(a.nonEmpty && a.size < docs.count(), "a 10% sample is a strict non-empty subset")
   }
 
+  test("domain mixture keeps per-source rates, nests, and composes with keyed samples") {
+    import graft.llm.Sampling
+    def mix(rates: Map[String, Int], dflt: Int): Set[Long] =
+      Sampling.sampleMixture(docs, "source", "doc_id", "mix", rates, dflt)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // rate 1000 keeps a source entirely; rate 0 default drops the rest
+    val only0 = mix(Map("src0" -> 1000), 0)
+    val src0All = docs.filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(only0 === src0All)
+    // a source's lower rate nests inside its higher rate (same salt)
+    val hi = mix(Map("src1" -> 600), 0)
+    val lo = mix(Map("src1" -> 300), 0)
+    assert(lo.subsetOf(hi) && lo.size < hi.size)
+    // the mixture's kept set under salt s is exactly the per-source
+    // union of sampleByKey keeps — mixtures COMPOSE with splits
+    val viaMixture = mix(Map("src2" -> 400), 0)
+    val viaSample = Sampling.sampleByKey(
+        docs.filter(col("source") === "src2"), "doc_id", "mix", 400)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaMixture === viaSample)
+    // keep_rate is emitted per row and matches the mixture table
+    val rates = Sampling.sampleMixture(docs, "source", "doc_id", "mix",
+        Map("src3" -> 1000), 200)
+      .select("source", "keep_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rates("src3") === 1000)
+    assert(rates.filter(_._1 != "src3").values.toSet === Set(200))
+  }
+
+  test("int8 quantization: exact scale, saturated max element, bounded error") {
+    import graft.llm.Similarity
+    val q = Similarity.quantizeInt8(embs)
+    val rows = q.collect()
+    assert(rows.length == embs.count())
+    rows.foreach { r =>
+      val qv = r.getSeq[Int](2)
+      assert(qv.forall(v => v >= -127 && v <= 127), "int8 range")
+      assert(qv.exists(v => math.abs(v) == 127),
+        "the max-|x| element must saturate to ±127")
+    }
+    // dequantization error ≤ scale/2 per element, against the source
+    import spark.implicits._
+    val joined = q.join(embs, Seq("vec_id"))
+      .select(col("vec_id"), col("scale_e6"), col("qvec"),
+        col("embedding").cast("array<double>").as("vec"))
+      .as[(Long, Long, Seq[Int], Seq[Double])].collect()
+    joined.foreach { case (_, scaleE6, qv, vec) =>
+      val mx = vec.map(math.abs).max
+      val scale = mx / 127.0
+      qv.zip(vec).foreach { case (qi, xi) =>
+        assert(math.abs(qi * scale - xi) <= scale / 2 + 1e-9,
+          s"dequant error: q=$qi x=$xi scale=$scale")
+      }
+      assert(scaleE6 === math.floor(scale * 1e6 + 0.5).toLong)
+    }
+    // an all-zero vector quantizes to zeros with scale 0
+    val z = Similarity.quantizeInt8(
+      Seq((99L, Array.fill(8)(0.0f), 0)).toDF("vec_id", "embedding", "label"))
+      .collect().head
+    assert(z.getLong(1) === 0L && z.getSeq[Int](2).forall(_ == 0))
+  }
+
   test("stratified sample enforces the per-group quota, deterministically and group-locally") {
     import graft.llm.Sampling
     def pick(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Long]] =

@@ -972,24 +972,30 @@ class PromQLSpec extends SparkSpecBase {
     val rnd = new scala.util.Random(2026)
     val fns = Seq("rate", "irate", "increase", "idelta", "deriv", "changes",
       "resets", "sum_over_time", "avg_over_time", "max_over_time",
-      "stddev_over_time", "stdvar_over_time", "present_over_time")
-    val aggs = Seq("sum", "avg", "min", "max", "count", "group")
+      "stddev_over_time", "stdvar_over_time", "present_over_time",
+      "mad_over_time")
+    val aggs = Seq("sum", "avg", "min", "max", "count", "group",
+      "stddev", "stdvar")
     val maths = Seq("abs", "ceil", "floor", "sgn", "sqrt", "hour", "month")
     def gen(depth: Int): String = {
       if (depth <= 0) "m"
-      else rnd.nextInt(12) match {
+      else rnd.nextInt(16) match {
         case 0 => s"${fns(rnd.nextInt(fns.length))}(m[${30 + rnd.nextInt(90)}s])"
         case 1 => s"${aggs(rnd.nextInt(aggs.length))} by (host) (${gen(depth - 1)})"
         case 2 => s"${aggs(rnd.nextInt(aggs.length))} without (user) (${gen(depth - 1)})"
         case 3 => s"topk(${1 + rnd.nextInt(3)}, ${gen(depth - 1)})"
         case 4 => s"${maths(rnd.nextInt(maths.length))}(${gen(depth - 1)})"
-        case 5 => s"(${gen(depth - 1)}) ${"+-*/".charAt(rnd.nextInt(4))} (${gen(depth - 1)})"
+        case 5 => s"(${gen(depth - 1)}) ${"+-*/%".charAt(rnd.nextInt(5))} (${gen(depth - 1)})"
         case 6 => s"${gen(depth - 1)} ${Seq(">", "<", ">=")(rnd.nextInt(3))} ${rnd.nextInt(30)}"
         case 7 => s"(${gen(depth - 1)}) ${Seq("and", "or", "unless")(rnd.nextInt(3))} (${gen(depth - 1)})"
         case 8 => s"max_over_time((${gen(depth - 1)})[120s:60s])"
         case 9 => s"quantile(0.${1 + rnd.nextInt(8)}, ${gen(depth - 1)})"
         case 10 => s"histogram_quantile(0.9, ${gen(depth - 1)})"
         case 11 => s"""label_replace(${gen(depth - 1)}, "x", "y", "host", "a.*")"""
+        case 12 => s"(${gen(depth - 1)}) ^ ${rnd.nextInt(4)}"
+        case 13 => s"limitk(${1 + rnd.nextInt(3)}, ${gen(depth - 1)})"
+        case 14 => s"limit_ratio(${Seq("0.5", "-0.5", "1.0")(rnd.nextInt(3))}, ${gen(depth - 1)})"
+        case 15 => s"-(${gen(depth - 1)})"
       }
     }
     (0 until 60).foreach { i =>

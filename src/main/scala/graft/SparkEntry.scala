@@ -125,6 +125,14 @@ object SparkEntry {
       StreamIngest.runToMemory(s, src, s"stream_${new java.io.File(dir).getName.replace(".", "_")}")
     }),
 
+    // online sessionization: per-user GroupState, closed sessions
+    // emitted in append mode — the Sessions operator's streaming twin
+    "ingest_streaming_sessionize" -> ((s, dir) => {
+      val src = ensureEventsSrc(s, dir, "stream_src")
+      StreamIngest.runSessionizeToMemory(s, src,
+        s"stream_sess_${new java.io.File(dir).getName.replace(".", "_")}")
+    }),
+
     "ingest_delete_range" -> ((s, dir) => {
       val path = workDir("delstore", dir)
       SamplesStore.write(samples(s, dir), path)
@@ -662,6 +670,11 @@ object SparkEntry {
     "sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id", "strat", 50)
         .select(col("doc_id"), col("lang"), col("srank"))),
+
+    // Gap-based sessionization over the raw event stream: one row
+    // per (user, session) with extent, volume, and exact value sum.
+    "events_sessionize" -> ((s, dir) =>
+      graft.operators.Sessions.stats(Tables.eventsNorm(s, dir))),
 
     // Deterministic domain mixing: per-source keep rates, the corpus
     // mixture primitive (keep all of src0/src1, half of src2/src3,
@@ -2107,6 +2120,59 @@ object SparkEntry {
          |  FROM documents
          |)
          |SELECT doc_id, lang, srank FROM r WHERE srank <= 50""".stripMargin,
+
+    // the batch sessionization minus each user's OPEN tail session
+    // (only closed sessions stream out); per-event e2 value snap
+    "ingest_streaming_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, value FROM events
+         |), l AS (
+         |  SELECT *, lag(ts_us) OVER (
+         |    PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts
+         |  FROM e
+         |), n AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000
+         |                 THEN 1 ELSE 0 END AS is_new
+         |  FROM l
+         |), s AS (
+         |  SELECT *, CAST(sum(is_new) OVER (
+         |    PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM n
+         |), agg AS (
+         |  SELECT user_id, session_seq, count(*) AS n_events,
+         |         min(ts_us) AS start_us, max(ts_us) AS end_us,
+         |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         |           AS sum_value_e2,
+         |         max(session_seq) OVER (PARTITION BY user_id) AS last_seq
+         |  FROM s GROUP BY 1, 2
+         |)
+         |SELECT user_id, session_seq, n_events, start_us, end_us, sum_value_e2
+         |FROM agg WHERE session_seq < last_seq""".stripMargin,
+
+    // identical lag → gap flag → running-sum windows, µs integers
+    "events_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, value FROM events
+         |), l AS (
+         |  SELECT *, lag(ts_us) OVER (
+         |    PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts
+         |  FROM e
+         |), n AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000
+         |                 THEN 1 ELSE 0 END AS is_new
+         |  FROM l
+         |), s AS (
+         |  SELECT *, CAST(sum(is_new) OVER (
+         |    PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM n
+         |)
+         |SELECT user_id, session_seq, count(*) AS n_events,
+         |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+         |       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_e2,
+         |       (max(ts_us) - min(ts_us)) // 1000000 AS duration_sec
+         |FROM s GROUP BY 1, 2""".stripMargin,
 
     // the same literal rate CASE + the same portable hash bucket
     "sample_mixture" ->

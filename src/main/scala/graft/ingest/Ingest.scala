@@ -1517,4 +1517,71 @@ object StreamIngest {
       .groupBy(col("metric"))
       .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
   }
+
+  /** Per-user session state for [[runSessionizeToMemory]]. */
+  final case class SessState(lastTs: Long, seq: Long, startTs: Long,
+                             n: Long, sumE2: Long)
+  /** A CLOSED session emitted by the streaming sessionizer. */
+  final case class SessionOut(user_id: Long, session_seq: Long,
+                              n_events: Long, start_us: Long, end_us: Long,
+                              sum_value_e2: Long)
+
+  /** STREAMING gap sessionization — [[graft.operators.Sessions]]'
+    * online twin: per-user GroupState carries the open session
+    * (last ts, seq, start, count, e2 value sum); an event past the
+    * gap CLOSES the open session (emitted, append mode) and starts
+    * the next. Only closed sessions emit — the open tail stays in
+    * state, exactly the online semantics (you can't total a session
+    * that may still grow). Values snap to e2 per event, so the sum
+    * is exact and batch-comparable.
+    *
+    * Within a microbatch a group's rows sort by (ts_us, event_id) —
+    * memory bounded by the user's per-batch volume. Across batches
+    * the state machine assumes event-time order, the file source's
+    * shape here (one availableNow batch); a production stream adds
+    * the watermark + EventTimeTimeout of [[dedupWithWatermark]] so
+    * an idle user's final session eventually closes and its state
+    * expires — NoTimeout keeps this entry deterministic. */
+  def sessionizeStream(spark: SparkSession, srcDir: String,
+                       gapSec: Long = 1800L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    spark.readStream.schema(eventsSchema).parquet(srcDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[SessState]) => {
+          val evs = rows.toVector.sortBy(e => (e._2, e._3))
+          var st = state.getOption.orNull
+          val closed = Vector.newBuilder[SessionOut]
+          evs.foreach { case (_, ts, _, v) =>
+            val vE2 = math.floor(v * 100 + 0.5).toLong
+            if (st == null) st = SessState(ts, 1L, ts, 1L, vE2)
+            else if (ts - st.lastTs > gapSec * 1000000L) {
+              closed += SessionOut(user, st.seq, st.n, st.startTs,
+                st.lastTs, st.sumE2)
+              st = SessState(ts, st.seq + 1, ts, 1L, vE2)
+            } else st = SessState(ts, st.seq, st.startTs, st.n + 1,
+              st.sumE2 + vE2)
+          }
+          if (st != null) state.update(st)
+          closed.result().iterator
+        })
+      .toDF()
+  }
+
+  def runSessionizeToMemory(spark: SparkSession, srcDir: String,
+                            queryName: String,
+                            gapSec: Long = 1800L): DataFrame = {
+    val q = sessionizeStream(spark, srcDir, gapSec).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
 }

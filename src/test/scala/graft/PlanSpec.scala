@@ -189,11 +189,29 @@ class PlanSpec extends SparkSpecBase {
     val docs = Tables.documents(spark, Sf)
     for ((name, df) <- Seq(
         "withSplit" -> graft.llm.Sampling.withSplit(docs, "doc_id"),
-        "sampleByKey" -> graft.llm.Sampling.sampleByKey(docs, "doc_id", "s1", 100))) {
+        "sampleByKey" -> graft.llm.Sampling.sampleByKey(docs, "doc_id", "s1", 100),
+        "sampleMixture" -> graft.llm.Sampling.sampleMixture(docs, "source",
+          "doc_id", "mix", Map("src0" -> 1000, "src1" -> 500), 100),
+        "quantizeInt8" -> graft.llm.Similarity.quantizeInt8(
+          Tables.embeddings(spark, Sf)))) {
       val p = plan(df)
       assert(!p.contains("Exchange"),
         s"$name must be a narrow per-row plan, found a shuffle:\n$p")
     }
+  }
+
+  test("span scrub: the corpus side broadcasts its joins in the Zipf-head regime") {
+    spark.catalog.clearCache()
+    val df = graft.llm.Dedup.scrubRepeatedSpans(Tables.documents(spark, Sf))
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // with a small frequent set (every real corpus's Zipf head) both
+    // membership joins broadcast, so the chunked corpus rows — the
+    // only side carrying text — never shuffle: the plan's exchanges
+    // are the hash-count and the (tiny) removed-position aggregate
+    assert(!p.contains("SortMergeJoin"),
+      s"membership joins must broadcast at this scale, not sort-merge:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
   }
 
   test("corpus-prep pipeline composes on one scan with exactly one shuffle") {

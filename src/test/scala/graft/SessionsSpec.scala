@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sessions
+
+/** Gap-based sessionization semantics (operators/Sessions.scala):
+  * break exactly past the gap, per-user locality, deterministic
+  * same-µs tie-breaks, exact session stats. */
+class SessionsSpec extends SparkSpecBase {
+
+  private def ev(rows: (Long, Long, Long, Double)*) = {
+    import spark.implicits._
+    rows.toDF("event_id", "ts_us", "user_id", "value")
+      .withColumn("event_type", lit("e"))
+      .withColumn("props", lit("{}"))
+  }
+
+  test("sessions break strictly past the gap; boundaries are per-user") {
+    val gap = 60L // seconds
+    val events = ev(
+      (1L, 0L, 7L, 1.0),
+      (2L, 60000000L, 7L, 2.0),  // exactly gap → SAME session (> only)
+      (3L, 120000001L, 7L, 3.0), // 60.000001s after #2 → new session
+      (4L, 1000000L, 9L, 4.0)    // other user: own first session
+    )
+    val out = Sessions.assign(events, gap)
+      .select("event_id", "user_id", "session_seq").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((7L, 1L)))
+    assert(out(2L) === ((7L, 1L)), "a gap of exactly gapSec must NOT break")
+    assert(out(3L) === ((7L, 2L)))
+    assert(out(4L) === ((9L, 1L)), "session numbering is user-local")
+  }
+
+  test("stats aggregate each session exactly") {
+    val events = ev(
+      (1L, 0L, 7L, 1.25),
+      (2L, 30000000L, 7L, 2.50),
+      (3L, 200000000L, 7L, 0.125) // new session after 170 s (gap 60)
+    )
+    val out = Sessions.stats(events, 60L)
+      .orderBy("session_seq").collect()
+    assert(out.length === 2)
+    val s1 = out(0)
+    assert(s1.getAs[Long]("n_events") === 2L)
+    assert(s1.getAs[Long]("start_us") === 0L)
+    assert(s1.getAs[Long]("end_us") === 30000000L)
+    assert(s1.getAs[Long]("duration_sec") === 30L)
+    assert(s1.getAs[Long]("sum_value_e2") === 375L) // 1.25 + 2.50
+    val s2 = out(1)
+    assert(s2.getAs[Long]("n_events") === 1L)
+    assert(s2.getAs[Long]("duration_sec") === 0L)
+    assert(s2.getAs[Long]("sum_value_e2") === 13L) // 0.125 e2-snaps half-up
+  }
+
+  test("same-microsecond events tie-break on event_id deterministically") {
+    val events = ev(
+      (5L, 1000L, 7L, 1.0),
+      (4L, 1000L, 7L, 1.0), // same ts — must order 4 before 5
+      (6L, 70000000L + 1000L + 1L, 7L, 1.0))
+    val out = Sessions.assign(events, 60L)
+      .select("event_id", "session_seq").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(4L) === 1L && out(5L) === 1L && out(6L) === 2L)
+  }
+
+  test("the real events table sessionizes consistently at both layers") {
+    val events = graft.sources.Tables.eventsNorm(spark, Sf)
+    val assigned = Sessions.assign(events)
+    // session_seq is dense 1..max per user
+    val bad = assigned.groupBy("user_id")
+      .agg(max("session_seq").as("mx"), countDistinct("session_seq").as("n"))
+      .filter(col("mx") =!= col("n")).count()
+    assert(bad === 0L, "session_seq must be dense per user")
+    // stats reconcile with the assignment
+    val statsN = Sessions.stats(events)
+      .agg(sum("n_events")).first().getLong(0)
+    assert(statsN === events.count())
+  }
+}

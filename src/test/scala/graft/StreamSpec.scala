@@ -93,6 +93,52 @@ class StreamSpec extends SparkSpecBase {
     assert(out.filter(col("event_id") === 50).count() == 1)
   }
 
+  test("streaming sessionization closes sessions across microbatches, keeps the tail open") {
+    import spark.implicits._
+    val base = "/tmp/graft_test/stream_sess"
+    new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    val src = s"$base/src"
+    val t0 = 1704412800000000L // µs
+    val min = 60L * 1000000L
+    def ev(id: Long, tUs: Long, v: Double) = (id, tUs, 1L, "m", v, "p1")
+    def land(rows: (Long, Long, Long, String, Double, String)*): Unit =
+      rows.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(src)
+
+    land(ev(1, t0, 1.25), ev(2, t0 + 10 * min, 2.50))
+    val q = StreamIngest.sessionizeStream(spark, src)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("spec_sessionize").start()
+    try {
+      q.processAllAvailable() // open session, nothing emitted yet
+      assert(spark.table("spec_sessionize").count() === 0L,
+        "an open session must not emit")
+      // batch 2: one more in-gap event, then a far event that CLOSES
+      // session 1 — state carried across the batch boundary
+      land(ev(3, t0 + 20 * min, 0.125), ev(4, t0 + 120 * min, 4.0))
+      q.processAllAvailable()
+      val s1 = spark.table("spec_sessionize").collect()
+      assert(s1.length === 1)
+      val r = s1.head
+      assert(r.getAs[Long]("session_seq") === 1L)
+      assert(r.getAs[Long]("n_events") === 3L)
+      assert(r.getAs[Long]("start_us") === t0)
+      assert(r.getAs[Long]("end_us") === t0 + 20 * min)
+      assert(r.getAs[Long]("sum_value_e2") === 388L) // 1.25+2.50+0.125→.13
+      // batch 3: closes session 2 (the single event 4)
+      land(ev(5, t0 + 300 * min, 9.0))
+      q.processAllAvailable()
+      val s2 = spark.table("spec_sessionize")
+        .filter(col("session_seq") === 2L).collect()
+      assert(s2.length === 1 && s2.head.getAs[Long]("n_events") === 1L)
+      assert(s2.head.getAs[Long]("sum_value_e2") === 400L)
+      // session 3 (event 5) stays open
+      assert(spark.table("spec_sessionize").count() === 2L)
+    } finally q.stop()
+  }
+
   test("windowed streaming aggregation buckets by event-time hour") {
     val src = "/tmp/graft_test/stream_win_src"
     Tables.eventsNorm(spark, Sf).write.mode("overwrite").parquet(src)

@@ -676,6 +676,16 @@ object SparkEntry {
     "events_sessionize" -> ((s, dir) =>
       graft.operators.Sessions.stats(Tables.eventsNorm(s, dir))),
 
+    // Earliest-anchor conversion funnel: view → click → purchase
+    // within a day of first exposure
+    "events_funnel" -> ((s, dir) =>
+      graft.operators.Sessions.funnel(Tables.eventsNorm(s, dir),
+        Seq("view", "click", "purchase"), 86400L)),
+
+    // Daily cohort retention curve
+    "events_retention" -> ((s, dir) =>
+      graft.operators.Sessions.retention(Tables.eventsNorm(s, dir))),
+
     // Deterministic domain mixing: per-source keep rates, the corpus
     // mixture primitive (keep all of src0/src1, half of src2/src3,
     // a quarter of src4, 10% of the long tail).
@@ -2173,6 +2183,43 @@ object SparkEntry {
          |       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_e2,
          |       (max(ts_us) - min(ts_us)) // 1000000 AS duration_sec
          |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // identical chained min-windows; the level CASE checks deepest
+    // first (chain timestamps increase, so in-window implies all
+    // intermediates are)
+    "events_funnel" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+         |), w0 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+         |    OVER (PARTITION BY user_id) AS t0 FROM e
+         |), w1 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'click' AND t0 IS NOT NULL
+         |                          AND ts_us > t0 THEN ts_us END)
+         |    OVER (PARTITION BY user_id) AS t1 FROM w0
+         |), w2 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'purchase' AND t1 IS NOT NULL
+         |                          AND ts_us > t1 THEN ts_us END)
+         |    OVER (PARTITION BY user_id) AS t2 FROM w1
+         |)
+         |SELECT DISTINCT user_id, t0, t1, t2,
+         |  CAST(CASE WHEN t2 IS NOT NULL AND t2 - t0 <= 86400000000 THEN 3
+         |            WHEN t1 IS NOT NULL AND t1 - t0 <= 86400000000 THEN 2
+         |            WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS level
+         |FROM w2""".stripMargin,
+
+    "events_retention" ->
+      s"""WITH d AS (
+         |  SELECT DISTINCT user_id, epoch_us(ts) // 1000000 // 86400 AS day
+         |  FROM events
+         |), c AS (
+         |  SELECT user_id, day,
+         |         min(day) OVER (PARTITION BY user_id) AS cohort_day
+         |  FROM d
+         |)
+         |SELECT cohort_day, day - cohort_day AS day_offset,
+         |       count(DISTINCT user_id) AS n_users
+         |FROM c GROUP BY 1, 2""".stripMargin,
 
     // the same literal rate CASE + the same portable hash bucket
     "sample_mixture" ->

@@ -53,4 +53,59 @@ object Sessions {
         max(col("ts_us")).as("end_us"),
         expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").as("sum_value_e2"))
       .withColumn("duration_sec", expr("(end_us - start_us) DIV 1000000"))
+
+  /** Earliest-anchor conversion funnel — ClickHouse windowFunnel's
+    * deterministic sibling: t₀ = the user's FIRST `steps(0)` event,
+    * tₖ = the first `steps(k)` event strictly after tₖ₋₁, and the
+    * funnel `level` is the deepest k+1 whose tₖ lands within
+    * `windowSec` of t₀ (timestamps increase along the chain, so a
+    * deep step in-window implies every intermediate one is too).
+    * Documented deviation: windowFunnel searches ALL candidate
+    * anchors (a later first-step can sometimes reach deeper); the
+    * earliest-anchor form is one-pass, deterministic, and answers
+    * the usual product question — time-to-convert from first
+    * exposure. One row per user seen in the stream, level 0 when
+    * step 1 never fired.
+    *
+    * Scale shape: ONE exchange (the user hash partition) feeding n
+    * chained window passes — each step's min-timestamp window reuses
+    * the same partitioning, and the final DISTINCT collapses rows
+    * that are already identical per user on that same exchange. */
+  def funnel(events: DataFrame, steps: Seq[String],
+             windowSec: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(col("user_id"))
+    var df = events.select(col("user_id"), col("ts_us"), col("event_type"))
+    steps.zipWithIndex.foreach { case (s, i) =>
+      val hit =
+        if (i == 0) col("event_type") === s
+        else col("event_type") === s && col(s"t${i - 1}").isNotNull &&
+          col("ts_us") > col(s"t${i - 1}")
+      df = df.withColumn(s"t$i", min(when(hit, col("ts_us"))).over(w))
+    }
+    val wUs = windowSec * 1000000L
+    val level = steps.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"t$i").isNotNull && col(s"t$i") - col("t0") <= wUs,
+        lit(i + 1)).otherwise(acc)
+    }
+    df.select(col("user_id") +: steps.indices.map(i => col(s"t$i")) :+
+      level.cast("long").as("level"): _*).distinct()
+  }
+
+  /** Daily cohort retention: each user's cohort is their first active
+    * day; the curve counts distinct users active `day_offset` days
+    * later. Two lean exchanges — the per-user first-day window, then
+    * the (cohort, offset) count over (user, day) rows already
+    * reduced to one per pair. */
+  def retention(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .select(col("user_id"), expr("ts_us DIV 1000000 DIV 86400").as("day"))
+      .distinct()
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .select(col("user_id"), col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
 }

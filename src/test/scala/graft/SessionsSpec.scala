@@ -65,6 +65,51 @@ class SessionsSpec extends SparkSpecBase {
     assert(out(4L) === 1L && out(5L) === 1L && out(6L) === 2L)
   }
 
+  test("funnel levels: in-order, out-of-order, out-of-window, absent steps") {
+    import spark.implicits._
+    val min = 60L * 1000000L
+    def e(id: Long, user: Long, tMin: Long, typ: String) =
+      (id, tMin * min, user, typ, 1.0, "{}")
+    val events = Seq(
+      // user 1: full funnel inside the window
+      e(1, 1, 0, "view"), e(2, 1, 5, "click"), e(3, 1, 10, "purchase"),
+      // user 2: click BEFORE view — only the view counts (level 1)
+      e(4, 2, 0, "click"), e(5, 2, 5, "view"),
+      // user 3: purchase after the window → level 2
+      e(6, 3, 0, "view"), e(7, 3, 5, "click"), e(8, 3, 200, "purchase"),
+      // user 4: never saw step 1 → level 0
+      e(9, 4, 0, "purchase"),
+      // user 5: same-µs click and view — strict > demands click AFTER
+      e(10, 5, 0, "view"), e(11, 5, 0, "click")
+    ).toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+    val out = graft.operators.Sessions.funnel(events,
+        Seq("view", "click", "purchase"), 60L * 60) // 1h window
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("level")).toMap
+    assert(out === Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 0L, 5L -> 1L))
+    // one row per user
+    assert(out.size === 5)
+  }
+
+  test("retention counts distinct users per cohort/offset") {
+    import spark.implicits._
+    val day = 86400L * 1000000L
+    def e(id: Long, user: Long, d: Long) =
+      (id, d * day + id, user, "view", 1.0, "{}")
+    val events = Seq(
+      e(1, 1, 0), e(2, 1, 0), e(3, 1, 2), // user1: cohort 0, days 0 & 2
+      e(4, 2, 0), e(5, 2, 1),             // user2: cohort 0, days 0 & 1
+      e(6, 3, 2)                          // user3: cohort 2, day 2
+    ).toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+    val out = graft.operators.Sessions.retention(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      (0L, 0L) -> 2L, // users 1, 2 on their cohort day
+      (0L, 1L) -> 1L, // user 2 back next day
+      (0L, 2L) -> 1L, // user 1 back on day 2
+      (2L, 0L) -> 1L  // user 3's own cohort
+    ))
+  }
+
   test("the real events table sessionizes consistently at both layers") {
     val events = graft.sources.Tables.eventsNorm(spark, Sf)
     val assigned = Sessions.assign(events)

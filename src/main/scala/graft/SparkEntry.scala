@@ -676,6 +676,42 @@ object SparkEntry {
     "events_sessionize" -> ((s, dir) =>
       graft.operators.Sessions.stats(Tables.eventsNorm(s, dir))),
 
+    // As-of join: each event enriched with the user's latest 'click'
+    // sample value at-or-before the event's own timestamp. The right
+    // side pre-dedups to one row per (user, µs) — max value, the
+    // store's dedup convention — so the pick is deterministic; the
+    // oracle runs DuckDB's NATIVE ASOF LEFT JOIN against our
+    // zero-join window plan (a true differential test).
+    "events_asof_enrich" -> ((s, dir) => {
+      val ev = Tables.eventsNorm(s, dir)
+        .select(col("event_id"), col("ts_us"), col("user_id"))
+      val right = samples(s, dir).filter(col("metric") === "click")
+        .select(expr("CAST(regexp_extract(array_join(" +
+          "filter(labels, l -> l LIKE 'user=%'), ''), 'user=([0-9]+)', 1) " +
+          "AS BIGINT)").as("user_id"),
+          col("ts_us"), col("value"))
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("value")).as("asof_value"))
+      graft.operators.Joins.asof(ev, right, "user_id", Seq("asof_value"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("asof_value"))
+    }),
+
+    // Range join: every event mapped into its containing session
+    // interval (the Sessions operator's intervals become the right
+    // side) via the bucketed equi-join — exact containment, no
+    // per-key cartesian. Oracle: DuckDB's plain inequality join.
+    "events_range_join" -> ((s, dir) => {
+      val ev = Tables.eventsNorm(s, dir)
+        .select(col("event_id"), col("ts_us"), col("user_id"))
+      val sess = graft.operators.Sessions.stats(Tables.eventsNorm(s, dir))
+        .select(col("user_id"), col("session_seq"),
+          col("start_us"), (col("end_us") + 1L).as("end_us"))
+      graft.operators.Joins.range(ev, sess, "user_id", 3600L)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("session_seq"))
+    }),
+
     // Earliest-anchor conversion funnel: view → click → purchase
     // within a day of first exposure
     "events_funnel" -> ((s, dir) =>
@@ -2183,6 +2219,47 @@ object SparkEntry {
          |       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_e2,
          |       (max(ts_us) - min(ts_us)) // 1000000 AS duration_sec
          |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // a plain inequality join in DuckDB vs graft's bucketed
+    // equi-join — different plans, identical containment
+    "events_range_join" ->
+      s"""WITH e AS (
+         |  SELECT event_id, epoch_us(ts) AS ts_us, user_id FROM events
+         |), l AS (
+         |  SELECT *, lag(ts_us) OVER (
+         |    PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts
+         |  FROM e
+         |), n AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000
+         |                 THEN 1 ELSE 0 END AS is_new
+         |  FROM l
+         |), s AS (
+         |  SELECT *, CAST(sum(is_new) OVER (
+         |    PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM n
+         |), agg AS (
+         |  SELECT user_id, session_seq, min(ts_us) AS start_us,
+         |         max(ts_us) + 1 AS end_us
+         |  FROM s GROUP BY 1, 2
+         |)
+         |SELECT e2.event_id, e2.user_id, e2.ts_us, a.session_seq
+         |FROM e e2 JOIN agg a ON e2.user_id = a.user_id
+         |  AND e2.ts_us >= a.start_us AND e2.ts_us < a.end_us""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN vs graft's window plan — two
+    // different algorithms must agree row-for-row
+    "events_asof_enrich" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, epoch_us(ts) AS ts_us, user_id FROM events
+         |), r AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS asof_value
+         |  FROM events WHERE event_type = 'click'
+         |  GROUP BY 1, 2
+         |)
+         |SELECT e.event_id, e.user_id, e.ts_us, s.asof_value
+         |FROM ev e ASOF LEFT JOIN r s
+         |  ON e.user_id = s.user_id AND e.ts_us >= s.ts_us""".stripMargin,
 
     // identical chained min-windows; the level CASE checks deepest
     // first (chain timestamps increase, so in-window implies all

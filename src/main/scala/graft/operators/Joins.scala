@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series join operators Spark lacks as primitives, re-expressed
+  * Spark-first. The reference's engine family (ClickHouse) ships
+  * ASOF JOIN natively; here it compiles to a plan with NO JOIN AT
+  * ALL — a union + one per-key ordered window — which is the shape
+  * that survives 100 TB (an equi-join on (key, nearest-ts) cannot be
+  * expressed without an inequality, and a theta join is quadratic).
+  */
+object Joins {
+
+  /** As-of join: each left row picks up the right side's payload
+    * with the greatest `ts_us` ≤ the left row's `ts_us`, per `key` —
+    * "the metric's value as of the moment the event happened"
+    * (ClickHouse `ASOF JOIN ... ON l.k = r.k AND l.ts >= r.ts`,
+    * kdb's aj). Left rows with no prior right row keep NULLs, like
+    * ASOF LEFT JOIN.
+    *
+    * Plan: tag the sides, UNION them (right sorts before left on
+    * timestamp ties, so same-µs rows match the ≤ contract), and let
+    * one per-key window carry the latest right payload forward with
+    * last_value(ignoreNulls). ONE exchange — the per-key hash
+    * partition both sides share — zero join operators, zero
+    * buildable hash tables; the window state is one row. Skew rides
+    * the key distribution like every per-key window (the
+    * sessionization caveat).
+    *
+    * `rightCols` are the payload columns to carry (must exist on the
+    * right side); left columns pass through unchanged. */
+  def asof(left: DataFrame, right: DataFrame, key: String,
+           rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(rightCols.contains),
+      s"right payload columns ${rightCols.mkString(",")} collide with the left side")
+    val l = left
+      .withColumn("_side", lit(1))
+      .select(Seq(col(key), col("ts_us"), col("_side")) ++
+        leftCols.filter(c => c != key && c != "ts_us").map(col) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right
+      .withColumn("_side", lit(0))
+      .select(Seq(col(key), col("ts_us"), col("_side")) ++
+        leftCols.filter(c => c != key && c != "ts_us")
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(col): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("ts_us").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1).drop("_side")
+      .select(leftCols.map(col) ++ rightCols.map(col): _*)
+  }
+
+  /** Range (interval) join: left POINT rows (`ts_us`) to right
+    * INTERVAL rows (`start_us` inclusive, `end_us` exclusive) on
+    * `key` equality + containment. A raw inequality join is a
+    * per-key cartesian; bucketing turns it into an EQUI-join — each
+    * interval explodes onto every `bucketSec` bucket it overlaps,
+    * points land in their own bucket, and the exact containment
+    * predicate filters the equi-matches. Amplification is
+    * interval-length / bucketSec per interval (pick bucketSec near
+    * the median interval — the gridExplode trade), and the join
+    * shuffles on (key, bucket), so a long interval spreads over many
+    * buckets instead of serializing one key's comparisons. Inner
+    * semantics: unmatched points drop. */
+  def range(left: DataFrame, right: DataFrame, key: String,
+            bucketSec: Long): DataFrame = {
+    val bUs = bucketSec * 1000000L
+    val pts = left.withColumn("_b", expr(s"ts_us DIV $bUs"))
+    val ivs = right.withColumn("_b",
+      explode(expr(s"sequence(start_us DIV $bUs, (end_us - 1) DIV $bUs)")))
+    pts.join(ivs, Seq(key, "_b"))
+      .filter(col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
+      .drop("_b")
+  }
+}

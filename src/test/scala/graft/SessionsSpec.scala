@@ -110,6 +110,59 @@ class SessionsSpec extends SparkSpecBase {
     ))
   }
 
+  test("as-of join: latest at-or-before per key, NULL before first, no join operator") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 7L), (2L, 200L, 7L), (3L, 50L, 7L), // 50 precedes any right row
+      (4L, 100L, 9L)                                  // other key
+    ).toDF("event_id", "ts_us", "user_id")
+    val right = Seq(
+      (7L, 100L, 1.5), // ties with event 1's ts → ≤ matches
+      (7L, 150L, 2.5),
+      (9L, 90L, 9.0)
+    ).toDF("user_id", "ts_us", "v")
+    val out = graft.operators.Joins.asof(left, right, "user_id", Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out === Map(
+      1L -> Some(1.5), // same-µs right row is visible (≤, not <)
+      2L -> Some(2.5),
+      3L -> None,      // nothing at or before 50
+      4L -> Some(9.0)))
+    // the plan is a union + window: ONE exchange, ZERO join operators
+    val p = graft.operators.Joins.asof(left, right, "user_id", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"as-of must compile join-free:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"as-of must shuffle exactly once (the per-key window):\n$p")
+  }
+
+  test("range join: exact containment across bucket boundaries, inner semantics") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 500L, 7L),      // inside iv A
+      (2L, 1000L, 7L),     // == A.end (exclusive) → only iv B (starts at 1000)
+      (3L, 2999L, 7L),     // inside B, last µs
+      (4L, 3000L, 7L),     // == B.end → unmatched, drops
+      (5L, 500L, 9L)       // other key, no interval → drops
+    ).toDF("event_id", "ts_us", "user_id")
+    val ivs = Seq(
+      (7L, "A", 0L, 1000L),
+      (7L, "B", 1000L, 3000L)
+    ).toDF("user_id", "iv", "start_us", "end_us")
+    // bucketSec=1 (µs buckets of 1e6): intervals span several buckets
+    // — the explode must cover every overlapped bucket
+    val out = graft.operators.Joins.range(pts, ivs, "user_id", 1L)
+      .select("event_id", "iv").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "A", 2L -> "B", 3L -> "B"))
+    // a coarse bucket (everything in bucket 0) answers identically
+    val coarse = graft.operators.Joins.range(pts, ivs, "user_id", 3600L)
+      .select("event_id", "iv").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(coarse === out, "bucket width must never change the answer")
+  }
+
   test("the real events table sessionizes consistently at both layers") {
     val events = graft.sources.Tables.eventsNorm(spark, Sf)
     val assigned = Sessions.assign(events)

@@ -14,8 +14,8 @@ import graft.sources.Tables
   * corpus (labels suffixed per copy — series COUNT scales, the axis
   * that grows at 100 TB). Measures how each stage scales; numbers
   * land in SCALE.md. `SPARK_GRAFT_SCALE_ONLY=
-  * read|promql|dedup|ann|curate|prep|scrub|rollup|rolldense|compact`
-  * runs one section. */
+  * read|promql|dedup|ann|curate|prep|events|scrub|rollup|rolldense|
+  * compact` runs one section. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
@@ -149,6 +149,35 @@ object ScaleSmoke {
     for (m <- Seq(1, 2, 4) if sectionEnabled("prep")) {
       val d = scaled(m)
       time(s"corpusPrep      m=$m")(graft.llm.CorpusPrep.prepare(d).count())
+    }
+
+    // Event analytics: users scale m× (id-offset copies — the axis
+    // that grows with traffic). Sessionization/funnel/retention are
+    // per-user windows on one exchange; asof/range joins add the
+    // interval side. All must track user count linearly — per-user
+    // work is constant.
+    for (m <- Seq(1, 2, 4) if sectionEnabled("events")) {
+      import graft.operators.{Joins, Sessions}
+      val ev0 = graft.sources.Tables.eventsNorm(spark, "/root/testdata/sf0.1")
+      val ev = (0 until m).map(i => ev0
+          .withColumn("user_id", col("user_id") + lit(i * 1000000L))
+          .withColumn("event_id", col("event_id") + lit(i * 100000000L)))
+        .reduce(_ unionAll _)
+      time(s"sessionStats    m=$m")(Sessions.stats(ev).count())
+      time(s"funnel          m=$m")(
+        Sessions.funnel(ev, Seq("view", "click", "purchase"), 86400L).count())
+      time(s"retention       m=$m")(Sessions.retention(ev).count())
+      val sess = Sessions.stats(ev).select(col("user_id"), col("session_seq"),
+        col("start_us"), (col("end_us") + 1L).as("end_us"))
+      time(s"rangeJoin       m=$m")(
+        Joins.range(ev.select(col("event_id"), col("ts_us"), col("user_id")),
+          sess, "user_id", 3600L).count())
+      time(s"asofJoin        m=$m")(
+        Joins.asof(ev.select(col("event_id"), col("ts_us"), col("user_id")),
+          ev.filter(col("event_type") === "click")
+            .groupBy(col("user_id"), col("ts_us"))
+            .agg(max(col("value")).as("av")),
+          "user_id", Seq("av")).count())
     }
 
     // Span scrub: per-row chunking + ONE hash-count exchange +

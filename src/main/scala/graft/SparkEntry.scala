@@ -909,6 +909,12 @@ object SparkEntry {
         parsePromQL("mad_over_time(click[1d])"),
         WinStartSec, WinEndSec, 86400L))),
 
+    // grouped ranking: top-2 series per k-label group per step
+    "promql_topk_by" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("topk by (k) (2, sum_over_time(click[1d]))"),
+        WinStartSec, WinEndSec, 86400L))),
+
     // limitk: deterministic k-series cap (identity order, not value
     // order — the "show me a few" dashboard idiom)
     "promql_limitk" -> ((s, dir) =>
@@ -2811,6 +2817,20 @@ object SparkEntry {
          |       array_to_string(labels, ',') AS labels_str, t,
          |       -v_e6 AS v_e6
          |FROM agg""".stripMargin,
+
+    // rank partition = (t, the kept k-label), same tie order
+    "promql_topk_by" ->
+      s"""${promqlSotCte("click")}
+         |, rk AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY t,
+         |      array_to_string(list_filter(labels, l -> l LIKE 'k=%'), ',')
+         |    ORDER BY v_e6 DESC, metric ASC,
+         |             array_to_string(labels, ',') ASC) AS rk
+         |  FROM sot
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, t, v_e6
+         |FROM rk WHERE rk <= 2""".stripMargin,
 
     // the k first series by (metric, labels) order per step
     "promql_limitk" ->

@@ -41,8 +41,9 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   *                    stddev stdvar (population, clamped moments)
   *   countv   := "count_values" [grouping] "(" str "," expr ")" [grouping]
   *   grouping := ("by"|"without") "(" names ")"
-  *   rank     := ("topk"|"bottomk") "(" int "," expr ")"
-  *   limit    := "limitk" "(" int "," expr ")"
+  *   rank     := ("topk"|"bottomk") [grouping] "(" int "," expr ")"
+  *               [grouping]    (grouping scopes the ranking)
+  *   limit    := "limitk" [grouping] "(" int "," expr ")" [grouping]
   *             | "limit_ratio" "(" r "," expr ")"   r ∈ [-1, 1]
   *               (deterministic: identity order / identity hash —
   *                see LimitK/LimitRatio)
@@ -171,7 +172,9 @@ object PromQL {
                        without: Boolean = false,
                        param: Option[Double] = None) extends Expr
   /** topk/bottomk(k, child) per grid step. */
-  final case class Rank(bottom: Boolean, k: Int, child: Expr) extends Expr
+  final case class Rank(bottom: Boolean, k: Int, child: Expr,
+                        by: Seq[String] = Nil,
+                        without: Boolean = false) extends Expr
   /** left op right — vector∘vector (full-label-set matching by
     * default, or per `matching`) or vector∘scalar when either side
     * is [[ScalarLit]]. */
@@ -280,7 +283,9 @@ object PromQL {
     * series by (metric, joined-labels) order — stable across runs,
     * engines, and partitionings, which random sampling can never be
     * in a distributed exact-compare setting. */
-  final case class LimitK(k: Int, child: Expr) extends Expr
+  final case class LimitK(k: Int, child: Expr,
+                          by: Seq[String] = Nil,
+                          without: Boolean = false) extends Expr
   /** limit_ratio(r, expr): a deterministic ~|r| fraction of series,
     * chosen by a portable series-identity hash so a series is
     * consistently in or out across every step. r ≥ 0 keeps the
@@ -573,13 +578,20 @@ object PromQL {
         case Some(id) if id == "limitk" =>
           i += id.length
           for {
+            pre <- grouping()
             _ <- eat('(')
             k <- int()
             _ <- eat(',')
             child <- expr()
             _ <- eat(')')
+            post <- grouping()
+            g <- if (pre.nonEmpty && post.nonEmpty)
+                   Left("duplicate grouping clause") else Right(pre.orElse(post))
             _ <- if (k > 0) Right(()) else Left("limitk k must be positive")
-          } yield LimitK(k, child)
+          } yield {
+            val (without, names) = g.getOrElse((false, Seq.empty))
+            LimitK(k, child, names, without)
+          }
         case Some(id) if id == "limit_ratio" =>
           i += id.length
           for {
@@ -847,15 +859,25 @@ object PromQL {
         }
       } yield MathFn(fn, child, args)
 
+    /** `topk [grouping] (k, expr) [grouping]` — the grouping scopes
+      * the RANKING (top k per group per step), Prometheus's
+      * aggregation-parameter form; series labels pass through. */
     private def rank(bottom: Boolean): Either[String, Expr] =
       for {
+        pre <- grouping()
         _ <- eat('(')
         k <- int()
         _ <- eat(',')
         child <- expr()
         _ <- eat(')')
+        post <- grouping()
+        g <- if (pre.nonEmpty && post.nonEmpty)
+               Left("duplicate grouping clause") else Right(pre.orElse(post))
         _ <- if (k > 0) Right(()) else Left("topk/bottomk k must be positive")
-      } yield Rank(bottom, k, child)
+      } yield {
+        val (without, names) = g.getOrElse((false, Seq.empty))
+        Rank(bottom, k, child, names, without)
+      }
 
     private def int(): Either[String, Int] = {
       ws()
@@ -1235,15 +1257,15 @@ object PromQL {
             ignoreLabel),
           eval(samples, right, startSec, endSec, stepSec, lookbackSec, rollup,
             ignoreLabel), op, m)
-      case Rank(bottom, k, child) =>
+      case Rank(bottom, k, child, by, without) =>
         rank(eval(samples, child, startSec, endSec, stepSec, lookbackSec,
-          rollup, ignoreLabel), bottom, k)
+          rollup, ignoreLabel), bottom, k, by, without)
       case PowInt(child, n) =>
         powInt(eval(samples, child, startSec, endSec, stepSec, lookbackSec,
           rollup, ignoreLabel), n)
-      case LimitK(k, child) =>
+      case LimitK(k, child, by, without) =>
         limitK(eval(samples, child, startSec, endSec, stepSec, lookbackSec,
-          rollup, ignoreLabel), k)
+          rollup, ignoreLabel), k, by, without)
       case LimitRatio(r, child) =>
         limitRatio(eval(samples, child, startSec, endSec, stepSec,
           lookbackSec, rollup, ignoreLabel), r)
@@ -2324,31 +2346,42 @@ object PromQL {
       v.cast("long").as("v_e6"))
   }
 
-  /** topk/bottomk per grid step. Deterministic: ties break on the
-    * (metric, joined-labels) strings ascending. The per-t rank
-    * partition holds one row per SERIES (never raw samples), so the
-    * window's skew ceiling is series cardinality per step. */
-  private def rank(child: DataFrame, bottom: Boolean, k: Int): DataFrame = {
+  /** topk/bottomk per grid step, optionally per `by`/`without`
+    * group — the grouping scopes the RANKING ("top k pods per
+    * node"); series labels pass through untouched, Prometheus's
+    * aggregation-parameter semantics. Deterministic: ties break on
+    * the (metric, joined-labels) strings ascending. The per-(t,
+    * group) rank partition holds one row per SERIES (never raw
+    * samples), so the window's skew ceiling is series cardinality
+    * per step — and a grouped rank only SHRINKS partitions. */
+  private def rank(child: DataFrame, bottom: Boolean, k: Int,
+                   by: Seq[String] = Nil,
+                   without: Boolean = false): DataFrame = {
     val ordered =
       if (bottom) Seq(col("v_e6").asc) else Seq(col("v_e6").desc)
-    val w = Window.partitionBy(col("t")).orderBy(ordered ++ Seq(
+    val w = Window.partitionBy(col("t"), col("gk")).orderBy(ordered ++ Seq(
       coalesce(col("metric"), lit("")).asc, col("ls").asc): _*)
     child
       .withColumn("ls", array_join(col("labels"), ","))
+      .withColumn("gk", array_join(keptLabels(by, without), ","))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("metric"), col("labels"), col("t"), col("v_e6"))
   }
 
-  /** limitk: the k first series per step by (metric, joined-labels)
-    * order — [[rank]]'s window without the value ordering. Series
-    * identity and values pass through unchanged (a filter, not a
-    * transform), so the metric name survives, like topk. */
-  private def limitK(child: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("t")).orderBy(
+  /** limitk: the k first series per step (per group with
+    * `by`/`without`) by (metric, joined-labels) order — [[rank]]'s
+    * window without the value ordering. Series identity and values
+    * pass through unchanged (a filter, not a transform), so the
+    * metric name survives, like topk. */
+  private def limitK(child: DataFrame, k: Int,
+                     by: Seq[String] = Nil,
+                     without: Boolean = false): DataFrame = {
+    val w = Window.partitionBy(col("t"), col("gk")).orderBy(
       coalesce(col("metric"), lit("")).asc, col("ls").asc)
     child
       .withColumn("ls", array_join(col("labels"), ","))
+      .withColumn("gk", array_join(keptLabels(by, without), ","))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("metric"), col("labels"), col("t"), col("v_e6"))

@@ -23,7 +23,7 @@ class PromQLSpec extends SparkSpecBase {
       case _ => false
     })
     assert(PromQL.parse("topk(3, sum by (a) (rate(x[5m])))") match {
-      case Right(Rank(false, 3, Agg("sum", Seq("a"), RangeCall("rate", _, 300L, _), _, _))) => true
+      case Right(Rank(false, 3, Agg("sum", Seq("a"), RangeCall("rate", _, 300L, _), _, _), Nil, false)) => true
       case _ => false
     })
     // suffix by-clause, bottomk, compound + bare-second durations
@@ -1180,6 +1180,30 @@ class PromQLSpec extends SparkSpecBase {
     // malformed forms reject
     assert(parse("m @ start").isLeft)
     assert(parse("m @ begin()").isLeft)
+  }
+
+  test("grouped topk ranks within each by-group, labels pass through") {
+    // topk(1, …) by (host): each host group keeps its own winner —
+    // with one series per host both survive, where the ungrouped
+    // topk(1, …) keeps only the global max
+    val grouped = rows(PromQL.eval(tinySamples,
+      parse("topk by (host) (1, sum_over_time(m[60s]))").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(grouped === Set(
+      ("m", "host=a,user=1", T0 + 60, 3500000L),
+      ("m", "host=b,user=2", T0 + 60, 20250000L)))
+    val global = rows(PromQL.eval(tinySamples,
+      parse("topk(1, sum_over_time(m[60s]))").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(global === Set(("m", "host=b,user=2", T0 + 60, 20250000L)))
+    // suffix grouping parses too; limitk accepts grouping the same way
+    assert(parse("bottomk(1, m) by (host)").isRight)
+    assert(parse("limitk by (host) (1, m)").isRight)
+    assert(parse("topk by (a) (1, m) by (b)").isLeft) // duplicate clause
+    val lkg = rows(PromQL.eval(tinySamples,
+      parse("limitk by (host) (1, sum_over_time(m[60s]))").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(lkg.size === 2, "one kept series per host group")
   }
 
   test("limitk caps series deterministically; limit_ratio bands partition") {

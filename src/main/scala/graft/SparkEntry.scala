@@ -254,6 +254,23 @@ object SparkEntry {
         rollup = Some(PromQL.RollupGrid(path, rpath, 3600L))))
     }),
 
+    // schema-v2 edge points: the DASHBOARD query (rate over coarse
+    // aligned windows) serves from rollup rows, byte-exact
+    "store_rollup_serve_rate" -> ((s, dir) => {
+      val path = workDir("rollupserverate", dir)
+      val rpath = workDir("rollupserverate_roll", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.delete(new org.apache.hadoop.fs.Path(rpath), true)
+      SamplesStore.write(samples(s, dir), path)
+      RollupStore.rollup(s, path, rpath, 3600L)
+      promqlStr(PromQL.eval(SamplesStore.read(s, path),
+        parsePromQL("delta(click[1296000])"), // one 15-day window
+        WinEndSec, WinEndSec, 1296000L,
+        rollup = Some(PromQL.RollupGrid(path, rpath, 3600L))))
+    }),
+
     "store_compact" -> ((s, dir) => {
       val path = workDir("compactstore", dir)
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -1353,6 +1370,22 @@ object SparkEntry {
          |WHERE metric = 'click'
          |  AND t_sec >= $WinStartSec AND t_sec < $WinEndSec
          |GROUP BY 1, 2, 3""".stripMargin,
+
+    // raw whole-window delta — the rollup edge points must reproduce
+    // the first/last samples exactly across all 15 days of buckets
+    "store_rollup_serve_rate" ->
+      s"""$dedupCte, st AS (
+         |  SELECT metric, labels, count(*) AS n,
+         |         arg_min(value, t_sec) AS vf, arg_max(value, t_sec) AS vl
+         |  FROM deduped
+         |  WHERE metric = 'click'
+         |    AND t_sec >= $WinStartSec AND t_sec < $WinEndSec
+         |  GROUP BY 1, 2
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str,
+         |       CAST($WinEndSec AS BIGINT) AS t,
+         |       CAST(floor((vl - vf) * 100 + 0.5) AS BIGINT) * 10000 AS v_e6
+         |FROM st WHERE n >= 2""".stripMargin,
 
     // selective compaction must be result-invariant too
     "store_compact_days" ->

@@ -41,10 +41,21 @@ object RollupStore {
     * live data files. */
   final case class RollupSnapshot(gen: Long, intervalSec: Long,
                                   dayDigests: Map[String, String],
-                                  files: Vector[String]) {
+                                  files: Vector[String],
+                                  schema: Int = 1) {
     lazy val byDay: Map[String, Vector[String]] =
       files.groupBy(f => f.takeWhile(_ != '/'))
   }
+
+  /** Rollup ROW schema version. v2 added the per-bucket edge points
+    * (t_first/v_first/t_last/v_last) that let rate/increase/delta/
+    * last_over_time serve from the rollup. A v1 store (no `schema`
+    * manifest line) is treated as absent by [[rollup]] — the next
+    * maintenance pass rebuilds it in full — and stale by
+    * [[freshFor]], so serving self-heals onto raw scans until the
+    * rebuild lands; mixed-schema data files are never planned
+    * together. */
+  val SchemaVersion = 2
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -91,15 +102,17 @@ object RollupStore {
       var interval = 0L
       val days = Map.newBuilder[String, String]
       val files = Vector.newBuilder[String]
+      var schema = 1
       scala.io.Source.fromInputStream(in, "UTF-8").getLines().foreach { l =>
         if (l.startsWith("interval ")) interval = l.stripPrefix("interval ").toLong
+        else if (l.startsWith("schema ")) schema = l.stripPrefix("schema ").toInt
         else if (l.startsWith("D ")) l.stripPrefix("D ").split(" ", 2) match {
           case Array(d, dig) => days += d -> dig
           case _             =>
         }
         else if (l.startsWith("F ")) files += l.stripPrefix("F ")
       }
-      RollupSnapshot(gen, interval, days.result(), files.result())
+      RollupSnapshot(gen, interval, days.result(), files.result(), schema)
     } finally in.close()
   }
 
@@ -109,10 +122,20 @@ object RollupStore {
     val dir = new Path(root, ManifestDir)
     fs.mkdirs(dir)
     val sorted = files.toVector.sorted
-    val content = (Vector("graft-rollup v1", s"interval $intervalSec") ++
+    val content = (Vector("graft-rollup v1", s"interval $intervalSec",
+      s"schema $SchemaVersion") ++
       dayDigests.toVector.sorted.map { case (d, dig) => s"D $d $dig" } ++
       sorted.map("F " + _)).mkString("\n")
-    var gen = prevGen + 1
+    // prevGen comes from the FILTERED snapshot (an interval or schema
+    // change reads as None → 0); committing below the live on-disk
+    // max would shadow this manifest behind the stale one forever.
+    // Anchor at the real max so the new state always WINS the
+    // gens.max resolution.
+    val onDisk =
+      try fs.listStatus(dir).map(_.getPath.getName)
+        .collect { case ManifestPattern(g) => g.toLong }
+      catch { case _: java.io.FileNotFoundException => Array.empty[Long] }
+    var gen = math.max(prevGen, if (onDisk.isEmpty) 0L else onDisk.max) + 1
     var done = false
     while (!done) {
       val tmp = new Path(dir, s".tmp-$gen-${java.util.UUID.randomUUID()}")
@@ -122,7 +145,8 @@ object RollupStore {
       if (fs.rename(tmp, manifestFile(root, gen))) done = true
       else { fs.delete(tmp, false); gen += 1 }
     }
-    val snap = RollupSnapshot(gen, intervalSec, dayDigests, sorted)
+    val snap = RollupSnapshot(gen, intervalSec, dayDigests, sorted,
+      SchemaVersion)
     rollupCache.put(root.toString, snap)
     snap
   }
@@ -172,7 +196,8 @@ object RollupStore {
     val root = new Path(rollupPath)
     val src = sourceDays(srcFs, new Path(srcPath))
     val srcDigests = src.map { case (d, fls) => d -> digest(fls) }
-    val prev = latestRollup(fs, root).filter(_.intervalSec == intervalSec)
+    val prev = latestRollup(fs, root)
+      .filter(s => s.intervalSec == intervalSec && s.schema == SchemaVersion)
     val prevDigests = prev.map(_.dayDigests).getOrElse(Map.empty)
     val changed = srcDigests.filter { case (d, dig) => !prevDigests.get(d).contains(dig) }
     val dropped = prevDigests.keySet -- srcDigests.keySet
@@ -194,8 +219,15 @@ object RollupStore {
           val rolled = deduped
             .withColumn("bucket", expr(s"t_sec DIV $intervalSec * $intervalSec"))
             .groupBy(col("date"), col("metric"), col("labels"), col("bucket"))
+            // schema v2: the bucket's EDGE points ride along so
+            // rate/increase/delta/last_over_time re-aggregate exactly
+            // (window first = earliest bucket's first, last = latest
+            // bucket's last — the raw path's very samples)
             .agg(min(col("v")).as("min_value"), max(col("v")).as("max_value"),
-                 sum(col("v")).as("sum_value"), count(lit(1)).as("n_points"))
+                 sum(col("v")).as("sum_value"), count(lit(1)).as("n_points"),
+                 min(col("t_sec")).as("t_first"), max(col("t_sec")).as("t_last"),
+                 min_by(col("v"), col("t_sec")).as("v_first"),
+                 max_by(col("v"), col("t_sec")).as("v_last"))
           val staging = new Path(rollupPath, s".staging-${java.util.UUID.randomUUID()}")
           fs.delete(staging, true)
           rolled
@@ -233,7 +265,8 @@ object RollupStore {
     * manifest (same snapshot-isolation contract as the samples
     * store: a concurrent [[rollup]] never yanks a planned file before
     * the GC grace). Columns: date, metric, labels, bucket,
-    * min_value, max_value, sum_value, n_points. */
+    * min_value, max_value, sum_value, n_points, and (schema v2) the
+    * bucket edge points t_first, t_last, v_first, v_last. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val fs = fsFor(spark, path)
     latestRollup(fs, new Path(path)) match {
@@ -251,7 +284,10 @@ object RollupStore {
         StructField("metric", StringType), StructField("labels", ArrayType(StringType)),
         StructField("bucket", LongType), StructField("min_value", DoubleType),
         StructField("max_value", DoubleType), StructField("sum_value", DoubleType),
-        StructField("n_points", LongType), StructField("date", IntegerType))))
+        StructField("n_points", LongType),
+        StructField("t_first", LongType), StructField("t_last", LongType),
+        StructField("v_first", DoubleType), StructField("v_last", DoubleType),
+        StructField("date", IntegerType))))
   }
 
   /** Serve a read-path query from the rollup: matchers compile over
@@ -305,7 +341,8 @@ object RollupStore {
                intervalSec: Long, startSec: Long, endSec: Long): Boolean = {
     val fs = fsFor(spark, rollupPath)
     latestRollup(fs, new Path(rollupPath)) match {
-      case Some(r) if r.intervalSec == intervalSec =>
+      case Some(r) if r.intervalSec == intervalSec &&
+                      r.schema == SchemaVersion =>
         val src = sourceDays(fsFor(spark, srcPath), new Path(srcPath))
         src.forall { case (day, files) =>
           val overlaps = day.stripPrefix("date=").toLongOption.forall(ds =>

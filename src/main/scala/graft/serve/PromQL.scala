@@ -316,9 +316,15 @@ object PromQL {
     * with an empty argument list defaulting to time(). */
   val CalendarFns: Set[String] = Set("hour", "minute", "day_of_week",
     "day_of_month", "day_of_year", "month", "year", "days_in_month")
-  /** The *_over_time subset a fresh aligned rollup can answer. */
+  /** The range-fn subset a fresh aligned rollup can answer: the
+    * decomposable *_over_time family from the (sum, min, max, n)
+    * partials, plus rate/increase/delta/last_over_time from the
+    * schema-v2 bucket EDGE points (window first = earliest bucket's
+    * first sample, last = latest bucket's last — the raw path's very
+    * samples, so the re-aggregation is exact, not approximate). */
   private val RollupServable: Set[String] = Set("sum_over_time",
-    "min_over_time", "max_over_time", "count_over_time", "avg_over_time")
+    "min_over_time", "max_over_time", "count_over_time", "avg_over_time",
+    "last_over_time", "rate", "increase", "delta")
 
   // ---- Parser -----------------------------------------------------
 
@@ -2217,7 +2223,10 @@ object PromQL {
         .groupBy(col("metric"), col("labels"), col("t"))
         .agg(sum(col("n_points")).as("n"),
           expr("CAST(floor(sum(sum_value) * 100 + 0.5) AS BIGINT)").as("sum_e2"),
-          min(col("min_value")).as("vmin"), max(col("max_value")).as("vmax"))
+          min(col("min_value")).as("vmin"), max(col("max_value")).as("vmax"),
+          min(col("t_first")).as("t_first"), max(col("t_last")).as("t_last"),
+          expr("min_by(v_first, t_first)").as("v_first"),
+          expr("max_by(v_last, t_last)").as("v_last"))
       project(stats, fn)
     }
   }

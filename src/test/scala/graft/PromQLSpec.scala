@@ -1033,9 +1033,11 @@ class PromQLSpec extends SparkSpecBase {
 
     // every rollup-servable function re-aggregates exactly: the
     // (sum, min, max, n) partials must reproduce the raw answer for
-    // min/max/count/avg too, not just the sum the oracle covers
+    // min/max/count/avg, and the schema-v2 EDGE points must make
+    // last_over_time/rate/increase/delta byte-exact too
     for (fn <- Seq("min_over_time", "max_over_time", "count_over_time",
-                   "avg_over_time")) {
+                   "avg_over_time", "last_over_time", "rate", "increase",
+                   "delta")) {
       val eF = parse(s"$fn(click[2h])").toOption.get
       val bF = m.readsFromRollup.value
       val routedF = rows(PromQL.eval(stored, eF, start, end, step,
@@ -1043,6 +1045,10 @@ class PromQLSpec extends SparkSpecBase {
       assert(m.readsFromRollup.value === bF + 1, s"$fn must route to the rollup")
       assert(routedF === rows(PromQL.eval(stored, eF, start, end, step)),
         s"$fn rollup answer must equal the raw answer")
+      // guard against a vacuous empty==empty pass on the fns whose
+      // answer is guaranteed nonempty (any window with ≥1 point)
+      if (fn == "last_over_time" || fn == "count_over_time")
+        assert(routedF.nonEmpty, s"$fn result must be non-trivial")
     }
 
     // breaking any gate routes raw: unaligned start, step≠range, or a

@@ -541,6 +541,41 @@ class StoreSpec extends SparkSpecBase {
       "rollup-served coarse reads must equal the raw read path")
   }
 
+  test("an interval or schema change always overtakes the stale manifest generation") {
+    import graft.ingest.RollupStore
+    val path = "/tmp/graft_test/store_rollup_regen"
+    val rpath = "/tmp/graft_test/store_rollup_regen_roll"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (p <- Seq(path, rpath)) fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    val samples = Tables.samples(spark, Sf)
+    SamplesStore.write(samples, path)
+    // grow the 3600s twin through several generations
+    RollupStore.rollup(spark, path, rpath, 3600L)
+    SamplesStore.append(samples.limit(1), path)
+    RollupStore.rollup(spark, path, rpath, 3600L)
+    SamplesStore.append(samples.limit(1), path)
+    RollupStore.rollup(spark, path, rpath, 3600L)
+    def maxGen(): Long = fs.listStatus(
+        new org.apache.hadoop.fs.Path(rpath, "_manifests"))
+      .map(_.getPath.getName).collect { case n if n.startsWith("m-") =>
+        n.stripPrefix("m-").toLong }.max
+    val genBefore = maxGen()
+    assert(genBefore >= 2L)
+    // an interval CHANGE reads the previous snapshot as absent — the
+    // rebuild must still commit ABOVE the live max generation, or the
+    // stale 3600s manifest shadows the new state forever (the bug the
+    // schema-v2 rollout exposed)
+    RollupStore.rollup(spark, path, rpath, 7200L)
+    assert(maxGen() > genBefore, "the interval-change rebuild must win gens.max")
+    assert(RollupStore.freshFor(spark, path, rpath, 7200L, 0L, 0L),
+      "the live twin must be the fresh new-interval one")
+    // and its rows answer at the new interval
+    val buckets = RollupStore.read(spark, rpath)
+      .select((col("bucket") % 7200L).as("m")).distinct().collect().map(_.getLong(0))
+    assert(buckets.toSet === Set(0L), "live rollup rows must be 7200-bucketed")
+  }
+
   test("a fully-emptied source leaves an empty rollup with a stable schema") {
     import graft.ingest.RollupStore
     import spark.implicits._

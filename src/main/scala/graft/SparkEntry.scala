@@ -688,6 +688,13 @@ object SparkEntry {
       Sampling.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id", "strat", 50)
         .select(col("doc_id"), col("lang"), col("srank"))),
 
+    // Cardinality debugging: per-day series births/deaths and the
+    // top metrics by series count (the /api/v1/status/tsdb view)
+    "meta_series_churn" -> ((s, dir) =>
+      graft.operators.Meta.seriesChurn(samples(s, dir))),
+    "meta_series_count" -> ((s, dir) =>
+      graft.operators.Meta.seriesCountByMetric(samples(s, dir))),
+
     // Gap-based sessionization over the raw event stream: one row
     // per (user, session) with extent, volume, and exact value sum.
     "events_sessionize" -> ((s, dir) =>
@@ -2258,6 +2265,26 @@ object SparkEntry {
          |       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_e2,
          |       (max(ts_us) - min(ts_us)) // 1000000 AS duration_sec
          |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // same lifetime collapse + day counts
+    "meta_series_churn" ->
+      s"""$S, lifetimes AS (
+         |  SELECT metric, labels,
+         |         min(ts_us // 1000000 // 86400 * 86400) AS first_day,
+         |         max(ts_us // 1000000 // 86400 * 86400) AS last_day
+         |  FROM samples GROUP BY 1, 2
+         |), b AS (SELECT first_day AS day, count(*) AS n_born FROM lifetimes GROUP BY 1),
+         |d AS (SELECT last_day AS day, count(*) AS n_died FROM lifetimes GROUP BY 1)
+         |SELECT coalesce(b.day, d.day) AS day,
+         |       coalesce(n_born, 0) AS n_born,
+         |       coalesce(n_died, 0) AS n_died
+         |FROM b FULL OUTER JOIN d ON b.day = d.day""".stripMargin,
+
+    "meta_series_count" ->
+      s"""$S
+         |SELECT metric, count(*) AS n_series
+         |FROM (SELECT DISTINCT metric, labels FROM samples)
+         |GROUP BY 1 ORDER BY n_series DESC, metric ASC LIMIT 10""".stripMargin,
 
     // a plain inequality join in DuckDB vs graft's bucketed
     // equi-join — different plans, identical containment

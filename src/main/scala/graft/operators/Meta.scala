@@ -58,4 +58,43 @@ object Meta {
       .groupBy(col("label_name"))
       .agg(countDistinct(col("metric")).as("n_metrics"),
            count(lit(1)).as("n_samples"))
+
+  /** Series churn per day — the cardinality-debugging view every
+    * TSDB operator eventually needs ("what exploded on Tuesday?"):
+    * each series' lifetime collapses to (first_day, last_day) in ONE
+    * series-keyed aggregate, then two tiny day-keyed counts union:
+    * n_born = series whose first sample landed that day, n_died =
+    * series whose last sample did (a "death" only becomes final as
+    * the store's edge moves on — it means "not seen since", exactly
+    * what the debugging question asks).
+    *
+    * Scale shape: the series aggregate is the plan's one real
+    * exchange (output = series domain, not samples); the day counts
+    * aggregate series-domain rows down to ≤ days×2. */
+  def seriesChurn(samples: DataFrame): DataFrame = {
+    val lifetimes = samples
+      .groupBy(col("metric"), col("labels"))
+      .agg(min(expr("ts_us DIV 1000000 DIV 86400 * 86400")).as("first_day"),
+           max(expr("ts_us DIV 1000000 DIV 86400 * 86400")).as("last_day"))
+    val born = lifetimes.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_born"))
+    val died = lifetimes.groupBy(col("last_day").as("day"))
+      .agg(count(lit(1)).as("n_died"))
+    born.join(died, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_born"), lit(0L)).as("n_born"),
+        coalesce(col("n_died"), lit(0L)).as("n_died"))
+  }
+
+  /** The `/api/v1/status/tsdb` head-stats twin: series count per
+    * metric name, top-N — Prometheus's seriesCountByMetricName, the
+    * first chart anyone opens in a cardinality incident. One
+    * series-keyed aggregate then a metric-keyed count. */
+  def seriesCountByMetric(samples: DataFrame, topN: Int = 10): DataFrame =
+    samples
+      .select(col("metric"), col("labels")).distinct()
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n_series"))
+      .orderBy(col("n_series").desc, col("metric").asc)
+      .limit(topN)
 }

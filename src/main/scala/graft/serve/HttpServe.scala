@@ -531,6 +531,42 @@ object HttpServe {
         Seq("Content-Type" -> "application/json"))
     })
 
+    // /api/v1/status/tsdb: Prometheus's head-cardinality stats — the
+    // first endpoint anyone opens in a cardinality incident. ONE
+    // capped scan: distinct series counted per metric (the metric
+    // domain is tiny next to samples); numSeries derives from the
+    // same rows.
+    server.createContext("/api/v1/status/tsdb", (ex: HttpExchange) => guarded(ex) {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val byMetric = SamplesStore.readLocked(storePath) {
+        storeSamples().map { df =>
+          df.select(col("metric"), col("labels")).distinct()
+            .groupBy(col("metric"))
+            .agg(count(lit(1)).as("n"))
+            .orderBy(col("n").desc, col("metric").asc)
+            .limit(MetaValuesLimit)
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1))).toSeq
+        }.getOrElse(Seq.empty)
+      }
+      val items = byMetric.take(10).map { case (m, n) =>
+        s"""{"name":"${esc(m)}","value":$n}"""
+      }.mkString(",")
+      val total = byMetric.map(_._2).sum
+      respond(ex, 200,
+        (s"""{"status":"success","data":{"headStats":{"numSeries":$total},""" +
+          s""""seriesCountByMetricName":[$items]}}""").getBytes(UTF_8),
+        Seq("Content-Type" -> "application/json"))
+    })
+
+    // /api/v1/query_exemplars: remote write carries no exemplars, so
+    // the truthful answer is the empty set — success, never 404
+    // (Grafana probes this when exemplar display is on)
+    server.createContext("/api/v1/query_exemplars", (ex: HttpExchange) => guarded(ex) {
+      respond(ex, 200, """{"status":"success","data":[]}""".getBytes(UTF_8),
+        Seq("Content-Type" -> "application/json"))
+    })
+
     // /api/v1/status/flags: the effective serving configuration, in
     // Prometheus's flag-map shape (string values)
     server.createContext("/api/v1/status/flags", (ex: HttpExchange) => guarded(ex) {

@@ -898,6 +898,17 @@ class ServeSpec extends SparkSpecBase {
       assert(fbody.contains(""""status":"success""""))
       assert(fbody.contains(s""""store.path":"${store.replace("\\", "\\\\")}""""))
       assert(fbody.contains(""""read.ignore-label":"remote=clickhouse""""))
+      // exemplars: truthfully empty, success
+      assert(get(s"$base/api/v1/query_exemplars") ===
+        ((200, """{"status":"success","data":[]}""")))
+      // tsdb head stats: empty store answers zeros; after a write the
+      // per-metric series counts and the total line up
+      assert(get(s"$base/api/v1/status/tsdb")._2 ===
+        """{"status":"success","data":{"headStats":{"numSeries":0},"seriesCountByMetricName":[]}}""")
+      assert(post(s"$base/write", writeBlob("tsdb_metric", 3))._1 === 200)
+      assert(get(s"$base/api/v1/status/tsdb")._2 ===
+        """{"status":"success","data":{"headStats":{"numSeries":3},""" +
+        """"seriesCountByMetricName":[{"name":"tsdb_metric","value":3}]}}""")
     } finally srv.stop()
   }
 

@@ -2262,7 +2262,8 @@ object SparkEntry {
          |)
          |SELECT user_id, session_seq, count(*) AS n_events,
          |       min(ts_us) AS start_us, max(ts_us) AS end_us,
-         |       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_e2,
+         |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         |         AS sum_value_e2,
          |       (max(ts_us) - min(ts_us)) // 1000000 AS duration_sec
          |FROM s GROUP BY 1, 2""".stripMargin,
 

@@ -23,10 +23,14 @@ object Joins {
     * Plan: tag the sides, UNION them (right sorts before left on
     * timestamp ties, so same-µs rows match the ≤ contract), and let
     * one per-key window carry the latest right payload forward with
-    * last_value(ignoreNulls). ONE exchange — the per-key hash
-    * partition both sides share — zero join operators, zero
-    * buildable hash tables; the window state is one row. Skew rides
-    * the key distribution like every per-key window (the
+    * last_value(ignoreNulls). The payload travels as ONE struct per
+    * right row, so multi-column payloads stay row-atomic — a NULL
+    * inside the as-of row's payload is answered as that NULL, never
+    * backfilled from an older right row (per-column carries would
+    * tear columns across different right rows). ONE exchange — the
+    * per-key hash partition both sides share — zero join operators,
+    * zero buildable hash tables; the window state is one row. Skew
+    * rides the key distribution like every per-key window (the
     * sessionization caveat).
     *
     * `rightCols` are the payload columns to carry (must exist on the
@@ -36,25 +40,27 @@ object Joins {
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(rightCols.contains),
       s"right payload columns ${rightCols.mkString(",")} collide with the left side")
+    val payloadT = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c).copy(name = c)))
     val l = left
       .withColumn("_side", lit(1))
       .select(Seq(col(key), col("ts_us"), col("_side")) ++
-        leftCols.filter(c => c != key && c != "ts_us").map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftCols.filter(c => c != key && c != "ts_us").map(col) :+
+        lit(null).cast(payloadT).as("_pay"): _*)
     val r = right
       .withColumn("_side", lit(0))
       .select(Seq(col(key), col("ts_us"), col("_side")) ++
         leftCols.filter(c => c != key && c != "ts_us")
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(col): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as("_pay"): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col("ts_us").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1).drop("_side")
-      .select(leftCols.map(col) ++ rightCols.map(col): _*)
+    l.unionByName(r)
+      .withColumn("_pay", last(col("_pay"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col(s"_pay.$c").as(c)): _*)
   }
 
   /** Range (interval) join: left POINT rows (`ts_us`) to right
@@ -73,8 +79,13 @@ object Joins {
             bucketSec: Long): DataFrame = {
     val bUs = bucketSec * 1000000L
     val pts = left.withColumn("_b", expr(s"ts_us DIV $bUs"))
-    val ivs = right.withColumn("_b",
-      explode(expr(s"sequence(start_us DIV $bUs, (end_us - 1) DIV $bUs)")))
+    val ivs = right
+      // an inverted interval (bad upstream data) can never contain a
+      // point, but sequence(hi, lo) would DESCEND and explode
+      // garbage rows (or error on wild bounds) — drop it first
+      .filter(col("end_us") > col("start_us"))
+      .withColumn("_b",
+        explode(expr(s"sequence(start_us DIV $bUs, (end_us - 1) DIV $bUs)")))
     pts.join(ivs, Seq(key, "_b"))
       .filter(col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
       .drop("_b")

@@ -97,4 +97,19 @@ object Meta {
       .agg(count(lit(1)).as("n_series"))
       .orderBy(col("n_series").desc, col("metric").asc)
       .limit(topN)
+
+  /** [[seriesCountByMetric]] plus the EXACT grand total in the SAME
+    * single aggregate: rollup(metric) emits every per-metric row AND
+    * one null-metric total row from one pass over the distinct-series
+    * set. The total sorts first (it is ≥ every per-metric count, and
+    * NULL wins the ascending tie-break), so a capped collect can
+    * never truncate it away — the `/api/v1/status/tsdb` backing
+    * query, immune to the undercount a summed-top-N view would
+    * silently report on a store with more metrics than the cap. */
+  def seriesStats(samples: DataFrame): DataFrame =
+    samples
+      .select(col("metric"), col("labels")).distinct()
+      .rollup(col("metric"))
+      .agg(count(lit(1)).as("n_series"))
+      .orderBy(col("n_series").desc, col("metric").asc_nulls_first)
 }

@@ -43,15 +43,19 @@ object Sessions {
   }
 
   /** One row per session: event count, extent, whole-second duration,
-    * and the e2-snapped value sum (the store's exact-decimal
-    * convention, so the oracle hash-matches). */
+    * and the value sum as PER-EVENT e2-snapped integers summed — the
+    * same arithmetic the streaming twin's state fold runs, so the
+    * two layers agree for EVERY input, not just values already on
+    * the centi-unit lattice (snap-then-sum and sum-then-snap differ
+    * once inputs carry more than two decimals). */
   def stats(events: DataFrame, gapSec: Long = 1800L): DataFrame =
     assign(events, gapSec)
       .groupBy(col("user_id"), col("session_seq"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts_us")).as("start_us"),
         max(col("ts_us")).as("end_us"),
-        expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").as("sum_value_e2"))
+        expr("CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)")
+          .as("sum_value_e2"))
       .withColumn("duration_sec", expr("(end_us - start_us) DIV 1000000"))
 
   /** Earliest-anchor conversion funnel — ClickHouse windowFunnel's

@@ -187,6 +187,17 @@ object HttpServe {
       case c             => c.toString
     }
 
+    // text EXPOSITION label-value escaping (the format /federate
+    // emits) knows exactly three escapes — \\, \", \n; a JSON-style
+    // \u00XX would fail the downstream Prometheus's parser and one
+    // bad label value would break the whole federation scrape
+    def expoEsc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case '\n' => "\\n"
+      case c    => c.toString
+    }
+
     def jsonList(values: Seq[String]): Array[Byte] =
       values.map(v => s""""${esc(v)}"""").mkString(
         """{"status":"success","data":[""", ",", "]}").getBytes(UTF_8)
@@ -356,7 +367,7 @@ object HttpServe {
             else labels.map { l =>
               val i = l.indexOf('=')
               val (k, v) = if (i < 0) (l, "") else (l.take(i), l.drop(i + 1))
-              s"""$k="${esc(v)}""""
+              s"""$k="${expoEsc(v)}""""
             }.mkString("{", ",", "}")
           val vtxt = PromQL.formatE6(math.floor(value * 1e6 + 0.5).toLong)
           sb.append(metric).append(lbl).append(' ').append(vtxt)
@@ -537,22 +548,22 @@ object HttpServe {
     // domain is tiny next to samples); numSeries derives from the
     // same rows.
     server.createContext("/api/v1/status/tsdb", (ex: HttpExchange) => guarded(ex) {
-      import org.apache.spark.sql.functions.{col, count, lit}
-      val byMetric = SamplesStore.readLocked(storePath) {
+      // one rollup(metric) aggregate: the null-metric row is the
+      // EXACT grand total (sorts first, so the cap can't drop it) —
+      // see Meta.seriesStats
+      val rows = SamplesStore.readLocked(storePath) {
         storeSamples().map { df =>
-          df.select(col("metric"), col("labels")).distinct()
-            .groupBy(col("metric"))
-            .agg(count(lit(1)).as("n"))
-            .orderBy(col("n").desc, col("metric").asc)
+          graft.operators.Meta.seriesStats(df)
             .limit(MetaValuesLimit)
             .collect()
-            .map(r => (r.getString(0), r.getLong(1))).toSeq
+            .map(r => (Option(r.getString(0)), r.getLong(1))).toSeq
         }.getOrElse(Seq.empty)
       }
-      val items = byMetric.take(10).map { case (m, n) =>
-        s"""{"name":"${esc(m)}","value":$n}"""
-      }.mkString(",")
-      val total = byMetric.map(_._2).sum
+      val total = rows.collectFirst { case (None, n) => n }.getOrElse(0L)
+      val items = rows.collect { case (Some(m), n) => (m, n) }
+        .take(10).map { case (m, n) =>
+          s"""{"name":"${esc(m)}","value":$n}"""
+        }.mkString(",")
       respond(ex, 200,
         (s"""{"status":"success","data":{"headStats":{"numSeries":$total},""" +
           s""""seriesCountByMetricName":[$items]}}""").getBytes(UTF_8),

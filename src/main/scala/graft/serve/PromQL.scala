@@ -1428,8 +1428,13 @@ object PromQL {
     val base =
       if ((op == '/' || op == '%') && scalarOnLeft)
         child.filter(col("v_e6") =!= 0L)
-      else if ((op == '/' || op == '%') && k == 0.0)
-        throw new IllegalArgumentException(s"$op by literal zero")
+      else if (op == '/' && k == 0.0)
+        throw new IllegalArgumentException("/ by literal zero")
+      // % runs on the SNAPPED kE6 — a scalar under half a µ snaps to
+      // 0 and would evaluate v_e6 % 0 (NULL rows → 500), so the
+      // guard must test the value the expression actually uses
+      else if (op == '%' && kE6 == 0L)
+        throw new IllegalArgumentException("% by (effectively) zero literal")
       else child
     // like every Prometheus binary op, arithmetic drops __name__
     base.select(lit(null).cast("string").as("metric"), col("labels"),
@@ -2365,18 +2370,9 @@ object PromQL {
     * per step — and a grouped rank only SHRINKS partitions. */
   private def rank(child: DataFrame, bottom: Boolean, k: Int,
                    by: Seq[String] = Nil,
-                   without: Boolean = false): DataFrame = {
-    val ordered =
-      if (bottom) Seq(col("v_e6").asc) else Seq(col("v_e6").desc)
-    val w = Window.partitionBy(col("t"), col("gk")).orderBy(ordered ++ Seq(
-      coalesce(col("metric"), lit("")).asc, col("ls").asc): _*)
-    child
-      .withColumn("ls", array_join(col("labels"), ","))
-      .withColumn("gk", array_join(keptLabels(by, without), ","))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("metric"), col("labels"), col("t"), col("v_e6"))
-  }
+                   without: Boolean = false): DataFrame =
+    rankWindow(child,
+      Seq(if (bottom) col("v_e6").asc else col("v_e6").desc), k, by, without)
 
   /** limitk: the k first series per step (per group with
     * `by`/`without`) by (metric, joined-labels) order — [[rank]]'s
@@ -2385,9 +2381,17 @@ object PromQL {
     * metric name survives, like topk. */
   private def limitK(child: DataFrame, k: Int,
                      by: Seq[String] = Nil,
-                     without: Boolean = false): DataFrame = {
-    val w = Window.partitionBy(col("t"), col("gk")).orderBy(
-      coalesce(col("metric"), lit("")).asc, col("ls").asc)
+                     without: Boolean = false): DataFrame =
+    rankWindow(child, Nil, k, by, without)
+
+  /** The ONE place the deterministic rank convention lives: partition
+    * (t, grouped-key), order by the caller's value columns then the
+    * (metric, joined-labels) identity tie-break ascending, keep k. */
+  private def rankWindow(child: DataFrame, valueOrder: Seq[Column], k: Int,
+                         by: Seq[String], without: Boolean): DataFrame = {
+    val w = Window.partitionBy(col("t"), col("gk"))
+      .orderBy(valueOrder ++ Seq(
+        coalesce(col("metric"), lit("")).asc, col("ls").asc): _*)
     child
       .withColumn("ls", array_join(col("labels"), ","))
       .withColumn("gk", array_join(keptLabels(by, without), ","))

@@ -1094,6 +1094,11 @@ class PromQLSpec extends SparkSpecBase {
     assertThrows[IllegalArgumentException] {
       PromQL.eval(tinySamples, parse("m % 0.0").toOption.get, T0, T0, 1L)
     }
+    // a scalar under half a µ SNAPS to 0 in the e6 model — the guard
+    // must fire on the snapped value, not the raw literal
+    assertThrows[IllegalArgumentException] {
+      PromQL.eval(tinySamples, parse("m % 0.0000004").toOption.get, T0, T0, 1L)
+    }
   }
 
   test("^ with a literal integer exponent is a rounded-multiply chain") {

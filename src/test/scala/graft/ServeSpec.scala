@@ -947,6 +947,17 @@ class ServeSpec extends SparkSpecBase {
       // a scrape time past the lookback sees nothing — 200, empty
       assert(get(s"$base/federate?$m=$s0&time=1704413200") ===
         ((200, "")))
+      // exposition escaping: a newline in a label value must emit \n
+      // (the only escapes the format knows are \\ \" \n — a JSON
+      // \u00XX would break the downstream scraper)
+      val nlBlob = PromRemoteCodec.encodeWriteRequest(
+        PromWriteRequest(Seq(PromTimeSeries(
+          Seq(PromLabel("__name__", "fed_esc"), PromLabel("k", "a\nb\"c\\d")),
+          Seq(PromSample(1.0, 1704412800000L))))))
+      assert(post(s"$base/write", nlBlob)._1 === 200)
+      val escSel = enc("fed_esc")
+      assert(get(s"$base/federate?$m=$escSel&time=1704412900")._2 ===
+        "fed_esc{k=\"a\\nb\\\"c\\\\d\"} 1 1704412800000\n")
     } finally srv.stop()
   }
 

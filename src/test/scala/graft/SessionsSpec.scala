@@ -135,6 +135,19 @@ class SessionsSpec extends SparkSpecBase {
     assert(!p.contains("Join"), s"as-of must compile join-free:\n$p")
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
       s"as-of must shuffle exactly once (the per-key window):\n$p")
+    // multi-column payloads are ROW-ATOMIC: a NULL inside the as-of
+    // row answers as NULL, never backfilled from an older right row
+    val right2 = Seq(
+      (7L, 5L, Some(0.5), Some(7.0)),
+      (7L, 10L, Some(1.5), Option.empty[Double])
+    ).toDF("user_id", "ts_us", "a", "b")
+    val atomic = graft.operators.Joins.asof(
+        Seq((9L, 20L, 7L)).toDF("event_id", "ts_us", "user_id"),
+        right2, "user_id", Seq("a", "b"))
+      .collect().head
+    assert(atomic.getDouble(3) === 1.5)
+    assert(atomic.isNullAt(4),
+      "the as-of row's own NULL must not tear to an older row's value")
   }
 
   test("range join: exact containment across bucket boundaries, inner semantics") {
@@ -161,6 +174,14 @@ class SessionsSpec extends SparkSpecBase {
       .select("event_id", "iv").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(coarse === out, "bucket width must never change the answer")
+    // an inverted interval (bad data) is dropped before the bucket
+    // explode — no descending sequence, no spurious rows
+    val bad = ivs.union(Seq((7L, "X", 3600000000L, 0L))
+      .toDF("user_id", "iv", "start_us", "end_us"))
+    val guarded = graft.operators.Joins.range(pts, bad, "user_id", 1L)
+      .select("event_id", "iv").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(guarded === out)
   }
 
   test("the real events table sessionizes consistently at both layers") {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ingest.{Ingest, PromRemoteCodec, RollupStore, SamplesStore, StreamIngest, TsvBulk}
+import graft.ingest.{Exposition, Ingest, PromRemoteCodec, RollupStore, SamplesStore, StreamIngest, TsvBulk}
 import graft.ingest.PromRemoteCodec.{PromLabel, PromSample, PromTimeSeries}
 import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.operators._
@@ -115,6 +115,19 @@ object SparkEntry {
       val path = workDir("tsv", dir)
       TsvBulk.export(samples(s, dir), path)
       strLabels(TsvBulk.importTsv(s, path))
+        .groupBy(col("metric"), col("labels_str"))
+        .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"),
+             min(expr("ts_us DIV 1000000")).as("first_t"), max(expr("ts_us DIV 1000000")).as("last_t"))
+    }),
+
+    // Prometheus text-exposition round-trip: export (the /federate
+    // format) → distributed parse → aggregate; the oracle computes
+    // the same aggregate straight from the parquet, so the codec
+    // must be lossless at the format's ms resolution
+    "ingest_exposition" -> ((s, dir) => {
+      val path = workDir("expo", dir)
+      Exposition.export(samples(s, dir), path)
+      strLabels(Exposition.importText(s, path))
         .groupBy(col("metric"), col("labels_str"))
         .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"),
              min(expr("ts_us DIV 1000000")).as("first_t"), max(expr("ts_us DIV 1000000")).as("last_t"))
@@ -1429,6 +1442,15 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
 
     "ingest_bulk_tsv" ->
+      s"""$S
+         |SELECT metric, array_to_string(labels, ',') AS labels_str,
+         |       count(*) AS n_samples, round(sum(value), 6) AS sum_value,
+         |       min(ts_us // 1000000) AS first_t, max(ts_us // 1000000) AS last_t
+         |FROM samples GROUP BY 1, 2""".stripMargin,
+
+    // the exposition round-trip must reproduce the same aggregate
+    // (ms truncation never moves a second boundary)
+    "ingest_exposition" ->
       s"""$S
          |SELECT metric, array_to_string(labels, ',') AS labels_str,
          |       count(*) AS n_samples, round(sum(value), 6) AS sum_value,

@@ -1332,6 +1332,122 @@ object TsvBulk {
   * continuous write stream; here: file-source stream → canonical
   * samples → stateful aggregation, memory sink for tests, the same
   * transform chain writes to SamplesStore in production). */
+/** Prometheus text-exposition bulk codec — the `/federate` output
+  * format as a SOURCE: `name{k="v",…} value timestamp_ms`, one sample
+  * per line (what a federation scrape, promtool dump, or exporter
+  * snapshot produces). The missing migration leg: reference users
+  * hold exposition dumps; graft imports them distributed without a
+  * Prometheus in the middle — and its own `/federate` output
+  * round-trips through [[Exposition.importText]] losslessly
+  * (spec-asserted), closing the loop.
+  *
+  * Scale shape: [[TsvBulk]]'s — parsing is mapPartitions over the
+  * text scan, embarrassingly parallel, no shuffle; values render
+  * through the engine's one double→string cast so export → import is
+  * bit-exact. Timestamps are MILLISECONDS — the format's own
+  * resolution — so sub-ms µs precision truncates on export (the
+  * exposition contract, not a codec defect). Label VALUES use the
+  * format's only three escapes (\\ \" \n); comments and blank lines
+  * skip; a malformed line throws IllegalArgumentException (the clean
+  * ingest failure class). Lines without a timestamp are REJECTED: a
+  * sample with no time axis cannot enter a TSDB deterministically. */
+object Exposition {
+
+  def export(samples: DataFrame, path: String): Unit = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples
+      .select(expr("ts_us DIV 1000").as("_1"), col("metric").as("_2"),
+              col("labels").as("_3"), col("value").cast("string").as("_4"))
+      .as[(Long, String, Seq[String], String)]
+      .mapPartitions(_.map { case (ms, metric, labels, value) =>
+        val lbl =
+          if (labels.isEmpty) ""
+          else labels.map { l =>
+            val i = l.indexOf('=')
+            val (k, v) = if (i < 0) (l, "") else (l.take(i), l.drop(i + 1))
+            k + "=\"" + escapeValue(v) + "\""
+          }.mkString("{", ",", "}")
+        s"$metric$lbl $value $ms"
+      })
+      .toDF("line")
+      .write.mode("overwrite").text(path)
+  }
+
+  def importText(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.text(path)
+      .as[String]
+      .filter((l: String) => l.trim.nonEmpty && !l.startsWith("#"))
+      .mapPartitions(_.map(parseLine))
+      .toDF("ts_us", "metric", "labels", "value")
+  }
+
+  private def escapeValue(v: String): String = v.flatMap {
+    case '\\' => "\\\\"
+    case '"'  => "\\\""
+    case '\n' => "\\n"
+    case c    => c.toString
+  }
+
+  /** One exposition line → (ts_us, metric, sorted labels, value). */
+  private[graft] def parseLine(line: String): (Long, String, Seq[String], Double) = {
+    def bad(why: String) =
+      throw new IllegalArgumentException(s"malformed exposition line ($why): $line")
+    val brace = line.indexOf('{')
+    val firstSp = line.indexOf(' ')
+    val hasLabels = brace >= 0 && (firstSp < 0 || brace < firstSp)
+    val labels = Seq.newBuilder[String]
+    val (metric, rest) =
+      if (!hasLabels) {
+        if (firstSp <= 0) bad("missing value")
+        (line.take(firstSp), line.drop(firstSp + 1))
+      } else {
+        val name = line.take(brace)
+        if (name.isEmpty) bad("empty metric name")
+        var i = brace + 1
+        var done = false
+        while (!done) {
+          if (i >= line.length) bad("unterminated label set")
+          if (line.charAt(i) == '}') { i += 1; done = true }
+          else {
+            val eq = line.indexOf('=', i)
+            if (eq < 0 || eq + 1 >= line.length || line.charAt(eq + 1) != '"')
+              bad("label without quoted value")
+            val k = line.substring(i, eq)
+            val sb = new StringBuilder
+            var j = eq + 2
+            var open = true
+            while (open) {
+              if (j >= line.length) bad("unterminated label value")
+              line.charAt(j) match {
+                case '\\' =>
+                  if (j + 1 >= line.length) bad("dangling escape")
+                  line.charAt(j + 1) match {
+                    case 'n'   => sb += '\n'
+                    case other => sb += other
+                  }
+                  j += 2
+                case '"' => open = false; j += 1
+                case c   => sb += c; j += 1
+              }
+            }
+            labels += s"$k=${sb.toString}"
+            if (j < line.length && line.charAt(j) == ',') i = j + 1
+            else i = j
+          }
+        }
+        if (i >= line.length || line.charAt(i) != ' ') bad("missing value")
+        (name, line.drop(i + 1))
+      }
+    val parts = rest.split(' ').filter(_.nonEmpty)
+    if (parts.length != 2) bad("need value and timestamp_ms")
+    val value = java.lang.Double.parseDouble(parts(0))
+    val ms = parts(1).toLong
+    (ms * 1000L, metric, labels.result().sorted, value)
+  }
+}
+
 object StreamIngest {
 
   import org.apache.spark.sql.types._

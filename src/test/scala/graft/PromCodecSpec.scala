@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, expr}
+
 import graft.ingest.PromRemoteCodec._
 import graft.ingest.{Ingest, ProtoWire}
 import graft.operators.MatcherType
@@ -166,5 +168,34 @@ class PromCodecSpec extends SparkSpecBase {
     val a = decoded.select(col("metric"), expr("ts_us DIV 1000").as("t"), col("value"))
     val b = s.select(col("metric"), expr("ts_us DIV 1000").as("t"), col("value"))
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("exposition parser: labels, escapes, bare metrics, clean rejections") {
+    import graft.ingest.Exposition.parseLine
+    assert(parseLine("""m{a="1",b="x y"} 2.5 1704412800000""") ===
+      ((1704412800000000L, "m", Seq("a=1", "b=x y"), 2.5)))
+    // labels sort into the store's canonical order
+    assert(parseLine("""m{z="1",a="2"} 1 0""")._3 === Seq("a=2", "z=1"))
+    // bare metric, negative + exponent values
+    assert(parseLine("m -1.5E-3 123") === ((123000L, "m", Seq(), -0.0015)))
+    // the three exposition escapes round to real characters
+    assert(parseLine("""m{k="a\nb\"c\\d"} 1 0""")._3 === Seq("k=a\nb\"c\\d"))
+    // malformed lines throw the clean ingest failure class
+    for (bad <- Seq("m", "m 1", """m{k="v" 1 0""", """m{k=v} 1 0""",
+                    """m{k="v"} 1 0 extra""", """{a="1"} 1 0"""))
+      assertThrows[IllegalArgumentException](parseLine(bad))
+  }
+
+  test("exposition export → import round-trips the samples at ms resolution") {
+    val s = graft.sources.Tables.samples(spark, Sf)
+    val path = "/tmp/graft_test/expo_rt"
+    graft.ingest.Exposition.export(s, path)
+    val back = graft.ingest.Exposition.importText(spark, path)
+    assert(back.count() === s.count())
+    val a = back.select(col("metric"), col("labels"),
+      expr("ts_us DIV 1000").as("t"), col("value"))
+    val b = s.select(col("metric"), col("labels"),
+      expr("ts_us DIV 1000").as("t"), col("value"))
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
 }

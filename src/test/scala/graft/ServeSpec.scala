@@ -958,6 +958,17 @@ class ServeSpec extends SparkSpecBase {
       val escSel = enc("fed_esc")
       assert(get(s"$base/federate?$m=$escSel&time=1704412900")._2 ===
         "fed_esc{k=\"a\\nb\\\"c\\\\d\"} 1 1704412800000\n")
+      // the federation loop closes: /federate output parses back
+      // through the Exposition codec, escapes and all
+      val body = get(s"$base/federate?$m=${enc("""{__name__=~".+"}""")}" +
+        "&time=1704412900")._2
+      val parsed = body.linesIterator.map(
+        graft.ingest.Exposition.parseLine).toSeq
+      assert(parsed.nonEmpty)
+      assert(parsed.exists(p => p._2 == "fed_esc" &&
+        p._3 == Seq("k=a\nb\"c\\d") && p._4 == 1.0))
+      assert(parsed.exists(p => p._2 == "fed_metric" &&
+        p._3 == Seq("k=v0") && p._4 == 9.5 && p._1 == 1704412860000000L))
     } finally srv.stop()
   }
 

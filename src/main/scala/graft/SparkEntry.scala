@@ -759,6 +759,10 @@ object SparkEntry {
     "events_retention" -> ((s, dir) =>
       graft.operators.Sessions.retention(Tables.eventsNorm(s, dir))),
 
+    // Tokenizer fertility (chars/token) per language — exact ratio
+    "text_fertility" -> ((s, dir) =>
+      TextAnalysis.fertility(Tables.documents(s, dir))),
+
     // Deterministic domain mixing: per-source keep rates, the corpus
     // mixture primitive (keep all of src0/src1, half of src2/src3,
     // a quarter of src4, 10% of the long tail).
@@ -2288,6 +2292,23 @@ object SparkEntry {
          |         AS sum_value_e2,
          |       (max(ts_us) - min(ts_us)) // 1000000 AS duration_sec
          |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // same integer half-up ratio over the same sums
+    "text_fertility" ->
+      s"""WITH f AS (
+         |  SELECT lang, length(coalesce(text, '')) AS chars,
+         |         len(string_split(coalesce(text, ''), ' ')) AS toks
+         |  FROM documents
+         |), a AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |         CAST(sum(chars) AS BIGINT) AS sum_chars,
+         |         CAST(sum(toks) AS BIGINT) AS sum_tokens
+         |  FROM f GROUP BY 1
+         |)
+         |SELECT lang, n_docs, sum_chars, sum_tokens,
+         |       CAST(floor((2.0 * sum_chars * 1000000.0 + sum_tokens)
+         |            / (2.0 * sum_tokens)) AS BIGINT) AS fertility_e6
+         |FROM a""".stripMargin,
 
     // same lifetime collapse + day counts
     "meta_series_churn" ->

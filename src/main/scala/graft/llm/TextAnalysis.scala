@@ -131,6 +131,33 @@ object TextAnalysis {
       col("n_chars").as("n_chars_meta"),
       length(col("text")).as("n_chars_actual"))
 
+  /** Tokenizer fertility per language — the standard tokenizer-eval
+    * metric (chars per token; a tokenizer "spends" more tokens on
+    * languages it undertrained on): per lang, Σchars·10⁶ half-up
+    * over Σwhitespace-tokens, plus the doc count and both raw sums
+    * so downstream re-weighting needs no second scan. The ratio uses
+    * the evaluator's half-up DOUBLE formula (floor((2a+b)/2b)) — the
+    * all-integer form would overflow int64 once Σchars·2e6 passes
+    * 2⁶³ (~5e12 chars, i.e. a few TB of text in ONE language), and
+    * the double ops are correctly-rounded IEEE, identical in any
+    * engine.
+    *
+    * Scale shape: one narrow scan (per-row char/token counts) into
+    * one map-side-combined aggregate keyed on the language domain
+    * (tiny); no explode, no token rows ever shuffle. */
+  def fertility(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"),
+        length(coalesce(col("text"), lit(""))).cast("long").as("chars"),
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("sum_chars"),
+        sum(col("toks")).as("sum_tokens"))
+      .withColumn("fertility_e6", expr(
+        "CAST(floor((2.0D * sum_chars * 1000000.0D + sum_tokens) " +
+        "/ (2.0D * sum_tokens)) AS BIGINT)"))
+
   /** Top-k keywords per document by an integer-exact TF-IDF ratio:
     * tf_e6 = occurrences·1e6 DIV doc length, score_e6 = tf_e6 ·
     * n_docs DIV document frequency. Deliberately log-free — the

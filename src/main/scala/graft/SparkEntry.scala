@@ -284,6 +284,24 @@ object SparkEntry {
         rollup = Some(PromQL.RollupGrid(path, rpath, 3600L))))
     }),
 
+    // schema-v3 penultimate points: irate (the window's final two
+    // samples) serves from rollup rows, byte-exact — the pair
+    // reassembles from each bucket's (last, penultimate) candidates
+    "store_rollup_serve_irate" -> ((s, dir) => {
+      val path = workDir("rollupserveirate", dir)
+      val rpath = workDir("rollupserveirate_roll", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.delete(new org.apache.hadoop.fs.Path(rpath), true)
+      SamplesStore.write(samples(s, dir), path)
+      RollupStore.rollup(s, path, rpath, 3600L)
+      promqlStr(PromQL.eval(SamplesStore.read(s, path),
+        parsePromQL("irate(click[1296000])"), // one 15-day window
+        WinEndSec, WinEndSec, 1296000L,
+        rollup = Some(PromQL.RollupGrid(path, rpath, 3600L))))
+    }),
+
     "store_compact" -> ((s, dir) => {
       val path = workDir("compactstore", dir)
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -772,9 +790,15 @@ object SparkEntry {
             "src3" -> 500, "src4" -> 250), defaultPermille = 100)
         .select(col("doc_id"), col("source"), col("keep_rate"))),
 
-    // Symmetric int8 embedding quantization (per-vector scale)
+    // Symmetric int8 embedding quantization (per-vector scale).
+    // The array-valued qvec is flattened to a ','-joined string for
+    // the oracle comparator (SURVEY §6 convention — array columns
+    // are unsortable in the driver's pandas gate); in-engine
+    // consumers use Similarity.quantizeInt8's array API directly.
     "embedding_quantize" -> ((s, dir) =>
-      Similarity.quantizeInt8(Tables.embeddings(s, dir))),
+      Similarity.quantizeInt8(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("scale_e6"),
+          concat_ws(",", col("qvec").cast("array<string>")).as("qvec_str"))),
 
     // The whole corpus-prep pipeline in one pass: quality gate →
     // language gate → exact dedup → split assignment. One scan, one
@@ -1044,6 +1068,32 @@ object SparkEntry {
         parsePromQL("sqrt(sum by (user) (sum_over_time(click[1d])))"),
         WinStartSec, WinEndSec, 86400L))),
 
+    // the three log variants summed — all derive from ONE
+    // digit-extraction fixed-point log2 (exactly-specified IEEE ops
+    // only, so Spark and DuckDB produce identical bits; the oracle
+    // replicates the fold verbatim)
+    "promql_log" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("ln(sum by (user) (sum_over_time(click[1d])))" +
+          " + log2(sum by (user) (sum_over_time(click[1d])))" +
+          " + log10(sum by (user) (sum_over_time(click[1d])))"),
+        WinStartSec, WinEndSec, 86400L))),
+
+    // cube root via exp(ln(x)/3) — composes both transcendental
+    // directions plus scalar division through the integer model
+    "promql_exp" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("exp(ln(sum by (user) (sum_over_time(click[1d]))) / 3)"),
+        WinStartSec, WinEndSec, 86400L))),
+
+    // sort_desc: values/labels pass through untouched (the ordering
+    // is presentation-layer, exercised in PromQLSpec/ServeSpec —
+    // the oracle checks the value contract)
+    "promql_sort" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("sort_desc(sum by (user) (sum_over_time(click[1d])))"),
+        WinStartSec, WinEndSec, 86400L))),
+
     // @: each user's daily sum minus their day-1 baseline — the
     // pinned evaluation replicated across the grid through binary
     // arithmetic
@@ -1256,6 +1306,42 @@ object SparkEntry {
        |  FROM j GROUP BY 1, 2, 3
        |)""".stripMargin
 
+  /** DuckDB replica of PromQL's digit-extraction log2 fold — the
+    * same 64 normalize + 24 squaring steps over a struct state.
+    * Every numeric literal is CAST AS DOUBLE (bare decimals are
+    * DECIMAL in DuckDB and would silently change the arithmetic).
+    * Returns a struct {m, e, b}; fx = e·2^24 + b. */
+  private def duckLog2Fold(vCol: String): String =
+    s"""list_reduce(
+       |  list_prepend(struct_pack(m := CAST($vCol AS DOUBLE) / CAST(1000000 AS DOUBLE),
+       |                           e := CAST(0 AS BIGINT), b := CAST(0 AS BIGINT)),
+       |    list_transform(range(1, 89), i -> struct_pack(m := CAST(0 AS DOUBLE), e := i, b := CAST(0 AS BIGINT)))),
+       |  (s, x) -> CASE WHEN x.e <= 64 THEN
+       |    CASE WHEN s.m >= CAST(2 AS DOUBLE) THEN struct_pack(m := s.m / CAST(2 AS DOUBLE), e := s.e + 1, b := s.b)
+       |         WHEN s.m < CAST(1 AS DOUBLE)  THEN struct_pack(m := s.m * CAST(2 AS DOUBLE), e := s.e - 1, b := s.b)
+       |         ELSE s END
+       |  ELSE
+       |    CASE WHEN s.m * s.m >= CAST(2 AS DOUBLE)
+       |         THEN struct_pack(m := s.m * s.m / CAST(2 AS DOUBLE), e := s.e, b := s.b * 2 + 1)
+       |         ELSE struct_pack(m := s.m * s.m, e := s.e, b := s.b * 2) END
+       |  END)""".stripMargin.replace("\n", " ")
+
+  /** exp's exponent t = x · log2(e), DuckDB side. */
+  private def duckExpT(vCol: String): String =
+    s"CAST($vCol AS DOUBLE) / CAST(1000000 AS DOUBLE) * CAST(1.4426950408889634 AS DOUBLE)"
+
+  /** DuckDB replica of the exp 2^frac digit fold: 48 exact g
+    * doublings, each set bit multiplying in a sqrt-chain power of
+    * two. Returns struct {g, acc, r}. */
+  private def duckExpFold(vCol: String): String =
+    s"""list_reduce(
+       |  list_prepend(struct_pack(g := ${duckExpT(vCol)} - floor(${duckExpT(vCol)}),
+       |                           acc := CAST(1 AS DOUBLE), r := CAST(2 AS DOUBLE)),
+       |    list_transform(range(1, 49), j -> struct_pack(g := CAST(0 AS DOUBLE), acc := CAST(j AS DOUBLE), r := CAST(0 AS DOUBLE)))),
+       |  (s, x) -> CASE WHEN s.g + s.g >= CAST(1 AS DOUBLE)
+       |    THEN struct_pack(g := s.g + s.g - CAST(1 AS DOUBLE), acc := s.acc * sqrt(s.r), r := sqrt(s.r))
+       |    ELSE struct_pack(g := s.g + s.g, acc := s.acc, r := sqrt(s.r)) END)""".stripMargin.replace("\n", " ")
+
   private def summarySql(where: String, interval: Long): String =
     s"""$S, sel AS (
        |  SELECT metric, labels,
@@ -1410,6 +1496,30 @@ object SparkEntry {
          |       CAST($WinEndSec AS BIGINT) AS t,
          |       CAST(floor((vl - vf) * 100 + 0.5) AS BIGINT) * 10000 AS v_e6
          |FROM st WHERE n >= 2""".stripMargin,
+
+    // raw last-two-samples irate — the rollup v3 penultimate points
+    // must reassemble the exact final pair of the 15-day window
+    "store_rollup_serve_irate" ->
+      s"""$dedupCte, rk AS (
+         |  SELECT metric, labels, t_sec, value,
+         |         row_number() OVER (PARTITION BY metric, labels
+         |                            ORDER BY t_sec DESC) AS rn
+         |  FROM deduped
+         |  WHERE metric = 'click'
+         |    AND t_sec >= $WinStartSec AND t_sec < $WinEndSec
+         |), pair AS (
+         |  SELECT metric, labels,
+         |         max(CASE WHEN rn = 1 THEN t_sec END) AS lt,
+         |         max(CASE WHEN rn = 1 THEN value END) AS lv,
+         |         max(CASE WHEN rn = 2 THEN t_sec END) AS pt,
+         |         max(CASE WHEN rn = 2 THEN value END) AS pv
+         |  FROM rk WHERE rn <= 2 GROUP BY 1, 2
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str,
+         |       CAST($WinEndSec AS BIGINT) AS t,
+         |       CAST(floor((CASE WHEN lv >= pv THEN lv - pv ELSE lv END)
+         |            / CAST(lt - pt AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v_e6
+         |FROM pair WHERE pt IS NOT NULL""".stripMargin,
 
     // selective compaction must be result-invariant too
     "store_compact_days" ->
@@ -2432,9 +2542,10 @@ object SparkEntry {
          |)
          |SELECT vec_id,
          |  CAST(floor(mx / 127.0 * 1000000.0 + 0.5) AS BIGINT) AS scale_e6,
-         |  CASE WHEN mx = 0.0 THEN list_transform(vec, x -> 0)
-         |       ELSE list_transform(vec, x -> CAST(floor(x / mx * 127.0 + 0.5) AS INT))
-         |  END AS qvec
+         |  array_to_string(
+         |    CASE WHEN mx = 0.0 THEN list_transform(vec, x -> 0)
+         |         ELSE list_transform(vec, x -> CAST(floor(x / mx * 127.0 + 0.5) AS INT))
+         |    END, ',') AS qvec_str
          |FROM m""".stripMargin,
 
     "pipeline_corpus_prep" ->
@@ -3107,6 +3218,75 @@ object SparkEntry {
          |       CAST(floor(sqrt(CAST(v_e6 AS DOUBLE) / 1000000.0)
          |            * 1000000 + 0.5) AS BIGINT) AS v_e6
          |FROM agg WHERE v_e6 >= 0""".stripMargin,
+
+    // the digit-extraction log2 fold, replicated step-for-step (all
+    // arithmetic exactly specified by IEEE 754 → identical bits);
+    // ln + log2 + log10 all scale the one fixed-point log2
+    "promql_log" ->
+      s"""${promqlSotCte("click")}, agg AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
+         |         CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2
+         |), fx AS (
+         |  SELECT labels, t, ${duckLog2Fold("v_e6")} AS s
+         |  FROM agg WHERE v_e6 > 0
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(labels, ',') AS labels_str, t,
+         |       CAST(floor(CAST(s.e * 16777216 + s.b AS DOUBLE) / 16777216.0
+         |              * CAST(693147.1805599453 AS DOUBLE) + 0.5) AS BIGINT)
+         |     + CAST(floor(CAST(s.e * 16777216 + s.b AS DOUBLE) / 16777216.0
+         |              * CAST(1000000.0 AS DOUBLE) + 0.5) AS BIGINT)
+         |     + CAST(floor(CAST(s.e * 16777216 + s.b AS DOUBLE) / 16777216.0
+         |              * CAST(301029.99566398119 AS DOUBLE) + 0.5) AS BIGINT)
+         |       AS v_e6
+         |FROM fx""".stripMargin,
+
+    // cube root via exp(ln(x)/3): the ln fold, the evaluator's
+    // scalar-division rounding, then the exp digit fold (sqrt-chain
+    // powers of two) — each step bit-identical to the Spark side
+    "promql_exp" ->
+      s"""${promqlSotCte("click")}, agg AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
+         |         CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2
+         |), fx AS (
+         |  SELECT labels, t, ${duckLog2Fold("v_e6")} AS s
+         |  FROM agg WHERE v_e6 > 0
+         |), lnv AS (
+         |  SELECT labels, t,
+         |         CAST(floor(CAST(CAST(floor(CAST(s.e * 16777216 + s.b AS DOUBLE)
+         |             / 16777216.0 * CAST(693147.1805599453 AS DOUBLE) + 0.5) AS BIGINT)
+         |             AS DOUBLE) / CAST(3.0 AS DOUBLE) + 0.5) AS BIGINT) AS v_e6
+         |  FROM fx
+         |), ex AS (
+         |  SELECT labels, t, v_e6,
+         |         CAST(floor(${duckExpT("v_e6")}) AS BIGINT) AS i,
+         |         ${duckExpFold("v_e6")} AS s
+         |  FROM lnv WHERE v_e6 <= 29850000
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(labels, ',') AS labels_str, t,
+         |       CASE WHEN v_e6 <= -14600000 THEN 0
+         |            ELSE CAST(floor(
+         |              CASE WHEN i >= 0
+         |                   THEN s.acc * CAST(CAST(1 AS BIGINT) << i AS DOUBLE)
+         |                   ELSE s.acc / CAST(CAST(1 AS BIGINT) << (-i) AS DOUBLE)
+         |              END * CAST(1000000.0 AS DOUBLE)
+         |              + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS v_e6
+         |FROM ex""".stripMargin,
+
+    // sort_desc passes values through — the ordering itself is a
+    // presentation contract (spec-asserted), the oracle pins values
+    "promql_sort" ->
+      s"""${promqlSotCte("click")}, agg AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
+         |         CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(labels, ',') AS labels_str, t, v_e6
+         |FROM agg""".stripMargin,
 
     // the baseline is the per-user sum over [t0, t0+1d), joined to
     // every grid step's sum on the user label

@@ -1423,9 +1423,17 @@ object Exposition {
               line.charAt(j) match {
                 case '\\' =>
                   if (j + 1 >= line.length) bad("dangling escape")
+                  // the exposition format defines exactly \\ \" \n —
+                  // anything else is malformed and THROWS (the
+                  // codec's documented contract; silently mapping
+                  // \t → 't' would corrupt label values from foreign
+                  // dumps, and Prometheus's parser rejects too)
                   line.charAt(j + 1) match {
-                    case 'n'   => sb += '\n'
-                    case other => sb += other
+                    case 'n'  => sb += '\n'
+                    case '\\' => sb += '\\'
+                    case '"'  => sb += '"'
+                    case other =>
+                      bad(s"invalid escape \\$other in label value")
                   }
                   j += 2
                 case '"' => open = false; j += 1

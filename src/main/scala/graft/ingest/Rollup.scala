@@ -49,13 +49,16 @@ object RollupStore {
 
   /** Rollup ROW schema version. v2 added the per-bucket edge points
     * (t_first/v_first/t_last/v_last) that let rate/increase/delta/
-    * last_over_time serve from the rollup. A v1 store (no `schema`
-    * manifest line) is treated as absent by [[rollup]] — the next
-    * maintenance pass rebuilds it in full — and stale by
-    * [[freshFor]], so serving self-heals onto raw scans until the
-    * rebuild lands; mixed-schema data files are never planned
-    * together. */
-  val SchemaVersion = 2
+    * last_over_time serve from the rollup. v3 adds the bucket's
+    * SECOND-latest point (t_penult/v_penult): a window's final two
+    * samples are always among the union of each bucket's last two,
+    * so irate/idelta serve exactly from rollup rows too. A
+    * previous-version store (no/lower `schema` manifest line) is
+    * treated as absent by [[rollup]] — the next maintenance pass
+    * rebuilds it in full — and stale by [[freshFor]], so serving
+    * self-heals onto raw scans until the rebuild lands;
+    * mixed-schema data files are never planned together. */
+  val SchemaVersion = 3
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -216,18 +219,32 @@ object RollupStore {
             .withColumn("t_sec", expr("ts_us DIV 1000000"))
             .groupBy(col("date"), col("metric"), col("labels"), col("t_sec"))
             .agg(max(col("value")).as("v"))
+          // rank within the bucket (newest first) to expose the
+          // SECOND-latest point: the window over the same keys the
+          // groupBy reduces on reuses its exchange — one shuffle
+          // total, O(1) aggregation state (no per-bucket buffering)
+          val bucketW = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("date"), col("metric"), col("labels"),
+              col("bucket"))
+            .orderBy(col("t_sec").desc)
           val rolled = deduped
             .withColumn("bucket", expr(s"t_sec DIV $intervalSec * $intervalSec"))
+            .withColumn("_rk", row_number().over(bucketW))
             .groupBy(col("date"), col("metric"), col("labels"), col("bucket"))
             // schema v2: the bucket's EDGE points ride along so
             // rate/increase/delta/last_over_time re-aggregate exactly
             // (window first = earliest bucket's first, last = latest
-            // bucket's last — the raw path's very samples)
+            // bucket's last — the raw path's very samples); schema
+            // v3: the penultimate point joins them for irate/idelta
+            // (_rk==2 matches at most one row, so the two max(when)s
+            // read the SAME row — never torn)
             .agg(min(col("v")).as("min_value"), max(col("v")).as("max_value"),
                  sum(col("v")).as("sum_value"), count(lit(1)).as("n_points"),
                  min(col("t_sec")).as("t_first"), max(col("t_sec")).as("t_last"),
                  min_by(col("v"), col("t_sec")).as("v_first"),
-                 max_by(col("v"), col("t_sec")).as("v_last"))
+                 max_by(col("v"), col("t_sec")).as("v_last"),
+                 max(when(col("_rk") === 2, col("t_sec"))).as("t_penult"),
+                 max(when(col("_rk") === 2, col("v"))).as("v_penult"))
           val staging = new Path(rollupPath, s".staging-${java.util.UUID.randomUUID()}")
           fs.delete(staging, true)
           rolled
@@ -265,8 +282,10 @@ object RollupStore {
     * manifest (same snapshot-isolation contract as the samples
     * store: a concurrent [[rollup]] never yanks a planned file before
     * the GC grace). Columns: date, metric, labels, bucket,
-    * min_value, max_value, sum_value, n_points, and (schema v2) the
-    * bucket edge points t_first, t_last, v_first, v_last. */
+    * min_value, max_value, sum_value, n_points, the (schema v2)
+    * bucket edge points t_first, t_last, v_first, v_last, and the
+    * (schema v3) penultimate point t_penult, v_penult (NULL on
+    * single-sample buckets). */
   def read(spark: SparkSession, path: String): DataFrame = {
     val fs = fsFor(spark, path)
     latestRollup(fs, new Path(path)) match {

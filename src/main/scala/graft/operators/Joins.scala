@@ -53,8 +53,15 @@ object Joins {
         leftCols.filter(c => c != key && c != "ts_us")
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rightCols.map(col): _*).as("_pay"): _*)
+    // _pay as the final sort key makes duplicate right (key, ts_us)
+    // rows deterministic: last() then always answers the GREATEST
+    // payload struct (field-wise struct ordering) instead of
+    // whichever row the partition happened to order last. Payload
+    // columns must therefore be orderable types (maps aren't) —
+    // true of every store column. Left rows (_pay NULL) sort first
+    // within a tie, irrelevant because _side already splits sides.
     val w = Window.partitionBy(col(key))
-      .orderBy(col("ts_us").asc, col("_side").asc)
+      .orderBy(col("ts_us").asc, col("_side").asc, col("_pay").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("_pay", last(col("_pay"), ignoreNulls = true).over(w))
@@ -76,7 +83,7 @@ object Joins {
     * buckets instead of serializing one key's comparisons. Inner
     * semantics: unmatched points drop. */
   def range(left: DataFrame, right: DataFrame, key: String,
-            bucketSec: Long): DataFrame = {
+            bucketSec: Long, maxBucketsPerInterval: Long = 65536L): DataFrame = {
     val bUs = bucketSec * 1000000L
     val pts = left.withColumn("_b", expr(s"ts_us DIV $bUs"))
     val ivs = right
@@ -84,6 +91,14 @@ object Joins {
       // point, but sequence(hi, lo) would DESCEND and explode
       // garbage rows (or error on wild bounds) — drop it first
       .filter(col("end_us") > col("start_us"))
+      // …and an absurdly LONG one (end_us in the far future) would
+      // sequence() toward 2^31 elements and fail the whole job — the
+      // same bad-upstream-data class. A legit interval near the
+      // bucketSec sizing rule spans ~1-2 buckets; anything past the
+      // cap drops rather than detonating (tune the cap up for
+      // deliberately coarse buckets over long intervals)
+      .filter(expr(s"(end_us - 1) DIV $bUs - start_us DIV $bUs" +
+        s" < ${maxBucketsPerInterval}L"))
       .withColumn("_b",
         explode(expr(s"sequence(start_us DIV $bUs, (end_us - 1) DIV $bUs)")))
     pts.join(ivs, Seq(key, "_b"))

@@ -80,24 +80,26 @@ object Alerting {
   /** The current alert set at the DATA edge (store time, like the
     * recording watermark): each rule evaluated at its latest complete
     * grid point, answering (alert labels, state) rows — what
-    * /api/v1/alerts serves. Cardinality is alerting series, so the
-    * collect is boundary-bounded like the metadata endpoints. */
+    * /api/v1/alerts serves. The per-rule plans UNION into one
+    * DataFrame and collect ONCE — a /alerts request costs one Spark
+    * job regardless of rule count, not one job per rule (the store
+    * scan is shared across the unioned branches). Cardinality is
+    * alerting series, so the collect is boundary-bounded like the
+    * metadata endpoints. */
   def currentAlerts(spark: SparkSession, storePath: String,
                     rules: Seq[AlertRule]): Seq[(Seq[String], String, Long)] = {
     if (rules.isEmpty) return Nil
     val df = SamplesStore.read(spark, storePath)
     val maxTs = Recording.dataEdgeSec(spark, storePath).getOrElse(return Nil)
-    rules.flatMap { rule =>
+    val plans = rules.map { rule =>
       val edge = maxTs / rule.stepSec * rule.stepSec
-      alerts(df, rule, edge, edge)
-        .select(col("labels"), col("t"))
-        .collect()
-        .map { r =>
-          val ls = r.getSeq[String](0)
-          val state = ls.find(_.startsWith("alertstate="))
-            .map(_.stripPrefix("alertstate=")).getOrElse("pending")
-          (ls.filterNot(_.startsWith("alertstate=")), state, r.getLong(1))
-        }
+      alerts(df, rule, edge, edge).select(col("labels"), col("t"))
+    }
+    plans.reduce(_.unionByName(_)).collect().toSeq.map { r =>
+      val ls = r.getSeq[String](0)
+      val state = ls.find(_.startsWith("alertstate="))
+        .map(_.stripPrefix("alertstate=")).getOrElse("pending")
+      (ls.filterNot(_.startsWith("alertstate=")), state, r.getLong(1))
     }
   }
 }

@@ -69,6 +69,14 @@ object HttpServe {
     * driver collect, like `maxReadSamples` bounds `/read`. */
   val MetaValuesLimit = 10000
 
+  /** Cap on /federate output series. Unlike the metadata endpoints,
+    * federation must NEVER silently truncate — a partial scrape
+    * poisons the downstream Prometheus worse than a failed one (real
+    * federation has no cap at all) — so crossing this limit FAILS
+    * the scrape with 500 instead of dropping the tail. Configurable
+    * for deployments federating wide stores. */
+  @volatile var federateSeriesLimit: Int = 10000
+
   /** Start serving `storePath` on `port` (0 = ephemeral, for specs).
     * ignoreLabel/ignoreHints mirror the reference's -read.* flags. */
   def start(spark: SparkSession, storePath: String, port: Int = 0,
@@ -326,14 +334,23 @@ object HttpServe {
         }.toSeq
       val parsed = params.collect { case ("match[]", v) =>
         graft.operators.Matchers.parseSelector(v) }
+      // absent `time` → wall clock; PRESENT but unparsable `time` →
+      // 400 (a typo'd historical scrape must not silently become a
+      // live one — same validation rigor as match[])
+      val timeRaw = params.collectFirst { case ("time", v) => v }
+      val timeParsed = timeRaw.map(parseTimeParam)
       if (parsed.isEmpty || parsed.exists(_.isEmpty)) {
         respond(ex, 400,
           """{"status":"error","errorType":"bad_data","error":"match[] missing or malformed"}"""
             .getBytes(UTF_8),
           Seq("Content-Type" -> "application/json"))
+      } else if (timeParsed.exists(_.isEmpty)) {
+        respond(ex, 400,
+          """{"status":"error","errorType":"bad_data","error":"time parameter malformed"}"""
+            .getBytes(UTF_8),
+          Seq("Content-Type" -> "application/json"))
       } else {
-        val t = params.collectFirst { case ("time", v) => v }
-          .flatMap(parseTimeParam)
+        val t = timeParsed.flatten
           .getOrElse(System.currentTimeMillis() / 1000L)
         val lookback = 300L
         val rows = SamplesStore.readLocked(storePath) {
@@ -353,29 +370,39 @@ object HttpServe {
               .agg(max(col("ts_us")).as("ts_us"),
                 expr("max_by(value, struct(ts_us, value))").as("value"))
               .orderBy("metric", "labels")
-              .limit(MetaValuesLimit)
+              // limit+1 detects overflow without an unbounded collect
+              .limit(federateSeriesLimit + 1)
               .collect()
               .map(r => (r.getString(0), r.getSeq[String](1).toSeq,
                 r.getLong(2), r.getDouble(3)))
               .toSeq
           }.getOrElse(Seq.empty)
         }
-        val sb = new StringBuilder
-        rows.foreach { case (metric, labels, tsUs, value) =>
-          val lbl =
-            if (labels.isEmpty) ""
-            else labels.map { l =>
-              val i = l.indexOf('=')
-              val (k, v) = if (i < 0) (l, "") else (l.take(i), l.drop(i + 1))
-              s"""$k="${expoEsc(v)}""""
-            }.mkString("{", ",", "}")
-          val vtxt = PromQL.formatE6(math.floor(value * 1e6 + 0.5).toLong)
-          sb.append(metric).append(lbl).append(' ').append(vtxt)
-            .append(' ').append(tsUs / 1000L).append('\n')
+        if (rows.size > federateSeriesLimit) {
+          respond(ex, 500,
+            (s"""{"status":"error","errorType":"internal","error":""" +
+              s""""federation result exceeds $federateSeriesLimit series; """ +
+              s"""raise HttpServe.federateSeriesLimit or narrow match[]"}""")
+              .getBytes(UTF_8),
+            Seq("Content-Type" -> "application/json"))
+        } else {
+          val sb = new StringBuilder
+          rows.foreach { case (metric, labels, tsUs, value) =>
+            val lbl =
+              if (labels.isEmpty) ""
+              else labels.map { l =>
+                val i = l.indexOf('=')
+                val (k, v) = if (i < 0) (l, "") else (l.take(i), l.drop(i + 1))
+                s"""$k="${expoEsc(v)}""""
+              }.mkString("{", ",", "}")
+            val vtxt = PromQL.formatE6(math.floor(value * 1e6 + 0.5).toLong)
+            sb.append(metric).append(lbl).append(' ').append(vtxt)
+              .append(' ').append(tsUs / 1000L).append('\n')
+          }
+          respond(ex, 200, sb.toString.getBytes(UTF_8),
+            Seq("Content-Type" ->
+              "text/plain; version=0.0.4; charset=utf-8"))
         }
-        respond(ex, 200, sb.toString.getBytes(UTF_8),
-          Seq("Content-Type" ->
-            "text/plain; version=0.0.4; charset=utf-8"))
       }
     })
 

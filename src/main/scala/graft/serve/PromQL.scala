@@ -66,8 +66,13 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   *   mathfn   := fn "(" expr ["," num]* ")"
   *               fn ∈ abs ceil floor sgn sqrt round(v[,n])
   *                    clamp(v,lo,hi) clamp_min(v,lo) clamp_max(v,hi)
+  *                    ln log2 log10 exp  (digit-extraction portable —
+  *                      see mathProject)
   *                    hour minute day_of_week day_of_month day_of_year
   *                    month year days_in_month  (empty arg = time())
+  *   sortfn   := ("sort"|"sort_desc") "(" expr ")"   (values pass
+  *               through; materializes a per-step deterministic
+  *               ORDER BY value with identity tiebreak — see Sort)
   *   labelfn  := "label_replace" "(" expr "," str "," str "," str "," str ")"
   *             | "label_join" "(" expr "," str "," str {"," str} ")"
   *   selector := PromQL instant-vector selector (Matchers.parseSelector)
@@ -76,15 +81,17 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   *   offset   := "offset" dur      (shifts every window back by dur)
   *   dur      := (\d+ [smhdw])+ | \d+   (seconds resolution)
   *
-  * Deliberately NOT in the grammar: ln/log2/log10/exp and `^` with
-  * a fractional exponent — libm transcendentals are not
-  * correctly-rounded, so two engines can disagree in the last ulp
-  * and the exact-arithmetic value model would go non-portable
-  * (sqrt IS correctly rounded, so it ships; integer-exponent `^`
-  * ships as a rounded-multiply chain); and sort/sort_desc — the
-  * result sets here carry no order. `%` is the exact truncated
-  * (dividend-sign) remainder on the micro-unit integers — Go
-  * math.Mod's convention on values both engines hold exactly.
+  * Transcendentals (ln/log2/log10/exp) do NOT call libm — libm is
+  * not correctly-rounded, so two engines can disagree in the last
+  * ulp. Instead they run a digit-extraction algorithm built ONLY
+  * from operations IEEE 754 specifies exactly (multiply, divide by
+  * a power of two, sqrt, compare), so Spark and any oracle engine
+  * compute bit-identical results by construction — see mathProject.
+  * `^` with a fractional exponent stays rejected (no portable
+  * shape; integer-exponent `^` ships as a rounded-multiply chain).
+  * `%` is the exact truncated (dividend-sign) remainder on the
+  * micro-unit integers — Go math.Mod's convention on values both
+  * engines hold exactly.
   *
   * Binary arithmetic: vector∘scalar is a per-row projection;
   * vector∘vector matches series on their FULL label sets (the
@@ -293,6 +300,17 @@ object PromQL {
     * and limit_ratio(-0.3) partition the series set exactly,
     * Prometheus's pairing convention. */
   final case class LimitRatio(r: Double, child: Expr) extends Expr
+  /** sort(expr) / sort_desc(expr): values and labels pass through
+    * untouched; the result plan materializes a per-step ORDER BY
+    * value (asc/desc) with the limitk-style identity tiebreak
+    * (metric, joined labels) so the serving layer's collect returns
+    * a deterministic presentation order — Prometheus's table-panel
+    * contract. Prometheus applies sort only to instant queries and
+    * re-sorts range results by series; here the ordering is
+    * (t, value, identity), which agrees on instant queries and is
+    * harmless on ranges. One bounded exchange at the serving
+    * boundary (result cardinality, not sample cardinality). */
+  final case class Sort(desc: Boolean, child: Expr) extends Expr
 
   val RangeFns: Set[String] = Set("rate", "increase", "delta",
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
@@ -310,6 +328,7 @@ object PromQL {
     "min_over_time", "max_over_time", "count_over_time", "last_over_time")
   val MathFns: Set[String] = Set("abs", "ceil", "floor", "sgn", "round",
     "clamp", "clamp_min", "clamp_max", "sqrt",
+    "ln", "log2", "log10", "exp",
     "hour", "minute", "day_of_week", "day_of_month", "day_of_year",
     "month", "year", "days_in_month")
   /** The MathFns subset reading the value as an epoch timestamp,
@@ -321,10 +340,15 @@ object PromQL {
     * partials, plus rate/increase/delta/last_over_time from the
     * schema-v2 bucket EDGE points (window first = earliest bucket's
     * first sample, last = latest bucket's last — the raw path's very
-    * samples, so the re-aggregation is exact, not approximate). */
+    * samples, so the re-aggregation is exact, not approximate), plus
+    * irate/idelta from the schema-v3 PENULTIMATE points: a window's
+    * final two samples are always among the union of each bucket's
+    * last two (latest = latest bucket's last; runner-up = that
+    * bucket's penultimate, or the previous non-empty bucket's last),
+    * so the exact pair reassembles from rollup rows. */
   private val RollupServable: Set[String] = Set("sum_over_time",
     "min_over_time", "max_over_time", "count_over_time", "avg_over_time",
-    "last_over_time", "rate", "increase", "delta")
+    "last_over_time", "rate", "increase", "delta", "irate", "idelta")
 
   // ---- Parser -----------------------------------------------------
 
@@ -792,6 +816,19 @@ object PromQL {
           i += id.length
           val after = { val s2 = i; ws(); val c = peekChar; i = s2; c }
           if (after.contains('(')) mathCall(id) else { i = save; selector() }
+        case Some(id) if id == "sort" || id == "sort_desc" =>
+          i += id.length
+          val after = { val s2 = i; ws(); val c = peekChar; i = s2; c }
+          if (!after.contains('(')) { i = save; selector() }
+          else for {
+            _ <- eat('(')
+            child <- expr()
+            _ <- eat(')')
+            _ <- child match {
+              case ScalarLit(_) => Left(s"$id requires a vector argument")
+              case _ => Right(())
+            }
+          } yield Sort(id == "sort_desc", child)
         case Some(id) if AggOps(id) =>
           i += id.length
           val after = { val s2 = i; ws(); val c = peekChar; i = s2; c }
@@ -847,7 +884,8 @@ object PromQL {
         _ <- eat(')')
         _ <- (fn, args) match {
           case (f, Seq()) if f == "abs" || f == "ceil" || f == "floor" ||
-               f == "sgn" || f == "sqrt" || CalendarFns(f) => Right(())
+               f == "sgn" || f == "sqrt" || f == "ln" || f == "log2" ||
+               f == "log10" || f == "exp" || CalendarFns(f) => Right(())
           case ("round", Seq()) | ("round", Seq(_)) =>
             // the bound is on the e6-converted integer: 1e-7 would
             // truncate to a zero divisor
@@ -1156,8 +1194,16 @@ object PromQL {
         startSec - off, endSec - off, stepSec, lookbackSec, ignoreLabel,
         valueIsTime = true), off)
       case RangeCall(fn, ms, d, off) if PairFns(fn) =>
-        unshift(pairRange(samples, fn, ms, startSec - off, endSec - off,
-          stepSec, d, ignoreLabel), off)
+        val (s0, e0) = (startSec - off, endSec - off)
+        unshift(
+          // irate/idelta serve from rollup v3 penultimate points
+          // when the gate holds; changes/resets never roll up (the
+          // full per-pair sequence doesn't decompose into partials)
+          rollup.flatMap(rangeFromRollup(samples.sparkSession, _, fn, ms,
+              s0, e0, stepSec, d, ignoreLabel))
+            .getOrElse(pairRange(samples, fn, ms, s0, e0, stepSec, d,
+              ignoreLabel)),
+          off)
       case RangeCall("deriv", ms, d, off) =>
         unshift(regressionRange(samples, ms, startSec - off, endSec - off,
           stepSec, d, ignoreLabel, horizonSec = None), off)
@@ -1275,6 +1321,13 @@ object PromQL {
       case LimitRatio(r, child) =>
         limitRatio(eval(samples, child, startSec, endSec, stepSec,
           lookbackSec, rollup, ignoreLabel), r)
+      case Sort(desc, child) =>
+        val c = eval(samples, child, startSec, endSec, stepSec, lookbackSec,
+          rollup, ignoreLabel)
+        val byValue = if (desc) col("v_e6").desc else col("v_e6").asc
+        c.orderBy(col("t").asc, byValue,
+          coalesce(col("metric"), lit("")).asc,
+          array_join(col("labels"), ",").asc)
       case Binary(op, ScalarLit(k), right, _) =>
         scalarArith(eval(samples, right, startSec, endSec, stepSec,
           lookbackSec, rollup, ignoreLabel), op, k, scalarOnLeft = true)
@@ -1636,6 +1689,43 @@ object PromQL {
     * runs in any engine; everything else is pure integer CASE /
     * least / greatest. The metric name drops, as for every
     * Prometheus value-transforming function. */
+  /** Fixed-point log2 of v_e6/1e6 as e·2^24 + 24 fraction bits —
+    * a SQL fold whose every arithmetic step is exactly specified by
+    * IEEE 754 (×/÷2 exact, squaring correctly rounded), so the
+    * resulting BIGINT is identical in Spark and any conforming
+    * oracle engine. 64 normalize steps cover e ∈ [-20, 44] (the
+    * whole positive µ-unit range); 24 digit steps give 2^-24
+    * fractional resolution. Per-row O(88) flops — a narrow
+    * projection, no shuffle, codegen-friendly. */
+  private val Log2Fold: String =
+    "aggregate(sequence(1, 88), " +
+      "named_struct('m', CAST(v_e6 AS DOUBLE) / 1000000.0D, 'e', 0L, 'b', 0L), " +
+      "(s, i) -> CASE WHEN i <= 64 THEN " +
+      "CASE WHEN s.m >= 2.0D THEN named_struct('m', s.m / 2.0D, 'e', s.e + 1L, 'b', s.b) " +
+      "WHEN s.m < 1.0D THEN named_struct('m', s.m * 2.0D, 'e', s.e - 1L, 'b', s.b) " +
+      "ELSE s END " +
+      "ELSE CASE WHEN s.m * s.m >= 2.0D " +
+      "THEN named_struct('m', s.m * s.m / 2.0D, 'e', s.e, 'b', s.b * 2L + 1L) " +
+      "ELSE named_struct('m', s.m * s.m, 'e', s.e, 'b', s.b * 2L) END END, " +
+      "s -> s.e * 16777216L + s.b)"
+
+  /** exp's exponent t = x · log2(e): v_e6→double cast and the two
+    * multiplies are correctly rounded — deterministic. */
+  private val ExpT: String =
+    "CAST(v_e6 AS DOUBLE) / 1000000.0D * 1.4426950408889634D"
+
+  /** 2^frac(t) by binary-digit extraction: g doubles exactly
+    * (g2 - 1 exact by Sterbenz on [1,2)); each set bit multiplies in
+    * sqrt^j(2), itself a chain of correctly-rounded sqrts. 48 bits
+    * capture every fraction bit t can carry. */
+  private val ExpFold: String =
+    "aggregate(sequence(1, 48), " +
+      s"named_struct('g', $ExpT - floor($ExpT), 'acc', 1.0D, 'r', 2.0D), " +
+      "(s, j) -> CASE WHEN s.g + s.g >= 1.0D " +
+      "THEN named_struct('g', s.g + s.g - 1.0D, 'acc', s.acc * sqrt(s.r), 'r', sqrt(s.r)) " +
+      "ELSE named_struct('g', s.g + s.g, 'acc', s.acc, 'r', sqrt(s.r)) END, " +
+      "s -> s.acc)"
+
   private def mathProject(child: DataFrame, fn: String,
                           args: Seq[Double]): DataFrame = {
     def e6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
@@ -1663,6 +1753,42 @@ object PromQL {
       case "sqrt" =>
         expr("CAST(floor(sqrt(CAST(v_e6 AS DOUBLE) / 1000000.0D) " +
           "* 1000000 + 0.5) AS BIGINT)")
+      // ln/log2/log10: NO libm call (libm log is not correctly
+      // rounded — engines disagree in the last ulp). Digit
+      // extraction instead, from exactly-specified IEEE ops only:
+      // normalize x = m·2^e by exact ×/÷2 (≤64 steps), then 24
+      // squaring steps pull the binary digits of log2(m) — squaring
+      // is correctly rounded and ÷2 exact, so every engine computes
+      // the IDENTICAL fixed-point log2_fx = e·2^24 + bits. The three
+      // variants scale log2_fx by exact-parse double constants
+      // (ln 2·1e6 / log10 2·1e6) with one correctly-rounded multiply.
+      // Accuracy ≈ 2^-24/ln2 ≈ 0.09 µ-unit — far inside the grain;
+      // the contract is bit-portability, which is by construction.
+      case "ln" | "log2" | "log10" =>
+        val scale = fn match {
+          case "log2"  => "1000000.0D"
+          case "ln"    => "693147.1805599453D"    // ln(2)  · 1e6
+          case "log10" => "301029.99566398119D"   // log10(2) · 1e6
+        }
+        expr("CAST(floor(CAST(" + Log2Fold + " AS DOUBLE) / 16777216.0D" +
+          s" * $scale + 0.5D) AS BIGINT)")
+      // exp(x) = 2^(x·log2 e) = 2^i · 2^g: i by exact floor, the
+      // bits of g ∈ [0,1) by exact doubling, each set bit multiplying
+      // in sqrt^j(2) — sqrt correctly rounded, multiply correctly
+      // rounded, so again bit-identical across engines. 2^i is an
+      // exact shifted-integer multiply/divide (never libm pow).
+      // Domain: x > ~29.85 would overflow the µ-unit BIGINT — the
+      // row DROPS (Prometheus would answer a huge float/Inf — the
+      // sqrt-style deviation); x ≤ -14.6 short-circuits to 0 (true
+      // exp rounds to 0 µ-units there) keeping the shift in range.
+      case "exp" =>
+        expr(
+          s"""CASE WHEN v_e6 <= -14600000L THEN 0L ELSE
+             |CAST(floor(
+             |  CASE WHEN CAST(floor($ExpT) AS INT) >= 0
+             |       THEN $ExpFold * CAST(SHIFTLEFT(1L, CAST(floor($ExpT) AS INT)) AS DOUBLE)
+             |       ELSE $ExpFold / CAST(SHIFTLEFT(1L, -CAST(floor($ExpT) AS INT)) AS DOUBLE)
+             |  END * 1000000.0D + 0.5D) AS BIGINT) END""".stripMargin)
       // calendar functions read the value as epoch SECONDS (UTC) —
       // pure integer arithmetic; epoch day 0 was a Thursday
       case "hour" =>
@@ -1680,9 +1806,16 @@ object PromQL {
       case "days_in_month" =>
         expr(s"dayofmonth(last_day($asDate)) * 1000000L")
     }
-    // Prometheus answers NaN for sqrt of a negative; the exact
-    // integer model drops the row instead (the idelta-style deviation)
-    val base = if (fn == "sqrt") child.filter(col("v_e6") >= 0L) else child
+    // Prometheus answers NaN for sqrt of a negative (and -Inf/NaN
+    // for log of a non-positive, +Inf past exp's overflow); the
+    // exact integer model drops those rows instead (the
+    // idelta-style deviation)
+    val base = fn match {
+      case "sqrt"                  => child.filter(col("v_e6") >= 0L)
+      case "ln" | "log2" | "log10" => child.filter(col("v_e6") > 0L)
+      case "exp"                   => child.filter(col("v_e6") <= 29850000L)
+      case _                       => child
+    }
     base.select(lit(null).cast("string").as("metric"), col("labels"),
       col("t"), v.cast("long").as("v_e6"))
   }
@@ -2218,22 +2351,57 @@ object PromQL {
     else Some {
       OpsMetrics(spark).readsFromRollup.add(1)
       val lo = start - d
-      val stats = RollupStore.read(spark, r.rollupPath)
+      val rows = RollupStore.read(spark, r.rollupPath)
         .filter(col("bucket") >= lo && col("bucket") < end &&
           col("date") >= lo / 86400 * 86400 && col("date") <= end)
         .filter(Matchers.compile(matchers, ignoreLabel))
         // the unique tiling window [t-d, t) containing bucket b
         .withColumn("t", expr(s"(bucket - $lo) DIV $d * $d + $start"))
         .filter(col("t") <= end)
-        .groupBy(col("metric"), col("labels"), col("t"))
-        .agg(sum(col("n_points")).as("n"),
-          expr("CAST(floor(sum(sum_value) * 100 + 0.5) AS BIGINT)").as("sum_e2"),
-          min(col("min_value")).as("vmin"), max(col("max_value")).as("vmax"),
-          min(col("t_first")).as("t_first"), max(col("t_last")).as("t_last"),
-          expr("min_by(v_first, t_first)").as("v_first"),
-          expr("max_by(v_last, t_last)").as("v_last"))
-      project(stats, fn)
+      if (fn == "irate" || fn == "idelta") pairFromRollup(rows, fn)
+      else {
+        val stats = rows
+          .groupBy(col("metric"), col("labels"), col("t"))
+          .agg(sum(col("n_points")).as("n"),
+            expr("CAST(floor(sum(sum_value) * 100 + 0.5) AS BIGINT)").as("sum_e2"),
+            min(col("min_value")).as("vmin"), max(col("max_value")).as("vmax"),
+            min(col("t_first")).as("t_first"), max(col("t_last")).as("t_last"),
+            expr("min_by(v_first, t_first)").as("v_first"),
+            expr("max_by(v_last, t_last)").as("v_last"))
+        project(stats, fn)
+      }
     }
+  }
+
+  /** irate/idelta from rollup v3 rows: per window, the final two
+    * samples are the top-2 by timestamp of the union of each
+    * bucket's (last, penultimate) points — collect the ≤ 2(d/interval)
+    * candidate structs per (series, window), sort, take two, and run
+    * the EXACT raw-path formula text on them (values are the deduped
+    * per-second maxima the raw pair path sees, so the doubles are the
+    * very same — bit-identical results). Windows with fewer than two
+    * samples drop, the raw path's single-point convention. */
+  private def pairFromRollup(rows: DataFrame, fn: String): DataFrame = {
+    val base = Seq(col("metric"), col("labels"), col("t"))
+    val top2 = rows
+      .withColumn("_c", expr(
+        "filter(array(named_struct('ct', t_last, 'cv', v_last), " +
+          "named_struct('ct', t_penult, 'cv', v_penult)), " +
+          "x -> x.ct IS NOT NULL)"))
+      .groupBy(base: _*)
+      .agg(expr(
+        "slice(array_sort(flatten(collect_list(_c)), " +
+          "(a, b) -> CASE WHEN a.ct > b.ct THEN -1 " +
+          "WHEN a.ct < b.ct THEN 1 ELSE 0 END), 1, 2)").as("p"))
+      .filter(size(col("p")) === 2)
+      .withColumn("lt", expr("p[0].ct")).withColumn("lv", expr("p[0].cv"))
+      .withColumn("pt", expr("p[1].ct")).withColumn("pv", expr("p[1].cv"))
+    val v = if (fn == "irate")
+      // identical expression text to pairRange's — same IEEE chain
+      expr("CAST(floor((CASE WHEN lv >= pv THEN lv - pv ELSE lv END) " +
+        "/ CAST(lt - pt AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
+    else expr("CAST(floor((lv - pv) * 1000000 + 0.5) AS BIGINT)")
+    top2.select(base :+ v.as("v_e6"): _*)
   }
 
   /** Instant vector: the latest sample in (t-L, t] per series per

@@ -180,9 +180,12 @@ class PromCodecSpec extends SparkSpecBase {
     assert(parseLine("m -1.5E-3 123") === ((123000L, "m", Seq(), -0.0015)))
     // the three exposition escapes round to real characters
     assert(parseLine("""m{k="a\nb\"c\\d"} 1 0""")._3 === Seq("k=a\nb\"c\\d"))
-    // malformed lines throw the clean ingest failure class
+    // malformed lines throw the clean ingest failure class —
+    // including escapes outside the format's \\ \" \n (a silent
+    // \t → 't' would corrupt foreign dumps)
     for (bad <- Seq("m", "m 1", """m{k="v" 1 0""", """m{k=v} 1 0""",
-                    """m{k="v"} 1 0 extra""", """{a="1"} 1 0"""))
+                    """m{k="v"} 1 0 extra""", """{a="1"} 1 0""",
+                    """m{k="a\tb"} 1 0""", "m{k=\"a\\" + "ub\"} 1 0"))
       assertThrows[IllegalArgumentException](parseLine(bad))
   }
 

@@ -746,6 +746,60 @@ class PromQLSpec extends SparkSpecBase {
     assert(dw === Set(("", "", T0, 5000000L))) // Friday = 5
   }
 
+  test("ln/log2/log10/exp: digit-extraction transcendentals") {
+    // window sums: a = 3.5, b = 20.25; expected values are the
+    // digit-extraction algorithm's outputs (here = true value
+    // rounded half-up to µ-units — verified against math.log/exp)
+    def evalFn(q: String) = rows(PromQL.eval(tinySamples,
+      parse(q).toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(evalFn("ln(sum_over_time(m[60s]))") === Set(
+      ("", "host=a,user=1", T0 + 60, 1252763L),
+      ("", "host=b,user=2", T0 + 60, 3008155L)))
+    assert(evalFn("log2(sum_over_time(m[60s]))") === Set(
+      ("", "host=a,user=1", T0 + 60, 1807355L),
+      ("", "host=b,user=2", T0 + 60, 4339850L)))
+    assert(evalFn("log10(sum_over_time(m[60s]))") === Set(
+      ("", "host=a,user=1", T0 + 60, 544068L),
+      ("", "host=b,user=2", T0 + 60, 1306425L)))
+    assert(evalFn("exp(ln(sum_over_time(m[60s])))") === Set(
+      ("", "host=a,user=1", T0 + 60, 3500000L),
+      ("", "host=b,user=2", T0 + 60, 20250004L))) // ln's µ-rounding ×20.25
+    // non-positive input drops (the sqrt-style NaN stand-in)
+    assert(evalFn("ln(0 - sum_over_time(m[60s]))") === Set.empty)
+    // exp of a large value drops (µ-unit BIGINT overflow guard);
+    // exp of a very negative value answers 0
+    assert(evalFn("exp(sum_over_time(m[60s]) * 10)") === Set.empty)
+    assert(evalFn("exp(0 - sum_over_time(m[60s]) * 10)") === Set(
+      ("", "host=a,user=1", T0 + 60, 0L),
+      ("", "host=b,user=2", T0 + 60, 0L)))
+    // exp(3.5) through a scalar route: identical digits
+    assert(evalFn("exp(vector(3.5))") ===
+      Set(("", "", T0 + 60, 33115452L)))
+  }
+
+  test("sort/sort_desc pass values through and order the collect") {
+    def ordered(q: String): Seq[(Long, Long)] =
+      PromQL.eval(tinySamples, parse(q).toOption.get, T0 + 60, T0 + 120, 60L)
+        .select(col("t"), col("v_e6")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val asc = ordered("sort(sum_over_time(m[60s]))")
+    val desc = ordered("sort_desc(sum_over_time(m[60s]))")
+    // values untouched, ordering materialized: rows arrive t-major,
+    // and within each step asc is ascending / desc descending
+    assert(asc.nonEmpty && asc.toSet === desc.toSet)
+    assert(asc.map(_._1) === asc.map(_._1).sorted)
+    def stepRuns(s: Seq[(Long, Long)]) =
+      s.groupBy(_._1).values.map(_.map(_._2))
+    assert(stepRuns(asc).forall(g => g.sorted == g))
+    assert(stepRuns(desc).forall(g => g.sorted.reverse == g))
+    // a metric literally named sort still parses as a selector
+    assert(PromQL.parse("sort offset 30s") match {
+      case Right(Instant(_, 30L)) => true
+      case _ => false
+    })
+    assert(PromQL.parse("sort(1)").isLeft)
+  }
+
   test("absent() instant form; label_join; date-based calendar functions") {
     // absent: series exist within lookback at t0+60, none at t0+600
     val ab = rows(PromQL.eval(tinySamples,
@@ -924,6 +978,51 @@ class PromQLSpec extends SparkSpecBase {
     assert(o2.forall(_._2.contains("alertstate=firing")))
   }
 
+  test("currentAlerts runs ONE Spark job for any number of rules") {
+    import graft.serve.Alerting
+    val path = "/tmp/graft_test/promql_alerts_batch"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    SamplesStore.write(tinySamples, path)
+    val rules = Seq(
+      Alerting.AlertRule("r1",
+        "sum by (host) (sum_over_time(m[60s])) > 3", 0L, 60L),
+      Alerting.AlertRule("r2",
+        "sum by (host) (sum_over_time(m[60s])) > 10", 0L, 60L),
+      Alerting.AlertRule("r3",
+        "sum by (user) (sum_over_time(m[60s])) > 1", 0L, 60L))
+    // count ACTIONS (QueryExecutionListener fires once per action,
+    // stable under AQE's many-jobs-per-action), not scheduler jobs
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.incrementAndGet()
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    try {
+      def countActions(rs: Seq[Alerting.AlertRule]): (Int, Int) = {
+        actions.set(0)
+        val out = Alerting.currentAlerts(spark, path, rs)
+        Thread.sleep(500) // listener bus settle
+        (actions.get(), out.size)
+      }
+      // the per-rule plans union into ONE collect: the action count
+      // must not grow with the rule count (the fixed overhead is the
+      // data-edge lookup)
+      val (aOne, nOne) = countActions(rules.take(1))
+      val (aAll, nAll) = countActions(rules)
+      assert(nOne > 0 && nAll > nOne)
+      assert(aAll === aOne,
+        s"3 rules took $aAll actions vs $aOne for 1 rule — " +
+          "evaluation is running per-rule actions again")
+    } finally spark.listenerManager.unregister(ql)
+  }
+
   test("review fixes: scalar()/time() comparisons, idle histograms, label-key precision") {
     import spark.implicits._
     // comparison against scalar(): series above the cross-series mean
@@ -976,7 +1075,8 @@ class PromQLSpec extends SparkSpecBase {
       "mad_over_time")
     val aggs = Seq("sum", "avg", "min", "max", "count", "group",
       "stddev", "stdvar")
-    val maths = Seq("abs", "ceil", "floor", "sgn", "sqrt", "hour", "month")
+    val maths = Seq("abs", "ceil", "floor", "sgn", "sqrt", "hour", "month",
+      "ln", "log2", "log10", "exp", "sort", "sort_desc")
     def gen(depth: Int): String = {
       if (depth <= 0) "m"
       else rnd.nextInt(16) match {
@@ -1033,11 +1133,13 @@ class PromQLSpec extends SparkSpecBase {
 
     // every rollup-servable function re-aggregates exactly: the
     // (sum, min, max, n) partials must reproduce the raw answer for
-    // min/max/count/avg, and the schema-v2 EDGE points must make
-    // last_over_time/rate/increase/delta byte-exact too
+    // min/max/count/avg, the schema-v2 EDGE points must make
+    // last_over_time/rate/increase/delta byte-exact, and the
+    // schema-v3 PENULTIMATE points the same for irate/idelta (the
+    // window's final two samples reassemble from per-bucket pairs)
     for (fn <- Seq("min_over_time", "max_over_time", "count_over_time",
                    "avg_over_time", "last_over_time", "rate", "increase",
-                   "delta")) {
+                   "delta", "irate", "idelta")) {
       val eF = parse(s"$fn(click[2h])").toOption.get
       val bF = m.readsFromRollup.value
       val routedF = rows(PromQL.eval(stored, eF, start, end, step,
@@ -1049,6 +1151,23 @@ class PromQLSpec extends SparkSpecBase {
       // answer is guaranteed nonempty (any window with ≥1 point)
       if (fn == "last_over_time" || fn == "count_over_time")
         assert(routedF.nonEmpty, s"$fn result must be non-trivial")
+    }
+
+    // irate needs ≥2 samples per window — at this SF each series
+    // carries at most one click sample per DAY, so only the 15-day
+    // window makes the check non-vacuous (the final pair then spans
+    // two different buckets: penultimate = previous bucket's last)
+    for (fn <- Seq("irate", "idelta")) {
+      val eD = parse(s"$fn(click[1296000])").toOption.get
+      val bD = m.readsFromRollup.value
+      val routedD = rows(PromQL.eval(stored, eD, T0 + 1296000,
+        T0 + 1296000, 1296000L,
+        rollup = Some(RollupGrid(path, rpath, 3600L))))
+      assert(m.readsFromRollup.value === bD + 1,
+        s"$fn whole-range windows must route to the rollup")
+      assert(routedD === rows(PromQL.eval(stored, eD, T0 + 1296000,
+        T0 + 1296000, 1296000L)), s"$fn rollup answer must equal raw")
+      assert(routedD.nonEmpty, s"$fn result must be non-trivial")
     }
 
     // breaking any gate routes raw: unaligned start, step≠range, or a

@@ -969,6 +969,23 @@ class ServeSpec extends SparkSpecBase {
         p._3 == Seq("k=a\nb\"c\\d") && p._4 == 1.0))
       assert(parsed.exists(p => p._2 == "fed_metric" &&
         p._3 == Seq("k=v0") && p._4 == 9.5 && p._1 == 1704412860000000L))
+      // a PRESENT but malformed time is 400 bad_data — it must not
+      // silently fall back to wall-clock (a typo'd historical scrape
+      // becoming a live one is the worst failure mode)
+      assert(get(s"$base/federate?$m=$s0&time=abc")._1 === 400)
+      // over-limit federation FAILS the scrape (500) instead of
+      // silently dropping the tail — a partial scrape poisons the
+      // downstream Prometheus; a failed one just retries
+      val prevLimit = HttpServe.federateSeriesLimit
+      try {
+        HttpServe.federateSeriesLimit = 1
+        val (oc, ob) = get(s"$base/federate?$m=${enc("fed_metric")}" +
+          "&time=1704412900")
+        assert(oc === 500 && ob.contains("exceeds 1 series"), s"$oc $ob")
+      } finally HttpServe.federateSeriesLimit = prevLimit
+      // at the restored limit the same scrape succeeds again
+      assert(get(s"$base/federate?$m=${enc("fed_metric")}" +
+        "&time=1704412900")._1 === 200)
     } finally srv.stop()
   }
 
@@ -1027,7 +1044,7 @@ class ServeSpec extends SparkSpecBase {
       for (url <- Seq(
         s"$base/api/v1/query_range?query=qr_total&start=1&end=2", // no step
         s"$base/api/v1/query_range?query=" +
-          java.net.URLEncoder.encode("ln(x)", "UTF-8") + // off-whitelist fn
+          java.net.URLEncoder.encode("acosh(x)", "UTF-8") + // off-whitelist fn
           "&start=1&end=2&step=1",
         s"$base/api/v1/query_range?query=" +
           java.net.URLEncoder.encode("rate(x[1h:5m])", "UTF-8") + // no rate subqueries

@@ -148,6 +148,17 @@ class SessionsSpec extends SparkSpecBase {
     assert(atomic.getDouble(3) === 1.5)
     assert(atomic.isNullAt(4),
       "the as-of row's own NULL must not tear to an older row's value")
+    // duplicate right (key, ts_us) rows: the answer is DETERMINISTIC
+    // (greatest payload struct), not partition-order luck — repeated
+    // runs over a shuffled right side always agree
+    val dupRight = Seq((7L, 100L, 2.0), (7L, 100L, 1.0), (7L, 100L, 3.0))
+      .toDF("user_id", "ts_us", "v").repartition(8)
+    val one = Seq((1L, 150L, 7L)).toDF("event_id", "ts_us", "user_id")
+    (1 to 3).foreach { _ =>
+      val got = graft.operators.Joins.asof(one, dupRight, "user_id", Seq("v"))
+        .collect().head.getDouble(3)
+      assert(got === 3.0, "tied right rows must answer the greatest payload")
+    }
   }
 
   test("range join: exact containment across bucket boundaries, inner semantics") {
@@ -182,6 +193,15 @@ class SessionsSpec extends SparkSpecBase {
       .select("event_id", "iv").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(guarded === out)
+    // an absurdly LONG interval (bogus far-future end) would explode
+    // sequence() toward 2^31 buckets and fail the job — the span cap
+    // drops it instead, leaving the sane intervals' answers intact
+    val far = ivs.union(Seq((7L, "Y", 0L, Long.MaxValue / 2))
+      .toDF("user_id", "iv", "start_us", "end_us"))
+    val capped = graft.operators.Joins.range(pts, far, "user_id", 1L)
+      .select("event_id", "iv").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(capped === out)
   }
 
   test("the real events table sessionizes consistently at both layers") {

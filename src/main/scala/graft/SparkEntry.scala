@@ -424,6 +424,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
     }),
 
+    // the same contract over remote-write 2.0: the v1 blobs re-encode
+    // through the v2 symbol-table codec (each label string interned
+    // once) and the negotiated decode must land the identical store
+    "write_request_v2_e2e" -> ((s, dir) => {
+      val path = workDir("wservev2", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val blobs = Ingest.toWriteRequestBlobs(samples(s, dir))
+        .collect().map(_.getAs[Array[Byte]](0)).toSeq
+        .map(b => PromRemoteCodec.encodeWriteRequestV2(
+          PromRemoteCodec.decodeWriteRequest(b)))
+      graft.serve.RemoteWrite.serveAll(s, path, blobs,
+        Some("application/x-protobuf;proto=" + PromRemoteCodec.ProtoV2))
+      SamplesStore.read(s, path)
+        .groupBy(col("metric"), col("date").cast("long").as("date"))
+        .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
+    }),
+
     // ---- §2.2 remote-read path -------------------------------------
     // The reference's whole /read contract end-to-end: build a
     // ReadRequest blob (with an ignored remote=clickhouse matcher,
@@ -1594,6 +1613,13 @@ object SparkEntry {
     "read_request_e2e" -> readAgg(s"$inWin AND metric = 'signup'"),
 
     "write_request_e2e" ->
+      s"""$S
+         |SELECT metric, ts_us // 1000000 // 86400 * 86400 AS date,
+         |       count(*) AS n_samples, round(sum(value), 6) AS sum_value
+         |FROM samples GROUP BY 1, 2""".stripMargin,
+
+    // v2's symbol-table interning must be lossless: identical store
+    "write_request_v2_e2e" ->
       s"""$S
          |SELECT metric, ts_us // 1000000 // 86400 * 86400 AS date,
          |       count(*) AS n_samples, round(sum(value), 6) AS sum_value

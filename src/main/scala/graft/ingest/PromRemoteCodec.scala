@@ -173,6 +173,122 @@ object PromRemoteCodec {
     LabelMatcher(mt, name, value)
   }
 
+  // ---- remote-write 2.0 (io.prometheus.write.v2.Request) -----------
+
+  /** Content-Type `proto=` parameter values from the public PRW 2.0
+    * content-negotiation table. v1 is the default when the parameter
+    * is absent (every 1.x sender). */
+  val ProtoV1 = "prometheus.WriteRequest"
+  val ProtoV2 = "io.prometheus.write.v2.Request"
+
+  /** Decode `io.prometheus.write.v2.Request` (public spec; Prometheus
+    * 3.x negotiates it): a string symbol table (field 4, ref 0 = "")
+    * with each series carrying `labels_refs` — alternating
+    * (name, value) indexes — instead of inline label strings
+    * (field 5; Sample keeps v1's numbers: value=1, timestamp=2 ms).
+    * Fields can arrive in any proto order, so series sub-readers are
+    * collected first and resolved after the table is complete.
+    * Histograms/exemplars/metadata (fields 3/4/5 of TimeSeries) are
+    * skipped — float samples are the store's data model, like the
+    * reference. Malformed refs (out of range, odd count) throw the
+    * clean wire-format failure class. */
+  def decodeWriteRequestV2(snappyBody: Array[Byte]): PromWriteRequest = {
+    val r = ProtoWire.reader(Snappy.uncompress(snappyBody))
+    val symbols = Vector.newBuilder[String]
+    val rawSeries = Seq.newBuilder[ProtoWire.Reader]
+    while (r.hasMore) {
+      val (field, wire) = r.readTag()
+      (field, wire) match {
+        case (4, 2) => symbols += r.readString()
+        case (5, 2) => rawSeries += r.readMessage()
+        case _      => r.skip(wire)
+      }
+    }
+    val syms = symbols.result()
+    if (syms.nonEmpty && syms(0).nonEmpty)
+      throw new ProtoWire.WireFormatException(
+        "v2 symbol table must start with the empty string")
+    def sym(ref: Long): String = {
+      if (ref < 0L || ref >= syms.length)
+        throw new ProtoWire.WireFormatException(
+          s"symbol ref $ref out of range (${syms.length} symbols)")
+      syms(ref.toInt)
+    }
+    PromWriteRequest(rawSeries.result().map(readTimeSeriesV2(_, sym)))
+  }
+
+  private def readTimeSeriesV2(r: ProtoWire.Reader,
+                               sym: Long => String): PromTimeSeries = {
+    val refs = Seq.newBuilder[Long]
+    val samples = Seq.newBuilder[PromSample]
+    while (r.hasMore) {
+      val (field, wire) = r.readTag()
+      (field, wire) match {
+        // labels_refs: packed (the proto3 default for repeated
+        // uint32) or unpacked — both legal on the wire
+        case (1, 2) =>
+          val pr = r.readMessage()
+          while (pr.hasMore) refs += pr.readVarint()
+        case (1, 0) => refs += r.readVarint()
+        case (2, 2) => samples += readSample(r.readMessage())
+        case _      => r.skip(wire)
+      }
+    }
+    val rs = refs.result()
+    if (rs.length % 2 != 0)
+      throw new ProtoWire.WireFormatException(
+        s"labels_refs length ${rs.length} is odd (must be name/value pairs)")
+    val labels = rs.grouped(2).map { p =>
+      PromLabel(sym(p(0)), sym(p(1)))
+    }.toSeq
+    PromTimeSeries(labels, samples.result())
+  }
+
+  /** Encode the v2 form (the client leg, for round-trip tests and
+    * graft-to-graft federation): interns every label name/value once
+    * in appearance order behind the mandatory "" at ref 0, emits the
+    * symbol table before the series as senders are asked to. */
+  def encodeWriteRequestV2(req: PromWriteRequest): Array[Byte] = {
+    val index = scala.collection.mutable.LinkedHashMap[String, Int]("" -> 0)
+    def ref(s: String): Int = index.getOrElseUpdate(s, index.size)
+    val seriesRefs = req.timeseries.map { ts =>
+      ts.labels.flatMap(l => Seq(ref(l.name), ref(l.value)))
+    }
+    val w = new ProtoWire.Writer
+    index.keys.foreach(s => w.writeStringField(4, s))
+    req.timeseries.zip(seriesRefs).foreach { case (ts, refs) =>
+      val tw = new ProtoWire.Writer
+      val pw = new ProtoWire.Writer
+      refs.foreach(r0 => pw.writeVarint(r0.toLong))
+      tw.writeBytesField(1, pw.toBytes) // packed labels_refs
+      ts.samples.foreach { s =>
+        val sw = new ProtoWire.Writer
+        sw.writeDoubleField(1, s.value)
+        sw.writeVarintField(2, s.timestampMs)
+        tw.writeMessageField(2, sw)
+      }
+      w.writeMessageField(5, tw)
+    }
+    Snappy.compress(w.toBytes)
+  }
+
+  /** The negotiated decode: dispatch on the Content-Type `proto=`
+    * parameter (PRW 2.0 content negotiation), defaulting to v1 when
+    * absent — a 1.x sender never sends the parameter. An unknown
+    * value answers Left (the HTTP layer's 415). */
+  def decodeNegotiated(contentType: Option[String],
+                       snappyBody: Array[Byte]): Either[String, PromWriteRequest] =
+    protoParam(contentType) match {
+      case None | Some(ProtoV1) => Right(decodeWriteRequest(snappyBody))
+      case Some(ProtoV2)        => Right(decodeWriteRequestV2(snappyBody))
+      case Some(other)          => Left(other)
+    }
+
+  private[graft] def protoParam(contentType: Option[String]): Option[String] =
+    contentType.flatMap(_.split(';').iterator.map(_.trim)
+      .collectFirst { case p if p.startsWith("proto=") =>
+        p.stripPrefix("proto=") })
+
   // ---- encode ------------------------------------------------------
 
   def encodeWriteRequest(req: PromWriteRequest): Array[Byte] = {

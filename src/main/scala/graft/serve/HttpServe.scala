@@ -142,8 +142,27 @@ object HttpServe {
     })
 
     server.createContext("/write", (ex: HttpExchange) => guarded(ex) {
-      RemoteWrite.serve(spark, storePath, body(ex))
-      respond(ex, 200, Array.emptyByteArray)
+      // PRW 2.0 content negotiation: proto= in Content-Type selects
+      // the wire format; an unknown value is 415 (the spec's answer
+      // for a format this receiver doesn't speak), not a 500
+      val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+      val proto = graft.ingest.PromRemoteCodec.protoParam(ct)
+      if (proto.exists(p => p != graft.ingest.PromRemoteCodec.ProtoV1 &&
+            p != graft.ingest.PromRemoteCodec.ProtoV2)) {
+        respond(ex, 415,
+          s"unsupported remote-write proto: ${proto.get}\n".getBytes(UTF_8),
+          Seq("Content-Type" -> "text/plain; charset=utf-8"))
+      } else {
+        val n = RemoteWrite.serve(spark, storePath, body(ex), ct)
+        // 2.0 receivers confirm written counts in response headers
+        val hdrs =
+          if (proto.contains(graft.ingest.PromRemoteCodec.ProtoV2))
+            Seq("X-Prometheus-Remote-Write-Samples-Written" -> n.toString,
+              "X-Prometheus-Remote-Write-Histograms-Written" -> "0",
+              "X-Prometheus-Remote-Write-Exemplars-Written" -> "0")
+          else Seq.empty
+        respond(ex, 200, Array.emptyByteArray, hdrs)
+      }
     })
 
     server.createContext("/read", (ex: HttpExchange) => guarded(ex) {

@@ -213,13 +213,20 @@ object RemoteWrite {
   }
 
   /** WriteRequest blob → store append at `storePath`; returns the
-    * number of samples written. */
+    * number of samples written. `contentType` selects the wire
+    * format (PRW 2.0 content negotiation: proto=io.prometheus.write
+    * .v2.Request → the symbol-table v2 decode; absent/v1 → classic);
+    * an unrecognized proto= value throws IllegalArgumentException —
+    * the HTTP layer answers it 415 BEFORE calling here. */
   def serve(spark: SparkSession, storePath: String,
-            writeRequestBlob: Array[Byte]): Long = {
+            writeRequestBlob: Array[Byte],
+            contentType: Option[String] = None): Long = {
     val m = OpsMetrics(spark)
     m.writeRequests.add(1)
     val req =
-      try PromRemoteCodec.decodeWriteRequest(writeRequestBlob)
+      try PromRemoteCodec.decodeNegotiated(contentType, writeRequestBlob)
+        .fold(p => throw new IllegalArgumentException(
+          s"unsupported remote-write proto: $p"), identity)
       catch { case e: Throwable => m.writeErrors.add(1); throw e }
     val rows = PromRemoteCodec.toSamples(req).toSeq
     if (rows.nonEmpty) {
@@ -240,12 +247,15 @@ object RemoteWrite {
     * buffering front-end uses. Malformed blobs throw; counters as in
     * [[serve]]. */
   def serveAll(spark: SparkSession, storePath: String,
-               blobs: Seq[Array[Byte]]): Long = {
+               blobs: Seq[Array[Byte]],
+               contentType: Option[String] = None): Long = {
     val m = OpsMetrics(spark)
     val rows = blobs.flatMap { b =>
       m.writeRequests.add(1)
       val req =
-        try PromRemoteCodec.decodeWriteRequest(b)
+        try PromRemoteCodec.decodeNegotiated(contentType, b)
+          .fold(p => throw new IllegalArgumentException(
+            s"unsupported remote-write proto: $p"), identity)
         catch { case e: Throwable => m.writeErrors.add(1); throw e }
       PromRemoteCodec.toSamples(req)
     }

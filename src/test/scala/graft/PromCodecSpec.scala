@@ -20,6 +20,64 @@ class PromCodecSpec extends SparkSpecBase {
     assert(back == PromWriteRequest(Seq(series)))
   }
 
+  test("remote-write 2.0: symbol-table round-trip, unpacked refs, malformed refs") {
+    // round trip: interning is lossless
+    val req = PromWriteRequest(Seq(series,
+      PromTimeSeries(Seq(PromLabel("__name__", "http_requests_total"),
+        PromLabel("job", "api")), Seq(PromSample(7.0, 1704067320000L)))))
+    val blob = encodeWriteRequestV2(req)
+    assert(decodeWriteRequestV2(blob) == req)
+    // the shared strings intern ONCE: v2's wire body is smaller
+    // (pre-snappy — compression would blur the comparison)
+    assert(org.xerial.snappy.Snappy.uncompress(blob).length <
+      org.xerial.snappy.Snappy.uncompress(encodeWriteRequest(req)).length)
+    // negotiation dispatch: v1 default, v2 by proto=, unknown → Left
+    assert(decodeNegotiated(None, encodeWriteRequest(req)) == Right(req))
+    assert(decodeNegotiated(
+      Some(s"application/x-protobuf;proto=$ProtoV2"), blob) == Right(req))
+    assert(decodeNegotiated(
+      Some("application/x-protobuf; proto=prometheus.WriteRequest"),
+      encodeWriteRequest(req)) == Right(req))
+    assert(decodeNegotiated(
+      Some("application/x-protobuf;proto=io.prometheus.write.v3.Request"),
+      blob) == Left("io.prometheus.write.v3.Request"))
+    // UNPACKED labels_refs are legal proto3 wire too
+    val w = new ProtoWire.Writer
+    Seq("", "n", "v").foreach(s => w.writeStringField(4, s))
+    val tw = new ProtoWire.Writer
+    tw.writeVarintField(1, 1L) // name ref, unpacked
+    tw.writeVarintField(1, 2L) // value ref, unpacked
+    val sw = new ProtoWire.Writer
+    sw.writeDoubleField(1, 3.5); sw.writeVarintField(2, 1000L)
+    tw.writeMessageField(2, sw)
+    w.writeMessageField(5, tw)
+    val unpacked = decodeWriteRequestV2(
+      org.xerial.snappy.Snappy.compress(w.toBytes))
+    assert(unpacked == PromWriteRequest(Seq(PromTimeSeries(
+      Seq(PromLabel("n", "v")), Seq(PromSample(3.5, 1000L))))))
+    // malformed: out-of-range ref and odd ref count both throw clean
+    val bad = new ProtoWire.Writer
+    bad.writeStringField(4, "")
+    val bt = new ProtoWire.Writer
+    bt.writeVarintField(1, 9L)
+    bt.writeVarintField(1, 9L)
+    bad.writeMessageField(5, bt)
+    intercept[ProtoWire.WireFormatException](
+      decodeWriteRequestV2(org.xerial.snappy.Snappy.compress(bad.toBytes)))
+    val odd = new ProtoWire.Writer
+    odd.writeStringField(4, "")
+    val ot = new ProtoWire.Writer
+    ot.writeVarintField(1, 0L)
+    odd.writeMessageField(5, ot)
+    intercept[ProtoWire.WireFormatException](
+      decodeWriteRequestV2(org.xerial.snappy.Snappy.compress(odd.toBytes)))
+    // a symbol table not starting with "" is malformed per the spec
+    val ns = new ProtoWire.Writer
+    ns.writeStringField(4, "oops")
+    intercept[ProtoWire.WireFormatException](
+      decodeWriteRequestV2(org.xerial.snappy.Snappy.compress(ns.toBytes)))
+  }
+
   test("toSamples applies reference label normalization") {
     val out = toSamples(PromWriteRequest(Seq(series))).toList
     assert(out.map(_.metric).distinct == List("http_requests_total"))

@@ -51,6 +51,36 @@ class ServeSpec extends SparkSpecBase {
     assert(graft.ingest.SamplesStore.read(spark, store).count() === 10)
   }
 
+  test("/write negotiates remote-write 2.0 by Content-Type proto=") {
+    val store = tmpStore("writev2")
+    val srv = HttpServe.start(spark, store)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      // v2 body under the v2 Content-Type: decoded, stored, and the
+      // 2.0 written-count response headers confirm it
+      val v2blob = PromRemoteCodec.encodeWriteRequestV2(
+        PromRemoteCodec.decodeWriteRequest(writeBlob("v2_total", 4)))
+      val (c1, _, h1) = post(s"$base/write", v2blob,
+        Some("application/x-protobuf;proto=" + PromRemoteCodec.ProtoV2),
+        respHeaders = Seq("X-Prometheus-Remote-Write-Samples-Written"))
+      assert(c1 === 200)
+      assert(h1.get("X-Prometheus-Remote-Write-Samples-Written") ===
+        Some("4"))
+      assert(graft.ingest.SamplesStore.read(spark, store).count() === 4)
+      // a v1 body with no Content-Type still lands (1.x senders)
+      assert(post(s"$base/write", writeBlob("v2_total", 2))._1 === 200)
+      assert(graft.ingest.SamplesStore.read(spark, store).count() === 6)
+      // an explicit v1 proto= is honored too
+      assert(post(s"$base/write", writeBlob("v2_total", 1),
+        Some("application/x-protobuf; proto=" + PromRemoteCodec.ProtoV1))
+        ._1 === 200)
+      // a proto this receiver doesn't speak is 415, not 500
+      val (c415, b415, _) = post(s"$base/write", v2blob,
+        Some("application/x-protobuf;proto=io.prometheus.write.v9.Request"))
+      assert(c415 === 415, new String(b415, "UTF-8"))
+    } finally srv.stop()
+  }
+
   test("the serving write path folds fragmentation in the background") {
     val store = tmpStore("bgcompact")
     val (interval, threshold, grace) =
@@ -148,14 +178,17 @@ class ServeSpec extends SparkSpecBase {
 
   // ---- HTTP front door --------------------------------------------
 
-  private def post(url: String, body: Array[Byte]): (Int, Array[Byte], Map[String, String]) = {
+  private def post(url: String, body: Array[Byte],
+                   contentType: Option[String] = None,
+                   respHeaders: Seq[String] = Nil): (Int, Array[Byte], Map[String, String]) = {
     val c = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
     c.setRequestMethod("POST"); c.setDoOutput(true)
+    contentType.foreach(ct => c.setRequestProperty("Content-Type", ct))
     c.getOutputStream.write(body); c.getOutputStream.close()
     val code = c.getResponseCode
     val is = if (code >= 400) c.getErrorStream else c.getInputStream
     val bytes = if (is == null) Array.emptyByteArray else is.readAllBytes()
-    val headers = Seq("Content-Type", "Content-Encoding")
+    val headers = (Seq("Content-Type", "Content-Encoding") ++ respHeaders)
       .flatMap(h => Option(c.getHeaderField(h)).map(h -> _)).toMap
     (code, bytes, headers)
   }

@@ -1,0 +1,569 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LabelMatcher, MatcherType}
+import graft.serve.PromQL
+import graft.serve.PromQL._
+
+/** Differential fuzzing of the distributed PromQL evaluator against
+  * an INDEPENDENT driver-side reference interpreter.
+  *
+  * The existing fuzz spec proves totality (nothing throws); this one
+  * proves VALUES: a second, single-threaded implementation of the
+  * evaluator's documented semantics — windows [t-d, t), per-second
+  * dedup max, the micro-unit integer value model, every rounding
+  * formula replicated from the scaladoc contracts — evaluates each
+  * generated expression over plain Scala collections, and the two
+  * answers must agree row-for-row.
+  *
+  * Exactness discipline: sample values are multiples of 0.25 with
+  * small magnitude, so every double sum/square the two sides compute
+  * is EXACT regardless of accumulation order — the one place a
+  * distributed reduction could legally diverge from a sequential one
+  * is removed by construction, and any remaining disagreement is a
+  * real bug in one of the implementations. The per-formula double
+  * chains (halfUp ratios, stddev moments, the digit-extraction
+  * transcendentals) are replicated operation-for-operation.
+  */
+class PromQLDiffSpec extends SparkSpecBase {
+
+  private val T0 = 1704412800L
+
+  // ---- the reference world ----------------------------------------
+
+  /** (metric, sorted "k=v" labels, t_sec, value). */
+  private case class S(metric: String, labels: List[String], t: Long, v: Double)
+
+  /** Result row: (metric or "" for NULL, labels joined, t, v_e6). */
+  private type R = (String, String, Long, Long)
+
+  private val world: List[S] = {
+    val rnd = new scala.util.Random(77)
+    val out = List.newBuilder[S]
+    for {
+      metric <- Seq("m", "w")
+      host <- Seq("a", "b", "c")
+      user <- Seq("1", "2")
+    } {
+      // irregular timestamps, some colliding on the same second
+      // (exercising the per-second dedup), values k·0.25 ∈ [-2, 18]
+      var t = T0 - 120 + rnd.nextInt(40)
+      while (t < T0 + 400) {
+        val reps = 1 + (if (rnd.nextInt(5) == 0) 1 else 0)
+        for (_ <- 0 until reps)
+          out += S(metric, List(s"host=$host", s"user=$user"), t,
+            (rnd.nextInt(81) - 8) * 0.25)
+        t += 15 + rnd.nextInt(70)
+      }
+    }
+    out.result()
+  }
+
+  private def e6(v: Double): Long = math.floor(v * 1e6 + 0.5).toLong
+
+  private def halfUp(a: Long, b: Long): Long =
+    math.floor((2.0d * a + b) / (2.0d * b)).toLong
+
+  private def matches(ms: Seq[LabelMatcher], s: S): Boolean = ms.forall { m =>
+    val actual =
+      if (m.name == "__name__") s.metric
+      else s.labels.collectFirst {
+        case l if l.startsWith(m.name + "=") => l.drop(m.name.length + 1)
+      }.getOrElse("")
+    m.mtype match {
+      case MatcherType.Eq  => actual == m.value
+      case MatcherType.Neq => actual != m.value
+      case MatcherType.Re  => java.util.regex.Pattern.matches(m.value, actual)
+      case MatcherType.Nre => !java.util.regex.Pattern.matches(m.value, actual)
+    }
+  }
+
+  /** Per-second dedup max per series, time-ordered — the read path's
+    * GROUP BY the evaluator builds everything on. */
+  private def dedup(ms: Seq[LabelMatcher], lo: Long, hi: Long)
+      : Map[(String, List[String]), List[(Long, Double)]] =
+    world.filter(s => s.t >= lo && s.t <= hi && matches(ms, s))
+      .groupBy(s => (s.metric, s.labels))
+      .map { case (k, ss) =>
+        k -> ss.groupBy(_.t).map { case (t, g) => (t, g.map(_.v).max) }
+          .toList.sortBy(_._1)
+      }
+
+  /** Sequential digit-extraction log2 fixed point — the scaladoc
+    * algorithm, op for op. */
+  private def log2fx(vE6: Long): Long = {
+    var m = vE6.toDouble / 1000000.0d
+    var e = 0L; var b = 0L
+    var i = 1
+    while (i <= 88) {
+      if (i <= 64) {
+        if (m >= 2.0d) { m /= 2.0d; e += 1 }
+        else if (m < 1.0d) { m *= 2.0d; e -= 1 }
+      } else {
+        val mm = m * m
+        if (mm >= 2.0d) { m = mm / 2.0d; b = b * 2 + 1 }
+        else { m = mm; b = b * 2 }
+      }
+      i += 1
+    }
+    e * 16777216L + b
+  }
+
+  private def refExp(vE6: Long): Option[Long] = {
+    if (vE6 > 29850000L) return None // overflow guard drops the row
+    if (vE6 <= -14600000L) return Some(0L)
+    val t = vE6.toDouble / 1000000.0d * 1.4426950408889634d
+    val i = math.floor(t).toLong
+    var g = t - math.floor(t)
+    var acc = 1.0d; var r = 2.0d
+    var j = 0
+    while (j < 48) {
+      r = math.sqrt(r)
+      if (g + g >= 1.0d) { acc *= r; g = g + g - 1.0d }
+      else g = g + g
+      j += 1
+    }
+    val res =
+      if (i >= 0) acc * java.lang.Double.longBitsToDouble((1023L + i) << 52)
+      else acc / java.lang.Double.longBitsToDouble((1023L - i) << 52)
+    Some(math.floor(res * 1000000.0d + 0.5d).toLong)
+  }
+
+  // ---- the interpreter --------------------------------------------
+
+  private val Start = T0 + 60
+  private val End = T0 + 240
+  private val Step = 60L
+  private val Lookback = 300L
+
+  private def grid(start: Long, end: Long, step: Long): Seq[Long] =
+    (start to end by step)
+
+  /** null-metric is encoded "" — the same collapse `rows` performs on
+    * the Spark side. */
+  private def refEval(e: Expr, start: Long = Start, end: Long = End,
+                      step: Long = Step): Set[R] = e match {
+    case Instant(ms, off) =>
+      shift(instantRef(ms, start - off, end - off, step), off)
+
+    case RangeCall(fn, ms, d, off) if PairFns(fn) =>
+      shift(pairRef(fn, ms, start - off, end - off, step, d), off)
+
+    case RangeCall(fn, ms, d, off) =>
+      shift(rangeRef(fn, ms, start - off, end - off, step, d), off)
+
+    case MathFn(fn, child, args) =>
+      refEval(child, start, end, step).flatMap { case (_, ls, t, v) =>
+        mathRef(fn, v, args, t).map(nv => ("", ls, t, nv))
+      }
+
+    case PowInt(child, n) =>
+      refEval(child, start, end, step).map { case (_, ls, t, v) =>
+        val nv =
+          if (n == 0) 1000000L
+          else {
+            var acc = v.toDouble
+            for (_ <- 2 to n) acc = math.floor(acc * v.toDouble / 1000000.0d + 0.5d)
+            acc.toLong
+          }
+        ("", ls, t, nv)
+      }
+
+    case Sort(_, child) => refEval(child, start, end, step)
+
+    case VectorLit(v) =>
+      grid(start, end, step).map(t => ("", "", t, e6(v))).toSet
+
+    case TimeFn =>
+      grid(start, end, step).map(t => ("", "", t, t * 1000000L)).toSet
+
+    case Agg(op, by, child, without, param) =>
+      val rows = refEval(child, start, end, step)
+      rows.groupBy { case (_, ls, t, _) => (kept(ls, by, without), t) }
+        .map { case ((ls, t), g) =>
+          val vs = g.toList.map(_._4)
+          val n = vs.size.toLong
+          val v: Long = op match {
+            case "sum"   => vs.sum
+            case "min"   => vs.min
+            case "max"   => vs.max
+            case "count" => n * 1000000L
+            case "avg"   => halfUp(vs.sum, n)
+            case "group" => 1000000L
+            case "stddev" | "stdvar" =>
+              val sy = vs.map(_.toDouble / 1000000.0d).sum
+              val syy = vs.map(x => (x.toDouble / 1000000.0d) *
+                (x.toDouble / 1000000.0d)).sum
+              val mom = math.max(syy / n - (sy / n) * (sy / n), 0.0d)
+              if (op == "stddev")
+                math.floor(math.sqrt(mom) * 1000000 + 0.5).toLong
+              else math.floor(mom * 1000000 + 0.5).toLong
+            case other => sys.error(s"ref: agg $other unsupported")
+          }
+          ("", ls, t, v)
+        }.toSet
+
+    case Rank(bottom, k, child, by, without) =>
+      val rows = refEval(child, start, end, step)
+      rows.groupBy { case (_, ls, t, _) => (kept(ls, by, without), t) }
+        .values.flatMap { g =>
+          g.toList.sortBy { case (m0, ls, _, v) =>
+            (if (bottom) v else -v, m0, ls)
+          }.take(k)
+        }.toSet
+
+    case LimitK(k, child, by, without) =>
+      val rows = refEval(child, start, end, step)
+      rows.groupBy { case (_, ls, t, _) => (kept(ls, by, without), t) }
+        .values.flatMap { g =>
+          g.toList.sortBy { case (m0, ls, _, _) => (m0, ls) }.take(k)
+        }.toSet
+
+    case Binary(op, ScalarLit(k), right, _) =>
+      refEval(right, start, end, step).flatMap { case (_, ls, t, v) =>
+        scalarOp(op, k, v, scalarOnLeft = true).map(nv => ("", ls, t, nv))
+      }
+    case Binary(op, left, ScalarLit(k), _) =>
+      refEval(left, start, end, step).flatMap { case (_, ls, t, v) =>
+        scalarOp(op, k, v, scalarOnLeft = false).map(nv => ("", ls, t, nv))
+      }
+    case Binary(op, left, right, None) =>
+      val l = refEval(left, start, end, step)
+      val r = refEval(right, start, end, step)
+        .groupBy { case (_, ls, t, _) => (ls, t) }
+      l.flatMap { case (_, ls, t, lv) =>
+        r.getOrElse((ls, t), Set.empty).flatMap { case (_, _, _, rv) =>
+          vecOp(op, lv, rv).map(nv => ("", ls, t, nv))
+        }
+      }
+
+    case Cmp(op, bool, left, ScalarLit(k), _) =>
+      val kE6 = e6(k)
+      refEval(left, start, end, step).flatMap { case (m0, ls, t, v) =>
+        val pass = cmpRef(op, v, kE6)
+        if (!bool) { if (pass) Some((m0, ls, t, v)) else None }
+        else Some(("", ls, t, if (pass) 1000000L else 0L))
+      }
+    case Cmp(op, bool, ScalarLit(k), right, _) =>
+      val kE6 = e6(k)
+      refEval(right, start, end, step).flatMap { case (m0, ls, t, v) =>
+        val pass = cmpRef(op, kE6, v)
+        if (!bool) { if (pass) Some((m0, ls, t, v)) else None }
+        else Some(("", ls, t, if (pass) 1000000L else 0L))
+      }
+    case Cmp(op, bool, left, right, None) =>
+      val l = refEval(left, start, end, step)
+      val r = refEval(right, start, end, step)
+        .groupBy { case (_, ls, t, _) => (ls, t) }
+      l.flatMap { case (m0, ls, t, lv) =>
+        r.getOrElse((ls, t), Set.empty).flatMap { case (_, _, _, rv) =>
+          val pass = cmpRef(op, lv, rv)
+          if (!bool) { if (pass) Some((m0, ls, t, lv)) else None }
+          else Some(("", ls, t, if (pass) 1000000L else 0L))
+        }
+      }
+
+    case SetOp(op, left, right, None) =>
+      val l = refEval(left, start, end, step)
+      val r = refEval(right, start, end, step)
+      val lk = l.map { case (_, ls, t, _) => (ls, t) }
+      val rk = r.map { case (_, ls, t, _) => (ls, t) }
+      op match {
+        case "and"    => l.filter { case (_, ls, t, _) => rk((ls, t)) }
+        case "unless" => l.filter { case (_, ls, t, _) => !rk((ls, t)) }
+        case "or" =>
+          l ++ r.filter { case (_, ls, t, _) => !lk((ls, t)) }
+      }
+
+    case other => sys.error(s"ref: unsupported node $other")
+  }
+
+  private def shift(rows: Set[R], off: Long): Set[R] =
+    if (off == 0) rows
+    else rows.map { case (m0, ls, t, v) => (m0, ls, t + off, v) }
+
+  private def kept(joined: String, by: Seq[String], without: Boolean): String = {
+    val ls = if (joined.isEmpty) Nil else joined.split(",").toList
+    val out =
+      if (without) {
+        if (by.isEmpty) ls
+        else ls.filterNot(l => by.exists(k => l.startsWith(k + "=")))
+      }
+      else if (by.isEmpty) Nil
+      else ls.filter(l => by.exists(k => l.startsWith(k + "=")))
+    out.mkString(",")
+  }
+
+  private def instantRef(ms: Seq[LabelMatcher], start: Long, end: Long,
+                         step: Long): Set[R] = {
+    val byS = dedup(ms, start - Lookback + 1, end)
+    (for {
+      t <- grid(start, end, step)
+      ((metric, ls), pts) <- byS
+      last <- pts.filter(p => p._1 > t - Lookback && p._1 <= t)
+        .sortBy(_._1).lastOption
+    } yield (metric, ls.mkString(","), t, e6(last._2))).toSet
+  }
+
+  private def rangeRef(fn: String, ms: Seq[LabelMatcher], start: Long,
+                       end: Long, step: Long, d: Long): Set[R] = {
+    val byS = dedup(ms, start - d, end - 1)
+    (for {
+      t <- grid(start, end, step)
+      ((metric, ls), pts) <- byS
+      w = pts.filter(p => p._1 >= t - d && p._1 < t)
+      if w.nonEmpty
+      v <- rangeValue(fn, w)
+    } yield (metric, ls.mkString(","), t, v)).toSet
+  }
+
+  private def rangeValue(fn: String, w: List[(Long, Double)]): Option[Long] = {
+    val vs = w.map(_._2)
+    val n = w.size.toLong
+    val sumE2 = math.floor(vs.sum * 100 + 0.5).toLong
+    fn match {
+      case "sum_over_time"   => Some(sumE2 * 10000L)
+      case "count_over_time" => Some(n * 1000000L)
+      case "avg_over_time"   => Some(halfUp(sumE2 * 10000L, n))
+      case "min_over_time"   => Some(e6(vs.min))
+      case "max_over_time"   => Some(e6(vs.max))
+      case "last_over_time"  => Some(e6(w.maxBy(_._1)._2))
+      case "present_over_time" => Some(1000000L)
+      case "stddev_over_time" | "stdvar_over_time" =>
+        val sy = vs.sum
+        val syy = vs.map(x => x * x).sum
+        val mom = math.max(syy / n - (sy / n) * (sy / n), 0.0d)
+        if (fn == "stddev_over_time")
+          Some(math.floor(math.sqrt(mom) * 1000000 + 0.5).toLong)
+        else Some(math.floor(mom * 1000000 + 0.5).toLong)
+      case "rate" =>
+        val (tf, vf) = w.minBy(_._1); val (tl, vl) = w.maxBy(_._1)
+        val dvE2 = math.floor((vl - vf) * 100 + 0.5).toLong
+        if (n >= 2 && tl > tf && dvE2 >= 0)
+          Some(halfUp(dvE2 * 10000L, tl - tf))
+        else None
+      case "increase" =>
+        if (n < 2) None
+        else {
+          val vf = w.minBy(_._1)._2; val vl = w.maxBy(_._1)._2
+          Some(math.max(math.floor((vl - vf) * 100 + 0.5).toLong, 0L) * 10000L)
+        }
+      case "delta" =>
+        if (n < 2) None
+        else {
+          val vf = w.minBy(_._1)._2; val vl = w.maxBy(_._1)._2
+          Some(math.floor((vl - vf) * 100 + 0.5).toLong * 10000L)
+        }
+      case other => sys.error(s"ref: range fn $other unsupported")
+    }
+  }
+
+  /** changes/resets/irate/idelta: each sample paired with its GLOBAL
+    * per-series predecessor, pairs counted/picked per window when the
+    * predecessor is itself in-window — pairRange's documented
+    * semantics. */
+  private def pairRef(fn: String, ms: Seq[LabelMatcher], start: Long,
+                      end: Long, step: Long, d: Long): Set[R] = {
+    val byS = dedup(ms, Long.MinValue, end - 1) // global lag needs history
+    val out = Set.newBuilder[R]
+    for {
+      t <- grid(start, end, step)
+      ((metric, ls), pts) <- byS
+    } {
+      val paired = pts.zip(None +: pts.map(Some(_)))
+        .filter { case ((ts, _), _) => ts >= t - d && ts < t }
+      val ok = paired.collect {
+        case ((ts, v), Some((pt, pv))) if pt >= t - d => (ts, v, pt, pv)
+      }
+      fn match {
+        case "changes" =>
+          if (paired.nonEmpty)
+            out += ((metric, ls.mkString(","), t,
+              ok.count { case (_, v, _, pv) => v != pv } * 1000000L))
+        case "resets" =>
+          if (paired.nonEmpty)
+            out += ((metric, ls.mkString(","), t,
+              ok.count { case (_, v, _, pv) => v < pv } * 1000000L))
+        case "irate" | "idelta" =>
+          if (ok.nonEmpty) {
+            val (lt, lv, pt, pv) = ok.maxBy(_._1)
+            val v =
+              if (fn == "irate")
+                math.floor((if (lv >= pv) lv - pv else lv) /
+                  (lt - pt).toDouble * 1000000 + 0.5).toLong
+              else math.floor((lv - pv) * 1000000 + 0.5).toLong
+            out += ((metric, ls.mkString(","), t, v))
+          }
+      }
+    }
+    out.result()
+  }
+
+  private def mathRef(fn: String, v: Long, args: Seq[Double],
+                      t: Long): Option[Long] = fn match {
+    case "abs"   => Some(math.abs(v))
+    case "floor" => Some(math.floor(v.toDouble / 1000000.0d).toLong * 1000000L)
+    case "ceil"  => Some(-(math.floor(-v.toDouble / 1000000.0d).toLong * 1000000L))
+    case "sgn"   => Some(if (v > 0) 1000000L else if (v < 0) -1000000L else 0L)
+    case "round" =>
+      val nn = e6(args.headOption.getOrElse(1.0))
+      Some(math.floor(v.toDouble / nn + 0.5d).toLong * nn)
+    case "clamp" =>
+      Some(math.min(math.max(v, e6(args(0))), e6(args(1))))
+    case "clamp_min" => Some(math.max(v, e6(args(0))))
+    case "clamp_max" => Some(math.min(v, e6(args(0))))
+    case "sqrt" =>
+      if (v < 0) None
+      else Some(math.floor(math.sqrt(v.toDouble / 1000000.0d) * 1000000 + 0.5).toLong)
+    case "ln" | "log2" | "log10" =>
+      if (v <= 0) None
+      else {
+        val scale = fn match {
+          case "log2"  => 1000000.0d
+          case "ln"    => 693147.1805599453d
+          case "log10" => 301029.99566398119d
+        }
+        Some(math.floor(log2fx(v).toDouble / 16777216.0d * scale + 0.5d).toLong)
+      }
+    case "exp" => refExp(v)
+    case "hour"   => Some((v / 1000000) % 86400 / 3600 * 1000000L)
+    case "minute" => Some((v / 1000000) % 3600 / 60 * 1000000L)
+    case "month" =>
+      val day = (v / 1000000) / 86400
+      Some(java.time.LocalDate.ofEpochDay(day).getMonthValue * 1000000L)
+    case other => sys.error(s"ref: math fn $other unsupported")
+  }
+
+  private def scalarOp(op: Char, k: Double, v: Long,
+                       scalarOnLeft: Boolean): Option[Long] = {
+    val kE6 = e6(k)
+    (op, scalarOnLeft) match {
+      case ('+', _)     => Some(v + kE6)
+      case ('-', false) => Some(v - kE6)
+      case ('-', true)  => Some(kE6 - v)
+      case ('*', _)     => Some(math.floor(v.toDouble * k + 0.5).toLong)
+      case ('/', false) => Some(math.floor(v.toDouble / k + 0.5).toLong)
+      case ('/', true) =>
+        if (v == 0L) None
+        else Some(math.floor(k * 1.0e12d / v.toDouble + 0.5).toLong)
+      case ('%', false) => Some(v % kE6)
+      case ('%', true)  => if (v == 0L) None else Some(kE6 % v)
+    }
+  }
+
+  private def vecOp(op: Char, lv: Long, rv: Long): Option[Long] = op match {
+    case '+' => Some(lv + rv)
+    case '-' => Some(lv - rv)
+    case '*' =>
+      Some(math.floor(lv.toDouble * rv.toDouble / 1000000.0d + 0.5d).toLong)
+    case '/' =>
+      if (rv == 0L) None
+      else Some(math.floor(lv.toDouble / rv.toDouble * 1000000.0d + 0.5d).toLong)
+    case '%' => if (rv == 0L) None else Some(lv % rv)
+  }
+
+  private def cmpRef(op: String, l: Long, r: Long): Boolean = op match {
+    case "==" => l == r
+    case "!=" => l != r
+    case "<"  => l < r
+    case "<=" => l <= r
+    case ">"  => l > r
+    case ">=" => l >= r
+  }
+
+  // ---- the harness ------------------------------------------------
+
+  private lazy val sparkWorld = {
+    import spark.implicits._
+    world.map(s => (s.t * 1000000L, s.metric, s.labels, s.v))
+      .toDF("ts_us", "metric", "labels", "value")
+      .cache()
+  }
+
+  private def sparkEval(e: Expr): Set[R] =
+    PromQL.eval(sparkWorld, e, Start, End, Step)
+      .select(coalesce(col("metric"), lit("")),
+        array_join(col("labels"), ","), col("t"), col("v_e6"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  private def check(q: String): Unit = {
+    val e = PromQL.parse(q).fold(
+      err => sys.error(s"must parse: $q → $err"), identity)
+    val expected = refEval(e)
+    val got = sparkEval(e)
+    assert(got === expected,
+      s"DIVERGENCE on: $q\n  spark-only: ${(got -- expected).take(5)}\n" +
+        s"  ref-only: ${(expected -- got).take(5)}")
+  }
+
+  test("hand-picked expressions agree with the reference interpreter") {
+    Seq(
+      "m",
+      "m offset 60s",
+      "sum_over_time(m[120s])",
+      "avg_over_time(m[90s] offset 30s)",
+      "stddev_over_time(m[120s])",
+      "rate(w[180s])",
+      "irate(m[120s])",
+      "changes(m[180s])",
+      "sum by (host) (sum_over_time(m[120s]))",
+      "stdvar without (user) (last_over_time(m[60s]))",
+      "topk(2, sum by (host) (sum_over_time(m[120s])))",
+      "limitk(3, m)",
+      "ln(clamp_min(sum by (user) (sum_over_time(m[120s])), 0.25))",
+      "exp(m / 40)",
+      "sqrt(abs(m))",
+      "(m) + (m)",
+      "sum by (host) (m) / sum by (host) (w)",
+      "m > 1.5",
+      "m >= bool 2",
+      "(m) or (w)",
+      "(m) unless (m > 0)",
+      "sort_desc(sum by (host) (m))",
+      "(sum by (host) (m)) ^ 3",
+      "round(m, 0.5)",
+      "minute(m)"
+    ).foreach(check)
+  }
+
+  test("fuzz: 80 generated expressions agree with the reference interpreter") {
+    val rnd = new scala.util.Random(20260814)
+    val rangeFns = Seq("sum_over_time", "avg_over_time", "min_over_time",
+      "max_over_time", "count_over_time", "last_over_time",
+      "present_over_time", "stddev_over_time", "stdvar_over_time",
+      "rate", "increase", "delta", "irate", "idelta", "changes", "resets")
+    val aggs = Seq("sum", "min", "max", "count", "avg", "group",
+      "stddev", "stdvar")
+    val maths = Seq("abs", "ceil", "floor", "sgn", "sqrt", "ln", "log2",
+      "log10", "hour", "minute")
+    def sel(): String = Seq("m", "w",
+      """m{host="a"}""", """w{user=~"1|2"}""")(rnd.nextInt(4))
+    def dur(): String = Seq("45s", "90s", "120s", "180s")(rnd.nextInt(4))
+    def gen(depth: Int): String =
+      if (depth <= 0) sel()
+      else rnd.nextInt(14) match {
+        case 0 => s"${rangeFns(rnd.nextInt(rangeFns.length))}(${sel()}[${dur()}])"
+        case 1 => s"${rangeFns(rnd.nextInt(rangeFns.length))}(${sel()}[${dur()}] offset 60s)"
+        case 2 => s"${aggs(rnd.nextInt(aggs.length))} by (host) (${gen(depth - 1)})"
+        case 3 => s"${aggs(rnd.nextInt(aggs.length))} without (user) (${gen(depth - 1)})"
+        case 4 => s"${maths(rnd.nextInt(maths.length))}(${gen(depth - 1)})"
+        case 5 => s"exp((${gen(depth - 1)}) / 25)" // keep exp in range
+        case 6 => s"(${gen(depth - 1)}) ${"+-*/%".charAt(rnd.nextInt(5))} ${0.25 * (1 + rnd.nextInt(12))}"
+        case 7 => s"${0.25 * (1 + rnd.nextInt(12))} ${"+-*".charAt(rnd.nextInt(3))} (${gen(depth - 1)})"
+        case 8 => s"(${gen(depth - 1)}) ${"+-".charAt(rnd.nextInt(2))} (${gen(depth - 1)})"
+        case 9 => s"${gen(depth - 1)} ${Seq(">", "<", ">=", "<=")(rnd.nextInt(4))} ${rnd.nextInt(4)}"
+        case 10 => s"${gen(depth - 1)} ${Seq(">", "<")(rnd.nextInt(2))} bool ${rnd.nextInt(4)}"
+        case 11 => s"(${gen(depth - 1)}) ${Seq("and", "or", "unless")(rnd.nextInt(3))} (${gen(depth - 1)})"
+        case 12 => s"topk(${1 + rnd.nextInt(3)}, ${gen(depth - 1)})"
+        case 13 => s"(${gen(depth - 1)}) ^ ${rnd.nextInt(4)}"
+      }
+    var checked = 0
+    while (checked < 80) {
+      val q = gen(1 + rnd.nextInt(3))
+      if (PromQL.parse(q).isRight) { check(q); checked += 1 }
+    }
+  }
+}

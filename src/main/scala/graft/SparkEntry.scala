@@ -640,6 +640,11 @@ object SparkEntry {
 
     "dedup_minhash_keep" -> ((s, dir) => Dedup.minhashKeep(Tables.documents(s, dir))),
 
+    // union-find over the LSH pair graph: one representative per
+    // duplicate CLUSTER (greedy bucket-min under-merges chains)
+    "dedup_components" -> ((s, dir) =>
+      Dedup.minhashComponents(Tables.documents(s, dir))),
+
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), 0.8)),
 
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 8)),
@@ -1980,6 +1985,29 @@ object SparkEntry {
          |       len(list_filter(range(1, 129), i -> a.sig[i] = b.sig[i]))::BIGINT * 1000000 // 128 AS est_sim_e6
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id""".stripMargin,
+
+    // transitive closure over the pair graph → min reachable id per
+    // doc — the recursive-CTE twin of the min-label propagation loop
+    "dedup_components" ->
+      s"""$minhashCte, prs AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+         |), edges AS (
+         |  SELECT a, b FROM prs UNION SELECT b, a FROM prs
+         |), reach AS (
+         |  WITH RECURSIVE rr(a, b) AS (
+         |    SELECT a, b FROM edges
+         |    UNION
+         |    SELECT rr.a, e.b FROM rr JOIN edges e ON rr.b = e.a
+         |  ) SELECT a, b FROM rr
+         |)
+         |SELECT d.doc_id,
+         |       least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component,
+         |       CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) = d.doc_id
+         |            AS INT) AS kept
+         |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+         |GROUP BY d.doc_id""".stripMargin,
 
     // greedy bucket-min dedup: keep_id = min doc_id over the doc's
     // band buckets; kept iff the doc is its own representative

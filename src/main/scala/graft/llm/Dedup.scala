@@ -202,6 +202,82 @@ object Dedup {
         (col("keep_id") === col("doc_id")).cast("int").as("kept"), col("keep_id"))
   }
 
+  /** Connected components over near-duplicate candidate pairs — the
+    * union-find step between pair DETECTION (minhash/simhash emit
+    * pairs) and cluster-level dedup POLICY (keep exactly one doc per
+    * duplicate CLUSTER). [[minhashKeep]]'s greedy bucket-min
+    * under-merges clusters that chain across buckets (A~B in one
+    * bucket, B~C in another: greedy may keep both A and C);
+    * components follows the chain to a single representative.
+    *
+    * Spark-first union-find: iterative MIN-LABEL PROPAGATION (the
+    * MapReduce connected-components pattern) — every node starts as
+    * its own component; each round every node takes the min of its
+    * own label and its neighbors'; fixpoint after diameter rounds.
+    * Near-duplicate clusters are shallow (duplicates of a common
+    * source pair with each other — diameters of 2-4), so the loop is
+    * 3-5 rounds of two hash-shuffles each, all keyed by doc id; no
+    * driver-side graph ever materializes, and each round's frame is
+    * persisted + the previous unpersisted so lineage stays flat. The
+    * convergence probe shares the round's own materialization. At
+    * web scale the known refinement is alternating large-star/
+    * small-star (same ops, provably O(log n) rounds); plain min
+    * propagation is the right trade below that.
+    *
+    * Returns one row per distinct doc id appearing in `pairs`:
+    * (doc_id, component) with component = min doc id reachable.
+    * Throws after `maxIters` without a fixpoint (never observed at
+    * sane diameters — a guard, not a tuning knob). */
+  def components(pairs: DataFrame, aCol: String = "doc_a",
+                 bCol: String = "doc_b", maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist()
+    var labels = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id")))
+      .distinct()
+      .withColumn("comp", col("id"))
+      .persist()
+    var it = 0
+    var done = false
+    while (!done) {
+      if (it >= maxIters)
+        throw new IllegalStateException(
+          s"components: no fixpoint after $maxIters rounds")
+      val msgs = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.comp") < col("o.comp"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0L
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+  }
+
+  /** [[components]] over the MinHash band-bucket pairs, widened to
+    * every document: docs outside any pair are their own singleton
+    * component; kept = the cluster representative (min doc id). The
+    * cluster-policy output a corpus-prep pipeline feeds to its final
+    * keep/drop filter. */
+  def minhashComponents(documents: DataFrame,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val comp = components(
+      minhashLsh(documents, maxBucket).select(col("doc_a"), col("doc_b")))
+    documents.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("kept", (col("component") === col("doc_id")).cast("int"))
+  }
+
   /** Benchmark decontamination — the held-out-eval hygiene pass a
     * training pipeline runs before every model: a training document
     * is CONTAMINATED when it shares any word-level n-gram with the

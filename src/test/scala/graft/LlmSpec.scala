@@ -67,6 +67,35 @@ class LlmSpec extends SparkSpecBase {
     assert(dropped.exceptAll(cands).count() == 0)
   }
 
+  test("connected components follow duplicate chains to one representative") {
+    import spark.implicits._
+    // hand graph: a 1-2-3 chain and a separate 5-6 pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    // a longer chain converges too (diameter > 2 exercises the loop)
+    val chain = (1L to 8L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val c2 = Dedup.components(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2 === (1L to 8L).map(_ -> 1L).toMap)
+    // on the corpus: components refine minhashKeep — every doc kept
+    // by components is kept by the greedy pass too (components only
+    // MERGES further), and every component representative is the
+    // cluster minimum
+    val mc = Dedup.minhashComponents(docs).cache()
+    assert(mc.count() === docs.count())
+    assert(mc.filter(col("component") > col("doc_id")).count() === 0)
+    val greedy = Dedup.minhashKeep(docs)
+      .select(col("doc_id"), col("kept").as("gkept"))
+    val joined = mc.join(greedy, "doc_id")
+    assert(joined.filter(col("kept") === 1 && col("gkept") === 0).count() === 0,
+      "components keep-set must be a subset of the greedy keep-set")
+    mc.unpersist()
+  }
+
   test("greedy embedding keep mirrors the near-dup candidate structure") {
     val keep = Similarity.embeddingKeep(embs, 4, 6).cache()
     assert(keep.count() == embs.count())

@@ -1118,6 +1118,34 @@ object SparkEntry {
         parsePromQL("sort_desc(sum by (user) (sum_over_time(click[1d])))"),
         WinStartSec, WinEndSec, 86400L))),
 
+    // CORDIC trigonometry — sin/cos/tan from 40 rotation steps of
+    // exactly-specified IEEE ops; the oracle replicates the fold
+    // (tan's pole/overflow drop mirrored in its WHERE)
+    "promql_trig" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("sin(sum by (user) (sum_over_time(click[1d])))" +
+          " + cos(sum by (user) (sum_over_time(click[1d])))" +
+          " + tan(sum by (user) (sum_over_time(click[1d])))"),
+        WinStartSec, WinEndSec, 86400L))),
+
+    // the inverse family round-trips: asin∘sin, acos∘cos, deg∘rad
+    "promql_trig_inverse" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("asin(sin(sum by (user) (sum_over_time(click[1d]))))" +
+          " + acos(cos(sum by (user) (sum_over_time(click[1d]))))" +
+          " + deg(rad(sum by (user) (sum_over_time(click[1d]))))"),
+        WinStartSec, WinEndSec, 86400L))),
+
+    // hyperbolics composed from the exp/ln folds — arguments routed
+    // through atan/clamp so every term's domain is total
+    "promql_hyp" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("sinh(atan(sum by (user) (sum_over_time(click[1d]))))" +
+          " + tanh(sum by (user) (sum_over_time(click[1d])) / 20)" +
+          " + asinh(sum by (user) (sum_over_time(click[1d])))" +
+          " + acosh(clamp_min(sum by (user) (sum_over_time(click[1d])), 1))"),
+        WinStartSec, WinEndSec, 86400L))),
+
     // @: each user's daily sum minus their day-1 baseline — the
     // pinned evaluation replicated across the grid through binary
     // arithmetic
@@ -1365,6 +1393,97 @@ object SparkEntry {
        |  (s, x) -> CASE WHEN s.g + s.g >= CAST(1 AS DOUBLE)
        |    THEN struct_pack(g := s.g + s.g - CAST(1 AS DOUBLE), acc := s.acc * sqrt(s.r), r := sqrt(s.r))
        |    ELSE struct_pack(g := s.g + s.g, acc := s.acc, r := sqrt(s.r)) END)""".stripMargin.replace("\n", " ")
+
+  /** One-row CTE holding the CORDIC tables (2^-i and atan 2^-i as
+    * DOUBLE casts) — CROSS JOINed so the fold lambdas index them
+    * once instead of inlining 40-element literals per branch. */
+  private val duckCordicConsts: String = {
+    def arr(vals: Seq[String]) =
+      vals.map(v => s"CAST('$v' AS DOUBLE)").mkString("[", ", ", "]")
+    s"consts AS (SELECT ${arr(graft.serve.PromQL.CordicPow2)} AS pw, " +
+      s"${arr(graft.serve.PromQL.CordicAtan)} AS ar)"
+  }
+
+  private val duckHalfPi = "CAST('1.5707963267948966' AS DOUBLE)"
+  private val duckD0 = "CAST(0 AS DOUBLE)"
+
+  /** DuckDB twin of PromQL.cordicRotateSql — requires `pw`, `ar` in
+    * scope (CROSS JOIN consts). State is a DOUBLE[3] LIST
+    * [x, y, z], NOT a struct: DuckDB 1.0's list_reduce evaluates a
+    * struct step's later fields against ALREADY-UPDATED earlier
+    * fields in some consumption contexts (and against the old values
+    * in others) — a mutual x↔y recurrence silently diverges. List
+    * construction always sees the old state, so the fold is the
+    * deterministic spec regardless of how the result is consumed.
+    * (The log/exp folds keep struct state safely: their only
+    * cross-field read, acc ← r, references a LATER field.)
+    * Returns [x ≈ cos r, y ≈ sin r, z]; the dummy elements' first
+    * slot carries the iteration index. */
+  private def duckCordicRotate(rExpr: String): String =
+    s"""list_reduce(
+       |  list_prepend([CAST('${graft.serve.PromQL.CordicK}' AS DOUBLE), $duckD0, ($rExpr)],
+       |    list_transform(range(0, 40), i -> [CAST(i AS DOUBLE), $duckD0, $duckD0])),
+       |  (s, el) -> CASE WHEN s[3] >= $duckD0
+       |    THEN [s[1] - s[2] * pw[CAST(el[1] AS INT) + 1],
+       |          s[2] + s[1] * pw[CAST(el[1] AS INT) + 1],
+       |          s[3] - ar[CAST(el[1] AS INT) + 1]]
+       |    ELSE [s[1] + s[2] * pw[CAST(el[1] AS INT) + 1],
+       |          s[2] - s[1] * pw[CAST(el[1] AS INT) + 1],
+       |          s[3] + ar[CAST(el[1] AS INT) + 1]] END)""".stripMargin.replace("\n", " ")
+
+  /** DuckDB twin of PromQL.cordicAtanSql (vectoring mode): the
+    * result list's third slot ≈ atan(u). List state for the same
+    * aliasing-safety reason as [[duckCordicRotate]]. */
+  private def duckCordicAtan(uExpr: String): String =
+    s"""list_reduce(
+       |  list_prepend([CAST(1 AS DOUBLE), ($uExpr), $duckD0],
+       |    list_transform(range(0, 40), i -> [CAST(i AS DOUBLE), $duckD0, $duckD0])),
+       |  (s, el) -> CASE WHEN s[2] > $duckD0
+       |    THEN [s[1] + s[2] * pw[CAST(el[1] AS INT) + 1],
+       |          s[2] - s[1] * pw[CAST(el[1] AS INT) + 1],
+       |          s[3] + ar[CAST(el[1] AS INT) + 1]]
+       |    ELSE [s[1] - s[2] * pw[CAST(el[1] AS INT) + 1],
+       |          s[2] + s[1] * pw[CAST(el[1] AS INT) + 1],
+       |          s[3] - ar[CAST(el[1] AS INT) + 1]] END)[3]""".stripMargin.replace("\n", " ")
+
+  /** DuckDB twin of PromQL.expDSql: deterministic double-level exp
+    * of a double expression (callers bound the argument). */
+  private def duckExpD(uExpr: String): String = {
+    val tE = s"(($uExpr) * CAST('1.4426950408889634' AS DOUBLE))"
+    val fold =
+      s"""list_reduce(
+         |  list_prepend(struct_pack(g := $tE - floor($tE), acc := CAST(1 AS DOUBLE), r := CAST(2 AS DOUBLE)),
+         |    list_transform(range(1, 49), j -> struct_pack(g := $duckD0, acc := CAST(j AS DOUBLE), r := $duckD0))),
+         |  (s, x) -> CASE WHEN s.g + s.g >= CAST(1 AS DOUBLE)
+         |    THEN struct_pack(g := s.g + s.g - CAST(1 AS DOUBLE), acc := s.acc * sqrt(s.r), r := sqrt(s.r))
+         |    ELSE struct_pack(g := s.g + s.g, acc := s.acc, r := sqrt(s.r)) END).acc""".stripMargin.replace("\n", " ")
+    s"(CASE WHEN CAST(floor($tE) AS BIGINT) >= 0 " +
+      s"THEN $fold * CAST(CAST(1 AS BIGINT) << CAST(floor($tE) AS BIGINT) AS DOUBLE) " +
+      s"ELSE $fold / CAST(CAST(1 AS BIGINT) << (-CAST(floor($tE) AS BIGINT)) AS DOUBLE) END)"
+  }
+
+  /** DuckDB twin of PromQL.lnDSql: deterministic double-level ln of
+    * a positive double expression. */
+  private def duckLnD(wExpr: String): String = {
+    val fold =
+      s"""list_reduce(
+         |  list_prepend(struct_pack(m := ($wExpr), e := CAST(0 AS BIGINT), b := CAST(0 AS BIGINT)),
+         |    list_transform(range(1, 89), i -> struct_pack(m := $duckD0, e := i, b := CAST(0 AS BIGINT)))),
+         |  (s, x) -> CASE WHEN x.e <= 64 THEN
+         |    CASE WHEN s.m >= CAST(2 AS DOUBLE) THEN struct_pack(m := s.m / CAST(2 AS DOUBLE), e := s.e + 1, b := s.b)
+         |         WHEN s.m < CAST(1 AS DOUBLE) THEN struct_pack(m := s.m * CAST(2 AS DOUBLE), e := s.e - 1, b := s.b)
+         |         ELSE s END
+         |  ELSE
+         |    CASE WHEN s.m * s.m >= CAST(2 AS DOUBLE)
+         |         THEN struct_pack(m := s.m * s.m / CAST(2 AS DOUBLE), e := s.e, b := s.b * 2 + 1)
+         |         ELSE struct_pack(m := s.m * s.m, e := s.e, b := s.b * 2) END
+         |  END)""".stripMargin.replace("\n", " ")
+    s"(CAST(($fold).e * 16777216 + ($fold).b AS DOUBLE) / CAST(16777216 AS DOUBLE)" +
+      s" * CAST('0.6931471805599453' AS DOUBLE))"
+  }
+
+  private def duckMicro(e: String): String =
+    s"CAST(floor(($e) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
 
   private def summarySql(where: String, interval: Long): String =
     s"""$S, sel AS (
@@ -3341,6 +3460,131 @@ object SparkEntry {
          |SELECT CAST(NULL AS VARCHAR) AS metric,
          |       array_to_string(labels, ',') AS labels_str, t, v_e6
          |FROM agg""".stripMargin,
+
+    // the CORDIC rotation fold replicated; tan's pole/overflow drop
+    // mirrored in the WHERE
+    "promql_trig" ->
+      s"""${promqlSotCte("click")}, agg AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
+         |         CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2
+         |), $duckCordicConsts, red AS (
+         |  SELECT labels, t, v_e6,
+         |         CAST(v_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS tt
+         |  FROM agg
+         |), red2 AS (
+         |  SELECT labels, t, tt,
+         |    CAST(floor(tt / $duckHalfPi + CAST(0.5 AS DOUBLE)) AS BIGINT) AS k
+         |  FROM red
+         |), red3 AS (
+         |  SELECT labels, t, tt - CAST(k AS DOUBLE) * $duckHalfPi AS r,
+         |         ((k % 4) + 4) % 4 AS q
+         |  FROM red2
+         |), rot AS (
+         |  SELECT labels, t, q, ${duckCordicRotate("r")} AS s
+         |  FROM red3 CROSS JOIN consts
+         |), sc AS (
+         |  SELECT labels, t,
+         |    CASE q WHEN 0 THEN s[2] WHEN 1 THEN s[1] WHEN 2 THEN -s[2] ELSE -s[1] END AS sind,
+         |    CASE q WHEN 0 THEN s[1] WHEN 1 THEN -s[2] WHEN 2 THEN -s[1] ELSE s[2] END AS cosd
+         |  FROM rot
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(labels, ',') AS labels_str, t,
+         |       ${duckMicro("sind")} + ${duckMicro("cosd")}
+         |         + ${duckMicro("sind / cosd")} AS v_e6
+         |FROM sc
+         |WHERE cosd != $duckD0
+         |  AND abs(sind / cosd) <= CAST('9.0e12' AS DOUBLE)""".stripMargin,
+
+    // asin∘sin, acos∘cos (endpoint shortcut + vectoring fold on the
+    // µ-rounded intermediates), deg∘rad — each µ-rounding replicated
+    "promql_trig_inverse" ->
+      s"""${promqlSotCte("click")}, agg AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
+         |         CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2
+         |), $duckCordicConsts, red AS (
+         |  SELECT labels, t, v_e6,
+         |         CAST(v_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS tt
+         |  FROM agg
+         |), red2 AS (
+         |  SELECT labels, t, v_e6, tt,
+         |    CAST(floor(tt / $duckHalfPi + CAST(0.5 AS DOUBLE)) AS BIGINT) AS k
+         |  FROM red
+         |), red3 AS (
+         |  SELECT labels, t, v_e6, tt - CAST(k AS DOUBLE) * $duckHalfPi AS r,
+         |         ((k % 4) + 4) % 4 AS q
+         |  FROM red2
+         |), rot AS (
+         |  SELECT labels, t, v_e6, q, ${duckCordicRotate("r")} AS s
+         |  FROM red3 CROSS JOIN consts
+         |), sc AS (
+         |  SELECT labels, t, v_e6,
+         |    ${duckMicro("CASE q WHEN 0 THEN s[2] WHEN 1 THEN s[1] WHEN 2 THEN -s[2] ELSE -s[1] END")} AS sin_e6,
+         |    ${duckMicro("CASE q WHEN 0 THEN s[1] WHEN 1 THEN -s[2] WHEN 2 THEN -s[1] ELSE s[2] END")} AS cos_e6
+         |  FROM rot
+         |), inv AS (
+         |  SELECT labels, t, v_e6, sin_e6, cos_e6,
+         |    CAST(sin_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS st,
+         |    CAST(cos_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS ct
+         |  FROM sc
+         |), inv2 AS (
+         |  SELECT labels, t, v_e6,
+         |    CASE WHEN st = CAST(1 AS DOUBLE) THEN $duckHalfPi
+         |         WHEN st = CAST(-1 AS DOUBLE) THEN -$duckHalfPi
+         |         ELSE ${duckCordicAtan("st / sqrt(CAST(1 AS DOUBLE) - st * st)")} END AS asd,
+         |    CASE WHEN ct = CAST(1 AS DOUBLE) THEN $duckHalfPi
+         |         WHEN ct = CAST(-1 AS DOUBLE) THEN -$duckHalfPi
+         |         ELSE ${duckCordicAtan("ct / sqrt(CAST(1 AS DOUBLE) - ct * ct)")} END AS acd
+         |  FROM inv CROSS JOIN consts
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(labels, ',') AS labels_str, t,
+         |       ${duckMicro("asd")} + ${duckMicro(s"$duckHalfPi - acd")}
+         |     + CAST(floor(CAST(CAST(floor(CAST(v_e6 AS DOUBLE)
+         |         * CAST('0.017453292519943295' AS DOUBLE)
+         |         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS DOUBLE)
+         |         * CAST('57.29577951308232' AS DOUBLE)
+         |         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v_e6
+         |FROM inv2""".stripMargin,
+
+    // hyperbolics: exp/ln-fold compositions on the µ-rounded
+    // intermediates, every term's domain total by construction
+    "promql_hyp" ->
+      s"""${promqlSotCte("click")}, agg AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
+         |         CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2
+         |), $duckCordicConsts, b1 AS (
+         |  SELECT labels, t, v_e6,
+         |    CAST(v_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS tt,
+         |    ${duckMicro(duckCordicAtan(
+              "CAST(v_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE)"))} AS atn_e6,
+         |    CAST(floor(CAST(v_e6 AS DOUBLE) / CAST('20.0' AS DOUBLE)
+         |         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS d20_e6,
+         |    greatest(v_e6, 1000000) AS cl_e6
+         |  FROM agg CROSS JOIN consts
+         |), b2 AS (
+         |  SELECT labels, t, v_e6, tt, d20_e6,
+         |    CAST(atn_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS ath,
+         |    CAST(d20_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS t20,
+         |    CAST(cl_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS tcl
+         |  FROM b1
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(labels, ',') AS labels_str, t,
+         |       ${duckMicro(s"(${duckExpD("ath")} - ${duckExpD("-ath")}) / CAST(2 AS DOUBLE)")}
+         |     + CASE WHEN d20_e6 > 20000000 THEN 1000000
+         |            WHEN d20_e6 < -20000000 THEN -1000000
+         |            ELSE ${duckMicro(s"(${duckExpD("t20")} - ${duckExpD("-t20")})" +
+                s" / (${duckExpD("t20")} + ${duckExpD("-t20")})")} END
+         |     + CASE WHEN v_e6 >= 0
+         |            THEN ${duckMicro(duckLnD("abs(tt) + sqrt(tt * tt + CAST(1 AS DOUBLE))"))}
+         |            ELSE -${duckMicro(duckLnD("abs(tt) + sqrt(tt * tt + CAST(1 AS DOUBLE))"))} END
+         |     + ${duckMicro(duckLnD("tcl + sqrt(tcl * tcl - CAST(1 AS DOUBLE))"))}
+         |       AS v_e6
+         |FROM b2""".stripMargin,
 
     // the baseline is the per-user sum over [t0, t0+1d), joined to
     // every grid step's sum on the user label

@@ -68,8 +68,12 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   *                    clamp(v,lo,hi) clamp_min(v,lo) clamp_max(v,hi)
   *                    ln log2 log10 exp  (digit-extraction portable —
   *                      see mathProject)
+  *                    sin cos tan asin acos atan  (CORDIC — see
+  *                      trigProject) sinh cosh tanh asinh acosh atanh
+  *                      (exp/ln-fold identities) deg rad
   *                    hour minute day_of_week day_of_month day_of_year
   *                    month year days_in_month  (empty arg = time())
+  *             | "pi" "(" ")"   (scalar constant)
   *   sortfn   := ("sort"|"sort_desc") "(" expr ")"   (values pass
   *               through; materializes a per-step deterministic
   *               ORDER BY value with identity tiebreak — see Sort)
@@ -329,6 +333,8 @@ object PromQL {
   val MathFns: Set[String] = Set("abs", "ceil", "floor", "sgn", "round",
     "clamp", "clamp_min", "clamp_max", "sqrt",
     "ln", "log2", "log10", "exp",
+    "sin", "cos", "tan", "asin", "acos", "atan",
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh", "deg", "rad",
     "hour", "minute", "day_of_week", "day_of_month", "day_of_year",
     "month", "year", "days_in_month")
   /** The MathFns subset reading the value as an epoch timestamp,
@@ -816,6 +822,16 @@ object PromQL {
           i += id.length
           val after = { val s2 = i; ws(); val c = peekChar; i = s2; c }
           if (after.contains('(')) mathCall(id) else { i = save; selector() }
+        case Some("pi") =>
+          // pi() — a scalar constant (Prometheus's only 0-ary math
+          // fn); a metric literally named pi stays a selector
+          i += 2
+          val after = { val s2 = i; ws(); val c = peekChar; i = s2; c }
+          if (!after.contains('(')) { i = save; selector() }
+          else for {
+            _ <- eat('(')
+            _ <- eat(')')
+          } yield ScalarLit(3.141592653589793): Expr
         case Some(id) if id == "sort" || id == "sort_desc" =>
           i += id.length
           val after = { val s2 = i; ws(); val c = peekChar; i = s2; c }
@@ -885,7 +901,8 @@ object PromQL {
         _ <- (fn, args) match {
           case (f, Seq()) if f == "abs" || f == "ceil" || f == "floor" ||
                f == "sgn" || f == "sqrt" || f == "ln" || f == "log2" ||
-               f == "log10" || f == "exp" || CalendarFns(f) => Right(())
+               f == "log10" || f == "exp" || f == "deg" || f == "rad" ||
+               TrigFns(f) || CalendarFns(f) => Right(())
           case ("round", Seq()) | ("round", Seq(_)) =>
             // the bound is on the e6-converted integer: 1e-7 would
             // truncate to a zero divisor
@@ -1714,6 +1731,95 @@ object PromQL {
   private val ExpT: String =
     "CAST(v_e6 AS DOUBLE) / 1000000.0D * 1.4426950408889634D"
 
+  // ---- CORDIC (trigonometry without libm) --------------------------
+  // The rotation/vectoring folds below compute sin/cos/atan from
+  // ONLY exactly-specified IEEE ops: multiplies by powers of two
+  // (exact), additions (correctly rounded), comparisons, and the 40
+  // table constants — double literals both engines parse to the
+  // identical bit pattern. Like the log/exp folds, the CONSTANTS AND
+  // THE LOOP ARE THE SPEC: any conforming engine reproduces the
+  // result bit-for-bit. 40 iterations ≈ 2e-12 absolute error — five
+  // orders below the µ-unit grain.
+
+  /** 2^-i, i = 0..39 — exact double literals. */
+  private[graft] val CordicPow2: Seq[String] = (0 until 40).map(i =>
+    java.lang.Double.toString(math.pow(2.0, -i)))
+  /** atan(2^-i), i = 0..39 — the rotation-angle table. */
+  private[graft] val CordicAtan: Seq[String] = (0 until 40).map(i =>
+    java.lang.Double.toString(math.atan(math.pow(2.0, -i))))
+  /** K = Π cos(atan 2^-i): starting x at K makes the rotation fold
+    * land directly on (cos r, sin r) — no post-scaling multiply. */
+  private[graft] val CordicK: String = java.lang.Double.toString(
+    (0 until 40).foldLeft(1.0)((a, i) => a / math.sqrt(1.0 + math.pow(2.0, -2 * i))))
+  private[graft] val HalfPiD: String = "1.5707963267948966"
+
+  private def sparkArr(vals: Seq[String]): String =
+    vals.map(v => s"CAST('$v' AS DOUBLE)").mkString("array(", ", ", ")")
+
+  /** Rotation mode: (x, y) starts at (K, 0) and rotates by r — the
+    * fold answers named_struct(x ≈ cos r, y ≈ sin r), |r| ≤ π/4
+    * after quadrant reduction. */
+  private def cordicRotateSql(rExpr: String): String =
+    s"aggregate(sequence(0, 39), " +
+      s"named_struct('x', CAST('$CordicK' AS DOUBLE), 'y', 0.0D, 'z', ($rExpr)), " +
+      "(s, i) -> CASE WHEN s.z >= 0.0D " +
+      s"THEN named_struct('x', s.x - s.y * element_at(${sparkArr(CordicPow2)}, i + 1), " +
+      s"'y', s.y + s.x * element_at(${sparkArr(CordicPow2)}, i + 1), " +
+      s"'z', s.z - element_at(${sparkArr(CordicAtan)}, i + 1)) " +
+      s"ELSE named_struct('x', s.x + s.y * element_at(${sparkArr(CordicPow2)}, i + 1), " +
+      s"'y', s.y - s.x * element_at(${sparkArr(CordicPow2)}, i + 1), " +
+      s"'z', s.z + element_at(${sparkArr(CordicAtan)}, i + 1)) END, " +
+      "s -> named_struct('x', s.x, 'y', s.y))"
+
+  /** Vectoring mode: drives y → 0 accumulating z ≈ atan(u) (x0 = 1,
+    * so any finite u converges: |atan u| < π/2 < Σ atan 2^-i). */
+  private def cordicAtanSql(uExpr: String): String =
+    s"aggregate(sequence(0, 39), " +
+      s"named_struct('x', 1.0D, 'y', ($uExpr), 'z', 0.0D), " +
+      "(s, i) -> CASE WHEN s.y > 0.0D " +
+      s"THEN named_struct('x', s.x + s.y * element_at(${sparkArr(CordicPow2)}, i + 1), " +
+      s"'y', s.y - s.x * element_at(${sparkArr(CordicPow2)}, i + 1), " +
+      s"'z', s.z + element_at(${sparkArr(CordicAtan)}, i + 1)) " +
+      s"ELSE named_struct('x', s.x - s.y * element_at(${sparkArr(CordicPow2)}, i + 1), " +
+      s"'y', s.y + s.x * element_at(${sparkArr(CordicPow2)}, i + 1), " +
+      s"'z', s.z - element_at(${sparkArr(CordicAtan)}, i + 1)) END, " +
+      "s -> s.z)"
+
+  /** The exp fold generalized to a DOUBLE argument expression, result
+    * still a DOUBLE (no µ-rounding) — the building block hyperbolics
+    * compose (same deterministic digit algorithm as the µ-int exp;
+    * callers bound |u| so the power-of-two shift stays in range). */
+  private def expDSql(uExpr: String): String = {
+    val tE = s"(($uExpr) * 1.4426950408889634D)"
+    val fold =
+      s"aggregate(sequence(1, 48), " +
+        s"named_struct('g', $tE - floor($tE), 'acc', 1.0D, 'r', 2.0D), " +
+        "(s, j) -> CASE WHEN s.g + s.g >= 1.0D " +
+        "THEN named_struct('g', s.g + s.g - 1.0D, 'acc', s.acc * sqrt(s.r), 'r', sqrt(s.r)) " +
+        "ELSE named_struct('g', s.g + s.g, 'acc', s.acc, 'r', sqrt(s.r)) END, " +
+        "s -> s.acc)"
+    s"(CASE WHEN CAST(floor($tE) AS INT) >= 0 " +
+      s"THEN $fold * CAST(SHIFTLEFT(1L, CAST(floor($tE) AS INT)) AS DOUBLE) " +
+      s"ELSE $fold / CAST(SHIFTLEFT(1L, -CAST(floor($tE) AS INT)) AS DOUBLE) END)"
+  }
+
+  /** The log fold generalized to a positive DOUBLE argument, result
+    * ln(w) as a DOUBLE (fixed-point log2 scaled by ln 2). */
+  private def lnDSql(wExpr: String): String = {
+    val fold =
+      s"aggregate(sequence(1, 88), " +
+        s"named_struct('m', ($wExpr), 'e', 0L, 'b', 0L), " +
+        "(s, i) -> CASE WHEN i <= 64 THEN " +
+        "CASE WHEN s.m >= 2.0D THEN named_struct('m', s.m / 2.0D, 'e', s.e + 1L, 'b', s.b) " +
+        "WHEN s.m < 1.0D THEN named_struct('m', s.m * 2.0D, 'e', s.e - 1L, 'b', s.b) " +
+        "ELSE s END " +
+        "ELSE CASE WHEN s.m * s.m >= 2.0D " +
+        "THEN named_struct('m', s.m * s.m / 2.0D, 'e', s.e, 'b', s.b * 2L + 1L) " +
+        "ELSE named_struct('m', s.m * s.m, 'e', s.e, 'b', s.b * 2L) END END, " +
+        "s -> s.e * 16777216L + s.b)"
+    s"(CAST($fold AS DOUBLE) / 16777216.0D * 0.6931471805599453D)"
+  }
+
   /** 2^frac(t) by binary-digit extraction: g doubles exactly
     * (g2 - 1 exact by Sterbenz on [1,2)); each set bit multiplies in
     * sqrt^j(2), itself a chain of correctly-rounded sqrts. 48 bits
@@ -1726,8 +1832,108 @@ object PromQL {
       "ELSE named_struct('g', s.g + s.g, 'acc', s.acc, 'r', sqrt(s.r)) END, " +
       "s -> s.acc)"
 
+  /** The trig/hyperbolic family — computed through intermediate
+    * columns (the folds appear once each, not once per CASE branch).
+    * All deterministic-by-construction: CORDIC for sin/cos/atan,
+    * exp/ln-fold compositions for the hyperbolics, documented
+    * identities for the rest. Domain rows outside each function's
+    * range DROP (the sqrt/ln convention); values are defined by the
+    * algorithm, accurate to ~2e-12 absolute — five orders below the
+    * µ grain. */
+  private val TrigFns: Set[String] = Set("sin", "cos", "tan", "asin",
+    "acos", "atan", "sinh", "cosh", "tanh", "asinh", "acosh", "atanh")
+
+  private def micro(e: String): String =
+    s"CAST(floor(($e) * 1000000.0D + 0.5D) AS BIGINT)"
+
+  private def trigProject(child: DataFrame, fn: String): DataFrame = {
+    val base0 = fn match {
+      // sinh/cosh overflow the µ-unit BIGINT past |x| ≈ 29.85 —
+      // same bound (and same row-drop deviation) as exp
+      case "sinh" | "cosh" => child.filter(abs(col("v_e6")) <= 29850000L)
+      case "asin" | "acos" => child.filter(abs(col("v_e6")) <= 1000000L)
+      case "acosh"         => child.filter(col("v_e6") >= 1000000L)
+      case "atanh"         => child.filter(abs(col("v_e6")) < 1000000L)
+      case _               => child
+    }
+    val t = base0.withColumn("_t", expr("CAST(v_e6 AS DOUBLE) / 1000000.0D"))
+    val out: DataFrame = fn match {
+      case "sin" | "cos" | "tan" =>
+        // quadrant reduction: r = t - k·(π/2) ∈ [-π/4, π/4] — the
+        // k·HALF_PI multiply and subtract are correctly rounded, so
+        // the (deterministic) reduction loses accuracy only at huge
+        // |t|, exactly as float sin does everywhere
+        val df = t
+          .withColumn("_k",
+            expr(s"CAST(floor(_t / CAST('$HalfPiD' AS DOUBLE) + 0.5D) AS BIGINT)"))
+          .withColumn("_r",
+            expr(s"_t - CAST(_k AS DOUBLE) * CAST('$HalfPiD' AS DOUBLE)"))
+          .withColumn("_q", expr("((_k % 4) + 4) % 4"))
+          .withColumn("_c", expr(cordicRotateSql("_r")))
+          .withColumn("_sin", expr(
+            "CASE _q WHEN 0 THEN _c.y WHEN 1 THEN _c.x WHEN 2 THEN -_c.y ELSE -_c.x END"))
+          .withColumn("_cos", expr(
+            "CASE _q WHEN 0 THEN _c.x WHEN 1 THEN -_c.y WHEN 2 THEN -_c.x ELSE _c.y END"))
+        fn match {
+          case "sin" => df.withColumn("_v", expr(micro("_sin")))
+          case "cos" => df.withColumn("_v", expr(micro("_cos")))
+          case "tan" =>
+            // a pole (cos → 0) or µ-BIGINT overflow drops the row
+            df.withColumn("_v", expr(
+              "CASE WHEN _cos = 0.0D OR abs(_sin / _cos) > 9.0e12D THEN NULL " +
+                s"ELSE ${micro("_sin / _cos")} END"))
+        }
+      case "atan" =>
+        t.withColumn("_v", expr(micro(cordicAtanSql("_t"))))
+      case "asin" | "acos" =>
+        // asin x = atan(x / √(1-x²)); the ±1 endpoints short-circuit
+        // (the quotient would be ∞); acos = π/2 − asin at the double
+        // level, rounded once
+        val df = t.withColumn("_as", expr(
+          s"CASE WHEN _t = 1.0D THEN CAST('$HalfPiD' AS DOUBLE) " +
+            s"WHEN _t = -1.0D THEN -CAST('$HalfPiD' AS DOUBLE) " +
+            s"ELSE ${cordicAtanSql("_t / sqrt(1.0D - _t * _t)")} END"))
+        if (fn == "asin") df.withColumn("_v", expr(micro("_as")))
+        else df.withColumn("_v",
+          expr(micro(s"CAST('$HalfPiD' AS DOUBLE) - _as")))
+      case "sinh" | "cosh" | "tanh" =>
+        val df = t
+          .withColumn("_ep", expr(expDSql("_t")))
+          .withColumn("_en", expr(expDSql("-_t")))
+        fn match {
+          case "sinh" => df.withColumn("_v", expr(micro("(_ep - _en) / 2.0D")))
+          case "cosh" => df.withColumn("_v", expr(micro("(_ep + _en) / 2.0D")))
+          case "tanh" =>
+            // |x| > 20: tanh is 1 to within 1e-17 — short-circuit
+            // keeps the expD shift in range for any input
+            df.withColumn("_v", expr(
+              "CASE WHEN v_e6 > 20000000L THEN 1000000L " +
+                "WHEN v_e6 < -20000000L THEN -1000000L " +
+                s"ELSE ${micro("(_ep - _en) / (_ep + _en)")} END"))
+        }
+      case "asinh" =>
+        // asinh x = sign(x)·ln(|x| + √(x²+1)) — the |x| form avoids
+        // the catastrophic cancellation of the negative branch
+        t.withColumn("_l", expr(lnDSql("abs(_t) + sqrt(_t * _t + 1.0D)")))
+          .withColumn("_v", expr(
+            s"CASE WHEN v_e6 >= 0L THEN ${micro("_l")} " +
+              s"ELSE -${micro("_l")} END"))
+      case "acosh" =>
+        t.withColumn("_v",
+          expr(micro(lnDSql("_t + sqrt(_t * _t - 1.0D)"))))
+      case "atanh" =>
+        // atanh x = ln((1+x)/(1-x)) · 0.5 (exact halving)
+        t.withColumn("_v",
+          expr(micro(s"${lnDSql("(1.0D + _t) / (1.0D - _t)")} * 0.5D")))
+    }
+    out.filter(col("_v").isNotNull)
+      .select(lit(null).cast("string").as("metric"), col("labels"),
+        col("t"), col("_v").cast("long").as("v_e6"))
+  }
+
   private def mathProject(child: DataFrame, fn: String,
                           args: Seq[Double]): DataFrame = {
+    if (TrigFns(fn)) return trigProject(child, fn)
     def e6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
     val asDate =
       "date_add(DATE'1970-01-01', CAST((v_e6 DIV 1000000) DIV 86400 AS INT))"
@@ -1789,6 +1995,14 @@ object PromQL {
              |       THEN $ExpFold * CAST(SHIFTLEFT(1L, CAST(floor($ExpT) AS INT)) AS DOUBLE)
              |       ELSE $ExpFold / CAST(SHIFTLEFT(1L, -CAST(floor($ExpT) AS INT)) AS DOUBLE)
              |  END * 1000000.0D + 0.5D) AS BIGINT) END""".stripMargin)
+      // one correctly-rounded multiply by an exact-parse constant —
+      // portable like the scalar `*` operator
+      case "deg" =>
+        expr("CAST(floor(CAST(v_e6 AS DOUBLE) " +
+          "* CAST('57.29577951308232' AS DOUBLE) + 0.5D) AS BIGINT)")
+      case "rad" =>
+        expr("CAST(floor(CAST(v_e6 AS DOUBLE) " +
+          "* CAST('0.017453292519943295' AS DOUBLE) + 0.5D) AS BIGINT)")
       // calendar functions read the value as epoch SECONDS (UTC) —
       // pure integer arithmetic; epoch day 0 was a Thursday
       case "hour" =>

@@ -91,10 +91,80 @@ class PromQLDiffSpec extends SparkSpecBase {
       }
 
   /** Sequential digit-extraction log2 fixed point — the scaladoc
-    * algorithm, op for op. */
-  private def log2fx(vE6: Long): Long = {
-    var m = vE6.toDouble / 1000000.0d
-    var e = 0L; var b = 0L
+    * algorithm, op for op (general double form in [[log2fxD]]). */
+  private def log2fx(vE6: Long): Long = log2fxD(vE6.toDouble / 1000000.0d)
+
+  // CORDIC replicas — op-for-op ports of the scaladoc algorithms
+  private val P2 = (0 until 40).map(i => math.pow(2.0, -i))
+  private val AT = (0 until 40).map(i => math.atan(math.pow(2.0, -i)))
+  private val KC = (0 until 40).foldLeft(1.0)((a, i) =>
+    a / math.sqrt(1.0 + math.pow(2.0, -2 * i)))
+  private val HP = 1.5707963267948966d
+
+  private def rotate(r: Double): (Double, Double) = {
+    var x = KC; var y = 0.0d; var z = r
+    var i = 0
+    while (i < 40) {
+      if (z >= 0.0d) {
+        val nx = x - y * P2(i); val ny = y + x * P2(i)
+        x = nx; y = ny; z -= AT(i)
+      } else {
+        val nx = x + y * P2(i); val ny = y - x * P2(i)
+        x = nx; y = ny; z += AT(i)
+      }
+      i += 1
+    }
+    (x, y)
+  }
+
+  private def vectAtan(u: Double): Double = {
+    var x = 1.0d; var y = u; var z = 0.0d
+    var i = 0
+    while (i < 40) {
+      if (y > 0.0d) {
+        val nx = x + y * P2(i); val ny = y - x * P2(i)
+        x = nx; y = ny; z += AT(i)
+      } else {
+        val nx = x - y * P2(i); val ny = y + x * P2(i)
+        x = nx; y = ny; z -= AT(i)
+      }
+      i += 1
+    }
+    z
+  }
+
+  private def refSinCos(vE6: Long): (Double, Double) = {
+    val t = vE6.toDouble / 1000000.0d
+    val k = math.floor(t / HP + 0.5d).toLong
+    val r = t - k.toDouble * HP
+    val q = (((k % 4) + 4) % 4).toInt
+    val (x, y) = rotate(r)
+    val s = q match { case 0 => y; case 1 => x; case 2 => -y; case _ => -x }
+    val c = q match { case 0 => x; case 1 => -y; case 2 => -x; case _ => y }
+    (s, c)
+  }
+
+  private def refExpD(u: Double): Double = {
+    val t = u * 1.4426950408889634d
+    val i = math.floor(t).toLong
+    var g = t - math.floor(t)
+    var acc = 1.0d; var r = 2.0d
+    var j = 0
+    while (j < 48) {
+      r = math.sqrt(r)
+      if (g + g >= 1.0d) { acc *= r; g = g + g - 1.0d }
+      else g = g + g
+      j += 1
+    }
+    if (i >= 0) acc * java.lang.Double.longBitsToDouble((1023L + i) << 52)
+    else acc / java.lang.Double.longBitsToDouble((1023L - i) << 52)
+  }
+
+  private def refLnD(w: Double): Double =
+    log2fxD(w).toDouble / 16777216.0d * 0.6931471805599453d
+
+  private def log2fxD(w: Double): Long = {
+    var m = w; var e = 0L; var b = 0L
     var i = 1
     while (i <= 88) {
       if (i <= 64) {
@@ -427,6 +497,65 @@ class PromQLDiffSpec extends SparkSpecBase {
         Some(math.floor(log2fx(v).toDouble / 16777216.0d * scale + 0.5d).toLong)
       }
     case "exp" => refExp(v)
+    case "sin" => Some(math.floor(refSinCos(v)._1 * 1000000 + 0.5).toLong)
+    case "cos" => Some(math.floor(refSinCos(v)._2 * 1000000 + 0.5).toLong)
+    case "tan" =>
+      val (s, c) = refSinCos(v)
+      if (c == 0.0d || math.abs(s / c) > 9.0e12d) None
+      else Some(math.floor(s / c * 1000000 + 0.5).toLong)
+    case "atan" =>
+      Some(math.floor(vectAtan(v.toDouble / 1000000.0d) * 1000000 + 0.5).toLong)
+    case "asin" | "acos" =>
+      if (math.abs(v) > 1000000L) None
+      else {
+        val t0 = v.toDouble / 1000000.0d
+        val as =
+          if (t0 == 1.0d) HP
+          else if (t0 == -1.0d) -HP
+          else vectAtan(t0 / math.sqrt(1.0d - t0 * t0))
+        val d = if (fn == "asin") as else HP - as
+        Some(math.floor(d * 1000000 + 0.5).toLong)
+      }
+    case "sinh" | "cosh" =>
+      if (math.abs(v) > 29850000L) None
+      else {
+        val t0 = v.toDouble / 1000000.0d
+        val d =
+          if (fn == "sinh") (refExpD(t0) - refExpD(-t0)) / 2.0d
+          else (refExpD(t0) + refExpD(-t0)) / 2.0d
+        Some(math.floor(d * 1000000 + 0.5).toLong)
+      }
+    case "tanh" =>
+      if (v > 20000000L) Some(1000000L)
+      else if (v < -20000000L) Some(-1000000L)
+      else {
+        val t0 = v.toDouble / 1000000.0d
+        val ep = refExpD(t0); val en = refExpD(-t0)
+        Some(math.floor((ep - en) / (ep + en) * 1000000 + 0.5).toLong)
+      }
+    case "asinh" =>
+      val t0 = v.toDouble / 1000000.0d
+      val l = math.floor(
+        refLnD(math.abs(t0) + math.sqrt(t0 * t0 + 1.0d)) * 1000000 + 0.5).toLong
+      Some(if (v >= 0L) l else -l)
+    case "acosh" =>
+      if (v < 1000000L) None
+      else {
+        val t0 = v.toDouble / 1000000.0d
+        Some(math.floor(
+          refLnD(t0 + math.sqrt(t0 * t0 - 1.0d)) * 1000000 + 0.5).toLong)
+      }
+    case "atanh" =>
+      if (math.abs(v) >= 1000000L) None
+      else {
+        val t0 = v.toDouble / 1000000.0d
+        Some(math.floor(
+          refLnD((1.0d + t0) / (1.0d - t0)) * 0.5d * 1000000 + 0.5).toLong)
+      }
+    case "deg" =>
+      Some(math.floor(v.toDouble * 57.29577951308232d + 0.5).toLong)
+    case "rad" =>
+      Some(math.floor(v.toDouble * 0.017453292519943295d + 0.5).toLong)
     case "hour"   => Some((v / 1000000) % 86400 / 3600 * 1000000L)
     case "minute" => Some((v / 1000000) % 3600 / 60 * 1000000L)
     case "month" =>
@@ -523,6 +652,12 @@ class PromQLDiffSpec extends SparkSpecBase {
       "(m) or (w)",
       "(m) unless (m > 0)",
       "sort_desc(sum by (host) (m))",
+      "sin(m) + cos(m)",
+      "tan(sum by (host) (sum_over_time(m[120s])))",
+      "atan(m) - asin(sin(m))",
+      "sinh(atan(w)) + tanh(m)",
+      "asinh(sum_over_time(m[90s])) * 2",
+      "deg(rad(m))",
       "(sum by (host) (m)) ^ 3",
       "round(m, 0.5)",
       "minute(m)"
@@ -538,7 +673,8 @@ class PromQLDiffSpec extends SparkSpecBase {
     val aggs = Seq("sum", "min", "max", "count", "avg", "group",
       "stddev", "stdvar")
     val maths = Seq("abs", "ceil", "floor", "sgn", "sqrt", "ln", "log2",
-      "log10", "hour", "minute")
+      "log10", "hour", "minute", "sin", "cos", "tan", "atan", "asin",
+      "acos", "tanh", "asinh", "acosh", "atanh", "deg", "rad")
     def sel(): String = Seq("m", "w",
       """m{host="a"}""", """w{user=~"1|2"}""")(rnd.nextInt(4))
     def dur(): String = Seq("45s", "90s", "120s", "180s")(rnd.nextInt(4))

@@ -777,6 +777,46 @@ class PromQLSpec extends SparkSpecBase {
       Set(("", "", T0 + 60, 33115452L)))
   }
 
+  test("CORDIC trig and fold-composed hyperbolics: portable values") {
+    // window sums: a = 3.5, b = 20.25; expected values are the
+    // CORDIC/fold algorithms' outputs (verified = libm rounded on
+    // these inputs)
+    def evalFn(q: String) = rows(PromQL.eval(tinySamples,
+      parse(q).toOption.get, T0 + 60, T0 + 60, 60L))
+    val A = "host=a,user=1"; val B = "host=b,user=2"
+    def two(q: String, va: Long, vb: Long): Unit =
+      assert(evalFn(q) === Set(("", A, T0 + 60, va), ("", B, T0 + 60, vb)), q)
+    val S = "sum_over_time(m[60s])"
+    two(s"sin($S)", -350783L, 985525L)
+    two(s"cos($S)", -936457L, 169530L)
+    two(s"tan($S)", 374586L, 5813295L)
+    two(s"atan($S)", 1292497L, 1521454L)
+    two(s"sinh($S)", 16542627L, 311482221099222L)
+    two(s"cosh($S)", 16572825L, 311482221099222L)
+    two(s"tanh($S)", 998178L, 1000000L) // tanh(20.25) rounds to 1
+    two(s"asinh($S)", 1965720L, 3701911L)
+    two(s"acosh($S)", 1924847L, 3700692L)
+    two(s"deg($S)", 200535228L, 1160239535L)
+    two(s"rad($S)", 61087L, 353429L)
+    // asin/acos need |x| ≤ 1: 20.25/40.5 = 0.5 exactly and
+    // 3.5/40.5 → 0.086420 (µ-snapped) stays in range
+    two(s"asin($S / 40.5)", 86528L, 523599L)
+    two(s"acos($S / 40.5)", 1484268L, 1047198L)
+    two(s"atanh($S / 40.5)", 86636L, 549306L)
+    // domain drops: |x| > 1 for asin, x < 1 for acosh
+    assert(evalFn(s"asin($S)") === Set.empty)
+    assert(evalFn(s"acosh($S / 40.5)") === Set.empty)
+    // sin of an exact zero answers exactly zero (CORDIC noise stays
+    // under the µ rounding)
+    two(s"sin($S * 0)", 0L, 0L)
+    assert(PromQL.parse("pi()").toOption.get ===
+      ScalarLit(3.141592653589793))
+    assert(PromQL.parse("pi offset 30s") match { // metric named pi
+      case Right(Instant(_, 30L)) => true
+      case _ => false
+    })
+  }
+
   test("sort/sort_desc pass values through and order the collect") {
     def ordered(q: String): Seq[(Long, Long)] =
       PromQL.eval(tinySamples, parse(q).toOption.get, T0 + 60, T0 + 120, 60L)
@@ -1076,7 +1116,9 @@ class PromQLSpec extends SparkSpecBase {
     val aggs = Seq("sum", "avg", "min", "max", "count", "group",
       "stddev", "stdvar")
     val maths = Seq("abs", "ceil", "floor", "sgn", "sqrt", "hour", "month",
-      "ln", "log2", "log10", "exp", "sort", "sort_desc")
+      "ln", "log2", "log10", "exp", "sort", "sort_desc",
+      "sin", "cos", "tan", "asin", "acos", "atan",
+      "sinh", "cosh", "tanh", "asinh", "acosh", "atanh", "deg", "rad")
     def gen(depth: Int): String = {
       if (depth <= 0) "m"
       else rnd.nextInt(16) match {

@@ -424,6 +424,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
     }),
 
+    // OTLP ingest: the samples re-encoded as an OpenTelemetry
+    // ExportMetricsServiceRequest (one Gauge per metric, labels as
+    // data-point attributes) must decode to the identical store
+    "ingest_otlp" -> ((s, dir) => {
+      val path = workDir("otlpserve", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val rows = samples(s, dir)
+        .select(col("ts_us"), col("metric"), col("labels"), col("value"))
+        .collect().map(r => PromRemoteCodec.IngestedSample(r.getLong(0),
+          r.getString(1), r.getSeq[String](2).toSeq, r.getDouble(3)))
+      val blob = graft.ingest.OtlpCodec.encodeExportMetrics(rows.toSeq)
+      graft.serve.RemoteWrite.serveOtlp(s, path, blob)
+      SamplesStore.read(s, path)
+        .groupBy(col("metric"), col("date").cast("long").as("date"))
+        .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
+    }),
+
     // the same contract over remote-write 2.0: the v1 blobs re-encode
     // through the v2 symbol-table codec (each label string interned
     // once) and the negotiated decode must land the identical store
@@ -1737,6 +1756,13 @@ object SparkEntry {
     "read_request_e2e" -> readAgg(s"$inWin AND metric = 'signup'"),
 
     "write_request_e2e" ->
+      s"""$S
+         |SELECT metric, ts_us // 1000000 // 86400 * 86400 AS date,
+         |       count(*) AS n_samples, round(sum(value), 6) AS sum_value
+         |FROM samples GROUP BY 1, 2""".stripMargin,
+
+    // OTLP round-trip is lossless: identical store
+    "ingest_otlp" ->
       s"""$S
          |SELECT metric, ts_us // 1000000 // 86400 * 86400 AS date,
          |       count(*) AS n_samples, round(sum(value), 6) AS sum_value

@@ -112,9 +112,12 @@ object ProtoWire {
 
     def writeVarintField(field: Int, v: Long): Unit = { writeTag(field, 0); writeVarint(v) }
 
-    def writeDoubleField(field: Int, v: Double): Unit = {
+    def writeDoubleField(field: Int, v: Double): Unit =
+      writeFixed64Field(field, java.lang.Double.doubleToLongBits(v))
+
+    def writeFixed64Field(field: Int, v: Long): Unit = {
       writeTag(field, 1)
-      var bits = java.lang.Double.doubleToLongBits(v)
+      var bits = v
       var i = 0
       while (i < 8) { out.write((bits & 0xff).toInt); bits >>>= 8; i += 1 }
     }

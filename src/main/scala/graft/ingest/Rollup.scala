@@ -306,6 +306,7 @@ object RollupStore {
         StructField("n_points", LongType),
         StructField("t_first", LongType), StructField("t_last", LongType),
         StructField("v_first", DoubleType), StructField("v_last", DoubleType),
+        StructField("t_penult", LongType), StructField("v_penult", DoubleType),
         StructField("date", IntegerType))))
   }
 

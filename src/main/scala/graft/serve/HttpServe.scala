@@ -165,6 +165,26 @@ object HttpServe {
       }
     })
 
+    // OTLP metrics ingest (Prometheus 3.x parity): raw protobuf
+    // ExportMetricsServiceRequest, no snappy. Compressed bodies are
+    // 415 — this receiver speaks identity only (the OTLP HTTP spec's
+    // answer for an unsupported content-encoding).
+    server.createContext("/api/v1/otlp/v1/metrics",
+      (ex: HttpExchange) => guarded(ex) {
+        val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+          .map(_.trim.toLowerCase).filter(e => e.nonEmpty && e != "identity")
+        if (enc.isDefined) {
+          respond(ex, 415,
+            s"unsupported Content-Encoding: ${enc.get}\n".getBytes(UTF_8),
+            Seq("Content-Type" -> "text/plain; charset=utf-8"))
+        } else {
+          RemoteWrite.serveOtlp(spark, storePath, body(ex))
+          // an empty ExportMetricsServiceResponse IS zero proto bytes
+          respond(ex, 200, Array.emptyByteArray,
+            Seq("Content-Type" -> "application/x-protobuf"))
+        }
+      })
+
     server.createContext("/read", (ex: HttpExchange) => guarded(ex) {
       // The store's visibility read lock excludes this query's whole
       // execution from the ms-scale swap/restore/drop windows — a

@@ -242,6 +242,26 @@ object RemoteWrite {
     rows.size.toLong
   }
 
+  /** OTLP metrics body (raw protobuf, no snappy) → store append —
+    * the /api/v1/otlp/v1/metrics leg. Same counters, same background
+    * maintenance as the prompb path. */
+  def serveOtlp(spark: SparkSession, storePath: String,
+                body: Array[Byte]): Long = {
+    val m = OpsMetrics(spark)
+    m.writeRequests.add(1)
+    val rows =
+      try graft.ingest.OtlpCodec.decodeExportMetrics(body)
+      catch { case e: Throwable => m.writeErrors.add(1); throw e }
+    if (rows.nonEmpty) {
+      import spark.implicits._
+      SamplesStore.append(
+        rows.toDF("ts_us", "metric", "labels", "value"), storePath)
+      m.samplesWritten.add(rows.size.toLong)
+      maybeCompactRateLimited(spark, storePath)
+    }
+    rows.size.toLong
+  }
+
   /** Batched form: decode+append MANY blobs as ONE store write (one
     * Spark job instead of one per request) — the shape a replay or a
     * buffering front-end uses. Malformed blobs throw; counters as in

@@ -81,6 +81,78 @@ class ServeSpec extends SparkSpecBase {
     } finally srv.stop()
   }
 
+  test("/api/v1/otlp/v1/metrics ingests OTLP gauges and sums") {
+    import graft.ingest.{OtlpCodec, ProtoWire}
+    val store = tmpStore("otlp")
+    val srv = HttpServe.start(spark, store)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      // hand-build a request: resource {service.name=api,
+      // service.instance.id=i1, other=dropped}, one SUM metric with
+      // an int point + a bool attribute
+      def kvStr(k: String, v: String) = {
+        val w = new ProtoWire.Writer
+        w.writeStringField(1, k)
+        val any = new ProtoWire.Writer
+        any.writeStringField(1, v)
+        w.writeMessageField(2, any)
+        w
+      }
+      val resource = new ProtoWire.Writer
+      Seq("service.name" -> "api", "service.instance.id" -> "i1",
+        "cloud.region" -> "dropped").foreach { case (k, v) =>
+        resource.writeMessageField(1, kvStr(k, v))
+      }
+      val point = new ProtoWire.Writer
+      point.writeFixed64Field(3, 1704412800000000000L) // ns
+      point.writeFixed64Field(6, 41L)                  // as_int
+      val battr = new ProtoWire.Writer
+      battr.writeStringField(1, "up")
+      val bval = new ProtoWire.Writer
+      bval.writeVarintField(2, 1L) // bool_value true
+      battr.writeMessageField(2, bval)
+      point.writeMessageField(7, battr)
+      val sum = new ProtoWire.Writer
+      sum.writeMessageField(1, point)
+      val metric = new ProtoWire.Writer
+      metric.writeStringField(1, "otlp_total")
+      metric.writeMessageField(7, sum) // sum, not gauge
+      val scope = new ProtoWire.Writer
+      scope.writeMessageField(2, metric)
+      val rm = new ProtoWire.Writer
+      rm.writeMessageField(1, resource)
+      rm.writeMessageField(2, scope)
+      val req = new ProtoWire.Writer
+      req.writeMessageField(1, rm)
+      assert(post(s"$base/api/v1/otlp/v1/metrics", req.toBytes)._1 === 200)
+      val back = graft.ingest.SamplesStore.read(spark, store).collect()
+      assert(back.length === 1)
+      val r = back(0)
+      assert(r.getAs[String]("metric") === "otlp_total")
+      assert(r.getAs[Seq[String]]("labels") ===
+        Seq("instance=i1", "job=api", "up=true"))
+      assert(r.getAs[Long]("ts_us") === 1704412800000000L)
+      assert(r.getAs[Double]("value") === 41.0)
+      // a gzip body is 415 (identity-only receiver), not a 500
+      val (gc, gb, _) = {
+        val c = new URL(s"$base/api/v1/otlp/v1/metrics").openConnection()
+          .asInstanceOf[HttpURLConnection]
+        c.setRequestMethod("POST"); c.setDoOutput(true)
+        c.setRequestProperty("Content-Encoding", "gzip")
+        c.getOutputStream.write(req.toBytes); c.getOutputStream.close()
+        val code = c.getResponseCode
+        val is = if (code >= 400) c.getErrorStream else c.getInputStream
+        (code, if (is == null) "" else new String(is.readAllBytes(), "UTF-8"), ())
+      }
+      assert(gc === 415, gb)
+      // the codec round-trips its own encoder output
+      val rt = OtlpCodec.decodeExportMetrics(OtlpCodec.encodeExportMetrics(
+        Seq(PromRemoteCodec.IngestedSample(5000000L, "m", Seq("a=1"), 2.5))))
+      assert(rt === Seq(
+        PromRemoteCodec.IngestedSample(5000000L, "m", Seq("a=1"), 2.5)))
+    } finally srv.stop()
+  }
+
   test("the serving write path folds fragmentation in the background") {
     val store = tmpStore("bgcompact")
     val (interval, threshold, grace) =
@@ -1077,7 +1149,7 @@ class ServeSpec extends SparkSpecBase {
       for (url <- Seq(
         s"$base/api/v1/query_range?query=qr_total&start=1&end=2", // no step
         s"$base/api/v1/query_range?query=" +
-          java.net.URLEncoder.encode("acosh(x)", "UTF-8") + // off-whitelist fn
+          java.net.URLEncoder.encode("log1p(x)", "UTF-8") + // off-whitelist fn
           "&start=1&end=2&step=1",
         s"$base/api/v1/query_range?query=" +
           java.net.URLEncoder.encode("rate(x[1h:5m])", "UTF-8") + // no rate subqueries

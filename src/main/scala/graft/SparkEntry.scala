@@ -684,6 +684,12 @@ object SparkEntry {
     "dedup_embedding_keep" -> ((s, dir) =>
       Similarity.embeddingKeep(Tables.embeddings(s, dir), nBands = 4, bitsPerBand = 6)),
 
+    // union-find over the thresholded embedding pair graph — one
+    // representative per semantic near-duplicate CLUSTER
+    "dedup_embedding_components" -> ((s, dir) =>
+      Similarity.embeddingComponents(Tables.embeddings(s, dir),
+        nBands = 4, bitsPerBand = 6, threshold = 0.4)),
+
     // ---- §2.5 similarity search ------------------------------------
     "ann_bruteforce_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), nQueries = 10, k = 10)),
@@ -1135,6 +1141,14 @@ object SparkEntry {
     "promql_sort" -> ((s, dir) =>
       promqlStr(PromQL.eval(samples(s, dir),
         parsePromQL("sort_desc(sum by (user) (sum_over_time(click[1d])))"),
+        WinStartSec, WinEndSec, 86400L))),
+
+    // sort_by_label: same pass-through value contract as sort (the
+    // label ordering itself is spec-asserted)
+    "promql_sort_by_label" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("sort_by_label(sum by (user) (sum_over_time(click[1d]))," +
+          " \"user\")"),
         WinStartSec, WinEndSec, 86400L))),
 
     // CORDIC trigonometry — sin/cos/tan from 40 rotation steps of
@@ -2258,6 +2272,34 @@ object SparkEntry {
          |SELECT vec_a, vec_b, CAST(floor(${duckDot("va", "vb")} / (na * nb) * 1000000 + 0.5) AS BIGINT) AS cos_sim_e6
          |FROM pairs
          |WHERE CAST(floor(${duckDot("va", "vb")} / (na * nb) * 1000000 + 0.5) AS BIGINT) >= 400000""".stripMargin,
+
+    // transitive closure over the thresholded embedding pairs — the
+    // recursive-CTE twin of the min-label propagation loop
+    "dedup_embedding_components" ->
+      s"""${embCte(24)}, banded AS (
+         |  SELECT vec_id, vec, nrm, t.b AS band,
+         |         (sigbits >> (t.b * 6)) & 63 AS band_val
+         |  FROM prep, range(0, 4) t(b)
+         |), prs AS (
+         |  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+         |  WHERE CAST(floor(${duckDot("a.vec", "b.vec")} / (a.nrm * b.nrm) * 1000000 + 0.5) AS BIGINT) >= 400000
+         |), edges AS (
+         |  SELECT a, b FROM prs UNION SELECT b, a FROM prs
+         |), reach AS (
+         |  WITH RECURSIVE rr(a, b) AS (
+         |    SELECT a, b FROM edges
+         |    UNION
+         |    SELECT rr.a, e.b FROM rr JOIN edges e ON rr.b = e.a
+         |  ) SELECT a, b FROM rr
+         |)
+         |SELECT d.vec_id,
+         |       least(d.vec_id, coalesce(min(r.b), d.vec_id)) AS component,
+         |       CAST(least(d.vec_id, coalesce(min(r.b), d.vec_id)) = d.vec_id
+         |            AS INT) AS kept
+         |FROM embeddings d LEFT JOIN reach r ON r.a = d.vec_id
+         |GROUP BY d.vec_id""".stripMargin,
 
     // greedy bucket-min dedup over the same hyperplane bands
     "dedup_embedding_keep" ->
@@ -3478,6 +3520,16 @@ object SparkEntry {
     // sort_desc passes values through — the ordering itself is a
     // presentation contract (spec-asserted), the oracle pins values
     "promql_sort" ->
+      s"""${promqlSotCte("click")}, agg AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
+         |         CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(labels, ',') AS labels_str, t, v_e6
+         |FROM agg""".stripMargin,
+
+    "promql_sort_by_label" ->
       s"""${promqlSotCte("click")}, agg AS (
          |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
          |         CAST(sum(v_e6) AS BIGINT) AS v_e6

@@ -158,6 +158,26 @@ object Similarity {
       .filter(col("cos_sim_e6") >= math.round(threshold * 1e6))
   }
 
+  /** [[graft.llm.Dedup.components]] over the thresholded embedding
+    * near-dup pair graph, widened to every vector — semantic-dedup's
+    * cluster-policy output: ONE representative per connected
+    * near-duplicate cluster (the greedy bucket-min under-merges
+    * chains A~B~C whose ends share no bucket). Same iterative
+    * min-label propagation scale story as the text-side twin. */
+  def embeddingComponents(embeddings: DataFrame, nBands: Int,
+                          bitsPerBand: Int, threshold: Double,
+                          maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val comp = Dedup.components(
+      nearDupPairs(embeddings, nBands, bitsPerBand, threshold,
+        maxBucket = maxBucket).select(col("vec_a"), col("vec_b")),
+      aCol = "vec_a", bCol = "vec_b")
+    embeddings.select(col("vec_id"))
+      .join(comp.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("component"))
+      .withColumn("kept", (col("component") === col("vec_id")).cast("int"))
+  }
+
   /** Greedy linear-output embedding dedup — the keep/drop contract
     * for vectors (see SCALE.md and [[Dedup.minhashKeep]]): every
     * (band, band_val) bucket keeps its minimum vec_id, and a vector

@@ -77,6 +77,9 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   *   sortfn   := ("sort"|"sort_desc") "(" expr ")"   (values pass
   *               through; materializes a per-step deterministic
   *               ORDER BY value with identity tiebreak — see Sort)
+  *             | ("sort_by_label"|"sort_by_label_desc")
+  *               "(" expr {"," str}+ ")"   (ORDER BY label values,
+  *               lexicographic — see SortByLabel)
   *   labelfn  := "label_replace" "(" expr "," str "," str "," str "," str ")"
   *             | "label_join" "(" expr "," str "," str {"," str} ")"
   *   selector := PromQL instant-vector selector (Matchers.parseSelector)
@@ -315,6 +318,16 @@ object PromQL {
     * harmless on ranges. One bounded exchange at the serving
     * boundary (result cardinality, not sample cardinality). */
   final case class Sort(desc: Boolean, child: Expr) extends Expr
+  /** sort_by_label(expr, "lbl", ...) / sort_by_label_desc:
+    * Prometheus's (experimental-flag) table ordering by label VALUES
+    * — values/labels pass through, the plan materializes ORDER BY
+    * the listed labels' values (missing label sorts as ""), then the
+    * full identity tiebreak. Same presentation contract as [[Sort]].
+    * Deviation (documented): Prometheus orders labels with a natural
+    * sort; this engine uses plain lexicographic order — the
+    * deterministic, engine-portable choice. */
+  final case class SortByLabel(desc: Boolean, child: Expr,
+                               labels: Seq[String]) extends Expr
 
   val RangeFns: Set[String] = Set("rate", "increase", "delta",
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
@@ -845,6 +858,36 @@ object PromQL {
               case _ => Right(())
             }
           } yield Sort(id == "sort_desc", child)
+        case Some(id) if id == "sort_by_label" || id == "sort_by_label_desc" =>
+          i += id.length
+          val after = { val s2 = i; ws(); val c = peekChar; i = s2; c }
+          if (!after.contains('(')) { i = save; selector() }
+          else for {
+            _ <- eat('(')
+            child <- expr()
+            lbls <- {
+              val b = Seq.newBuilder[String]
+              var err: Option[String] = None
+              var n = 0
+              while (err.isEmpty && peekChar.contains(',')) {
+                i += 1
+                stringLit() match {
+                  case Right(l) if l.nonEmpty && isIdentStart(l.head) &&
+                      l.forall(isIdentChar) => b += l; n += 1
+                  case Right(l) => err = Some(s"$id: bad label name '$l'")
+                  case Left(e)  => err = Some(e)
+                }
+              }
+              if (err.isEmpty && n == 0)
+                err = Some(s"$id needs at least one label argument")
+              err.toLeft(b.result())
+            }
+            _ <- eat(')')
+            _ <- child match {
+              case ScalarLit(_) => Left(s"$id requires a vector argument")
+              case _ => Right(())
+            }
+          } yield SortByLabel(id == "sort_by_label_desc", child, lbls)
         case Some(id) if AggOps(id) =>
           i += id.length
           val after = { val s2 = i; ws(); val c = peekChar; i = s2; c }
@@ -1345,6 +1388,19 @@ object PromQL {
         c.orderBy(col("t").asc, byValue,
           coalesce(col("metric"), lit("")).asc,
           array_join(col("labels"), ",").asc)
+      case SortByLabel(desc, child, lbls) =>
+        val c = eval(samples, child, startSec, endSec, stepSec, lookbackSec,
+          rollup, ignoreLabel)
+        val keys = lbls.map { l =>
+          val v = coalesce(
+            expr(s"substring(get(filter(labels, x -> startswith(x, '$l=')), 0), " +
+              s"${l.length + 2})"),
+            lit(""))
+          if (desc) v.desc else v.asc
+        }
+        c.orderBy(col("t").asc +: keys :+
+          coalesce(col("metric"), lit("")).asc :+
+          array_join(col("labels"), ",").asc: _*)
       case Binary(op, ScalarLit(k), right, _) =>
         scalarArith(eval(samples, right, startSec, endSec, stepSec,
           lookbackSec, rollup, ignoreLabel), op, k, scalarOnLeft = true)

@@ -838,6 +838,17 @@ class PromQLSpec extends SparkSpecBase {
       case _ => false
     })
     assert(PromQL.parse("sort(1)").isLeft)
+    // sort_by_label orders by the label's VALUE, desc flips it
+    def byLabel(q: String): Seq[String] =
+      PromQL.eval(tinySamples, parse(q).toOption.get, T0 + 60, T0 + 60, 60L)
+        .select(array_join(col("labels"), ",")).collect()
+        .map(_.getString(0)).toSeq
+    assert(byLabel("""sort_by_label(sum_over_time(m[60s]), "host")""") ===
+      Seq("host=a,user=1", "host=b,user=2"))
+    assert(byLabel("""sort_by_label_desc(sum_over_time(m[60s]), "host")""") ===
+      Seq("host=b,user=2", "host=a,user=1"))
+    assert(PromQL.parse("""sort_by_label(m)""").isLeft) // needs a label
+    assert(PromQL.parse("""sort_by_label(m, "bad name")""").isLeft)
   }
 
   test("absent() instant form; label_join; date-based calendar functions") {

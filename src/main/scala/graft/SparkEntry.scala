@@ -1236,6 +1236,14 @@ object SparkEntry {
           "max_over_time(sum by (user) (sum_over_time(click[1d]))[7d:1d])"),
         WinStartSec, WinEndSec, 86400L))),
 
+    // rate over a subquery: the inner vector's first/last µ-integer
+    // points, the Grafana `rate(recorded_expr[1h:5m])` idiom
+    "promql_subquery_rate" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL(
+          "rate(sum by (user) (sum_over_time(click[1d]))[7d:1d])"),
+        WinStartSec, WinEndSec, 86400L))),
+
     // histogram_quantile over data-driven cumulative le buckets: each
     // click sample expands to 0/1 observations per bucket (the
     // _bucket counter-series ingest shape), sum_over_time accumulates
@@ -3809,6 +3817,45 @@ object SparkEntry {
          |       array_to_string(labels, ',') AS labels_str, t,
          |       CAST(max(v_e6) AS BIGINT) AS v_e6
          |FROM oj GROUP BY labels, t""".stripMargin,
+
+    // subquery rate: per outer window, the halfUp ratio of the inner
+    // first/last values over their time span (n≥2, monotone gate) —
+    // identical CTE chain, different tail aggregate
+    "promql_subquery_rate" ->
+      s"""$dedupCte, igrid AS (SELECT unnest(range(-7, 16)) AS j),
+         |ij AS (
+         |  SELECT s.labels, $WinStartSec + ig.j * 86400 AS tv, s.value
+         |  FROM deduped s JOIN igrid ig
+         |    ON s.t_sec >= $WinStartSec + ig.j * 86400 - 86400
+         |   AND s.t_sec <  $WinStartSec + ig.j * 86400
+         |  WHERE s.metric = 'click'
+         |    AND s.t_sec >= ${WinStartSec - 604800 - 86400}
+         |    AND s.t_sec <= ${WinEndSec - 1}
+         |), sot AS (
+         |  SELECT labels, tv,
+         |         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) * 10000 AS v_e6
+         |  FROM ij GROUP BY 1, 2
+         |), agg AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, tv,
+         |         CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2
+         |), grid AS (SELECT unnest(range(0, 16)) AS k),
+         |oj AS (
+         |  SELECT a.labels, $WinStartSec + g.k * 86400 AS t, a.tv, a.v_e6
+         |  FROM agg a JOIN grid g
+         |    ON a.tv >= $WinStartSec + g.k * 86400 - 604800
+         |   AND a.tv <  $WinStartSec + g.k * 86400
+         |), pr AS (
+         |  SELECT labels, t, count(*) AS n,
+         |         arg_min(v_e6, tv) AS fv, arg_max(v_e6, tv) AS lv,
+         |         min(tv) AS tf, max(tv) AS tl
+         |  FROM oj GROUP BY 1, 2
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(labels, ',') AS labels_str, t,
+         |       CAST(FLOOR((CAST(2 AS DOUBLE) * (lv - fv) + (tl - tf))
+         |            / (CAST(2 AS DOUBLE) * (tl - tf))) AS BIGINT) AS v_e6
+         |FROM pr WHERE n >= 2 AND tl > tf AND lv >= fv""".stripMargin,
 
     // the evaluator's dynamic-bucket estimator over the same 0/1
     // bucket expansion; selection by row_number instead of Spark's

@@ -56,6 +56,7 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   *                    present_over_time mad_over_time
   *   subquery := fn "(" expr "[" dur ":" dur "]" [mods] ")"
   *               fn ∈ sum/avg/min/max/count/last_over_time
+  *                    rate increase delta  (inner first/last points)
   *   histq    := "histogram_quantile" "(" φ "," expr ")"
   *   predict  := "predict_linear" "(" selector "[" dur "]" [offset] "," num ")"
   *   holt     := ("holt_winters"|"double_exponential_smoothing")
@@ -340,9 +341,12 @@ object PromQL {
   val AggOps: Set[String] = Set("sum", "avg", "min", "max", "count",
     "group", "quantile", "stddev", "stdvar")
   /** The RangeFns subset valid over a subquery — the ones whose
-    * aggregation is exact on the inner vector's integer values. */
+    * aggregation is exact on the inner vector's integer values
+    * (rate/increase/delta read the inner first/last points — exact
+    * µ-integers; like the raw path, no extrapolation). */
   val SubFns: Set[String] = Set("sum_over_time", "avg_over_time",
-    "min_over_time", "max_over_time", "count_over_time", "last_over_time")
+    "min_over_time", "max_over_time", "count_over_time", "last_over_time",
+    "rate", "increase", "delta")
   val MathFns: Set[String] = Set("abs", "ceil", "floor", "sgn", "round",
     "clamp", "clamp_min", "clamp_max", "sqrt",
     "ln", "log2", "log10", "exp",
@@ -2495,17 +2499,39 @@ object PromQL {
       .groupBy(col("metric"), col("labels"), col("t"))
       .agg(sum(col("v_e6")).as("s"), count(lit(1)).as("n"),
         min(col("v_e6")).as("mn"), max(col("v_e6")).as("mx"),
-        max_by(col("v_e6"), col("tv")).as("lastv"))
-    val v = fn match {
-      case "sum_over_time"   => expr("s")
-      case "count_over_time" => expr("n * 1000000")
-      case "avg_over_time"   => expr(halfUpSql("s", "n"))
-      case "min_over_time"   => expr("mn")
-      case "max_over_time"   => expr("mx")
-      case "last_over_time"  => expr("lastv")
+        max_by(col("v_e6"), col("tv")).as("lastv"),
+        min_by(col("v_e6"), col("tv")).as("firstv"),
+        min(col("tv")).as("tf"), max(col("tv")).as("tl"))
+    // rate/increase/delta read the inner vector's first/last points —
+    // all exact µ-integers, so the formulas are the raw-path ones
+    // minus the e2 snap (inner values are already snapped); like the
+    // raw rate, no extrapolation and resets only via the dv ≥ 0 gate
+    fn match {
+      case "rate" =>
+        g.filter(col("n") >= 2 && col("tl") > col("tf") &&
+            col("lastv") >= col("firstv"))
+          .select(col("metric"), col("labels"), col("t"),
+            expr(halfUpSql("lastv - firstv", "tl - tf")).cast("long").as("v_e6"))
+      case "increase" =>
+        g.filter(col("n") >= 2)
+          .select(col("metric"), col("labels"), col("t"),
+            greatest(col("lastv") - col("firstv"), lit(0L)).as("v_e6"))
+      case "delta" =>
+        g.filter(col("n") >= 2)
+          .select(col("metric"), col("labels"), col("t"),
+            (col("lastv") - col("firstv")).as("v_e6"))
+      case _ =>
+        val v = fn match {
+          case "sum_over_time"   => expr("s")
+          case "count_over_time" => expr("n * 1000000")
+          case "avg_over_time"   => expr(halfUpSql("s", "n"))
+          case "min_over_time"   => expr("mn")
+          case "max_over_time"   => expr("mx")
+          case "last_over_time"  => expr("lastv")
+        }
+        g.select(col("metric"), col("labels"), col("t"),
+          v.cast("long").as("v_e6"))
     }
-    g.select(col("metric"), col("labels"), col("t"),
-      v.cast("long").as("v_e6"))
   }
 
   /** holt_winters (double exponential smoothing): per window, the

@@ -879,6 +879,32 @@ class PromQLSpec extends SparkSpecBase {
     assert(cal("days_in_month()") === 31000000L)
   }
 
+  test("rate/increase/delta over subqueries read the inner first/last points") {
+    // inner sum_over_time(m[60s]) on the 60s grid for host=a:
+    // T0+60 → 3.5, T0+120 → 5.0, T0+180 → absent; the outer
+    // [120s:60s] window at T0+180 holds both inner points:
+    // rate = (5.0-3.5)/60 = 0.025/s; host=b has one point → drops
+    def sub(fn: String) = rows(PromQL.eval(tinySamples,
+      parse(s"$fn(sum_over_time(m[60s])[120s:60s])").toOption.get,
+      T0 + 180, T0 + 180, 60L))
+    // the metric name passes through, as for every subquery fn
+    assert(sub("rate") === Set(("m", "host=a,user=1", T0 + 180, 25000L)))
+    assert(sub("increase") === Set(("m", "host=a,user=1", T0 + 180, 1500000L)))
+    assert(sub("delta") === Set(("m", "host=a,user=1", T0 + 180, 1500000L)))
+    // a decreasing inner pair drops from rate (the counter gate)
+    // but answers its signed change through delta
+    val dec = rows(PromQL.eval(tinySamples,
+      parse("delta(last_over_time(m[60s])[120s:60s])").toOption.get,
+      T0 + 180, T0 + 180, 60L))
+    assert(dec === Set(("m", "host=a,user=1", T0 + 180, -1500000L)))
+    val rdec = rows(PromQL.eval(tinySamples,
+      parse("rate(last_over_time(m[60s])[120s:60s])").toOption.get,
+      T0 + 180, T0 + 180, 60L))
+    assert(rdec === Set.empty)
+    // irate over a subquery stays off-grammar
+    assert(PromQL.parse("irate(sum_over_time(m[60s])[120s:60s])").isLeft)
+  }
+
   test("holt_winters folds the window's sorted values through the recurrence") {
     assert(PromQL.parse("holt_winters(x[1h], 0.5, 0.5)") match {
       case Right(HoltWinters(_, 3600L, 0.5, 0.5, 0L)) => true

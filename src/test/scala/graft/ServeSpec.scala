@@ -1152,7 +1152,7 @@ class ServeSpec extends SparkSpecBase {
           java.net.URLEncoder.encode("log1p(x)", "UTF-8") + // off-whitelist fn
           "&start=1&end=2&step=1",
         s"$base/api/v1/query_range?query=" +
-          java.net.URLEncoder.encode("rate(x[1h:5m])", "UTF-8") + // no rate subqueries
+          java.net.URLEncoder.encode("irate(x[1h:5m])", "UTF-8") + // no irate subqueries
           "&start=1&end=2&step=1",
         s"$base/api/v1/query_range?query=qr_total&start=0&end=999999&step=1",
         s"$base/api/v1/query_range?query=qr_total&start=9&end=2&step=1")) {

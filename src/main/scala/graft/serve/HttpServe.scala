@@ -608,6 +608,22 @@ object HttpServe {
         Seq("Content-Type" -> "application/json"))
     })
 
+    // The remaining Grafana-datasource probes, answered truthfully
+    // empty (success shapes, never 404): graft has no scrape loop →
+    // no targets; no alertmanager ring; no exemplar storage (prompb
+    // v1 drops exemplars on ingest).
+    server.createContext("/api/v1/targets", (ex: HttpExchange) => guarded(ex) {
+      respond(ex, 200,
+        """{"status":"success","data":{"activeTargets":[],"droppedTargets":[]}}"""
+          .getBytes(UTF_8),
+        Seq("Content-Type" -> "application/json"))
+    })
+    server.createContext("/api/v1/alertmanagers", (ex: HttpExchange) => guarded(ex) {
+      respond(ex, 200,
+        """{"status":"success","data":{"activeAlertmanagers":[],"droppedAlertmanagers":[]}}"""
+          .getBytes(UTF_8),
+        Seq("Content-Type" -> "application/json"))
+    })
     // /api/v1/status/tsdb: Prometheus's head-cardinality stats — the
     // first endpoint anyone opens in a cardinality incident. ONE
     // capped scan: distinct series counted per metric (the metric

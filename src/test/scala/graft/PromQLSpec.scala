@@ -963,7 +963,8 @@ class PromQLSpec extends SparkSpecBase {
         120L, 60L, 0L)) => true
       case _ => false
     })
-    assert(PromQL.parse("rate(x[1h:5m])").isLeft)     // rate: no subqueries
+    assert(PromQL.parse("rate(x[1h:5m])").isRight)    // rate subqueries (r14)
+    assert(PromQL.parse("irate(x[1h:5m])").isLeft)    // irate: no subqueries
     assert(PromQL.parse("max_over_time(sum(x)[1h])").isLeft) // compound needs :res
     // inner sum_over_time(m[60s]) on the absolute 60 s grid has
     // points at t0+60 (a=3.5, b=20.25) and t0+120 (a=5.0); the outer

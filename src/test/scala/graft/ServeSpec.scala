@@ -1006,6 +1006,11 @@ class ServeSpec extends SparkSpecBase {
       // exemplars: truthfully empty, success
       assert(get(s"$base/api/v1/query_exemplars") ===
         ((200, """{"status":"success","data":[]}""")))
+      // scrape targets / alertmanager ring: none, success shapes
+      assert(get(s"$base/api/v1/targets") === ((200,
+        """{"status":"success","data":{"activeTargets":[],"droppedTargets":[]}}""")))
+      assert(get(s"$base/api/v1/alertmanagers") === ((200,
+        """{"status":"success","data":{"activeAlertmanagers":[],"droppedAlertmanagers":[]}}""")))
       // tsdb head stats: empty store answers zeros; after a write the
       // per-metric series counts and the total line up
       assert(get(s"$base/api/v1/status/tsdb")._2 ===

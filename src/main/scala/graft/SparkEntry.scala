@@ -664,6 +664,12 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) =>
       Dedup.minhashComponents(Tables.documents(s, dir))),
 
+    // incremental crawl dedup: every 3rd doc plays the NEW snapshot,
+    // dropped when it shares a band bucket with any OLD doc
+    "dedup_incremental" -> ((s, dir) =>
+      Dedup.incrementalKeep(Tables.documents(s, dir),
+        col("doc_id") % 3 === 0)),
+
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), 0.8)),
 
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 8)),
@@ -829,6 +835,12 @@ object SparkEntry {
     // Tokenizer fertility (chars/token) per language — exact ratio
     "text_fertility" -> ((s, dir) =>
       TextAnalysis.fertility(Tables.documents(s, dir))),
+
+    // Deterministic token-budget slice: the first 20k tokens of the
+    // hash-shuffled corpus via the distributed exclusive prefix sum
+    "sample_token_budget" -> ((s, dir) =>
+      Sampling.tokenBudget(Tables.documents(s, dir), "doc_id", "order",
+        budgetTokens = 20000L)),
 
     // Deterministic domain mixing: per-source keep rates, the corpus
     // mixture primitive (keep all of src0/src1, half of src2/src3,
@@ -2152,6 +2164,42 @@ object SparkEntry {
          |       len(list_filter(range(1, 129), i -> a.sig[i] = b.sig[i]))::BIGINT * 1000000 // 128 AS est_sim_e6
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id""".stripMargin,
+
+    // asymmetric bucket probe: a new doc drops on any bucket shared
+    // with the old corpus
+    "dedup_incremental" ->
+      s"""$minhashCte, flags AS (
+         |  SELECT doc_id, (doc_id % 3 = 0) AS isnew FROM documents
+         |), oldb AS (
+         |  SELECT DISTINCT band, band_sig
+         |  FROM banded JOIN flags USING (doc_id) WHERE NOT isnew
+         |), hit AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM banded b JOIN flags f USING (doc_id)
+         |  JOIN oldb o ON b.band = o.band AND b.band_sig = o.band_sig
+         |  WHERE f.isnew
+         |)
+         |SELECT f.doc_id, CAST(h.doc_id IS NULL AS INT) AS kept
+         |FROM flags f LEFT JOIN hit h USING (doc_id)
+         |WHERE f.isnew""".stripMargin,
+
+    // the global running sum over the hash order, one window
+    "sample_token_budget" ->
+      s"""WITH tb AS (
+         |  SELECT doc_id,
+         |         len(string_split(coalesce(text, ''), ' '))::BIGINT AS n_tokens,
+         |         ${duckHash("'order:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents
+         |), o AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |           AS end_offset
+         |  FROM tb
+         |)
+         |SELECT doc_id, n_tokens,
+         |       end_offset - n_tokens AS start_offset, end_offset
+         |FROM o WHERE end_offset - n_tokens < 20000""".stripMargin,
 
     // transitive closure over the pair graph → min reachable id per
     // doc — the recursive-CTE twin of the min-label propagation loop

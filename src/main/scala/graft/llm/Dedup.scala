@@ -202,6 +202,41 @@ object Dedup {
         (col("keep_id") === col("doc_id")).cast("int").as("kept"), col("keep_id"))
   }
 
+  /** Incremental crawl dedup — the production shape where a NEW
+    * snapshot dedups against the already-kept corpus instead of
+    * re-deduping the world: a new document drops when it shares any
+    * MinHash band bucket with ANY old document (the same candidate
+    * criterion the batch LSH uses, applied asymmetrically). One row
+    * per NEW document: (doc_id, kept).
+    *
+    * Scale shape: both sides reduce to (doc_id, band, band_sig)
+    * rows; the old side further collapses to DISTINCT bucket keys
+    * before the left-semi probe, so the join carries bucket keys —
+    * never signatures, never text. The old corpus contributes one
+    * narrow kernel scan; in production the old side's distinct
+    * bucket-key set is exactly the "fingerprint store" you persist
+    * between crawls (bounded by old-corpus buckets, ~16 keys/doc),
+    * turning every later crawl into new-side-only compute. */
+  def incrementalKeep(documents: DataFrame, isNew: Column,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val flags = documents.select(col("doc_id"),
+      isNew.cast("boolean").as("_new"))
+    val banded = capBuckets(
+      minhashSignatures(documents)
+        .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "band_sig"))),
+      Seq("band", "band_sig"), maxBucket)
+      .join(flags, "doc_id")
+    val oldBuckets = banded.filter(!col("_new"))
+      .select(col("band"), col("band_sig")).distinct()
+    val hitNew = banded.filter(col("_new"))
+      .join(oldBuckets, Seq("band", "band_sig"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("_hit", lit(1))
+    flags.filter(col("_new"))
+      .join(hitNew, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("_hit").isNull.cast("int").as("kept"))
+  }
+
   /** Connected components over near-duplicate candidate pairs — the
     * union-find step between pair DETECTION (minhash/simhash emit
     * pairs) and cluster-level dedup POLICY (keep exactly one doc per

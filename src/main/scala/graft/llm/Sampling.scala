@@ -76,6 +76,55 @@ object Sampling {
         (col("last_chunk") - col("first_chunk") + 1L).as("n_chunks"))
   }
 
+  /** Deterministic token-budget slice: documents take a GLOBAL
+    * pseudo-random order (the portable hash, key tiebreak) and keep
+    * while their cumulative token count stays under `budgetTokens` —
+    * "give me the first 50 B tokens of the shuffled corpus", the
+    * curriculum/epoch-slice contract. The kept set is a pure
+    * function of (salt, corpus, budget): stable across runs,
+    * partitionings, and cluster sizes, and a bigger budget keeps a
+    * SUPERSET (slices nest like [[sampleByKey]] permilles). The doc
+    * that straddles the boundary is kept (packing-style: its start
+    * offset is inside the budget).
+    *
+    * Scale shape — the classic DISTRIBUTED EXCLUSIVE PREFIX SUM: the
+    * hash space range-partitions into `shards` contiguous slabs
+    * (order within a shard + shard order = global order), one
+    * per-shard running-sum window computes local prefixes, the
+    * per-shard TOTALS (a `shards`-row relation) take one bounded
+    * single-partition window for their exclusive prefix, and a
+    * broadcast join adds the shard offset back. No global sort, no
+    * driver state, no collect — two narrow exchanges (the shard
+    * hash partition and the tiny totals window) regardless of corpus
+    * size. Emits (start_offset, end_offset) in the global stream so
+    * the slice is auditable and composable with [[packSequences]]. */
+  def tokenBudget(documents: DataFrame, keyCol: String, salt: String,
+                  budgetTokens: Long, shards: Int = 64): DataFrame = {
+    val slab = Portable.P / shards + 1
+    val h = expr(Portable.hash60SqlSpark(s"concat('$salt:', CAST($keyCol AS STRING))"))
+    val base = documents
+      .withColumn("_h", h)
+      .withColumn("_shard", expr(s"_h DIV ${slab}L"))
+      .withColumn("n_tokens",
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long"))
+    val w = Window.partitionBy(col("_shard"))
+      .orderBy(col("_h").asc, col(keyCol).asc)
+    val local = base.withColumn("_cum", sum(col("n_tokens")).over(w))
+    val offsets = local.groupBy(col("_shard"))
+      .agg(sum(col("n_tokens")).as("_tot"))
+      .withColumn("_off", coalesce(
+        sum(col("_tot")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("_shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_shard"), col("_off"))
+    local.join(broadcast(offsets), "_shard")
+      .withColumn("end_offset", col("_cum") + col("_off"))
+      .withColumn("start_offset", col("end_offset") - col("n_tokens"))
+      .filter(col("start_offset") < budgetTokens)
+      .select(col(keyCol), col("n_tokens"), col("start_offset"),
+        col("end_offset"))
+  }
+
   /** Deterministic stratified sampling: keep AT MOST `perGroup` rows
     * per group, chosen by (salt, key) hash rank — the language/
     * source-balancing primitive ("at most n docs per language").

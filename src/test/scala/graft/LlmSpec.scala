@@ -96,6 +96,48 @@ class LlmSpec extends SparkSpecBase {
     mc.unpersist()
   }
 
+  test("token-budget slices nest, cover exactly, and ignore partitioning") {
+    import graft.llm.Sampling
+    def slice(budget: Long, shards: Int = 64) =
+      Sampling.tokenBudget(docs, "doc_id", "order", budget, shards)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val small = slice(5000L)
+    val big = slice(20000L)
+    assert(small.nonEmpty && big.size > small.size)
+    // a bigger budget keeps a strict SUPERSET with identical offsets
+    assert(small.subsetOf(big))
+    // the shard count never changes the answer (global-order contract)
+    assert(slice(5000L, shards = 3) === small)
+    // offsets tile the stream exactly: sorted by start, each doc
+    // starts where the previous ended, from zero
+    val ordered = big.toSeq.sortBy(_._2)
+    assert(ordered.head._2 === 0L)
+    assert(ordered.sliding(2).forall {
+      case Seq((_, _, e1), (_, s2, _)) => e1 == s2
+      case _ => true
+    })
+    // only the boundary doc may END past the budget
+    assert(big.count(_._3 > 20000L) <= 1)
+  }
+
+  test("incremental dedup drops new docs sharing a bucket with the old corpus") {
+    import spark.implicits._
+    val inc = Dedup.incrementalKeep(docs, col("doc_id") % 3 === 0).cache()
+    // one row per NEW doc, never an old one
+    assert(inc.filter(col("doc_id") % 3 =!= 0).count() === 0)
+    assert(inc.count() === docs.filter(col("doc_id") % 3 === 0).count())
+    // planted: a new doc that copies an old doc's text must drop
+    val oldText = docs.filter(col("doc_id") % 3 =!= 0)
+      .orderBy(col("doc_id")).select(col("text")).head().getString(0)
+    val planted = docs.select(col("doc_id"), col("text"))
+      .unionByName(Seq((999999L, oldText)).toDF("doc_id", "text"))
+    val out = Dedup.incrementalKeep(planted, col("doc_id") % 3 === 0)
+      .filter(col("doc_id") === 999999L).collect()
+    assert(out.length === 1 && out(0).getInt(1) === 0,
+      "a copy of an old document must not be kept")
+    inc.unpersist()
+  }
+
   test("greedy embedding keep mirrors the near-dup candidate structure") {
     val keep = Similarity.embeddingKeep(embs, 4, 6).cache()
     assert(keep.count() == embs.count())

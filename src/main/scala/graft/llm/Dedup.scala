@@ -265,14 +265,34 @@ object Dedup {
     * sane diameters — a guard, not a tuning knob). */
   def components(pairs: DataFrame, aCol: String = "doc_a",
                  bCol: String = "doc_b", maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist()
-    var labels = pairs.select(col(aCol).as("id"))
-      .union(pairs.select(col(bCol).as("id")))
+    // Iterative-algorithm discipline: every round ends in an EAGER
+    // localCheckpoint. Persisting alone caches row data but leaves
+    // the LOGICAL plan growing — each round references the previous
+    // frame twice (union+join), so the plan TREE doubles per round
+    // and Catalyst itself OOMs by round ~20 even on a toy graph
+    // (measured). localCheckpoint truncates lineage to the
+    // materialized partitions, keeping every round's plan flat.
+    // materialize the pair plan ONCE — edges and labels each scan it
+    // twice, and upstream pair generation (an LSH band join) is the
+    // expensive part of the whole operator
+    val p0 = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(true)
+    val edges = p0.select(col("a").as("src"), col("b").as("dst"))
+      .union(p0.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var labels = p0.select(col("a").as("id"))
+      .union(p0.select(col("b").as("id")))
       .distinct()
       .withColumn("comp", col("id"))
-      .persist()
+      .localCheckpoint(true)
+    // Convergence tracks Σcomp (decimal — id sums can pass 2^63 at
+    // scale): labels only ever DECREASE, so the sum strictly drops
+    // while anything changes and a repeated sum IS the fixpoint —
+    // one single-row aggregate per round, no extra join.
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var prev = checksum(labels)
     var it = 0
     var done = false
     while (!done) {
@@ -281,19 +301,29 @@ object Dedup {
           s"components: no fixpoint after $maxIters rounds")
       val msgs = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("comp"))
+      // checkpoint BEFORE the pointer-jump self-join: a self-join of
+      // the raw aggregation plan trips Catalyst's relation dedup
+      // (ambiguous attribute ids); a materialized LogicalRDD
+      // self-joins cleanly and the round needs the rows anyway
       val next = labels.unionByName(msgs)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .persist()
-      val changed = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.comp") < col("o.comp"))
-        .limit(1).count()
-      labels.unpersist()
-      labels = next
-      done = changed == 0L
+        .localCheckpoint(true)
+      // pointer jumping: comp := min(comp, comp's own comp) —
+      // chain lengths HALVE per round on top of the neighbor step,
+      // so convergence is logarithmic in the diameter instead of
+      // linear (the difference between 5 and 20 rounds on stringy
+      // near-dup graphs)
+      val jumped = next
+        .join(next.toDF("comp", "cc"), Seq("comp"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      val cur = checksum(jumped)
+      labels = jumped
+      done = cur.compareTo(prev) == 0
+      prev = cur
       it += 1
     }
-    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
   }
 

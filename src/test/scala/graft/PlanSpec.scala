@@ -227,6 +227,37 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Window"), s"expected the dedup window:\n$p")
   }
 
+  test("token-budget prefix sum broadcasts shard offsets, never sorts globally") {
+    val p = plan(graft.llm.Sampling.tokenBudget(
+      Tables.documents(spark, Sf), "doc_id", "order", 5000L))
+    // the shard-offset join must broadcast (a `shards`-row side)
+    assert(p.contains("Broadcast"),
+      s"shard offsets must broadcast, not shuffle the corpus:\n$p")
+    // exchanges: the per-shard hash partition (+ the tiny totals
+    // single-partition window); a GLOBAL range sort would plan a
+    // rangepartitioning exchange over the corpus — forbidden
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"token budget must not global-sort the corpus:\n$p")
+  }
+
+  test("trig/transcendental math fns stay narrow: no exchange, no UDF") {
+    import graft.serve.PromQL
+    val s = Tables.samples(spark, Sf)
+    for (q <- Seq("sin(m)", "ln(clamp_min(m, 1))", "exp(m / 40)", "atanh(m)")) {
+      val df = PromQL.eval(s, PromQL.parse(q).toOption.get,
+        1704412800L + 60, 1704412800L + 120, 60L)
+      val p = plan(df)
+      assert(!p.contains("ScalaUDF"), s"$q plans a UDF:\n$p")
+      // the math itself adds NO exchange beyond the instant
+      // lookback's own aggregate (compare: the bare selector)
+      val base = plan(PromQL.eval(s, PromQL.parse("m").toOption.get,
+        1704412800L + 60, 1704412800L + 120, 60L))
+      def exchanges(x: String) = x.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges(p) == exchanges(base),
+        s"$q adds exchanges over the bare selector:\n$p")
+    }
+  }
+
   test("no SparkEntry plan contains a cartesian product; ann joins broadcast") {
     val sideEffecting = Set(
       "ingest_samples_sink", "ingest_delete_range", "ingest_streaming",

@@ -1813,37 +1813,56 @@ object PromQL {
     (0 until 40).foldLeft(1.0)((a, i) => a / math.sqrt(1.0 + math.pow(2.0, -2 * i))))
   private[graft] val HalfPiD: String = "1.5707963267948966"
 
-  private def sparkArr(vals: Seq[String]): String =
-    vals.map(v => s"CAST('$v' AS DOUBLE)").mkString("array(", ", ", ")")
+  // The tables ride as single ArrayType LITERALS (one Catalyst node
+  // each), not 40-element array(CAST(...)) constructors: the CORDIC
+  // folds reference them six times per instance, and the inlined
+  // form made the trig queries' plan-compile time their dominant
+  // cost. The Literal doubles are the very values the string
+  // constants print (Double.toString is shortest-round-trip), so
+  // the arithmetic is unchanged bit-for-bit.
+  private lazy val Pow2Lit =
+    typedLit[Seq[Double]]((0 until 40).map(i => math.pow(2.0, -i)))
+  private lazy val AtanLit =
+    typedLit[Seq[Double]]((0 until 40).map(i => math.atan(math.pow(2.0, -i))))
 
   /** Rotation mode: (x, y) starts at (K, 0) and rotates by r — the
-    * fold answers named_struct(x ≈ cos r, y ≈ sin r), |r| ≤ π/4
-    * after quadrant reduction. */
-  private def cordicRotateSql(rExpr: String): String =
-    s"aggregate(sequence(0, 39), " +
-      s"named_struct('x', CAST('$CordicK' AS DOUBLE), 'y', 0.0D, 'z', ($rExpr)), " +
-      "(s, i) -> CASE WHEN s.z >= 0.0D " +
-      s"THEN named_struct('x', s.x - s.y * element_at(${sparkArr(CordicPow2)}, i + 1), " +
-      s"'y', s.y + s.x * element_at(${sparkArr(CordicPow2)}, i + 1), " +
-      s"'z', s.z - element_at(${sparkArr(CordicAtan)}, i + 1)) " +
-      s"ELSE named_struct('x', s.x + s.y * element_at(${sparkArr(CordicPow2)}, i + 1), " +
-      s"'y', s.y - s.x * element_at(${sparkArr(CordicPow2)}, i + 1), " +
-      s"'z', s.z + element_at(${sparkArr(CordicAtan)}, i + 1)) END, " +
-      "s -> named_struct('x', s.x, 'y', s.y))"
+    * fold answers a struct(x ≈ cos r, y ≈ sin r), |r| ≤ π/4 after
+    * quadrant reduction. */
+  private def cordicRotateCol(r: Column): Column =
+    org.apache.spark.sql.functions.aggregate(sequence(lit(0), lit(39)),
+      struct(lit(CordicK.toDouble).as("x"), lit(0.0d).as("y"), r.as("z")),
+      (s, i) => {
+        val p = element_at(Pow2Lit, i + 1)
+        val a = element_at(AtanLit, i + 1)
+        when(s.getField("z") >= 0.0d, struct(
+          (s.getField("x") - s.getField("y") * p).as("x"),
+          (s.getField("y") + s.getField("x") * p).as("y"),
+          (s.getField("z") - a).as("z")))
+        .otherwise(struct(
+          (s.getField("x") + s.getField("y") * p).as("x"),
+          (s.getField("y") - s.getField("x") * p).as("y"),
+          (s.getField("z") + a).as("z")))
+      },
+      s => struct(s.getField("x").as("x"), s.getField("y").as("y")))
 
   /** Vectoring mode: drives y → 0 accumulating z ≈ atan(u) (x0 = 1,
     * so any finite u converges: |atan u| < π/2 < Σ atan 2^-i). */
-  private def cordicAtanSql(uExpr: String): String =
-    s"aggregate(sequence(0, 39), " +
-      s"named_struct('x', 1.0D, 'y', ($uExpr), 'z', 0.0D), " +
-      "(s, i) -> CASE WHEN s.y > 0.0D " +
-      s"THEN named_struct('x', s.x + s.y * element_at(${sparkArr(CordicPow2)}, i + 1), " +
-      s"'y', s.y - s.x * element_at(${sparkArr(CordicPow2)}, i + 1), " +
-      s"'z', s.z + element_at(${sparkArr(CordicAtan)}, i + 1)) " +
-      s"ELSE named_struct('x', s.x - s.y * element_at(${sparkArr(CordicPow2)}, i + 1), " +
-      s"'y', s.y + s.x * element_at(${sparkArr(CordicPow2)}, i + 1), " +
-      s"'z', s.z - element_at(${sparkArr(CordicAtan)}, i + 1)) END, " +
-      "s -> s.z)"
+  private def cordicAtanCol(u: Column): Column =
+    org.apache.spark.sql.functions.aggregate(sequence(lit(0), lit(39)),
+      struct(lit(1.0d).as("x"), u.as("y"), lit(0.0d).as("z")),
+      (s, i) => {
+        val p = element_at(Pow2Lit, i + 1)
+        val a = element_at(AtanLit, i + 1)
+        when(s.getField("y") > 0.0d, struct(
+          (s.getField("x") + s.getField("y") * p).as("x"),
+          (s.getField("y") - s.getField("x") * p).as("y"),
+          (s.getField("z") + a).as("z")))
+        .otherwise(struct(
+          (s.getField("x") - s.getField("y") * p).as("x"),
+          (s.getField("y") + s.getField("x") * p).as("y"),
+          (s.getField("z") - a).as("z")))
+      },
+      s => s.getField("z"))
 
   /** The exp fold generalized to a DOUBLE argument expression, result
     * still a DOUBLE (no µ-rounding) — the building block hyperbolics
@@ -1917,6 +1936,8 @@ object PromQL {
       case _               => child
     }
     val t = base0.withColumn("_t", expr("CAST(v_e6 AS DOUBLE) / 1000000.0D"))
+    val hp = lit(HalfPiD.toDouble)
+    def microC(c: Column): Column = floor(c * 1000000.0d + 0.5d).cast("long")
     val out: DataFrame = fn match {
       case "sin" | "cos" | "tan" =>
         // quadrant reduction: r = t - k·(π/2) ∈ [-π/4, π/4] — the
@@ -1924,12 +1945,10 @@ object PromQL {
         // the (deterministic) reduction loses accuracy only at huge
         // |t|, exactly as float sin does everywhere
         val df = t
-          .withColumn("_k",
-            expr(s"CAST(floor(_t / CAST('$HalfPiD' AS DOUBLE) + 0.5D) AS BIGINT)"))
-          .withColumn("_r",
-            expr(s"_t - CAST(_k AS DOUBLE) * CAST('$HalfPiD' AS DOUBLE)"))
+          .withColumn("_k", floor(col("_t") / hp + lit(0.5d)).cast("long"))
+          .withColumn("_r", col("_t") - col("_k").cast("double") * hp)
           .withColumn("_q", expr("((_k % 4) + 4) % 4"))
-          .withColumn("_c", expr(cordicRotateSql("_r")))
+          .withColumn("_c", cordicRotateCol(col("_r")))
           .withColumn("_sin", expr(
             "CASE _q WHEN 0 THEN _c.y WHEN 1 THEN _c.x WHEN 2 THEN -_c.y ELSE -_c.x END"))
           .withColumn("_cos", expr(
@@ -1944,18 +1963,17 @@ object PromQL {
                 s"ELSE ${micro("_sin / _cos")} END"))
         }
       case "atan" =>
-        t.withColumn("_v", expr(micro(cordicAtanSql("_t"))))
+        t.withColumn("_v", microC(cordicAtanCol(col("_t"))))
       case "asin" | "acos" =>
         // asin x = atan(x / √(1-x²)); the ±1 endpoints short-circuit
         // (the quotient would be ∞); acos = π/2 − asin at the double
         // level, rounded once
-        val df = t.withColumn("_as", expr(
-          s"CASE WHEN _t = 1.0D THEN CAST('$HalfPiD' AS DOUBLE) " +
-            s"WHEN _t = -1.0D THEN -CAST('$HalfPiD' AS DOUBLE) " +
-            s"ELSE ${cordicAtanSql("_t / sqrt(1.0D - _t * _t)")} END"))
-        if (fn == "asin") df.withColumn("_v", expr(micro("_as")))
-        else df.withColumn("_v",
-          expr(micro(s"CAST('$HalfPiD' AS DOUBLE) - _as")))
+        val as0 = when(col("_t") === 1.0d, hp)
+          .when(col("_t") === -1.0d, -hp)
+          .otherwise(cordicAtanCol(expr("_t / sqrt(1.0D - _t * _t)")))
+        val df = t.withColumn("_as", as0)
+        if (fn == "asin") df.withColumn("_v", microC(col("_as")))
+        else df.withColumn("_v", microC(hp - col("_as")))
       case "sinh" | "cosh" | "tanh" =>
         val df = t
           .withColumn("_ep", expr(expDSql("_t")))

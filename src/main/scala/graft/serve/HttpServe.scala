@@ -114,6 +114,27 @@ object HttpServe {
       b
     }
 
+    // URL query + (on POST) form-body parameters, body values after
+    // URL values — Prometheus accepts the metadata/query APIs both
+    // ways and Grafana switches to form-POST once selectors get long
+    def reqParams(ex: HttpExchange): Seq[(String, String)] = {
+      def parse(raw: String): Seq[(String, String)] =
+        raw.split("&").iterator.filter(_.nonEmpty)
+          .map(_.split("=", 2)).map {
+            case Array(k, v) => java.net.URLDecoder.decode(k, "UTF-8") ->
+              java.net.URLDecoder.decode(v, "UTF-8")
+            case a => java.net.URLDecoder.decode(a(0), "UTF-8") -> ""
+          }.toSeq
+      val url = parse(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+      val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+      val form =
+        if (ex.getRequestMethod == "POST" &&
+            ct.startsWith("application/x-www-form-urlencoded"))
+          parse(new String(body(ex), UTF_8))
+        else Nil
+      url ++ form
+    }
+
     def guarded(ex: HttpExchange)(f: => Unit): Unit =
       try f catch {
         case e: Throwable if isClientDisconnect(e) =>
@@ -256,8 +277,25 @@ object HttpServe {
     }
 
     server.createContext("/api/v1/labels", (ex: HttpExchange) => guarded(ex) {
+      // optional match[] selectors narrow the domain (Prometheus
+      // semantics: label names of the MATCHING series only); URL or
+      // form-POST parameters both work
+      val params = reqParams(ex)
+      val parsed = params.collect { case ("match[]", v) =>
+        graft.operators.Matchers.parseSelector(v) }
+      if (parsed.exists(_.isEmpty)) {
+        respond(ex, 400,
+          """{"status":"error","errorType":"bad_data","error":"match[] malformed"}"""
+            .getBytes(UTF_8),
+          Seq("Content-Type" -> "application/json"))
+      } else {
+      def narrow(df: org.apache.spark.sql.DataFrame) =
+        if (parsed.isEmpty) df
+        else df.filter(parsed.flatten
+          .map(graft.operators.Matchers.compile(_, ignoreLabel))
+          .reduce(_ || _))
       val names = SamplesStore.readLocked(storePath) {
-        storeSamples().map(timeBounded(_, ex.getRequestURI.getQuery)).map { df =>
+        storeSamples().map(timeBoundedParams(_, params)).map(narrow).map { df =>
           // __name__ exists iff the bounded window holds any series at
           // all (a labels-empty series still has a metric name). That
           // probe rides the SAME collect as the key list: a NUL-string
@@ -276,6 +314,7 @@ object HttpServe {
       }
       respond(ex, 200, jsonList(names),
         Seq("Content-Type" -> "application/json"))
+      }
     })
 
     server.createContext("/api/v1/label/", (ex: HttpExchange) => guarded(ex) {
@@ -286,20 +325,37 @@ object HttpServe {
           Seq("Content-Type" -> "text/plain; charset=utf-8"))
       } else {
         val key = java.net.URLDecoder.decode(parts(4), "UTF-8")
-        val values = SamplesStore.readLocked(storePath) {
-          storeSamples().map(timeBounded(_, ex.getRequestURI.getQuery)).map { df =>
-            val domain = if (key == "__name__")
-              df.select(org.apache.spark.sql.functions.col("metric").as("v")).distinct()
-            else graft.operators.Meta.labelValues(df, key)
-              .select(org.apache.spark.sql.functions.col("label_value").as("v"))
-            // limit INSIDE the plan (ordered for determinism) — the
-            // cap must bound the collect, not trim after it
-            domain.orderBy("v").limit(MetaValuesLimit)
-              .collect().map(_.getString(0)).toSeq
-          }.getOrElse(Seq.empty)
+        // optional match[] narrows the value domain to the matching
+        // series (Prometheus semantics); URL or form-POST params
+        val params = reqParams(ex)
+        val parsed = params.collect { case ("match[]", v) =>
+          graft.operators.Matchers.parseSelector(v) }
+        if (parsed.exists(_.isEmpty)) {
+          respond(ex, 400,
+            """{"status":"error","errorType":"bad_data","error":"match[] malformed"}"""
+              .getBytes(UTF_8),
+            Seq("Content-Type" -> "application/json"))
+        } else {
+          def narrow(df: org.apache.spark.sql.DataFrame) =
+            if (parsed.isEmpty) df
+            else df.filter(parsed.flatten
+              .map(graft.operators.Matchers.compile(_, ignoreLabel))
+              .reduce(_ || _))
+          val values = SamplesStore.readLocked(storePath) {
+            storeSamples().map(timeBoundedParams(_, params)).map(narrow).map { df =>
+              val domain = if (key == "__name__")
+                df.select(org.apache.spark.sql.functions.col("metric").as("v")).distinct()
+              else graft.operators.Meta.labelValues(df, key)
+                .select(org.apache.spark.sql.functions.col("label_value").as("v"))
+              // limit INSIDE the plan (ordered for determinism) — the
+              // cap must bound the collect, not trim after it
+              domain.orderBy("v").limit(MetaValuesLimit)
+                .collect().map(_.getString(0)).toSeq
+            }.getOrElse(Seq.empty)
+          }
+          respond(ex, 200, jsonList(values),
+            Seq("Content-Type" -> "application/json"))
         }
-        respond(ex, 200, jsonList(values),
-          Seq("Content-Type" -> "application/json"))
       }
     })
 
@@ -310,13 +366,7 @@ object HttpServe {
     // label domains. Malformed selectors answer 400 bad_data (the
     // Prometheus behavior), not a silent empty set.
     server.createContext("/api/v1/series", (ex: HttpExchange) => guarded(ex) {
-      val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-      val params = raw.split("&").iterator.filter(_.nonEmpty)
-        .map(_.split("=", 2)).map {
-          case Array(k, v) => java.net.URLDecoder.decode(k, "UTF-8") ->
-            java.net.URLDecoder.decode(v, "UTF-8")
-          case a => java.net.URLDecoder.decode(a(0), "UTF-8") -> ""
-        }.toSeq
+      val params = reqParams(ex)
       val parsed = params.collect { case ("match[]", v) =>
         graft.operators.Matchers.parseSelector(v) }
       if (parsed.isEmpty || parsed.exists(_.isEmpty)) {
@@ -326,7 +376,7 @@ object HttpServe {
           Seq("Content-Type" -> "application/json"))
       } else {
         val series = SamplesStore.readLocked(storePath) {
-          storeSamples().map(timeBounded(_, ex.getRequestURI.getQuery)).map { df =>
+          storeSamples().map(timeBoundedParams(_, params)).map { df =>
             val pred = parsed.flatten
               .map(graft.operators.Matchers.compile(_, ignoreLabel))
               .reduce(_ || _)
@@ -786,11 +836,15 @@ object HttpServe {
     * kept partitions are precisely those overlapping [start, end].
     * `query` is the URI's decoded query string. */
   private[graft] def timeBounded(df: org.apache.spark.sql.DataFrame,
-                                 query: String): org.apache.spark.sql.DataFrame = {
+                                 query: String): org.apache.spark.sql.DataFrame =
+    timeBoundedParams(df, Option(query).getOrElse("").split("&").iterator
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toSeq)
+
+  private[graft] def timeBoundedParams(df: org.apache.spark.sql.DataFrame,
+      params: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
-    val params = Option(query).getOrElse("").split("&").iterator
-      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
-    def sec(k: String): Option[Long] = params.get(k).flatMap(parseTimeParam)
+    val m = params.toMap
+    def sec(k: String): Option[Long] = m.get(k).flatMap(parseTimeParam)
     val lo = sec("start").map(s => df.filter(col("date") >= s / 86400 * 86400))
       .getOrElse(df)
     sec("end").map(e => lo.filter(col("date") <= e)).getOrElse(lo)

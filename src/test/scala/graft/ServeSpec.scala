@@ -406,6 +406,28 @@ class ServeSpec extends SparkSpecBase {
         === """{"status":"success","data":[]}""")
       assert(get(s"$base/api/v1/label/__name__/values?start=2024-01-05T00:00:00Z&end=2024-01-05T23:59:59Z")._2
         === """{"status":"success","data":["meta_metric"]}""")
+      // match[] narrows the domains to the matching series
+      val m = java.net.URLEncoder.encode("match[]", "UTF-8")
+      val sel = java.net.URLEncoder.encode("""meta_metric{k="v1"}""", "UTF-8")
+      assert(get(s"$base/api/v1/label/k/values?$m=$sel")._2
+        === """{"status":"success","data":["v1"]}""")
+      assert(get(s"$base/api/v1/labels?$m=$sel")._2
+        === """{"status":"success","data":["__name__","k"]}""")
+      val none = java.net.URLEncoder.encode("nope_metric", "UTF-8")
+      assert(get(s"$base/api/v1/labels?$m=$none")._2
+        === """{"status":"success","data":[]}""")
+      assert(get(s"$base/api/v1/labels?$m=%7Bbad")._1 === 400)
+      // form-POST parity: Grafana switches to POST for long selectors
+      val (pc, pb, _) = post(s"$base/api/v1/label/k/values",
+        s"$m=$sel".getBytes("UTF-8"),
+        Some("application/x-www-form-urlencoded"))
+      assert(pc === 200 &&
+        new String(pb, "UTF-8") === """{"status":"success","data":["v1"]}""")
+      val (sc2, sb2, _) = post(s"$base/api/v1/series",
+        s"$m=$sel".getBytes("UTF-8"),
+        Some("application/x-www-form-urlencoded"))
+      assert(sc2 === 200 && new String(sb2, "UTF-8").contains(""""k":"v1""""),
+        new String(sb2, "UTF-8"))
     } finally srv.stop()
   }
 

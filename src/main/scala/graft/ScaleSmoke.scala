@@ -14,8 +14,8 @@ import graft.sources.Tables
   * corpus (labels suffixed per copy — series COUNT scales, the axis
   * that grows at 100 TB). Measures how each stage scales; numbers
   * land in SCALE.md. `SPARK_GRAFT_SCALE_ONLY=
-  * read|promql|dedup|ann|curate|prep|events|scrub|rollup|rolldense|
-  * compact` runs one section. */
+  * read|promql|dedup|components|ann|curate|prep|events|scrub|rollup|
+  * rolldense|compact` runs one section. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
@@ -84,6 +84,18 @@ object ScaleSmoke {
     // window: 2024-01-05 .. 2024-01-20)
     val rq = ReadQuery(1704412800000L, 1705708800000L,
       Seq(Matchers.eq("__name__", "click")))
+    for (m <- Seq(1, 2, 4) if sectionEnabled("components")) {
+      val d = scaled(m)
+      // the m× union plants m-sized exact-dup clusters per doc — the
+      // chain-merging shape union-find exists for; rounds stay
+      // logarithmic in cluster diameter via the pointer jump
+      time(s"components      m=$m")(Dedup.minhashComponents(d).count())
+      time(s"incrementalKeep m=$m")(
+        Dedup.incrementalKeep(d, col("doc_id") >= 1000000L).count())
+      time(s"tokenBudget     m=$m")(graft.llm.Sampling.tokenBudget(
+        d, "doc_id", "order", 1000000L * m).count())
+    }
+
     for (m <- Seq(1, 2, 4) if sectionEnabled("read")) {
       val smp = scaledSamples(m)
       time(s"readSelect      m=$m")(SeriesRead.selectKeyed(smp, rq).count())

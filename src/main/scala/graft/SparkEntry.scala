@@ -1181,6 +1181,14 @@ object SparkEntry {
           " + deg(rad(sum by (user) (sum_over_time(click[1d]))))"),
         WinStartSec, WinEndSec, 86400L))),
 
+    // the atan2 KEYWORD OPERATOR (full-label vector matching):
+    // click vs view per-user daily sums — quadrant-correct CORDIC
+    "promql_atan2" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("sum by (user) (sum_over_time(click[1d]))" +
+          " atan2 sum by (user) (sum_over_time(view[1d]))"),
+        WinStartSec, WinEndSec, 86400L))),
+
     // hyperbolics composed from the exp/ln folds — arguments routed
     // through atan/clamp so every term's domain is total
     "promql_hyp" -> ((s, dir) =>
@@ -3682,6 +3690,47 @@ object SparkEntry {
          |         * CAST('57.29577951308232' AS DOUBLE)
          |         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v_e6
          |FROM inv2""".stripMargin,
+
+    // the atan2 operator: Go's quadrant conventions over the CORDIC
+    // vectoring fold, both sides' per-user sums joined on labels+t
+    "promql_atan2" ->
+      s"""${promqlSotCte("click")}, aggc AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
+         |         CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2
+         |), j2 AS (
+         |  SELECT s.labels, $WinStartSec + g.k * 86400 AS t, s.value
+         |  FROM deduped s JOIN grid g
+         |    ON s.t_sec >= $WinStartSec + g.k * 86400 - 86400
+         |   AND s.t_sec <  $WinStartSec + g.k * 86400
+         |  WHERE s.metric = 'view'
+         |    AND s.t_sec >= ${WinStartSec - 86400} AND s.t_sec <= ${WinEndSec - 1}
+         |), sot2 AS (
+         |  SELECT labels, t,
+         |         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) * 10000 AS v_e6
+         |  FROM j2 GROUP BY 1, 2
+         |), aggv AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
+         |         CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot2 GROUP BY 1, 2
+         |), $duckCordicConsts, pair AS (
+         |  SELECT a.labels, a.t,
+         |         CAST(a.v_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS y,
+         |         CAST(b.v_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS x
+         |  FROM aggc a JOIN aggv b ON a.labels = b.labels AND a.t = b.t
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(labels, ',') AS labels_str, t,
+         |       ${duckMicro(s"""CASE
+         |         WHEN x > $duckD0 THEN ${duckCordicAtan("y / x")}
+         |         WHEN x < $duckD0 AND y >= $duckD0
+         |           THEN ${duckCordicAtan("y / x")} + CAST('3.141592653589793' AS DOUBLE)
+         |         WHEN x < $duckD0 AND y < $duckD0
+         |           THEN ${duckCordicAtan("y / x")} - CAST('3.141592653589793' AS DOUBLE)
+         |         WHEN x = $duckD0 AND y > $duckD0 THEN $duckHalfPi
+         |         WHEN x = $duckD0 AND y < $duckD0 THEN -$duckHalfPi
+         |         ELSE $duckD0 END""")} AS v_e6
+         |FROM pair CROSS JOIN consts""".stripMargin,
 
     // hyperbolics: exp/ln-fold compositions on the µ-rounded
     // intermediates, every term's domain total by construction

@@ -101,6 +101,9 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   * micro-unit integers — Go math.Mod's convention on values both
   * engines hold exactly.
   *
+  * Binary operators: + - * / % ^(int) and the atan2 keyword
+  * operator (Go quadrant conventions over the CORDIC vectoring
+  * fold — bit-portable like the rest of the trig surface).
   * Binary arithmetic: vector∘scalar is a per-row projection;
   * vector∘vector matches series on their FULL label sets (the
   * Prometheus default, __name__ excluded) via an equi-join on
@@ -536,7 +539,8 @@ object PromQL {
     }
 
     private def addExpr(): Either[String, Expr] = arith(mulExpr, "+-")
-    private def mulExpr(): Either[String, Expr] = arith(powExpr, "*/%")
+    private def mulExpr(): Either[String, Expr] =
+      arith(powExpr, "*/%", Seq("atan2" -> 'A'))
 
     /** `^` binds tighter than * / % and associates RIGHT, like
       * Prometheus. Only literal non-negative integer exponents ≤ 8
@@ -564,10 +568,32 @@ object PromQL {
       }
 
     private def arith(next: () => Either[String, Expr],
-                      ops: String): Either[String, Expr] = {
+                      ops: String,
+                      kwOps: Seq[(String, Char)] = Nil): Either[String, Expr] = {
       def loop(left: Expr): Either[String, Expr] = {
         ws()
-        if (!atEnd && ops.contains(s.charAt(i))) {
+        val kwHit =
+          if (atEnd) None
+          else kwOps.collectFirst {
+            case (kw, c) if peekIdent().contains(kw) => (kw, c)
+          }
+        if (kwHit.isDefined) {
+          val (kw, op) = kwHit.get; i += kw.length
+          matchingClause(allowGroup = true).flatMap { m =>
+            next().flatMap { right =>
+              (left, right, m) match {
+                case (ScalarLit(a), ScalarLit(b), None) =>
+                  // folded ONCE on the driver — the literal then rides
+                  // identically into every engine (no cross-engine
+                  // libm hazard for constants)
+                  loop(ScalarLit(math.atan2(a, b)))
+                case (ScalarLit(_), _, Some(_)) | (_, ScalarLit(_), Some(_)) =>
+                  Left("vector matching requires two vectors")
+                case _ => loop(Binary(op, left, right, m))
+              }
+            }
+          }
+        } else if (!atEnd && ops.contains(s.charAt(i))) {
           val op = s.charAt(i); i += 1
           matchingClause(allowGroup = true).flatMap { m =>
             next().flatMap { right =>
@@ -1529,6 +1555,8 @@ object PromQL {
       // truncated (dividend-sign) remainder both engines' integer
       // `%` computes — Go math.Mod's convention, no rounding at all
       case '%' => expr("lv % rv")
+      // 'A' = the atan2 keyword operator (CORDIC, quadrant-correct)
+      case 'A' => atan2E6(col("lv"), col("rv"))
     }
     // a zero divisor/modulus drops its row (Prometheus emits
     // +Inf/NaN; neither survives the exact integer value model)
@@ -1554,6 +1582,8 @@ object PromQL {
       case ('/', true)  => expr(s"CAST(floor(${k}D * 1.0e12D / CAST(v_e6 AS DOUBLE) + 0.5) AS BIGINT)")
       case ('%', false) => expr(s"v_e6 % ${kE6}L")
       case ('%', true)  => expr(s"${kE6}L % v_e6")
+      case ('A', false) => atan2E6(col("v_e6"), lit(kE6))
+      case ('A', true)  => atan2E6(lit(kE6), col("v_e6"))
     }
     val base =
       if ((op == '/' || op == '%') && scalarOnLeft)
@@ -1593,6 +1623,8 @@ object PromQL {
           col("v_e6").cast("double") + lit(0.5)).cast("long")
       case ('%', false) => col("v_e6") % tE6
       case ('%', true)  => tE6 % col("v_e6")
+      case ('A', false) => atan2E6(col("v_e6"), tE6)
+      case ('A', true)  => atan2E6(tE6, col("v_e6"))
     }
     val base =
       if ((op == '/' || op == '%') && timeOnLeft)
@@ -1628,6 +1660,8 @@ object PromQL {
           .cast("long")
       case ('%', false) => col("v_e6") % col("sv")
       case ('%', true)  => col("sv") % col("v_e6")
+      case ('A', false) => atan2E6(col("v_e6"), col("sv"))
+      case ('A', true)  => atan2E6(col("sv"), col("v_e6"))
     }
     val base =
       if ((op == '/' || op == '%') && scalarOnLeft)
@@ -1863,6 +1897,26 @@ object PromQL {
           (s.getField("z") - a).as("z")))
       },
       s => s.getField("z"))
+
+  /** atan2(y, x) on doubles — Go math.Atan2's quadrant conventions
+    * (what Prometheus computes) over the CORDIC vectoring fold: the
+    * y/x divide is correctly rounded, the quadrant corrections add
+    * exact-parse ±π, so the whole thing stays bit-portable.
+    * atan2(0, 0) = 0 and atan2(0, x<0) = π, like Go. */
+  private def atan2Col(y: Column, x: Column): Column = {
+    val pi = lit(3.141592653589793d)
+    when(x > 0.0d, cordicAtanCol(y / x))
+      .when(x < 0.0d && y >= 0.0d, cordicAtanCol(y / x) + pi)
+      .when(x < 0.0d && y < 0.0d, cordicAtanCol(y / x) - pi)
+      .when(x === 0.0d && y > 0.0d, lit(HalfPiD.toDouble))
+      .when(x === 0.0d && y < 0.0d, -lit(HalfPiD.toDouble))
+      .otherwise(lit(0.0d))
+  }
+
+  /** µ-rounded atan2 on two micro-unit columns. */
+  private def atan2E6(yE6: Column, xE6: Column): Column =
+    floor(atan2Col(yE6.cast("double") / 1000000.0d,
+      xE6.cast("double") / 1000000.0d) * 1000000.0d + 0.5d).cast("long")
 
   /** The exp fold generalized to a DOUBLE argument expression, result
     * still a DOUBLE (no µ-rounding) — the building block hyperbolics

@@ -578,7 +578,22 @@ class PromQLDiffSpec extends SparkSpecBase {
         else Some(math.floor(k * 1.0e12d / v.toDouble + 0.5).toLong)
       case ('%', false) => Some(v % kE6)
       case ('%', true)  => if (v == 0L) None else Some(kE6 % v)
+      case ('A', false) => Some(refAtan2(v, kE6))
+      case ('A', true)  => Some(refAtan2(kE6, v))
     }
+  }
+
+  private def refAtan2(yE6: Long, xE6: Long): Long = {
+    val y = yE6.toDouble / 1000000.0d; val x = xE6.toDouble / 1000000.0d
+    val pi = 3.141592653589793d
+    val v =
+      if (x > 0.0d) vectAtan(y / x)
+      else if (x < 0.0d && y >= 0.0d) vectAtan(y / x) + pi
+      else if (x < 0.0d && y < 0.0d) vectAtan(y / x) - pi
+      else if (x == 0.0d && y > 0.0d) HP
+      else if (x == 0.0d && y < 0.0d) -HP
+      else 0.0d
+    math.floor(v * 1000000 + 0.5).toLong
   }
 
   private def vecOp(op: Char, lv: Long, rv: Long): Option[Long] = op match {
@@ -590,6 +605,7 @@ class PromQLDiffSpec extends SparkSpecBase {
       if (rv == 0L) None
       else Some(math.floor(lv.toDouble / rv.toDouble * 1000000.0d + 0.5d).toLong)
     case '%' => if (rv == 0L) None else Some(lv % rv)
+    case 'A' => Some(refAtan2(lv, rv))
   }
 
   private def cmpRef(op: String, l: Long, r: Long): Boolean = op match {
@@ -646,6 +662,9 @@ class PromQLDiffSpec extends SparkSpecBase {
       "exp(m / 40)",
       "sqrt(abs(m))",
       "(m) + (m)",
+      "(m) atan2 (w)",
+      "m atan2 -2",
+      "sum by (host) (m) atan2 sum by (host) (sum_over_time(m[90s]))",
       "sum by (host) (m) / sum by (host) (w)",
       "m > 1.5",
       "m >= bool 2",
@@ -689,7 +708,9 @@ class PromQLDiffSpec extends SparkSpecBase {
         case 5 => s"exp((${gen(depth - 1)}) / 25)" // keep exp in range
         case 6 => s"(${gen(depth - 1)}) ${"+-*/%".charAt(rnd.nextInt(5))} ${0.25 * (1 + rnd.nextInt(12))}"
         case 7 => s"${0.25 * (1 + rnd.nextInt(12))} ${"+-*".charAt(rnd.nextInt(3))} (${gen(depth - 1)})"
-        case 8 => s"(${gen(depth - 1)}) ${"+-".charAt(rnd.nextInt(2))} (${gen(depth - 1)})"
+        case 8 =>
+          val op = Seq("+", "-", "atan2")(rnd.nextInt(3))
+          s"(${gen(depth - 1)}) $op (${gen(depth - 1)})"
         case 9 => s"${gen(depth - 1)} ${Seq(">", "<", ">=", "<=")(rnd.nextInt(4))} ${rnd.nextInt(4)}"
         case 10 => s"${gen(depth - 1)} ${Seq(">", "<")(rnd.nextInt(2))} bool ${rnd.nextInt(4)}"
         case 11 => s"(${gen(depth - 1)}) ${Seq("and", "or", "unless")(rnd.nextInt(3))} (${gen(depth - 1)})"

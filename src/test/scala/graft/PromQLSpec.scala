@@ -817,6 +817,27 @@ class PromQLSpec extends SparkSpecBase {
     })
   }
 
+  test("atan2 binary operator: quadrant-correct CORDIC, scalar and vector forms") {
+    def one(q: String) = rows(PromQL.eval(tinySamples,
+      parse(q).toOption.get, T0 + 60, T0 + 60, 60L))
+    // vector atan2 vector on the full label match: atan2(x, x) = π/4
+    assert(one("sum_over_time(m[60s]) atan2 sum_over_time(m[60s])") === Set(
+      ("", "host=a,user=1", T0 + 60, 785398L),
+      ("", "host=b,user=2", T0 + 60, 785398L)))
+    // vector atan2 scalar, second quadrant (x < 0)
+    assert(one("sum_over_time(m[60s]) atan2 -1") === Set(
+      ("", "host=a,user=1", T0 + 60, 1849096L),
+      ("", "host=b,user=2", T0 + 60, 1620139L)))
+    // Go conventions: atan2(0, x<0) = π, atan2(0, 0) = 0
+    assert(one("(sum_over_time(m[60s]) * 0) atan2 -1").map(_._4) ===
+      Set(3141593L))
+    assert(one("(sum_over_time(m[60s]) * 0) atan2 0").map(_._4) === Set(0L))
+    // scalar-only form folds on the driver
+    assert(PromQL.parse("1 atan2 1") === Right(ScalarLit(math.atan2(1, 1))))
+    // a metric named atan2 stays a selector in term position
+    assert(PromQL.parse("atan2{host=\"a\"}").isRight)
+  }
+
   test("sort/sort_desc pass values through and order the collect") {
     def ordered(q: String): Seq[(Long, Long)] =
       PromQL.eval(tinySamples, parse(q).toOption.get, T0 + 60, T0 + 120, 60L)

@@ -25,7 +25,7 @@ import graft.operators.{LabelMatcher, Matchers, SeriesRead}
   *   cmpExpr  := addExpr {("=="|"!="|"<="|"<"|">="|">") ["bool"]
   *               [matching] addExpr}
   *   addExpr  := mulExpr {("+"|"-") [matching] mulExpr}
-  *   mulExpr  := powExpr {("*"|"/"|"%") [matching] powExpr}
+  *   mulExpr  := powExpr {("*"|"/"|"%"|"atan2") [matching] powExpr}
   *   powExpr  := term ["^" powExpr]   (right-assoc; exponent must be
   *               a literal integer in [0, 8] — see PowInt)
   *   matching := ("on"|"ignoring") "(" names ")"

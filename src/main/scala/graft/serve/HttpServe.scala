@@ -135,6 +135,15 @@ object HttpServe {
       url ++ form
     }
 
+    // Prometheus 2.50+ `limit=` on the metadata endpoints: caps the
+    // response below the server's own MetaValuesLimit ceiling
+    // (0/absent/garbage = no user cap, like Prometheus treats 0)
+    def effLimit(params: Seq[(String, String)]): Int = {
+      val user = params.collectFirst { case ("limit", v) => v }
+        .flatMap(_.toIntOption).filter(_ > 0)
+      user.fold(MetaValuesLimit)(math.min(_, MetaValuesLimit))
+    }
+
     def guarded(ex: HttpExchange)(f: => Unit): Unit =
       try f catch {
         case e: Throwable if isClientDisconnect(e) =>
@@ -306,10 +315,13 @@ object HttpServe {
           val marker = df.limit(1).select(lit("\u0000").as("label_name"))
           val rows = graft.operators.Meta.labelNames(df)
             .select("label_name").union(marker)
-            .orderBy("label_name").limit(MetaValuesLimit + 1)
+            .orderBy("label_name").limit(effLimit(params) + 1)
             .collect().map(_.getString(0)).toSeq
           val keys = rows.filterNot(_ == "\u0000")
-          if (rows.size > keys.size) "__name__" +: keys else Seq.empty
+          // limit caps the FINAL list, __name__ included
+          if (rows.size > keys.size)
+            ("__name__" +: keys).take(effLimit(params))
+          else Seq.empty
         }.getOrElse(Seq.empty)
       }
       respond(ex, 200, jsonList(names),
@@ -349,7 +361,7 @@ object HttpServe {
                 .select(org.apache.spark.sql.functions.col("label_value").as("v"))
               // limit INSIDE the plan (ordered for determinism) — the
               // cap must bound the collect, not trim after it
-              domain.orderBy("v").limit(MetaValuesLimit)
+              domain.orderBy("v").limit(effLimit(params))
                 .collect().map(_.getString(0)).toSeq
             }.getOrElse(Seq.empty)
           }
@@ -385,7 +397,7 @@ object HttpServe {
                       org.apache.spark.sql.functions.col("labels"))
               .distinct()
               .orderBy("metric", "labels")
-              .limit(MetaValuesLimit)
+              .limit(effLimit(params))
               .collect()
               .map(r => (r.getString(0), r.getSeq[String](1).toSeq)).toSeq
           }.getOrElse(Seq.empty)

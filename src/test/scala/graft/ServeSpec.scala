@@ -428,6 +428,17 @@ class ServeSpec extends SparkSpecBase {
         Some("application/x-www-form-urlencoded"))
       assert(sc2 === 200 && new String(sb2, "UTF-8").contains(""""k":"v1""""),
         new String(sb2, "UTF-8"))
+      // the 2.50+ limit= parameter caps each metadata response
+      assert(get(s"$base/api/v1/label/k/values?limit=2")._2
+        === """{"status":"success","data":["v0","v1"]}""")
+      assert(get(s"$base/api/v1/labels?limit=1")._2
+        === """{"status":"success","data":["__name__"]}""")
+      val allM = java.net.URLEncoder.encode("meta_metric", "UTF-8")
+      val sLim = get(s"$base/api/v1/series?$m=$allM&limit=1")._2
+      assert(sLim.count(_ == '{') === 2, sLim) // envelope + exactly 1 series
+      // limit=0 / garbage = uncapped, like Prometheus
+      assert(get(s"$base/api/v1/label/k/values?limit=0")._2
+        === """{"status":"success","data":["v0","v1","v2"]}""")
     } finally srv.stop()
   }
 

@@ -670,6 +670,31 @@ object HttpServe {
         Seq("Content-Type" -> "application/json"))
     })
 
+    // /api/v1/format_query: parse + pretty-print (Grafana's "format
+    // query" button). The canonical form round-trips through the
+    // parser by construction (spec-fuzzed).
+    server.createContext("/api/v1/format_query", (ex: HttpExchange) => guarded(ex) {
+      reqParams(ex).collectFirst { case ("query", q) => q } match {
+        case None =>
+          respond(ex, 400,
+            """{"status":"error","errorType":"bad_data","error":"query parameter is required"}"""
+              .getBytes(UTF_8),
+            Seq("Content-Type" -> "application/json"))
+        case Some(q) => PromQL.parse(q) match {
+          case Left(err) =>
+            respond(ex, 400,
+              (s"""{"status":"error","errorType":"bad_data","error":"${esc(err)}"}""")
+                .getBytes(UTF_8),
+              Seq("Content-Type" -> "application/json"))
+          case Right(e) =>
+            respond(ex, 200,
+              (s"""{"status":"success","data":"${esc(PromQL.format(e))}"}""")
+                .getBytes(UTF_8),
+              Seq("Content-Type" -> "application/json"))
+        }
+      }
+    })
+
     // The remaining Grafana-datasource probes, answered truthfully
     // empty (success shapes, never 404): graft has no scrape loop →
     // no targets; no alertmanager ring; no exemplar storage (prompb

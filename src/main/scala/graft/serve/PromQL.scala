@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.OpsMetrics
 import graft.ingest.RollupStore
-import graft.operators.{LabelMatcher, Matchers, SeriesRead}
+import graft.operators.{LabelMatcher, Matchers, MatcherType, SeriesRead}
 
 /** A small PromQL evaluator over the samples store — the layer the
   * reference never had: it serves remote-read and leaves all query
@@ -2951,6 +2951,129 @@ object PromQL {
       else bucket >= lit(1000000L - thr)
     child.filter(keep)
       .select(col("metric"), col("labels"), col("t"), col("v_e6"))
+  }
+
+  // ---- Formatting (/api/v1/format_query) ---------------------------
+
+  /** Render an AST back to canonical whitelisted-grammar text. The
+    * contract is ROUND-TRIP STABILITY — parse(format(parse(q))) ==
+    * parse(q) for every accepted q (spec-fuzzed) — not Prometheus's
+    * minimal-parens prettification: binary operands always
+    * parenthesize (precedence-proof), durations render as plain
+    * seconds, scalars as plain decimal (the grammar has no exponent
+    * literals). */
+  def format(e: Expr): String = e match {
+    case Instant(ms, off) => selTxt(ms) + offTxt(off)
+    case RangeCall(fn, ms, d, off) => s"$fn(${selTxt(ms)}[${d}s]${offTxt(off)})"
+    case Agg(op, by, child, without, param) =>
+      val p = param.map(v => s"${numTxt(v)}, ").getOrElse("")
+      s"$op${grpTxt(by, without)}($p${format(child)})"
+    case Rank(bottom, k, child, by, without) =>
+      s"${if (bottom) "bottomk" else "topk"}${grpTxt(by, without)}($k, ${format(child)})"
+    case LimitK(k, child, by, without) =>
+      s"limitk${grpTxt(by, without)}($k, ${format(child)})"
+    case LimitRatio(r, child) => s"limit_ratio(${numTxt(r)}, ${format(child)})"
+    case Binary(op, l, r, m) =>
+      val o = if (op == 'A') "atan2" else op.toString
+      s"(${format(l)}) $o ${mTxt(m)}(${format(r)})"
+    case Cmp(op, bool, l, r, m) =>
+      s"(${format(l)}) $op ${if (bool) "bool " else ""}${mTxt(m)}(${format(r)})"
+    case SetOp(op, l, r, m) =>
+      s"(${format(l)}) $op ${mTxt(m)}(${format(r)})"
+    case MathFn(fn, TimeFn, Nil) if CalendarFns(fn) => s"$fn()"
+    case MathFn(fn, child, args) =>
+      s"$fn(${format(child)}${args.map(a => s", ${numTxt(a)}").mkString})"
+    case Sort(desc, child) =>
+      s"sort${if (desc) "_desc" else ""}(${format(child)})"
+    case SortByLabel(desc, child, lbls) =>
+      s"sort_by_label${if (desc) "_desc" else ""}(${format(child)}" +
+        lbls.map(l => s""", "$l"""").mkString + ")"
+    case Predict(ms, d, h, off) =>
+      s"predict_linear(${selTxt(ms)}[${d}s]${offTxt(off)}, ${h})"
+    case HoltWinters(ms, d, sf, tf, off) =>
+      s"holt_winters(${selTxt(ms)}[${d}s]${offTxt(off)}, ${numTxt(sf)}, ${numTxt(tf)})"
+    case Absent(ms, d, off) =>
+      s"absent_over_time(${selTxt(ms)}[${d}s]${offTxt(off)})"
+    case AbsentI(ms, off) => s"absent(${selTxt(ms)}${offTxt(off)})"
+    case TimestampOf(ms, off) => s"timestamp(${selTxt(ms)}${offTxt(off)})"
+    case LabelJoin(child, dst, sep, srcs) =>
+      s"""label_join(${format(child)}, "${strEsc(dst)}", "${strEsc(sep)}"""" +
+        srcs.map(x => s""", "${strEsc(x)}"""").mkString + ")"
+    case LabelReplace(child, dst, rep, src, re) =>
+      s"""label_replace(${format(child)}, "${strEsc(dst)}", "${strEsc(rep)}", "${strEsc(src)}", "${strEsc(re)}")"""
+    case HistQ(q, child) => s"histogram_quantile(${numTxt(q)}, ${format(child)})"
+    case Subquery(fn, child, d, res, off) =>
+      s"$fn(${format(child)}[${d}s:${res}s]${offTxt(off)})"
+    case Quantile(q, ms, d, off) =>
+      s"quantile_over_time(${numTxt(q)}, ${selTxt(ms)}[${d}s]${offTxt(off)})"
+    case CountValues(dst, child, by, without) =>
+      s"""count_values${grpTxt(by, without)}("${strEsc(dst)}", ${format(child)})"""
+    case ScalarOf(child) => s"scalar(${format(child)})"
+    case PowInt(child, n) => s"(${format(child)}) ^ $n"
+    // @ attaches INSIDE the call parens for range/subquery forms
+    // (the grammar's mods position), postfix for instant selectors
+    case At(ts, RangeCall(fn, ms, d, off)) =>
+      s"$fn(${selTxt(ms)}[${d}s]${offTxt(off)} @ $ts)"
+    case At(ts, Subquery(fn, child, d, res, off)) =>
+      s"$fn(${format(child)}[${d}s:${res}s]${offTxt(off)} @ $ts)"
+    case At(ts, child) => s"${format(child)} @ $ts"
+    case AtEdge(atStart, child) =>
+      val edge = if (atStart) "start()" else "end()"
+      child match {
+        case RangeCall(fn, ms, d, off) =>
+          s"$fn(${selTxt(ms)}[${d}s]${offTxt(off)} @ $edge)"
+        case Subquery(fn, c, d, res, off) =>
+          s"$fn(${format(c)}[${d}s:${res}s]${offTxt(off)} @ $edge)"
+        case _ => s"${format(child)} @ $edge"
+      }
+    case ScalarLit(v) => numTxt(v)
+    case TimeFn => "time()"
+    case VectorLit(v) => s"vector(${numTxt(v)})"
+  }
+
+  private def numTxt(v: Double): String =
+    // the grammar has no exponent form — render plain (shortest when
+    // exact, BigDecimal plain otherwise); negatives parse as the
+    // number()-level sign
+    if (v == v.toLong.toDouble && math.abs(v) < 1e15) v.toLong.toString
+    else new java.math.BigDecimal(v).toPlainString
+
+  private def strEsc(s0: String): String =
+    s0.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def offTxt(off: Long): String =
+    if (off == 0L) "" else s" offset ${off}s"
+
+  private def grpTxt(by: Seq[String], without: Boolean): String =
+    if (without) s" without (${by.mkString(", ")}) "
+    else if (by.nonEmpty) s" by (${by.mkString(", ")}) "
+    else " "
+
+  private def mTxt(m: Option[Matching]): String = m match {
+    case None => ""
+    case Some(Matching(on, keys, card, inc)) =>
+      val base = s"${if (on) "on" else "ignoring"} (${keys.mkString(", ")}) "
+      val grp =
+        if (card == 0) ""
+        else s"${if (card == 1) "group_left" else "group_right"}" +
+          (if (inc.nonEmpty) s" (${inc.mkString(", ")}) " else " ")
+      base + grp
+  }
+
+  private def selTxt(ms: Seq[LabelMatcher]): String = {
+    val (name, rest) = ms.partition(m =>
+      m.name == "__name__" && m.mtype == MatcherType.Eq)
+    val prefix = name.headOption.map(_.value).getOrElse("")
+    val inner = (name.drop(1) ++ rest).map { m =>
+      val op = m.mtype match {
+        case MatcherType.Eq  => "="
+        case MatcherType.Neq => "!="
+        case MatcherType.Re  => "=~"
+        case MatcherType.Nre => "!~"
+      }
+      s"""${m.name}$op"${strEsc(m.value)}""""
+    }
+    if (inner.isEmpty) prefix else s"$prefix{${inner.mkString(",")}}"
   }
 
   // ---- Result encoding -------------------------------------------

@@ -817,6 +817,46 @@ class PromQLSpec extends SparkSpecBase {
     })
   }
 
+  test("format round-trips: parse(format(parse(q))) == parse(q)") {
+    val corpus = Seq(
+      "m", """m{host="a",user!~"1|2"}""", "m offset 30s",
+      "rate(m[5m])", "sum_over_time(m[60s] offset 30s)",
+      s"sum_over_time(m[60s] @ ${T0 + 60})",
+      "sum by (host) (m)", "stdvar without (user) (m)",
+      "quantile(0.9, m)", "topk(2, m)", "bottomk without (user) (3, m)",
+      "limitk(2, m)", "limit_ratio(-0.5, m)",
+      "(m) + on (host) group_left (user) (m)",
+      "m > bool 1.5", "(m) unless ignoring (user) (m)",
+      "sqrt(abs(m))", "ln(m)", "exp(m / 40)", "sin(m)", "atanh(m)",
+      "clamp(m, 0.5, 2.5)", "round(m, 0.25)", "hour()", "month()",
+      "sort_desc(m)", """sort_by_label(m, "host", "user")""",
+      "m atan2 -2", "(m) atan2 (m)",
+      "predict_linear(m[2m] offset 60s, 120)",
+      "holt_winters(m[2m], 0.5, 0.25)",
+      "absent(m{host=\"a\"})", "absent_over_time(m[90s])",
+      "timestamp(m offset 30s)",
+      """label_replace(m, "x", "$1", "host", "(a.*)")""",
+      """label_join(m, "id", "-", "host", "user")""",
+      "histogram_quantile(0.9, m)",
+      "max_over_time(sum by (host) (m)[120s:60s])",
+      "rate(sum by (host) (m)[120s:60s] offset 60s)",
+      "quantile_over_time(0.5, m[2m])",
+      """count_values by (host) ("v", m)""",
+      "scalar(m) * (m)", "time() - timestamp(m)", "vector(1.25) + (m)",
+      "(m) ^ 3", "-(m)", "mad_over_time(m[90s])",
+      "irate(m[2m])", "changes(m[2m])", "deriv(m[2m])",
+      s"sum_over_time(m[60s] @ start())", "m @ end()")
+    corpus.foreach { q =>
+      val e1 = PromQL.parse(q).fold(
+        err => sys.error(s"corpus must parse: $q → $err"), identity)
+      val txt = PromQL.format(e1)
+      val e2 = PromQL.parse(txt).fold(
+        err => sys.error(s"format must re-parse: $q → '$txt' → $err"),
+        identity)
+      assert(e2 === e1, s"round-trip drift: $q → '$txt'")
+    }
+  }
+
   test("atan2 binary operator: quadrant-correct CORDIC, scalar and vector forms") {
     def one(q: String) = rows(PromQL.eval(tinySamples,
       parse(q).toOption.get, T0 + 60, T0 + 60, 60L))

@@ -1044,6 +1044,12 @@ class ServeSpec extends SparkSpecBase {
         """{"status":"success","data":{"activeTargets":[],"droppedTargets":[]}}""")))
       assert(get(s"$base/api/v1/alertmanagers") === ((200,
         """{"status":"success","data":{"activeAlertmanagers":[],"droppedAlertmanagers":[]}}""")))
+      // format_query: canonical pretty-print, 400 on parse errors
+      val fq = java.net.URLEncoder.encode("sum by(k) (rate(x[5m]))", "UTF-8")
+      assert(get(s"$base/api/v1/format_query?query=$fq") === ((200,
+        """{"status":"success","data":"sum by (k) (rate(x[300s]))"}""")))
+      assert(get(s"$base/api/v1/format_query?query=%7Bbad")._1 === 400)
+      assert(get(s"$base/api/v1/format_query")._1 === 400)
       // tsdb head stats: empty store answers zeros; after a write the
       // per-metric series counts and the total line up
       assert(get(s"$base/api/v1/status/tsdb")._2 ===

@@ -3,6 +3,9 @@ package graft.serve
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.mutable
 
 import graft.OpsMetrics
 import graft.ingest.RollupStore
@@ -174,7 +177,7 @@ object PromQL {
 
   // ---- AST --------------------------------------------------------
 
-  sealed trait Expr
+  sealed trait Expr extends Product
   /** Bare selector: instant vector at each grid step (shifted back
     * `offsetSec` — PromQL's `offset` modifier). */
   final case class Instant(matchers: Seq[LabelMatcher],
@@ -1270,6 +1273,68 @@ object PromQL {
            ignoreLabel: Option[String] = Some("remote=clickhouse")): DataFrame = {
     require(stepSec > 0, "step must be positive")
     require(endSec >= startSec, "end must be >= start")
+    // Common-subexpression reuse: a dashboard expression routinely
+    // references the same selector or aggregate several times
+    // (`a / a offset 1d`, `x / (x + y)`); without structural
+    // memoization each occurrence re-plans a full store scan — the
+    // dominant repeated cost at fleet scale. The Expr ADT is a plain
+    // case-class tree, so structural equality is `==`; the memo key
+    // adds the evaluation window because `@` pins children to other
+    // instants. Multiply-referenced results are persisted
+    // (MEMORY_AND_DISK — safe on block loss, LRU-evicted, and
+    // GC-unpersisted by Spark's ContextCleaner) so one action
+    // computes the shared subtree once and every other occurrence
+    // reads cached blocks.
+    val shared = sharedSubtrees(expr0)
+    val memo = mutable.HashMap.empty[(Expr, Long, Long), DataFrame]
+    def rec(e: Expr, s: Long, en: Long): DataFrame =
+      memo.getOrElseUpdate((e, s, en), {
+        val df = evalNode(samples, e, s, en, stepSec, lookbackSec, rollup,
+          ignoreLabel, rec)
+        if (shared(e)) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+      })
+    rec(expr0, startSec, endSec)
+  }
+
+  /** Structural children of an AST node — generic over the
+    * case-class tree (any Expr-typed field, directly or through
+    * Option/Seq), so new node types participate automatically. */
+  private def exprChildren(e: Expr): Seq[Expr] =
+    e.productIterator.flatMap {
+      case c: Expr => Seq(c)
+      case Some(c: Expr) => Seq(c)
+      case s: Seq[_] => s.collect { case c: Expr => c }
+      case _ => Nil
+    }.toSeq
+
+  /** Subtrees occurring more than once in `root` (structural
+    * equality) — the set worth persisting. Descent stops at a
+    * repeated subtree: its children are computed once inside the
+    * memoized parent, so persisting them too would only burn cache.
+    * Literals and generated grids are excluded — rebuilding a
+    * `range()` projection is cheaper than a cache round-trip. */
+  private def sharedSubtrees(root: Expr): Set[Expr] = {
+    val counts = mutable.HashMap.empty[Expr, Int]
+    def walk(e: Expr): Unit = {
+      val n = counts.getOrElse(e, 0) + 1
+      counts(e) = n
+      if (n == 1) exprChildren(e).foreach(walk)
+    }
+    walk(root)
+    def cacheWorthy(e: Expr): Boolean = e match {
+      case ScalarLit(_) | VectorLit(_) | TimeFn => false
+      case _ => true
+    }
+    counts.iterator.collect {
+      case (e, n) if n > 1 && cacheWorthy(e) => e
+    }.toSet
+  }
+
+  private def evalNode(samples: DataFrame, expr0: Expr, startSec: Long,
+                       endSec: Long, stepSec: Long, lookbackSec: Long,
+                       rollup: Option[RollupGrid],
+                       ignoreLabel: Option[String],
+                       rec: (Expr, Long, Long) => DataFrame): DataFrame = {
     // `offset o` shifts every window back by o: evaluate the
     // unshifted form on the grid translated to (start-o, end-o), then
     // put the grid timestamps back — exact, and every downstream
@@ -1325,102 +1390,77 @@ object PromQL {
         unshift(absentGrid(samples.sparkSession, ms, s0,
           (e0 - s0) / stepSec, stepSec, present), off)
       case LabelJoin(child, dst, sep, srcs) =>
-        labelJoinProject(eval(samples, child, startSec, endSec, stepSec,
-          lookbackSec, rollup, ignoreLabel), dst, sep, srcs)
+        labelJoinProject(rec(child, startSec, endSec), dst, sep, srcs)
       case Quantile(q, ms, d, off) =>
         unshift(quantileRange(samples, q, ms, startSec - off, endSec - off,
           stepSec, d, ignoreLabel), off)
       case Agg(op, by, child, without, param) =>
-        aggregate(eval(samples, child, startSec, endSec, stepSec, lookbackSec,
-          rollup, ignoreLabel), op, by, without, param)
+        aggregate(rec(child, startSec, endSec), op, by, without, param)
       case CountValues(dst, child, by, without) =>
-        countValues(eval(samples, child, startSec, endSec, stepSec,
-          lookbackSec, rollup, ignoreLabel), dst, by, without)
+        countValues(rec(child, startSec, endSec), dst, by, without)
       case AtEdge(atStart, child) =>
-        eval(samples, At(if (atStart) startSec else endSec, child),
-          startSec, endSec, stepSec, lookbackSec, rollup, ignoreLabel)
+        rec(At(if (atStart) startSec else endSec, child), startSec,
+          endSec)
       case At(ts, child) =>
         // one evaluation at the pinned instant, replicated onto the
         // grid — the single-point side is tiny, so the cross join
         // broadcasts
-        val single = eval(samples, child, ts, ts, stepSec, lookbackSec,
-          rollup, ignoreLabel).drop("t")
+        val single = rec(child, ts, ts).drop("t")
         val kTop = (endSec - startSec) / stepSec
         val grid = samples.sparkSession.range(0, kTop + 1)
           .select((lit(startSec) + col("id") * stepSec).as("t"))
         single.crossJoin(grid)
           .select(col("metric"), col("labels"), col("t"), col("v_e6"))
       case MathFn(fn, child, args) =>
-        mathProject(eval(samples, child, startSec, endSec, stepSec,
-          lookbackSec, rollup, ignoreLabel), fn, args)
+        mathProject(rec(child, startSec, endSec), fn, args)
       case HistQ(q, child) =>
-        histQuantile(eval(samples, child, startSec, endSec, stepSec,
-          lookbackSec, rollup, ignoreLabel), q)
+        histQuantile(rec(child, startSec, endSec), q)
       case Subquery(fn, child, d, res, off) =>
         unshift(subqueryRange(samples, fn, child, startSec - off,
           endSec - off, stepSec, d, res, lookbackSec, rollup, ignoreLabel),
           off)
       case LabelReplace(child, dst, rep, src, re) =>
-        labelReplaceProject(eval(samples, child, startSec, endSec, stepSec,
-          lookbackSec, rollup, ignoreLabel), dst, rep, src, re)
+        labelReplaceProject(rec(child, startSec, endSec), dst, rep, src, re)
       case Cmp(op, bool, ScalarLit(k), right, _) =>
-        scalarCmp(eval(samples, right, startSec, endSec, stepSec, lookbackSec,
-          rollup, ignoreLabel), op, bool, k, scalarOnLeft = true)
+        scalarCmp(rec(right, startSec, endSec), op, bool, k, scalarOnLeft = true)
       case Cmp(op, bool, left, ScalarLit(k), _) =>
-        scalarCmp(eval(samples, left, startSec, endSec, stepSec, lookbackSec,
-          rollup, ignoreLabel), op, bool, k, scalarOnLeft = false)
+        scalarCmp(rec(left, startSec, endSec), op, bool, k, scalarOnLeft = false)
       case Cmp(op, bool, left, TimeFn, _) =>
-        timeCmp(eval(samples, left, startSec, endSec, stepSec, lookbackSec,
-          rollup, ignoreLabel), op, bool, timeOnLeft = false)
+        timeCmp(rec(left, startSec, endSec), op, bool, timeOnLeft = false)
       case Cmp(op, bool, TimeFn, right, _) =>
-        timeCmp(eval(samples, right, startSec, endSec, stepSec, lookbackSec,
-          rollup, ignoreLabel), op, bool, timeOnLeft = true)
+        timeCmp(rec(right, startSec, endSec), op, bool, timeOnLeft = true)
       case Cmp(op, bool, left, ScalarOf(c), _) =>
         scalarOfCmp(
-          eval(samples, c, startSec, endSec, stepSec, lookbackSec, rollup,
-            ignoreLabel),
-          eval(samples, left, startSec, endSec, stepSec, lookbackSec, rollup,
-            ignoreLabel), op, bool, scalarOnLeft = false)
+          rec(c, startSec, endSec),
+          rec(left, startSec, endSec), op, bool, scalarOnLeft = false)
       case Cmp(op, bool, ScalarOf(c), right, _) =>
         scalarOfCmp(
-          eval(samples, c, startSec, endSec, stepSec, lookbackSec, rollup,
-            ignoreLabel),
-          eval(samples, right, startSec, endSec, stepSec, lookbackSec, rollup,
-            ignoreLabel), op, bool, scalarOnLeft = true)
+          rec(c, startSec, endSec),
+          rec(right, startSec, endSec), op, bool, scalarOnLeft = true)
       case Cmp(op, bool, left, right, m) =>
         vectorCmp(
-          eval(samples, left, startSec, endSec, stepSec, lookbackSec, rollup,
-            ignoreLabel),
-          eval(samples, right, startSec, endSec, stepSec, lookbackSec, rollup,
-            ignoreLabel), op, bool, m)
+          rec(left, startSec, endSec),
+          rec(right, startSec, endSec), op, bool, m)
       case SetOp(op, left, right, m) =>
         setOp(
-          eval(samples, left, startSec, endSec, stepSec, lookbackSec, rollup,
-            ignoreLabel),
-          eval(samples, right, startSec, endSec, stepSec, lookbackSec, rollup,
-            ignoreLabel), op, m)
+          rec(left, startSec, endSec),
+          rec(right, startSec, endSec), op, m)
       case Rank(bottom, k, child, by, without) =>
-        rank(eval(samples, child, startSec, endSec, stepSec, lookbackSec,
-          rollup, ignoreLabel), bottom, k, by, without)
+        rank(rec(child, startSec, endSec), bottom, k, by, without)
       case PowInt(child, n) =>
-        powInt(eval(samples, child, startSec, endSec, stepSec, lookbackSec,
-          rollup, ignoreLabel), n)
+        powInt(rec(child, startSec, endSec), n)
       case LimitK(k, child, by, without) =>
-        limitK(eval(samples, child, startSec, endSec, stepSec, lookbackSec,
-          rollup, ignoreLabel), k, by, without)
+        limitK(rec(child, startSec, endSec), k, by, without)
       case LimitRatio(r, child) =>
-        limitRatio(eval(samples, child, startSec, endSec, stepSec,
-          lookbackSec, rollup, ignoreLabel), r)
+        limitRatio(rec(child, startSec, endSec), r)
       case Sort(desc, child) =>
-        val c = eval(samples, child, startSec, endSec, stepSec, lookbackSec,
-          rollup, ignoreLabel)
+        val c = rec(child, startSec, endSec)
         val byValue = if (desc) col("v_e6").desc else col("v_e6").asc
         c.orderBy(col("t").asc, byValue,
           coalesce(col("metric"), lit("")).asc,
           array_join(col("labels"), ",").asc)
       case SortByLabel(desc, child, lbls) =>
-        val c = eval(samples, child, startSec, endSec, stepSec, lookbackSec,
-          rollup, ignoreLabel)
+        val c = rec(child, startSec, endSec)
         val keys = lbls.map { l =>
           val v = coalesce(
             expr(s"substring(get(filter(labels, x -> startswith(x, '$l=')), 0), " +
@@ -1432,35 +1472,25 @@ object PromQL {
           coalesce(col("metric"), lit("")).asc :+
           array_join(col("labels"), ",").asc: _*)
       case Binary(op, ScalarLit(k), right, _) =>
-        scalarArith(eval(samples, right, startSec, endSec, stepSec,
-          lookbackSec, rollup, ignoreLabel), op, k, scalarOnLeft = true)
+        scalarArith(rec(right, startSec, endSec), op, k, scalarOnLeft = true)
       case Binary(op, left, ScalarLit(k), _) =>
-        scalarArith(eval(samples, left, startSec, endSec, stepSec,
-          lookbackSec, rollup, ignoreLabel), op, k, scalarOnLeft = false)
+        scalarArith(rec(left, startSec, endSec), op, k, scalarOnLeft = false)
       case Binary(op, ScalarOf(c), right, _) =>
         scalarOfArith(
-          eval(samples, c, startSec, endSec, stepSec, lookbackSec, rollup,
-            ignoreLabel),
-          eval(samples, right, startSec, endSec, stepSec, lookbackSec, rollup,
-            ignoreLabel), op, scalarOnLeft = true)
+          rec(c, startSec, endSec),
+          rec(right, startSec, endSec), op, scalarOnLeft = true)
       case Binary(op, left, ScalarOf(c), _) =>
         scalarOfArith(
-          eval(samples, c, startSec, endSec, stepSec, lookbackSec, rollup,
-            ignoreLabel),
-          eval(samples, left, startSec, endSec, stepSec, lookbackSec, rollup,
-            ignoreLabel), op, scalarOnLeft = false)
+          rec(c, startSec, endSec),
+          rec(left, startSec, endSec), op, scalarOnLeft = false)
       case Binary(op, TimeFn, right, _) =>
-        timeArith(eval(samples, right, startSec, endSec, stepSec, lookbackSec,
-          rollup, ignoreLabel), op, timeOnLeft = true)
+        timeArith(rec(right, startSec, endSec), op, timeOnLeft = true)
       case Binary(op, left, TimeFn, _) =>
-        timeArith(eval(samples, left, startSec, endSec, stepSec, lookbackSec,
-          rollup, ignoreLabel), op, timeOnLeft = false)
+        timeArith(rec(left, startSec, endSec), op, timeOnLeft = false)
       case Binary(op, left, right, m) =>
         vectorArith(
-          eval(samples, left, startSec, endSec, stepSec, lookbackSec, rollup,
-            ignoreLabel),
-          eval(samples, right, startSec, endSec, stepSec, lookbackSec, rollup,
-            ignoreLabel), op, m)
+          rec(left, startSec, endSec),
+          rec(right, startSec, endSec), op, m)
       case TimeFn =>
         val kTop = (endSec - startSec) / stepSec
         samples.sparkSession.range(0, kTop + 1)
@@ -1477,8 +1507,7 @@ object PromQL {
             (lit(startSec) + col("id") * stepSec).as("t"),
             lit(kE6).as("v_e6"))
       case ScalarOf(child) =>
-        eval(samples, child, startSec, endSec, stepSec, lookbackSec, rollup,
-          ignoreLabel)
+        rec(child, startSec, endSec)
           .groupBy(col("t"))
           .agg(count(lit(1)).as("n"), max(col("v_e6")).as("sv"))
           .filter(col("n") === 1)

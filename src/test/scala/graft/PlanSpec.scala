@@ -258,6 +258,34 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("PromQL CSE: a twice-referenced subtree plans ONE cached store scan") {
+    import graft.serve.PromQL
+    spark.catalog.clearCache()
+    val s = Tables.samples(spark, Sf)
+    // the promql_trig_inverse benchmark shape: the same aggregate
+    // subtree referenced on both sides of a binary operator
+    val q = "sum by (user) (sum_over_time(click[1d]))"
+    val df = PromQL.eval(s, PromQL.parse(s"$q / $q").toOption.get,
+      1704499200L, 1704585600L, 7200L)
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    // both operand occurrences resolve to the SAME cache entry — the
+    // store scan + window aggregate runs once, not per occurrence
+    assert(rels.size == 2, s"expected both operands cached, got ${rels.size}")
+    assert(rels.map(_.cacheBuilder).distinct.size == 1,
+      "operands resolve to different cache entries — subtree not shared")
+    // no raw store scan survives OUTSIDE the shared cache fragment
+    val rawScans = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(rawScans.isEmpty,
+      s"a selector occurrence still plans its own store scan: $rawScans")
+    // and x/x is identically 1 wherever the series exists
+    val vs = df.select("v_e6").distinct().collect().map(_.getLong(0))
+    assert(vs.nonEmpty && vs.forall(_ == 1000000L), vs.mkString(","))
+  }
+
   test("no SparkEntry plan contains a cartesian product; ann joins broadcast") {
     val sideEffecting = Set(
       "ingest_samples_sink", "ingest_delete_range", "ingest_streaming",

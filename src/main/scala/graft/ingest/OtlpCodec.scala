@@ -8,18 +8,45 @@ import graft.ingest.PromRemoteCodec.IngestedSample
   * hand-rolled [[ProtoWire]] reader the prompb codec uses).
   *
   * Message shapes (only what the samples store can hold — Gauge and
-  * Sum number points; histograms/summaries are skipped field-safe):
+  * CUMULATIVE Sum number points; histogram / exponential-histogram /
+  * summary points are skipped field-safe and COUNTED, surfaced via
+  * the `otlp_dropped_points_total` write counter):
   *   ExportMetricsServiceRequest {1: resource_metrics*}
   *   ResourceMetrics  {1: resource, 2: scope_metrics*}
   *   Resource         {1: attributes* (KeyValue)}
   *   ScopeMetrics     {2: metrics*}
-  *   Metric           {1: name, 5: gauge, 7: sum}
-  *   Gauge/Sum        {1: data_points* (NumberDataPoint)}
+  *   Metric           {1: name, 5: gauge, 7: sum,
+  *                     9: histogram, 10: exp_histogram, 11: summary}
+  *   Sum              {1: data_points*, 2: aggregation_temporality,
+  *                     3: is_monotonic}
   *   NumberDataPoint  {2: start fixed64 ns, 3: time fixed64 ns,
   *                     4: as_double, 6: as_int sfixed64,
   *                     7: attributes*}
   *   KeyValue         {1: key, 2: AnyValue}
   *   AnyValue         {1: string | 2: bool | 3: int | 4: double}
+  *
+  * Sum temporality (the silent-corruption guard): a Sum's
+  * `aggregation_temporality` MUST be CUMULATIVE (2). Delta sums
+  * stored as-if-cumulative would make every downstream `rate()` /
+  * `increase()` read per-interval increments as counter levels —
+  * numbers that look plausible and are wrong. Prometheus's OTLP
+  * receiver rejects delta by default (conversion is behind a
+  * feature flag); this receiver does the same, loudly: the whole
+  * request fails with a wire-format error the HTTP layer answers as
+  * a client error. UNSPECIFIED (0) is equally rejected — the spec
+  * calls it invalid on the wire. `is_monotonic` is read but carries
+  * no behavior: the store has no metric-type metadata, so monotonic
+  * and non-monotonic cumulative sums land identically (documented
+  * deviation — Prometheus would suffix monotonic sums `_total`).
+  *
+  * Name mapping: metric names and attribute keys pass through the
+  * documented Prometheus OTLP translation — every char outside
+  * [a-zA-Z0-9_:] ([a-zA-Z0-9_] for label keys) becomes '_', a
+  * leading digit gets a '_' prefix — so dotted OTel names
+  * (`http.server.duration`) are reachable by PromQL selectors,
+  * whose ident grammar has no '.'. The full otlptranslator's
+  * unit/type suffixing (`_seconds`, `_total`) is NOT applied: the
+  * store keeps the sender's name stem verbatim (documented).
   *
   * Label mapping follows the documented Prometheus OTLP receiver
   * convention: resource attribute `service.name` → `job`,
@@ -31,20 +58,53 @@ import graft.ingest.PromRemoteCodec.IngestedSample
   * truncate ns → µs, the store's resolution. */
 object OtlpCodec {
 
-  /** application/x-protobuf body → flat ingested samples. */
-  def decodeExportMetrics(body: Array[Byte]): Seq[IngestedSample] = {
-    val out = Seq.newBuilder[IngestedSample]
+  /** A decode plus its skip ledger: `droppedPoints` counts histogram
+    * / exponential-histogram / summary data points the float64 store
+    * cannot hold — skipped field-safe, but never silently (the
+    * serving layer feeds the count into `/metrics`). */
+  final case class Decoded(samples: Seq[IngestedSample], droppedPoints: Long)
+
+  /** application/x-protobuf body → flat ingested samples (legacy
+    * shape — drops uncounted; servers use [[decodeExportMetricsCounted]]). */
+  def decodeExportMetrics(body: Array[Byte]): Seq[IngestedSample] =
+    decodeExportMetricsCounted(body).samples
+
+  /** application/x-protobuf body → samples + dropped-point count. */
+  def decodeExportMetricsCounted(body: Array[Byte]): Decoded = {
+    val st = new DecodeState
     val r = ProtoWire.reader(body)
     while (r.hasMore) {
       val (f, w) = r.readTag()
-      if (f == 1 && w == 2) readResourceMetrics(r.readMessage(), out)
+      if (f == 1 && w == 2) readResourceMetrics(r.readMessage(), st)
       else r.skip(w)
     }
-    out.result()
+    Decoded(st.out.result(), st.dropped)
   }
 
-  private def readResourceMetrics(r: ProtoWire.Reader,
-      out: scala.collection.mutable.Builder[IngestedSample, Seq[IngestedSample]]): Unit = {
+  private final class DecodeState {
+    val out = Seq.newBuilder[IngestedSample]
+    var dropped = 0L
+  }
+
+  /** Prometheus OTLP name translation, sans unit/type suffixes:
+    * invalid metric-name chars → '_', leading digit prefixed. */
+  private[ingest] def normMetricName(s: String): String = {
+    val b = s.map(c =>
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '_' || c == ':') c else '_')
+    if (b.nonEmpty && b.head >= '0' && b.head <= '9') "_" + b else b
+  }
+
+  /** Label-key translation: like metric names but ':' is not a legal
+    * label-name char either. */
+  private[ingest] def normLabelKey(s: String): String = {
+    val b = s.map(c =>
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '_') c else '_')
+    if (b.nonEmpty && b.head >= '0' && b.head <= '9') "_" + b else b
+  }
+
+  private def readResourceMetrics(r: ProtoWire.Reader, st: DecodeState): Unit = {
     var resourceLabels = List.empty[String]
     val scopes = Seq.newBuilder[ProtoWire.Reader]
     while (r.hasMore) {
@@ -57,7 +117,7 @@ object OtlpCodec {
     }
     // proto fields arrive in any order: scopes buffer until the
     // resource (with its job/instance mapping) is known
-    scopes.result().foreach(readScopeMetrics(_, resourceLabels, out))
+    scopes.result().foreach(readScopeMetrics(_, resourceLabels, st))
   }
 
   private def readResource(r: ProtoWire.Reader): List[String] = {
@@ -77,35 +137,66 @@ object OtlpCodec {
   }
 
   private def readScopeMetrics(r: ProtoWire.Reader, resource: List[String],
-      out: scala.collection.mutable.Builder[IngestedSample, Seq[IngestedSample]]): Unit =
+                               st: DecodeState): Unit =
     while (r.hasMore) {
       val (f, w) = r.readTag()
-      if (f == 2 && w == 2) readMetric(r.readMessage(), resource, out)
+      if (f == 2 && w == 2) readMetric(r.readMessage(), resource, st)
       else r.skip(w)
     }
 
+  /** Count a histogram/summary message's data points (field 1)
+    * without decoding them — the skip ledger's unit. */
+  private def countPoints(r: ProtoWire.Reader): Long = {
+    var n = 0L
+    while (r.hasMore) {
+      val (f, w) = r.readTag()
+      if (f == 1 && w == 2) { r.readMessage(); n += 1 }
+      else r.skip(w)
+    }
+    n
+  }
+
   private def readMetric(r: ProtoWire.Reader, resource: List[String],
-      out: scala.collection.mutable.Builder[IngestedSample, Seq[IngestedSample]]): Unit = {
+                         st: DecodeState): Unit = {
     var name = ""
+    var isSum = false
+    var temporality = 0L // AGGREGATION_TEMPORALITY_UNSPECIFIED
     val pointMsgs = Seq.newBuilder[ProtoWire.Reader]
+    def readPoints(g: ProtoWire.Reader): Unit =
+      while (g.hasMore) {
+        val (gf, gw) = g.readTag()
+        (gf, gw) match {
+          case (1, 2) => pointMsgs += g.readMessage()
+          case (2, 0) if isSum => temporality = g.readVarint()
+          case (3, 0) if isSum => g.readVarint() // is_monotonic: read, no-op
+          case _ => g.skip(gw)
+        }
+      }
     while (r.hasMore) {
       val (f, w) = r.readTag()
       (f, w) match {
         case (1, 2) => name = r.readString()
-        case (5, 2) | (7, 2) => // gauge | sum
-          val g = r.readMessage()
-          while (g.hasMore) {
-            val (gf, gw) = g.readTag()
-            if (gf == 1 && gw == 2) pointMsgs += g.readMessage()
-            else g.skip(gw)
-          }
-        case _ => r.skip(w) // histogram/summary/metadata — not samples
+        case (5, 2) => isSum = false; readPoints(r.readMessage())
+        case (7, 2) => isSum = true; readPoints(r.readMessage())
+        case (9, 2) | (10, 2) | (11, 2) =>
+          // histogram | exponential histogram | summary — the float64
+          // store has no shape for them; skip, but count every point
+          st.dropped += countPoints(r.readMessage())
+        case _ => r.skip(w) // metadata/unit — not samples
       }
     }
     if (name.isEmpty)
       throw new ProtoWire.WireFormatException("OTLP metric without a name")
+    // the silent-corruption guard (see the header): delta or
+    // unspecified temporality sums never reach the store
+    if (isSum && temporality != 2L)
+      throw new ProtoWire.WireFormatException(
+        s"OTLP sum '$name' has non-cumulative aggregation_temporality " +
+          s"($temporality); only CUMULATIVE (2) is ingestible — " +
+          "delta sums stored as counters would corrupt rate()")
+    val norm = normMetricName(name)
     pointMsgs.result().foreach { p =>
-      readNumberPoint(p, name, resource).foreach(out += _)
+      readNumberPoint(p, norm, resource).foreach(st.out += _)
     }
   }
 
@@ -122,7 +213,8 @@ object OtlpCodec {
         case (4, 1) => value = r.readDouble(); hasValue = true
         case (6, 1) => value = r.readFixed64().toDouble; hasValue = true
         case (7, 2) =>
-          val (k, v) = readKeyValue(r.readMessage()); attrs += s"$k=$v"
+          val (k, v) = readKeyValue(r.readMessage())
+          attrs += s"${normLabelKey(k)}=$v"
         case _ => r.skip(w)
       }
     }

@@ -25,7 +25,13 @@ object PromRemoteCodec {
   final case class PromLabel(name: String, value: String)
   final case class PromSample(value: Double, timestampMs: Long)
   final case class PromTimeSeries(labels: Seq[PromLabel], samples: Seq[PromSample])
-  final case class PromWriteRequest(timeseries: Seq[PromTimeSeries])
+  /** `skippedHistograms` ledgers native-histogram samples the
+    * float64 store cannot hold (prompb TimeSeries field 4 / PRW 2.0
+    * TimeSeries field 3) — skipped field-safe but COUNTED, so the
+    * serving layer can surface the drop on `/metrics` instead of
+    * losing Prometheus 3.x histogram traffic silently. */
+  final case class PromWriteRequest(timeseries: Seq[PromTimeSeries],
+                                    skippedHistograms: Long = 0L)
 
   /** One flat ingested sample — reference write.go:34-46 label
     * normalization applied: __name__ split out, remaining labels as
@@ -37,15 +43,20 @@ object PromRemoteCodec {
   def decodeWriteRequest(snappyBody: Array[Byte]): PromWriteRequest = {
     val r = ProtoWire.reader(Snappy.uncompress(snappyBody))
     val series = Seq.newBuilder[PromTimeSeries]
+    val hist = new Count
     while (r.hasMore) {
       val (field, wire) = r.readTag()
-      if (field == 1 && wire == 2) series += readTimeSeries(r.readMessage())
+      if (field == 1 && wire == 2)
+        series += readTimeSeries(r.readMessage(), hist)
       else r.skip(wire)
     }
-    PromWriteRequest(series.result())
+    PromWriteRequest(series.result(), hist.n)
   }
 
-  private def readTimeSeries(r: ProtoWire.Reader): PromTimeSeries = {
+  private final class Count { var n = 0L }
+
+  private def readTimeSeries(r: ProtoWire.Reader,
+                             hist: Count = new Count): PromTimeSeries = {
     val labels = Seq.newBuilder[PromLabel]
     val samples = Seq.newBuilder[PromSample]
     while (r.hasMore) {
@@ -53,6 +64,7 @@ object PromRemoteCodec {
       (field, wire) match {
         case (1, 2) => labels += readLabel(r.readMessage())
         case (2, 2) => samples += readSample(r.readMessage())
+        case (4, 2) => r.readMessage(); hist.n += 1 // native histogram
         case _      => r.skip(wire)
       }
     }
@@ -214,11 +226,14 @@ object PromRemoteCodec {
           s"symbol ref $ref out of range (${syms.length} symbols)")
       syms(ref.toInt)
     }
-    PromWriteRequest(rawSeries.result().map(readTimeSeriesV2(_, sym)))
+    val hist = new Count
+    val series = rawSeries.result().map(readTimeSeriesV2(_, sym, hist))
+    PromWriteRequest(series, hist.n)
   }
 
   private def readTimeSeriesV2(r: ProtoWire.Reader,
-                               sym: Long => String): PromTimeSeries = {
+                               sym: Long => String,
+                               hist: Count): PromTimeSeries = {
     val refs = Seq.newBuilder[Long]
     val samples = Seq.newBuilder[PromSample]
     while (r.hasMore) {
@@ -231,6 +246,7 @@ object PromRemoteCodec {
           while (pr.hasMore) refs += pr.readVarint()
         case (1, 0) => refs += r.readVarint()
         case (2, 2) => samples += readSample(r.readMessage())
+        case (3, 2) => r.readMessage(); hist.n += 1 // native histogram
         case _      => r.skip(wire)
       }
     }

@@ -208,10 +208,19 @@ object HttpServe {
             s"unsupported Content-Encoding: ${enc.get}\n".getBytes(UTF_8),
             Seq("Content-Type" -> "text/plain; charset=utf-8"))
         } else {
-          RemoteWrite.serveOtlp(spark, storePath, body(ex))
-          // an empty ExportMetricsServiceResponse IS zero proto bytes
-          respond(ex, 200, Array.emptyByteArray,
-            Seq("Content-Type" -> "application/x-protobuf"))
+          // a malformed body — including the delta-temporality
+          // rejection (OtlpCodec header) — is the SENDER's error:
+          // 400, mirroring Prometheus's OTLP receiver, not a 500
+          try {
+            RemoteWrite.serveOtlp(spark, storePath, body(ex))
+            // an empty ExportMetricsServiceResponse IS zero proto bytes
+            respond(ex, 200, Array.emptyByteArray,
+              Seq("Content-Type" -> "application/x-protobuf"))
+          } catch {
+            case e: graft.ingest.ProtoWire.WireFormatException =>
+              respond(ex, 400, (e.getMessage + "\n").getBytes(UTF_8),
+                Seq("Content-Type" -> "text/plain; charset=utf-8"))
+          }
         }
       })
 
@@ -757,7 +766,15 @@ object HttpServe {
         "read.max-samples" -> maxReadSamples.toString,
         "store.rollup-interval" -> RemoteWrite.rollupIntervalSec.toString,
         "rule.record-count" -> RemoteWrite.recordingRules.size.toString,
-        "rule.alert-count" -> HttpServe.alertRules.size.toString)
+        "rule.alert-count" -> HttpServe.alertRules.size.toString,
+        // wire-format drop ledger (see OpsMetrics): Prometheus 3.x
+        // native histograms and OTLP histogram/summary points have no
+        // float64-store shape — dropped counts surface here so the
+        // limitation is diagnosable from the status surface alone
+        "write.dropped-histogram-samples" ->
+          graft.OpsMetrics(spark).droppedHistograms.value.toString,
+        "write.otlp-dropped-points" ->
+          graft.OpsMetrics(spark).otlpDroppedPoints.value.toString)
         .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
         .mkString(",")
       respond(ex, 200,

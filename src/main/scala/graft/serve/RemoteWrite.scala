@@ -228,6 +228,8 @@ object RemoteWrite {
         .fold(p => throw new IllegalArgumentException(
           s"unsupported remote-write proto: $p"), identity)
       catch { case e: Throwable => m.writeErrors.add(1); throw e }
+    if (req.skippedHistograms > 0)
+      m.droppedHistograms.add(req.skippedHistograms)
     val rows = PromRemoteCodec.toSamples(req).toSeq
     if (rows.nonEmpty) {
       import spark.implicits._
@@ -249,9 +251,11 @@ object RemoteWrite {
                 body: Array[Byte]): Long = {
     val m = OpsMetrics(spark)
     m.writeRequests.add(1)
-    val rows =
-      try graft.ingest.OtlpCodec.decodeExportMetrics(body)
+    val dec =
+      try graft.ingest.OtlpCodec.decodeExportMetricsCounted(body)
       catch { case e: Throwable => m.writeErrors.add(1); throw e }
+    if (dec.droppedPoints > 0) m.otlpDroppedPoints.add(dec.droppedPoints)
+    val rows = dec.samples
     if (rows.nonEmpty) {
       import spark.implicits._
       SamplesStore.append(
@@ -277,6 +281,8 @@ object RemoteWrite {
           .fold(p => throw new IllegalArgumentException(
             s"unsupported remote-write proto: $p"), identity)
         catch { case e: Throwable => m.writeErrors.add(1); throw e }
+      if (req.skippedHistograms > 0)
+        m.droppedHistograms.add(req.skippedHistograms)
       PromRemoteCodec.toSamples(req)
     }
     if (rows.nonEmpty) {

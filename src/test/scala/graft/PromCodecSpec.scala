@@ -259,4 +259,53 @@ class PromCodecSpec extends SparkSpecBase {
       expr("ts_us DIV 1000").as("t"), col("value"))
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
+
+  test("OTLP codec: delta sums reject, names normalize, drops count") {
+    import graft.ingest.OtlpCodec
+    def sumMetric(name: String, temporality: Long): Array[Byte] = {
+      val point = new ProtoWire.Writer
+      point.writeFixed64Field(3, 1704412800000000000L)
+      point.writeDoubleField(4, 7.0)
+      val sum = new ProtoWire.Writer
+      sum.writeMessageField(1, point)
+      sum.writeVarintField(2, temporality)
+      sum.writeVarintField(3, 1L)
+      val m = new ProtoWire.Writer
+      m.writeStringField(1, name)
+      m.writeMessageField(7, sum)
+      val scope = new ProtoWire.Writer
+      scope.writeMessageField(2, m)
+      val rm = new ProtoWire.Writer
+      rm.writeMessageField(2, scope)
+      val req = new ProtoWire.Writer
+      req.writeMessageField(1, rm)
+      req.toBytes
+    }
+    // cumulative passes, with the dotted name made selector-reachable
+    val ok = OtlpCodec.decodeExportMetricsCounted(sumMetric("rpc.count", 2L))
+    assert(ok.samples.map(_.metric) === Seq("rpc_count"))
+    assert(ok.droppedPoints === 0L)
+    // delta (1) and unspecified (0) both throw the clean wire error
+    for (t <- Seq(0L, 1L)) {
+      val e = intercept[ProtoWire.WireFormatException](
+        OtlpCodec.decodeExportMetrics(sumMetric("d.count", t)))
+      assert(e.getMessage.contains("non-cumulative"), e.getMessage)
+    }
+    // v1 remote-write: a TimeSeries histogram field (4) is skipped
+    // field-safe AND ledgered on the decoded request
+    val w = new ProtoWire.Writer
+    val ts = new ProtoWire.Writer
+    val lb = new ProtoWire.Writer
+    lb.writeStringField(1, "__name__"); lb.writeStringField(2, "h")
+    ts.writeMessageField(1, lb)
+    val sm = new ProtoWire.Writer
+    sm.writeDoubleField(1, 2.0); sm.writeVarintField(2, 1704412800000L)
+    ts.writeMessageField(2, sm)
+    ts.writeMessageField(4, new ProtoWire.Writer) // native histogram
+    ts.writeMessageField(4, new ProtoWire.Writer)
+    w.writeMessageField(1, ts)
+    val req = decodeWriteRequest(org.xerial.snappy.Snappy.compress(w.toBytes))
+    assert(req.timeseries.head.samples.map(_.value) === Seq(2.0))
+    assert(req.skippedHistograms === 2L)
+  }
 }

@@ -114,6 +114,8 @@ class ServeSpec extends SparkSpecBase {
       point.writeMessageField(7, battr)
       val sum = new ProtoWire.Writer
       sum.writeMessageField(1, point)
+      sum.writeVarintField(2, 2L) // aggregation_temporality CUMULATIVE
+      sum.writeVarintField(3, 1L) // is_monotonic
       val metric = new ProtoWire.Writer
       metric.writeStringField(1, "otlp_total")
       metric.writeMessageField(7, sum) // sum, not gauge
@@ -150,6 +152,117 @@ class ServeSpec extends SparkSpecBase {
         Seq(PromRemoteCodec.IngestedSample(5000000L, "m", Seq("a=1"), 2.5))))
       assert(rt === Seq(
         PromRemoteCodec.IngestedSample(5000000L, "m", Seq("a=1"), 2.5)))
+    } finally srv.stop()
+  }
+
+  test("OTLP guard: delta sums 400, dotted names normalize, drops count") {
+    import graft.ingest.ProtoWire
+    val store = tmpStore("otlpguard")
+    val srv = HttpServe.start(spark, store)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      def kv(k: String, v: String) = {
+        val w = new ProtoWire.Writer
+        w.writeStringField(1, k)
+        val any = new ProtoWire.Writer
+        any.writeStringField(1, v)
+        w.writeMessageField(2, any)
+        w
+      }
+      def point(tNs: Long, v: Double, attrs: (String, String)*) = {
+        val p = new ProtoWire.Writer
+        p.writeFixed64Field(3, tNs)
+        p.writeDoubleField(4, v)
+        attrs.foreach { case (k, a) => p.writeMessageField(7, kv(k, a)) }
+        p
+      }
+      def wrap(metrics: ProtoWire.Writer*) = {
+        val scope = new ProtoWire.Writer
+        metrics.foreach(scope.writeMessageField(2, _))
+        val rm = new ProtoWire.Writer
+        rm.writeMessageField(2, scope)
+        val req = new ProtoWire.Writer
+        req.writeMessageField(1, rm)
+        req.toBytes
+      }
+      // 1. a DELTA-temporality sum is a client error, never stored —
+      //    stored as-if-cumulative it would corrupt every rate()
+      val deltaSum = new ProtoWire.Writer
+      deltaSum.writeMessageField(1, point(1704412800000000000L, 5.0))
+      deltaSum.writeVarintField(2, 1L) // AGGREGATION_TEMPORALITY_DELTA
+      val dm = new ProtoWire.Writer
+      dm.writeStringField(1, "delta_total")
+      dm.writeMessageField(7, deltaSum)
+      val (dc, db, _) = post(s"$base/api/v1/otlp/v1/metrics", wrap(dm))
+      assert(dc === 400, new String(db, "UTF-8"))
+      assert(new String(db, "UTF-8").contains("non-cumulative"))
+      assert(!new java.io.File(store).exists() ||
+        graft.ingest.SamplesStore.read(spark, store).count() === 0)
+      // 2. dotted OTel names normalize to PromQL-reachable idents
+      val gm = new ProtoWire.Writer
+      gm.writeStringField(1, "http.server.duration")
+      val gauge = new ProtoWire.Writer
+      gauge.writeMessageField(1,
+        point(1704412800000000000L, 0.25, "http.method" -> "GET"))
+      gm.writeMessageField(5, gauge)
+      // 3. histogram points skip — but COUNT (2 points below)
+      val hm = new ProtoWire.Writer
+      hm.writeStringField(1, "latency.hist")
+      val hist = new ProtoWire.Writer
+      hist.writeMessageField(1, new ProtoWire.Writer) // 2 data points
+      hist.writeMessageField(1, new ProtoWire.Writer)
+      hm.writeMessageField(9, hist)
+      val before = graft.OpsMetrics(spark).otlpDroppedPoints.value
+      assert(post(s"$base/api/v1/otlp/v1/metrics", wrap(gm, hm))._1 === 200)
+      val back = graft.ingest.SamplesStore.read(spark, store).collect()
+      assert(back.length === 1)
+      assert(back(0).getAs[String]("metric") === "http_server_duration")
+      assert(back(0).getAs[Seq[String]]("labels") === Seq("http_method=GET"))
+      assert(graft.OpsMetrics(spark).otlpDroppedPoints.value === before + 2)
+      // the drop is observable on BOTH ops surfaces
+      val (_, metricsBody) = get(s"$base/metrics")
+      assert(metricsBody.contains("otlp_dropped_points_total"))
+      val (_, flagsBody) = get(s"$base/api/v1/status/flags")
+      assert(flagsBody.contains(
+        s""""write.otlp-dropped-points":"${before + 2}""""))
+    } finally srv.stop()
+  }
+
+  test("remote-write native-histogram samples drop observably, never silently") {
+    import graft.ingest.ProtoWire
+    import org.xerial.snappy.Snappy
+    val store = tmpStore("rwhist")
+    val srv = HttpServe.start(spark, store)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      // hand-built v2 request: one series with one float sample AND
+      // one native-histogram sample (TimeSeries field 3)
+      val w = new ProtoWire.Writer
+      Seq("", "__name__", "hm", "a", "b").foreach(w.writeStringField(4, _))
+      val ts = new ProtoWire.Writer
+      val pr = new ProtoWire.Writer
+      Seq(1L, 2L, 3L, 4L).foreach(pr.writeVarint)
+      ts.writeBytesField(1, pr.toBytes)
+      val sm = new ProtoWire.Writer
+      sm.writeDoubleField(1, 1.5)
+      sm.writeVarintField(2, 1704412800000L)
+      ts.writeMessageField(2, sm)
+      ts.writeMessageField(3, new ProtoWire.Writer) // native histogram
+      w.writeMessageField(5, ts)
+      val before = graft.OpsMetrics(spark).droppedHistograms.value
+      val (c, _, h) = post(s"$base/write", Snappy.compress(w.toBytes),
+        Some("application/x-protobuf;proto=" + PromRemoteCodec.ProtoV2),
+        respHeaders = Seq("X-Prometheus-Remote-Write-Samples-Written"))
+      assert(c === 200)
+      // the float sample lands; the histogram is dropped and COUNTED
+      assert(h.get("X-Prometheus-Remote-Write-Samples-Written") === Some("1"))
+      assert(graft.ingest.SamplesStore.read(spark, store).count() === 1)
+      assert(graft.OpsMetrics(spark).droppedHistograms.value === before + 1)
+      val (_, metricsBody) = get(s"$base/metrics")
+      assert(metricsBody.contains("write_dropped_histogram_samples_total"))
+      val (_, flagsBody) = get(s"$base/api/v1/status/flags")
+      assert(flagsBody.contains(
+        s""""write.dropped-histogram-samples":"${before + 1}""""))
     } finally srv.stop()
   }
 

@@ -1147,6 +1147,14 @@ object SparkEntry {
         parsePromQL("exp(ln(sum by (user) (sum_over_time(click[1d]))) / 3)"),
         WinStartSec, WinEndSec, 86400L))),
 
+    // fractional ^ — exp(2.5·ln x) composed from the SAME digit
+    // folds ln/exp ship (never libm pow); the oracle replicates the
+    // composition fold for fold
+    "promql_pow_frac" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("sum by (user) (sum_over_time(click[1d])) ^ 2.5"),
+        WinStartSec, WinEndSec, 86400L))),
+
     // sort_desc: values/labels pass through untouched (the ordering
     // is presentation-layer, exercised in PromQLSpec/ServeSpec —
     // the oracle checks the value contract)
@@ -3580,6 +3588,89 @@ object SparkEntry {
          |              END * CAST(1000000.0 AS DOUBLE)
          |              + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS v_e6
          |FROM ex""".stripMargin,
+
+    // fractional ^: u = 2.5·lnD(|x|), overflow drop at u > 29.85,
+    // deep underflow to 0 at u <= -14.6, result floor(expD(u)·1e6+.5)
+    // — every fold step bit-identical to the Spark powFrac plan.
+    // The folds are replicated as RECURSIVE CTEs (plain per-row
+    // column arithmetic), NOT list_reduce lambdas: DuckDB 1.0's
+    // vectorized list_reduce showed row-lane crosstalk when an exp
+    // fold consumed an ln fold's output here — a DIFFERENT row's
+    // value leaked into the fold state, nondeterministically across
+    // runs (the hyp/exp rows' green list_reduce shapes never nest
+    // fold-into-fold at double level). 88 ln steps + 48 exp steps
+    // per row, each identical IEEE ops to the Spark side.
+    "promql_pow_frac" ->
+      (s"""${promqlSotCte("click")}, agg AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
+         |         CAST(sum(v_e6) AS BIGINT) AS v_e6
+         |  FROM sot GROUP BY 1, 2
+         |), ln0 AS (
+         |  SELECT labels, t, v_e6,
+         |         abs(CAST(v_e6 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE) AS m,
+         |         CAST(0 AS DOUBLE) AS e, CAST(0 AS DOUBLE) AS b, 0 AS i
+         |  FROM agg WHERE v_e6 > 0
+         |), lnit AS (
+         |  SELECT * FROM ln0
+         |  UNION ALL
+         |  SELECT labels, t, v_e6,
+         |    CASE WHEN i < 64 THEN
+         |      CASE WHEN m >= CAST(2 AS DOUBLE) THEN m / CAST(2 AS DOUBLE)
+         |           WHEN m < CAST(1 AS DOUBLE) THEN m * CAST(2 AS DOUBLE) ELSE m END
+         |    ELSE CASE WHEN m * m >= CAST(2 AS DOUBLE) THEN m * m / CAST(2 AS DOUBLE)
+         |         ELSE m * m END END,
+         |    CASE WHEN i < 64 THEN
+         |      CASE WHEN m >= CAST(2 AS DOUBLE) THEN e + CAST(1 AS DOUBLE)
+         |           WHEN m < CAST(1 AS DOUBLE) THEN e - CAST(1 AS DOUBLE) ELSE e END
+         |    ELSE e END,
+         |    CASE WHEN i < 64 THEN b
+         |         ELSE CASE WHEN m * m >= CAST(2 AS DOUBLE)
+         |              THEN b * CAST(2 AS DOUBLE) + CAST(1 AS DOUBLE)
+         |              ELSE b * CAST(2 AS DOUBLE) END END,
+         |    i + 1
+         |  FROM lnit WHERE i < 88
+         |), u AS (
+         |  SELECT labels, t, v_e6,
+         |         CAST('2.5' AS DOUBLE) * ((e * CAST(16777216 AS DOUBLE) + b)
+         |           / CAST(16777216 AS DOUBLE)
+         |           * CAST('0.6931471805599453' AS DOUBLE)) AS uu
+         |  FROM lnit WHERE i = 88
+         |  UNION ALL
+         |  SELECT labels, t, v_e6, CAST(0 AS DOUBLE) AS uu
+         |  FROM agg WHERE v_e6 = 0
+         |), ex0 AS (
+         |  SELECT labels, t, v_e6, uu,
+         |         (uu * CAST('1.4426950408889634' AS DOUBLE))
+         |           - floor(uu * CAST('1.4426950408889634' AS DOUBLE)) AS g,
+         |         CAST(1 AS DOUBLE) AS acc, CAST(2 AS DOUBLE) AS r, 0 AS j,
+         |         CAST(floor(uu * CAST('1.4426950408889634' AS DOUBLE)) AS BIGINT) AS ip
+         |  FROM u WHERE uu <= CAST('29.85' AS DOUBLE) AND uu > CAST('-14.6' AS DOUBLE)
+         |), exit0 AS (
+         |  SELECT * FROM ex0
+         |  UNION ALL
+         |  SELECT labels, t, v_e6, uu,
+         |    CASE WHEN g + g >= CAST(1 AS DOUBLE) THEN g + g - CAST(1 AS DOUBLE)
+         |         ELSE g + g END,
+         |    CASE WHEN g + g >= CAST(1 AS DOUBLE) THEN acc * sqrt(r) ELSE acc END,
+         |    sqrt(r), j + 1, ip
+         |  FROM exit0 WHERE j < 48
+         |), ex AS (
+         |  SELECT labels, t, v_e6, uu,
+         |         CASE WHEN ip >= 0 THEN acc * CAST(CAST(1 AS BIGINT) << ip AS DOUBLE)
+         |              ELSE acc / CAST(CAST(1 AS BIGINT) << (-ip) AS DOUBLE) END AS p
+         |  FROM exit0 WHERE j = 48
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(a.labels, ',') AS labels_str, a.t,
+         |       CASE WHEN a.v_e6 = 0 THEN 0
+         |            WHEN u.uu <= CAST('-14.6' AS DOUBLE) THEN 0
+         |            ELSE CAST(floor(ex.p * CAST(1000000.0 AS DOUBLE)
+         |                 + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS v_e6
+         |FROM agg a
+         |JOIN u ON u.labels = a.labels AND u.t = a.t
+         |LEFT JOIN ex ON ex.labels = a.labels AND ex.t = a.t
+         |WHERE u.uu <= CAST('29.85' AS DOUBLE)""".stripMargin)
+        .replaceFirst("^WITH ", "WITH RECURSIVE "),
 
     // sort_desc passes values through — the ordering itself is a
     // presentation contract (spec-asserted), the oracle pins values

@@ -29,8 +29,9 @@ import graft.operators.{LabelMatcher, Matchers, MatcherType, SeriesRead}
   *               [matching] addExpr}
   *   addExpr  := mulExpr {("+"|"-") [matching] mulExpr}
   *   mulExpr  := powExpr {("*"|"/"|"%"|"atan2") [matching] powExpr}
-  *   powExpr  := term ["^" powExpr]   (right-assoc; exponent must be
-  *               a literal integer in [0, 8] — see PowInt)
+  *   powExpr  := term ["^" powExpr]   (right-assoc; literal scalar
+  *               exponent — [0,8] integers chain multiplies (PowInt),
+  *               everything else rides exp(y·ln x) (PowFrac))
   *   matching := ("on"|"ignoring") "(" names ")"
   *               [("group_left"|"group_right") ["(" names ")"]]
   *               (group_* on arithmetic/comparisons only)
@@ -98,8 +99,10 @@ import graft.operators.{LabelMatcher, Matchers, MatcherType, SeriesRead}
   * from operations IEEE 754 specifies exactly (multiply, divide by
   * a power of two, sqrt, compare), so Spark and any oracle engine
   * compute bit-identical results by construction — see mathProject.
-  * `^` with a fractional exponent stays rejected (no portable
-  * shape; integer-exponent `^` ships as a rounded-multiply chain).
+  * `^` accepts any literal exponent: [0,8] integers as a
+  * rounded-multiply chain, the rest as exp(y·ln x) over the
+  * deterministic digit folds (negative base + fractional exponent
+  * drops — the documented NaN deviation).
   * `%` is the exact truncated (dividend-sign) remainder on the
   * micro-unit integers — Go math.Mod's convention on values both
   * engines hold exactly.
@@ -299,6 +302,13 @@ object PromQL {
     * bit-identical in any IEEE engine. Fractional exponents are
     * rejected at parse time (libm pow is not correctly rounded). */
   final case class PowInt(child: Expr, n: Int) extends Expr
+  /** child ^ y for a literal exponent OUTSIDE PowInt's fast path
+    * (fractional, negative, or > 8): x^y = exp(y·ln x) composed from
+    * the deterministic digit folds — bit-portable like ln/exp
+    * themselves. Negative bases keep their sign by parity when y is
+    * an integer; a negative base with a fractional exponent DROPS
+    * (Prometheus answers NaN — the sqrt-convention deviation). */
+  final case class PowFrac(child: Expr, y: Double) extends Expr
   /** limitk(k, expr): at most k series per step. DETERMINISTIC
     * deviation from Prometheus (which samples randomly): the k first
     * series by (metric, joined-labels) order — stable across runs,
@@ -546,12 +556,12 @@ object PromQL {
       arith(powExpr, "*/%", Seq("atan2" -> 'A'))
 
     /** `^` binds tighter than * / % and associates RIGHT, like
-      * Prometheus. Only literal non-negative integer exponents ≤ 8
-      * ship: the value model evaluates x^n as a chain of
-      * correctly-rounded double multiplies (engine-portable), while
-      * a fractional exponent would need libm pow — the same
-      * last-ulp portability hazard that keeps ln/exp out of the
-      * grammar. */
+      * Prometheus. Literal integer exponents in [0, 8] evaluate as a
+      * chain of correctly-rounded double multiplies ([[PowInt]]);
+      * every other literal exponent — fractional, negative, > 8 —
+      * compiles to exp(y·ln x) over the deterministic digit folds
+      * ([[PowFrac]]), never libm pow (not correctly rounded —
+      * engines disagree in the last ulp). */
     private def powExpr(): Either[String, Expr] =
       term().flatMap { base =>
         ws()
@@ -563,8 +573,16 @@ object PromQL {
                 case ScalarLit(a) => Right(ScalarLit(math.pow(a, n)))
                 case _            => Right(PowInt(base, n.toInt))
               }
-            case ScalarLit(_) =>
-              Left("^ supports literal integer exponents in [0, 8] only")
+            case ScalarLit(y) =>
+              base match {
+                case ScalarLit(a) =>
+                  // folded ONCE on the driver through the SAME digit
+                  // folds the column path runs — no libm shortcut
+                  powScalarFold(a, y).map(v => ScalarLit(v)).toRight(
+                    "scalar ^ outside the portable domain " +
+                      "(non-positive base or overflow)")
+                case _ => Right(PowFrac(base, y))
+              }
             case _ => Left("^ needs a literal scalar exponent")
           }
         } else Right(base)
@@ -586,10 +604,12 @@ object PromQL {
             next().flatMap { right =>
               (left, right, m) match {
                 case (ScalarLit(a), ScalarLit(b), None) =>
-                  // folded ONCE on the driver — the literal then rides
-                  // identically into every engine (no cross-engine
-                  // libm hazard for constants)
-                  loop(ScalarLit(math.atan2(a, b)))
+                  // folded ONCE on the driver THROUGH THE SAME CORDIC
+                  // vectoring fold the column path runs — identical
+                  // in every bit to the vector-shaped evaluation, not
+                  // just to the last µ-rounding (libm math.atan2 can
+                  // differ from the fold one pre-rounding ulp)
+                  loop(ScalarLit(atan2Fold(a, b)))
                 case (ScalarLit(_), _, Some(_)) | (_, ScalarLit(_), Some(_)) =>
                   Left("vector matching requires two vectors")
                 case _ => loop(Binary(op, left, right, m))
@@ -1449,6 +1469,8 @@ object PromQL {
         rank(rec(child, startSec, endSec), bottom, k, by, without)
       case PowInt(child, n) =>
         powInt(rec(child, startSec, endSec), n)
+      case PowFrac(child, y) =>
+        powFrac(rec(child, startSec, endSec), y)
       case LimitK(k, child, by, without) =>
         limitK(rec(child, startSec, endSec), k, by, without)
       case LimitRatio(r, child) =>
@@ -1719,6 +1741,136 @@ object PromQL {
       }
     child.select(lit(null).cast("string").as("metric"), col("labels"),
       col("t"), v.as("v_e6"))
+  }
+
+  /** x^y for a literal exponent outside the [0,8]-integer fast path:
+    * exp(y·ln|x|) composed from [[lnDSql]]/[[expDSql]] — the same
+    * deterministic digit folds ln/exp themselves use, so the result
+    * is bit-portable by construction. Domain conventions (each a
+    * documented deviation in the sqrt/ln style — Prometheus answers
+    * NaN/Inf where the integer model drops):
+    *   x < 0, y fractional  → row drops (NaN);
+    *   x = 0                → 0 for y > 0, drops for y < 0 (+Inf);
+    *   y·ln|x| > 29.85      → drops (µ-unit BIGINT overflow, exp's
+    *                          own bound);
+    *   y·ln|x| ≤ -14.6      → 0 (true result rounds to 0 µ-units);
+    *   x < 0, y integer     → sign by parity (odd → negative).
+    * Scale shape: a narrow per-row projection like every math fn —
+    * no exchange, no UDF. */
+  private def powFrac(child: DataFrame, y: Double): DataFrame = {
+    val isIntY = y == math.floor(y) && !y.isInfinity
+    val negOdd = isIntY && math.abs(y % 2.0d) == 1.0d
+    val yLit = s"CAST('${java.lang.Double.toString(y)}' AS DOUBLE)"
+    val u = s"($yLit * ${lnDSql("(abs(CAST(v_e6 AS DOUBLE)) / 1000000.0D)")})"
+    val base = child
+      .filter(col("v_e6") =!= 0L || lit(y > 0))
+      .filter(col("v_e6") >= 0L || lit(isIntY))
+      .withColumn("_u", when(col("v_e6") === 0L, lit(0.0d)).otherwise(expr(u)))
+      .filter(col("_u") <= lit(29.85d))
+    val mag = when(col("v_e6") === 0L, lit(0L))
+      .when(col("_u") <= lit(-14.6d), lit(0L))
+      .otherwise(expr(
+        s"CAST(floor(${expDSql("_u")} * 1000000.0D + 0.5D) AS BIGINT)"))
+    val signed =
+      if (negOdd) when(col("v_e6") < 0L, -mag).otherwise(mag) else mag
+    base.select(lit(null).cast("string").as("metric"), col("labels"),
+      col("t"), signed.as("v_e6"))
+  }
+
+  // ---- driver-side fold replicas -----------------------------------
+  // The SAME algorithms as the SQL folds, step for step in Scala
+  // doubles (each op correctly rounded IEEE, exactly like the SQL
+  // spec) — used to constant-fold scalar literals so a folded
+  // literal is bit-identical to what the column fold would compute.
+  // Without these, literal operands would take a libm shortcut
+  // (math.atan2 / math.pow) that can differ from the fold in the
+  // last pre-rounding ulp and flip a µ-boundary depending on which
+  // operand happened to be a constant.
+
+  /** Driver twin of [[lnDSql]]. */
+  private[graft] def lnDFold(w: Double): Double = {
+    var m = w; var e = 0L; var b = 0L
+    var i = 1
+    while (i <= 88) {
+      if (i <= 64) {
+        if (m >= 2.0d) { m /= 2.0d; e += 1 }
+        else if (m < 1.0d) { m *= 2.0d; e -= 1 }
+      } else {
+        val mm = m * m
+        if (mm >= 2.0d) { m = mm / 2.0d; b = b * 2 + 1 }
+        else { m = mm; b = b * 2 }
+      }
+      i += 1
+    }
+    (e * 16777216L + b).toDouble / 16777216.0d * 0.6931471805599453d
+  }
+
+  /** Driver twin of [[expDSql]] (2^i via exact exponent-field
+    * construction — the same value SHIFTLEFT-cast-to-double is). */
+  private[graft] def expDFold(u: Double): Double = {
+    val t = u * 1.4426950408889634d
+    val i = math.floor(t).toLong
+    var g = t - math.floor(t)
+    var acc = 1.0d; var r = 2.0d
+    var j = 0
+    while (j < 48) {
+      r = math.sqrt(r)
+      if (g + g >= 1.0d) { acc *= r; g = g + g - 1.0d }
+      else g = g + g
+      j += 1
+    }
+    if (i >= 0) acc * java.lang.Double.longBitsToDouble((1023L + i) << 52)
+    else acc / java.lang.Double.longBitsToDouble((1023L - i) << 52)
+  }
+
+  /** Driver twin of the CORDIC vectoring fold (cordicAtanCol). */
+  private[graft] def cordicAtanFold(u: Double): Double = {
+    var x = 1.0d; var y = u; var z = 0.0d
+    var i = 0
+    while (i < 40) {
+      val p = java.lang.Double.parseDouble(CordicPow2(i))
+      val a = java.lang.Double.parseDouble(CordicAtan(i))
+      if (y > 0.0d) {
+        val nx = x + y * p; val ny = y - x * p
+        x = nx; y = ny; z += a
+      } else {
+        val nx = x - y * p; val ny = y + x * p
+        x = nx; y = ny; z -= a
+      }
+      i += 1
+    }
+    z
+  }
+
+  /** Driver twin of [[atan2Col]] — Go quadrant conventions over the
+    * vectoring fold, for scalar-literal constant folding. */
+  private[graft] def atan2Fold(y: Double, x: Double): Double =
+    if (x > 0.0d) cordicAtanFold(y / x)
+    else if (x < 0.0d && y >= 0.0d) cordicAtanFold(y / x) + 3.141592653589793d
+    else if (x < 0.0d && y < 0.0d) cordicAtanFold(y / x) - 3.141592653589793d
+    else if (x == 0.0d && y > 0.0d) HalfPiD.toDouble
+    else if (x == 0.0d && y < 0.0d) -HalfPiD.toDouble
+    else 0.0d
+
+  /** Scalar x^y through the folds, mirroring [[powFrac]]'s domain —
+    * None where the column path would drop the row (the parser
+    * rejects those constants instead of inventing a value). */
+  private[graft] def powScalarFold(a: Double, y: Double): Option[Double] = {
+    val isIntY = y == math.floor(y) && !y.isInfinity
+    val negOdd = isIntY && math.abs(y % 2.0d) == 1.0d
+    val aE6 = math.floor(a * 1e6 + 0.5d).toLong // µ-snap like a vector row
+    if (aE6 == 0L) { if (y > 0) Some(0.0d) else None }
+    else if (aE6 < 0L && !isIntY) None
+    else {
+      val u = y * lnDFold(math.abs(aE6.toDouble) / 1000000.0d)
+      if (u > 29.85d) None
+      else {
+        val magE6 =
+          if (u <= -14.6d) 0L
+          else math.floor(expDFold(u) * 1000000.0d + 0.5d).toLong
+        Some((if (negOdd && aE6 < 0L) -magE6 else magE6).toDouble / 1000000.0d)
+      }
+    }
   }
 
   private def cmpCol(op: String, l: Column, r: Column): Column = op match {
@@ -3039,6 +3191,8 @@ object PromQL {
       s"""count_values${grpTxt(by, without)}("${strEsc(dst)}", ${format(child)})"""
     case ScalarOf(child) => s"scalar(${format(child)})"
     case PowInt(child, n) => s"(${format(child)}) ^ $n"
+    case PowFrac(child, y) =>
+      s"(${format(child)}) ^ ${java.lang.Double.toString(y)}"
     // @ attaches INSIDE the call parens for range/subquery forms
     // (the grammar's mods position), postfix for instant selectors
     case At(ts, RangeCall(fn, ms, d, off)) =>

@@ -180,6 +180,22 @@ class PromQLDiffSpec extends SparkSpecBase {
     e * 16777216L + b
   }
 
+  /** x^y outside the PowInt fast path — exp(y·ln|x|) with powFrac's
+    * domain: negative-base-fractional and overflow drop, deep
+    * underflow answers 0, parity keeps the sign for integer y. */
+  private def refPowFrac(vE6: Long, y: Double): Option[Long] = {
+    val isIntY = y == math.floor(y) && !y.isInfinity
+    val negOdd = isIntY && math.abs(y % 2.0d) == 1.0d
+    if (vE6 == 0L) return if (y > 0) Some(0L) else None
+    if (vE6 < 0L && !isIntY) return None
+    val u = y * refLnD(math.abs(vE6.toDouble) / 1000000.0d)
+    if (u > 29.85d) return None
+    val mag =
+      if (u <= -14.6d) 0L
+      else math.floor(refExpD(u) * 1000000.0d + 0.5d).toLong
+    Some(if (negOdd && vE6 < 0L) -mag else mag)
+  }
+
   private def refExp(vE6: Long): Option[Long] = {
     if (vE6 > 29850000L) return None // overflow guard drops the row
     if (vE6 <= -14600000L) return Some(0L)
@@ -240,7 +256,13 @@ class PromQLDiffSpec extends SparkSpecBase {
         ("", ls, t, nv)
       }
 
+    case PowFrac(child, y) =>
+      refEval(child, start, end, step).flatMap { case (_, ls, t, v) =>
+        refPowFrac(v, y).map(nv => ("", ls, t, nv))
+      }
+
     case Sort(_, child) => refEval(child, start, end, step)
+    case SortByLabel(_, child, _) => refEval(child, start, end, step)
 
     case VectorLit(v) =>
       grid(start, end, step).map(t => ("", "", t, e6(v))).toSet
@@ -678,6 +700,9 @@ class PromQLDiffSpec extends SparkSpecBase {
       "asinh(sum_over_time(m[90s])) * 2",
       "deg(rad(m))",
       "(sum by (host) (m)) ^ 3",
+      "(sum by (host) (sum_over_time(m[120s]))) ^ 2.5",
+      "clamp_min(m, 0.25) ^ -0.5",
+      "(0 - clamp_min(m, 1)) ^ 9",
       "round(m, 0.5)",
       "minute(m)"
     ).foreach(check)
@@ -699,7 +724,7 @@ class PromQLDiffSpec extends SparkSpecBase {
     def dur(): String = Seq("45s", "90s", "120s", "180s")(rnd.nextInt(4))
     def gen(depth: Int): String =
       if (depth <= 0) sel()
-      else rnd.nextInt(14) match {
+      else rnd.nextInt(15) match {
         case 0 => s"${rangeFns(rnd.nextInt(rangeFns.length))}(${sel()}[${dur()}])"
         case 1 => s"${rangeFns(rnd.nextInt(rangeFns.length))}(${sel()}[${dur()}] offset 60s)"
         case 2 => s"${aggs(rnd.nextInt(aggs.length))} by (host) (${gen(depth - 1)})"
@@ -715,7 +740,16 @@ class PromQLDiffSpec extends SparkSpecBase {
         case 10 => s"${gen(depth - 1)} ${Seq(">", "<")(rnd.nextInt(2))} bool ${rnd.nextInt(4)}"
         case 11 => s"(${gen(depth - 1)}) ${Seq("and", "or", "unless")(rnd.nextInt(3))} (${gen(depth - 1)})"
         case 12 => s"topk(${1 + rnd.nextInt(3)}, ${gen(depth - 1)})"
-        case 13 => s"(${gen(depth - 1)}) ^ ${rnd.nextInt(4)}"
+        case 13 =>
+          // integer fast path AND the round-15 PowFrac productions
+          // (fractional, negative, oversized exponents)
+          val e = Seq("0", "1", "2", "3", "0.5", "2.5", "-1", "-0.5", "9")(
+            rnd.nextInt(9))
+          s"(${gen(depth - 1)}) ^ $e"
+        case 14 =>
+          Seq(s"sort(${gen(depth - 1)})", s"sort_desc(${gen(depth - 1)})",
+            s"sort_by_label(${gen(depth - 1)}, \"host\")",
+            s"sort_by_label_desc(${gen(depth - 1)}, \"user\")")(rnd.nextInt(4))
       }
     var checked = 0
     while (checked < 80) {

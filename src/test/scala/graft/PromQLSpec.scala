@@ -872,8 +872,11 @@ class PromQLSpec extends SparkSpecBase {
     assert(one("(sum_over_time(m[60s]) * 0) atan2 -1").map(_._4) ===
       Set(3141593L))
     assert(one("(sum_over_time(m[60s]) * 0) atan2 0").map(_._4) === Set(0L))
-    // scalar-only form folds on the driver
-    assert(PromQL.parse("1 atan2 1") === Right(ScalarLit(math.atan2(1, 1))))
+    // scalar-only form folds on the driver — through the SAME CORDIC
+    // fold the column path runs (~1e-13 from libm, inside the grain)
+    assert(PromQL.parse("1 atan2 1") ===
+      Right(ScalarLit(PromQL.atan2Fold(1, 1))))
+    assert(math.abs(PromQL.atan2Fold(1, 1) - math.atan2(1, 1)) < 1e-11)
     // a metric named atan2 stays a selector in term position
     assert(PromQL.parse("atan2{host=\"a\"}").isRight)
   }
@@ -1387,11 +1390,73 @@ class PromQLSpec extends SparkSpecBase {
       case Right(Binary('*', ScalarLit(2.0), PowInt(_, 2), _)) => true
       case _ => false
     })
-    // fractional, negative, oversized, and vector exponents reject
-    assert(parse("m ^ 2.5").isLeft)
-    assert(parse("m ^ -1").isLeft)
-    assert(parse("m ^ 9").isLeft)
+    // only VECTOR exponents reject; fractional/negative/oversized
+    // literals route to the exp∘ln composition (PowFrac)
+    assert(parse("m ^ 2.5") match {
+      case Right(PowFrac(Instant(_, _), 2.5)) => true; case _ => false
+    })
+    assert(parse("m ^ -1") match {
+      case Right(PowFrac(Instant(_, _), -1.0)) => true; case _ => false
+    })
+    assert(parse("m ^ 9") match {
+      case Right(PowFrac(Instant(_, _), 9.0)) => true; case _ => false
+    })
     assert(parse("m ^ m").isLeft)
+  }
+
+  test("fractional/negative ^ rides the exp∘ln folds, sign by parity") {
+    def powRef(vE6: Long, y: Double): Long = {
+      val u = y * PromQL.lnDFold(math.abs(vE6.toDouble) / 1000000.0d)
+      math.floor(PromQL.expDFold(u) * 1000000.0d + 0.5d).toLong
+    }
+    // window sums: host=a 3.5, host=b 20.25 (the PowInt test's data)
+    val half = rows(PromQL.eval(tinySamples,
+      parse("sum_over_time(m[60s]) ^ 0.5").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(half === Set(
+      ("", "host=a,user=1", T0 + 60, powRef(3500000L, 0.5)),
+      ("", "host=b,user=2", T0 + 60, powRef(20250000L, 0.5))))
+    // ^0.5 through the folds agrees with correctly-rounded sqrt at
+    // the µ grain (the folds' ~2e-12 error is far below it)
+    assert(powRef(3500000L, 0.5) === 1870829L) // √3.5
+    // negative literal exponent: x^-1 = 1/x through the same folds
+    val inv = rows(PromQL.eval(tinySamples,
+      parse("sum_over_time(m[60s]) ^ -1").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(inv.contains(("", "host=a,user=1", T0 + 60, powRef(3500000L, -1.0))))
+    assert(powRef(3500000L, -1.0) === 285714L) // 1/3.5
+    // negative BASE: integer exponent keeps sign by parity...
+    val negOdd = rows(PromQL.eval(tinySamples,
+      parse("(0 - sum_over_time(m[60s])) ^ 9").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(negOdd.contains(("", "host=a,user=1", T0 + 60, -powRef(3500000L, 9.0))))
+    // ...and a fractional exponent DROPS the row (Prometheus: NaN)
+    val negFrac = rows(PromQL.eval(tinySamples,
+      parse("(0 - sum_over_time(m[60s])) ^ 0.5").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(negFrac.isEmpty)
+    // scalar literals fold through the SAME folds (never libm pow)
+    assert(parse("2 ^ 0.5") === Right(ScalarLit(
+      PromQL.powScalarFold(2.0, 0.5).get)))
+    assert(math.abs(PromQL.powScalarFold(2.0, 0.5).get - math.sqrt(2.0)) < 1e-6)
+    // the canonical pretty-printer round-trips the new node
+    assert(PromQL.parse(PromQL.format(parse("m ^ 2.5").toOption.get)) ===
+      parse("m ^ 2.5"))
+  }
+
+  test("atan2 literal folding matches the CORDIC column path exactly") {
+    // vector(3) atan2 2: the engine snaps 3 and 2 onto the µ lattice
+    // and runs the CORDIC vectoring fold per row; the driver-side
+    // literal fold must land on the IDENTICAL µ value (the old
+    // math.atan2 shortcut could differ one pre-rounding ulp)
+    val engine = rows(PromQL.eval(tinySamples,
+      parse("vector(3) atan2 2").toOption.get, T0 + 60, T0 + 60, 60L))
+    val folded = math.floor(PromQL.atan2Fold(3.0, 2.0) * 1e6 + 0.5d).toLong
+    assert(engine.map(_._4) === Set(folded))
+    // quadrants follow Go's conventions on both paths (the x<0
+    // branch runs the fold on -0.0 before the +π correction, so it
+    // sits ~4e-13 inside π — identical to the column path)
+    assert(math.abs(PromQL.atan2Fold(0.0, -1.0) - math.Pi) < 1e-11)
+    assert(PromQL.atan2Fold(0.0, 0.0) === 0.0d)
+    assert(math.abs(PromQL.atan2Fold(-1.0, -1.0) - (-3.0d * math.Pi / 4)) < 1e-11)
   }
 
   test("mad_over_time is the interpolated median absolute deviation, exact integers") {

@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Time-series join operators Spark lacks as primitives, re-expressed
   * Spark-first. The reference's engine family (ClickHouse) ships
@@ -82,11 +84,51 @@ object Joins {
     * shuffles on (key, bucket), so a long interval spreads over many
     * buckets instead of serializing one key's comparisons. Inner
     * semantics: unmatched points drop. */
+  /** One listener per session logs + counts the intervals
+    * [[range]]'s sanity filters remove. The filters protect the job
+    * (an inverted or runaway interval would explode or detonate
+    * sequence()), but a silent drop turns bad upstream data or a
+    * mis-tuned bucketSec into silently-missing join results — the
+    * observe() metric makes every drop diagnosable from the log and
+    * the `/metrics` counter without a second scan. */
+  private val dropListenerOn = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private def ensureDropListener(spark: SparkSession): Unit =
+    if (dropListenerOn.compareAndSet(false, true))
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+                               durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("range_join_drops_")) {
+              val n = row.getAs[Long]("dropped_intervals")
+              if (n > 0) {
+                log.warn(s"Joins.range: $n interval(s) dropped " +
+                  "(inverted bounds or spanning >= maxBucketsPerInterval " +
+                  "buckets) — check upstream interval data or raise " +
+                  "bucketSec/maxBucketsPerInterval")
+                graft.OpsMetrics(spark).rangeDroppedIntervals.add(n)
+              }
+            }
+          }
+        override def onFailure(funcName: String, qe: QueryExecution,
+                               exception: Exception): Unit = ()
+      })
+
   def range(left: DataFrame, right: DataFrame, key: String,
             bucketSec: Long, maxBucketsPerInterval: Long = 65536L): DataFrame = {
     val bUs = bucketSec * 1000000L
+    ensureDropListener(right.sparkSession)
     val pts = left.withColumn("_b", expr(s"ts_us DIV $bUs"))
     val ivs = right
+      // observe() rides the action for free (a CollectMetrics
+      // passthrough, no extra scan); unique name per call — Spark
+      // rejects duplicate observation names in one plan
+      .observe(s"range_join_drops_${obsSeq.incrementAndGet()}",
+        sum(when(col("end_us") <= col("start_us") ||
+          expr(s"(end_us - 1) DIV $bUs - start_us DIV $bUs" +
+            s" >= ${maxBucketsPerInterval}L"), 1L).otherwise(0L))
+          .as("dropped_intervals"))
       // an inverted interval (bad upstream data) can never contain a
       // point, but sequence(hi, lo) would DESCEND and explode
       // garbage rows (or error on wild bounds) — drop it first

@@ -136,16 +136,28 @@ object HttpServe {
     }
 
     // Prometheus 2.50+ `limit=` on the metadata endpoints: caps the
-    // response below the server's own MetaValuesLimit ceiling
-    // (0/absent/garbage = no user cap, like Prometheus treats 0)
+    // response below the server's own MetaValuesLimit ceiling.
+    // 0/absent = no user cap (Prometheus's convention); a limit the
+    // server CANNOT PARSE (or a negative one) is the client's error
+    // — 400 bad_data like Prometheus, never a silent full result
+    final class BadParam(msg: String) extends RuntimeException(msg)
     def effLimit(params: Seq[(String, String)]): Int = {
       val user = params.collectFirst { case ("limit", v) => v }
-        .flatMap(_.toIntOption).filter(_ > 0)
-      user.fold(MetaValuesLimit)(math.min(_, MetaValuesLimit))
+      user.foreach { v =>
+        if (v.toIntOption.forall(_ < 0))
+          throw new BadParam(s"limit must be a non-negative integer: $v")
+      }
+      user.flatMap(_.toIntOption).filter(_ > 0)
+        .fold(MetaValuesLimit)(math.min(_, MetaValuesLimit))
     }
 
     def guarded(ex: HttpExchange)(f: => Unit): Unit =
       try f catch {
+        case e: BadParam =>
+          respond(ex, 400,
+            (s"""{"status":"error","errorType":"bad_data","error":"${esc(e.getMessage)}"}""")
+              .getBytes(UTF_8),
+            Seq("Content-Type" -> "application/json"))
         case e: Throwable if isClientDisconnect(e) =>
           // the CLIENT went away mid-request or mid-response (a
           // dashboard refresh aborting its previous query) — the
@@ -616,11 +628,29 @@ object HttpServe {
                 .getBytes(UTF_8),
               Seq("Content-Type" -> "application/json"))
           } else {
-            val bySeries = rows
+            // sort()/sort_desc()/sort_by_label() roots: the plan
+            // already materialized the presentation ORDER BY (and
+            // collect() preserved it) — keep series in first-
+            // appearance order instead of re-sorting by identity,
+            // or the one user-visible surface would discard the
+            // very ordering the Sort node exists to produce
+            val rootSorted = expr.isInstanceOf[PromQL.Sort] ||
+              expr.isInstanceOf[PromQL.SortByLabel]
+            val grouped = rows
               .map(r => ((Option(r.getString(0)), r.getSeq[String](1).toSeq),
                 (r.getLong(2), r.getLong(3))))
               .groupBy(_._1).toSeq
-              .sortBy { case ((m, ls), _) => (m.getOrElse(""), ls.mkString(",")) }
+            val bySeries =
+              if (rootSorted) {
+                val firstIdx = scala.collection.mutable.HashMap
+                  .empty[(Option[String], Seq[String]), Int]
+                rows.zipWithIndex.foreach { case (r, i) =>
+                  firstIdx.getOrElseUpdate(
+                    (Option(r.getString(0)), r.getSeq[String](1).toSeq), i)
+                }
+                grouped.sortBy { case (k, _) => firstIdx(k) }
+              } else grouped
+                .sortBy { case ((m, ls), _) => (m.getOrElse(""), ls.mkString(",")) }
             def labelsJson(metric: Option[String], ls: Seq[String]): String =
               (metric.map(m => s""""__name__":"${esc(m)}"""").toSeq ++ ls.map { l =>
                 val c = l.indexOf('=')

@@ -549,9 +549,45 @@ class ServeSpec extends SparkSpecBase {
       val allM = java.net.URLEncoder.encode("meta_metric", "UTF-8")
       val sLim = get(s"$base/api/v1/series?$m=$allM&limit=1")._2
       assert(sLim.count(_ == '{') === 2, sLim) // envelope + exactly 1 series
-      // limit=0 / garbage = uncapped, like Prometheus
+      // limit=0 = uncapped, like Prometheus
       assert(get(s"$base/api/v1/label/k/values?limit=0")._2
         === """{"status":"success","data":["v0","v1","v2"]}""")
+      // …but a limit the server cannot parse (or a negative one) is
+      // the CLIENT's error — 400 bad_data, never a silent full set
+      val (badLc, badLb) = get(s"$base/api/v1/label/k/values?limit=abc")
+      assert(badLc === 400 && badLb.contains("bad_data"), badLb)
+      assert(get(s"$base/api/v1/labels?limit=-1")._1 === 400)
+    } finally srv.stop()
+  }
+
+  test("sort()/sort_desc() ordering survives to the /api/v1/query JSON") {
+    val store = tmpStore("sortorder")
+    val srv = HttpServe.start(spark, store)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      val t0 = 1704412800L
+      def series(k: String, v: Double) =
+        PromTimeSeries(Seq(PromLabel("__name__", "s_total"), PromLabel("k", k)),
+          Seq(PromSample(v, t0 * 1000L)))
+      val blob = PromRemoteCodec.encodeWriteRequest(PromWriteRequest(Seq(
+        series("a", 2.0), series("b", 9.0), series("c", 5.0))))
+      assert(post(s"$base/write", blob)._1 === 200)
+      def values(q: String): Seq[String] = {
+        val (c, b) = get(s"$base/api/v1/query?query=" +
+          java.net.URLEncoder.encode(q, "UTF-8") + s"&time=$t0")
+        assert(c === 200, b)
+        """"value":\[\d+,"([0-9.]+)"\]""".r.findAllMatchIn(b)
+          .map(_.group(1)).toSeq
+      }
+      // the plan's ORDER BY reaches the user: 9,5,2 — the identity
+      // re-sort would have answered label order a,b,c = 2,9,5
+      assert(values("sort_desc(s_total)") === Seq("9", "5", "2"))
+      assert(values("sort(s_total)") === Seq("2", "5", "9"))
+      // sort_by_label orders by the label VALUES
+      assert(values("""sort_by_label_desc(s_total, "k")""") ===
+        Seq("5", "9", "2"))
+      // a plain selector keeps the deterministic identity order
+      assert(values("s_total") === Seq("2", "9", "5"))
     } finally srv.stop()
   }
 

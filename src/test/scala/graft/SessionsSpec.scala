@@ -202,6 +202,21 @@ class SessionsSpec extends SparkSpecBase {
       .select("event_id", "iv").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(capped === out)
+    // …and BOTH sanity drops are observable, never silent: the two
+    // filtered intervals (inverted X, runaway Y) land on the ops
+    // counter via the in-plan observe metric (listener fires on
+    // action completion — poll briefly, it is async)
+    val ctr = graft.OpsMetrics(spark).rangeDroppedIntervals
+    val before = ctr.value
+    graft.operators.Joins.range(pts, bad.union(
+        Seq((7L, "Y", 0L, Long.MaxValue / 2))
+          .toDF("user_id", "iv", "start_us", "end_us")),
+      "user_id", 1L).count()
+    val deadline = System.nanoTime() + 10000000000L
+    while (ctr.value < before + 2 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(ctr.value >= before + 2,
+      s"dropped intervals not counted: ${ctr.value} vs $before")
   }
 
   test("the real events table sessionizes consistently at both layers") {

@@ -125,7 +125,18 @@ object Bench {
     val total = math.rint(results.map(_._3).sum * 1000) / 1000
     val totalMed = math.rint(results.map(_._2).sum * 1000) / 1000
     val totalCold = math.rint(results.map(_._4).sum * 1000) / 1000
-    println(s"""{"metric":"total","value":$total,"unit":"sec","methodology":"min3warmIlv","queries":$qs,"total_median3":$totalMed,"total_cold":$totalCold,"slow":$slow,"bimodal":$bimodal,"errors":$errs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","methodology":"min3warmIlv","queries":$qs,"total_median3":$totalMed,"total_cold":$totalCold,"slow":$slow,"bimodal":$bimodal,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // The driver captures stdout through a BOUNDED tail buffer: with
+    // 160+ queries the one-line JSON overflows it and the first ~90
+    // query timings are lost to round-over-round comparison. Persist
+    // the complete JSON beside the build too (cwd = repo root under
+    // sbt runMain), where it ships whole with the round commit.
+    try {
+      val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
+      try w.println(json) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_FULL.json: $e") }
     spark.stop()
   }
 }

@@ -96,6 +96,34 @@ object ScaleSmoke {
         d, "doc_id", "order", 1000000L * m).count())
     }
 
+    // stratified-sampling window skew: ~90% of the corpus forced
+    // into ONE group — the hash-threshold pre-thin bounds the rank
+    // window partition at ~64×quota rows regardless of skew
+    for (m <- Seq(1, 2, 4) if sectionEnabled("strat")) {
+      val d = scaled(m).withColumn("lang",
+        expr("CASE WHEN doc_id % 10 != 0 THEN 'en' ELSE lang END"))
+      time(s"stratified thin m=$m")(graft.llm.Sampling.stratifiedSample(
+        d, "lang", "doc_id", "strat", 50).count())
+      time(s"stratified raw  m=$m")(graft.llm.Sampling.stratifiedSample(
+        d, "lang", "doc_id", "strat", 50, skewThin = false).count())
+    }
+
+    // the adversarial union-find shape: one pure CHAIN (diameter =
+    // node count) — min-label propagation's worst case vs the
+    // large-star/small-star alternation's provable O(log n) rounds
+    for (n <- Seq(1 << 12, 1 << 14, 1 << 16) if sectionEnabled("stars")) {
+      import spark.implicits.{newLongEncoder, rddToDatasetHolder}
+      val chain = spark.range(0, n - 1)
+        .select(col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+        .localCheckpoint(true)
+      var r1 = 0; var r2 = 0
+      time(s"minlabel chain  n=$n")(
+        Dedup.components(chain, maxIters = 60, onRounds = r1 = _).count())
+      time(s"stars    chain  n=$n")(
+        Dedup.componentsStars(chain, onRounds = r2 = _).count())
+      println(s"SCALE stars rounds n=$n: minlabel=$r1 stars=$r2")
+    }
+
     for (m <- Seq(1, 2, 4) if sectionEnabled("read")) {
       val smp = scaledSamples(m)
       time(s"readSelect      m=$m")(SeriesRead.selectKeyed(smp, rq).count())

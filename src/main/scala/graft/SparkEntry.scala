@@ -664,6 +664,13 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) =>
       Dedup.minhashComponents(Tables.documents(s, dir))),
 
+    // the same cluster labeling via large-star/small-star contraction
+    // — the provable-O(log²n)-rounds union-find for adversarial pair
+    // graphs (equality with min-label also spec-proven on random
+    // graphs in LlmSpec)
+    "dedup_components_stars" -> ((s, dir) =>
+      Dedup.minhashComponentsStars(Tables.documents(s, dir))),
+
     // incremental crawl dedup: every 3rd doc plays the NEW snapshot,
     // dropped when it shares a band bucket with any OLD doc
     "dedup_incremental" -> ((s, dir) =>
@@ -2220,6 +2227,29 @@ object SparkEntry {
     // transitive closure over the pair graph → min reachable id per
     // doc — the recursive-CTE twin of the min-label propagation loop
     "dedup_components" ->
+      s"""$minhashCte, prs AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+         |), edges AS (
+         |  SELECT a, b FROM prs UNION SELECT b, a FROM prs
+         |), reach AS (
+         |  WITH RECURSIVE rr(a, b) AS (
+         |    SELECT a, b FROM edges
+         |    UNION
+         |    SELECT rr.a, e.b FROM rr JOIN edges e ON rr.b = e.a
+         |  ) SELECT a, b FROM rr
+         |)
+         |SELECT d.doc_id,
+         |       least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component,
+         |       CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) = d.doc_id
+         |            AS INT) AS kept
+         |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+         |GROUP BY d.doc_id""".stripMargin,
+
+    // transitive closure over the pair graph → min reachable id per
+    // doc — the same contract serves the star-contraction variant
+    "dedup_components_stars" ->
       s"""$minhashCte, prs AS (
          |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
          |  FROM banded a JOIN banded b

@@ -264,7 +264,8 @@ object Dedup {
     * Throws after `maxIters` without a fixpoint (never observed at
     * sane diameters — a guard, not a tuning knob). */
   def components(pairs: DataFrame, aCol: String = "doc_a",
-                 bCol: String = "doc_b", maxIters: Int = 25): DataFrame = {
+                 bCol: String = "doc_b", maxIters: Int = 25,
+                 onRounds: Int => Unit = _ => ()): DataFrame = {
     // Iterative-algorithm discipline: every round ends in an EAGER
     // localCheckpoint. Persisting alone caches row data but leaves
     // the LOGICAL plan growing — each round references the previous
@@ -324,7 +325,112 @@ object Dedup {
       prev = cur
       it += 1
     }
+    onRounds(it)
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
+  }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", 2014 — the web-scale refinement [[components]]'s
+    * doc notes). Each round: large-star rewires every node's
+    * STRICTLY-LARGER neighbors onto m(u) = min(N(u) ∪ {u});
+    * small-star rewires the ≤-u neighbors (and u itself) onto m(u).
+    * Both steps preserve connectivity, never grow the edge set, and
+    * the alternation provably converges in O(log² n) rounds (O(log n)
+    * observed) REGARDLESS of graph shape — where min-label
+    * propagation's per-round message volume is the full frontier
+    * edge set and its round count the (jump-halved) diameter. At
+    * fixpoint every component is a star whose center is its global
+    * minimum id (a center is smaller than all its leaves, so only
+    * the global min can be one) — so the output labeling equals
+    * [[components]]' exactly, row for row.
+    *
+    * Same iterative discipline as [[components]]: every round ends
+    * in an eager localCheckpoint (flat lineage — the star steps
+    * reference each round's frame three times), and convergence
+    * compares a per-round decimal checksum triple (edge count, Σlo,
+    * Σhi): the transition is a deterministic function of the edge
+    * set, so a repeated state IS the fixpoint.
+    *
+    * Scale shape per round: two groupBy-min aggregations and two
+    * equi-joins, all on node ids (map-side combinable), no windows,
+    * no driver-side graph; edges always point larger→smaller so the
+    * working set shrinks toward one edge per non-root node. */
+  def componentsStars(pairs: DataFrame, aCol: String = "doc_a",
+                      bCol: String = "doc_b", maxIters: Int = 50,
+                      onRounds: Int => Unit = _ => ()): DataFrame = {
+    val p0 = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(true)
+    // canonical undirected edges (lo < hi); self-loops drop
+    var edges = p0.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def canonical(df: DataFrame): DataFrame =
+      df.select(least(col("x"), col("m")).as("lo"),
+          greatest(col("x"), col("m")).as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .distinct()
+
+    // large-star(u): neighbors v > u attach to m(u)
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = e.select(col("lo").as("u"), col("hi").as("v"))
+        .union(e.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = adj.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      canonical(adj.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("x"), col("m")))
+    }
+
+    // small-star(u): neighbors v < u (every canonical edge directed
+    // larger→smaller) AND u itself attach to m(u) = min neighbor
+    def smallStar(e: DataFrame): DataFrame = {
+      val adj = e.select(col("hi").as("u"), col("lo").as("v"))
+      val mins = adj.groupBy(col("u")).agg(min(col("v")).as("m"))
+      canonical(adj.join(mins, "u")
+        // one pass emits both (v, m) and (u, m) — no second join
+        .select(explode(array(col("v"), col("u"))).as("x"), col("m")))
+    }
+
+    def checksum(e: DataFrame): Seq[java.math.BigDecimal] = {
+      val r = e.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        coalesce(sum(col("lo").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("sl"),
+        coalesce(sum(col("hi").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("sh")).head()
+      Seq(r.getDecimal(0), r.getDecimal(1), r.getDecimal(2))
+    }
+
+    var prev = checksum(edges)
+    var it = 0
+    var done = prev.head.signum == 0 // no edges at all: nothing to do
+    while (!done) {
+      if (it >= maxIters)
+        throw new IllegalStateException(
+          s"componentsStars: no fixpoint after $maxIters rounds")
+      val ls = largeStar(edges).localCheckpoint(true)
+      val next = smallStar(ls).localCheckpoint(true)
+      val cur = checksum(next)
+      edges = next
+      done = cur == prev
+      prev = cur
+      it += 1
+    }
+    onRounds(it)
+    // fixpoint stars: every non-center node appears as exactly one
+    // edge's hi with its center as lo (min() is belt-and-braces)
+    val centers = edges.groupBy(col("hi"))
+      .agg(min(col("lo")).as("component"))
+      .withColumnRenamed("hi", "doc_id")
+    p0.select(col("a").as("doc_id")).union(p0.select(col("b").as("doc_id")))
+      .distinct()
+      .join(centers, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
   }
 
   /** [[components]] over the MinHash band-bucket pairs, widened to
@@ -335,6 +441,20 @@ object Dedup {
   def minhashComponents(documents: DataFrame,
                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val comp = components(
+      minhashLsh(documents, maxBucket).select(col("doc_a"), col("doc_b")))
+    documents.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("kept", (col("component") === col("doc_id")).cast("int"))
+  }
+
+  /** [[minhashComponents]] with the star-contraction union-find —
+    * identical labeling (both answer the component minimum), the
+    * provable-round-bound variant for adversarial pair graphs. */
+  def minhashComponentsStars(documents: DataFrame,
+                             maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val comp = componentsStars(
       minhashLsh(documents, maxBucket).select(col("doc_a"), col("doc_b")))
     documents.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")

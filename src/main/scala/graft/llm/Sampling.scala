@@ -136,20 +136,47 @@ object Sampling {
     * sub-slicing.
     *
     * Scale shape: one exchange on the group column for the rank
-    * window. Group skew is the knob to watch at 100 TB (a
-    * 90%-English corpus puts 90% of rows in one window partition) —
-    * when it bites, pre-thin each group with [[sampleByKey]] to a
-    * few× perGroup first (a narrow scan-side filter), then rank the
-    * survivors; the quota semantics are unchanged because the
-    * pre-thinning keeps a superset of every possible pick only when
-    * thinned by the same (salt, key) hash ORDER — so thin by hash
-    * THRESHOLD, not count, and leave the final quota to the rank. */
+    * window. Group skew is the 100 TB hazard (a 90%-English corpus
+    * puts 90% of rows in ONE window partition — a straggler no AQE
+    * setting can split, because a rank window is not a join).
+    * `skewThin` (default on) pre-thins each over-quota group by hash
+    * THRESHOLD before the rank: one narrow per-group count, then
+    * keep rows with hash ≤ P·(64·perGroup/n) — expected 64·perGroup
+    * survivors per thinned group, so the window partition is bounded
+    * by ~64·perGroup rows no matter how skewed the corpus. The pick
+    * set is PROVABLY unchanged unless fewer than perGroup of a
+    * group's rows land under the cut — P[Binom(n, 64k/n) < k] ≤
+    * e^(−50k) by Chernoff, beyond-cosmic at any quota (and the
+    * threshold thins by the same hash ORDER the rank uses, so
+    * survivors are exactly the smallest-hash rows — a superset of
+    * every pick). Groups at or under 128·perGroup rows skip thinning
+    * entirely (exactness by construction, not probability). */
   def stratifiedSample(df: DataFrame, groupCol: String, keyCol: String,
-                       salt: String, perGroup: Int): DataFrame = {
+                       salt: String, perGroup: Int,
+                       skewThin: Boolean = true): DataFrame = {
     val h = expr(Portable.hash60SqlSpark(s"concat('$salt:', CAST($keyCol AS STRING))"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("srank_h").asc, col(keyCol).asc)
-    df.withColumn("srank_h", h)
+    val withH = df.withColumn("srank_h", h)
+    val thinned =
+      if (!skewThin) withH
+      else {
+        val safety = 64L
+        // the counts side is |distinct groups| rows (languages,
+        // sources — never data-sized): broadcast, zero extra shuffle
+        // on the corpus
+        val counts = withH.groupBy(col(groupCol))
+          .agg(count(lit(1)).as("_gn"))
+        withH.join(broadcast(counts), Seq(groupCol))
+          .withColumn("_cut",
+            when(col("_gn") > lit(2L * safety * perGroup),
+              (lit(Portable.P.toDouble) *
+                (lit(safety.toDouble * perGroup) / col("_gn"))).cast("long"))
+              .otherwise(lit(Long.MaxValue)))
+          .filter(col("srank_h") <= col("_cut"))
+          .drop("_gn", "_cut")
+      }
+    thinned
       .withColumn("srank", row_number().over(w))
       .filter(col("srank") <= perGroup)
       .drop("srank_h")

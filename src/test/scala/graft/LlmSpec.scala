@@ -96,6 +96,41 @@ class LlmSpec extends SparkSpecBase {
     mc.unpersist()
   }
 
+  test("large-star/small-star equals min-label propagation on random graphs") {
+    import spark.implicits._
+    // property check over seeded random graphs: the two algorithms
+    // must produce the IDENTICAL (doc_id, component) labeling —
+    // both label every node with its component's minimum id
+    val rnd = new scala.util.Random(20260815)
+    for (trial <- 1 to 4) {
+      val n = 30 + rnd.nextInt(60)
+      val nEdges = n / 2 + rnd.nextInt(2 * n)
+      val es = Seq.fill(nEdges)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val pairs = es.toDF("doc_a", "doc_b")
+      val a = Dedup.components(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = Dedup.componentsStars(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a === b, s"trial $trial (n=$n, edges=$nEdges) diverged")
+    }
+    // the adversarial shape: a pure chain (maximum diameter). Both
+    // converge to all-1 labels; the star alternation does it in
+    // O(log n) rounds by construction
+    val chain = (1L to 64L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    var starRounds = 0
+    val sc2 = Dedup.componentsStars(chain, onRounds = starRounds = _)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sc2 === (1L to 64L).map(_ -> 1L).toMap)
+    assert(starRounds <= 8, s"chain-64 took $starRounds star rounds")
+    // singleton-free contract: a doc in no pair never appears; a
+    // self-loop-only doc labels itself
+    val selfish = Seq((9L, 9L)).toDF("doc_a", "doc_b")
+    assert(Dedup.componentsStars(selfish).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(9L -> 9L))
+  }
+
   test("token-budget slices nest, cover exactly, and ignore partitioning") {
     import graft.llm.Sampling
     def slice(budget: Long, shards: Int = 64) =
@@ -477,6 +512,34 @@ class LlmSpec extends SparkSpecBase {
     // dropping one group leaves every other group's picks unchanged
     val without = pick(docs.filter(col("lang") =!= base.keys.head))
     assert(without == base - base.keys.head, "group picks are independent")
+  }
+
+  test("stratified skew thinning never changes the pick set") {
+    import spark.implicits._
+    import graft.llm.Sampling
+    // a 90%-one-group corpus: 9000 rows in 'en', a few hundred spread
+    // over the tail — the window-straggler shape the hash-threshold
+    // pre-thin exists for (perGroup=3 → trigger at 384, so 'en' and
+    // ONLY 'en' thins: expected survivors 192 of 9000)
+    val skewed = (0L until 9000L).map(i => (i, "en")) ++
+      (9000L until 9300L).map(i => (i, Seq("de", "fr", "ja")(((i % 3)).toInt)))
+    val df = skewed.toDF("doc_id", "lang")
+    def picks(thin: Boolean): Set[(String, Long, Int)] =
+      Sampling.stratifiedSample(df, "lang", "doc_id", "skewsalt", 3,
+          skewThin = thin)
+        .select("lang", "doc_id", "srank").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val thinned = picks(true)
+    val full = picks(false)
+    // identical rows AND identical ranks — the threshold keeps a
+    // superset of every pick in the same hash order
+    assert(thinned === full)
+    assert(thinned.count(_._1 == "en") === 3)
+    // quota larger than a small group: thinning must not starve it
+    val tiny = Sampling.stratifiedSample(df, "lang", "doc_id", "skewsalt",
+        200, skewThin = true)
+      .filter(col("lang") === "de").count()
+    assert(tiny === df.filter(col("lang") === "de").count())
   }
 
   test("tfidf keywords rank rare terms above common ones, exactly k per doc") {

@@ -196,6 +196,33 @@ class PromQLDiffSpec extends SparkSpecBase {
     Some(if (negOdd && vE6 < 0L) -mag else mag)
   }
 
+  /** Outer subquery aggregation over one window's inner points
+    * (tv-sorted) — the engine's subqueryRange formulas: exact
+    * integer sum/min/max/count/last, half-up avg, and the
+    * no-extrapolation first/last rate family. */
+  private def subRef(fn: String, pts: Seq[(Long, Long)]): Option[Long] = {
+    if (pts.isEmpty) return None
+    val vs = pts.map(_._2)
+    fn match {
+      case "sum_over_time"   => Some(vs.sum)
+      case "count_over_time" => Some(vs.size * 1000000L)
+      case "avg_over_time"   => Some(halfUp(vs.sum, vs.size))
+      case "min_over_time"   => Some(vs.min)
+      case "max_over_time"   => Some(vs.max)
+      case "last_over_time"  => Some(pts.last._2)
+      case "rate" =>
+        if (pts.size >= 2 && pts.last._1 > pts.head._1 &&
+            pts.last._2 >= pts.head._2)
+          Some(halfUp(pts.last._2 - pts.head._2, pts.last._1 - pts.head._1))
+        else None
+      case "increase" =>
+        if (pts.size >= 2) Some(math.max(pts.last._2 - pts.head._2, 0L))
+        else None
+      case "delta" =>
+        if (pts.size >= 2) Some(pts.last._2 - pts.head._2) else None
+    }
+  }
+
   private def refExp(vE6: Long): Option[Long] = {
     if (vE6 > 29850000L) return None // overflow guard drops the row
     if (vE6 <= -14600000L) return Some(0L)
@@ -260,6 +287,19 @@ class PromQLDiffSpec extends SparkSpecBase {
       refEval(child, start, end, step).flatMap { case (_, ls, t, v) =>
         refPowFrac(v, y).map(nv => ("", ls, t, nv))
       }
+
+    case Subquery(fn, child, d, res, off) =>
+      val (s0, e0) = (start - off, end - off)
+      val innerStart = (s0 - d + res - 1) / res * res
+      val inner = refEval(child, innerStart, e0, res).toSeq
+      val out = for {
+        ((m, ls), pts0) <- inner.groupBy(r => (r._1, r._2)).toSeq
+        t <- grid(s0, e0, step)
+        pts = pts0.filter(p => p._3 >= t - d && p._3 < t && p._3 <= e0 - 1)
+          .sortBy(_._3)
+        v <- subRef(fn, pts.map(p => (p._3, p._4)))
+      } yield (m, ls, t, v)
+      shift(out.toSet, off)
 
     case Sort(_, child) => refEval(child, start, end, step)
     case SortByLabel(_, child, _) => refEval(child, start, end, step)
@@ -700,6 +740,10 @@ class PromQLDiffSpec extends SparkSpecBase {
       "asinh(sum_over_time(m[90s])) * 2",
       "deg(rad(m))",
       "(sum by (host) (m)) ^ 3",
+      "max_over_time(rate(m[90s])[300s:60s])",
+      "sum_over_time((m + w)[120s:30s])",
+      "rate((sum by (host) (sum_over_time(m[60s])))[240s:60s])",
+      "avg_over_time(m[180s:45s] offset 60s)",
       "(sum by (host) (sum_over_time(m[120s]))) ^ 2.5",
       "clamp_min(m, 0.25) ^ -0.5",
       "(0 - clamp_min(m, 1)) ^ 9",
@@ -722,9 +766,14 @@ class PromQLDiffSpec extends SparkSpecBase {
     def sel(): String = Seq("m", "w",
       """m{host="a"}""", """w{user=~"1|2"}""")(rnd.nextInt(4))
     def dur(): String = Seq("45s", "90s", "120s", "180s")(rnd.nextInt(4))
+    // per-expression production trace: merged into `covered` only
+    // when the expression parses and CHECKS, so the coverage
+    // assertion counts verified productions, not mere generation
+    var trace = scala.collection.mutable.Set.empty[Int]
+    val covered = scala.collection.mutable.Set.empty[Int]
     def gen(depth: Int): String =
       if (depth <= 0) sel()
-      else rnd.nextInt(15) match {
+      else { val c = rnd.nextInt(16); trace += c; c } match {
         case 0 => s"${rangeFns(rnd.nextInt(rangeFns.length))}(${sel()}[${dur()}])"
         case 1 => s"${rangeFns(rnd.nextInt(rangeFns.length))}(${sel()}[${dur()}] offset 60s)"
         case 2 => s"${aggs(rnd.nextInt(aggs.length))} by (host) (${gen(depth - 1)})"
@@ -750,11 +799,22 @@ class PromQLDiffSpec extends SparkSpecBase {
           Seq(s"sort(${gen(depth - 1)})", s"sort_desc(${gen(depth - 1)})",
             s"sort_by_label(${gen(depth - 1)}, \"host\")",
             s"sort_by_label_desc(${gen(depth - 1)}, \"user\")")(rnd.nextInt(4))
+        case 15 =>
+          val fn = Seq("sum_over_time", "max_over_time", "avg_over_time",
+            "last_over_time", "rate", "increase", "delta")(rnd.nextInt(7))
+          s"$fn((${gen(depth - 1)})[${Seq("180s", "240s")(rnd.nextInt(2))}:60s])"
       }
     var checked = 0
-    while (checked < 80) {
+    // 80 expressions minimum, then keep drawing (bounded) until every
+    // production has been exercised through a full differential check
+    while (checked < 80 || (covered.size < 16 && checked < 300)) {
+      trace = scala.collection.mutable.Set.empty[Int]
       val q = gen(1 + rnd.nextInt(3))
-      if (PromQL.parse(q).isRight) { check(q); checked += 1 }
+      if (PromQL.parse(q).isRight) {
+        check(q); checked += 1; covered ++= trace
+      }
     }
+    assert(covered.size == 16,
+      s"fuzzer verified only productions ${covered.toSeq.sorted} of 0..15")
   }
 }

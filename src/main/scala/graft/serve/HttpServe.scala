@@ -734,6 +734,31 @@ object HttpServe {
       }
     })
 
+    // /api/v1/parse_query (Prometheus 3.x experimental): parse +
+    // AST-as-JSON — Prometheus's translateAST shapes for the shared
+    // node kinds (PromQL.astJson documents the deviations)
+    server.createContext("/api/v1/parse_query", (ex: HttpExchange) => guarded(ex) {
+      reqParams(ex).collectFirst { case ("query", q) => q } match {
+        case None =>
+          respond(ex, 400,
+            """{"status":"error","errorType":"bad_data","error":"query parameter is required"}"""
+              .getBytes(UTF_8),
+            Seq("Content-Type" -> "application/json"))
+        case Some(q) => PromQL.parse(q) match {
+          case Left(err) =>
+            respond(ex, 400,
+              (s"""{"status":"error","errorType":"bad_data","error":"${esc(err)}"}""")
+                .getBytes(UTF_8),
+              Seq("Content-Type" -> "application/json"))
+          case Right(e) =>
+            respond(ex, 200,
+              (s"""{"status":"success","data":${PromQL.astJson(e)}}""")
+                .getBytes(UTF_8),
+              Seq("Content-Type" -> "application/json"))
+        }
+      }
+    })
+
     // The remaining Grafana-datasource probes, answered truthfully
     // empty (success shapes, never 404): graft has no scrape loop →
     // no targets; no alertmanager ring; no exemplar storage (prompb

@@ -3214,6 +3214,134 @@ object PromQL {
     case VectorLit(v) => s"vector(${numTxt(v)})"
   }
 
+  /** AST as JSON — the `/api/v1/parse_query` body (Prometheus 3.x's
+    * experimental endpoint). Shapes follow Prometheus's translateAST
+    * for the shared node kinds — vectorSelector / matrixSelector /
+    * call / aggregation / binaryExpr / subquery / numberLiteral /
+    * stringLiteral, offsets and ranges in MILLISECONDS, matcher type
+    * strings = != =~ !~ — with documented deviations: `func` carries
+    * only the name (no argTypes/returnType table), the whitelisted
+    * grammar means several Prometheus node kinds can never appear,
+    * and the `@` modifier answers a stepInvariantExpr wrapper
+    * carrying the pinned timestamp (graft's `@` wraps whole
+    * expressions, where Prometheus pins individual selectors). */
+  def astJson(e: Expr): String = {
+    def js(x: String): String = "\"" + x.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def num(v: Double) = s"""{"type":"numberLiteral","val":${js(numTxt(v))}}"""
+    def str(v: String) = s"""{"type":"stringLiteral","val":${js(v)}}"""
+    def matcher(m: LabelMatcher): String = {
+      val t = m.mtype match {
+        case MatcherType.Eq => "="; case MatcherType.Neq => "!="
+        case MatcherType.Re => "=~"; case MatcherType.Nre => "!~"
+      }
+      s"""{"name":${js(m.name)},"type":${js(t)},"value":${js(m.value)}}"""
+    }
+    def selName(ms: Seq[LabelMatcher]): String = ms.collectFirst {
+      case LabelMatcher(MatcherType.Eq, "__name__", v) => v
+    }.getOrElse("")
+    def vecSel(ms: Seq[LabelMatcher], off: Long): String =
+      s"""{"type":"vectorSelector","name":${js(selName(ms))},""" +
+        s""""matchers":[${ms.map(matcher).mkString(",")}],""" +
+        s""""offset":${off * 1000},"timestamp":null,"startOrEnd":null}"""
+    def matSel(ms: Seq[LabelMatcher], d: Long, off: Long): String =
+      s"""{"type":"matrixSelector","name":${js(selName(ms))},""" +
+        s""""matchers":[${ms.map(matcher).mkString(",")}],""" +
+        s""""range":${d * 1000},"offset":${off * 1000},""" +
+        s""""timestamp":null,"startOrEnd":null}"""
+    def call(fn: String, args: Seq[String]): String =
+      s"""{"type":"call","func":{"name":${js(fn)}},""" +
+        s""""args":[${args.mkString(",")}]}"""
+    def aggregation(op: String, child: Expr, by: Seq[String],
+                    without: Boolean, param: Option[String]): String =
+      s"""{"type":"aggregation","op":${js(op)},"expr":${astJson(child)},""" +
+        s""""param":${param.getOrElse("null")},""" +
+        s""""grouping":[${by.map(js).mkString(",")}],"without":$without}"""
+    def matching(m: Option[Matching]): String = m match {
+      case None => "null"
+      case Some(Matching(on, keys, card, inc)) =>
+        val c = card match {
+          case 1 => "many-to-one"; case 2 => "one-to-many"
+          case _ => "one-to-one"
+        }
+        s"""{"card":${js(c)},"labels":[${keys.map(js).mkString(",")}],""" +
+          s""""on":$on,"include":[${inc.map(js).mkString(",")}]}"""
+    }
+    def binary(op: String, l: Expr, r: Expr, m: Option[Matching],
+               bool: Boolean): String =
+      s"""{"type":"binaryExpr","op":${js(op)},"lhs":${astJson(l)},""" +
+        s""""rhs":${astJson(r)},"matching":${matching(m)},"bool":$bool}"""
+    def binNum(op: String, l: Expr, y: Double): String =
+      s"""{"type":"binaryExpr","op":${js(op)},"lhs":${astJson(l)},""" +
+        s""""rhs":${num(y)},"matching":null,"bool":false}"""
+    e match {
+      case Instant(ms, off) => vecSel(ms, off)
+      case TimestampOf(ms, off) => call("timestamp", Seq(vecSel(ms, off)))
+      case RangeCall(fn, ms, d, off) => call(fn, Seq(matSel(ms, d, off)))
+      case Quantile(q, ms, d, off) =>
+        call("quantile_over_time", Seq(num(q), matSel(ms, d, off)))
+      case Predict(ms, d, h, off) =>
+        call("predict_linear", Seq(matSel(ms, d, off), num(h.toDouble)))
+      case HoltWinters(ms, d, sf, tf, off) =>
+        call("holt_winters", Seq(matSel(ms, d, off), num(sf), num(tf)))
+      case Absent(ms, d, off) =>
+        call("absent_over_time", Seq(matSel(ms, d, off)))
+      case AbsentI(ms, off) => call("absent", Seq(vecSel(ms, off)))
+      case Agg(op, by, child, without, param) =>
+        aggregation(op, child, by, without, param.map(num))
+      case CountValues(dst, child, by, without) =>
+        aggregation("count_values", child, by, without, Some(str(dst)))
+      case Rank(bottom, k, child, by, without) =>
+        aggregation(if (bottom) "bottomk" else "topk", child, by, without,
+          Some(num(k.toDouble)))
+      case LimitK(k, child, by, without) =>
+        aggregation("limitk", child, by, without, Some(num(k.toDouble)))
+      case LimitRatio(r, child) =>
+        aggregation("limit_ratio", child, Nil, without = false, Some(num(r)))
+      case Binary(op, l, r, m) =>
+        binary(if (op == 'A') "atan2" else op.toString, l, r, m, bool = false)
+      case Cmp(op, bool, l, r, m) => binary(op, l, r, m, bool)
+      case SetOp(op, l, r, m) => binary(op, l, r, m, bool = false)
+      case PowInt(child, n) => binNum("^", child, n.toDouble)
+      case PowFrac(child, y) => binNum("^", child, y)
+      case MathFn(fn, TimeFn, Nil) if CalendarFns(fn) => call(fn, Nil)
+      case MathFn(fn, child, args) =>
+        call(fn, astJson(child) +: args.map(num))
+      case Sort(desc, child) =>
+        call(if (desc) "sort_desc" else "sort", Seq(astJson(child)))
+      case SortByLabel(desc, child, lbls) =>
+        call(if (desc) "sort_by_label_desc" else "sort_by_label",
+          astJson(child) +: lbls.map(str))
+      case HistQ(q, child) =>
+        call("histogram_quantile", Seq(num(q), astJson(child)))
+      case LabelJoin(child, dst, sep, srcs) =>
+        call("label_join", Seq(astJson(child), str(dst), str(sep)) ++
+          srcs.map(str))
+      case LabelReplace(child, dst, rep, src, re) =>
+        call("label_replace", Seq(astJson(child), str(dst), str(rep),
+          str(src), str(re)))
+      case Subquery(fn, child, d, res, off) =>
+        call(fn, Seq(
+          s"""{"type":"subquery","expr":${astJson(child)},""" +
+            s""""range":${d * 1000},"step":${res * 1000},""" +
+            s""""offset":${off * 1000},"timestamp":null,"startOrEnd":null}"""))
+      case At(ts, child) =>
+        s"""{"type":"stepInvariantExpr","timestamp":${ts * 1000},""" +
+          s""""expr":${astJson(child)}}"""
+      case AtEdge(atStart, child) =>
+        s"""{"type":"stepInvariantExpr","startOrEnd":${
+          js(if (atStart) "start" else "end")},"expr":${astJson(child)}}"""
+      case ScalarOf(child) => call("scalar", Seq(astJson(child)))
+      case VectorLit(v) => call("vector", Seq(num(v)))
+      case TimeFn => call("time", Nil)
+      case ScalarLit(v) => num(v)
+    }
+  }
+
   private def numTxt(v: Double): String =
     // the grammar has no exponent form — render plain (shortest when
     // exact, BigDecimal plain otherwise); negatives parse as the

@@ -243,7 +243,8 @@ class PlanSpec extends SparkSpecBase {
   test("trig/transcendental math fns stay narrow: no exchange, no UDF") {
     import graft.serve.PromQL
     val s = Tables.samples(spark, Sf)
-    for (q <- Seq("sin(m)", "ln(clamp_min(m, 1))", "exp(m / 40)", "atanh(m)")) {
+    for (q <- Seq("sin(m)", "ln(clamp_min(m, 1))", "exp(m / 40)", "atanh(m)",
+                  "clamp_min(m, 1) ^ 2.5", "clamp_min(m, 1) ^ -0.5")) {
       val df = PromQL.eval(s, PromQL.parse(q).toOption.get,
         1704412800L + 60, 1704412800L + 120, 60L)
       val p = plan(df)

@@ -1199,6 +1199,24 @@ class ServeSpec extends SparkSpecBase {
         """{"status":"success","data":"sum by (k) (rate(x[300s]))"}""")))
       assert(get(s"$base/api/v1/format_query?query=%7Bbad")._1 === 400)
       assert(get(s"$base/api/v1/format_query")._1 === 400)
+      // parse_query (3.x experimental): Prometheus translateAST
+      // shapes — aggregation over a call over a matrixSelector, ms
+      // ranges, matcher triples; 400 on parse errors
+      val (pqc, pqb) = get(s"$base/api/v1/parse_query?query=$fq")
+      assert(pqc === 200, pqb)
+      assert(pqb === """{"status":"success","data":{"type":"aggregation",""" +
+        """"op":"sum","expr":{"type":"call","func":{"name":"rate"},""" +
+        """"args":[{"type":"matrixSelector","name":"x","matchers":""" +
+        """[{"name":"__name__","type":"=","value":"x"}],"range":300000,""" +
+        """"offset":0,"timestamp":null,"startOrEnd":null}]},""" +
+        """"param":null,"grouping":["k"],"without":false}}""", pqb)
+      val bq = java.net.URLEncoder.encode("""m{a="1"} ^ 2.5 > bool 3""", "UTF-8")
+      val (pq2c, pq2b) = get(s"$base/api/v1/parse_query?query=$bq")
+      assert(pq2c === 200)
+      assert(pq2b.contains(""""op":"^"""") && pq2b.contains(""""bool":true""") &&
+        pq2b.contains(""""val":"2.5""""), pq2b)
+      assert(get(s"$base/api/v1/parse_query?query=%7Bbad")._1 === 400)
+      assert(get(s"$base/api/v1/parse_query")._1 === 400)
       // tsdb head stats: empty store answers zeros; after a write the
       // per-metric series counts and the total line up
       assert(get(s"$base/api/v1/status/tsdb")._2 ===

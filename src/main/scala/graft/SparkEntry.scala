@@ -32,6 +32,42 @@ object SparkEntry {
   private def strLabels(df: DataFrame): DataFrame =
     df.withColumn("labels_str", array_join(col("labels"), ",")).drop("labels")
 
+  /** v1 WriteRequest blob whose series carry NATIVE HISTOGRAMS — the
+    * write_request_hist_e2e fixture encoder (the DECODE leg is the
+    * production path under test). Per (metric, day, n): schema 0
+    * (base 2), positive span offset 0 length 3 → buckets (0.5,1],
+    * (1,2], (2,4] with counts (n%7, n%5+1, n%3) carried as zigzag
+    * deltas, count = their sum, sum = n/2 (exact in double). */
+  private def histBlob(rows: Seq[(String, Long, Long)]): Array[Byte] = {
+    import graft.ingest.ProtoWire
+    def zz(v: Long): Long = (v << 1) ^ (v >> 63)
+    val w = new ProtoWire.Writer
+    rows.foreach { case (metric, day, n) =>
+      val ts = new ProtoWire.Writer
+      def label(k: String, v: String): Unit = {
+        val l = new ProtoWire.Writer
+        l.writeStringField(1, k); l.writeStringField(2, v)
+        ts.writeMessageField(1, l)
+      }
+      label("__name__", metric); label("src", "hist")
+      val a = n % 7; val b = n % 5 + 1; val c = n % 3
+      val h = new ProtoWire.Writer
+      h.writeVarintField(1, a + b + c)     // count_int
+      h.writeDoubleField(3, n * 0.5)       // sum
+      h.writeVarintField(4, 0L)            // schema 0
+      val span = new ProtoWire.Writer
+      span.writeVarintField(1, 0L); span.writeVarintField(2, 3L)
+      h.writeMessageField(11, span)        // positive_spans
+      val deltas = new ProtoWire.Writer
+      Seq(a, b - a, c - b).foreach(d => deltas.writeVarint(zz(d)))
+      h.writeBytesField(12, deltas.toBytes) // packed positive_deltas
+      h.writeVarintField(15, day * 1000L)   // timestamp ms
+      ts.writeMessageField(4, h)
+      w.writeMessageField(1, ts)
+    }
+    org.xerial.snappy.Snappy.compress(w.toBytes)
+  }
+
   /** Flagship: full remote-read pipeline on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
     queries("read_full_pipeline")(spark, "/root/testdata/sf0.001")
@@ -441,6 +477,30 @@ object SparkEntry {
       SamplesStore.read(s, path)
         .groupBy(col("metric"), col("date").cast("long").as("date"))
         .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
+    }),
+
+    // native histograms over the wire land as CLASSIC series: the
+    // fixture derives deterministic bucket counts from each
+    // (metric, day)'s sample count, encodes REAL prompb Histogram
+    // messages (zigzag schema, spans, packed deltas), serves them
+    // through the production decode+convert+append path, and the
+    // store must hold the classic _bucket/_sum/_count expansion row
+    // for row (geometry: NativeHistogram.scala)
+    "write_request_hist_e2e" -> ((s, dir) => {
+      val path = workDir("wservehist", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val agg = samples(s, dir)
+        .groupBy(col("metric"),
+          expr("ts_us DIV 1000000 DIV 86400 * 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        .sortBy(t => (t._1, t._2))
+      graft.serve.RemoteWrite.serveAll(s, path, Seq(histBlob(agg)))
+      SamplesStore.read(s, path).select(col("metric"),
+        array_join(col("labels"), ",").as("labels_str"),
+        expr("ts_us DIV 1000000").as("t_sec"), col("value"))
     }),
 
     // the same contract over remote-write 2.0: the v1 blobs re-encode
@@ -1824,6 +1884,41 @@ object SparkEntry {
          |SELECT metric, ts_us // 1000000 // 86400 * 86400 AS date,
          |       count(*) AS n_samples, round(sum(value), 6) AS sum_value
          |FROM samples GROUP BY 1, 2""".stripMargin,
+
+    // native→classic: replicate the fixture's bucket arithmetic and
+    // the conversion's row shapes (le labels sort into the label
+    // array; zero-count buckets emit no row; +Inf = the count field)
+    "write_request_hist_e2e" ->
+      s"""$S, agg AS (
+         |  SELECT metric, ts_us // 1000000 // 86400 * 86400 AS day,
+         |         count(*) AS n
+         |  FROM samples GROUP BY 1, 2
+         |), b AS (
+         |  SELECT metric, day, n, n % 7 AS a, n % 5 + 1 AS b2, n % 3 AS c
+         |  FROM agg
+         |)
+         |SELECT metric || '_bucket' AS metric, 'le=1,src=hist' AS labels_str,
+         |       day AS t_sec, CAST(a AS DOUBLE) AS value
+         |FROM b WHERE a > 0
+         |UNION ALL
+         |SELECT metric || '_bucket', 'le=2,src=hist', day,
+         |       CAST(a + b2 AS DOUBLE)
+         |FROM b WHERE b2 > 0
+         |UNION ALL
+         |SELECT metric || '_bucket', 'le=4,src=hist', day,
+         |       CAST(a + b2 + c AS DOUBLE)
+         |FROM b WHERE c > 0
+         |UNION ALL
+         |SELECT metric || '_bucket', 'le=+Inf,src=hist', day,
+         |       CAST(a + b2 + c AS DOUBLE)
+         |FROM b
+         |UNION ALL
+         |SELECT metric || '_sum', 'src=hist', day, CAST(n AS DOUBLE) / 2
+         |FROM b
+         |UNION ALL
+         |SELECT metric || '_count', 'src=hist', day,
+         |       CAST(a + b2 + c AS DOUBLE)
+         |FROM b""".stripMargin,
 
     // v2's symbol-table interning must be lossless: identical store
     "write_request_v2_e2e" ->

@@ -1,0 +1,193 @@
+package graft.ingest
+
+/** Native-histogram ingestion by NATIVE → CLASSIC conversion.
+  *
+  * Prometheus 3.x senders put native (sparse exponential) histograms
+  * on the remote-write wire — prompb `TimeSeries.histograms`
+  * (field 4) and the PRW 2.0 twin (field 3; same public Histogram
+  * field numbers). The reference's float64 samples schema
+  * (README.md:17-28) has no histogram shape, and graft keeps that
+  * schema — so instead of dropping the data (silently or countedly),
+  * each native histogram sample converts to the CLASSIC series the
+  * whole existing query surface already serves:
+  *
+  *   name_bucket{le="<upper>"}  cumulative count per populated bucket
+  *   name_bucket{le="+Inf"}     the histogram's total count
+  *   name_sum                   the sum field (skipped when NaN)
+  *   name_count                 the total count
+  *
+  * Bucket geometry (public exponential-histogram spec): with
+  * base = 2^(2^-schema), positive bucket index i covers
+  * (base^(i-1), base^i] → le = base^i; negative bucket index i
+  * covers [-base^i, -base^(i-1)) → le = -base^(i-1); the zero bucket
+  * covers [-zero_threshold, zero_threshold] → le = zero_threshold.
+  * Only POPULATED buckets emit (the sparse representation's whole
+  * point); cumulative counts ascend over (negatives by descending
+  * index, zero bucket, positives by ascending index).
+  *
+  * Documented deviations/limits:
+  * - `le` boundary text comes from Java's Double.toString of the
+  *   computed bound — the bounds are DATA (labels), never recomputed
+  *   at query time, so libm pow here carries no cross-engine hazard.
+  * - Standard schemas −4..8 convert; anything else (e.g. the newer
+  *   custom-bounds sentinel 127) is counted on the skipped ledger —
+  *   observable, never silent.
+  * - Classic `le` is inclusive where the native positive bucket's
+  *   upper bound is too (exact match); the negative bucket's lower
+  *   bound is exclusive in native and inclusive under classic `le`
+  *   at −base^(i−1) — a boundary-measure-zero difference.
+  * - A float histogram's counts are absolute doubles; an integer
+  *   histogram's are zigzag DELTAS (first absolute). Both convert.
+  */
+object NativeHistogram {
+
+  /** One decoded native histogram sample (prompb.Histogram / PRW 2.0
+    * Histogram — same public field numbers). */
+  final case class Hist(
+      timestampMs: Long,
+      count: Double,
+      sum: Double,
+      schema: Int,
+      zeroThreshold: Double,
+      zeroCount: Double,
+      posSpans: Seq[(Int, Int)],
+      posDeltas: Seq[Long],
+      posCounts: Seq[Double],
+      negSpans: Seq[(Int, Int)],
+      negDeltas: Seq[Long],
+      negCounts: Seq[Double])
+
+  private def zigzag(v: Long): Long = (v >>> 1) ^ -(v & 1L)
+
+  private def readSpan(r: ProtoWire.Reader): (Int, Int) = {
+    var off = 0; var len = 0
+    while (r.hasMore) {
+      val (f, w) = r.readTag()
+      (f, w) match {
+        case (1, 0) => off = zigzag(r.readVarint()).toInt
+        case (2, 0) => len = r.readVarint().toInt
+        case _      => r.skip(w)
+      }
+    }
+    (off, len)
+  }
+
+  private def readPackedSint(r: ProtoWire.Reader): Seq[Long] = {
+    val out = Seq.newBuilder[Long]
+    while (r.hasMore) out += zigzag(r.readVarint())
+    out.result()
+  }
+
+  private def readPackedDouble(r: ProtoWire.Reader): Seq[Double] = {
+    val out = Seq.newBuilder[Double]
+    while (r.hasMore) out += r.readDouble()
+    out.result()
+  }
+
+  /** Decode one Histogram message (the caller has read the tag). */
+  def decode(r: ProtoWire.Reader): Hist = {
+    var tsMs = 0L
+    var count = 0.0d; var sum = 0.0d
+    var schema = 0; var zeroTh = 0.0d; var zeroCount = 0.0d
+    val posSpans = Seq.newBuilder[(Int, Int)]
+    val negSpans = Seq.newBuilder[(Int, Int)]
+    var posDeltas = Seq.empty[Long]; var posCounts = Seq.empty[Double]
+    var negDeltas = Seq.empty[Long]; var negCounts = Seq.empty[Double]
+    while (r.hasMore) {
+      val (f, w) = r.readTag()
+      (f, w) match {
+        case (1, 0)  => count = r.readVarint().toDouble    // count_int
+        case (2, 1)  => count = r.readDouble()             // count_float
+        case (3, 1)  => sum = r.readDouble()
+        case (4, 0)  => schema = zigzag(r.readVarint()).toInt
+        case (5, 1)  => zeroTh = r.readDouble()
+        case (6, 0)  => zeroCount = r.readVarint().toDouble
+        case (7, 1)  => zeroCount = r.readDouble()
+        case (8, 2)  => negSpans += readSpan(r.readMessage())
+        case (9, 2)  => negDeltas = negDeltas ++ readPackedSint(r.readMessage())
+        case (9, 0)  => negDeltas = negDeltas :+ zigzag(r.readVarint())
+        case (10, 2) => negCounts = negCounts ++ readPackedDouble(r.readMessage())
+        case (10, 1) => negCounts = negCounts :+ r.readDouble()
+        case (11, 2) => posSpans += readSpan(r.readMessage())
+        case (12, 2) => posDeltas = posDeltas ++ readPackedSint(r.readMessage())
+        case (12, 0) => posDeltas = posDeltas :+ zigzag(r.readVarint())
+        case (13, 2) => posCounts = posCounts ++ readPackedDouble(r.readMessage())
+        case (13, 1) => posCounts = posCounts :+ r.readDouble()
+        case (15, 0) => tsMs = r.readVarint()
+        case _       => r.skip(w)
+      }
+    }
+    Hist(tsMs, count, sum, schema, zeroTh, zeroCount,
+      posSpans.result(), posDeltas, posCounts,
+      negSpans.result(), negDeltas, negCounts)
+  }
+
+  /** Bucket indices from spans: each span opens `offset` past the
+    * previous span's end (first span's offset is absolute). */
+  private def spanIndices(spans: Seq[(Int, Int)]): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
+    var idx = 0
+    spans.foreach { case (off, len) =>
+      idx += off
+      for (_ <- 0 until len) { out += idx; idx += 1 }
+    }
+    out.result()
+  }
+
+  /** Per-bucket absolute counts: integer histograms carry deltas
+    * (first absolute), float histograms absolutes. */
+  private def absCounts(deltas: Seq[Long], counts: Seq[Double]): Seq[Double] =
+    if (counts.nonEmpty) counts
+    else deltas.scanLeft(0L)(_ + _).drop(1).map(_.toDouble)
+
+  /** Classic `le` text — Go-compatible for the common integers
+    * ("1", "2.5", "+Inf") so downstream label joins read naturally. */
+  private[ingest] def leText(v: Double): String =
+    if (v.isPosInfinity) "+Inf"
+    else if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+    else v.toString
+
+  /** The conversion: (le-text, cumulative-count) pairs in ascending
+    * le order, ending at +Inf = the histogram's total count. None
+    * when the schema is outside the standard −4..8 range (the
+    * caller's skipped ledger). */
+  def toClassic(h: Hist): Option[(Seq[(String, Double)], Double, Double)] = {
+    if (h.schema < -4 || h.schema > 8) return None
+    val base = math.pow(2.0, math.pow(2.0, -h.schema))
+    val neg = spanIndices(h.negSpans)
+      .zip(absCounts(h.negDeltas, h.negCounts))
+      .filter(_._2 != 0.0d)
+      .sortBy(-_._1) // descending index = ascending (more negative first) le
+      .map { case (i, c) => (-math.pow(base, i - 1), c) }
+    val pos = spanIndices(h.posSpans)
+      .zip(absCounts(h.posDeltas, h.posCounts))
+      .filter(_._2 != 0.0d)
+      .sortBy(_._1)
+      .map { case (i, c) => (math.pow(base, i), c) }
+    val zero = if (h.zeroCount != 0.0d) Seq((h.zeroThreshold, h.zeroCount))
+               else Seq.empty
+    var cum = 0.0d
+    val buckets = (neg ++ zero ++ pos).map { case (le, c) =>
+      cum += c; (leText(le), cum)
+    } :+ (("+Inf", h.count))
+    Some((buckets, h.sum, h.count))
+  }
+
+  /** Expand one histogram into classic ingested samples under
+    * `metric`'s name (labels already sorted "k=v" WITHOUT le). */
+  def toClassicSamples(metric: String, labels: Seq[String],
+                       h: Hist): Option[Seq[PromRemoteCodec.IngestedSample]] =
+    toClassic(h).map { case (buckets, sum, count) =>
+      val tsUs = h.timestampMs * 1000L
+      val bucketRows = buckets.map { case (le, cum) =>
+        PromRemoteCodec.IngestedSample(tsUs, metric + "_bucket",
+          (labels :+ s"le=$le").sorted, cum)
+      }
+      val sumRow =
+        if (sum.isNaN) Seq.empty
+        else Seq(PromRemoteCodec.IngestedSample(tsUs, metric + "_sum",
+          labels, sum))
+      bucketRows ++ sumRow :+
+        PromRemoteCodec.IngestedSample(tsUs, metric + "_count", labels, count)
+    }
+}

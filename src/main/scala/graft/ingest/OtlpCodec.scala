@@ -7,10 +7,13 @@ import graft.ingest.PromRemoteCodec.IngestedSample
   * opentelemetry-proto field numbers; no OTel SDK involved, the same
   * hand-rolled [[ProtoWire]] reader the prompb codec uses).
   *
-  * Message shapes (only what the samples store can hold — Gauge and
-  * CUMULATIVE Sum number points; histogram / exponential-histogram /
-  * summary points are skipped field-safe and COUNTED, surfaced via
-  * the `otlp_dropped_points_total` write counter):
+  * Message shapes: Gauge and CUMULATIVE Sum number points land as
+  * float samples; CUMULATIVE explicit-bounds Histogram points land
+  * as classic `_bucket`/`_sum`/`_count` series (the bounds ARE
+  * classic le values — cumulative counts per bound, the `count`
+  * field at le="+Inf", `sum` only when explicitly present);
+  * exponential-histogram and summary points are skipped field-safe
+  * and COUNTED via `otlp_dropped_points_total`:
   *   ExportMetricsServiceRequest {1: resource_metrics*}
   *   ResourceMetrics  {1: resource, 2: scope_metrics*}
   *   Resource         {1: attributes* (KeyValue)}
@@ -19,9 +22,13 @@ import graft.ingest.PromRemoteCodec.IngestedSample
   *                     9: histogram, 10: exp_histogram, 11: summary}
   *   Sum              {1: data_points*, 2: aggregation_temporality,
   *                     3: is_monotonic}
+  *   Histogram        {1: data_points*, 2: aggregation_temporality}
   *   NumberDataPoint  {2: start fixed64 ns, 3: time fixed64 ns,
   *                     4: as_double, 6: as_int sfixed64,
   *                     7: attributes*}
+  *   HistogramDataPoint {3: time ns, 4: count fixed64, 5: sum,
+  *                     6: bucket_counts*, 7: explicit_bounds*,
+  *                     9: attributes*}
   *   KeyValue         {1: key, 2: AnyValue}
   *   AnyValue         {1: string | 2: bool | 3: int | 4: double}
   *
@@ -33,7 +40,9 @@ import graft.ingest.PromRemoteCodec.IngestedSample
   * receiver rejects delta by default (conversion is behind a
   * feature flag); this receiver does the same, loudly: the whole
   * request fails with a wire-format error the HTTP layer answers as
-  * a client error. UNSPECIFIED (0) is equally rejected — the spec
+  * a client error. The same guard covers Histogram temporality
+  * (delta bucket counts would corrupt classic cumulative series
+  * identically). UNSPECIFIED (0) is equally rejected — the spec
   * calls it invalid on the wire. `is_monotonic` is read but carries
   * no behavior: the store has no metric-type metadata, so monotonic
   * and non-monotonic cumulative sums land identically (documented
@@ -161,7 +170,10 @@ object OtlpCodec {
     var name = ""
     var isSum = false
     var temporality = 0L // AGGREGATION_TEMPORALITY_UNSPECIFIED
+    var hasHist = false
+    var histTemporality = 0L
     val pointMsgs = Seq.newBuilder[ProtoWire.Reader]
+    val histMsgs = Seq.newBuilder[ProtoWire.Reader]
     def readPoints(g: ProtoWire.Reader): Unit =
       while (g.hasMore) {
         val (gf, gw) = g.readTag()
@@ -178,9 +190,22 @@ object OtlpCodec {
         case (1, 2) => name = r.readString()
         case (5, 2) => isSum = false; readPoints(r.readMessage())
         case (7, 2) => isSum = true; readPoints(r.readMessage())
-        case (9, 2) | (10, 2) | (11, 2) =>
-          // histogram | exponential histogram | summary — the float64
-          // store has no shape for them; skip, but count every point
+        case (9, 2) =>
+          // explicit-bounds histogram: CONVERTS to classic
+          // _bucket/_sum/_count series (bounds are already classic
+          // le values) — same temporality guard as sums
+          hasHist = true
+          val g = r.readMessage()
+          while (g.hasMore) {
+            val (gf, gw) = g.readTag()
+            (gf, gw) match {
+              case (1, 2) => histMsgs += g.readMessage()
+              case (2, 0) => histTemporality = g.readVarint()
+              case _ => g.skip(gw)
+            }
+          }
+        case (10, 2) | (11, 2) =>
+          // exponential histogram | summary — still skipped, COUNTED
           st.dropped += countPoints(r.readMessage())
         case _ => r.skip(w) // metadata/unit — not samples
       }
@@ -194,10 +219,69 @@ object OtlpCodec {
         s"OTLP sum '$name' has non-cumulative aggregation_temporality " +
           s"($temporality); only CUMULATIVE (2) is ingestible — " +
           "delta sums stored as counters would corrupt rate()")
+    if (hasHist && histTemporality != 2L)
+      throw new ProtoWire.WireFormatException(
+        s"OTLP histogram '$name' has non-cumulative " +
+          s"aggregation_temporality ($histTemporality); only " +
+          "CUMULATIVE (2) is ingestible")
     val norm = normMetricName(name)
     pointMsgs.result().foreach { p =>
       readNumberPoint(p, norm, resource).foreach(st.out += _)
     }
+    histMsgs.result().foreach(readHistogramPoint(_, norm, resource, st))
+  }
+
+  /** HistogramDataPoint → classic series rows. `bucket_counts` has
+    * one more entry than `explicit_bounds` (the overflow bucket);
+    * cumulative counts pair with each bound and the `count` field
+    * answers le="+Inf" and `_count`. `sum` is optional in proto3 —
+    * only an explicitly-present sum lands a `_sum` row. */
+  private def readHistogramPoint(r: ProtoWire.Reader, metric: String,
+                                 resource: List[String],
+                                 st: DecodeState): Unit = {
+    var tNano = 0L
+    var count = 0L
+    var sum = 0.0d
+    var hasSum = false
+    val counts = Seq.newBuilder[Long]
+    val bounds = Seq.newBuilder[Double]
+    val attrs = List.newBuilder[String]
+    while (r.hasMore) {
+      val (f, w) = r.readTag()
+      (f, w) match {
+        case (3, 1) => tNano = r.readFixed64()
+        case (4, 1) => count = r.readFixed64()
+        case (5, 1) => sum = r.readDouble(); hasSum = true
+        case (6, 2) =>
+          val m = r.readMessage()
+          while (m.hasMore) counts += m.readFixed64()
+        case (6, 1) => counts += r.readFixed64()
+        case (7, 2) =>
+          val m = r.readMessage()
+          while (m.hasMore) bounds += m.readDouble()
+        case (7, 1) => bounds += r.readDouble()
+        case (9, 2) =>
+          val (k, v) = readKeyValue(r.readMessage())
+          attrs += s"${normLabelKey(k)}=$v"
+        case _ => r.skip(w)
+      }
+    }
+    val tUs = tNano / 1000L
+    val base = (attrs.result() ++ resource).sorted
+    var cum = 0L
+    val cs = counts.result()
+    bounds.result().zipWithIndex.foreach { case (b, i) =>
+      cum += (if (i < cs.size) cs(i) else 0L)
+      st.out += PromRemoteCodec.IngestedSample(tUs, metric + "_bucket",
+        (base :+ s"le=${NativeHistogram.leText(b)}").sorted, cum.toDouble)
+    }
+    st.out += PromRemoteCodec.IngestedSample(tUs, metric + "_bucket",
+      (base :+ "le=+Inf").sorted, count.toDouble)
+    if (hasSum)
+      st.out += PromRemoteCodec.IngestedSample(tUs, metric + "_sum",
+        base, sum)
+    st.out += PromRemoteCodec.IngestedSample(tUs, metric + "_count",
+      base, count.toDouble)
   }
 
   private def readNumberPoint(r: ProtoWire.Reader, metric: String,

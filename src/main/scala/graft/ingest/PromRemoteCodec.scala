@@ -24,14 +24,24 @@ object PromRemoteCodec {
 
   final case class PromLabel(name: String, value: String)
   final case class PromSample(value: Double, timestampMs: Long)
-  final case class PromTimeSeries(labels: Seq[PromLabel], samples: Seq[PromSample])
-  /** `skippedHistograms` ledgers native-histogram samples the
-    * float64 store cannot hold (prompb TimeSeries field 4 / PRW 2.0
-    * TimeSeries field 3) — skipped field-safe but COUNTED, so the
-    * serving layer can surface the drop on `/metrics` instead of
-    * losing Prometheus 3.x histogram traffic silently. */
+  final case class PromTimeSeries(labels: Seq[PromLabel],
+                                  samples: Seq[PromSample],
+                                  histograms: Seq[NativeHistogram.Hist] = Nil)
+  /** Native-histogram samples (prompb TimeSeries field 4 / PRW 2.0
+    * TimeSeries field 3) DECODE and convert to classic
+    * _bucket/_sum/_count series (see [[NativeHistogram]]) — the
+    * float64 store serves them through the whole existing query
+    * surface. `skippedHistograms` ledgers only what CANNOT convert
+    * (non-standard schema) — counted, never silent. */
   final case class PromWriteRequest(timeseries: Seq[PromTimeSeries],
-                                    skippedHistograms: Long = 0L)
+                                    skippedHistograms: Long = 0L) {
+    /** Histogram samples that decoded AND convert (standard schema). */
+    def histogramCount: Long =
+      timeseries.iterator.map(_.histograms.size.toLong).sum
+    /** Float samples on the request (the sender's own count). */
+    def sampleCount: Long =
+      timeseries.iterator.map(_.samples.size.toLong).sum
+  }
 
   /** One flat ingested sample — reference write.go:34-46 label
     * normalization applied: __name__ split out, remaining labels as
@@ -56,19 +66,23 @@ object PromRemoteCodec {
   private final class Count { var n = 0L }
 
   private def readTimeSeries(r: ProtoWire.Reader,
-                             hist: Count = new Count): PromTimeSeries = {
+                             skipped: Count = new Count): PromTimeSeries = {
     val labels = Seq.newBuilder[PromLabel]
     val samples = Seq.newBuilder[PromSample]
+    val hists = Seq.newBuilder[NativeHistogram.Hist]
     while (r.hasMore) {
       val (field, wire) = r.readTag()
       (field, wire) match {
         case (1, 2) => labels += readLabel(r.readMessage())
         case (2, 2) => samples += readSample(r.readMessage())
-        case (4, 2) => r.readMessage(); hist.n += 1 // native histogram
+        case (4, 2) => // native histogram: convertible ones ride along
+          val h = NativeHistogram.decode(r.readMessage())
+          if (h.schema >= -4 && h.schema <= 8) hists += h
+          else skipped.n += 1
         case _      => r.skip(wire)
       }
     }
-    PromTimeSeries(labels.result(), samples.result())
+    PromTimeSeries(labels.result(), samples.result(), hists.result())
   }
 
   private def readLabel(r: ProtoWire.Reader): PromLabel = {
@@ -111,7 +125,13 @@ object PromRemoteCodec {
       }
       val sorted = labels.result().sorted
       ts.samples.iterator.map(s =>
-        IngestedSample(s.timestampMs * 1000L, metric, sorted, s.value))
+        IngestedSample(s.timestampMs * 1000L, metric, sorted, s.value)) ++
+        // native histograms land as classic _bucket/_sum/_count rows
+        // (decode already filtered to standard schemas, so the
+        // conversion is total here)
+        ts.histograms.iterator.flatMap(h =>
+          NativeHistogram.toClassicSamples(metric, sorted, h)
+            .getOrElse(Seq.empty))
     }
 
   /** Max read-request body, compressed or inflated (reference:
@@ -233,9 +253,10 @@ object PromRemoteCodec {
 
   private def readTimeSeriesV2(r: ProtoWire.Reader,
                                sym: Long => String,
-                               hist: Count): PromTimeSeries = {
+                               skipped: Count): PromTimeSeries = {
     val refs = Seq.newBuilder[Long]
     val samples = Seq.newBuilder[PromSample]
+    val hists = Seq.newBuilder[NativeHistogram.Hist]
     while (r.hasMore) {
       val (field, wire) = r.readTag()
       (field, wire) match {
@@ -246,7 +267,10 @@ object PromRemoteCodec {
           while (pr.hasMore) refs += pr.readVarint()
         case (1, 0) => refs += r.readVarint()
         case (2, 2) => samples += readSample(r.readMessage())
-        case (3, 2) => r.readMessage(); hist.n += 1 // native histogram
+        case (3, 2) => // native histogram (same message as prompb)
+          val h = NativeHistogram.decode(r.readMessage())
+          if (h.schema >= -4 && h.schema <= 8) hists += h
+          else skipped.n += 1
         case _      => r.skip(wire)
       }
     }
@@ -257,7 +281,7 @@ object PromRemoteCodec {
     val labels = rs.grouped(2).map { p =>
       PromLabel(sym(p(0)), sym(p(1)))
     }.toSeq
-    PromTimeSeries(labels, samples.result())
+    PromTimeSeries(labels, samples.result(), hists.result())
   }
 
   /** Encode the v2 form (the client leg, for round-trip tests and

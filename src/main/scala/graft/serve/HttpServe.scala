@@ -195,12 +195,14 @@ object HttpServe {
           s"unsupported remote-write proto: ${proto.get}\n".getBytes(UTF_8),
           Seq("Content-Type" -> "text/plain; charset=utf-8"))
       } else {
-        val n = RemoteWrite.serve(spark, storePath, body(ex), ct)
-        // 2.0 receivers confirm written counts in response headers
+        val out = RemoteWrite.serveCounted(spark, storePath, body(ex), ct)
+        // 2.0 receivers confirm written counts in response headers —
+        // in the SENDER's units (a native histogram counts once,
+        // however many classic rows its conversion lands)
         val hdrs =
           if (proto.contains(graft.ingest.PromRemoteCodec.ProtoV2))
-            Seq("X-Prometheus-Remote-Write-Samples-Written" -> n.toString,
-              "X-Prometheus-Remote-Write-Histograms-Written" -> "0",
+            Seq("X-Prometheus-Remote-Write-Samples-Written" -> out.samples.toString,
+              "X-Prometheus-Remote-Write-Histograms-Written" -> out.histograms.toString,
               "X-Prometheus-Remote-Write-Exemplars-Written" -> "0")
           else Seq.empty
         respond(ex, 200, Array.emptyByteArray, hdrs)
@@ -828,6 +830,8 @@ object HttpServe {
         // limitation is diagnosable from the status surface alone
         "write.dropped-histogram-samples" ->
           graft.OpsMetrics(spark).droppedHistograms.value.toString,
+        "write.converted-histograms" ->
+          graft.OpsMetrics(spark).convertedHistograms.value.toString,
         "write.otlp-dropped-points" ->
           graft.OpsMetrics(spark).otlpDroppedPoints.value.toString)
         .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }

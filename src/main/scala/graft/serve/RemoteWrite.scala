@@ -218,9 +218,20 @@ object RemoteWrite {
     * .v2.Request → the symbol-table v2 decode; absent/v1 → classic);
     * an unrecognized proto= value throws IllegalArgumentException —
     * the HTTP layer answers it 415 BEFORE calling here. */
+  /** Per-request write outcome, in the SENDER's units (what the 2.0
+    * response headers confirm): float samples and native-histogram
+    * samples accepted — a histogram counts once however many classic
+    * rows its conversion lands. */
+  final case class WriteOutcome(samples: Long, histograms: Long)
+
   def serve(spark: SparkSession, storePath: String,
             writeRequestBlob: Array[Byte],
-            contentType: Option[String] = None): Long = {
+            contentType: Option[String] = None): Long =
+    serveCounted(spark, storePath, writeRequestBlob, contentType).samples
+
+  def serveCounted(spark: SparkSession, storePath: String,
+                   writeRequestBlob: Array[Byte],
+                   contentType: Option[String] = None): WriteOutcome = {
     val m = OpsMetrics(spark)
     m.writeRequests.add(1)
     val req =
@@ -230,6 +241,8 @@ object RemoteWrite {
       catch { case e: Throwable => m.writeErrors.add(1); throw e }
     if (req.skippedHistograms > 0)
       m.droppedHistograms.add(req.skippedHistograms)
+    if (req.histogramCount > 0)
+      m.convertedHistograms.add(req.histogramCount)
     val rows = PromRemoteCodec.toSamples(req).toSeq
     if (rows.nonEmpty) {
       import spark.implicits._
@@ -241,7 +254,7 @@ object RemoteWrite {
       // threshold so a long-running server never needs an operator
       maybeCompactRateLimited(spark, storePath)
     }
-    rows.size.toLong
+    WriteOutcome(req.sampleCount, req.histogramCount)
   }
 
   /** OTLP metrics body (raw protobuf, no snappy) → store append —
@@ -283,6 +296,8 @@ object RemoteWrite {
         catch { case e: Throwable => m.writeErrors.add(1); throw e }
       if (req.skippedHistograms > 0)
         m.droppedHistograms.add(req.skippedHistograms)
+      if (req.histogramCount > 0)
+        m.convertedHistograms.add(req.histogramCount)
       PromRemoteCodec.toSamples(req)
     }
     if (rows.nonEmpty) {

@@ -291,8 +291,8 @@ class PromCodecSpec extends SparkSpecBase {
         OtlpCodec.decodeExportMetrics(sumMetric("d.count", t)))
       assert(e.getMessage.contains("non-cumulative"), e.getMessage)
     }
-    // v1 remote-write: a TimeSeries histogram field (4) is skipped
-    // field-safe AND ledgered on the decoded request
+    // v1 remote-write: TimeSeries histogram fields (4) DECODE — the
+    // standard-schema one converts, the non-standard one ledgers
     val w = new ProtoWire.Writer
     val ts = new ProtoWire.Writer
     val lb = new ProtoWire.Writer
@@ -301,11 +301,66 @@ class PromCodecSpec extends SparkSpecBase {
     val sm = new ProtoWire.Writer
     sm.writeDoubleField(1, 2.0); sm.writeVarintField(2, 1704412800000L)
     ts.writeMessageField(2, sm)
-    ts.writeMessageField(4, new ProtoWire.Writer) // native histogram
-    ts.writeMessageField(4, new ProtoWire.Writer)
+    ts.writeMessageField(4, new ProtoWire.Writer) // schema 0: converts
+    val badH = new ProtoWire.Writer
+    badH.writeVarintField(4, 253L) // zigzag(-127): unsupported schema
+    ts.writeMessageField(4, badH)
     w.writeMessageField(1, ts)
     val req = decodeWriteRequest(org.xerial.snappy.Snappy.compress(w.toBytes))
     assert(req.timeseries.head.samples.map(_.value) === Seq(2.0))
-    assert(req.skippedHistograms === 2L)
+    assert(req.timeseries.head.histograms.size === 1)
+    assert(req.skippedHistograms === 1L)
+  }
+
+  test("native histogram: decode + classic conversion, golden case") {
+    import graft.ingest.NativeHistogram
+    // count=10, sum=-3.25, schema=-1 (base 4), zero bucket
+    // (threshold 0.01, count 2), positive span offset 1 len 2 with
+    // deltas [3, -2] (abs counts [3, 1] over (1,4] and (4,16]),
+    // one FLOAT negative bucket idx 0 ([-1,-0.25), count 4.0)
+    val h = new ProtoWire.Writer
+    h.writeVarintField(1, 10L)
+    h.writeDoubleField(3, -3.25)
+    h.writeVarintField(4, 1L) // zigzag(-1)
+    h.writeDoubleField(5, 0.01)
+    h.writeVarintField(6, 2L)
+    val nspan = new ProtoWire.Writer
+    nspan.writeVarintField(1, 0L); nspan.writeVarintField(2, 1L)
+    h.writeMessageField(8, nspan)
+    h.writeDoubleField(10, 4.0) // negative_counts, unpacked
+    val pspan = new ProtoWire.Writer
+    pspan.writeVarintField(1, 2L) // zigzag(1): offset 1
+    pspan.writeVarintField(2, 2L)
+    h.writeMessageField(11, pspan)
+    val deltas = new ProtoWire.Writer
+    deltas.writeVarint(6L) // zigzag(3)
+    deltas.writeVarint(3L) // zigzag(-2)
+    h.writeBytesField(12, deltas.toBytes)
+    h.writeVarintField(15, 1704412800000L)
+    val hist = NativeHistogram.decode(graft.ingest.ProtoWire.reader(h.toBytes))
+    assert(hist.schema === -1 && hist.count === 10.0 && hist.zeroCount === 2.0)
+    assert(hist.posSpans === Seq((1, 2)) && hist.posDeltas === Seq(3L, -2L))
+    assert(hist.negCounts === Seq(4.0))
+    val (buckets, sum, count) = NativeHistogram.toClassic(hist).get
+    // ascending le: negative idx0 le=-(4^-1)=-0.25 cum 4; zero bucket
+    // le=0.01 cum 6; positive idx1 le=4 cum 9, idx2 le=16 cum 10;
+    // +Inf = the count field
+    assert(buckets === Seq(("-0.25", 4.0), ("0.01", 6.0), ("4", 9.0),
+      ("16", 10.0), ("+Inf", 10.0)), buckets.toString)
+    assert(sum === -3.25 && count === 10.0)
+    // non-standard schema answers None (the caller's skip ledger)
+    assert(NativeHistogram.toClassic(hist.copy(schema = 9)).isEmpty)
+    // classic expansion: le labels sorted into place, µs timestamps
+    val rows = NativeHistogram.toClassicSamples("lat", Seq("k=v"), hist).get
+    assert(rows.count(_.metric == "lat_bucket") === 5)
+    assert(rows.exists(r => r.metric == "lat_sum" && r.value == -3.25))
+    assert(rows.exists(r => r.metric == "lat_count" && r.value == 10.0))
+    assert(rows.forall(_.ts_us === 1704412800000000L))
+    assert(rows.filter(_.metric == "lat_bucket")
+      .forall(r => r.labels.contains("k=v") && r.labels.exists(_.startsWith("le="))))
+    // NaN sum: the _sum row is withheld (NaN would poison the store)
+    val nanRows = NativeHistogram.toClassicSamples("lat", Nil,
+      hist.copy(sum = Double.NaN)).get
+    assert(!nanRows.exists(_.metric == "lat_sum"))
   }
 }

@@ -205,20 +205,53 @@ class ServeSpec extends SparkSpecBase {
       gauge.writeMessageField(1,
         point(1704412800000000000L, 0.25, "http.method" -> "GET"))
       gm.writeMessageField(5, gauge)
-      // 3. histogram points skip — but COUNT (2 points below)
+      // 3. EXPONENTIAL-histogram points skip — but COUNT (2 points)
       val hm = new ProtoWire.Writer
       hm.writeStringField(1, "latency.hist")
       val hist = new ProtoWire.Writer
       hist.writeMessageField(1, new ProtoWire.Writer) // 2 data points
       hist.writeMessageField(1, new ProtoWire.Writer)
-      hm.writeMessageField(9, hist)
+      hm.writeMessageField(10, hist)
+      // 4. an EXPLICIT-BOUNDS histogram converts to classic series:
+      //    bounds [0.1, 1] with bucket_counts [1, 2, 3] and count 6
+      val em = new ProtoWire.Writer
+      em.writeStringField(1, "req.duration")
+      val ehist = new ProtoWire.Writer
+      val ep = new ProtoWire.Writer
+      ep.writeFixed64Field(3, 1704412800000000000L)
+      ep.writeFixed64Field(4, 6L)                 // count
+      ep.writeDoubleField(5, 2.5)                 // sum
+      // bucket_counts as unpacked fixed64 entries (wire 1 — as
+      // legal as the packed form, and what the decoder's (6,1) arm
+      // covers)
+      Seq(1L, 2L, 3L).foreach(v => ep.writeFixed64Field(6, v))
+      Seq(0.1d, 1.0d).foreach(v => ep.writeDoubleField(7, v))
+      ehist.writeMessageField(1, ep)
+      ehist.writeVarintField(2, 2L)               // CUMULATIVE
+      em.writeMessageField(9, ehist)
       val before = graft.OpsMetrics(spark).otlpDroppedPoints.value
-      assert(post(s"$base/api/v1/otlp/v1/metrics", wrap(gm, hm))._1 === 200)
+      assert(post(s"$base/api/v1/otlp/v1/metrics", wrap(gm, hm, em))._1 === 200)
       val back = graft.ingest.SamplesStore.read(spark, store).collect()
-      assert(back.length === 1)
-      assert(back(0).getAs[String]("metric") === "http_server_duration")
-      assert(back(0).getAs[Seq[String]]("labels") === Seq("http_method=GET"))
+        .map(r => (r.getAs[String]("metric"),
+          r.getAs[Seq[String]]("labels").mkString(","),
+          r.getAs[Double]("value"))).toSet
+      assert(back === Set(
+        ("http_server_duration", "http_method=GET", 0.25),
+        ("req_duration_bucket", "le=0.1", 1.0),
+        ("req_duration_bucket", "le=1", 3.0),
+        ("req_duration_bucket", "le=+Inf", 6.0),
+        ("req_duration_sum", "", 2.5),
+        ("req_duration_count", "", 6.0)), back.toString)
       assert(graft.OpsMetrics(spark).otlpDroppedPoints.value === before + 2)
+      // a DELTA-temporality histogram rejects like a delta sum
+      val dm2 = new ProtoWire.Writer
+      dm2.writeStringField(1, "dh")
+      val dhist = new ProtoWire.Writer
+      dhist.writeMessageField(1, new ProtoWire.Writer)
+      dhist.writeVarintField(2, 1L) // DELTA
+      dm2.writeMessageField(9, dhist)
+      val (dhc, dhb, _) = post(s"$base/api/v1/otlp/v1/metrics", wrap(dm2))
+      assert(dhc === 400 && new String(dhb, "UTF-8").contains("non-cumulative"))
       // the drop is observable on BOTH ops surfaces
       val (_, metricsBody) = get(s"$base/metrics")
       assert(metricsBody.contains("otlp_dropped_points_total"))
@@ -228,17 +261,17 @@ class ServeSpec extends SparkSpecBase {
     } finally srv.stop()
   }
 
-  test("remote-write native-histogram samples drop observably, never silently") {
+  test("native histograms ingest by conversion to classic series") {
     import graft.ingest.ProtoWire
     import org.xerial.snappy.Snappy
     val store = tmpStore("rwhist")
     val srv = HttpServe.start(spark, store)
     try {
       val base = s"http://localhost:${srv.port}"
-      // hand-built v2 request: one series with one float sample AND
-      // one native-histogram sample (TimeSeries field 3)
+      // v2 request: one series with a float sample, a REAL native
+      // histogram (schema 0 → base 2), and an unsupported-schema one
       val w = new ProtoWire.Writer
-      Seq("", "__name__", "hm", "a", "b").foreach(w.writeStringField(4, _))
+      Seq("", "__name__", "hm", "k", "v").foreach(w.writeStringField(4, _))
       val ts = new ProtoWire.Writer
       val pr = new ProtoWire.Writer
       Seq(1L, 2L, 3L, 4L).foreach(pr.writeVarint)
@@ -247,22 +280,71 @@ class ServeSpec extends SparkSpecBase {
       sm.writeDoubleField(1, 1.5)
       sm.writeVarintField(2, 1704412800000L)
       ts.writeMessageField(2, sm)
-      ts.writeMessageField(3, new ProtoWire.Writer) // native histogram
+      // histogram: count=6, sum=4.5, schema=0, zero bucket
+      // (threshold 0.001, count 1), positive span offset 0 len 2
+      // with deltas [2, 1] → buckets (0.5,1]:2 and (1,2]:3
+      val h = new ProtoWire.Writer
+      h.writeVarintField(1, 6L)                       // count_int
+      h.writeDoubleField(3, 4.5)                      // sum
+      h.writeVarintField(4, 0L)                       // schema 0 (zigzag 0)
+      h.writeDoubleField(5, 0.001)                    // zero_threshold
+      h.writeVarintField(6, 1L)                       // zero_count_int
+      val span = new ProtoWire.Writer
+      span.writeVarintField(1, 0L)                    // offset 0 (zigzag)
+      span.writeVarintField(2, 2L)                    // length 2
+      h.writeMessageField(11, span)                   // positive_spans
+      val deltas = new ProtoWire.Writer
+      deltas.writeVarint(4L)                          // zigzag(2)
+      deltas.writeVarint(2L)                          // zigzag(1)
+      h.writeBytesField(12, deltas.toBytes)           // positive_deltas
+      h.writeVarintField(15, 1704412800000L)          // timestamp ms
+      ts.writeMessageField(3, h)
+      // an unsupported schema (100): SKIPPED, counted — never silent
+      val bad = new ProtoWire.Writer
+      bad.writeVarintField(4, 200L)                   // zigzag(100)
+      ts.writeMessageField(3, bad)
       w.writeMessageField(5, ts)
-      val before = graft.OpsMetrics(spark).droppedHistograms.value
-      val (c, _, h) = post(s"$base/write", Snappy.compress(w.toBytes),
+      val dropBefore = graft.OpsMetrics(spark).droppedHistograms.value
+      val convBefore = graft.OpsMetrics(spark).convertedHistograms.value
+      val (c, _, hd) = post(s"$base/write", Snappy.compress(w.toBytes),
         Some("application/x-protobuf;proto=" + PromRemoteCodec.ProtoV2),
-        respHeaders = Seq("X-Prometheus-Remote-Write-Samples-Written"))
+        respHeaders = Seq("X-Prometheus-Remote-Write-Samples-Written",
+          "X-Prometheus-Remote-Write-Histograms-Written"))
       assert(c === 200)
-      // the float sample lands; the histogram is dropped and COUNTED
-      assert(h.get("X-Prometheus-Remote-Write-Samples-Written") === Some("1"))
-      assert(graft.ingest.SamplesStore.read(spark, store).count() === 1)
-      assert(graft.OpsMetrics(spark).droppedHistograms.value === before + 1)
+      // headers confirm in the SENDER's units: 1 float sample, 1
+      // histogram accepted (the unsupported one is not "written")
+      assert(hd.get("X-Prometheus-Remote-Write-Samples-Written") === Some("1"))
+      assert(hd.get("X-Prometheus-Remote-Write-Histograms-Written") === Some("1"))
+      assert(graft.OpsMetrics(spark).droppedHistograms.value === dropBefore + 1)
+      assert(graft.OpsMetrics(spark).convertedHistograms.value === convBefore + 1)
+      // the classic expansion: 4 buckets + sum + count + the float
+      // sample = 7 rows, cumulative counts ascending over
+      // zero-bucket → (0.5,1] → (1,2] → +Inf
+      val back = graft.ingest.SamplesStore.read(spark, store).collect()
+        .map(r => (r.getAs[String]("metric"),
+          r.getAs[Seq[String]]("labels").mkString(","),
+          r.getAs[Double]("value"))).toSet
+      assert(back === Set(
+        ("hm", "k=v", 1.5),
+        ("hm_bucket", "k=v,le=0.001", 1.0),
+        ("hm_bucket", "k=v,le=1", 3.0),
+        ("hm_bucket", "k=v,le=2", 6.0),
+        ("hm_bucket", "k=v,le=+Inf", 6.0),
+        ("hm_sum", "k=v", 4.5),
+        ("hm_count", "k=v", 6.0)))
+      // end to end: histogram_quantile serves the converted series
+      // (rank φ·6 = 3 lands exactly at le=1's cumulative 3 → 1)
+      val (qc, qb) = get(s"$base/api/v1/query?query=" +
+        java.net.URLEncoder.encode("histogram_quantile(0.5, hm_bucket)", "UTF-8") +
+        "&time=1704412800")
+      assert(qc === 200, qb)
+      assert(qb.contains(""""value":[1704412800,"1"]"""), qb)
+      // both ledgers visible on the ops surfaces
       val (_, metricsBody) = get(s"$base/metrics")
-      assert(metricsBody.contains("write_dropped_histogram_samples_total"))
+      assert(metricsBody.contains("write_converted_histograms_total"))
       val (_, flagsBody) = get(s"$base/api/v1/status/flags")
       assert(flagsBody.contains(
-        s""""write.dropped-histogram-samples":"${before + 1}""""))
+        s""""write.converted-histograms":"${convBefore + 1}""""))
     } finally srv.stop()
   }
 

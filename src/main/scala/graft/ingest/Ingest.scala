@@ -55,7 +55,11 @@ object Ingest {
     * mirrors the reference's `/write` handler (main.go:125-141):
     * every blob counts as a write request, a malformed blob counts an
     * error and is skipped (the reference 500s that one request and
-    * keeps serving), decoded samples count as written. */
+    * keeps serving), decoded samples count as written. Native
+    * histograms ride along as their classic conversion (toSamples);
+    * EXEMPLARS are a serving-path feature (RemoteWrite routes them to
+    * the sibling exemplar store) — this bulk path answers the samples
+    * frame only, by contract. */
   def decodeWriteRequestBlobs(blobs: DataFrame): DataFrame = {
     val spark = blobs.sparkSession
     import spark.implicits._

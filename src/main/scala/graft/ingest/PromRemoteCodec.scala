@@ -24,9 +24,14 @@ object PromRemoteCodec {
 
   final case class PromLabel(name: String, value: String)
   final case class PromSample(value: Double, timestampMs: Long)
+  /** One exemplar (prompb TimeSeries field 3 / PRW 2.0 field 4):
+    * the traced observation Grafana links from histogram panels. */
+  final case class PromExemplar(labels: Seq[PromLabel], value: Double,
+                                timestampMs: Long)
   final case class PromTimeSeries(labels: Seq[PromLabel],
                                   samples: Seq[PromSample],
-                                  histograms: Seq[NativeHistogram.Hist] = Nil)
+                                  histograms: Seq[NativeHistogram.Hist] = Nil,
+                                  exemplars: Seq[PromExemplar] = Nil)
   /** Native-histogram samples (prompb TimeSeries field 4 / PRW 2.0
     * TimeSeries field 3) DECODE and convert to classic
     * _bucket/_sum/_count series (see [[NativeHistogram]]) — the
@@ -41,6 +46,9 @@ object PromRemoteCodec {
     /** Float samples on the request (the sender's own count). */
     def sampleCount: Long =
       timeseries.iterator.map(_.samples.size.toLong).sum
+    /** Exemplars on the request. */
+    def exemplarCount: Long =
+      timeseries.iterator.map(_.exemplars.size.toLong).sum
   }
 
   /** One flat ingested sample — reference write.go:34-46 label
@@ -70,11 +78,13 @@ object PromRemoteCodec {
     val labels = Seq.newBuilder[PromLabel]
     val samples = Seq.newBuilder[PromSample]
     val hists = Seq.newBuilder[NativeHistogram.Hist]
+    val exemplars = Seq.newBuilder[PromExemplar]
     while (r.hasMore) {
       val (field, wire) = r.readTag()
       (field, wire) match {
         case (1, 2) => labels += readLabel(r.readMessage())
         case (2, 2) => samples += readSample(r.readMessage())
+        case (3, 2) => exemplars += readExemplar(r.readMessage())
         case (4, 2) => // native histogram: convertible ones ride along
           val h = NativeHistogram.decode(r.readMessage())
           if (h.schema >= -4 && h.schema <= 8) hists += h
@@ -82,7 +92,23 @@ object PromRemoteCodec {
         case _      => r.skip(wire)
       }
     }
-    PromTimeSeries(labels.result(), samples.result(), hists.result())
+    PromTimeSeries(labels.result(), samples.result(), hists.result(),
+      exemplars.result())
+  }
+
+  private def readExemplar(r: ProtoWire.Reader): PromExemplar = {
+    val labels = Seq.newBuilder[PromLabel]
+    var value = 0.0d; var tsMs = 0L
+    while (r.hasMore) {
+      val (field, wire) = r.readTag()
+      (field, wire) match {
+        case (1, 2) => labels += readLabel(r.readMessage())
+        case (2, 1) => value = r.readDouble()
+        case (3, 0) => tsMs = r.readVarint()
+        case _      => r.skip(wire)
+      }
+    }
+    PromExemplar(labels.result(), value, tsMs)
   }
 
   private def readLabel(r: ProtoWire.Reader): PromLabel = {
@@ -132,6 +158,27 @@ object PromRemoteCodec {
         ts.histograms.iterator.flatMap(h =>
           NativeHistogram.toClassicSamples(metric, sorted, h)
             .getOrElse(Seq.empty))
+    }
+
+  /** Exemplars → store rows for the sibling exemplar store: series
+    * labels ride as the usual sorted "k=v" strings, EXEMPLAR labels
+    * as "__x_k=v" entries in the same array (the prefix keeps the
+    * two label spaces apart; matchers on series labels can never
+    * collide with a "__x_"-prefixed entry). */
+  def toExemplarRows(req: PromWriteRequest): Iterator[IngestedSample] =
+    req.timeseries.iterator.filter(_.exemplars.nonEmpty).flatMap { ts =>
+      var metric = ""
+      val labels = Seq.newBuilder[String]
+      ts.labels.foreach { l =>
+        if (l.name == "__name__") metric = l.value
+        else labels += s"${l.name}=${l.value}"
+      }
+      val base = labels.result()
+      ts.exemplars.iterator.map { e =>
+        IngestedSample(e.timestampMs * 1000L, metric,
+          (base ++ e.labels.map(l => s"__x_${l.name}=${l.value}")).sorted,
+          e.value)
+      }
     }
 
   /** Max read-request body, compressed or inflated (reference:
@@ -257,6 +304,7 @@ object PromRemoteCodec {
     val refs = Seq.newBuilder[Long]
     val samples = Seq.newBuilder[PromSample]
     val hists = Seq.newBuilder[NativeHistogram.Hist]
+    val rawExemplars = Seq.newBuilder[ProtoWire.Reader]
     while (r.hasMore) {
       val (field, wire) = r.readTag()
       (field, wire) match {
@@ -271,6 +319,7 @@ object PromRemoteCodec {
           val h = NativeHistogram.decode(r.readMessage())
           if (h.schema >= -4 && h.schema <= 8) hists += h
           else skipped.n += 1
+        case (4, 2) => rawExemplars += r.readMessage()
         case _      => r.skip(wire)
       }
     }
@@ -281,7 +330,33 @@ object PromRemoteCodec {
     val labels = rs.grouped(2).map { p =>
       PromLabel(sym(p(0)), sym(p(1)))
     }.toSeq
-    PromTimeSeries(labels, samples.result(), hists.result())
+    val exemplars = rawExemplars.result().map(readExemplarV2(_, sym))
+    PromTimeSeries(labels, samples.result(), hists.result(), exemplars)
+  }
+
+  /** PRW 2.0 Exemplar: symbol-table labels_refs + value + ms ts. */
+  private def readExemplarV2(r: ProtoWire.Reader,
+                             sym: Long => String): PromExemplar = {
+    val refs = Seq.newBuilder[Long]
+    var value = 0.0d; var tsMs = 0L
+    while (r.hasMore) {
+      val (field, wire) = r.readTag()
+      (field, wire) match {
+        case (1, 2) =>
+          val pr = r.readMessage()
+          while (pr.hasMore) refs += pr.readVarint()
+        case (1, 0) => refs += r.readVarint()
+        case (2, 1) => value = r.readDouble()
+        case (3, 0) => tsMs = r.readVarint()
+        case _      => r.skip(wire)
+      }
+    }
+    val rs = refs.result()
+    if (rs.length % 2 != 0)
+      throw new ProtoWire.WireFormatException(
+        s"exemplar labels_refs length ${rs.length} is odd")
+    PromExemplar(rs.grouped(2).map(p => PromLabel(sym(p(0)), sym(p(1)))).toSeq,
+      value, tsMs)
   }
 
   /** Encode the v2 form (the client leg, for round-trip tests and

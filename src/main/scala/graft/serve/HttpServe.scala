@@ -805,12 +805,86 @@ object HttpServe {
         Seq("Content-Type" -> "application/json"))
     })
 
-    // /api/v1/query_exemplars: remote write carries no exemplars, so
-    // the truthful answer is the empty set — success, never 404
-    // (Grafana probes this when exemplar display is on)
+    // /api/v1/query_exemplars: exemplars decoded off remote-write
+    // (v1 field 3 / v2 field 4) live in the SIBLING exemplar store;
+    // serve them back filtered by the expression's selectors and the
+    // time range — Prometheus's semantics (it extracts the selectors
+    // from an arbitrary expression the same way). A store that never
+    // saw an exemplar answers the truthful empty set, never 404
+    // (Grafana probes this when exemplar display is on).
     server.createContext("/api/v1/query_exemplars", (ex: HttpExchange) => guarded(ex) {
-      respond(ex, 200, """{"status":"success","data":[]}""".getBytes(UTF_8),
-        Seq("Content-Type" -> "application/json"))
+      val params = reqParams(ex)
+      val qParam = params.collectFirst { case ("query", v) => v }
+      val parsed = qParam.map(PromQL.parse)
+      val exPath = RemoteWrite.exemplarPath(storePath)
+      val exists = {
+        val p = new org.apache.hadoop.fs.Path(exPath)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }
+      (qParam, parsed) match {
+        case (None, _) =>
+          respond(ex, 400,
+            """{"status":"error","errorType":"bad_data","error":"query parameter is required"}"""
+              .getBytes(UTF_8),
+            Seq("Content-Type" -> "application/json"))
+        case (_, Some(Left(err))) =>
+          respond(ex, 400,
+            (s"""{"status":"error","errorType":"bad_data","error":"${esc(err)}"}""")
+              .getBytes(UTF_8),
+            Seq("Content-Type" -> "application/json"))
+        case (_, Some(Right(expr0))) =>
+          val sets = PromQL.selectorMatcherSets(expr0)
+          val rows =
+            if (!exists || sets.isEmpty) Array.empty[org.apache.spark.sql.Row]
+            else {
+              import org.apache.spark.sql.functions.col
+              val m = params.toMap
+              def sec(k: String): Option[Long] = m.get(k).flatMap(parseTimeParam)
+              var df = timeBoundedParams(SamplesStore.read(spark, exPath), params)
+              sec("start").foreach(t0 => df = df.filter(col("ts_us") >= t0 * 1000000L))
+              sec("end").foreach(t1 => df = df.filter(col("ts_us") <= t1 * 1000000L + 999999L))
+              // union of the expression's selectors on ONE scan,
+              // like /api/v1/series; bounded collect like every
+              // metadata endpoint
+              df.filter(sets
+                  .map(ms => graft.operators.Matchers.compile(ms, ignoreLabel))
+                  .reduce(_ || _))
+                .limit(MetaValuesLimit)
+                .collect()
+            }
+          // group by the SERIES labels (the "__x_" entries are the
+          // exemplar's own labels; split the two spaces back apart)
+          val bySeries = rows.toSeq
+            .map { r =>
+              val all = r.getSeq[String](r.fieldIndex("labels")).toSeq
+              val (exLs, serLs) = all.partition(_.startsWith("__x_"))
+              ((r.getAs[String]("metric"), serLs),
+                (exLs.map(_.stripPrefix("__x_")),
+                  r.getAs[Long]("ts_us"), r.getAs[Double]("value")))
+            }
+            .groupBy(_._1).toSeq
+            .sortBy { case ((mtr, ls), _) => (mtr, ls.mkString(",")) }
+          def kvJson(pairs: Seq[String]): String =
+            pairs.map { l =>
+              val c = l.indexOf('=')
+              val (k, v) = if (c < 0) (l, "") else (l.take(c), l.drop(c + 1))
+              s""""${esc(k)}":"${esc(v)}""""
+            }.mkString(",")
+          val body = bySeries.map { case ((mtr, serLs), exs) =>
+            val series = (s""""__name__":"${esc(mtr)}"""" +:
+              (if (serLs.isEmpty) Nil else Seq(kvJson(serLs)))).mkString(",")
+            val items = exs.sortBy(_._2._2).map { case (_, (exLs, tsUs, v)) =>
+              val tsTxt = "%d.%03d".formatLocal(java.util.Locale.ROOT,
+                tsUs / 1000000L, tsUs % 1000000L / 1000L)
+              s"""{"labels":{${kvJson(exLs)}},"value":"${
+                PromQL.formatE6(math.floor(v * 1e6 + 0.5).toLong)
+              }","timestamp":$tsTxt}"""
+            }.mkString(",")
+            s"""{"seriesLabels":{$series},"exemplars":[$items]}"""
+          }.mkString("""{"status":"success","data":[""", ",", "]}")
+          respond(ex, 200, body.getBytes(UTF_8),
+            Seq("Content-Type" -> "application/json"))
+      }
     })
 
     // /api/v1/status/flags: the effective serving configuration, in

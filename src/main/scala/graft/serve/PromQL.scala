@@ -1327,6 +1327,19 @@ object PromQL {
       case _ => Nil
     }.toSeq
 
+  /** Every selector's matcher set inside the expression — what
+    * /api/v1/query_exemplars narrows by (Prometheus extracts the
+    * selectors from an arbitrary expression the same way). Rides the
+    * same generic product walk as [[exprChildren]], so new
+    * matcher-carrying node kinds participate automatically. */
+  def selectorMatcherSets(e: Expr): Seq[Seq[LabelMatcher]] = {
+    val own = e.productIterator.collect {
+      case ms: Seq[_] if ms.nonEmpty && ms.forall(_.isInstanceOf[LabelMatcher]) =>
+        ms.asInstanceOf[Seq[LabelMatcher]]
+    }.toSeq
+    own ++ exprChildren(e).flatMap(selectorMatcherSets)
+  }
+
   /** Subtrees occurring more than once in `root` (structural
     * equality) — the set worth persisting. Descent stops at a
     * repeated subtree: its children are computed once inside the

@@ -219,10 +219,17 @@ object RemoteWrite {
     * an unrecognized proto= value throws IllegalArgumentException —
     * the HTTP layer answers it 415 BEFORE calling here. */
   /** Per-request write outcome, in the SENDER's units (what the 2.0
-    * response headers confirm): float samples and native-histogram
-    * samples accepted — a histogram counts once however many classic
-    * rows its conversion lands. */
-  final case class WriteOutcome(samples: Long, histograms: Long)
+    * response headers confirm): float samples, native-histogram
+    * samples, and exemplars accepted — a histogram counts once
+    * however many classic rows its conversion lands. */
+  final case class WriteOutcome(samples: Long, histograms: Long,
+                                exemplars: Long = 0L)
+
+  /** The sibling store exemplars land in (same parquet layout; the
+    * exemplar labels ride as "__x_k=v" entries — PromRemoteCodec
+    * .toExemplarRows documents the encoding). */
+  def exemplarPath(storePath: String): String =
+    storePath.stripSuffix("/") + "_exemplars"
 
   def serve(spark: SparkSession, storePath: String,
             writeRequestBlob: Array[Byte],
@@ -254,7 +261,15 @@ object RemoteWrite {
       // threshold so a long-running server never needs an operator
       maybeCompactRateLimited(spark, storePath)
     }
-    WriteOutcome(req.sampleCount, req.histogramCount)
+    val exRows = PromRemoteCodec.toExemplarRows(req).toSeq
+    if (exRows.nonEmpty) {
+      import spark.implicits._
+      SamplesStore.append(
+        exRows.toDF("ts_us", "metric", "labels", "value"),
+        exemplarPath(storePath))
+      m.exemplarsWritten.add(exRows.size.toLong)
+    }
+    WriteOutcome(req.sampleCount, req.histogramCount, req.exemplarCount)
   }
 
   /** OTLP metrics body (raw protobuf, no snappy) → store append —
@@ -287,7 +302,7 @@ object RemoteWrite {
                blobs: Seq[Array[Byte]],
                contentType: Option[String] = None): Long = {
     val m = OpsMetrics(spark)
-    val rows = blobs.flatMap { b =>
+    val rows = blobs.map { b =>
       m.writeRequests.add(1)
       val req =
         try PromRemoteCodec.decodeNegotiated(contentType, b)
@@ -298,15 +313,24 @@ object RemoteWrite {
         m.droppedHistograms.add(req.skippedHistograms)
       if (req.histogramCount > 0)
         m.convertedHistograms.add(req.histogramCount)
-      PromRemoteCodec.toSamples(req)
+      (PromRemoteCodec.toSamples(req).toSeq,
+        PromRemoteCodec.toExemplarRows(req).toSeq)
     }
-    if (rows.nonEmpty) {
+    val (sampleRows, exRows) = (rows.flatMap(_._1), rows.flatMap(_._2))
+    if (sampleRows.nonEmpty) {
       import spark.implicits._
       SamplesStore.append(
-        rows.toDF("ts_us", "metric", "labels", "value"), storePath)
-      m.samplesWritten.add(rows.size.toLong)
+        sampleRows.toDF("ts_us", "metric", "labels", "value"), storePath)
+      m.samplesWritten.add(sampleRows.size.toLong)
       maybeCompactRateLimited(spark, storePath)
     }
-    rows.size.toLong
+    if (exRows.nonEmpty) {
+      import spark.implicits._
+      SamplesStore.append(
+        exRows.toDF("ts_us", "metric", "labels", "value"),
+        exemplarPath(storePath))
+      m.exemplarsWritten.add(exRows.size.toLong)
+    }
+    sampleRows.size.toLong
   }
 }

@@ -312,6 +312,51 @@ class PromCodecSpec extends SparkSpecBase {
     assert(req.skippedHistograms === 1L)
   }
 
+  test("exemplars decode on both wire versions, symbol table included") {
+    // v1: Exemplar = TimeSeries field 3 with inline labels
+    val w = new ProtoWire.Writer
+    val ts = new ProtoWire.Writer
+    val lb = new ProtoWire.Writer
+    lb.writeStringField(1, "__name__"); lb.writeStringField(2, "m")
+    ts.writeMessageField(1, lb)
+    val exm = new ProtoWire.Writer
+    val xl = new ProtoWire.Writer
+    xl.writeStringField(1, "trace_id"); xl.writeStringField(2, "abc")
+    exm.writeMessageField(1, xl)
+    exm.writeDoubleField(2, 7.5)
+    exm.writeVarintField(3, 1704412800123L)
+    ts.writeMessageField(3, exm)
+    w.writeMessageField(1, ts)
+    val v1 = decodeWriteRequest(org.xerial.snappy.Snappy.compress(w.toBytes))
+    assert(v1.timeseries.head.exemplars ===
+      Seq(PromExemplar(Seq(PromLabel("trace_id", "abc")), 7.5, 1704412800123L)))
+    assert(v1.exemplarCount === 1L)
+    // v2: Exemplar = TimeSeries field 4 with labels_refs into the
+    // request's symbol table
+    val w2 = new ProtoWire.Writer
+    Seq("", "__name__", "m", "trace_id", "xyz").foreach(w2.writeStringField(4, _))
+    val t2 = new ProtoWire.Writer
+    val pr = new ProtoWire.Writer
+    Seq(1L, 2L).foreach(pr.writeVarint)
+    t2.writeBytesField(1, pr.toBytes)
+    val ex2 = new ProtoWire.Writer
+    val xr = new ProtoWire.Writer
+    Seq(3L, 4L).foreach(xr.writeVarint)
+    ex2.writeBytesField(1, xr.toBytes)
+    ex2.writeDoubleField(2, -1.25)
+    ex2.writeVarintField(3, 1704412800456L)
+    t2.writeMessageField(4, ex2)
+    w2.writeMessageField(5, t2)
+    val v2 = decodeWriteRequestV2(org.xerial.snappy.Snappy.compress(w2.toBytes))
+    assert(v2.timeseries.head.exemplars ===
+      Seq(PromExemplar(Seq(PromLabel("trace_id", "xyz")), -1.25, 1704412800456L)))
+    // the store-row encoding: exemplar labels as "__x_" entries next
+    // to the series labels, µs timestamps
+    val rows = toExemplarRows(v1).toSeq
+    assert(rows === Seq(IngestedSample(1704412800123000L, "m",
+      Seq("__x_trace_id=abc"), 7.5)))
+  }
+
   test("native histogram: decode + classic conversion, golden case") {
     import graft.ingest.NativeHistogram
     // count=10, sum=-3.25, schema=-1 (base 4), zero bucket

@@ -27,6 +27,9 @@ class ServeSpec extends SparkSpecBase {
     val fs = new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    // the sibling exemplar store must reset with its primary
+    fs.delete(new org.apache.hadoop.fs.Path(
+      RemoteWrite.exemplarPath(p)), true)
     p
   }
 
@@ -345,6 +348,67 @@ class ServeSpec extends SparkSpecBase {
       val (_, flagsBody) = get(s"$base/api/v1/status/flags")
       assert(flagsBody.contains(
         s""""write.converted-histograms":"${convBefore + 1}""""))
+    } finally srv.stop()
+  }
+
+  test("exemplars ingest into the sibling store and serve on query_exemplars") {
+    import graft.ingest.ProtoWire
+    import org.xerial.snappy.Snappy
+    val store = tmpStore("exemplars")
+    val srv = HttpServe.start(spark, store)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      val w = new ProtoWire.Writer
+      def series(k: String, traceId: String, v: Double, tsMs: Long): Unit = {
+        val ts = new ProtoWire.Writer
+        def label(wr: ProtoWire.Writer, n: String, vv: String): Unit = {
+          val l = new ProtoWire.Writer
+          l.writeStringField(1, n); l.writeStringField(2, vv)
+          wr.writeMessageField(1, l)
+        }
+        label(ts, "__name__", "lat_bucket"); label(ts, "k", k)
+        val sm = new ProtoWire.Writer
+        sm.writeDoubleField(1, v); sm.writeVarintField(2, tsMs)
+        ts.writeMessageField(2, sm)
+        val exm = new ProtoWire.Writer // prompb Exemplar (field 3)
+        label(exm, "trace_id", traceId)
+        exm.writeDoubleField(2, v + 0.25)
+        exm.writeVarintField(3, tsMs)
+        ts.writeMessageField(3, exm)
+        w.writeMessageField(1, ts)
+      }
+      series("a", "t1", 1.5, 1704412800000L)
+      series("b", "t2", 2.5, 1704412860000L)
+      val before = graft.OpsMetrics(spark).exemplarsWritten.value
+      assert(post(s"$base/write", Snappy.compress(w.toBytes))._1 === 200)
+      assert(graft.OpsMetrics(spark).exemplarsWritten.value === before + 2)
+      // the float samples land in the MAIN store untouched
+      assert(graft.ingest.SamplesStore.read(spark, store).count() === 2)
+      // selector narrowing: only series k=a, with the exemplar's own
+      // trace_id labels split back out and ms-precision timestamps
+      val (qc, qb) = get(s"$base/api/v1/query_exemplars?query=" +
+        enc("""lat_bucket{k="a"}""") + "&start=1704412800&end=1704412900")
+      assert(qc === 200, qb)
+      assert(qb === """{"status":"success","data":[""" +
+        """{"seriesLabels":{"__name__":"lat_bucket","k":"a"},""" +
+        """"exemplars":[{"labels":{"trace_id":"t1"},"value":"1.75",""" +
+        """"timestamp":1704412800.000}]}]}""", qb)
+      // an arbitrary expression narrows by its INNER selectors, like
+      // Prometheus — both series return, series-sorted
+      val (q2c, q2b) = get(s"$base/api/v1/query_exemplars?query=" +
+        enc("sum(rate(lat_bucket[5m]))"))
+      assert(q2c === 200)
+      assert(q2b.contains(""""trace_id":"t1"""") &&
+        q2b.contains(""""trace_id":"t2""""), q2b)
+      assert(q2b.indexOf(""""k":"a"""") < q2b.indexOf(""""k":"b""""))
+      // the time range excludes out-of-window exemplars
+      val (q3c, q3b) = get(s"$base/api/v1/query_exemplars?query=" +
+        enc("lat_bucket") + "&start=1704412850&end=1704412900")
+      assert(q3c === 200)
+      assert(!q3b.contains("t1") && q3b.contains("t2"), q3b)
+      // the write counter rides /metrics
+      assert(get(s"$base/metrics")._2.contains("write_exemplars_total"))
     } finally srv.stop()
   }
 
@@ -1267,9 +1331,11 @@ class ServeSpec extends SparkSpecBase {
       assert(fbody.contains(""""status":"success""""))
       assert(fbody.contains(s""""store.path":"${store.replace("\\", "\\\\")}""""))
       assert(fbody.contains(""""read.ignore-label":"remote=clickhouse""""))
-      // exemplars: truthfully empty, success
-      assert(get(s"$base/api/v1/query_exemplars") ===
+      // exemplars: a store that never saw one answers the truthful
+      // empty set; a missing query parameter is the client's error
+      assert(get(s"$base/api/v1/query_exemplars?query=up") ===
         ((200, """{"status":"success","data":[]}""")))
+      assert(get(s"$base/api/v1/query_exemplars")._1 === 400)
       // scrape targets / alertmanager ring: none, success shapes
       assert(get(s"$base/api/v1/targets") === ((200,
         """{"status":"success","data":{"activeTargets":[],"droppedTargets":[]}}""")))

@@ -174,6 +174,7 @@ object OtlpCodec {
     var histTemporality = 0L
     val pointMsgs = Seq.newBuilder[ProtoWire.Reader]
     val histMsgs = Seq.newBuilder[ProtoWire.Reader]
+    val expHistMsgs = Seq.newBuilder[ProtoWire.Reader]
     def readPoints(g: ProtoWire.Reader): Unit =
       while (g.hasMore) {
         val (gf, gw) = g.readTag()
@@ -204,8 +205,23 @@ object OtlpCodec {
               case _ => g.skip(gw)
             }
           }
-        case (10, 2) | (11, 2) =>
-          // exponential histogram | summary — still skipped, COUNTED
+        case (10, 2) =>
+          // exponential histogram: the OTLP twin of the native
+          // exponential form — converts through the SAME classic
+          // expansion (temporality-guarded below)
+          hasHist = true
+          val g = r.readMessage()
+          while (g.hasMore) {
+            val (gf, gw) = g.readTag()
+            (gf, gw) match {
+              case (1, 2) => expHistMsgs += g.readMessage()
+              case (2, 0) => histTemporality = g.readVarint()
+              case _ => g.skip(gw)
+            }
+          }
+        case (11, 2) =>
+          // summary — no classic shape (quantile labels would lie
+          // about being aggregatable); skipped, COUNTED
           st.dropped += countPoints(r.readMessage())
         case _ => r.skip(w) // metadata/unit — not samples
       }
@@ -229,6 +245,81 @@ object OtlpCodec {
       readNumberPoint(p, norm, resource).foreach(st.out += _)
     }
     histMsgs.result().foreach(readHistogramPoint(_, norm, resource, st))
+    expHistMsgs.result().foreach(readExpHistogramPoint(_, norm, resource, st))
+  }
+
+  /** ExponentialHistogramDataPoint → classic series via the SAME
+    * geometry NativeHistogram implements (public opentelemetry-proto
+    * field numbers: 1 attributes, 3 time ns, 4 count fixed64, 5 sum,
+    * 6 scale sint32, 7 zero_count fixed64, 8 positive Buckets,
+    * 9 negative Buckets {1 offset sint32, 2 bucket_counts uint64*},
+    * 14 zero_threshold). OTLP bucket index k covers
+    * (base^k, base^(k+1)] where prompb's index i covers
+    * (base^(i-1), base^i] — so spans shift by ONE (prompb index =
+    * OTLP index + 1) and counts ride as absolutes (the float-
+    * histogram arm of the shared converter). Scales outside the
+    * standard −4..8 land on the skipped ledger like unsupported
+    * remote-write schemas. */
+  private def readExpHistogramPoint(r: ProtoWire.Reader, metric: String,
+                                    resource: List[String],
+                                    st: DecodeState): Unit = {
+    var tNano = 0L
+    var count = 0L
+    var sum = 0.0d
+    var hasSum = false
+    var scale = 0
+    var zeroCount = 0L
+    var zeroThreshold = 0.0d
+    var pos: (Int, Seq[Double]) = (0, Nil)
+    var neg: (Int, Seq[Double]) = (0, Nil)
+    val attrs = List.newBuilder[String]
+    def readBuckets(b: ProtoWire.Reader): (Int, Seq[Double]) = {
+      var off = 0
+      val cs = Seq.newBuilder[Double]
+      while (b.hasMore) {
+        val (bf, bw) = b.readTag()
+        (bf, bw) match {
+          case (1, 0) =>
+            val v = b.readVarint(); off = ((v >>> 1) ^ -(v & 1L)).toInt
+          case (2, 2) =>
+            val m = b.readMessage()
+            while (m.hasMore) cs += m.readVarint().toDouble
+          case (2, 0) => cs += b.readVarint().toDouble
+          case _ => b.skip(bw)
+        }
+      }
+      (off, cs.result())
+    }
+    while (r.hasMore) {
+      val (f, w) = r.readTag()
+      (f, w) match {
+        case (1, 2) =>
+          val (k, v) = readKeyValue(r.readMessage())
+          attrs += s"${normLabelKey(k)}=$v"
+        case (3, 1)  => tNano = r.readFixed64()
+        case (4, 1)  => count = r.readFixed64()
+        case (5, 1)  => sum = r.readDouble(); hasSum = true
+        case (6, 0)  =>
+          val v = r.readVarint(); scale = ((v >>> 1) ^ -(v & 1L)).toInt
+        case (7, 1)  => zeroCount = r.readFixed64()
+        case (8, 2)  => pos = readBuckets(r.readMessage())
+        case (9, 2)  => neg = readBuckets(r.readMessage())
+        case (14, 1) => zeroThreshold = r.readDouble()
+        case _ => r.skip(w)
+      }
+    }
+    val h = NativeHistogram.Hist(tNano / 1000000L, count.toDouble,
+      if (hasSum) sum else Double.NaN, scale, zeroThreshold,
+      zeroCount.toDouble,
+      if (pos._2.nonEmpty) Seq((pos._1 + 1, pos._2.size)) else Nil,
+      Nil, pos._2,
+      if (neg._2.nonEmpty) Seq((neg._1 + 1, neg._2.size)) else Nil,
+      Nil, neg._2)
+    val base = (attrs.result() ++ resource).sorted
+    NativeHistogram.toClassicSamples(metric, base, h) match {
+      case Some(rows) => rows.foreach(st.out += _)
+      case None       => st.dropped += 1
+    }
   }
 
   /** HistogramDataPoint → classic series rows. `bucket_counts` has

@@ -208,13 +208,35 @@ class ServeSpec extends SparkSpecBase {
       gauge.writeMessageField(1,
         point(1704412800000000000L, 0.25, "http.method" -> "GET"))
       gm.writeMessageField(5, gauge)
-      // 3. EXPONENTIAL-histogram points skip — but COUNT (2 points)
+      // 3. SUMMARY points skip — but COUNT (2 points)
       val hm = new ProtoWire.Writer
       hm.writeStringField(1, "latency.hist")
       val hist = new ProtoWire.Writer
       hist.writeMessageField(1, new ProtoWire.Writer) // 2 data points
       hist.writeMessageField(1, new ProtoWire.Writer)
-      hm.writeMessageField(10, hist)
+      hm.writeMessageField(11, hist)
+      // 3b. an EXPONENTIAL histogram converts through the shared
+      //     geometry: scale 0 (base 2), zero_count 1, positive
+      //     buckets offset 0 counts [2, 3] → OTLP buckets (1,2] and
+      //     (2,4] (prompb indices 1 and 2)
+      val xm = new ProtoWire.Writer
+      xm.writeStringField(1, "exp.lat")
+      val xhist = new ProtoWire.Writer
+      val xp = new ProtoWire.Writer
+      xp.writeFixed64Field(3, 1704412800000000000L)
+      xp.writeFixed64Field(4, 6L)   // count
+      xp.writeDoubleField(5, 7.5)   // sum
+      xp.writeVarintField(6, 0L)    // scale 0 (zigzag)
+      xp.writeFixed64Field(7, 1L)   // zero_count
+      val xb = new ProtoWire.Writer
+      xb.writeVarintField(1, 0L)    // offset 0 (zigzag)
+      xb.writeVarintField(2, 2L)    // bucket_counts unpacked
+      xb.writeVarintField(2, 3L)
+      xp.writeMessageField(8, xb)   // positive
+      xp.writeDoubleField(14, 0.001) // zero_threshold
+      xhist.writeMessageField(1, xp)
+      xhist.writeVarintField(2, 2L) // CUMULATIVE
+      xm.writeMessageField(10, xhist)
       // 4. an EXPLICIT-BOUNDS histogram converts to classic series:
       //    bounds [0.1, 1] with bucket_counts [1, 2, 3] and count 6
       val em = new ProtoWire.Writer
@@ -233,7 +255,7 @@ class ServeSpec extends SparkSpecBase {
       ehist.writeVarintField(2, 2L)               // CUMULATIVE
       em.writeMessageField(9, ehist)
       val before = graft.OpsMetrics(spark).otlpDroppedPoints.value
-      assert(post(s"$base/api/v1/otlp/v1/metrics", wrap(gm, hm, em))._1 === 200)
+      assert(post(s"$base/api/v1/otlp/v1/metrics", wrap(gm, hm, em, xm))._1 === 200)
       val back = graft.ingest.SamplesStore.read(spark, store).collect()
         .map(r => (r.getAs[String]("metric"),
           r.getAs[Seq[String]]("labels").mkString(","),
@@ -244,7 +266,13 @@ class ServeSpec extends SparkSpecBase {
         ("req_duration_bucket", "le=1", 3.0),
         ("req_duration_bucket", "le=+Inf", 6.0),
         ("req_duration_sum", "", 2.5),
-        ("req_duration_count", "", 6.0)), back.toString)
+        ("req_duration_count", "", 6.0),
+        ("exp_lat_bucket", "le=0.001", 1.0),
+        ("exp_lat_bucket", "le=2", 3.0),
+        ("exp_lat_bucket", "le=4", 6.0),
+        ("exp_lat_bucket", "le=+Inf", 6.0),
+        ("exp_lat_sum", "", 7.5),
+        ("exp_lat_count", "", 6.0)), back.toString)
       assert(graft.OpsMetrics(spark).otlpDroppedPoints.value === before + 2)
       // a DELTA-temporality histogram rejects like a delta sum
       val dm2 = new ProtoWire.Writer

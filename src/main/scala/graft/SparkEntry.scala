@@ -1357,6 +1357,24 @@ object SparkEntry {
         parsePromQL("histogram_quantile(0.9, sum_over_time(click_bucket[1d]))"),
         WinStartSec, WinEndSec, 86400L))
     }),
+
+    // the INVERSE direction over the same buckets: estimated fraction
+    // of observations in (3, 8] — both bounds interpolate inside a
+    // bucket ((2,5] and (5,10]), exercising the linear model end to
+    // end
+    "promql_hist_fraction" -> ((s, dir) => {
+      val clicks = samples(s, dir).filter(col("metric") === "click")
+      val parts = Seq("2", "5", "10").map { le =>
+        clicks.select(col("ts_us"), lit("click_bucket").as("metric"),
+          array_sort(concat(col("labels"), array(lit(s"le=$le")))).as("labels"),
+          when(col("value") <= le.toDouble, 1.0).otherwise(0.0).as("value"))
+      } :+ clicks.select(col("ts_us"), lit("click_bucket").as("metric"),
+        array_sort(concat(col("labels"), array(lit("le=+Inf")))).as("labels"),
+        lit(1.0).as("value"))
+      promqlStr(PromQL.eval(parts.reduce(_ unionByName _),
+        parsePromQL("histogram_fraction(3, 8, sum_over_time(click_bucket[1d]))"),
+        WinStartSec, WinEndSec, 86400L))
+    }),
   )
 
   /** PromQL evaluator output → oracle-safe scalar columns. */
@@ -4228,6 +4246,72 @@ object SparkEntry {
          |           / (w2.c - w2.prev_c), b.le_max) * 1000000 + 0.5) AS BIGINT) AS v_e6
          |FROM base b LEFT JOIN win w2
          |  ON w2.glabels = b.glabels AND w2.t = b.t AND w2.rn = 1""".stripMargin,
+
+    // fraction in (3, 8]: F(x) = max over buckets of (count where
+    // le <= x | linear share where x falls inside | 0), then
+    // clamp((F(8) - F(3)) / total, 0, 1) — the same CASE text the
+    // Spark plan compiles
+    "promql_hist_fraction" ->
+      s"""$S, bucket AS (
+         |  SELECT ts_us, 'click_bucket' AS metric,
+         |         list_sort(list_append(labels, 'le=' || le.l)) AS labels,
+         |         CASE WHEN le.l = '+Inf' THEN 1.0
+         |              WHEN value <= CAST(le.l AS DOUBLE) THEN 1.0
+         |              ELSE 0.0 END AS value
+         |  FROM samples, (VALUES ('2'), ('5'), ('10'), ('+Inf')) le(l)
+         |  WHERE metric = 'click'
+         |), deduped AS (
+         |  SELECT metric, labels, ts_us // 1000000 AS t_sec, max(value) AS value
+         |  FROM bucket GROUP BY 1, 2, 3
+         |), grid AS (SELECT unnest(range(0, 16)) AS k),
+         |j AS (
+         |  SELECT s.labels, $WinStartSec + g.k * 86400 AS t, s.value
+         |  FROM deduped s JOIN grid g
+         |    ON s.t_sec >= $WinStartSec + g.k * 86400 - 86400
+         |   AND s.t_sec <  $WinStartSec + g.k * 86400
+         |  WHERE s.t_sec >= ${WinStartSec - 86400} AND s.t_sec <= ${WinEndSec - 1}
+         |), sot AS (
+         |  SELECT labels, t,
+         |         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) * 10000 AS v_e6
+         |  FROM j GROUP BY 1, 2
+         |), tagged AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'le=%')[1] AS le_str,
+         |         list_filter(labels, l -> NOT (l LIKE 'le=%')) AS glabels,
+         |         t, CAST(v_e6 AS DOUBLE) / 1000000.0 AS c
+         |  FROM sot
+         |), finite AS (
+         |  SELECT glabels, t, CAST(substr(le_str, 4) AS DOUBLE) AS le, c,
+         |         coalesce(lag(c) OVER w, 0.0) AS prev_c,
+         |         coalesce(lag(CAST(substr(le_str, 4) AS DOUBLE)) OVER w, 0.0) AS prev_le
+         |  FROM tagged WHERE le_str != 'le=+Inf'
+         |  WINDOW w AS (PARTITION BY glabels, t
+         |               ORDER BY CAST(substr(le_str, 4) AS DOUBLE))
+         |), totals AS (
+         |  SELECT glabels, t, c AS total FROM tagged WHERE le_str = 'le=+Inf'
+         |), cand AS (
+         |  SELECT f.*, tt.total
+         |  FROM finite f JOIN totals tt ON f.glabels = tt.glabels AND f.t = tt.t
+         |  WHERE tt.total > 0.0
+         |), frac AS (
+         |  SELECT glabels, t,
+         |    max(CASE WHEN le <= CAST('3' AS DOUBLE) THEN c
+         |             WHEN prev_le < CAST('3' AS DOUBLE)
+         |             THEN prev_c + (c - prev_c)
+         |                  * (CAST('3' AS DOUBLE) - prev_le) / (le - prev_le)
+         |             ELSE 0.0 END) AS flo,
+         |    max(CASE WHEN le <= CAST('8' AS DOUBLE) THEN c
+         |             WHEN prev_le < CAST('8' AS DOUBLE)
+         |             THEN prev_c + (c - prev_c)
+         |                  * (CAST('8' AS DOUBLE) - prev_le) / (le - prev_le)
+         |             ELSE 0.0 END) AS fhi,
+         |    max(total) AS tot
+         |  FROM cand GROUP BY 1, 2
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(glabels, ',') AS labels_str, t,
+         |       CAST(floor(least(greatest((fhi - flo) / tot, 0.0), 1.0)
+         |            * 1000000 + 0.5) AS BIGINT) AS v_e6
+         |FROM frac""".stripMargin,
 
     // without (k): merge each user's k-series, integer half-up mean
     "promql_without" ->

@@ -62,6 +62,7 @@ import graft.operators.{LabelMatcher, Matchers, MatcherType, SeriesRead}
   *               fn ∈ sum/avg/min/max/count/last_over_time
   *                    rate increase delta  (inner first/last points)
   *   histq    := "histogram_quantile" "(" φ "," expr ")"
+  *             | "histogram_fraction" "(" lo "," hi "," expr ")"
   *   predict  := "predict_linear" "(" selector "[" dur "]" [offset] "," num ")"
   *   holt     := ("holt_winters"|"double_exponential_smoothing")
   *               "(" selector "[" dur "]" [offset] "," sf "," tf ")"
@@ -244,6 +245,11 @@ object PromQL {
   /** histogram_quantile(φ, child): piecewise-linear quantile estimate
     * over the child's cumulative `le`-labeled bucket series. */
   final case class HistQ(q: Double, child: Expr) extends Expr
+  /** histogram_fraction(lo, hi, child) — graft extension over the
+    * same CLASSIC cumulative buckets (Prometheus ships it for native
+    * histograms only): the estimated fraction of observations in
+    * (lo, hi], by the piecewise-linear model [[HistQ]] inverts. */
+  final case class HistFrac(lo: Double, hi: Double, child: Expr) extends Expr
   /** fn(child[d:res] [offset]): a subquery — the child evaluated on
     * the absolute res-aligned grid, then fn aggregated over each
     * outer window [t-d, t). */
@@ -790,6 +796,22 @@ object PromQL {
               case _ => Right(())
             }
           } yield HistQ(q, child)
+        case Some(id) if id == "histogram_fraction" =>
+          i += id.length
+          for {
+            _ <- eat('(')
+            lo <- number().toRight("histogram_fraction needs a scalar lower bound")
+            _ <- eat(',')
+            hi <- number().toRight("histogram_fraction needs a scalar upper bound")
+            _ <- eat(',')
+            child <- expr()
+            _ <- eat(')')
+            _ <- child match {
+              case ScalarLit(_) =>
+                Left("histogram_fraction requires a vector argument")
+              case _ => Right(())
+            }
+          } yield HistFrac(lo, hi, child)
         case Some(id) if id == "holt_winters" ||
                          id == "double_exponential_smoothing" =>
           i += id.length
@@ -1448,6 +1470,8 @@ object PromQL {
         mathProject(rec(child, startSec, endSec), fn, args)
       case HistQ(q, child) =>
         histQuantile(rec(child, startSec, endSec), q)
+      case HistFrac(lo, hi, child) =>
+        histFraction(rec(child, startSec, endSec), lo, hi)
       case Subquery(fn, child, d, res, off) =>
         unshift(subqueryRange(samples, fn, child, startSec - off,
           endSec - off, stepSec, d, res, lookbackSec, rollup, ignoreLabel),
@@ -2449,6 +2473,61 @@ object PromQL {
           .as("v_e6"))
   }
 
+  /** histogram_fraction(lo, hi, child): the estimated fraction of
+    * observations in (lo, hi], over the same dynamic cumulative
+    * le-buckets [[histQuantile]] reads — its INVERSE direction (a
+    * graft extension: Prometheus ships the function for native
+    * histograms only; here the classic piecewise-linear model
+    * answers it). F(x) — the cumulative estimate at x — is the MAX
+    * over buckets of: the bucket's own count where its bound is at
+    * or below x, the linear share where x falls inside the bucket,
+    * else 0 (the max is F because cumulative counts are monotone and
+    * exactly one bucket holds x). Conventions mirror the quantile's:
+    * the first bucket's lower bound is 0, x past the last finite
+    * bound reads that bound's count (the clamp's inverse), idle
+    * histograms and groups without +Inf drop. fraction =
+    * clamp((F(hi) − F(lo)) / total, 0, 1) — hi below lo answers 0.
+    * Same scale shape as the quantile: one (glabels, t) exchange,
+    * skew bounded by buckets per histogram. */
+  private def histFraction(child: DataFrame, lo: Double,
+                           hi: Double): DataFrame = {
+    val tagged = child
+      .withColumn("le_str",
+        expr("get(filter(labels, l -> startswith(l, 'le=')), 0)"))
+      .filter(col("le_str").isNotNull)
+      .withColumn("glabels", expr("filter(labels, l -> NOT (startswith(l, 'le=')))"))
+      .withColumn("c", expr("CAST(v_e6 AS DOUBLE) / 1000000.0D"))
+    val finite = tagged.filter(col("le_str") =!= "le=+Inf")
+      .withColumn("le", expr("TRY_CAST(substring(le_str, 4) AS DOUBLE)"))
+      .filter(col("le").isNotNull)
+    val totals = tagged.filter(col("le_str") === "le=+Inf")
+      .select(col("metric").as("tm"), col("glabels").as("tg"),
+        col("t").as("tt"), col("c").as("total"))
+    val w = Window.partitionBy(col("metric"), col("glabels"), col("t"))
+      .orderBy(col("le"))
+    def fAt(x: Double): Column = {
+      val xTxt = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+      max(when(col("le") <= expr(xTxt), col("c"))
+        .when(col("prev_le") < expr(xTxt), expr(
+          s"prev_c + (c - prev_c) * ($xTxt - prev_le) / (le - prev_le)"))
+        .otherwise(lit(0.0d)))
+    }
+    finite
+      .withColumn("prev_c", coalesce(lag(col("c"), 1).over(w), lit(0.0)))
+      .withColumn("prev_le", coalesce(lag(col("le"), 1).over(w), lit(0.0)))
+      .join(totals,
+        coalesce(col("metric"), lit("")) === coalesce(col("tm"), lit("")) &&
+          col("glabels") === col("tg") && col("t") === col("tt"))
+      .drop("tm", "tg", "tt")
+      .filter(col("total") > 0.0)
+      .groupBy(col("metric"), col("glabels"), col("t"))
+      .agg(fAt(lo).as("flo"), fAt(hi).as("fhi"), max(col("total")).as("tot"))
+      .select(lit(null).cast("string").as("metric"),
+        col("glabels").as("labels"), col("t"),
+        expr("CAST(floor(least(greatest((fhi - flo) / tot, 0.0D), 1.0D)" +
+          " * 1000000 + 0.5) AS BIGINT)").as("v_e6"))
+  }
+
   /** Matcher-filtered, time-bounded, per-second-deduped scan — the
     * same select shape as the remote-read path (pushed ts_us bounds +
     * day-partition pruning via SeriesRead.timeBound, per-second
@@ -3196,6 +3275,8 @@ object PromQL {
     case LabelReplace(child, dst, rep, src, re) =>
       s"""label_replace(${format(child)}, "${strEsc(dst)}", "${strEsc(rep)}", "${strEsc(src)}", "${strEsc(re)}")"""
     case HistQ(q, child) => s"histogram_quantile(${numTxt(q)}, ${format(child)})"
+    case HistFrac(lo, hi, child) =>
+      s"histogram_fraction(${numTxt(lo)}, ${numTxt(hi)}, ${format(child)})"
     case Subquery(fn, child, d, res, off) =>
       s"$fn(${format(child)}[${d}s:${res}s]${offTxt(off)})"
     case Quantile(q, ms, d, off) =>
@@ -3331,6 +3412,8 @@ object PromQL {
           astJson(child) +: lbls.map(str))
       case HistQ(q, child) =>
         call("histogram_quantile", Seq(num(q), astJson(child)))
+      case HistFrac(lo, hi, child) =>
+        call("histogram_fraction", Seq(num(lo), num(hi), astJson(child)))
       case LabelJoin(child, dst, sep, srcs) =>
         call("label_join", Seq(astJson(child), str(dst), str(sep)) ++
           srcs.map(str))

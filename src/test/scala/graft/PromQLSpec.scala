@@ -496,6 +496,26 @@ class PromQLSpec extends SparkSpecBase {
       buckets.filter(!array_contains(col("labels"), "le=+Inf")),
       parse("histogram_quantile(0.5, mb)").toOption.get, T0 + 60, T0 + 60, 60L))
     assert(noInf === Set.empty)
+
+    // histogram_fraction — the inverse direction over the same
+    // buckets. F(1.5) = 2 + (5-2)·(1.5-1)/(2-1) = 3.5, F(3) =
+    // 5 + (9-5)·(3-2)/(4-2) = 7 → fraction (7-3.5)/10 = 0.35
+    val fr = rows(PromQL.eval(buckets,
+      parse("histogram_fraction(1.5, 3, mb)").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(fr === Set(("", "host=x", T0 + 60, 350000L)))
+    // bounds past the data clamp: F(99) = last finite count 9,
+    // F(-1) = 0 → 0.9; inverted bounds answer 0
+    val frClamp = rows(PromQL.eval(buckets,
+      parse("histogram_fraction(-1, 99, mb)").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(frClamp === Set(("", "host=x", T0 + 60, 900000L)))
+    val frInv = rows(PromQL.eval(buckets,
+      parse("histogram_fraction(3, 1.5, mb)").toOption.get,
+      T0 + 60, T0 + 60, 60L))
+    assert(frInv === Set(("", "host=x", T0 + 60, 0L)))
+    // scalar-only child rejects, like the quantile
+    assert(PromQL.parse("histogram_fraction(1, 2, 3)").isLeft)
   }
 
   test("on/ignoring match label subsets; group_left joins many-to-one") {
@@ -838,6 +858,7 @@ class PromQLSpec extends SparkSpecBase {
       """label_replace(m, "x", "$1", "host", "(a.*)")""",
       """label_join(m, "id", "-", "host", "user")""",
       "histogram_quantile(0.9, m)",
+      "histogram_fraction(0.5, 2, m)",
       "max_over_time(sum by (host) (m)[120s:60s])",
       "rate(sum by (host) (m)[120s:60s] offset 60s)",
       "quantile_over_time(0.5, m[2m])",

@@ -1375,6 +1375,22 @@ object SparkEntry {
         parsePromQL("histogram_fraction(3, 8, sum_over_time(click_bucket[1d]))"),
         WinStartSec, WinEndSec, 86400L))
     }),
+
+    // the native-histogram accessors against the converted classic
+    // series: histogram_avg desugars to _sum / _count (full-label
+    // division, CSE-shared _count subtree with the histogram_count
+    // term), histogram_count to the _count selector
+    "promql_hist_count_sum" -> ((s, dir) => {
+      val clicks = samples(s, dir).filter(col("metric") === "click")
+      val sums = clicks.select(col("ts_us"), lit("lat_sum").as("metric"),
+        col("labels"), col("value"))
+      val counts = clicks.select(col("ts_us"), lit("lat_count").as("metric"),
+        col("labels"), lit(1.0).as("value"))
+      promqlStr(PromQL.eval(sums.unionByName(counts),
+        parsePromQL("histogram_avg(sum_over_time(lat[1d]))" +
+          " + histogram_count(sum_over_time(lat[1d]))"),
+        WinStartSec, WinEndSec, 86400L))
+    }),
   )
 
   /** PromQL evaluator output → oracle-safe scalar columns. */
@@ -4312,6 +4328,39 @@ object SparkEntry {
          |       CAST(floor(least(greatest((fhi - flo) / tot, 0.0), 1.0)
          |            * 1000000 + 0.5) AS BIGINT) AS v_e6
          |FROM frac""".stripMargin,
+
+    // histogram_avg + histogram_count over the twin series: the
+    // division is the evaluator's exact '/' text; the add is exact
+    // integer micro-units
+    "promql_hist_count_sum" ->
+      s"""$S, twin AS (
+         |  SELECT ts_us, m.name AS metric, labels,
+         |         CASE WHEN m.name = 'lat_sum' THEN value
+         |              ELSE 1.0 END AS value
+         |  FROM samples, (VALUES ('lat_sum'), ('lat_count')) m(name)
+         |  WHERE metric = 'click'
+         |), deduped AS (
+         |  SELECT metric, labels, ts_us // 1000000 AS t_sec, max(value) AS value
+         |  FROM twin GROUP BY 1, 2, 3
+         |), grid AS (SELECT unnest(range(0, 16)) AS k),
+         |j AS (
+         |  SELECT s.metric, s.labels, $WinStartSec + g.k * 86400 AS t, s.value
+         |  FROM deduped s JOIN grid g
+         |    ON s.t_sec >= $WinStartSec + g.k * 86400 - 86400
+         |   AND s.t_sec <  $WinStartSec + g.k * 86400
+         |  WHERE s.t_sec >= ${WinStartSec - 86400} AND s.t_sec <= ${WinEndSec - 1}
+         |), sot AS (
+         |  SELECT metric, labels, t,
+         |         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) * 10000 AS v_e6
+         |  FROM j GROUP BY 1, 2, 3
+         |), s1 AS (SELECT labels, t, v_e6 FROM sot WHERE metric = 'lat_sum'),
+         |c1 AS (SELECT labels, t, v_e6 FROM sot WHERE metric = 'lat_count')
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(s1.labels, ',') AS labels_str, s1.t,
+         |       CAST(floor(CAST(s1.v_e6 AS DOUBLE) / CAST(c1.v_e6 AS DOUBLE)
+         |            * 1000000.0 + 0.5) AS BIGINT) + c1.v_e6 AS v_e6
+         |FROM s1 JOIN c1 ON s1.labels = c1.labels AND s1.t = c1.t
+         |WHERE c1.v_e6 != 0""".stripMargin,
 
     // without (k): merge each user's k-series, integer half-up mean
     "promql_without" ->

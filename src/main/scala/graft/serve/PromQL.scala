@@ -63,6 +63,8 @@ import graft.operators.{LabelMatcher, Matchers, MatcherType, SeriesRead}
   *                    rate increase delta  (inner first/last points)
   *   histq    := "histogram_quantile" "(" φ "," expr ")"
   *             | "histogram_fraction" "(" lo "," hi "," expr ")"
+  *             | ("histogram_count"|"histogram_sum"|"histogram_avg")
+  *               "(" expr ")"   (desugars onto _count/_sum series)
   *   predict  := "predict_linear" "(" selector "[" dur "]" [offset] "," num ")"
   *   holt     := ("holt_winters"|"double_exponential_smoothing")
   *               "(" selector "[" dur "]" [offset] "," sf "," tf ")"
@@ -796,6 +798,27 @@ object PromQL {
               case _ => Right(())
             }
           } yield HistQ(q, child)
+        case Some(id) if id == "histogram_count" || id == "histogram_sum" ||
+                         id == "histogram_avg" =>
+          // native-histogram accessors, desugared at parse time onto
+          // the classic series the native ingest converts to:
+          // count → name_count, sum → name_sum, avg → sum/count
+          // (full-label-matched division; zero counts drop the row)
+          i += id.length
+          for {
+            _ <- eat('(')
+            child <- expr()
+            _ <- eat(')')
+            out <- id match {
+              case "histogram_count" => suffixSelectorNames(child, "_count")
+              case "histogram_sum"   => suffixSelectorNames(child, "_sum")
+              case _ =>
+                for {
+                  su <- suffixSelectorNames(child, "_sum")
+                  ct <- suffixSelectorNames(child, "_count")
+                } yield Binary('/', su, ct)
+            }
+          } yield out
         case Some(id) if id == "histogram_fraction" =>
           i += id.length
           for {
@@ -1326,7 +1349,11 @@ object PromQL {
     // (MEMORY_AND_DISK — safe on block loss, LRU-evicted, and
     // GC-unpersisted by Spark's ContextCleaner) so one action
     // computes the shared subtree once and every other occurrence
-    // reads cached blocks.
+    // reads cached blocks. Freshness is structural: the store scan
+    // plans an EXPLICIT manifest file list (SamplesStore.read), so
+    // any append/compaction changes the plan and a later query can
+    // never falsely hit a stale cache entry — a hit implies the
+    // identical file set, hence identical data.
     val shared = sharedSubtrees(expr0)
     val memo = mutable.HashMap.empty[(Expr, Long, Long), DataFrame]
     def rec(e: Expr, s: Long, en: Long): DataFrame =
@@ -1360,6 +1387,52 @@ object PromQL {
         ms.asInstanceOf[Seq[LabelMatcher]]
     }.toSeq
     own ++ exprChildren(e).flatMap(selectorMatcherSets)
+  }
+
+  /** Rebuild the expression with every selector's `__name__`
+    * equality matcher suffixed — the desugaring behind
+    * histogram_count/sum/avg (graft accepts the Prometheus 3.x
+    * native-histogram accessors against the CLASSIC series its
+    * native ingest converts to, so `histogram_count(rate(m[5m]))`
+    * means `rate(m_count[5m])`). Generic over the case-class tree
+    * via the public constructor — any node kind carrying matchers
+    * participates; a selector without an equality name matcher
+    * rejects (a regex name cannot be suffixed faithfully). */
+  private def suffixSelectorNames(e: Expr, suffix: String): Either[String, Expr] = {
+    def fixMs(ms: Seq[LabelMatcher]): Either[String, Seq[LabelMatcher]] =
+      ms.collectFirst {
+        case LabelMatcher(MatcherType.Eq, "__name__", v) => v
+      } match {
+        case None => Left(
+          "histogram_count/sum/avg need an equality __name__ matcher")
+        case Some(v) => Right(ms.map {
+          case LabelMatcher(MatcherType.Eq, "__name__", _) =>
+            LabelMatcher(MatcherType.Eq, "__name__", v + suffix)
+          case other => other
+        })
+      }
+    if (e.productArity == 0) return Right(e)
+    val rebuilt = e.productIterator.map {
+      case ms: Seq[_] if ms.nonEmpty && ms.forall(_.isInstanceOf[LabelMatcher]) =>
+        fixMs(ms.asInstanceOf[Seq[LabelMatcher]]) match {
+          case Right(x) => x
+          case Left(err) => return Left(err)
+        }
+      case c: Expr => suffixSelectorNames(c, suffix) match {
+        case Right(x) => x
+        case Left(err) => return Left(err)
+      }
+      case Some(c: Expr) => suffixSelectorNames(c, suffix) match {
+        case Right(x) => Some(x)
+        case Left(err) => return Left(err)
+      }
+      case other => other
+    }.map(_.asInstanceOf[AnyRef]).toArray
+    Right(e.getClass.getConstructors
+      .find(_.getParameterCount == e.productArity)
+      .getOrElse(throw new IllegalStateException(
+        s"no arity-${e.productArity} constructor on ${e.getClass}"))
+      .newInstance(rebuilt: _*).asInstanceOf[Expr])
   }
 
   /** Subtrees occurring more than once in `root` (structural

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.ingest.{RollupStore, SamplesStore}
+import graft.operators.{LabelMatcher, MatcherType}
 import graft.serve.PromQL
 import graft.serve.PromQL._
 
@@ -516,6 +517,30 @@ class PromQLSpec extends SparkSpecBase {
     assert(frInv === Set(("", "host=x", T0 + 60, 0L)))
     // scalar-only child rejects, like the quantile
     assert(PromQL.parse("histogram_fraction(1, 2, 3)").isLeft)
+
+    // the native-histogram accessors desugar onto the classic
+    // series: every selector's __name__ equality suffixes, through
+    // arbitrary wrappers, offsets and windows
+    assert(PromQL.parse("histogram_count(rate(m{host=\"a\"}[5m] offset 60s))") match {
+      case Right(RangeCall("rate", ms, 300L, 60L)) =>
+        ms.contains(LabelMatcher(MatcherType.Eq, "__name__", "m_count"))
+      case _ => false
+    })
+    assert(PromQL.parse("histogram_sum(sum by (host) (m))") match {
+      case Right(Agg("sum", Seq("host"), Instant(ms, 0L), false, None)) =>
+        ms.contains(LabelMatcher(MatcherType.Eq, "__name__", "m_sum"))
+      case _ => false
+    })
+    assert(PromQL.parse("histogram_avg(m)") match {
+      case Right(Binary('/', Instant(l, _), Instant(r, _), None)) =>
+        l.exists(_.value == "m_sum") && r.exists(_.value == "m_count")
+      case _ => false
+    })
+    // a regex name matcher cannot be suffixed faithfully — reject
+    assert(PromQL.parse("histogram_count({__name__=~\"m.*\"})").isLeft)
+    // the desugared form round-trips through the canonical printer
+    val hc = PromQL.parse("histogram_avg(m)").toOption.get
+    assert(PromQL.parse(PromQL.format(hc)) === Right(hc))
   }
 
   test("on/ignoring match label subsets; group_left joins many-to-one") {

@@ -59,12 +59,14 @@ import graft.ingest.PromRemoteCodec.IngestedSample
   *
   * Label mapping follows the documented Prometheus OTLP receiver
   * convention: resource attribute `service.name` → `job`,
-  * `service.instance.id` → `instance` (other resource attributes
-  * belong to target_info, which a samples store has no series for —
-  * dropped, documented); data-point attributes map to labels
-  * directly with scalar AnyValues rendered to strings (int/bool/
-  * double via the same decimal text both engines print). Timestamps
-  * truncate ns → µs, the store's resolution. */
+  * `service.instance.id` → `instance`; the REMAINING resource
+  * attributes become a `target_info` series (value 1, identifying
+  * labels + data labels, one sample per ResourceMetrics at its
+  * latest point timestamp) — the info-metric shape PromQL's `info()`
+  * joins against; data-point attributes map to labels directly with
+  * scalar AnyValues rendered to strings (int/bool/double via the
+  * same decimal text both engines print). Timestamps truncate
+  * ns → µs, the store's resolution. */
 object OtlpCodec {
 
   /** A decode plus its skip ledger: `droppedPoints` counts histogram
@@ -93,6 +95,14 @@ object OtlpCodec {
   private final class DecodeState {
     val out = Seq.newBuilder[IngestedSample]
     var dropped = 0L
+    /** Latest point timestamp seen inside the CURRENT ResourceMetrics
+      * — the timestamp its target_info sample rides on (reset by
+      * [[readResourceMetrics]] per resource). */
+    var resourceMaxTsUs = Long.MinValue
+    def add(s: IngestedSample): Unit = {
+      if (s.ts_us > resourceMaxTsUs) resourceMaxTsUs = s.ts_us
+      out += s
+    }
   }
 
   /** Prometheus OTLP name translation, sans unit/type suffixes:
@@ -115,22 +125,41 @@ object OtlpCodec {
 
   private def readResourceMetrics(r: ProtoWire.Reader, st: DecodeState): Unit = {
     var resourceLabels = List.empty[String]
+    var dataLabels = List.empty[String]
     val scopes = Seq.newBuilder[ProtoWire.Reader]
     while (r.hasMore) {
       val (f, w) = r.readTag()
       (f, w) match {
-        case (1, 2) => resourceLabels = readResource(r.readMessage())
+        case (1, 2) =>
+          val (ident, data) = readResource(r.readMessage())
+          resourceLabels = ident
+          dataLabels = data
         case (2, 2) => scopes += r.readMessage()
         case _      => r.skip(w)
       }
     }
     // proto fields arrive in any order: scopes buffer until the
     // resource (with its job/instance mapping) is known
+    st.resourceMaxTsUs = Long.MinValue
     scopes.result().foreach(readScopeMetrics(_, resourceLabels, st))
+    // the Prometheus receiver convention: a resource carrying
+    // NON-identifying attributes lands a `target_info` series —
+    // value 1, identifying labels (job/instance) + the remaining
+    // resource attributes as data labels, stamped with the latest
+    // point timestamp the resource shipped (one info sample per
+    // ResourceMetrics; info() joins through the staleness lookback,
+    // so per-point stamps would be redundant rows, not more signal)
+    if (dataLabels.nonEmpty && st.resourceMaxTsUs != Long.MinValue)
+      st.add(IngestedSample(st.resourceMaxTsUs, "target_info",
+        (resourceLabels ++ dataLabels).sorted.distinct, 1.0))
   }
 
-  private def readResource(r: ProtoWire.Reader): List[String] = {
+  /** Resource attributes split Prometheus-style: (identifying
+    * job/instance labels, target_info data labels). Data-label keys
+    * pass through [[normLabelKey]] like point attributes. */
+  private def readResource(r: ProtoWire.Reader): (List[String], List[String]) = {
     val ls = List.newBuilder[String]
+    val data = List.newBuilder[String]
     while (r.hasMore) {
       val (f, w) = r.readTag()
       if (f == 1 && w == 2) {
@@ -138,11 +167,11 @@ object OtlpCodec {
         k match {
           case "service.name"        => ls += s"job=$v"
           case "service.instance.id" => ls += s"instance=$v"
-          case _                     => // target_info territory — dropped
+          case _                     => data += s"${normLabelKey(k)}=$v"
         }
       } else r.skip(w)
     }
-    ls.result()
+    (ls.result(), data.result())
   }
 
   private def readScopeMetrics(r: ProtoWire.Reader, resource: List[String],
@@ -242,7 +271,7 @@ object OtlpCodec {
           "CUMULATIVE (2) is ingestible")
     val norm = normMetricName(name)
     pointMsgs.result().foreach { p =>
-      readNumberPoint(p, norm, resource).foreach(st.out += _)
+      readNumberPoint(p, norm, resource).foreach(st.add)
     }
     histMsgs.result().foreach(readHistogramPoint(_, norm, resource, st))
     expHistMsgs.result().foreach(readExpHistogramPoint(_, norm, resource, st))
@@ -317,7 +346,7 @@ object OtlpCodec {
       Nil, neg._2)
     val base = (attrs.result() ++ resource).sorted
     NativeHistogram.toClassicSamples(metric, base, h) match {
-      case Some(rows) => rows.foreach(st.out += _)
+      case Some(rows) => rows.foreach(st.add)
       case None       => st.dropped += 1
     }
   }
@@ -363,16 +392,16 @@ object OtlpCodec {
     val cs = counts.result()
     bounds.result().zipWithIndex.foreach { case (b, i) =>
       cum += (if (i < cs.size) cs(i) else 0L)
-      st.out += PromRemoteCodec.IngestedSample(tUs, metric + "_bucket",
-        (base :+ s"le=${NativeHistogram.leText(b)}").sorted, cum.toDouble)
+      st.add(PromRemoteCodec.IngestedSample(tUs, metric + "_bucket",
+        (base :+ s"le=${NativeHistogram.leText(b)}").sorted, cum.toDouble))
     }
-    st.out += PromRemoteCodec.IngestedSample(tUs, metric + "_bucket",
-      (base :+ "le=+Inf").sorted, count.toDouble)
+    st.add(PromRemoteCodec.IngestedSample(tUs, metric + "_bucket",
+      (base :+ "le=+Inf").sorted, count.toDouble))
     if (hasSum)
-      st.out += PromRemoteCodec.IngestedSample(tUs, metric + "_sum",
-        base, sum)
-    st.out += PromRemoteCodec.IngestedSample(tUs, metric + "_count",
-      base, count.toDouble)
+      st.add(PromRemoteCodec.IngestedSample(tUs, metric + "_sum",
+        base, sum))
+    st.add(PromRemoteCodec.IngestedSample(tUs, metric + "_count",
+      base, count.toDouble))
   }
 
   private def readNumberPoint(r: ProtoWire.Reader, metric: String,

@@ -90,6 +90,9 @@ import graft.operators.{LabelMatcher, Matchers, MatcherType, SeriesRead}
   *               lexicographic — see SortByLabel)
   *   labelfn  := "label_replace" "(" expr "," str "," str "," str "," str ")"
   *             | "label_join" "(" expr "," str "," str {"," str} ")"
+  *   infofn   := "info" "(" expr ["," "{" matchers "}"] ")"
+  *               (adopt target_info data labels by instance/job
+  *               identity — see Info)
   *   selector := PromQL instant-vector selector (Matchers.parseSelector)
   *               [mods]
   *   mods     := [offset] [@ (num|"start()"|"end()")]  (either order)
@@ -353,6 +356,18 @@ object PromQL {
     * deterministic, engine-portable choice. */
   final case class SortByLabel(desc: Boolean, child: Expr,
                                labels: Seq[String]) extends Expr
+  /** info(v[, {data-label-selector}]) — Prometheus 3.x's
+    * (experimental) info function: each series of v adopts the data
+    * labels of the `target_info` series sharing its identifying
+    * labels (instance, job) at that step, through the normal
+    * staleness lookback. A selector filters which info series match
+    * AND restricts the adopted labels to the keys it names. Series
+    * with no matching info series pass through unchanged; a data
+    * label whose key v already carries is skipped (v wins); if two
+    * info series share an identity at a step, the lexicographically
+    * greatest data-label set wins (deterministic where Prometheus
+    * errors — documented deviation). */
+  final case class Info(child: Expr, sel: Seq[LabelMatcher]) extends Expr
 
   val RangeFns: Set[String] = Set("rate", "increase", "delta",
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
@@ -887,6 +902,30 @@ object PromQL {
             off <- offsetClause()
             _ <- eat(')')
           } yield AbsentI(sel, off)
+        case Some(id) if id == "info" =>
+          i += id.length
+          val after = { val s2 = i; ws(); val c = peekChar; i = s2; c }
+          if (!after.contains('(')) { i = save; selector() }
+          else for {
+            _ <- eat('(')
+            child <- expr()
+            sel <- peekChar match {
+              case Some(',') =>
+                for {
+                  _ <- eat(',')
+                  ms <- selectorMatchers()
+                  _ <- if (ms.exists(_.name == Matchers.NameLabel))
+                         Left("info: the data-label selector cannot name __name__")
+                       else Right(())
+                } yield ms
+              case _ => Right(Seq.empty[LabelMatcher])
+            }
+            _ <- eat(')')
+            _ <- child match {
+              case ScalarLit(_) => Left("info requires a vector argument")
+              case _ => Right(())
+            }
+          } yield Info(child, sel)
         case Some(id) if id == "timestamp" =>
           i += id.length
           val after = { val s2 = i; ws(); val c = peekChar; i = s2; c }
@@ -1545,6 +1584,13 @@ object PromQL {
         histQuantile(rec(child, startSec, endSec), q)
       case HistFrac(lo, hi, child) =>
         histFraction(rec(child, startSec, endSec), lo, hi)
+      case Info(child, sel) =>
+        // the info side rides the ordinary Instant path (store scan
+        // pruned to target_info + the data-label selector, staleness
+        // lookback, memoized like any selector leaf)
+        infoJoin(rec(child, startSec, endSec),
+          rec(Instant(LabelMatcher(MatcherType.Eq, Matchers.NameLabel,
+            "target_info") +: sel), startSec, endSec), sel)
       case Subquery(fn, child, d, res, off) =>
         unshift(subqueryRange(samples, fn, child, startSec - off,
           endSec - off, stepSec, d, res, lookbackSec, rollup, ignoreLabel),
@@ -3150,6 +3196,39 @@ object PromQL {
          else expr("CAST(floor(v * 1000000 + 0.5) AS BIGINT)")).as("v_e6"))
   }
 
+  /** info(): v's rows left-join the target_info instant vector on
+    * the (instance, job) identity projection + step, adopting the
+    * info side's data labels. Scale shape: the info side is one row
+    * per (target, step) — result cardinality, tiny next to sample
+    * cardinality — so AQE broadcasts it and v never shuffles.
+    * Dup info series at one (identity, step) resolve to the
+    * greatest data-label set (deterministic where Prometheus
+    * errors); a data key v already carries is skipped (v wins);
+    * unmatched v rows pass through unchanged. With a data-label
+    * selector, only the keys it names are adopted (the matchers
+    * themselves filtered the info series inside the Instant eval). */
+  private def infoJoin(v: DataFrame, ti: DataFrame,
+                       sel: Seq[LabelMatcher]): DataFrame = {
+    val ident = "startswith(l, 'instance=') OR startswith(l, 'job=')"
+    val restrict =
+      if (sel.isEmpty) "true"
+      else sel.map(m => s"startswith(l, '${m.name}=')").mkString(" OR ")
+    val tiK = ti
+      .withColumn("ik", expr(s"filter(labels, l -> $ident)"))
+      .withColumn("data",
+        expr(s"filter(labels, l -> NOT ($ident) AND ($restrict))"))
+      .groupBy(col("ik"), col("t"))
+      .agg(max(col("data")).as("data"))
+    v.withColumn("ik", expr(s"filter(labels, l -> $ident)"))
+      .join(tiK, Seq("ik", "t"), "left")
+      .select(col("metric"),
+        expr("array_sort(concat(labels, coalesce(filter(data, d -> " +
+          "NOT exists(labels, x -> substring_index(x, '=', 1) = " +
+          "substring_index(d, '=', 1))), " +
+          "CAST(array() AS ARRAY<STRING>))))").as("labels"),
+        col("t"), col("v_e6"))
+  }
+
   /** sum/avg/min/max/count/group/quantile, grouped `by (keys)` (keep
     * exactly those) or `without (keys)` (drop those): Prometheus
     * drops the metric name either way. The kept "k=v" entries are a
@@ -3350,6 +3429,9 @@ object PromQL {
     case HistQ(q, child) => s"histogram_quantile(${numTxt(q)}, ${format(child)})"
     case HistFrac(lo, hi, child) =>
       s"histogram_fraction(${numTxt(lo)}, ${numTxt(hi)}, ${format(child)})"
+    case Info(child, sel) =>
+      s"info(${format(child)}${
+        if (sel.isEmpty) "" else ", " + selTxt(sel)})"
     case Subquery(fn, child, d, res, off) =>
       s"$fn(${format(child)}[${d}s:${res}s]${offTxt(off)})"
     case Quantile(q, ms, d, off) =>
@@ -3487,6 +3569,9 @@ object PromQL {
         call("histogram_quantile", Seq(num(q), astJson(child)))
       case HistFrac(lo, hi, child) =>
         call("histogram_fraction", Seq(num(lo), num(hi), astJson(child)))
+      case Info(child, sel) =>
+        call("info", astJson(child) +:
+          (if (sel.isEmpty) Nil else Seq(vecSel(sel, 0))))
       case LabelJoin(child, dst, sep, srcs) =>
         call("label_join", Seq(astJson(child), str(dst), str(sep)) ++
           srcs.map(str))

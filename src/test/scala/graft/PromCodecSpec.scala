@@ -312,6 +312,61 @@ class PromCodecSpec extends SparkSpecBase {
     assert(req.skippedHistograms === 1L)
   }
 
+  test("OTLP codec: non-identifying resource attributes land a target_info series") {
+    import graft.ingest.OtlpCodec
+    def kv(k: String, v: String): ProtoWire.Writer = {
+      val any = new ProtoWire.Writer
+      any.writeStringField(1, v)
+      val w = new ProtoWire.Writer
+      w.writeStringField(1, k)
+      w.writeMessageField(2, any)
+      w
+    }
+    def request(attrs: Seq[(String, String)], tsNanos: Seq[Long]): Array[Byte] = {
+      val gauge = new ProtoWire.Writer
+      tsNanos.foreach { t =>
+        val p = new ProtoWire.Writer
+        p.writeFixed64Field(3, t)
+        p.writeDoubleField(4, 1.5)
+        gauge.writeMessageField(1, p)
+      }
+      val m = new ProtoWire.Writer
+      m.writeStringField(1, "cpu")
+      m.writeMessageField(5, gauge)
+      val scope = new ProtoWire.Writer
+      scope.writeMessageField(2, m)
+      val res = new ProtoWire.Writer
+      attrs.foreach { case (k, v) => res.writeMessageField(1, kv(k, v)) }
+      val rm = new ProtoWire.Writer
+      rm.writeMessageField(1, res)
+      rm.writeMessageField(2, scope)
+      val req = new ProtoWire.Writer
+      req.writeMessageField(1, rm)
+      req.toBytes
+    }
+    val full = request(Seq("service.name" -> "svc",
+      "service.instance.id" -> "i1", "k8s.cluster.name" -> "c1"),
+      Seq(1704412800000000000L, 1704412860000000000L))
+    val out = OtlpCodec.decodeExportMetrics(full)
+    val ti = out.filter(_.metric == "target_info")
+    // one info sample per resource, at its LATEST point timestamp,
+    // identifying labels + normalized data labels, value 1
+    assert(ti.size === 1)
+    assert(ti.head.ts_us === 1704412860000000L)
+    assert(ti.head.labels === Seq("instance=i1", "job=svc",
+      "k8s_cluster_name=c1"))
+    assert(ti.head.value === 1.0)
+    assert(out.count(_.metric == "cpu") === 2)
+    // identifying-only resources land NO target_info (Prometheus
+    // receiver convention), and neither do point-less resources
+    assert(!OtlpCodec.decodeExportMetrics(request(
+      Seq("service.name" -> "svc"), Seq(1L)))
+      .exists(_.metric == "target_info"))
+    assert(!OtlpCodec.decodeExportMetrics(request(
+      Seq("service.name" -> "svc", "k8s.cluster.name" -> "c1"), Nil))
+      .exists(_.metric == "target_info"))
+  }
+
   test("exemplars decode on both wire versions, symbol table included") {
     // v1: Exemplar = TimeSeries field 3 with inline labels
     val w = new ProtoWire.Writer

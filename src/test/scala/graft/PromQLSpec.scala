@@ -891,7 +891,8 @@ class PromQLSpec extends SparkSpecBase {
       "scalar(m) * (m)", "time() - timestamp(m)", "vector(1.25) + (m)",
       "(m) ^ 3", "-(m)", "mad_over_time(m[90s])",
       "irate(m[2m])", "changes(m[2m])", "deriv(m[2m])",
-      s"sum_over_time(m[60s] @ start())", "m @ end()")
+      s"sum_over_time(m[60s] @ start())", "m @ end()",
+      "info(m)", """info(sum by (job) (m), {os="linux",dc=~"d.*"})""")
     corpus.foreach { q =>
       val e1 = PromQL.parse(q).fold(
         err => sys.error(s"corpus must parse: $q → $err"), identity)
@@ -901,6 +902,55 @@ class PromQLSpec extends SparkSpecBase {
         identity)
       assert(e2 === e1, s"round-trip drift: $q → '$txt'")
     }
+  }
+
+  test("info() adopts target_info data labels by (instance, job) identity") {
+    import spark.implicits._
+    val corpus = Seq(
+      // two app series on distinct targets; the second carries its
+      // OWN dc label (collision with target_info's dc)
+      (T0 * 1000000L, "m", Seq("instance=i1", "job=svc"), 1.0),
+      (T0 * 1000000L, "m", Seq("dc=keep", "instance=i2", "job=svc"), 2.0),
+      // a third target with NO target_info series — pass-through
+      (T0 * 1000000L, "m", Seq("instance=i3", "job=other"), 3.0),
+      // target_info for i1 (two data labels) and i2 (one)
+      (T0 * 1000000L, "target_info",
+        Seq("dc=d1", "instance=i1", "job=svc", "os=linux"), 1.0),
+      (T0 * 1000000L, "target_info",
+        Seq("dc=d2", "instance=i2", "job=svc", "os=darwin"), 1.0),
+      // a DUPLICATE info series for i1 differing in data labels:
+      // the greatest data-label set wins deterministically
+      (T0 * 1000000L, "target_info",
+        Seq("dc=d0", "instance=i1", "job=svc", "os=aix"), 1.0)
+    ).toDF("ts_us", "metric", "labels", "value")
+    def one(q: String) = rows(PromQL.eval(corpus, parse(q).toOption.get,
+      T0, T0, 60L))
+    assert(one("info(m)") === Set(
+      // i1: dup resolution picks ["dc=d1","os=linux"] > ["dc=d0","os=aix"]
+      ("m", "dc=d1,instance=i1,job=svc,os=linux", T0, 1000000L),
+      // i2: dc=keep wins over target_info's dc=d2 (v's label wins),
+      // os adopts
+      ("m", "dc=keep,instance=i2,job=svc,os=darwin", T0, 2000000L),
+      // i3: no info series — unchanged
+      ("m", "instance=i3,job=other", T0, 3000000L)))
+    // selector form: only os adopted, and only linux targets match —
+    // i2's darwin info series is filtered out, so i2 passes through
+    assert(one("""info(m, {os="linux"})""") === Set(
+      ("m", "instance=i1,job=svc,os=linux", T0, 1000000L),
+      ("m", "dc=keep,instance=i2,job=svc", T0, 2000000L),
+      ("m", "instance=i3,job=other", T0, 3000000L)))
+    // aggregated child keeps working: identity labels must survive
+    // the aggregation for the join to land — and since `by` dropped
+    // i2's own dc label, target_info's dc now adopts freely
+    assert(one("info(sum by (instance, job) (m))") === Set(
+      ("", "dc=d1,instance=i1,job=svc,os=linux", T0, 1000000L),
+      ("", "dc=d2,instance=i2,job=svc,os=darwin", T0, 2000000L),
+      ("", "instance=i3,job=other", T0, 3000000L)))
+    // a bare `info` ident is still a selector, not a call
+    assert(PromQL.parse("info").isRight)
+    // scalar argument and __name__ in the data selector reject
+    assert(PromQL.parse("info(1)").isLeft)
+    assert(PromQL.parse("""info(m, {__name__="x"})""").isLeft)
   }
 
   test("atan2 binary operator: quadrant-correct CORDIC, scalar and vector forms") {

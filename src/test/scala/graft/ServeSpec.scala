@@ -131,13 +131,28 @@ class ServeSpec extends SparkSpecBase {
       req.writeMessageField(1, rm)
       assert(post(s"$base/api/v1/otlp/v1/metrics", req.toBytes)._1 === 200)
       val back = graft.ingest.SamplesStore.read(spark, store).collect()
-      assert(back.length === 1)
-      val r = back(0)
-      assert(r.getAs[String]("metric") === "otlp_total")
+      assert(back.length === 2)
+      val r = back.find(_.getAs[String]("metric") == "otlp_total").get
       assert(r.getAs[Seq[String]]("labels") ===
         Seq("instance=i1", "job=api", "up=true"))
       assert(r.getAs[Long]("ts_us") === 1704412800000000L)
       assert(r.getAs[Double]("value") === 41.0)
+      // the non-identifying resource attribute lands a target_info
+      // series (the shape info() joins), stamped with the resource's
+      // latest point timestamp
+      val ti = back.find(_.getAs[String]("metric") == "target_info").get
+      assert(ti.getAs[Seq[String]]("labels") ===
+        Seq("cloud_region=dropped", "instance=i1", "job=api"))
+      assert(ti.getAs[Long]("ts_us") === 1704412800000000L)
+      assert(ti.getAs[Double]("value") === 1.0)
+      // end-to-end: info() through the query endpoint adopts the
+      // target_info data labels onto the OTLP-ingested series
+      val (ic, ib) = get(s"$base/api/v1/query?query=" +
+        java.net.URLEncoder.encode("info(otlp_total)", "UTF-8") +
+        "&time=1704412800")
+      assert(ic === 200, ib)
+      assert(ib.contains(""""cloud_region":"dropped""""), ib)
+      assert(ib.contains(""""value":[1704412800,"41"]"""), ib)
       // a gzip body is 415 (identity-only receiver), not a 500
       val (gc, gb, _) = {
         val c = new URL(s"$base/api/v1/otlp/v1/metrics").openConnection()

@@ -552,6 +552,60 @@ object Dedup {
         size(col("rm")).cast("long").as("n_removed"))
   }
 
+  /** Repeated-substring DISCOVERY, the Lee-et-al exact-substring
+    * dedup product (Deduplicating Training Data Makes Language
+    * Models Better, 2022) at word-window granularity: every
+    * OVERLAPPING `window`-word span (stride 1 — catches repeats at
+    * ANY alignment, unlike [[scrubRepeatedSpans]]'s fixed chunk
+    * grid) hashes portably; a span hash appearing in ≥ `minDocs`
+    * DISTINCT documents marks duplicated corpus text (within-doc
+    * repetition alone is [[graft.llm.TextAnalysis]] repetition
+    * territory, not boilerplate); per document the flagged windows
+    * merge into MAXIMAL spans (gaps-and-islands: windows whose
+    * starts sit ≤ `window` apart overlap or touch). One row per
+    * maximal span: (doc_id, span_start, span_end) in 0-based word
+    * indices, end exclusive, plus the window count it merged.
+    *
+    * Scale shape: stride-1 windowing is a ×window row blow-up, but
+    * only (h, doc_id, pos) triples ever shuffle — never text; the
+    * doc-frequency gate is a two-phase distinct-count on the hash
+    * key; the islands window partitions by doc over the repeated
+    * subset only (boilerplate hits, not the corpus). A suffix array
+    * is the single-node refinement; window hashing is the
+    * distributable approximation (repeats shorter than `window`
+    * words are invisible — the paper's own length floor). */
+  def repeatedSubstringSpans(documents: DataFrame, window: Int = 8,
+                             minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val wins = documents
+      .withColumn("toks", split(coalesce(col("text"), lit("")), " "))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"CASE WHEN size(toks) >= $window THEN " +
+          s"transform(sequence(0, size(toks) - $window), i -> ${
+            Portable.hash60SqlSpark(s"concat_ws(' ', slice(toks, i + 1, $window))")}) " +
+          "ELSE CAST(array() AS ARRAY<BIGINT>) END"))
+          .as(Seq("pos", "h")))
+    val freq = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    val byDoc = W.partitionBy(col("doc_id")).orderBy(col("pos"))
+    wins.join(freq, Seq("h"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(byDoc).isNull ||
+          col("pos") > lag(col("pos"), 1).over(byDoc) + window, 1)
+          .otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + window).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
   val SimBits = 60   // portable hash width
   val SimBands = 4   // 4 bands × 15 bits for candidate bucketing
 

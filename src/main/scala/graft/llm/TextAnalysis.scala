@@ -121,6 +121,57 @@ object TextAnalysis {
       col("doc_id"), col("n_words"), col("n_chars_raw"),
       col("avg_word_len_e6"), col("stop_ratio_e6"), col("quality_score_e6"))
 
+  /** The Gopher rule set's required stopwords (arXiv:2112.11446
+    * §A1.1: a doc must contain ≥2 of them). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style composite quality RULES (arXiv:2112.11446 §A1.1)
+    * — the boolean-gate companion to the graded [[quality]] score:
+    * each rule answers 0/1 per doc, `pass` is their conjunction, and
+    * the per-rule columns say WHY a doc dropped (the auditability
+    * production filters need). Bounds are integer-exact
+    * cross-multiplications (mean word length in [min,max] ⇔
+    * min·n_words ≤ n_alpha ≤ max·n_words), so both engines decide
+    * identically — no ratio rounding anywhere. Line/sentence rules
+    * from the paper (bullet-start, ellipsis-end line ratios) are
+    * re-expressed over the word-stream corpus shape as the
+    * symbol-token ratio rule (documented deviation: the testdata
+    * carries no line structure). Per-row codegen'd higher-order
+    * functions on the scan — no shuffle, linear at 100 TB. */
+  def gopherRules(documents: DataFrame,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Int = 3, maxMeanLen: Int = 10,
+                  stops: Seq[String] = GopherStops): DataFrame =
+    withToks(documents)
+      .withColumn("n_words", size(col("toks")))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), " ", "")))
+      .withColumn("n_alpha_words",
+        size(filter(col("toks"), t => t.rlike("[a-zA-Z]"))))
+      .withColumn("n_symbol_words", size(filter(col("toks"),
+        t => t.startsWith("#") || t.contains("..."))))
+      .withColumn("n_stops_present", expr(
+        s"size(filter(array${stops.map(w => s"'$w'")
+          .mkString("(", ", ", ")")}, w -> array_contains(toks, w)))"))
+      .select(
+        col("doc_id"), col("n_words"),
+        expr(s"CAST(n_words >= $minWords AND n_words <= $maxWords AS INT)")
+          .as("rule_word_count"),
+        expr(s"CAST(n_alpha >= $minMeanLen * n_words AND " +
+          s"n_alpha <= $maxMeanLen * n_words AS INT)")
+          .as("rule_mean_word_len"),
+        // ≥80% of words carry an alphabetic char (×5 cross-multiply)
+        expr("CAST(n_alpha_words * 5 >= n_words * 4 AS INT)")
+          .as("rule_alpha_words"),
+        // symbol-to-word ratio ≤ 0.1 (×10 cross-multiply)
+        expr("CAST(n_symbol_words * 10 <= n_words AS INT)")
+          .as("rule_symbol_ratio"),
+        expr("CAST(n_stops_present >= 2 AS INT)").as("rule_stopwords"))
+      .withColumn("pass", expr(
+        "CAST(rule_word_count = 1 AND rule_mean_word_len = 1 AND " +
+        "rule_alpha_words = 1 AND rule_symbol_ratio = 1 AND " +
+        "rule_stopwords = 1 AS INT)"))
+
   /** doc_id, whitespace token count, BPE-ish regex token count
     * (`[a-z0-9]+` runs plus isolated symbols), metadata check. */
   def tokenCounts(documents: DataFrame): DataFrame =

@@ -203,6 +203,36 @@ class LlmSpec extends SparkSpecBase {
     assert(perQuery.filter(col("n") =!= col("mx")).count() == 0)
   }
 
+  test("IVF-PQ is exact on a self-coded corpus; ranks dense on the real table") {
+    import spark.implicits._
+    // Integer-valued vectors make every dot/norm exact in double, so
+    // fold grouping (8 segment dots vs one 64-lane fold) cannot
+    // differ; candidates are COPIES of the codeword-source vectors
+    // (ids 6..9), so PQ encodes each segment at d2 = 0 and the
+    // reconstruction is the vector itself → full-probe IVF-PQ must
+    // equal exhaustive brute force bit-for-bit, ties and all.
+    def pat(i: Int): Seq[Float] =
+      (0 until 64).map(j => ((j * (i + 1)) % 3 + 1).toFloat)
+    val rows =
+      (0 to 1).map(q => (q.toLong, s"q$q", pat(q + 7))) ++    // queries
+      (2 to 15).map(v => (v.toLong, s"c$v", pat(v % 4)))      // candidates
+    val corpus = rows.toDF("vec_id", "label", "embedding")
+    val pq = Similarity.ivfPqTopK(corpus, nQueries = 2, nCentroids = 4,
+      nProbe = 4, k = 5, m = 8, nCodes = 4)
+    val bf = Similarity.bruteForceTopK(corpus, nQueries = 2, k = 5)
+      .withColumnRenamed("cos_sim_e6", "adc_e6")
+    assert(pq.exceptAll(bf).count() == 0 && bf.exceptAll(pq).count() == 0)
+    // real table: dense ranks per query, deterministic across runs
+    val a = Similarity.ivfPqTopK(embs, nQueries = 10, nCentroids = 16,
+      nProbe = 4, k = 10)
+    val perQuery = a.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"))
+    assert(perQuery.filter(col("n") =!= col("mx")).count() == 0)
+    val b = Similarity.ivfPqTopK(embs, nQueries = 10, nCentroids = 16,
+      nProbe = 4, k = 10)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("top-k ranks are dense per query") {
     val bf = Similarity.bruteForceTopK(embs, 5, 10)
     val perQuery = bf.groupBy("query_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
@@ -326,6 +356,59 @@ class LlmSpec extends SparkSpecBase {
     val real = Dedup.scrubRepeatedSpans(docs)
     assert(real.filter(length(col("text_clean")) > lit(0)).count() > 0)
     assert(real.filter(col("n_removed") < 0L || col("n_removed") > col("n_chunks")).count() === 0L)
+  }
+
+  test("gopher rule gate: each rule trips on its own violation, pass is the conjunction") {
+    import spark.implicits._
+    val en = TextAnalysis.StopWords.head._2
+    val fill = Seq.fill(50)("word").mkString(" ")
+    val corpus = Seq(
+      (1L, s"the a $fill"),                                   // all pass
+      (2L, "the a word word word"),                           // too short
+      (3L, "the a " + Seq.fill(50)("tremendousness").mkString(" ")), // mean len > 10
+      (4L, "the a " + Seq.fill(10)("#tag").mkString(" ") + " " +
+        Seq.fill(42)("word").mkString(" ")),                  // symbol ratio > 0.1
+      (5L, fill),                                             // < 2 stopwords
+      (6L, "the a " + Seq.fill(15)("123").mkString(" ") + " " +
+        Seq.fill(35)("word").mkString(" "))                   // alpha words < 80%
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(corpus, minWords = 20, stops = en)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))).toMap
+    // (word_count, mean_word_len, alpha_words, symbol_ratio, stopwords, pass)
+    assert(out(1L) === ((1, 1, 1, 1, 1, 1)))
+    assert(out(2L) === ((0, 1, 1, 1, 1, 0)))
+    assert(out(3L)._2 === 0); assert(out(3L)._6 === 0)
+    assert(out(4L)._4 === 0); assert(out(4L)._6 === 0)
+    assert(out(5L)._5 === 0); assert(out(5L)._6 === 0)
+    assert(out(6L)._3 === 0); assert(out(6L)._6 === 0)
+  }
+
+  test("repeated-substring spans: any-alignment discovery, maximal merge, distinct-doc gate") {
+    import spark.implicits._
+    // window=3, minDocs=2. Docs 1/2 share "b c d e" at DIFFERENT
+    // alignments (doc 2 shifts by one) — the chunk grid would miss
+    // it, stride-1 windows catch it: shared 3-grams "b c d", "c d e".
+    val corpus = Seq(
+      (1L, "a b c d e x"),
+      (2L, "z b c d e"),
+      // doc 3 repeats a 3-gram only WITHIN itself — not boilerplate
+      (3L, "m n o m n o"),
+      (4L, "totally unique words here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSubstringSpans(corpus, window = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // doc 1: windows at pos 1 ("b c d") and 2 ("c d e") merge into
+    // one maximal span [1, 5); doc 2: pos 1, 2 → [1, 5)
+    assert(out === Set((1L, 1L, 5L, 2L), (2L, 1L, 5L, 2L)))
+    // raising minDocs above any sharing leaves nothing
+    assert(Dedup.repeatedSubstringSpans(corpus, window = 3, minDocs = 3)
+      .count() === 0L)
+    // real-table invariants: spans are well-formed and ≥ window wide
+    val real = Dedup.repeatedSubstringSpans(docs)
+    assert(real.filter(col("span_end") - col("span_start") < 8L).count() === 0L)
+    assert(real.filter(col("span_start") < 0L).count() === 0L)
   }
 
   test("hot-bucket cap bounds candidate pairs on a degenerate corpus") {

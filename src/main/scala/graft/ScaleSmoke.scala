@@ -63,6 +63,7 @@ object ScaleSmoke {
       time(s"annBruteForce   m=$m")(Similarity.bruteForceTopK(e, 10, 10).count())
       time(s"annLsh          m=$m")(Similarity.lshTopK(e, 10, 6, 10).count())
       time(s"annIvf          m=$m")(Similarity.ivfTopK(e, 10, 16, 4, 10).count())
+      time(s"annIvfPq        m=$m")(Similarity.ivfPqTopK(e, 10, 16, 4, 10).count())
       time(s"embNearDup      m=$m")(Similarity.nearDupPairs(e, 4, 6, 0.4).count())
     }
 
@@ -230,6 +231,10 @@ object ScaleSmoke {
       time(s"spanScrub       m=$m")(
         Dedup.scrubRepeatedSpans(d)
           .filter(col("n_removed") > 0L).count())
+      // stride-1 window discovery: ×window rows vs the chunk grid,
+      // still hash-only shuffles — the measured cost of any-alignment
+      time(s"substringSpans  m=$m")(
+        Dedup.repeatedSubstringSpans(d).count())
     }
 
     // Rollup maintenance: history length grows m× (like compact);

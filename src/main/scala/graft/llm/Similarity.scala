@@ -287,4 +287,117 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("cos_sim_e6"), col("rank"))
   }
+
+  /** IVF-PQ ANN top-k — [[ivfTopK]]'s coarse inverted lists plus
+    * PRODUCT QUANTIZATION of the residual scan (Jégou et al., PAMI
+    * 2011): each vector splits into `m` contiguous segments, every
+    * segment encodes as its L2-nearest codeword id from that
+    * subspace's `nCodes`-entry codebook, and queries score
+    * candidates by ADC — a per-query lookup table of
+    * (segment × codeword) dot products summed over the code, never
+    * touching the original vectors. This is the 100 TB memory lever:
+    * the corpus scan carries m bytes of codes per vector instead of
+    * dim floats (64-dim float32 → 8 bytes = 32×), and the inverted
+    * lists prune which codes are scored at all.
+    *
+    * Like [[ivfTopK]], training is replaced by a deterministic
+    * oracle-reproducible choice: coarse centroids are the
+    * nCentroids lowest candidate ids, PQ codebooks the `nCodes` ids
+    * after them (segment j of codeword c = segment j of that
+    * vector; a production build k-means each subspace — the plan
+    * shape is identical, codebooks stay broadcast-small).
+    *
+    * Determinism: every multi-term double sum (ADC over segments,
+    * reconstructed norms) is a SORTED left fold, not a shuffle-order
+    * `sum()`, so scores are bit-identical in any engine. Encode ties
+    * break to the lower codeword id, ranks to the lower vec_id.
+    *
+    * Approximation contract: scores are cosine against the PQ
+    * RECONSTRUCTION (ADC dot / (‖q‖·‖reconstruction‖)) — recall vs
+    * exact brute force is the quality metric, asserted in spec. */
+  def ivfPqTopK(embeddings: DataFrame, nQueries: Int, nCentroids: Int,
+                nProbe: Int, k: Int, m: Int = 8, nCodes: Int = 16,
+                dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m segments")
+    val sub = dim / m
+    val prep = prepared(embeddings)
+    def segsOf(vecCol: String) = expr(
+      s"transform(sequence(0, ${m - 1}), j -> slice($vecCol, j * $sub + 1, $sub))")
+    val cents = prep
+      .filter(col("vec_id") >= nQueries && col("vec_id") < nQueries + nCentroids)
+      .select(col("vec_id").as("cent_id"), col("vec").as("cvec"),
+        col("nrm").as("cnrm"))
+    val cwBase = nQueries + nCentroids
+    // per-subspace codebooks: (segment j, codeword c) → 8-dim cw,
+    // with its squared norm for the L2 expansion and recon norms
+    val codebook = prep
+      .filter(col("vec_id") >= cwBase && col("vec_id") < cwBase + nCodes)
+      .select((col("vec_id") - cwBase).cast("int").as("c"),
+        posexplode(segsOf("vec")).as(Seq("seg", "cw")))
+      .withColumn("cw2", expr(dotExpr("cw", "cw")))
+    val cands = prep.filter(col("vec_id") >= nQueries)
+    // PQ encode: the L2-argmin codeword per (candidate, segment) —
+    // ‖s−c‖² = s·s − 2 s·c + c·c, broadcast codebook, map-side-
+    // combined min_by; only (vec_id, seg, c, cw2) rows shuffle
+    val enc = cands
+      .select(col("vec_id"), posexplode(segsOf("vec")).as(Seq("seg", "sv")))
+      .join(broadcast(codebook), Seq("seg"))
+      .withColumn("d2", expr(
+        s"${dotExpr("sv", "sv")} - 2 * ${dotExpr("sv", "cw")} + cw2"))
+      .groupBy(col("vec_id"), col("seg"))
+      .agg(min_by(struct(col("c"), col("cw2")),
+        struct(col("d2"), col("c"))).as("best"))
+      .select(col("vec_id"), col("seg"),
+        col("best.c").as("c"), col("best.cw2").as("cw2"))
+    // reconstructed norm: segments are orthogonal blocks, so
+    // ‖recon‖² = Σ_seg ‖cw‖² — summed as a seg-SORTED fold
+    val recn = enc.groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("seg"), col("cw2"))))
+        .as("parts"))
+      .withColumn("rnrm", expr(
+        "sqrt(aggregate(parts, CAST(0.0 AS DOUBLE), (a, x) -> a + x.cw2))"))
+      .select(col("vec_id"), col("rnrm"))
+    // coarse assignment + probe sets: the ivfTopK machinery verbatim
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cc").desc, col("cent_id").asc)
+    val assign = cands.join(broadcast(cents))
+      .withColumn("cc", expr(s"${dotExpr("cvec", "vec")} / (cnrm * nrm)"))
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") === 1)
+      .select(col("cent_id"), col("vec_id"))
+    val queries = prep.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("qc").desc, col("cent_id").asc)
+    val probes = queries.join(broadcast(cents))
+      .withColumn("qc", expr(s"${dotExpr("cvec", "qvec")} / (cnrm * qnrm)"))
+      .withColumn("prank", row_number().over(pw))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("qnrm"), col("cent_id"))
+    // ADC lookup tables: (query, segment, codeword) → q_seg · cw —
+    // nQueries × m × nCodes rows, broadcast-small by construction
+    val lut = queries
+      .select(col("query_id"), posexplode(segsOf("qvec")).as(Seq("seg", "qs")))
+      .join(broadcast(codebook), Seq("seg"))
+      .withColumn("qdot", expr(dotExpr("qs", "cw")))
+      .select(col("query_id"), col("seg"), col("c"), col("qdot"))
+    // score = seg-sorted fold of the code's LUT entries, normalized
+    // by ‖q‖·‖recon‖ — the quantized-candidate cosine
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_e6").desc, col("vec_id").asc)
+    assign.join(broadcast(probes), Seq("cent_id"))
+      .join(enc, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "seg", "c"))
+      .groupBy(col("query_id"), col("vec_id"), col("qnrm"))
+      .agg(sort_array(collect_list(struct(col("seg"), col("qdot"))))
+        .as("parts"))
+      .join(recn, Seq("vec_id"))
+      .withColumn("adc_e6", expr(
+        "CAST(floor(aggregate(parts, CAST(0.0 AS DOUBLE), " +
+        "(a, x) -> a + x.qdot) / (qnrm * rnrm) * 1000000 + 0.5) AS BIGINT)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc_e6"), col("rank"))
+  }
 }

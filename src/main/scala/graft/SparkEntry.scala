@@ -28,6 +28,33 @@ object SparkEntry {
 
   private def samples(s: SparkSession, dir: String): DataFrame = Tables.samples(s, dir)
 
+  /** samples twin whose series carry (instance, job) identities,
+    * plus one `target_info` series per instance — the info-metric
+    * shape `info()` joins. Identities derive from events
+    * (instance=u<user_id>, job=events); target_info's data labels
+    * (dc, os) derive deterministically from user_id so both engines
+    * build the identical corpus. */
+  private def samplesWithTargetInfo(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsNorm(s, dir)
+    val uid = col("user_id").cast("string")
+    val base = ev.select(
+      col("ts_us"), timestamp_micros(col("ts_us")).as("ts"),
+      col("event_type").as("metric"),
+      array_sort(array(concat(lit("instance=u"), uid),
+        lit("job=events"))).as("labels"),
+      col("value"))
+    val ti = ev.select(
+      col("ts_us"), timestamp_micros(col("ts_us")).as("ts"),
+      lit("target_info").as("metric"),
+      array_sort(array(
+        concat(lit("instance=u"), uid), lit("job=events"),
+        concat(lit("dc=dc"), pmod(col("user_id"), lit(3)).cast("string")),
+        concat(lit("os="), when(pmod(col("user_id"), lit(2)) === 0, "linux")
+          .otherwise("darwin")))).as("labels"),
+      lit(1.0).as("value"))
+    base.unionByName(ti)
+  }
+
   /** labels ARRAY<STRING> → labels_str for oracle-safe output. */
   private def strLabels(df: DataFrame): DataFrame =
     df.withColumn("labels_str", array_join(col("labels"), ",")).drop("labels")
@@ -751,6 +778,11 @@ object SparkEntry {
     "dedup_span_scrub" -> ((s, dir) =>
       Dedup.scrubRepeatedSpans(Tables.documents(s, dir))),
 
+    // Lee-et-al repeated-substring discovery: overlapping 8-word
+    // windows shared by ≥2 distinct docs, merged to maximal spans
+    "dedup_substring_spans" -> ((s, dir) =>
+      Dedup.repeatedSubstringSpans(Tables.documents(s, dir))),
+
     "dedup_embedding" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir), nBands = 4, bitsPerBand = 6, threshold = 0.4)),
 
@@ -774,6 +806,12 @@ object SparkEntry {
       Similarity.ivfTopK(Tables.embeddings(s, dir),
         nQueries = 10, nCentroids = 16, nProbe = 4, k = 10)),
 
+    // IVF-PQ: product-quantized ADC scoring inside the probed lists
+    // — the codes-only (32×-compressed) corpus scan at 100 TB
+    "ann_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, dir),
+        nQueries = 10, nCentroids = 16, nProbe = 4, k = 10)),
+
     // Embedding-space clustering (SemDeDup-style curation): nearest
     // deterministic centroid per vector, broadcast + argmax window.
     "cluster_assign" -> ((s, dir) =>
@@ -783,6 +821,13 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
 
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
+
+    // Gopher-rule boolean gate (word-count / mean-word-length /
+    // alpha-word / symbol-ratio / stopword rules + conjunction),
+    // with the en stop list so the rule discriminates on this corpus
+    "text_quality_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherRules(Tables.documents(s, dir),
+        stops = TextAnalysis.StopWords.head._2)),
 
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
 
@@ -984,6 +1029,22 @@ object SparkEntry {
     // instant vector on a 6h grid with a 1d staleness lookback
     "promql_instant" -> ((s, dir) =>
       promqlStr(PromQL.eval(samples(s, dir), parsePromQL("click"),
+        WinStartSec, WinEndSec, 21600L, lookbackSec = 86400L))),
+
+    // info(): each click series adopts its target's target_info data
+    // labels by (instance, job) identity at every step — Prometheus
+    // 3.x's experimental info function over the OTLP-shaped store
+    "promql_info" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samplesWithTargetInfo(s, dir),
+        parsePromQL("info(click)"),
+        WinStartSec, WinEndSec, 21600L, lookbackSec = 86400L))),
+
+    // the data-label-selector form: info series filtered to
+    // os="linux" targets, and only the os key adopted — non-matching
+    // targets' series pass through unchanged
+    "promql_info_selector" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samplesWithTargetInfo(s, dir),
+        parsePromQL("""info(click, {os="linux"})"""),
         WinStartSec, WinEndSec, 21600L, lookbackSec = 86400L))),
 
     // the offset modifier (day-over-day dashboards) composed with
@@ -1426,6 +1487,59 @@ object SparkEntry {
        |  FROM samples GROUP BY 1, 2, 3
        |)""".stripMargin
 
+  /** The [[samplesWithTargetInfo]] corpus + dedup, DuckDB-side. */
+  private val infoDedupCte =
+    """WITH samples AS (
+      |  SELECT epoch_us(ts) AS ts_us, event_type AS metric,
+      |         list_sort(['instance=u' || user_id, 'job=events']) AS labels,
+      |         value
+      |  FROM events
+      |  UNION ALL
+      |  SELECT epoch_us(ts) AS ts_us, 'target_info' AS metric,
+      |         list_sort(['instance=u' || user_id, 'job=events',
+      |                    'dc=dc' || (user_id % 3),
+      |                    'os=' || CASE WHEN user_id % 2 = 0
+      |                             THEN 'linux' ELSE 'darwin' END]) AS labels,
+      |         1.0 AS value
+      |  FROM events
+      |), deduped AS (
+      |  SELECT metric, labels, ts_us // 1000000 AS t_sec, max(value) AS value
+      |  FROM samples GROUP BY 1, 2, 3
+      |)""".stripMargin
+
+  /** info() oracle body: instant-eval both metrics on the 6h grid,
+    * then left-join v to target_info's data labels on the identity
+    * projection. `tiWhere`/`dataLike` carry the data-label-selector
+    * variant (series filter + adopted-key restriction). */
+  private def infoOracle(tiWhere: String, dataLike: String): String =
+    s"""$infoDedupCte, grid AS (SELECT unnest(range(0, 61)) AS k),
+       |inst AS (
+       |  SELECT s.metric, s.labels, $WinStartSec + g.k * 21600 AS t,
+       |         arg_max(s.value, s.t_sec) AS v
+       |  FROM deduped s JOIN grid g
+       |    ON s.t_sec <= $WinStartSec + g.k * 21600
+       |   AND s.t_sec >  $WinStartSec + g.k * 21600 - 86400
+       |  WHERE s.t_sec >= ${WinStartSec - 86400 + 1} AND s.t_sec <= $WinEndSec
+       |  GROUP BY 1, 2, 3
+       |), v AS (SELECT * FROM inst WHERE metric = 'click'),
+       |ti AS (
+       |  SELECT list_filter(labels, l -> l LIKE 'instance=%' OR l LIKE 'job=%') AS ik,
+       |         t,
+       |         max(list_filter(labels, l ->
+       |           NOT (l LIKE 'instance=%' OR l LIKE 'job=%')
+       |           AND ($dataLike))) AS data
+       |  FROM inst WHERE metric = 'target_info'$tiWhere
+       |  GROUP BY 1, 2
+       |)
+       |SELECT v.metric,
+       |       array_to_string(list_sort(list_concat(v.labels,
+       |         coalesce(ti.data, CAST([] AS VARCHAR[])))), ',') AS labels_str,
+       |       v.t AS t,
+       |       CAST(floor(v.v * 1000000 + 0.5) AS BIGINT) AS v_e6
+       |FROM v LEFT JOIN ti
+       |  ON ti.ik = list_filter(v.labels, l -> l LIKE 'instance=%' OR l LIKE 'job=%')
+       | AND ti.t = v.t""".stripMargin
+
   /** DuckDB mirror of CorpusPrep.prepare up to the `kept` CTE
     * (quality gate -> language gate -> exact-dedup keep ids). */
   private lazy val corpusPrepCte: String = {
@@ -1718,8 +1832,14 @@ object SparkEntry {
        |        FROM embeddings)
        |)""".stripMargin
 
-  private def duckDot(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0::DOUBLE, [$a[i] * $b[i] for i in range(1, 65)]), (acc, x) -> acc + x)"
+  private def duckDot(a: String, b: String): String = duckDotN(a, b, 64)
+
+  /** n-dim sequential-fold dot — the [[duckDot]] body with the lane
+    * count free (PQ segment dots are 8-dim). Standalone fold consumed
+    * as a plain column: the SAFE list_reduce shape (SURVEY §6 / the
+    * round-15 fold-composition hazard notes). */
+  private def duckDotN(a: String, b: String, n: Int): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, [$a[i] * $b[i] for i in range(1, ${n + 1})]), (acc, x) -> acc + x)"
 
   private val sampleMs =
     s"""$S
@@ -2489,6 +2609,35 @@ object SparkEntry {
          |    NOT list_contains(bl, ${duckHash("ch")}))))::BIGINT AS n_removed
          |FROM c, bad""".stripMargin,
 
+    "dedup_substring_spans" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+         |  FROM documents
+         |), w AS (
+         |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         |         ${duckHash("array_to_string(toks[(u.i + 1):(u.i + 8)], ' ')")} AS h
+         |  FROM d, LATERAL (SELECT unnest(range(0,
+         |    greatest(len(toks) - 8 + 1, 0))) AS i) u
+         |), f AS (
+         |  SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+         |), r AS (
+         |  SELECT w.doc_id, w.pos FROM w JOIN f USING (h)
+         |), g AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN lag(pos) OVER d2 IS NULL
+         |                OR pos > lag(pos) OVER d2 + 8
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM r WINDOW d2 AS (PARTITION BY doc_id ORDER BY pos)
+         |), s AS (
+         |  SELECT doc_id, pos,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM g
+         |)
+         |SELECT doc_id, min(pos) AS span_start,
+         |       max(pos) + 8 AS span_end,
+         |       count(*) AS n_windows
+         |FROM s GROUP BY doc_id, grp""".stripMargin,
+
     "dedup_embedding" ->
       s"""${embCte(24)}, banded AS (
          |  SELECT vec_id, vec, nrm, t.b AS band,
@@ -2608,6 +2757,79 @@ object SparkEntry {
          |)
          |SELECT query_id, vec_id, cos_sim_e6, rank FROM ranked WHERE rank <= 10""".stripMargin,
 
+    // IVF-PQ: segments via 1-based list slices; every multi-term sum
+    // is a seg-ORDERED fold (list(x ORDER BY seg) then one standalone
+    // list_reduce — never fold-in-fold, the round-15 hazard shape)
+    "ann_ivfpq_topk" ->
+      s"""WITH prepn AS (
+         |  SELECT vec_id, vec, sqrt(${duckDot("vec", "vec")}) AS nrm
+         |  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+         |        FROM embeddings)
+         |), segs AS (
+         |  SELECT vec_id, CAST(u.j AS INT) AS seg,
+         |         vec[(u.j * 8 + 1):(u.j * 8 + 8)] AS sv
+         |  FROM prepn, LATERAL (SELECT unnest(range(0, 8)) AS j) u
+         |), cb AS (
+         |  SELECT CAST(vec_id - 26 AS INT) AS c, seg, sv AS cw,
+         |         ${duckDotN("sv", "sv", 8)} AS cw2
+         |  FROM segs WHERE vec_id >= 26 AND vec_id < 42
+         |), enc AS (
+         |  SELECT vec_id, seg, c, cw2 FROM (
+         |    SELECT s.vec_id, s.seg, b.c, b.cw2,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.seg
+         |             ORDER BY ${duckDotN("s.sv", "s.sv", 8)}
+         |                      - 2 * ${duckDotN("s.sv", "b.cw", 8)} + b.cw2 ASC,
+         |                      b.c ASC) AS rk
+         |    FROM segs s JOIN cb b USING (seg) WHERE s.vec_id >= 10)
+         |  WHERE rk = 1
+         |), recn AS (
+         |  SELECT vec_id, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |           list(cw2 ORDER BY seg)), (a, x) -> a + x)) AS rnrm
+         |  FROM enc GROUP BY vec_id
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnrm
+         |  FROM prepn WHERE vec_id >= 10 AND vec_id < 26
+         |), assign AS (
+         |  SELECT cent_id, vec_id FROM (
+         |    SELECT c.cent_id, v.vec_id,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${duckDot("c.cvec", "v.vec")} / (c.cnrm * v.nrm) DESC,
+         |                      c.cent_id ASC) AS arank
+         |    FROM prepn v, cents c WHERE v.vec_id >= 10)
+         |  WHERE arank = 1
+         |), probes AS (
+         |  SELECT query_id, qnrm, cent_id FROM (
+         |    SELECT q.vec_id AS query_id, q.nrm AS qnrm, c.cent_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${duckDot("c.cvec", "q.vec")} / (c.cnrm * q.nrm) DESC,
+         |                      c.cent_id ASC) AS prank
+         |    FROM prepn q, cents c WHERE q.vec_id < 10)
+         |  WHERE prank <= 4
+         |), lut AS (
+         |  SELECT s.vec_id AS query_id, s.seg, b.c,
+         |         ${duckDotN("s.sv", "b.cw", 8)} AS qdot
+         |  FROM segs s JOIN cb b USING (seg) WHERE s.vec_id < 10
+         |), scored AS (
+         |  SELECT p.query_id, e.vec_id, p.qnrm,
+         |         list_reduce(list_prepend(0.0::DOUBLE,
+         |           list(l.qdot ORDER BY e.seg)), (a, x) -> a + x) AS adc
+         |  FROM probes p JOIN assign a USING (cent_id)
+         |       JOIN enc e ON e.vec_id = a.vec_id
+         |       JOIN lut l ON l.query_id = p.query_id
+         |                 AND l.seg = e.seg AND l.c = e.c
+         |  GROUP BY p.query_id, e.vec_id, p.qnrm
+         |), ranked AS (
+         |  SELECT s.query_id, s.vec_id,
+         |         CAST(floor(s.adc / (s.qnrm * r.rnrm) * 1000000 + 0.5) AS BIGINT)
+         |           AS adc_e6
+         |  FROM scored s JOIN recn r USING (vec_id)
+         |)
+         |SELECT query_id, vec_id, adc_e6, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_e6 DESC, vec_id ASC) AS rank
+         |  FROM ranked)
+         |WHERE rank <= 10""".stripMargin,
+
     // nearest deterministic centroid per vector (centroids = 16
     // lowest-id vecs); argmax on the raw fold double, cent_id tiebreak
     "cluster_assign" ->
@@ -2668,6 +2890,39 @@ object SparkEntry {
          |       CASE WHEN n_alpha >= 3 * n_words AND n_alpha <= 8 * n_words
          |            THEN 200000 ELSE 0 END AS quality_score_e6
          |FROM f""".stripMargin
+    },
+
+    "text_quality_gopher" -> {
+      val en = TextAnalysis.StopWords.head._2.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |         length(replace(text, ' ', '')) AS n_alpha
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id, len(toks) AS n_words, n_alpha,
+         |         len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+         |           AS n_alpha_words,
+         |         len(list_filter(toks, t ->
+         |           t LIKE '#%' OR t LIKE '%...%')) AS n_symbol_words,
+         |         len(list_filter([$en], w -> list_contains(toks, w)))
+         |           AS n_stops_present
+         |  FROM t
+         |), r AS (
+         |  SELECT doc_id, n_words,
+         |    CAST(n_words >= 50 AND n_words <= 100000 AS INT)
+         |      AS rule_word_count,
+         |    CAST(n_alpha >= 3 * n_words AND n_alpha <= 10 * n_words AS INT)
+         |      AS rule_mean_word_len,
+         |    CAST(n_alpha_words * 5 >= n_words * 4 AS INT) AS rule_alpha_words,
+         |    CAST(n_symbol_words * 10 <= n_words AS INT) AS rule_symbol_ratio,
+         |    CAST(n_stops_present >= 2 AS INT) AS rule_stopwords
+         |  FROM f
+         |)
+         |SELECT *,
+         |  CAST(rule_word_count = 1 AND rule_mean_word_len = 1 AND
+         |       rule_alpha_words = 1 AND rule_symbol_ratio = 1 AND
+         |       rule_stopwords = 1 AS INT) AS pass
+         |FROM r""".stripMargin
     },
 
     "text_tokens" ->
@@ -3244,6 +3499,11 @@ object SparkEntry {
          |SELECT metric, array_to_string(labels, ',') AS labels_str, t,
          |       CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS v_e6
          |FROM st""".stripMargin,
+
+    "promql_info" -> infoOracle("", "true"),
+
+    "promql_info_selector" ->
+      infoOracle(" AND list_contains(labels, 'os=linux')", "l LIKE 'os=%'"),
 
     // offset 1d shifts each [t-1d, t) window back one day: the data
     // window for grid point t is [t-2d, t-1d)

@@ -287,6 +287,29 @@ class PlanSpec extends SparkSpecBase {
     assert(vs.nonEmpty && vs.forall(_ == 1000000L), vs.mkString(","))
   }
 
+  test("substring-span discovery shuffles only skinny rows — no text crosses an exchange") {
+    val df = graft.llm.Dedup.repeatedSubstringSpans(Tables.documents(spark, Sf))
+    val exchanges = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(exchanges.nonEmpty)
+    // the frequency gate and the join back never carry text or the
+    // token array — only (h, doc_id, pos) triples shuffle
+    exchanges.foreach { op =>
+      val ins = op.children.flatMap(_.output).map(_.name)
+      assert(!ins.contains("text") && !ins.contains("toks"),
+        s"substring-span exchange input carries text columns: $ins")
+    }
+  }
+
+  test("gopher rule gate plans zero exchanges and no UDF") {
+    val df = graft.llm.TextAnalysis.gopherRules(Tables.documents(spark, Sf))
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"gopher rules shuffle:\n$p")
+    assert(!p.contains("ScalaUDF"), s"gopher rules plan a UDF:\n$p")
+  }
+
   test("no SparkEntry plan contains a cartesian product; ann joins broadcast") {
     val sideEffecting = Set(
       "ingest_samples_sink", "ingest_delete_range", "ingest_streaming",

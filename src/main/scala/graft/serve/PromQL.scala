@@ -65,6 +65,9 @@ import graft.operators.{LabelMatcher, Matchers, MatcherType, SeriesRead}
   *             | "histogram_fraction" "(" lo "," hi "," expr ")"
   *             | ("histogram_count"|"histogram_sum"|"histogram_avg")
   *               "(" expr ")"   (desugars onto _count/_sum series)
+  *             | ("histogram_stddev"|"histogram_stdvar") "(" expr ")"
+  *               (geometric-midpoint estimator over the classic
+  *                buckets — see HistStd)
   *   predict  := "predict_linear" "(" selector "[" dur "]" [offset] "," num ")"
   *   holt     := ("holt_winters"|"double_exponential_smoothing")
   *               "(" selector "[" dur "]" [offset] "," sf "," tf ")"
@@ -255,6 +258,20 @@ object PromQL {
     * histograms only): the estimated fraction of observations in
     * (lo, hi], by the piecewise-linear model [[HistQ]] inverts. */
   final case class HistFrac(lo: Double, hi: Double, child: Expr) extends Expr
+  /** histogram_stddev/stdvar (Prometheus 3.x native accessors),
+    * served over the converted classic cumulative buckets: per
+    * bucket the geometric-midpoint value Prometheus's native
+    * estimator uses (sqrt(lower·upper), 0 when the bucket spans
+    * zero, sign from a negative upper bound; the FIRST finite
+    * bucket's lower bound is 0, the +Inf bucket collapses to the top
+    * finite bound — both documented conventions of the classic
+    * form), mean = _sum/_count, variance = Σ cnt·(val−mean)²/count
+    * as a le-SORTED fold (no Kahan — the deterministic spec). The
+    * _bucket/_sum/_count legs desugar from `child` at eval time
+    * (selector-name rewrites like histogram_count/sum, validated at
+    * parse), so CSE shares them with sibling terms and format stays
+    * a fixpoint on the sugar. */
+  final case class HistStd(dev: Boolean, child: Expr) extends Expr
   /** fn(child[d:res] [offset]): a subquery — the child evaluated on
     * the absolute res-aligned grid, then fn aggregated over each
     * outer window [t-d, t). */
@@ -834,6 +851,20 @@ object PromQL {
                 } yield Binary('/', su, ct)
             }
           } yield out
+        case Some(id) if id == "histogram_stddev" ||
+                         id == "histogram_stdvar" =>
+          i += id.length
+          for {
+            _ <- eat('(')
+            child <- expr()
+            _ <- eat(')')
+            _ <- child match {
+              case ScalarLit(_) =>
+                Left(s"$id requires a vector argument")
+              case _ => Right(())
+            }
+            _ <- suffixSelectorNames(child, "_bucket") // validate only
+          } yield HistStd(id == "histogram_stddev", child)
         case Some(id) if id == "histogram_fraction" =>
           i += id.length
           for {
@@ -1584,6 +1615,14 @@ object PromQL {
         histQuantile(rec(child, startSec, endSec), q)
       case HistFrac(lo, hi, child) =>
         histFraction(rec(child, startSec, endSec), lo, hi)
+      case HistStd(dev, child) =>
+        // desugar the three legs here (validated at parse) so each
+        // rides rec() and CSE-shares with sibling accessor terms
+        def leg(sfx: String): Expr = suffixSelectorNames(child, sfx)
+          .fold(e => throw new IllegalStateException(e), identity)
+        histStdDev(rec(leg("_bucket"), startSec, endSec),
+          rec(leg("_sum"), startSec, endSec),
+          rec(leg("_count"), startSec, endSec), dev)
       case Info(child, sel) =>
         // the info side rides the ordinary Instant path (store scan
         // pruned to target_info + the data-label selector, staleness
@@ -2647,6 +2686,63 @@ object PromQL {
           " * 1000000 + 0.5) AS BIGINT)").as("v_e6"))
   }
 
+  /** histogram_stddev/stdvar over classic cumulative buckets — see
+    * [[HistStd]] for the estimator conventions. The three legs are
+    * already instant vectors; everything below is per-(series, step)
+    * window + fold work on bucket-cardinality rows. */
+  private def histStdDev(buckets: DataFrame, sums: DataFrame,
+                         counts: DataFrame, dev: Boolean): DataFrame = {
+    val tagged = buckets
+      .withColumn("le_str",
+        expr("get(filter(labels, l -> startswith(l, 'le=')), 0)"))
+      .filter(col("le_str").isNotNull)
+      .withColumn("glabels",
+        expr("filter(labels, l -> NOT (startswith(l, 'le=')))"))
+      .withColumn("c", expr("CAST(v_e6 AS DOUBLE) / 1000000.0D"))
+    val w = Window.partitionBy(col("glabels"), col("t")).orderBy(col("le"))
+    // per-bucket count + geometric-midpoint value, le-sorted per series
+    val per = tagged.filter(col("le_str") =!= "le=+Inf")
+      .withColumn("le", expr("TRY_CAST(substring(le_str, 4) AS DOUBLE)"))
+      .filter(col("le").isNotNull)
+      .withColumn("prev_c", coalesce(lag(col("c"), 1).over(w), lit(0.0)))
+      .withColumn("prev_le", coalesce(lag(col("le"), 1).over(w), lit(0.0)))
+      .withColumn("cnt", expr("c - prev_c"))
+      .withColumn("bval", expr(
+        "CASE WHEN prev_le <= 0.0D AND 0.0D <= le THEN 0.0D " +
+        "WHEN le < 0.0D THEN 0.0D - sqrt(prev_le * le) " +
+        "ELSE sqrt(prev_le * le) END"))
+      .groupBy(col("glabels"), col("t"))
+      .agg(sort_array(collect_list(struct(col("le"), col("cnt"),
+        col("bval")))).as("bs"),
+        max(col("c")).as("finC"), max(col("le")).as("finLe"))
+    val top = tagged.filter(col("le_str") === "le=+Inf")
+      .select(col("glabels").as("ig"), col("t").as("it"),
+        col("c").as("total"))
+    val su = sums.select(col("labels").as("sg"), col("t").as("st"),
+      expr("CAST(v_e6 AS DOUBLE) / 1000000.0D").as("hsum"))
+    val ct = counts.select(col("labels").as("cg"), col("t").as("ctt"),
+      expr("CAST(v_e6 AS DOUBLE) / 1000000.0D").as("hcount"))
+    per
+      .join(top, col("glabels") === col("ig") && col("t") === col("it"))
+      .join(su, col("glabels") === col("sg") && col("t") === col("st"))
+      .join(ct, col("glabels") === col("cg") && col("t") === col("ctt"))
+      .filter(col("hcount") > 0.0)
+      .withColumn("mean", expr("hsum / hcount"))
+      // le-sorted fold, then the +Inf bucket's term (collapsed to the
+      // top finite bound), then the normalization — one fixed order
+      // the greatest(…, 0) floor: an inconsistent bucket/sum corpus
+      // (per-second dedup can decouple the legs) must answer 0, not NaN
+      .withColumn("variance", expr(
+        "greatest((aggregate(bs, CAST(0.0 AS DOUBLE), " +
+        "(a, x) -> a + x.cnt * (x.bval - mean) * (x.bval - mean)) + " +
+        "greatest(total - finC, 0.0D) * (finLe - mean) * (finLe - mean))" +
+        " / hcount, 0.0D)"))
+      .select(lit(null).cast("string").as("metric"),
+        col("glabels").as("labels"), col("t"),
+        expr(s"CAST(floor(${if (dev) "sqrt(variance)" else "variance"}" +
+          " * 1000000 + 0.5) AS BIGINT)").as("v_e6"))
+  }
+
   /** Matcher-filtered, time-bounded, per-second-deduped scan — the
     * same select shape as the remote-read path (pushed ts_us bounds +
     * day-partition pruning via SeriesRead.timeBound, per-second
@@ -3432,6 +3528,8 @@ object PromQL {
     case Info(child, sel) =>
       s"info(${format(child)}${
         if (sel.isEmpty) "" else ", " + selTxt(sel)})"
+    case HistStd(dev, child) =>
+      s"histogram_std${if (dev) "dev" else "var"}(${format(child)})"
     case Subquery(fn, child, d, res, off) =>
       s"$fn(${format(child)}[${d}s:${res}s]${offTxt(off)})"
     case Quantile(q, ms, d, off) =>
@@ -3572,6 +3670,9 @@ object PromQL {
       case Info(child, sel) =>
         call("info", astJson(child) +:
           (if (sel.isEmpty) Nil else Seq(vecSel(sel, 0))))
+      case HistStd(dev, child) =>
+        call(s"histogram_std${if (dev) "dev" else "var"}",
+          Seq(astJson(child)))
       case LabelJoin(child, dst, sep, srcs) =>
         call("label_join", Seq(astJson(child), str(dst), str(sep)) ++
           srcs.map(str))

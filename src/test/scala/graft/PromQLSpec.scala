@@ -892,7 +892,8 @@ class PromQLSpec extends SparkSpecBase {
       "(m) ^ 3", "-(m)", "mad_over_time(m[90s])",
       "irate(m[2m])", "changes(m[2m])", "deriv(m[2m])",
       s"sum_over_time(m[60s] @ start())", "m @ end()",
-      "info(m)", """info(sum by (job) (m), {os="linux",dc=~"d.*"})""")
+      "info(m)", """info(sum by (job) (m), {os="linux",dc=~"d.*"})""",
+      "histogram_stddev(m)", "histogram_stdvar(sum_over_time(m[60s]))")
     corpus.foreach { q =>
       val e1 = PromQL.parse(q).fold(
         err => sys.error(s"corpus must parse: $q → $err"), identity)
@@ -902,6 +903,30 @@ class PromQLSpec extends SparkSpecBase {
         identity)
       assert(e2 === e1, s"round-trip drift: $q → '$txt'")
     }
+  }
+
+  test("histogram_stddev/stdvar: geometric-midpoint estimator, hand-checked") {
+    import spark.implicits._
+    // buckets (0,1] cnt 2, (1,2] cnt 1, +Inf cnt 1; sum 6, count 4
+    // mean = 1.5; variance = (2·1.5² + (√2−1.5)² + (2−1.5)²) / 4
+    //          = (4.5 + 0.007359312880714923 + 0.25) / 4
+    //          = 1.1893398282201788 → stdvar_e6 1189340
+    // stddev = √1.1893398282201788 = 1.0905685…  → stddev_e6 1090569
+    val corpus = Seq(
+      (T0 * 1000000L, "m_bucket", Seq("host=a", "le=1"), 2.0),
+      (T0 * 1000000L, "m_bucket", Seq("host=a", "le=2"), 3.0),
+      (T0 * 1000000L, "m_bucket", Seq("host=a", "le=+Inf"), 4.0),
+      (T0 * 1000000L, "m_sum", Seq("host=a"), 6.0),
+      (T0 * 1000000L, "m_count", Seq("host=a"), 4.0)
+    ).toDF("ts_us", "metric", "labels", "value")
+    def one(q: String) = rows(PromQL.eval(corpus, parse(q).toOption.get,
+      T0, T0, 60L))
+    assert(one("histogram_stdvar(m)") ===
+      Set(("", "host=a", T0, 1189340L)))
+    assert(one("histogram_stddev(m)") ===
+      Set(("", "host=a", T0, 1090569L)))
+    // a scalar argument has no selectors to desugar — parse rejects
+    assert(PromQL.parse("histogram_stddev(1)").isLeft)
   }
 
   test("info() adopts target_info data labels by (instance, job) identity") {

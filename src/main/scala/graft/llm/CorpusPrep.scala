@@ -34,4 +34,35 @@ object CorpusPrep {
     Sampling.withSplit(kept, "doc_id")
       .select(col("doc_id"), col("quality_score_e6"), col("split"))
   }
+
+  /** The multilingual curation pipeline [[prepare]] grows into once
+    * a corpus spans languages: quality score + language ID + the
+    * Gopher rule gate ALL as appended columns on one scan (the
+    * multilingual stop union keeps the stopword rule fair across
+    * languages), exact dedup as the same single window shuffle,
+    * then α-TEMPERED language mixing (head languages down-sample
+    * toward the tail) and split assignment. Beyond [[prepare]]'s
+    * one-scan-one-shuffle the mixture adds exactly one tiny
+    * per-language count aggregate (column-pruned re-read of the
+    * gated pipeline) whose rates broadcast back — the corpus itself
+    * still never joins another corpus-sized frame. */
+  def prepareFull(documents: DataFrame, minQuality: Double = 0.5,
+                  alphaQuarters: Int = 2,
+                  budgetPermille: Int = 800): DataFrame = {
+    val allStops = TextAnalysis.StopWords.flatMap(_._2).distinct
+    val gated = TextAnalysis.withGopherRules(
+        TextAnalysis.withLangPred(TextAnalysis.withQualityScore(documents)),
+        minWords = 20, stops = allStops)
+      .filter(col("quality_score_e6") >= math.round(minQuality * 1e6) &&
+              col("pass") === 1)
+    val kept = gated
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("keep_id"))
+    val mixed = Sampling.temperatureMixture(kept, "pred_lang", "doc_id",
+      "cprep", alphaQuarters, budgetPermille)
+    Sampling.withSplit(mixed, "doc_id")
+      .select(col("doc_id"), col("pred_lang"), col("quality_score_e6"),
+        col("keep_rate"), col("split"))
+  }
 }

@@ -206,4 +206,55 @@ object Sampling {
     df.withColumn("keep_rate", rate.cast("int"))
       .filter(hashBucket(keyCol, salt, 1000) < col("keep_rate"))
   }
+
+  /** Temperature-tempered domain mixing — the multilingual
+    * α-sampling every mT5/XLM-R-style corpus uses: a group's target
+    * share is q_g ∝ n_g^α, so α < 1 flattens head domains toward the
+    * tail; realized as per-group permille keep rates over the same
+    * (salt, key) hash, so it composes with [[sampleMixture]] /
+    * [[withSplit]] like every sampler here. `budgetPermille` is the
+    * corpus-level target size (rate_g = budget·N·q_g/n_g, clamped
+    * at 1000 — a tail group the budget over-asks keeps everything).
+    *
+    * α is dyadic (quarters) so the power is a sqrt CHAIN — sqrt and
+    * multiply are correctly-rounded IEEE ops, making n^α
+    * bit-identical in any engine where a libm `pow` would not be;
+    * Σw/ΣN are group-SORTED folds for the same reason.
+    *
+    * Scale shape: one tiny per-group count aggregate (map-side
+    * combined to #groups rows), rates broadcast back — the corpus
+    * itself never shuffles. */
+  def temperatureMixture(df: DataFrame, groupCol: String, keyCol: String,
+                         salt: String, alphaQuarters: Int,
+                         budgetPermille: Int): DataFrame = {
+    require(alphaQuarters >= 1 && alphaQuarters <= 4,
+      s"alphaQuarters=$alphaQuarters must be 1..4 (α = quarters/4)")
+    val wExpr = alphaQuarters match {
+      case 1 => "sqrt(sqrt(nd))"
+      case 2 => "sqrt(nd)"
+      case 3 => "sqrt(nd) * sqrt(sqrt(nd))"
+      case _ => "nd"
+    }
+    // one counts pass: the group rows collect into ONE sorted array,
+    // totals come from folds over it, and the rates explode back out
+    // — the rate table never re-reads the corpus
+    val rates = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_g"))
+      .withColumn("nd", col("n_g").cast("double"))
+      .withColumn("w", expr(wExpr))
+      .agg(sort_array(collect_list(struct(col(groupCol).as("g"),
+        col("w"), col("n_g")))).as("gs"))
+      .select(
+        expr("aggregate(gs, CAST(0.0 AS DOUBLE), (a, x) -> a + x.w)")
+          .as("w_tot"),
+        expr("aggregate(gs, CAST(0 AS BIGINT), (a, x) -> a + x.n_g)")
+          .as("n_tot"),
+        explode(col("gs")).as("gx"))
+      .select(col("gx.g").as(groupCol),
+        expr(s"CAST(least(1000.0D, floor($budgetPermille * " +
+          "CAST(n_tot AS DOUBLE) * gx.w / " +
+          "(w_tot * CAST(gx.n_g AS DOUBLE)))) AS INT)").as("keep_rate"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(hashBucket(keyCol, salt, 1000) < col("keep_rate"))
+  }
 }

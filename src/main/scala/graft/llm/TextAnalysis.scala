@@ -143,9 +143,29 @@ object TextAnalysis {
                   minWords: Int = 50, maxWords: Int = 100000,
                   minMeanLen: Int = 3, maxMeanLen: Int = 10,
                   stops: Seq[String] = GopherStops): DataFrame =
-    withToks(documents)
-      .withColumn("n_words", size(col("toks")))
-      .withColumn("n_alpha", length(regexp_replace(col("text"), " ", "")))
+    withGopherRules(documents, minWords, maxWords, minMeanLen,
+        maxMeanLen, stops)
+      .select(col("doc_id"), col("n_words"), col("rule_word_count"),
+        col("rule_mean_word_len"), col("rule_alpha_words"),
+        col("rule_symbol_ratio"), col("rule_stopwords"), col("pass"))
+
+  /** The composable form of [[gopherRules]]: APPENDS the rule
+    * columns on the same scan, reusing toks/n_words/n_alpha when an
+    * upstream stage (e.g. [[withQualityScore]]) already computed
+    * them — pipelines stack gates without re-scanning. */
+  def withGopherRules(documents: DataFrame,
+                      minWords: Int = 50, maxWords: Int = 100000,
+                      minMeanLen: Int = 3, maxMeanLen: Int = 10,
+                      stops: Seq[String] = GopherStops): DataFrame = {
+    val base0 = withToks(documents)
+    val base1 =
+      if (base0.columns.contains("n_words")) base0
+      else base0.withColumn("n_words", size(col("toks")))
+    val base =
+      if (base1.columns.contains("n_alpha")) base1
+      else base1.withColumn("n_alpha",
+        length(regexp_replace(col("text"), " ", "")))
+    base
       .withColumn("n_alpha_words",
         size(filter(col("toks"), t => t.rlike("[a-zA-Z]"))))
       .withColumn("n_symbol_words", size(filter(col("toks"),
@@ -153,24 +173,24 @@ object TextAnalysis {
       .withColumn("n_stops_present", expr(
         s"size(filter(array${stops.map(w => s"'$w'")
           .mkString("(", ", ", ")")}, w -> array_contains(toks, w)))"))
-      .select(
-        col("doc_id"), col("n_words"),
-        expr(s"CAST(n_words >= $minWords AND n_words <= $maxWords AS INT)")
-          .as("rule_word_count"),
+      .withColumn("rule_word_count",
+        expr(s"CAST(n_words >= $minWords AND n_words <= $maxWords AS INT)"))
+      .withColumn("rule_mean_word_len",
         expr(s"CAST(n_alpha >= $minMeanLen * n_words AND " +
-          s"n_alpha <= $maxMeanLen * n_words AS INT)")
-          .as("rule_mean_word_len"),
-        // ≥80% of words carry an alphabetic char (×5 cross-multiply)
-        expr("CAST(n_alpha_words * 5 >= n_words * 4 AS INT)")
-          .as("rule_alpha_words"),
-        // symbol-to-word ratio ≤ 0.1 (×10 cross-multiply)
-        expr("CAST(n_symbol_words * 10 <= n_words AS INT)")
-          .as("rule_symbol_ratio"),
-        expr("CAST(n_stops_present >= 2 AS INT)").as("rule_stopwords"))
+          s"n_alpha <= $maxMeanLen * n_words AS INT)"))
+      // ≥80% of words carry an alphabetic char (×5 cross-multiply)
+      .withColumn("rule_alpha_words",
+        expr("CAST(n_alpha_words * 5 >= n_words * 4 AS INT)"))
+      // symbol-to-word ratio ≤ 0.1 (×10 cross-multiply)
+      .withColumn("rule_symbol_ratio",
+        expr("CAST(n_symbol_words * 10 <= n_words AS INT)"))
+      .withColumn("rule_stopwords",
+        expr("CAST(n_stops_present >= 2 AS INT)"))
       .withColumn("pass", expr(
         "CAST(rule_word_count = 1 AND rule_mean_word_len = 1 AND " +
         "rule_alpha_words = 1 AND rule_symbol_ratio = 1 AND " +
         "rule_stopwords = 1 AS INT)"))
+  }
 
   /** doc_id, whitespace token count, BPE-ish regex token count
     * (`[a-z0-9]+` runs plus isolated symbols), metadata check. */

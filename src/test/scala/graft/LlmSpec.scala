@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 class LlmSpec extends SparkSpecBase {
@@ -356,6 +356,55 @@ class LlmSpec extends SparkSpecBase {
     val real = Dedup.scrubRepeatedSpans(docs)
     assert(real.filter(length(col("text_clean")) > lit(0)).count() > 0)
     assert(real.filter(col("n_removed") < 0L || col("n_removed") > col("n_chunks")).count() === 0L)
+  }
+
+  test("full multilingual pipeline: gates hold, one tempered rate per language") {
+    import graft.llm.CorpusPrep
+    val out = CorpusPrep.prepareFull(docs).cache()
+    assert(out.count() > 0)
+    // the quality floor survives composition
+    assert(out.filter(col("quality_score_e6") < 500000L).count() === 0)
+    // exactly one keep rate per language, and dedup kept min ids only
+    val perLang = out.groupBy("pred_lang")
+      .agg(countDistinct(col("keep_rate")).as("nr"))
+    assert(perLang.filter(col("nr") =!= 1L).count() === 0)
+    assert(out.filter(!col("split").isin("train", "val", "test")).count() === 0)
+    // deterministic end to end
+    val again = CorpusPrep.prepareFull(docs)
+    assert(out.exceptAll(again).count() === 0 &&
+      again.exceptAll(out).count() === 0)
+    out.unpersist()
+  }
+
+  test("temperature mixing flattens head domains; α=1 at full budget keeps all") {
+    import spark.implicits._
+    // 400 head + 100 tail docs: raw shares 80/20; at α=1/2 the
+    // tempered shares are √400:√100 = 2:1, so with budget 500‰
+    // (250 target docs) head rate = 250·(2/3)/400 = 416‰ and tail
+    // rate = 250·(1/3)/100 = 833‰ — the tail keeps proportionally
+    // MORE of itself
+    val corpus = ((1 to 400).map(i => (i.toLong, "head")) ++
+      (401 to 500).map(i => (i.toLong, "tail"))).toDF("doc_id", "grp")
+    val out = Sampling.temperatureMixture(corpus, "grp", "doc_id", "t",
+      alphaQuarters = 2, budgetPermille = 500)
+    val rates = out.select("grp", "keep_rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rates("head") === 416 && rates("tail") === 833, rates)
+    // kept sets follow the hash exactly — deterministic across runs
+    val again = Sampling.temperatureMixture(corpus, "grp", "doc_id", "t",
+      alphaQuarters = 2, budgetPermille = 500)
+    assert(out.exceptAll(again).count() === 0)
+    // α = 1 with a full budget is the identity mixture
+    val all = Sampling.temperatureMixture(corpus, "grp", "doc_id", "t",
+      alphaQuarters = 4, budgetPermille = 1000)
+    assert(all.count() === 500)
+    // α = 1/4 flattens harder than α = 1/2
+    val harder = Sampling.temperatureMixture(corpus, "grp", "doc_id", "t",
+      alphaQuarters = 1, budgetPermille = 500)
+      .select("grp", "keep_rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(harder("tail") > rates("tail") && harder("head") < rates("head"),
+      harder)
   }
 
   test("gopher rule gate: each rule trips on its own violation, pass is the conjunction") {

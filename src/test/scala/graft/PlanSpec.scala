@@ -227,6 +227,23 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Window"), s"expected the dedup window:\n$p")
   }
 
+  test("full multilingual pipeline: gates stack on the dedup scan, rates broadcast") {
+    spark.catalog.clearCache()
+    val df = graft.llm.CorpusPrep.prepareFull(Tables.documents(spark, Sf))
+    val p = plan(df)
+    // the output side reads the corpus once through all three gates
+    // + the dedup window; the mixture's count leg re-reads a pruned
+    // scan — two scans total, never three
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"expected <= 2 corpus scans, found $scans:\n$p")
+    assert(p.contains("Window"), s"expected the dedup window:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"mixture rates not broadcast:\n$p")
+    assert(!p.contains("hashpartitioning(doc_id"),
+      s"corpus shuffles by doc_id:\n$p")
+    assert(!p.contains("ScalaUDF"), s"pipeline plans a UDF:\n$p")
+  }
+
   test("token-budget prefix sum broadcasts shard offsets, never sorts globally") {
     val p = plan(graft.llm.Sampling.tokenBudget(
       Tables.documents(spark, Sf), "doc_id", "order", 5000L))
@@ -308,6 +325,19 @@ class PlanSpec extends SparkSpecBase {
     val p = plan(df)
     assert(!p.contains("Exchange"), s"gopher rules shuffle:\n$p")
     assert(!p.contains("ScalaUDF"), s"gopher rules plan a UDF:\n$p")
+  }
+
+  test("temperature mixing broadcasts its rate table — the corpus never shuffles") {
+    val df = graft.llm.Sampling.temperatureMixture(
+      Tables.documents(spark, Sf), "lang", "doc_id", "t", 2, 500)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"rates not broadcast:\n$p")
+    // the only exchanges allowed are on the TINY per-group count
+    // side (group cardinality) and the broadcasts themselves — no
+    // hash exchange keyed by doc_id ever appears
+    assert(!p.contains("hashpartitioning(doc_id"),
+      s"corpus shuffles by doc_id:\n$p")
   }
 
   test("no SparkEntry plan contains a cartesian product; ann joins broadcast") {

@@ -237,6 +237,78 @@ object Dedup {
       .select(col("doc_id"), col("_hit").isNull.cast("int").as("kept"))
   }
 
+  /** STREAMING crawl-by-crawl MinHash dedup — [[incrementalKeep]]'s
+    * online twin. Each micro-batch (one crawl file) probes the
+    * PERSISTED band-key state of every crawl before it and flags
+    * docs sharing any LSH bucket; then ALL the batch's band keys
+    * append to the state (flagged docs' too, so a third copy keeps
+    * dropping even when its second copy was itself dropped).
+    * foreachBatch + a parquet band-key table is the production
+    * shape: the state is exactly the persistable fingerprint set —
+    * (band, band_sig) pairs, never text — and each batch pays only
+    * the incremental probe (new-side signatures, one left-semi join
+    * against state keys, two appends).
+    *
+    * Convention matched to [[incrementalKeep]]: docs drop only
+    * against EARLIER crawls; within-crawl duplicates both pass
+    * (within-crawl dedup is [[minhashKeep]], composable upstream).
+    * Batch order is the file-source order (mtime, path) — the query
+    * fixture stamps crawl files with ascending mtimes.
+    *
+    * Output: one row per arriving doc, (doc_id, crawl, kept). */
+  def streamIncrementalKeep(spark: org.apache.spark.sql.SparkSession,
+                            srcDir: String, workDir: String,
+                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("crawl", IntegerType)))
+    val stateDir = s"$workDir/state"
+    val outDir = s"$workDir/kept"
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(workDir))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        // checkpointed once: the same banded rows are probed AND
+        // appended — no double signature computation, flat lineage
+        val banded = capBuckets(
+          minhashSignatures(batch)
+            .select(col("doc_id"),
+              posexplode(col("bands")).as(Seq("band", "band_sig"))),
+          Seq("band", "band_sig"), maxBucket)
+          .localCheckpoint()
+        val statePath = new org.apache.hadoop.fs.Path(stateDir)
+        val haveState = statePath
+          .getFileSystem(sp.sparkContext.hadoopConfiguration)
+          .exists(statePath)
+        val hit =
+          if (!haveState) banded.limit(0).select(col("doc_id"))
+          else banded.join(
+            sp.read.parquet(stateDir).select("band", "band_sig").distinct(),
+            Seq("band", "band_sig"), "left_semi")
+            .select(col("doc_id")).distinct()
+        batch.select(col("doc_id"), col("crawl"))
+          .join(hit.withColumn("_hit", lit(1)), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("crawl"),
+            col("_hit").isNull.cast("int").as("kept"))
+          .write.mode("append").parquet(outDir)
+        banded.select(col("band"), col("band_sig")).distinct()
+          .write.mode("append").parquet(stateDir)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Connected components over near-duplicate candidate pairs — the
     * union-find step between pair DETECTION (minhash/simhash emit
     * pairs) and cluster-level dedup POLICY (keep exactly one doc per

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.ingest.StreamIngest
+import graft.llm.Dedup
 import graft.sources.Tables
 
 /** Structured Streaming ingestion invariants, sf0.001. */
@@ -19,6 +20,44 @@ class StreamSpec extends SparkSpecBase {
       .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
     assert(out.exceptAll(expected).count() == 0 && expected.exceptAll(out).count() == 0,
       "deduped replayed stream must equal a single copy of events")
+  }
+
+  test("streaming minhash dedup: first crawl wins, state remembers dropped copies") {
+    import spark.implicits._
+    val base = "/tmp/graft_test/stream_mh"
+    val src = s"$base/src"
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf); p.delete(); ()
+    }
+    rmrf(new java.io.File(base))
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val crawls = Seq(
+      // crawl 0: a within-crawl duplicate pair — BOTH keep
+      Seq((1L, dup), (2L, dup)),
+      // crawl 1: a copy of crawl 0's text drops; a unique doc keeps
+      Seq((3L, dup), (4L, "one completely unrelated document body here")),
+      // crawl 2: another copy still drops, even though crawl 1's
+      // copy was itself dropped (its keys entered the state anyway)
+      Seq((5L, dup)))
+    val t0 = System.currentTimeMillis()
+    crawls.zipWithIndex.foreach { case (docs, k) =>
+      val tmp = s"$base/tmp$k"
+      docs.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit(k).cast("int").as("crawl"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, s"crawl$k.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + k * 60000L)
+    }
+    val out = Dedup.streamIncrementalKeep(spark, src, s"$base/dd")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(out === Map(
+      1L -> ((0, 1)), 2L -> ((0, 1)),
+      3L -> ((1, 0)), 4L -> ((1, 1)),
+      5L -> ((2, 0))))
   }
 
   test("foreachBatch streaming ingestion lands the store layout") {

@@ -764,6 +764,34 @@ object SparkEntry {
       Dedup.incrementalKeep(Tables.documents(s, dir),
         col("doc_id") % 3 === 0)),
 
+    // STREAMING crawl-by-crawl dedup: three crawl files (doc_id mod
+    // 3) with ascending mtimes so the file source replays them in
+    // crawl order; each micro-batch probes the persisted band-key
+    // state of the crawls before it
+    "stream_dedup_minhash" -> ((s, dir) => {
+      val src = workDir("stream_docs_src", dir)
+      payOnce(s, src, s"${srcFingerprint(s, dir, "documents")}:crawls=3:v1") {
+        val base = System.currentTimeMillis()
+        (0 until 3).foreach { k =>
+          val tmp = src + s"_tmp$k"
+          Tables.documents(s, dir)
+            .filter(pmod(col("doc_id"), lit(3)) === k)
+            .select(col("doc_id"), col("text"), lit(k).cast("int").as("crawl"))
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(src, s"crawl$k.parquet")
+          dst.getParentFile.mkdirs()
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(base + k * 60000L)
+          new java.io.File(tmp).listFiles().foreach(_.delete())
+          new java.io.File(tmp).delete()
+        }
+      }
+      Dedup.streamIncrementalKeep(s, src, workDir("stream_docs_dd", dir))
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), 0.8)),
 
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 8)),
@@ -963,6 +991,14 @@ object SparkEntry {
             "src3" -> 500, "src4" -> 250), defaultPermille = 100)
         .select(col("doc_id"), col("source"), col("keep_rate"))),
 
+    // α-tempered language mixing (α = 1/2, 60% corpus budget): the
+    // skewed-lang corpus flattens toward the tail — head langs
+    // down-sample, tail langs keep more of themselves
+    "sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureMixture(Tables.documents(s, dir), "lang",
+          "doc_id", "temp", alphaQuarters = 2, budgetPermille = 600)
+        .select(col("doc_id"), col("lang"), col("keep_rate"))),
+
     // Symmetric int8 embedding quantization (per-vector scale).
     // The array-valued qvec is flattened to a ','-joined string for
     // the oracle comparator (SURVEY §6 convention — array columns
@@ -978,6 +1014,12 @@ object SparkEntry {
     // shuffle (the dedup window) — plan-asserted in PlanSpec.
     "pipeline_corpus_prep" -> ((s, dir) =>
       graft.llm.CorpusPrep.prepare(Tables.documents(s, dir))),
+
+    // the multilingual curation capstone: quality + langid + gopher
+    // gates on ONE scan, exact dedup's single window shuffle, then
+    // α-tempered language mixing and split assignment
+    "pipeline_corpus_prep_full" -> ((s, dir) =>
+      graft.llm.CorpusPrep.prepareFull(Tables.documents(s, dir))),
 
     // ---- §2.7 multimodal -------------------------------------------
     "mm_binary_pipeline" -> ((s, dir) =>
@@ -1450,6 +1492,28 @@ object SparkEntry {
       promqlStr(PromQL.eval(sums.unionByName(counts),
         parsePromQL("histogram_avg(sum_over_time(lat[1d]))" +
           " + histogram_count(sum_over_time(lat[1d]))"),
+        WinStartSec, WinEndSec, 86400L))
+    }),
+
+    // histogram_stdvar over a full classic triplet (_bucket/_sum/
+    // _count built from the same click events): geometric-midpoint
+    // estimator, le-sorted fold, +Inf collapsed to the top bound
+    "promql_hist_stdvar" -> ((s, dir) => {
+      val clicks = samples(s, dir).filter(col("metric") === "click")
+      val parts = Seq("2", "5", "10").map { le =>
+        clicks.select(col("ts_us"), lit("lat_bucket").as("metric"),
+          array_sort(concat(col("labels"), array(lit(s"le=$le")))).as("labels"),
+          when(col("value") <= le.toDouble, 1.0).otherwise(0.0).as("value"))
+      } ++ Seq(
+        clicks.select(col("ts_us"), lit("lat_bucket").as("metric"),
+          array_sort(concat(col("labels"), array(lit("le=+Inf")))).as("labels"),
+          lit(1.0).as("value")),
+        clicks.select(col("ts_us"), lit("lat_sum").as("metric"),
+          col("labels"), col("value")),
+        clicks.select(col("ts_us"), lit("lat_count").as("metric"),
+          col("labels"), lit(1.0).as("value")))
+      promqlStr(PromQL.eval(parts.reduce(_ unionByName _),
+        parsePromQL("histogram_stdvar(sum_over_time(lat[1d]))"),
         WinStartSec, WinEndSec, 86400L))
     }),
   )
@@ -2455,6 +2519,22 @@ object SparkEntry {
          |FROM flags f LEFT JOIN hit h USING (doc_id)
          |WHERE f.isnew""".stripMargin,
 
+    // streaming crawl order = doc_id mod 3; a doc drops iff it
+    // shares a band bucket with ANY doc from an earlier crawl
+    // (kept or dropped — all arriving band keys enter the state)
+    "stream_dedup_minhash" ->
+      s"""$minhashCte, flags AS (
+         |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS crawl FROM documents
+         |), hit AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM banded b JOIN flags f USING (doc_id)
+         |  JOIN banded b2 ON b.band = b2.band AND b.band_sig = b2.band_sig
+         |  JOIN flags f2 ON b2.doc_id = f2.doc_id
+         |  WHERE f2.crawl < f.crawl
+         |)
+         |SELECT f.doc_id, f.crawl, CAST(h.doc_id IS NULL AS INT) AS kept
+         |FROM flags f LEFT JOIN hit h USING (doc_id)""".stripMargin,
+
     // the global running sum over the hash order, one window
     "sample_token_budget" ->
       s"""WITH tb AS (
@@ -3257,6 +3337,28 @@ object SparkEntry {
          |SELECT doc_id, source, keep_rate FROM r
          |WHERE ${duckHash("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000 < keep_rate""".stripMargin,
 
+    // α = 1/2 via sqrt (correctly-rounded IEEE — no libm pow);
+    // Σw/ΣN as lang-SORTED folds, mirroring the Spark plan exactly
+    "sample_temperature" ->
+      s"""WITH c AS (
+         |  SELECT lang, count(*) AS n_g, sqrt(CAST(count(*) AS DOUBLE)) AS w
+         |  FROM documents GROUP BY lang
+         |), tot AS (
+         |  SELECT list_reduce(list_prepend(0.0::DOUBLE,
+         |           list(w ORDER BY lang)), (a, x) -> a + x) AS w_tot,
+         |         list_reduce(list_prepend(0::BIGINT,
+         |           list(n_g ORDER BY lang)), (a, x) -> a + x) AS n_tot
+         |  FROM c
+         |), r AS (
+         |  SELECT c.lang,
+         |         CAST(least(1000.0, floor(600 * CAST(t.n_tot AS DOUBLE) * c.w
+         |           / (t.w_tot * CAST(c.n_g AS DOUBLE)))) AS INT) AS keep_rate
+         |  FROM c, tot t
+         |)
+         |SELECT d.doc_id, d.lang, r.keep_rate
+         |FROM documents d JOIN r ON d.lang = r.lang
+         |WHERE ${duckHash("'temp:' || CAST(doc_id AS VARCHAR)")} % 1000 < keep_rate""".stripMargin,
+
     // scale = max|x|/127, q = halfUp(x/max|x|·127) — float32 inputs
     // are exact in double, so the per-element IEEE ops match
     "embedding_quantize" ->
@@ -3282,6 +3384,74 @@ object SparkEntry {
          |       WHEN ${duckHash("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 900 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM kept WHERE doc_id = keep_id""".stripMargin,
+
+    "pipeline_corpus_prep_full" -> {
+      def score(words: Seq[String]) =
+        s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+      val Seq(en, es, de, fr) = TextAnalysis.StopWords.map(_._2)
+      val allStops = TextAnalysis.StopWords.flatMap(_._2).distinct
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         |         length(replace(text, ' ', '')) AS n_alpha
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id, text, toks, n_alpha, len(toks) AS n_words,
+         |         ${score(en)} AS score_en, ${score(es)} AS score_es,
+         |         ${score(de)} AS score_de, ${score(fr)} AS score_fr
+         |  FROM t
+         |), g AS (
+         |  SELECT doc_id, text, toks, n_alpha, n_words,
+         |    least(n_words::BIGINT * 5000, 500000) +
+         |    least(score_en::BIGINT * 1500000 // n_words, 300000) +
+         |    CASE WHEN n_alpha >= 3 * n_words AND n_alpha <= 8 * n_words
+         |         THEN 200000 ELSE 0 END AS quality_score_e6,
+         |    CASE
+         |      WHEN score_en = 0 AND score_es = 0 AND score_de = 0 AND score_fr = 0 THEN 'und'
+         |      WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+         |      WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+         |      WHEN score_de >= score_fr THEN 'de'
+         |      ELSE 'fr'
+         |    END AS pred_lang
+         |  FROM f
+         |), gated AS (
+         |  SELECT doc_id, text, pred_lang, quality_score_e6 FROM g
+         |  WHERE quality_score_e6 >= 500000
+         |    AND n_words >= 20 AND n_words <= 100000
+         |    AND n_alpha >= 3 * n_words AND n_alpha <= 10 * n_words
+         |    AND len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) * 5
+         |          >= n_words * 4
+         |    AND len(list_filter(toks, t -> t LIKE '#%' OR t LIKE '%...%')) * 10
+         |          <= n_words
+         |    AND len(list_filter([$allStops], w -> list_contains(toks, w))) >= 2
+         |), dd AS (
+         |  SELECT doc_id, pred_lang, quality_score_e6 FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+         |    FROM gated)
+         |  WHERE doc_id = keep_id
+         |), c AS (
+         |  SELECT pred_lang, count(*) AS n_g,
+         |         sqrt(CAST(count(*) AS DOUBLE)) AS w
+         |  FROM dd GROUP BY pred_lang
+         |), tot AS (
+         |  SELECT list_reduce(list_prepend(0.0::DOUBLE,
+         |           list(w ORDER BY pred_lang)), (a, x) -> a + x) AS w_tot,
+         |         list_reduce(list_prepend(0::BIGINT,
+         |           list(n_g ORDER BY pred_lang)), (a, x) -> a + x) AS n_tot
+         |  FROM c
+         |), r AS (
+         |  SELECT c.pred_lang,
+         |         CAST(least(1000.0, floor(800 * CAST(t2.n_tot AS DOUBLE) * c.w
+         |           / (t2.w_tot * CAST(c.n_g AS DOUBLE)))) AS INT) AS keep_rate
+         |  FROM c, tot t2
+         |)
+         |SELECT d.doc_id, d.pred_lang, d.quality_score_e6, r.keep_rate,
+         |  CASE WHEN ${duckHash("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 800 THEN 'train'
+         |       WHEN ${duckHash("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM dd d JOIN r ON d.pred_lang = r.pred_lang
+         |WHERE ${duckHash("'cprep:' || CAST(doc_id AS VARCHAR)")} % 1000 < r.keep_rate""".stripMargin
+    },
 
     // the prepared train split fed straight into sequence packing —
     // the full front-of-training composition
@@ -4621,6 +4791,88 @@ object SparkEntry {
          |            * 1000000.0 + 0.5) AS BIGINT) + c1.v_e6 AS v_e6
          |FROM s1 JOIN c1 ON s1.labels = c1.labels AND s1.t = c1.t
          |WHERE c1.v_e6 != 0""".stripMargin,
+
+    // histogram_stdvar: the estimator replicated leg by leg — the
+    // bval terms are precomputed COLUMNS, the variance sum one
+    // standalone le-ordered fold (the safe list_reduce shape)
+    "promql_hist_stdvar" ->
+      s"""$S, legs AS (
+         |  SELECT ts_us, 'lat_bucket' AS metric,
+         |         list_sort(list_append(labels, 'le=' || le.l)) AS labels,
+         |         CASE WHEN le.l = '+Inf' THEN 1.0
+         |              WHEN value <= CAST(le.l AS DOUBLE) THEN 1.0
+         |              ELSE 0.0 END AS value
+         |  FROM samples, (VALUES ('2'), ('5'), ('10'), ('+Inf')) le(l)
+         |  WHERE metric = 'click'
+         |  UNION ALL
+         |  SELECT ts_us, 'lat_sum', labels, value FROM samples
+         |  WHERE metric = 'click'
+         |  UNION ALL
+         |  SELECT ts_us, 'lat_count', labels, 1.0 FROM samples
+         |  WHERE metric = 'click'
+         |), deduped AS (
+         |  SELECT metric, labels, ts_us // 1000000 AS t_sec, max(value) AS value
+         |  FROM legs GROUP BY 1, 2, 3
+         |), grid AS (SELECT unnest(range(0, 16)) AS k),
+         |j AS (
+         |  SELECT s.metric, s.labels, $WinStartSec + g.k * 86400 AS t, s.value
+         |  FROM deduped s JOIN grid g
+         |    ON s.t_sec >= $WinStartSec + g.k * 86400 - 86400
+         |   AND s.t_sec <  $WinStartSec + g.k * 86400
+         |  WHERE s.t_sec >= ${WinStartSec - 86400} AND s.t_sec <= ${WinEndSec - 1}
+         |), sot AS (
+         |  SELECT metric, labels, t,
+         |         CAST(CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) * 10000
+         |              AS DOUBLE) / 1000000.0 AS c
+         |  FROM j GROUP BY 1, 2, 3
+         |), tagged AS (
+         |  SELECT list_filter(labels, l -> l LIKE 'le=%')[1] AS le_str,
+         |         list_filter(labels, l -> NOT (l LIKE 'le=%')) AS glabels,
+         |         t, c
+         |  FROM sot WHERE metric = 'lat_bucket'
+         |), finite AS (
+         |  SELECT glabels, t, CAST(substr(le_str, 4) AS DOUBLE) AS le, c,
+         |         coalesce(lag(c) OVER w, 0.0) AS prev_c,
+         |         coalesce(lag(CAST(substr(le_str, 4) AS DOUBLE)) OVER w, 0.0)
+         |           AS prev_le
+         |  FROM tagged WHERE le_str != 'le=+Inf'
+         |  WINDOW w AS (PARTITION BY glabels, t
+         |               ORDER BY CAST(substr(le_str, 4) AS DOUBLE))
+         |), totals AS (
+         |  SELECT glabels, t, c AS total FROM tagged WHERE le_str = 'le=+Inf'
+         |), mn AS (
+         |  SELECT s.labels AS glabels, s.t, n.c AS hcount, s.c / n.c AS mean
+         |  FROM (SELECT labels, t, c FROM sot WHERE metric = 'lat_sum') s
+         |  JOIN (SELECT labels, t, c FROM sot WHERE metric = 'lat_count') n
+         |    ON s.labels = n.labels AND s.t = n.t
+         |  WHERE n.c > 0.0
+         |), bvals AS (
+         |  SELECT f.glabels, f.t, f.le, f.c, (f.c - f.prev_c) AS cnt,
+         |         CASE WHEN f.prev_le <= 0.0 AND 0.0 <= f.le THEN 0.0
+         |              WHEN f.le < 0.0 THEN 0.0 - sqrt(f.prev_le * f.le)
+         |              ELSE sqrt(f.prev_le * f.le) END AS bval,
+         |         m.mean, m.hcount
+         |  FROM finite f JOIN mn m ON f.glabels = m.glabels AND f.t = m.t
+         |), terms AS (
+         |  SELECT glabels, t, le, c, mean, hcount,
+         |         cnt * (bval - mean) * (bval - mean) AS term
+         |  FROM bvals
+         |), agg AS (
+         |  SELECT glabels, t,
+         |         list_reduce(list_prepend(0.0::DOUBLE,
+         |           list(term ORDER BY le)), (a, x) -> a + x) AS s0,
+         |         max(c) AS finC, max(le) AS finLe,
+         |         max(mean) AS mean, max(hcount) AS hcount
+         |  FROM terms GROUP BY 1, 2
+         |)
+         |SELECT CAST(NULL AS VARCHAR) AS metric,
+         |       array_to_string(a.glabels, ',') AS labels_str, a.t,
+         |       CAST(floor(greatest((a.s0 +
+         |         greatest(tt.total - a.finC, 0.0) * (a.finLe - a.mean)
+         |           * (a.finLe - a.mean)) / a.hcount, 0.0)
+         |         * 1000000 + 0.5) AS BIGINT) AS v_e6
+         |FROM agg a JOIN totals tt
+         |  ON tt.glabels = a.glabels AND tt.t = a.t""".stripMargin,
 
     // without (k): merge each user's k-series, integer half-up mean
     "promql_without" ->

@@ -52,13 +52,17 @@ object RollupStore {
     * last_over_time serve from the rollup. v3 adds the bucket's
     * SECOND-latest point (t_penult/v_penult): a window's final two
     * samples are always among the union of each bucket's last two,
-    * so irate/idelta serve exactly from rollup rows too. A
+    * so irate/idelta serve exactly from rollup rows too. v4 adds the
+    * EXACT integer moments sy_e2/syy_e4 (per-sample e2 snap — the
+    * 2-decimal store's lossless form — then integer sums), whose
+    * associativity is what makes rollup-re-aggregated
+    * stddev/stdvar_over_time byte-equal to the raw path. A
     * previous-version store (no/lower `schema` manifest line) is
     * treated as absent by [[rollup]] — the next maintenance pass
     * rebuilds it in full — and stale by [[freshFor]], so serving
     * self-heals onto raw scans until the rebuild lands;
     * mixed-schema data files are never planned together. */
-  val SchemaVersion = 3
+  val SchemaVersion = 4
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -244,7 +248,13 @@ object RollupStore {
                  min_by(col("v"), col("t_sec")).as("v_first"),
                  max_by(col("v"), col("t_sec")).as("v_last"),
                  max(when(col("_rk") === 2, col("t_sec"))).as("t_penult"),
-                 max(when(col("_rk") === 2, col("v"))).as("v_penult"))
+                 max(when(col("_rk") === 2, col("v"))).as("v_penult"),
+                 // schema v4: exact integer moments (per-sample e2
+                 // snap then integer sums — associative, so window
+                 // re-aggregation reproduces the raw moments exactly)
+                 sum(expr("CAST(floor(v * 100 + 0.5) AS BIGINT)")).as("sy_e2"),
+                 sum(expr("CAST(floor(v * 100 + 0.5) AS BIGINT) * " +
+                   "CAST(floor(v * 100 + 0.5) AS BIGINT)")).as("syy_e4"))
           val staging = new Path(rollupPath, s".staging-${java.util.UUID.randomUUID()}")
           fs.delete(staging, true)
           rolled
@@ -283,9 +293,10 @@ object RollupStore {
     * store: a concurrent [[rollup]] never yanks a planned file before
     * the GC grace). Columns: date, metric, labels, bucket,
     * min_value, max_value, sum_value, n_points, the (schema v2)
-    * bucket edge points t_first, t_last, v_first, v_last, and the
+    * bucket edge points t_first, t_last, v_first, v_last, the
     * (schema v3) penultimate point t_penult, v_penult (NULL on
-    * single-sample buckets). */
+    * single-sample buckets), and the (schema v4) exact integer
+    * moments sy_e2, syy_e4. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val fs = fsFor(spark, path)
     latestRollup(fs, new Path(path)) match {
@@ -307,6 +318,7 @@ object RollupStore {
         StructField("t_first", LongType), StructField("t_last", LongType),
         StructField("v_first", DoubleType), StructField("v_last", DoubleType),
         StructField("t_penult", LongType), StructField("v_penult", DoubleType),
+        StructField("sy_e2", LongType), StructField("syy_e4", LongType),
         StructField("date", IntegerType))))
   }
 

@@ -427,7 +427,8 @@ object PromQL {
     * so the exact pair reassembles from rollup rows. */
   private val RollupServable: Set[String] = Set("sum_over_time",
     "min_over_time", "max_over_time", "count_over_time", "avg_over_time",
-    "last_over_time", "rate", "increase", "delta", "irate", "idelta")
+    "last_over_time", "rate", "increase", "delta", "irate", "idelta",
+    "stddev_over_time", "stdvar_over_time")
 
   // ---- Parser -----------------------------------------------------
 
@@ -2788,8 +2789,14 @@ object PromQL {
       .groupBy(col("metric"), col("labels"), col("t"))
       .agg(count(lit(1)).as("n"),
         expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").as("sum_e2"),
-        sum(col("value")).as("sy"),
-        sum(col("value") * col("value")).as("syy"),
+        // INTEGER moments: each sample snaps to e2 BEFORE summing
+        // (lossless on the 2-decimal store), so Σv/Σv² are exact
+        // associative integer sums — identical under ANY grouping,
+        // which is what lets the rollup path re-aggregate them
+        // byte-exactly (bounds: |v|≤1e7 → v_e2²≤1e18/n headroom)
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("sy_e2"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT) * " +
+          "CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("syy_e4"),
         min(col("value")).as("vmin"), max(col("value")).as("vmax"),
         min(col("t_sec")).as("t_first"), max(col("t_sec")).as("t_last"),
         min_by(col("value"), col("t_sec")).as("v_first"),
@@ -2818,15 +2825,22 @@ object PromQL {
         stats.select(base :+
           expr("CAST(floor(v_last * 1000000 + 0.5) AS BIGINT)").as("v_e6"): _*)
       case "stddev_over_time" =>
-        // the population-stddev formula ts_stddev_over_time proved
-        // engine-portable (explicit Σv/Σv², clamped before the sqrt)
+        // clamped population moments over the EXACT integer sums —
+        // the double chain starts from integers both paths (raw,
+        // rollup re-aggregation) reproduce identically
         stats.select(base :+ expr(
-          "CAST(floor(sqrt(greatest(syy / n - (sy / n) * (sy / n), 0.0D)) " +
+          "CAST(floor(sqrt(greatest(" +
+          "CAST(syy_e4 AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0D) - " +
+          "(CAST(sy_e2 AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0D)) * " +
+          "(CAST(sy_e2 AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0D)), 0.0D)) " +
           "* 1000000 + 0.5) AS BIGINT)").as("v_e6"): _*)
       case "stdvar_over_time" =>
         // the same clamped moment formula without the sqrt
         stats.select(base :+ expr(
-          "CAST(floor(greatest(syy / n - (sy / n) * (sy / n), 0.0D) " +
+          "CAST(floor(greatest(" +
+          "CAST(syy_e4 AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0D) - " +
+          "(CAST(sy_e2 AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0D)) * " +
+          "(CAST(sy_e2 AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0D)), 0.0D) " +
           "* 1000000 + 0.5) AS BIGINT)").as("v_e6"): _*)
       case "present_over_time" =>
         // any sample in the window answers 1 (the window having a
@@ -3220,6 +3234,10 @@ object PromQL {
           .groupBy(col("metric"), col("labels"), col("t"))
           .agg(sum(col("n_points")).as("n"),
             expr("CAST(floor(sum(sum_value) * 100 + 0.5) AS BIGINT)").as("sum_e2"),
+            // v4 integer moments re-aggregate EXACTLY (associative
+            // integer sums — the raw path's very values)
+            sum(col("sy_e2")).as("sy_e2"),
+            sum(col("syy_e4")).as("syy_e4"),
             min(col("min_value")).as("vmin"), max(col("max_value")).as("vmax"),
             min(col("t_first")).as("t_first"), max(col("t_last")).as("t_last"),
             expr("min_by(v_first, t_first)").as("v_first"),

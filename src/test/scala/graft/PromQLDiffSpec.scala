@@ -463,9 +463,14 @@ class PromQLDiffSpec extends SparkSpecBase {
       case "last_over_time"  => Some(e6(w.maxBy(_._1)._2))
       case "present_over_time" => Some(1000000L)
       case "stddev_over_time" | "stdvar_over_time" =>
-        val sy = vs.sum
-        val syy = vs.map(x => x * x).sum
-        val mom = math.max(syy / n - (sy / n) * (sy / n), 0.0d)
+        // exact integer moments (per-sample e2 snap, associative
+        // sums) — the engine's rollup-servable formula
+        val e2 = vs.map(x => math.floor(x * 100 + 0.5).toLong)
+        val sy = e2.sum
+        val syy = e2.map(x => x * x).sum
+        val mom = math.max(
+          syy.toDouble / (n * 10000.0d) -
+            (sy.toDouble / (n * 100.0d)) * (sy.toDouble / (n * 100.0d)), 0.0d)
         if (fn == "stddev_over_time")
           Some(math.floor(math.sqrt(mom) * 1000000 + 0.5).toLong)
         else Some(math.floor(mom * 1000000 + 0.5).toLong)

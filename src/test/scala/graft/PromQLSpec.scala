@@ -1402,9 +1402,12 @@ class PromQLSpec extends SparkSpecBase {
     // last_over_time/rate/increase/delta byte-exact, and the
     // schema-v3 PENULTIMATE points the same for irate/idelta (the
     // window's final two samples reassemble from per-bucket pairs)
+    // stddev/stdvar ride the schema-v4 exact integer moments — the
+    // associative sums are what makes the re-aggregation byte-exact
     for (fn <- Seq("min_over_time", "max_over_time", "count_over_time",
                    "avg_over_time", "last_over_time", "rate", "increase",
-                   "delta", "irate", "idelta")) {
+                   "delta", "irate", "idelta",
+                   "stddev_over_time", "stdvar_over_time")) {
       val eF = parse(s"$fn(click[2h])").toOption.get
       val bF = m.readsFromRollup.value
       val routedF = rows(PromQL.eval(stored, eF, start, end, step,

@@ -330,6 +330,23 @@ object SparkEntry {
         rollup = Some(PromQL.RollupGrid(path, rpath, 3600L))))
     }),
 
+    // schema-v4 exact integer moments: stdvar over coarse aligned
+    // windows re-aggregates from rollup rows byte-exactly
+    "store_rollup_serve_stdvar" -> ((s, dir) => {
+      val path = workDir("rollupservestdvar", dir)
+      val rpath = workDir("rollupservestdvar_roll", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.delete(new org.apache.hadoop.fs.Path(rpath), true)
+      SamplesStore.write(samples(s, dir), path)
+      RollupStore.rollup(s, path, rpath, 3600L)
+      promqlStr(PromQL.eval(SamplesStore.read(s, path),
+        parsePromQL("stdvar_over_time(click[2h])"),
+        WinStartSec + 7200, WinEndSec, 7200L,
+        rollup = Some(PromQL.RollupGrid(path, rpath, 3600L))))
+    }),
+
     // schema-v2 edge points: the DASHBOARD query (rate over coarse
     // aligned windows) serves from rollup rows, byte-exact
     "store_rollup_serve_rate" -> ((s, dir) => {
@@ -1977,6 +1994,30 @@ object SparkEntry {
          |WHERE metric = 'click'
          |  AND t_sec >= $WinStartSec AND t_sec < $WinEndSec
          |GROUP BY 1, 2, 3""".stripMargin,
+
+    // raw integer-moment stdvar per 2h tile — the rollup v4 moments
+    // must re-aggregate to the identical exact sums
+    "store_rollup_serve_stdvar" ->
+      s"""$dedupCte, st AS (
+         |  SELECT metric, labels, t_sec // 7200 * 7200 + 7200 AS t,
+         |         count(*) AS n,
+         |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+         |              AS BIGINT) AS sy_e2,
+         |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) *
+         |                  CAST(floor(value * 100 + 0.5) AS BIGINT))
+         |              AS BIGINT) AS syy_e4
+         |  FROM deduped
+         |  WHERE metric = 'click'
+         |    AND t_sec >= $WinStartSec AND t_sec < $WinEndSec
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, t,
+         |       CAST(floor(greatest(
+         |         CAST(syy_e4 AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0) -
+         |         (CAST(sy_e2 AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)) *
+         |         (CAST(sy_e2 AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)), 0.0)
+         |         * 1000000 + 0.5) AS BIGINT) AS v_e6
+         |FROM st""".stripMargin,
 
     // raw whole-window delta — the rollup edge points must reproduce
     // the first/last samples exactly across all 15 days of buckets

@@ -56,13 +56,20 @@ object RollupStore {
     * EXACT integer moments sy_e2/syy_e4 (per-sample e2 snap — the
     * 2-decimal store's lossless form — then integer sums), whose
     * associativity is what makes rollup-re-aggregated
-    * stddev/stdvar_over_time byte-equal to the raw path. A
+    * stddev/stdvar_over_time byte-equal to the raw path. v5 adds the
+    * ARGMAX TIMESTAMPS t_vmax/t_vmin (the bucket's latest sample
+    * holding its max/min value — value ties resolve to the latest,
+    * Prometheus's ts_of_max_over_time `>=` scan order), which let
+    * ts_of_max/min/last_over_time serve from rollup rows: a window's
+    * argmax is the argmax over buckets of (bucket extremum, its
+    * timestamp), a pure comparison on the same deduped doubles the
+    * raw path compares — exact, not approximate. A
     * previous-version store (no/lower `schema` manifest line) is
     * treated as absent by [[rollup]] — the next maintenance pass
     * rebuilds it in full — and stale by [[freshFor]], so serving
     * self-heals onto raw scans until the rebuild lands;
     * mixed-schema data files are never planned together. */
-  val SchemaVersion = 4
+  val SchemaVersion = 5
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -254,7 +261,12 @@ object RollupStore {
                  // re-aggregation reproduces the raw moments exactly)
                  sum(expr("CAST(floor(v * 100 + 0.5) AS BIGINT)")).as("sy_e2"),
                  sum(expr("CAST(floor(v * 100 + 0.5) AS BIGINT) * " +
-                   "CAST(floor(v * 100 + 0.5) AS BIGINT)")).as("syy_e4"))
+                   "CAST(floor(v * 100 + 0.5) AS BIGINT)")).as("syy_e4"),
+                 // schema v5: argmax timestamps (value ties → the
+                 // LATEST sample — lexicographic (v, t) / (-v, t)
+                 // max, the raw path's very rule)
+                 expr("max_by(t_sec, struct(v, t_sec))").as("t_vmax"),
+                 expr("max_by(t_sec, struct(-v, t_sec))").as("t_vmin"))
           val staging = new Path(rollupPath, s".staging-${java.util.UUID.randomUUID()}")
           fs.delete(staging, true)
           rolled
@@ -319,6 +331,7 @@ object RollupStore {
         StructField("v_first", DoubleType), StructField("v_last", DoubleType),
         StructField("t_penult", LongType), StructField("v_penult", DoubleType),
         StructField("sy_e2", LongType), StructField("syy_e4", LongType),
+        StructField("t_vmax", LongType), StructField("t_vmin", LongType),
         StructField("date", IntegerType))))
   }
 

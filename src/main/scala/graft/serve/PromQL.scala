@@ -390,7 +390,12 @@ object PromQL {
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
     "count_over_time", "last_over_time", "stddev_over_time",
     "stdvar_over_time", "present_over_time", "mad_over_time",
-    "irate", "idelta", "deriv", "changes", "resets")
+    "irate", "idelta", "deriv", "changes", "resets",
+    // Prometheus 3.x experimental: the timestamp (as a value, in
+    // seconds) of the window's last / greatest / least sample —
+    // ties on value resolve to the LATEST sample, Prometheus's
+    // `>=`/`<=` scan order (promql/functions.go funcTsOfMaxOverTime)
+    "ts_of_last_over_time", "ts_of_max_over_time", "ts_of_min_over_time")
   /** The RangeFns subset needing each point's PREDECESSOR (a
     * per-series lag), not just decomposable window partials. */
   val PairFns: Set[String] = Set("irate", "idelta", "changes", "resets")
@@ -402,7 +407,10 @@ object PromQL {
     * µ-integers; like the raw path, no extrapolation). */
   val SubFns: Set[String] = Set("sum_over_time", "avg_over_time",
     "min_over_time", "max_over_time", "count_over_time", "last_over_time",
-    "rate", "increase", "delta")
+    "rate", "increase", "delta",
+    // ts_of_*: argmax/argmin over the inner vector's exact
+    // µ-integers — a pure comparison, no arithmetic, so exact
+    "ts_of_last_over_time", "ts_of_max_over_time", "ts_of_min_over_time")
   val MathFns: Set[String] = Set("abs", "ceil", "floor", "sgn", "round",
     "clamp", "clamp_min", "clamp_max", "sqrt",
     "ln", "log2", "log10", "exp",
@@ -428,7 +436,12 @@ object PromQL {
   private val RollupServable: Set[String] = Set("sum_over_time",
     "min_over_time", "max_over_time", "count_over_time", "avg_over_time",
     "last_over_time", "rate", "increase", "delta", "irate", "idelta",
-    "stddev_over_time", "stdvar_over_time")
+    "stddev_over_time", "stdvar_over_time", "present_over_time",
+    // schema-v5 argmax timestamps: a window's ts_of_max is the
+    // argmax over buckets of (bucket max, its timestamp) — pure
+    // comparisons on the very same deduped values the raw path
+    // compares, so the re-aggregation is exact
+    "ts_of_last_over_time", "ts_of_max_over_time", "ts_of_min_over_time")
 
   // ---- Parser -----------------------------------------------------
 
@@ -2800,7 +2813,12 @@ object PromQL {
         min(col("value")).as("vmin"), max(col("value")).as("vmax"),
         min(col("t_sec")).as("t_first"), max(col("t_sec")).as("t_last"),
         min_by(col("value"), col("t_sec")).as("v_first"),
-        max_by(col("value"), col("t_sec")).as("v_last"))
+        max_by(col("value"), col("t_sec")).as("v_last"),
+        // argmax/argmin timestamps, value ties → LATEST sample
+        // (Prometheus's >=/<= scan order): lexicographic max over
+        // (value, t) / (-value, t) struct pairs
+        expr("max_by(t_sec, struct(value, t_sec))").as("t_vmax"),
+        expr("max_by(t_sec, struct(-value, t_sec))").as("t_vmin"))
     project(stats, fn)
   }
 
@@ -2846,6 +2864,12 @@ object PromQL {
         // any sample in the window answers 1 (the window having a
         // stats row IS presence)
         stats.select(base :+ lit(1000000L).as("v_e6"): _*)
+      case "ts_of_last_over_time" =>
+        stats.select(base :+ expr("t_last * 1000000").as("v_e6"): _*)
+      case "ts_of_max_over_time" =>
+        stats.select(base :+ expr("t_vmax * 1000000").as("v_e6"): _*)
+      case "ts_of_min_over_time" =>
+        stats.select(base :+ expr("t_vmin * 1000000").as("v_e6"): _*)
       case "rate" =>
         stats
           .withColumn("dv_e2",
@@ -3075,7 +3099,10 @@ object PromQL {
         min(col("v_e6")).as("mn"), max(col("v_e6")).as("mx"),
         max_by(col("v_e6"), col("tv")).as("lastv"),
         min_by(col("v_e6"), col("tv")).as("firstv"),
-        min(col("tv")).as("tf"), max(col("tv")).as("tl"))
+        min(col("tv")).as("tf"), max(col("tv")).as("tl"),
+        // ts_of_*: integer argmax/argmin, value ties → latest step
+        expr("max_by(tv, struct(v_e6, tv))").as("t_vmax"),
+        expr("max_by(tv, struct(-v_e6, tv))").as("t_vmin"))
     // rate/increase/delta read the inner vector's first/last points —
     // all exact µ-integers, so the formulas are the raw-path ones
     // minus the e2 snap (inner values are already snapped); like the
@@ -3102,6 +3129,9 @@ object PromQL {
           case "min_over_time"   => expr("mn")
           case "max_over_time"   => expr("mx")
           case "last_over_time"  => expr("lastv")
+          case "ts_of_last_over_time" => expr("tl * 1000000")
+          case "ts_of_max_over_time"  => expr("t_vmax * 1000000")
+          case "ts_of_min_over_time"  => expr("t_vmin * 1000000")
         }
         g.select(col("metric"), col("labels"), col("t"),
           v.cast("long").as("v_e6"))
@@ -3241,7 +3271,13 @@ object PromQL {
             min(col("min_value")).as("vmin"), max(col("max_value")).as("vmax"),
             min(col("t_first")).as("t_first"), max(col("t_last")).as("t_last"),
             expr("min_by(v_first, t_first)").as("v_first"),
-            expr("max_by(v_last, t_last)").as("v_last"))
+            expr("max_by(v_last, t_last)").as("v_last"),
+            // v5 argmax timestamps: window argmax = argmax over
+            // buckets of (bucket extremum, its timestamp) — same
+            // tie-to-latest lexicographic rule as the raw path,
+            // comparing the very same deduped doubles, so exact
+            expr("max_by(t_vmax, struct(max_value, t_vmax))").as("t_vmax"),
+            expr("max_by(t_vmin, struct(-min_value, t_vmin))").as("t_vmin"))
         project(stats, fn)
       }
     }

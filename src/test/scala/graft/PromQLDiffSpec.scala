@@ -210,6 +210,11 @@ class PromQLDiffSpec extends SparkSpecBase {
       case "min_over_time"   => Some(vs.min)
       case "max_over_time"   => Some(vs.max)
       case "last_over_time"  => Some(pts.last._2)
+      case "ts_of_last_over_time" => Some(pts.last._1 * 1000000L)
+      case "ts_of_max_over_time" =>
+        Some(pts.maxBy(p => (p._2, p._1))._1 * 1000000L)
+      case "ts_of_min_over_time" =>
+        Some(pts.maxBy(p => (-p._2, p._1))._1 * 1000000L)
       case "rate" =>
         if (pts.size >= 2 && pts.last._1 > pts.head._1 &&
             pts.last._2 >= pts.head._2)
@@ -462,6 +467,12 @@ class PromQLDiffSpec extends SparkSpecBase {
       case "max_over_time"   => Some(e6(vs.max))
       case "last_over_time"  => Some(e6(w.maxBy(_._1)._2))
       case "present_over_time" => Some(1000000L)
+      // ts_of_*: value ties → latest sample (Prometheus >=/<= scan)
+      case "ts_of_last_over_time" => Some(w.maxBy(_._1)._1 * 1000000L)
+      case "ts_of_max_over_time" =>
+        Some(w.maxBy(p => (p._2, p._1))._1 * 1000000L)
+      case "ts_of_min_over_time" =>
+        Some(w.maxBy(p => (-p._2, p._1))._1 * 1000000L)
       case "stddev_over_time" | "stdvar_over_time" =>
         // exact integer moments (per-sample e2 snap, associative
         // sums) — the engine's rollup-servable formula
@@ -753,7 +764,12 @@ class PromQLDiffSpec extends SparkSpecBase {
       "clamp_min(m, 0.25) ^ -0.5",
       "(0 - clamp_min(m, 1)) ^ 9",
       "round(m, 0.5)",
-      "minute(m)"
+      "minute(m)",
+      "ts_of_max_over_time(m[120s])",
+      "ts_of_min_over_time(w[180s] offset 30s)",
+      "ts_of_last_over_time(m[90s]) - ts_of_min_over_time(m[90s])",
+      "max_over_time(rate(m[90s])[300s:60s])",
+      "ts_of_max_over_time((m + w)[120s:30s])"
     ).foreach(check)
   }
 
@@ -762,7 +778,8 @@ class PromQLDiffSpec extends SparkSpecBase {
     val rangeFns = Seq("sum_over_time", "avg_over_time", "min_over_time",
       "max_over_time", "count_over_time", "last_over_time",
       "present_over_time", "stddev_over_time", "stdvar_over_time",
-      "rate", "increase", "delta", "irate", "idelta", "changes", "resets")
+      "rate", "increase", "delta", "irate", "idelta", "changes", "resets",
+      "ts_of_last_over_time", "ts_of_max_over_time", "ts_of_min_over_time")
     val aggs = Seq("sum", "min", "max", "count", "avg", "group",
       "stddev", "stdvar")
     val maths = Seq("abs", "ceil", "floor", "sgn", "sqrt", "ln", "log2",

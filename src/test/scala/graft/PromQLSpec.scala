@@ -717,6 +717,26 @@ class PromQLSpec extends SparkSpecBase {
       ("m", "host=a,user=1", T0 + 120, 1000000L)))
   }
 
+  test("ts_of_max/min/last_over_time answer timestamps; value ties pick the latest sample") {
+    def one(fn: String) = rows(PromQL.eval(tinySamples,
+      parse(s"$fn(m[120s])").toOption.get, T0 + 120, T0 + 120, 120L))
+    val mx = one("ts_of_max_over_time")
+    // series a's max 4.0 sits at T0+60; b's max 10.25 at T0+45
+    assert(mx === Set(
+      ("m", "host=a,user=1", T0 + 120, (T0 + 60) * 1000000L),
+      ("m", "host=b,user=2", T0 + 120, (T0 + 45) * 1000000L)))
+    // series a holds 1.0 at BOTH T0 and T0+95 — the value tie must
+    // answer the LATEST sample (Prometheus's <= scan order)
+    val mn = one("ts_of_min_over_time")
+    assert(mn === Set(
+      ("m", "host=a,user=1", T0 + 120, (T0 + 95) * 1000000L),
+      ("m", "host=b,user=2", T0 + 120, T0 * 1000000L)))
+    val lt = one("ts_of_last_over_time")
+    assert(lt === Set(
+      ("m", "host=a,user=1", T0 + 120, (T0 + 95) * 1000000L),
+      ("m", "host=b,user=2", T0 + 120, (T0 + 45) * 1000000L)))
+  }
+
   test("count_values labels each exact value's decimal text with its count") {
     assert(PromQL.parse("""count_values("v", x)""") match {
       case Right(CountValues("v", Instant(_, _), Seq(), false)) => true
@@ -1335,7 +1355,8 @@ class PromQLSpec extends SparkSpecBase {
     val fns = Seq("rate", "irate", "increase", "idelta", "deriv", "changes",
       "resets", "sum_over_time", "avg_over_time", "max_over_time",
       "stddev_over_time", "stdvar_over_time", "present_over_time",
-      "mad_over_time")
+      "mad_over_time", "ts_of_last_over_time", "ts_of_max_over_time",
+      "ts_of_min_over_time")
     val aggs = Seq("sum", "avg", "min", "max", "count", "group",
       "stddev", "stdvar")
     val maths = Seq("abs", "ceil", "floor", "sgn", "sqrt", "hour", "month",
@@ -1407,7 +1428,9 @@ class PromQLSpec extends SparkSpecBase {
     for (fn <- Seq("min_over_time", "max_over_time", "count_over_time",
                    "avg_over_time", "last_over_time", "rate", "increase",
                    "delta", "irate", "idelta",
-                   "stddev_over_time", "stdvar_over_time")) {
+                   "stddev_over_time", "stdvar_over_time",
+                   "present_over_time", "ts_of_last_over_time",
+                   "ts_of_max_over_time", "ts_of_min_over_time")) {
       val eF = parse(s"$fn(click[2h])").toOption.get
       val bF = m.readsFromRollup.value
       val routedF = rows(PromQL.eval(stored, eF, start, end, step,

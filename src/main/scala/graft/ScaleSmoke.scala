@@ -15,7 +15,8 @@ import graft.sources.Tables
   * that grows at 100 TB). Measures how each stage scales; numbers
   * land in SCALE.md. `SPARK_GRAFT_SCALE_ONLY=
   * read|promql|dedup|components|ann|curate|prep|events|scrub|rollup|
-  * rolldense|compact` runs one section. */
+  * rolldense|compact|bpe|strat|stars|manifest|listing` runs one
+  * section. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
@@ -107,6 +108,15 @@ object ScaleSmoke {
         d, "lang", "doc_id", "strat", 50).count())
       time(s"stratified raw  m=$m")(graft.llm.Sampling.stratifiedSample(
         d, "lang", "doc_id", "strat", 50, skewThin = false).count())
+    }
+
+    // BPE training: the corpus scan (word counts) should scale with
+    // m while the k merge rounds stay FLAT — copies don't grow the
+    // distinct-word vocab, which is the Zipf lever the trainer rides
+    for (m <- Seq(1, 2, 4) if sectionEnabled("bpe")) {
+      val d = scaled(m)
+      time(s"bpeTrain k=8    m=$m")(graft.llm.Tokenizer.trainBpe(d, 8).count())
+      time(s"bpeCount k=8    m=$m")(graft.llm.Tokenizer.tokenCountsBpe(d, 8).count())
     }
 
     // the adversarial union-find shape: one pure CHAIN (diameter =

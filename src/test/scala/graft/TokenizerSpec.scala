@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Tokenizer
+
+/** BPE trainer/encoder vs an independent in-memory reference
+  * implementation — merges, tie-breaks, and per-doc token counts
+  * must agree exactly. */
+class TokenizerSpec extends SparkSpecBase {
+
+  // ---- reference BPE (sequential, obviously-correct) --------------
+
+  private def applyRef(syms: Vector[String], a: String,
+                       b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.size) {
+      if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** (merges, final word→symbols) for a word-frequency multiset —
+    * count-desc, then (l, r)-lexicographic tie-break, the engine's
+    * documented determinism contract. */
+  private def refBpe(wordFreq: Map[String, Long], k: Int, minFreq: Long = 2L)
+      : (Vector[(String, String, Long)], Map[String, Vector[String]]) = {
+    var vocab: Map[String, (Vector[String], Long)] =
+      wordFreq.map { case (w, f) => w -> (w.map(_.toString).toVector, f) }
+    val merges = Vector.newBuilder[(String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((_, (syms, f)) <- vocab; j <- 0 until syms.size - 1) {
+        val p = (syms(j), syms(j + 1))
+        counts(p) = counts.getOrElse(p, 0L) + f
+      }
+      val best = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+      best match {
+        case Some(((l, r), c)) if c >= minFreq =>
+          merges += ((l, r, c))
+          vocab = vocab.map { case (w, (s, f)) => w -> (applyRef(s, l, r), f) }
+          i += 1
+        case _ => done = true
+      }
+    }
+    (merges.result(), vocab.map { case (w, (s, _)) => w -> s })
+  }
+
+  private def refWordFreq(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap("[a-z]+".r.findAllIn(_).toSeq.map(_.toLowerCase))
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+
+  private def docsDf(texts: Seq[String]) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  // ---- tests ------------------------------------------------------
+
+  test("trained merges equal the reference on a random corpus") {
+    val rnd = new scala.util.Random(20260815)
+    val texts = Seq.fill(40) {
+      Seq.fill(1 + rnd.nextInt(12)) {
+        Seq.fill(1 + rnd.nextInt(6))("abc".charAt(rnd.nextInt(3))).mkString
+      }.mkString(" ")
+    }
+    val (refMerges, _) = refBpe(refWordFreq(texts), 10)
+    val got = Tokenizer.trainBpe(docsDf(texts), 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toVector
+    assert(got === refMerges)
+    assert(refMerges.nonEmpty, "corpus must actually exercise merges")
+  }
+
+  test("count ties break lexicographically by (l, r)") {
+    // 'ba' and 'ab' pair counts tie at 3; (a,b) < (b,a) must win
+    val texts = Seq("ab ab ab ba ba ba")
+    val got = Tokenizer.trainBpe(docsDf(texts), 1).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === Seq(("a", "b", 3L)))
+  }
+
+  test("repeated-symbol words merge left-to-right without overlap") {
+    // "aaaa" ×2: round 1 pair (a,a) has count 2·3=6 → merge → each
+    // word becomes [aa, aa]; round 2 merges (aa, aa) with count 2
+    val texts = Seq("aaaa", "aaaa")
+    val got = Tokenizer.trainBpe(docsDf(texts), 3).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === Seq(("a", "a", 6L), ("aa", "aa", 2L)))
+  }
+
+  test("per-doc BPE token counts equal the reference encoding") {
+    val rnd = new scala.util.Random(7)
+    val texts = Seq.fill(25) {
+      Seq.fill(2 + rnd.nextInt(10)) {
+        Seq.fill(1 + rnd.nextInt(5))("abcd".charAt(rnd.nextInt(4))).mkString
+      }.mkString(" ")
+    }
+    val (_, encoded) = refBpe(refWordFreq(texts), 8)
+    val want = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong,
+        "[a-z]+".r.findAllIn(t).map(w => encoded(w).size.toLong).sum)
+    }.toMap
+    val got = Tokenizer.tokenCountsBpe(docsDf(texts), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("final vocabulary equals the reference's weighted token counts") {
+    val texts = Seq("abab abab cd", "abab cd cd ab", "ab ab cd")
+    val wf = refWordFreq(texts)
+    val (_, encoded) = refBpe(wf, 4)
+    val want = wf.toSeq
+      .flatMap { case (w, f) => encoded(w).map(_ -> f) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+    val got = Tokenizer.bpeVocab(docsDf(texts), 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("the encode join broadcasts the word→count side") {
+    val texts = Seq("aa ab ba bb aa", "ab aa bb")
+    val plan = Tokenizer.tokenCountsBpe(docsDf(texts), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"corpus-side join must broadcast the tiny vocab:\n$plan")
+  }
+
+  test("trains on the documents table end-to-end") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val merges = Tokenizer.trainBpe(docs, 6).collect()
+    assert(merges.length == 6)
+    // ranks are dense and counts non-increasing is NOT guaranteed by
+    // BPE in general, but every selected count meets the floor
+    assert(merges.map(_.getLong(3)).forall(_ >= 2L))
+  }
+}

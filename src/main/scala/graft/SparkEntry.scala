@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ingest.{Exposition, Ingest, PromRemoteCodec, RollupStore, SamplesStore, StreamIngest, TsvBulk}
 import graft.ingest.PromRemoteCodec.{PromLabel, PromSample, PromTimeSeries}
-import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis, Tokenizer}
 import graft.operators._
 import graft.serve.PromQL
 import graft.sources.Tables
@@ -876,6 +876,24 @@ object SparkEntry {
 
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
 
+    // distributed BPE tokenizer TRAINING: merges learn over the
+    // distinct-word table (the corpus is scanned once, for word
+    // frequencies); count ties break (l, r)-lexicographic — the
+    // documented cross-engine determinism contract
+    "tokenizer_train_bpe" -> ((s, dir) =>
+      Tokenizer.trainBpe(Tables.documents(s, dir), 8)),
+
+    // encode with the learned merges: distinct words encode once
+    // through the ranked merge list, the corpus broadcast-joins the
+    // word→token-count table — per-doc BPE token counts
+    "tokenize_bpe_count" -> ((s, dir) =>
+      Tokenizer.tokenCountsBpe(Tables.documents(s, dir), 8)),
+
+    // the shipped artifact: every surviving token with its weighted
+    // corpus occurrence count (distinct-word shape, no corpus rescan)
+    "tokenizer_vocab_bpe" -> ((s, dir) =>
+      Tokenizer.bpeVocab(Tables.documents(s, dir), 8)),
+
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
 
     "text_ngram_freq" -> ((s, dir) => TextAnalysis.ngramFreq(Tables.documents(s, dir))),
@@ -1189,6 +1207,20 @@ object SparkEntry {
       promqlStr(PromQL.eval(samples(s, dir),
         parsePromQL("""present_over_time(click{user="7"}[1d])"""),
         WinStartSec, WinEndSec, 86400L))),
+
+    // ts_of_max/min/last_over_time (Prometheus 3.x experimental):
+    // the timestamp of the window's extremal / last sample as the
+    // value, in seconds; value ties resolve to the LATEST sample
+    // (Prometheus's >=/<= scan order) — one union, tagged per fn
+    "promql_ts_of" -> ((s, dir) => {
+      val sm = samples(s, dir)
+      def ev(fn: String, tag: String) =
+        promqlStr(PromQL.eval(sm, parsePromQL(fn + "(click[1d])"),
+          WinStartSec, WinEndSec, 86400L)).withColumn("fn", lit(tag))
+      ev("ts_of_max_over_time", "max")
+        .unionByName(ev("ts_of_min_over_time", "min"))
+        .unionByName(ev("ts_of_last_over_time", "last"))
+    }),
 
     // cross-series quantile aggregation per step
     "promql_quantile_agg" -> ((s, dir) =>
@@ -1620,6 +1652,46 @@ object SparkEntry {
        |FROM v LEFT JOIN ti
        |  ON ti.ik = list_filter(v.labels, l -> l LIKE 'instance=%' OR l LIKE 'job=%')
        | AND ti.t = v.t""".stripMargin
+
+  /** DuckDB mirror of Tokenizer.trainBpe: the word-frequency table,
+    * then `k` unrolled rounds of pair-count → deterministic argmax
+    * (cnt DESC, l, r) → merge-by-replace on '<sym>' marker strings.
+    * Defines CTEs v0..v`k` (the evolving vocab encodings) and
+    * b0..b`k-1` (each round's chosen merge). */
+  private def bpeCtes(k: Int): String = {
+    val b = new StringBuilder
+    b ++= """WITH w AS (
+            |  SELECT word, count(*) AS freq FROM (
+            |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            |    FROM documents)
+            |  GROUP BY 1
+            |), v0 AS (
+            |  SELECT word, freq,
+            |         list_aggregate(list_transform(str_split_regex(word, ''),
+            |           s -> '<' || s || '>'), 'string_agg', '') AS enc
+            |  FROM w
+            |)""".stripMargin
+    for (i <- 0 until k) {
+      b ++= s"""
+               |, pc$i AS (
+               |  SELECT s.syms[t.i] AS l, s.syms[t.i + 1] AS r,
+               |         CAST(sum(s.freq) AS BIGINT) AS cnt
+               |  FROM (SELECT freq,
+               |          regexp_extract_all(enc, '<([a-z]+)>', 1) AS syms
+               |        FROM v$i) s,
+               |       UNNEST(range(1, len(s.syms))) AS t(i)
+               |  GROUP BY 1, 2
+               |), b$i AS (
+               |  SELECT l, r, cnt FROM pc$i ORDER BY cnt DESC, l, r LIMIT 1
+               |), v${i + 1} AS (
+               |  SELECT v.word, v.freq,
+               |         replace(v.enc, '<' || b.l || '><' || b.r || '>',
+               |                 '<' || b.l || b.r || '>') AS enc
+               |  FROM v$i v, b$i b
+               |)""".stripMargin
+    }
+    b.result()
+  }
 
   /** DuckDB mirror of CorpusPrep.prepare up to the `kept` CTE
     * (quality gate -> language gate -> exact-dedup keep ids). */
@@ -3054,6 +3126,41 @@ object SparkEntry {
         |       length(text) AS n_chars_actual
         |FROM documents""".stripMargin,
 
+    // BPE trainer: k unrolled (pair-count → argmax → merge) rounds.
+    // Words encode as '<sym>' marker strings, so `replace()` — the
+    // leftmost-non-overlapping scan in both engines — IS the merge
+    // application; markers can't collide with [a-z]+ symbols.
+    "tokenizer_train_bpe" -> {
+      val k = 8
+      s"""${bpeCtes(k)}
+         |${(0 until k).map(i =>
+              s"SELECT CAST($i AS BIGINT) AS rank, l, r, cnt FROM b$i")
+             .mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    "tokenize_bpe_count" -> {
+      val k = 8
+      s"""${bpeCtes(k)}, dw AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |  FROM documents
+         |)
+         |SELECT d.doc_id,
+         |       CAST(sum(len(regexp_extract_all(v.enc, '<([a-z]+)>', 1)))
+         |            AS BIGINT) AS n_tokens
+         |FROM dw d JOIN v$k v ON d.word = v.word
+         |GROUP BY 1""".stripMargin
+    },
+
+    "tokenizer_vocab_bpe" -> {
+      val k = 8
+      s"""${bpeCtes(k)}
+         |SELECT u.token, CAST(sum(v.freq) AS BIGINT) AS n_occurrences
+         |FROM v$k v,
+         |     UNNEST(regexp_extract_all(v.enc, '<([a-z]+)>', 1)) AS u(token)
+         |GROUP BY 1""".stripMargin
+    },
+
     "text_fingerprint" ->
       s"""WITH hs AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks,
@@ -3909,6 +4016,43 @@ object SparkEntry {
          |FROM deduped s JOIN grid g
          |  ON s.t_sec >= g.t - 86400 AND s.t_sec < g.t
          |WHERE s.metric = 'click' AND list_contains(s.labels, 'user=7')""".stripMargin,
+
+    // ts_of_*: per-window argmax/argmin/last timestamps via ranked
+    // windows — value ties break to the LATEST t_sec, the engine's
+    // lexicographic (value, t) / (-value, t) struct-max rule
+    "promql_ts_of" ->
+      s"""$dedupCte, sel AS (
+         |  SELECT * FROM deduped
+         |  WHERE metric = 'click'
+         |    AND t_sec >= ${WinStartSec - 86400} AND t_sec <= ${WinEndSec - 1}
+         |), grid AS (SELECT unnest(range(0, 16)) AS k),
+         |j AS (
+         |  SELECT s.metric, s.labels, $WinStartSec + g.k * 86400 AS t,
+         |         s.t_sec, s.value
+         |  FROM sel s JOIN grid g
+         |    ON s.t_sec >= $WinStartSec + g.k * 86400 - 86400
+         |   AND s.t_sec <  $WinStartSec + g.k * 86400
+         |), rk AS (
+         |  SELECT metric, labels, t, t_sec,
+         |         row_number() OVER (PARTITION BY metric, labels, t
+         |           ORDER BY value DESC, t_sec DESC) AS rmax,
+         |         row_number() OVER (PARTITION BY metric, labels, t
+         |           ORDER BY value ASC, t_sec DESC) AS rmin,
+         |         row_number() OVER (PARTITION BY metric, labels, t
+         |           ORDER BY t_sec DESC) AS rlast
+         |  FROM j
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, t,
+         |       CAST(t_sec AS BIGINT) * 1000000 AS v_e6, 'max' AS fn
+         |FROM rk WHERE rmax = 1
+         |UNION ALL
+         |SELECT metric, array_to_string(labels, ','), t,
+         |       CAST(t_sec AS BIGINT) * 1000000, 'min'
+         |FROM rk WHERE rmin = 1
+         |UNION ALL
+         |SELECT metric, array_to_string(labels, ','), t,
+         |       CAST(t_sec AS BIGINT) * 1000000, 'last'
+         |FROM rk WHERE rlast = 1""".stripMargin,
 
     // cross-series p90 of the per-series 1d sums, per step
     "promql_quantile_agg" ->

@@ -451,6 +451,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
     }),
 
+    // Streaming ingest → INCREMENTAL rollup maintenance, end to end:
+    // the stream lands in the store via the exactly-once batch
+    // ledger, then one rollup() call re-aggregates ONLY the days the
+    // stream touched (per-day source digests) — the maintenance loop
+    // a 100 TB deployment runs after every micro-batch. The answer
+    // reads rollup rows alone; sums ride the exact integer sy_e2
+    // moments so re-aggregation order can't move a bit.
+    "ingest_streaming_rollup" -> ((s, dir) => {
+      val src = ensureEventsSrc(s, dir, "stream_rollup_src")
+      val base = workDir("stream_rollup", dir)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      StreamIngest.runToStore(s, src, s"$base/store", s"$base/ckpt")
+      RollupStore.rollup(s, s"$base/store", s"$base/roll", 3600L)
+      RollupStore.read(s, s"$base/roll")
+        .groupBy(col("metric"))
+        .agg(countDistinct(col("bucket")).as("n_buckets"),
+          sum(col("n_points")).as("n_samples"),
+          sum(col("sy_e2")).as("sum_e2"))
+    }),
+
     // Replayed ingestion (same events delivered twice = client retry
     // under at-least-once) → stateful streaming dedup keeps exactly
     // the first occurrence of each event_id.
@@ -2158,6 +2180,16 @@ object SparkEntry {
          |SELECT metric, ts_us // 1000000 // 86400 * 86400 AS date,
          |       count(*) AS n_samples, round(sum(value), 6) AS sum_value
          |FROM samples GROUP BY 1, 2""".stripMargin,
+
+    // rollup rows re-aggregate to the per-second-deduped raw truth
+    "ingest_streaming_rollup" ->
+      s"""$dedupCte
+         |SELECT metric,
+         |       CAST(count(DISTINCT t_sec // 3600) AS BIGINT) AS n_buckets,
+         |       CAST(count(*) AS BIGINT) AS n_samples,
+         |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         |         AS sum_e2
+         |FROM deduped GROUP BY 1""".stripMargin,
 
     // dedup of the doubled replay == one copy of events
     "ingest_streaming_dedup" ->

@@ -608,6 +608,32 @@ object SparkEntry {
       s.createDataset(rows).toDF("metric", "labels_str", "t_sec", "max_value")
     }),
 
+    // STREAMED_XOR_CHUNKS end to end (remote-read response type 1):
+    // request advertising the type → gorilla-XOR chunk frames →
+    // CRC-checked frame decode → bit-exact chunk decode — must
+    // reproduce exactly the samples the plain SAMPLES path serves
+    "read_chunked_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val blob = PromRemoteCodec.encodeReadRequestWithTypes(Seq(
+        ReadQuery(WinStartMs, WinEndMs,
+          Seq(Matchers.eq("__name__", "signup"),
+            Matchers.eq("remote", "clickhouse")))), Seq(0, 1))
+      val resp = graft.serve.RemoteRead.serveChunked(samples(s, dir), blob)
+      val rows = PromRemoteCodec.decodeChunkedFrames(resp).flatMap {
+        case (_, ss) => ss.flatMap { cs =>
+          val metric =
+            cs.labels.find(_.name == "__name__").map(_.value).getOrElse("")
+          val rest = cs.labels.filter(_.name != "__name__")
+            .map(l => s"${l.name}=${l.value}").mkString(",")
+          cs.chunks.flatMap { c =>
+            val (t, v) = graft.serve.Gorilla.decode(c.data)
+            t.indices.map(i => (metric, rest, t(i) / 1000L, v(i)))
+          }
+        }
+      }
+      s.createDataset(rows).toDF("metric", "labels_str", "t_sec", "max_value")
+    }),
+
     // the same read pipeline with the day-partitioned STORE as its
     // input — the reference's actual read path (ClickHouse table ≙
     // store): time bounds prune day partitions, metric equality rides
@@ -2234,6 +2260,10 @@ object SparkEntry {
          |GROUP BY 1, 2, 3""".stripMargin,
 
     "read_request_e2e" -> readAgg(s"$inWin AND metric = 'signup'"),
+
+    // gorilla chunks round-trip raw float bits: the chunked path
+    // answers the very same rows as the SAMPLES path
+    "read_chunked_e2e" -> readAgg(s"$inWin AND metric = 'signup'"),
 
     "write_request_e2e" ->
       s"""$S

@@ -477,6 +477,176 @@ object PromRemoteCodec {
     Snappy.compress(w.toBytes)
   }
 
+  // ---- STREAMED_XOR_CHUNKS (remote-read response type 1) ----------
+
+  /** One Gorilla-encoded chunk: wire-ms bounds + XOR chunk data
+    * (prompb.Chunk, type XOR=1). */
+  final case class PromChunk(minTimeMs: Long, maxTimeMs: Long,
+                             data: Array[Byte])
+  final case class PromChunkedSeries(labels: Seq[PromLabel],
+                                     chunks: Seq[PromChunk])
+
+  /** ReadRequest.accepted_response_types (field 2, repeated enum:
+    * 0 = SAMPLES, 1 = STREAMED_XOR_CHUNKS) — packed and unpacked
+    * encodings both accepted, like any proto3 parser. Absent list
+    * means SAMPLES only (the protocol default). */
+  def decodeAcceptedResponseTypes(snappyBody: Array[Byte]): Seq[Int] = {
+    val r = ProtoWire.reader(Snappy.uncompress(snappyBody))
+    val types = Seq.newBuilder[Int]
+    while (r.hasMore) {
+      val (field, wire) = r.readTag()
+      if (field == 2 && wire == 0) types += r.readVarint().toInt
+      else if (field == 2 && wire == 2) {
+        val m = r.readMessage()
+        while (m.hasMore) types += m.readVarint().toInt
+      } else r.skip(wire)
+    }
+    types.result()
+  }
+
+  /** The request side: ReadRequest with accepted_response_types —
+    * what a streaming-capable client (Prometheus itself) sends. */
+  def encodeReadRequestWithTypes(queries: Seq[ReadQuery],
+                                 acceptedTypes: Seq[Int]): Array[Byte] = {
+    val plain = Snappy.uncompress(encodeReadRequest(queries))
+    val w = new ProtoWire.Writer
+    // re-emit the queries, then the packed accepted types
+    val r = ProtoWire.reader(plain)
+    while (r.hasMore) {
+      val (field, wire) = r.readTag()
+      if (field == 1 && wire == 2) w.writeBytesField(1, r.readBytes())
+      else r.skip(wire)
+    }
+    if (acceptedTypes.nonEmpty) {
+      val tw = new ProtoWire.Writer
+      acceptedTypes.foreach(t => tw.writeVarint(t.toLong))
+      w.writeMessageField(2, tw)
+    }
+    Snappy.compress(w.toBytes)
+  }
+
+  /** One ChunkedReadResponse message (NOT snappy-compressed — the
+    * streamed protocol frames raw messages). */
+  def encodeChunkedReadResponse(series: Seq[PromChunkedSeries],
+                                queryIndex: Long): Array[Byte] = {
+    val w = new ProtoWire.Writer
+    series.foreach { s =>
+      val sw = new ProtoWire.Writer
+      s.labels.foreach { l =>
+        val lw = new ProtoWire.Writer
+        lw.writeStringField(1, l.name)
+        lw.writeStringField(2, l.value)
+        sw.writeMessageField(1, lw)
+      }
+      s.chunks.foreach { c =>
+        val cw = new ProtoWire.Writer
+        cw.writeVarintField(1, c.minTimeMs)
+        cw.writeVarintField(2, c.maxTimeMs)
+        cw.writeVarintField(3, 1L) // Chunk.Encoding XOR
+        cw.writeBytesField(4, c.data)
+        sw.writeMessageField(2, cw)
+      }
+      w.writeMessageField(1, sw)
+    }
+    if (queryIndex != 0L) w.writeVarintField(2, queryIndex)
+    w.toBytes
+  }
+
+  /** util/httputil ChunkedWriter frame: uvarint(length) + big-endian
+    * CRC32-Castagnoli of the message + the message bytes. */
+  def chunkedFrame(msg: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(msg.length + 9)
+    var x = msg.length.toLong
+    while ((x & ~0x7fL) != 0L) { out.write(((x & 0x7fL) | 0x80L).toInt); x >>>= 7 }
+    out.write(x.toInt)
+    val crc = new java.util.zip.CRC32C
+    crc.update(msg)
+    val c = crc.getValue.toInt
+    out.write((c >>> 24) & 0xff); out.write((c >>> 16) & 0xff)
+    out.write((c >>> 8) & 0xff); out.write(c & 0xff)
+    out.write(msg, 0, msg.length)
+    out.toByteArray
+  }
+
+  /** Decode a concatenation of frames back to
+    * (query_index, chunked series) per frame — the client side, and
+    * the spec's round-trip leg. CRC mismatches throw. */
+  def decodeChunkedFrames(bytes: Array[Byte])
+      : Seq[(Long, Seq[PromChunkedSeries])] = {
+    val out = Seq.newBuilder[(Long, Seq[PromChunkedSeries])]
+    var pos = 0
+    while (pos < bytes.length) {
+      var shift = 0
+      var len = 0L
+      var cont = true
+      while (cont) {
+        if (pos >= bytes.length)
+          throw new ProtoWire.WireFormatException("truncated frame length")
+        val b = bytes(pos); pos += 1
+        len |= (b & 0x7fL) << shift
+        cont = (b & 0x80) != 0
+        shift += 7
+      }
+      if (len < 0L || pos + 4 + len > bytes.length)
+        throw new ProtoWire.WireFormatException(s"bad frame length $len")
+      val stored = ((bytes(pos) & 0xffL) << 24) | ((bytes(pos + 1) & 0xffL) << 16) |
+        ((bytes(pos + 2) & 0xffL) << 8) | (bytes(pos + 3) & 0xffL)
+      pos += 4
+      val msg = java.util.Arrays.copyOfRange(bytes, pos, pos + len.toInt)
+      pos += len.toInt
+      val crc = new java.util.zip.CRC32C
+      crc.update(msg)
+      if (crc.getValue != stored)
+        throw new ProtoWire.WireFormatException("chunked frame CRC mismatch")
+      out += readChunkedReadResponse(msg)
+    }
+    out.result()
+  }
+
+  private def readChunkedReadResponse(msg: Array[Byte])
+      : (Long, Seq[PromChunkedSeries]) = {
+    val r = ProtoWire.reader(msg)
+    var qi = 0L
+    val series = Seq.newBuilder[PromChunkedSeries]
+    while (r.hasMore) {
+      val (f, w0) = r.readTag()
+      (f, w0) match {
+        case (1, 2) =>
+          val sr = r.readMessage()
+          val labels = Seq.newBuilder[PromLabel]
+          val chunks = Seq.newBuilder[PromChunk]
+          while (sr.hasMore) {
+            val (sf, sw) = sr.readTag()
+            (sf, sw) match {
+              case (1, 2) => labels += readLabel(sr.readMessage())
+              case (2, 2) =>
+                val cr = sr.readMessage()
+                var mn = 0L; var mx = 0L; var tpe = 0L
+                var data = Array.empty[Byte]
+                while (cr.hasMore) {
+                  val (cf, cw) = cr.readTag()
+                  (cf, cw) match {
+                    case (1, 0) => mn = cr.readVarint()
+                    case (2, 0) => mx = cr.readVarint()
+                    case (3, 0) => tpe = cr.readVarint()
+                    case (4, 2) => data = cr.readBytes()
+                    case _      => cr.skip(cw)
+                  }
+                }
+                // non-XOR chunk types (histogram) are skipped
+                // field-safe, like the ingest codecs' counted drops
+                if (tpe == 1L) chunks += PromChunk(mn, mx, data)
+              case _ => sr.skip(sw)
+            }
+          }
+          series += PromChunkedSeries(labels.result(), chunks.result())
+        case (2, 0) => qi = r.readVarint()
+        case _      => r.skip(w0)
+      }
+    }
+    (qi, series.result())
+  }
+
   def decodeReadResponse(snappyBody: Array[Byte]): Seq[PromTimeSeries] =
     decodeReadResponsePerQuery(snappyBody).flatten
 

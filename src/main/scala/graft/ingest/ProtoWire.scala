@@ -85,10 +85,23 @@ object ProtoWire {
       s
     }
 
+    def readBytes(): Array[Byte] = {
+      val len = readLen()
+      val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
+      pos += len
+      out
+    }
+
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
       case 1 => require(8); pos += 8
-      case 2 => pos += readLen()
+      case 2 =>
+        // NOT `pos += readLen()`: Scala reads the left operand of +=
+        // BEFORE evaluating the right, and readLen() itself advances
+        // pos past the length varint — the compound form lands the
+        // cursor short by the varint's width and misparses every
+        // field after the skipped one
+        val n = readLen(); pos += n
       case 5 => require(4); pos += 4
       case w => throw new WireFormatException(s"unsupported wire type $w")
     }

@@ -250,22 +250,41 @@ object HttpServe {
       // before the first /write) fails fast instead — that miss is
       // permanent, not a swap window.
       val reqBody = body(ex)
-      val resp = SamplesStore.readLocked(storePath) {
-        RemoteRead.serve(SamplesStore.read(spark, storePath),
-          reqBody, ignoreLabel, ignoreHints, maxReadSamples,
-          transientRetries = 2,
-          transientClassifier = e =>
-            RemoteRead.isTransientMiss(e) && storeSwapRecoverable(spark, storePath),
-          // coarse, shape-exact queries serve from the rollup twin
-          // when background rollup maintenance keeps one (and only
-          // while its manifest is provably fresh for the window)
-          rollupRoute = Option(RemoteWrite.rollupIntervalSec).filter(_ > 0)
-            .map(iv => RemoteRead.RollupRoute(storePath,
-              RemoteWrite.rollupPathFor(storePath), iv)))
+      val rollupRoute = Option(RemoteWrite.rollupIntervalSec).filter(_ > 0)
+        .map(iv => RemoteRead.RollupRoute(storePath,
+          RemoteWrite.rollupPathFor(storePath), iv))
+      // response-type negotiation: a client advertising
+      // STREAMED_XOR_CHUNKS (Prometheus itself, when the server
+      // supports it) gets Gorilla-chunked frames; everyone else the
+      // protocol-default snappy SAMPLES body
+      val wantsChunks =
+        try PromRemoteCodec.decodeAcceptedResponseTypes(reqBody).contains(1)
+        catch { case _: Throwable => false }
+      if (wantsChunks) {
+        val resp = SamplesStore.readLocked(storePath) {
+          RemoteRead.serveChunked(SamplesStore.read(spark, storePath),
+            reqBody, ignoreLabel, ignoreHints, maxReadSamples,
+            rollupRoute = rollupRoute)
+        }
+        respond(ex, 200, resp, Seq(
+          "Content-Type" ->
+            "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse"))
+      } else {
+        val resp = SamplesStore.readLocked(storePath) {
+          RemoteRead.serve(SamplesStore.read(spark, storePath),
+            reqBody, ignoreLabel, ignoreHints, maxReadSamples,
+            transientRetries = 2,
+            transientClassifier = e =>
+              RemoteRead.isTransientMiss(e) && storeSwapRecoverable(spark, storePath),
+            // coarse, shape-exact queries serve from the rollup twin
+            // when background rollup maintenance keeps one (and only
+            // while its manifest is provably fresh for the window)
+            rollupRoute = rollupRoute)
+        }
+        respond(ex, 200, resp, Seq(
+          "Content-Type" -> "application/x-protobuf",
+          "Content-Encoding" -> "snappy"))
       }
-      respond(ex, 200, resp, Seq(
-        "Content-Type" -> "application/x-protobuf",
-        "Content-Encoding" -> "snappy"))
     })
 
     server.createContext("/metrics", (ex: HttpExchange) => guarded(ex) {

@@ -463,4 +463,24 @@ class PromCodecSpec extends SparkSpecBase {
       hist.copy(sum = Double.NaN)).get
     assert(!nanRows.exists(_.metric == "lat_sum"))
   }
+
+  test("skipping an unknown length-delimited field lands exactly past it") {
+    // regression: `pos += readLen()` read pos BEFORE readLen advanced
+    // it past the length varint, leaving the cursor short — every
+    // field after an unknown message field then misparsed (the bug
+    // hid because known decoders consume every field they meet)
+    val w = new ProtoWire.Writer
+    w.writeBytesField(99, Array[Byte](1, 2, 3, 4, 5)) // unknown field
+    val tw = new ProtoWire.Writer
+    tw.writeVarint(1L)
+    w.writeMessageField(2, tw) // a known field AFTER the unknown one
+    val r = ProtoWire.reader(w.toBytes)
+    var found = -1L
+    while (r.hasMore) {
+      val (f, wt) = r.readTag()
+      if (f == 2 && wt == 2) found = r.readMessage().readVarint()
+      else r.skip(wt)
+    }
+    assert(found === 1L)
+  }
 }

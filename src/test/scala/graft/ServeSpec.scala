@@ -644,6 +644,53 @@ class ServeSpec extends SparkSpecBase {
     } finally srv.stop()
   }
 
+  test("/read negotiates STREAMED_XOR_CHUNKS and the frames decode to the samples") {
+    val store = tmpStore("chunked")
+    val srv = HttpServe.start(spark, store)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      // ONE series with 130 samples — must split 120+10 across chunks
+      val many = PromTimeSeries(
+        Seq(PromLabel("__name__", "chunk_metric"), PromLabel("k", "x")),
+        (0 until 130).map(i =>
+          PromSample(i.toDouble, 1704412800000L + i * 1000L)))
+      val wblob = PromRemoteCodec.encodeWriteRequest(PromWriteRequest(Seq(many)))
+      assert(post(s"$base/write", wblob)._1 === 200)
+      val queries = Seq(ReadQuery(1704412800000L, 1704412800000L + 86400000L,
+        Seq(Matchers.eq("__name__", "chunk_metric"))))
+      // a client advertising response type 1 gets gorilla frames …
+      val blob = PromRemoteCodec.encodeReadRequestWithTypes(queries, Seq(0, 1))
+      val (rc, rbody, rheaders) = post(s"$base/read", blob)
+      assert(rc === 200)
+      assert(rheaders.get("Content-Type").exists(_.startsWith(
+        "application/x-streamed-protobuf")))
+      assert(rheaders.get("Content-Encoding").isEmpty, "frames are not snappy-wrapped")
+      val frames = PromRemoteCodec.decodeChunkedFrames(rbody)
+      assert(frames.nonEmpty && frames.forall(_._1 === 0L))
+      val decoded = for {
+        (_, ss) <- frames
+        s <- ss
+        c <- s.chunks
+        (t, v) = graft.serve.Gorilla.decode(c.data)
+        i <- t.indices
+      } yield (t(i), v(i))
+      // … that decode to exactly what the SAMPLES path answers
+      val plain = PromRemoteCodec.decodeReadResponse(
+        post(s"$base/read", PromRemoteCodec.encodeReadRequest(queries))._2)
+      val want = plain.flatMap(_.samples).map(s => (s.timestampMs, s.value))
+      assert(decoded.sorted === want.sorted)
+      assert(want.size === 130, "130 samples must split across two chunks")
+      assert(frames.flatMap(_._2).flatMap(_.chunks).size === 2)
+      // chunk bounds cover the samples
+      val ch = frames.flatMap(_._2).flatMap(_.chunks)
+      assert(ch.map(_.minTimeMs).min === want.map(_._1).min)
+      assert(ch.map(_.maxTimeMs).max === want.map(_._1).max)
+      // … while a plain request still answers the protocol default
+      val (pc, _, ph) = post(s"$base/read", PromRemoteCodec.encodeReadRequest(queries))
+      assert(pc === 200 && ph.get("Content-Encoding").contains("snappy"))
+    } finally srv.stop()
+  }
+
   test("metadata API serves label names and values as Prometheus JSON") {
     val store = tmpStore("metaapi")
     val srv = HttpServe.start(spark, store)

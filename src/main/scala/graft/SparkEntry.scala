@@ -1156,6 +1156,16 @@ object SparkEntry {
       promqlStr(PromQL.eval(samples(s, dir), parsePromQL("click"),
         WinStartSec, WinEndSec, 21600L, lookbackSec = 86400L))),
 
+    // Prometheus-anchored selector regexes: =~ / !~ anchor
+    // ^(?:…)$ around the label VALUE, so alternation cannot escape
+    // the anchors — user=~"1|2" is exactly user 1 or 2, never a
+    // suffix cross-match on the k label (the remote-read rows keep
+    // the reference's bare-concat anchoring, read.go:105-141)
+    "promql_selector_regex" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("""sum_over_time(click{user=~"1|2",k!~"4.*"}[1d])"""),
+        WinStartSec, WinEndSec, 86400L))),
+
     // info(): each click series adopts its target's target_info data
     // labels by (instance, job) identity at every step — Prometheus
     // 3.x's experimental info function over the OTLP-shaped store
@@ -1178,6 +1188,14 @@ object SparkEntry {
       promqlStr(PromQL.eval(samples(s, dir),
         parsePromQL("last_over_time(click[1d] offset 1d)"),
         WinStartSec + 172800, WinEndSec, 86400L))),
+
+    // negative offset (Prometheus 3.x, default-enabled): offset -1d
+    // shifts each [t-1d, t) window FORWARD to [t, t+1d) — "next
+    // period's value on this period's grid point"
+    "promql_neg_offset" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("last_over_time(click[1d] offset -1d)"),
+        WinStartSec, WinEndSec - 86400, 86400L))),
 
     // binary vector arithmetic with full-label-set matching — the
     // error-ratio dashboard idiom, pre-aggregated per side
@@ -3798,8 +3816,8 @@ object SparkEntry {
          |       max(ts_us // 1000000) AS last_t
          |FROM samples
          |WHERE $inWin
-         |  AND regexp_matches(metric, '^click|view$$')
-         |  AND len([l for l in labels if regexp_matches(l, '^user=1[0-9]$$')]) > 0
+         |  AND regexp_full_match(metric, '(?:click|view)')
+         |  AND len([l for l in labels if regexp_full_match(l, 'user=(?:1[0-9])')]) > 0
          |GROUP BY metric, labels""".stripMargin,
 
     // ---- PromQL evaluator (serve/PromQL.scala semantics: windows
@@ -3880,6 +3898,27 @@ object SparkEntry {
          |       CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS v_e6
          |FROM st""".stripMargin,
 
+    // value-anchored ^(?:…)$ regex matchers: full-match on the
+    // label's value (mirrors Prometheus FastRegexMatcher), NOT the
+    // reference's loose bare-anchor concat used by the read_* rows
+    "promql_selector_regex" ->
+      s"""$dedupCte, sel AS (
+         |  SELECT * FROM deduped
+         |  WHERE metric = 'click'
+         |    AND len(list_filter(labels, x -> regexp_full_match(x, 'user=(?:1|2)'))) > 0
+         |    AND len(list_filter(labels, x -> regexp_full_match(x, 'k=(?:4.*)'))) = 0
+         |    AND t_sec >= ${WinStartSec - 86400} AND t_sec <= ${WinEndSec - 1}
+         |), grid AS (SELECT unnest(range(0, 16)) AS k),
+         |j AS (
+         |  SELECT s.metric, s.labels, $WinStartSec + g.k * 86400 AS t, s.value
+         |  FROM sel s JOIN grid g
+         |    ON s.t_sec >= $WinStartSec + g.k * 86400 - 86400
+         |   AND s.t_sec <  $WinStartSec + g.k * 86400
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, t,
+         |       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) * 10000 AS v_e6
+         |FROM j GROUP BY 1, 2, 3""".stripMargin,
+
     "promql_info" -> infoOracle("", "true"),
 
     "promql_info_selector" ->
@@ -3899,6 +3938,27 @@ object SparkEntry {
          |  FROM sel s JOIN grid g
          |    ON s.t_sec >= ${WinStartSec + 172800} + g.k * 86400 - 172800
          |   AND s.t_sec <  ${WinStartSec + 172800} + g.k * 86400 - 86400
+         |), st AS (
+         |  SELECT metric, labels, t, arg_max(value, t_sec) AS v
+         |  FROM j GROUP BY 1, 2, 3
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, t,
+         |       CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS v_e6
+         |FROM st""".stripMargin,
+
+    // offset -1d: the data window for grid point t is [t, t+1d)
+    "promql_neg_offset" ->
+      s"""$dedupCte, sel AS (
+         |  SELECT * FROM deduped
+         |  WHERE metric = 'click'
+         |    AND t_sec >= $WinStartSec AND t_sec <= ${WinEndSec - 1}
+         |), grid AS (SELECT unnest(range(0, 15)) AS k),
+         |j AS (
+         |  SELECT s.metric, s.labels, $WinStartSec + g.k * 86400 AS t,
+         |         s.t_sec, s.value
+         |  FROM sel s JOIN grid g
+         |    ON s.t_sec >= $WinStartSec + g.k * 86400
+         |   AND s.t_sec <  $WinStartSec + g.k * 86400 + 86400
          |), st AS (
          |  SELECT metric, labels, t, arg_max(value, t_sec) AS v
          |  FROM j GROUP BY 1, 2, 3

@@ -50,7 +50,68 @@ object Matchers {
               ignoreLabel: Option[String] = Some("remote=clickhouse")): Column =
     matchers.flatMap(clause(_, ignoreLabel)).reduceOption(_ && _).getOrElse(lit(true))
 
+  /** AND of all matcher clauses under PROMETHEUS ENGINE semantics
+    * (prometheus/model/labels: `FastRegexMatcher` compiles
+    * `^(?:re)$`, and a matcher reads the label's VALUE, with a
+    * missing label treated as the empty string).
+    *
+    * This differs from [[compile]] — the reference's remote-read
+    * compiler (read.go:105-141) — in two user-visible ways:
+    *  - regexes anchor with a non-capturing GROUP, so alternation
+    *    stays inside the anchors: `k=~"a|b"` means `^(?:a|b)$`, not
+    *    `(^k=a)|(b$)` loose in the whole label array;
+    *  - a matcher that accepts "" (e.g. `k=""`, `k=~".*"`, `k!~".+"`)
+    *    matches series that LACK the label entirely.
+    *
+    * The remote-read path keeps [[compile]] bug-for-bug with the
+    * reference; every PromQL / HTTP-API surface (evaluator, series /
+    * labels / label-values metadata, /federate, exemplars, rollup
+    * serving) uses this one. Equality on non-empty values still
+    * compiles to `array_contains` — identical result on canonical
+    * unique-per-name labels, and it reaches the scan as a pushable
+    * predicate. */
+  def compilePromQL(matchers: Seq[LabelMatcher],
+                    ignoreLabel: Option[String] = Some("remote=clickhouse")): Column =
+    matchers.flatMap(promClause(_, ignoreLabel)).reduceOption(_ && _).getOrElse(lit(true))
+
   private def anchor(re: String): String = "^" + re + "$"
+
+  /** Prometheus's regex anchoring: the group keeps `|` inside. */
+  private def anchorGroup(re: String): String = "^(?:" + re + ")$"
+
+  /** The VALUE of label `name` on the canonical labels array — ""
+    * when absent, exactly Prometheus's missing-label convention.
+    * Labels are unique per name, so the filter yields ≤1 element and
+    * array_join is that element (or "" on empty). */
+  private def labelValue(name: String): Column = {
+    val pfx = name + "="
+    array_join(filter(col("labels"), _.startsWith(pfx)), "")
+      .substr(lit(pfx.length + 1), lit(Int.MaxValue))
+  }
+
+  private def promClause(m: LabelMatcher, ignoreLabel: Option[String]): Option[Column] =
+    if (m.name == NameLabel) {
+      val c = col("metric")
+      m.mtype match {
+        case Eq  => Some(c === m.value)
+        case Neq => Some(c =!= m.value)
+        case Re  => Some(c.rlike(anchorGroup(m.value)))
+        case Nre => Some(!c.rlike(anchorGroup(m.value)))
+      }
+    } else {
+      val ls = col("labels")
+      m.mtype match {
+        case Eq if ignoreLabel.contains(s"${m.name}=${m.value}") => None
+        // non-empty Eq/Neq: array_contains is value-equality on
+        // canonical labels AND a better predicate for the scan
+        case Eq if m.value.nonEmpty  => Some(array_contains(ls, s"${m.name}=${m.value}"))
+        case Neq if m.value.nonEmpty => Some(!array_contains(ls, s"${m.name}=${m.value}"))
+        case Eq  => Some(labelValue(m.name) === m.value)
+        case Neq => Some(labelValue(m.name) =!= m.value)
+        case Re  => Some(labelValue(m.name).rlike(anchorGroup(m.value)))
+        case Nre => Some(!labelValue(m.name).rlike(anchorGroup(m.value)))
+      }
+    }
 
   private val SelName = "([a-zA-Z_:][a-zA-Z0-9_:]*)".r
   private val SelPair =

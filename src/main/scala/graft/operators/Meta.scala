@@ -38,7 +38,7 @@ object Meta {
   def series(samples: DataFrame, q: graft.operators.ReadQuery,
              ignoreLabel: Option[String] = Some("remote=clickhouse")): DataFrame = {
     SeriesRead.timeBound(samples, q.startMs, q.endMs)
-      .filter(Matchers.compile(q.matchers, ignoreLabel))
+      .filter(Matchers.compilePromQL(q.matchers, ignoreLabel))
       .groupBy(col("metric"), col("labels"))
       .agg(count(lit(1)).as("n_samples"),
            min(expr("ts_us DIV 1000000")).as("first_t"),

@@ -343,7 +343,7 @@ object HttpServe {
       def narrow(df: org.apache.spark.sql.DataFrame) =
         if (parsed.isEmpty) df
         else df.filter(parsed.flatten
-          .map(graft.operators.Matchers.compile(_, ignoreLabel))
+          .map(graft.operators.Matchers.compilePromQL(_, ignoreLabel))
           .reduce(_ || _))
       val names = SamplesStore.readLocked(storePath) {
         storeSamples().map(timeBoundedParams(_, params)).map(narrow).map { df =>
@@ -393,7 +393,7 @@ object HttpServe {
           def narrow(df: org.apache.spark.sql.DataFrame) =
             if (parsed.isEmpty) df
             else df.filter(parsed.flatten
-              .map(graft.operators.Matchers.compile(_, ignoreLabel))
+              .map(graft.operators.Matchers.compilePromQL(_, ignoreLabel))
               .reduce(_ || _))
           val values = SamplesStore.readLocked(storePath) {
             storeSamples().map(timeBoundedParams(_, params)).map(narrow).map { df =>
@@ -432,7 +432,7 @@ object HttpServe {
         val series = SamplesStore.readLocked(storePath) {
           storeSamples().map(timeBoundedParams(_, params)).map { df =>
             val pred = parsed.flatten
-              .map(graft.operators.Matchers.compile(_, ignoreLabel))
+              .map(graft.operators.Matchers.compilePromQL(_, ignoreLabel))
               .reduce(_ || _)
             df.filter(pred)
               .select(org.apache.spark.sql.functions.col("metric"),
@@ -499,7 +499,7 @@ object HttpServe {
         val rows = SamplesStore.readLocked(storePath) {
           storeSamples().map { df =>
             val pred = parsed.flatten
-              .map(graft.operators.Matchers.compile(_, ignoreLabel))
+              .map(graft.operators.Matchers.compilePromQL(_, ignoreLabel))
               .reduce(_ || _)
             df.filter(pred)
               // (t-L, t] in pushable ts_us bounds + day pruning
@@ -866,7 +866,7 @@ object HttpServe {
               // like /api/v1/series; bounded collect like every
               // metadata endpoint
               df.filter(sets
-                  .map(ms => graft.operators.Matchers.compile(ms, ignoreLabel))
+                  .map(ms => graft.operators.Matchers.compilePromQL(ms, ignoreLabel))
                   .reduce(_ || _))
                 .limit(MetaValuesLimit)
                 .collect()

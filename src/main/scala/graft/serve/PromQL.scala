@@ -98,8 +98,14 @@ import graft.operators.{LabelMatcher, Matchers, MatcherType, SeriesRead}
   *               identity — see Info)
   *   selector := PromQL instant-vector selector (Matchers.parseSelector)
   *               [mods]
+  *               matchers evaluate with Prometheus ENGINE semantics
+  *               (Matchers.compilePromQL): =~/!~ anchor ^(?:re)$ on
+  *               the label VALUE; matchers accepting "" match series
+  *               lacking the label
   *   mods     := [offset] [@ (num|"start()"|"end()")]  (either order)
-  *   offset   := "offset" dur      (shifts every window back by dur)
+  *   offset   := "offset" ["-"] dur  (back by dur; a negative offset
+  *                                    shifts FORWARD — Prometheus 3.x
+  *                                    default-on behavior)
   *   dur      := (\d+ [smhdw])+ | \d+   (seconds resolution)
   *
   * Transcendentals (ln/log2/log10/exp) do NOT call libm — libm is
@@ -1286,11 +1292,18 @@ object PromQL {
         }
       } yield result
 
-    /** Optional ` offset <dur>` modifier. */
+    /** Optional ` offset [-]<dur>` modifier. A negative offset
+      * (default-enabled in Prometheus 3.x) shifts windows FORWARD —
+      * the eval's unshift arithmetic handles either sign. */
     private def offsetClause(): Either[String, Long] = {
       val kw = { val s2 = i; ws(); val k = peekIdent(); i = s2; k }
       if (!kw.contains("offset")) Right(0L)
-      else { ws(); i += "offset".length; duration() }
+      else {
+        ws(); i += "offset".length; ws()
+        val neg = !atEnd && s.charAt(i) == '-'
+        if (neg) i += 1
+        duration().map(d => if (neg) -d else d)
+      }
     }
 
     /** Optional ` @ <unix-seconds>` modifier. */
@@ -2765,7 +2778,7 @@ object PromQL {
                             loSec: Long, hiSec: Long,
                             ignoreLabel: Option[String]): DataFrame =
     SeriesRead.timeBound(samples, loSec * 1000L, hiSec * 1000L)
-      .filter(Matchers.compile(matchers, ignoreLabel))
+      .filter(Matchers.compilePromQL(matchers, ignoreLabel))
       .withColumn("t_sec", expr("ts_us DIV 1000000"))
       .groupBy(col("metric"), col("labels"), col("t_sec"))
       .agg(max(col("value")).as("value"))
@@ -3254,7 +3267,7 @@ object PromQL {
       val rows = RollupStore.read(spark, r.rollupPath)
         .filter(col("bucket") >= lo && col("bucket") < end &&
           col("date") >= lo / 86400 * 86400 && col("date") <= end)
-        .filter(Matchers.compile(matchers, ignoreLabel))
+        .filter(Matchers.compilePromQL(matchers, ignoreLabel))
         // the unique tiling window [t-d, t) containing bucket b
         .withColumn("t", expr(s"(bucket - $lo) DIV $d * $d + $start"))
         .filter(col("t") <= end)

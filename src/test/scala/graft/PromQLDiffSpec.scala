@@ -767,6 +767,8 @@ class PromQLDiffSpec extends SparkSpecBase {
       "minute(m)",
       "ts_of_max_over_time(m[120s])",
       "ts_of_min_over_time(w[180s] offset 30s)",
+      "sum_over_time(m[120s] offset -30s)",
+      "m offset -60s",
       "ts_of_last_over_time(m[90s]) - ts_of_min_over_time(m[90s])",
       "max_over_time(rate(m[90s])[300s:60s])",
       "ts_of_max_over_time((m + w)[120s:30s])"
@@ -786,7 +788,12 @@ class PromQLDiffSpec extends SparkSpecBase {
       "log10", "hour", "minute", "sin", "cos", "tan", "atan", "asin",
       "acos", "tanh", "asinh", "acosh", "atanh", "deg", "rad")
     def sel(): String = Seq("m", "w",
-      """m{host="a"}""", """w{user=~"1|2"}""")(rnd.nextInt(4))
+      """m{host="a"}""", """w{user=~"1|2"}""",
+      // value-anchored alternation: "1|b" may NOT cross-match the
+      // host=b label (^(?:…)$ around the VALUE, like Prometheus —
+      // the interpreter's Pattern.matches is full-match by contract)
+      """m{user=~"1|b"}""", """w{host=~"a|2"}""",
+      """m{host!~"b|1"}""")(rnd.nextInt(7))
     def dur(): String = Seq("45s", "90s", "120s", "180s")(rnd.nextInt(4))
     // per-expression production trace: merged into `covered` only
     // when the expression parses and CHECKS, so the coverage

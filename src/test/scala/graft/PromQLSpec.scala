@@ -717,6 +717,42 @@ class PromQLSpec extends SparkSpecBase {
       ("m", "host=a,user=1", T0 + 120, 1000000L)))
   }
 
+  test("negative offset shifts windows forward (Prometheus 3.x default-on)") {
+    // offset -60s at grid t reads the window [t, t+60): the T0 step
+    // answers [T0, T0+60) — a = 1.0 + 2.5, b = 10.0 + 10.25
+    val fwd = rows(PromQL.eval(tinySamples,
+      parse("sum_over_time(m[60s] offset -60s)").toOption.get, T0, T0, 60L))
+    assert(fwd === Set(
+      ("m", "host=a,user=1", T0, 3500000L),
+      ("m", "host=b,user=2", T0, 20250000L)))
+    // the canonical formatter round-trips the sign
+    val e = parse("sum_over_time(m[60s] offset -60s)").toOption.get
+    assert(parse(PromQL.format(e)).toOption.contains(e))
+  }
+
+  test("selector regexes anchor ^(?:…)$ on the VALUE; empty-accepting matchers hit missing labels") {
+    import spark.implicits._
+    // a third m-series that LACKS the user label entirely
+    val world = tinySamples.unionByName(Seq(
+      (T0 * 1000000L, "m", Seq("host=c"), 7.0)
+    ).toDF("ts_us", "metric", "labels", "value"))
+    def q(sel: String) = rows(PromQL.eval(world,
+      parse(s"sum_over_time(m$sel[60s])").toOption.get, T0 + 60, T0 + 60, 60L))
+    val a = ("m", "host=a,user=1", T0 + 60, 3500000L)
+    val b = ("m", "host=b,user=2", T0 + 60, 20250000L)
+    val c = ("m", "host=c", T0 + 60, 7000000L)
+    // alternation stays inside the anchors: "1|b" is user∈{1,b} —
+    // it may NOT match series b via a loose `b$` on its host label
+    assert(q("""{user=~"1|b"}""") === Set(a))
+    // a regex accepting "" matches series WITHOUT the label…
+    assert(q("""{user=~".*"}""") === Set(a, b, c))
+    // …and ".+" requires the label to exist
+    assert(q("""{user=~".+"}""") === Set(a, b))
+    // Prometheus's `k=""` ≙ label absent; `k!~"re"` on missing = ""
+    assert(q("""{user=""}""") === Set(c))
+    assert(q("""{user!~"1"}""") === Set(b, c))
+  }
+
   test("ts_of_max/min/last_over_time answer timestamps; value ties pick the latest sample") {
     def one(fn: String) = rows(PromQL.eval(tinySamples,
       parse(s"$fn(m[120s])").toOption.get, T0 + 120, T0 + 120, 120L))

@@ -617,7 +617,7 @@ object SparkEntry {
       val blob = PromRemoteCodec.encodeReadRequestWithTypes(Seq(
         ReadQuery(WinStartMs, WinEndMs,
           Seq(Matchers.eq("__name__", "signup"),
-            Matchers.eq("remote", "clickhouse")))), Seq(0, 1))
+            Matchers.eq("remote", "clickhouse")))), Seq(1, 0))
       val resp = graft.serve.RemoteRead.serveChunked(samples(s, dir), blob)
       val rows = PromRemoteCodec.decodeChunkedFrames(resp).flatMap {
         case (_, ss) => ss.flatMap { cs =>
@@ -2141,9 +2141,8 @@ object SparkEntry {
          |         count(*) AS n,
          |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
          |              AS BIGINT) AS sy_e2,
-         |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) *
-         |                  CAST(floor(value * 100 + 0.5) AS BIGINT))
-         |              AS BIGINT) AS syy_e4
+         |         sum(CAST(floor(value * 100 + 0.5) AS BIGINT) *
+         |             CAST(floor(value * 100 + 0.5) AS BIGINT)) AS syy_e4
          |  FROM deduped
          |  WHERE metric = 'click'
          |    AND t_sec >= $WinStartSec AND t_sec < $WinEndSec

@@ -63,13 +63,17 @@ object RollupStore {
     * ts_of_max/min/last_over_time serve from rollup rows: a window's
     * argmax is the argmax over buckets of (bucket extremum, its
     * timestamp), a pure comparison on the same deduped doubles the
-    * raw path compares — exact, not approximate. A
+    * raw path compares — exact, not approximate. v6 widens syy_e4
+    * to DECIMAL(38,0): a single square fits BIGINT (v_e2² ≤ 1e18)
+    * but a bucket's sum of squares could wrap int64 after ~9
+    * extreme-magnitude samples — the decimal sum stays exact
+    * integer arithmetic with 1e38 of headroom. A
     * previous-version store (no/lower `schema` manifest line) is
     * treated as absent by [[rollup]] — the next maintenance pass
     * rebuilds it in full — and stale by [[freshFor]], so serving
     * self-heals onto raw scans until the rebuild lands;
     * mixed-schema data files are never planned together. */
-  val SchemaVersion = 5
+  val SchemaVersion = 6
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -258,10 +262,13 @@ object RollupStore {
                  max(when(col("_rk") === 2, col("v"))).as("v_penult"),
                  // schema v4: exact integer moments (per-sample e2
                  // snap then integer sums — associative, so window
-                 // re-aggregation reproduces the raw moments exactly)
+                 // re-aggregation reproduces the raw moments exactly).
+                 // The square fits BIGINT but its sum can wrap (v6),
+                 // so syy_e4 sums in DECIMAL(38,0) — still exact
                  sum(expr("CAST(floor(v * 100 + 0.5) AS BIGINT)")).as("sy_e2"),
-                 sum(expr("CAST(floor(v * 100 + 0.5) AS BIGINT) * " +
-                   "CAST(floor(v * 100 + 0.5) AS BIGINT)")).as("syy_e4"),
+                 sum(expr("CAST(CAST(floor(v * 100 + 0.5) AS BIGINT) * " +
+                   "CAST(floor(v * 100 + 0.5) AS BIGINT) AS DECIMAL(38,0))"))
+                   .as("syy_e4"),
                  // schema v5: argmax timestamps (value ties → the
                  // LATEST sample — lexicographic (v, t) / (-v, t)
                  // max, the raw path's very rule)
@@ -330,7 +337,8 @@ object RollupStore {
         StructField("t_first", LongType), StructField("t_last", LongType),
         StructField("v_first", DoubleType), StructField("v_last", DoubleType),
         StructField("t_penult", LongType), StructField("v_penult", DoubleType),
-        StructField("sy_e2", LongType), StructField("syy_e4", LongType),
+        StructField("sy_e2", LongType),
+        StructField("syy_e4", DecimalType(38, 0)),
         StructField("t_vmax", LongType), StructField("t_vmin", LongType),
         StructField("date", IntegerType))))
   }

@@ -203,7 +203,7 @@ object HttpServe {
           if (proto.contains(graft.ingest.PromRemoteCodec.ProtoV2))
             Seq("X-Prometheus-Remote-Write-Samples-Written" -> out.samples.toString,
               "X-Prometheus-Remote-Write-Histograms-Written" -> out.histograms.toString,
-              "X-Prometheus-Remote-Write-Exemplars-Written" -> "0")
+              "X-Prometheus-Remote-Write-Exemplars-Written" -> out.exemplars.toString)
           else Seq.empty
         respond(ex, 200, Array.emptyByteArray, hdrs)
       }
@@ -253,12 +253,16 @@ object HttpServe {
       val rollupRoute = Option(RemoteWrite.rollupIntervalSec).filter(_ > 0)
         .map(iv => RemoteRead.RollupRoute(storePath,
           RemoteWrite.rollupPathFor(storePath), iv))
-      // response-type negotiation: a client advertising
-      // STREAMED_XOR_CHUNKS (Prometheus itself, when the server
-      // supports it) gets Gorilla-chunked frames; everyone else the
-      // protocol-default snappy SAMPLES body
+      // response-type negotiation: accepted_response_types is listed
+      // in the CLIENT's preference order, so the first type this
+      // server supports wins — a client sending [SAMPLES, CHUNKS]
+      // gets the snappy SAMPLES body even though it could also take
+      // chunks; one sending [CHUNKS, ...] (Prometheus itself) gets
+      // Gorilla-chunked frames. An empty or all-unknown list falls
+      // back to the protocol-default SAMPLES.
       val wantsChunks =
-        try PromRemoteCodec.decodeAcceptedResponseTypes(reqBody).contains(1)
+        try PromRemoteCodec.decodeAcceptedResponseTypes(reqBody)
+          .find(t => t == 0 || t == 1).contains(1)
         catch { case _: Throwable => false }
       if (wantsChunks) {
         val resp = SamplesStore.readLocked(storePath) {

@@ -1509,6 +1509,16 @@ object PromQL {
         })
       }
     if (e.productArity == 0) return Right(e)
+    // Info's SECOND matcher seq is the data-label selector, which the
+    // parser forbids from carrying __name__ — only the child (a real
+    // series selector tree) gets suffixed, so
+    // histogram_count(info(v, {...})) parses and means rate on the
+    // suffixed v, enriched by the same info labels
+    e match {
+      case Info(child, sel) =>
+        return suffixSelectorNames(child, suffix).map(Info(_, sel))
+      case _ =>
+    }
     val rebuilt = e.productIterator.map {
       case ms: Seq[_] if ms.nonEmpty && ms.forall(_.isInstanceOf[LabelMatcher]) =>
         fixMs(ms.asInstanceOf[Seq[LabelMatcher]]) match {
@@ -2719,14 +2729,25 @@ object PromQL {
     * window + fold work on bucket-cardinality rows. */
   private def histStdDev(buckets: DataFrame, sums: DataFrame,
                          counts: DataFrame, dev: Boolean): DataFrame = {
+    // a multi-metric child (m1 or m2) must fold each metric's buckets
+    // separately and join each to ITS OWN _sum/_count legs — the
+    // cross-leg join key is the BASE metric (suffix stripped; a
+    // null metric, e.g. under an aggregation child, stays null and
+    // matches null via the coalesce'd keys below)
+    def baseMetric(sfx: String): Column =
+      when(col("metric").endsWith(sfx),
+        expr(s"substring(metric, 1, length(metric) - ${sfx.length})"))
+        .otherwise(col("metric"))
     val tagged = buckets
+      .withColumn("gm", baseMetric("_bucket"))
       .withColumn("le_str",
         expr("get(filter(labels, l -> startswith(l, 'le=')), 0)"))
       .filter(col("le_str").isNotNull)
       .withColumn("glabels",
         expr("filter(labels, l -> NOT (startswith(l, 'le=')))"))
       .withColumn("c", expr("CAST(v_e6 AS DOUBLE) / 1000000.0D"))
-    val w = Window.partitionBy(col("glabels"), col("t")).orderBy(col("le"))
+    val w = Window.partitionBy(col("gm"), col("glabels"), col("t"))
+      .orderBy(col("le"))
     // per-bucket count + geometric-midpoint value, le-sorted per series
     val per = tagged.filter(col("le_str") =!= "le=+Inf")
       .withColumn("le", expr("TRY_CAST(substring(le_str, 4) AS DOUBLE)"))
@@ -2738,21 +2759,28 @@ object PromQL {
         "CASE WHEN prev_le <= 0.0D AND 0.0D <= le THEN 0.0D " +
         "WHEN le < 0.0D THEN 0.0D - sqrt(prev_le * le) " +
         "ELSE sqrt(prev_le * le) END"))
-      .groupBy(col("glabels"), col("t"))
+      .groupBy(col("gm"), col("glabels"), col("t"))
       .agg(sort_array(collect_list(struct(col("le"), col("cnt"),
         col("bval")))).as("bs"),
         max(col("c")).as("finC"), max(col("le")).as("finLe"))
     val top = tagged.filter(col("le_str") === "le=+Inf")
-      .select(col("glabels").as("ig"), col("t").as("it"),
-        col("c").as("total"))
-    val su = sums.select(col("labels").as("sg"), col("t").as("st"),
+      .select(col("gm").as("im"), col("glabels").as("ig"),
+        col("t").as("it"), col("c").as("total"))
+    val su = sums.select(baseMetric("_sum").as("sm"),
+      col("labels").as("sg"), col("t").as("st"),
       expr("CAST(v_e6 AS DOUBLE) / 1000000.0D").as("hsum"))
-    val ct = counts.select(col("labels").as("cg"), col("t").as("ctt"),
+    val ct = counts.select(baseMetric("_count").as("cm"),
+      col("labels").as("cg"), col("t").as("ctt"),
       expr("CAST(v_e6 AS DOUBLE) / 1000000.0D").as("hcount"))
+    def gmEq(other: Column): Column =
+      coalesce(col("gm"), lit("")) === coalesce(other, lit(""))
     per
-      .join(top, col("glabels") === col("ig") && col("t") === col("it"))
-      .join(su, col("glabels") === col("sg") && col("t") === col("st"))
-      .join(ct, col("glabels") === col("cg") && col("t") === col("ctt"))
+      .join(top, gmEq(col("im")) &&
+        col("glabels") === col("ig") && col("t") === col("it"))
+      .join(su, gmEq(col("sm")) &&
+        col("glabels") === col("sg") && col("t") === col("st"))
+      .join(ct, gmEq(col("cm")) &&
+        col("glabels") === col("cg") && col("t") === col("ctt"))
       .filter(col("hcount") > 0.0)
       .withColumn("mean", expr("hsum / hcount"))
       // le-sorted fold, then the +Inf bucket's term (collapsed to the
@@ -2819,10 +2847,15 @@ object PromQL {
         // (lossless on the 2-decimal store), so Σv/Σv² are exact
         // associative integer sums — identical under ANY grouping,
         // which is what lets the rollup path re-aggregate them
-        // byte-exactly (bounds: |v|≤1e7 → v_e2²≤1e18/n headroom)
+        // byte-exactly. Each SQUARE fits BIGINT (|v|≤1e7 → v_e2²≤
+        // 1e18 < 2^63) but their SUM would wrap after ~9 extreme
+        // samples, so the sum runs in DECIMAL(38,0): still exact
+        // integer arithmetic (86400·1e18 ≈ 8.6e22 ≪ 1e38), still
+        // associative, and DuckDB's HUGEINT sum matches it exactly
         sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("sy_e2"),
-        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT) * " +
-          "CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("syy_e4"),
+        sum(expr("CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) * " +
+          "CAST(floor(value * 100 + 0.5) AS BIGINT) AS DECIMAL(38,0))"))
+          .as("syy_e4"),
         min(col("value")).as("vmin"), max(col("value")).as("vmax"),
         min(col("t_sec")).as("t_first"), max(col("t_sec")).as("t_last"),
         min_by(col("value"), col("t_sec")).as("v_first"),

@@ -478,7 +478,9 @@ class PromQLDiffSpec extends SparkSpecBase {
         // sums) — the engine's rollup-servable formula
         val e2 = vs.map(x => math.floor(x * 100 + 0.5).toLong)
         val sy = e2.sum
-        val syy = e2.map(x => x * x).sum
+        // BigInt sum: each square fits a Long but the SUM can wrap —
+        // mirrors the engine's DECIMAL(38,0) / DuckDB's HUGEINT sum
+        val syy = e2.map(x => BigInt(x) * BigInt(x)).sum
         val mom = math.max(
           syy.toDouble / (n * 10000.0d) -
             (sy.toDouble / (n * 100.0d)) * (sy.toDouble / (n * 100.0d)), 0.0d)

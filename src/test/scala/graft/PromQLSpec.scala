@@ -717,6 +717,26 @@ class PromQLSpec extends SparkSpecBase {
       ("m", "host=a,user=1", T0 + 120, 1000000L)))
   }
 
+  test("stdvar/stddev moments survive the store's extreme magnitudes (no int64 wrap)") {
+    import spark.implicits._
+    // 12 samples at the |v|≤1e7 store bound: each e2-snapped square
+    // is ~1e18 (fits int64) but their SUM is ~1.2e19 — a BIGINT
+    // accumulator wraps after ~9 such samples. The DECIMAL(38,0)
+    // sum must answer the true population variance: values alternate
+    // 9999999.00 / 9999990.00 → mean 9999994.5, deviation ±4.5,
+    // variance 20.25, stddev 4.5.
+    val big = (0 until 12).map { i =>
+      ((T0 + i * 5) * 1000000L, "big", Seq("host=x"),
+        if (i % 2 == 0) 9999999.00 else 9999990.00)
+    }.toDF("ts_us", "metric", "labels", "value")
+    val sv = rows(PromQL.eval(big,
+      parse("stdvar_over_time(big[60s])").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(sv === Set(("big", "host=x", T0 + 60, 20250000L)))
+    val sd = rows(PromQL.eval(big,
+      parse("stddev_over_time(big[60s])").toOption.get, T0 + 60, T0 + 60, 60L))
+    assert(sd === Set(("big", "host=x", T0 + 60, 4500000L)))
+  }
+
   test("negative offset shifts windows forward (Prometheus 3.x default-on)") {
     // offset -60s at grid t reads the window [t, t+60): the T0 step
     // answers [T0, T0+60) — a = 1.0 + 2.5, b = 10.0 + 10.25
@@ -983,6 +1003,49 @@ class PromQLSpec extends SparkSpecBase {
       Set(("", "host=a", T0, 1090569L)))
     // a scalar argument has no selectors to desugar — parse rejects
     assert(PromQL.parse("histogram_stddev(1)").isLeft)
+  }
+
+  test("histogram_stddev folds each metric's buckets separately (no cross-metric mix)") {
+    import spark.implicits._
+    // two histograms share glabels host=a: m1 as in the hand-checked
+    // case; m2's buckets survive `or` (distinct le label sets) but
+    // its _sum/_count legs collapse into m1's under `or`'s
+    // ignore-__name__ matching — so m2 must produce NO row, and m1's
+    // answer must be exactly its single-metric value (the old
+    // (glabels, t)-only fold mixed m2's le=5 bucket into m1's chain
+    // and cross-joined the duplicated +Inf legs)
+    val corpus = Seq(
+      (T0 * 1000000L, "m1_bucket", Seq("host=a", "le=1"), 2.0),
+      (T0 * 1000000L, "m1_bucket", Seq("host=a", "le=2"), 3.0),
+      (T0 * 1000000L, "m1_bucket", Seq("host=a", "le=+Inf"), 4.0),
+      (T0 * 1000000L, "m1_sum", Seq("host=a"), 6.0),
+      (T0 * 1000000L, "m1_count", Seq("host=a"), 4.0),
+      (T0 * 1000000L, "m2_bucket", Seq("host=a", "le=5"), 4.0),
+      (T0 * 1000000L, "m2_bucket", Seq("host=a", "le=+Inf"), 4.0),
+      (T0 * 1000000L, "m2_sum", Seq("host=a"), 2.0),
+      (T0 * 1000000L, "m2_count", Seq("host=a"), 4.0)
+    ).toDF("ts_us", "metric", "labels", "value")
+    val sv = rows(PromQL.eval(corpus,
+      parse("histogram_stdvar(m1 or m2)").toOption.get, T0, T0, 60L))
+    assert(sv === Set(("", "host=a", T0, 1189340L)))
+  }
+
+  test("histogram accessors accept an info() child (data selector is not suffixed)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (T0 * 1000000L, "m_count", Seq("instance=i1", "job=svc"), 4.0),
+      (T0 * 1000000L, "target_info",
+        Seq("instance=i1", "job=svc", "os=linux"), 1.0)
+    ).toDF("ts_us", "metric", "labels", "value")
+    // previously rejected at parse: the generic suffixing walked into
+    // info's data-label selector, which forbids __name__
+    assert(PromQL.parse("""histogram_count(info(m, {os="linux"}))""").isRight)
+    def one(q: String) = rows(PromQL.eval(corpus, parse(q).toOption.get,
+      T0, T0, 60L))
+    // the desugar contract: only the child's series selector suffixes
+    assert(one("""histogram_count(info(m, {os="linux"}))""") ===
+      one("""info(m_count, {os="linux"})"""))
+    assert(one("""histogram_count(info(m, {os="linux"}))""").nonEmpty)
   }
 
   test("info() adopts target_info data labels by (instance, job) identity") {

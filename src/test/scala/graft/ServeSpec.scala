@@ -658,8 +658,8 @@ class ServeSpec extends SparkSpecBase {
       assert(post(s"$base/write", wblob)._1 === 200)
       val queries = Seq(ReadQuery(1704412800000L, 1704412800000L + 86400000L,
         Seq(Matchers.eq("__name__", "chunk_metric"))))
-      // a client advertising response type 1 gets gorilla frames …
-      val blob = PromRemoteCodec.encodeReadRequestWithTypes(queries, Seq(0, 1))
+      // a client PREFERRING response type 1 gets gorilla frames …
+      val blob = PromRemoteCodec.encodeReadRequestWithTypes(queries, Seq(1, 0))
       val (rc, rbody, rheaders) = post(s"$base/read", blob)
       assert(rc === 200)
       assert(rheaders.get("Content-Type").exists(_.startsWith(
@@ -688,6 +688,16 @@ class ServeSpec extends SparkSpecBase {
       // … while a plain request still answers the protocol default
       val (pc, _, ph) = post(s"$base/read", PromRemoteCodec.encodeReadRequest(queries))
       assert(pc === 200 && ph.get("Content-Encoding").contains("snappy"))
+      // … and preference ORDER is honored: a client listing SAMPLES
+      // first gets the snappy SAMPLES body even though it also
+      // accepts chunks (the spec's "in the order of preference")
+      val samplesFirst =
+        PromRemoteCodec.encodeReadRequestWithTypes(queries, Seq(0, 1))
+      val (sc2, sbody2, sh2) = post(s"$base/read", samplesFirst)
+      assert(sc2 === 200 && sh2.get("Content-Encoding").contains("snappy"))
+      val plain2 = PromRemoteCodec.decodeReadResponse(sbody2)
+      assert(plain2.flatMap(_.samples).map(s => (s.timestampMs, s.value)).sorted
+        === want.sorted)
     } finally srv.stop()
   }
 

@@ -470,6 +470,42 @@ class StoreSpec extends SparkSpecBase {
     assert(SamplesStore.read(spark, path).count() > 0)
   }
 
+  test("rollup v6 moments serve stdvar exactly at the store's extreme magnitudes") {
+    import graft.ingest.RollupStore
+    import graft.serve.PromQL
+    val path = "/tmp/graft_test/store_rollup_bigmom"
+    val rpath = "/tmp/graft_test/store_rollup_bigmom_roll"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (p <- Seq(path, rpath))
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    import spark.implicits._
+    // 24 samples/hour at the |v|≤1e7 bound across two hours: each
+    // hour bucket's Σv_e2² ≈ 2.4e19 — past int64 — so the v6
+    // DECIMAL(38,0) writer column and its window re-aggregation are
+    // both in the wrap regime. Rollup-served must equal raw-served.
+    val t0 = 1704412800L
+    val big = (0 until 48).map { i =>
+      ((t0 + i * 150) * 1000000L, "big", Seq("host=x"),
+        if (i % 2 == 0) 9999999.00 else 9999990.00)
+    }.toDF("ts_us", "metric", "labels", "value")
+    SamplesStore.write(big, path)
+    RollupStore.rollup(spark, path, rpath, 3600L)
+    val q = PromQL.parse("stdvar_over_time(big[2h])").toOption.get
+    def vals(rollup: Option[PromQL.RollupGrid]) =
+      PromQL.eval(SamplesStore.read(spark, path), q,
+          t0 + 7200, t0 + 7200, 7200L, rollup = rollup)
+        .select("t", "v_e6").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val m = graft.OpsMetrics(spark)
+    val before = m.readsFromRollup.value
+    val served = vals(Some(PromQL.RollupGrid(path, rpath, 3600L)))
+    assert(m.readsFromRollup.value === before + 1,
+      "the aligned query must actually route to the rollup")
+    assert(served === vals(None), "rollup-served stdvar must equal raw")
+    // alternating ±4.5 around the mean → population variance 20.25
+    assert(served === Set((t0 + 7200, 20250000L)))
+  }
+
   test("rollup maintains per-day aggregates incrementally and result-invariantly") {
     import graft.ingest.RollupStore
     val path = "/tmp/graft_test/store_rollup"

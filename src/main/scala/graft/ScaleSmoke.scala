@@ -15,8 +15,8 @@ import graft.sources.Tables
   * that grows at 100 TB). Measures how each stage scales; numbers
   * land in SCALE.md. `SPARK_GRAFT_SCALE_ONLY=
   * read|promql|dedup|components|ann|curate|prep|events|scrub|rollup|
-  * rolldense|compact|bpe|strat|stars|manifest|listing` runs one
-  * section. */
+  * rolldense|compact|bpe|bpek|streamstate|strat|stars|manifest|
+  * listing` runs one section. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
@@ -117,6 +117,60 @@ object ScaleSmoke {
       val d = scaled(m)
       time(s"bpeTrain k=8    m=$m")(graft.llm.Tokenizer.trainBpe(d, 8).count())
       time(s"bpeCount k=8    m=$m")(graft.llm.Tokenizer.tokenCountsBpe(d, 8).count())
+    }
+    // streaming-dedup state probe: the per-batch probe is a map-side
+    // broadcast join of the batch's band keys against the
+    // band-partitioned state scan (no state shuffle, no state
+    // distinct) — its cost must stay ~flat as the state grows 4×
+    // (a 2-int-column pruned columnar scan, not a sort/exchange)
+    if (sectionEnabled("streamstate")) {
+      import graft.llm.Dedup
+      val stateDir = "/tmp/graft_scale/streamstate"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles().foreach(rmrf)
+        p.delete(); ()
+      }
+      rmrf(new java.io.File(stateDir))
+      val banded = Dedup.minhashSignatures(docs0)
+        .select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band", "band_sig")))
+        .localCheckpoint()
+      var copies = 0
+      for (m <- Seq(1, 2, 4)) {
+        while (copies < m) {
+          // each copy appends a disjoint key set (sig-shifted), the
+          // way a long stream's crawls accumulate mostly-new keys
+          banded.select(
+            (col("band_sig") + lit(copies * 1000003L)).as("band_sig"),
+            col("band"))
+            .distinct()
+            .write.mode("append").partitionBy("band").parquet(stateDir)
+          copies += 1
+        }
+        time(f"streamProbe state=${m}x") {
+          spark.read.parquet(stateDir)
+            .join(broadcast(banded), Seq("band", "band_sig"))
+            .select(col("doc_id")).distinct().count()
+        }
+      }
+    }
+
+    // vocabulary-depth scaling: per-merge cost must stay FLAT as k
+    // grows 8→64→256 (batched selection amortizes aggregate rounds;
+    // the grouped encode + periodic checkpoints keep the merge-chain
+    // plannable) — the path to a real 32k vocabulary. Trained once
+    // per k; encode reuses the trained table (no silent re-train).
+    for (k <- Seq(8, 64, 256) if sectionEnabled("bpek")) {
+      val d = docs0
+      var trained: org.apache.spark.sql.DataFrame = null
+      time(f"bpeTrain k=$k%-4d m=1")({
+        trained = graft.llm.Tokenizer.trainBpe(d, k).localCheckpoint(true)
+        trained.count()
+      })
+      time(f"bpeEncode k=$k%-3d m=1")(
+        graft.llm.Tokenizer.tokenCountsBpe(d, trained).count())
+      time(f"bpeVocab k=$k%-4d m=1")(
+        graft.llm.Tokenizer.bpeVocab(d, trained).count())
     }
 
     // the adversarial union-find shape: one pure CHAIN (diameter =

@@ -12,8 +12,12 @@ import graft.ingest.PromRemoteCodec.IngestedSample
   * as classic `_bucket`/`_sum`/`_count` series (the bounds ARE
   * classic le values — cumulative counts per bound, the `count`
   * field at le="+Inf", `sum` only when explicitly present);
-  * exponential-histogram and summary points are skipped field-safe
-  * and COUNTED via `otlp_dropped_points_total`:
+  * exponential-histogram points convert through the shared
+  * NativeHistogram classic expansion; Summary points convert to
+  * quantile-labeled series + `_sum`/`_count` (the Prometheus
+  * receiver's mapping). Unconvertible points (unsupported exp-hist
+  * scales, malformed summaries) are skipped field-safe and COUNTED
+  * via `otlp_dropped_points_total`:
   *   ExportMetricsServiceRequest {1: resource_metrics*}
   *   ResourceMetrics  {1: resource, 2: scope_metrics*}
   *   Resource         {1: attributes* (KeyValue)}
@@ -80,9 +84,20 @@ object OtlpCodec {
   def decodeExportMetrics(body: Array[Byte]): Seq[IngestedSample] =
     decodeExportMetricsCounted(body).samples
 
-  /** application/x-protobuf body → samples + dropped-point count. */
-  def decodeExportMetricsCounted(body: Array[Byte]): Decoded = {
+  /** application/x-protobuf body → samples + dropped-point count.
+    * `convertDelta` opts into DELTA-temporality Sum conversion
+    * (Prometheus 3.x's otlp-deltatocumulative switch): a delta Sum's
+    * points accumulate into cumulative levels per series WITHIN this
+    * request, in timestamp order — the stateless receiver's exact
+    * conversion when a sender ships a series' deltas batched (the
+    * OTLP SDK shape). Cross-request accumulation would need durable
+    * receiver state and is deliberately out of scope (documented);
+    * delta HISTOGRAMS still reject either way (bucket-wise
+    * accumulation across requests has no stateless form). */
+  def decodeExportMetricsCounted(body: Array[Byte],
+                                 convertDelta: Boolean = false): Decoded = {
     val st = new DecodeState
+    st.convertDelta = convertDelta
     val r = ProtoWire.reader(body)
     while (r.hasMore) {
       val (f, w) = r.readTag()
@@ -95,6 +110,7 @@ object OtlpCodec {
   private final class DecodeState {
     val out = Seq.newBuilder[IngestedSample]
     var dropped = 0L
+    var convertDelta = false
     /** Latest point timestamp seen inside the CURRENT ResourceMetrics
       * — the timestamp its target_info sample rides on (reset by
       * [[readResourceMetrics]] per resource). */
@@ -204,6 +220,7 @@ object OtlpCodec {
     val pointMsgs = Seq.newBuilder[ProtoWire.Reader]
     val histMsgs = Seq.newBuilder[ProtoWire.Reader]
     val expHistMsgs = Seq.newBuilder[ProtoWire.Reader]
+    val summaryMsgs = Seq.newBuilder[ProtoWire.Reader]
     def readPoints(g: ProtoWire.Reader): Unit =
       while (g.hasMore) {
         val (gf, gw) = g.readTag()
@@ -249,17 +266,28 @@ object OtlpCodec {
             }
           }
         case (11, 2) =>
-          // summary — no classic shape (quantile labels would lie
-          // about being aggregatable); skipped, COUNTED
-          st.dropped += countPoints(r.readMessage())
+          // summary → classic conversion (the Prometheus receiver's):
+          // quantile-labeled series on the base name + _sum/_count.
+          // Summary has no temporality field — count/sum are
+          // cumulative by definition, quantiles instantaneous.
+          val g = r.readMessage()
+          while (g.hasMore) {
+            val (gf, gw) = g.readTag()
+            if (gf == 1 && gw == 2) summaryMsgs += g.readMessage()
+            else g.skip(gw)
+          }
         case _ => r.skip(w) // metadata/unit — not samples
       }
     }
     if (name.isEmpty)
       throw new ProtoWire.WireFormatException("OTLP metric without a name")
     // the silent-corruption guard (see the header): delta or
-    // unspecified temporality sums never reach the store
-    if (isSum && temporality != 2L)
+    // unspecified temporality sums never reach the store — unless
+    // the delta→cumulative switch is on, which converts DELTA (1)
+    // sums explicitly (UNSPECIFIED still rejects: it is invalid on
+    // the wire, not a convertible temporality)
+    val deltaConvert = isSum && temporality == 1L && st.convertDelta
+    if (isSum && temporality != 2L && !deltaConvert)
       throw new ProtoWire.WireFormatException(
         s"OTLP sum '$name' has non-cumulative aggregation_temporality " +
           s"($temporality); only CUMULATIVE (2) is ingestible — " +
@@ -270,11 +298,89 @@ object OtlpCodec {
           s"aggregation_temporality ($histTemporality); only " +
           "CUMULATIVE (2) is ingestible")
     val norm = normMetricName(name)
-    pointMsgs.result().foreach { p =>
+    if (deltaConvert) {
+      // per-series prefix sums in timestamp order: each point's
+      // stored value becomes the running total of the deltas at or
+      // before it — the cumulative level a Prometheus scrape would
+      // have seen (ties keep wire order, a stable sort)
+      readNumberPoints(pointMsgs.result(), norm, resource)
+        .groupBy(_.labels).values.foreach { series =>
+          var acc = 0.0d
+          series.sortBy(_.ts_us).foreach { s =>
+            acc += s.value
+            st.add(s.copy(value = acc))
+          }
+        }
+    } else pointMsgs.result().foreach { p =>
       readNumberPoint(p, norm, resource).foreach(st.add)
     }
     histMsgs.result().foreach(readHistogramPoint(_, norm, resource, st))
     expHistMsgs.result().foreach(readExpHistogramPoint(_, norm, resource, st))
+    summaryMsgs.result().foreach(readSummaryPoint(_, norm, resource, st))
+  }
+
+  /** SummaryDataPoint → classic series (the documented Prometheus
+    * receiver conversion): one quantile-labeled sample PER
+    * quantile_values entry on the BASE metric name, plus `_sum` and
+    * `_count` rows (SummaryDataPoint.sum is a plain proto3 double —
+    * always materialized, default 0). Field numbers:
+    * {3: time fixed64 ns, 4: count fixed64, 5: sum double,
+    * 6: ValueAtQuantile* {1: quantile double, 2: value double},
+    * 7: attributes*, 8: flags}. MALFORMED points stay on the skip
+    * ledger, never half-ingested: a NO_RECORDED_VALUE flag (bit 0 —
+    * the staleness marker this store cannot represent) or a quantile
+    * outside [0, 1] drops the WHOLE point, counted. Quantile label
+    * text renders through the same shortest-round-trip formatter as
+    * `le` values, so both engines print identically. */
+  private def readSummaryPoint(r: ProtoWire.Reader, metric: String,
+                               resource: List[String],
+                               st: DecodeState): Unit = {
+    var tNano = 0L
+    var count = 0L
+    var sum = 0.0d
+    var flags = 0L
+    val qs = Seq.newBuilder[(Double, Double)]
+    val attrs = List.newBuilder[String]
+    while (r.hasMore) {
+      val (f, w) = r.readTag()
+      (f, w) match {
+        case (3, 1) => tNano = r.readFixed64()
+        case (4, 1) => count = r.readFixed64()
+        case (5, 1) => sum = r.readDouble()
+        case (6, 2) =>
+          val m = r.readMessage()
+          var q = 0.0d
+          var v = 0.0d
+          while (m.hasMore) {
+            val (mf, mw) = m.readTag()
+            (mf, mw) match {
+              case (1, 1) => q = m.readDouble()
+              case (2, 1) => v = m.readDouble()
+              case _      => m.skip(mw)
+            }
+          }
+          qs += ((q, v))
+        case (7, 2) =>
+          val (k, v) = readKeyValue(r.readMessage())
+          attrs += s"${normLabelKey(k)}=$v"
+        case (8, 0) => flags = r.readVarint()
+        case _ => r.skip(w)
+      }
+    }
+    val quantiles = qs.result()
+    if ((flags & 1L) != 0L ||
+        quantiles.exists(q => !(q._1 >= 0.0d && q._1 <= 1.0d))) {
+      st.dropped += 1
+      return
+    }
+    val tUs = tNano / 1000L
+    val base = (attrs.result() ++ resource).sorted
+    quantiles.foreach { case (q, v) =>
+      st.add(IngestedSample(tUs, metric,
+        (base :+ s"quantile=${NativeHistogram.leText(q)}").sorted, v))
+    }
+    st.add(IngestedSample(tUs, metric + "_sum", base, sum))
+    st.add(IngestedSample(tUs, metric + "_count", base, count.toDouble))
   }
 
   /** ExponentialHistogramDataPoint → classic series via the SAME
@@ -404,6 +510,10 @@ object OtlpCodec {
       base, count.toDouble))
   }
 
+  private def readNumberPoints(ps: Seq[ProtoWire.Reader], metric: String,
+                               resource: List[String]): Seq[IngestedSample] =
+    ps.flatMap(readNumberPoint(_, metric, resource))
+
   private def readNumberPoint(r: ProtoWire.Reader, metric: String,
                               resource: List[String]): Option[IngestedSample] = {
     var tNano = 0L
@@ -483,6 +593,64 @@ object OtlpCodec {
         g.writeMessageField(1, p)
       }
       m.writeMessageField(5, g) // gauge
+      sm.writeMessageField(2, m)
+    }
+    rm.writeMessageField(2, sm)
+    w.writeMessageField(1, rm)
+    w.toBytes
+  }
+
+  /** A summary data point for the fixture encoder. */
+  final case class SummaryPoint(metric: String, tsUs: Long, count: Long,
+                                sum: Double, quantiles: Seq[(Double, Double)],
+                                attrs: Seq[(String, String)] = Nil,
+                                flags: Long = 0L)
+
+  /** Points → one ExportMetricsServiceRequest of Summary metrics
+    * (one Metric message per metric name), optionally under a
+    * resource carrying `service.name` (→ the `job` label). */
+  def encodeExportSummaries(points: Seq[SummaryPoint],
+                            serviceName: Option[String] = None): Array[Byte] = {
+    val w = new ProtoWire.Writer
+    val rm = new ProtoWire.Writer
+    serviceName.foreach { svc =>
+      val res = new ProtoWire.Writer
+      val kv = new ProtoWire.Writer
+      kv.writeStringField(1, "service.name")
+      val av = new ProtoWire.Writer
+      av.writeStringField(1, svc)
+      kv.writeMessageField(2, av)
+      res.writeMessageField(1, kv)
+      rm.writeMessageField(1, res)
+    }
+    val sm = new ProtoWire.Writer
+    points.groupBy(_.metric).toSeq.sortBy(_._1).foreach { case (name, ps) =>
+      val m = new ProtoWire.Writer
+      m.writeStringField(1, name)
+      val su = new ProtoWire.Writer
+      ps.foreach { sp =>
+        val p = new ProtoWire.Writer
+        p.writeFixed64Field(3, sp.tsUs * 1000L)
+        p.writeFixed64Field(4, sp.count)
+        p.writeDoubleField(5, sp.sum)
+        sp.quantiles.foreach { case (q, v) =>
+          val vq = new ProtoWire.Writer
+          vq.writeDoubleField(1, q)
+          vq.writeDoubleField(2, v)
+          p.writeMessageField(6, vq)
+        }
+        sp.attrs.foreach { case (k, v) =>
+          val kv = new ProtoWire.Writer
+          kv.writeStringField(1, k)
+          val av = new ProtoWire.Writer
+          av.writeStringField(1, v)
+          kv.writeMessageField(2, av)
+          p.writeMessageField(7, kv)
+        }
+        if (sp.flags != 0L) p.writeVarintField(8, sp.flags)
+        su.writeMessageField(1, p)
+      }
+      m.writeMessageField(11, su) // summary
       sm.writeMessageField(2, m)
     }
     rm.writeMessageField(2, sm)

@@ -245,9 +245,12 @@ object Dedup {
     * dropping even when its second copy was itself dropped).
     * foreachBatch + a parquet band-key table is the production
     * shape: the state is exactly the persistable fingerprint set —
-    * (band, band_sig) pairs, never text — and each batch pays only
-    * the incremental probe (new-side signatures, one left-semi join
-    * against state keys, two appends).
+    * (band, band_sig) pairs, never text, PARTITIONED BY BAND — and
+    * each batch pays only the incremental probe: new-side
+    * signatures, one map-side broadcast join of the batch's keys
+    * against the band-pruned state scan (the state never shuffles,
+    * never deduplicates — the costs that would grow with stream
+    * lifetime), two appends.
     *
     * Convention matched to [[incrementalKeep]]: docs drop only
     * against EARLIER crawls; within-crawl duplicates both pass
@@ -288,19 +291,35 @@ object Dedup {
         val haveState = statePath
           .getFileSystem(sp.sparkContext.hadoopConfiguration)
           .exists(statePath)
+        // probe = state ⋈ broadcast(batch keys), map-side: the state
+        // is the STREAMED side of a broadcast hash join, so a batch
+        // never shuffles (or deduplicates) the accumulated state —
+        // the old left-semi + distinct re-shuffled the WHOLE state
+        // every batch, the growth term a long-running stream cannot
+        // afford. Duplicate state keys collapse at the doc_id
+        // distinct, so the un-distinct'd multiset state answers
+        // identically. The band-partitioned layout (16 dirs) lets
+        // the scan prune to the bands the batch actually carries
+        // (the isin filter is partition-pruned at plan time).
         val hit =
           if (!haveState) banded.limit(0).select(col("doc_id"))
-          else banded.join(
-            sp.read.parquet(stateDir).select("band", "band_sig").distinct(),
-            Seq("band", "band_sig"), "left_semi")
-            .select(col("doc_id")).distinct()
+          else {
+            val batchBands = banded.select(col("band")).distinct()
+              .collect().map(_.getInt(0)).toSeq
+            sp.read.parquet(stateDir)
+              .filter(col("band").isin(batchBands: _*))
+              .join(broadcast(banded), Seq("band", "band_sig"))
+              .select(col("doc_id")).distinct()
+          }
         batch.select(col("doc_id"), col("crawl"))
           .join(hit.withColumn("_hit", lit(1)), Seq("doc_id"), "left")
           .select(col("doc_id"), col("crawl"),
             col("_hit").isNull.cast("int").as("kept"))
           .write.mode("append").parquet(outDir)
-        banded.select(col("band"), col("band_sig")).distinct()
-          .write.mode("append").parquet(stateDir)
+        // batch keys append PARTITIONED BY BAND — within-batch
+        // distinct only (cross-batch dedup is the probe's distinct)
+        banded.select(col("band_sig"), col("band")).distinct()
+          .write.mode("append").partitionBy("band").parquet(stateDir)
         ()
       }
       .start()

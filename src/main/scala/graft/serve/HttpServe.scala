@@ -919,6 +919,8 @@ object HttpServe {
         "read.ignore-hints" -> ignoreHints.toString,
         "read.max-samples" -> maxReadSamples.toString,
         "store.rollup-interval" -> RemoteWrite.rollupIntervalSec.toString,
+        "write.otlp-delta-to-cumulative" ->
+          RemoteWrite.otlpConvertDelta.toString,
         "rule.record-count" -> RemoteWrite.recordingRules.size.toString,
         "rule.alert-count" -> HttpServe.alertRules.size.toString,
         // wire-format drop ledger (see OpsMetrics): Prometheus 3.x

@@ -90,7 +90,7 @@ import graft.operators.{LabelMatcher, Matchers, MatcherType, SeriesRead}
   *               ORDER BY value with identity tiebreak — see Sort)
   *             | ("sort_by_label"|"sort_by_label_desc")
   *               "(" expr {"," str}+ ")"   (ORDER BY label values,
-  *               lexicographic — see SortByLabel)
+  *               natural order — see SortByLabel)
   *   labelfn  := "label_replace" "(" expr "," str "," str "," str "," str ")"
   *             | "label_join" "(" expr "," str "," str {"," str} ")"
   *   infofn   := "info" "(" expr ["," "{" matchers "}"] ")"
@@ -374,9 +374,11 @@ object PromQL {
     * — values/labels pass through, the plan materializes ORDER BY
     * the listed labels' values (missing label sorts as ""), then the
     * full identity tiebreak. Same presentation contract as [[Sort]].
-    * Deviation (documented): Prometheus orders labels with a natural
-    * sort; this engine uses plain lexicographic order — the
-    * deterministic, engine-portable choice. */
+    * Ordering is NATURAL (Prometheus natsort parity): digit runs
+    * compare numerically ("a2" before "a10"), via a portable
+    * pad-digit-runs sort key — values whose digit runs tie
+    * numerically but differ textually ("07" vs "7") fall to the
+    * identity tiebreak; digit runs past 19 chars truncate. */
   final case class SortByLabel(desc: Boolean, child: Expr,
                                labels: Seq[String]) extends Expr
   /** info(v[, {data-label-selector}]) — Prometheus 3.x's
@@ -1716,10 +1718,20 @@ object PromQL {
       case SortByLabel(desc, child, lbls) =>
         val c = rec(child, startSec, endSec)
         val keys = lbls.map { l =>
-          val v = coalesce(
-            expr(s"substring(get(filter(labels, x -> startswith(x, '$l=')), 0), " +
-              s"${l.length + 2})"),
-            lit(""))
+          val vSql = s"coalesce(substring(get(filter(labels, " +
+            s"x -> startswith(x, '$l=')), 0), ${l.length + 2}), '')"
+          // NATURAL sort key (Prometheus natsort parity): split the
+          // value into digit/non-digit runs and left-pad every digit
+          // run to 19, so lexicographic order of the key equals
+          // run-wise natural order — "a2" < "a10", leading-zero
+          // numeric ties ("07" vs "7") collapse onto the identity
+          // tiebreak. Pure engine-portable string ops; digit runs
+          // past 19 chars truncate (documented bound, far beyond
+          // any real label value)
+          val v = expr(s"concat_ws('', transform(" +
+            s"regexp_extract_all($vSql, '[0-9]+|[^0-9]+', 0), " +
+            s"p -> CASE WHEN substring(p, 1, 1) BETWEEN '0' AND '9' " +
+            s"THEN lpad(p, 19, '0') ELSE p END))")
           if (desc) v.desc else v.asc
         }
         c.orderBy(col("t").asc +: keys :+

@@ -178,7 +178,18 @@ object RemoteRead {
     * typical vs 16 raw). Returns the concatenated frames; the HTTP
     * shim streams them under
     * `application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse`,
-    * NOT snappy-wrapped (the framing replaces body compression). */
+    * NOT snappy-wrapped (the framing replaces body compression).
+    *
+    * Chunk-type deviation (documented): Prometheus itself would
+    * stream native-histogram series as HISTOGRAM/FLOAT_HISTOGRAM
+    * chunks, but this store converts native-histogram WRITES to
+    * their classic `_bucket`/`_sum`/`_count` expansion at ingest
+    * (NativeHistogram.toClassicSamples) — there is no native
+    * histogram series to chunk, so a chunked read answers those
+    * series as ordinary XOR float chunks of the classic rows, the
+    * very rows the SAMPLES response type serves. Pinned end-to-end
+    * by ServeSpec ("native-histogram writes stream back as float
+    * chunks of the classic expansion"). */
   def serveChunked(samples: DataFrame, readRequestBlob: Array[Byte],
                    ignoreLabel: Option[String] = Some("remote=clickhouse"),
                    ignoreHints: Boolean = false,

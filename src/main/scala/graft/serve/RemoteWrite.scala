@@ -55,6 +55,14 @@ object RemoteWrite {
     * ClickHouse). Must divide a day (see [[RollupStore.rollup]]). */
   @volatile var rollupIntervalSec: Long = 0L
 
+  /** Opt-in OTLP delta→cumulative conversion (Prometheus 3.x's
+    * otlp-deltatocumulative feature switch). OFF by default — delta
+    * sums reject with a 400 (stored as-if-cumulative they would
+    * corrupt every rate()); ON, a delta Sum's points accumulate into
+    * cumulative levels per series WITHIN the request (see
+    * OtlpCodec). Delta histograms still reject either way. */
+  @volatile var otlpConvertDelta: Boolean = false
+
   /** The rollup twin of a store path (kept next to the store so the
     * pair moves together). */
   def rollupPathFor(storePath: String): String = storePath + "_rollup"
@@ -280,7 +288,8 @@ object RemoteWrite {
     val m = OpsMetrics(spark)
     m.writeRequests.add(1)
     val dec =
-      try graft.ingest.OtlpCodec.decodeExportMetricsCounted(body)
+      try graft.ingest.OtlpCodec.decodeExportMetricsCounted(body,
+        convertDelta = otlpConvertDelta)
       catch { case e: Throwable => m.writeErrors.add(1); throw e }
     if (dec.droppedPoints > 0) m.otlpDroppedPoints.add(dec.droppedPoints)
     val rows = dec.samples

@@ -255,6 +255,20 @@ class PlanSpec extends SparkSpecBase {
     // rangepartitioning exchange over the corpus — forbidden
     assert(!p.contains("Exchange rangepartitioning"),
       s"token budget must not global-sort the corpus:\n$p")
+    // the one UNPARTITIONED window in this plan — WindowExec's "No
+    // Partition Defined" WARN in the test log — is the shard-offsets
+    // prefix sum, whose frame is the SHARD-TOTALS table: at most
+    // `shards` rows by construction (one per _shard = _h DIV slab),
+    // never the corpus. Assert the bound so the warning is provably
+    // benign, not an unexamined single-partition sort of real data.
+    val slab = graft.llm.Portable.P / 64 + 1
+    val shardRows = Tables.documents(spark, Sf)
+      .select(expr(graft.llm.Portable.hash60SqlSpark(
+        "concat('order:', CAST(doc_id AS STRING))")).as("_h"))
+      .select(expr(s"_h DIV ${slab}L").as("_shard"))
+      .distinct().count()
+    assert(shardRows <= 64,
+      s"shard-totals window frame must stay ≤ shards rows: $shardRows")
   }
 
   test("trig/transcendental math fns stay narrow: no exchange, no UDF") {

@@ -312,6 +312,97 @@ class PromCodecSpec extends SparkSpecBase {
     assert(req.skippedHistograms === 1L)
   }
 
+  test("OTLP codec: delta sums convert to monotone cumulative under the flag") {
+    import graft.ingest.OtlpCodec
+    // one DELTA Sum metric, two series interleaved out of timestamp
+    // order: s1 deltas (5, 3, 2), s2 deltas (10, -1)
+    def point(tUs: Long, v: Double, attr: (String, String)): ProtoWire.Writer = {
+      val p = new ProtoWire.Writer
+      p.writeFixed64Field(3, tUs * 1000L)
+      p.writeDoubleField(4, v)
+      val kv = new ProtoWire.Writer
+      kv.writeStringField(1, attr._1)
+      val av = new ProtoWire.Writer
+      av.writeStringField(1, attr._2)
+      kv.writeMessageField(2, av)
+      p.writeMessageField(7, kv)
+      p
+    }
+    val sum = new ProtoWire.Writer
+    Seq(point(30L, 2.0, "s" -> "1"), point(10L, 5.0, "s" -> "1"),
+      point(10L, 10.0, "s" -> "2"), point(20L, 3.0, "s" -> "1"),
+      point(20L, -1.0, "s" -> "2"))
+      .foreach(sum.writeMessageField(1, _))
+    sum.writeVarintField(2, 1L) // AGGREGATION_TEMPORALITY_DELTA
+    val m = new ProtoWire.Writer
+    m.writeStringField(1, "req_total")
+    m.writeMessageField(7, sum)
+    val scope = new ProtoWire.Writer
+    scope.writeMessageField(2, m)
+    val rm = new ProtoWire.Writer
+    rm.writeMessageField(2, scope)
+    val req = new ProtoWire.Writer
+    req.writeMessageField(1, rm)
+    // default: reject-by-default unchanged
+    intercept[ProtoWire.WireFormatException](
+      OtlpCodec.decodeExportMetricsCounted(req.toBytes))
+    // flagged: per-series prefix sums in timestamp order — monotone
+    // cumulative levels a scrape would have seen
+    val out = OtlpCodec.decodeExportMetricsCounted(req.toBytes,
+      convertDelta = true)
+    assert(out.droppedPoints === 0L)
+    val rows = out.samples.map(s => (s.labels, s.ts_us, s.value)).toSet
+    assert(rows === Set(
+      (Seq("s=1"), 10L, 5.0), (Seq("s=1"), 20L, 8.0), (Seq("s=1"), 30L, 10.0),
+      (Seq("s=2"), 10L, 10.0), (Seq("s=2"), 20L, 9.0)))
+    // UNSPECIFIED temporality still rejects even under the flag
+    val badSum = new ProtoWire.Writer
+    badSum.writeMessageField(1, point(10L, 1.0, "s" -> "1"))
+    badSum.writeVarintField(2, 0L)
+    val bm = new ProtoWire.Writer
+    bm.writeStringField(1, "u_total")
+    bm.writeMessageField(7, badSum)
+    val bscope = new ProtoWire.Writer
+    bscope.writeMessageField(2, bm)
+    val brm = new ProtoWire.Writer
+    brm.writeMessageField(2, bscope)
+    val breq = new ProtoWire.Writer
+    breq.writeMessageField(1, brm)
+    intercept[ProtoWire.WireFormatException](
+      OtlpCodec.decodeExportMetricsCounted(breq.toBytes, convertDelta = true))
+  }
+
+  test("OTLP codec: summary points convert to quantile series + _sum/_count") {
+    import graft.ingest.OtlpCodec
+    val t = 1704412800000000L // µs
+    val good = OtlpCodec.SummaryPoint("http.req.latency", t, 10L, 15.0,
+      Seq(0.5 -> 5.0, 0.99 -> 9.9), attrs = Seq("handler" -> "/x"))
+    val out = OtlpCodec.decodeExportMetricsCounted(
+      OtlpCodec.encodeExportSummaries(Seq(good), Some("svc")))
+    assert(out.droppedPoints === 0L)
+    val rows = out.samples.map(s => (s.metric, s.labels, s.value)).toSet
+    assert(rows === Set(
+      ("http_req_latency",
+        Seq("handler=/x", "job=svc", "quantile=0.5"), 5.0),
+      ("http_req_latency",
+        Seq("handler=/x", "job=svc", "quantile=0.99"), 9.9),
+      ("http_req_latency_sum", Seq("handler=/x", "job=svc"), 15.0),
+      ("http_req_latency_count", Seq("handler=/x", "job=svc"), 10.0)))
+    assert(out.samples.forall(_.ts_us === t))
+    // malformed points land on the skip ledger WHOLE — never a
+    // partial ingest: NO_RECORDED_VALUE flag, and a quantile outside
+    // [0, 1] (NaN included — the spec calls both invalid)
+    val flagged = good.copy(flags = 1L)
+    val badQ = good.copy(quantiles = Seq(1.5 -> 2.0))
+    val nanQ = good.copy(quantiles = Seq(Double.NaN -> 2.0))
+    for (bad <- Seq(flagged, badQ, nanQ)) {
+      val d = OtlpCodec.decodeExportMetricsCounted(
+        OtlpCodec.encodeExportSummaries(Seq(bad, good), Some("svc")))
+      assert(d.droppedPoints === 1L, s"$bad must drop counted")
+      assert(d.samples.size === 4, "the good sibling point still lands")
+    }
+  }
+
   test("OTLP codec: non-identifying resource attributes land a target_info series") {
     import graft.ingest.OtlpCodec
     def kv(k: String, v: String): ProtoWire.Writer = {

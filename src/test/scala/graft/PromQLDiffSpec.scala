@@ -52,11 +52,40 @@ class PromQLDiffSpec extends SparkSpecBase {
       while (t < T0 + 400) {
         val reps = 1 + (if (rnd.nextInt(5) == 0) 1 else 0)
         for (_ <- 0 until reps)
-          out += S(metric, List(s"host=$host", s"user=$user"), t,
-            (rnd.nextInt(81) - 8) * 0.25)
+          out += S(metric, List(s"host=$host", s"instance=i$host",
+            s"user=$user"), t, (rnd.nextInt(81) - 8) * 0.25)
         t += 15 + rnd.nextInt(70)
       }
     }
+    // classic histogram h: cumulative _bucket/_sum/_count triplets on
+    // a 60s grid, deterministic from (host, k) — the corpus the
+    // histogram accessor productions read
+    for (host <- Seq("a", "b"); k <- 0 until 10) {
+      val t = T0 - 120 + k * 60
+      val hi = if (host == "a") 1 else 2
+      val c1 = (k + hi) % 4
+      val c2 = c1 + (k % 3)
+      val c3 = c2 + 1 + hi
+      val cInf = c3 + (k % 2)
+      val base = List(s"host=$host", s"instance=i$host")
+      out += S("h_bucket", (base :+ "le=1").sorted, t, c1.toDouble)
+      out += S("h_bucket", (base :+ "le=2").sorted, t, c2.toDouble)
+      out += S("h_bucket", (base :+ "le=4").sorted, t, c3.toDouble)
+      out += S("h_bucket", (base :+ "le=+Inf").sorted, t, cInf.toDouble)
+      out += S("h_sum", base, t, cInf * 1.5 + c1 * 0.25)
+      out += S("h_count", base, t, cInf.toDouble)
+    }
+    // target_info for hosts a and b (c has none — pass-through), plus
+    // a DUPLICATE info series for ia differing in data labels, so the
+    // greatest-data-label-set resolution is exercised
+    for (host <- Seq("a", "b"); k <- 0 until 5) {
+      val t = T0 - 100 + k * 120
+      out += S("target_info",
+        List(s"dc=d$host", s"instance=i$host", "os=linux"), t, 1.0)
+    }
+    for (k <- 0 until 5)
+      out += S("target_info",
+        List("dc=d0", "instance=ia", "os=aix"), T0 - 100 + k * 120, 1.0)
     out.result()
   }
 
@@ -412,6 +441,87 @@ class PromQLDiffSpec extends SparkSpecBase {
         case "or" =>
           l ++ r.filter { case (_, ls, t, _) => !lk((ls, t)) }
       }
+
+    case Info(child, sel) =>
+      // mirror of the engine's infoJoin: identity key = the
+      // instance=/job= labels; data labels = the rest, restricted to
+      // sel's NAMES; duplicate info series per (ik, t) resolve to the
+      // GREATEST data array (Spark array ordering = elementwise, then
+      // shorter-is-less — seqOrdering); v's own label wins collisions
+      import scala.math.Ordering.Implicits.seqOrdering
+      def isIdent(l: String) = l.startsWith("instance=") || l.startsWith("job=")
+      def lkey(l: String) = l.takeWhile(_ != '=')
+      val v = refEval(child, start, end, step)
+      val ti = refEval(Instant(LabelMatcher(MatcherType.Eq, "__name__",
+        "target_info") +: sel), start, end, step)
+      val tiK = ti.toSeq.map { case (_, ls0, t, _) =>
+        val ls = if (ls0.isEmpty) Nil else ls0.split(",").toList
+        ((ls.filter(isIdent), t),
+          ls.filterNot(isIdent).filter(l =>
+            sel.isEmpty || sel.exists(m => l.startsWith(m.name + "="))))
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      v.map { case (m0, ls0, t, vv) =>
+        val ls = if (ls0.isEmpty) Nil else ls0.split(",").toList
+        val data = tiK.getOrElse((ls.filter(isIdent), t), Nil)
+        val merged =
+          (ls ++ data.filterNot(d => ls.exists(x => lkey(x) == lkey(d)))).sorted
+        (m0, merged.mkString(","), t, vv)
+      }
+
+    case HistStd(dev, child) =>
+      // mirror of the engine's histStdDev over a SELECTOR child (the
+      // only shape the generator draws): geometric-midpoint
+      // estimator over the le-ascending fold, +Inf term collapsed to
+      // the top finite bound, clamped at 0
+      def sfx(s: String): Expr = child match {
+        case Instant(ms, off) => Instant(ms.map(m =>
+          if (m.name == "__name__" && m.mtype == MatcherType.Eq)
+            LabelMatcher(MatcherType.Eq, "__name__", m.value + s)
+          else m), off)
+        case other => sys.error(s"ref HistStd: selector child only: $other")
+      }
+      def keyed(rows: Set[R]): Map[(String, Long), Long] =
+        rows.map { case (_, ls, t, v) => ((ls, t), v) }.toMap
+      val sums = keyed(refEval(sfx("_sum"), start, end, step))
+      val counts = keyed(refEval(sfx("_count"), start, end, step))
+      refEval(sfx("_bucket"), start, end, step).toSeq
+        .flatMap { case (_, ls0, t, v) =>
+          val ls = if (ls0.isEmpty) Nil else ls0.split(",").toList
+          ls.find(_.startsWith("le=")).map(le =>
+            ((ls.filterNot(_.startsWith("le=")).mkString(","), t),
+              (le.drop(3), v.toDouble / 1000000.0d)))
+        }
+        .groupBy(_._1).flatMap { case ((g, t), rows0) =>
+          val rows = rows0.map(_._2)
+          val fin = rows.filter(_._1 != "+Inf")
+            .map { case (le, c) => (le.toDouble, c) }.sortBy(_._1)
+          for {
+            total <- rows.find(_._1 == "+Inf").map(_._2)
+            if fin.nonEmpty
+            hsum <- sums.get((g, t)).map(_.toDouble / 1000000.0d)
+            hcount <- counts.get((g, t)).map(_.toDouble / 1000000.0d)
+            if hcount > 0.0d
+          } yield {
+            val mean = hsum / hcount
+            var prevC = 0.0d; var prevLe = 0.0d; var fold = 0.0d
+            for ((le, c) <- fin) {
+              val cnt = c - prevC
+              val bval =
+                if (prevLe <= 0.0d && 0.0d <= le) 0.0d
+                else if (le < 0.0d) 0.0d - math.sqrt(prevLe * le)
+                else math.sqrt(prevLe * le)
+              fold += cnt * (bval - mean) * (bval - mean)
+              prevC = c; prevLe = le
+            }
+            val finC = fin.map(_._2).max
+            val finLe = fin.map(_._1).max
+            val variance = math.max((fold +
+              math.max(total - finC, 0.0d) * (finLe - mean) * (finLe - mean))
+              / hcount, 0.0d)
+            ("", g, t, math.floor(
+              (if (dev) math.sqrt(variance) else variance) * 1000000 + 0.5).toLong)
+          }
+        }.toSet
 
     case other => sys.error(s"ref: unsupported node $other")
   }
@@ -773,7 +883,19 @@ class PromQLDiffSpec extends SparkSpecBase {
       "m offset -60s",
       "ts_of_last_over_time(m[90s]) - ts_of_min_over_time(m[90s])",
       "max_over_time(rate(m[90s])[300s:60s])",
-      "ts_of_max_over_time((m + w)[120s:30s])"
+      "ts_of_max_over_time((m + w)[120s:30s])",
+      "histogram_count(h)",
+      """histogram_sum(h{host="a"})""",
+      "histogram_avg(h)",
+      "histogram_stddev(h)",
+      """histogram_stdvar(h{host="b"})""",
+      "histogram_stddev(h) * 2 + histogram_avg(h)",
+      "info(m)",
+      """info(w, {os="linux"})""",
+      """info(sum by (host, instance) (sum_over_time(m[120s])))""",
+      "sum by (dc) (info(m))",
+      "rate(w[180s] offset -30s)",
+      "sum_over_time(info(m)[180s:60s])"
     ).foreach(check)
   }
 
@@ -804,7 +926,7 @@ class PromQLDiffSpec extends SparkSpecBase {
     val covered = scala.collection.mutable.Set.empty[Int]
     def gen(depth: Int): String =
       if (depth <= 0) sel()
-      else { val c = rnd.nextInt(16); trace += c; c } match {
+      else { val c = rnd.nextInt(19); trace += c; c } match {
         case 0 => s"${rangeFns(rnd.nextInt(rangeFns.length))}(${sel()}[${dur()}])"
         case 1 => s"${rangeFns(rnd.nextInt(rangeFns.length))}(${sel()}[${dur()}] offset 60s)"
         case 2 => s"${aggs(rnd.nextInt(aggs.length))} by (host) (${gen(depth - 1)})"
@@ -834,18 +956,27 @@ class PromQLDiffSpec extends SparkSpecBase {
           val fn = Seq("sum_over_time", "max_over_time", "avg_over_time",
             "last_over_time", "rate", "increase", "delta")(rnd.nextInt(7))
           s"$fn((${gen(depth - 1)})[${Seq("180s", "240s")(rnd.nextInt(2))}:60s])"
+        case 16 => // negative offset (Prometheus 3.x default-on)
+          s"${rangeFns(rnd.nextInt(rangeFns.length))}(${sel()}[${dur()}] offset -30s)"
+        case 17 => // histogram accessors over the classic h triplets
+          val fn = Seq("histogram_count", "histogram_sum", "histogram_avg",
+            "histogram_stddev", "histogram_stdvar")(rnd.nextInt(5))
+          s"$fn(${Seq("h", """h{host="a"}""")(rnd.nextInt(2))})"
+        case 18 => // info(): data-label adoption by instance identity
+          if (rnd.nextBoolean()) s"info(${sel()})"
+          else s"""info(${sel()}, {os="linux"})"""
       }
     var checked = 0
     // 80 expressions minimum, then keep drawing (bounded) until every
     // production has been exercised through a full differential check
-    while (checked < 80 || (covered.size < 16 && checked < 300)) {
+    while (checked < 80 || (covered.size < 19 && checked < 400)) {
       trace = scala.collection.mutable.Set.empty[Int]
       val q = gen(1 + rnd.nextInt(3))
       if (PromQL.parse(q).isRight) {
         check(q); checked += 1; covered ++= trace
       }
     }
-    assert(covered.size == 16,
-      s"fuzzer verified only productions ${covered.toSeq.sorted} of 0..15")
+    assert(covered.size == 19,
+      s"fuzzer verified only productions ${covered.toSeq.sorted} of 0..18")
   }
 }

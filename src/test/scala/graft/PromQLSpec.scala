@@ -1153,6 +1153,23 @@ class PromQLSpec extends SparkSpecBase {
       Seq("host=b,user=2", "host=a,user=1"))
     assert(PromQL.parse("""sort_by_label(m)""").isLeft) // needs a label
     assert(PromQL.parse("""sort_by_label(m, "bad name")""").isLeft)
+    // NATURAL order (Prometheus natsort): digit runs compare
+    // numerically — n2 before n10; plain lexicographic would put
+    // "n10" first. Leading-zero numeric ties fall to the identity
+    // tiebreak (n07 < n7 lexicographically on the full label set).
+    import spark.implicits._
+    val nat = Seq(
+      (T0 * 1000000L, "m", Seq("idx=n10"), 1.0),
+      (T0 * 1000000L, "m", Seq("idx=n2"), 2.0),
+      (T0 * 1000000L, "m", Seq("idx=n07"), 3.0),
+      (T0 * 1000000L, "m", Seq("idx=n7"), 4.0),
+      (T0 * 1000000L, "m", Seq("idx=alpha"), 5.0)
+    ).toDF("ts_us", "metric", "labels", "value")
+    val natOrder = PromQL.eval(nat,
+      parse("""sort_by_label(m, "idx")""").toOption.get, T0, T0, 60L)
+      .select(array_join(col("labels"), ",")).collect().map(_.getString(0)).toSeq
+    assert(natOrder ===
+      Seq("idx=alpha", "idx=n2", "idx=n07", "idx=n7", "idx=n10"))
   }
 
   test("absent() instant form; label_join; date-based calendar functions") {

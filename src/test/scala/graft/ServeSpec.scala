@@ -84,6 +84,29 @@ class ServeSpec extends SparkSpecBase {
     } finally srv.stop()
   }
 
+  test("/api/v1/otlp/v1/metrics converts summary points to classic series") {
+    import graft.ingest.OtlpCodec
+    val store = tmpStore("otlpsummary")
+    val srv = HttpServe.start(spark, store)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      val body = OtlpCodec.encodeExportSummaries(Seq(
+        OtlpCodec.SummaryPoint("rpc.latency", 1704412800000000L, 20L, 30.0,
+          Seq(0.5 -> 1.0, 0.9 -> 2.5))), Some("api"))
+      assert(post(s"$base/api/v1/otlp/v1/metrics", body)._1 === 200)
+      val back = graft.ingest.SamplesStore.read(spark, store)
+        .collect()
+        .map(r => (r.getAs[String]("metric"),
+          r.getAs[scala.collection.Seq[String]]("labels").mkString(","),
+          r.getAs[Double]("value"))).toSet
+      assert(back === Set(
+        ("rpc_latency", "job=api,quantile=0.5", 1.0),
+        ("rpc_latency", "job=api,quantile=0.9", 2.5),
+        ("rpc_latency_sum", "job=api", 30.0),
+        ("rpc_latency_count", "job=api", 20.0)))
+    } finally srv.stop()
+  }
+
   test("/api/v1/otlp/v1/metrics ingests OTLP gauges and sums") {
     import graft.ingest.{OtlpCodec, ProtoWire}
     val store = tmpStore("otlp")
@@ -223,12 +246,19 @@ class ServeSpec extends SparkSpecBase {
       gauge.writeMessageField(1,
         point(1704412800000000000L, 0.25, "http.method" -> "GET"))
       gm.writeMessageField(5, gauge)
-      // 3. SUMMARY points skip — but COUNT (2 points)
+      // 3. MALFORMED summary points (NO_RECORDED_VALUE flag — the
+      //    staleness marker this store cannot hold) skip WHOLE and
+      //    COUNT (2 points); well-formed summaries convert, covered
+      //    by the dedicated summary endpoint test
       val hm = new ProtoWire.Writer
       hm.writeStringField(1, "latency.hist")
       val hist = new ProtoWire.Writer
-      hist.writeMessageField(1, new ProtoWire.Writer) // 2 data points
-      hist.writeMessageField(1, new ProtoWire.Writer)
+      val staleP = new ProtoWire.Writer
+      staleP.writeVarintField(8, 1L) // flags: NO_RECORDED_VALUE
+      val staleP2 = new ProtoWire.Writer
+      staleP2.writeVarintField(8, 1L)
+      hist.writeMessageField(1, staleP)
+      hist.writeMessageField(1, staleP2)
       hm.writeMessageField(11, hist)
       // 3b. an EXPONENTIAL histogram converts through the shared
       //     geometry: scale 0 (base 2), zero_count 1, positive
@@ -391,6 +421,36 @@ class ServeSpec extends SparkSpecBase {
       val (_, flagsBody) = get(s"$base/api/v1/status/flags")
       assert(flagsBody.contains(
         s""""write.converted-histograms":"${convBefore + 1}""""))
+      // native-histogram writes stream back as FLOAT chunks of the
+      // classic expansion: the store holds _bucket/_sum/_count rows,
+      // not native histograms, so a STREAMED_XOR_CHUNKS read answers
+      // ordinary XOR chunks of those rows — never Prometheus
+      // histogram chunks (the documented deviation in
+      // RemoteRead.serveChunked)
+      val cq = Seq(ReadQuery(1704412800000L, 1704412800000L + 60000L,
+        Seq(Matchers.re("__name__", "hm_(bucket|sum|count)"))))
+      val (cc, cbody, chd) = post(s"$base/read",
+        PromRemoteCodec.encodeReadRequestWithTypes(cq, Seq(1, 0)))
+      assert(cc === 200)
+      assert(chd.get("Content-Type").exists(_.startsWith(
+        "application/x-streamed-protobuf")))
+      val chunked = (for {
+        (_, ss) <- PromRemoteCodec.decodeChunkedFrames(cbody)
+        cs <- ss
+        c <- cs.chunks
+        (t, v) = graft.serve.Gorilla.decode(c.data)
+        i <- t.indices
+      } yield (cs.labels.filter(_.name != "__name__")
+          .map(l => s"${l.name}=${l.value}").mkString(","),
+        cs.labels.find(_.name == "__name__").map(_.value).getOrElse(""),
+        t(i), v(i))).toSet
+      assert(chunked === Set(
+        ("k=v,le=0.001", "hm_bucket", 1704412800000L, 1.0),
+        ("k=v,le=1", "hm_bucket", 1704412800000L, 3.0),
+        ("k=v,le=2", "hm_bucket", 1704412800000L, 6.0),
+        ("k=v,le=+Inf", "hm_bucket", 1704412800000L, 6.0),
+        ("k=v", "hm_sum", 1704412800000L, 4.5),
+        ("k=v", "hm_count", 1704412800000L, 6.0)))
     } finally srv.stop()
   }
 

@@ -77,6 +77,62 @@ class TokenizerSpec extends SparkSpecBase {
     assert(refMerges.nonEmpty, "corpus must actually exercise merges")
   }
 
+  test("batched training equals the sequential reference deep into a merge list") {
+    // a 2-letter alphabet maximizes pair-count ties, overlapping
+    // candidates, and output-symbol collisions ((a,b)→"ab" while
+    // "ab" already exists) — every guard in the batch selector gets
+    // exercised; k=40 runs well past the single-char merges
+    val rnd = new scala.util.Random(99)
+    val texts = Seq.fill(60) {
+      Seq.fill(2 + rnd.nextInt(10)) {
+        Seq.fill(1 + rnd.nextInt(8))("ab".charAt(rnd.nextInt(2))).mkString
+      }.mkString(" ")
+    }
+    val (refMerges, _) = refBpe(refWordFreq(texts), 40)
+    val got = Tokenizer.trainBpe(docsDf(texts), 40)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toVector
+    assert(got === refMerges)
+    assert(refMerges.size >= 10, "corpus must exercise a deep merge list")
+  }
+
+  test("training is invariant to the batch size") {
+    val rnd = new scala.util.Random(4242)
+    val texts = Seq.fill(30) {
+      Seq.fill(2 + rnd.nextInt(8)) {
+        Seq.fill(1 + rnd.nextInt(6))("abc".charAt(rnd.nextInt(3))).mkString
+      }.mkString(" ")
+    }
+    def merges(maxBatch: Int) =
+      Tokenizer.trainBpe(docsDf(texts), 16, maxBatch = maxBatch)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toVector
+    val seq1 = merges(1) // one merge per round — the textbook loop
+    assert(merges(8) === seq1)
+    assert(merges(64) === seq1)
+  }
+
+  test("disjointGroups preserves order and splits where merges interact") {
+    val ms = Seq(("a", "b"), ("c", "d"), // disjoint — one group
+      ("ab", "c"),                       // consumes (a,b)'s output → split
+      ("e", "f"),                        // disjoint with (ab,c)? shares nothing → same group
+      ("x", "ab"))                       // touches "ab" (= group 2's left) → split
+    val gs = Tokenizer.disjointGroups(ms)
+    assert(gs.flatten === ms, "grouping must preserve rank order")
+    assert(gs === Seq(
+      Seq(("a", "b"), ("c", "d")),
+      Seq(("ab", "c"), ("e", "f")),
+      Seq(("x", "ab"))))
+    // every group is internally disjoint: no symbol or output of one
+    // member equals a symbol of another
+    for (g <- gs; i <- g.indices; j <- g.indices if i < j) {
+      val (al, ar) = g(i); val (bl, br) = g(j)
+      val aTouch = Set(al, ar, al + ar)
+      assert(!aTouch(bl) && !aTouch(br) && !aTouch(bl + br))
+    }
+  }
+
   test("count ties break lexicographically by (l, r)") {
     // 'ba' and 'ab' pair counts tie at 3; (a,b) < (b,a) must win
     val texts = Seq("ab ab ab ba ba ba")

@@ -31,8 +31,20 @@ object Bench {
     // store write + rollup build (+ append + incremental re-roll)
     "store_rollup" -> 5.0,
     "store_rollup_incremental" -> 6.0,
-    "store_rollup_serve" -> 5.0,
-    "store_rollup_serve_unaligned" -> 5.0,
+    // the serve family reads a PAY-ONCE shared fixture now — healthy
+    // warm times are the serving read alone (~0.3-0.7 s); a budget
+    // breach means either the serve plan regressed or the fixture
+    // cache broke and every run re-pays the build
+    "store_rollup_serve" -> 2.0,
+    "store_rollup_serve_unaligned" -> 2.0,
+    "store_rollup_serve_sum" -> 2.0,
+    "store_rollup_serve_stdvar" -> 2.0,
+    "store_rollup_serve_rate" -> 2.0,
+    "store_rollup_serve_irate" -> 2.0,
+    // trained-merge-table reuse: vocab/count no longer re-train
+    "tokenizer_train_bpe" -> 4.0,
+    "tokenizer_vocab_bpe" -> 8.0,
+    "tokenize_bpe_count" -> 3.0,
     // round-13 additions worth watching: the recording rule pays a
     // full store write + evaluation + append per entry; the histogram
     // estimator pays a 4-way bucket expansion + window + join.

@@ -600,6 +600,54 @@ object OtlpCodec {
     w.toBytes
   }
 
+  /** Samples → one ExportMetricsServiceRequest of SUM metrics with
+    * the given aggregation_temporality (2 = cumulative, 1 = delta —
+    * the fixture leg for the delta→cumulative conversion), optionally
+    * under a resource carrying `service.name`. */
+  def encodeExportSums(samples: Seq[IngestedSample], temporality: Long,
+                       serviceName: Option[String] = None): Array[Byte] = {
+    val w = new ProtoWire.Writer
+    val rm = new ProtoWire.Writer
+    serviceName.foreach { svc =>
+      val res = new ProtoWire.Writer
+      val kv = new ProtoWire.Writer
+      kv.writeStringField(1, "service.name")
+      val av = new ProtoWire.Writer
+      av.writeStringField(1, svc)
+      kv.writeMessageField(2, av)
+      res.writeMessageField(1, kv)
+      rm.writeMessageField(1, res)
+    }
+    val sm = new ProtoWire.Writer
+    samples.groupBy(_.metric).toSeq.sortBy(_._1).foreach { case (name, ss) =>
+      val m = new ProtoWire.Writer
+      m.writeStringField(1, name)
+      val g = new ProtoWire.Writer
+      ss.foreach { s =>
+        val p = new ProtoWire.Writer
+        p.writeFixed64Field(3, s.ts_us * 1000L)
+        p.writeDoubleField(4, s.value)
+        s.labels.foreach { l =>
+          val i = l.indexOf('=')
+          val kv = new ProtoWire.Writer
+          kv.writeStringField(1, if (i < 0) l else l.take(i))
+          val av = new ProtoWire.Writer
+          av.writeStringField(1, if (i < 0) "" else l.drop(i + 1))
+          kv.writeMessageField(2, av)
+          p.writeMessageField(7, kv)
+        }
+        g.writeMessageField(1, p)
+      }
+      g.writeVarintField(2, temporality)
+      g.writeVarintField(3, 1L) // is_monotonic
+      m.writeMessageField(7, g) // sum
+      sm.writeMessageField(2, m)
+    }
+    rm.writeMessageField(2, sm)
+    w.writeMessageField(1, rm)
+    w.toBytes
+  }
+
   /** A summary data point for the fixture encoder. */
   final case class SummaryPoint(metric: String, tsUs: Long, count: Long,
                                 sum: Double, quantiles: Seq[(Double, Double)],

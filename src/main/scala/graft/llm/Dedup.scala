@@ -237,6 +237,30 @@ object Dedup {
       .select(col("doc_id"), col("_hit").isNull.cast("int").as("kept"))
   }
 
+  /** One micro-batch's state probe: which of the batch's banded docs
+    * share an LSH bucket with ANY earlier crawl. probe = state ⋈
+    * broadcast(batch keys), map-side: the state is the STREAMED side
+    * of a broadcast hash join, so a batch never shuffles (or
+    * deduplicates) the accumulated state — a left-semi + distinct
+    * would re-shuffle the WHOLE state every batch, the growth term a
+    * long-running stream cannot afford. Duplicate state keys
+    * collapse at the doc_id distinct, so the un-distinct'd multiset
+    * state answers identically. The band-partitioned layout (16
+    * dirs) lets the scan prune to the bands the batch actually
+    * carries (the isin filter is partition-pruned at plan time).
+    * PlanSpec asserts the shape: one broadcast exchange (the batch
+    * keys), no shuffle of the state scan before the join. */
+  private[graft] def probeState(sp: org.apache.spark.sql.SparkSession,
+                                stateDir: String,
+                                banded: DataFrame): DataFrame = {
+    val batchBands = banded.select(col("band")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    sp.read.parquet(stateDir)
+      .filter(col("band").isin(batchBands: _*))
+      .join(broadcast(banded), Seq("band", "band_sig"))
+      .select(col("doc_id")).distinct()
+  }
+
   /** STREAMING crawl-by-crawl MinHash dedup — [[incrementalKeep]]'s
     * online twin. Each micro-batch (one crawl file) probes the
     * PERSISTED band-key state of every crawl before it and flags
@@ -291,26 +315,9 @@ object Dedup {
         val haveState = statePath
           .getFileSystem(sp.sparkContext.hadoopConfiguration)
           .exists(statePath)
-        // probe = state ⋈ broadcast(batch keys), map-side: the state
-        // is the STREAMED side of a broadcast hash join, so a batch
-        // never shuffles (or deduplicates) the accumulated state —
-        // the old left-semi + distinct re-shuffled the WHOLE state
-        // every batch, the growth term a long-running stream cannot
-        // afford. Duplicate state keys collapse at the doc_id
-        // distinct, so the un-distinct'd multiset state answers
-        // identically. The band-partitioned layout (16 dirs) lets
-        // the scan prune to the bands the batch actually carries
-        // (the isin filter is partition-pruned at plan time).
         val hit =
           if (!haveState) banded.limit(0).select(col("doc_id"))
-          else {
-            val batchBands = banded.select(col("band")).distinct()
-              .collect().map(_.getInt(0)).toSeq
-            sp.read.parquet(stateDir)
-              .filter(col("band").isin(batchBands: _*))
-              .join(broadcast(banded), Seq("band", "band_sig"))
-              .select(col("doc_id")).distinct()
-          }
+          else probeState(sp, stateDir, banded)
         batch.select(col("doc_id"), col("crawl"))
           .join(hit.withColumn("_hit", lit(1)), Seq("doc_id"), "left")
           .select(col("doc_id"), col("crawl"),

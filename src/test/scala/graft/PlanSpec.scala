@@ -244,6 +244,29 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("ScalaUDF"), s"pipeline plans a UDF:\n$p")
   }
 
+  test("streaming-dedup state probe broadcasts the batch, never shuffles the state") {
+    import spark.implicits._
+    val stateDir = "/tmp/graft_test/plan_streamstate"
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
+    Seq((11L, 0), (22L, 1), (33L, 2)).toDF("band_sig", "band")
+      .write.mode("overwrite").partitionBy("band").parquet(stateDir)
+    val banded = Seq((7L, 0, 11L), (7L, 1, 99L))
+      .toDF("doc_id", "band", "band_sig")
+    val p = plan(graft.llm.Dedup.probeState(spark, stateDir, banded))
+    // batch keys broadcast; the accumulated state must reach the join
+    // straight off its scan — a hash exchange on the join keys would
+    // re-shuffle the whole state every micro-batch (the growth term)
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe must broadcast the batch keys:\n$p")
+    assert(!p.contains("hashpartitioning(band"),
+      s"probe must not shuffle the state on the join keys:\n$p")
+    // the band isin filter prunes state partitions at plan time
+    assert(p.contains("PartitionFilters: [band"),
+      s"probe must partition-prune the state scan on band:\n$p")
+  }
+
   test("token-budget prefix sum broadcasts shard offsets, never sorts globally") {
     val p = plan(graft.llm.Sampling.tokenBudget(
       Tables.documents(spark, Sf), "doc_id", "order", 5000L))

@@ -143,12 +143,16 @@ object Bench {
     // 160+ queries the one-line JSON overflows it and the first ~90
     // query timings are lost to round-over-round comparison. Persist
     // the complete JSON beside the build too (cwd = repo root under
-    // sbt runMain), where it ships whole with the round commit.
-    try {
-      val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
-      try w.println(json) finally w.close()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write BENCH_FULL.json: $e") }
+    // sbt runMain), where it ships whole with the round commit —
+    // but ONLY on unfiltered runs: a SPARK_GRAFT_ONLY iteration run
+    // must never clobber the committed full-suite numbers.
+    if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) {
+      try {
+        val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
+        try w.println(json) finally w.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write BENCH_FULL.json: $e") }
+    }
     spark.stop()
   }
 }

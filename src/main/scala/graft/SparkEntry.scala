@@ -1363,6 +1363,27 @@ object SparkEntry {
         .unionByName(ev("ts_of_last_over_time", "last"))
     }),
 
+    // Prometheus 3.x UTF-8 selector syntax: quoted metric name +
+    // quoted label names inside the braces — same plan and answer as
+    // the classic ident form (the store's canonical "k=v" labels
+    // already carry any name; only the grammar was classic-only)
+    "promql_selector_quoted" -> ((s, dir) =>
+      promqlStr(PromQL.eval(samples(s, dir),
+        parsePromQL("""sum_over_time({"click", "user"="1"}[1d])"""),
+        WinStartSec, WinEndSec, 86400L))),
+
+    // Prometheus 3.x experimental first_over_time family: the
+    // window's earliest sample and its timestamp — selections off
+    // the same one-pass window stats every *_over_time shares
+    "promql_first_over_time" -> ((s, dir) => {
+      val sm = samples(s, dir)
+      def ev(fn: String, tag: String) =
+        promqlStr(PromQL.eval(sm, parsePromQL(fn + "(click[1d])"),
+          WinStartSec, WinEndSec, 86400L)).withColumn("fn", lit(tag))
+      ev("first_over_time", "first")
+        .unionByName(ev("ts_of_first_over_time", "tsfirst"))
+    }),
+
     // cross-series quantile aggregation per step
     "promql_quantile_agg" -> ((s, dir) =>
       promqlStr(PromQL.eval(samples(s, dir),
@@ -4288,6 +4309,40 @@ object SparkEntry {
          |SELECT metric, array_to_string(labels, ','), t,
          |       CAST(t_sec AS BIGINT) * 1000000, 'last'
          |FROM rk WHERE rlast = 1""".stripMargin,
+
+    // the quoted selector answers exactly what the ident form would
+    "promql_selector_quoted" ->
+      s"""${promqlSotCte("click")}
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, t, v_e6
+         |FROM sot WHERE list_contains(labels, 'user=1')""".stripMargin,
+
+    // the first family: earliest sample per [t-1d, t) window — value
+    // (e6-snapped like last_over_time) and timestamp legs
+    "promql_first_over_time" ->
+      s"""$dedupCte, sel AS (
+         |  SELECT * FROM deduped
+         |  WHERE metric = 'click'
+         |    AND t_sec >= ${WinStartSec - 86400} AND t_sec <= ${WinEndSec - 1}
+         |), grid AS (SELECT unnest(range(0, 16)) AS k),
+         |j AS (
+         |  SELECT s.metric, s.labels, $WinStartSec + g.k * 86400 AS t,
+         |         s.t_sec, s.value
+         |  FROM sel s JOIN grid g
+         |    ON s.t_sec >= $WinStartSec + g.k * 86400 - 86400
+         |   AND s.t_sec <  $WinStartSec + g.k * 86400
+         |), agg AS (
+         |  SELECT metric, labels, t,
+         |         arg_min(value, t_sec) AS firstv, min(t_sec) AS tf
+         |  FROM j GROUP BY 1, 2, 3
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, t,
+         |       CAST(floor(firstv * 1000000 + 0.5) AS BIGINT) AS v_e6,
+         |       'first' AS fn
+         |FROM agg
+         |UNION ALL
+         |SELECT metric, array_to_string(labels, ','), t,
+         |       CAST(tf AS BIGINT) * 1000000, 'tsfirst'
+         |FROM agg""".stripMargin,
 
     // cross-series p90 of the per-series 1d sums, per step
     "promql_quantile_agg" ->

@@ -114,8 +114,14 @@ object Matchers {
     }
 
   private val SelName = "([a-zA-Z_:][a-zA-Z0-9_:]*)".r
+  // a pair's label name is a bare ident OR (Prometheus 3.x UTF-8
+  // names) a double-quoted string with the usual escapes
   private val SelPair =
-    """\s*([a-zA-Z_][a-zA-Z0-9_]*)\s*(=~|!~|!=|=)\s*"((?:[^"\\]|\\.)*)"\s*(?:,|(?=\}))""".r
+    """\s*(?:([a-zA-Z_][a-zA-Z0-9_]*)|"((?:[^"\\]|\\.)*)")\s*(=~|!~|!=|=)\s*"((?:[^"\\]|\\.)*)"\s*(?:,|(?=\}))""".r
+  // a BARE quoted string in the braces is the quoted METRIC name
+  // ({"my.metric", ...} — Prometheus 3.x UTF-8 metric syntax)
+  private val SelQuotedName =
+    """\s*"((?:[^"\\]|\\.)*)"\s*(?:,|(?=\}))""".r
 
   private def unescape(v: String): String = {
     val sb = new StringBuilder(v.length)
@@ -154,22 +160,44 @@ object Matchers {
       val body = rest.substring(1, rest.length - 1) + "}"
       var idx = 0
       val pairs = Seq.newBuilder[LabelMatcher]
+      val quotedNames = Seq.newBuilder[String]
       var ok = true
       while (ok && idx < body.length - 1) {
         SelPair.findPrefixMatchOf(body.substring(idx)) match {
           case Some(m) =>
-            val op = m.group(2) match {
+            val op = m.group(3) match {
               case "="  => MatcherType.Eq
               case "!=" => MatcherType.Neq
               case "=~" => MatcherType.Re
               case "!~" => MatcherType.Nre
             }
-            pairs += LabelMatcher(op, m.group(1), unescape(m.group(3)))
+            val key =
+              if (m.group(1) != null) m.group(1) else unescape(m.group(2))
+            // a label name holding '=' cannot round-trip the store's
+            // canonical "k=v" label form — rejected, documented
+            // deviation from the any-UTF-8 spec; empty names are
+            // invalid in Prometheus too
+            if (key.isEmpty || key.contains('=')) ok = false
+            else { pairs += LabelMatcher(op, key, unescape(m.group(4))) }
             idx += m.end
-          case None => ok = false
+          case None =>
+            SelQuotedName.findPrefixMatchOf(body.substring(idx)) match {
+              case Some(q) =>
+                val nm = unescape(q.group(1))
+                if (nm.isEmpty) ok = false
+                else quotedNames += nm
+                idx += q.end
+              case None => ok = false
+            }
         }
       }
-      val all = nameMatcher ++ pairs.result()
+      val qn = quotedNames.result()
+      // the quoted metric name composes with pairs but not with a
+      // prefix ident name or a second quoted name (Prometheus errors
+      // on both)
+      if (qn.size > 1 || (qn.nonEmpty && name.nonEmpty)) return None
+      val all = nameMatcher ++
+        qn.map(LabelMatcher(MatcherType.Eq, NameLabel, _)) ++ pairs.result()
       if (ok && all.nonEmpty) Some(all) else None
     }
   }

@@ -399,10 +399,12 @@ object PromQL {
     "count_over_time", "last_over_time", "stddev_over_time",
     "stdvar_over_time", "present_over_time", "mad_over_time",
     "irate", "idelta", "deriv", "changes", "resets",
-    // Prometheus 3.x experimental: the timestamp (as a value, in
-    // seconds) of the window's last / greatest / least sample —
-    // ties on value resolve to the LATEST sample, Prometheus's
-    // `>=`/`<=` scan order (promql/functions.go funcTsOfMaxOverTime)
+    // Prometheus 3.x experimental: the window's earliest sample and
+    // the timestamps (as values, in seconds) of the first / last /
+    // greatest / least samples — value ties resolve to the LATEST
+    // sample, Prometheus's `>=`/`<=` scan order
+    // (promql/functions.go funcTsOfMaxOverTime)
+    "first_over_time", "ts_of_first_over_time",
     "ts_of_last_over_time", "ts_of_max_over_time", "ts_of_min_over_time")
   /** The RangeFns subset needing each point's PREDECESSOR (a
     * per-series lag), not just decomposable window partials. */
@@ -416,8 +418,9 @@ object PromQL {
   val SubFns: Set[String] = Set("sum_over_time", "avg_over_time",
     "min_over_time", "max_over_time", "count_over_time", "last_over_time",
     "rate", "increase", "delta",
-    // ts_of_*: argmax/argmin over the inner vector's exact
-    // µ-integers — a pure comparison, no arithmetic, so exact
+    // first/ts_of_*: selections / argmax over the inner vector's
+    // exact µ-integers — pure comparisons, no arithmetic, so exact
+    "first_over_time", "ts_of_first_over_time",
     "ts_of_last_over_time", "ts_of_max_over_time", "ts_of_min_over_time")
   val MathFns: Set[String] = Set("abs", "ceil", "floor", "sgn", "round",
     "clamp", "clamp_min", "clamp_max", "sqrt",
@@ -445,10 +448,12 @@ object PromQL {
     "min_over_time", "max_over_time", "count_over_time", "avg_over_time",
     "last_over_time", "rate", "increase", "delta", "irate", "idelta",
     "stddev_over_time", "stdvar_over_time", "present_over_time",
-    // schema-v5 argmax timestamps: a window's ts_of_max is the
-    // argmax over buckets of (bucket max, its timestamp) — pure
-    // comparisons on the very same deduped values the raw path
-    // compares, so the re-aggregation is exact
+    // first/ts_of_first ride the same v2 edge points as rate (window
+    // first = earliest bucket's first sample); schema-v5 argmax
+    // timestamps: a window's ts_of_max is the argmax over buckets of
+    // (bucket max, its timestamp) — pure comparisons on the very
+    // same deduped values the raw path compares, so exact
+    "first_over_time", "ts_of_first_over_time",
     "ts_of_last_over_time", "ts_of_max_over_time", "ts_of_min_over_time")
 
   // ---- Parser -----------------------------------------------------
@@ -2900,6 +2905,11 @@ object PromQL {
       case "last_over_time" =>
         stats.select(base :+
           expr("CAST(floor(v_last * 1000000 + 0.5) AS BIGINT)").as("v_e6"): _*)
+      case "first_over_time" =>
+        stats.select(base :+
+          expr("CAST(floor(v_first * 1000000 + 0.5) AS BIGINT)").as("v_e6"): _*)
+      case "ts_of_first_over_time" =>
+        stats.select(base :+ expr("t_first * 1000000").as("v_e6"): _*)
       case "stddev_over_time" =>
         // clamped population moments over the EXACT integer sums —
         // the double chain starts from integers both paths (raw,
@@ -3187,6 +3197,8 @@ object PromQL {
           case "min_over_time"   => expr("mn")
           case "max_over_time"   => expr("mx")
           case "last_over_time"  => expr("lastv")
+          case "first_over_time" => expr("firstv")
+          case "ts_of_first_over_time" => expr("tf * 1000000")
           case "ts_of_last_over_time" => expr("tl * 1000000")
           case "ts_of_max_over_time"  => expr("t_vmax * 1000000")
           case "ts_of_min_over_time"  => expr("t_vmin * 1000000")
@@ -3839,17 +3851,31 @@ object PromQL {
   }
 
   private def selTxt(ms: Seq[LabelMatcher]): String = {
+    def bareMetric(s: String) =
+      s.nonEmpty && (s.head.isLetter || s.head == '_' || s.head == ':') &&
+        s.forall(c => c.isLetterOrDigit && c <= 'z' || c == '_' || c == ':')
+    def bareLabel(s: String) =
+      s.nonEmpty && (s.head.isLetter && s.head <= 'z' || s.head == '_') &&
+        s.forall(c => c.isLetterOrDigit && c <= 'z' || c == '_')
     val (name, rest) = ms.partition(m =>
       m.name == "__name__" && m.mtype == MatcherType.Eq)
-    val prefix = name.headOption.map(_.value).getOrElse("")
-    val inner = (name.drop(1) ++ rest).map { m =>
+    // a metric name outside the classic ident grammar renders as the
+    // Prometheus 3.x quoted form inside the braces
+    val (prefix, quotedName) = name.headOption.map(_.value) match {
+      case Some(v) if bareMetric(v) => (v, Seq.empty[String])
+      case Some(v) => ("", Seq(s""""${strEsc(v)}""""))
+      case None => ("", Seq.empty[String])
+    }
+    val inner = quotedName ++ (name.drop(1) ++ rest).map { m =>
       val op = m.mtype match {
         case MatcherType.Eq  => "="
         case MatcherType.Neq => "!="
         case MatcherType.Re  => "=~"
         case MatcherType.Nre => "!~"
       }
-      s"""${m.name}$op"${strEsc(m.value)}""""
+      val key =
+        if (bareLabel(m.name)) m.name else s""""${strEsc(m.name)}""""
+      s"""$key$op"${strEsc(m.value)}""""
     }
     if (inner.isEmpty) prefix else s"$prefix{${inner.mkString(",")}}"
   }

@@ -239,6 +239,8 @@ class PromQLDiffSpec extends SparkSpecBase {
       case "min_over_time"   => Some(vs.min)
       case "max_over_time"   => Some(vs.max)
       case "last_over_time"  => Some(pts.last._2)
+      case "first_over_time" => Some(pts.head._2)
+      case "ts_of_first_over_time" => Some(pts.head._1 * 1000000L)
       case "ts_of_last_over_time" => Some(pts.last._1 * 1000000L)
       case "ts_of_max_over_time" =>
         Some(pts.maxBy(p => (p._2, p._1))._1 * 1000000L)
@@ -576,6 +578,8 @@ class PromQLDiffSpec extends SparkSpecBase {
       case "min_over_time"   => Some(e6(vs.min))
       case "max_over_time"   => Some(e6(vs.max))
       case "last_over_time"  => Some(e6(w.maxBy(_._1)._2))
+      case "first_over_time" => Some(e6(w.minBy(_._1)._2))
+      case "ts_of_first_over_time" => Some(w.minBy(_._1)._1 * 1000000L)
       case "present_over_time" => Some(1000000L)
       // ts_of_*: value ties → latest sample (Prometheus >=/<= scan)
       case "ts_of_last_over_time" => Some(w.maxBy(_._1)._1 * 1000000L)
@@ -905,7 +909,8 @@ class PromQLDiffSpec extends SparkSpecBase {
       "max_over_time", "count_over_time", "last_over_time",
       "present_over_time", "stddev_over_time", "stdvar_over_time",
       "rate", "increase", "delta", "irate", "idelta", "changes", "resets",
-      "ts_of_last_over_time", "ts_of_max_over_time", "ts_of_min_over_time")
+      "ts_of_last_over_time", "ts_of_max_over_time", "ts_of_min_over_time",
+      "first_over_time", "ts_of_first_over_time")
     val aggs = Seq("sum", "min", "max", "count", "avg", "group",
       "stddev", "stdvar")
     val maths = Seq("abs", "ceil", "floor", "sgn", "sqrt", "ln", "log2",
@@ -954,7 +959,8 @@ class PromQLDiffSpec extends SparkSpecBase {
             s"sort_by_label_desc(${gen(depth - 1)}, \"user\")")(rnd.nextInt(4))
         case 15 =>
           val fn = Seq("sum_over_time", "max_over_time", "avg_over_time",
-            "last_over_time", "rate", "increase", "delta")(rnd.nextInt(7))
+            "last_over_time", "first_over_time", "ts_of_first_over_time",
+            "rate", "increase", "delta")(rnd.nextInt(9))
           s"$fn((${gen(depth - 1)})[${Seq("180s", "240s")(rnd.nextInt(2))}:60s])"
         case 16 => // negative offset (Prometheus 3.x default-on)
           s"${rangeFns(rnd.nextInt(rangeFns.length))}(${sel()}[${dur()}] offset -30s)"

@@ -717,6 +717,44 @@ class PromQLSpec extends SparkSpecBase {
       ("m", "host=a,user=1", T0 + 120, 1000000L)))
   }
 
+  test("Prometheus 3.x quoted UTF-8 selectors parse, match, and round-trip") {
+    import spark.implicits._
+    val corpus = Seq(
+      (T0 * 1000000L, "http.req.total", Seq("a.b=x", "host=a"), 2.0),
+      (T0 * 1000000L, "http.req.total", Seq("a.b=y", "host=b"), 3.0),
+      (T0 * 1000000L, "plain", Seq("host=a"), 5.0)
+    ).toDF("ts_us", "metric", "labels", "value")
+    def one(q: String) = rows(PromQL.eval(corpus, parse(q).toOption.get,
+      T0, T0, 60L))
+    // quoted metric name + quoted label name
+    assert(one("""{"http.req.total", "a.b"="x"}""") ===
+      Set(("http.req.total", "a.b=x,host=a", T0, 2000000L)))
+    // quoted name composes with classic ident pairs
+    assert(one("""{"http.req.total", host="b"}""") ===
+      Set(("http.req.total", "a.b=y,host=b", T0, 3000000L)))
+    // regex over a quoted label name; `plain` lacks a.b (the ""
+    // convention) so x|y excludes it
+    assert(one("""{"a.b"=~"x|y"}""") === Set(
+      ("http.req.total", "a.b=x,host=a", T0, 2000000L),
+      ("http.req.total", "a.b=y,host=b", T0, 3000000L)))
+    // range calls take the quoted form too ([t-d, t) window: the T0
+    // sample lands in the step ending T0+60)
+    assert(rows(PromQL.eval(corpus,
+      parse("""sum_over_time({"http.req.total", "a.b"!="y"}[60s])""")
+        .toOption.get, T0 + 60, T0 + 60, 60L))
+      === Set(("http.req.total", "a.b=x,host=a", T0 + 60, 2000000L)))
+    // the canonical formatter quotes non-ident names and round-trips
+    val e = parse("""sum_over_time({"http.req.total", "a.b"!="y"}[60s])""")
+      .toOption.get
+    assert(parse(PromQL.format(e)).toOption.contains(e), PromQL.format(e))
+    // rejects: prefix ident + quoted name, two quoted names, '=' or
+    // "" in a quoted label name (the store's canonical "k=v" bound)
+    assert(PromQL.parse("""foo{"bar"}""").isLeft)
+    assert(PromQL.parse("""{"a", "b"}""").isLeft)
+    assert(PromQL.parse("""{"a=b"="c"}""").isLeft)
+    assert(PromQL.parse("""{""="c"}""").isLeft)
+  }
+
   test("stdvar/stddev moments survive the store's extreme magnitudes (no int64 wrap)") {
     import spark.implicits._
     // 12 samples at the |v|≤1e7 store bound: each e2-snapped square
@@ -1546,7 +1584,8 @@ class PromQLSpec extends SparkSpecBase {
                    "delta", "irate", "idelta",
                    "stddev_over_time", "stdvar_over_time",
                    "present_over_time", "ts_of_last_over_time",
-                   "ts_of_max_over_time", "ts_of_min_over_time")) {
+                   "ts_of_max_over_time", "ts_of_min_over_time",
+                   "first_over_time", "ts_of_first_over_time")) {
       val eF = parse(s"$fn(click[2h])").toOption.get
       val bF = m.readsFromRollup.value
       val routedF = rows(PromQL.eval(stored, eF, start, end, step,

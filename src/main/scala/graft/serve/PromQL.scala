@@ -835,10 +835,9 @@ object PromQL {
               case _ => Right(())
             }
             _ <- if (Seq(dst, src).forall(n =>
-                   n.nonEmpty && isIdentStart(n.head) && n.forall(isIdentChar) &&
-                   n != "__name__"))
+                   n.nonEmpty && !n.contains('=') && n != "__name__"))
                  Right(())
-                 else Left("label_replace: dst and src must be plain label names")
+                 else Left("label_replace: dst and src must be label names")
             _ <- try { java.util.regex.Pattern.compile(re); Right(()) }
                  catch { case _: Exception => Left(s"invalid regex: $re") }
           } yield LabelReplace(child, dst, rep, src, re)
@@ -1021,10 +1020,9 @@ object PromQL {
               case _ => Right(())
             }
             _ <- if ((dst +: srcs).forall(n => n.nonEmpty &&
-                   isIdentStart(n.head) && n.forall(isIdentChar) &&
-                   n != "__name__"))
+                   !n.contains('=') && n != "__name__"))
                  Right(())
-                 else Left("label_join: labels must be plain label names")
+                 else Left("label_join: labels must be label names")
           } yield LabelJoin(child, dst, sep, srcs)
         case Some(id) if MathFns(id) =>
           i += id.length
@@ -1067,8 +1065,10 @@ object PromQL {
               while (err.isEmpty && peekChar.contains(',')) {
                 i += 1
                 stringLit() match {
-                  case Right(l) if l.nonEmpty && isIdentStart(l.head) &&
-                      l.forall(isIdentChar) => b += l; n += 1
+                  // UTF-8 names allowed; '=' cannot round-trip the
+                  // canonical "k=v" label form
+                  case Right(l) if l.nonEmpty && !l.contains('=') =>
+                    b += l; n += 1
                   case Right(l) => err = Some(s"$id: bad label name '$l'")
                   case Left(e)  => err = Some(e)
                 }
@@ -1210,9 +1210,9 @@ object PromQL {
         pre <- grouping()
         _ <- eat('(')
         dst <- stringLit()
-        _ <- if (dst.nonEmpty && isIdentStart(dst.head) &&
-                 dst.forall(isIdentChar) && dst != "__name__") Right(())
-             else Left("count_values: dst must be a plain label name")
+        _ <- if (dst.nonEmpty && !dst.contains('=') &&
+                 dst != "__name__") Right(())
+             else Left("count_values: dst must be a label name")
         _ <- eat(',')
         child <- expr()
         _ <- eat(')')
@@ -1261,13 +1261,28 @@ object PromQL {
       while (!done && err.isEmpty) {
         ws()
         if (peekChar.contains(')') && first) done = true // by ()
-        else takeIdent() match {
-          case Some(n) =>
-            names += n
-            first = false
-            ws()
-            if (peekChar.contains(',')) i += 1 else done = true
-          case None => err = Some(s"expected label name at '${rest.take(20)}'")
+        else {
+          // a grouping name is a bare ident or (Prometheus 3.x
+          // UTF-8) a quoted string — '=' cannot round-trip the
+          // store's canonical "k=v" label form, so it rejects
+          val tok: Either[String, String] = takeIdent() match {
+            case Some(n) => Right(n)
+            case None if peekChar.contains('"') =>
+              stringLit().flatMap { n =>
+                if (n.nonEmpty && !n.contains('=')) Right(n)
+                else Left(s"bad quoted label name '$n'")
+              }
+            case None =>
+              Left(s"expected label name at '${rest.take(20)}'")
+          }
+          tok match {
+            case Right(n) =>
+              names += n
+              first = false
+              ws()
+              if (peekChar.contains(',')) i += 1 else done = true
+            case Left(e) => err = Some(e)
+          }
         }
       }
       err.toLeft(names.result())
@@ -1423,6 +1438,13 @@ object PromQL {
   /** A rollup twin the evaluator may serve coarse aligned
     * *_over_time calls from — same config as RemoteRead.RollupRoute. */
   final case class RollupGrid(srcPath: String, rollupPath: String, intervalSec: Long)
+
+  /** A label name rendered into a Spark SQL single-quoted literal —
+    * quoted-UTF-8 selector/grouping names can hold ANY character, so
+    * every interpolation site must escape (an apostrophe in a label
+    * name must not terminate the SQL string). */
+  private def sqlKey(k: String): String =
+    k.replace("\\", "\\\\").replace("'", "\\'")
 
   /** Engine-portable half-up rounding of the integer ratio a/b
     * (b > 0): floor((2a+b)/(2b)) in double arithmetic. 2a+b and 2b
@@ -1724,7 +1746,7 @@ object PromQL {
         val c = rec(child, startSec, endSec)
         val keys = lbls.map { l =>
           val vSql = s"coalesce(substring(get(filter(labels, " +
-            s"x -> startswith(x, '$l=')), 0), ${l.length + 2}), '')"
+            s"x -> startswith(x, '${sqlKey(l)}=')), 0), ${l.length + 2}), '')"
           // NATURAL sort key (Prometheus natsort parity): split the
           // value into digit/non-digit runs and left-pad every digit
           // run to 19, so lexicographic order of the key equals
@@ -1798,10 +1820,10 @@ object PromQL {
     case Some(Matching(true, keys, _, _)) =>
       if (keys.isEmpty) expr("CAST(array() AS ARRAY<STRING>)")
       else expr(s"filter(labels, l -> ${
-        keys.map(k => s"startswith(l, '$k=')").mkString(" OR ")})")
+        keys.map(k => s"startswith(l, '${sqlKey(k)}=')").mkString(" OR ")})")
     case Some(Matching(false, keys, _, _)) if keys.nonEmpty =>
       expr(s"filter(labels, l -> NOT (${
-        keys.map(k => s"startswith(l, '$k=')").mkString(" OR ")}))")
+        keys.map(k => s"startswith(l, '${sqlKey(k)}=')").mkString(" OR ")}))")
     case _ => col("labels")
   }
 
@@ -1815,7 +1837,7 @@ object PromQL {
       val one = if (card == 1) "r_labels" else "l_labels"
       if (inc.isEmpty) col(many)
       else {
-        val anyInc = inc.map(k => s"startswith(l, '$k=')").mkString(" OR ")
+        val anyInc = inc.map(k => s"startswith(l, '${sqlKey(k)}=')").mkString(" OR ")
         expr(s"array_sort(concat(filter($many, l -> NOT ($anyInc)), " +
           s"filter($one, l -> $anyInc)))")
       }
@@ -2612,7 +2634,7 @@ object PromQL {
     val anchored = "^(?:" + re + ")$"
     val matched = regexp_like(srcVal, lit(anchored))
     val newVal = regexp_replace(srcVal, lit(anchored), lit(rep))
-    val without = expr(s"filter(labels, l -> NOT (startswith(l, '$dst=')))")
+    val without = expr(s"filter(labels, l -> NOT (startswith(l, '${sqlKey(dst)}=')))")
     val rebuilt = when(!matched, col("labels"))
       .when(newVal === "", without)
       .otherwise(array_sort(concat(without,
@@ -3292,7 +3314,7 @@ object PromQL {
     val newVal =
       if (vals.isEmpty) lit("")
       else vals.reduce((a, b) => concat(a, lit(sep), b))
-    val without = expr(s"filter(labels, l -> NOT (startswith(l, '$dst=')))")
+    val without = expr(s"filter(labels, l -> NOT (startswith(l, '${sqlKey(dst)}=')))")
     val rebuilt = when(newVal === "", without)
       .otherwise(array_sort(concat(without,
         array(concat(lit(dst + "="), newVal)))))
@@ -3432,7 +3454,7 @@ object PromQL {
     val ident = "startswith(l, 'instance=') OR startswith(l, 'job=')"
     val restrict =
       if (sel.isEmpty) "true"
-      else sel.map(m => s"startswith(l, '${m.name}=')").mkString(" OR ")
+      else sel.map(m => s"startswith(l, '${sqlKey(m.name)}=')").mkString(" OR ")
     val tiK = ti
       .withColumn("ik", expr(s"filter(labels, l -> $ident)"))
       .withColumn("data",
@@ -3461,7 +3483,7 @@ object PromQL {
   /** The labels an aggregation keeps: `by` keeps exactly the listed
     * ones, `without` drops them (metric always drops separately). */
   private def keptLabels(by: Seq[String], without: Boolean): Column = {
-    val anyListed = by.map(k => s"startswith(l, '$k=')").mkString(" OR ")
+    val anyListed = by.map(k => s"startswith(l, '${sqlKey(k)}=')").mkString(" OR ")
     if (without) {
       if (by.isEmpty) col("labels")
       else expr(s"filter(labels, l -> NOT ($anyListed))")
@@ -3835,20 +3857,27 @@ object PromQL {
     if (off == 0L) "" else s" offset ${off}s"
 
   private def grpTxt(by: Seq[String], without: Boolean): String =
-    if (without) s" without (${by.mkString(", ")}) "
-    else if (by.nonEmpty) s" by (${by.mkString(", ")}) "
+    if (without) s" without (${by.map(keyTxt).mkString(", ")}) "
+    else if (by.nonEmpty) s" by (${by.map(keyTxt).mkString(", ")}) "
     else " "
 
   private def mTxt(m: Option[Matching]): String = m match {
     case None => ""
     case Some(Matching(on, keys, card, inc)) =>
-      val base = s"${if (on) "on" else "ignoring"} (${keys.mkString(", ")}) "
+      val base = s"${if (on) "on" else "ignoring"} (${keys.map(keyTxt).mkString(", ")}) "
       val grp =
         if (card == 0) ""
         else s"${if (card == 1) "group_left" else "group_right"}" +
-          (if (inc.nonEmpty) s" (${inc.mkString(", ")}) " else " ")
+          (if (inc.nonEmpty) s" (${inc.map(keyTxt).mkString(", ")}) " else " ")
       base + grp
   }
+
+  /** A label name in canonical query text: bare when it fits the
+    * classic ident grammar, quoted (3.x UTF-8 form) otherwise. */
+  private def keyTxt(k: String): String =
+    if (k.nonEmpty && (k.head.isLetter && k.head <= 'z' || k.head == '_') &&
+        k.forall(c => c.isLetterOrDigit && c <= 'z' || c == '_')) k
+    else s""""${strEsc(k)}""""
 
   private def selTxt(ms: Seq[LabelMatcher]): String = {
     def bareMetric(s: String) =

@@ -615,7 +615,9 @@ class PromQLSpec extends SparkSpecBase {
       case Right(LabelReplace(Instant(_, _), "dst", "$1", "src", "(.*)")) => true
       case _ => false
     })
-    assert(PromQL.parse("""label_replace(x, "d-st", "r", "src", ".*")""").isLeft)
+    // UTF-8 names (3.x): "d-st" is now a VALID dst; '=' still rejects
+    assert(PromQL.parse("""label_replace(x, "d-st", "r", "src", ".*")""").isRight)
+    assert(PromQL.parse("""label_replace(x, "d=st", "r", "src", ".*")""").isLeft)
     assert(PromQL.parse("""label_replace(x, "dst", "r", "src", "(")""").isLeft)
     // host=a → tier=ha (capture group), metric name kept
     val out = rows(PromQL.eval(tinySamples,
@@ -753,6 +755,28 @@ class PromQLSpec extends SparkSpecBase {
     assert(PromQL.parse("""{"a", "b"}""").isLeft)
     assert(PromQL.parse("""{"a=b"="c"}""").isLeft)
     assert(PromQL.parse("""{""="c"}""").isLeft)
+    // quoted names reach grouping clauses, sort_by_label, and the
+    // label functions; an apostrophe in a name must not escape the
+    // SQL literal it lands in (the sqlKey contract)
+    assert(one("""sum by ("a.b") ({"http.req.total"})""") === Set(
+      ("", "a.b=x", T0, 2000000L), ("", "a.b=y", T0, 3000000L)))
+    assert(one("""sum without ("a.b", host) ({"http.req.total"})""") ===
+      Set(("", "", T0, 5000000L)))
+    val sorted = PromQL.eval(corpus,
+      parse("""sort_by_label({"http.req.total"}, "a.b")""").toOption.get,
+      T0, T0, 60L).select(array_join(col("labels"), ","))
+      .collect().map(_.getString(0)).toSeq
+    assert(sorted === Seq("a.b=x,host=a", "a.b=y,host=b"))
+    assert(one("""label_replace({"http.req.total"}, "x.y", "$1", "a.b", "(x)")""")
+      .exists(_._2 == "a.b=x,host=a,x.y=x"))
+    val odd = Seq((T0 * 1000000L, "m", Seq("it's=1"), 7.0))
+      .toDF("ts_us", "metric", "labels", "value")
+    assert(rows(PromQL.eval(odd,
+      parse("""sum by ("it's") (m)""").toOption.get, T0, T0, 60L)) ===
+      Set(("", "it's=1", T0, 7000000L)))
+    // grouping round-trips through the canonical formatter
+    val g = parse("""sum by ("a.b") (m)""").toOption.get
+    assert(parse(PromQL.format(g)).toOption.contains(g), PromQL.format(g))
   }
 
   test("stdvar/stddev moments survive the store's extreme magnitudes (no int64 wrap)") {
@@ -1190,7 +1214,9 @@ class PromQLSpec extends SparkSpecBase {
     assert(byLabel("""sort_by_label_desc(sum_over_time(m[60s]), "host")""") ===
       Seq("host=b,user=2", "host=a,user=1"))
     assert(PromQL.parse("""sort_by_label(m)""").isLeft) // needs a label
-    assert(PromQL.parse("""sort_by_label(m, "bad name")""").isLeft)
+    // UTF-8 names (3.x): a space is a valid quoted name; '=' rejects
+    assert(PromQL.parse("""sort_by_label(m, "bad name")""").isRight)
+    assert(PromQL.parse("""sort_by_label(m, "bad=name")""").isLeft)
     // NATURAL order (Prometheus natsort): digit runs compare
     // numerically — n2 before n10; plain lexicographic would put
     // "n10" first. Leading-zero numeric ties fall to the identity

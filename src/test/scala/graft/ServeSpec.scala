@@ -923,6 +923,12 @@ class ServeSpec extends SparkSpecBase {
       // time bounds prune like the other metadata endpoints
       assert(get(s"$base/api/v1/series?$m=series_a&end=8640000")._2
         === """{"status":"success","data":[]}""")
+      // the Prometheus 3.x quoted UTF-8 selector form works on the
+      // HTTP surface too (the shared parseSelector): quoted metric
+      // name + quoted label name answer the same series
+      assert(get(s"$base/api/v1/series?$m=" +
+        enc("""{"series_a", "k"="v0"}"""))._2 ===
+        """{"status":"success","data":[{"__name__":"series_a","k":"v0"}]}""")
     } finally srv.stop()
   }
 

@@ -15,7 +15,7 @@ import graft.sources.Tables
   * that grows at 100 TB). Measures how each stage scales; numbers
   * land in SCALE.md. `SPARK_GRAFT_SCALE_ONLY=
   * read|promql|dedup|components|ann|curate|prep|events|scrub|rollup|
-  * rolldense|compact|bpe|bpek|streamstate|strat|stars|manifest|
+  * rolldense|compact|bpe|bpek|bpedeep|streamstate|strat|stars|manifest|
   * listing` runs one section. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -171,6 +171,32 @@ object ScaleSmoke {
         graft.llm.Tokenizer.tokenCountsBpe(d, trained).count())
       time(f"bpeVocab k=$k%-4d m=1")(
         graft.llm.Tokenizer.bpeVocab(d, trained).count())
+    }
+    // encode-depth scaling past what the corpus can TRAIN (it
+    // exhausts at ~89 merges): a SYNTHETIC merge table with
+    // realistic chaining (each merge joins two symbols from the
+    // evolving pool, like a real trainer's output) drives the
+    // grouped+checkpointed encode at k=256 and k=1024 — the claim is
+    // cost linear in fold passes with a BOUNDED plan (localCheckpoint
+    // every 16 passes), i.e. a real 32k table is a longer run, not a
+    // Catalyst blow-up
+    if (sectionEnabled("bpedeep")) {
+      import spark.implicits._
+      val rnd = new scala.util.Random(42)
+      var pool = ('a' to 'z').map(_.toString).toVector
+      val synth = (0 until 1024).map { r =>
+        val l = pool(rnd.nextInt(pool.size))
+        val rr = pool(rnd.nextInt(pool.size))
+        pool = pool :+ (l + rr)
+        (r.toLong, l, rr, 2L)
+      }
+      for (k <- Seq(256, 1024)) {
+        val trained = synth.take(k).toDF("rank", "l", "r", "cnt")
+        val groups = graft.llm.Tokenizer.disjointGroups(
+          synth.take(k).map(t => (t._2, t._3)))
+        time(f"bpeEncDeep k=$k%-4d passes=${groups.size}%-4d")(
+          graft.llm.Tokenizer.tokenCountsBpe(docs0, trained).count())
+      }
     }
 
     // the adversarial union-find shape: one pure CHAIN (diameter =

@@ -144,9 +144,11 @@ object Bench {
     // query timings are lost to round-over-round comparison. Persist
     // the complete JSON beside the build too (cwd = repo root under
     // sbt runMain), where it ships whole with the round commit —
-    // but ONLY on unfiltered runs: a SPARK_GRAFT_ONLY iteration run
+    // but ONLY on unfiltered sf0.1 runs (the per-round reference
+    // shape): a SPARK_GRAFT_ONLY iteration or a smaller-SF smoke
     // must never clobber the committed full-suite numbers.
-    if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) {
+    if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty &&
+        new java.io.File(sfDir).getName == "sf0.1") {
       try {
         val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
         try w.println(json) finally w.close()

@@ -659,6 +659,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
     }),
 
+    // PRW 2.0 metric metadata end-to-end: TimeSeries field 5
+    // (type/help_ref/unit_ref through the symbol table) decodes on
+    // write and lands the sibling metadata store that backs
+    // /api/v1/metadata; the fixture derives deterministic metadata
+    // from each metric name, so the oracle recomputes the expected
+    // store straight from the samples
+    "write_request_metadata" -> ((s, dir) => {
+      val path = workDir("wservemeta", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        graft.serve.RemoteWrite.metadataPath(path)), true)
+      val blobs = Ingest.toWriteRequestBlobs(samples(s, dir))
+        .collect().map(_.getAs[Array[Byte]](0)).toSeq
+        .map { b =>
+          val req = PromRemoteCodec.decodeWriteRequest(b)
+          val withMd = req.copy(timeseries = req.timeseries.map { ts =>
+            val m = ts.labels.find(_.name == "__name__")
+              .map(_.value).getOrElse("")
+            ts.copy(metadata = Some(PromRemoteCodec.PromMetadata(
+              if (m.length % 2 == 0) 1 else 2, s"Help for $m.", "seconds")))
+          })
+          PromRemoteCodec.encodeWriteRequestV2(withMd)
+        }
+      graft.serve.RemoteWrite.serveAll(s, path, blobs,
+        Some("application/x-protobuf;proto=" + PromRemoteCodec.ProtoV2))
+      SamplesStore.read(s, graft.serve.RemoteWrite.metadataPath(path))
+        .groupBy(col("metric"),
+          array_join(col("labels"), ",").as("md"))
+        .agg(max(expr("ts_us DIV 1000000")).as("last_t"))
+    }),
+
     // ---- §2.2 remote-read path -------------------------------------
     // The reference's whole /read contract end-to-end: build a
     // ReadRequest blob (with an ignored remote=clickhouse matcher,
@@ -2470,6 +2503,19 @@ object SparkEntry {
       s"""$S
          |SELECT metric, ts_us // 1000000 // 86400 * 86400 AS date,
          |       count(*) AS n_samples, round(sum(value), 6) AS sum_value
+         |FROM samples GROUP BY 1, 2""".stripMargin,
+
+    // metadata store contents derive deterministically from each
+    // metric name (the fixture's rule) stamped with the metric's
+    // newest sample (ms-truncated on the wire, second-floored here)
+    "write_request_metadata" ->
+      s"""$S
+         |SELECT metric,
+         |       '__help=Help for ' || metric || '.,__type=' ||
+         |       CASE WHEN length(metric) % 2 = 0
+         |            THEN 'counter' ELSE 'gauge' END ||
+         |       ',__unit=seconds' AS md,
+         |       max(ts_us // 1000000) AS last_t
          |FROM samples GROUP BY 1, 2""".stripMargin,
 
     "read_time_range" -> readAgg(inWin),

@@ -55,7 +55,11 @@ object NativeHistogram {
       posCounts: Seq[Double],
       negSpans: Seq[(Int, Int)],
       negDeltas: Seq[Long],
-      negCounts: Seq[Double])
+      negCounts: Seq[Double],
+      /** Which prompb arm the sample arrived on (float fields
+        * 2/7/10/13 vs integer 1/6/9/12) — [[encode]] re-emits the
+        * same arm so a store-and-forward leg is byte-faithful. */
+      floatForm: Boolean = false)
 
   private def zigzag(v: Long): Long = (v >>> 1) ^ -(v & 1L)
 
@@ -93,33 +97,83 @@ object NativeHistogram {
     val negSpans = Seq.newBuilder[(Int, Int)]
     var posDeltas = Seq.empty[Long]; var posCounts = Seq.empty[Double]
     var negDeltas = Seq.empty[Long]; var negCounts = Seq.empty[Double]
+    var floatForm = false
     while (r.hasMore) {
       val (f, w) = r.readTag()
       (f, w) match {
         case (1, 0)  => count = r.readVarint().toDouble    // count_int
-        case (2, 1)  => count = r.readDouble()             // count_float
+        case (2, 1)  => count = r.readDouble(); floatForm = true
         case (3, 1)  => sum = r.readDouble()
         case (4, 0)  => schema = zigzag(r.readVarint()).toInt
         case (5, 1)  => zeroTh = r.readDouble()
         case (6, 0)  => zeroCount = r.readVarint().toDouble
-        case (7, 1)  => zeroCount = r.readDouble()
+        case (7, 1)  => zeroCount = r.readDouble(); floatForm = true
         case (8, 2)  => negSpans += readSpan(r.readMessage())
         case (9, 2)  => negDeltas = negDeltas ++ readPackedSint(r.readMessage())
         case (9, 0)  => negDeltas = negDeltas :+ zigzag(r.readVarint())
-        case (10, 2) => negCounts = negCounts ++ readPackedDouble(r.readMessage())
-        case (10, 1) => negCounts = negCounts :+ r.readDouble()
+        case (10, 2) => negCounts = negCounts ++ readPackedDouble(r.readMessage()); floatForm = true
+        case (10, 1) => negCounts = negCounts :+ r.readDouble(); floatForm = true
         case (11, 2) => posSpans += readSpan(r.readMessage())
         case (12, 2) => posDeltas = posDeltas ++ readPackedSint(r.readMessage())
         case (12, 0) => posDeltas = posDeltas :+ zigzag(r.readVarint())
-        case (13, 2) => posCounts = posCounts ++ readPackedDouble(r.readMessage())
-        case (13, 1) => posCounts = posCounts :+ r.readDouble()
+        case (13, 2) => posCounts = posCounts ++ readPackedDouble(r.readMessage()); floatForm = true
+        case (13, 1) => posCounts = posCounts :+ r.readDouble(); floatForm = true
         case (15, 0) => tsMs = r.readVarint()
         case _       => r.skip(w)
       }
     }
     Hist(tsMs, count, sum, schema, zeroTh, zeroCount,
       posSpans.result(), posDeltas, posCounts,
-      negSpans.result(), negDeltas, negCounts)
+      negSpans.result(), negDeltas, negCounts, floatForm)
+  }
+
+  private def zigzagEnc(v: Long): Long = (v << 1) ^ (v >> 63)
+
+  /** Encode one Hist back to prompb Histogram message bytes — the
+    * exact inverse of [[decode]], re-emitting the arm (integer
+    * deltas vs float absolutes) the sample arrived on. The sibling
+    * native-histogram store persists THESE bytes, so a
+    * store-and-forward leg (chunked remote read) hands back the
+    * sender's own representation. */
+  def encode(h: Hist): Array[Byte] = {
+    val w = new ProtoWire.Writer
+    if (h.floatForm) w.writeDoubleField(2, h.count)
+    else w.writeVarintField(1, h.count.toLong)
+    w.writeDoubleField(3, h.sum)
+    w.writeVarintField(4, zigzagEnc(h.schema.toLong))
+    w.writeDoubleField(5, h.zeroThreshold)
+    if (h.floatForm) w.writeDoubleField(7, h.zeroCount)
+    else w.writeVarintField(6, h.zeroCount.toLong)
+    def spanMsg(s: (Int, Int)): ProtoWire.Writer = {
+      val sw = new ProtoWire.Writer
+      sw.writeVarintField(1, zigzagEnc(s._1.toLong))
+      sw.writeVarintField(2, s._2.toLong)
+      sw
+    }
+    h.negSpans.foreach(s => w.writeMessageField(8, spanMsg(s)))
+    if (h.negDeltas.nonEmpty) {
+      val pw = new ProtoWire.Writer
+      h.negDeltas.foreach(d => pw.writeVarint(zigzagEnc(d)))
+      w.writeBytesField(9, pw.toBytes)
+    }
+    if (h.negCounts.nonEmpty) {
+      val pw = new ProtoWire.Writer
+      h.negCounts.foreach(pw.writeDouble)
+      w.writeBytesField(10, pw.toBytes)
+    }
+    h.posSpans.foreach(s => w.writeMessageField(11, spanMsg(s)))
+    if (h.posDeltas.nonEmpty) {
+      val pw = new ProtoWire.Writer
+      h.posDeltas.foreach(d => pw.writeVarint(zigzagEnc(d)))
+      w.writeBytesField(12, pw.toBytes)
+    }
+    if (h.posCounts.nonEmpty) {
+      val pw = new ProtoWire.Writer
+      h.posCounts.foreach(pw.writeDouble)
+      w.writeBytesField(13, pw.toBytes)
+    }
+    w.writeVarintField(15, h.timestampMs)
+    w.toBytes
   }
 
   /** Bucket indices from spans: each span opens `offset` past the

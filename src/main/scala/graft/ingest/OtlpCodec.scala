@@ -76,8 +76,13 @@ object OtlpCodec {
   /** A decode plus its skip ledger: `droppedPoints` counts histogram
     * / exponential-histogram / summary data points the float64 store
     * cannot hold — skipped field-safe, but never silently (the
-    * serving layer feeds the count into `/metrics`). */
-  final case class Decoded(samples: Seq[IngestedSample], droppedPoints: Long)
+    * serving layer feeds the count into `/metrics`). `metadata`
+    * carries one sibling-store row per metric (type from the data
+    * arm, help = OTLP description, unit verbatim) in the same
+    * "__help=/__type=/__unit=" label encoding PromRemoteCodec
+    * .toMetadataRows uses, so both write paths land one store. */
+  final case class Decoded(samples: Seq[IngestedSample], droppedPoints: Long,
+                           metadata: Seq[IngestedSample] = Nil)
 
   /** application/x-protobuf body → flat ingested samples (legacy
     * shape — drops uncounted; servers use [[decodeExportMetricsCounted]]). */
@@ -104,19 +109,25 @@ object OtlpCodec {
       if (f == 1 && w == 2) readResourceMetrics(r.readMessage(), st)
       else r.skip(w)
     }
-    Decoded(st.out.result(), st.dropped)
+    Decoded(st.out.result(), st.dropped, st.meta.result())
   }
 
   private final class DecodeState {
     val out = Seq.newBuilder[IngestedSample]
+    /** Metadata-store rows, one per decoded Metric message. */
+    val meta = Seq.newBuilder[IngestedSample]
     var dropped = 0L
     var convertDelta = false
     /** Latest point timestamp seen inside the CURRENT ResourceMetrics
       * — the timestamp its target_info sample rides on (reset by
       * [[readResourceMetrics]] per resource). */
     var resourceMaxTsUs = Long.MinValue
+    /** Latest point timestamp inside the CURRENT Metric — what its
+      * metadata row is stamped with (reset by [[readMetric]]). */
+    var metricMaxTsUs = Long.MinValue
     def add(s: IngestedSample): Unit = {
       if (s.ts_us > resourceMaxTsUs) resourceMaxTsUs = s.ts_us
+      if (s.ts_us > metricMaxTsUs) metricMaxTsUs = s.ts_us
       out += s
     }
   }
@@ -213,7 +224,12 @@ object OtlpCodec {
   private def readMetric(r: ProtoWire.Reader, resource: List[String],
                          st: DecodeState): Unit = {
     var name = ""
+    var description = "" // Metric field 2 → metadata help
+    var unit = ""        // Metric field 3 → metadata unit (verbatim)
     var isSum = false
+    var hasGauge = false
+    var hasSummary = false
+    var isMonotonic = false
     var temporality = 0L // AGGREGATION_TEMPORALITY_UNSPECIFIED
     var hasHist = false
     var histTemporality = 0L
@@ -227,7 +243,7 @@ object OtlpCodec {
         (gf, gw) match {
           case (1, 2) => pointMsgs += g.readMessage()
           case (2, 0) if isSum => temporality = g.readVarint()
-          case (3, 0) if isSum => g.readVarint() // is_monotonic: read, no-op
+          case (3, 0) if isSum => isMonotonic = g.readVarint() != 0L
           case _ => g.skip(gw)
         }
       }
@@ -235,7 +251,9 @@ object OtlpCodec {
       val (f, w) = r.readTag()
       (f, w) match {
         case (1, 2) => name = r.readString()
-        case (5, 2) => isSum = false; readPoints(r.readMessage())
+        case (2, 2) => description = r.readString()
+        case (3, 2) => unit = r.readString()
+        case (5, 2) => hasGauge = true; isSum = false; readPoints(r.readMessage())
         case (7, 2) => isSum = true; readPoints(r.readMessage())
         case (9, 2) =>
           // explicit-bounds histogram: CONVERTS to classic
@@ -271,12 +289,13 @@ object OtlpCodec {
           // Summary has no temporality field — count/sum are
           // cumulative by definition, quantiles instantaneous.
           val g = r.readMessage()
+          hasSummary = true
           while (g.hasMore) {
             val (gf, gw) = g.readTag()
             if (gf == 1 && gw == 2) summaryMsgs += g.readMessage()
             else g.skip(gw)
           }
-        case _ => r.skip(w) // metadata/unit — not samples
+        case _ => r.skip(w)
       }
     }
     if (name.isEmpty)
@@ -298,6 +317,7 @@ object OtlpCodec {
           s"aggregation_temporality ($histTemporality); only " +
           "CUMULATIVE (2) is ingestible")
     val norm = normMetricName(name)
+    st.metricMaxTsUs = Long.MinValue
     if (deltaConvert) {
       // per-series prefix sums in timestamp order: each point's
       // stored value becomes the running total of the deltas at or
@@ -317,6 +337,23 @@ object OtlpCodec {
     histMsgs.result().foreach(readHistogramPoint(_, norm, resource, st))
     expHistMsgs.result().foreach(readExpHistogramPoint(_, norm, resource, st))
     summaryMsgs.result().foreach(readSummaryPoint(_, norm, resource, st))
+    // one metadata row per Metric message for the sibling store —
+    // the Prometheus OTLP receiver's type mapping (monotonic
+    // cumulative sum = counter, else gauge; both histogram shapes =
+    // histogram), help = description, unit verbatim; stamped with
+    // the metric's newest ingested point so latest-wins is
+    // well-defined on read. The same label encoding as
+    // PromRemoteCodec.toMetadataRows, so one store serves both paths.
+    val mtype =
+      if (hasHist) "histogram"
+      else if (hasSummary) "summary"
+      else if (isSum) { if (isMonotonic) "counter" else "gauge" }
+      else if (hasGauge) "gauge"
+      else "unknown"
+    st.meta += IngestedSample(
+      if (st.metricMaxTsUs == Long.MinValue) 0L else st.metricMaxTsUs,
+      norm,
+      Seq(s"__help=$description", s"__type=$mtype", s"__unit=$unit"), 1.0)
   }
 
   /** SummaryDataPoint → classic series (the documented Prometheus
@@ -375,9 +412,14 @@ object OtlpCodec {
     }
     val tUs = tNano / 1000L
     val base = (attrs.result() ++ resource).sorted
+    // A point-level attribute literally named "quantile" would
+    // collide with the label we synthesize per quantile stream and
+    // break the store's one-value-per-name canonical form — the
+    // computed label wins, mirroring count_values' overwrite rule.
+    val baseNoQ = base.filterNot(_.startsWith("quantile="))
     quantiles.foreach { case (q, v) =>
       st.add(IngestedSample(tUs, metric,
-        (base :+ s"quantile=${NativeHistogram.leText(q)}").sorted, v))
+        (baseNoQ :+ s"quantile=${NativeHistogram.leText(q)}").sorted, v))
     }
     st.add(IngestedSample(tUs, metric + "_sum", base, sum))
     st.add(IngestedSample(tUs, metric + "_count", base, count.toDouble))
@@ -569,13 +611,17 @@ object OtlpCodec {
   /** Samples → one ExportMetricsServiceRequest: one Gauge metric per
     * metric name, labels as data-point attributes (the resource left
     * empty — senders that map job/instance do it per resource). */
-  def encodeExportMetrics(samples: Seq[IngestedSample]): Array[Byte] = {
+  def encodeExportMetrics(samples: Seq[IngestedSample],
+                          description: String = "",
+                          unit: String = ""): Array[Byte] = {
     val w = new ProtoWire.Writer
     val rm = new ProtoWire.Writer
     val sm = new ProtoWire.Writer
     samples.groupBy(_.metric).toSeq.sortBy(_._1).foreach { case (name, ss) =>
       val m = new ProtoWire.Writer
       m.writeStringField(1, name)
+      if (description.nonEmpty) m.writeStringField(2, description)
+      if (unit.nonEmpty) m.writeStringField(3, unit)
       val g = new ProtoWire.Writer
       ss.foreach { s =>
         val p = new ProtoWire.Writer
@@ -605,7 +651,9 @@ object OtlpCodec {
     * the fixture leg for the delta→cumulative conversion), optionally
     * under a resource carrying `service.name`. */
   def encodeExportSums(samples: Seq[IngestedSample], temporality: Long,
-                       serviceName: Option[String] = None): Array[Byte] = {
+                       serviceName: Option[String] = None,
+                       description: String = "",
+                       unit: String = ""): Array[Byte] = {
     val w = new ProtoWire.Writer
     val rm = new ProtoWire.Writer
     serviceName.foreach { svc =>
@@ -622,6 +670,8 @@ object OtlpCodec {
     samples.groupBy(_.metric).toSeq.sortBy(_._1).foreach { case (name, ss) =>
       val m = new ProtoWire.Writer
       m.writeStringField(1, name)
+      if (description.nonEmpty) m.writeStringField(2, description)
+      if (unit.nonEmpty) m.writeStringField(3, unit)
       val g = new ProtoWire.Writer
       ss.foreach { s =>
         val p = new ProtoWire.Writer

@@ -28,10 +28,43 @@ object PromRemoteCodec {
     * the traced observation Grafana links from histogram panels. */
   final case class PromExemplar(labels: Seq[PromLabel], value: Double,
                                 timestampMs: Long)
+  /** Per-series metric metadata (PRW 2.0 TimeSeries field 5 —
+    * io.prometheus.write.v2.Metadata {1: type enum, 3: help_ref,
+    * 4: unit_ref}; help/unit resolve through the request's symbol
+    * table). `mtype` keeps the wire enum; [[typeName]] renders the
+    * lowercase text /api/v1/metadata serves. */
+  final case class PromMetadata(mtype: Int, help: String, unit: String) {
+    def typeName: String = PromMetadata.typeName(mtype)
+  }
+  object PromMetadata {
+    /** The public MetricType enum's names, lowercased — what the
+      * Prometheus metadata API answers (0/unknown included). */
+    def typeName(t: Int): String = t match {
+      case 1 => "counter"
+      case 2 => "gauge"
+      case 3 => "histogram"
+      case 4 => "gaugehistogram"
+      case 5 => "summary"
+      case 6 => "info"
+      case 7 => "stateset"
+      case _ => "unknown"
+    }
+    def typeCode(name: String): Int = name match {
+      case "counter"        => 1
+      case "gauge"          => 2
+      case "histogram"      => 3
+      case "gaugehistogram" => 4
+      case "summary"        => 5
+      case "info"           => 6
+      case "stateset"       => 7
+      case _                => 0
+    }
+  }
   final case class PromTimeSeries(labels: Seq[PromLabel],
                                   samples: Seq[PromSample],
                                   histograms: Seq[NativeHistogram.Hist] = Nil,
-                                  exemplars: Seq[PromExemplar] = Nil)
+                                  exemplars: Seq[PromExemplar] = Nil,
+                                  metadata: Option[PromMetadata] = None)
   /** Native-histogram samples (prompb TimeSeries field 4 / PRW 2.0
     * TimeSeries field 3) DECODE and convert to classic
     * _bucket/_sum/_count series (see [[NativeHistogram]]) — the
@@ -181,6 +214,27 @@ object PromRemoteCodec {
       }
     }
 
+  /** Metric metadata → store rows for the sibling metadata store,
+    * reusing the samples layout (day partitioning, compaction,
+    * manifest all come free): metric = the series' __name__, labels
+    * carry the three text fields as "__help=", "__type=", "__unit="
+    * entries (already in sorted order), value = 1, ts = the series'
+    * newest sample/histogram timestamp so "latest metadata wins" is
+    * well-defined on read. One row per series; identical re-sends
+    * at the same timestamp collapse in the store's per-second dedup,
+    * and the read side takes the newest row per (metric, entry). */
+  def toMetadataRows(req: PromWriteRequest): Iterator[IngestedSample] =
+    req.timeseries.iterator.filter(_.metadata.isDefined).map { ts =>
+      val metric =
+        ts.labels.find(_.name == "__name__").map(_.value).getOrElse("")
+      val md = ts.metadata.get
+      val tsUs = (ts.samples.iterator.map(_.timestampMs) ++
+        ts.histograms.iterator.map(_.timestampMs)).maxOption.getOrElse(0L) * 1000L
+      IngestedSample(tsUs, metric,
+        Seq(s"__help=${md.help}", s"__type=${md.typeName}",
+          s"__unit=${md.unit}"), 1.0)
+    }
+
   /** Max read-request body, compressed or inflated (reference:
     * codec.go:23-24 `decodeReadLimit`, applied via io.LimitReader).
     * Checking the snappy header's declared uncompressed length BEFORE
@@ -267,10 +321,12 @@ object PromRemoteCodec {
     * (field 5; Sample keeps v1's numbers: value=1, timestamp=2 ms).
     * Fields can arrive in any proto order, so series sub-readers are
     * collected first and resolved after the table is complete.
-    * Histograms/exemplars/metadata (fields 3/4/5 of TimeSeries) are
-    * skipped — float samples are the store's data model, like the
-    * reference. Malformed refs (out of range, odd count) throw the
-    * clean wire-format failure class. */
+    * Histograms (field 3) convert to classic series, exemplars
+    * (field 4) land in the sibling exemplar store, and METADATA
+    * (field 5: type/help_ref/unit_ref) decodes through the symbol
+    * table for the sibling metadata store — the 2.0 spec says
+    * senders attach it to every series. Malformed refs (out of
+    * range, odd count) throw the clean wire-format failure class. */
   def decodeWriteRequestV2(snappyBody: Array[Byte]): PromWriteRequest = {
     val r = ProtoWire.reader(Snappy.uncompress(snappyBody))
     val symbols = Vector.newBuilder[String]
@@ -305,6 +361,7 @@ object PromRemoteCodec {
     val samples = Seq.newBuilder[PromSample]
     val hists = Seq.newBuilder[NativeHistogram.Hist]
     val rawExemplars = Seq.newBuilder[ProtoWire.Reader]
+    var meta: Option[PromMetadata] = None
     while (r.hasMore) {
       val (field, wire) = r.readTag()
       (field, wire) match {
@@ -320,6 +377,19 @@ object PromRemoteCodec {
           if (h.schema >= -4 && h.schema <= 8) hists += h
           else skipped.n += 1
         case (4, 2) => rawExemplars += r.readMessage()
+        case (5, 2) => // Metadata {1: type, 3: help_ref, 4: unit_ref}
+          val mm = r.readMessage()
+          var t = 0; var helpRef = 0L; var unitRef = 0L
+          while (mm.hasMore) {
+            val (mf, mw) = mm.readTag()
+            (mf, mw) match {
+              case (1, 0) => t = mm.readVarint().toInt
+              case (3, 0) => helpRef = mm.readVarint()
+              case (4, 0) => unitRef = mm.readVarint()
+              case _      => mm.skip(mw)
+            }
+          }
+          meta = Some(PromMetadata(t, sym(helpRef), sym(unitRef)))
         case _      => r.skip(wire)
       }
     }
@@ -331,7 +401,7 @@ object PromRemoteCodec {
       PromLabel(sym(p(0)), sym(p(1)))
     }.toSeq
     val exemplars = rawExemplars.result().map(readExemplarV2(_, sym))
-    PromTimeSeries(labels, samples.result(), hists.result(), exemplars)
+    PromTimeSeries(labels, samples.result(), hists.result(), exemplars, meta)
   }
 
   /** PRW 2.0 Exemplar: symbol-table labels_refs + value + ms ts. */
@@ -369,20 +439,33 @@ object PromRemoteCodec {
     val seriesRefs = req.timeseries.map { ts =>
       ts.labels.flatMap(l => Seq(ref(l.name), ref(l.value)))
     }
+    // metadata help/unit intern into the SAME table (spec: all
+    // strings ride the symbol table); resolve refs before the table
+    // is emitted, like the label refs above
+    val metaRefs = req.timeseries.map(_.metadata.map(md =>
+      (md.mtype, ref(md.help), ref(md.unit))))
     val w = new ProtoWire.Writer
     index.keys.foreach(s => w.writeStringField(4, s))
-    req.timeseries.zip(seriesRefs).foreach { case (ts, refs) =>
-      val tw = new ProtoWire.Writer
-      val pw = new ProtoWire.Writer
-      refs.foreach(r0 => pw.writeVarint(r0.toLong))
-      tw.writeBytesField(1, pw.toBytes) // packed labels_refs
-      ts.samples.foreach { s =>
-        val sw = new ProtoWire.Writer
-        sw.writeDoubleField(1, s.value)
-        sw.writeVarintField(2, s.timestampMs)
-        tw.writeMessageField(2, sw)
-      }
-      w.writeMessageField(5, tw)
+    req.timeseries.zip(seriesRefs).zip(metaRefs).foreach {
+      case ((ts, refs), mr) =>
+        val tw = new ProtoWire.Writer
+        val pw = new ProtoWire.Writer
+        refs.foreach(r0 => pw.writeVarint(r0.toLong))
+        tw.writeBytesField(1, pw.toBytes) // packed labels_refs
+        ts.samples.foreach { s =>
+          val sw = new ProtoWire.Writer
+          sw.writeDoubleField(1, s.value)
+          sw.writeVarintField(2, s.timestampMs)
+          tw.writeMessageField(2, sw)
+        }
+        mr.foreach { case (t, h, u) =>
+          val mw = new ProtoWire.Writer
+          mw.writeVarintField(1, t.toLong)
+          mw.writeVarintField(3, h.toLong)
+          mw.writeVarintField(4, u.toLong)
+          tw.writeMessageField(5, mw)
+        }
+        w.writeMessageField(5, tw)
     }
     Snappy.compress(w.toBytes)
   }
@@ -479,10 +562,12 @@ object PromRemoteCodec {
 
   // ---- STREAMED_XOR_CHUNKS (remote-read response type 1) ----------
 
-  /** One Gorilla-encoded chunk: wire-ms bounds + XOR chunk data
-    * (prompb.Chunk, type XOR=1). */
+  /** One encoded chunk: wire-ms bounds + chunk data. `ctype` is
+    * prompb Chunk.Encoding — XOR=1 (Gorilla float chunks),
+    * HISTOGRAM=2, FLOAT_HISTOGRAM=3 (native-histogram chunks, see
+    * graft.serve.HistChunks for the body layout). */
   final case class PromChunk(minTimeMs: Long, maxTimeMs: Long,
-                             data: Array[Byte])
+                             data: Array[Byte], ctype: Int = 1)
   final case class PromChunkedSeries(labels: Seq[PromLabel],
                                      chunks: Seq[PromChunk])
 
@@ -542,7 +627,7 @@ object PromRemoteCodec {
         val cw = new ProtoWire.Writer
         cw.writeVarintField(1, c.minTimeMs)
         cw.writeVarintField(2, c.maxTimeMs)
-        cw.writeVarintField(3, 1L) // Chunk.Encoding XOR
+        cw.writeVarintField(3, c.ctype.toLong) // Chunk.Encoding
         cw.writeBytesField(4, c.data)
         sw.writeMessageField(2, cw)
       }
@@ -633,9 +718,11 @@ object PromRemoteCodec {
                     case _      => cr.skip(cw)
                   }
                 }
-                // non-XOR chunk types (histogram) are skipped
-                // field-safe, like the ingest codecs' counted drops
-                if (tpe == 1L) chunks += PromChunk(mn, mx, data)
+                // the three spec'd encodings decode; anything else
+                // is skipped field-safe, like the ingest codecs'
+                // counted drops
+                if (tpe >= 1L && tpe <= 3L)
+                  chunks += PromChunk(mn, mx, data, tpe.toInt)
               case _ => sr.skip(sw)
             }
           }

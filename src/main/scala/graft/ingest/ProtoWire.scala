@@ -128,6 +128,19 @@ object ProtoWire {
     def writeDoubleField(field: Int, v: Double): Unit =
       writeFixed64Field(field, java.lang.Double.doubleToLongBits(v))
 
+    /** Raw bytes, NO tag and NO length — for codecs that lay out
+      * their own framing (HistChunks' length-prefixed samples). */
+    def writeRaw(bytes: Array[Byte]): Unit = out.write(bytes, 0, bytes.length)
+
+    /** Raw little-endian double, NO tag — the packed-repeated
+      * element form (proto3 packed doubles are back-to-back fixed64
+      * payloads inside one length-delimited field). */
+    def writeDouble(v: Double): Unit = {
+      var bits = java.lang.Double.doubleToLongBits(v)
+      var i = 0
+      while (i < 8) { out.write((bits & 0xff).toInt); bits >>>= 8; i += 1 }
+    }
+
     def writeFixed64Field(field: Int, v: Long): Unit = {
       writeTag(field, 1)
       var bits = v

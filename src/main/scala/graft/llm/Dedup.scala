@@ -255,6 +255,16 @@ object Dedup {
                                 banded: DataFrame): DataFrame = {
     val batchBands = banded.select(col("band")).distinct()
       .collect().map(_.getInt(0)).toSeq
+    // An empty micro-batch must not reach isin() with zero args
+    // (that leans on OptimizeIn's empty-list special case) nor
+    // broadcast an empty frame — no doc can hit state, answer [].
+    if (batchBands.isEmpty)
+      return banded.select(col("doc_id")).limit(0)
+    // The batch side is broadcast: one crawl FILE per micro-batch by
+    // contract (maxFilesPerTrigger=1 in streamKeep), so the
+    // broadcast side is bounded by the largest single crawl file's
+    // band keys, never the accumulated state. A pathological
+    // multi-GB single file should be split upstream before ingest.
     sp.read.parquet(stateDir)
       .filter(col("band").isin(batchBands: _*))
       .join(broadcast(banded), Seq("band", "band_sig"))
@@ -327,12 +337,82 @@ object Dedup {
         // distinct only (cross-batch dedup is the probe's distinct)
         banded.select(col("band_sig"), col("band")).distinct()
           .write.mode("append").partitionBy("band").parquet(stateDir)
+        // fold the band's file count back down once it crosses the
+        // threshold — without this the append leaves O(batches)
+        // small files per band forever and the probe's scan setup
+        // (file listing + footer reads) grows with stream lifetime
+        // even though its row work stays flat
+        compactState(sp, stateDir)
         ()
       }
       .start()
     q.processAllAvailable()
     q.stop()
     spark.read.parquet(outDir)
+  }
+
+  /** Per-band file-count threshold [[compactState]] folds at. Low
+    * enough that a probe never lists more than ~2× this many files
+    * per band; high enough that a fold isn't paid every batch. */
+  private[graft] val StateCompactFilesPerBand = 8
+
+  /** Fold a band-partitioned dedup state's small appended files back
+    * down — the growth term the per-batch append leaves behind
+    * (~one file per band per micro-batch, forever).
+    *
+    * Two-tier merge, NOT merge-everything: when a band crosses the
+    * file threshold, its files EXCEPT the largest (the "base") merge
+    * into one distinct'd file; the base joins the merge only once
+    * the accumulated smalls reach half its size. Every key is thus
+    * rewritten O(log batches) times over a stream's lifetime
+    * (the base roughly doubles between full folds) instead of the
+    * O(batches) a merge-all-at-threshold policy pays — the
+    * difference between a compaction bill that stays proportional
+    * to ingest and one that goes quadratic on a long-running crawl.
+    *
+    * Crash-safe without a manifest: the merged file lands in the
+    * band directory FIRST (written to a _tmp dir Spark owns, then
+    * renamed in), and the source files are deleted after. A crash
+    * between the two leaves duplicate keys, which the probe's
+    * multiset contract already tolerates and the next fold removes.
+    * Runs inside foreachBatch, so no reader races the swap (the
+    * next batch's probe starts after this returns). */
+  private[graft] def compactState(sp: org.apache.spark.sql.SparkSession,
+                                  stateDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val bands = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("band="))
+    bands.foreach { b =>
+      val files = fs.listStatus(b.getPath)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      if (files.length >= StateCompactFilesPerBand) {
+        val largest = files.maxBy(_.getLen)
+        val smalls = files.filter(_.getPath != largest.getPath)
+        val fullFold = smalls.iterator.map(_.getLen).sum >= largest.getLen / 2
+        val toMerge = if (fullFold) files else smalls
+        val tmp = new org.apache.hadoop.fs.Path(stateDir,
+          s"_tmp_compact_${b.getPath.getName.stripPrefix("band=")}")
+        fs.delete(tmp, true)
+        // files inside a band dir carry only band_sig (band is the
+        // partition value), so a per-file read+distinct+rewrite
+        // stays inside the band's own layout
+        sp.read.parquet(toMerge.map(_.getPath.toString).toIndexedSeq: _*)
+          .distinct()
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = fs.listStatus(tmp)
+          .find(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        part.foreach { pf =>
+          val dst = new org.apache.hadoop.fs.Path(b.getPath,
+            s"compact-${System.nanoTime()}-${pf.getPath.getName}")
+          fs.rename(pf.getPath, dst)
+          toMerge.foreach(f => fs.delete(f.getPath, false))
+        }
+        fs.delete(tmp, true)
+      }
+    }
   }
 
   /** Connected components over near-duplicate candidate pairs — the

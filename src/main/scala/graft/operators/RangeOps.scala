@@ -296,9 +296,13 @@ object RangeOps {
   def labelReplace(samples: DataFrame, dst: String, src: String,
                    regex: String): DataFrame = {
     val anchored = "^" + regex + "$"
+    // startswith over an escaped literal, not LIKE: a quote in `src`
+    // must not terminate the SQL string, and LIKE's %/_ wildcards
+    // must not widen the match. Offset math stays on the RAW length.
+    val srcLit = src.replace("\\", "\\\\").replace("'", "\\'")
     samples
       .withColumn("src_val",
-        expr(s"substring(get(filter(labels, l -> l LIKE '$src=%'), 0), ${src.length + 2})"))
+        expr(s"substring(get(filter(labels, l -> startswith(l, '$srcLit=')), 0), ${src.length + 2})"))
       .withColumn("labels2",
         when(col("src_val").isNotNull && col("src_val").rlike(anchored),
           array_sort(concat(

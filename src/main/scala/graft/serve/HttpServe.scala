@@ -725,12 +725,59 @@ object HttpServe {
         Seq("Content-Type" -> "text/plain; charset=utf-8"))
     })
 
-    // /api/v1/metadata: metric HELP/TYPE metadata. Remote write
-    // carries none (prompb drops it), so the truthful answer is the
-    // empty set — success, never 404, or Grafana's metadata probe
-    // errors on every dashboard load.
+    // /api/v1/metadata: metric TYPE/HELP/UNIT off the sibling
+    // metadata store (PRW 2.0 TimeSeries field 5 and OTLP
+    // description/unit land there on write). Distinct entries per
+    // metric, newest first — different targets may ship different
+    // help text, and Prometheus serves them all; `metric=` filters,
+    // `limit` caps metrics, `limit_per_metric` caps entries. A store
+    // that never saw metadata answers the truthful empty set —
+    // success, never 404, or Grafana's metadata probe errors on
+    // every dashboard load.
     server.createContext("/api/v1/metadata", (ex: HttpExchange) => guarded(ex) {
-      respond(ex, 200, """{"status":"success","data":{}}""".getBytes(UTF_8),
+      val params = reqParams(ex)
+      val pmap = params.toMap
+      val metricFilter = pmap.get("metric").filter(_.nonEmpty)
+      val limit = pmap.get("limit").flatMap(_.toIntOption).getOrElse(Int.MaxValue)
+      val limitPer =
+        pmap.get("limit_per_metric").flatMap(_.toIntOption).getOrElse(Int.MaxValue)
+      val mdPath = RemoteWrite.metadataPath(storePath)
+      val exists = {
+        val p = new org.apache.hadoop.fs.Path(mdPath)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }
+      val entries: Seq[(String, String, String, String)] =
+        if (!exists || limit <= 0 || limitPer <= 0) Nil
+        else {
+          import org.apache.spark.sql.functions.{col, max => fmax}
+          var df = SamplesStore.read(spark, mdPath)
+          metricFilter.foreach(m0 => df = df.filter(col("metric") === m0))
+          // distinct (metric, entry) with the newest stamp — the
+          // aggregation runs distributed; only the distinct metadata
+          // set (small by construction) ever reaches the driver
+          df.groupBy(col("metric"), col("labels"))
+            .agg(fmax(col("ts_us")).as("ts_us"))
+            .limit(MetaValuesLimit)
+            .collect().toSeq
+            .map { r =>
+              val ls = r.getSeq[String](r.fieldIndex("labels"))
+              def part(p: String) =
+                ls.find(_.startsWith(p)).map(_.stripPrefix(p)).getOrElse("")
+              (r.getAs[String]("metric"), part("__type="), part("__help="),
+                part("__unit="), r.getAs[Long]("ts_us"))
+            }
+            .sortBy { case (m, t, h, u, ts) => (m, -ts, t, h, u) }
+            .map { case (m, t, h, u, _) => (m, t, h, u) }
+        }
+      val byMetric = entries.distinct.groupBy(_._1).toSeq.sortBy(_._1)
+        .take(limit)
+      val body = byMetric.map { case (m, es) =>
+        val items = es.take(limitPer).map { case (_, t, h, u) =>
+          s"""{"type":"${esc(t)}","help":"${esc(h)}","unit":"${esc(u)}"}"""
+        }.mkString(",")
+        s""""${esc(m)}":[$items]"""
+      }.mkString("""{"status":"success","data":{""", ",", "}}")
+      respond(ex, 200, body.getBytes(UTF_8),
         Seq("Content-Type" -> "application/json"))
     })
 

@@ -2623,12 +2623,15 @@ object PromQL {
     * groups expanded; an empty result removes dst, a non-match leaves
     * the row untouched — Prometheus's rules, metric name and value
     * kept. A narrow per-row projection, no shuffle. The label names
-    * are parser-validated identifiers; the regex and replacement ride
-    * in as `lit` columns, never spliced into SQL text. */
+    * may be ANY quoted-UTF-8 string (Prometheus 3.x), so every splice
+    * into SQL text goes through [[sqlKey]]; the regex and replacement
+    * ride in as `lit` columns, never spliced into SQL text. The
+    * substring offset uses the RAW src length — escaping changes the
+    * literal's spelling, not the runtime string. */
   private def labelReplaceProject(child: DataFrame, dst: String, rep: String,
                                   src: String, re: String): DataFrame = {
     val srcVal = coalesce(
-      expr(s"substring(get(filter(labels, l -> startswith(l, '$src=')), 0), " +
+      expr(s"substring(get(filter(labels, l -> startswith(l, '${sqlKey(src)}=')), 0), " +
         s"${src.length + 2})"),
       lit(""))
     val anchored = "^(?:" + re + ")$"
@@ -3307,7 +3310,7 @@ object PromQL {
                                srcs: Seq[String]): DataFrame = {
     val vals = srcs.map { s0 =>
       coalesce(
-        expr(s"substring(get(filter(labels, l -> startswith(l, '$s0=')), 0), " +
+        expr(s"substring(get(filter(labels, l -> startswith(l, '${sqlKey(s0)}=')), 0), " +
           s"${s0.length + 2})"),
         lit(""))
     }

@@ -239,6 +239,23 @@ object RemoteWrite {
   def exemplarPath(storePath: String): String =
     storePath.stripSuffix("/") + "_exemplars"
 
+  /** The sibling store metric metadata (PRW 2.0 TimeSeries field 5 /
+    * OTLP description+unit+data-arm type) lands in — same parquet
+    * layout, rows carry "__help=/__type=/__unit=" label entries
+    * (PromRemoteCodec.toMetadataRows documents the encoding);
+    * /api/v1/metadata serves the newest row per metric. */
+  def metadataPath(storePath: String): String =
+    storePath.stripSuffix("/") + "_meta"
+
+  private def appendMetadata(spark: SparkSession, storePath: String,
+                             rows: Seq[PromRemoteCodec.IngestedSample]): Unit =
+    if (rows.nonEmpty) {
+      import spark.implicits._
+      SamplesStore.append(
+        rows.toDF("ts_us", "metric", "labels", "value"),
+        metadataPath(storePath))
+    }
+
   def serve(spark: SparkSession, storePath: String,
             writeRequestBlob: Array[Byte],
             contentType: Option[String] = None): Long =
@@ -277,6 +294,7 @@ object RemoteWrite {
         exemplarPath(storePath))
       m.exemplarsWritten.add(exRows.size.toLong)
     }
+    appendMetadata(spark, storePath, PromRemoteCodec.toMetadataRows(req).toSeq)
     WriteOutcome(req.sampleCount, req.histogramCount, req.exemplarCount)
   }
 
@@ -300,6 +318,7 @@ object RemoteWrite {
       m.samplesWritten.add(rows.size.toLong)
       maybeCompactRateLimited(spark, storePath)
     }
+    appendMetadata(spark, storePath, dec.metadata)
     rows.size.toLong
   }
 
@@ -323,7 +342,8 @@ object RemoteWrite {
       if (req.histogramCount > 0)
         m.convertedHistograms.add(req.histogramCount)
       (PromRemoteCodec.toSamples(req).toSeq,
-        PromRemoteCodec.toExemplarRows(req).toSeq)
+        PromRemoteCodec.toExemplarRows(req).toSeq,
+        PromRemoteCodec.toMetadataRows(req).toSeq)
     }
     val (sampleRows, exRows) = (rows.flatMap(_._1), rows.flatMap(_._2))
     if (sampleRows.nonEmpty) {
@@ -340,6 +360,7 @@ object RemoteWrite {
         exemplarPath(storePath))
       m.exemplarsWritten.add(exRows.size.toLong)
     }
+    appendMetadata(spark, storePath, rows.flatMap(_._3))
     sampleRows.size.toLong
   }
 }

@@ -78,6 +78,62 @@ class PromCodecSpec extends SparkSpecBase {
       decodeWriteRequestV2(org.xerial.snappy.Snappy.compress(ns.toBytes)))
   }
 
+  test("remote-write 2.0: per-series metadata decodes through the symbol table") {
+    // round trip: type enum + help/unit refs intern into the SAME
+    // symbol table as the labels
+    val md = PromMetadata(1, "Total HTTP requests.", "seconds")
+    val req = PromWriteRequest(Seq(
+      series.copy(metadata = Some(md)),
+      PromTimeSeries(Seq(PromLabel("__name__", "up")),
+        Seq(PromSample(1.0, 1704067200000L)),
+        metadata = Some(PromMetadata(2, "", "")))))
+    val back = decodeWriteRequestV2(encodeWriteRequestV2(req))
+    assert(back == req)
+    assert(back.timeseries.head.metadata.get.typeName === "counter")
+    assert(back.timeseries(1).metadata.get.typeName === "gauge")
+    // hand-written wire: Metadata {1: type, 3: help_ref, 4: unit_ref}
+    // inside TimeSeries field 5, any field order
+    val w = new ProtoWire.Writer
+    Seq("", "__name__", "m", "Help text.", "bytes")
+      .foreach(s => w.writeStringField(4, s))
+    val tw = new ProtoWire.Writer
+    val pw = new ProtoWire.Writer
+    pw.writeVarint(1L); pw.writeVarint(2L)
+    tw.writeBytesField(1, pw.toBytes)
+    val mw = new ProtoWire.Writer
+    mw.writeVarintField(4, 4L) // unit_ref first — order-free
+    mw.writeVarintField(1, 3L) // histogram
+    mw.writeVarintField(3, 3L) // help_ref
+    tw.writeMessageField(5, mw)
+    w.writeMessageField(5, tw)
+    val dec = decodeWriteRequestV2(org.xerial.snappy.Snappy.compress(w.toBytes))
+    assert(dec.timeseries.head.metadata ===
+      Some(PromMetadata(3, "Help text.", "bytes")))
+    // out-of-range help/unit refs fail like label refs
+    val bad = new ProtoWire.Writer
+    bad.writeStringField(4, "")
+    val bt = new ProtoWire.Writer
+    val bmw = new ProtoWire.Writer
+    bmw.writeVarintField(3, 9L)
+    bt.writeMessageField(5, bmw)
+    bad.writeMessageField(5, bt)
+    intercept[ProtoWire.WireFormatException](
+      decodeWriteRequestV2(org.xerial.snappy.Snappy.compress(bad.toBytes)))
+    // toMetadataRows: the sibling-store encoding, newest-sample stamp
+    val rows = toMetadataRows(req).toList
+    assert(rows === List(
+      IngestedSample(1704067260000000L, "http_requests_total",
+        Seq("__help=Total HTTP requests.", "__type=counter",
+          "__unit=seconds"), 1.0),
+      IngestedSample(1704067200000000L, "up",
+        Seq("__help=", "__type=gauge", "__unit="), 1.0)))
+    // the unknown enum value renders "unknown", round-trips as 0
+    assert(PromMetadata(0, "", "").typeName === "unknown")
+    assert(PromMetadata.typeCode("unknown") === 0)
+    assert((1 to 7).forall(t =>
+      PromMetadata.typeCode(PromMetadata.typeName(t)) == t))
+  }
+
   test("toSamples applies reference label normalization") {
     val out = toSamples(PromWriteRequest(Seq(series))).toList
     assert(out.map(_.metric).distinct == List("http_requests_total"))
@@ -401,6 +457,21 @@ class PromCodecSpec extends SparkSpecBase {
       assert(d.droppedPoints === 1L, s"$bad must drop counted")
       assert(d.samples.size === 4, "the good sibling point still lands")
     }
+    // a point-level attribute literally named "quantile" must not
+    // survive next to the synthesized one (unique-label canon): the
+    // computed label wins, count_values' overwrite rule
+    val clash = good.copy(attrs = Seq("quantile" -> "bogus"))
+    val dc = OtlpCodec.decodeExportMetricsCounted(
+      OtlpCodec.encodeExportSummaries(Seq(clash), Some("svc")))
+    assert(dc.droppedPoints === 0L)
+    val qRows = dc.samples.filter(_.metric == "http_req_latency")
+    assert(qRows.forall(_.labels.count(_.startsWith("quantile=")) == 1))
+    assert(qRows.map(_.labels).toSet ===
+      Set(Seq("job=svc", "quantile=0.5"), Seq("job=svc", "quantile=0.99")))
+    // _sum/_count keep the user's attribute untouched (no synthesized
+    // quantile label there to collide with)
+    assert(dc.samples.filter(_.metric == "http_req_latency_sum")
+      .head.labels === Seq("job=svc", "quantile=bogus"))
   }
 
   test("OTLP codec: non-identifying resource attributes land a target_info series") {

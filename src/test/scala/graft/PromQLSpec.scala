@@ -774,6 +774,20 @@ class PromQLSpec extends SparkSpecBase {
     assert(rows(PromQL.eval(odd,
       parse("""sum by ("it's") (m)""").toOption.get, T0, T0, 60L)) ===
       Set(("", "it's=1", T0, 7000000L)))
+    // an apostrophe (or backslash) in the SRC name of label_replace /
+    // label_join must ride through sqlKey too — these were the two
+    // unescaped splice sites (remotely reachable via the query API)
+    assert(rows(PromQL.eval(odd,
+      parse("""label_replace(m, "d", "$1", "it's", "(1)")""").toOption.get,
+      T0, T0, 60L)) === Set(("m", "d=1,it's=1", T0, 7000000L)))
+    assert(rows(PromQL.eval(odd,
+      parse("""label_join(m, "j", "-", "it's")""").toOption.get,
+      T0, T0, 60L)) === Set(("m", "it's=1,j=1", T0, 7000000L)))
+    val bslash = Seq((T0 * 1000000L, "m", Seq("a\\b=2"), 5.0))
+      .toDF("ts_us", "metric", "labels", "value")
+    assert(rows(PromQL.eval(bslash,
+      parse("label_replace(m, \"d\", \"$1\", \"a\\\\b\", \"(2)\")").toOption.get,
+      T0, T0, 60L)) === Set(("m", "a\\b=2,d=2", T0, 5000000L)))
     // grouping round-trips through the canonical formatter
     val g = parse("""sum by ("a.b") (m)""").toOption.get
     assert(parse(PromQL.format(g)).toOption.contains(g), PromQL.format(g))

@@ -27,9 +27,11 @@ class ServeSpec extends SparkSpecBase {
     val fs = new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(p), true)
-    // the sibling exemplar store must reset with its primary
+    // the sibling exemplar/metadata stores must reset with their primary
     fs.delete(new org.apache.hadoop.fs.Path(
       RemoteWrite.exemplarPath(p)), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      RemoteWrite.metadataPath(p)), true)
     p
   }
 
@@ -1539,6 +1541,60 @@ class ServeSpec extends SparkSpecBase {
       assert(get(s"$base/api/v1/status/tsdb")._2 ===
         """{"status":"success","data":{"headStats":{"numSeries":3},""" +
         """"seriesCountByMetricName":[{"name":"tsdb_metric","value":3}]}}""")
+    } finally srv.stop()
+  }
+
+  test("metric metadata ingests off PRW 2.0 and OTLP and serves on /api/v1/metadata") {
+    val store = tmpStore("mdapi")
+    val srv = HttpServe.start(spark, store)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      // PRW 2.0 write carrying per-series metadata (field 5)
+      val req = PromRemoteCodec.decodeWriteRequest(writeBlob("http_total", 2))
+      val withMd = req.copy(timeseries = req.timeseries.map(_.copy(
+        metadata = Some(PromRemoteCodec.PromMetadata(
+          1, "Total requests.", "")))))
+      assert(post(s"$base/write",
+        PromRemoteCodec.encodeWriteRequestV2(withMd),
+        Some("application/x-protobuf;proto=" + PromRemoteCodec.ProtoV2))
+        ._1 === 200)
+      assert(get(s"$base/api/v1/metadata") === ((200,
+        """{"status":"success","data":{"http_total":""" +
+        """[{"type":"counter","help":"Total requests.","unit":""}]}}""")))
+      // OTLP write: description/unit + the data arm's type land too
+      val otlp = graft.ingest.OtlpCodec.encodeExportSums(
+        Seq(PromRemoteCodec.IngestedSample(1704412800000000L, "rpc.count",
+          Seq("k=v"), 3.0)),
+        temporality = 2L, serviceName = Some("svc"),
+        description = "RPC count.", unit = "1")
+      assert(post(s"$base/api/v1/otlp/v1/metrics", otlp)._1 === 200)
+      assert(get(s"$base/api/v1/metadata?metric=rpc_count") === ((200,
+        """{"status":"success","data":{"rpc_count":""" +
+        """[{"type":"counter","help":"RPC count.","unit":"1"}]}}""")))
+      // a second DIFFERENT metadata for the same metric: both serve,
+      // newest first; limit_per_metric=1 keeps only the newest
+      val req2 = PromRemoteCodec.PromWriteRequest(Seq(PromTimeSeries(
+        Seq(PromLabel("__name__", "http_total"), PromLabel("k", "v9")),
+        Seq(PromSample(9.0, 1704412900000L)),
+        metadata = Some(PromRemoteCodec.PromMetadata(
+          2, "Renamed help.", "seconds")))))
+      assert(post(s"$base/write", PromRemoteCodec.encodeWriteRequestV2(req2),
+        Some("application/x-protobuf;proto=" + PromRemoteCodec.ProtoV2))
+        ._1 === 200)
+      assert(get(s"$base/api/v1/metadata?metric=http_total") === ((200,
+        """{"status":"success","data":{"http_total":""" +
+        """[{"type":"gauge","help":"Renamed help.","unit":"seconds"},""" +
+        """{"type":"counter","help":"Total requests.","unit":""}]}}""")))
+      assert(get(s"$base/api/v1/metadata?metric=http_total&limit_per_metric=1")
+        === ((200, """{"status":"success","data":{"http_total":""" +
+        """[{"type":"gauge","help":"Renamed help.","unit":"seconds"}]}}""")))
+      // limit caps the METRIC count; an unknown metric answers empty
+      assert(get(s"$base/api/v1/metadata?limit=1") === ((200,
+        """{"status":"success","data":{"http_total":""" +
+        """[{"type":"gauge","help":"Renamed help.","unit":"seconds"},""" +
+        """{"type":"counter","help":"Total requests.","unit":""}]}}""")))
+      assert(get(s"$base/api/v1/metadata?metric=nope") ===
+        ((200, """{"status":"success","data":{}}""")))
     } finally srv.stop()
   }
 

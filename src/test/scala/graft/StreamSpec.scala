@@ -60,6 +60,88 @@ class StreamSpec extends SparkSpecBase {
       5L -> ((2, 0))))
   }
 
+  test("dedup state compaction bounds per-band files and preserves keys") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test/stream_compact/state"
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf); p.delete(); ()
+    }
+    rmrf(new java.io.File(dir).getParentFile)
+    def bandFiles(): Int = new java.io.File(s"$dir/band=0").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    def keys(): Set[Long] = spark.read.parquet(dir)
+      .select("band_sig").collect().map(_.getLong(0)).toSet
+    // simulate a long stream: one small append per micro-batch,
+    // folding after each like streamIncrementalKeep does
+    var maxFiles = 0
+    (0 until 40).foreach { i =>
+      Seq((i.toLong * 2, 0), (i.toLong * 2 + 1, 0))
+        .toDF("band_sig", "band").coalesce(1)
+        .write.mode("append").partitionBy("band").parquet(dir)
+      Dedup.compactState(spark, dir)
+      maxFiles = math.max(maxFiles, bandFiles())
+    }
+    // bounded: never more than threshold + the fold's own output —
+    // NOT O(batches) (40 appends would otherwise leave 40 files)
+    assert(maxFiles <= Dedup.StateCompactFilesPerBand + 1,
+      s"file count must stay bounded, saw $maxFiles")
+    // lossless: every appended key still present exactly once
+    assert(keys() === (0L until 80L).toSet)
+    assert(spark.read.parquet(dir).count() === 80L)
+    // duplicate keys across files collapse on the next fold
+    (0 until Dedup.StateCompactFilesPerBand).foreach { _ =>
+      Seq((0L, 0), (1L, 0)).toDF("band_sig", "band").coalesce(1)
+        .write.mode("append").partitionBy("band").parquet(dir)
+    }
+    Dedup.compactState(spark, dir)
+    assert(keys() === (0L until 80L).toSet)
+    assert(spark.read.parquet(dir).filter(col("band_sig") === 0L).count()
+      <= 2L, "cross-file duplicates fold away (at most base + merged)")
+  }
+
+  test("streaming minhash dedup folds its state and stays correct past the threshold") {
+    import spark.implicits._
+    val base = "/tmp/graft_test/stream_mh_fold"
+    val src = s"$base/src"
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf); p.delete(); ()
+    }
+    rmrf(new java.io.File(base))
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val t0 = System.currentTimeMillis()
+    // 12 crawls of the same text: crawl 0 keeps, all later copies
+    // drop — and 12 batches of appends cross the per-band fold
+    // threshold, so compaction fires mid-stream and the state it
+    // leaves behind must still answer every later probe
+    (0 until 12).foreach { k =>
+      val tmp = s"$base/tmp$k"
+      Seq((k.toLong + 100L, dup)).toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit(k).cast("int").as("crawl"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, s"crawl$k.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + k * 60000L)
+    }
+    val out = Dedup.streamIncrementalKeep(spark, src, s"$base/dd")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out === (0 until 12).map(k => (k.toLong + 100L) ->
+      (if (k == 0) 1 else 0)).toMap)
+    // the state's band dirs stayed bounded despite 12 appends
+    val bandDirs = new java.io.File(s"$base/dd/state").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("band="))
+    assert(bandDirs.nonEmpty)
+    bandDirs.foreach { b =>
+      val n = b.listFiles().count(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(n <= Dedup.StateCompactFilesPerBand + 1,
+        s"${b.getName}: $n files — the fold must keep this bounded")
+    }
+  }
+
   test("foreachBatch streaming ingestion lands the store layout") {
     val base = "/tmp/graft_test/stream_store"
     new org.apache.hadoop.fs.Path(base)

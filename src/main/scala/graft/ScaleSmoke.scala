@@ -15,8 +15,8 @@ import graft.sources.Tables
   * that grows at 100 TB). Measures how each stage scales; numbers
   * land in SCALE.md. `SPARK_GRAFT_SCALE_ONLY=
   * read|promql|dedup|components|ann|curate|prep|events|scrub|rollup|
-  * rolldense|compact|bpe|bpek|bpedeep|streamstate|strat|stars|manifest|
-  * listing` runs one section. */
+  * rolldense|compact|bpe|bpek|bpedeep|bpe4k|streamstate|strat|stars|
+  * manifest|listing` runs one section. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
@@ -211,6 +211,38 @@ object ScaleSmoke {
         time(f"bpeEncDeep k=$k%-4d passes=${groups.size}%-4d")(
           graft.llm.Tokenizer.tokenCountsBpe(docs0, trained).count())
       }
+    }
+    // a REAL 4096-merge train + encode — the measurement behind the
+    // 32k claim (bpedeep only extrapolated from a synthetic merge
+    // TABLE; this drives trainBpe's batch loop itself). The corpus
+    // is root-composed so it cannot exhaust early: 1200 random
+    // 5-char roots, every word 3 roots — each root's ~4 interior
+    // merges recur ~150×, guaranteeing thousands of count≥minFreq
+    // candidates; cross-root pairs extend the tail past 4096.
+    if (sectionEnabled("bpe4k")) {
+      import spark.implicits._
+      val rnd = new scala.util.Random(7)
+      val roots = Iterator.continually(
+        (0 until 5).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+        .distinct.take(1200).toVector
+      val words = (0 until 60000).map { _ =>
+        Seq.fill(3)(roots(rnd.nextInt(roots.size))).mkString
+      }
+      val docs = (words ++ words).grouped(50).map(_.mkString(" ")).toSeq
+      val corpus = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        .localCheckpoint(true)
+      var trained: DataFrame = null
+      time("bpeTrain k=4096 roots") {
+        trained = graft.llm.Tokenizer.trainBpe(corpus, 4096)
+          .localCheckpoint(true)
+        trained.count()
+      }
+      val merges = trained.orderBy(col("rank")).select(col("l"), col("r"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val passes = graft.llm.Tokenizer.disjointGroups(merges).size
+      time(f"bpeEncode k=4096 passes=$passes%-4d")(
+        graft.llm.Tokenizer.tokenCountsBpe(corpus, trained).count())
     }
 
     // the adversarial union-find shape: one pure CHAIN (diameter =

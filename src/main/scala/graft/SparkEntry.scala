@@ -587,6 +587,38 @@ object SparkEntry {
         round(col("value"), 6).as("value"))
     }),
 
+    // opt-in OTLP unit/type suffixing (the 3.x default translation
+    // strategy's suffix half): dotted sender names escape AND gain
+    // the unit + _total suffixes — "<m>.duration" with unit "s" on a
+    // monotonic cumulative Sum lands "<m>_duration_seconds_total"
+    "ingest_otlp_suffixes" -> ((s, dir) => {
+      val path = workDir("otlpsfxq", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val agg = samples(s, dir)
+        .groupBy(col("metric"),
+          expr("ts_us DIV 1000000 DIV 86400 * 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        .sortBy(t => (t._1, t._2))
+      val pts = agg.map { case (m, day, n) =>
+        PromRemoteCodec.IngestedSample(day * 1000000L, m + ".duration",
+          Seq("env=prod"), n.toDouble)
+      }
+      val blob = graft.ingest.OtlpCodec.encodeExportSums(pts,
+        temporality = 2L, Some("svc"),
+        description = "Cumulative time.", unit = "s")
+      val prev = graft.serve.RemoteWrite.otlpTranslationSuffixes
+      graft.serve.RemoteWrite.otlpTranslationSuffixes = true
+      try graft.serve.RemoteWrite.serveOtlp(s, path, blob)
+      finally graft.serve.RemoteWrite.otlpTranslationSuffixes = prev
+      SamplesStore.read(s, path).select(col("metric"),
+        array_join(col("labels"), ",").as("labels_str"),
+        expr("ts_us DIV 1000000").as("t_sec"),
+        round(col("value"), 6).as("value"))
+    }),
+
     // OTLP Summary points convert to CLASSIC series (the Prometheus
     // receiver's mapping): quantile-labeled samples on the base name
     // plus _sum/_count — the fixture derives deterministic summaries
@@ -2436,6 +2468,20 @@ object SparkEntry {
          |       'env=prod,job=svc' AS labels_str, day AS t_sec,
          |       round(CAST(sum(n) OVER (
          |         PARTITION BY metric ORDER BY day) AS DOUBLE), 6) AS value
+         |FROM agg""".stripMargin,
+
+    // suffixing: escaping + unit + type suffixes compose on the
+    // sender's dotted name; values are the exact per-(metric, day)
+    // counts (cumulative levels pass through unchanged)
+    "ingest_otlp_suffixes" ->
+      s"""$S, agg AS (
+         |  SELECT metric, ts_us // 1000000 // 86400 * 86400 AS day,
+         |         count(*) AS n
+         |  FROM samples GROUP BY 1, 2
+         |)
+         |SELECT metric || '_duration_seconds_total' AS metric,
+         |       'env=prod,job=svc' AS labels_str,
+         |       day AS t_sec, round(CAST(n AS DOUBLE), 6) AS value
          |FROM agg""".stripMargin,
 
     // summary→classic: quantile-labeled rows + _sum/_count, job from

@@ -100,9 +100,11 @@ object OtlpCodec {
     * delta HISTOGRAMS still reject either way (bucket-wise
     * accumulation across requests has no stateless form). */
   def decodeExportMetricsCounted(body: Array[Byte],
-                                 convertDelta: Boolean = false): Decoded = {
+                                 convertDelta: Boolean = false,
+                                 translationSuffixes: Boolean = false): Decoded = {
     val st = new DecodeState
     st.convertDelta = convertDelta
+    st.translationSuffixes = translationSuffixes
     val r = ProtoWire.reader(body)
     while (r.hasMore) {
       val (f, w) = r.readTag()
@@ -118,6 +120,7 @@ object OtlpCodec {
     val meta = Seq.newBuilder[IngestedSample]
     var dropped = 0L
     var convertDelta = false
+    var translationSuffixes = false
     /** Latest point timestamp seen inside the CURRENT ResourceMetrics
       * — the timestamp its target_info sample rides on (reset by
       * [[readResourceMetrics]] per resource). */
@@ -139,6 +142,57 @@ object OtlpCodec {
       if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
           (c >= '0' && c <= '9') || c == '_' || c == ':') c else '_')
     if (b.nonEmpty && b.head >= '0' && b.head <= '9') "_" + b else b
+  }
+
+  /** Prometheus otlptranslator unit/type suffixing — the 3.x default
+    * `UnderscoreEscapingWithSuffixes` translation strategy's suffix
+    * half (the escaping half is [[normMetricName]], always applied).
+    * Opt-in via RemoteWrite.otlpTranslationSuffixes; OFF keeps the
+    * sender's name stem verbatim (graft's documented default).
+    *
+    * Public rules (otlptranslator BuildCompliantMetricName):
+    * the unit's main part (before '/') maps through the UCUM table
+    * (s→seconds, By→bytes, …) or passes through cleaned; the per
+    * part appends as `per_<unit>`; unit "1" suffixes `ratio` on
+    * GAUGES only; `{annotated}` units carry no suffix; monotonic
+    * cumulative sums (counters) end `_total`. Every suffix appends
+    * only when its token sequence is not already in the name —
+    * `http_seconds` + unit "s" stays, never doubles. */
+  private[graft] def suffixedName(norm: String, unit: String,
+                                  isCounter: Boolean,
+                                  isGauge: Boolean): String = {
+    val mainUnits = Map(
+      "d" -> "days", "h" -> "hours", "min" -> "minutes", "s" -> "seconds",
+      "ms" -> "milliseconds", "us" -> "microseconds", "ns" -> "nanoseconds",
+      "By" -> "bytes", "KiBy" -> "kibibytes", "MiBy" -> "mebibytes",
+      "GiBy" -> "gibibytes", "TiBy" -> "tibibytes", "KBy" -> "kilobytes",
+      "MBy" -> "megabytes", "GBy" -> "gigabytes", "TBy" -> "terabytes",
+      "B" -> "bytes", "m" -> "meters", "V" -> "volts", "A" -> "amperes",
+      "J" -> "joules", "W" -> "watts", "g" -> "grams", "Cel" -> "celsius",
+      "Hz" -> "hertz", "%" -> "percent")
+    val perUnits = Map("s" -> "second", "m" -> "minute", "h" -> "hour",
+      "d" -> "day", "wk" -> "week", "mo" -> "month", "y" -> "year")
+    def hasTokens(name: String, sfx: String): Boolean =
+      sfx.nonEmpty && name.split('_').toSeq.containsSlice(sfx.split('_').toSeq)
+    def appendSfx(name: String, sfx: String): String =
+      if (sfx.isEmpty || hasTokens(name, sfx)) name else s"${name}_$sfx"
+    var n = norm
+    val trimmed = unit.trim
+    if (trimmed.nonEmpty && !trimmed.contains("{")) {
+      val slash = trimmed.indexOf('/')
+      val (main, per) =
+        if (slash < 0) (trimmed, "")
+        else (trimmed.take(slash).trim, trimmed.drop(slash + 1).trim)
+      val mainSfx =
+        if (main == "1") { if (isGauge) "ratio" else "" }
+        else if (main.isEmpty) ""
+        else mainUnits.getOrElse(main, normLabelKey(main))
+      n = appendSfx(n, mainSfx)
+      if (per.nonEmpty)
+        n = appendSfx(n, "per_" + perUnits.getOrElse(per, normLabelKey(per)))
+    }
+    if (isCounter) n = appendSfx(n, "total")
+    n
   }
 
   /** Label-key translation: like metric names but ':' is not a legal
@@ -316,7 +370,19 @@ object OtlpCodec {
         s"OTLP histogram '$name' has non-cumulative " +
           s"aggregation_temporality ($histTemporality); only " +
           "CUMULATIVE (2) is ingestible")
-    val norm = normMetricName(name)
+    val mtype0 =
+      if (hasHist) "histogram"
+      else if (hasSummary) "summary"
+      else if (isSum) { if (isMonotonic) "counter" else "gauge" }
+      else if (hasGauge) "gauge"
+      else "unknown"
+    val norm = {
+      val base = normMetricName(name)
+      if (st.translationSuffixes)
+        suffixedName(base, unit, isCounter = mtype0 == "counter",
+          isGauge = mtype0 == "gauge" && !isSum)
+      else base
+    }
     st.metricMaxTsUs = Long.MinValue
     if (deltaConvert) {
       // per-series prefix sums in timestamp order: each point's
@@ -344,16 +410,10 @@ object OtlpCodec {
     // the metric's newest ingested point so latest-wins is
     // well-defined on read. The same label encoding as
     // PromRemoteCodec.toMetadataRows, so one store serves both paths.
-    val mtype =
-      if (hasHist) "histogram"
-      else if (hasSummary) "summary"
-      else if (isSum) { if (isMonotonic) "counter" else "gauge" }
-      else if (hasGauge) "gauge"
-      else "unknown"
     st.meta += IngestedSample(
       if (st.metricMaxTsUs == Long.MinValue) 0L else st.metricMaxTsUs,
       norm,
-      Seq(s"__help=$description", s"__type=$mtype", s"__unit=$unit"), 1.0)
+      Seq(s"__help=$description", s"__type=$mtype0", s"__unit=$unit"), 1.0)
   }
 
   /** SummaryDataPoint → classic series (the documented Prometheus

@@ -214,6 +214,28 @@ object PromRemoteCodec {
       }
     }
 
+  /** Native-histogram samples → rows for the sibling histogram store
+    * (`<store>_hist`): the raw prompb Histogram bytes ride as a
+    * binary column next to the usual (ts_us, metric, sorted "k=v"
+    * labels) key. The CLASSIC expansion still lands in the main
+    * store for the whole float query surface; this sibling is the
+    * store-and-forward leg — a chunked remote read answers
+    * native-histogram series as HISTOGRAM/FLOAT_HISTOGRAM chunks
+    * re-encoded from these bytes (graft.serve.HistChunks). */
+  def toHistRows(req: PromWriteRequest)
+      : Iterator[(Long, String, Seq[String], Array[Byte])] =
+    req.timeseries.iterator.filter(_.histograms.nonEmpty).flatMap { ts =>
+      var metric = ""
+      val labels = Seq.newBuilder[String]
+      ts.labels.foreach { l =>
+        if (l.name == "__name__") metric = l.value
+        else labels += s"${l.name}=${l.value}"
+      }
+      val sorted = labels.result().sorted
+      ts.histograms.iterator.map(h =>
+        (h.timestampMs * 1000L, metric, sorted, NativeHistogram.encode(h)))
+    }
+
   /** Metric metadata → store rows for the sibling metadata store,
     * reusing the samples layout (day partitioning, compaction,
     * manifest all come free): metric = the series' __name__, labels

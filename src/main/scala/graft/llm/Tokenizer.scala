@@ -303,4 +303,63 @@ object Tokenizer {
   /** One-shot convenience: train `k` merges, then [[tokenCountsBpe]]. */
   def tokenCountsBpe(documents: DataFrame, k: Int): DataFrame =
     tokenCountsBpe(documents, trainBpe(documents, k))
+
+  // ---- standard-artifact export (GPT-2 vocab.json / merges.txt) ----
+
+  /** merges.txt in the GPT-2 layout: the `#version: 0.2` header,
+    * then one `l r` line per merge in rank order — consumable by any
+    * BPE loader that reads HF/GPT-2 merge files. */
+  def exportMergesTxt(trained: DataFrame): String =
+    ("#version: 0.2" +: mergesOf(trained).map { case (l, r) => s"$l $r" })
+      .mkString("", "\n", "\n")
+
+  /** vocab.json in the GPT-2 layout: token → contiguous id, base
+    * alphabet first then one entry per merge OUTPUT in rank order —
+    * the id assignment GPT-2's trainer produces. The base alphabet
+    * here is the pre-tokenizer's own ([a-z], see [[WordRe]]), so
+    * tokens never need JSON escaping; merge outputs are unique by
+    * the trainer's output-collision guard. */
+  def exportVocabJson(trained: DataFrame): String = {
+    val tokens = ('a' to 'z').map(_.toString) ++
+      mergesOf(trained).map { case (l, r) => l + r }
+    tokens.zipWithIndex
+      .map { case (t, i) => s""""$t":$i""" }
+      .mkString("{", ",", "}")
+  }
+
+  /** Write the trained tokenizer to `dir/vocab.json` +
+    * `dir/merges.txt` — the artifact layout tooling outside graft
+    * (HF tokenizers, GPT-2 loaders) consumes directly. */
+  def exportTokenizer(trained: DataFrame, dir: String): Unit = {
+    val spark = trained.sparkSession
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    def write(name: String, text: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(root, name), true)
+      try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    write("merges.txt", exportMergesTxt(trained))
+    write("vocab.json", exportVocabJson(trained))
+  }
+
+  /** Parse a GPT-2 merges.txt back to the ranked merge table (rank,
+    * l, r) — [[exportMergesTxt]]'s inverse; the re-imported table
+    * drives [[tokenCountsBpe]]/[[bpeVocab]] to identical encodes.
+    * Blank lines and `#` comments skip, like the HF loader. */
+  def parseMergesTxt(spark: org.apache.spark.sql.SparkSession,
+                     text: String): DataFrame = {
+    import spark.implicits._
+    text.linesIterator
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .zipWithIndex
+      .map { case (line, i) =>
+        val sp = line.indexOf(' ')
+        require(sp > 0 && line.indexOf(' ', sp + 1) < 0,
+          s"malformed merges.txt line: '$line'")
+        (i.toLong, line.take(sp), line.drop(sp + 1))
+      }
+      .toSeq.toDF("rank", "l", "r")
+  }
 }

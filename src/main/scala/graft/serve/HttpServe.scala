@@ -265,10 +265,19 @@ object HttpServe {
           .find(t => t == 0 || t == 1).contains(1)
         catch { case _: Throwable => false }
       if (wantsChunks) {
+        // the native-histogram sibling (when any native write landed
+        // one) answers histogram-chunk frames next to the float ones
+        val hp = RemoteWrite.histPath(storePath)
+        val histDf = {
+          val p = new org.apache.hadoop.fs.Path(hp)
+          if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+            Some(spark.read.parquet(hp))
+          else None
+        }
         val resp = SamplesStore.readLocked(storePath) {
           RemoteRead.serveChunked(SamplesStore.read(spark, storePath),
             reqBody, ignoreLabel, ignoreHints, maxReadSamples,
-            rollupRoute = rollupRoute)
+            rollupRoute = rollupRoute, histStore = histDf)
         }
         respond(ex, 200, resp, Seq(
           "Content-Type" ->
@@ -968,6 +977,8 @@ object HttpServe {
         "store.rollup-interval" -> RemoteWrite.rollupIntervalSec.toString,
         "write.otlp-delta-to-cumulative" ->
           RemoteWrite.otlpConvertDelta.toString,
+        "write.otlp-translation-suffixes" ->
+          RemoteWrite.otlpTranslationSuffixes.toString,
         "rule.record-count" -> RemoteWrite.recordingRules.size.toString,
         "rule.alert-count" -> HttpServe.alertRules.size.toString,
         // wire-format drop ledger (see OpsMetrics): Prometheus 3.x

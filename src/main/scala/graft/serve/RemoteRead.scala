@@ -180,21 +180,23 @@ object RemoteRead {
     * `application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse`,
     * NOT snappy-wrapped (the framing replaces body compression).
     *
-    * Chunk-type deviation (documented): Prometheus itself would
-    * stream native-histogram series as HISTOGRAM/FLOAT_HISTOGRAM
-    * chunks, but this store converts native-histogram WRITES to
-    * their classic `_bucket`/`_sum`/`_count` expansion at ingest
-    * (NativeHistogram.toClassicSamples) — there is no native
-    * histogram series to chunk, so a chunked read answers those
-    * series as ordinary XOR float chunks of the classic rows, the
-    * very rows the SAMPLES response type serves. Pinned end-to-end
-    * by ServeSpec ("native-histogram writes stream back as float
-    * chunks of the classic expansion"). */
+    * Native-histogram series stream as HISTOGRAM / FLOAT_HISTOGRAM
+    * chunks when the store keeps its `_hist` sibling (`histStore`):
+    * the classic `_bucket`/`_sum`/`_count` expansion in the MAIN
+    * store keeps serving the whole float surface (it answers under
+    * its own expanded names), while a selector matching the native
+    * series' OWN name answers from the sibling's raw prompb bytes,
+    * re-framed as histogram chunks (HistChunks documents the body
+    * layout and its one documented deviation). Histogram-series
+    * frames follow the float-series frames of the same query, each
+    * group in (metric, labels) order. Callers without a sibling
+    * store (histStore = None) keep the float-only behavior. */
   def serveChunked(samples: DataFrame, readRequestBlob: Array[Byte],
                    ignoreLabel: Option[String] = Some("remote=clickhouse"),
                    ignoreHints: Boolean = false,
                    maxSamples: Long = DefaultMaxReadSamples,
-                   rollupRoute: Option[RollupRoute] = None): Array[Byte] = {
+                   rollupRoute: Option[RollupRoute] = None,
+                   histStore: Option[DataFrame] = None): Array[Byte] = {
     val m = OpsMetrics(samples.sparkSession)
     m.readRequests.add(1)
     try {
@@ -214,11 +216,64 @@ object RemoteRead {
           val frame = PromRemoteCodec.chunkedFrame(msg)
           out.write(frame, 0, frame.length)
         }
+        histStore.foreach { hs =>
+          runHistQuery(hs, q, ignoreLabel, maxSamples).foreach { case (labels, hists) =>
+            val chunks = HistChunks.encodeChunks(hists)
+            val msg = PromRemoteCodec.encodeChunkedReadResponse(
+              Seq(PromRemoteCodec.PromChunkedSeries(labels, chunks)),
+              qi.toLong)
+            val frame = PromRemoteCodec.chunkedFrame(msg)
+            out.write(frame, 0, frame.length)
+          }
+        }
       }
       out.toByteArray
     } catch {
       case e: Throwable => m.readErrors.add(1); throw e
     }
+  }
+
+  /** One query against the native-histogram sibling: matcher filter
+    * (the remote-read compiler — the two-surface contract keeps this
+    * surface on Matchers.compile) + pushed/pruned time bounds, then
+    * per-series assembly in time order. The per-second max-dedup of
+    * the float path has no histogram analogue — every stored sample
+    * streams; duplicate (series, ts) re-sends collapse to the LAST
+    * decoded, matching append order closely enough for an
+    * append-only sibling. Bounded by the same maxSamples guard. */
+  private def runHistQuery(histStore: DataFrame, q: graft.operators.ReadQuery,
+                           ignoreLabel: Option[String], maxSamples: Long)
+      : Seq[(Seq[PromRemoteCodec.PromLabel], Seq[graft.ingest.NativeHistogram.Hist])] = {
+    val bounded = graft.operators.SeriesRead.timeBound(
+      histStore, q.startMs, q.endMs)
+      .filter(graft.operators.Matchers.compile(q.matchers, ignoreLabel))
+      .select("metric", "labels", "ts_us", "hist")
+    val it = bounded.toLocalIterator().asScala
+    val bySeries = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Seq[String]), scala.collection.mutable.TreeMap[Long, Array[Byte]]]
+    var points = 0L
+    while (it.hasNext) {
+      val r = it.next()
+      points += 1
+      if (points > maxSamples)
+        throw new ResponseTooLargeException(
+          s"query matches more than $maxSamples samples, exceeds response limit")
+      val key = (r.getString(0), r.getSeq[String](1).toSeq)
+      bySeries.getOrElseUpdate(key,
+        scala.collection.mutable.TreeMap.empty[Long, Array[Byte]])
+        .update(r.getLong(2), r.getAs[Array[Byte]](3))
+    }
+    bySeries.toSeq
+      .sortBy { case ((metric, labels), _) => (metric, labels) }(SeriesKeyOrdering)
+      .map { case ((metric, labels), samples0) =>
+        val promLabels = PromRemoteCodec.PromLabel("__name__", metric) +:
+          labels.map { l =>
+            val c = l.indexOf('=')
+            PromRemoteCodec.PromLabel(l.take(c), l.drop(c + 1))
+          }
+        (promLabels, samples0.values.toSeq.map(b =>
+          graft.ingest.NativeHistogram.decode(graft.ingest.ProtoWire.reader(b))))
+      }
   }
 
   /** One query: distributed select+assemble computed once, streamed to

@@ -63,6 +63,15 @@ object RemoteWrite {
     * OtlpCodec). Delta histograms still reject either way. */
   @volatile var otlpConvertDelta: Boolean = false
 
+  /** Opt-in OTLP unit/type suffixing (the suffix half of Prometheus
+    * 3.x's default `UnderscoreEscapingWithSuffixes` otlp
+    * translation_strategy): `s`→`_seconds`, `By`→`_bytes`,
+    * monotonic sums→`_total`, … (OtlpCodec.suffixedName). OFF by
+    * default — graft's documented baseline keeps the sender's name
+    * stem verbatim (= 3.x's suffix-less strategies). Surfaced on
+    * /api/v1/status/flags as write.otlp-translation-suffixes. */
+  @volatile var otlpTranslationSuffixes: Boolean = false
+
   /** The rollup twin of a store path (kept next to the store so the
     * pair moves together). */
   def rollupPathFor(storePath: String): String = storePath + "_rollup"
@@ -247,6 +256,26 @@ object RemoteWrite {
   def metadataPath(storePath: String): String =
     storePath.stripSuffix("/") + "_meta"
 
+  /** The sibling store native-histogram samples land in (raw prompb
+    * Histogram bytes next to the series key; PromRemoteCodec
+    * .toHistRows documents the schema). Day-partitioned like the
+    * main store so chunked reads prune; appends only — the classic
+    * expansion in the MAIN store is what the query surface reads,
+    * this sibling only feeds histogram-chunk federation. */
+  def histPath(storePath: String): String =
+    storePath.stripSuffix("/") + "_hist"
+
+  private def appendHists(spark: SparkSession, storePath: String,
+                          rows: Seq[(Long, String, Seq[String], Array[Byte])]): Unit =
+    if (rows.nonEmpty) {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, expr}
+      rows.toDF("ts_us", "metric", "labels", "hist")
+        .withColumn("date", expr("ts_us DIV 1000000 DIV 86400 * 86400"))
+        .write.mode("append").partitionBy("date")
+        .parquet(histPath(storePath))
+    }
+
   private def appendMetadata(spark: SparkSession, storePath: String,
                              rows: Seq[PromRemoteCodec.IngestedSample]): Unit =
     if (rows.nonEmpty) {
@@ -295,6 +324,7 @@ object RemoteWrite {
       m.exemplarsWritten.add(exRows.size.toLong)
     }
     appendMetadata(spark, storePath, PromRemoteCodec.toMetadataRows(req).toSeq)
+    appendHists(spark, storePath, PromRemoteCodec.toHistRows(req).toSeq)
     WriteOutcome(req.sampleCount, req.histogramCount, req.exemplarCount)
   }
 
@@ -307,7 +337,8 @@ object RemoteWrite {
     m.writeRequests.add(1)
     val dec =
       try graft.ingest.OtlpCodec.decodeExportMetricsCounted(body,
-        convertDelta = otlpConvertDelta)
+        convertDelta = otlpConvertDelta,
+        translationSuffixes = otlpTranslationSuffixes)
       catch { case e: Throwable => m.writeErrors.add(1); throw e }
     if (dec.droppedPoints > 0) m.otlpDroppedPoints.add(dec.droppedPoints)
     val rows = dec.samples
@@ -343,7 +374,8 @@ object RemoteWrite {
         m.convertedHistograms.add(req.histogramCount)
       (PromRemoteCodec.toSamples(req).toSeq,
         PromRemoteCodec.toExemplarRows(req).toSeq,
-        PromRemoteCodec.toMetadataRows(req).toSeq)
+        PromRemoteCodec.toMetadataRows(req).toSeq,
+        PromRemoteCodec.toHistRows(req).toSeq)
     }
     val (sampleRows, exRows) = (rows.flatMap(_._1), rows.flatMap(_._2))
     if (sampleRows.nonEmpty) {
@@ -361,6 +393,7 @@ object RemoteWrite {
       m.exemplarsWritten.add(exRows.size.toLong)
     }
     appendMetadata(spark, storePath, rows.flatMap(_._3))
+    appendHists(spark, storePath, rows.flatMap(_._4))
     sampleRows.size.toLong
   }
 }

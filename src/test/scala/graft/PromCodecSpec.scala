@@ -134,6 +134,45 @@ class PromCodecSpec extends SparkSpecBase {
       PromMetadata.typeCode(PromMetadata.typeName(t)) == t))
   }
 
+  test("native-histogram chunk codec round-trips both forms and splits correctly") {
+    import graft.ingest.NativeHistogram
+    import graft.serve.HistChunks
+    val intH = NativeHistogram.Hist(1000L, 6.0, 4.5, 0, 0.001, 1.0,
+      Seq((0, 2)), Seq(2L, 1L), Nil, Seq((1, 1)), Seq(3L), Nil)
+    val fltH = NativeHistogram.Hist(2000L, 6.5, 4.5, -2, 0.001, 0.5,
+      Seq((0, 2)), Nil, Seq(2.0, 3.5), Nil, Nil, Nil, floatForm = true)
+    // prompb encode is decode's exact inverse, arm preserved
+    def rt(h: NativeHistogram.Hist): NativeHistogram.Hist =
+      NativeHistogram.decode(graft.ingest.ProtoWire.reader(
+        NativeHistogram.encode(h)))
+    assert(rt(intH) === intH)
+    assert(rt(fltH) === fltH)
+    // a mixed series splits at the form change: one HISTOGRAM chunk,
+    // one FLOAT_HISTOGRAM chunk, each decoding to its samples
+    val chunks = HistChunks.encodeChunks(
+      Seq(intH, intH.copy(timestampMs = 1500L), fltH))
+    assert(chunks.map(_.ctype) ===
+      Seq(HistChunks.TypeHistogram, HistChunks.TypeFloatHistogram))
+    assert((chunks(0).minTimeMs, chunks(0).maxTimeMs) === ((1000L, 1500L)))
+    assert(HistChunks.decodeChunk(chunks(0).data) ===
+      Seq(intH, intH.copy(timestampMs = 1500L)))
+    assert(HistChunks.decodeChunk(chunks(1).data) === Seq(fltH))
+    // the 120-sample bound splits long runs like chunkenc
+    val many = (0 until 250).map(i => intH.copy(timestampMs = i.toLong))
+    val split = HistChunks.encodeChunks(many)
+    assert(split.map(c => HistChunks.decodeChunk(c.data).size) ===
+      Seq(120, 120, 10))
+    assert(split.flatMap(c => HistChunks.decodeChunk(c.data)) === many)
+    // chunk types survive the ChunkedReadResponse wire round-trip
+    val msg = encodeChunkedReadResponse(Seq(PromChunkedSeries(
+      Seq(PromLabel("__name__", "hm")), chunks)), 0L)
+    val back = decodeChunkedFrames(chunkedFrame(msg))
+    assert(back.head._2.head.chunks.map(_.ctype) === Seq(2, 3))
+    assert(back.head._2.head.chunks.zip(chunks).forall { case (a, b) =>
+      java.util.Arrays.equals(a.data, b.data)
+    })
+  }
+
   test("toSamples applies reference label normalization") {
     val out = toSamples(PromWriteRequest(Seq(series))).toList
     assert(out.map(_.metric).distinct == List("http_requests_total"))
@@ -472,6 +511,43 @@ class PromCodecSpec extends SparkSpecBase {
     // quantile label there to collide with)
     assert(dc.samples.filter(_.metric == "http_req_latency_sum")
       .head.labels === Seq("job=svc", "quantile=bogus"))
+  }
+
+  test("OTLP codec: opt-in unit/type suffixing follows the 3.x translation strategy") {
+    import graft.ingest.OtlpCodec
+    // the pure rule table first (otlptranslator BuildCompliantMetricName)
+    def sfx(n: String, u: String, counter: Boolean = false,
+            gauge: Boolean = false): String =
+      OtlpCodec.suffixedName(n, u, counter, gauge)
+    assert(sfx("http_req_duration", "s") === "http_req_duration_seconds")
+    assert(sfx("net_io", "By/s") === "net_io_bytes_per_second")
+    assert(sfx("cpu_usage", "1", gauge = true) === "cpu_usage_ratio")
+    assert(sfx("requests", "1", counter = true) === "requests_total")
+    assert(sfx("disk", "KiBy") === "disk_kibibytes")
+    assert(sfx("temp", "Cel") === "temp_celsius")
+    // unknown units pass through cleaned; {annotations} carry none
+    assert(sfx("x", "widgets") === "x_widgets")
+    assert(sfx("x", "{packets}") === "x")
+    // no double-suffix when the tokens are already present
+    assert(sfx("http_seconds", "s") === "http_seconds")
+    assert(sfx("reqs_total", "", counter = true) === "reqs_total")
+    assert(sfx("io_bytes_per_second", "By/s") === "io_bytes_per_second")
+    // end to end: the SAME wire body lands verbatim names with the
+    // flag off and suffixed names (+ suffixed metadata) with it on
+    val t = 1704412800000000L
+    val body = OtlpCodec.encodeExportSums(
+      Seq(graft.ingest.PromRemoteCodec.IngestedSample(
+        t, "rpc.duration", Seq("k=v"), 3.0)),
+      temporality = 2L, serviceName = Some("svc"),
+      description = "RPC time.", unit = "s")
+    val off = OtlpCodec.decodeExportMetricsCounted(body)
+    assert(off.samples.map(_.metric) === Seq("rpc_duration"))
+    val on = OtlpCodec.decodeExportMetricsCounted(body,
+      translationSuffixes = true)
+    assert(on.samples.map(_.metric) === Seq("rpc_duration_seconds_total"))
+    assert(on.metadata.map(m => (m.metric, m.labels)) === Seq(
+      ("rpc_duration_seconds_total",
+        Seq("__help=RPC time.", "__type=counter", "__unit=s"))))
   }
 
   test("OTLP codec: non-identifying resource attributes land a target_info series") {

@@ -75,6 +75,17 @@ class PromQLDiffSpec extends SparkSpecBase {
       out += S("h_sum", base, t, cInf * 1.5 + c1 * 0.25)
       out += S("h_count", base, t, cInf.toDouble)
     }
+    // a Prometheus 3.x quoted-UTF-8 world: metric "my.metric" with a
+    // dotted label "a.b" — reachable ONLY through quoted selectors /
+    // quoted grouping lists (the round-16 syntax), exercised by
+    // production 19. Deterministic k·0.25 values on a 60s grid.
+    for (host <- Seq("a", "b"); k <- 0 until 10) {
+      val t = T0 - 120 + k * 60
+      out += S("my.metric",
+        List(s"a.b=${if (host == "a") "x" else "y"}",
+          s"host=$host", s"instance=i$host").sorted,
+        t, ((k + (if (host == "a") 1 else 5)) % 9) * 0.25)
+    }
     // target_info for hosts a and b (c has none — pass-through), plus
     // a DUPLICATE info series for ia differing in data labels, so the
     // greatest-data-label-set resolution is exercised
@@ -931,7 +942,7 @@ class PromQLDiffSpec extends SparkSpecBase {
     val covered = scala.collection.mutable.Set.empty[Int]
     def gen(depth: Int): String =
       if (depth <= 0) sel()
-      else { val c = rnd.nextInt(19); trace += c; c } match {
+      else { val c = rnd.nextInt(20); trace += c; c } match {
         case 0 => s"${rangeFns(rnd.nextInt(rangeFns.length))}(${sel()}[${dur()}])"
         case 1 => s"${rangeFns(rnd.nextInt(rangeFns.length))}(${sel()}[${dur()}] offset 60s)"
         case 2 => s"${aggs(rnd.nextInt(aggs.length))} by (host) (${gen(depth - 1)})"
@@ -971,18 +982,32 @@ class PromQLDiffSpec extends SparkSpecBase {
         case 18 => // info(): data-label adoption by instance identity
           if (rnd.nextBoolean()) s"info(${sel()})"
           else s"""info(${sel()}, {os="linux"})"""
+        case 19 => // quoted UTF-8 selectors + quoted grouping lists
+          // (Prometheus 3.x): the dotted world is reachable ONLY
+          // through this syntax, so a passing check proves the
+          // quoted forms parse AND evaluate identically end to end
+          Seq(
+            s"""{"my.metric", "a.b"!="y"}""",
+            s"""{"my.metric", "a.b"=~"x|y"}""",
+            s"""${rangeFns(rnd.nextInt(rangeFns.length))}({"my.metric"}[${dur()}])""",
+            s"""sum by ("a.b") ({"my.metric"})""",
+            s"""avg without ("a.b", "instance") ({"my.metric"})""",
+            s"""max by ("host") (sum_over_time({"my.metric", "a.b"="x"}[${dur()}]))""",
+            s"""sort_by_label({"my.metric"}, "a.b")""",
+            s"""sort_by_label_desc({"my.metric", "host"!~"c|d"}, "a.b")""")(
+            rnd.nextInt(8))
       }
     var checked = 0
     // 80 expressions minimum, then keep drawing (bounded) until every
     // production has been exercised through a full differential check
-    while (checked < 80 || (covered.size < 19 && checked < 400)) {
+    while (checked < 80 || (covered.size < 20 && checked < 400)) {
       trace = scala.collection.mutable.Set.empty[Int]
       val q = gen(1 + rnd.nextInt(3))
       if (PromQL.parse(q).isRight) {
         check(q); checked += 1; covered ++= trace
       }
     }
-    assert(covered.size == 19,
-      s"fuzzer verified only productions ${covered.toSeq.sorted} of 0..18")
+    assert(covered.size == 20,
+      s"fuzzer verified only productions ${covered.toSeq.sorted} of 0..19")
   }
 }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 import graft.ingest.PromRemoteCodec
 import graft.ingest.PromRemoteCodec.{PromLabel, PromSample, PromTimeSeries, PromWriteRequest}
 import graft.operators.{Matchers, ReadQuery}
-import graft.serve.{HttpServe, RemoteRead, RemoteWrite}
+import graft.serve.{HistChunks, HttpServe, RemoteRead, RemoteWrite}
 import graft.sources.Tables
 
 /** The serving twins and the HTTP front door: write blob → store →
@@ -27,11 +27,14 @@ class ServeSpec extends SparkSpecBase {
     val fs = new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(p), true)
-    // the sibling exemplar/metadata stores must reset with their primary
+    // the sibling exemplar/metadata/histogram stores must reset with
+    // their primary
     fs.delete(new org.apache.hadoop.fs.Path(
       RemoteWrite.exemplarPath(p)), true)
     fs.delete(new org.apache.hadoop.fs.Path(
       RemoteWrite.metadataPath(p)), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      RemoteWrite.histPath(p)), true)
     p
   }
 
@@ -423,12 +426,9 @@ class ServeSpec extends SparkSpecBase {
       val (_, flagsBody) = get(s"$base/api/v1/status/flags")
       assert(flagsBody.contains(
         s""""write.converted-histograms":"${convBefore + 1}""""))
-      // native-histogram writes stream back as FLOAT chunks of the
-      // classic expansion: the store holds _bucket/_sum/_count rows,
-      // not native histograms, so a STREAMED_XOR_CHUNKS read answers
-      // ordinary XOR chunks of those rows — never Prometheus
-      // histogram chunks (the documented deviation in
-      // RemoteRead.serveChunked)
+      // the CLASSIC expansion still streams as ordinary XOR float
+      // chunks under its own expanded names — the float query
+      // surface is unchanged by the native-histogram sibling
       val cq = Seq(ReadQuery(1704412800000L, 1704412800000L + 60000L,
         Seq(Matchers.re("__name__", "hm_(bucket|sum|count)"))))
       val (cc, cbody, chd) = post(s"$base/read",
@@ -453,6 +453,32 @@ class ServeSpec extends SparkSpecBase {
         ("k=v,le=+Inf", "hm_bucket", 1704412800000L, 6.0),
         ("k=v", "hm_sum", 1704412800000L, 4.5),
         ("k=v", "hm_count", 1704412800000L, 6.0)))
+      // and the native series ITSELF federates as a HISTOGRAM chunk
+      // off the sibling store: a chunked read on __name__="hm"
+      // answers the float sample as an XOR chunk AND the native
+      // histogram as a Chunk.Encoding=2 frame whose body decodes to
+      // the ingested sample bit-for-bit
+      val nq = Seq(ReadQuery(1704412800000L, 1704412800000L + 60000L,
+        Seq(Matchers.eq("__name__", "hm"))))
+      val (nc, nbody, _) = post(s"$base/read",
+        PromRemoteCodec.encodeReadRequestWithTypes(nq, Seq(1, 0)))
+      assert(nc === 200)
+      val frames = PromRemoteCodec.decodeChunkedFrames(nbody)
+      val allChunks = for { (_, ss) <- frames; cs <- ss; c <- cs.chunks }
+        yield (cs.labels, c)
+      val xor = allChunks.filter(_._2.ctype == 1)
+      val histChunks = allChunks.filter(_._2.ctype == HistChunks.TypeHistogram)
+      assert(xor.size === 1 && histChunks.size === 1, allChunks.map(_._2.ctype))
+      val (xt, xv) = graft.serve.Gorilla.decode(xor.head._2.data)
+      assert(xt.toSeq === Seq(1704412800000L) && xv.toSeq === Seq(1.5))
+      val hs = HistChunks.decodeChunk(histChunks.head._2.data)
+      assert(histChunks.head._1.map(l => (l.name, l.value)) ===
+        Seq("__name__" -> "hm", "k" -> "v"))
+      assert(hs === Seq(graft.ingest.NativeHistogram.Hist(
+        1704412800000L, 6.0, 4.5, 0, 0.001, 1.0,
+        Seq((0, 2)), Seq(2L, 1L), Nil, Nil, Nil, Nil)))
+      assert(histChunks.head._2.minTimeMs === 1704412800000L)
+      assert(histChunks.head._2.maxTimeMs === 1704412800000L)
     } finally srv.stop()
   }
 
@@ -1499,6 +1525,7 @@ class ServeSpec extends SparkSpecBase {
       assert(fbody.contains(""""status":"success""""))
       assert(fbody.contains(s""""store.path":"${store.replace("\\", "\\\\")}""""))
       assert(fbody.contains(""""read.ignore-label":"remote=clickhouse""""))
+      assert(fbody.contains(""""write.otlp-translation-suffixes":"false""""))
       // exemplars: a store that never saw one answers the truthful
       // empty set; a missing query parameter is the client's error
       assert(get(s"$base/api/v1/query_exemplars?query=up") ===
@@ -1596,6 +1623,32 @@ class ServeSpec extends SparkSpecBase {
       assert(get(s"$base/api/v1/metadata?metric=nope") ===
         ((200, """{"status":"success","data":{}}""")))
     } finally srv.stop()
+  }
+
+  test("OTLP translation-suffix flag suffixes served names and shows on flags") {
+    val store = tmpStore("otlpsfx")
+    val srv = HttpServe.start(spark, store)
+    val prev = RemoteWrite.otlpTranslationSuffixes
+    try {
+      RemoteWrite.otlpTranslationSuffixes = true
+      val base = s"http://localhost:${srv.port}"
+      assert(get(s"$base/api/v1/status/flags")._2
+        .contains(""""write.otlp-translation-suffixes":"true""""))
+      val body = graft.ingest.OtlpCodec.encodeExportSums(
+        Seq(graft.ingest.PromRemoteCodec.IngestedSample(
+          1704412800000000L, "rpc.duration", Seq("k=v"), 3.0)),
+        temporality = 2L, serviceName = Some("svc"),
+        description = "RPC time.", unit = "s")
+      assert(post(s"$base/api/v1/otlp/v1/metrics", body)._1 === 200)
+      assert(graft.ingest.SamplesStore.read(spark, store)
+        .select(col("metric")).collect().map(_.getString(0)).toSeq ===
+        Seq("rpc_duration_seconds_total"))
+      assert(get(s"$base/api/v1/metadata?metric=rpc_duration_seconds_total")
+        ._2.contains(""""type":"counter","help":"RPC time.","unit":"s""""))
+    } finally {
+      RemoteWrite.otlpTranslationSuffixes = prev
+      srv.stop()
+    }
   }
 
   test("/federate serves latest values in text exposition format") {

@@ -195,4 +195,40 @@ class TokenizerSpec extends SparkSpecBase {
     // BPE in general, but every selected count meets the floor
     assert(merges.map(_.getLong(3)).forall(_ >= 2L))
   }
+
+  test("exported vocab.json/merges.txt round-trip to an identical encode") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val trained = Tokenizer.trainBpe(docs, 12).localCheckpoint(true)
+    val dir = "/tmp/graft_test/tok_export"
+    Tokenizer.exportTokenizer(trained, dir)
+    // the artifact layout: GPT-2 merges.txt (version header + "l r"
+    // lines in rank order) and vocab.json (alphabet then one id per
+    // merge output, contiguous)
+    def slurp(name: String): String =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, name)), "UTF-8")
+    val mergesTxt = slurp("merges.txt")
+    assert(mergesTxt.startsWith("#version: 0.2\n"))
+    val lines = mergesTxt.linesIterator.drop(1).toSeq
+    assert(lines.size === 12 && lines.forall(_.matches("[a-z]+ [a-z]+")))
+    val vocabJson = slurp("vocab.json")
+    val entries = vocabJson.stripPrefix("{").stripSuffix("}").split(',')
+      .map { e =>
+        val Array(k, v) = e.split(':')
+        (k.stripPrefix("\"").stripSuffix("\""), v.toInt)
+      }.toSeq
+    assert(entries.map(_._2) === entries.indices)
+    assert(entries.take(26).map(_._1) === ('a' to 'z').map(_.toString))
+    assert(entries.drop(26).map(_._1) ===
+      Tokenizer.mergesOf(trained).map { case (l, r) => l + r })
+    // parse → identical encode: the re-imported table drives the
+    // encoder to the same per-doc token counts, row for row
+    val reimported = Tokenizer.parseMergesTxt(spark, mergesTxt)
+    assert(Tokenizer.mergesOf(reimported) === Tokenizer.mergesOf(trained))
+    val a = Tokenizer.tokenCountsBpe(docs, trained).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Tokenizer.tokenCountsBpe(docs, reimported).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a === b && a.nonEmpty)
+  }
 }

@@ -215,19 +215,35 @@ object ScaleSmoke {
     // a REAL 4096-merge train + encode — the measurement behind the
     // 32k claim (bpedeep only extrapolated from a synthetic merge
     // TABLE; this drives trainBpe's batch loop itself). The corpus
-    // is root-composed so it cannot exhaust early: 1200 random
-    // 5-char roots, every word 3 roots — each root's ~4 interior
-    // merges recur ~150×, guaranteeing thousands of count≥minFreq
-    // candidates; cross-root pairs extend the tail past 4096.
+    // is root-composed so it cannot exhaust early — 1500 random
+    // 5-char roots, every word 3 roots — and the roots draw from a
+    // ZIPF law, the natural-language shape the batched trainer's
+    // strict-dominance trim rides: near-uniform counts (every root
+    // equally likely) are the adversarial case that degrades every
+    // batch to 1 merge (measured — the trim is CORRECT, just
+    // sequential there), while Zipfian counts keep batches in the
+    // tens, which is the whole 32k-trainability claim.
     if (sectionEnabled("bpe4k")) {
       import spark.implicits._
       val rnd = new scala.util.Random(7)
       val roots = Iterator.continually(
         (0 until 5).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
-        .distinct.take(1200).toVector
-      val words = (0 until 60000).map { _ =>
-        Seq.fill(3)(roots(rnd.nextInt(roots.size))).mkString
+        .distinct.take(1500).toVector
+      // Zipf sampler over root ranks: inverse-CDF on H(n) partial
+      // sums, classic s=1 law
+      val harmonic = roots.indices.map(i => 1.0 / (i + 1)).toArray
+      val cdf = harmonic.scanLeft(0.0)(_ + _).drop(1)
+      val total = cdf.last
+      def zipfRoot(): String = {
+        val u = rnd.nextDouble() * total
+        var lo = 0; var hi = cdf.length - 1
+        while (lo < hi) {
+          val mid = (lo + hi) / 2
+          if (cdf(mid) < u) lo = mid + 1 else hi = mid
+        }
+        roots(lo)
       }
+      val words = (0 until 60000).map(_ => zipfRoot() + zipfRoot() + zipfRoot())
       val docs = (words ++ words).grouped(50).map(_.mkString(" ")).toSeq
       val corpus = docs.zipWithIndex
         .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")

@@ -72,7 +72,15 @@ object PromRemoteCodec {
     * surface. `skippedHistograms` ledgers only what CANNOT convert
     * (non-standard schema) — counted, never silent. */
   final case class PromWriteRequest(timeseries: Seq[PromTimeSeries],
-                                    skippedHistograms: Long = 0L) {
+                                    skippedHistograms: Long = 0L,
+                                    /** PRW 1.0 family-level metadata
+                                      * (prompb WriteRequest field 3,
+                                      * MetricMetadata): (family name,
+                                      * type/help/unit) — the 1.x
+                                      * sender's periodic metadata
+                                      * push; v2 carries metadata
+                                      * per series instead. */
+                                    familyMetadata: Seq[(String, PromMetadata)] = Nil) {
     /** Histogram samples that decoded AND convert (standard schema). */
     def histogramCount: Long =
       timeseries.iterator.map(_.histograms.size.toLong).sum
@@ -94,14 +102,32 @@ object PromRemoteCodec {
   def decodeWriteRequest(snappyBody: Array[Byte]): PromWriteRequest = {
     val r = ProtoWire.reader(Snappy.uncompress(snappyBody))
     val series = Seq.newBuilder[PromTimeSeries]
+    val meta = Seq.newBuilder[(String, PromMetadata)]
     val hist = new Count
     while (r.hasMore) {
       val (field, wire) = r.readTag()
       if (field == 1 && wire == 2)
         series += readTimeSeries(r.readMessage(), hist)
+      else if (field == 3 && wire == 2) {
+        // prompb.MetricMetadata {1: type enum, 2: metric_family_name,
+        // 4: help, 5: unit} — 1.x senders push these periodically
+        val mr = r.readMessage()
+        var t = 0; var fam = ""; var help = ""; var unit = ""
+        while (mr.hasMore) {
+          val (mf, mw) = mr.readTag()
+          (mf, mw) match {
+            case (1, 0) => t = mr.readVarint().toInt
+            case (2, 2) => fam = mr.readString()
+            case (4, 2) => help = mr.readString()
+            case (5, 2) => unit = mr.readString()
+            case _      => mr.skip(mw)
+          }
+        }
+        if (fam.nonEmpty) meta += ((fam, PromMetadata(t, help, unit)))
+      }
       else r.skip(wire)
     }
-    PromWriteRequest(series.result(), hist.n)
+    PromWriteRequest(series.result(), hist.n, meta.result())
   }
 
   private final class Count { var n = 0L }
@@ -245,8 +271,8 @@ object PromRemoteCodec {
     * well-defined on read. One row per series; identical re-sends
     * at the same timestamp collapse in the store's per-second dedup,
     * and the read side takes the newest row per (metric, entry). */
-  def toMetadataRows(req: PromWriteRequest): Iterator[IngestedSample] =
-    req.timeseries.iterator.filter(_.metadata.isDefined).map { ts =>
+  def toMetadataRows(req: PromWriteRequest): Iterator[IngestedSample] = {
+    val perSeries = req.timeseries.iterator.filter(_.metadata.isDefined).map { ts =>
       val metric =
         ts.labels.find(_.name == "__name__").map(_.value).getOrElse("")
       val md = ts.metadata.get
@@ -256,6 +282,20 @@ object PromRemoteCodec {
         Seq(s"__help=${md.help}", s"__type=${md.typeName}",
           s"__unit=${md.unit}"), 1.0)
     }
+    // v1 family-level metadata has no series of its own to stamp
+    // from — it rides on the request's newest sample so latest-wins
+    // stays well-defined (a metadata-only request stamps 0)
+    lazy val reqTsUs = req.timeseries.iterator.flatMap(ts =>
+      ts.samples.iterator.map(_.timestampMs) ++
+        ts.histograms.iterator.map(_.timestampMs))
+      .maxOption.getOrElse(0L) * 1000L
+    val perFamily = req.familyMetadata.iterator.map { case (fam, md) =>
+      IngestedSample(reqTsUs, fam,
+        Seq(s"__help=${md.help}", s"__type=${md.typeName}",
+          s"__unit=${md.unit}"), 1.0)
+    }
+    perSeries ++ perFamily
+  }
 
   /** Max read-request body, compressed or inflated (reference:
     * codec.go:23-24 `decodeReadLimit`, applied via io.LimitReader).
@@ -454,40 +494,56 @@ object PromRemoteCodec {
   /** Encode the v2 form (the client leg, for round-trip tests and
     * graft-to-graft federation): interns every label name/value once
     * in appearance order behind the mandatory "" at ref 0, emits the
-    * symbol table before the series as senders are asked to. */
+    * symbol table before the series as senders are asked to. The
+    * WHOLE series encodes — samples, native histograms (field 3),
+    * exemplars (field 4, their labels through the same table), and
+    * metadata (field 5) — a federation leg that dropped any of them
+    * would silently lose data. */
   def encodeWriteRequestV2(req: PromWriteRequest): Array[Byte] = {
     val index = scala.collection.mutable.LinkedHashMap[String, Int]("" -> 0)
     def ref(s: String): Int = index.getOrElseUpdate(s, index.size)
     val seriesRefs = req.timeseries.map { ts =>
       ts.labels.flatMap(l => Seq(ref(l.name), ref(l.value)))
     }
-    // metadata help/unit intern into the SAME table (spec: all
-    // strings ride the symbol table); resolve refs before the table
-    // is emitted, like the label refs above
+    // exemplar labels and metadata help/unit intern into the SAME
+    // table (spec: all strings ride the symbol table); resolve refs
+    // before the table is emitted, like the label refs above
+    val exRefs = req.timeseries.map(_.exemplars.map(e =>
+      e.labels.flatMap(l => Seq(ref(l.name), ref(l.value)))))
     val metaRefs = req.timeseries.map(_.metadata.map(md =>
       (md.mtype, ref(md.help), ref(md.unit))))
     val w = new ProtoWire.Writer
     index.keys.foreach(s => w.writeStringField(4, s))
-    req.timeseries.zip(seriesRefs).zip(metaRefs).foreach {
-      case ((ts, refs), mr) =>
-        val tw = new ProtoWire.Writer
-        val pw = new ProtoWire.Writer
-        refs.foreach(r0 => pw.writeVarint(r0.toLong))
-        tw.writeBytesField(1, pw.toBytes) // packed labels_refs
-        ts.samples.foreach { s =>
-          val sw = new ProtoWire.Writer
-          sw.writeDoubleField(1, s.value)
-          sw.writeVarintField(2, s.timestampMs)
-          tw.writeMessageField(2, sw)
-        }
-        mr.foreach { case (t, h, u) =>
-          val mw = new ProtoWire.Writer
-          mw.writeVarintField(1, t.toLong)
-          mw.writeVarintField(3, h.toLong)
-          mw.writeVarintField(4, u.toLong)
-          tw.writeMessageField(5, mw)
-        }
-        w.writeMessageField(5, tw)
+    req.timeseries.zipWithIndex.foreach { case (ts, i) =>
+      val tw = new ProtoWire.Writer
+      val pw = new ProtoWire.Writer
+      seriesRefs(i).foreach(r0 => pw.writeVarint(r0.toLong))
+      tw.writeBytesField(1, pw.toBytes) // packed labels_refs
+      ts.samples.foreach { s =>
+        val sw = new ProtoWire.Writer
+        sw.writeDoubleField(1, s.value)
+        sw.writeVarintField(2, s.timestampMs)
+        tw.writeMessageField(2, sw)
+      }
+      ts.histograms.foreach(h =>
+        tw.writeBytesField(3, NativeHistogram.encode(h)))
+      ts.exemplars.zip(exRefs(i)).foreach { case (e, ers) =>
+        val ew = new ProtoWire.Writer
+        val epw = new ProtoWire.Writer
+        ers.foreach(r0 => epw.writeVarint(r0.toLong))
+        ew.writeBytesField(1, epw.toBytes) // packed labels_refs
+        ew.writeDoubleField(2, e.value)
+        ew.writeVarintField(3, e.timestampMs)
+        tw.writeMessageField(4, ew)
+      }
+      metaRefs(i).foreach { case (t, h, u) =>
+        val mw = new ProtoWire.Writer
+        mw.writeVarintField(1, t.toLong)
+        mw.writeVarintField(3, h.toLong)
+        mw.writeVarintField(4, u.toLong)
+        tw.writeMessageField(5, mw)
+      }
+      w.writeMessageField(5, tw)
     }
     Snappy.compress(w.toBytes)
   }
@@ -514,6 +570,14 @@ object PromRemoteCodec {
   def encodeWriteRequest(req: PromWriteRequest): Array[Byte] = {
     val w = new ProtoWire.Writer
     req.timeseries.foreach(ts => w.writeMessageField(1, writeTimeSeries(ts)))
+    req.familyMetadata.foreach { case (fam, md) =>
+      val mw = new ProtoWire.Writer
+      mw.writeVarintField(1, md.mtype.toLong)
+      mw.writeStringField(2, fam)
+      if (md.help.nonEmpty) mw.writeStringField(4, md.help)
+      if (md.unit.nonEmpty) mw.writeStringField(5, md.unit)
+      w.writeMessageField(3, mw)
+    }
     Snappy.compress(w.toBytes)
   }
 

@@ -114,6 +114,7 @@ object RemoteWrite {
           SamplesStore.maybeCompact(spark, storePath, autoCompactFilesPerDay,
             gcGraceMs = gcGraceMs)
           retentionPass(spark, storePath, retentionDays)
+          maintainSiblings(spark, storePath)
           // reclaim grace-expired superseded files and old manifests —
           // the store's disk footprint self-maintains like ClickHouse
           // dropping inactive parts after a merge. The expiry walk is
@@ -138,6 +139,39 @@ object RemoteWrite {
             log.warn(s"background store maintenance of $storePath failed: ${e.getMessage}")
         }
       }
+  }
+
+  /** Background maintenance for the SIBLING stores: the exemplar and
+    * metadata tables append one small file set per carrying request
+    * (same SamplesStore layout as the primary), so a long-running
+    * server fragments them exactly like the main store — fold them
+    * with the same per-day threshold. Exemplars also age out with
+    * the primary's retention horizon (they annotate samples that are
+    * themselves being dropped); METADATA does NOT — the newest
+    * metadata row for a still-live metric may be older than the
+    * horizon, and dropping it would silently empty /api/v1/metadata
+    * for long-stable metrics. The `_hist` sibling is plain
+    * append-only parquet (binary column, no manifest) and is not
+    * folded here — its write rate is the native-histogram request
+    * rate, and its reader lists one day partition per query. */
+  private[graft] def maintainSiblings(spark: SparkSession,
+                                      storePath: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).exists(hp)
+    }
+    Seq(exemplarPath(storePath), metadataPath(storePath)).foreach { p =>
+      if (exists(p)) {
+        SamplesStore.maybeCompact(spark, p, autoCompactFilesPerDay,
+          gcGraceMs = gcGraceMs)
+        // reclaim superseded files + old manifests like the primary's
+        // expiry leg — the fold alone leaves the physical footprint
+        SamplesStore.expireSnapshots(spark, p, gcGraceMs)
+      }
+    }
+    if (exists(exemplarPath(storePath)))
+      retentionPass(spark, exemplarPath(storePath), retentionDays)
   }
 
   /** One background rollup pass — refresh the store's rollup twin;
@@ -276,14 +310,48 @@ object RemoteWrite {
         .parquet(histPath(storePath))
     }
 
+  /** Last metadata entry written per (store, metric) — PRW 2.0
+    * senders attach metadata to EVERY series of EVERY request, so
+    * blind appends would grow the metadata table at the sample rate;
+    * unchanged entries are skipped here, capping steady-state growth
+    * to actual metadata CHURN. Driver-memory cost is one entry per
+    * live metric. A restart forgets the cache and re-appends each
+    * metric once — the read side's latest-wins collapses that
+    * harmlessly (identical entries at a newer stamp). */
+  private val lastMetadata =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+
   private def appendMetadata(spark: SparkSession, storePath: String,
-                             rows: Seq[PromRemoteCodec.IngestedSample]): Unit =
-    if (rows.nonEmpty) {
+                             rows: Seq[PromRemoteCodec.IngestedSample]): Unit = {
+    if (rows.isEmpty) return
+    // a DELETED metadata table must not inherit the cache (the skip
+    // would silently drop first-writes after a wipe — test fixtures
+    // and operators both do this); one exists() probe per carrying
+    // request is the price
+    val mp = new org.apache.hadoop.fs.Path(metadataPath(storePath))
+    if (!mp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mp))
+      lastMetadata.keys.filter(_.startsWith(s"$storePath|"))
+        .foreach(lastMetadata.remove)
+    // one row per (metric, entry) at the batch's NEWEST stamp — a
+    // multi-blob batch repeats each series' metadata many times, and
+    // the kept row must carry the batch's max timestamp (latest-wins
+    // reads depend on it); THEN skip entries the store already holds
+    val collapsed = rows.groupBy(r => (r.metric, r.labels)).values
+      .map(_.maxBy(_.ts_us)).toSeq.sortBy(r => (r.metric, r.ts_us))
+    val changed = collapsed.filter { r =>
+      val key = s"$storePath|${r.metric}"
+      lastMetadata.put(key, r.labels) match {
+        case Some(prev) => prev != r.labels
+        case None       => true
+      }
+    }
+    if (changed.nonEmpty) {
       import spark.implicits._
       SamplesStore.append(
-        rows.toDF("ts_us", "metric", "labels", "value"),
+        changed.toDF("ts_us", "metric", "labels", "value"),
         metadataPath(storePath))
     }
+  }
 
   def serve(spark: SparkSession, storePath: String,
             writeRequestBlob: Array[Byte],

@@ -27,6 +27,17 @@ class PromCodecSpec extends SparkSpecBase {
         PromLabel("job", "api")), Seq(PromSample(7.0, 1704067320000L)))))
     val blob = encodeWriteRequestV2(req)
     assert(decodeWriteRequestV2(blob) == req)
+    // the v2 client leg carries the WHOLE series: exemplars (their
+    // labels through the symbol table) and native histograms
+    // round-trip too — a federation encode that dropped them would
+    // silently lose data
+    val rich = PromWriteRequest(Seq(series.copy(
+      histograms = Seq(graft.ingest.NativeHistogram.Hist(
+        1704067200000L, 6.0, 4.5, 0, 0.001, 1.0,
+        Seq((0, 2)), Seq(2L, 1L), Nil, Nil, Nil, Nil)),
+      exemplars = Seq(PromExemplar(
+        Seq(PromLabel("trace_id", "abc")), 1.25, 1704067200500L)))))
+    assert(decodeWriteRequestV2(encodeWriteRequestV2(rich)) === rich)
     // the shared strings intern ONCE: v2's wire body is smaller
     // (pre-snappy — compression would blur the comparison)
     assert(org.xerial.snappy.Snappy.uncompress(blob).length <
@@ -132,6 +143,19 @@ class PromCodecSpec extends SparkSpecBase {
     assert(PromMetadata.typeCode("unknown") === 0)
     assert((1 to 7).forall(t =>
       PromMetadata.typeCode(PromMetadata.typeName(t)) == t))
+    // PRW 1.0: family-level MetricMetadata (WriteRequest field 3)
+    // round-trips through the v1 codec and lands metadata rows
+    // stamped with the request's newest sample
+    val v1 = PromWriteRequest(Seq(series), familyMetadata = Seq(
+      "http_requests_total" -> PromMetadata(1, "Total requests.", ""),
+      "up" -> PromMetadata(2, "", "")))
+    assert(decodeWriteRequest(encodeWriteRequest(v1)) === v1)
+    val v1rows = toMetadataRows(v1).toList
+    assert(v1rows === List(
+      IngestedSample(1704067260000000L, "http_requests_total",
+        Seq("__help=Total requests.", "__type=counter", "__unit="), 1.0),
+      IngestedSample(1704067260000000L, "up",
+        Seq("__help=", "__type=gauge", "__unit="), 1.0)))
   }
 
   test("native-histogram chunk codec round-trips both forms and splits correctly") {

@@ -585,6 +585,64 @@ class ServeSpec extends SparkSpecBase {
     }
   }
 
+  test("sibling exemplar/metadata stores fold and age with the maintenance pass") {
+    val store = tmpStore("sibmaint")
+    val saved = (RemoteWrite.autoCompactFilesPerDay, RemoteWrite.gcGraceMs,
+      RemoteWrite.retentionDays)
+    RemoteWrite.autoCompactFilesPerDay = 2
+    RemoteWrite.gcGraceMs = 0L
+    RemoteWrite.retentionDays = 30
+    try {
+      // six requests, each carrying metadata AND an exemplar → six
+      // small files per sibling day; plus one exemplar far past the
+      // retention horizon
+      val nowMs = System.currentTimeMillis()
+      for (i <- 0 until 6) {
+        val req = PromRemoteCodec.PromWriteRequest(Seq(PromTimeSeries(
+          Seq(PromLabel("__name__", "sib"), PromLabel("k", s"v$i")),
+          Seq(PromSample(i.toDouble, nowMs)),
+          exemplars = Seq(PromRemoteCodec.PromExemplar(
+            Seq(PromLabel("trace_id", s"t$i")), i.toDouble, nowMs)),
+          metadata = Some(PromRemoteCodec.PromMetadata(2, s"Help $i.", "")))))
+        RemoteWrite.serveCounted(spark, store,
+          PromRemoteCodec.encodeWriteRequestV2(req),
+          Some("application/x-protobuf;proto=" + PromRemoteCodec.ProtoV2))
+      }
+      val oldEx = PromRemoteCodec.PromWriteRequest(Seq(PromTimeSeries(
+        Seq(PromLabel("__name__", "sib_old")),
+        Seq(PromSample(1.0, 1704412800000L)),
+        exemplars = Seq(PromRemoteCodec.PromExemplar(
+          Seq(PromLabel("trace_id", "old")), 1.0, 1704412800000L)))))
+      RemoteWrite.serveCounted(spark, store,
+        PromRemoteCodec.encodeWriteRequestV2(oldEx),
+        Some("application/x-protobuf;proto=" + PromRemoteCodec.ProtoV2))
+      def dayFiles(path: String): Int =
+        Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("date="))
+          .map(d => Option(d.listFiles()).getOrElse(Array.empty)
+            .count(_.getName.endsWith(".parquet"))).maxOption.getOrElse(0)
+      assert(dayFiles(RemoteWrite.exemplarPath(store)) >= 6)
+      assert(dayFiles(RemoteWrite.metadataPath(store)) >= 6)
+      RemoteWrite.maintainSiblings(spark, store)
+      // folded under the threshold, content invariant
+      assert(dayFiles(RemoteWrite.exemplarPath(store)) <= 3)
+      assert(dayFiles(RemoteWrite.metadataPath(store)) <= 3)
+      val ex = graft.ingest.SamplesStore.read(spark,
+        RemoteWrite.exemplarPath(store))
+      // the horizon-expired exemplar day dropped with the fold; the
+      // six current exemplars survive
+      assert(ex.count() === 6)
+      assert(ex.filter(col("metric") === "sib_old").count() === 0)
+      val md = graft.ingest.SamplesStore.read(spark,
+        RemoteWrite.metadataPath(store))
+      assert(md.count() === 6, "metadata never retention-drops")
+    } finally {
+      RemoteWrite.autoCompactFilesPerDay = saved._1
+      RemoteWrite.gcGraceMs = saved._2
+      RemoteWrite.retentionDays = saved._3
+    }
+  }
+
   test("retention expires whole old days in the background, sparing the horizon") {
     val store = tmpStore("retention")
     val saved = (RemoteWrite.compactCheckIntervalMs, RemoteWrite.retentionDays)
@@ -1622,6 +1680,18 @@ class ServeSpec extends SparkSpecBase {
         """{"type":"counter","help":"Total requests.","unit":""}]}}""")))
       assert(get(s"$base/api/v1/metadata?metric=nope") ===
         ((200, """{"status":"success","data":{}}""")))
+      // PRW 1.0 family-level MetricMetadata (WriteRequest field 3)
+      // feeds the same store: a plain v1 write carrying metadata
+      // serves it back like the 2.0 per-series form
+      val v1 = PromRemoteCodec.PromWriteRequest(
+        PromRemoteCodec.decodeWriteRequest(writeBlob("v1_fam", 1)).timeseries,
+        familyMetadata = Seq("v1_fam" ->
+          PromRemoteCodec.PromMetadata(5, "A summary family.", "ms")))
+      assert(post(s"$base/write",
+        PromRemoteCodec.encodeWriteRequest(v1))._1 === 200)
+      assert(get(s"$base/api/v1/metadata?metric=v1_fam") === ((200,
+        """{"status":"success","data":{"v1_fam":""" +
+        """[{"type":"summary","help":"A summary family.","unit":"ms"}]}}""")))
     } finally srv.stop()
   }
 

@@ -135,33 +135,30 @@ object ScaleSmoke {
         .select(col("doc_id"),
           posexplode(col("bands")).as(Seq("band", "band_sig")))
         .localCheckpoint()
-      def bandFileCount(): Int = {
-        val dirs = new java.io.File(stateDir).listFiles()
-        if (dirs == null) 0
-        else dirs.filter(d => d.isDirectory && d.getName.startsWith("band="))
-          .map(_.listFiles().count(f => f.isFile &&
-            !f.getName.startsWith("_") && !f.getName.startsWith(".")))
-          .maxOption.getOrElse(0)
+      def stateFileCount(): Int = {
+        val fl = new java.io.File(stateDir).listFiles()
+        if (fl == null) 0
+        else fl.count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
       }
       var copies = 0
       // 64 batches — 16× past the old 4× ceiling: each batch appends
       // a disjoint key set (sig-shifted, the way a long stream's
       // crawls accumulate mostly-new keys) and folds like
       // streamIncrementalKeep's per-batch compactState call. The
-      // claims: probe wall-time FLAT as state grows 64×, and
-      // max-files-per-band BOUNDED (≤ threshold+1) instead of
-      // O(batches) — the r16 growth term
+      // claims: probe wall-time FLAT as state grows 64×, and the
+      // state file count BOUNDED (≤ threshold+fold output) instead
+      // of O(batches) — the r16 growth term
       for (m <- Seq(1, 4, 16, 64)) {
         while (copies < m) {
           banded.select(
             (col("band_sig") + lit(copies * 1000003L)).as("band_sig"),
             col("band"))
-            .distinct()
-            .write.mode("append").partitionBy("band").parquet(stateDir)
+            .write.mode("append").parquet(stateDir)
           graft.llm.Dedup.compactState(spark, stateDir)
           copies += 1
         }
-        time(f"streamProbe state=${m}%-2dx files=${bandFileCount()}%-2d") {
+        time(f"streamProbe state=${m}%-2dx files=${stateFileCount()}%-2d") {
           spark.read.parquet(stateDir)
             .join(broadcast(banded), Seq("band", "band_sig"))
             .select(col("doc_id")).distinct().count()

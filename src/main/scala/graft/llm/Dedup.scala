@@ -245,31 +245,25 @@ object Dedup {
     * would re-shuffle the WHOLE state every batch, the growth term a
     * long-running stream cannot afford. Duplicate state keys
     * collapse at the doc_id distinct, so the un-distinct'd multiset
-    * state answers identically. The band-partitioned layout (16
-    * dirs) lets the scan prune to the bands the batch actually
-    * carries (the isin filter is partition-pruned at plan time).
+    * state answers identically. The state is a FLAT parquet table:
+    * every doc emits a key in every band, so a batch always carries
+    * all 16 band values and a band-partitioned layout could never
+    * prune — it only paid 16× the files and a dynamic-partition
+    * commit per batch (measured ~0.3 s/batch at sf0.1, round 17).
     * PlanSpec asserts the shape: one broadcast exchange (the batch
-    * keys), no shuffle of the state scan before the join. */
+    * keys), no shuffle of the state scan before the join.
+    *
+    * The batch side is broadcast: one crawl FILE per micro-batch by
+    * contract (maxFilesPerTrigger=1 in streamIncrementalKeep), so
+    * the broadcast side is bounded by the largest single crawl
+    * file's band keys, never the accumulated state. A pathological
+    * multi-GB single file should be split upstream before ingest. */
   private[graft] def probeState(sp: org.apache.spark.sql.SparkSession,
                                 stateDir: String,
-                                banded: DataFrame): DataFrame = {
-    val batchBands = banded.select(col("band")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    // An empty micro-batch must not reach isin() with zero args
-    // (that leans on OptimizeIn's empty-list special case) nor
-    // broadcast an empty frame — no doc can hit state, answer [].
-    if (batchBands.isEmpty)
-      return banded.select(col("doc_id")).limit(0)
-    // The batch side is broadcast: one crawl FILE per micro-batch by
-    // contract (maxFilesPerTrigger=1 in streamKeep), so the
-    // broadcast side is bounded by the largest single crawl file's
-    // band keys, never the accumulated state. A pathological
-    // multi-GB single file should be split upstream before ingest.
+                                banded: DataFrame): DataFrame =
     sp.read.parquet(stateDir)
-      .filter(col("band").isin(batchBands: _*))
       .join(broadcast(banded), Seq("band", "band_sig"))
       .select(col("doc_id")).distinct()
-  }
 
   /** STREAMING crawl-by-crawl MinHash dedup — [[incrementalKeep]]'s
     * online twin. Each micro-batch (one crawl file) probes the
@@ -277,14 +271,14 @@ object Dedup {
     * docs sharing any LSH bucket; then ALL the batch's band keys
     * append to the state (flagged docs' too, so a third copy keeps
     * dropping even when its second copy was itself dropped).
-    * foreachBatch + a parquet band-key table is the production
+    * foreachBatch + a flat parquet band-key table is the production
     * shape: the state is exactly the persistable fingerprint set —
-    * (band, band_sig) pairs, never text, PARTITIONED BY BAND — and
-    * each batch pays only the incremental probe: new-side
-    * signatures, one map-side broadcast join of the batch's keys
-    * against the band-pruned state scan (the state never shuffles,
-    * never deduplicates — the costs that would grow with stream
-    * lifetime), two appends.
+    * (band, band_sig) pairs, never text — and each batch pays only
+    * the incremental probe: new-side signatures, one map-side
+    * broadcast join of the batch's keys against the state scan (the
+    * state never shuffles, never deduplicates — the costs that
+    * would grow with stream lifetime), two appends, and an amortized
+    * [[compactState]] fold that keeps the file count bounded.
     *
     * Convention matched to [[incrementalKeep]]: docs drop only
     * against EARLIER crawls; within-crawl duplicates both pass
@@ -328,15 +322,22 @@ object Dedup {
         val hit =
           if (!haveState) banded.limit(0).select(col("doc_id"))
           else probeState(sp, stateDir, banded)
+        // the hit set is ≤ batch docs — broadcast it so the batch
+        // never shuffles for its own output row
         batch.select(col("doc_id"), col("crawl"))
-          .join(hit.withColumn("_hit", lit(1)), Seq("doc_id"), "left")
+          .join(broadcast(hit.withColumn("_hit", lit(1))), Seq("doc_id"), "left")
           .select(col("doc_id"), col("crawl"),
             col("_hit").isNull.cast("int").as("kept"))
           .write.mode("append").parquet(outDir)
-        // batch keys append PARTITIONED BY BAND — within-batch
-        // distinct only (cross-batch dedup is the probe's distinct)
-        banded.select(col("band_sig"), col("band")).distinct()
-          .write.mode("append").partitionBy("band").parquet(stateDir)
+        // batch keys append PARTITIONED BY BAND, as a MULTISET: the
+        // probe tolerates duplicate state keys (its doc_id distinct
+        // collapses them) and the state fold's own distinct removes
+        // them at the next compaction — so the per-batch distinct()
+        // was a pure shuffle tax. Parallelism stays the batch's own
+        // (AQE-coalesced) partitioning: a big crawl writes in
+        // parallel, and compactState owns the small-file count.
+        banded.select(col("band_sig"), col("band"))
+          .write.mode("append").parquet(stateDir)
         // fold the band's file count back down once it crosses the
         // threshold — without this the append leaves O(batches)
         // small files per band forever and the probe's scan setup
@@ -351,68 +352,69 @@ object Dedup {
     spark.read.parquet(outDir)
   }
 
-  /** Per-band file-count threshold [[compactState]] folds at. Low
-    * enough that a probe never lists more than ~2× this many files
-    * per band; high enough that a fold isn't paid every batch. */
-  private[graft] val StateCompactFilesPerBand = 8
+  /** File-count threshold [[compactState]] folds at. Low enough
+    * that a probe never lists/opens more than ~2× this many files;
+    * high enough that a fold isn't paid every batch. */
+  private[graft] val StateCompactFiles = 8
 
-  /** Fold a band-partitioned dedup state's small appended files back
-    * down — the growth term the per-batch append leaves behind
-    * (~one file per band per micro-batch, forever).
+  /** Fold the dedup state's small appended files back down — the
+    * growth term the per-batch append leaves behind (one file set
+    * per micro-batch, forever).
     *
-    * Two-tier merge, NOT merge-everything: when a band crosses the
-    * file threshold, its files EXCEPT the largest (the "base") merge
-    * into one distinct'd file; the base joins the merge only once
-    * the accumulated smalls reach half its size. Every key is thus
-    * rewritten O(log batches) times over a stream's lifetime
+    * Two-tier merge, NOT merge-everything: when the table crosses
+    * the file threshold, its files EXCEPT the largest (the "base")
+    * merge into one distinct'd file; the base joins the merge only
+    * once the accumulated smalls reach half its size. Every key is
+    * thus rewritten O(log batches) times over a stream's lifetime
     * (the base roughly doubles between full folds) instead of the
     * O(batches) a merge-all-at-threshold policy pays — the
     * difference between a compaction bill that stays proportional
     * to ingest and one that goes quadratic on a long-running crawl.
+    * The fold's output file count is sized from its INPUT bytes
+    * (~one file per 128 MB, floor 1) — AQE's parallelism-first
+    * coalescing would otherwise keep default-parallelism many tiny
+    * parts and re-trip the threshold forever; a huge state still
+    * writes in parallel, one task per 128 MB.
     *
-    * Crash-safe without a manifest: the merged file lands in the
-    * band directory FIRST (written to a _tmp dir Spark owns, then
-    * renamed in), and the source files are deleted after. A crash
-    * between the two leaves duplicate keys, which the probe's
-    * multiset contract already tolerates and the next fold removes.
-    * Runs inside foreachBatch, so no reader races the swap (the
-    * next batch's probe starts after this returns). */
+    * Crash-safe without a manifest: the merged files land in the
+    * table FIRST (written to a _tmp dir Spark owns, then renamed
+    * in), and the source files are deleted after. A crash between
+    * the two leaves duplicate keys, which the probe's multiset
+    * contract already tolerates and the next fold removes. Runs
+    * inside foreachBatch, so no reader races the swap (the next
+    * batch's probe starts after this returns). */
   private[graft] def compactState(sp: org.apache.spark.sql.SparkSession,
                                   stateDir: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
-    val bands = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("band="))
-    bands.foreach { b =>
-      val files = fs.listStatus(b.getPath)
-        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-      if (files.length >= StateCompactFilesPerBand) {
-        val largest = files.maxBy(_.getLen)
-        val smalls = files.filter(_.getPath != largest.getPath)
-        val fullFold = smalls.iterator.map(_.getLen).sum >= largest.getLen / 2
-        val toMerge = if (fullFold) files else smalls
-        val tmp = new org.apache.hadoop.fs.Path(stateDir,
-          s"_tmp_compact_${b.getPath.getName.stripPrefix("band=")}")
-        fs.delete(tmp, true)
-        // files inside a band dir carry only band_sig (band is the
-        // partition value), so a per-file read+distinct+rewrite
-        // stays inside the band's own layout
-        sp.read.parquet(toMerge.map(_.getPath.toString).toIndexedSeq: _*)
-          .distinct()
-          .coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val part = fs.listStatus(tmp)
-          .find(f => f.isFile && f.getPath.getName.startsWith("part-"))
-        part.foreach { pf =>
-          val dst = new org.apache.hadoop.fs.Path(b.getPath,
-            s"compact-${System.nanoTime()}-${pf.getPath.getName}")
-          fs.rename(pf.getPath, dst)
-          toMerge.foreach(f => fs.delete(f.getPath, false))
-        }
-        fs.delete(tmp, true)
+    val files = fs.listStatus(root)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+    if (files.length < StateCompactFiles) return
+    val largest = files.maxBy(_.getLen)
+    val smalls = files.filter(_.getPath != largest.getPath)
+    val fullFold = smalls.iterator.map(_.getLen).sum >= largest.getLen / 2
+    val toMerge = if (fullFold) files else smalls
+    val tmp = new org.apache.hadoop.fs.Path(stateDir, "_tmp_compact")
+    fs.delete(tmp, true)
+    val targetParts = math.max(1L,
+      toMerge.iterator.map(_.getLen).sum >> 27).toInt // / 128 MiB
+    sp.read.parquet(toMerge.map(_.getPath.toString).toIndexedSeq: _*)
+      .distinct()
+      .coalesce(targetParts)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val parts = fs.listStatus(tmp)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    if (parts.nonEmpty) {
+      val stamp = System.nanoTime()
+      parts.foreach { pf =>
+        fs.rename(pf.getPath, new org.apache.hadoop.fs.Path(root,
+          s"compact-$stamp-${pf.getPath.getName}"))
       }
+      toMerge.foreach(f => fs.delete(f.getPath, false))
     }
+    fs.delete(tmp, true)
   }
 
   /** Connected components over near-duplicate candidate pairs — the

@@ -251,20 +251,20 @@ class PlanSpec extends SparkSpecBase {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
     Seq((11L, 0), (22L, 1), (33L, 2)).toDF("band_sig", "band")
-      .write.mode("overwrite").partitionBy("band").parquet(stateDir)
+      .write.mode("overwrite").parquet(stateDir)
     val banded = Seq((7L, 0, 11L), (7L, 1, 99L))
       .toDF("doc_id", "band", "band_sig")
     val p = plan(graft.llm.Dedup.probeState(spark, stateDir, banded))
     // batch keys broadcast; the accumulated state must reach the join
     // straight off its scan — a hash exchange on the join keys would
-    // re-shuffle the whole state every micro-batch (the growth term)
+    // re-shuffle the whole state every micro-batch (the growth term).
+    // (The state is a FLAT table since round 17: every batch carries
+    // all 16 band values, so a band-partitioned layout never pruned —
+    // it only paid small files and dynamic-partition commits.)
     assert(p.contains("BroadcastHashJoin"),
       s"probe must broadcast the batch keys:\n$p")
     assert(!p.contains("hashpartitioning(band"),
       s"probe must not shuffle the state on the join keys:\n$p")
-    // the band isin filter prunes state partitions at plan time
-    assert(p.contains("PartitionFilters: [band"),
-      s"probe must partition-prune the state scan on band:\n$p")
   }
 
   test("token-budget prefix sum broadcasts shard offsets, never sorts globally") {

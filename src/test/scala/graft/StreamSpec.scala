@@ -60,14 +60,14 @@ class StreamSpec extends SparkSpecBase {
       5L -> ((2, 0))))
   }
 
-  test("dedup state compaction bounds per-band files and preserves keys") {
+  test("dedup state compaction bounds the file count and preserves keys") {
     import spark.implicits._
     val dir = "/tmp/graft_test/stream_compact/state"
     def rmrf(p: java.io.File): Unit = {
       if (p.isDirectory) p.listFiles().foreach(rmrf); p.delete(); ()
     }
     rmrf(new java.io.File(dir).getParentFile)
-    def bandFiles(): Int = new java.io.File(s"$dir/band=0").listFiles()
+    def stateFiles(): Int = new java.io.File(dir).listFiles()
       .count(f => f.isFile && !f.getName.startsWith("_") &&
         !f.getName.startsWith("."))
     def keys(): Set[Long] = spark.read.parquet(dir)
@@ -78,21 +78,21 @@ class StreamSpec extends SparkSpecBase {
     (0 until 40).foreach { i =>
       Seq((i.toLong * 2, 0), (i.toLong * 2 + 1, 0))
         .toDF("band_sig", "band").coalesce(1)
-        .write.mode("append").partitionBy("band").parquet(dir)
+        .write.mode("append").parquet(dir)
       Dedup.compactState(spark, dir)
-      maxFiles = math.max(maxFiles, bandFiles())
+      maxFiles = math.max(maxFiles, stateFiles())
     }
     // bounded: never more than threshold + the fold's own output —
     // NOT O(batches) (40 appends would otherwise leave 40 files)
-    assert(maxFiles <= Dedup.StateCompactFilesPerBand + 1,
+    assert(maxFiles <= Dedup.StateCompactFiles + 2,
       s"file count must stay bounded, saw $maxFiles")
     // lossless: every appended key still present exactly once
     assert(keys() === (0L until 80L).toSet)
     assert(spark.read.parquet(dir).count() === 80L)
     // duplicate keys across files collapse on the next fold
-    (0 until Dedup.StateCompactFilesPerBand).foreach { _ =>
+    (0 until Dedup.StateCompactFiles).foreach { _ =>
       Seq((0L, 0), (1L, 0)).toDF("band_sig", "band").coalesce(1)
-        .write.mode("append").partitionBy("band").parquet(dir)
+        .write.mode("append").parquet(dir)
     }
     Dedup.compactState(spark, dir)
     assert(keys() === (0L until 80L).toSet)
@@ -111,9 +111,9 @@ class StreamSpec extends SparkSpecBase {
     val dup = "alpha beta gamma delta epsilon zeta eta theta"
     val t0 = System.currentTimeMillis()
     // 12 crawls of the same text: crawl 0 keeps, all later copies
-    // drop — and 12 batches of appends cross the per-band fold
-    // threshold, so compaction fires mid-stream and the state it
-    // leaves behind must still answer every later probe
+    // drop — and 12 batches of appends cross the fold threshold, so
+    // compaction fires mid-stream and the state it leaves behind
+    // must still answer every later probe
     (0 until 12).foreach { k =>
       val tmp = s"$base/tmp$k"
       Seq((k.toLong + 100L, dup)).toDF("doc_id", "text")
@@ -130,16 +130,13 @@ class StreamSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(out === (0 until 12).map(k => (k.toLong + 100L) ->
       (if (k == 0) 1 else 0)).toMap)
-    // the state's band dirs stayed bounded despite 12 appends
-    val bandDirs = new java.io.File(s"$base/dd/state").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("band="))
-    assert(bandDirs.nonEmpty)
-    bandDirs.foreach { b =>
-      val n = b.listFiles().count(f => f.isFile &&
-        !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      assert(n <= Dedup.StateCompactFilesPerBand + 1,
-        s"${b.getName}: $n files — the fold must keep this bounded")
-    }
+    // the state's file count stayed bounded despite 12 appends
+    val n = new java.io.File(s"$base/dd/state").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    assert(n > 0)
+    assert(n <= Dedup.StateCompactFiles + 2,
+      s"$n state files — the fold must keep this bounded")
   }
 
   test("foreachBatch streaming ingestion lands the store layout") {

@@ -595,6 +595,10 @@ object PromRemoteCodec {
       sw.writeVarintField(2, s.timestampMs)
       w.writeMessageField(2, sw)
     }
+    // native histograms ride TimeSeries field 4 (prompb) — the
+    // SAMPLES read-response leg for native series; the decode side
+    // (readTimeSeries) already consumes them
+    ts.histograms.foreach(h => w.writeBytesField(4, NativeHistogram.encode(h)))
     w
   }
 

@@ -264,16 +264,17 @@ object HttpServe {
         try PromRemoteCodec.decodeAcceptedResponseTypes(reqBody)
           .find(t => t == 0 || t == 1).contains(1)
         catch { case _: Throwable => false }
+      // the native-histogram sibling (when any native write landed
+      // one) answers on BOTH response types: histogram-chunk frames
+      // on the streamed path, TimeSeries field 4 on SAMPLES
+      val hp = RemoteWrite.histPath(storePath)
+      val histDf = {
+        val p = new org.apache.hadoop.fs.Path(hp)
+        if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+          Some(spark.read.parquet(hp))
+        else None
+      }
       if (wantsChunks) {
-        // the native-histogram sibling (when any native write landed
-        // one) answers histogram-chunk frames next to the float ones
-        val hp = RemoteWrite.histPath(storePath)
-        val histDf = {
-          val p = new org.apache.hadoop.fs.Path(hp)
-          if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-            Some(spark.read.parquet(hp))
-          else None
-        }
         val resp = SamplesStore.readLocked(storePath) {
           RemoteRead.serveChunked(SamplesStore.read(spark, storePath),
             reqBody, ignoreLabel, ignoreHints, maxReadSamples,
@@ -292,7 +293,7 @@ object HttpServe {
             // coarse, shape-exact queries serve from the rollup twin
             // when background rollup maintenance keeps one (and only
             // while its manifest is provably fresh for the window)
-            rollupRoute = rollupRoute)
+            rollupRoute = rollupRoute, histStore = histDf)
         }
         respond(ex, 200, resp, Seq(
           "Content-Type" -> "application/x-protobuf",

@@ -141,7 +141,8 @@ object RemoteRead {
             maxSamples: Long = DefaultMaxReadSamples,
             transientRetries: Int = 0,
             transientClassifier: Throwable => Boolean = isTransientMiss,
-            rollupRoute: Option[RollupRoute] = None): Array[Byte] = {
+            rollupRoute: Option[RollupRoute] = None,
+            histStore: Option[DataFrame] = None): Array[Byte] = {
     var m: OpsMetrics = null
     var queries: Seq[graft.operators.ReadQuery] = null
     def attempt(): Array[Byte] = {
@@ -149,7 +150,43 @@ object RemoteRead {
       if (m == null) { m = OpsMetrics(df.sparkSession); m.readRequests.add(1) }
       if (queries == null) queries = PromRemoteCodec.decodeReadRequest(readRequestBlob)
       PromRemoteCodec.encodeReadResponseResults(
-        queries.map(runQuery(df, _, ignoreLabel, ignoreHints, maxSamples, rollupRoute)))
+        queries.map { q =>
+          val floats = runQuery(df, q, ignoreLabel, ignoreHints, maxSamples,
+            rollupRoute)
+          histStore match {
+            case None => floats
+            case Some(hs) =>
+              // native-histogram series answer on the SAMPLES response
+              // type too (prompb TimeSeries field 4), merged into the
+              // result's (metric, labels) order; a series carrying
+              // both float samples and histograms folds into ONE
+              // TimeSeries, Prometheus's own response shape
+              val hists = runHistQuery(hs, q, ignoreLabel, maxSamples)
+              if (hists.isEmpty) floats
+              else {
+                val byKey = scala.collection.mutable.LinkedHashMap
+                  .empty[Seq[PromRemoteCodec.PromLabel], PromTimeSeries]
+                floats.foreach(ts => byKey.update(ts.labels, ts))
+                hists.foreach { case (labels, hs0) =>
+                  byKey.get(labels) match {
+                    case Some(ts) =>
+                      byKey.update(labels, ts.copy(histograms = hs0))
+                    case None =>
+                      byKey.update(labels,
+                        PromTimeSeries(labels, Nil, histograms = hs0))
+                  }
+                }
+                byKey.values.toSeq
+                  .sortBy { ts =>
+                    val metric = ts.labels.find(_.name == "__name__")
+                      .map(_.value).getOrElse("")
+                    val rest = ts.labels.filter(_.name != "__name__")
+                      .map(l => s"${l.name}=${l.value}")
+                    (metric, rest)
+                  }(SeriesKeyOrdering)
+              }
+          }
+        })
     }
     try {
       var left = transientRetries + 1

@@ -479,6 +479,23 @@ class ServeSpec extends SparkSpecBase {
         Seq((0, 2)), Seq(2L, 1L), Nil, Nil, Nil, Nil)))
       assert(histChunks.head._2.minTimeMs === 1704412800000L)
       assert(histChunks.head._2.maxTimeMs === 1704412800000L)
+      // the SAMPLES response type carries the native series too:
+      // prompb TimeSeries field 4 next to the float sample, ONE
+      // series for both (Prometheus's own response shape)
+      val (sc, sbody, shd) = post(s"$base/read",
+        PromRemoteCodec.encodeReadRequest(nq))
+      assert(sc === 200)
+      assert(shd.get("Content-Encoding") === Some("snappy"))
+      val sSeries = PromRemoteCodec.decodeReadResponse(sbody)
+      assert(sSeries.size === 1, sSeries)
+      assert(sSeries.head.labels.map(l => (l.name, l.value)) ===
+        Seq("__name__" -> "hm", "k" -> "v"))
+      assert(sSeries.head.samples === Seq(
+        PromRemoteCodec.PromSample(1.5, 1704412800000L)))
+      assert(sSeries.head.histograms === Seq(
+        graft.ingest.NativeHistogram.Hist(
+          1704412800000L, 6.0, 4.5, 0, 0.001, 1.0,
+          Seq((0, 2)), Seq(2L, 1L), Nil, Nil, Nil, Nil)))
     } finally srv.stop()
   }
 

@@ -1357,6 +1357,37 @@ object TsvBulk {
   * sample with no time axis cannot enter a TSDB deterministically. */
 object Exposition {
 
+  /** Legacy-valid exposition name: [a-zA-Z_:][a-zA-Z0-9_:]* for
+    * metrics (no ':' for label keys) — anything else renders in the
+    * Prometheus 3.x QUOTED syntax. */
+  private[graft] def legacyName(s: String, colonOk: Boolean): Boolean = {
+    def ok0(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      c == '_' || (colonOk && c == ':')
+    def ok(c: Char) = ok0(c) || (c >= '0' && c <= '9')
+    s.nonEmpty && ok0(s.head) && s.forall(ok)
+  }
+
+  /** Series head (name + label set) in exposition text. Legacy names
+    * render classic (`m{k="v"}`); a UTF-8 metric name quotes inside
+    * the braces as the first element and a UTF-8 label key quotes in
+    * place — Prometheus 3.x's text syntax
+    * (`{"my.metric","a.b"="x",k="v"}`), the same quoting the PromQL
+    * selector grammar accepts back. */
+  private[graft] def renderHead(metric: String, labels: Seq[String]): String = {
+    val kvs = labels.map { l =>
+      val i = l.indexOf('=')
+      val (k, v) = if (i < 0) (l, "") else (l.take(i), l.drop(i + 1))
+      val key =
+        if (legacyName(k, colonOk = false)) k
+        else "\"" + escapeValue(k) + "\""
+      key + "=\"" + escapeValue(v) + "\""
+    }
+    if (legacyName(metric, colonOk = true))
+      metric + (if (kvs.isEmpty) "" else kvs.mkString("{", ",", "}"))
+    else
+      (("\"" + escapeValue(metric) + "\"") +: kvs).mkString("{", ",", "}")
+  }
+
   def export(samples: DataFrame, path: String): Unit = {
     val spark = samples.sparkSession
     import spark.implicits._
@@ -1365,14 +1396,7 @@ object Exposition {
               col("labels").as("_3"), col("value").cast("string").as("_4"))
       .as[(Long, String, Seq[String], String)]
       .mapPartitions(_.map { case (ms, metric, labels, value) =>
-        val lbl =
-          if (labels.isEmpty) ""
-          else labels.map { l =>
-            val i = l.indexOf('=')
-            val (k, v) = if (i < 0) (l, "") else (l.take(i), l.drop(i + 1))
-            k + "=\"" + escapeValue(v) + "\""
-          }.mkString("{", ",", "}")
-        s"$metric$lbl $value $ms"
+        s"${renderHead(metric, labels)} $value $ms"
       })
       .toDF("line")
       .write.mode("overwrite").text(path)
@@ -1394,61 +1418,90 @@ object Exposition {
     case c    => c.toString
   }
 
-  /** One exposition line → (ts_us, metric, sorted labels, value). */
+  /** One exposition line → (ts_us, metric, sorted labels, value).
+    * Accepts BOTH syntaxes: the classic `m{k="v"} 1 2` and the
+    * Prometheus 3.x quoted form `{"my.metric","a.b"="x"} 1 2`
+    * (quoted metric as the braces' first element, label keys quoted
+    * where not legacy-valid) — [[renderHead]]'s exact inverse, so
+    * /federate output of a UTF-8-named store round-trips. */
   private[graft] def parseLine(line: String): (Long, String, Seq[String], Double) = {
     def bad(why: String) =
       throw new IllegalArgumentException(s"malformed exposition line ($why): $line")
-    val brace = line.indexOf('{')
-    val firstSp = line.indexOf(' ')
-    val hasLabels = brace >= 0 && (firstSp < 0 || brace < firstSp)
+    // a quoted string at `start` (the opening quote) → (text, next).
+    // The exposition format defines exactly \\ \" \n — anything else
+    // is malformed and THROWS (the codec's documented contract;
+    // silently mapping \t → 't' would corrupt label values from
+    // foreign dumps, and Prometheus's parser rejects too)
+    def readQuoted(start: Int): (String, Int) = {
+      if (start >= line.length || line.charAt(start) != '"')
+        bad("expected opening quote")
+      val sb = new StringBuilder
+      var j = start + 1
+      while (j < line.length) {
+        line.charAt(j) match {
+          case '\\' =>
+            if (j + 1 >= line.length) bad("dangling escape")
+            line.charAt(j + 1) match {
+              case 'n'   => sb += '\n'
+              case '\\'  => sb += '\\'
+              case '"'   => sb += '"'
+              case other => bad(s"invalid escape \\$other")
+            }
+            j += 2
+          case '"' => return (sb.toString, j + 1)
+          case c   => sb += c; j += 1
+        }
+      }
+      bad("unterminated string")
+    }
     val labels = Seq.newBuilder[String]
-    val (metric, rest) =
-      if (!hasLabels) {
-        if (firstSp <= 0) bad("missing value")
-        (line.take(firstSp), line.drop(firstSp + 1))
-      } else {
-        val name = line.take(brace)
-        if (name.isEmpty) bad("empty metric name")
-        var i = brace + 1
-        var done = false
-        while (!done) {
-          if (i >= line.length) bad("unterminated label set")
-          if (line.charAt(i) == '}') { i += 1; done = true }
+    // k="v" pairs from `start` until '}'; answers the index PAST it
+    def readLabels(start: Int): Int = {
+      var i = start
+      while (true) {
+        if (i >= line.length) bad("unterminated label set")
+        if (line.charAt(i) == '}') return i + 1
+        val (k, afterKey) =
+          if (line.charAt(i) == '"') readQuoted(i)
           else {
             val eq = line.indexOf('=', i)
-            if (eq < 0 || eq + 1 >= line.length || line.charAt(eq + 1) != '"')
-              bad("label without quoted value")
-            val k = line.substring(i, eq)
-            val sb = new StringBuilder
-            var j = eq + 2
-            var open = true
-            while (open) {
-              if (j >= line.length) bad("unterminated label value")
-              line.charAt(j) match {
-                case '\\' =>
-                  if (j + 1 >= line.length) bad("dangling escape")
-                  // the exposition format defines exactly \\ \" \n —
-                  // anything else is malformed and THROWS (the
-                  // codec's documented contract; silently mapping
-                  // \t → 't' would corrupt label values from foreign
-                  // dumps, and Prometheus's parser rejects too)
-                  line.charAt(j + 1) match {
-                    case 'n'  => sb += '\n'
-                    case '\\' => sb += '\\'
-                    case '"'  => sb += '"'
-                    case other =>
-                      bad(s"invalid escape \\$other in label value")
-                  }
-                  j += 2
-                case '"' => open = false; j += 1
-                case c   => sb += c; j += 1
-              }
-            }
-            labels += s"$k=${sb.toString}"
-            if (j < line.length && line.charAt(j) == ',') i = j + 1
-            else i = j
+            val br = line.indexOf('}', i)
+            if (eq < 0 || (br >= 0 && br < eq)) bad("label without value")
+            (line.substring(i, eq), eq)
           }
+        if (afterKey >= line.length || line.charAt(afterKey) != '=')
+          bad("label without value")
+        val (v, afterVal) = readQuoted(afterKey + 1)
+        labels += s"$k=$v"
+        i = if (afterVal < line.length && line.charAt(afterVal) == ',')
+          afterVal + 1 else afterVal
+      }
+      -1 // unreachable
+    }
+    val brace = line.indexOf('{')
+    val firstSp = line.indexOf(' ')
+    val hasBraces = brace >= 0 && (firstSp < 0 || brace < firstSp)
+    val (metric, rest) =
+      if (!hasBraces) {
+        if (firstSp <= 0) bad("missing value")
+        (line.take(firstSp), line.drop(firstSp + 1))
+      } else if (brace == 0) {
+        // quoted-name form: the metric is the braces' first element
+        val (name, afterName) = readQuoted(1)
+        if (name.isEmpty) bad("empty metric name")
+        if (afterName < line.length && line.charAt(afterName) == '=')
+          bad("missing metric name")
+        val i = afterName match {
+          case a if a < line.length && line.charAt(a) == ',' =>
+            readLabels(a + 1)
+          case a if a < line.length && line.charAt(a) == '}' => a + 1
+          case _ => bad("unterminated label set")
         }
+        if (i >= line.length || line.charAt(i) != ' ') bad("missing value")
+        (name, line.drop(i + 1))
+      } else {
+        val name = line.take(brace)
+        val i = readLabels(brace + 1)
         if (i >= line.length || line.charAt(i) != ' ') bad("missing value")
         (name, line.drop(i + 1))
       }

@@ -545,15 +545,12 @@ object HttpServe {
         } else {
           val sb = new StringBuilder
           rows.foreach { case (metric, labels, tsUs, value) =>
-            val lbl =
-              if (labels.isEmpty) ""
-              else labels.map { l =>
-                val i = l.indexOf('=')
-                val (k, v) = if (i < 0) (l, "") else (l.take(i), l.drop(i + 1))
-                s"""$k="${expoEsc(v)}""""
-              }.mkString("{", ",", "}")
+            // renderHead quotes UTF-8 metric/label names per the
+            // Prometheus 3.x text syntax — a dotted name emitted
+            // bare would be unscrapeable by the downstream
             val vtxt = PromQL.formatE6(math.floor(value * 1e6 + 0.5).toLong)
-            sb.append(metric).append(lbl).append(' ').append(vtxt)
+            sb.append(graft.ingest.Exposition.renderHead(metric, labels))
+              .append(' ').append(vtxt)
               .append(' ').append(tsUs / 1000L).append('\n')
           }
           respond(ex, 200, sb.toString.getBytes(UTF_8),

@@ -357,12 +357,29 @@ class PromCodecSpec extends SparkSpecBase {
     assert(parseLine("m -1.5E-3 123") === ((123000L, "m", Seq(), -0.0015)))
     // the three exposition escapes round to real characters
     assert(parseLine("""m{k="a\nb\"c\\d"} 1 0""")._3 === Seq("k=a\nb\"c\\d"))
+    // Prometheus 3.x QUOTED syntax: the metric as the braces' first
+    // element, UTF-8 label keys quoted in place
+    assert(parseLine("""{"my.metric","a.b"="x",host="a"} 1.5 1000""") ===
+      ((1000000L, "my.metric", Seq("a.b=x", "host=a"), 1.5)))
+    assert(parseLine("""{"m\"x"} 2 0""") === ((0L, "m\"x", Seq(), 2.0)))
+    assert(parseLine("""m{"a.b"="x"} 1 0""") === ((0L, "m", Seq("a.b=x"), 1.0)))
+    // renderHead is parseLine's inverse on both forms
+    import graft.ingest.Exposition.renderHead
+    assert(renderHead("m", Seq("a=1")) === """m{a="1"}""")
+    assert(renderHead("my.metric", Seq("a.b=x", "host=a")) ===
+      """{"my.metric","a.b"="x",host="a"}""")
+    assert(renderHead("my.metric", Nil) === """{"my.metric"}""")
+    assert(parseLine(renderHead("m\"x", Seq("k=a\nb")) + " 1 0") ===
+      ((0L, "m\"x", Seq("k=a\nb"), 1.0)))
     // malformed lines throw the clean ingest failure class —
     // including escapes outside the format's \\ \" \n (a silent
-    // \t → 't' would corrupt foreign dumps)
+    // \t → 't' would corrupt foreign dumps), and a quoted label key
+    // as the braces' first element (a series with no metric name)
     for (bad <- Seq("m", "m 1", """m{k="v" 1 0""", """m{k=v} 1 0""",
                     """m{k="v"} 1 0 extra""", """{a="1"} 1 0""",
-                    """m{k="a\tb"} 1 0""", "m{k=\"a\\" + "ub\"} 1 0"))
+                    """m{k="a\tb"} 1 0""", "m{k=\"a\\" + "ub\"} 1 0",
+                    """{"a.b"="x"} 1 0""", """{"m" 1 0""",
+                    """{""} 1 0"""))
       assertThrows[IllegalArgumentException](parseLine(bad))
   }
 

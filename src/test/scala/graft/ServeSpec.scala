@@ -1795,6 +1795,21 @@ class ServeSpec extends SparkSpecBase {
         p._3 == Seq("k=a\nb\"c\\d") && p._4 == 1.0))
       assert(parsed.exists(p => p._2 == "fed_metric" &&
         p._3 == Seq("k=v0") && p._4 == 9.5 && p._1 == 1704412860000000L))
+      // UTF-8 names federate in the Prometheus 3.x QUOTED syntax —
+      // a dotted name emitted bare would be unscrapeable — and the
+      // output still round-trips through the Exposition codec
+      val utfBlob = PromRemoteCodec.encodeWriteRequest(
+        PromWriteRequest(Seq(PromTimeSeries(
+          Seq(PromLabel("__name__", "fed.dotted"), PromLabel("a.b", "x")),
+          Seq(PromSample(3.0, 1704412800000L))))))
+      assert(post(s"$base/write", utfBlob)._1 === 200)
+      val utfBody = get(s"$base/federate?$m=${enc("""{"fed.dotted"}""")}" +
+        "&time=1704412900")._2
+      assert(utfBody ===
+        "{\"fed.dotted\",\"a.b\"=\"x\"} 3 1704412800000\n")
+      assert(utfBody.linesIterator.map(
+        graft.ingest.Exposition.parseLine).toSeq ===
+        Seq((1704412800000000L, "fed.dotted", Seq("a.b=x"), 3.0)))
       // a PRESENT but malformed time is 400 bad_data — it must not
       // silently fall back to wall-clock (a typo'd historical scrape
       // becoming a live one is the worst failure mode)

@@ -607,6 +607,14 @@ object HttpServe {
       val params = queryParams(ex)
       val exprE = params.get("query").toRight("missing query parameter")
         .flatMap(PromQL.parse)
+      // Prometheus 3.x `limit=` on the query APIs: cap the returned
+      // SERIES count, 0/absent disabled; truncation is flagged in
+      // the response's warnings, never silent
+      val limitE: Either[String, Int] = params.get("limit") match {
+        case None => Right(0)
+        case Some(v) => v.toIntOption.filter(_ >= 0)
+          .toRight(s"limit must be a non-negative integer: $v")
+      }
       val boundsE: Either[String, (Long, Long, Long)] =
         if (rangeMode) for {
           s <- params.get("start").flatMap(parseTimeParam)
@@ -624,9 +632,9 @@ object HttpServe {
             .getOrElse(System.currentTimeMillis() / 1000L)
           Right((t, t, 1L))
         }
-      (for { e <- exprE; b <- boundsE } yield (e, b)) match {
+      (for { e <- exprE; b <- boundsE; l <- limitE } yield (e, b, l)) match {
         case Left(err) => badData(ex, err)
-        case Right((PromQL.ScalarLit(v), (startSec, endSec, stepSec))) =>
+        case Right((PromQL.ScalarLit(v), (startSec, endSec, stepSec), _)) =>
           // Prometheus's scalar forms: Grafana health-probes the
           // datasource with `1+1` and expects resultType "scalar";
           // query_range promotes a scalar to a constant {} series
@@ -641,7 +649,7 @@ object HttpServe {
               s"""{"status":"success","data":{"resultType":"scalar","result":[$startSec,"$sv"]}}"""
           respond(ex, 200, body.getBytes(UTF_8),
             Seq("Content-Type" -> "application/json"))
-        case Right((expr, (startSec, endSec, stepSec))) =>
+        case Right((expr, (startSec, endSec, stepSec), limit)) =>
           val rows = SamplesStore.readLocked(storePath) {
             storeSamples().map { df =>
               PromQL.eval(df, expr, startSec, endSec, stepSec,
@@ -689,20 +697,29 @@ object HttpServe {
                 val (k, v) = if (c < 0) (l, "") else (l.substring(0, c), l.substring(c + 1))
                 s""""${esc(k)}":"${esc(v)}""""
               }).mkString("{", ",", "}")
+            // 3.x limit=: series-count cap with a warning on
+            // truncation (applied AFTER ordering, so the kept
+            // prefix is deterministic)
+            val truncated = limit > 0 && bySeries.size > limit
+            val shown = if (limit > 0) bySeries.take(limit) else bySeries
+            val warn =
+              if (truncated)
+                ""","warnings":["results truncated due to limit"]"""
+              else ""
             val body =
-              if (rangeMode) bySeries.map { case ((m, ls), pts) =>
+              if (rangeMode) shown.map { case ((m, ls), pts) =>
                 val vals = pts.map(_._2).sortBy(_._1)
                   .map { case (t, v) => s"""[$t,"${PromQL.formatE6(v)}"]""" }
                   .mkString("[", ",", "]")
                 s"""{"metric":${labelsJson(m, ls)},"values":$vals}"""
               }.mkString(
-                """{"status":"success","data":{"resultType":"matrix","result":[""",
+                s"""{"status":"success"$warn,"data":{"resultType":"matrix","result":[""",
                 ",", "]}}")
-              else bySeries.map { case ((m, ls), pts) =>
+              else shown.map { case ((m, ls), pts) =>
                 val (t, v) = pts.map(_._2).maxBy(_._1)
                 s"""{"metric":${labelsJson(m, ls)},"value":[$t,"${PromQL.formatE6(v)}"]}"""
               }.mkString(
-                """{"status":"success","data":{"resultType":"vector","result":[""",
+                s"""{"status":"success"$warn,"data":{"resultType":"vector","result":[""",
                 ",", "]}}")
             respond(ex, 200, body.getBytes(UTF_8),
               Seq("Content-Type" -> "application/json"))
@@ -848,6 +865,19 @@ object HttpServe {
           .getBytes(UTF_8),
         Seq("Content-Type" -> "application/json"))
     })
+    // /api/v1/targets/metadata: per-TARGET metric metadata. graft
+    // has no scrape targets (a remote-storage server, like the
+    // reference), so the truthful answer is the empty set — success,
+    // never 404 (Grafana's metadata probes fall back to
+    // /api/v1/metadata, which this store serves for real). Must
+    // register BEFORE /api/v1/targets: com.sun.net.httpserver routes
+    // by longest context prefix either way, but keep the pair
+    // adjacent so the contract is visible.
+    server.createContext("/api/v1/targets/metadata", (ex: HttpExchange) => guarded(ex) {
+      respond(ex, 200, """{"status":"success","data":[]}""".getBytes(UTF_8),
+        Seq("Content-Type" -> "application/json"))
+    })
+
     server.createContext("/api/v1/alertmanagers", (ex: HttpExchange) => guarded(ex) {
       respond(ex, 200,
         """{"status":"success","data":{"activeAlertmanagers":[],"droppedAlertmanagers":[]}}"""

@@ -1609,6 +1609,8 @@ class ServeSpec extends SparkSpecBase {
       // scrape targets / alertmanager ring: none, success shapes
       assert(get(s"$base/api/v1/targets") === ((200,
         """{"status":"success","data":{"activeTargets":[],"droppedTargets":[]}}""")))
+      assert(get(s"$base/api/v1/targets/metadata") ===
+        ((200, """{"status":"success","data":[]}""")))
       assert(get(s"$base/api/v1/alertmanagers") === ((200,
         """{"status":"success","data":{"activeAlertmanagers":[],"droppedAlertmanagers":[]}}""")))
       // format_query: canonical pretty-print, 400 on parse errors
@@ -1865,6 +1867,7 @@ class ServeSpec extends SparkSpecBase {
       assert(b3 === s"""{"status":"success","data":{"resultType":"vector","result":[""" +
         s"""{"metric":{"__name__":"qr_total","k":"v"},"value":[${t0 + 90},"4"]}]}}""")
 
+
       // POST with a form-encoded body (what Grafana sends once the
       // expression gets long) answers exactly like the GET
       val form = ("query=" +
@@ -1938,6 +1941,25 @@ class ServeSpec extends SparkSpecBase {
         s"?query=x&start=$t0&end=$t0&step=60") ===
         ((200, """{"status":"success","data":{"resultType":"matrix","result":[]}}""")))
       finally srv2.stop()
+
+      // 3.x limit=: a second series lands LAST so the earlier
+      // single-series assertions stay untouched; limit=1 keeps the
+      // first series in identity order AND flags the truncation in
+      // warnings; limit=0 is disabled; a negative limit is 400
+      val blob2 = PromRemoteCodec.encodeWriteRequest(PromWriteRequest(Seq(
+        PromTimeSeries(Seq(PromLabel("__name__", "qr_total"), PromLabel("k", "w")),
+          Seq(PromSample(7.0, (t0 + 60) * 1000L))))))
+      assert(post(s"$base/write", blob2)._1 === 200)
+      val (lc, lb) = get(s"$base/api/v1/query?query=qr_total&time=${t0 + 90}&limit=1")
+      assert(lc === 200)
+      assert(lb === s"""{"status":"success","warnings":["results truncated due to limit"],""" +
+        s""""data":{"resultType":"vector","result":[""" +
+        s"""{"metric":{"__name__":"qr_total","k":"v"},"value":[${t0 + 90},"4"]}]}}""", lb)
+      val (l0c, l0b) = get(s"$base/api/v1/query?query=qr_total&time=${t0 + 90}&limit=0")
+      assert(l0c === 200 && l0b.contains(""""k":"w"""") && !l0b.contains("warnings"))
+      val (l2c, l2b) = get(s"$base/api/v1/query?query=qr_total&time=${t0 + 90}&limit=2")
+      assert(l2c === 200 && !l2b.contains("warnings"), l2b)
+      assert(get(s"$base/api/v1/query?query=qr_total&time=${t0 + 90}&limit=-1")._1 === 400)
     } finally srv.stop()
   }
 

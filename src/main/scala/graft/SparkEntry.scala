@@ -181,6 +181,34 @@ object SparkEntry {
     }
   }
 
+  /** Client-request blobs are fixture SCAFFOLDING — built pay-once
+    * behind a fingerprinted ready marker (one length-prefixed file),
+    * so repeat runs measure the production decode+append path, not
+    * the fixture's own encode (the ingest_otlp pattern, shared). */
+  private def payOnceBlobs(s: SparkSession, dir: String, name: String,
+                           fingerprint: String)
+                          (build: => Seq[Array[Byte]]): Seq[Array[Byte]] = {
+    val bdir = workDir(name, dir)
+    val file = new org.apache.hadoop.fs.Path(bdir, "blobs.bin")
+    val fs = file.getFileSystem(s.sparkContext.hadoopConfiguration)
+    payOnce(s, bdir, fingerprint) {
+      val out = new java.io.DataOutputStream(fs.create(file, true))
+      try {
+        val bs = build
+        out.writeInt(bs.size)
+        bs.foreach { b => out.writeInt(b.length); out.write(b) }
+      } finally out.close()
+    }
+    val in = new java.io.DataInputStream(fs.open(file))
+    try {
+      (0 until in.readInt()).map { _ =>
+        val b = new Array[Byte](in.readInt())
+        in.readFully(b)
+        b
+      }
+    } finally in.close()
+  }
+
   /** Deterministic events-source dir for the streaming queries,
     * built once (`copies` concatenated copies of events) behind a
     * fingerprinted ready-marker — the source is test scaffolding, not
@@ -517,8 +545,11 @@ object SparkEntry {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(path), true) // serve appends; reruns must start empty
-      val blobs = Ingest.toWriteRequestBlobs(samples(s, dir))
-        .collect().map(_.getAs[Array[Byte]](0)).toSeq
+      val blobs = payOnceBlobs(s, dir, "wserve_blobs",
+        s"${srcFingerprint(s, dir, "events")}:v1") {
+        Ingest.toWriteRequestBlobs(samples(s, dir))
+          .collect().map(_.getAs[Array[Byte]](0)).toSeq
+      }
       graft.serve.RemoteWrite.serveAll(s, path, blobs)
       SamplesStore.read(s, path)
         .groupBy(col("metric"), col("date").cast("long").as("date"))
@@ -660,13 +691,21 @@ object SparkEntry {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      val agg = samples(s, dir)
-        .groupBy(col("metric"),
-          expr("ts_us DIV 1000000 DIV 86400 * 86400").as("day"))
-        .agg(count(lit(1)).as("n"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-        .sortBy(t => (t._1, t._2))
-      graft.serve.RemoteWrite.serveAll(s, path, Seq(histBlob(agg)))
+      // the hist SIBLING appends per serve (native bytes for chunked
+      // federation) — reruns must start it empty like the primary
+      fs.delete(new org.apache.hadoop.fs.Path(
+        graft.serve.RemoteWrite.histPath(path)), true)
+      val blobs = payOnceBlobs(s, dir, "wservehist_blobs",
+        s"${srcFingerprint(s, dir, "events")}:h1") {
+        val agg = samples(s, dir)
+          .groupBy(col("metric"),
+            expr("ts_us DIV 1000000 DIV 86400 * 86400").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+          .sortBy(t => (t._1, t._2))
+        Seq(histBlob(agg))
+      }
+      graft.serve.RemoteWrite.serveAll(s, path, blobs)
       SamplesStore.read(s, path).select(col("metric"),
         array_join(col("labels"), ",").as("labels_str"),
         expr("ts_us DIV 1000000").as("t_sec"), col("value"))
@@ -680,10 +719,13 @@ object SparkEntry {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      val blobs = Ingest.toWriteRequestBlobs(samples(s, dir))
-        .collect().map(_.getAs[Array[Byte]](0)).toSeq
-        .map(b => PromRemoteCodec.encodeWriteRequestV2(
-          PromRemoteCodec.decodeWriteRequest(b)))
+      val blobs = payOnceBlobs(s, dir, "wservev2_blobs",
+        s"${srcFingerprint(s, dir, "events")}:v2") {
+        Ingest.toWriteRequestBlobs(samples(s, dir))
+          .collect().map(_.getAs[Array[Byte]](0)).toSeq
+          .map(b => PromRemoteCodec.encodeWriteRequestV2(
+            PromRemoteCodec.decodeWriteRequest(b)))
+      }
       graft.serve.RemoteWrite.serveAll(s, path, blobs,
         Some("application/x-protobuf;proto=" + PromRemoteCodec.ProtoV2))
       SamplesStore.read(s, path)
@@ -704,18 +746,21 @@ object SparkEntry {
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
       fs.delete(new org.apache.hadoop.fs.Path(
         graft.serve.RemoteWrite.metadataPath(path)), true)
-      val blobs = Ingest.toWriteRequestBlobs(samples(s, dir))
-        .collect().map(_.getAs[Array[Byte]](0)).toSeq
-        .map { b =>
-          val req = PromRemoteCodec.decodeWriteRequest(b)
-          val withMd = req.copy(timeseries = req.timeseries.map { ts =>
-            val m = ts.labels.find(_.name == "__name__")
-              .map(_.value).getOrElse("")
-            ts.copy(metadata = Some(PromRemoteCodec.PromMetadata(
-              if (m.length % 2 == 0) 1 else 2, s"Help for $m.", "seconds")))
-          })
-          PromRemoteCodec.encodeWriteRequestV2(withMd)
-        }
+      val blobs = payOnceBlobs(s, dir, "wservemeta_blobs",
+        s"${srcFingerprint(s, dir, "events")}:md1") {
+        Ingest.toWriteRequestBlobs(samples(s, dir))
+          .collect().map(_.getAs[Array[Byte]](0)).toSeq
+          .map { b =>
+            val req = PromRemoteCodec.decodeWriteRequest(b)
+            val withMd = req.copy(timeseries = req.timeseries.map { ts =>
+              val m = ts.labels.find(_.name == "__name__")
+                .map(_.value).getOrElse("")
+              ts.copy(metadata = Some(PromRemoteCodec.PromMetadata(
+                if (m.length % 2 == 0) 1 else 2, s"Help for $m.", "seconds")))
+            })
+            PromRemoteCodec.encodeWriteRequestV2(withMd)
+          }
+      }
       graft.serve.RemoteWrite.serveAll(s, path, blobs,
         Some("application/x-protobuf;proto=" + PromRemoteCodec.ProtoV2))
       SamplesStore.read(s, graft.serve.RemoteWrite.metadataPath(path))

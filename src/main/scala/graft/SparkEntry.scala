@@ -141,6 +141,26 @@ object SparkEntry {
     (path, rpath)
   }
 
+  /** Raw store + 900 s fine rollup + 3600 s LADDER rollup (coarse
+    * built FROM fine, never from raw), shared pay-once. */
+  private def ladderFixture(s: SparkSession, dir: String): (String, String, String) = {
+    val path = workDir("ladder_store", dir)
+    val fine = workDir("ladder_fine", dir)
+    val coarse = workDir("ladder_coarse", dir)
+    val want = srcFingerprint(s, dir, "events") +
+      s":v${graft.ingest.RollupStore.SchemaVersion}:900:3600"
+    payOnce(s, workDir("ladder_marker", dir), want) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(path, fine, coarse).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      SamplesStore.write(samples(s, dir), path)
+      RollupStore.rollup(s, path, fine, 900L)
+      RollupStore.rollupLadder(s, fine, coarse, 3600L)
+    }
+    (path, fine, coarse)
+  }
+
   /** The trained BPE merge table for this corpus, built ONCE behind
     * a fingerprinted marker — training is the expensive artifact;
     * the encode/vocab queries consume it instead of re-training
@@ -407,6 +427,45 @@ object SparkEntry {
         parsePromQL("irate(click[1296000])"), // one 15-day window
         WinEndSec, WinEndSec, 1296000L,
         rollup = Some(PromQL.RollupGrid(path, rpath, 3600L))))
+    }),
+
+    // The multi-resolution LADDER: the hour rollup builds FROM the
+    // 15-minute one (1/4 the input of a raw re-aggregation — the
+    // downsampling bill at 100 TB), and every v6 field re-aggregates
+    // EXACTLY — the oracle recomputes the full field set (edges,
+    // penultimate point, integer moments, argmax timestamps)
+    // straight from the raw samples
+    "store_rollup_ladder" -> ((s, dir) => {
+      val (_, _, coarse) = ladderFixture(s, dir)
+      RollupStore.read(s, coarse).select(
+        col("metric"), array_join(col("labels"), ",").as("labels_str"),
+        col("bucket"),
+        round(col("min_value"), 6).as("min_value"),
+        round(col("max_value"), 6).as("max_value"),
+        expr("CAST(floor(sum_value * 100 + 0.5) AS BIGINT)").as("sum_e2"),
+        col("n_points"), col("t_first"), col("t_last"),
+        round(col("v_first"), 6).as("v_first"),
+        round(col("v_last"), 6).as("v_last"),
+        col("t_penult"), round(col("v_penult"), 6).as("v_penult"),
+        col("sy_e2"),
+        col("syy_e4").cast("string").as("syy_s"),
+        col("t_vmax"), col("t_vmin"))
+    }),
+
+    // the LADDER-served read: a coarse aligned window answered from
+    // ladder-built rows equals the raw dedup + bucketed max (the
+    // freshness gate composes: freshFor(raw→fine) && freshLadder)
+    "store_rollup_serve_ladder" -> ((s, dir) => {
+      val (path, fine, coarse) = ladderFixture(s, dir)
+      require(RollupStore.freshFor(s, path, fine, 900L,
+        WinStartSec, WinEndSec), "fine rollup must gate fresh")
+      require(RollupStore.freshLadder(s, fine, coarse, 3600L,
+        WinStartSec, WinEndSec), "ladder must gate fresh")
+      val q = ReadQuery(WinStartMs, WinEndMs - 1000L,
+        Seq(Matchers.eq("__name__", "click")), stepMs = 7200000L)
+      RollupStore.selectKeyed(RollupStore.read(s, coarse), q, 7200L)
+        .select(col("metric"), array_join(col("labels"), ",").as("labels_str"),
+          col("t_sec"), round(col("max_value"), 6).as("max_value"))
     }),
 
     "store_compact" -> ((s, dir) => {
@@ -2302,6 +2361,56 @@ object SparkEntry {
          |       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_e2,
          |       count(*) AS n_points
          |FROM deduped GROUP BY 1, 2, 3""".stripMargin,
+
+    // the LADDER rollup (hour FROM 15-minute) equals a direct
+    // recompute of every v6 field from the raw samples — edges,
+    // penultimate point, exact integer moments, argmax timestamps
+    "store_rollup_ladder" ->
+      s"""$dedupCte, bucketed AS (
+         |  SELECT metric, array_to_string(labels, ',') AS labels_str,
+         |         t_sec, value, t_sec // 3600 * 3600 AS bucket
+         |  FROM deduped
+         |), mx AS (
+         |  SELECT metric, labels_str, bucket,
+         |         max(value) AS vmax, min(value) AS vmin
+         |  FROM bucketed GROUP BY 1, 2, 3
+         |), ranked AS (
+         |  SELECT b.*, row_number() OVER (
+         |    PARTITION BY metric, labels_str, bucket
+         |    ORDER BY t_sec DESC) AS rk
+         |  FROM bucketed b
+         |)
+         |SELECT r.metric, r.labels_str, r.bucket,
+         |       round(min(r.value), 6) AS min_value,
+         |       round(max(r.value), 6) AS max_value,
+         |       CAST(floor(sum(r.value) * 100 + 0.5) AS BIGINT) AS sum_e2,
+         |       count(*) AS n_points,
+         |       min(r.t_sec) AS t_first, max(r.t_sec) AS t_last,
+         |       round(arg_min(r.value, r.t_sec), 6) AS v_first,
+         |       round(arg_max(r.value, r.t_sec), 6) AS v_last,
+         |       max(CASE WHEN r.rk = 2 THEN r.t_sec END) AS t_penult,
+         |       round(max(CASE WHEN r.rk = 2 THEN r.value END), 6) AS v_penult,
+         |       CAST(SUM(CAST(floor(r.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sy_e2,
+         |       CAST(SUM(CAST(floor(r.value * 100 + 0.5) AS BIGINT) *
+         |                CAST(floor(r.value * 100 + 0.5) AS BIGINT)) AS VARCHAR) AS syy_s,
+         |       max(CASE WHEN r.value = m.vmax THEN r.t_sec END) AS t_vmax,
+         |       max(CASE WHEN r.value = m.vmin THEN r.t_sec END) AS t_vmin
+         |FROM ranked r
+         |JOIN mx m ON r.metric = m.metric AND r.labels_str = m.labels_str
+         |         AND r.bucket = m.bucket
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // a coarse aligned window served from the LADDER equals the raw
+    // dedup + bucketed max
+    "store_rollup_serve_ladder" ->
+      s"""$dedupCte
+         |SELECT metric, array_to_string(labels, ',') AS labels_str,
+         |       t_sec // 7200 * 7200 AS t_sec,
+         |       round(max(value), 6) AS max_value
+         |FROM deduped
+         |WHERE metric = 'click'
+         |  AND t_sec >= $WinStartSec AND t_sec <= ${WinEndSec - 1}
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     // the rollup-SERVED read equals the raw dedup + bucketed max
     "store_rollup_serve" ->

@@ -307,6 +307,163 @@ object RollupStore {
     }
   }
 
+  /** Bring a COARSE rollup up to date from a FINE one — the
+    * multi-resolution downsampling ladder. Every v6 field
+    * re-aggregates EXACTLY from fine buckets (the schema was chosen
+    * for associativity): min/max/sum/n and the integer moments are
+    * plain folds; the edge points pick by time; the argmax
+    * timestamps pick by (extremum, time) — the raw path's own
+    * tie rule; and the coarse bucket's SECOND-newest sample is
+    * always among each fine bucket's last two, so a bounded
+    * (≤ 2·ratio element) candidate sort recovers it. Building 1 h
+    * buckets from 5 m rows costs 1/interval-ratio of the raw scan —
+    * the lever that makes a deep retention ladder affordable at
+    * 100 TB, where re-reading raw samples for every resolution is
+    * the classic downsampling bill.
+    *
+    * Incrementality mirrors [[rollup]]: the source "days" are the
+    * FINE MANIFEST's per-day live-file lists (never a physical
+    * listing — superseded fine files would double-count), digested
+    * into the coarse manifest; a fine day rebuilt by maintenance
+    * invalidates exactly that coarse day. [[freshLadder]] is the
+    * serving gate's twin (manifest-digest comparison, same
+    * check-then-act safety as [[freshFor]]). Returns days
+    * re-aggregated; 0 when the fine rollup is absent, stale-schema,
+    * or nothing changed. */
+  def rollupLadder(spark: SparkSession, finePath: String, coarsePath: String,
+                   coarseIntervalSec: Long): Int = locked(coarsePath) {
+    require(86400L % coarseIntervalSec == 0,
+      s"coarseIntervalSec=$coarseIntervalSec must divide a day")
+    val fineFs = fsFor(spark, finePath)
+    val fineRoot = new Path(finePath)
+    latestRollup(fineFs, fineRoot)
+      .filter(_.schema == SchemaVersion) match {
+      case None => 0
+      case Some(fineSnap) =>
+        require(coarseIntervalSec % fineSnap.intervalSec == 0 &&
+            coarseIntervalSec > fineSnap.intervalSec,
+          s"coarse interval $coarseIntervalSec must be a proper multiple " +
+            s"of the fine rollup's ${fineSnap.intervalSec}")
+        val fs = fsFor(spark, coarsePath)
+        val root = new Path(coarsePath)
+        val srcByDay = fineSnap.byDay
+        val srcDigests = srcByDay.map { case (d, fls) => d -> digest(fls) }
+        val prev = latestRollup(fs, root)
+          .filter(s => s.intervalSec == coarseIntervalSec &&
+            s.schema == SchemaVersion)
+        val prevDigests = prev.map(_.dayDigests).getOrElse(Map.empty)
+        val changed = srcDigests.filter { case (d, dig) =>
+          !prevDigests.get(d).contains(dig) }
+        val dropped = prevDigests.keySet -- srcDigests.keySet
+        if (changed.isEmpty && dropped.isEmpty && prev.nonEmpty) 0
+        else {
+          val moved =
+            if (changed.isEmpty) Vector.empty[String]
+            else {
+              val paths = changed.keys.toSeq.flatMap(srcByDay(_))
+                .map(f => new Path(fineRoot, f).toString)
+              val fine = spark.read.option("basePath", finePath)
+                .parquet(paths: _*)
+              val rolled = fine
+                .withColumn("cbucket",
+                  expr(s"bucket DIV $coarseIntervalSec * $coarseIntervalSec"))
+                .groupBy(col("date"), col("metric"), col("labels"),
+                  col("cbucket").as("bucket"))
+                .agg(
+                  min(col("min_value")).as("min_value"),
+                  max(col("max_value")).as("max_value"),
+                  sum(col("sum_value")).as("sum_value"),
+                  sum(col("n_points")).as("n_points"),
+                  min(col("t_first")).as("t_first"),
+                  max(col("t_last")).as("t_last"),
+                  expr("min_by(v_first, t_first)").as("v_first"),
+                  expr("max_by(v_last, t_last)").as("v_last"),
+                  // the coarse penult is the 2nd-newest SAMPLE:
+                  // candidates = each fine bucket's last two (the
+                  // per-second dedup makes times unique per series,
+                  // so a time-desc sort's second element IS it);
+                  // bounded by 2·(interval ratio) elements
+                  expr("""
+                    array_sort(
+                      filter(
+                        flatten(collect_list(array(
+                          struct(t_last AS t, v_last AS v),
+                          struct(t_penult AS t, v_penult AS v)))),
+                        x -> x.t IS NOT NULL),
+                      (a, b) -> CASE WHEN a.t > b.t THEN -1
+                                     WHEN a.t < b.t THEN 1 ELSE 0 END)
+                  """).as("_cand"),
+                  sum(col("sy_e2")).as("sy_e2"),
+                  sum(col("syy_e4")).as("syy_e4"),
+                  expr("max_by(t_vmax, struct(max_value, t_vmax))").as("t_vmax"),
+                  expr("max_by(t_vmin, struct(-min_value, t_vmin))").as("t_vmin"))
+                .withColumn("t_penult", expr("get(_cand, 1).t"))
+                .withColumn("v_penult", expr("get(_cand, 1).v"))
+                .drop("_cand")
+              val staging = new Path(coarsePath,
+                s".staging-${java.util.UUID.randomUUID()}")
+              fs.delete(staging, true)
+              rolled
+                .repartition(col("date"))
+                .sortWithinPartitions(col("date"), col("metric"),
+                  col("labels"), col("bucket"))
+                .write.mode("overwrite").partitionBy("date")
+                .parquet(staging.toString)
+              val out = Vector.newBuilder[String]
+              fs.listStatus(staging)
+                .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+                .foreach { day =>
+                  val dstDay = new Path(root, day.getPath.getName)
+                  fs.mkdirs(dstDay)
+                  fs.listStatus(day.getPath)
+                    .filter(_.getPath.getName.endsWith(".parquet"))
+                    .foreach { f =>
+                      val name = "r-" + f.getPath.getName
+                      if (!fs.rename(f.getPath, new Path(dstDay, name)))
+                        throw new java.io.IOException(
+                          s"rollupLadder: move ${f.getPath} failed")
+                      out += day.getPath.getName + "/" + name
+                    }
+                }
+              fs.delete(staging, true)
+              out.result()
+            }
+          val invalidated = changed.keySet ++ dropped
+          val keptFiles = prev.map(_.files).getOrElse(Vector.empty)
+            .filterNot(f => invalidated.contains(f.takeWhile(_ != '/')))
+          commitManifest(fs, root, coarseIntervalSec, srcDigests,
+            keptFiles ++ moved, prev.map(_.gen).getOrElse(0L))
+          log.info(s"rollupLadder($coarsePath): rebuilt ${changed.size} day(s), " +
+            s"dropped ${dropped.size}")
+          changed.size
+        }
+    }
+  }
+
+  /** [[freshFor]]'s ladder twin: the coarse rollup provably reflects
+    * the fine one for every day overlapping [startSec, endSec] —
+    * digest comparison against the FINE MANIFEST's live-file lists,
+    * metadata-only. End-to-end exactness for serving composes:
+    * freshFor(raw→fine) && freshLadder(fine→coarse). */
+  def freshLadder(spark: SparkSession, finePath: String, coarsePath: String,
+                  coarseIntervalSec: Long, startSec: Long,
+                  endSec: Long): Boolean = {
+    val fineSnap = latestRollup(fsFor(spark, finePath), new Path(finePath))
+      .filter(_.schema == SchemaVersion)
+    val coarseSnap = latestRollup(fsFor(spark, coarsePath), new Path(coarsePath))
+      .filter(s => s.intervalSec == coarseIntervalSec &&
+        s.schema == SchemaVersion)
+    (fineSnap, coarseSnap) match {
+      case (Some(f), Some(c)) =>
+        f.byDay.forall { case (day, files) =>
+          val overlaps = day.stripPrefix("date=").toLongOption.forall(ds =>
+            (endSec <= 0 || ds <= endSec) && ds + 86400 > startSec)
+          !overlaps || c.dayDigests.get(day).contains(digest(files))
+        }
+      case _ => false
+    }
+  }
+
   /** The rollup as a DataFrame — planned from the latest committed
     * manifest (same snapshot-isolation contract as the samples
     * store: a concurrent [[rollup]] never yanks a planned file before

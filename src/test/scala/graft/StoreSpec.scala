@@ -577,6 +577,62 @@ class StoreSpec extends SparkSpecBase {
       "rollup-served coarse reads must equal the raw read path")
   }
 
+  test("the rollup ladder re-aggregates exactly, incrementally, and gates freshness") {
+    import graft.ingest.RollupStore
+    val path = "/tmp/graft_test/store_ladder"
+    val fine = "/tmp/graft_test/store_ladder_fine"
+    val coarse = "/tmp/graft_test/store_ladder_coarse"
+    val direct = "/tmp/graft_test/store_ladder_direct"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (p <- Seq(path, fine, coarse, direct))
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    val samples = Tables.samples(spark, Sf).cache()
+    val nDays = samples.select(expr("ts_us DIV 1000000 DIV 86400")).distinct().count().toInt
+
+    SamplesStore.write(samples, path)
+    RollupStore.rollup(spark, path, fine, 900L)
+    assert(RollupStore.rollupLadder(spark, fine, coarse, 3600L) == nDays,
+      "first ladder builds every day")
+    assert(RollupStore.rollupLadder(spark, fine, coarse, 3600L) == 0,
+      "an idle fine rollup is a metadata no-op")
+    // EXACT: the ladder-built coarse equals a direct raw→3600 rollup,
+    // every v6 field (edges, penultimate, moments, argmax stamps)
+    RollupStore.rollup(spark, path, direct, 3600L)
+    def rows(p: String) = RollupStore.read(spark, p)
+      .select(col("metric"), array_join(col("labels"), ",").as("ls"),
+        col("bucket"), col("min_value"), col("max_value"),
+        expr("CAST(floor(sum_value * 100 + 0.5) AS BIGINT)"), col("n_points"),
+        col("t_first"), col("v_first"), col("t_last"), col("v_last"),
+        col("t_penult"), col("v_penult"), col("sy_e2"), col("syy_e4"),
+        col("t_vmax"), col("t_vmin"))
+      .collect().map(_.toSeq).toSet
+    assert(rows(coarse) == rows(direct),
+      "ladder coarse must equal a direct raw rollup field-for-field")
+    assert(RollupStore.freshLadder(spark, fine, coarse, 3600L, 0L, 0L))
+
+    // an append invalidates exactly the touched day end-to-end:
+    // raw → fine rebuilds one day → ladder rebuilds one day
+    val day0End = samples.agg(min(expr("ts_us DIV 1000000 DIV 86400 * 86400")))
+      .first().getLong(0) + 86400
+    SamplesStore.append(
+      samples.filter(expr(s"ts_us DIV 1000000 < $day0End")).limit(1), path)
+    assert(RollupStore.rollup(spark, path, fine, 900L) == 1)
+    assert(!RollupStore.freshLadder(spark, fine, coarse, 3600L, 0L, 0L),
+      "a rebuilt fine day must read stale until the ladder pass")
+    assert(RollupStore.freshLadder(spark, fine, coarse, 3600L,
+      day0End + 86400L, 0L),
+      "days OUTSIDE the invalidated one still gate fresh")
+    assert(RollupStore.rollupLadder(spark, fine, coarse, 3600L) == 1,
+      "one changed fine day rebuilds one coarse day")
+    assert(RollupStore.freshLadder(spark, fine, coarse, 3600L, 0L, 0L))
+    // still exact after the incremental pass
+    fs.delete(new org.apache.hadoop.fs.Path(direct), true)
+    RollupStore.rollup(spark, path, direct, 3600L)
+    assert(rows(coarse) == rows(direct),
+      "incremental ladder must equal full recompute")
+  }
+
   test("an interval or schema change always overtakes the stale manifest generation") {
     import graft.ingest.RollupStore
     val path = "/tmp/graft_test/store_rollup_regen"

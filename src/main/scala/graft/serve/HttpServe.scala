@@ -1003,6 +1003,8 @@ object HttpServe {
         "read.ignore-hints" -> ignoreHints.toString,
         "read.max-samples" -> maxReadSamples.toString,
         "store.rollup-interval" -> RemoteWrite.rollupIntervalSec.toString,
+        "store.rollup-ladder-interval" ->
+          RemoteWrite.rollupLadderIntervalSec.toString,
         "write.otlp-delta-to-cumulative" ->
           RemoteWrite.otlpConvertDelta.toString,
         "write.otlp-translation-suffixes" ->

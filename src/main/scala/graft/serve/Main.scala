@@ -20,6 +20,7 @@ final case class ServeConfig(
     compactFilesPerDay: Int = graft.ingest.SamplesStore.AutoCompactFilesPerDay,
     retentionDays: Int = 0,
     rollupIntervalSec: Long = 0L,
+    rollupLadderIntervalSec: Long = 0L,
     recordRules: Seq[String] = Nil,
     alertRules: Seq[String] = Nil,
     debug: Boolean = false) {
@@ -57,6 +58,16 @@ final case class ServeConfig(
     if (rollupIntervalSec < 0 || (rollupIntervalSec > 0 && 86400L % rollupIntervalSec != 0))
       throw new IllegalArgumentException(
         s"invalid store.rollup-interval-sec $rollupIntervalSec: must divide a day (0 disables)")
+    if (rollupLadderIntervalSec < 0 ||
+        (rollupLadderIntervalSec > 0 &&
+          (86400L % rollupLadderIntervalSec != 0 ||
+           rollupIntervalSec <= 0 ||
+           rollupLadderIntervalSec % rollupIntervalSec != 0 ||
+           rollupLadderIntervalSec <= rollupIntervalSec)))
+      throw new IllegalArgumentException(
+        s"invalid store.rollup-ladder-interval-sec $rollupLadderIntervalSec: " +
+          "must divide a day and be a proper multiple of " +
+          s"store.rollup-interval-sec (=$rollupIntervalSec; 0 disables)")
     parsedRules // validates every -rule.record at startup
     parsedAlertRules // and every -rule.alert
     port // validates listen
@@ -120,6 +131,8 @@ object Main {
       case "-store.compact-files-per-day" :: v :: t => loop(t, c.copy(compactFilesPerDay = v.toInt))
       case "-store.retention-days" :: v :: t => loop(t, c.copy(retentionDays = v.toInt))
       case "-store.rollup-interval-sec" :: v :: t => loop(t, c.copy(rollupIntervalSec = v.toLong))
+      case "-store.rollup-ladder-interval-sec" :: v :: t =>
+        loop(t, c.copy(rollupLadderIntervalSec = v.toLong))
       case "-rule.record" :: v :: t => loop(t, c.copy(recordRules = c.recordRules :+ v))
       case "-rule.alert" :: v :: t => loop(t, c.copy(alertRules = c.alertRules :+ v))
       // main.go:89's -debug (zap debug logging) — here it lifts the
@@ -150,6 +163,7 @@ object Main {
     RemoteWrite.recordingRules = cfg.parsedRules
     HttpServe.alertRules = cfg.parsedAlertRules
     RemoteWrite.rollupIntervalSec = cfg.rollupIntervalSec
+    RemoteWrite.rollupLadderIntervalSec = cfg.rollupLadderIntervalSec
     val server = HttpServe.start(spark, cfg.storePath, cfg.port,
       cfg.ignoreLabelOpt, cfg.readIgnoreHints, cfg.maxReadSamples)
     // main.go:157-162's "listening" log line, then serve forever.

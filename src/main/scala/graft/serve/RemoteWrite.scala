@@ -55,6 +55,15 @@ object RemoteWrite {
     * ClickHouse). Must divide a day (see [[RollupStore.rollup]]). */
   @volatile var rollupIntervalSec: Long = 0L
 
+  /** LADDER rollup bucket width in seconds; 0 disables. When both
+    * knobs are set, each maintenance pass first refreshes the fine
+    * rollup from raw, then the coarse LADDER twin at
+    * `<storePath>_rollup_ladder` FROM the fine rollup
+    * (RollupStore.rollupLadder — 1/ratio of a raw re-aggregation).
+    * Must be a proper multiple of [[rollupIntervalSec]] and divide a
+    * day. Surfaced on /api/v1/status/flags. */
+  @volatile var rollupLadderIntervalSec: Long = 0L
+
   /** Opt-in OTLP delta→cumulative conversion (Prometheus 3.x's
     * otlp-deltatocumulative feature switch). OFF by default — delta
     * sums reject with a 400 (stored as-if-cumulative they would
@@ -75,6 +84,9 @@ object RemoteWrite {
   /** The rollup twin of a store path (kept next to the store so the
     * pair moves together). */
   def rollupPathFor(storePath: String): String = storePath + "_rollup"
+
+  /** The ladder (coarse) rollup twin — built FROM [[rollupPathFor]]. */
+  def ladderPathFor(storePath: String): String = storePath + "_rollup_ladder"
 
   private val lastCompactCheck =
     scala.collection.concurrent.TrieMap.empty[String, Long]
@@ -131,6 +143,9 @@ object RemoteWrite {
             if (rollupIntervalSec > 0)
               graft.ingest.RollupStore.expireRollups(spark,
                 rollupPathFor(storePath), gcGraceMs)
+            if (rollupLadderIntervalSec > 0)
+              graft.ingest.RollupStore.expireRollups(spark,
+                ladderPathFor(storePath), gcGraceMs)
           }
         } catch {
           // a failed background merge must not be silent — but it must
@@ -180,8 +195,17 @@ object RemoteWrite {
   private[graft] def rollupPass(spark: SparkSession, storePath: String,
                                 intervalSec: Long): Int =
     if (intervalSec <= 0) 0
-    else graft.ingest.RollupStore.rollup(spark, storePath,
-      rollupPathFor(storePath), intervalSec)
+    else {
+      val days = graft.ingest.RollupStore.rollup(spark, storePath,
+        rollupPathFor(storePath), intervalSec)
+      // the ladder refreshes AFTER the fine twin, from it — a no-op
+      // when no fine day changed (manifest-digest comparison)
+      val ladder = rollupLadderIntervalSec
+      if (ladder > 0 && ladder % intervalSec == 0 && ladder > intervalSec)
+        graft.ingest.RollupStore.rollupLadder(spark,
+          rollupPathFor(storePath), ladderPathFor(storePath), ladder)
+      days
+    }
 
   /** Recording rules the background maintenance evaluates (empty =
     * disabled). Configured via `-rule.record` flags. */

@@ -764,6 +764,22 @@ class ServeSpec extends SparkSpecBase {
     assert(parseArgs(Seq("-store", "/tmp/s", "-store.retention-days", "90")).retentionDays === 90)
     intercept[IllegalArgumentException](
       parseArgs(Seq("-store", "/tmp/s", "-store.retention-days", "-1")))
+    // the LADDER knob: needs the fine interval set, a proper
+    // multiple of it, and a day divisor
+    assert(parseArgs(Seq("-store", "/tmp/s",
+      "-store.rollup-interval-sec", "900",
+      "-store.rollup-ladder-interval-sec", "3600"))
+      .rollupLadderIntervalSec === 3600L)
+    for (bad <- Seq(
+      Seq("-store.rollup-ladder-interval-sec", "3600"), // no fine twin
+      Seq("-store.rollup-interval-sec", "900",
+        "-store.rollup-ladder-interval-sec", "900"),    // not proper
+      Seq("-store.rollup-interval-sec", "900",
+        "-store.rollup-ladder-interval-sec", "1000"),   // not multiple
+      Seq("-store.rollup-interval-sec", "900",
+        "-store.rollup-ladder-interval-sec", "-1")))
+      intercept[IllegalArgumentException](
+        parseArgs(Seq("-store", "/tmp/s") ++ bad))
     // -debug (main.go:89 parity): a bare switch, default off
     assert(parseArgs(Seq("-store", "/tmp/s", "-debug")).debug)
     assert(!parseArgs(Seq("-store", "/tmp/s")).debug)
@@ -1088,6 +1104,28 @@ class ServeSpec extends SparkSpecBase {
     assert(rolled.agg(sum("n_points")).first().getLong(0) === 3)
     assert(RemoteWrite.rollupPass(spark, store, 3600L) === 0,
       "steady state is a metadata no-op")
+    // with the LADDER knob set, the same pass also refreshes the
+    // coarse twin FROM the fine one, and the freshness chain gates
+    val prevLadder = RemoteWrite.rollupLadderIntervalSec
+    try {
+      RemoteWrite.rollupLadderIntervalSec = 7200L
+      val lpath = RemoteWrite.ladderPathFor(store)
+      new org.apache.hadoop.fs.Path(lpath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(lpath), true)
+      RemoteWrite.rollupPass(spark, store, 3600L)
+      val coarse = RollupStore.read(spark, lpath)
+      assert(coarse.count() === 3)
+      assert(coarse.select((col("bucket") % 7200L).as("m")).distinct()
+        .collect().map(_.getLong(0)).toSet === Set(0L))
+      assert(RollupStore.freshLadder(spark, rpath, lpath, 7200L, 0L, 0L))
+      // a new write makes the ladder stale until the next pass
+      RemoteWrite.serve(spark, store, writeBlob("roll_metric2", 1))
+      RollupStore.rollup(spark, store, rpath, 3600L)
+      assert(!RollupStore.freshLadder(spark, rpath, lpath, 7200L, 0L, 0L))
+      RemoteWrite.rollupPass(spark, store, 3600L)
+      assert(RollupStore.freshLadder(spark, rpath, lpath, 7200L, 0L, 0L))
+    } finally RemoteWrite.rollupLadderIntervalSec = prevLadder
   }
 
   test("background recording passes advance rules to the data's edge, idempotently") {

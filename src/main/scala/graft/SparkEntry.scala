@@ -398,6 +398,18 @@ object SparkEntry {
         rollup = Some(PromQL.RollupGrid(path, rpath, 3600L))))
     }),
 
+    // LADDER ROUTING: the evaluator chains fine (15 m) → coarse (1 h)
+    // grids and serves the COARSEST fresh one — identical answer,
+    // 1/4 the rows read; the oracle is the raw recompute
+    "store_rollup_serve_ladder_route" -> ((s, dir) => {
+      val (path, fine, coarse) = ladderFixture(s, dir)
+      promqlStr(PromQL.eval(SamplesStore.read(s, path),
+        parsePromQL("sum_over_time(click[2h])"),
+        WinStartSec + 7200, WinEndSec, 7200L,
+        rollup = Some(PromQL.RollupGrid(path, fine, 900L,
+          Some(PromQL.RollupGrid(fine, coarse, 3600L))))))
+    }),
+
     // schema-v4 exact integer moments: stdvar over coarse aligned
     // windows re-aggregates from rollup rows byte-exactly
     "store_rollup_serve_stdvar" -> ((s, dir) => {
@@ -2439,6 +2451,17 @@ object SparkEntry {
     // window [t-7200, t) — samples at t_sec land in the window ending
     // at the NEXT 7200 boundary (grid origin is 7200-aligned)
     "store_rollup_serve_sum" ->
+      s"""$dedupCte
+         |SELECT metric, array_to_string(labels, ',') AS labels_str,
+         |       t_sec // 7200 * 7200 + 7200 AS t,
+         |       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) * 10000 AS v_e6
+         |FROM deduped
+         |WHERE metric = 'click'
+         |  AND t_sec >= $WinStartSec AND t_sec < $WinEndSec
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // the ladder-ROUTED eval answers the same raw recompute
+    "store_rollup_serve_ladder_route" ->
       s"""$dedupCte
          |SELECT metric, array_to_string(labels, ',') AS labels_str,
          |       t_sec // 7200 * 7200 + 7200 AS t,

@@ -655,8 +655,17 @@ object HttpServe {
               PromQL.eval(df, expr, startSec, endSec, stepSec,
                   ignoreLabel = ignoreLabel,
                   rollup = Option(RemoteWrite.rollupIntervalSec)
-                    .filter(_ > 0).map(iv => PromQL.RollupGrid(storePath,
-                      RemoteWrite.rollupPathFor(storePath), iv)))
+                    .filter(_ > 0).map { iv =>
+                      // the ladder chains as the coarser level: the
+                      // evaluator serves the coarsest FRESH grid
+                      val coarser = Option(RemoteWrite.rollupLadderIntervalSec)
+                        .filter(l => l > iv && l % iv == 0)
+                        .map(l => PromQL.RollupGrid(
+                          RemoteWrite.rollupPathFor(storePath),
+                          RemoteWrite.ladderPathFor(storePath), l))
+                      PromQL.RollupGrid(storePath,
+                        RemoteWrite.rollupPathFor(storePath), iv, coarser)
+                    })
                 // bound the collect IN-PLAN, like the metadata caps
                 .limit(MaxQueryCells + 1)
                 .collect()

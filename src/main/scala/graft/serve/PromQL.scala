@@ -1436,8 +1436,13 @@ object PromQL {
   // ---- Evaluator --------------------------------------------------
 
   /** A rollup twin the evaluator may serve coarse aligned
-    * *_over_time calls from — same config as RemoteRead.RollupRoute. */
-  final case class RollupGrid(srcPath: String, rollupPath: String, intervalSec: Long)
+    * *_over_time calls from — same config as RemoteRead.RollupRoute.
+    * `coarser` chains the next LADDER level (built FROM this one by
+    * RollupStore.rollupLadder): the evaluator routes to the
+    * coarsest servable level — same answer, 1/ratio the rows. */
+  final case class RollupGrid(srcPath: String, rollupPath: String,
+                              intervalSec: Long,
+                              coarser: Option[RollupGrid] = None)
 
   /** A label name rendered into a Spark SQL single-quoted literal —
     * quoted-UTF-8 selector/grouping names can hold ANY character, so
@@ -3338,11 +3343,44 @@ object PromQL {
                               matchers: Seq[LabelMatcher], start: Long,
                               end: Long, step: Long, d: Long,
                               ignoreLabel: Option[String]): Option[DataFrame] = {
-    val servable = RollupServable(fn) && step == d && r.intervalSec > 0 &&
+    if (!(RollupServable(fn) && step == d)) return None
+    val lo = start - d
+    // LADDER routing: try the coarsest servable level first — the
+    // answer is identical at any level (every field re-aggregates
+    // exactly), the row count is 1/ratio. Each level's freshness
+    // gate COMPOSES: the base grid needs freshFor(raw→fine); every
+    // ladder level additionally needs freshLadder(finer→itself) AND
+    // everything below it, so a stale coarse twin falls back to the
+    // fine one, and a stale fine twin falls back to raw.
+    var levels = List[(RollupGrid, () => Boolean)]()
+    var cur = r
+    var fresh: () => Boolean = () => RollupStore.freshFor(spark,
+      r.srcPath, r.rollupPath, r.intervalSec, lo, end)
+    levels ::= ((cur, fresh))
+    while (cur.coarser.isDefined) {
+      val fine = cur
+      val fineFresh = fresh
+      val c = cur.coarser.get
+      val cFresh = () => fineFresh() && RollupStore.freshLadder(spark,
+        fine.rollupPath, c.rollupPath, c.intervalSec, lo, end)
+      levels ::= ((c, cFresh))
+      cur = c
+      fresh = cFresh
+    }
+    levels.view.flatMap { case (g, ok) =>
+      serveRollupLevel(spark, g, ok, fn, matchers, start, end, d, ignoreLabel)
+    }.headOption
+  }
+
+  private def serveRollupLevel(spark: SparkSession, r: RollupGrid,
+                               freshOk: () => Boolean, fn: String,
+                               matchers: Seq[LabelMatcher], start: Long,
+                               end: Long, d: Long,
+                               ignoreLabel: Option[String]): Option[DataFrame] = {
+    val servable = r.intervalSec > 0 &&
       d % r.intervalSec == 0 && start % r.intervalSec == 0
     if (!servable) None
-    else if (!RollupStore.freshFor(spark, r.srcPath, r.rollupPath,
-        r.intervalSec, start - d, end)) None
+    else if (!freshOk()) None
     else Some {
       OpsMetrics(spark).readsFromRollup.add(1)
       val lo = start - d

@@ -1672,6 +1672,58 @@ class PromQLSpec extends SparkSpecBase {
       "unaligned, non-tiling, or stale queries must not route to the rollup")
   }
 
+  test("the ladder routes to the coarsest fresh grid and falls back level by level") {
+    val path = "/tmp/graft_test/promql_ladder"
+    val fine = path + "_fine"
+    val coarse = path + "_coarse"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (p <- Seq(path, fine, coarse))
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    SamplesStore.write(graft.sources.Tables.samples(spark, Sf), path)
+    RollupStore.rollup(spark, path, fine, 900L)
+    RollupStore.rollupLadder(spark, fine, coarse, 3600L)
+    val stored = SamplesStore.read(spark, path)
+    val e = parse("sum_over_time(click[2h])").toOption.get
+    val (start, end, step) = (T0 + 7200, T0 + 86400, 7200L)
+    val grid = RollupGrid(path, fine, 900L,
+      Some(RollupGrid(fine, coarse, 3600L)))
+    val raw = rows(PromQL.eval(stored, e, start, end, step))
+    // both levels fresh → the COARSE one serves (asserted via its
+    // scan: only the coarse path's files appear in the plan; cached
+    // relations would hide paths, so clear first)
+    spark.catalog.clearCache()
+    val routedDf = PromQL.eval(stored, e, start, end, step,
+      rollup = Some(grid))
+    val plan = routedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("_coarse"),
+      s"fresh ladder must serve from the coarse level:\n$plan")
+    assert(!plan.contains("_fine"),
+      s"the fine level must not be scanned when coarse serves:\n$plan")
+    assert(rows(routedDf) === raw && raw.nonEmpty)
+    // stale the COARSE level only (a fine rebuild the ladder hasn't
+    // folded): routing falls back to the FINE level, still rollup-served
+    import spark.implicits._
+    SamplesStore.append(Seq((start * 1000000L, "click", Seq("k=1", "user=9"), 1.0))
+      .toDF("ts_us", "metric", "labels", "value"), path)
+    RollupStore.rollup(spark, path, fine, 900L) // fine fresh, ladder stale
+    val stored2 = SamplesStore.read(spark, path)
+    val raw2 = rows(PromQL.eval(stored2, e, start, end, step))
+    spark.catalog.clearCache()
+    val fallbackDf = PromQL.eval(stored2, e, start, end, step,
+      rollup = Some(grid))
+    val plan2 = fallbackDf.queryExecution.executedPlan.toString
+    assert(plan2.contains("_fine") && !plan2.contains("_coarse"),
+      s"a stale coarse level must fall back to the fine one:\n$plan2")
+    assert(rows(fallbackDf) === raw2)
+    // fold the ladder → the coarse level serves again
+    RollupStore.rollupLadder(spark, fine, coarse, 3600L)
+    spark.catalog.clearCache()
+    val plan3 = PromQL.eval(stored2, e, start, end, step,
+      rollup = Some(grid)).queryExecution.executedPlan.toString
+    assert(plan3.contains("_coarse"))
+  }
+
   test("% is the exact truncated remainder; zero modulus drops/rejects") {
     // vector % scalar on the micro-unit integers: 3.5 % 2 = 1.5,
     // 20.25 % 2 = 0.25 — no rounding anywhere

@@ -15,8 +15,8 @@ import graft.sources.Tables
   * that grows at 100 TB). Measures how each stage scales; numbers
   * land in SCALE.md. `SPARK_GRAFT_SCALE_ONLY=
   * read|promql|dedup|components|ann|curate|prep|events|scrub|rollup|
-  * rolldense|compact|bpe|bpek|bpedeep|bpe4k|streamstate|strat|stars|
-  * manifest|listing` runs one section. */
+  * rolldense|ladder|compact|bpe|bpek|bpedeep|bpe4k|streamstate|strat|
+  * stars|manifest|listing` runs one section. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
@@ -452,6 +452,37 @@ object ScaleSmoke {
         graft.operators.SeriesRead.selectKeyed(SamplesStore.read(spark, path), q).count())
       time("denseReadRoll   864k samples")(
         RollupStore.selectKeyed(RollupStore.read(spark, rpath), q, 3600L).count())
+    }
+
+    // The downsampling LADDER's cost lever: building the 1 h rollup
+    // FROM the 15 m one must beat re-aggregating it from raw, and
+    // the gap must WIDEN with sample density (the ladder reads
+    // bucket rows — fixed per series·hour — while the raw rebuild
+    // reads every sample). 3 days × 100 series at 5 s ticks =
+    // 5.2M samples vs 28.8k fine-bucket rows (180:1).
+    if (sectionEnabled("ladder")) {
+      import graft.ingest.{RollupStore, SamplesStore}
+      import org.apache.hadoop.fs.Path
+      val path = "/tmp/graft_scale/ladder"
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      for (p <- Seq(path, path + "_fine", path + "_coarse", path + "_direct"))
+        fs.delete(new Path(p), true)
+      val day0 = 1704412800L
+      val dense = spark.range(0, 3L * 86400 / 5)
+        .crossJoin(spark.range(0, 100).selectExpr("id AS s"))
+        .selectExpr(
+          s"(${day0}L + id * 5) * 1000000 AS ts_us",
+          "'dense_metric' AS metric",
+          "array(concat('s=', CAST(s AS STRING))) AS labels",
+          "CAST((id * 7 + s) % 100 AS DOUBLE) AS value")
+      SamplesStore.write(dense, path)
+      time("ladderFine  900s from raw  ")(
+        RollupStore.rollup(spark, path, path + "_fine", 900L).toLong)
+      time("ladderCoarse 3600s from fine")(
+        RollupStore.rollupLadder(spark, path + "_fine", path + "_coarse",
+          3600L).toLong)
+      time("directCoarse 3600s from raw ")(
+        RollupStore.rollup(spark, path, path + "_direct", 3600L).toLong)
     }
 
     // Append metadata cost vs store size: land the SAME small append

@@ -251,8 +251,15 @@ object HttpServe {
       // permanent, not a swap window.
       val reqBody = body(ex)
       val rollupRoute = Option(RemoteWrite.rollupIntervalSec).filter(_ > 0)
-        .map(iv => RemoteRead.RollupRoute(storePath,
-          RemoteWrite.rollupPathFor(storePath), iv))
+        .map { iv =>
+          val coarser = Option(RemoteWrite.rollupLadderIntervalSec)
+            .filter(l => l > iv && l % iv == 0)
+            .map(l => RemoteRead.RollupRoute(
+              RemoteWrite.rollupPathFor(storePath),
+              RemoteWrite.ladderPathFor(storePath), l))
+          RemoteRead.RollupRoute(storePath,
+            RemoteWrite.rollupPathFor(storePath), iv, coarser)
+        }
       // response-type negotiation: accepted_response_types is listed
       // in the CLIENT's preference order, so the first type this
       // server supports wins — a client sending [SAMPLES, CHUNKS]

@@ -64,39 +64,58 @@ object RemoteRead {
     * the raw answer (a recording rule's interior + raw-edge shape).
     * The edges scan at most one query interval of raw data each, so
     * the raw cost is bounded by the window's EDGE, not its length. */
-  final case class RollupRoute(srcPath: String, rollupPath: String, intervalSec: Long)
+  final case class RollupRoute(srcPath: String, rollupPath: String,
+                               intervalSec: Long,
+                               coarser: Option[RollupRoute] = None)
 
   /** The split-routing plan: the keyed select for a query the rollup
     * can serve (interior from rollup rows, partial edges unioned in
     * from raw samples), or None to route the whole query raw —
     * interval not a multiple, no complete bucket inside the window,
-    * or a stale rollup over the interior days. */
+    * or a stale rollup over the interior days. LADDER routing like
+    * the evaluator's: the coarsest fresh level serves (its
+    * freshness gate composes every finer level's), a stale coarse
+    * twin falls back to the fine one, a stale fine twin to raw. */
   private[graft] def rollupSelect(r: RollupRoute, q: graft.operators.ReadQuery,
                                   samples: DataFrame,
                                   ignoreLabel: Option[String] = Some("remote=clickhouse"),
                                   ignoreHints: Boolean = false): Option[DataFrame] = {
     import graft.ingest.RollupStore
-    import graft.operators.{Downsample, ReadQuery}
+    import graft.operators.Downsample
     val qI = Downsample.hintIntervalSec(q.stepMs, q.rangeMs, ignoreHints)
     val startSec = q.startMs / 1000
     // end is inclusive ms on the wire; endExcl is the first second
     // PAST the window (None = unbounded)
     val endExcl = if (q.endMs > 0) Some(q.endMs / 1000 + 1) else None
-    if (qI <= 0 || qI % r.intervalSec != 0) None
-    else {
-      val lo = (startSec + qI - 1) / qI * qI     // first complete-bucket start
-      val hi = endExcl.map(_ / qI * qI)          // first second past the last complete bucket
-      val hasInterior = hi.forall(_ > lo)
-      if (!hasInterior ||
-          !RollupStore.freshFor(samples.sparkSession, r.srcPath, r.rollupPath,
-            r.intervalSec, lo, hi.map(_ - 1).getOrElse(0L)))
-        None
-      else {
+    if (qI <= 0) return None
+    val lo = (startSec + qI - 1) / qI * qI     // first complete-bucket start
+    val hi = endExcl.map(_ / qI * qI)          // first second past the last complete bucket
+    if (!hi.forall(_ > lo)) return None        // no complete bucket inside
+    val hiSec = hi.map(_ - 1).getOrElse(0L)
+    var levels = List[(RollupRoute, () => Boolean)]()
+    var cur = r
+    var fresh: () => Boolean = () => RollupStore.freshFor(
+      samples.sparkSession, r.srcPath, r.rollupPath, r.intervalSec, lo, hiSec)
+    levels ::= ((cur, fresh))
+    while (cur.coarser.isDefined) {
+      val fine = cur
+      val fineFresh = fresh
+      val c = cur.coarser.get
+      val cFresh = () => fineFresh() && RollupStore.freshLadder(
+        samples.sparkSession, fine.rollupPath, c.rollupPath, c.intervalSec,
+        lo, hiSec)
+      levels ::= ((c, cFresh))
+      cur = c
+      fresh = cFresh
+    }
+    levels.view.flatMap { case (route, freshOk) =>
+      if (qI % route.intervalSec != 0 || !freshOk()) None
+      else Some {
         val interiorQ = q.copy(startMs = lo * 1000L,
           endMs = hi.map(_ * 1000L - 1).getOrElse(0L))
         var sel = RollupStore.selectKeyed(
-          RollupStore.read(samples.sparkSession, r.rollupPath), interiorQ,
-          qI, r.intervalSec, ignoreLabel)
+          RollupStore.read(samples.sparkSession, route.rollupPath), interiorQ,
+          qI, route.intervalSec, ignoreLabel)
         // leading partial bucket [start, lo) and trailing [hi, end] —
         // raw scans bounded by one query interval each, bucketed by
         // the same qI so their t_sec values are exactly the partial
@@ -107,9 +126,9 @@ object RemoteRead {
         for (h <- hi if endExcl.get > h)
           sel = sel.unionByName(SeriesRead.selectKeyed(
             samples, q.copy(startMs = h * 1000L), ignoreLabel, ignoreHints))
-        Some(sel)
+        sel
       }
-    }
+    }.headOption
   }
 
   /** True when the failure (anywhere in the cause chain) is a missing

@@ -1222,6 +1222,51 @@ class ServeSpec extends SparkSpecBase {
     }
   }
 
+  test("remote-read ladder routes to the coarsest fresh level, falling back per level") {
+    import graft.ingest.{RollupStore, SamplesStore}
+    val path = "/tmp/graft_test/read_ladder"
+    val fine = path + "_fine"
+    val coarse = path + "_coarse"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (p <- Seq(path, fine, coarse))
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    SamplesStore.write(Tables.samples(spark, Sf), path)
+    RollupStore.rollup(spark, path, fine, 900L)
+    RollupStore.rollupLadder(spark, fine, coarse, 3600L)
+    val day0 = 1704412800L
+    val route = RemoteRead.RollupRoute(path, fine, 900L,
+      Some(RemoteRead.RollupRoute(fine, coarse, 3600L)))
+    val q = ReadQuery(day0 * 1000L, (day0 + 10 * 86400) * 1000L,
+      Seq(Matchers.eq("__name__", "click")), stepMs = 7200000L)
+    val stored = SamplesStore.read(spark, path)
+    // hint interval 3600 divides the coarse level → it serves
+    val sel = RemoteRead.rollupSelect(route, q, stored)
+    assert(sel.isDefined, "the ladder route must take the query")
+    val plan = sel.get.queryExecution.executedPlan.toString
+    assert(plan.contains("_coarse") && !plan.contains("_fine"),
+      s"the coarsest fresh level must serve:\n$plan")
+    // identical rows to the raw path at the hinted interval
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("metric"), array_join(col("labels"), ",").as("ls"),
+        col("t_sec"), col("max_value")).collect().map(_.toSeq).toSet
+    val raw = graft.operators.SeriesRead.selectKeyed(stored, q)
+    assert(keyed(sel.get) == keyed(raw), "ladder-served must equal raw")
+    // stale the coarse level only → the FINE level serves
+    import spark.implicits._
+    SamplesStore.append(Seq((day0 * 1000000L, "click", Seq("k=1", "user=9"), 1.0))
+      .toDF("ts_us", "metric", "labels", "value"), path)
+    RollupStore.rollup(spark, path, fine, 900L)
+    val stored2 = SamplesStore.read(spark, path)
+    val sel2 = RemoteRead.rollupSelect(route, q, stored2)
+    assert(sel2.isDefined)
+    val plan2 = sel2.get.queryExecution.executedPlan.toString
+    assert(plan2.contains("_fine") && !plan2.contains("_coarse"),
+      s"a stale coarse level must fall back to the fine one:\n$plan2")
+    assert(keyed(sel2.get) ==
+      keyed(graft.operators.SeriesRead.selectKeyed(stored2, q)))
+  }
+
   test("coarse reads serve from a fresh rollup and fall back to raw the moment it is stale") {
     import graft.ingest.{PromRemoteCodec, SamplesStore}
     val store = tmpStore("rollroute")

@@ -326,6 +326,7 @@ object ScaleSmoke {
       time(s"ngramFreq       m=$m")(graft.llm.TextAnalysis.ngramFreq(d).count())
       val e = scaledEmb(m)
       time(s"clusterAssign   m=$m")(Similarity.clusterAssign(e, 16).count())
+      time(s"kmeans i=3      m=$m")(Similarity.kmeans(e, 16, 3).count())
       val smp = scaledSamples(m)
       time(s"binaryOp        m=$m")(
         graft.operators.RangeOps.binaryOpByLabel(

@@ -1162,6 +1162,13 @@ object SparkEntry {
     "cluster_assign" -> ((s, dir) =>
       Similarity.clusterAssign(Tables.embeddings(s, dir), nCentroids = 16)),
 
+    // TRAINED clustering: 3 Lloyd rounds of spherical k-means —
+    // e6-integer components make every centroid update an exact
+    // integer mean, so the iterative float algorithm is
+    // oracle-checkable; the oracle replays the same 3 rounds in SQL
+    "cluster_kmeans" -> ((s, dir) =>
+      Similarity.kmeans(Tables.embeddings(s, dir), k = 16, iters = 3)),
+
     // ---- §2.6 text analysis ----------------------------------------
     "text_langid" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
 
@@ -2329,6 +2336,62 @@ object SparkEntry {
        |)""".stripMargin
 
   private def duckDot(a: String, b: String): String = duckDotN(a, b, 64)
+
+  /** The k-means oracle: 3 Lloyd rounds unrolled as CTE chains —
+    * assignment (argmax cosine over the broadcast-shaped cross), the
+    * exact integer per-dimension half-up mean, empty clusters keep
+    * their previous centroid. Norms precompute per CTE so every
+    * cosine is ONE standalone fold (the proven cluster_assign shape,
+    * never fold-in-fold). */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    def cosExpr = s"${duckDot("c.cv", "p.v")} / (c.cnrm * p.nrm)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH pts AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings
+       |), ptsn AS (
+       |  SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM pts
+       |), c0 AS (
+       |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+       |  FROM ptsn WHERE vec_id < $k
+       |)""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= s""", a$i AS (
+         |  SELECT vec_id, cent_id, v FROM (
+         |    SELECT p.vec_id, c.cent_id, p.v,
+         |           row_number() OVER (PARTITION BY p.vec_id
+         |             ORDER BY $cosExpr DESC, c.cent_id ASC) AS rk
+         |    FROM ptsn p, c${i - 1} c) t
+         |  WHERE rk = 1
+         |), m$i AS (
+         |  SELECT cent_id, d,
+         |         CAST(FLOOR((2.0 * SUM(x) + COUNT(*)) /
+         |                    (2.0 * COUNT(*))) AS BIGINT) AS m
+         |  FROM (SELECT cent_id, r.i AS d, v[r.i + 1] AS x
+         |        FROM a$i CROSS JOIN (SELECT unnest(range(64)) AS i) r) u
+         |  GROUP BY 1, 2
+         |), cn$i AS (
+         |  SELECT p.cent_id, coalesce(nx.cv, p.cv) AS cv
+         |  FROM c${i - 1} p LEFT JOIN (
+         |    SELECT cent_id, list(m ORDER BY d) AS cv FROM m$i GROUP BY 1) nx
+         |  ON p.cent_id = nx.cent_id
+         |), c$i AS (
+         |  SELECT cent_id, cv, sqrt(${duckDot("cv", "cv")}) AS cnrm FROM cn$i
+         |)""".stripMargin
+    }
+    sb ++= s"""
+       |SELECT vec_id, cent_id,
+       |       CAST(floor(cc * 1000000 + 0.5) AS BIGINT) AS cos_sim_e6
+       |FROM (
+       |  SELECT p.vec_id, c.cent_id, $cosExpr AS cc,
+       |         row_number() OVER (PARTITION BY p.vec_id
+       |           ORDER BY $cosExpr DESC, c.cent_id ASC) AS rk
+       |  FROM ptsn p, c$iters c) t
+       |WHERE rk = 1""".stripMargin
+    sb.toString
+  }
 
   /** n-dim sequential-fold dot — the [[duckDot]] body with the lane
     * count free (PQ segment dots are 8-dim). Standalone fold consumed
@@ -3508,6 +3571,9 @@ object SparkEntry {
 
     // nearest deterministic centroid per vector (centroids = 16
     // lowest-id vecs); argmax on the raw fold double, cent_id tiebreak
+    // 3 Lloyd rounds replayed in SQL — integer-exact centroid means
+    "cluster_kmeans" -> kmeansOracle(16, 3),
+
     "cluster_assign" ->
       s"""WITH prepn AS (
          |  SELECT vec_id, vec, sqrt(${duckDot("vec", "vec")}) AS nrm

@@ -233,6 +233,76 @@ object Similarity {
         expr("CAST(floor(cc * 1000000 + 0.5) AS BIGINT)").as("cos_sim_e6"))
   }
 
+  /** Distributed spherical k-means (Lloyd's iterations) — the
+    * TRAINED clustering behind semantic dedup and domain-balanced
+    * sampling, where [[clusterAssign]] is the one-shot quantizer.
+    * Deterministic init (the k lowest-id vectors), assignment by
+    * max cosine (ties to the lower cent_id), `iters` full rounds.
+    *
+    * EXACTNESS discipline (what makes an iterative float algorithm
+    * oracle-checkable): components snap to e6 INTEGERS up front, so
+    * every centroid update is an exact integer per-dimension sum
+    * plus one portable half-up division — no order-dependent float
+    * accumulation anywhere in the loop. The cosine itself is the
+    * usual sequential fold over integer-valued doubles (products
+    * ≤ 1e12, sums ≤ 6.4e13 — exact in double), identical in any
+    * engine folding in order.
+    *
+    * Scale shape: the centroid set is tiny and BROADCAST; each
+    * round is ONE corpus scan (assignment = broadcast join +
+    * per-vec argmax window over exactly k rows) plus a
+    * (cent, dim)-keyed aggregation — posexploded, so a popular
+    * cluster never materializes in one row. Every round ends in an
+    * eager localCheckpoint (the iterative-loop plan-growth rule).
+    * Empty clusters keep their previous centroid, Lloyd's
+    * convention. Output: (vec_id, cent_id, cos_sim_e6) — the final
+    * assignment under the trained centroids. */
+  def kmeans(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    val pts = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))").as("v"))
+      .withColumn("nrm",
+        expr("sqrt(graft_dot(CAST(v AS ARRAY<DOUBLE>), CAST(v AS ARRAY<DOUBLE>)))"))
+      .localCheckpoint(true) // scanned every round; read the source once
+    // one fold per (vec, centroid) pair: both norms precomputed
+    val cos = s"graft_dot(CAST(cv AS ARRAY<DOUBLE>), CAST(v AS ARRAY<DOUBLE>)) / " +
+      s"(cnrm * nrm)"
+    def withNorm(c: DataFrame): DataFrame = c.withColumn("cnrm",
+      expr("sqrt(graft_dot(CAST(cv AS ARRAY<DOUBLE>), CAST(cv AS ARRAY<DOUBLE>)))"))
+    def assign(c: DataFrame): DataFrame = {
+      val aw = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cc").desc, col("cent_id").asc)
+      pts.join(broadcast(withNorm(c)))
+        .withColumn("cc", expr(cos))
+        .withColumn("arank", row_number().over(aw))
+        .filter(col("arank") === 1)
+    }
+    var cents = pts.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val means = assign(cents)
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cent_id"), col("d"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        // portable half-up integer mean (the halfUpSql formula —
+        // exact doubles throughout: |s| ≤ members·1e6)
+        .withColumn("m",
+          expr("CAST(FLOOR((2.0D * s + n) / (2.0D * n)) AS BIGINT)"))
+        .groupBy(col("cent_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(d, m))), p -> p.m)")
+          .as("next"))
+      cents = cents
+        .join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("next"), col("cv")).as("cv"))
+        .localCheckpoint(true) // flat lineage per round
+    }
+    assign(cents).select(col("vec_id"), col("cent_id"),
+      expr("CAST(floor(cc * 1000000 + 0.5) AS BIGINT)").as("cos_sim_e6"))
+  }
+
   /** IVF (inverted-file) ANN top-k — the scale path past LSH
     * bucketing: a coarse quantizer assigns every candidate vector to
     * its nearest centroid ONCE (the inverted lists), and each query

@@ -282,6 +282,32 @@ class LlmSpec extends SparkSpecBase {
     assigned.unpersist()
   }
 
+  test("k-means iterates deterministically and improves on the one-shot quantizer") {
+    val k = 16
+    val trained = Similarity.kmeans(embs, k, iters = 3).cache()
+    assert(trained.count() == embs.count(), "one row per vector")
+    assert(trained.filter(col("cent_id") >= k || col("cent_id") < 0).count() == 0)
+    // determinism: a second run is row-identical (the exactness
+    // discipline — integer centroid updates — makes the whole loop
+    // reproducible, not just approximately repeatable)
+    val again = Similarity.kmeans(embs, k, iters = 3)
+    assert(trained.exceptAll(again).count() == 0 &&
+      again.exceptAll(trained).count() == 0)
+    // Lloyd improves (or at least never worsens) the clustering
+    // objective vs the untrained one-shot quantizer: mean assigned
+    // cosine must not decrease
+    val oneShot = Similarity.clusterAssign(embs, k)
+    def meanCos(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg(col("cos_sim_e6"))).first().getDouble(0)
+    assert(meanCos(trained) >= meanCos(oneShot),
+      "training must not worsen the mean assigned cosine")
+    // zero iterations IS the one-shot quantizer's assignment shape
+    val zero = Similarity.kmeans(embs, k, iters = 0)
+    assert(zero.select("vec_id", "cent_id").exceptAll(
+      oneShot.select("vec_id", "cent_id")).count() == 0)
+    trained.unpersist()
+  }
+
   test("langid scores and quality features are sane") {
     val lang = TextAnalysis.langId(docs)
     assert(lang.filter(col("pred_lang").isin("en", "es", "de", "fr", "und")).count() == docs.count())

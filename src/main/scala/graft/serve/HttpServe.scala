@@ -881,6 +881,45 @@ object HttpServe {
           .getBytes(UTF_8),
         Seq("Content-Type" -> "application/json"))
     })
+    // /api/v1/status/runtimeinfo: process facts Grafana's datasource
+    // settings page probes — truthful values, Prometheus's field names
+    val startedAt = java.time.Instant.now().toString
+    server.createContext("/api/v1/status/runtimeinfo", (ex: HttpExchange) => guarded(ex) {
+      val body = s"""{"status":"success","data":{""" +
+        s""""startTime":"$startedAt",""" +
+        s""""CWD":"${esc(System.getProperty("user.dir", "/"))}",""" +
+        s""""reloadConfigSuccess":true,"lastConfigTime":"$startedAt",""" +
+        s""""storageRetention":"${RemoteWrite.retentionDays}d",""" +
+        s""""goroutineCount":${Thread.activeCount()},""" +
+        s""""GOMAXPROCS":${Runtime.getRuntime.availableProcessors()}}}"""
+      respond(ex, 200, body.getBytes(UTF_8),
+        Seq("Content-Type" -> "application/json"))
+    })
+
+    // /api/v1/status/config: the effective configuration rendered as
+    // YAML-ish text (graft is flag-configured; the yaml field carries
+    // the same map /status/flags serves, so the two never disagree)
+    server.createContext("/api/v1/status/config", (ex: HttpExchange) => guarded(ex) {
+      val yaml = Seq(
+        s"store.path: $storePath",
+        s"read.ignore-label: ${ignoreLabel.getOrElse("")}",
+        s"read.ignore-hints: $ignoreHints",
+        s"read.max-samples: $maxReadSamples",
+        s"store.rollup-interval: ${RemoteWrite.rollupIntervalSec}",
+        s"store.rollup-ladder-interval: ${RemoteWrite.rollupLadderIntervalSec}",
+        s"store.retention-days: ${RemoteWrite.retentionDays}").mkString("\n")
+      respond(ex, 200,
+        (s"""{"status":"success","data":{"yaml":"${esc(yaml)}"}}""").getBytes(UTF_8),
+        Seq("Content-Type" -> "application/json"))
+    })
+
+    // /api/v1/notifications (Prometheus 3.x): active server
+    // notifications — none, truthfully
+    server.createContext("/api/v1/notifications", (ex: HttpExchange) => guarded(ex) {
+      respond(ex, 200, """{"status":"success","data":[]}""".getBytes(UTF_8),
+        Seq("Content-Type" -> "application/json"))
+    })
+
     // /api/v1/targets/metadata: per-TARGET metric metadata. graft
     // has no scrape targets (a remote-storage server, like the
     // reference), so the truthful answer is the empty set — success,

@@ -1694,6 +1694,15 @@ class ServeSpec extends SparkSpecBase {
         """{"status":"success","data":{"activeTargets":[],"droppedTargets":[]}}""")))
       assert(get(s"$base/api/v1/targets/metadata") ===
         ((200, """{"status":"success","data":[]}""")))
+      // the 3.x status trio Grafana's settings page probes
+      val (ric, rib) = get(s"$base/api/v1/status/runtimeinfo")
+      assert(ric === 200 && rib.contains(""""reloadConfigSuccess":true""") &&
+        rib.contains(""""startTime":""") && rib.contains(""""CWD":"""), rib)
+      val (cc0, cb0) = get(s"$base/api/v1/status/config")
+      assert(cc0 === 200 && cb0.contains(""""yaml":"store.path: """) &&
+        cb0.contains("\\u000aread.ignore-label: "), cb0)
+      assert(get(s"$base/api/v1/notifications") ===
+        ((200, """{"status":"success","data":[]}""")))
       assert(get(s"$base/api/v1/alertmanagers") === ((200,
         """{"status":"success","data":{"activeAlertmanagers":[],"droppedAlertmanagers":[]}}""")))
       // format_query: canonical pretty-print, 400 on parse errors

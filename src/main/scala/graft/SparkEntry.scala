@@ -1169,6 +1169,14 @@ object SparkEntry {
     "cluster_kmeans" -> ((s, dir) =>
       Similarity.kmeans(Tables.embeddings(s, dir), k = 16, iters = 3)),
 
+    // SemDeDup (arXiv:2303.09540): cluster-scoped semantic dedup —
+    // kmeans then the cluster-local ε-ball drop (cos ≥ 0.4, lowest
+    // id keeps); the pairwise cosine never leaves a cluster, the
+    // paper's own O(n²)→Σ clusterᵢ² lever
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticKeep(Tables.embeddings(s, dir),
+        k = 16, iters = 3, tauE6 = 400000L)),
+
     // ---- §2.6 text analysis ----------------------------------------
     "text_langid" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
 
@@ -2393,6 +2401,33 @@ object SparkEntry {
     sb.toString
   }
 
+  /** SemDeDup oracle: the [[kmeansOracle]] CTE chain re-emitted up
+    * to the final assignment, then the cluster-local pairwise
+    * ε-ball drop (floor-snapped integer cosine, lowest-id keeps). */
+  private def semdedupOracle(k: Int, iters: Int, tauE6: Long): String = {
+    val km = kmeansOracle(k, iters)
+    // the kmeans oracle ends in its final SELECT; wrap it as a CTE
+    val (ctes, finalSel) = {
+      val idx = km.lastIndexOf("SELECT vec_id, cent_id,")
+      (km.take(idx), km.drop(idx))
+    }
+    s"""${ctes.trim}, asg AS (
+       |  $finalSel
+       |), mem AS (
+       |  SELECT a.vec_id, a.cent_id, p.v, p.nrm
+       |  FROM asg a JOIN ptsn p ON a.vec_id = p.vec_id
+       |), dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM mem a JOIN mem b
+       |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+       |  WHERE CAST(floor(${duckDot("a.v", "b.v")} / (a.nrm * b.nrm)
+       |               * 1000000 + 0.5) AS BIGINT) >= $tauE6
+       |)
+       |SELECT m.vec_id, m.cent_id,
+       |       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+       |FROM mem m LEFT JOIN dropped d ON m.vec_id = d.vec_id""".stripMargin
+  }
+
   /** n-dim sequential-fold dot — the [[duckDot]] body with the lane
     * count free (PQ segment dots are 8-dim). Standalone fold consumed
     * as a plain column: the SAFE list_reduce shape (SURVEY §6 / the
@@ -3573,6 +3608,9 @@ object SparkEntry {
     // lowest-id vecs); argmax on the raw fold double, cent_id tiebreak
     // 3 Lloyd rounds replayed in SQL — integer-exact centroid means
     "cluster_kmeans" -> kmeansOracle(16, 3),
+
+    // SemDeDup: the kmeans rounds + the cluster-local ε-ball drop
+    "dedup_semantic" -> semdedupOracle(16, 3, 400000L),
 
     "cluster_assign" ->
       s"""WITH prepn AS (

@@ -204,6 +204,52 @@ object Similarity {
         (col("keep_id") === col("vec_id")).cast("int").as("kept"), col("keep_id"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication SCOPED TO k-means clusters — cluster the
+    * embeddings ([[kmeans]], the paper's step 1), then within each
+    * cluster drop every vector whose cosine to a LOWER-ID cluster
+    * member exceeds `tauE6` (µ-units); the lowest id of each
+    * semantic duplicate group survives (the paper keeps one
+    * representative per ε-ball; lowest-id is the deterministic
+    * stand-in for its random choice). Output one row per vector:
+    * (vec_id, cent_id, kept).
+    *
+    * Scale shape — the whole reason the paper clusters first: the
+    * pairwise cosine is confined to CLUSTER-LOCAL self-joins, so
+    * the corpus-sized O(n²) becomes Σ clusterᵢ² with k the lever
+    * (the paper runs k in the tens of thousands at web scale). The
+    * join shuffles on cent_id; the e6-integer exactness discipline
+    * of [[kmeans]] carries through, so the whole operator is
+    * oracle-reproducible. */
+  def semanticKeep(embeddings: DataFrame, k: Int, iters: Int,
+                   tauE6: Long): DataFrame = {
+    val assigned = kmeans(embeddings, k, iters)
+    val pts = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))").as("v"))
+      .withColumn("nrm",
+        expr("sqrt(graft_dot(CAST(v AS ARRAY<DOUBLE>), CAST(v AS ARRAY<DOUBLE>)))"))
+    val m = assigned.select(col("vec_id"), col("cent_id")).join(pts, "vec_id")
+    val a = m.select(col("cent_id"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = m.select(col("cent_id"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    // a vector drops when ANY lower-id cluster member sits within
+    // the ε-ball; the floor-snapped integer cosine is the comparison
+    // both engines make identically
+    val dropped = a.join(b, Seq("cent_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(expr("CAST(floor(" +
+        "graft_dot(CAST(va AS ARRAY<DOUBLE>), CAST(vb AS ARRAY<DOUBLE>)) / (na * nb)" +
+        s" * 1000000 + 0.5) AS BIGINT) >= $tauE6"))
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("_drop", lit(1))
+    assigned.select(col("vec_id"), col("cent_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"),
+        col("_drop").isNull.cast("int").as("kept"))
+  }
+
   /** Embedding-space cluster assignment — the curation primitive
     * behind semantic dedup (dedupe within a cluster, not across the
     * corpus) and cluster-balanced sampling: every vector goes to its

@@ -308,6 +308,31 @@ class LlmSpec extends SparkSpecBase {
     trained.unpersist()
   }
 
+  test("SemDeDup keeps the lowest id per semantic duplicate group, cluster-scoped") {
+    import spark.implicits._
+    // a synthetic corpus with a KNOWN semantic structure: vecs 0-2
+    // near-identical (tiny perturbations of one direction), vec 3
+    // its exact negation (same cluster by |cos|? no — cosine -1 →
+    // different cluster/keeps), vecs 4-5 an unrelated near-dup pair
+    def unit(dir: Int, eps: Double): Seq[Float] =
+      (0 until 64).map(i =>
+        (if (i == dir) 1.0 else 0.0) + (if (i == (dir + 1) % 64) eps else 0.0))
+        .map(_.toFloat)
+    val embs = Seq(
+      (0L, unit(0, 0.0)), (1L, unit(0, 0.01)), (2L, unit(0, 0.02)),
+      (3L, unit(0, 0.0).map(-_)),
+      (4L, unit(7, 0.0)), (5L, unit(7, 0.015))
+    ).toDF("vec_id", "embedding")
+    // k=2: Lloyd pulls cluster 0 toward the dir-7 pair + the
+    // negation (cos ties at 0 break to the lower cent), cluster 1
+    // collects the dir-0 family — so the ε-ball drops are 1, 2
+    // (dups of 0) and 5 (dup of 4); the negation keeps (cos −1)
+    val out = Similarity.semanticKeep(embs, k = 2, iters = 2, tauE6 = 990000L)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out === Map(0L -> 1, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 0),
+      s"lowest id per ε-ball keeps; negation and group heads keep: $out")
+  }
+
   test("langid scores and quality features are sane") {
     val lang = TextAnalysis.langId(docs)
     assert(lang.filter(col("pred_lang").isin("en", "es", "de", "fr", "und")).count() == docs.count())

@@ -210,14 +210,16 @@ object HttpServe {
     })
 
     // OTLP metrics ingest (Prometheus 3.x parity): raw protobuf
-    // ExportMetricsServiceRequest, no snappy. Compressed bodies are
-    // 415 — this receiver speaks identity only (the OTLP HTTP spec's
-    // answer for an unsupported content-encoding).
+    // ExportMetricsServiceRequest. `Content-Encoding: gzip` inflates
+    // (OTLP/HTTP's one standard compression — most SDK exporters
+    // default to it) behind a decompression-bomb bound; anything
+    // else is 415, the OTLP HTTP spec's answer for an unsupported
+    // content-encoding.
     server.createContext("/api/v1/otlp/v1/metrics",
       (ex: HttpExchange) => guarded(ex) {
         val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
           .map(_.trim.toLowerCase).filter(e => e.nonEmpty && e != "identity")
-        if (enc.isDefined) {
+        if (enc.exists(_ != "gzip")) {
           respond(ex, 415,
             s"unsupported Content-Encoding: ${enc.get}\n".getBytes(UTF_8),
             Seq("Content-Type" -> "text/plain; charset=utf-8"))
@@ -226,13 +228,37 @@ object HttpServe {
           // rejection (OtlpCodec header) — is the SENDER's error:
           // 400, mirroring Prometheus's OTLP receiver, not a 500
           try {
-            RemoteWrite.serveOtlp(spark, storePath, body(ex))
+            val raw = body(ex)
+            val payload =
+              if (enc.isEmpty) raw
+              else {
+                // inflate with the same bound the remote-read codec
+                // applies pre-inflate: a tiny gzip body must not
+                // expand into an unbounded allocation
+                val in = new java.util.zip.GZIPInputStream(
+                  new java.io.ByteArrayInputStream(raw))
+                val out = new java.io.ByteArrayOutputStream()
+                val buf = new Array[Byte](64 * 1024)
+                var n = in.read(buf)
+                while (n >= 0) {
+                  out.write(buf, 0, n)
+                  if (out.size > PromRemoteCodec.DecodeReadLimit)
+                    throw new graft.ingest.ProtoWire.WireFormatException(
+                      s"gzip body inflates past ${PromRemoteCodec.DecodeReadLimit} bytes")
+                  n = in.read(buf)
+                }
+                out.toByteArray
+              }
+            RemoteWrite.serveOtlp(spark, storePath, payload)
             // an empty ExportMetricsServiceResponse IS zero proto bytes
             respond(ex, 200, Array.emptyByteArray,
               Seq("Content-Type" -> "application/x-protobuf"))
           } catch {
             case e: graft.ingest.ProtoWire.WireFormatException =>
               respond(ex, 400, (e.getMessage + "\n").getBytes(UTF_8),
+                Seq("Content-Type" -> "text/plain; charset=utf-8"))
+            case _: java.util.zip.ZipException =>
+              respond(ex, 400, "malformed gzip body\n".getBytes(UTF_8),
                 Seq("Content-Type" -> "text/plain; charset=utf-8"))
           }
         }

@@ -181,18 +181,34 @@ class ServeSpec extends SparkSpecBase {
       assert(ic === 200, ib)
       assert(ib.contains(""""cloud_region":"dropped""""), ib)
       assert(ib.contains(""""value":[1704412800,"41"]"""), ib)
-      // a gzip body is 415 (identity-only receiver), not a 500
-      val (gc, gb, _) = {
+      // gzip bodies INFLATE (OTLP/HTTP's standard compression — SDK
+      // exporters default to it); other encodings stay 415, and a
+      // body that only CLAIMS gzip is the client's 400
+      def postEnc(encoding: String, bytes: Array[Byte]): (Int, String) = {
         val c = new URL(s"$base/api/v1/otlp/v1/metrics").openConnection()
           .asInstanceOf[HttpURLConnection]
         c.setRequestMethod("POST"); c.setDoOutput(true)
-        c.setRequestProperty("Content-Encoding", "gzip")
-        c.getOutputStream.write(req.toBytes); c.getOutputStream.close()
+        c.setRequestProperty("Content-Encoding", encoding)
+        c.getOutputStream.write(bytes); c.getOutputStream.close()
         val code = c.getResponseCode
         val is = if (code >= 400) c.getErrorStream else c.getInputStream
-        (code, if (is == null) "" else new String(is.readAllBytes(), "UTF-8"), ())
+        (code, if (is == null) "" else new String(is.readAllBytes(), "UTF-8"))
       }
-      assert(gc === 415, gb)
+      val gzBody = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        val extra = graft.ingest.OtlpCodec.encodeExportMetrics(
+          Seq(PromRemoteCodec.IngestedSample(
+            1704412800000000L, "gz_metric", Seq("k=v"), 7.5)))
+        gz.write(extra); gz.close()
+        bos.toByteArray
+      }
+      assert(postEnc("gzip", gzBody)._1 === 200)
+      assert(graft.ingest.SamplesStore.read(spark, store)
+        .filter(col("metric") === "gz_metric").count() === 1,
+        "the gzip-inflated write must land")
+      assert(postEnc("br", req.toBytes)._1 === 415)
+      assert(postEnc("gzip", "not gzip at all".getBytes("UTF-8"))._1 === 400)
       // the codec round-trips its own encoder output
       val rt = OtlpCodec.decodeExportMetrics(OtlpCodec.encodeExportMetrics(
         Seq(PromRemoteCodec.IngestedSample(5000000L, "m", Seq("a=1"), 2.5))))

@@ -648,6 +648,15 @@ object HttpServe {
         case Some(v) => v.toIntOption.filter(_ >= 0)
           .toRight(s"limit must be a non-negative integer: $v")
       }
+      // `timeout=` parses and validates like Prometheus (a malformed
+      // duration is the client's 400); evaluation here is one Spark
+      // job, already bounded by the in-plan cell cap, so the value
+      // itself carries no additional behavior (documented)
+      val timeoutE: Either[String, Unit] = params.get("timeout") match {
+        case None => Right(())
+        case Some(v) if parseStep(v).isDefined => Right(())
+        case Some(v) => Left(s"invalid timeout: $v")
+      }
       val boundsE: Either[String, (Long, Long, Long)] =
         if (rangeMode) for {
           s <- params.get("start").flatMap(parseTimeParam)
@@ -665,7 +674,8 @@ object HttpServe {
             .getOrElse(System.currentTimeMillis() / 1000L)
           Right((t, t, 1L))
         }
-      (for { e <- exprE; b <- boundsE; l <- limitE } yield (e, b, l)) match {
+      (for { e <- exprE; b <- boundsE; l <- limitE; _ <- timeoutE }
+        yield (e, b, l)) match {
         case Left(err) => badData(ex, err)
         case Right((PromQL.ScalarLit(v), (startSec, endSec, stepSec), _)) =>
           // Prometheus's scalar forms: Grafana health-probes the

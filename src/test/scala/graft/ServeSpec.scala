@@ -2068,6 +2068,10 @@ class ServeSpec extends SparkSpecBase {
       val (l2c, l2b) = get(s"$base/api/v1/query?query=qr_total&time=${t0 + 90}&limit=2")
       assert(l2c === 200 && !l2b.contains("warnings"), l2b)
       assert(get(s"$base/api/v1/query?query=qr_total&time=${t0 + 90}&limit=-1")._1 === 400)
+      // timeout= validates like Prometheus (no behavior beyond the
+      // in-plan cell cap — documented); malformed is the client's 400
+      assert(get(s"$base/api/v1/query?query=qr_total&time=${t0 + 90}&timeout=30s")._1 === 200)
+      assert(get(s"$base/api/v1/query?query=qr_total&time=${t0 + 90}&timeout=bogus")._1 === 400)
     } finally srv.stop()
   }
 

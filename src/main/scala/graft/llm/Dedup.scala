@@ -329,7 +329,9 @@ object Dedup {
           .select(col("doc_id"), col("crawl"),
             col("_hit").isNull.cast("int").as("kept"))
           .write.mode("append").parquet(outDir)
-        // batch keys append PARTITIONED BY BAND, as a MULTISET: the
+        // batch keys append FLAT (no partitionBy — the partitioned
+        // layout paid 16x files + ~0.3 s/batch commit and pruned
+        // nothing), as a MULTISET: the
         // probe tolerates duplicate state keys (its doc_id distinct
         // collapses them) and the state fold's own distinct removes
         // them at the next compaction — so the per-batch distinct()
@@ -408,9 +410,16 @@ object Dedup {
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
     if (parts.nonEmpty) {
       val stamp = System.nanoTime()
+      // move ALL folded parts into place before deleting any source:
+      // a failed rename must abort (leaving sources intact) or the
+      // fold's fingerprints are silently lost and future duplicates
+      // are wrongly kept
       parts.foreach { pf =>
-        fs.rename(pf.getPath, new org.apache.hadoop.fs.Path(root,
-          s"compact-$stamp-${pf.getPath.getName}"))
+        val dst = new org.apache.hadoop.fs.Path(root,
+          s"compact-$stamp-${pf.getPath.getName}")
+        if (!fs.rename(pf.getPath, dst))
+          throw new java.io.IOException(
+            s"compactState: move ${pf.getPath} -> $dst failed")
       }
       toMerge.foreach(f => fs.delete(f.getPath, false))
     }

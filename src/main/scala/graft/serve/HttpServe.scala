@@ -257,7 +257,10 @@ object HttpServe {
             case e: graft.ingest.ProtoWire.WireFormatException =>
               respond(ex, 400, (e.getMessage + "\n").getBytes(UTF_8),
                 Seq("Content-Type" -> "text/plain; charset=utf-8"))
-            case _: java.util.zip.ZipException =>
+            // ZipException = corrupt stream; EOFException = truncated
+            // stream (GZIPInputStream.read throws it mid-body). Both
+            // are the CLIENT's malformed bytes, not a server fault.
+            case _: java.util.zip.ZipException | _: java.io.EOFException =>
               respond(ex, 400, "malformed gzip body\n".getBytes(UTF_8),
                 Seq("Content-Type" -> "text/plain; charset=utf-8"))
           }
@@ -814,9 +817,19 @@ object HttpServe {
       val params = reqParams(ex)
       val pmap = params.toMap
       val metricFilter = pmap.get("metric").filter(_.nonEmpty)
-      val limit = pmap.get("limit").flatMap(_.toIntOption).getOrElse(Int.MaxValue)
-      val limitPer =
-        pmap.get("limit_per_metric").flatMap(_.toIntOption).getOrElse(Int.MaxValue)
+      // limit/limit_per_metric validate like the query APIs' limit=:
+      // a non-numeric or negative value is the client's 400 bad_data
+      // (Prometheus rejects an unparsable limit), never a silent
+      // "unlimited" coercion or an empty 200. 0 stays a truthful
+      // truncate-to-zero (Prometheus caps at the parsed value).
+      def capParam(name: String): Int =
+        pmap.get(name) match {
+          case None => Int.MaxValue
+          case Some(v) => v.toIntOption.filter(_ >= 0).getOrElse(
+            throw new BadParam(s"$name must be a non-negative integer: $v"))
+        }
+      val limit = capParam("limit")
+      val limitPer = capParam("limit_per_metric")
       val mdPath = RemoteWrite.metadataPath(storePath)
       val exists = {
         val p = new org.apache.hadoop.fs.Path(mdPath)

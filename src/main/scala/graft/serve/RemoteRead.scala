@@ -3,6 +3,7 @@ package graft.serve
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
 
 import graft.OpsMetrics
 import graft.ingest.PromRemoteCodec
@@ -259,29 +260,48 @@ object RemoteRead {
       val queries = PromRemoteCodec.decodeReadRequest(readRequestBlob)
       val out = new java.io.ByteArrayOutputStream()
       queries.zipWithIndex.foreach { case (q, qi) =>
-        runQuery(samples, q, ignoreLabel, ignoreHints, maxSamples,
-          rollupRoute).foreach { ts =>
+        // ONE globally (metric, labels)-sorted emission per query:
+        // Prometheus's streaming remote-read client merges frames
+        // expecting sorted, CONTIGUOUS series — appending all
+        // histogram frames after all float frames would hand it a
+        // native series whose labels sort before a float series out
+        // of order. A series carrying both float samples and native
+        // histograms emits one frame with its XOR chunks followed by
+        // its histogram chunks, time-ordered within each encoding.
+        val floatSeries = runQuery(samples, q, ignoreLabel, ignoreHints,
+          maxSamples, rollupRoute).map { ts =>
           val t = ts.samples.map(_.timestampMs).toArray
           val v = ts.samples.map(_.value).toArray
           val chunks = Gorilla.encodeChunks(t, v).map { case (mn, mx, d) =>
             PromRemoteCodec.PromChunk(mn, mx, d)
           }
-          val msg = PromRemoteCodec.encodeChunkedReadResponse(
-            Seq(PromRemoteCodec.PromChunkedSeries(ts.labels, chunks)),
-            qi.toLong)
-          val frame = PromRemoteCodec.chunkedFrame(msg)
-          out.write(frame, 0, frame.length)
+          (ts.labels, chunks)
         }
-        histStore.foreach { hs =>
-          runHistQuery(hs, q, ignoreLabel, maxSamples).foreach { case (labels, hists) =>
-            val chunks = HistChunks.encodeChunks(hists)
+        val histSeries = histStore.toSeq.flatMap { hs =>
+          runHistQuery(hs, q, ignoreLabel, maxSamples).map {
+            case (labels, hists) => (labels, HistChunks.encodeChunks(hists))
+          }
+        }
+        val byKey = scala.collection.mutable.LinkedHashMap
+          .empty[Seq[PromRemoteCodec.PromLabel], Seq[PromRemoteCodec.PromChunk]]
+        floatSeries.foreach { case (ls, cs) => byKey.update(ls, cs) }
+        histSeries.foreach { case (ls, cs) =>
+          byKey.update(ls, byKey.getOrElse(ls, Nil) ++ cs)
+        }
+        byKey.toSeq
+          .sortBy { case (ls, _) =>
+            val metric = ls.find(_.name == "__name__").map(_.value).getOrElse("")
+            val rest = ls.filter(_.name != "__name__")
+              .map(l => s"${l.name}=${l.value}")
+            (metric, rest)
+          }(SeriesKeyOrdering)
+          .foreach { case (labels, chunks) =>
             val msg = PromRemoteCodec.encodeChunkedReadResponse(
               Seq(PromRemoteCodec.PromChunkedSeries(labels, chunks)),
               qi.toLong)
             val frame = PromRemoteCodec.chunkedFrame(msg)
             out.write(frame, 0, frame.length)
           }
-        }
       }
       out.toByteArray
     } catch {
@@ -294,19 +314,23 @@ object RemoteRead {
     * surface on Matchers.compile) + pushed/pruned time bounds, then
     * per-series assembly in time order. The per-second max-dedup of
     * the float path has no histogram analogue — every stored sample
-    * streams; duplicate (series, ts) re-sends collapse to the LAST
-    * decoded, matching append order closely enough for an
-    * append-only sibling. Bounded by the same maxSamples guard. */
+    * streams; a duplicate (series, ts) re-send collapses to ONE row
+    * by a DETERMINISTIC tiebreak (lexicographically greatest source
+    * file wins, later row within a file wins): parquet scan order
+    * varies run to run (Spark packs file splits by size), so "last
+    * decoded wins" would serve either copy nondeterministically.
+    * Bounded by the same maxSamples guard. */
   private def runHistQuery(histStore: DataFrame, q: graft.operators.ReadQuery,
                            ignoreLabel: Option[String], maxSamples: Long)
       : Seq[(Seq[PromRemoteCodec.PromLabel], Seq[graft.ingest.NativeHistogram.Hist])] = {
     val bounded = graft.operators.SeriesRead.timeBound(
       histStore, q.startMs, q.endMs)
       .filter(graft.operators.Matchers.compile(q.matchers, ignoreLabel))
-      .select("metric", "labels", "ts_us", "hist")
+      .select(col("metric"), col("labels"), col("ts_us"), col("hist"),
+        org.apache.spark.sql.functions.input_file_name().as("_file"))
     val it = bounded.toLocalIterator().asScala
     val bySeries = scala.collection.mutable.LinkedHashMap
-      .empty[(String, Seq[String]), scala.collection.mutable.TreeMap[Long, Array[Byte]]]
+      .empty[(String, Seq[String]), scala.collection.mutable.TreeMap[Long, (String, Array[Byte])]]
     var points = 0L
     while (it.hasNext) {
       val r = it.next()
@@ -315,9 +339,14 @@ object RemoteRead {
         throw new ResponseTooLargeException(
           s"query matches more than $maxSamples samples, exceeds response limit")
       val key = (r.getString(0), r.getSeq[String](1).toSeq)
-      bySeries.getOrElseUpdate(key,
-        scala.collection.mutable.TreeMap.empty[Long, Array[Byte]])
-        .update(r.getLong(2), r.getAs[Array[Byte]](3))
+      val file = r.getString(4)
+      val perTs = bySeries.getOrElseUpdate(key,
+        scala.collection.mutable.TreeMap.empty[Long, (String, Array[Byte])])
+      val ts = r.getLong(2)
+      // >= : within one file row order is append order, so the later
+      // in-file duplicate wins; across files the greatest name wins
+      if (perTs.get(ts).forall { case (f, _) => file >= f })
+        perTs.update(ts, (file, r.getAs[Array[Byte]](3)))
     }
     bySeries.toSeq
       .sortBy { case ((metric, labels), _) => (metric, labels) }(SeriesKeyOrdering)
@@ -327,8 +356,9 @@ object RemoteRead {
             val c = l.indexOf('=')
             PromRemoteCodec.PromLabel(l.take(c), l.drop(c + 1))
           }
-        (promLabels, samples0.values.toSeq.map(b =>
-          graft.ingest.NativeHistogram.decode(graft.ingest.ProtoWire.reader(b))))
+        (promLabels, samples0.values.toSeq.map { case (_, b) =>
+          graft.ingest.NativeHistogram.decode(graft.ingest.ProtoWire.reader(b))
+        })
       }
   }
 

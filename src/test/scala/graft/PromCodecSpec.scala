@@ -178,15 +178,19 @@ class PromCodecSpec extends SparkSpecBase {
     assert(chunks.map(_.ctype) ===
       Seq(HistChunks.TypeHistogram, HistChunks.TypeFloatHistogram))
     assert((chunks(0).minTimeMs, chunks(0).maxTimeMs) === ((1000L, 1500L)))
-    assert(HistChunks.decodeChunk(chunks(0).data) ===
+    assert(HistChunks.decodeChunk(chunks(0).data, chunks(0).ctype) ===
       Seq(intH, intH.copy(timestampMs = 1500L)))
-    assert(HistChunks.decodeChunk(chunks(1).data) === Seq(fltH))
-    // the 120-sample bound splits long runs like chunkenc
+    assert(HistChunks.decodeChunk(chunks(1).data, chunks(1).ctype) === Seq(fltH))
+    // the 120-sample bound splits long runs like chunkenc; a run cut
+    // for size (no reset — identical counts) stamps NotCounterReset
     val many = (0 until 250).map(i => intH.copy(timestampMs = i.toLong))
     val split = HistChunks.encodeChunks(many)
-    assert(split.map(c => HistChunks.decodeChunk(c.data).size) ===
+    assert(split.map(c => HistChunks.decodeChunk(c.data, c.ctype).size) ===
       Seq(120, 120, 10))
-    assert(split.flatMap(c => HistChunks.decodeChunk(c.data)) === many)
+    assert(split.flatMap(c => HistChunks.decodeChunk(c.data, c.ctype)) === many)
+    assert(split.map(c => HistChunks.counterResetHeader(c.data)) ===
+      Seq(HistChunks.UnknownCounterReset, HistChunks.NotCounterReset,
+        HistChunks.NotCounterReset))
     // chunk types survive the ChunkedReadResponse wire round-trip
     val msg = encodeChunkedReadResponse(Seq(PromChunkedSeries(
       Seq(PromLabel("__name__", "hm")), chunks)), 0L)

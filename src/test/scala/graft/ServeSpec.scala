@@ -209,6 +209,9 @@ class ServeSpec extends SparkSpecBase {
         "the gzip-inflated write must land")
       assert(postEnc("br", req.toBytes)._1 === 415)
       assert(postEnc("gzip", "not gzip at all".getBytes("UTF-8"))._1 === 400)
+      // a TRUNCATED gzip stream (valid header, cut mid-body) throws
+      // EOFException, not ZipException — still the client's 400
+      assert(postEnc("gzip", gzBody.take(gzBody.length - 5))._1 === 400)
       // the codec round-trips its own encoder output
       val rt = OtlpCodec.decodeExportMetrics(OtlpCodec.encodeExportMetrics(
         Seq(PromRemoteCodec.IngestedSample(5000000L, "m", Seq("a=1"), 2.5))))
@@ -487,7 +490,8 @@ class ServeSpec extends SparkSpecBase {
       assert(xor.size === 1 && histChunks.size === 1, allChunks.map(_._2.ctype))
       val (xt, xv) = graft.serve.Gorilla.decode(xor.head._2.data)
       assert(xt.toSeq === Seq(1704412800000L) && xv.toSeq === Seq(1.5))
-      val hs = HistChunks.decodeChunk(histChunks.head._2.data)
+      val hs = HistChunks.decodeChunk(histChunks.head._2.data,
+        histChunks.head._2.ctype)
       assert(histChunks.head._1.map(l => (l.name, l.value)) ===
         Seq("__name__" -> "hm", "k" -> "v"))
       assert(hs === Seq(graft.ingest.NativeHistogram.Hist(
@@ -495,6 +499,23 @@ class ServeSpec extends SparkSpecBase {
         Seq((0, 2)), Seq(2L, 1L), Nil, Nil, Nil, Nil)))
       assert(histChunks.head._2.minTimeMs === 1704412800000L)
       assert(histChunks.head._2.maxTimeMs === 1704412800000L)
+      // a series with BOTH float and native samples is ONE frame —
+      // XOR chunks then histogram chunks under the same labels
+      assert(frames.flatMap(_._2).size === 1, "hm must merge to one frame")
+      // frames stream globally sorted by (metric, labels): "hm"
+      // (hist-bearing) sorts BEFORE its classic hm_* expansions, so
+      // the merged emission must interleave, never hist-after-float
+      val mq = Seq(ReadQuery(1704412800000L, 1704412800000L + 60000L,
+        Seq(Matchers.re("__name__", "hm.*"))))
+      val (mc2, mbody, _) = post(s"$base/read",
+        PromRemoteCodec.encodeReadRequestWithTypes(mq, Seq(1, 0)))
+      assert(mc2 === 200)
+      val mNames = for {
+        (_, ss) <- PromRemoteCodec.decodeChunkedFrames(mbody)
+        cs <- ss
+      } yield cs.labels.find(_.name == "__name__").map(_.value).getOrElse("")
+      assert(mNames.head === "hm", mNames)
+      assert(mNames === mNames.sorted, s"frames must stream sorted: $mNames")
       // the SAMPLES response type carries the native series too:
       // prompb TimeSeries field 4 next to the float sample, ONE
       // series for both (Prometheus's own response shape)
@@ -1694,6 +1715,15 @@ class ServeSpec extends SparkSpecBase {
       assert(get(s"$base/-/ready") === ((200, "graft is Ready.\n")))
       assert(get(s"$base/api/v1/metadata") ===
         ((200, """{"status":"success","data":{}}""")))
+      // malformed limit/limit_per_metric are the client's 400
+      // bad_data (Prometheus rejects an unparsable or negative
+      // limit) — never a silent unlimited or an empty 200
+      for (bad <- Seq("limit=abc", "limit=-1", "limit_per_metric=x",
+                      "limit_per_metric=-2")) {
+        val (mc, mb) = get(s"$base/api/v1/metadata?$bad")
+        assert(mc === 400, s"$bad -> $mb")
+        assert(mb.contains(""""errorType":"bad_data""""), mb)
+      }
       val (fc, fbody) = get(s"$base/api/v1/status/flags")
       assert(fc === 200)
       assert(fbody.contains(""""status":"success""""))

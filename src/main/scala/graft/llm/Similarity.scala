@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** [[semanticKeep]]'s sub-block size: clusters above this member
+    * count salt their pairwise self-join into ⌈c/target⌉ blocks.
+    * Inert on the test corpora; at 100 TB it bounds the worst
+    * partition's pair count at c·target instead of c² (a 1e6-member
+    * runaway cluster: 6.5e10 pairs per key instead of 1e12, spread
+    * over 16 keys that AQE can also split further). */
+  val DefaultSemDedupSaltTarget: Int = 65536
+
   /** Sequential-fold double dot product of two array<double> columns
     * (codegen'd kernel). */
   private def dotExpr(a: String, b: String): String =
@@ -220,24 +228,49 @@ object Similarity {
     * (the paper runs k in the tens of thousands at web scale). The
     * join shuffles on cent_id; the e6-integer exactness discipline
     * of [[kmeans]] carries through, so the whole operator is
-    * oracle-reproducible. */
+    * oracle-reproducible.
+    *
+    * SKEW guard: keying the self-join on cent_id alone would put
+    * each cluster's full c² pairing in ONE shuffle partition — a
+    * runaway cluster is a straggler at 100 TB. Clusters larger than
+    * `saltTarget` members are SUB-BLOCKED: the probe side carries a
+    * deterministic salt (id mod ⌈c/saltTarget⌉), the build side
+    * replicates across all salts, and the join keys on
+    * (cent_id, salt) — every (a, b) pair still meets EXACTLY once
+    * (b has one salt; a is present at all of them), so keep/drop
+    * semantics are bit-identical at every size, but the per-key
+    * pair count is bounded by c·saltTarget instead of c². Clusters
+    * at or under the target get one salt — the plan degenerates to
+    * the unsalted join. The salt is id-arithmetic (no engine hash),
+    * so the oracle replay stays engine-portable. */
   def semanticKeep(embeddings: DataFrame, k: Int, iters: Int,
-                   tauE6: Long): DataFrame = {
+                   tauE6: Long,
+                   saltTarget: Int = DefaultSemDedupSaltTarget): DataFrame = {
     val assigned = kmeans(embeddings, k, iters)
     val pts = embeddings.select(col("vec_id"),
       expr("transform(embedding, x -> " +
         "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))").as("v"))
       .withColumn("nrm",
         expr("sqrt(graft_dot(CAST(v AS ARRAY<DOUBLE>), CAST(v AS ARRAY<DOUBLE>)))"))
+    // k tiny rows — broadcast so the salt factor reaches both sides
+    // without a shuffle
+    val sizes = assigned.groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("c_n"))
+      .withColumn("n_salt",
+        expr(s"CAST(ceil(c_n / CAST($saltTarget AS DOUBLE)) AS BIGINT)"))
+      .select(col("cent_id"), col("n_salt"))
     val m = assigned.select(col("vec_id"), col("cent_id")).join(pts, "vec_id")
+      .join(broadcast(sizes), "cent_id")
     val a = m.select(col("cent_id"), col("vec_id").as("id_a"),
-      col("v").as("va"), col("nrm").as("na"))
+      col("v").as("va"), col("nrm").as("na"),
+      explode(expr("sequence(0, n_salt - 1)")).as("salt"))
     val b = m.select(col("cent_id"), col("vec_id").as("id_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
+      col("v").as("vb"), col("nrm").as("nb"),
+      pmod(col("vec_id"), col("n_salt")).as("salt"))
     // a vector drops when ANY lower-id cluster member sits within
     // the ε-ball; the floor-snapped integer cosine is the comparison
     // both engines make identically
-    val dropped = a.join(b, Seq("cent_id"))
+    val dropped = a.join(b, Seq("cent_id", "salt"))
       .filter(col("id_a") < col("id_b"))
       .filter(expr("CAST(floor(" +
         "graft_dot(CAST(va AS ARRAY<DOUBLE>), CAST(vb AS ARRAY<DOUBLE>)) / (na * nb)" +

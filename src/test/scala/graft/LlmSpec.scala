@@ -333,6 +333,40 @@ class LlmSpec extends SparkSpecBase {
       s"lowest id per ε-ball keeps; negation and group heads keep: $out")
   }
 
+  test("SemDeDup salts a pathological cluster: bounded blocks, same keep/drop") {
+    import spark.implicits._
+    def unit(dir: Int, eps: Double): Seq[Float] =
+      (0 until 64).map(i =>
+        (if (i == dir) 1.0 else 0.0) + (if (i == (dir + 1) % 64) eps else 0.0))
+        .map(_.toFloat)
+    // ONE runaway cluster (k=1 forces every vector into it): ids
+    // 0-29 are near-dups of 0, ids 30-59 near-dups of 30 (dir 0 ⊥
+    // dir 7, cosine 0 — the two families never cross-drop)
+    val embs = ((0 until 30).map(i => (i.toLong, unit(0, 0.0001 * i))) ++
+      (30 until 60).map(i => (i.toLong, unit(7, 0.0001 * (i - 30)))))
+      .toDF("vec_id", "embedding")
+    def run(saltTarget: Int) =
+      Similarity.semanticKeep(embs, k = 1, iters = 1, tauE6 = 990000L,
+        saltTarget = saltTarget)
+    // saltTarget 7 forces ⌈60/7⌉ = 9 sub-blocks; a huge target is
+    // the unsalted baseline — keep/drop must be bit-identical
+    val salted = run(7).collect()
+      .map(r => (r.getLong(0), r.getInt(2))).sortBy(_._1).toSeq
+    val unsalted = run(1000000).collect()
+      .map(r => (r.getLong(0), r.getInt(2))).sortBy(_._1).toSeq
+    assert(salted === unsalted, "salting must not change keep/drop")
+    assert(salted.filter(_._2 == 1).map(_._1) === Seq(0L, 30L),
+      s"each family keeps its lowest id: $salted")
+    // the salted plan is active (id-mod salt in the join keys), and
+    // the deterministic id-mod spread bounds every sub-block — and
+    // with it the per-partition pair count — at c·saltTarget not c²
+    assert(run(7).queryExecution.optimizedPlan.toString.contains("pmod"),
+      "the sub-block salt must reach the plan")
+    val nSalt = math.ceil(60.0 / 7).toLong
+    val blockSizes = (0L until 60L).groupBy(_ % nSalt).values.map(_.size)
+    assert(blockSizes.max <= 7, s"id-mod must spread the cluster: $blockSizes")
+  }
+
   test("langid scores and quality features are sane") {
     val lang = TextAnalysis.langId(docs)
     assert(lang.filter(col("pred_lang").isin("en", "es", "de", "fr", "und")).count() == docs.count())

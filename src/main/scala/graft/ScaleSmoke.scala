@@ -16,7 +16,7 @@ import graft.sources.Tables
   * land in SCALE.md. `SPARK_GRAFT_SCALE_ONLY=
   * read|promql|dedup|components|ann|curate|prep|events|scrub|rollup|
   * rolldense|ladder|compact|bpe|bpek|bpedeep|bpe4k|streamstate|strat|
-  * stars|manifest|listing` runs one section. */
+  * stars|manifest|listing|semdedup` runs one section. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
@@ -256,6 +256,42 @@ object ScaleSmoke {
       val passes = graft.llm.Tokenizer.disjointGroups(merges).size
       time(f"bpeEncode k=4096 passes=$passes%-4d")(
         graft.llm.Tokenizer.tokenCountsBpe(corpus, trained).count())
+    }
+
+    // SemDeDup under adversarial cluster skew: ~90% of the corpus
+    // lands in ONE k-means cluster (a single family direction; the
+    // other 10% spread over the 7 remaining centroids), and the
+    // perturbations keep most pairs BELOW the ε threshold — so the
+    // c² pairing is the cost and can't be filter-pruned. The claim:
+    // the salted sub-block join spreads the runaway cluster's pair
+    // work over ⌈c/target⌉ keys where the unsalted join serializes
+    // it in one shuffle partition — same keep/drop counts.
+    if (sectionEnabled("semdedup")) {
+      val n = 10000L
+      val skewed = spark.range(0, n).selectExpr(
+        "id AS vec_id",
+        """transform(sequence(0, 63), d -> CAST(
+             CASE
+               WHEN id = 0 AND d = 0 THEN 1.0
+               WHEN id BETWEEN 1 AND 7 AND d = 10 + id THEN 1.0
+               WHEN id >= 8 AND id % 10 < 9 AND d = 0 THEN 1.0
+               WHEN id >= 8 AND id % 10 < 9 AND d = 1 + id % 7
+                 THEN 0.3 + (id % 97) / 97.0
+               WHEN id >= 8 AND id % 10 = 9 AND d = 11 + id % 7 THEN 1.0
+               ELSE 0.0 END AS FLOAT)) AS embedding""")
+        .localCheckpoint(true)
+      time("semdedup kmeans-only            ")(
+        Similarity.kmeans(skewed, 8, 2).count())
+      var salted = -1L; var single = -1L
+      time("semdedup salted   c~9000 blk=256")({
+        salted = Similarity.semanticKeep(skewed, 8, 2, 990000L,
+          saltTarget = 256).filter(col("kept") === 0).count(); salted
+      })
+      time("semdedup 1-block  c~9000        ")({
+        single = Similarity.semanticKeep(skewed, 8, 2, 990000L,
+          saltTarget = 1 << 30).filter(col("kept") === 0).count(); single
+      })
+      assert(salted == single, s"salting changed drops: $salted vs $single")
     }
 
     // the adversarial union-find shape: one pure CHAIN (diameter =

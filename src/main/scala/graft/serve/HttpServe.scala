@@ -306,9 +306,14 @@ object HttpServe {
       val hp = RemoteWrite.histPath(storePath)
       val histDf = {
         val p = new org.apache.hadoop.fs.Path(hp)
-        if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-          Some(spark.read.parquet(hp))
-        else None
+        if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
+          // manifest-committed snapshot like the primary (atomic
+          // visibility; legacy manifest-less trees fall back to
+          // listing). An EMPTY snapshot reads as the samples schema —
+          // no hist column, nothing to serve
+          val df = SamplesStore.read(spark, hp)
+          if (df.columns.contains("hist")) Some(df) else None
+        } else None
       }
       if (wantsChunks) {
         val resp = SamplesStore.readLocked(storePath) {

@@ -165,10 +165,9 @@ object RemoteWrite {
     * themselves being dropped); METADATA does NOT — the newest
     * metadata row for a still-live metric may be older than the
     * horizon, and dropping it would silently empty /api/v1/metadata
-    * for long-stable metrics. The `_hist` sibling is plain
-    * append-only parquet (binary column, no manifest) and is not
-    * folded here — its write rate is the native-histogram request
-    * rate, and its reader lists one day partition per query. */
+    * for long-stable metrics. The `_hist` sibling folds and expires
+    * with the primary's horizon too (its native samples shadow
+    * classic rows that retention is dropping). */
   private[graft] def maintainSiblings(spark: SparkSession,
                                       storePath: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -176,7 +175,8 @@ object RemoteWrite {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(conf).exists(hp)
     }
-    Seq(exemplarPath(storePath), metadataPath(storePath)).foreach { p =>
+    Seq(exemplarPath(storePath), metadataPath(storePath),
+        histPath(storePath)).foreach { p =>
       if (exists(p)) {
         SamplesStore.maybeCompact(spark, p, autoCompactFilesPerDay,
           gcGraceMs = gcGraceMs)
@@ -185,8 +185,9 @@ object RemoteWrite {
         SamplesStore.expireSnapshots(spark, p, gcGraceMs)
       }
     }
-    if (exists(exemplarPath(storePath)))
-      retentionPass(spark, exemplarPath(storePath), retentionDays)
+    Seq(exemplarPath(storePath), histPath(storePath)).foreach { p =>
+      if (exists(p)) retentionPass(spark, p, retentionDays)
+    }
   }
 
   /** One background rollup pass — refresh the store's rollup twin;
@@ -316,10 +317,14 @@ object RemoteWrite {
 
   /** The sibling store native-histogram samples land in (raw prompb
     * Histogram bytes next to the series key; PromRemoteCodec
-    * .toHistRows documents the schema). Day-partitioned like the
-    * main store so chunked reads prune; appends only — the classic
-    * expansion in the MAIN store is what the query surface reads,
-    * this sibling only feeds histogram-chunk federation. */
+    * .toHistRows documents the schema). A full SamplesStore citizen
+    * like the exemplar/metadata siblings — manifest-committed
+    * appends (atomic visibility), day-partitioned pruning, and
+    * [[maintainSiblings]]'s compaction + retention; the store
+    * machinery is schema-agnostic beyond (ts_us, metric, labels),
+    * so the binary `hist` column simply rides along. The classic
+    * expansion in the MAIN store is what the query surface reads;
+    * this sibling feeds histogram-chunk federation. */
   def histPath(storePath: String): String =
     storePath.stripSuffix("/") + "_hist"
 
@@ -327,11 +332,8 @@ object RemoteWrite {
                           rows: Seq[(Long, String, Seq[String], Array[Byte])]): Unit =
     if (rows.nonEmpty) {
       import spark.implicits._
-      import org.apache.spark.sql.functions.{col, expr}
-      rows.toDF("ts_us", "metric", "labels", "hist")
-        .withColumn("date", expr("ts_us DIV 1000000 DIV 86400 * 86400"))
-        .write.mode("append").partitionBy("date")
-        .parquet(histPath(storePath))
+      SamplesStore.append(
+        rows.toDF("ts_us", "metric", "labels", "hist"), histPath(storePath))
     }
 
   /** Last metadata entry written per (store, metric) — PRW 2.0
@@ -377,6 +379,35 @@ object RemoteWrite {
     }
   }
 
+  /** The write path's four stores (primary, exemplar, metadata,
+    * hist) are independent — distinct paths, distinct mutation
+    * locks — so a histogram-bearing request's appends run
+    * CONCURRENTLY and the request costs max(append), not Σ(append).
+    * The 200 response still means every store committed (all tasks
+    * are awaited; the first failure propagates); there is no
+    * cross-store atomicity contract to preserve — Prometheus's own
+    * exemplar/metadata storage is similarly independent. Daemon
+    * threads so an idle server exits cleanly. */
+  private lazy val siblingEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-write-sibling")
+        t.setDaemon(true); t
+      }))
+
+  private def runParallel(tasks: Seq[() => Unit]): Unit =
+    if (tasks.sizeIs <= 1) tasks.foreach(_())
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val futs = tasks.map(t => Future(t())(siblingEc))
+      // await ALL (no task may outlive its request), then surface the
+      // first failure
+      val errs = futs.flatMap(f =>
+        scala.util.Try(Await.result(f, Duration.Inf)).failed.toOption)
+      errs.headOption.foreach(e => throw e)
+    }
+
   def serve(spark: SparkSession, storePath: String,
             writeRequestBlob: Array[Byte],
             contentType: Option[String] = None): Long =
@@ -397,26 +428,32 @@ object RemoteWrite {
     if (req.histogramCount > 0)
       m.convertedHistograms.add(req.histogramCount)
     val rows = PromRemoteCodec.toSamples(req).toSeq
-    if (rows.nonEmpty) {
-      import spark.implicits._
-      SamplesStore.append(
-        rows.toDF("ts_us", "metric", "labels", "value"), storePath)
-      m.samplesWritten.add(rows.size.toLong)
-      // background-merge analogue: each request lands a small file set
-      // in its day partitions; fold once fragmentation crosses the
-      // threshold so a long-running server never needs an operator
-      maybeCompactRateLimited(spark, storePath)
-    }
     val exRows = PromRemoteCodec.toExemplarRows(req).toSeq
-    if (exRows.nonEmpty) {
-      import spark.implicits._
-      SamplesStore.append(
-        exRows.toDF("ts_us", "metric", "labels", "value"),
-        exemplarPath(storePath))
-      m.exemplarsWritten.add(exRows.size.toLong)
-    }
-    appendMetadata(spark, storePath, PromRemoteCodec.toMetadataRows(req).toSeq)
-    appendHists(spark, storePath, PromRemoteCodec.toHistRows(req).toSeq)
+    val mdRows = PromRemoteCodec.toMetadataRows(req).toSeq
+    val histRows = PromRemoteCodec.toHistRows(req).toSeq
+    runParallel(Seq(
+      () => if (rows.nonEmpty) {
+        import spark.implicits._
+        SamplesStore.append(
+          rows.toDF("ts_us", "metric", "labels", "value"), storePath)
+        m.samplesWritten.add(rows.size.toLong)
+        // background-merge analogue: each request lands a small file
+        // set in its day partitions; fold once fragmentation crosses
+        // the threshold so a long-running server never needs an
+        // operator
+        maybeCompactRateLimited(spark, storePath)
+      },
+      () => if (exRows.nonEmpty) {
+        import spark.implicits._
+        SamplesStore.append(
+          exRows.toDF("ts_us", "metric", "labels", "value"),
+          exemplarPath(storePath))
+        m.exemplarsWritten.add(exRows.size.toLong)
+      },
+      () => appendMetadata(spark, storePath, mdRows),
+      () => appendHists(spark, storePath, histRows)
+    ).zip(Seq(rows.nonEmpty, exRows.nonEmpty, mdRows.nonEmpty,
+      histRows.nonEmpty)).collect { case (t, true) => t })
     WriteOutcome(req.sampleCount, req.histogramCount, req.exemplarCount)
   }
 
@@ -434,14 +471,17 @@ object RemoteWrite {
       catch { case e: Throwable => m.writeErrors.add(1); throw e }
     if (dec.droppedPoints > 0) m.otlpDroppedPoints.add(dec.droppedPoints)
     val rows = dec.samples
-    if (rows.nonEmpty) {
-      import spark.implicits._
-      SamplesStore.append(
-        rows.toDF("ts_us", "metric", "labels", "value"), storePath)
-      m.samplesWritten.add(rows.size.toLong)
-      maybeCompactRateLimited(spark, storePath)
-    }
-    appendMetadata(spark, storePath, dec.metadata)
+    runParallel(Seq(
+      () => if (rows.nonEmpty) {
+        import spark.implicits._
+        SamplesStore.append(
+          rows.toDF("ts_us", "metric", "labels", "value"), storePath)
+        m.samplesWritten.add(rows.size.toLong)
+        maybeCompactRateLimited(spark, storePath)
+      },
+      () => appendMetadata(spark, storePath, dec.metadata)
+    ).zip(Seq(rows.nonEmpty, dec.metadata.nonEmpty))
+      .collect { case (t, true) => t })
     rows.size.toLong
   }
 
@@ -470,22 +510,26 @@ object RemoteWrite {
         PromRemoteCodec.toHistRows(req).toSeq)
     }
     val (sampleRows, exRows) = (rows.flatMap(_._1), rows.flatMap(_._2))
-    if (sampleRows.nonEmpty) {
-      import spark.implicits._
-      SamplesStore.append(
-        sampleRows.toDF("ts_us", "metric", "labels", "value"), storePath)
-      m.samplesWritten.add(sampleRows.size.toLong)
-      maybeCompactRateLimited(spark, storePath)
-    }
-    if (exRows.nonEmpty) {
-      import spark.implicits._
-      SamplesStore.append(
-        exRows.toDF("ts_us", "metric", "labels", "value"),
-        exemplarPath(storePath))
-      m.exemplarsWritten.add(exRows.size.toLong)
-    }
-    appendMetadata(spark, storePath, rows.flatMap(_._3))
-    appendHists(spark, storePath, rows.flatMap(_._4))
+    val (mdRows, histRows) = (rows.flatMap(_._3), rows.flatMap(_._4))
+    runParallel(Seq(
+      () => if (sampleRows.nonEmpty) {
+        import spark.implicits._
+        SamplesStore.append(
+          sampleRows.toDF("ts_us", "metric", "labels", "value"), storePath)
+        m.samplesWritten.add(sampleRows.size.toLong)
+        maybeCompactRateLimited(spark, storePath)
+      },
+      () => if (exRows.nonEmpty) {
+        import spark.implicits._
+        SamplesStore.append(
+          exRows.toDF("ts_us", "metric", "labels", "value"),
+          exemplarPath(storePath))
+        m.exemplarsWritten.add(exRows.size.toLong)
+      },
+      () => appendMetadata(spark, storePath, mdRows),
+      () => appendHists(spark, storePath, histRows)
+    ).zip(Seq(sampleRows.nonEmpty, exRows.nonEmpty, mdRows.nonEmpty,
+      histRows.nonEmpty)).collect { case (t, true) => t })
     sampleRows.size.toLong
   }
 }

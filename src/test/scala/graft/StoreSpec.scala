@@ -34,6 +34,46 @@ class StoreSpec extends SparkSpecBase {
     assert(sortedWithinFiles(path))
   }
 
+  test("the hist sibling is a full store citizen: manifests, compaction, retention") {
+    import spark.implicits._
+    val path = "/tmp/graft_test/store_hist_sibling"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val day0 = 1704412800L
+    def rows(i: Int) = Seq(
+      (day0 * 1000000L + i * 1000000L, "hm", Seq("k=v"),
+        Array[Byte](1, 2, i.toByte)),
+      ((day0 + 86400L) * 1000000L + i * 1000000L, "hm", Seq("k=w"),
+        Array[Byte](9, i.toByte)))
+      .toDF("ts_us", "metric", "labels", "hist")
+    // manifest-committed appends: each lands atomically, generations
+    // advance, and the read plans from the snapshot's explicit list
+    for (i <- 0 until 6) SamplesStore.append(rows(i), path)
+    assert(SamplesStore.currentGen(spark, path).exists(_ >= 6L),
+      "hist appends must commit manifest generations")
+    val back = SamplesStore.read(spark, path)
+    assert(back.columns.toSet === Set("ts_us", "metric", "labels", "hist", "date"))
+    assert(back.count() === 12)
+    // the binary column survives the day-selective fold byte-for-byte
+    val folded = SamplesStore.compactFragmentedDays(spark, path,
+      maxFilesPerDay = 2, gcGraceMs = 0L)
+    assert(folded === 2, s"both fragmented days must fold, got $folded")
+    val after = SamplesStore.read(spark, path)
+      .select(col("ts_us"), col("hist")).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).sortBy(_._1)
+    assert(after.length === 12)
+    assert(after.take(6).map(_._2) ===
+      (0 until 6).map(i => Seq[Byte](1, 2, i.toByte)))
+    // retention: deleteRange (what retentionPass issues) drops the
+    // old day wholesale and the snapshot read reflects it atomically
+    SamplesStore.deleteRange(spark, path, Long.MinValue,
+      (day0 + 86400L) * 1000000L, gcGraceMs = 0L)
+    assert(SamplesStore.read(spark, path).count() === 6)
+    assert(SamplesStore.read(spark, path)
+      .agg(min(col("ts_us"))).first().getLong(0) >= (day0 + 86400L) * 1000000L)
+  }
+
   test("deleteRange drops whole days and keeps boundary files sorted") {
     val path = "/tmp/graft_test/store_delete"
     val samples = Tables.samples(spark, Sf)

@@ -840,6 +840,55 @@ object SparkEntry {
         .agg(max(expr("ts_us DIV 1000000")).as("last_t"))
     }),
 
+    // exemplars end-to-end (the /api/v1/query_exemplars read): the
+    // fixture derives one deterministic exemplar per (metric, day)
+    // from the samples aggregate, encodes it on prompb TimeSeries
+    // field 3, serves it through the production write path into the
+    // SIBLING exemplar store, then reads back with the endpoint's
+    // own selector semantics (compilePromQL) and splits the two
+    // label spaces ("__x_" = the exemplar's own labels) like the
+    // endpoint's grouping does
+    "read_exemplars" -> ((s, dir) => {
+      val path = workDir("wserveex", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        graft.serve.RemoteWrite.exemplarPath(path)), true)
+      val blobs = payOnceBlobs(s, dir, "wserveex_blobs",
+        s"${srcFingerprint(s, dir, "events")}:x1") {
+        val agg = samples(s, dir)
+          .groupBy(col("metric"),
+            expr("ts_us DIV 1000000 DIV 86400 * 86400").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+          .sortBy(t => (t._1, t._2))
+        val series = agg.map { case (m, day, n) =>
+          PromRemoteCodec.PromTimeSeries(
+            Seq(PromRemoteCodec.PromLabel("__name__", m),
+              PromRemoteCodec.PromLabel("src", "ex")),
+            Nil,
+            exemplars = Seq(PromRemoteCodec.PromExemplar(
+              Seq(PromRemoteCodec.PromLabel("trace_id", s"t${n % 100}")),
+              n * 0.25, day * 1000L + (n % 60) * 1000L)))
+        }
+        Seq(PromRemoteCodec.encodeWriteRequest(
+          PromRemoteCodec.PromWriteRequest(series)))
+      }
+      graft.serve.RemoteWrite.serveAll(s, path, blobs)
+      SamplesStore.read(s, graft.serve.RemoteWrite.exemplarPath(path))
+        .filter(Matchers.compilePromQL(Seq(
+          Matchers.eq("src", "ex"),
+          Matchers.re("__name__", "(click|view|purchase)")), None))
+        .select(col("metric"),
+          expr("array_join(filter(labels, l -> NOT startswith(l, '__x_')), ',')")
+            .as("series_str"),
+          expr("array_join(transform(filter(labels, l -> startswith(l, '__x_')), " +
+            "l -> substring(l, 5)), ',')").as("ex_str"),
+          expr("ts_us DIV 1000000").as("t_sec"),
+          col("value"))
+    }),
+
     // ---- §2.2 remote-read path -------------------------------------
     // The reference's whole /read contract end-to-end: build a
     // ReadRequest blob (with an ignored remote=clickhouse matcher,
@@ -2838,6 +2887,22 @@ object SparkEntry {
          |       ',__unit=seconds' AS md,
          |       max(ts_us // 1000000) AS last_t
          |FROM samples GROUP BY 1, 2""".stripMargin,
+
+    // exemplar store contents derive deterministically from each
+    // (metric, day)'s sample count (the fixture's rule); the read
+    // filters with the endpoint's anchored selector semantics
+    "read_exemplars" ->
+      s"""$S, agg AS (
+         |  SELECT metric, ts_us // 1000000 // 86400 * 86400 AS day,
+         |         count(*) AS n
+         |  FROM samples GROUP BY 1, 2
+         |)
+         |SELECT metric, 'src=ex' AS series_str,
+         |       'trace_id=t' || CAST(n % 100 AS VARCHAR) AS ex_str,
+         |       day + n % 60 AS t_sec,
+         |       CAST(n AS DOUBLE) * 0.25 AS value
+         |FROM agg
+         |WHERE regexp_matches(metric, '^(?:click|view|purchase)$$')""".stripMargin,
 
     "read_time_range" -> readAgg(inWin),
 

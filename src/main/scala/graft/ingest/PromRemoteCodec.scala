@@ -595,6 +595,20 @@ object PromRemoteCodec {
       sw.writeVarintField(2, s.timestampMs)
       w.writeMessageField(2, sw)
     }
+    // exemplars ride TimeSeries field 3 (prompb Exemplar: labels 1,
+    // value 2, timestamp 3) — the exact inverse of readExemplar
+    ts.exemplars.foreach { e =>
+      val ew = new ProtoWire.Writer
+      e.labels.foreach { l =>
+        val lw = new ProtoWire.Writer
+        lw.writeStringField(1, l.name)
+        lw.writeStringField(2, l.value)
+        ew.writeMessageField(1, lw)
+      }
+      ew.writeDoubleField(2, e.value)
+      ew.writeVarintField(3, e.timestampMs)
+      w.writeMessageField(3, ew)
+    }
     // native histograms ride TimeSeries field 4 (prompb) — the
     // SAMPLES read-response leg for native series; the decode side
     // (readTimeSeries) already consumes them

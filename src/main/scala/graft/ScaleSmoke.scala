@@ -502,7 +502,8 @@ object ScaleSmoke {
       import org.apache.hadoop.fs.Path
       val path = "/tmp/graft_scale/ladder"
       val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      for (p <- Seq(path, path + "_fine", path + "_coarse", path + "_direct"))
+      for (p <- Seq(path, path + "_fine", path + "_coarse", path + "_direct",
+                    path + "_day", path + "_dayd"))
         fs.delete(new Path(p), true)
       val day0 = 1704412800L
       val dense = spark.range(0, 3L * 86400 / 5)
@@ -520,6 +521,14 @@ object ScaleSmoke {
           3600L).toLong)
       time("directCoarse 3600s from raw ")(
         RollupStore.rollup(spark, path, path + "_direct", 3600L).toLong)
+      // depth 3: the 1d level reads the 1h one (another 24:1 input
+      // drop) — each added resolution costs a rollup-sized job, and
+      // the gap vs a raw rebuild COMPOUNDS with the ratio chain
+      time("ladderDay   86400s from 1h  ")(
+        RollupStore.rollupLadder(spark, path + "_coarse", path + "_day",
+          86400L).toLong)
+      time("directDay   86400s from raw ")(
+        RollupStore.rollup(spark, path, path + "_dayd", 86400L).toLong)
     }
 
     // Append metadata cost vs store size: land the SAME small append

@@ -1724,6 +1724,84 @@ class PromQLSpec extends SparkSpecBase {
     assert(plan3.contains("_coarse"))
   }
 
+  test("a 3-level ladder (5m/1h/1d) routes coarsest-fresh with per-level fallback") {
+    val path = "/tmp/graft_test/promql_ladder3"
+    val fine = path + "_fine"
+    val mid = path + "_mid"
+    val day = path + "_day"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (p <- Seq(path, fine, mid, day))
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    SamplesStore.write(graft.sources.Tables.samples(spark, Sf), path)
+    RollupStore.rollup(spark, path, fine, 300L)
+    RollupStore.rollupLadder(spark, fine, mid, 3600L)
+    RollupStore.rollupLadder(spark, mid, day, 86400L)
+    val grid = RollupGrid(path, fine, 300L,
+      Some(RollupGrid(fine, mid, 3600L,
+        Some(RollupGrid(mid, day, 86400L)))))
+    val stored = SamplesStore.read(spark, path)
+    // a [1d]-tiling query at 1d steps serves from the DAY level; the
+    // same data window at 1h steps can only use the MID level (1d
+    // buckets don't divide a 1h window) — level choice composes with
+    // window servability
+    val eDay = parse("sum_over_time(click[1d])").toOption.get
+    val eHour = parse("sum_over_time(click[1h])").toOption.get
+    val (dStart, dEnd) = (T0 + 86400, T0 + 4 * 86400)
+    val rawDay = rows(PromQL.eval(stored, eDay, dStart, dEnd, 86400L))
+    spark.catalog.clearCache()
+    val dayDf = PromQL.eval(stored, eDay, dStart, dEnd, 86400L,
+      rollup = Some(grid))
+    val dayPlan = dayDf.queryExecution.executedPlan.toString
+    assert(dayPlan.contains("_day") && !dayPlan.contains("_mid") &&
+      !dayPlan.contains("_fine"),
+      s"the 1d tiling must serve from the day level:\n$dayPlan")
+    assert(rows(dayDf) === rawDay && rawDay.nonEmpty)
+    spark.catalog.clearCache()
+    val hourPlan = PromQL.eval(stored, eHour, T0 + 3600, T0 + 86400, 3600L,
+      rollup = Some(grid)).queryExecution.executedPlan.toString
+    assert(hourPlan.contains("_mid") && !hourPlan.contains("_day"),
+      s"a 1h tiling must pick the mid level (1d can't divide it):\n$hourPlan")
+    // stale ONLY the day level (refresh fine+mid after an append):
+    // the 1d query falls back one level to MID, still rollup-served
+    import spark.implicits._
+    SamplesStore.append(Seq(
+      ((T0 + 90000) * 1000000L, "click", Seq("k=1", "user=9"), 1.0))
+      .toDF("ts_us", "metric", "labels", "value"), path)
+    RollupStore.rollup(spark, path, fine, 300L)
+    RollupStore.rollupLadder(spark, fine, mid, 3600L)
+    val stored2 = SamplesStore.read(spark, path)
+    val rawDay2 = rows(PromQL.eval(stored2, eDay, dStart, dEnd, 86400L))
+    spark.catalog.clearCache()
+    val fbDf = PromQL.eval(stored2, eDay, dStart, dEnd, 86400L,
+      rollup = Some(grid))
+    val fbPlan = fbDf.queryExecution.executedPlan.toString
+    assert(fbPlan.contains("_mid") && !fbPlan.contains("_day"),
+      s"a stale day level must fall back to mid:\n$fbPlan")
+    assert(rows(fbDf) === rawDay2)
+    // stale mid AND day (fine refreshed only): falls to FINE
+    SamplesStore.append(Seq(
+      ((T0 + 90060) * 1000000L, "click", Seq("k=1", "user=9"), 1.0))
+      .toDF("ts_us", "metric", "labels", "value"), path)
+    RollupStore.rollup(spark, path, fine, 300L)
+    val stored3 = SamplesStore.read(spark, path)
+    spark.catalog.clearCache()
+    val f3Df = PromQL.eval(stored3, eDay, dStart, dEnd, 86400L,
+      rollup = Some(grid))
+    val f3Plan = f3Df.queryExecution.executedPlan.toString
+    assert(f3Plan.contains("_fine") && !f3Plan.contains("_mid") &&
+      !f3Plan.contains("_day"),
+      s"stale mid+day must fall back to fine:\n$f3Plan")
+    assert(rows(f3Df) === rows(PromQL.eval(stored3, eDay, dStart, dEnd, 86400L)))
+    // fold the whole chain → the day level serves again
+    RollupStore.rollupLadder(spark, fine, mid, 3600L)
+    RollupStore.rollupLadder(spark, mid, day, 86400L)
+    spark.catalog.clearCache()
+    val backPlan = PromQL.eval(stored3, eDay, dStart, dEnd, 86400L,
+      rollup = Some(grid)).queryExecution.executedPlan.toString
+    assert(backPlan.contains("_day"), s"the folded chain serves coarse:\n$backPlan")
+  }
+
   test("% is the exact truncated remainder; zero modulus drops/rejects") {
     // vector % scalar on the micro-unit integers: 3.5 % 2 = 1.5,
     // 20.25 % 2 = 0.25 — no rounding anywhere

@@ -671,6 +671,35 @@ class StoreSpec extends SparkSpecBase {
     RollupStore.rollup(spark, path, direct, 3600L)
     assert(rows(coarse) == rows(direct),
       "incremental ladder must equal full recompute")
+
+    // DEPTH 3 (the classic 5m → 1h → 1d retention shape): the day
+    // level builds FROM the hour level and must still equal a direct
+    // raw→86400 rollup field-for-field — exactness compounds through
+    // the chain because every v6 field re-aggregates exactly
+    val day = "/tmp/graft_test/store_ladder_day"
+    val directDay = "/tmp/graft_test/store_ladder_directday"
+    for (p <- Seq(day, directDay))
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    assert(RollupStore.rollupLadder(spark, coarse, day, 86400L) == nDays,
+      "first day-ladder builds every day")
+    RollupStore.rollup(spark, path, directDay, 86400L)
+    assert(rows(day) == rows(directDay),
+      "depth-3 ladder must equal a direct raw rollup field-for-field")
+    // one appended raw row invalidates exactly ONE day at EVERY level
+    // of the chain, and each level reads stale until its own pass
+    SamplesStore.append(
+      samples.filter(expr(s"ts_us DIV 1000000 < $day0End")).limit(1), path)
+    assert(RollupStore.rollup(spark, path, fine, 900L) == 1)
+    assert(RollupStore.rollupLadder(spark, fine, coarse, 3600L) == 1)
+    assert(!RollupStore.freshLadder(spark, coarse, day, 86400L, 0L, 0L),
+      "the day level must gate stale until its own ladder pass")
+    assert(RollupStore.rollupLadder(spark, coarse, day, 86400L) == 1,
+      "one changed hour day rebuilds one day-level day")
+    assert(RollupStore.freshLadder(spark, coarse, day, 86400L, 0L, 0L))
+    fs.delete(new org.apache.hadoop.fs.Path(directDay), true)
+    RollupStore.rollup(spark, path, directDay, 86400L)
+    assert(rows(day) == rows(directDay),
+      "incremental depth-3 ladder must equal full recompute")
   }
 
   test("an interval or schema change always overtakes the stale manifest generation") {

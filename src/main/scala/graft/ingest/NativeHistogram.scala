@@ -227,6 +227,73 @@ object NativeHistogram {
     Some((buckets, h.sum, h.count))
   }
 
+  /** histogram_quantile over ONE native sample — the Prometheus 3.x
+    * NATIVE estimator (promql/quantile.go's histogramQuantile):
+    * buckets iterate in ascending-bound order (negatives by
+    * descending index, the zero bucket, positives ascending; only
+    * POPULATED buckets participate); the bucket holding
+    * rank = q·count interpolates EXPONENTIALLY — on a log2 scale
+    * every exponential bucket has equal width, so the fraction
+    * splits the log-bounds linearly and exponentiates back — except
+    * a zero-spanning bucket, which stays linear (its bounds cross
+    * zero, where the log scale degenerates). A one-sided histogram
+    * tightens the zero bucket's far bound to 0. q<0 → -Inf, q>1 →
+    * +Inf, an empty histogram → NaN.
+    *
+    * This deliberately DIFFERS from the classic piecewise-linear
+    * estimate graft's default surface computes over the `_bucket`
+    * expansion — the same difference a real Prometheus shows between
+    * a native series and its classic twin. Classic remains the
+    * default; the native path is opt-in (PromQL.eval's nativeHist). */
+  def quantile(q: Double, h: Hist): Double = {
+    if (q < 0) return Double.NegativeInfinity
+    if (q > 1) return Double.PositiveInfinity
+    if (h.count == 0 || q.isNaN) return Double.NaN
+    if (h.schema < -4 || h.schema > 8) return Double.NaN
+    val base = math.pow(2.0, math.pow(2.0, -h.schema))
+    val neg = spanIndices(h.negSpans)
+      .zip(absCounts(h.negDeltas, h.negCounts))
+      .filter(_._2 != 0.0d).sortBy(-_._1)
+      .map { case (i, c) => (-math.pow(base, i), -math.pow(base, i - 1), c) }
+    val zero =
+      if (h.zeroCount != 0.0d) Seq((-h.zeroThreshold, h.zeroThreshold, h.zeroCount))
+      else Nil
+    val pos = spanIndices(h.posSpans)
+      .zip(absCounts(h.posDeltas, h.posCounts))
+      .filter(_._2 != 0.0d).sortBy(_._1)
+      .map { case (i, c) => (math.pow(base, i - 1), math.pow(base, i), c) }
+    val buckets = neg ++ zero ++ pos
+    if (buckets.isEmpty) return Double.NaN
+    val rank = q * h.count
+    var cum = 0.0d
+    var idx = 0
+    while (idx < buckets.length - 1 && cum + buckets(idx)._3 < rank) {
+      cum += buckets(idx)._3
+      idx += 1
+    }
+    var (lower, upper, cnt) = buckets(idx)
+    if (lower < 0 && upper > 0) {
+      // the zero bucket of a one-sided histogram: 0 is the true far
+      // bound on the unpopulated side
+      if (neg.isEmpty && pos.nonEmpty) lower = 0.0d
+      else if (pos.isEmpty && neg.nonEmpty) upper = 0.0d
+    }
+    val fraction = (rank - cum) / cnt
+    if (lower <= 0 && upper >= 0)
+      lower + (upper - lower) * fraction // linear across/touching zero
+    else {
+      val logLower = log2(math.abs(lower))
+      val logUpper = log2(math.abs(upper))
+      if (lower > 0)
+        exp2(logLower + (logUpper - logLower) * fraction)
+      else
+        -exp2(logUpper + (logLower - logUpper) * (1 - fraction))
+    }
+  }
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+  private def exp2(x: Double): Double = math.pow(2.0, x)
+
   /** Expand one histogram into classic ingested samples under
     * `metric`'s name (labels already sorted "k=v" WITHOUT le). */
   def toClassicSamples(metric: String, labels: Seq[String],

@@ -716,6 +716,18 @@ object HttpServe {
                           RemoteWrite.ladderPathFor(storePath), l))
                       PromQL.RollupGrid(storePath,
                         RemoteWrite.rollupPathFor(storePath), iv, coarser)
+                    },
+                  // opt-in native estimator over the hist sibling
+                  nativeHist =
+                    if (!RemoteWrite.nativeHistogramQuantile) None
+                    else {
+                      val hp = RemoteWrite.histPath(storePath)
+                      val p = new org.apache.hadoop.fs.Path(hp)
+                      if (p.getFileSystem(
+                          spark.sparkContext.hadoopConfiguration).exists(p)) {
+                        val h = SamplesStore.read(spark, hp)
+                        if (h.columns.contains("hist")) Some(h) else None
+                      } else None
                     })
                 // bound the collect IN-PLAN, like the metadata caps
                 .limit(MaxQueryCells + 1)
@@ -1118,6 +1130,8 @@ object HttpServe {
           RemoteWrite.otlpConvertDelta.toString,
         "write.otlp-translation-suffixes" ->
           RemoteWrite.otlpTranslationSuffixes.toString,
+        "promql.native-histogram-quantile" ->
+          RemoteWrite.nativeHistogramQuantile.toString,
         "rule.record-count" -> RemoteWrite.recordingRules.size.toString,
         "rule.alert-count" -> HttpServe.alertRules.size.toString,
         // wire-format drop ledger (see OpsMetrics): Prometheus 3.x

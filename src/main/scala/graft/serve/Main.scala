@@ -23,6 +23,7 @@ final case class ServeConfig(
     rollupLadderIntervalSec: Long = 0L,
     recordRules: Seq[String] = Nil,
     alertRules: Seq[String] = Nil,
+    nativeHistogramQuantile: Boolean = false,
     debug: Boolean = false) {
 
   /** [address:]port → port int (main.go:93-95 prefixes ":" when no
@@ -133,6 +134,8 @@ object Main {
       case "-store.rollup-interval-sec" :: v :: t => loop(t, c.copy(rollupIntervalSec = v.toLong))
       case "-store.rollup-ladder-interval-sec" :: v :: t =>
         loop(t, c.copy(rollupLadderIntervalSec = v.toLong))
+      case "-promql.native-histogram-quantile" :: t =>
+        loop(t, c.copy(nativeHistogramQuantile = true))
       case "-rule.record" :: v :: t => loop(t, c.copy(recordRules = c.recordRules :+ v))
       case "-rule.alert" :: v :: t => loop(t, c.copy(alertRules = c.alertRules :+ v))
       // main.go:89's -debug (zap debug logging) — here it lifts the
@@ -164,6 +167,7 @@ object Main {
     HttpServe.alertRules = cfg.parsedAlertRules
     RemoteWrite.rollupIntervalSec = cfg.rollupIntervalSec
     RemoteWrite.rollupLadderIntervalSec = cfg.rollupLadderIntervalSec
+    RemoteWrite.nativeHistogramQuantile = cfg.nativeHistogramQuantile
     val server = HttpServe.start(spark, cfg.storePath, cfg.port,
       cfg.ignoreLabelOpt, cfg.readIgnoreHints, cfg.maxReadSamples)
     // main.go:157-162's "listening" log line, then serve forever.

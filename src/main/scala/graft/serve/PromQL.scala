@@ -1466,7 +1466,8 @@ object PromQL {
   def eval(samples: DataFrame, expr0: Expr, startSec: Long, endSec: Long,
            stepSec: Long, lookbackSec: Long = DefaultLookbackSec,
            rollup: Option[RollupGrid] = None,
-           ignoreLabel: Option[String] = Some("remote=clickhouse")): DataFrame = {
+           ignoreLabel: Option[String] = Some("remote=clickhouse"),
+           nativeHist: Option[DataFrame] = None): DataFrame = {
     require(stepSec > 0, "step must be positive")
     require(endSec >= startSec, "end must be >= start")
     // Common-subexpression reuse: a dashboard expression routinely
@@ -1490,7 +1491,7 @@ object PromQL {
     def rec(e: Expr, s: Long, en: Long): DataFrame =
       memo.getOrElseUpdate((e, s, en), {
         val df = evalNode(samples, e, s, en, stepSec, lookbackSec, rollup,
-          ignoreLabel, rec)
+          ignoreLabel, rec, nativeHist)
         if (shared(e)) df.persist(StorageLevel.MEMORY_AND_DISK) else df
       })
     rec(expr0, startSec, endSec)
@@ -1603,7 +1604,8 @@ object PromQL {
                        endSec: Long, stepSec: Long, lookbackSec: Long,
                        rollup: Option[RollupGrid],
                        ignoreLabel: Option[String],
-                       rec: (Expr, Long, Long) => DataFrame): DataFrame = {
+                       rec: (Expr, Long, Long) => DataFrame,
+                       nativeHist: Option[DataFrame] = None): DataFrame = {
     // `offset o` shifts every window back by o: evaluate the
     // unshifted form on the grid translated to (start-o, end-o), then
     // put the grid timestamps back — exact, and every downstream
@@ -1683,7 +1685,9 @@ object PromQL {
       case MathFn(fn, child, args) =>
         mathProject(rec(child, startSec, endSec), fn, args)
       case HistQ(q, child) =>
-        histQuantile(rec(child, startSec, endSec), q)
+        nativeHistQ(q, child, startSec, endSec, stepSec, lookbackSec,
+          ignoreLabel, nativeHist)
+          .getOrElse(histQuantile(rec(child, startSec, endSec), q))
       case HistFrac(lo, hi, child) =>
         histFraction(rec(child, startSec, endSec), lo, hi)
       case HistStd(dev, child) =>
@@ -2714,6 +2718,54 @@ object PromQL {
           "/ (arm.c - arm.prev_c), le_max) * 1000000 + 0.5) AS BIGINT)")
           .as("v_e6"))
   }
+
+  /** Opt-in NATIVE histogram_quantile: when the caller hands the
+    * sibling hist store (PromQL.eval's nativeHist — the flag; None
+    * keeps today's classic path) AND the argument is a plain instant
+    * selector naming a metric that actually holds native samples in
+    * the window, evaluate Prometheus 3.x's native estimator
+    * (NativeHistogram.quantile, exponential-bucket interpolation)
+    * instead of desugaring onto the classic `_bucket` expansion.
+    * The prompb decode + per-sample estimate run in ONE
+    * mapPartitions pass (a wire-codec leg, like the ingest side);
+    * instant-vector alignment then rides the standard [[instant]]
+    * helper, and the metric name drops like the classic path's.
+    * NaN estimates (empty histograms) drop — the same stand-in
+    * [[histQuantile]] uses for Prometheus's NaN. */
+  private def nativeHistQ(q: Double, child: Expr, startSec: Long,
+                          endSec: Long, stepSec: Long, lookbackSec: Long,
+                          ignoreLabel: Option[String],
+                          nativeHist: Option[DataFrame]): Option[DataFrame] =
+    nativeHist.flatMap { hs =>
+      child match {
+        case Instant(ms, off) if ms.exists(m =>
+            m.mtype == MatcherType.Eq && m.name == Matchers.NameLabel) =>
+          val s = startSec - off; val e = endSec - off
+          val pruned = SeriesRead.timeBound(hs,
+            (s - lookbackSec + 1) * 1000L, e * 1000L)
+            .filter(Matchers.compilePromQL(ms, ignoreLabel))
+          if (pruned.isEmpty) None // no native samples → classic path
+          else Some {
+            val sp = hs.sparkSession
+            import sp.implicits._
+            val est = pruned.select(col("ts_us"), col("metric"),
+                col("labels"), col("hist"))
+              .as[(Long, String, Seq[String], Array[Byte])]
+              .mapPartitions(_.map { case (ts, m, ls, b) =>
+                (ts, m, ls, graft.ingest.NativeHistogram.quantile(q,
+                  graft.ingest.NativeHistogram.decode(
+                    graft.ingest.ProtoWire.reader(b))))
+              })
+              .toDF("ts_us", "metric", "labels", "value")
+              .filter(!isnan(col("value")))
+            instant(est, ms, s, e, stepSec, lookbackSec, ignoreLabel)
+              .withColumn("t", col("t") + off)
+              .select(lit(null).cast("string").as("metric"),
+                col("labels"), col("t"), col("v_e6"))
+          }
+        case _ => None
+      }
+    }
 
   /** histogram_fraction(lo, hi, child): the estimated fraction of
     * observations in (lo, hi], over the same dynamic cumulative

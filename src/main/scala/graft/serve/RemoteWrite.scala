@@ -81,6 +81,15 @@ object RemoteWrite {
     * /api/v1/status/flags as write.otlp-translation-suffixes. */
   @volatile var otlpTranslationSuffixes: Boolean = false
 
+  /** Opt-in NATIVE histogram_quantile (Prometheus 3.x's
+    * exponential-bucket estimator over the sibling hist store's
+    * native samples — PromQL.nativeHistQ). OFF by default: the
+    * classic piecewise-linear estimate over the `_bucket` expansion
+    * stays graft's documented surface. Surfaced on
+    * /api/v1/status/flags as promql.native-histogram-quantile;
+    * `-promql.native-histogram-quantile` enables. */
+  @volatile var nativeHistogramQuantile: Boolean = false
+
   /** The rollup twin of a store path (kept next to the store so the
     * pair moves together). */
   def rollupPathFor(storePath: String): String = storePath + "_rollup"

@@ -1802,6 +1802,61 @@ class PromQLSpec extends SparkSpecBase {
     assert(backPlan.contains("_day"), s"the folded chain serves coarse:\n$backPlan")
   }
 
+  test("native histogram_quantile: exponential estimator behind the flag, classic default") {
+    import spark.implicits._
+    import graft.ingest.NativeHistogram
+    // schema 0 (base 2): zero bucket [-0.5, 0.5] count 1, (0.5,1]
+    // count 2, (1,2] count 3 — total 6
+    val h = NativeHistogram.Hist(0L, 6.0, 10.0, 0, 0.5, 1.0,
+      Seq((0, 2)), Seq(2L, 1L), Nil, Nil, Nil, Nil)
+    // ESTIMATOR pins: q=0.75 → rank 4.5 lands mid-(1,2]; native
+    // splits the LOG bounds (2^0.5), classic linear says 1.5 — the
+    // exact native-vs-classic difference a real Prometheus shows
+    assert(NativeHistogram.quantile(0.75, h) === math.pow(2.0, 0.5))
+    // rank at a bucket edge agrees with linear (fraction 1)
+    assert(NativeHistogram.quantile(0.5, h) === 1.0)
+    // rank inside the zero bucket stays LINEAR (log degenerates),
+    // and the one-sided histogram (no negatives) tightens the zero
+    // bucket's lower bound to 0: rank 0.5 of count 1 → 0.25
+    assert(NativeHistogram.quantile(1.0 / 12, h) === 0.25)
+    assert(NativeHistogram.quantile(-0.1, h).isNegInfinity)
+    assert(NativeHistogram.quantile(1.5, h).isPosInfinity)
+    assert(NativeHistogram.quantile(0.5,
+      h.copy(count = 0.0)).isNaN)
+    // negative-bucket mirror: all mass in (-2,-1] — q=0.5 lands
+    // mid-bucket, mirrored exponential
+    val hn = NativeHistogram.Hist(0L, 2.0, -3.0, 0, 0.0, 0.0,
+      Nil, Nil, Nil, Seq((1, 1)), Seq(2L), Nil)
+    assert(NativeHistogram.quantile(0.5, hn) ===
+      -math.pow(2.0, 0.0 + (1.0 - 0.0) * (1 - 0.5)))
+    // END TO END: the native store serves 2^0.5 where the classic
+    // _bucket expansion of the SAME histogram serves 1.5
+    val tsMs = (T0 + 60) * 1000L
+    val h2 = h.copy(timestampMs = tsMs)
+    val histDf = Seq((tsMs * 1000L, "hm", Seq("k=v"),
+      NativeHistogram.encode(h2))).toDF("ts_us", "metric", "labels", "hist")
+    val classic = NativeHistogram.toClassicSamples("hm", Seq("k=v"), h2).get
+      .map(s => (s.ts_us, s.metric, s.labels, s.value))
+      .toDF("ts_us", "metric", "labels", "value")
+    val eNative = parse("histogram_quantile(0.75, hm)").toOption.get
+    val eClassic = parse("histogram_quantile(0.75, hm_bucket)").toOption.get
+    val native = rows(PromQL.eval(classic, eNative, T0 + 60, T0 + 60, 60L,
+      nativeHist = Some(histDf)))
+    assert(native === Set(("", "k=v", T0 + 60, 1414214L)),
+      s"native estimator must serve 2^0.5: $native")
+    val classicRes = rows(PromQL.eval(classic, eClassic, T0 + 60, T0 + 60, 60L))
+    assert(classicRes === Set(("", "k=v", T0 + 60, 1500000L)),
+      s"classic linear must serve 1.5: $classicRes")
+    // flag off (no store handed): the native-syntax query over the
+    // classic store finds no le-labeled series — today's default
+    assert(rows(PromQL.eval(classic, eNative, T0 + 60, T0 + 60, 60L)).isEmpty)
+    // store handed but metric absent from it: falls back to classic
+    val otherDf = Seq(((T0 + 60) * 1000000L, "other", Seq("k=v"),
+      NativeHistogram.encode(h2))).toDF("ts_us", "metric", "labels", "hist")
+    assert(rows(PromQL.eval(classic, eClassic, T0 + 60, T0 + 60, 60L,
+      nativeHist = Some(otherDf))) === classicRes)
+  }
+
   test("% is the exact truncated remainder; zero modulus drops/rejects") {
     // vector % scalar on the micro-unit integers: 3.5 % 2 = 1.5,
     // 20.25 % 2 = 0.25 — no rounding anywhere

@@ -1730,6 +1730,7 @@ class ServeSpec extends SparkSpecBase {
       assert(fbody.contains(s""""store.path":"${store.replace("\\", "\\\\")}""""))
       assert(fbody.contains(""""read.ignore-label":"remote=clickhouse""""))
       assert(fbody.contains(""""write.otlp-translation-suffixes":"false""""))
+      assert(fbody.contains(""""promql.native-histogram-quantile":"false""""))
       // exemplars: a store that never saw one answers the truthful
       // empty set; a missing query parameter is the client's error
       assert(get(s"$base/api/v1/query_exemplars?query=up") ===

@@ -100,6 +100,16 @@ object Bench {
     // run reports in "errors" instead of masquerading as fast.
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       spark.sqlContext.clearCache()
+      // localCheckpoint blocks (kmeans/components/BPE iterative
+      // loops, stream-dedup fixtures) are INVISIBLE to clearCache —
+      // they are raw persisted RDDs, reclaimed only when a JVM GC
+      // lets ContextCleaner notice the dropped references. On this
+      // heap a full GC is rare, so blocks piled up across the
+      // ~200-query suite and the resulting eviction/spill pressure
+      // landed on whichever queries ran late in a pass — the r17
+      // "bimodal" band on untouched paths. Drop them
+      // deterministically before every timed run instead.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
@@ -108,8 +118,15 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // a full GC at pass boundaries drains soft references and lets
+    // codegen classloaders unload — between passes, never inside a
+    // timed run, so collection work is not attributed to a random
+    // query mid-pass
     val colds = selected.map { case (name, fn) => name -> time(fn) }.toMap
-    val warmPasses = Seq.fill(3)(selected.map { case (name, fn) => name -> time(fn) }.toMap)
+    val warmPasses = Seq.fill(3) {
+      System.gc()
+      selected.map { case (name, fn) => name -> time(fn) }.toMap
+    }
     val results = selected.map { case (name, _) =>
       val (cold, okCold) = colds(name)
       val warms = warmPasses.map(_(name))

@@ -239,10 +239,13 @@ object Similarity {
     * (cent_id, salt) — every (a, b) pair still meets EXACTLY once
     * (b has one salt; a is present at all of them), so keep/drop
     * semantics are bit-identical at every size, but the per-key
-    * pair count is bounded by c·saltTarget instead of c². Clusters
-    * at or under the target get one salt — the plan degenerates to
-    * the unsalted join. The salt is id-arithmetic (no engine hash),
-    * so the oracle replay stays engine-portable. */
+    * pair count is bounded by c·saltTarget instead of c². The
+    * decision is driver-side over the k-row cluster-size table
+    * (k-bounded collect, like the rollup freshness gates): when
+    * every cluster fits the target the UNSALTED single-key plan
+    * runs unchanged — zero overhead on the default path. The salt
+    * is id-arithmetic (no engine hash), so the oracle replay stays
+    * engine-portable. */
   def semanticKeep(embeddings: DataFrame, k: Int, iters: Int,
                    tauE6: Long,
                    saltTarget: Int = DefaultSemDedupSaltTarget): DataFrame = {
@@ -252,25 +255,47 @@ object Similarity {
         "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))").as("v"))
       .withColumn("nrm",
         expr("sqrt(graft_dot(CAST(v AS ARRAY<DOUBLE>), CAST(v AS ARRAY<DOUBLE>)))"))
-    // k tiny rows — broadcast so the salt factor reaches both sides
-    // without a shuffle
-    val sizes = assigned.groupBy(col("cent_id"))
-      .agg(count(lit(1)).as("c_n"))
-      .withColumn("n_salt",
-        expr(s"CAST(ceil(c_n / CAST($saltTarget AS DOUBLE)) AS BIGINT)"))
-      .select(col("cent_id"), col("n_salt"))
-    val m = assigned.select(col("vec_id"), col("cent_id")).join(pts, "vec_id")
-      .join(broadcast(sizes), "cent_id")
-    val a = m.select(col("cent_id"), col("vec_id").as("id_a"),
-      col("v").as("va"), col("nrm").as("na"),
-      explode(expr("sequence(0, n_salt - 1)")).as("salt"))
-    val b = m.select(col("cent_id"), col("vec_id").as("id_b"),
-      col("v").as("vb"), col("nrm").as("nb"),
-      pmod(col("vec_id"), col("n_salt")).as("salt"))
+    // k tiny rows — resolve the skew decision DRIVER-SIDE (like the
+    // rollup freshness gates): when every cluster fits the target,
+    // the unsalted single-key plan runs with ZERO added overhead
+    // (no size broadcast, no probe replication); results are
+    // identical either way, only the partitioning differs
+    // ONE materialization of (assignment ⋈ vectors): the size probe
+    // and BOTH self-join sides read these checkpoint blocks instead
+    // of re-running the assignment pass per consumer (the self-join
+    // alone would evaluate the subtree twice) — linear state, the
+    // same budget kmeans' own per-round checkpoints already spend
+    val m0 = assigned.select(col("vec_id"), col("cent_id")).join(pts, "vec_id")
+      .localCheckpoint(true)
+    val sizeRows = m0.groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("c_n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val needSalt = sizeRows.exists(_._2 > saltTarget)
+    val (a, b, joinKeys) =
+      if (!needSalt)
+        (m0.select(col("cent_id"), col("vec_id").as("id_a"),
+           col("v").as("va"), col("nrm").as("na")),
+         m0.select(col("cent_id"), col("vec_id").as("id_b"),
+           col("v").as("vb"), col("nrm").as("nb")),
+         Seq("cent_id"))
+      else {
+        import embeddings.sparkSession.implicits._
+        val sizes = sizeRows.toSeq.map { case (cid, n) =>
+          (cid, math.max(1L, (n + saltTarget - 1) / saltTarget))
+        }.toDF("cent_id", "n_salt")
+        val m = m0.join(broadcast(sizes), "cent_id")
+        (m.select(col("cent_id"), col("vec_id").as("id_a"),
+           col("v").as("va"), col("nrm").as("na"),
+           explode(expr("sequence(0, n_salt - 1)")).as("salt")),
+         m.select(col("cent_id"), col("vec_id").as("id_b"),
+           col("v").as("vb"), col("nrm").as("nb"),
+           pmod(col("vec_id"), col("n_salt")).as("salt")),
+         Seq("cent_id", "salt"))
+      }
     // a vector drops when ANY lower-id cluster member sits within
     // the ε-ball; the floor-snapped integer cosine is the comparison
     // both engines make identically
-    val dropped = a.join(b, Seq("cent_id", "salt"))
+    val dropped = a.join(b, joinKeys)
       .filter(col("id_a") < col("id_b"))
       .filter(expr("CAST(floor(" +
         "graft_dot(CAST(va AS ARRAY<DOUBLE>), CAST(vb AS ARRAY<DOUBLE>)) / (na * nb)" +

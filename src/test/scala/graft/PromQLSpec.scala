@@ -1857,6 +1857,66 @@ class PromQLSpec extends SparkSpecBase {
       nativeHist = Some(otherDf))) === classicRes)
   }
 
+  test("native quantile estimator fuzz: monotone in q, bounded by the bucket range") {
+    import graft.ingest.NativeHistogram
+    val rnd = new scala.util.Random(11)
+    (0 until 300).foreach { trial =>
+      val schema = rnd.nextInt(13) - 4
+      val base = math.pow(2.0, math.pow(2.0, -schema))
+      // indices ≥ 1 keep every exponential bound at or above 1 (and
+      // at or below −1 on the mirror), clear of the zero bucket —
+      // the shape real senders produce (zeroTh below the smallest
+      // populated bound); overlapping geometries are sender bugs
+      def side(): (Seq[(Int, Int)], Seq[Long]) = {
+        if (rnd.nextInt(3) == 0) (Nil, Nil)
+        else {
+          val spans = (0 until 1 + rnd.nextInt(2)).map(i =>
+            (if (i == 0) 1 + rnd.nextInt(3) else 1 + rnd.nextInt(3),
+              1 + rnd.nextInt(3)))
+          val n = spans.map(_._2).sum
+          val counts = Seq.fill(n)(rnd.nextInt(20).toLong + (if (rnd.nextBoolean()) 1L else 0L))
+          val deltas = counts.head +: (1 until n).map(i => counts(i) - counts(i - 1))
+          (spans, deltas)
+        }
+      }
+      val (posSpans, posDeltas) = side()
+      val (negSpans, negDeltas) = side()
+      val zeroCount = if (rnd.nextBoolean()) rnd.nextInt(10).toLong else 0L
+      val zeroTh = if (zeroCount > 0) 0.5 else 0.0
+      def absSum(sp: Seq[(Int, Int)], d: Seq[Long]): Long =
+        if (sp.isEmpty) 0L
+        else d.scanLeft(0L)(_ + _).drop(1).sum
+      val total = absSum(posSpans, posDeltas) + absSum(negSpans, negDeltas) + zeroCount
+      if (total > 0 && absSum(posSpans, posDeltas) >= 0 && absSum(negSpans, negDeltas) >= 0) {
+        val h = NativeHistogram.Hist(0L, total.toDouble, 1.0, schema, zeroTh,
+          zeroCount.toDouble, posSpans, posDeltas, Nil, negSpans, negDeltas, Nil)
+        val qs = Seq(0.0, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+        val vs = qs.map(NativeHistogram.quantile(_, h))
+        vs.zip(vs.tail).foreach { case (a, b) =>
+          assert(a <= b + math.max(math.abs(a), math.abs(b)) * 1e-9 + 1e-12,
+            s"trial $trial: not monotone: $qs -> $vs on $h")
+        }
+        def idx(sp: Seq[(Int, Int)]): Seq[Int] = {
+          var i = 0; sp.flatMap { case (off, len) => i += off; val r = (i until i + len); i += len; r }
+        }
+        val maxUpper =
+          if (posSpans.nonEmpty) math.pow(base, idx(posSpans).max)
+          else if (zeroCount > 0) zeroTh
+          else -math.pow(base, idx(negSpans).min - 1)
+        val minLower =
+          if (negSpans.nonEmpty) -math.pow(base, idx(negSpans).max)
+          else if (zeroCount > 0) -zeroTh
+          else math.pow(base, idx(posSpans).min - 1)
+        // the exp2(log2(x)) round-trip at fraction 0/1 wobbles a few
+        // ulps — bound checks carry a symmetric relative epsilon
+        assert(vs.last <= maxUpper + math.abs(maxUpper) * 1e-9 + 1e-12,
+          s"trial $trial: q=1 ${vs.last} above max bound $maxUpper on $h")
+        assert(vs.head >= minLower - math.abs(minLower) * 1e-9 - 1e-12,
+          s"trial $trial: q=0 ${vs.head} below min bound $minLower on $h")
+      }
+    }
+  }
+
   test("% is the exact truncated remainder; zero modulus drops/rejects") {
     // vector % scalar on the micro-unit integers: 3.5 % 2 = 1.5,
     // 20.25 % 2 = 0.25 — no rounding anywhere

@@ -294,6 +294,70 @@ object NativeHistogram {
   private def log2(x: Double): Double = math.log(x) / math.log(2.0)
   private def exp2(x: Double): Double = math.pow(2.0, x)
 
+  /** histogram_fraction(lo, hi) over ONE native sample — the
+    * estimated fraction of observations in [lo, hi], Prometheus's
+    * native-only function (promql/quantile.go histogramFraction),
+    * [[quantile]]'s inverse direction: walk the populated buckets in
+    * ascending-bound order accumulating rank; a boundary landing
+    * INSIDE a bucket interpolates its partial rank EXPONENTIALLY
+    * (log2 split, the same scale the quantile uses), linearly inside
+    * the zero bucket; a boundary at or below a bucket's lower bound
+    * fixes that rank at the cumulative count. NaN bounds or an empty
+    * histogram → NaN; lo ≥ hi → 0. The inverse relationship
+    * fraction(-∞, quantile(q)) = q holds wherever the quantile lands
+    * strictly inside a populated bucket (PromQLSpec fuzzes it). */
+  def fraction(lo: Double, hi: Double, h: Hist): Double = {
+    if (h.count == 0 || lo.isNaN || hi.isNaN) return Double.NaN
+    if (lo >= hi) return 0.0
+    if (h.schema < -4 || h.schema > 8) return Double.NaN
+    val base = math.pow(2.0, math.pow(2.0, -h.schema))
+    val neg = spanIndices(h.negSpans)
+      .zip(absCounts(h.negDeltas, h.negCounts))
+      .filter(_._2 != 0.0d).sortBy(-_._1)
+      .map { case (i, c) => (-math.pow(base, i), -math.pow(base, i - 1), c) }
+    val zero =
+      if (h.zeroCount != 0.0d) Seq((-h.zeroThreshold, h.zeroThreshold, h.zeroCount))
+      else Nil
+    val pos = spanIndices(h.posSpans)
+      .zip(absCounts(h.posDeltas, h.posCounts))
+      .filter(_._2 != 0.0d).sortBy(_._1)
+      .map { case (i, c) => (math.pow(base, i - 1), math.pow(base, i), c) }
+    val buckets = neg ++ zero ++ pos
+    if (buckets.isEmpty) return Double.NaN
+    var rank = 0.0d
+    var lowerRank = -1.0d; var upperRank = -1.0d
+    var idx = 0
+    while (idx < buckets.length && (lowerRank < 0 || upperRank < 0)) {
+      var (bLo, bHi, cnt) = buckets(idx)
+      val zeroBucket = bLo < 0 && bHi > 0
+      if (zeroBucket) {
+        if (neg.isEmpty && pos.nonEmpty) bLo = 0.0d
+        else if (pos.isEmpty && neg.nonEmpty) bHi = 0.0d
+      }
+      def partial(v: Double): Double =
+        if (zeroBucket) rank + cnt * (v - bLo) / (bHi - bLo)
+        else {
+          val logLo = log2(math.abs(bLo)); val logHi = log2(math.abs(bHi))
+          val logV = log2(math.abs(v))
+          val f =
+            if (v > 0) (logV - logLo) / (logHi - logLo)
+            else 1.0 - (logV - logHi) / (logLo - logHi)
+          rank + cnt * f
+        }
+      if (lowerRank < 0 && bLo >= lo) lowerRank = rank
+      if (upperRank < 0 && bLo >= hi) upperRank = rank
+      if (lowerRank < 0 && bLo < lo && bHi > lo) lowerRank = partial(lo)
+      if (upperRank < 0 && bLo < hi && bHi > hi) upperRank = partial(hi)
+      rank += cnt
+      idx += 1
+    }
+    val lr = if (lowerRank < 0 || lowerRank > h.count) h.count
+             else lowerRank
+    val ur = if (upperRank < 0 || upperRank > h.count) h.count
+             else upperRank
+    (ur - lr) / h.count
+  }
+
   /** Expand one histogram into classic ingested samples under
     * `metric`'s name (labels already sorted "k=v" WITHOUT le). */
   def toClassicSamples(metric: String, labels: Seq[String],

@@ -1689,7 +1689,9 @@ object PromQL {
           ignoreLabel, nativeHist)
           .getOrElse(histQuantile(rec(child, startSec, endSec), q))
       case HistFrac(lo, hi, child) =>
-        histFraction(rec(child, startSec, endSec), lo, hi)
+        nativeHistFrac(lo, hi, child, startSec, endSec, stepSec,
+          lookbackSec, ignoreLabel, nativeHist)
+          .getOrElse(histFraction(rec(child, startSec, endSec), lo, hi))
       case HistStd(dev, child) =>
         // desugar the three legs here (validated at parse) so each
         // rides rec() and CSE-shares with sibling accessor terms
@@ -2736,6 +2738,29 @@ object PromQL {
                           endSec: Long, stepSec: Long, lookbackSec: Long,
                           ignoreLabel: Option[String],
                           nativeHist: Option[DataFrame]): Option[DataFrame] =
+    nativeHistEval(child, graft.ingest.NativeHistogram.quantile(q, _),
+      startSec, endSec, stepSec, lookbackSec, ignoreLabel, nativeHist)
+
+  /** histogram_fraction over native samples — upstream this function
+    * is native-ONLY; graft's classic le-bucket version stays the
+    * default surface and this estimator (exponential interpolation,
+    * NativeHistogram.fraction) serves behind the same flag. */
+  private def nativeHistFrac(lo: Double, hi: Double, child: Expr,
+                             startSec: Long, endSec: Long, stepSec: Long,
+                             lookbackSec: Long, ignoreLabel: Option[String],
+                             nativeHist: Option[DataFrame]): Option[DataFrame] =
+    nativeHistEval(child, graft.ingest.NativeHistogram.fraction(lo, hi, _),
+      startSec, endSec, stepSec, lookbackSec, ignoreLabel, nativeHist)
+
+  /** Shared native-sample evaluation: per-sample scalar estimate
+    * (prompb decode + `est`, one wire-codec mapPartitions pass),
+    * then the standard instant-vector alignment; the metric name
+    * drops like the classic estimators'. */
+  private def nativeHistEval(child: Expr,
+                             est: graft.ingest.NativeHistogram.Hist => Double,
+                             startSec: Long, endSec: Long, stepSec: Long,
+                             lookbackSec: Long, ignoreLabel: Option[String],
+                             nativeHist: Option[DataFrame]): Option[DataFrame] =
     nativeHist.flatMap { hs =>
       child match {
         case Instant(ms, off) if ms.exists(m =>
@@ -2748,17 +2773,16 @@ object PromQL {
           else Some {
             val sp = hs.sparkSession
             import sp.implicits._
-            val est = pruned.select(col("ts_us"), col("metric"),
+            val perSample = pruned.select(col("ts_us"), col("metric"),
                 col("labels"), col("hist"))
               .as[(Long, String, Seq[String], Array[Byte])]
               .mapPartitions(_.map { case (ts, m, ls, b) =>
-                (ts, m, ls, graft.ingest.NativeHistogram.quantile(q,
-                  graft.ingest.NativeHistogram.decode(
-                    graft.ingest.ProtoWire.reader(b))))
+                (ts, m, ls, est(graft.ingest.NativeHistogram.decode(
+                  graft.ingest.ProtoWire.reader(b))))
               })
               .toDF("ts_us", "metric", "labels", "value")
               .filter(!isnan(col("value")))
-            instant(est, ms, s, e, stepSec, lookbackSec, ignoreLabel)
+            instant(perSample, ms, s, e, stepSec, lookbackSec, ignoreLabel)
               .withColumn("t", col("t") + off)
               .select(lit(null).cast("string").as("metric"),
                 col("labels"), col("t"), col("v_e6"))

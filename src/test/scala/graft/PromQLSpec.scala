@@ -1855,6 +1855,31 @@ class PromQLSpec extends SparkSpecBase {
       NativeHistogram.encode(h2))).toDF("ts_us", "metric", "labels", "hist")
     assert(rows(PromQL.eval(classic, eClassic, T0 + 60, T0 + 60, 60L,
       nativeHist = Some(otherDf))) === classicRes)
+
+    // histogram_fraction, the NATIVE-ONLY upstream function, rides
+    // the same flag: estimator pins on the constructed histogram
+    assert(NativeHistogram.fraction(0.0, 1.0, h) === 0.5)
+    assert(NativeHistogram.fraction(1.0, 2.0, h) === 0.5)
+    // interior upper bound: native splits (1,2] on the LOG scale —
+    // F(1.5) = 3 + 3·log2(1.5); classic linear says 3 + 3·0.5
+    val nativeF =
+      ((3.0 + 3.0 * (math.log(1.5) / math.log(2.0))) - 3.0) / 6.0
+    assert(NativeHistogram.fraction(1.0, 1.5, h) === nativeF)
+    assert(NativeHistogram.fraction(2.0, 1.0, h) === 0.0)
+    assert(NativeHistogram.fraction(0.0, 1.0, h.copy(count = 0.0)).isNaN)
+    // the inverse relationship with the quantile
+    assert(math.abs(NativeHistogram.fraction(Double.NegativeInfinity,
+      NativeHistogram.quantile(0.75, h), h) - 0.75) < 1e-9)
+    // e2e: native exponential vs classic linear on the same bounds
+    val eFracN = parse("histogram_fraction(1, 1.5, hm)").toOption.get
+    val eFracC = parse("histogram_fraction(1, 1.5, hm_bucket)").toOption.get
+    val fN = rows(PromQL.eval(classic, eFracN, T0 + 60, T0 + 60, 60L,
+      nativeHist = Some(histDf)))
+    assert(fN === Set(("", "k=v", T0 + 60,
+      math.floor(nativeF * 1e6 + 0.5).toLong)), s"native fraction: $fN")
+    val fC = rows(PromQL.eval(classic, eFracC, T0 + 60, T0 + 60, 60L))
+    assert(fC === Set(("", "k=v", T0 + 60, 250000L)),
+      s"classic fraction must stay linear: $fC")
   }
 
   test("native quantile estimator fuzz: monotone in q, bounded by the bucket range") {
@@ -1913,6 +1938,17 @@ class PromQLSpec extends SparkSpecBase {
           s"trial $trial: q=1 ${vs.last} above max bound $maxUpper on $h")
         assert(vs.head >= minLower - math.abs(minLower) * 1e-9 - 1e-12,
           s"trial $trial: q=0 ${vs.head} below min bound $minLower on $h")
+        // fraction is quantile's inverse: F(-∞, Q(q)) = q (continuous
+        // across bucket seams — a Q value rounding an ulp past a
+        // bound interpolates ~0 into the neighbor)
+        for (q <- Seq(0.137, 0.379, 0.613, 0.871)) {
+          val v = NativeHistogram.quantile(q, h)
+          if (!v.isNaN && !v.isInfinite) {
+            val back = NativeHistogram.fraction(Double.NegativeInfinity, v, h)
+            assert(math.abs(back - q) <= 1e-6,
+              s"trial $trial: fraction(quantile($q)) = $back on $h")
+          }
+        }
       }
     }
   }

@@ -229,6 +229,36 @@ object SparkEntry {
     } finally in.close()
   }
 
+  /** Shared native-histogram SERVING fixture: the deterministic
+    * histBlob request served once (pay-once behind a fingerprinted
+    * marker) into a store whose `_hist` sibling then backs the
+    * native-estimator queries. Returns the sibling store and click's
+    * day grid bounds (seconds). */
+  private def nativeHistFixture(s: SparkSession, dir: String)
+      : (DataFrame, Long, Long) = {
+    val path = workDir("wservehq", dir)
+    payOnce(s, path, s"${srcFingerprint(s, dir, "events")}:hq1") {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        graft.serve.RemoteWrite.histPath(path)), true)
+      val agg = samples(s, dir)
+        .groupBy(col("metric"),
+          expr("ts_us DIV 1000000 DIV 86400 * 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        .sortBy(t => (t._1, t._2))
+      graft.serve.RemoteWrite.serveAll(s, path, Seq(histBlob(agg)))
+      ()
+    }
+    val days = samples(s, dir).filter(col("metric") === "click")
+      .agg(min(expr("ts_us DIV 1000000 DIV 86400 * 86400")),
+        max(expr("ts_us DIV 1000000 DIV 86400 * 86400"))).first()
+    (SamplesStore.read(s, graft.serve.RemoteWrite.histPath(path)),
+      days.getLong(0), days.getLong(1))
+  }
+
   /** Deterministic events-source dir for the streaming queries,
     * built once (`copies` concatenated copies of events) behind a
     * fingerprinted ready-marker — the source is test scaffolding, not
@@ -887,6 +917,34 @@ object SparkEntry {
             "l -> substring(l, 5)), ',')").as("ex_str"),
           expr("ts_us DIV 1000000").as("t_sec"),
           col("value"))
+    }),
+
+    // NATIVE-estimator serving (the opt-in flag path): the same
+    // deterministic native-histogram fixture as write_request_hist_e2e
+    // lands raw prompb bytes in the hist sibling; histogram_quantile /
+    // histogram_fraction evaluate Prometheus 3.x's exponential
+    // estimators over those native samples (NativeHistogram.quantile/
+    // fraction through PromQL.eval's nativeHist), and the oracle
+    // replays the bucket walk + log2/exp2 interpolation in SQL from
+    // the fixture's derivation — the e6 snap absorbs libm ulps
+    "read_native_quantile" -> ((s, dir) => {
+      val (hist, d0, d1) = nativeHistFixture(s, dir)
+      val e = graft.serve.PromQL.parse("histogram_quantile(0.7, click)")
+        .toOption.get
+      graft.serve.PromQL.eval(samples(s, dir), e, d0, d1, 86400L,
+          nativeHist = Some(hist))
+        .select(array_join(col("labels"), ",").as("labels_str"),
+          col("t").as("t_sec"), col("v_e6").as("q_e6"))
+    }),
+
+    "read_native_fraction" -> ((s, dir) => {
+      val (hist, d0, d1) = nativeHistFixture(s, dir)
+      val e = graft.serve.PromQL.parse("histogram_fraction(1, 3, click)")
+        .toOption.get
+      graft.serve.PromQL.eval(samples(s, dir), e, d0, d1, 86400L,
+          nativeHist = Some(hist))
+        .select(array_join(col("labels"), ",").as("labels_str"),
+          col("t").as("t_sec"), col("v_e6").as("f_e6"))
     }),
 
     // ---- §2.2 remote-read path -------------------------------------
@@ -2903,6 +2961,47 @@ object SparkEntry {
          |       CAST(n AS DOUBLE) * 0.25 AS value
          |FROM agg
          |WHERE regexp_matches(metric, '^(?:click|view|purchase)$$')""".stripMargin,
+
+    // the native estimators replayed in SQL: same populated-bucket
+    // walk, same log2/exp2 interpolation with the estimator's own
+    // operation order (logs as ln(x)/ln(2), the Java computation) —
+    // the e6 snap absorbs cross-libm ulps
+    "read_native_quantile" ->
+      s"""$S, agg AS (
+         |  SELECT ts_us // 1000000 // 86400 * 86400 AS day, count(*) AS n
+         |  FROM samples WHERE metric = 'click' GROUP BY 1
+         |), b AS (
+         |  SELECT day, CAST(n % 7 AS DOUBLE) AS a,
+         |         CAST(n % 5 + 1 AS DOUBLE) AS b2, CAST(n % 3 AS DOUBLE) AS c
+         |  FROM agg
+         |), r AS (
+         |  SELECT day, a, b2, c, 0.7 * (a + b2 + c) AS rk FROM b
+         |)
+         |SELECT 'src=hist' AS labels_str, day AS t_sec,
+         |       CAST(floor(CASE
+         |         WHEN a > 0 AND a >= rk
+         |           THEN pow(2, (ln(0.5)/ln(2)) + ((ln(1)/ln(2)) - (ln(0.5)/ln(2))) * (rk / a))
+         |         WHEN a + b2 >= rk
+         |           THEN pow(2, (ln(1)/ln(2)) + ((ln(2)/ln(2)) - (ln(1)/ln(2))) * ((rk - a) / b2))
+         |         ELSE pow(2, (ln(2)/ln(2)) + ((ln(4)/ln(2)) - (ln(2)/ln(2))) * ((rk - (a + b2)) / c))
+         |       END * 1000000 + 0.5) AS BIGINT) AS q_e6
+         |FROM r""".stripMargin,
+
+    "read_native_fraction" ->
+      s"""$S, agg AS (
+         |  SELECT ts_us // 1000000 // 86400 * 86400 AS day, count(*) AS n
+         |  FROM samples WHERE metric = 'click' GROUP BY 1
+         |), b AS (
+         |  SELECT day, CAST(n % 7 AS DOUBLE) AS a,
+         |         CAST(n % 5 + 1 AS DOUBLE) AS b2, CAST(n % 3 AS DOUBLE) AS c
+         |  FROM agg
+         |)
+         |SELECT 'src=hist' AS labels_str, day AS t_sec,
+         |       CAST(floor((((a + b2 + c * (((ln(3)/ln(2)) - (ln(2)/ln(2)))
+         |         / ((ln(4)/ln(2)) - (ln(2)/ln(2))))) - a)
+         |         / CAST(a + b2 + c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         |         AS f_e6
+         |FROM b""".stripMargin,
 
     "read_time_range" -> readAgg(inWin),
 

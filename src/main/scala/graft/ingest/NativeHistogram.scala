@@ -59,7 +59,14 @@ object NativeHistogram {
       /** Which prompb arm the sample arrived on (float fields
         * 2/7/10/13 vs integer 1/6/9/12) — [[encode]] re-emits the
         * same arm so a store-and-forward leg is byte-faithful. */
-      floatForm: Boolean = false)
+      floatForm: Boolean = false,
+      /** prompb Histogram.reset_hint (field 14): 0 UNKNOWN, 1 YES
+        * (this sample is a counter reset), 2 NO, 3 GAUGE (not a
+        * counter at all — values may go up AND down). Round-tripped
+        * through the sibling store so federation keeps the sender's
+        * semantics; [[graft.serve.HistChunks]] maps it onto the
+        * chunk counter-reset header and the gauge cut rules. */
+      resetHint: Int = 0)
 
   private def zigzag(v: Long): Long = (v >>> 1) ^ -(v & 1L)
 
@@ -98,6 +105,7 @@ object NativeHistogram {
     var posDeltas = Seq.empty[Long]; var posCounts = Seq.empty[Double]
     var negDeltas = Seq.empty[Long]; var negCounts = Seq.empty[Double]
     var floatForm = false
+    var resetHint = 0
     while (r.hasMore) {
       val (f, w) = r.readTag()
       (f, w) match {
@@ -118,13 +126,14 @@ object NativeHistogram {
         case (12, 0) => posDeltas = posDeltas :+ zigzag(r.readVarint())
         case (13, 2) => posCounts = posCounts ++ readPackedDouble(r.readMessage()); floatForm = true
         case (13, 1) => posCounts = posCounts :+ r.readDouble(); floatForm = true
+        case (14, 0) => resetHint = r.readVarint().toInt
         case (15, 0) => tsMs = r.readVarint()
         case _       => r.skip(w)
       }
     }
     Hist(tsMs, count, sum, schema, zeroTh, zeroCount,
       posSpans.result(), posDeltas, posCounts,
-      negSpans.result(), negDeltas, negCounts, floatForm)
+      negSpans.result(), negDeltas, negCounts, floatForm, resetHint)
   }
 
   private def zigzagEnc(v: Long): Long = (v << 1) ^ (v >> 63)
@@ -172,6 +181,7 @@ object NativeHistogram {
       h.posCounts.foreach(pw.writeDouble)
       w.writeBytesField(13, pw.toBytes)
     }
+    if (h.resetHint != 0) w.writeVarintField(14, h.resetHint.toLong)
     w.writeVarintField(15, h.timestampMs)
     w.toBytes
   }

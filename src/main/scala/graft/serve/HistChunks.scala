@@ -239,9 +239,12 @@ object HistChunks {
   // ---- encode ----
 
   /** The layout a chunk is cut on: written once per chunk, so a
-    * sample whose own layout differs starts a new chunk. */
+    * sample whose own layout differs starts a new chunk. Gauge-ness
+    * (reset_hint GAUGE) is part of it — gauge samples live in
+    * GaugeType-headed chunks, never mixed with counter samples. */
   private def layoutOf(h: NativeHistogram.Hist) =
-    (h.schema, h.zeroThreshold, h.posSpans, h.negSpans, h.floatForm)
+    (h.schema, h.zeroThreshold, h.posSpans, h.negSpans, h.floatForm,
+      h.resetHint == 3)
 
   private def bucketValues(h: NativeHistogram.Hist, pos: Boolean): Int =
     if (h.floatForm) (if (pos) h.posCounts else h.negCounts).length
@@ -249,7 +252,11 @@ object HistChunks {
 
   /** Ordered (by time) histogram samples of ONE series → chunks.
     * Splits on the 120-sample bound, integer↔float form changes,
-    * layout changes, and counter resets (header-stamped); min/max
+    * layout changes (gauge-ness included), and counter resets —
+    * an explicit reset_hint=YES always cuts; an observed count drop
+    * cuts UNLESS the samples are gauge histograms (gauge values go
+    * up and down freely, exactly why the hint exists); gauge chunks
+    * carry the GaugeType header whatever caused the cut. Min/max
     * times are wire milliseconds like the XOR chunks'. */
   def encodeChunks(hists: Seq[NativeHistogram.Hist]): Seq[PromChunk] = {
     if (hists.isEmpty) return Nil
@@ -267,7 +274,9 @@ object HistChunks {
         "histogram bucket count must match its spans")
       if (run.nonEmpty) {
         val prev = run.last
-        if (h.count < prev.count) flush(CounterReset)
+        val gauge = h.resetHint == 3 && prev.resetHint == 3
+        if (h.resetHint == 1) flush(CounterReset)
+        else if (!gauge && h.count < prev.count) flush(CounterReset)
         else if (layoutOf(h) != layoutOf(run.head)) flush(UnknownCounterReset)
         else if (run.length >= MaxSamplesPerChunk) flush(NotCounterReset)
       }
@@ -283,7 +292,10 @@ object HistChunks {
     val head = run.head
     val w = new Gorilla.BitWriter
     w.writeBits(run.length.toLong, 16) // sample count
-    w.writeByte(header & CounterResetHeaderMask)
+    // gauge chunks carry the GaugeType header regardless of what
+    // cut them (chunkenc's rule — gauge-ness is the chunk's type)
+    w.writeByte(
+      (if (head.resetHint == 3) GaugeType else header) & CounterResetHeaderMask)
     putZeroThreshold(w, head.zeroThreshold)
     putVarbitInt(w, head.schema.toLong)
     putSpans(w, head.posSpans)
@@ -394,12 +406,27 @@ object HistChunks {
   /** Decode one HISTOGRAM / FLOAT_HISTOGRAM chunk body back to its
     * samples — the client leg and the round-trip spec's. `ctype`
     * picks the bucket encoding (the two forms share the envelope
-    * and layout but differ per sample). */
+    * and layout but differ per sample). Per-sample reset hints
+    * reconstruct from the chunk header, chunkenc's iterator rule:
+    * a GaugeType chunk yields GAUGE on every sample; otherwise the
+    * FIRST sample carries the header's verdict (CounterReset→YES,
+    * NotCounterReset→NO, Unknown→UNKNOWN) and every later sample is
+    * NO — non-reset by chunk construction. The original per-sample
+    * hints live in the sibling store's prompb bytes (the SAMPLES
+    * federation leg), not in the chunk body — same lossiness as
+    * chunkenc's. */
   def decodeChunk(data: Array[Byte], ctype: Int): Seq[NativeHistogram.Hist] = {
     if (data.length < 3)
       throw new ProtoWire.WireFormatException("histogram chunk too short")
     val n = ((data(0) & 0xff) << 8) | (data(1) & 0xff)
     if (n == 0) return Nil
+    val header = data(2) & CounterResetHeaderMask
+    def hintFor(i: Int): Int =
+      if (header == GaugeType) 3
+      else if (i > 0) 2
+      else if (header == CounterReset) 1
+      else if (header == NotCounterReset) 2
+      else 0
     val r = new Gorilla.BitReader(data)
     r.readBits(24) // sample count + header byte
     val zeroTh = readZeroThreshold(r)
@@ -452,7 +479,8 @@ object HistChunks {
           while (j < nNeg) { nDelta(j) += readVarbitInt(r); nPrev(j) += nDelta(j); j += 1 }
         }
         out += NativeHistogram.Hist(t, cnt.toDouble, sum, schema, zeroTh,
-          z.toDouble, posSpans, pPrev.toSeq, Nil, negSpans, nPrev.toSeq, Nil)
+          z.toDouble, posSpans, pPrev.toSeq, Nil, negSpans, nPrev.toSeq, Nil,
+          resetHint = hintFor(i))
         i += 1
       }
     } else {
@@ -482,7 +510,8 @@ object HistChunks {
         def d(b: Long) = java.lang.Double.longBitsToDouble(b)
         out += NativeHistogram.Hist(t, d(cntSt.bits), d(sumSt.bits), schema,
           zeroTh, d(zSt.bits), posSpans, Nil, pSt.map(s => d(s.bits)).toSeq,
-          negSpans, Nil, nSt.map(s => d(s.bits)).toSeq, floatForm = true)
+          negSpans, Nil, nSt.map(s => d(s.bits)).toSeq, floatForm = true,
+          resetHint = hintFor(i))
         i += 1
       }
     }

@@ -99,10 +99,13 @@ class HistChunksSpec extends org.scalatest.funsuite.AnyFunSuite {
     val back = chunks.flatMap(c => HistChunks.decodeChunk(c.data, c.ctype))
     assert(back.size === hists.size)
     back.zip(hists).foreach { case (b, h) =>
-      // sums compare on raw bits so NaN payloads count
+      // sums compare on raw bits so NaN payloads count; reset hints
+      // reconstruct from the chunk HEADER (chunkenc's rule), not the
+      // per-sample field — compared separately in the hint tests
       assert(java.lang.Double.doubleToRawLongBits(b.sum) ===
         java.lang.Double.doubleToRawLongBits(h.sum), s"sum of $h")
-      assert(b.copy(sum = 0) === h.copy(sum = 0), s"round-trip of $h")
+      assert(b.copy(sum = 0, resetHint = 0) === h.copy(sum = 0, resetHint = 0),
+        s"round-trip of $h")
     }
     chunks.zip(chunks.drop(1)).foreach { case (a, b) =>
       assert(a.maxTimeMs <= b.minTimeMs, "chunks must stay time-ordered")
@@ -231,6 +234,55 @@ class HistChunksSpec extends org.scalatest.funsuite.AnyFunSuite {
     // every chunk respects the 120 cap
     chunks.foreach(c =>
       assert(HistChunks.decodeChunk(c.data, c.ctype).size <= 120))
+  }
+
+  test("gauge histograms: GaugeType header, no cut on count drops, hints restore") {
+    val spans = Seq((0, 1))
+    def g(t: Long, cnt: Long) =
+      Hist(t, cnt.toDouble, cnt * 0.5, 0, 0.0, 0.0, spans, Seq(cnt), Nil,
+        Nil, Nil, Nil, resetHint = 3)
+    // gauge values go up AND down in one chunk — a count drop must
+    // NOT cut (that's the whole point of the GAUGE hint)
+    val hists = Seq(g(1000, 5), g(2000, 9), g(3000, 2), g(4000, 4))
+    val chunks = HistChunks.encodeChunks(hists)
+    assert(chunks.size === 1, "gauge count drops must not cut")
+    assert(HistChunks.counterResetHeader(chunks.head.data) ===
+      HistChunks.GaugeType)
+    val back = HistChunks.decodeChunk(chunks.head.data, chunks.head.ctype)
+    assert(back === hists, "gauge hints restore from the header on every sample")
+    // gauge-ness is part of the layout: a counter sample cuts
+    val mixed = HistChunks.encodeChunks(hists :+
+      g(5000, 6).copy(resetHint = 0))
+    assert(mixed.size === 2)
+    assert(HistChunks.counterResetHeader(mixed(0).data) === HistChunks.GaugeType)
+    assert(HistChunks.counterResetHeader(mixed(1).data) ===
+      HistChunks.UnknownCounterReset)
+  }
+
+  test("an explicit reset_hint=YES cuts a CounterReset chunk; headers map to hints") {
+    val spans = Seq((0, 1))
+    def h(t: Long, cnt: Long, hint: Int = 0) =
+      Hist(t, cnt.toDouble, 1.0, 0, 0.0, 0.0, spans, Seq(cnt), Nil,
+        Nil, Nil, Nil, resetHint = hint)
+    // the count RISES but the sender flagged a reset — the hint wins
+    val hists = Seq(h(1000, 5), h(2000, 9), h(3000, 11, hint = 1), h(4000, 12))
+    val chunks = HistChunks.encodeChunks(hists)
+    assert(chunks.size === 2, "an explicit YES hint must cut")
+    assert(HistChunks.counterResetHeader(chunks(1).data) ===
+      HistChunks.CounterReset)
+    // decode restores hints chunkenc-style: first sample carries the
+    // header's verdict, later samples are NO by construction
+    val back0 = HistChunks.decodeChunk(chunks(0).data, chunks(0).ctype)
+    assert(back0.map(_.resetHint) === Seq(0, 2))
+    val back1 = HistChunks.decodeChunk(chunks(1).data, chunks(1).ctype)
+    assert(back1.map(_.resetHint) === Seq(1, 2))
+    // the prompb wire itself round-trips the hint byte-faithfully
+    val rt = graft.ingest.NativeHistogram.decode(graft.ingest.ProtoWire.reader(
+      graft.ingest.NativeHistogram.encode(h(3000, 11, hint = 1))))
+    assert(rt === h(3000, 11, hint = 1))
+    val rtG = graft.ingest.NativeHistogram.decode(graft.ingest.ProtoWire.reader(
+      graft.ingest.NativeHistogram.encode(h(1000, 5, hint = 3))))
+    assert(rtG.resetHint === 3)
   }
 
   test("schema 127 writes an empty custom-values section that decodes") {

@@ -178,8 +178,10 @@ class PromCodecSpec extends SparkSpecBase {
     assert(chunks.map(_.ctype) ===
       Seq(HistChunks.TypeHistogram, HistChunks.TypeFloatHistogram))
     assert((chunks(0).minTimeMs, chunks(0).maxTimeMs) === ((1000L, 1500L)))
+    // in-chunk samples past the first reconstruct reset_hint=NO from
+    // the header (chunkenc's iterator rule)
     assert(HistChunks.decodeChunk(chunks(0).data, chunks(0).ctype) ===
-      Seq(intH, intH.copy(timestampMs = 1500L)))
+      Seq(intH, intH.copy(timestampMs = 1500L, resetHint = 2)))
     assert(HistChunks.decodeChunk(chunks(1).data, chunks(1).ctype) === Seq(fltH))
     // the 120-sample bound splits long runs like chunkenc; a run cut
     // for size (no reset — identical counts) stamps NotCounterReset
@@ -187,7 +189,8 @@ class PromCodecSpec extends SparkSpecBase {
     val split = HistChunks.encodeChunks(many)
     assert(split.map(c => HistChunks.decodeChunk(c.data, c.ctype).size) ===
       Seq(120, 120, 10))
-    assert(split.flatMap(c => HistChunks.decodeChunk(c.data, c.ctype)) === many)
+    assert(split.flatMap(c => HistChunks.decodeChunk(c.data, c.ctype))
+      .map(_.copy(resetHint = 0)) === many)
     assert(split.map(c => HistChunks.counterResetHeader(c.data)) ===
       Seq(HistChunks.UnknownCounterReset, HistChunks.NotCounterReset,
         HistChunks.NotCounterReset))

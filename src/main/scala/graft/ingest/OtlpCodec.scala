@@ -82,7 +82,14 @@ object OtlpCodec {
     * "__help=/__type=/__unit=" label encoding PromRemoteCodec
     * .toMetadataRows uses, so both write paths land one store. */
   final case class Decoded(samples: Seq[IngestedSample], droppedPoints: Long,
-                           metadata: Seq[IngestedSample] = Nil)
+                           metadata: Seq[IngestedSample] = Nil,
+                           /** Exponential-histogram points as NATIVE
+                             * prompb Histogram rows for the sibling
+                             * hist store — Prometheus's OTLP receiver
+                             * converts them to native histograms, so
+                             * they federate back on both response
+                             * types like PRW-delivered natives. */
+                           hists: Seq[(Long, String, Seq[String], Array[Byte])] = Nil)
 
   /** application/x-protobuf body → flat ingested samples (legacy
     * shape — drops uncounted; servers use [[decodeExportMetricsCounted]]). */
@@ -111,13 +118,15 @@ object OtlpCodec {
       if (f == 1 && w == 2) readResourceMetrics(r.readMessage(), st)
       else r.skip(w)
     }
-    Decoded(st.out.result(), st.dropped, st.meta.result())
+    Decoded(st.out.result(), st.dropped, st.meta.result(), st.hists.result())
   }
 
   private final class DecodeState {
     val out = Seq.newBuilder[IngestedSample]
     /** Metadata-store rows, one per decoded Metric message. */
     val meta = Seq.newBuilder[IngestedSample]
+    /** Native-histogram sibling rows (exp-histogram points). */
+    val hists = Seq.newBuilder[(Long, String, Seq[String], Array[Byte])]
     var dropped = 0L
     var convertDelta = false
     var translationSuffixes = false
@@ -545,17 +554,30 @@ object OtlpCodec {
         case _ => r.skip(w)
       }
     }
+    // integer-form Hist (intra-sample deltas), the arm Prometheus's
+    // OTLP translator produces — encode() then yields a proper
+    // integer prompb Histogram for the sibling store
+    def toDeltas(cs: Seq[Double]): Seq[Long] = {
+      val longs = cs.map(_.toLong)
+      if (longs.isEmpty) Nil
+      else longs.head +: (1 until longs.size).map(i => longs(i) - longs(i - 1))
+    }
     val h = NativeHistogram.Hist(tNano / 1000000L, count.toDouble,
       if (hasSum) sum else Double.NaN, scale, zeroThreshold,
       zeroCount.toDouble,
       if (pos._2.nonEmpty) Seq((pos._1 + 1, pos._2.size)) else Nil,
-      Nil, pos._2,
+      toDeltas(pos._2), Nil,
       if (neg._2.nonEmpty) Seq((neg._1 + 1, neg._2.size)) else Nil,
-      Nil, neg._2)
+      toDeltas(neg._2), Nil)
     val base = (attrs.result() ++ resource).sorted
     NativeHistogram.toClassicSamples(metric, base, h) match {
-      case Some(rows) => rows.foreach(st.add)
-      case None       => st.dropped += 1
+      case Some(rows) =>
+        rows.foreach(st.add)
+        // the native form also lands in the hist sibling (like a
+        // PRW-delivered native histogram) so the series federates
+        // back on both remote-read response types
+        st.hists += ((tNano / 1000L, metric, base, NativeHistogram.encode(h)))
+      case None => st.dropped += 1
     }
   }
 

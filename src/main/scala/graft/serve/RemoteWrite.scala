@@ -488,8 +488,12 @@ object RemoteWrite {
         m.samplesWritten.add(rows.size.toLong)
         maybeCompactRateLimited(spark, storePath)
       },
-      () => appendMetadata(spark, storePath, dec.metadata)
-    ).zip(Seq(rows.nonEmpty, dec.metadata.nonEmpty))
+      () => appendMetadata(spark, storePath, dec.metadata),
+      // exponential-histogram points land their NATIVE form in the
+      // hist sibling too — Prometheus's OTLP receiver makes native
+      // histograms of them, and this is what lets them federate
+      () => appendHists(spark, storePath, dec.hists)
+    ).zip(Seq(rows.nonEmpty, dec.metadata.nonEmpty, dec.hists.nonEmpty))
       .collect { case (t, true) => t })
     rows.size.toLong
   }

@@ -343,6 +343,26 @@ class ServeSpec extends SparkSpecBase {
         ("exp_lat_sum", "", 7.5),
         ("exp_lat_count", "", 6.0)), back.toString)
       assert(graft.OpsMetrics(spark).otlpDroppedPoints.value === before + 2)
+      // the exponential point ALSO landed its NATIVE form in the
+      // hist sibling (like a PRW native write): a chunked /read on
+      // its own name answers a HISTOGRAM chunk whose sample carries
+      // the OTLP point's exact geometry (integer deltas, zero
+      // threshold, schema 0)
+      val xq = Seq(graft.operators.ReadQuery(1704412800000L,
+        1704412800000L + 60000L,
+        Seq(graft.operators.Matchers.eq("__name__", "exp_lat"))))
+      val (xc, xbody, _) = post(s"$base/read",
+        PromRemoteCodec.encodeReadRequestWithTypes(xq, Seq(1, 0)))
+      assert(xc === 200)
+      val xchunks = for {
+        (_, ss) <- PromRemoteCodec.decodeChunkedFrames(xbody)
+        cs <- ss; c <- cs.chunks
+      } yield c
+      assert(xchunks.map(_.ctype) === Seq(HistChunks.TypeHistogram))
+      assert(HistChunks.decodeChunk(xchunks.head.data, xchunks.head.ctype) ===
+        Seq(graft.ingest.NativeHistogram.Hist(
+          1704412800000L, 6.0, 7.5, 0, 0.001, 1.0,
+          Seq((1, 2)), Seq(2L, 1L), Nil, Nil, Nil, Nil)))
       // a DELTA-temporality histogram rejects like a delta sum
       val dm2 = new ProtoWire.Writer
       dm2.writeStringField(1, "dh")

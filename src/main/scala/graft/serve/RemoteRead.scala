@@ -248,12 +248,19 @@ object RemoteRead {
     * frames follow the float-series frames of the same query, each
     * group in (metric, labels) order. Callers without a sibling
     * store (histStore = None) keep the float-only behavior. */
+  /** Prometheus's streamed remote read caps each frame at ~1 MiB
+    * (storage/remote maxBytesInFrame) — a year-long series must
+    * never materialize one giant message; consecutive frames repeat
+    * the series labels and the client merges them. */
+  val DefaultMaxFrameBytes: Int = 1 << 20
+
   def serveChunked(samples: DataFrame, readRequestBlob: Array[Byte],
                    ignoreLabel: Option[String] = Some("remote=clickhouse"),
                    ignoreHints: Boolean = false,
                    maxSamples: Long = DefaultMaxReadSamples,
                    rollupRoute: Option[RollupRoute] = None,
-                   histStore: Option[DataFrame] = None): Array[Byte] = {
+                   histStore: Option[DataFrame] = None,
+                   maxFrameBytes: Int = DefaultMaxFrameBytes): Array[Byte] = {
     val m = OpsMetrics(samples.sparkSession)
     m.readRequests.add(1)
     try {
@@ -296,11 +303,28 @@ object RemoteRead {
             (metric, rest)
           }(SeriesKeyOrdering)
           .foreach { case (labels, chunks) =>
-            val msg = PromRemoteCodec.encodeChunkedReadResponse(
-              Seq(PromRemoteCodec.PromChunkedSeries(labels, chunks)),
-              qi.toLong)
-            val frame = PromRemoteCodec.chunkedFrame(msg)
-            out.write(frame, 0, frame.length)
+            // split a long series into ≤maxFrameBytes frames (label
+            // repetition per frame, like Prometheus's own streamer);
+            // sortedness is preserved — split frames stay contiguous
+            var batch = Vector.empty[PromRemoteCodec.PromChunk]
+            var batchBytes = 0
+            def emit(): Unit = if (batch.nonEmpty) {
+              val msg = PromRemoteCodec.encodeChunkedReadResponse(
+                Seq(PromRemoteCodec.PromChunkedSeries(labels, batch)),
+                qi.toLong)
+              val frame = PromRemoteCodec.chunkedFrame(msg)
+              out.write(frame, 0, frame.length)
+              batch = Vector.empty
+              batchBytes = 0
+            }
+            chunks.foreach { c =>
+              // ~24 B of per-chunk framing (bounds, type, tags)
+              val sz = c.data.length + 24
+              if (batch.nonEmpty && batchBytes + sz > maxFrameBytes) emit()
+              batch :+= c
+              batchBytes += sz
+            }
+            emit()
           }
       }
       out.toByteArray

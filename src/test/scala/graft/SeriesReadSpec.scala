@@ -236,6 +236,46 @@ class SeriesReadSpec extends SparkSpecBase {
     assert(out.filter(!col("absent") && col("n_points") === 0).count() == 0)
   }
 
+  test("chunked serving splits a long series into capped, contiguous frames") {
+    import graft.ingest.PromRemoteCodec
+    import graft.serve.RemoteRead
+    import spark.implicits._
+    // a DENSE fixture: two series × 500 samples → 5 chunks each (the
+    // 120-sample chunk split), enough for the frame cap to bite
+    val dense = (0 until 500).flatMap(i => Seq(
+      ((1704412800L + i * 15) * 1000000L, "click", Seq("k=a"), i.toDouble),
+      ((1704412800L + i * 15) * 1000000L, "click", Seq("k=b"), i * 2.0)))
+      .toDF("ts_us", "metric", "labels", "value")
+    val q = ReadQuery(1704412800000L, 1704412800000L + 500L * 15000L,
+      Seq(Matchers.eq("__name__", "click")))
+    val blob = PromRemoteCodec.encodeReadRequestWithTypes(Seq(q), Seq(1))
+    def seriesOf(body: Array[Byte]) = PromRemoteCodec.decodeChunkedFrames(body)
+      .flatMap(_._2).map(cs => (cs.labels, cs.chunks))
+    val whole = seriesOf(RemoteRead.serveChunked(dense, blob))
+    assert(whole.size === 2 && whole.forall(_._2.size === 5),
+      s"fixture shape: ${whole.map(_._2.size)}")
+    // a tiny frame cap splits series across CONSECUTIVE frames that
+    // repeat the labels (Prometheus's maxBytesInFrame behavior); the
+    // concatenation reassembles exactly and ordering survives
+    val capped = seriesOf(RemoteRead.serveChunked(dense, blob,
+      maxFrameBytes = 256))
+    assert(capped.size > whole.size, "the cap must split frames")
+    capped.foreach { case (_, chunks) =>
+      assert(chunks.map(c => c.data.length + 24).sum <= 256 || chunks.size == 1,
+        "each multi-chunk frame respects the cap")
+    }
+    def flat(ss: Seq[(Seq[PromRemoteCodec.PromLabel], Seq[PromRemoteCodec.PromChunk])]) =
+      ss.flatMap { case (ls, cs) => cs.map(c => (ls, c.minTimeMs,
+        c.data.toSeq)) }
+    assert(flat(capped) === flat(whole), "reassembly must be exact")
+    // contiguity: a series' frames are adjacent, never interleaved
+    val order = capped.map(_._1)
+    assert(order.distinct.size === order.foldLeft((List.empty[Seq[PromRemoteCodec.PromLabel]], 0)) {
+      case ((seen, n), ls) =>
+        if (seen.headOption.contains(ls)) (seen, n) else (ls :: seen, n + 1)
+    }._2, "split frames must stay contiguous per series")
+  }
+
   test("every declared query returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, Sf).count()

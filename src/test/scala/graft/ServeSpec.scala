@@ -459,6 +459,21 @@ class ServeSpec extends SparkSpecBase {
         "&time=1704412800")
       assert(qc === 200, qb)
       assert(qb.contains(""""value":[1704412800,"1"]"""), qb)
+      // NATIVE-form quantile behind the flag: the same instant on the
+      // native series NAME evaluates the exponential estimator over
+      // the hist sibling — rank 4.5 lands mid-(1,2] → 2^0.5, where
+      // the classic path would interpolate linearly
+      RemoteWrite.nativeHistogramQuantile = true
+      try {
+        val (nc, nb) = get(s"$base/api/v1/query?query=" +
+          java.net.URLEncoder.encode("histogram_quantile(0.75, hm)", "UTF-8") +
+          "&time=1704412800")
+        assert(nc === 200, nb)
+        assert(nb.contains(""""value":[1704412800,"1.414214"]"""), nb)
+        val (fc2, fb2) = get(s"$base/api/v1/status/flags")
+        assert(fc2 === 200)
+        assert(fb2.contains(""""promql.native-histogram-quantile":"true""""))
+      } finally RemoteWrite.nativeHistogramQuantile = false
       // both ledgers visible on the ops surfaces
       val (_, metricsBody) = get(s"$base/metrics")
       assert(metricsBody.contains("write_converted_histograms_total"))

@@ -1264,6 +1264,16 @@ object SparkEntry {
       Similarity.ivfPqTopK(Tables.embeddings(s, dir),
         nQueries = 10, nCentroids = 16, nProbe = 4, k = 10)),
 
+    // IVF with a TRAINED coarse quantizer (the FAISS build shape):
+    // Lloyd centroids over the candidate set replace the
+    // training-free lowest-id pick; the e6-integer kmeans discipline
+    // makes the whole index — training loop included —
+    // oracle-reproducible (the oracle replays the rounds then the
+    // probe/search)
+    "ann_ivf_trained_topk" -> ((s, dir) =>
+      Similarity.ivfTrainedTopK(Tables.embeddings(s, dir),
+        nQueries = 10, k = 8, iters = 2, nProbe = 3, topK = 10)),
+
     // Embedding-space clustering (SemDeDup-style curation): nearest
     // deterministic centroid per vector, broadcast + argmax window.
     "cluster_assign" -> ((s, dir) =>
@@ -2505,6 +2515,81 @@ object SparkEntry {
        |           ORDER BY $cosExpr DESC, c.cent_id ASC) AS rk
        |  FROM ptsn p, c$iters c) t
        |WHERE rk = 1""".stripMargin
+    sb.toString
+  }
+
+  /** Trained-IVF oracle: the kmeans CTE chain trained on the
+    * CANDIDATE set (vec_id ≥ nQ; init = its k lowest ids), then the
+    * inverted lists, per-query probes, and the ranked exact cosine
+    * inside the probed lists — every vector e6-snapped like the
+    * Spark operator. */
+  private def ivfTrainedOracle(nQ: Int, k: Int, iters: Int,
+                               nProbe: Int, topK: Int): String = {
+    def cosExpr = s"${duckDot("c.cv", "p.v")} / (c.cnrm * p.nrm)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH pts AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings
+       |), ptsn AS (
+       |  SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM pts
+       |), cand AS (
+       |  SELECT * FROM ptsn WHERE vec_id >= $nQ
+       |), c0 AS (
+       |  SELECT cent_id, cv, sqrt(${duckDot("cv", "cv")}) AS cnrm FROM (
+       |    SELECT vec_id AS cent_id, v AS cv
+       |    FROM cand ORDER BY vec_id LIMIT $k)
+       |)""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= s""", a$i AS (
+         |  SELECT vec_id, cent_id, v FROM (
+         |    SELECT p.vec_id, c.cent_id, p.v,
+         |           row_number() OVER (PARTITION BY p.vec_id
+         |             ORDER BY $cosExpr DESC, c.cent_id ASC) AS rk
+         |    FROM cand p, c${i - 1} c) t
+         |  WHERE rk = 1
+         |), m$i AS (
+         |  SELECT cent_id, d,
+         |         CAST(FLOOR((2.0 * SUM(x) + COUNT(*)) /
+         |                    (2.0 * COUNT(*))) AS BIGINT) AS m
+         |  FROM (SELECT cent_id, r.i AS d, v[r.i + 1] AS x
+         |        FROM a$i CROSS JOIN (SELECT unnest(range(64)) AS i) r) u
+         |  GROUP BY 1, 2
+         |), cn$i AS (
+         |  SELECT p.cent_id, coalesce(nx.cv, p.cv) AS cv
+         |  FROM c${i - 1} p LEFT JOIN (
+         |    SELECT cent_id, list(m ORDER BY d) AS cv FROM m$i GROUP BY 1) nx
+         |  ON p.cent_id = nx.cent_id
+         |), c$i AS (
+         |  SELECT cent_id, cv, sqrt(${duckDot("cv", "cv")}) AS cnrm FROM cn$i
+         |)""".stripMargin
+    }
+    sb ++= s""", lists AS (
+       |  SELECT cent_id, vec_id, v, nrm FROM (
+       |    SELECT c.cent_id, p.vec_id, p.v, p.nrm,
+       |           row_number() OVER (PARTITION BY p.vec_id
+       |             ORDER BY $cosExpr DESC, c.cent_id ASC) AS rk
+       |    FROM cand p, c$iters c) t
+       |  WHERE rk = 1
+       |), probes AS (
+       |  SELECT query_id, qv, qnrm, cent_id FROM (
+       |    SELECT p.vec_id AS query_id, p.v AS qv, p.nrm AS qnrm, c.cent_id,
+       |           row_number() OVER (PARTITION BY p.vec_id
+       |             ORDER BY $cosExpr DESC, c.cent_id ASC) AS prank
+       |    FROM ptsn p, c$iters c WHERE p.vec_id < $nQ) t
+       |  WHERE prank <= $nProbe
+       |), scored AS (
+       |  SELECT p.query_id, a.vec_id,
+       |         CAST(floor(${duckDot("p.qv", "a.v")} / (p.qnrm * a.nrm)
+       |           * 1000000 + 0.5) AS BIGINT) AS cos_sim_e6
+       |  FROM probes p JOIN lists a USING (cent_id)
+       |)
+       |SELECT query_id, vec_id, cos_sim_e6, rank FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim_e6 DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= $topK""".stripMargin
     sb.toString
   }
 
@@ -3772,6 +3857,8 @@ object SparkEntry {
     // lowest-id vecs); argmax on the raw fold double, cent_id tiebreak
     // 3 Lloyd rounds replayed in SQL — integer-exact centroid means
     "cluster_kmeans" -> kmeansOracle(16, 3),
+
+    "ann_ivf_trained_topk" -> ivfTrainedOracle(10, 8, 2, 3, 10),
 
     // SemDeDup: the kmeans rounds + the cluster-local ε-ball drop
     "dedup_semantic" -> semdedupOracle(16, 3, 400000L),

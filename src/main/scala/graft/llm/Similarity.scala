@@ -363,30 +363,48 @@ object Similarity {
     * assignment under the trained centroids. */
   def kmeans(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
     graft.functions.VectorFunctions.register(embeddings.sparkSession)
-    val pts = embeddings.select(col("vec_id"),
+    val pts = snappedPoints(embeddings)
+      .localCheckpoint(true) // scanned every round; read the source once
+    assignToCentroids(pts, trainCentroids(pts, k, iters))
+      .select(col("vec_id"), col("cent_id"),
+        expr("CAST(floor(cc * 1000000 + 0.5) AS BIGINT)").as("cos_sim_e6"))
+  }
+
+  /** e6-snapped integer components + norm — the exactness basis
+    * every trained-clustering operator shares. */
+  private def snappedPoints(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
       expr("transform(embedding, x -> " +
         "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))").as("v"))
       .withColumn("nrm",
         expr("sqrt(graft_dot(CAST(v AS ARRAY<DOUBLE>), CAST(v AS ARRAY<DOUBLE>)))"))
-      .localCheckpoint(true) // scanned every round; read the source once
+
+  /** Nearest trained centroid per point (broadcast + argmax window);
+    * keeps the assignment columns + `cc` (the raw fold cosine). */
+  private def assignToCentroids(pts: DataFrame, cents: DataFrame): DataFrame = {
     // one fold per (vec, centroid) pair: both norms precomputed
     val cos = s"graft_dot(CAST(cv AS ARRAY<DOUBLE>), CAST(v AS ARRAY<DOUBLE>)) / " +
       s"(cnrm * nrm)"
-    def withNorm(c: DataFrame): DataFrame = c.withColumn("cnrm",
-      expr("sqrt(graft_dot(CAST(cv AS ARRAY<DOUBLE>), CAST(cv AS ARRAY<DOUBLE>)))"))
-    def assign(c: DataFrame): DataFrame = {
-      val aw = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cc").desc, col("cent_id").asc)
-      pts.join(broadcast(withNorm(c)))
-        .withColumn("cc", expr(cos))
-        .withColumn("arank", row_number().over(aw))
-        .filter(col("arank") === 1)
-    }
-    var cents = pts.filter(col("vec_id") < k)
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cc").desc, col("cent_id").asc)
+    pts.join(broadcast(cents.withColumn("cnrm",
+        expr("sqrt(graft_dot(CAST(cv AS ARRAY<DOUBLE>), CAST(cv AS ARRAY<DOUBLE>)))"))))
+      .withColumn("cc", expr(cos))
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") === 1)
+  }
+
+  /** [[kmeans]]'s Lloyd loop without the final assignment: the
+    * trained centroid table (cent_id, cv) with cv the exact
+    * e6-integer means. Init = the k LOWEST-ID input vectors
+    * (orderBy/limit, so any id range trains — the trained-IVF path
+    * trains on candidates whose ids start past the queries'). */
+  private def trainCentroids(pts: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = pts.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val means = assign(cents)
+      val means = assignToCentroids(pts, cents)
         .select(col("cent_id"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy(col("cent_id"), col("d"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
@@ -403,8 +421,61 @@ object Similarity {
           coalesce(col("next"), col("cv")).as("cv"))
         .localCheckpoint(true) // flat lineage per round
     }
-    assign(cents).select(col("vec_id"), col("cent_id"),
-      expr("CAST(floor(cc * 1000000 + 0.5) AS BIGINT)").as("cos_sim_e6"))
+    cents
+  }
+
+  /** The trained coarse quantizer's centroids — what a production
+    * IVF build persists next to the inverted lists. */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    trainCentroids(snappedPoints(embeddings).localCheckpoint(true), k, iters)
+  }
+
+  /** IVF with a TRAINED coarse quantizer — [[ivfTopK]]'s production
+    * form: the centroids come from [[kmeansCentroids]] over the
+    * CANDIDATE set (Lloyd on the corpus itself, the FAISS build
+    * shape) instead of the training-free lowest-id pick, so the
+    * inverted lists follow the data's own density and nProbe recalls
+    * more at the same cost. Same plan shape as [[ivfTopK]]: tiny
+    * broadcast centroid table, one broadcast-join + argmax corpus
+    * pass for the lists, probes pruned per query — linear and
+    * shuffle-light at 100 TB (the lists are what you'd bucket by
+    * cent_id so probes prune at the scan). The e6-integer exactness
+    * discipline of [[kmeans]] carries through, so the whole index —
+    * training loop included — is oracle-reproducible. */
+  def ivfTrainedTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+                     iters: Int, nProbe: Int, topK: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    val pts = snappedPoints(embeddings).localCheckpoint(true)
+    val cands = pts.filter(col("vec_id") >= nQueries)
+    val cents = trainCentroids(cands, k, iters).withColumn("cnrm",
+      expr("sqrt(graft_dot(CAST(cv AS ARRAY<DOUBLE>), CAST(cv AS ARRAY<DOUBLE>)))"))
+    // inverted lists under the trained quantizer
+    val lists = assignToCentroids(cands, cents.select(col("cent_id"), col("cv")))
+      .select(col("cent_id"), col("vec_id"), col("v"), col("nrm"))
+    // probe set: nProbe nearest trained centroids per query
+    val queries = pts.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("qc").desc, col("cent_id").asc)
+    val probes = queries.join(broadcast(cents))
+      .withColumn("qc",
+        expr("graft_dot(CAST(cv AS ARRAY<DOUBLE>), CAST(qv AS ARRAY<DOUBLE>)) / " +
+          "(cnrm * qnrm)"))
+      .withColumn("prank", row_number().over(pw))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cent_id"))
+    // exact cosine only inside the probed lists
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim_e6").desc, col("vec_id").asc)
+    lists.join(broadcast(probes), Seq("cent_id"))
+      .withColumn("cos_sim_e6", expr(
+        "CAST(floor(graft_dot(CAST(qv AS ARRAY<DOUBLE>), CAST(v AS ARRAY<DOUBLE>)) / " +
+          "(qnrm * nrm) * 1000000 + 0.5) AS BIGINT)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id"), col("cos_sim_e6"), col("rank"))
   }
 
   /** IVF (inverted-file) ANN top-k — the scale path past LSH

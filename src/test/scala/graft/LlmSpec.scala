@@ -333,6 +333,37 @@ class LlmSpec extends SparkSpecBase {
       s"lowest id per ε-ball keeps; negation and group heads keep: $out")
   }
 
+  test("trained IVF: Lloyd centroids recall the family top-1 at nProbe=1") {
+    import spark.implicits._
+    def unit(dir: Int, eps: Double): Seq[Float] =
+      (0 until 64).map(i =>
+        (if (i == dir) 1.0 else 0.0) + (if (i == (dir + 1) % 64) eps else 0.0))
+        .map(_.toFloat)
+    // two query vectors (one per family direction), candidates
+    // interleaved by parity so the k=2 init (lowest candidate ids
+    // 2 and 3) starts one centroid in each family
+    val embs = (Seq((0L, unit(0, 0.005)), (1L, unit(7, 0.005))) ++
+      (2 until 62).map(i => (i.toLong,
+        unit(if (i % 2 == 0) 0 else 7, 0.01 * ((i / 2) % 5)))))
+      .toDF("vec_id", "embedding")
+      .withColumn("label", lit("x")) // prepared()'s carried column
+    val out = Similarity.ivfTrainedTopK(embs, nQueries = 2, k = 2,
+      iters = 2, nProbe = 1, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // nProbe=1 under the trained quantizer: each query's results all
+    // come from ITS family's inverted list
+    val q0 = out.filter(_._1 == 0L).map(_._2)
+    val q1 = out.filter(_._1 == 1L).map(_._2)
+    assert(q0.nonEmpty && q0.forall(id => id >= 2 && id % 2 == 0), s"q0: ${q0.toSeq}")
+    assert(q1.nonEmpty && q1.forall(id => id >= 2 && id % 2 == 1), s"q1: ${q1.toSeq}")
+    // the recall claim: trained-IVF top-1 at nProbe=1 equals the
+    // exhaustive answer on this clusterable geometry
+    val bf = Similarity.bruteForceTopK(embs, 2, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val t1 = out.filter(_._3 == 1).map(t => (t._1, t._2)).toMap
+    assert(t1 === bf, s"trained IVF top-1 must match brute force: $t1 vs $bf")
+  }
+
   test("SemDeDup salts a pathological cluster: bounded blocks, same keep/drop") {
     import spark.implicits._
     def unit(dir: Int, eps: Double): Seq[Float] =

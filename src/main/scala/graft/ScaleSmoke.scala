@@ -65,6 +65,8 @@ object ScaleSmoke {
       time(s"annLsh          m=$m")(Similarity.lshTopK(e, 10, 6, 10).count())
       time(s"annIvf          m=$m")(Similarity.ivfTopK(e, 10, 16, 4, 10).count())
       time(s"annIvfPq        m=$m")(Similarity.ivfPqTopK(e, 10, 16, 4, 10).count())
+      time(s"annIvfTrained   m=$m")(
+        Similarity.ivfTrainedTopK(e, 10, 16, 2, 4, 10).count())
       time(s"embNearDup      m=$m")(Similarity.nearDupPairs(e, 4, 6, 0.4).count())
     }
 

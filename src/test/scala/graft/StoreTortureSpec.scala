@@ -324,4 +324,74 @@ class StoreTortureSpec extends SparkSpecBase {
       assert(i > 3, "the writer must actually have raced the reader")
     } finally if (proc.isAlive) proc.destroyForcibly()
   }
+
+  test("concurrent histogram-bearing writes land every store atomically") {
+    import graft.ingest.PromRemoteCodec
+    val store = "/tmp/graft_test/store_parwrite"
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (sfx <- Seq("", "_hist", "_exemplars", "_meta"))
+      fs.delete(new org.apache.hadoop.fs.Path(store + sfx), true)
+    // one v1 WriteRequest per (writer, iteration): a float sample, a
+    // native histogram, and an exemplar — every sibling written; the
+    // request-level appends themselves run CONCURRENTLY inside
+    // serve() (runParallel), and here whole requests also race
+    // across threads, so all four per-path locks interleave
+    def blob(wid: Int, it: Int): Array[Byte] = {
+      val ts = 1704412800000L + (wid * 1000 + it) * 1000L
+      val h = graft.ingest.NativeHistogram.Hist(ts, 3.0, 1.5, 0, 0.0, 0.0,
+        Seq((0, 1)), Seq(3L), Nil, Nil, Nil, Nil)
+      PromRemoteCodec.encodeWriteRequest(PromRemoteCodec.PromWriteRequest(Seq(
+        PromRemoteCodec.PromTimeSeries(
+          Seq(PromRemoteCodec.PromLabel("__name__", s"par_m$wid"),
+            PromRemoteCodec.PromLabel("w", wid.toString)),
+          Seq(PromRemoteCodec.PromSample(it.toDouble, ts)),
+          histograms = Seq(h),
+          exemplars = Seq(PromRemoteCodec.PromExemplar(
+            Seq(PromRemoteCodec.PromLabel("trace_id", s"t$it")),
+            it.toDouble, ts))))))
+    }
+    val nW = 4; val nIt = 5
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // a racing reader: every observation must be a committed snapshot
+    // — counts only ever GROW, and always by whole requests
+    val reader = new Thread(() => {
+      var last = 0L
+      try while (!stop.get()) {
+        val n = SamplesStore.read(spark, store).count()
+        if (n % 5 != 0 || n < last)
+          errs.add(new AssertionError(s"partial or regressing read: $n after $last"))
+        last = math.max(last, n)
+        Thread.sleep(20)
+      } catch {
+        case _: InterruptedException => ()
+        case t: Throwable => errs.add(t)
+      }
+    }, "par-reader")
+    val writers = (0 until nW).map { wid =>
+      new Thread(() => {
+        try (0 until nIt).foreach { it =>
+          graft.serve.RemoteWrite.serve(spark, store, blob(wid, it)); ()
+        } catch { case t: Throwable => errs.add(t) }
+      }, s"par-writer-$wid")
+    }
+    // the store starts empty so the reader's first reads race the
+    // first commits (SamplesStore.read on a missing path would throw
+    // — wait for the first writer commit before starting it)
+    writers.head.start(); writers.head.join(180000)
+    reader.start(); writers.tail.foreach(_.start())
+    writers.tail.foreach(_.join(180000))
+    stop.set(true); reader.join(10000)
+    assert(errs.isEmpty, s"concurrent writes failed: ${errs.toArray.toSeq}")
+    // every store holds exactly the expected rows: per request the
+    // main store gets 1 float + 4 classic expansion rows (bucket,
+    // +Inf, sum, count), the hist sibling 1 native row, the exemplar
+    // sibling 1 row
+    assert(SamplesStore.read(spark, store).count() === nW * nIt * 5L)
+    assert(SamplesStore.read(spark, store + "_hist").count() === nW * nIt.toLong)
+    assert(SamplesStore.read(spark, store + "_exemplars").count() === nW * nIt.toLong)
+    assert(SamplesStore.currentGen(spark, store).exists(_ >= nW * nIt.toLong),
+      "every main append must have committed its own generation")
+  }
 }

@@ -1170,6 +1170,12 @@ object SparkEntry {
 
     "dedup_minhash_keep" -> ((s, dir) => Dedup.minhashKeep(Tables.documents(s, dir))),
 
+    // cross-source duplication matrix: which sources copy from which
+    // (mirror/scrape accounting before source mixing) — LSH pairs at
+    // est ≥ 0.3 bucketed per ordered source pair
+    "dedup_source_matrix" -> ((s, dir) =>
+      Dedup.sourceDupMatrix(Tables.documents(s, dir), tauE6 = 300000L)),
+
     // union-find over the LSH pair graph: one representative per
     // duplicate CLUSTER (greedy bucket-min under-merges chains)
     "dedup_components" -> ((s, dir) =>
@@ -3443,6 +3449,23 @@ object SparkEntry {
          |       len(list_filter(range(1, 129), i -> a.sig[i] = b.sig[i]))::BIGINT * 1000000 // 128 AS est_sim_e6
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id""".stripMargin,
+
+    // the pair list re-keyed to each side's source, per ordered cell
+    "dedup_source_matrix" ->
+      s"""$minhashCte, prs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         len(list_filter(range(1, 129), i -> a.sig[i] = b.sig[i]))::BIGINT * 1000000 // 128 AS est
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+         |)
+         |SELECT least(sa.source, sb.source) AS source_a,
+         |       greatest(sa.source, sb.source) AS source_b,
+         |       count(*) AS n_dup_pairs
+         |FROM prs
+         |JOIN documents sa ON prs.doc_a = sa.doc_id
+         |JOIN documents sb ON prs.doc_b = sb.doc_id
+         |WHERE est >= 300000
+         |GROUP BY 1, 2""".stripMargin,
 
     // asymmetric bucket probe: a new doc drops on any bucket shared
     // with the old corpus

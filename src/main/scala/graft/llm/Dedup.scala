@@ -137,6 +137,31 @@ object Dedup {
           .as("est_sim_e6"))
   }
 
+  /** Cross-source duplication matrix — which sources copy from
+    * which: the LSH candidate pairs at estimated similarity ≥ tauE6
+    * joined back to each side's `source` and aggregated per ordered
+    * (source_a ≤ source_b) cell. The curation report behind
+    * mirror/scrape detection before source mixing: a hot
+    * off-diagonal cell is one corpus republishing another, the
+    * diagonal is within-source duplication. Scale shape: pairs are
+    * the banded candidates (bucket-capped, never all-pairs); the
+    * doc→source projection joins the SMALL pair list against a
+    * two-column corpus projection twice; the final aggregate's
+    * group cardinality is ≤ sources². */
+  def sourceDupMatrix(documents: DataFrame, tauE6: Long,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val pairs = minhashLsh(documents, maxBucket)
+      .filter(col("est_sim_e6") >= tauE6)
+    val src = documents.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+  }
+
   /** Jaccard verification over the LSH candidates: exact
     * |A∩B| / |A∪B| on distinct shingle-hash sets (integer counts →
     * deterministic ratio). Candidate pairs come from band keys

@@ -186,6 +186,16 @@ object NativeHistogram {
     w.toBytes
   }
 
+  /** Span lengths vs bucket-value counts — the structural invariant
+    * the chunk codec needs; a wire histogram violating it is the
+    * sender's malformed message (ingest gates on this). */
+  def spansConsistent(h: Hist): Boolean = {
+    def n(sp: Seq[(Int, Int)]) = sp.iterator.map(_._2).sum
+    def vals(d: Seq[Long], c: Seq[Double]) = if (c.nonEmpty) c.length else d.length
+    vals(h.posDeltas, h.posCounts) == n(h.posSpans) &&
+      vals(h.negDeltas, h.negCounts) == n(h.negSpans)
+  }
+
   /** Bucket indices from spans: each span opens `offset` past the
     * previous span's end (first span's offset is absolute). */
   private def spanIndices(spans: Seq[(Int, Int)]): Seq[Int] = {
@@ -255,11 +265,14 @@ object NativeHistogram {
     * expansion — the same difference a real Prometheus shows between
     * a native series and its classic twin. Classic remains the
     * default; the native path is opt-in (PromQL.eval's nativeHist). */
-  def quantile(q: Double, h: Hist): Double = {
-    if (q < 0) return Double.NegativeInfinity
-    if (q > 1) return Double.PositiveInfinity
-    if (h.count == 0 || q.isNaN) return Double.NaN
-    if (h.schema < -4 || h.schema > 8) return Double.NaN
+  /** Populated buckets of one sample in ascending-bound order
+    * (negatives by descending index, the zero bucket, positives) as
+    * (lower, upper, count), plus which signs hold mass — the ONE
+    * geometry both estimators walk, so a bounds fix can never
+    * diverge between them. None outside the standard schema range. */
+  private def populatedBuckets(h: Hist)
+      : Option[(Seq[(Double, Double, Double)], Boolean, Boolean)] = {
+    if (h.schema < -4 || h.schema > 8) return None
     val base = math.pow(2.0, math.pow(2.0, -h.schema))
     val neg = spanIndices(h.negSpans)
       .zip(absCounts(h.negDeltas, h.negCounts))
@@ -272,7 +285,17 @@ object NativeHistogram {
       .zip(absCounts(h.posDeltas, h.posCounts))
       .filter(_._2 != 0.0d).sortBy(_._1)
       .map { case (i, c) => (math.pow(base, i - 1), math.pow(base, i), c) }
-    val buckets = neg ++ zero ++ pos
+    Some((neg ++ zero ++ pos, neg.nonEmpty, pos.nonEmpty))
+  }
+
+  def quantile(q: Double, h: Hist): Double = {
+    if (q < 0) return Double.NegativeInfinity
+    if (q > 1) return Double.PositiveInfinity
+    if (h.count == 0 || q.isNaN) return Double.NaN
+    val (buckets, hasNeg, hasPos) = populatedBuckets(h) match {
+      case None => return Double.NaN
+      case Some(t) => t
+    }
     if (buckets.isEmpty) return Double.NaN
     val rank = q * h.count
     var cum = 0.0d
@@ -285,8 +308,8 @@ object NativeHistogram {
     if (lower < 0 && upper > 0) {
       // the zero bucket of a one-sided histogram: 0 is the true far
       // bound on the unpopulated side
-      if (neg.isEmpty && pos.nonEmpty) lower = 0.0d
-      else if (pos.isEmpty && neg.nonEmpty) upper = 0.0d
+      if (!hasNeg && hasPos) lower = 0.0d
+      else if (!hasPos && hasNeg) upper = 0.0d
     }
     val fraction = (rank - cum) / cnt
     if (lower <= 0 && upper >= 0)
@@ -319,20 +342,10 @@ object NativeHistogram {
   def fraction(lo: Double, hi: Double, h: Hist): Double = {
     if (h.count == 0 || lo.isNaN || hi.isNaN) return Double.NaN
     if (lo >= hi) return 0.0
-    if (h.schema < -4 || h.schema > 8) return Double.NaN
-    val base = math.pow(2.0, math.pow(2.0, -h.schema))
-    val neg = spanIndices(h.negSpans)
-      .zip(absCounts(h.negDeltas, h.negCounts))
-      .filter(_._2 != 0.0d).sortBy(-_._1)
-      .map { case (i, c) => (-math.pow(base, i), -math.pow(base, i - 1), c) }
-    val zero =
-      if (h.zeroCount != 0.0d) Seq((-h.zeroThreshold, h.zeroThreshold, h.zeroCount))
-      else Nil
-    val pos = spanIndices(h.posSpans)
-      .zip(absCounts(h.posDeltas, h.posCounts))
-      .filter(_._2 != 0.0d).sortBy(_._1)
-      .map { case (i, c) => (math.pow(base, i - 1), math.pow(base, i), c) }
-    val buckets = neg ++ zero ++ pos
+    val (buckets, hasNeg, hasPos) = populatedBuckets(h) match {
+      case None => return Double.NaN
+      case Some(t) => t
+    }
     if (buckets.isEmpty) return Double.NaN
     var rank = 0.0d
     var lowerRank = -1.0d; var upperRank = -1.0d
@@ -341,8 +354,8 @@ object NativeHistogram {
       var (bLo, bHi, cnt) = buckets(idx)
       val zeroBucket = bLo < 0 && bHi > 0
       if (zeroBucket) {
-        if (neg.isEmpty && pos.nonEmpty) bLo = 0.0d
-        else if (pos.isEmpty && neg.nonEmpty) bHi = 0.0d
+        if (!hasNeg && hasPos) bLo = 0.0d
+        else if (!hasPos && hasNeg) bHi = 0.0d
       }
       def partial(v: Double): Double =
         if (zeroBucket) rank + cnt * (v - bLo) / (bHi - bLo)

@@ -258,8 +258,15 @@ object PromRemoteCodec {
         else labels += s"${l.name}=${l.value}"
       }
       val sorted = labels.result().sorted
-      ts.histograms.iterator.map(h =>
-        (h.timestampMs * 1000L, metric, sorted, NativeHistogram.encode(h)))
+      ts.histograms.iterator
+        // span/bucket consistency gates at INGEST: a histogram whose
+        // span lengths disagree with its bucket count is the
+        // sender's malformed message — storing it would poison the
+        // series' chunked federation (the classic conversion already
+        // truncates it silently; the sibling simply skips it)
+        .filter(h => NativeHistogram.spansConsistent(h))
+        .map(h =>
+          (h.timestampMs * 1000L, metric, sorted, NativeHistogram.encode(h)))
     }
 
   /** Metric metadata → store rows for the sibling metadata store,

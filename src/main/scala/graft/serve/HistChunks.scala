@@ -250,6 +250,28 @@ object HistChunks {
     if (h.floatForm) (if (pos) h.posCounts else h.negCounts).length
     else (if (pos) h.posDeltas else h.negDeltas).length
 
+  /** Per-bucket ABSOLUTE counts (integer deltas fold, floats are
+    * already absolute) — what reset detection compares. */
+  private def absVals(deltas: Seq[Long], counts: Seq[Double]): Seq[Double] =
+    if (counts.nonEmpty) counts
+    else deltas.scanLeft(0L)(_ + _).drop(1).map(_.toDouble)
+
+  /** chunkenc's appendable() reset verdict for two SAME-LAYOUT
+    * counter samples: the total count, the zero count, or ANY
+    * individual bucket dropping means the counter reset — a restart
+    * can lose bucket mass while the total still rises, and a
+    * consumer trusting the chunk header would otherwise compute
+    * negative bucket rates across it. */
+  private def counterReset(prev: NativeHistogram.Hist,
+                           h: NativeHistogram.Hist): Boolean =
+    h.count < prev.count || h.zeroCount < prev.zeroCount ||
+      absVals(h.posDeltas, h.posCounts)
+        .zip(absVals(prev.posDeltas, prev.posCounts))
+        .exists { case (cur, p) => cur < p } ||
+      absVals(h.negDeltas, h.negCounts)
+        .zip(absVals(prev.negDeltas, prev.negCounts))
+        .exists { case (cur, p) => cur < p }
+
   /** Ordered (by time) histogram samples of ONE series → chunks.
     * Splits on the 120-sample bound, integer↔float form changes,
     * layout changes (gauge-ness included), and counter resets —
@@ -269,18 +291,31 @@ object HistChunks {
       header = nextHeader
     }
     hists.foreach { h =>
-      require(bucketValues(h, pos = true) == countSpans(h.posSpans) &&
-              bucketValues(h, pos = false) == countSpans(h.negSpans),
-        "histogram bucket count must match its spans")
-      if (run.nonEmpty) {
-        val prev = run.last
-        val gauge = h.resetHint == 3 && prev.resetHint == 3
-        if (h.resetHint == 1) flush(CounterReset)
-        else if (!gauge && h.count < prev.count) flush(CounterReset)
-        else if (layoutOf(h) != layoutOf(run.head)) flush(UnknownCounterReset)
-        else if (run.length >= MaxSamplesPerChunk) flush(NotCounterReset)
+      val consistent =
+        bucketValues(h, pos = true) == countSpans(h.posSpans) &&
+        bucketValues(h, pos = false) == countSpans(h.negSpans)
+      // a malformed wire histogram (span lengths disagreeing with
+      // the bucket count) must never fail a READ: ingest already
+      // skips such rows from the sibling (toHistRows), and a legacy
+      // stored row is skipped here too rather than poisoning the
+      // series' chunked federation forever
+      if (consistent) {
+        if (run.nonEmpty) {
+          val prev = run.last
+          val gauge = h.resetHint == 3 && prev.resetHint == 3
+          val sameLayout = layoutOf(h) == layoutOf(run.head)
+          if (h.resetHint == 1) flush(CounterReset)
+          else if (sameLayout && !gauge && counterReset(prev, h))
+            flush(CounterReset)
+          else if (!sameLayout)
+            // a shrinking counter across a layout change is a reset
+            // too; other layout changes leave the verdict unknown
+            flush(if (!gauge && h.count < prev.count) CounterReset
+                  else UnknownCounterReset)
+          else if (run.length >= MaxSamplesPerChunk) flush(NotCounterReset)
+        }
+        run :+= h
       }
-      run :+= h
     }
     flush(UnknownCounterReset)
     out.result()
@@ -334,10 +369,16 @@ object HistChunks {
         j = 0
         while (j < nNeg) { putVarbitInt(w, h.negDeltas(j)); nPrev(j) = h.negDeltas(j); j += 1 }
       } else {
-        // the 2nd sample's single delta rides as a dod against the
-        // implicit 0 delta — the bits are identical either way
+        // chunkenc writes the 2ND sample's time delta as varbit UINT
+        // (timestamps never regress — the same asymmetry xor.go's
+        // plain-uvarint 2nd delta has); later samples are signed dods.
+        // The signed and unsigned bucketings differ for values in
+        // (2^(n−1), 2^n−1], so using int here would mis-size e.g. a
+        // 3000 ms scrape delta against a real chunkenc decoder.
         val td = h.timestampMs - prevT
-        putVarbitInt(w, td - tDelta); tDelta = td
+        if (i == 1) putVarbitUint(w, td)
+        else putVarbitInt(w, td - tDelta)
+        tDelta = td
         val cd = cnt - prevCnt
         putVarbitInt(w, cd - cntDelta); cntDelta = cd
         val zd = z - prevZ
@@ -382,8 +423,13 @@ object HistChunks {
         j = 0
         while (j < nNeg) { w.writeBits(rawBits(h.negCounts(j)), 64); nSt(j).bits = rawBits(h.negCounts(j)); j += 1 }
       } else {
+        // 2nd sample's time delta is varbit UINT, later ones signed
+        // dods — chunkenc's float_histogram.go layout (see the
+        // integer form's note)
         val td = h.timestampMs - prevT
-        putVarbitInt(w, td - tDelta); tDelta = td
+        if (i == 1) putVarbitUint(w, td)
+        else putVarbitInt(w, td - tDelta)
+        tDelta = td
         xorWrite(w, rawBits(h.count), cntSt)
         xorWrite(w, rawBits(h.zeroCount), zSt)
         xorWrite(w, rawBits(h.sum), sumSt)
@@ -400,8 +446,11 @@ object HistChunks {
   // ---- decode ----
 
   /** The counter-reset header of an encoded chunk body. */
-  def counterResetHeader(data: Array[Byte]): Int =
+  def counterResetHeader(data: Array[Byte]): Int = {
+    if (data.length < 3)
+      throw new ProtoWire.WireFormatException("histogram chunk too short")
     data(2) & CounterResetHeaderMask
+  }
 
   /** Decode one HISTOGRAM / FLOAT_HISTOGRAM chunk body back to its
     * samples — the client leg and the round-trip spec's. `ctype`
@@ -469,7 +518,10 @@ object HistChunks {
           j = 0
           while (j < nNeg) { nPrev(j) = readVarbitInt(r); j += 1 }
         } else {
-          tDelta += readVarbitInt(r); t += tDelta
+          // 2nd sample: unsigned time delta; later samples: signed dod
+          if (i == 1) tDelta = readVarbitUint(r)
+          else tDelta += readVarbitInt(r)
+          t += tDelta
           cntDelta += readVarbitInt(r); cnt += cntDelta
           zDelta += readVarbitInt(r); z += zDelta
           sum = java.lang.Double.longBitsToDouble(xorRead(r, sumSt))
@@ -500,7 +552,9 @@ object HistChunks {
           j = 0
           while (j < nNeg) { nSt(j).bits = r.readBits(64); j += 1 }
         } else {
-          tDelta += readVarbitInt(r); t += tDelta
+          if (i == 1) tDelta = readVarbitUint(r)
+          else tDelta += readVarbitInt(r)
+          t += tDelta
           xorRead(r, cntSt); xorRead(r, zSt); xorRead(r, sumSt)
           var j = 0
           while (j < nPos) { xorRead(r, pSt(j)); j += 1 }

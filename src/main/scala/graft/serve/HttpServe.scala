@@ -303,18 +303,7 @@ object HttpServe {
       // the native-histogram sibling (when any native write landed
       // one) answers on BOTH response types: histogram-chunk frames
       // on the streamed path, TimeSeries field 4 on SAMPLES
-      val hp = RemoteWrite.histPath(storePath)
-      val histDf = {
-        val p = new org.apache.hadoop.fs.Path(hp)
-        if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
-          // manifest-committed snapshot like the primary (atomic
-          // visibility; legacy manifest-less trees fall back to
-          // listing). An EMPTY snapshot reads as the samples schema —
-          // no hist column, nothing to serve
-          val df = SamplesStore.read(spark, hp)
-          if (df.columns.contains("hist")) Some(df) else None
-        } else None
-      }
+      val histDf = RemoteWrite.histStoreDf(spark, storePath)
       if (wantsChunks) {
         val resp = SamplesStore.readLocked(storePath) {
           RemoteRead.serveChunked(SamplesStore.read(spark, storePath),
@@ -717,18 +706,16 @@ object HttpServe {
                       PromQL.RollupGrid(storePath,
                         RemoteWrite.rollupPathFor(storePath), iv, coarser)
                     },
-                  // opt-in native estimator over the hist sibling
+                  // opt-in native estimator over the hist sibling —
+                  // opened only when the expression actually carries
+                  // a histogram_quantile/fraction node, so `up` or
+                  // rate() queries never pay the sibling's existence
+                  // probe + manifest read
                   nativeHist =
-                    if (!RemoteWrite.nativeHistogramQuantile) None
-                    else {
-                      val hp = RemoteWrite.histPath(storePath)
-                      val p = new org.apache.hadoop.fs.Path(hp)
-                      if (p.getFileSystem(
-                          spark.sparkContext.hadoopConfiguration).exists(p)) {
-                        val h = SamplesStore.read(spark, hp)
-                        if (h.columns.contains("hist")) Some(h) else None
-                      } else None
-                    })
+                    if (RemoteWrite.nativeHistogramQuantile &&
+                        PromQL.usesNativeEstimators(expr))
+                      RemoteWrite.histStoreDf(spark, storePath)
+                    else None)
                 // bound the collect IN-PLAN, like the metadata caps
                 .limit(MaxQueryCells + 1)
                 .collect()

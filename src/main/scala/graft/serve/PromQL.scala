@@ -1521,6 +1521,15 @@ object PromQL {
     own ++ exprChildren(e).flatMap(selectorMatcherSets)
   }
 
+  /** Whether the expression contains a node the native-estimator
+    * flag can serve (histogram_quantile / histogram_fraction) — lets
+    * the HTTP layer skip opening the hist sibling for every other
+    * query. */
+  def usesNativeEstimators(e: Expr): Boolean = e match {
+    case HistQ(_, _) | HistFrac(_, _, _) => true
+    case _ => exprChildren(e).exists(usesNativeEstimators)
+  }
+
   /** Rebuild the expression with every selector's `__name__`
     * equality matcher suffixed — the desugaring behind
     * histogram_count/sum/avg (graft accepts the Prometheus 3.x
@@ -2766,11 +2775,21 @@ object PromQL {
         case Instant(ms, off) if ms.exists(m =>
             m.mtype == MatcherType.Eq && m.name == Matchers.NameLabel) =>
           val s = startSec - off; val e = endSec - off
-          val pruned = SeriesRead.timeBound(hs,
+          val name = ms.collectFirst {
+            case m if m.mtype == MatcherType.Eq &&
+              m.name == Matchers.NameLabel => m.value
+          }.get
+          val bounded = SeriesRead.timeBound(hs,
             (s - lookbackSec + 1) * 1000L, e * 1000L)
-            .filter(Matchers.compilePromQL(ms, ignoreLabel))
-          if (pruned.isEmpty) None // no native samples → classic path
+          // NAME-ONLY presence probe: metric equality pushes to the
+          // scan's row-group stats, so proving absence — the classic
+          // fallback every classic-histogram query pays under the
+          // flag — never evaluates the full matcher set over the
+          // window (label matchers are array ops, not pushable)
+          if (bounded.filter(col("metric") === name).limit(1).isEmpty)
+            None // metric has no native samples → classic path
           else Some {
+            val pruned = bounded.filter(Matchers.compilePromQL(ms, ignoreLabel))
             val sp = hs.sparkSession
             import sp.implicits._
             val perSample = pruned.select(col("ts_us"), col("metric"),

@@ -1,6 +1,6 @@
 package graft.serve
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.OpsMetrics
 import graft.ingest.{PromRemoteCodec, SamplesStore}
@@ -336,6 +336,21 @@ object RemoteWrite {
     * this sibling feeds histogram-chunk federation. */
   def histPath(storePath: String): String =
     storePath.stripSuffix("/") + "_hist"
+
+  /** The hist sibling as a snapshot-planned DataFrame when it exists
+    * and carries native rows (None otherwise; an EMPTY snapshot reads
+    * as the samples schema — no hist column, nothing to serve) —
+    * shared by the /read chunked path and the PromQL
+    * native-estimator flag. */
+  def histStoreDf(spark: SparkSession, storePath: String): Option[DataFrame] = {
+    val hp = histPath(storePath)
+    val p = new org.apache.hadoop.fs.Path(hp)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
+    else {
+      val df = SamplesStore.read(spark, hp)
+      if (df.columns.contains("hist")) Some(df) else None
+    }
+  }
 
   private def appendHists(spark: SparkSession, storePath: String,
                           rows: Seq[(Long, String, Seq[String], Array[Byte])]): Unit =

@@ -285,6 +285,73 @@ class HistChunksSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rtG.resetHint === 3)
   }
 
+  test("the 2nd sample's time delta is varbit UINT on the wire (chunkenc layout)") {
+    // dt = 3000 sits in (2^11, 2^12-1]: uint uses the 12-bit branch,
+    // signed would spill to 18 bits — pin the wire form by reading
+    // the bitstream manually up to the 2nd sample's delta
+    val spans = Seq((1, 1))
+    def h(t: Long) = Hist(t, 1.0, 0.0, 0, 0.0, 0.0, spans, Seq(1L), Nil,
+      Nil, Nil, Nil)
+    val c = HistChunks.encodeChunks(Seq(h(0L), h(3000L))).head
+    val r = new Gorilla.BitReader(c.data)
+    r.readBits(24)                       // count + header byte
+    HistChunks.readZeroThreshold(r)      // layout: zero threshold
+    HistChunks.readVarbitInt(r)          // schema
+    // pos spans: count=1, span (len 1, off 1); neg spans: count=0
+    assert(HistChunks.readVarbitUint(r) === 1L)
+    assert(HistChunks.readVarbitUint(r) === 1L)
+    assert(HistChunks.readVarbitInt(r) === 1L)
+    assert(HistChunks.readVarbitUint(r) === 0L)
+    // sample 1: t, count, zeroCount, sum, one bucket delta
+    assert(HistChunks.readVarbitInt(r) === 0L)
+    assert(HistChunks.readVarbitUint(r) === 1L)
+    assert(HistChunks.readVarbitUint(r) === 0L)
+    r.readBits(64)
+    assert(HistChunks.readVarbitInt(r) === 1L)
+    // sample 2's time delta decodes as UNSIGNED varbit
+    assert(HistChunks.readVarbitUint(r) === 3000L)
+    // and the full decode agrees
+    assert(HistChunks.decodeChunk(c.data, c.ctype).map(_.timestampMs) ===
+      Seq(0L, 3000L))
+  }
+
+  test("a bucket dropping cuts a CounterReset chunk even when the total rises") {
+    val spans = Seq((0, 2))
+    // buckets [10,5] (count 15) → [16,0] (count 16): total rose but
+    // bucket 2 lost mass — chunkenc's appendable() calls it a reset
+    def h(t: Long, b1: Long, b2: Long) =
+      Hist(t, (b1 + b2).toDouble, 1.0, 0, 0.0, 0.0, spans,
+        Seq(b1, b2 - b1), Nil, Nil, Nil, Nil)
+    val chunks = HistChunks.encodeChunks(Seq(h(1000, 10, 5), h(2000, 16, 0)))
+    assert(chunks.size === 2, "the bucket drop must cut")
+    assert(HistChunks.counterResetHeader(chunks(1).data) ===
+      HistChunks.CounterReset)
+    // a gauge pair with the same shape does NOT cut
+    val gauges = Seq(h(1000, 10, 5).copy(resetHint = 3),
+      h(2000, 16, 0).copy(resetHint = 3))
+    assert(HistChunks.encodeChunks(gauges).size === 1)
+  }
+
+  test("a malformed stored histogram is skipped, never a read-path failure") {
+    val good = Hist(1000L, 3.0, 1.0, 0, 0.0, 0.0, Seq((0, 1)), Seq(3L), Nil,
+      Nil, Nil, Nil)
+    // span length 2 but ONE bucket value — the sender's malformed
+    // message; ingest gates it (spansConsistent) and a legacy stored
+    // row must not poison the series' chunks
+    val bad = Hist(2000L, 3.0, 1.0, 0, 0.0, 0.0, Seq((0, 2)), Seq(3L), Nil,
+      Nil, Nil, Nil)
+    assert(!graft.ingest.NativeHistogram.spansConsistent(bad))
+    assert(graft.ingest.NativeHistogram.spansConsistent(good))
+    val chunks = HistChunks.encodeChunks(Seq(good, bad, good.copy(timestampMs = 3000L)))
+    assert(chunks.flatMap(c => HistChunks.decodeChunk(c.data, c.ctype))
+      .map(_.timestampMs) === Seq(1000L, 3000L))
+    // and the header accessor rejects a truncated body with the
+    // codec's typed error, like decodeChunk
+    intercept[graft.ingest.ProtoWire.WireFormatException] {
+      HistChunks.counterResetHeader(Array[Byte](0, 1))
+    }
+  }
+
   test("schema 127 writes an empty custom-values section that decodes") {
     val h = Hist(1000L, 2.0, 3.0, 127, 0.0, 0.0, Seq((0, 1)), Seq(2L), Nil,
       Nil, Nil, Nil)

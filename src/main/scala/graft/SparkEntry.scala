@@ -1550,6 +1550,29 @@ object SparkEntry {
       promqlStr(PromQL.eval(samples(s, dir), parsePromQL("click"),
         WinStartSec, WinEndSec, 21600L, lookbackSec = 86400L))),
 
+    // explicit staleness markers (Prometheus's StaleNaN,
+    // 0x7ff0000000000002): a marker ENDS the series at the instant
+    // lookback — the grid steps between a series' death and its next
+    // real sample produce NO point instead of serving the dead
+    // value for the full lookback. Fixture: one marker per click
+    // series one second after its last sample in the window's first
+    // week (a restarting-fleet shape); series revive at their next
+    // sample, exactly prometheus/tsdb's lookback semantics. The
+    // oracle replays the (t_sec, dead)-ranked winner walk in SQL.
+    "promql_stale" -> ((s, dir) => {
+      val midSec = WinStartSec + 7 * 86400
+      val marks = samples(s, dir)
+        .filter(col("metric") === "click" &&
+          expr("ts_us DIV 1000000") <= midSec)
+        .groupBy(col("metric"), col("labels"))
+        .agg(max(expr("ts_us DIV 1000000")).as("mts"))
+        .select(expr("(mts + 1) * 1000000").as("ts_us"), col("metric"),
+          col("labels"), lit(1.0).as("value"))
+      promqlStr(PromQL.eval(samples(s, dir), parsePromQL("click"),
+        WinStartSec, WinEndSec, 21600L, lookbackSec = 86400L,
+        stale = Some(marks)))
+    }),
+
     // Prometheus-anchored selector regexes: =~ / !~ anchor
     // ^(?:…)$ around the label VALUE, so alternation cannot escape
     // the anchors — user=~"1|2" is exactly user 1 or 2, never a
@@ -4678,6 +4701,43 @@ object SparkEntry {
          |SELECT metric, array_to_string(labels, ',') AS labels_str, t,
          |       CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS v_e6
          |FROM st""".stripMargin,
+
+    // staleness markers: one per click series at (last sample in the
+    // window's first week) + 1s; the latest EVENT per (series, step)
+    // wins — marker beats a same-second sample — and a winning
+    // marker drops the step
+    "promql_stale" ->
+      s"""$dedupCte, sel AS (
+         |  SELECT * FROM deduped
+         |  WHERE metric = 'click'
+         |    AND t_sec >= ${WinStartSec - 86400 + 1} AND t_sec <= $WinEndSec
+         |), mk AS (
+         |  SELECT metric, labels, max(t_sec) + 1 AS t_sec,
+         |         CAST(NULL AS DOUBLE) AS value, 1 AS dead
+         |  FROM deduped
+         |  WHERE metric = 'click' AND t_sec <= ${WinStartSec + 7 * 86400}
+         |  GROUP BY 1, 2
+         |), ev AS (
+         |  SELECT metric, labels, t_sec, value, 0 AS dead FROM sel
+         |  UNION ALL
+         |  SELECT metric, labels, t_sec, value, dead FROM mk
+         |  WHERE t_sec >= ${WinStartSec - 86400 + 1} AND t_sec <= $WinEndSec
+         |), grid AS (SELECT unnest(range(0, 61)) AS k),
+         |j AS (
+         |  SELECT e.metric, e.labels, $WinStartSec + g.k * 21600 AS t,
+         |         e.t_sec, e.value, e.dead
+         |  FROM ev e JOIN grid g
+         |    ON e.t_sec <= $WinStartSec + g.k * 21600
+         |   AND e.t_sec >  $WinStartSec + g.k * 21600 - 86400
+         |), rk AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY metric, labels, t
+         |    ORDER BY t_sec DESC, dead DESC) AS rn
+         |  FROM j
+         |)
+         |SELECT metric, array_to_string(labels, ',') AS labels_str, t,
+         |       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_e6
+         |FROM rk WHERE rn = 1 AND dead = 0""".stripMargin,
 
     // value-anchored ^(?:…)$ regex matchers: full-match on the
     // label's value (mirrors Prometheus FastRegexMatcher), NOT the

@@ -59,7 +59,11 @@ object Ingest {
     * histograms ride along as their classic conversion (toSamples);
     * EXEMPLARS are a serving-path feature (RemoteWrite routes them to
     * the sibling exemplar store) — this bulk path answers the samples
-    * frame only, by contract. */
+    * frame only, by contract. Staleness markers (StaleNaN) likewise:
+    * toSamples excludes them (they'd be ordinary NaN after Spark's
+    * canonicalization); the serving path routes them to the `_stale`
+    * sibling, and a bulk REPLAY carries data, not scrape-liveness
+    * events. */
   def decodeWriteRequestBlobs(blobs: DataFrame): DataFrame = {
     val spark = blobs.sparkSession
     import spark.implicits._

@@ -381,6 +381,140 @@ object NativeHistogram {
     (ur - lr) / h.count
   }
 
+  // ---- sparse-histogram arithmetic (the native estimators' ----
+  // ---- rate / sum legs: Prometheus FloatHistogram Sub/Add)  ----
+
+  /** A histogram as sparse per-index float maps — the shape bucket
+    * arithmetic wants (prompb spans are a wire encoding, not a
+    * working representation). Counts are DOUBLES throughout: a rate
+    * is per-second mass and a sum of float histograms is float. */
+  final case class Sparse(schema: Int, zeroTh: Double, zeroCount: Double,
+                          count: Double, sum: Double,
+                          pos: Map[Int, Double], neg: Map[Int, Double])
+
+  def toSparse(h: Hist): Sparse = {
+    def m(sp: Seq[(Int, Int)], d: Seq[Long], c: Seq[Double]) =
+      spanIndices(sp).zip(absCounts(d, c)).filter(_._2 != 0.0d).toMap
+    Sparse(h.schema, h.zeroThreshold, h.zeroCount, h.count, h.sum,
+      m(h.posSpans, h.posDeltas, h.posCounts),
+      m(h.negSpans, h.negDeltas, h.negCounts))
+  }
+
+  /** Merge to a coarser standard schema: bucket i at schema s covers
+    * (base^(i-1), base^i]; at schema t < s each target bucket is the
+    * union of 2^(s-t) source buckets, and the index map is
+    * j = ceil(i / 2^(s-t)) — the standard exponential downscale. */
+  def downscale(s: Sparse, to: Int): Sparse = {
+    if (to == s.schema) return s
+    require(to < s.schema, "can only downscale to a coarser schema")
+    val shift = s.schema - to
+    def re(m: Map[Int, Double]): Map[Int, Double] =
+      m.groupBy { case (i, _) =>
+        // ceil division for negative-capable indexes
+        Math.floorDiv(i - 1, 1 << shift) + 1
+      }.map { case (j, xs) => j -> xs.values.sum }
+    s.copy(schema = to, pos = re(s.pos), neg = re(s.neg))
+  }
+
+  /** Put two operands on common geometry: the COARSER schema wins
+    * (Prometheus reduces resolution to make buckets compatible), and
+    * the zero threshold widens to the larger one — any bucket lying
+    * at or inside the widened threshold folds into the zero bucket,
+    * and a bucket STRADDLING it widens the threshold to that
+    * bucket's far bound first (Prometheus raises the threshold to a
+    * bucket boundary rather than splitting mass). */
+  def align(a0: Sparse, b0: Sparse): (Sparse, Sparse) = {
+    val sch = math.min(a0.schema, b0.schema)
+    var a = downscale(a0, sch); var b = downscale(b0, sch)
+    val zt0 = math.max(a.zeroTh, b.zeroTh)
+    if (a.zeroTh != b.zeroTh) {
+      val base = math.pow(2.0, math.pow(2.0, -sch))
+      def upper(i: Int) = math.pow(base, i)
+      def lower(i: Int) = math.pow(base, i - 1)
+      // widen to cover any straddling bucket's far bound
+      val zt = (a.pos.keys ++ b.pos.keys ++ a.neg.keys ++ b.neg.keys)
+        .filter(i => lower(i) < zt0 && upper(i) > zt0)
+        .map(upper).foldLeft(zt0)(math.max)
+      def fold(s: Sparse): Sparse = {
+        val (pIn, pOut) = s.pos.partition { case (i, _) => upper(i) <= zt }
+        val (nIn, nOut) = s.neg.partition { case (i, _) => upper(i) <= zt }
+        s.copy(zeroTh = zt,
+          zeroCount = s.zeroCount + pIn.values.sum + nIn.values.sum,
+          pos = pOut, neg = nOut)
+      }
+      a = fold(a); b = fold(b)
+    }
+    (a, b)
+  }
+
+  /** last − first with counter-reset detection: any bucket, the zero
+    * bucket, or the total going DOWN means the counter reset inside
+    * the window — the window drops (graft's exact-integer rate model
+    * drops reset windows; Prometheus's native rate detects resets
+    * the same bucket-wise way). */
+  def subtract(last0: Sparse, first0: Sparse): Option[Sparse] = {
+    val (last, first) = align(last0, first0)
+    if (last.count < first.count || last.zeroCount < first.zeroCount)
+      return None
+    def diff(l: Map[Int, Double], f: Map[Int, Double])
+        : Option[Map[Int, Double]] = {
+      val keys = l.keySet ++ f.keySet
+      val out = Map.newBuilder[Int, Double]
+      keys.foreach { k =>
+        val d = l.getOrElse(k, 0.0d) - f.getOrElse(k, 0.0d)
+        if (d < 0) return None
+        if (d != 0.0d) out += k -> d
+      }
+      Some(out.result())
+    }
+    for (p <- diff(last.pos, first.pos); n <- diff(last.neg, first.neg))
+      yield Sparse(last.schema, last.zeroTh,
+        last.zeroCount - first.zeroCount, last.count - first.count,
+        last.sum - first.sum, p, n)
+  }
+
+  def add(a0: Sparse, b0: Sparse): Sparse = {
+    val (a, b) = align(a0, b0)
+    def m(x: Map[Int, Double], y: Map[Int, Double]) =
+      (x.keySet ++ y.keySet).iterator
+        .map(k => k -> (x.getOrElse(k, 0.0d) + y.getOrElse(k, 0.0d)))
+        .filter(_._2 != 0.0d).toMap
+    Sparse(a.schema, a.zeroTh, a.zeroCount + b.zeroCount,
+      a.count + b.count, a.sum + b.sum, m(a.pos, b.pos), m(a.neg, b.neg))
+  }
+
+  def scale(s: Sparse, k: Double): Sparse =
+    s.copy(zeroCount = s.zeroCount * k, count = s.count * k,
+      sum = s.sum * k,
+      pos = s.pos.map { case (i, c) => i -> c * k },
+      neg = s.neg.map { case (i, c) => i -> c * k })
+
+  /** Back to the Hist shape the estimators walk — float-form
+    * (absolute double counts), spans rebuilt from the sorted sparse
+    * indexes. */
+  def fromSparse(tsMs: Long, s: Sparse): Hist = {
+    // consecutive index runs → spans: the first span's offset is the
+    // absolute start index, later offsets are the gap from the
+    // previous span's exclusive end (the wire convention spanIndices
+    // inverts)
+    def spans(sorted: Seq[Int]): Seq[(Int, Int)] = {
+      val sp = Seq.newBuilder[(Int, Int)]
+      var i = 0; var prevEnd = 0; var first = true
+      while (i < sorted.length) {
+        var j = i
+        while (j + 1 < sorted.length && sorted(j + 1) == sorted(j) + 1) j += 1
+        sp += (((if (first) sorted(i) else sorted(i) - prevEnd), j - i + 1))
+        prevEnd = sorted(j) + 1; first = false; i = j + 1
+      }
+      sp.result()
+    }
+    val pIdx = s.pos.keys.toSeq.sorted
+    val nIdx = s.neg.keys.toSeq.sorted
+    Hist(tsMs, s.count, s.sum, s.schema, s.zeroTh, s.zeroCount,
+      spans(pIdx), Nil, pIdx.map(s.pos), spans(nIdx), Nil, nIdx.map(s.neg),
+      floatForm = true)
+  }
+
   /** Expand one histogram into classic ingested samples under
     * `metric`'s name (labels already sorted "k=v" WITHOUT le). */
   def toClassicSamples(metric: String, labels: Seq[String],

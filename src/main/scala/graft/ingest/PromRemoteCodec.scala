@@ -97,6 +97,26 @@ object PromRemoteCodec {
     * sorted "k=v" strings. */
   final case class IngestedSample(ts_us: Long, metric: String, labels: Seq[String], value: Double)
 
+  /** Prometheus's explicit staleness marker: a NaN with THIS exact
+    * payload (prometheus/pkg/value StaleNaN). A scrape loop appends
+    * one when a target vanishes or a series stops being exposed; a
+    * PromQL engine must treat it as SERIES END (the instant lookback
+    * stops, the sample itself is never returned), and remote read
+    * passes it through verbatim. The bit pattern is the ONLY
+    * distinction from an ordinary NaN sample (summary quantiles
+    * expose those legitimately), so detection happens HERE in the
+    * wire codec — Spark's UnsafeRow canonicalizes NaN payloads, so
+    * the marker cannot survive a DataFrame double column. */
+  val StaleNaNBits: Long = 0x7ff0000000000002L
+
+  def isStaleMarker(v: Double): Boolean =
+    java.lang.Double.doubleToRawLongBits(v) == StaleNaNBits
+
+  /** The marker value with its exact payload — longBitsToDouble /
+    * doubleToRawLongBits round-trip bit-exactly on the JVM (both are
+    * intrinsified register moves; CodecFuzzSpec pins it). */
+  def staleNaN: Double = java.lang.Double.longBitsToDouble(StaleNaNBits)
+
   // ---- decode ------------------------------------------------------
 
   def decodeWriteRequest(snappyBody: Array[Byte]): PromWriteRequest = {
@@ -209,7 +229,12 @@ object PromRemoteCodec {
         else labels += s"${l.name}=${l.value}"
       }
       val sorted = labels.result().sorted
-      ts.samples.iterator.map(s =>
+      // stale markers route to the `_stale` sibling (toStaleRows):
+      // stored in the main table they'd be indistinguishable from
+      // ordinary NaN samples after Spark's NaN canonicalization, and
+      // range windows must never see them (Prometheus's matrix
+      // selection drops StaleNaN samples)
+      ts.samples.iterator.filterNot(s => isStaleMarker(s.value)).map(s =>
         IngestedSample(s.timestampMs * 1000L, metric, sorted, s.value)) ++
         // native histograms land as classic _bucket/_sum/_count rows
         // (decode already filtered to standard schemas, so the
@@ -218,6 +243,28 @@ object PromRemoteCodec {
           NativeHistogram.toClassicSamples(metric, sorted, h)
             .getOrElse(Seq.empty))
     }
+
+  /** Staleness markers → rows for the sibling stale store
+    * (`<store>_stale`): the usual (ts_us, metric, sorted "k=v"
+    * labels) key with a constant value 1.0 — the marker's VALUE is
+    * by definition [[StaleNaNBits]], so nothing beyond presence
+    * needs storing (and a double column couldn't hold the payload
+    * anyway). The query path suppresses the instant lookback from
+    * these rows; /read re-materializes the exact wire bits. */
+  def toStaleRows(req: PromWriteRequest): Iterator[IngestedSample] =
+    req.timeseries.iterator
+      .filter(_.samples.exists(s => isStaleMarker(s.value)))
+      .flatMap { ts =>
+        var metric = ""
+        val labels = Seq.newBuilder[String]
+        ts.labels.foreach { l =>
+          if (l.name == "__name__") metric = l.value
+          else labels += s"${l.name}=${l.value}"
+        }
+        val sorted = labels.result().sorted
+        ts.samples.iterator.filter(s => isStaleMarker(s.value)).map(s =>
+          IngestedSample(s.timestampMs * 1000L, metric, sorted, 1.0))
+      }
 
   /** Exemplars → store rows for the sibling exemplar store: series
     * labels ride as the usual sorted "k=v" strings, EXEMPLAR labels

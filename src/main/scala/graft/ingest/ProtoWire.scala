@@ -125,8 +125,13 @@ object ProtoWire {
 
     def writeVarintField(field: Int, v: Long): Unit = { writeTag(field, 0); writeVarint(v) }
 
+    /** RAW bits, not doubleToLongBits: protobuf serializes the exact
+      * 64-bit payload (Java protobuf's CodedOutputStream does the
+      * same), and Prometheus's staleness marker IS a NaN payload
+      * (0x7ff0000000000002) — canonicalizing NaNs here would turn a
+      * stale marker into an ordinary NaN on the wire. */
     def writeDoubleField(field: Int, v: Double): Unit =
-      writeFixed64Field(field, java.lang.Double.doubleToLongBits(v))
+      writeFixed64Field(field, java.lang.Double.doubleToRawLongBits(v))
 
     /** Raw bytes, NO tag and NO length — for codecs that lay out
       * their own framing (HistChunks' length-prefixed samples). */
@@ -136,7 +141,7 @@ object ProtoWire {
       * element form (proto3 packed doubles are back-to-back fixed64
       * payloads inside one length-delimited field). */
     def writeDouble(v: Double): Unit = {
-      var bits = java.lang.Double.doubleToLongBits(v)
+      var bits = java.lang.Double.doubleToRawLongBits(v)
       var i = 0
       while (i < 8) { out.write((bits & 0xff).toInt); bits >>>= 8; i += 1 }
     }

@@ -52,10 +52,11 @@ object Alerting {
   def alerts(samples: DataFrame, rule: AlertRule, startSec: Long,
              endSec: Long,
              lookbackSec: Long = PromQL.DefaultLookbackSec,
-             rollup: Option[PromQL.RollupGrid] = None): DataFrame = {
+             rollup: Option[PromQL.RollupGrid] = None,
+             stale: Option[DataFrame] = None): DataFrame = {
     val need = rule.forSec / rule.stepSec + 1
     val ev = PromQL.eval(samples, rule.parsed, startSec - rule.forSec,
-      endSec, rule.stepSec, lookbackSec, rollup)
+      endSec, rule.stepSec, lookbackSec, rollup, stale = stale)
     val w = Window
       .partitionBy(coalesce(col("metric"), lit("")), col("labels"))
       .orderBy(col("t"))
@@ -75,7 +76,8 @@ object Alerting {
   def alertsFromStore(spark: SparkSession, storePath: String,
                       rule: AlertRule, startSec: Long,
                       endSec: Long): DataFrame =
-    alerts(SamplesStore.read(spark, storePath), rule, startSec, endSec)
+    alerts(SamplesStore.read(spark, storePath), rule, startSec, endSec,
+      stale = RemoteWrite.staleStoreDf(spark, storePath))
 
   /** The current alert set at the DATA edge (store time, like the
     * recording watermark): each rule evaluated at its latest complete
@@ -90,10 +92,12 @@ object Alerting {
                     rules: Seq[AlertRule]): Seq[(Seq[String], String, Long)] = {
     if (rules.isEmpty) return Nil
     val df = SamplesStore.read(spark, storePath)
+    val staleDf = RemoteWrite.staleStoreDf(spark, storePath)
     val maxTs = Recording.dataEdgeSec(spark, storePath).getOrElse(return Nil)
     val plans = rules.map { rule =>
       val edge = maxTs / rule.stepSec * rule.stepSec
-      alerts(df, rule, edge, edge).select(col("labels"), col("t"))
+      alerts(df, rule, edge, edge, stale = staleDf)
+        .select(col("labels"), col("t"))
     }
     plans.reduce(_.unionByName(_)).collect().toSeq.map { r =>
       val ls = r.getSeq[String](0)

@@ -304,11 +304,17 @@ object HttpServe {
       // one) answers on BOTH response types: histogram-chunk frames
       // on the streamed path, TimeSeries field 4 on SAMPLES
       val histDf = RemoteWrite.histStoreDf(spark, storePath)
+      // staleness markers pass through /read VERBATIM (the
+      // querier-side contract: the CLIENT's engine handles them) —
+      // merged back into each series' sample/chunk stream with the
+      // exact StaleNaN payload
+      val staleDf = RemoteWrite.staleStoreDf(spark, storePath)
       if (wantsChunks) {
         val resp = SamplesStore.readLocked(storePath) {
           RemoteRead.serveChunked(SamplesStore.read(spark, storePath),
             reqBody, ignoreLabel, ignoreHints, maxReadSamples,
-            rollupRoute = rollupRoute, histStore = histDf)
+            rollupRoute = rollupRoute, histStore = histDf,
+            staleStore = staleDf)
         }
         respond(ex, 200, resp, Seq(
           "Content-Type" ->
@@ -323,7 +329,8 @@ object HttpServe {
             // coarse, shape-exact queries serve from the rollup twin
             // when background rollup maintenance keeps one (and only
             // while its manifest is provably fresh for the window)
-            rollupRoute = rollupRoute, histStore = histDf)
+            rollupRoute = rollupRoute, histStore = histDf,
+            staleStore = staleDf)
         }
         respond(ex, 200, resp, Seq(
           "Content-Type" -> "application/x-protobuf",
@@ -715,7 +722,11 @@ object HttpServe {
                     if (RemoteWrite.nativeHistogramQuantile &&
                         PromQL.usesNativeEstimators(expr))
                       RemoteWrite.histStoreDf(spark, storePath)
-                    else None)
+                    else None,
+                  // staleness markers END series at the instant
+                  // lookback (one exists() probe per query; the
+                  // sibling only exists once a marker ever landed)
+                  stale = RemoteWrite.staleStoreDf(spark, storePath))
                 // bound the collect IN-PLAN, like the metadata caps
                 .limit(MaxQueryCells + 1)
                 .collect()

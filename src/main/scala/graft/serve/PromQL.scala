@@ -1467,7 +1467,8 @@ object PromQL {
            stepSec: Long, lookbackSec: Long = DefaultLookbackSec,
            rollup: Option[RollupGrid] = None,
            ignoreLabel: Option[String] = Some("remote=clickhouse"),
-           nativeHist: Option[DataFrame] = None): DataFrame = {
+           nativeHist: Option[DataFrame] = None,
+           stale: Option[DataFrame] = None): DataFrame = {
     require(stepSec > 0, "step must be positive")
     require(endSec >= startSec, "end must be >= start")
     // Common-subexpression reuse: a dashboard expression routinely
@@ -1491,7 +1492,7 @@ object PromQL {
     def rec(e: Expr, s: Long, en: Long): DataFrame =
       memo.getOrElseUpdate((e, s, en), {
         val df = evalNode(samples, e, s, en, stepSec, lookbackSec, rollup,
-          ignoreLabel, rec, nativeHist)
+          ignoreLabel, rec, nativeHist, stale)
         if (shared(e)) df.persist(StorageLevel.MEMORY_AND_DISK) else df
       })
     rec(expr0, startSec, endSec)
@@ -1614,7 +1615,8 @@ object PromQL {
                        rollup: Option[RollupGrid],
                        ignoreLabel: Option[String],
                        rec: (Expr, Long, Long) => DataFrame,
-                       nativeHist: Option[DataFrame] = None): DataFrame = {
+                       nativeHist: Option[DataFrame] = None,
+                       stale: Option[DataFrame] = None): DataFrame = {
     // `offset o` shifts every window back by o: evaluate the
     // unshifted form on the grid translated to (start-o, end-o), then
     // put the grid timestamps back — exact, and every downstream
@@ -1624,10 +1626,10 @@ object PromQL {
       if (off == 0) df else df.withColumn("t", col("t") + off)
     expr0 match {
       case Instant(ms, off) => unshift(instant(samples, ms, startSec - off,
-        endSec - off, stepSec, lookbackSec, ignoreLabel), off)
+        endSec - off, stepSec, lookbackSec, ignoreLabel, stale = stale), off)
       case TimestampOf(ms, off) => unshift(instant(samples, ms,
         startSec - off, endSec - off, stepSec, lookbackSec, ignoreLabel,
-        valueIsTime = true), off)
+        valueIsTime = true, stale = stale), off)
       case RangeCall(fn, ms, d, off) if PairFns(fn) =>
         val (s0, e0) = (startSec - off, endSec - off)
         unshift(
@@ -1666,7 +1668,7 @@ object PromQL {
       case AbsentI(ms, off) =>
         val (s0, e0) = (startSec - off, endSec - off)
         val present = instant(samples, ms, s0, e0, stepSec, lookbackSec,
-          ignoreLabel).select(col("t")).distinct()
+          ignoreLabel, stale = stale).select(col("t")).distinct()
         unshift(absentGrid(samples.sparkSession, ms, s0,
           (e0 - s0) / stepSec, stepSec, present), off)
       case LabelJoin(child, dst, sep, srcs) =>
@@ -1695,11 +1697,11 @@ object PromQL {
         mathProject(rec(child, startSec, endSec), fn, args)
       case HistQ(q, child) =>
         nativeHistQ(q, child, startSec, endSec, stepSec, lookbackSec,
-          ignoreLabel, nativeHist)
+          ignoreLabel, nativeHist, stale)
           .getOrElse(histQuantile(rec(child, startSec, endSec), q))
       case HistFrac(lo, hi, child) =>
         nativeHistFrac(lo, hi, child, startSec, endSec, stepSec,
-          lookbackSec, ignoreLabel, nativeHist)
+          lookbackSec, ignoreLabel, nativeHist, stale)
           .getOrElse(histFraction(rec(child, startSec, endSec), lo, hi))
       case HistStd(dev, child) =>
         // desugar the three legs here (validated at parse) so each
@@ -1718,7 +1720,8 @@ object PromQL {
             "target_info") +: sel), startSec, endSec), sel)
       case Subquery(fn, child, d, res, off) =>
         unshift(subqueryRange(samples, fn, child, startSec - off,
-          endSec - off, stepSec, d, res, lookbackSec, rollup, ignoreLabel),
+          endSec - off, stepSec, d, res, lookbackSec, rollup, ignoreLabel,
+          stale),
           off)
       case LabelReplace(child, dst, rep, src, re) =>
         labelReplaceProject(rec(child, startSec, endSec), dst, rep, src, re)
@@ -2746,9 +2749,10 @@ object PromQL {
   private def nativeHistQ(q: Double, child: Expr, startSec: Long,
                           endSec: Long, stepSec: Long, lookbackSec: Long,
                           ignoreLabel: Option[String],
-                          nativeHist: Option[DataFrame]): Option[DataFrame] =
+                          nativeHist: Option[DataFrame],
+                          stale: Option[DataFrame] = None): Option[DataFrame] =
     nativeHistEval(child, graft.ingest.NativeHistogram.quantile(q, _),
-      startSec, endSec, stepSec, lookbackSec, ignoreLabel, nativeHist)
+      startSec, endSec, stepSec, lookbackSec, ignoreLabel, nativeHist, stale)
 
   /** histogram_fraction over native samples — upstream this function
     * is native-ONLY; graft's classic le-bucket version stays the
@@ -2757,9 +2761,10 @@ object PromQL {
   private def nativeHistFrac(lo: Double, hi: Double, child: Expr,
                              startSec: Long, endSec: Long, stepSec: Long,
                              lookbackSec: Long, ignoreLabel: Option[String],
-                             nativeHist: Option[DataFrame]): Option[DataFrame] =
+                             nativeHist: Option[DataFrame],
+                             stale: Option[DataFrame] = None): Option[DataFrame] =
     nativeHistEval(child, graft.ingest.NativeHistogram.fraction(lo, hi, _),
-      startSec, endSec, stepSec, lookbackSec, ignoreLabel, nativeHist)
+      startSec, endSec, stepSec, lookbackSec, ignoreLabel, nativeHist, stale)
 
   /** Shared native-sample evaluation: per-sample scalar estimate
     * (prompb decode + `est`, one wire-codec mapPartitions pass),
@@ -2769,7 +2774,8 @@ object PromQL {
                              est: graft.ingest.NativeHistogram.Hist => Double,
                              startSec: Long, endSec: Long, stepSec: Long,
                              lookbackSec: Long, ignoreLabel: Option[String],
-                             nativeHist: Option[DataFrame]): Option[DataFrame] =
+                             nativeHist: Option[DataFrame],
+                             stale: Option[DataFrame] = None): Option[DataFrame] =
     nativeHist.flatMap { hs =>
       child match {
         case Instant(ms, off) if ms.exists(m =>
@@ -2801,7 +2807,8 @@ object PromQL {
               })
               .toDF("ts_us", "metric", "labels", "value")
               .filter(!isnan(col("value")))
-            instant(perSample, ms, s, e, stepSec, lookbackSec, ignoreLabel)
+            instant(perSample, ms, s, e, stepSec, lookbackSec, ignoreLabel,
+                stale = stale)
               .withColumn("t", col("t") + off)
               .select(lit(null).cast("string").as("metric"),
                 col("labels"), col("t"), col("v_e6"))
@@ -3271,10 +3278,11 @@ object PromQL {
                             start: Long, end: Long, step: Long, d: Long,
                             res: Long, lookbackSec: Long,
                             rollup: Option[RollupGrid],
-                            ignoreLabel: Option[String]): DataFrame = {
+                            ignoreLabel: Option[String],
+                            stale: Option[DataFrame] = None): DataFrame = {
     val innerStart = (start - d + res - 1) / res * res
     val inner = eval(samples, child, innerStart, end, res, lookbackSec,
-      rollup, ignoreLabel)
+      rollup, ignoreLabel, stale = stale)
     val off2 = d / step + 2
     val kTop = (end - start) / step
     val g = inner
@@ -3544,15 +3552,41 @@ object PromQL {
 
   /** Instant vector: the latest sample in (t-L, t] per series per
     * grid step — same explode shape with the Prometheus lookback
-    * convention. */
+    * convention.
+    *
+    * `stale` is the store's `_stale` sibling (explicit staleness
+    * markers, PromRemoteCodec.StaleNaNBits): a marker participates
+    * in the lookback like a sample, and when it WINS (it is the
+    * series' latest event in the window) the step produces no point
+    * — the series ENDS there, exactly prometheus/tsdb's behavior —
+    * while a newer real sample revives the series. A marker and a
+    * real sample at the same second break deterministically to the
+    * marker (the TSDB itself can't hold both; markers are appended
+    * at scrape-death, between sample stamps). `None` keeps the
+    * sibling-free plan bit-identical to the classic one. */
   private def instant(samples: DataFrame, matchers: Seq[LabelMatcher],
                       start: Long, end: Long, step: Long, lookback: Long,
                       ignoreLabel: Option[String],
-                      valueIsTime: Boolean = false): DataFrame = {
+                      valueIsTime: Boolean = false,
+                      stale: Option[DataFrame] = None): DataFrame = {
     val off = lookback / step + 2
     val kTop = (end - start) / step
-    dedupedWindow(samples, matchers, start - lookback + 1, end, ignoreLabel)
+    val windowed = dedupedWindow(samples, matchers,
+        start - lookback + 1, end, ignoreLabel)
       .filter(col("t_sec") >= start - lookback + 1 && col("t_sec") <= end)
+    val events = stale match {
+      case None => windowed.withColumn("dead", lit(0))
+      case Some(st) =>
+        // markers ride the SAME matcher filter + per-second dedup as
+        // samples (a regex selector must only end the series it
+        // selects); value is presence-only
+        val marks = dedupedWindow(st, matchers, start - lookback + 1, end,
+            ignoreLabel)
+          .filter(col("t_sec") >= start - lookback + 1 && col("t_sec") <= end)
+          .withColumn("dead", lit(1))
+        windowed.withColumn("dead", lit(0)).unionByName(marks)
+    }
+    val ranked = events
       // (t-L, t] ∋ t_sec  ⇔  t_sec ≤ t < t_sec + L
       .withColumn("kmin", greatest(lit(0L),
         expr(s"(t_sec - $start + ${off * step} + $step - 1) DIV $step - $off")))
@@ -3562,8 +3596,23 @@ object PromQL {
       .withColumn("k", explode(expr("sequence(kmin, kmax)")))
       .withColumn("t", expr(s"$start + k * $step"))
       .groupBy(col("metric"), col("labels"), col("t"))
-      .agg(max_by(col("value"), col("t_sec")).as("v"),
-        max(col("t_sec")).as("ts"))
+    val agged =
+      if (stale.isEmpty)
+        ranked.agg(max_by(col("value"), col("t_sec")).as("v"),
+          max(col("t_sec")).as("ts"))
+      else
+        // winner by (t_sec, dead): the latest event, marker beating a
+        // same-second sample; a winning marker drops the step. ts is
+        // still max(t_sec) — when a sample wins it IS the max (any
+        // later marker would have won instead).
+        ranked.agg(
+            expr("max_by(named_struct('v', value, 'dead', dead), " +
+              "named_struct('t_sec', t_sec, 'dead', dead))").as("w"),
+            max(col("t_sec")).as("ts"))
+          .filter(col("w.dead") === 0)
+          .select(col("metric"), col("labels"), col("t"),
+            col("w.v").as("v"), col("ts"))
+    agged
       .select(
         // timestamp() is a value-transforming function: the metric
         // name drops, like abs() or every arithmetic op

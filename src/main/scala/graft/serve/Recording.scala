@@ -70,7 +70,8 @@ object Recording {
              lookbackSec: Long = PromQL.DefaultLookbackSec,
              rollup: Option[PromQL.RollupGrid] = None): Unit = {
     val out = PromQL.eval(SamplesStore.read(spark, storePath), rule.parsed,
-        startSec, endSec, rule.stepSec, lookbackSec, rollup)
+        startSec, endSec, rule.stepSec, lookbackSec, rollup,
+        stale = RemoteWrite.staleStoreDf(spark, storePath))
       .select((col("t") * 1000000L).as("ts_us"),
         lit(rule.recordName).as("metric"), col("labels"),
         (col("v_e6").cast("double") / 1000000.0D).as("value"))

@@ -162,7 +162,8 @@ object RemoteRead {
             transientRetries: Int = 0,
             transientClassifier: Throwable => Boolean = isTransientMiss,
             rollupRoute: Option[RollupRoute] = None,
-            histStore: Option[DataFrame] = None): Array[Byte] = {
+            histStore: Option[DataFrame] = None,
+            staleStore: Option[DataFrame] = None): Array[Byte] = {
     var m: OpsMetrics = null
     var queries: Seq[graft.operators.ReadQuery] = null
     def attempt(): Array[Byte] = {
@@ -171,8 +172,17 @@ object RemoteRead {
       if (queries == null) queries = PromRemoteCodec.decodeReadRequest(readRequestBlob)
       PromRemoteCodec.encodeReadResponseResults(
         queries.map { q =>
-          val floats = runQuery(df, q, ignoreLabel, ignoreHints, maxSamples,
+          val floats0 = runQuery(df, q, ignoreLabel, ignoreHints, maxSamples,
             rollupRoute)
+          // staleness markers pass through VERBATIM (querier-side
+          // contract: the receiving engine interprets them) — merged
+          // into each matched series' sample stream in time order,
+          // re-materialized with the exact StaleNaN payload
+          val floats = staleStore match {
+            case None => floats0
+            case Some(ss) =>
+              mergeStaleSamples(floats0, runStaleQuery(ss, q, ignoreLabel))
+          }
           histStore match {
             case None => floats
             case Some(hs) =>
@@ -263,7 +273,8 @@ object RemoteRead {
                    maxSamples: Long = DefaultMaxReadSamples,
                    rollupRoute: Option[RollupRoute] = None,
                    histStore: Option[DataFrame] = None,
-                   maxFrameBytes: Int = DefaultMaxFrameBytes): Array[Byte] = {
+                   maxFrameBytes: Int = DefaultMaxFrameBytes,
+                   staleStore: Option[DataFrame] = None): Array[Byte] = {
     val m = OpsMetrics(samples.sparkSession)
     m.readRequests.add(1)
     try {
@@ -276,10 +287,21 @@ object RemoteRead {
         // histogram frames after all float frames would hand it a
         // native series whose labels sort before a float series out
         // of order. A series carrying both float samples and native
-        // histograms emits one frame with its XOR chunks followed by
-        // its histogram chunks, time-ordered within each encoding.
-        val floatSeries = runQuery(samples, q, ignoreLabel, ignoreHints,
-          maxSamples, rollupRoute).map { ts =>
+        // histograms interleaves its XOR and histogram chunks by
+        // minTimeMs — one globally time-ordered chunk stream per
+        // series, the monotone order a streamed client's merge
+        // assumes.
+        val floats0 = runQuery(samples, q, ignoreLabel, ignoreHints,
+          maxSamples, rollupRoute)
+        // stale markers join the float stream BEFORE XOR encoding —
+        // Gorilla is bit-level, so the exact StaleNaN payload rides
+        // a chunk like any other value
+        val floats = staleStore match {
+          case None => floats0
+          case Some(ss) =>
+            mergeStaleSamples(floats0, runStaleQuery(ss, q, ignoreLabel))
+        }
+        val floatSeries = floats.map { ts =>
           val t = ts.samples.map(_.timestampMs).toArray
           val v = ts.samples.map(_.value).toArray
           val chunks = Gorilla.encodeChunks(t, v).map { case (mn, mx, d) =>
@@ -296,7 +318,11 @@ object RemoteRead {
           .empty[Seq[PromRemoteCodec.PromLabel], Seq[PromRemoteCodec.PromChunk]]
         floatSeries.foreach { case (ls, cs) => byKey.update(ls, cs) }
         histSeries.foreach { case (ls, cs) =>
-          byKey.update(ls, byKey.getOrElse(ls, Nil) ++ cs)
+          // interleave by chunk start time (stable: XOR before
+          // histogram on an exact tie) — chunks within one series
+          // must be globally time-ordered, not per-encoding
+          byKey.update(ls,
+            (byKey.getOrElse(ls, Nil) ++ cs).sortBy(_.minTimeMs))
         }
         byKey.toSeq
           .sortBy { case (ls, _) =>
@@ -308,9 +334,18 @@ object RemoteRead {
           .foreach { case (labels, chunks) =>
             // split a long series into ≤maxFrameBytes frames (label
             // repetition per frame, like Prometheus's own streamer);
-            // sortedness is preserved — split frames stay contiguous
+            // sortedness is preserved — split frames stay contiguous.
+            // EVERY frame re-encodes the series label set, so the
+            // budget starts from the labels' encoded size — a series
+            // with a large label set must not overshoot the target
+            // by exactly that many bytes per frame.
+            val labelBytes = labels.map { l =>
+              // tag+len for the Label message, tag+len per string
+              l.name.getBytes(java.nio.charset.StandardCharsets.UTF_8).length +
+                l.value.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 8
+            }.sum + 16
             var batch = Vector.empty[PromRemoteCodec.PromChunk]
-            var batchBytes = 0
+            var batchBytes = labelBytes
             def emit(): Unit = if (batch.nonEmpty) {
               val msg = PromRemoteCodec.encodeChunkedReadResponse(
                 Seq(PromRemoteCodec.PromChunkedSeries(labels, batch)),
@@ -318,7 +353,7 @@ object RemoteRead {
               val frame = PromRemoteCodec.chunkedFrame(msg)
               out.write(frame, 0, frame.length)
               batch = Vector.empty
-              batchBytes = 0
+              batchBytes = labelBytes
             }
             chunks.foreach { c =>
               // ~24 B of per-chunk framing (bounds, type, tags)
@@ -334,6 +369,64 @@ object RemoteRead {
     } catch {
       case e: Throwable => m.readErrors.add(1); throw e
     }
+  }
+
+  /** One query against the stale-marker sibling: the remote-read
+    * matcher surface (Matchers.compile) + pushed time bounds, per-
+    * second-distinct marker stamps per series — tiny by nature (one
+    * row per series death), so the collect is a few rows. */
+  private def runStaleQuery(staleStore: DataFrame,
+                            q: graft.operators.ReadQuery,
+                            ignoreLabel: Option[String])
+      : Seq[(Seq[PromLabel], Seq[Long])] = {
+    val bounded = graft.operators.SeriesRead.timeBound(
+      staleStore, q.startMs, q.endMs)
+      .filter(graft.operators.Matchers.compile(q.matchers, ignoreLabel))
+      .select(col("metric"), col("labels"),
+        org.apache.spark.sql.functions.expr("ts_us DIV 1000000").as("t_sec"))
+      .distinct()
+    bounded.collect().toSeq
+      .map(r => ((r.getString(0), r.getSeq[String](1).toSeq), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case ((metric, labels), ts) =>
+        val promLabels = PromLabel("__name__", metric) +: labels.map { l =>
+          val c = l.indexOf('=')
+          PromLabel(l.take(c), l.drop(c + 1))
+        }
+        (promLabels, ts.map(_._2).sorted)
+      }
+  }
+
+  /** Insert stale markers into the float series stream: each marker
+    * becomes a sample with the EXACT StaleNaN payload at its second,
+    * in time order; a second already carrying a float sample keeps
+    * the sample (the read model is one value per series-second).
+    * Marker-only series (the query window covers only the death)
+    * emit as their own series. Output re-sorted in the response's
+    * series order. */
+  private def mergeStaleSamples(floats: Seq[PromTimeSeries],
+                                marks: Seq[(Seq[PromLabel], Seq[Long])])
+      : Seq[PromTimeSeries] = {
+    if (marks.isEmpty) return floats
+    val staleV = java.lang.Double.longBitsToDouble(PromRemoteCodec.StaleNaNBits)
+    val byKey = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[PromLabel], PromTimeSeries]
+    floats.foreach(ts => byKey.update(ts.labels, ts))
+    marks.foreach { case (labels, tsSecs) =>
+      val cur = byKey.getOrElse(labels, PromTimeSeries(labels, Nil))
+      val occupied = cur.samples.map(_.timestampMs / 1000L).toSet
+      val markerSamples = tsSecs.filterNot(occupied)
+        .map(s => PromSample(staleV, s * 1000L))
+      if (markerSamples.nonEmpty)
+        byKey.update(labels, cur.copy(samples =
+          (cur.samples ++ markerSamples).sortBy(_.timestampMs)))
+    }
+    byKey.values.toSeq.sortBy { ts =>
+      val metric = ts.labels.find(_.name == "__name__").map(_.value).getOrElse("")
+      val rest = ts.labels.filter(_.name != "__name__")
+        .map(l => s"${l.name}=${l.value}")
+      (metric, rest)
+    }(SeriesKeyOrdering)
   }
 
   /** One query against the native-histogram sibling: matcher filter

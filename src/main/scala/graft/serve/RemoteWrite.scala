@@ -185,7 +185,7 @@ object RemoteWrite {
       hp.getFileSystem(conf).exists(hp)
     }
     Seq(exemplarPath(storePath), metadataPath(storePath),
-        histPath(storePath)).foreach { p =>
+        histPath(storePath), stalePath(storePath)).foreach { p =>
       if (exists(p)) {
         SamplesStore.maybeCompact(spark, p, autoCompactFilesPerDay,
           gcGraceMs = gcGraceMs)
@@ -194,7 +194,10 @@ object RemoteWrite {
         SamplesStore.expireSnapshots(spark, p, gcGraceMs)
       }
     }
-    Seq(exemplarPath(storePath), histPath(storePath)).foreach { p =>
+    // stale markers age out with the samples whose series they end —
+    // a marker past the horizon suppresses nothing
+    Seq(exemplarPath(storePath), histPath(storePath),
+        stalePath(storePath)).foreach { p =>
       if (exists(p)) retentionPass(spark, p, retentionDays)
     }
   }
@@ -337,6 +340,27 @@ object RemoteWrite {
   def histPath(storePath: String): String =
     storePath.stripSuffix("/") + "_hist"
 
+  /** The sibling store staleness markers land in (PromRemoteCodec
+    * .toStaleRows documents the schema — presence-only rows, the
+    * marker's value is the StaleNaN constant by definition). Kept
+    * OUT of the main table: range windows must never see markers
+    * (Prometheus drops StaleNaN in matrix selection), the instant
+    * lookback must END at one, and the exact NaN payload could not
+    * survive a Spark double column anyway. Tiny by nature — one row
+    * per series DEATH, not per sample. */
+  def stalePath(storePath: String): String =
+    storePath.stripSuffix("/") + "_stale"
+
+  /** The stale sibling as a snapshot-planned DataFrame when it
+    * exists (None otherwise) — threaded into PromQL.eval's instant
+    * lookback and the /read pass-through. */
+  def staleStoreDf(spark: SparkSession, storePath: String): Option[DataFrame] = {
+    val sp = stalePath(storePath)
+    val p = new org.apache.hadoop.fs.Path(sp)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
+    else Some(SamplesStore.read(spark, sp))
+  }
+
   /** The hist sibling as a snapshot-planned DataFrame when it exists
     * and carries native rows (None otherwise; an EMPTY snapshot reads
     * as the samples schema — no hist column, nothing to serve) —
@@ -403,8 +427,8 @@ object RemoteWrite {
     }
   }
 
-  /** The write path's four stores (primary, exemplar, metadata,
-    * hist) are independent — distinct paths, distinct mutation
+  /** The write path's five stores (primary, exemplar, metadata,
+    * hist, stale) are independent — distinct paths, distinct mutation
     * locks — so a histogram-bearing request's appends run
     * CONCURRENTLY and the request costs max(append), not Σ(append).
     * The 200 response still means every store committed (all tasks
@@ -455,6 +479,7 @@ object RemoteWrite {
     val exRows = PromRemoteCodec.toExemplarRows(req).toSeq
     val mdRows = PromRemoteCodec.toMetadataRows(req).toSeq
     val histRows = PromRemoteCodec.toHistRows(req).toSeq
+    val staleRows = PromRemoteCodec.toStaleRows(req).toSeq
     runParallel(Seq(
       () => if (rows.nonEmpty) {
         import spark.implicits._
@@ -475,9 +500,16 @@ object RemoteWrite {
         m.exemplarsWritten.add(exRows.size.toLong)
       },
       () => appendMetadata(spark, storePath, mdRows),
-      () => appendHists(spark, storePath, histRows)
+      () => appendHists(spark, storePath, histRows),
+      () => if (staleRows.nonEmpty) {
+        import spark.implicits._
+        SamplesStore.append(
+          staleRows.toDF("ts_us", "metric", "labels", "value"),
+          stalePath(storePath))
+        m.samplesWritten.add(staleRows.size.toLong)
+      }
     ).zip(Seq(rows.nonEmpty, exRows.nonEmpty, mdRows.nonEmpty,
-      histRows.nonEmpty)).collect { case (t, true) => t })
+      histRows.nonEmpty, staleRows.nonEmpty)).collect { case (t, true) => t })
     WriteOutcome(req.sampleCount, req.histogramCount, req.exemplarCount)
   }
 
@@ -535,10 +567,12 @@ object RemoteWrite {
       (PromRemoteCodec.toSamples(req).toSeq,
         PromRemoteCodec.toExemplarRows(req).toSeq,
         PromRemoteCodec.toMetadataRows(req).toSeq,
-        PromRemoteCodec.toHistRows(req).toSeq)
+        PromRemoteCodec.toHistRows(req).toSeq,
+        PromRemoteCodec.toStaleRows(req).toSeq)
     }
     val (sampleRows, exRows) = (rows.flatMap(_._1), rows.flatMap(_._2))
     val (mdRows, histRows) = (rows.flatMap(_._3), rows.flatMap(_._4))
+    val staleRows = rows.flatMap(_._5)
     runParallel(Seq(
       () => if (sampleRows.nonEmpty) {
         import spark.implicits._
@@ -555,9 +589,16 @@ object RemoteWrite {
         m.exemplarsWritten.add(exRows.size.toLong)
       },
       () => appendMetadata(spark, storePath, mdRows),
-      () => appendHists(spark, storePath, histRows)
+      () => appendHists(spark, storePath, histRows),
+      () => if (staleRows.nonEmpty) {
+        import spark.implicits._
+        SamplesStore.append(
+          staleRows.toDF("ts_us", "metric", "labels", "value"),
+          stalePath(storePath))
+        m.samplesWritten.add(staleRows.size.toLong)
+      }
     ).zip(Seq(sampleRows.nonEmpty, exRows.nonEmpty, mdRows.nonEmpty,
-      histRows.nonEmpty)).collect { case (t, true) => t })
+      histRows.nonEmpty, staleRows.nonEmpty)).collect { case (t, true) => t })
     sampleRows.size.toLong
   }
 }

@@ -236,6 +236,85 @@ class PromQLSpec extends SparkSpecBase {
       ("m", "host=b,user=2", T0 + 60, 10250000L)))
   }
 
+  // ---- staleness markers (the `_stale` sibling through eval) ------
+
+  /** One marker ending series a at T0+70 — between its T0+60 and
+    * T0+95 samples. */
+  private def staleMarksA = {
+    import spark.implicits._
+    Seq(((T0 + 70) * 1000000L, "m", Seq("host=a", "user=1"), 1.0))
+      .toDF("ts_us", "metric", "labels", "value")
+  }
+
+  test("a stale marker ENDS the series at the instant lookback; a newer sample revives it") {
+    val out = rows(PromQL.eval(tinySamples, parse("m").toOption.get,
+      T0, T0 + 120, 30L, stale = Some(staleMarksA)))
+    // before the marker: the ordinary lookback
+    assert(out.contains(("m", "host=a,user=1", T0, 1000000L)))
+    assert(out.contains(("m", "host=a,user=1", T0 + 60, 4000000L)))
+    // at T0+90 the marker (T0+70) is series a's latest event: the
+    // step produces NO point — without markers the 4.0 would linger
+    // for the full lookback
+    assert(!out.exists(r => r._2 == "host=a,user=1" && r._3 == T0 + 90))
+    // the T0+95 sample is newer than the marker: series revives
+    assert(out.contains(("m", "host=a,user=1", T0 + 120, 1000000L)))
+    // the unmarked series never notices
+    assert(out.contains(("m", "host=b,user=2", T0 + 90, 10250000L)))
+    assert(out.contains(("m", "host=b,user=2", T0 + 120, 10250000L)))
+  }
+
+  test("markers ride the selector's matchers and flow through aggregation") {
+    // sum(m): at T0+90 only series b contributes (a is staled)
+    val out = rows(PromQL.eval(tinySamples, parse("sum(m)").toOption.get,
+      T0 + 90, T0 + 90, 1L, stale = Some(staleMarksA)))
+    assert(out === Set(("", "", T0 + 90, 10250000L)))
+    // a selector NOT matching the dead series is untouched by it
+    val b = rows(PromQL.eval(tinySamples,
+      parse("""m{host="b"}""").toOption.get,
+      T0 + 90, T0 + 90, 1L, stale = Some(staleMarksA)))
+    assert(b === Set(("m", "host=b,user=2", T0 + 90, 10250000L)))
+  }
+
+  test("absent() sees a fully-staled vector as absent") {
+    import spark.implicits._
+    val both = Seq(
+      ((T0 + 70) * 1000000L, "m", Seq("host=a", "user=1"), 1.0),
+      ((T0 + 70) * 1000000L, "m", Seq("host=b", "user=2"), 1.0))
+      .toDF("ts_us", "metric", "labels", "value")
+    val out = rows(PromQL.eval(tinySamples, parse("absent(m)").toOption.get,
+      T0 + 90, T0 + 90, 1L, stale = Some(both)))
+    assert(out === Set(("", "", T0 + 90, 1000000L)))
+    // without markers the vector is present → no absent row
+    val no = rows(PromQL.eval(tinySamples, parse("absent(m)").toOption.get,
+      T0 + 90, T0 + 90, 1L))
+    assert(no.isEmpty)
+  }
+
+  test("timestamp() suppresses with its series") {
+    val out = rows(PromQL.eval(tinySamples,
+      parse("timestamp(m)").toOption.get,
+      T0 + 90, T0 + 90, 1L, stale = Some(staleMarksA)))
+    assert(out === Set(("", "host=b,user=2", T0 + 90, (T0 + 45) * 1000000L)))
+  }
+
+  test("range windows never see markers: rate over a marked window is unchanged") {
+    val expr = parse("rate(m[60s])").toOption.get
+    val withM = rows(PromQL.eval(tinySamples, expr, T0 + 60, T0 + 120, 60L,
+      stale = Some(staleMarksA)))
+    val without = rows(PromQL.eval(tinySamples, expr, T0 + 60, T0 + 120, 60L))
+    assert(withM === without)
+  }
+
+  test("a marker at the same second as a sample breaks to the marker, deterministically") {
+    import spark.implicits._
+    val tie = Seq(((T0 + 95) * 1000000L, "m", Seq("host=a", "user=1"), 1.0))
+      .toDF("ts_us", "metric", "labels", "value")
+    val out = rows(PromQL.eval(tinySamples, parse("m").toOption.get,
+      T0 + 120, T0 + 120, 1L, stale = Some(tie)))
+    assert(!out.exists(_._2 == "host=a,user=1"))
+    assert(out.contains(("m", "host=b,user=2", T0 + 120, 10250000L)))
+  }
+
   test("rate is the observed-span Δv/Δt, half-up in micro-units; resets drop the window") {
     val out = rows(PromQL.eval(tinySamples, parse("rate(m[60s])").toOption.get,
       T0 + 60, T0 + 120, 60L))

@@ -35,6 +35,8 @@ class ServeSpec extends SparkSpecBase {
       RemoteWrite.metadataPath(p)), true)
     fs.delete(new org.apache.hadoop.fs.Path(
       RemoteWrite.histPath(p)), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      RemoteWrite.stalePath(p)), true)
     p
   }
 
@@ -950,6 +952,75 @@ class ServeSpec extends SparkSpecBase {
       assert(plain2.flatMap(_.samples).map(s => (s.timestampMs, s.value)).sorted
         === want.sorted)
     } finally srv.stop()
+  }
+
+  test("staleness markers: sibling ingest, query suppression, verbatim /read pass-through") {
+    val store = tmpStore("stale")
+    val t0 = 1704412800000L
+    val stale = PromRemoteCodec.staleNaN
+    // the JVM bit round-trip the whole feature rests on: a value
+    // built from the marker bits reads back as the marker bits
+    assert(java.lang.Double.doubleToRawLongBits(stale) ===
+      PromRemoteCodec.StaleNaNBits)
+    assert(PromRemoteCodec.isStaleMarker(stale))
+    assert(!PromRemoteCodec.isStaleMarker(Double.NaN), "ordinary NaN is NOT a marker")
+    val series = Seq(
+      PromTimeSeries(Seq(PromLabel("__name__", "up_stale"), PromLabel("k", "a")),
+        Seq(PromSample(1.0, t0), PromSample(2.0, t0 + 30000L),
+          PromSample(stale, t0 + 60000L))),
+      PromTimeSeries(Seq(PromLabel("__name__", "up_stale"), PromLabel("k", "b")),
+        Seq(PromSample(5.0, t0))))
+    val written = RemoteWrite.serve(spark, store,
+      PromRemoteCodec.encodeWriteRequest(PromWriteRequest(series)))
+    assert(written === 4, "markers count as samples in the sender's units")
+
+    // the marker never lands in the MAIN store (range selection must
+    // not see it, and a double column couldn't keep its payload)
+    val main = graft.ingest.SamplesStore.read(spark, store)
+    assert(main.count() === 3)
+    assert(main.filter(isnan(col("value"))).count() === 0)
+    val sib = RemoteWrite.staleStoreDf(spark, store)
+    assert(sib.isDefined)
+    assert(sib.get.count() === 1)
+
+    // the instant lookback ENDS series a at the marker; b lingers
+    val got = graft.serve.PromQL.eval(main,
+        graft.serve.PromQL.parse("up_stale").toOption.get,
+        t0 / 1000 + 90, t0 / 1000 + 90, 1L, stale = sib)
+      .select(array_join(col("labels"), ","), col("v_e6")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("k=b", 5000000L)))
+
+    // /read (SAMPLES): the marker rides the series in time order
+    // with the EXACT StaleNaN payload — the querier-side pass-through
+    val queries = Seq(ReadQuery(t0, t0 + 120000L,
+      Seq(Matchers.eq("__name__", "up_stale"))))
+    val back = PromRemoteCodec.decodeReadResponse(RemoteRead.serve(
+      graft.ingest.SamplesStore.read(spark, store),
+      PromRemoteCodec.encodeReadRequest(queries), staleStore = sib))
+    val aS = back.find(_.labels.exists(l => l.name == "k" && l.value == "a"))
+      .get.samples
+    assert(aS.map(_.timestampMs) === Seq(t0, t0 + 30000L, t0 + 60000L))
+    assert(java.lang.Double.doubleToRawLongBits(aS.last.value) ===
+      PromRemoteCodec.StaleNaNBits)
+    assert(aS.take(2).map(_.value) === Seq(1.0, 2.0))
+
+    // … and the CHUNKED path: Gorilla XOR is bit-level, so the
+    // payload survives the chunk encode/decode round-trip too
+    val cframes = PromRemoteCodec.decodeChunkedFrames(RemoteRead.serveChunked(
+      graft.ingest.SamplesStore.read(spark, store),
+      PromRemoteCodec.encodeReadRequestWithTypes(queries, Seq(1)),
+      staleStore = sib))
+    val aChunks = (for {
+      (_, ss) <- cframes
+      s <- ss if s.labels.exists(l => l.name == "k" && l.value == "a")
+      c <- s.chunks
+      (t, v) = graft.serve.Gorilla.decode(c.data)
+      i <- t.indices
+    } yield (t(i), v(i))).sortBy(_._1)
+    assert(aChunks.map(_._1) === Seq(t0, t0 + 30000L, t0 + 60000L))
+    assert(java.lang.Double.doubleToRawLongBits(aChunks.last._2) ===
+      PromRemoteCodec.StaleNaNBits)
   }
 
   test("metadata API serves label names and values as Prometheus JSON") {

@@ -259,6 +259,72 @@ object SparkEntry {
       days.getLong(0), days.getLong(1))
   }
 
+  /** Two-shard CUMULATIVE native-histogram fixture for the COMPOSED
+    * native estimators (`rate`, `sum by`): per (day, shard) the
+    * day's bucket increments are shard 0: (a, b, c) =
+    * (n%7, n%5+1, n%3) and shard 1 the rotation (b, c, a) — n the
+    * day's click count — on the same schema-0 buckets as
+    * [[histBlob]]; the WIRE samples carry CUMULATIVE counts (a
+    * counter histogram), so bucket-wise rate recovers exactly the
+    * increments. Returns (hist sibling DF, first day, last day). */
+  private def nativeHistRateFixture(s: SparkSession, dir: String)
+      : (DataFrame, Long, Long) = {
+    import graft.ingest.ProtoWire
+    val path = workDir("wservehqr", dir)
+    payOnce(s, path, s"${srcFingerprint(s, dir, "events")}:hqr1") {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        graft.serve.RemoteWrite.histPath(path)), true)
+      val days = samples(s, dir).filter(col("metric") === "click")
+        .groupBy(expr("ts_us DIV 1000000 DIV 86400 * 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+      def zz(v: Long): Long = (v << 1) ^ (v >> 63)
+      val w = new ProtoWire.Writer
+      Seq(0, 1).foreach { shard =>
+        var cum = Array(0L, 0L, 0L); var cumSum = 0.0d
+        days.foreach { case (day, n) =>
+          val inc0 = Seq(n % 7, n % 5 + 1, n % 3)
+          val inc = if (shard == 0) inc0 else Seq(inc0(1), inc0(2), inc0(0))
+          cum = Array(cum(0) + inc(0), cum(1) + inc(1), cum(2) + inc(2))
+          cumSum += n * 0.5
+          val ts = new ProtoWire.Writer
+          def label(k: String, v: String): Unit = {
+            val l = new ProtoWire.Writer
+            l.writeStringField(1, k); l.writeStringField(2, v)
+            ts.writeMessageField(1, l)
+          }
+          label("__name__", "click"); label("shard", shard.toString)
+          label("src", "hist")
+          val h = new ProtoWire.Writer
+          h.writeVarintField(1, cum.sum)      // count_int (cumulative)
+          h.writeDoubleField(3, cumSum)       // sum (cumulative)
+          h.writeVarintField(4, 0L)           // schema 0
+          val span = new ProtoWire.Writer
+          span.writeVarintField(1, 0L); span.writeVarintField(2, 3L)
+          h.writeMessageField(11, span)
+          val deltas = new ProtoWire.Writer
+          Seq(cum(0), cum(1) - cum(0), cum(2) - cum(1))
+            .foreach(d => deltas.writeVarint(zz(d)))
+          h.writeBytesField(12, deltas.toBytes)
+          h.writeVarintField(15, day * 1000L)
+          ts.writeMessageField(4, h)
+          w.writeMessageField(1, ts)
+        }
+      }
+      graft.serve.RemoteWrite.serveAll(s, path,
+        Seq(org.xerial.snappy.Snappy.compress(w.toBytes)))
+      ()
+    }
+    val days = samples(s, dir).filter(col("metric") === "click")
+      .agg(min(expr("ts_us DIV 1000000 DIV 86400 * 86400")),
+        max(expr("ts_us DIV 1000000 DIV 86400 * 86400"))).first()
+    (SamplesStore.read(s, graft.serve.RemoteWrite.histPath(path)),
+      days.getLong(0), days.getLong(1))
+  }
+
   /** Deterministic events-source dir for the streaming queries,
     * built once (`copies` concatenated copies of events) behind a
     * fingerprinted ready-marker — the source is test scaffolding, not
@@ -945,6 +1011,39 @@ object SparkEntry {
           nativeHist = Some(hist))
         .select(array_join(col("labels"), ",").as("labels_str"),
           col("t").as("t_sec"), col("v_e6").as("f_e6"))
+    }),
+
+    // THE native-histogram dashboard idiom, end to end on the flag
+    // path: histogram_quantile(φ, sum by (…) (rate(native[d]))) —
+    // bucket-wise observed-span rate over the decoded sparse buckets
+    // (a bucket going down = counter reset = window drops; the
+    // cumulative fixture never resets), sparse-map ADDITION across
+    // the group's shards, then the exponential-interpolation walk.
+    // The oracle replays the scaled walk in SQL: per-bucket rate is
+    // inc * (1/86400) — multiply by the reciprocal, the engine's own
+    // operation order — summed across the shard rotation.
+    "read_native_quantile_rate" -> ((s, dir) => {
+      val (hist, d0, d1) = nativeHistRateFixture(s, dir)
+      val e = graft.serve.PromQL.parse(
+        "histogram_quantile(0.7, sum by (src) (rate(click[2d])))")
+        .toOption.get
+      graft.serve.PromQL.eval(samples(s, dir), e, d0 + 2 * 86400L,
+          d1 + 86400L, 86400L, nativeHist = Some(hist))
+        .select(array_join(col("labels"), ",").as("labels_str"),
+          col("t").as("t_sec"), col("v_e6").as("q_e6"))
+    }),
+
+    // sum() over INSTANT native vectors: the two shards' cumulative
+    // histograms add bucket-wise per step, then the quantile walk —
+    // the "whole-service histogram" idiom without rate
+    "read_native_sum_quantile" -> ((s, dir) => {
+      val (hist, d0, d1) = nativeHistRateFixture(s, dir)
+      val e = graft.serve.PromQL.parse(
+        "histogram_quantile(0.7, sum(click))").toOption.get
+      graft.serve.PromQL.eval(samples(s, dir), e, d0, d1, 86400L,
+          nativeHist = Some(hist))
+        .select(array_join(col("labels"), ",").as("labels_str"),
+          col("t").as("t_sec"), col("v_e6").as("q_e6"))
     }),
 
     // ---- §2.2 remote-read path -------------------------------------
@@ -3100,6 +3199,67 @@ object SparkEntry {
          |         ELSE pow(2, (ln(2)/ln(2)) + ((ln(4)/ln(2)) - (ln(2)/ln(2))) * ((rk - (a + b2)) / c))
          |       END * 1000000 + 0.5) AS BIGINT) AS q_e6
          |FROM r""".stripMargin,
+
+    // the composed-estimator walk: per-bucket rate = inc * (1/86400)
+    // (multiply by the reciprocal — the engine's own operation
+    // order), summed across the shard rotation, then the same
+    // exponential-interpolation CASE as read_native_quantile. A
+    // window needs BOTH days (first/last pair), so t ranges over
+    // days whose predecessor exists.
+    "read_native_quantile_rate" ->
+      s"""$S, agg AS (
+         |  SELECT ts_us // 1000000 // 86400 * 86400 AS day, count(*) AS n
+         |  FROM samples WHERE metric = 'click' GROUP BY 1
+         |), inc AS (
+         |  SELECT day, CAST(n % 7 AS DOUBLE) AS a,
+         |         CAST(n % 5 + 1 AS DOUBLE) AS b, CAST(n % 3 AS DOUBLE) AS c
+         |  FROM agg
+         |), w AS (
+         |  SELECT cur.day + 86400 AS t,
+         |         cur.a * (1.0 / 86400.0) + cur.b * (1.0 / 86400.0) AS u,
+         |         cur.b * (1.0 / 86400.0) + cur.c * (1.0 / 86400.0) AS v,
+         |         cur.c * (1.0 / 86400.0) + cur.a * (1.0 / 86400.0) AS w2,
+         |         0.7 * ((cur.a + cur.b + cur.c) * (1.0 / 86400.0) +
+         |                (cur.a + cur.b + cur.c) * (1.0 / 86400.0)) AS rk
+         |  FROM inc cur JOIN inc prev ON prev.day = cur.day - 86400
+         |)
+         |SELECT 'src=hist' AS labels_str, t AS t_sec,
+         |       CAST(floor(CASE
+         |         WHEN u > 0 AND u >= rk
+         |           THEN pow(2, (ln(0.5)/ln(2)) + ((ln(1)/ln(2)) - (ln(0.5)/ln(2))) * (rk / u))
+         |         WHEN u + v >= rk
+         |           THEN pow(2, (ln(1)/ln(2)) + ((ln(2)/ln(2)) - (ln(1)/ln(2))) * ((rk - u) / v))
+         |         ELSE pow(2, (ln(2)/ln(2)) + ((ln(4)/ln(2)) - (ln(2)/ln(2))) * ((rk - (u + v)) / w2))
+         |       END * 1000000 + 0.5) AS BIGINT) AS q_e6
+         |FROM w""".stripMargin,
+
+    // sum() over instant native vectors: the shards' CUMULATIVE
+    // buckets add bucket-wise per step (exact integer doubles), then
+    // the same walk; sum() drops all labels
+    "read_native_sum_quantile" ->
+      s"""$S, agg AS (
+         |  SELECT ts_us // 1000000 // 86400 * 86400 AS day, count(*) AS n
+         |  FROM samples WHERE metric = 'click' GROUP BY 1
+         |), cum AS (
+         |  SELECT day,
+         |         CAST(sum(n % 7) OVER o AS DOUBLE) AS ca,
+         |         CAST(sum(n % 5 + 1) OVER o AS DOUBLE) AS cb,
+         |         CAST(sum(n % 3) OVER o AS DOUBLE) AS cc
+         |  FROM agg WINDOW o AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+         |), w AS (
+         |  SELECT day AS t, ca + cb AS u, cb + cc AS v, cc + ca AS w2,
+         |         0.7 * ((ca + cb + cc) + (cb + cc + ca)) AS rk
+         |  FROM cum
+         |)
+         |SELECT '' AS labels_str, t AS t_sec,
+         |       CAST(floor(CASE
+         |         WHEN u > 0 AND u >= rk
+         |           THEN pow(2, (ln(0.5)/ln(2)) + ((ln(1)/ln(2)) - (ln(0.5)/ln(2))) * (rk / u))
+         |         WHEN u + v >= rk
+         |           THEN pow(2, (ln(1)/ln(2)) + ((ln(2)/ln(2)) - (ln(1)/ln(2))) * ((rk - u) / v))
+         |         ELSE pow(2, (ln(2)/ln(2)) + ((ln(4)/ln(2)) - (ln(2)/ln(2))) * ((rk - (u + v)) / w2))
+         |       END * 1000000 + 0.5) AS BIGINT) AS q_e6
+         |FROM w""".stripMargin,
 
     "read_native_fraction" ->
       s"""$S, agg AS (

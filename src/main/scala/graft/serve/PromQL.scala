@@ -2777,45 +2777,174 @@ object PromQL {
                              nativeHist: Option[DataFrame],
                              stale: Option[DataFrame] = None): Option[DataFrame] =
     nativeHist.flatMap { hs =>
-      child match {
-        case Instant(ms, off) if ms.exists(m =>
-            m.mtype == MatcherType.Eq && m.name == Matchers.NameLabel) =>
-          val s = startSec - off; val e = endSec - off
-          val name = ms.collectFirst {
-            case m if m.mtype == MatcherType.Eq &&
-              m.name == Matchers.NameLabel => m.value
-          }.get
-          val bounded = SeriesRead.timeBound(hs,
-            (s - lookbackSec + 1) * 1000L, e * 1000L)
-          // NAME-ONLY presence probe: metric equality pushes to the
-          // scan's row-group stats, so proving absence — the classic
-          // fallback every classic-histogram query pays under the
-          // flag — never evaluates the full matcher set over the
-          // window (label matchers are array ops, not pushable)
-          if (bounded.filter(col("metric") === name).limit(1).isEmpty)
-            None // metric has no native samples → classic path
-          else Some {
-            val pruned = bounded.filter(Matchers.compilePromQL(ms, ignoreLabel))
-            val sp = hs.sparkSession
-            import sp.implicits._
-            val perSample = pruned.select(col("ts_us"), col("metric"),
-                col("labels"), col("hist"))
-              .as[(Long, String, Seq[String], Array[Byte])]
-              .mapPartitions(_.map { case (ts, m, ls, b) =>
-                (ts, m, ls, est(graft.ingest.NativeHistogram.decode(
-                  graft.ingest.ProtoWire.reader(b))))
-              })
-              .toDF("ts_us", "metric", "labels", "value")
-              .filter(!isnan(col("value")))
-            instant(perSample, ms, s, e, stepSec, lookbackSec, ignoreLabel,
-                stale = stale)
-              .withColumn("t", col("t") + off)
-              .select(lit(null).cast("string").as("metric"),
-                col("labels"), col("t"), col("v_e6"))
-          }
-        case _ => None
+      histVec(hs, child, startSec, endSec, stepSec, lookbackSec,
+        ignoreLabel, stale).map { vec =>
+        val sp = hs.sparkSession
+        import sp.implicits._
+        vec.select(col("labels"), col("t"), col("hb"))
+          .as[(Seq[String], Long, Array[Byte])]
+          .mapPartitions(_.map { case (ls, t, b) =>
+            (ls, t, est(graft.ingest.NativeHistogram.decode(
+              graft.ingest.ProtoWire.reader(b))))
+          })
+          .toDF("labels", "t", "value")
+          .filter(!isnan(col("value")))
+          .select(lit(null).cast("string").as("metric"), col("labels"),
+            col("t"),
+            expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("v_e6"))
       }
     }
+
+  /** The native scan for one selector: pushed name probe (metric
+    * equality rides row-group stats, so proving ABSENCE — what every
+    * classic-histogram query pays under the flag — never evaluates
+    * label matchers), then the full matcher prune with an emptiness
+    * probe: a selector whose matchers hit only classic-only twin
+    * series falls back to the classic `_bucket` evaluation instead
+    * of answering empty (Prometheus evaluates mixed vectors). */
+  private def histSel(hs: DataFrame, ms: Seq[LabelMatcher], loMs: Long,
+                      hiMs: Long, ignoreLabel: Option[String])
+      : Option[DataFrame] = {
+    val name = ms.collectFirst {
+      case m if m.mtype == MatcherType.Eq &&
+        m.name == Matchers.NameLabel => m.value
+    }.getOrElse(return None)
+    val bounded = SeriesRead.timeBound(hs, loMs, hiMs)
+    if (bounded.filter(col("metric") === name).limit(1).isEmpty) return None
+    val pruned = bounded.filter(Matchers.compilePromQL(ms, ignoreLabel))
+    if (pruned.limit(1).isEmpty) None else Some(pruned)
+  }
+
+  /** A native-histogram VECTOR at grid steps — columns (metric,
+    * labels, t, hb) with `hb` the prompb Histogram bytes of the
+    * (series, step)'s effective histogram:
+    *
+    *  - `sel` / `sel offset o`: the latest sample in the (t-L, t]
+    *    lookback, stale markers ending the series like [[instant]];
+    *  - `rate(sel[d])`: bucket-wise observed-span rate — first/last
+    *    sample in [t-d, t) on common geometry (NativeHistogram
+    *    .align), subtracted (any bucket going DOWN is a counter
+    *    reset → the window drops, the exact-integer rate model's
+    *    convention), scaled by 1/observed-span;
+    *  - `sum by (…) (child)` / `sum without (…)`: sparse bucket
+    *    addition across the group (NativeHistogram.add), composing
+    *    over either shape above — `histogram_quantile(0.9,
+    *    sum by (job) (rate(m[5m])))`, THE dashboard idiom.
+    *
+    * Same-second duplicates collapse to the lexicographically
+    * greatest bytes (deterministic where scan order isn't). The sum
+    * leg's per-(group, step) collect is bounded by the group's
+    * series count — the cardinality any aggregation carries. */
+  private def histVec(hs: DataFrame, e: Expr, startSec: Long, endSec: Long,
+                      stepSec: Long, lookbackSec: Long,
+                      ignoreLabel: Option[String],
+                      stale: Option[DataFrame]): Option[DataFrame] = {
+    import graft.ingest.{NativeHistogram => NH, ProtoWire}
+    val sp = hs.sparkSession
+    import sp.implicits._
+    def dedupSec(df: DataFrame): DataFrame =
+      df.select(col("metric"), col("labels"),
+          expr("ts_us DIV 1000000").as("t_sec"), col("hist").as("hb"))
+        .groupBy(col("metric"), col("labels"), col("t_sec"))
+        .agg(max(col("hb")).as("hb"))
+    e match {
+      case Instant(ms, off) =>
+        val s = startSec - off; val en = endSec - off
+        histSel(hs, ms, (s - lookbackSec + 1) * 1000L, en * 1000L,
+            ignoreLabel).map { pruned =>
+          val offK = lookbackSec / stepSec + 2
+          val kTop = (en - s) / stepSec
+          val base = dedupSec(pruned)
+            .filter(col("t_sec") >= s - lookbackSec + 1 && col("t_sec") <= en)
+            .withColumn("dead", lit(0))
+          val events = stale match {
+            case None => base
+            case Some(st) =>
+              val marks = SeriesRead.timeBound(st,
+                  (s - lookbackSec + 1) * 1000L, en * 1000L)
+                .filter(Matchers.compilePromQL(ms, ignoreLabel))
+                .select(col("metric"), col("labels"),
+                  expr("ts_us DIV 1000000").as("t_sec"),
+                  lit(null).cast("binary").as("hb"))
+                .distinct()
+                .filter(col("t_sec") >= s - lookbackSec + 1 &&
+                  col("t_sec") <= en)
+                .withColumn("dead", lit(1))
+              base.unionByName(marks)
+          }
+          events
+            .withColumn("kmin", greatest(lit(0L),
+              expr(s"(t_sec - $s + ${offK * stepSec} + $stepSec - 1) " +
+                s"DIV $stepSec - $offK")))
+            .withColumn("kmax", least(lit(kTop),
+              expr(s"(t_sec + $lookbackSec - 1 - $s) DIV $stepSec")))
+            .filter(col("kmax") >= col("kmin"))
+            .withColumn("k", explode(expr("sequence(kmin, kmax)")))
+            .withColumn("t", expr(s"$s + k * $stepSec"))
+            .groupBy(col("metric"), col("labels"), col("t"))
+            .agg(expr("max_by(named_struct('hb', hb, 'dead', dead), " +
+              "named_struct('t_sec', t_sec, 'dead', dead))").as("w"))
+            .filter(col("w.dead") === 0)
+            .select(col("metric"), col("labels"),
+              (col("t") + off).as("t"), col("w.hb").as("hb"))
+        }
+      case RangeCall("rate", ms, d, off) =>
+        val s = startSec - off; val en = endSec - off
+        histSel(hs, ms, (s - d) * 1000L, (en - 1) * 1000L, ignoreLabel)
+          .map { pruned =>
+            val offK = d / stepSec + 2
+            val kTop = (en - s) / stepSec
+            val paired = dedupSec(pruned)
+              .filter(col("t_sec") >= s - d && col("t_sec") <= en - 1)
+              // window [t-d, t) ∋ t_sec — gridExplode's k-math
+              .withColumn("kmin", greatest(lit(0L),
+                expr(s"(t_sec - $s + ${offK * stepSec}) DIV $stepSec - $offK + 1")))
+              .withColumn("kmax", least(lit(kTop),
+                expr(s"(t_sec + $d - $s) DIV $stepSec")))
+              .filter(col("kmax") >= col("kmin"))
+              .withColumn("k", explode(expr("sequence(kmin, kmax)")))
+              .withColumn("t", expr(s"$s + k * $stepSec"))
+              .groupBy(col("metric"), col("labels"), col("t"))
+              .agg(min_by(col("hb"), col("t_sec")).as("hb0"),
+                max_by(col("hb"), col("t_sec")).as("hb1"),
+                min(col("t_sec")).as("tf"), max(col("t_sec")).as("tl"),
+                count(lit(1)).as("n"))
+              .filter(col("n") >= 2)
+            paired.select(col("metric"), col("labels"), col("t"),
+                col("hb0"), col("hb1"), (col("tl") - col("tf")).as("span"))
+              .as[(String, Seq[String], Long, Array[Byte], Array[Byte], Long)]
+              .mapPartitions(_.flatMap { case (m, ls, t, b0, b1, span) =>
+                val first = NH.toSparse(NH.decode(ProtoWire.reader(b0)))
+                val last = NH.toSparse(NH.decode(ProtoWire.reader(b1)))
+                NH.subtract(last, first).map { diff =>
+                  (m, ls, t, NH.encode(NH.fromSparse(t * 1000L,
+                    NH.scale(diff, 1.0d / span.toDouble))))
+                }
+              })
+              .toDF("metric", "labels", "t", "hb")
+              .withColumn("t", col("t") + off)
+          }
+      case Agg("sum", by, child, without, None) =>
+        histVec(hs, child, startSec, endSec, stepSec, lookbackSec,
+            ignoreLabel, stale).map { v =>
+          v.groupBy(keptLabels(by, without).as("labels"), col("t"))
+            // sort_array: a deterministic fold order — double
+            // addition is order-sensitive at the ulp level
+            .agg(sort_array(collect_list(col("hb"))).as("hbs"))
+            .as[(Seq[String], Long, Seq[Array[Byte]])]
+            .mapPartitions(_.map { case (ls, t, bs) =>
+              val sum = bs.iterator
+                .map(b => NH.toSparse(NH.decode(ProtoWire.reader(b))))
+                .reduceLeft(NH.add)
+              (ls, t, NH.encode(NH.fromSparse(t * 1000L, sum)))
+            })
+            .toDF("labels", "t", "hb")
+            .select(lit(null).cast("string").as("metric"), col("labels"),
+              col("t"), col("hb"))
+        }
+      case _ => None
+    }
+  }
 
   /** histogram_fraction(lo, hi, child): the estimated fraction of
     * observations in (lo, hi], over the same dynamic cumulative

@@ -1961,6 +1961,123 @@ class PromQLSpec extends SparkSpecBase {
       s"classic fraction must stay linear: $fC")
   }
 
+  test("native estimators over composed arguments: rate, sum by, and the matcher fallback") {
+    import spark.implicits._
+    import graft.ingest.NativeHistogram
+    // counter histogram growing over 60s: schema 0 buckets
+    // (0.5,1],(1,2] go (1,2) → (7,14); bucket-wise rate = (0.1, 0.2)
+    val h0 = NativeHistogram.Hist(T0 * 1000L, 3.0, 5.0, 0, 0.0, 0.0,
+      Seq((0, 2)), Seq(1L, 1L), Nil, Nil, Nil, Nil)
+    val h1 = h0.copy(timestampMs = (T0 + 60) * 1000L, count = 21.0,
+      sum = 50.0, posDeltas = Seq(7L, 7L))
+    // a second series on the same grid, different mass
+    val g0 = h0.copy(count = 5.0, posDeltas = Seq(2L, 1L)) // counts (2, 3)
+    val g1 = h0.copy(timestampMs = (T0 + 60) * 1000L, count = 10.0,
+      sum = 20.0, posDeltas = Seq(3L, 4L))                 // counts (3, 7)
+    val histDf = Seq(
+      (T0 * 1000000L, "hm", Seq("k=a", "src=s"), NativeHistogram.encode(h0)),
+      ((T0 + 60) * 1000000L, "hm", Seq("k=a", "src=s"), NativeHistogram.encode(h1)),
+      (T0 * 1000000L, "hm", Seq("k=b", "src=s"), NativeHistogram.encode(g0)),
+      ((T0 + 60) * 1000000L, "hm", Seq("k=b", "src=s"), NativeHistogram.encode(g1))
+    ).toDF("ts_us", "metric", "labels", "hist")
+    val empty = Seq.empty[(Long, String, Seq[String], Double)]
+      .toDF("ts_us", "metric", "labels", "value")
+
+    // rate: expected value through the SAME sparse arithmetic the
+    // engine uses — the e2e asserts the window pairing + plumbing
+    def rateOf(a: NativeHistogram.Hist, b: NativeHistogram.Hist, span: Double) =
+      NativeHistogram.fromSparse(0L, NativeHistogram.scale(
+        NativeHistogram.subtract(NativeHistogram.toSparse(b),
+          NativeHistogram.toSparse(a)).get, 1.0 / span))
+    val expRateA = NativeHistogram.quantile(0.5, rateOf(h0, h1, 60.0))
+    val expRateB = NativeHistogram.quantile(0.5, rateOf(g0, g1, 60.0))
+    val eRate = parse("histogram_quantile(0.5, rate(hm[90s]))").toOption.get
+    val gotRate = rows(PromQL.eval(empty, eRate, T0 + 90, T0 + 90, 1L,
+      nativeHist = Some(histDf)))
+    assert(gotRate === Set(
+      ("", "k=a,src=s", T0 + 90, math.floor(expRateA * 1e6 + 0.5).toLong),
+      ("", "k=b,src=s", T0 + 90, math.floor(expRateB * 1e6 + 0.5).toLong)))
+
+    // sum by (src) over the instant vector: sparse addition across
+    // the two series, then the walk; labels collapse to src
+    val expSum = NativeHistogram.quantile(0.6,
+      NativeHistogram.fromSparse(0L, NativeHistogram.add(
+        NativeHistogram.toSparse(h1), NativeHistogram.toSparse(g1))))
+    val eSum = parse("histogram_quantile(0.6, sum by (src) (hm))").toOption.get
+    val gotSum = rows(PromQL.eval(empty, eSum, T0 + 60, T0 + 60, 1L,
+      nativeHist = Some(histDf)))
+    assert(gotSum === Set(
+      ("", "src=s", T0 + 60, math.floor(expSum * 1e6 + 0.5).toLong)))
+
+    // THE dashboard idiom end to end: sum by of the rates
+    val expSumRate = NativeHistogram.quantile(0.5,
+      NativeHistogram.fromSparse(0L, NativeHistogram.add(
+        NativeHistogram.toSparse(rateOf(h0, h1, 60.0)),
+        NativeHistogram.toSparse(rateOf(g0, g1, 60.0)))))
+    val eSR = parse("histogram_quantile(0.5, sum by (src) (rate(hm[90s])))")
+      .toOption.get
+    val gotSR = rows(PromQL.eval(empty, eSR, T0 + 90, T0 + 90, 1L,
+      nativeHist = Some(histDf)))
+    assert(gotSR === Set(
+      ("", "src=s", T0 + 90, math.floor(expSumRate * 1e6 + 0.5).toLong)))
+
+    // a counter RESET inside the window drops it (bucket went down)
+    val hReset = h0.copy(timestampMs = (T0 + 60) * 1000L, count = 1.0,
+      posDeltas = Seq(1L), posSpans = Seq((0, 1)))
+    val resetDf = Seq(
+      (T0 * 1000000L, "hm", Seq("k=a"), NativeHistogram.encode(h0)),
+      ((T0 + 60) * 1000000L, "hm", Seq("k=a"), NativeHistogram.encode(hReset))
+    ).toDF("ts_us", "metric", "labels", "hist")
+    assert(rows(PromQL.eval(empty, parse("histogram_quantile(0.5, rate(hm[90s]))")
+      .toOption.get, T0 + 90, T0 + 90, 1L, nativeHist = Some(resetDf))).isEmpty)
+
+    // ADVICE fix: matchers hitting only CLASSIC-only twins fall back
+    // to the classic evaluation instead of answering empty — k=w
+    // exists only as le-labeled float series under the SAME name
+    // (the mixed native+classic vector Prometheus evaluates)
+    val classicTwin = Seq(
+      ((T0 + 60) * 1000000L, "hm", Seq("k=w", "le=1"), 3.0),
+      ((T0 + 60) * 1000000L, "hm", Seq("k=w", "le=2"), 6.0),
+      ((T0 + 60) * 1000000L, "hm", Seq("k=w", "le=+Inf"), 6.0))
+      .toDF("ts_us", "metric", "labels", "value")
+    val eW = parse("""histogram_quantile(0.75, hm{k="w"})""").toOption.get
+    val gotW = rows(PromQL.eval(classicTwin, eW, T0 + 60, T0 + 60, 60L,
+      nativeHist = Some(histDf)))
+    assert(gotW === Set(("", "k=w", T0 + 60, 1500000L)),
+      s"classic-only twin must serve the classic linear estimate: $gotW")
+  }
+
+  test("sparse histogram arithmetic: downscale, align, subtract, add") {
+    import graft.ingest.NativeHistogram._
+    // schema 1 buckets at indexes -1..2 merge pairwise into schema 0
+    // via j = ceil(i/2): (-1,0) → 0, (1,2) → 1
+    val s1 = Sparse(1, 0.0, 0.0, 10.0, 5.0,
+      Map(-1 -> 1.0, 0 -> 2.0, 1 -> 3.0, 2 -> 4.0), Map.empty)
+    val d = downscale(s1, 0)
+    assert(d.pos === Map(0 -> 3.0, 1 -> 7.0))
+    // align widens the zero threshold and folds covered buckets
+    val a = Sparse(0, 1.0, 5.0, 10.0, 0.0, Map(1 -> 3.0), Map.empty)
+    val b = Sparse(0, 0.0, 0.0, 3.0, 0.0, Map(0 -> 3.0), Map.empty)
+    val (a2, b2) = align(a, b)
+    assert(a2.zeroTh === 1.0 && b2.zeroTh === 1.0)
+    assert(b2.zeroCount === 3.0 && b2.pos.isEmpty,
+      "the (0.5,1] bucket folds into the widened zero bucket")
+    assert(a2.pos === Map(1 -> 3.0))
+    // subtract detects per-bucket resets
+    val x = Sparse(0, 0.0, 0.0, 5.0, 9.0, Map(0 -> 2.0, 1 -> 3.0), Map.empty)
+    val y = Sparse(0, 0.0, 0.0, 4.0, 7.0, Map(0 -> 1.0, 1 -> 3.0), Map.empty)
+    assert(subtract(x, y) ===
+      Some(Sparse(0, 0.0, 0.0, 1.0, 2.0, Map(0 -> 1.0), Map.empty)))
+    assert(subtract(y, x) === None, "a bucket going down is a reset")
+    // fromSparse rebuilds gapped spans; the estimator walks them
+    val gap = Sparse(0, 0.0, 0.0, 7.0, 0.0,
+      Map(-2 -> 1.0, 0 -> 2.0, 3 -> 4.0), Map.empty)
+    val h = fromSparse(0L, gap)
+    assert(h.posSpans === Seq((-2, 1), (1, 1), (2, 1)))
+    assert(h.posCounts === Seq(1.0, 2.0, 4.0))
+    assert(toSparse(h).pos === gap.pos)
+  }
+
   test("native quantile estimator fuzz: monotone in q, bounded by the bucket range") {
     import graft.ingest.NativeHistogram
     val rnd = new scala.util.Random(11)

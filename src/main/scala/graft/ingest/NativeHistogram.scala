@@ -66,7 +66,25 @@ object NativeHistogram {
         * through the sibling store so federation keeps the sender's
         * semantics; [[graft.serve.HistChunks]] maps it onto the
         * chunk counter-reset header and the gauge cut rules. */
-      resetHint: Int = 0)
+      resetHint: Int = 0,
+      /** prompb Histogram.custom_values (field 16): the sorted upper
+        * bucket bounds of a CUSTOM-bounds histogram (NHCB, schema
+        * 127 — what Prometheus 3.x converts classic histograms to).
+        * Positive bucket index i counts observations in
+        * (custom_values[i-1], custom_values[i]] (i = 0 from the
+        * bottom); index len(custom_values) is the +Inf overflow.
+        * Empty for exponential schemas. */
+      customValues: Seq[Double] = Nil)
+
+  /** The NHCB schema sentinel (histogram.CustomBucketsSchema). */
+  val CustomBucketsSchema: Int = 127
+
+  /** Whether graft can carry this histogram: standard exponential
+    * schemas −4..8, or custom bounds (schema 127) actually CARRYING
+    * bounds. Anything else rides the skipped ledger. */
+  def convertible(h: Hist): Boolean =
+    (h.schema >= -4 && h.schema <= 8) ||
+      (h.schema == CustomBucketsSchema && h.customValues.nonEmpty)
 
   private def zigzag(v: Long): Long = (v >>> 1) ^ -(v & 1L)
 
@@ -106,6 +124,7 @@ object NativeHistogram {
     var negDeltas = Seq.empty[Long]; var negCounts = Seq.empty[Double]
     var floatForm = false
     var resetHint = 0
+    var customValues = Seq.empty[Double]
     while (r.hasMore) {
       val (f, w) = r.readTag()
       (f, w) match {
@@ -128,12 +147,15 @@ object NativeHistogram {
         case (13, 1) => posCounts = posCounts :+ r.readDouble(); floatForm = true
         case (14, 0) => resetHint = r.readVarint().toInt
         case (15, 0) => tsMs = r.readVarint()
+        case (16, 2) => customValues = customValues ++ readPackedDouble(r.readMessage())
+        case (16, 1) => customValues = customValues :+ r.readDouble()
         case _       => r.skip(w)
       }
     }
     Hist(tsMs, count, sum, schema, zeroTh, zeroCount,
       posSpans.result(), posDeltas, posCounts,
-      negSpans.result(), negDeltas, negCounts, floatForm, resetHint)
+      negSpans.result(), negDeltas, negCounts, floatForm, resetHint,
+      customValues)
   }
 
   private def zigzagEnc(v: Long): Long = (v << 1) ^ (v >> 63)
@@ -183,6 +205,11 @@ object NativeHistogram {
     }
     if (h.resetHint != 0) w.writeVarintField(14, h.resetHint.toLong)
     w.writeVarintField(15, h.timestampMs)
+    if (h.customValues.nonEmpty) {
+      val pw = new ProtoWire.Writer
+      h.customValues.foreach(pw.writeDouble)
+      w.writeBytesField(16, pw.toBytes)
+    }
     w.toBytes
   }
 
@@ -226,7 +253,24 @@ object NativeHistogram {
     * when the schema is outside the standard −4..8 range (the
     * caller's skipped ledger). */
   def toClassic(h: Hist): Option[(Seq[(String, Double)], Double, Double)] = {
-    if (h.schema < -4 || h.schema > 8) return None
+    if (!convertible(h)) return None
+    if (h.schema == CustomBucketsSchema) {
+      // NHCB: the custom values ARE classic le bounds — bucket index
+      // i counts (cv[i-1], cv[i]]; an index at/past len(cv) is +Inf
+      // overflow mass, already inside `count`. Negative spans and
+      // the zero bucket don't exist in the custom-bounds model.
+      val cv = h.customValues
+      val pos = spanIndices(h.posSpans)
+        .zip(absCounts(h.posDeltas, h.posCounts))
+        .filter { case (i, c) => c != 0.0d && i >= 0 && i < cv.length }
+        .sortBy(_._1)
+        .map { case (i, c) => (cv(i), c) }
+      var cum = 0.0d
+      val buckets = pos.map { case (le, c) =>
+        cum += c; (leText(le), cum)
+      } :+ (("+Inf", h.count))
+      return Some((buckets, h.sum, h.count))
+    }
     val base = math.pow(2.0, math.pow(2.0, -h.schema))
     val neg = spanIndices(h.negSpans)
       .zip(absCounts(h.negDeltas, h.negCounts))
@@ -267,12 +311,29 @@ object NativeHistogram {
     * default; the native path is opt-in (PromQL.eval's nativeHist). */
   /** Populated buckets of one sample in ascending-bound order
     * (negatives by descending index, the zero bucket, positives) as
-    * (lower, upper, count), plus which signs hold mass — the ONE
-    * geometry both estimators walk, so a bounds fix can never
-    * diverge between them. None outside the standard schema range. */
+    * (lower, upper, count), plus which signs hold mass and whether
+    * the bounds are CUSTOM (NHCB — interpolation is then LINEAR,
+    * classic-bucket semantics, not exponential) — the ONE geometry
+    * both estimators walk, so a bounds fix can never diverge between
+    * them. None outside the carryable schemas. */
   private def populatedBuckets(h: Hist)
-      : Option[(Seq[(Double, Double, Double)], Boolean, Boolean)] = {
-    if (h.schema < -4 || h.schema > 8) return None
+      : Option[(Seq[(Double, Double, Double)], Boolean, Boolean, Boolean)] = {
+    if (!convertible(h)) return None
+    if (h.schema == CustomBucketsSchema) {
+      val cv = h.customValues
+      val pos = spanIndices(h.posSpans)
+        .zip(absCounts(h.posDeltas, h.posCounts))
+        .filter { case (i, c) => c != 0.0d && i >= 0 && i <= cv.length }
+        .sortBy(_._1)
+        .map { case (i, c) =>
+          // the first bucket's lower bound is 0 (the classic
+          // convention histQuantile shares); the overflow bucket's
+          // upper is +Inf
+          (if (i == 0) 0.0d else cv(i - 1),
+            if (i < cv.length) cv(i) else Double.PositiveInfinity, c)
+        }
+      return Some((pos, false, pos.nonEmpty, true))
+    }
     val base = math.pow(2.0, math.pow(2.0, -h.schema))
     val neg = spanIndices(h.negSpans)
       .zip(absCounts(h.negDeltas, h.negCounts))
@@ -285,14 +346,14 @@ object NativeHistogram {
       .zip(absCounts(h.posDeltas, h.posCounts))
       .filter(_._2 != 0.0d).sortBy(_._1)
       .map { case (i, c) => (math.pow(base, i - 1), math.pow(base, i), c) }
-    Some((neg ++ zero ++ pos, neg.nonEmpty, pos.nonEmpty))
+    Some((neg ++ zero ++ pos, neg.nonEmpty, pos.nonEmpty, false))
   }
 
   def quantile(q: Double, h: Hist): Double = {
     if (q < 0) return Double.NegativeInfinity
     if (q > 1) return Double.PositiveInfinity
     if (h.count == 0 || q.isNaN) return Double.NaN
-    val (buckets, hasNeg, hasPos) = populatedBuckets(h) match {
+    val (buckets, hasNeg, hasPos, custom) = populatedBuckets(h) match {
       case None => return Double.NaN
       case Some(t) => t
     }
@@ -312,7 +373,13 @@ object NativeHistogram {
       else if (!hasPos && hasNeg) upper = 0.0d
     }
     val fraction = (rank - cum) / cnt
-    if (lower <= 0 && upper >= 0)
+    if (custom) {
+      // NHCB buckets are classic le-buckets: LINEAR interpolation;
+      // rank landing in the +Inf overflow clamps to the top finite
+      // bound (the classic estimator's convention)
+      if (upper.isPosInfinity) lower
+      else lower + (upper - lower) * fraction
+    } else if (lower <= 0 && upper >= 0)
       lower + (upper - lower) * fraction // linear across/touching zero
     else {
       val logLower = log2(math.abs(lower))
@@ -342,7 +409,7 @@ object NativeHistogram {
   def fraction(lo: Double, hi: Double, h: Hist): Double = {
     if (h.count == 0 || lo.isNaN || hi.isNaN) return Double.NaN
     if (lo >= hi) return 0.0
-    val (buckets, hasNeg, hasPos) = populatedBuckets(h) match {
+    val (buckets, hasNeg, hasPos, custom) = populatedBuckets(h) match {
       case None => return Double.NaN
       case Some(t) => t
     }
@@ -358,7 +425,13 @@ object NativeHistogram {
         else if (!hasPos && hasNeg) bHi = 0.0d
       }
       def partial(v: Double): Double =
-        if (zeroBucket) rank + cnt * (v - bLo) / (bHi - bLo)
+        if (custom) {
+          // NHCB: linear inside classic bounds; inside the +Inf
+          // overflow the bound's count is the estimate (the classic
+          // clamp convention)
+          if (bHi.isPosInfinity) rank
+          else rank + cnt * (v - bLo) / (bHi - bLo)
+        } else if (zeroBucket) rank + cnt * (v - bLo) / (bHi - bLo)
         else {
           val logLo = log2(math.abs(bLo)); val logHi = log2(math.abs(bHi))
           val logV = log2(math.abs(v))
@@ -390,14 +463,15 @@ object NativeHistogram {
     * is per-second mass and a sum of float histograms is float. */
   final case class Sparse(schema: Int, zeroTh: Double, zeroCount: Double,
                           count: Double, sum: Double,
-                          pos: Map[Int, Double], neg: Map[Int, Double])
+                          pos: Map[Int, Double], neg: Map[Int, Double],
+                          customValues: Seq[Double] = Nil)
 
   def toSparse(h: Hist): Sparse = {
     def m(sp: Seq[(Int, Int)], d: Seq[Long], c: Seq[Double]) =
       spanIndices(sp).zip(absCounts(d, c)).filter(_._2 != 0.0d).toMap
     Sparse(h.schema, h.zeroThreshold, h.zeroCount, h.count, h.sum,
       m(h.posSpans, h.posDeltas, h.posCounts),
-      m(h.negSpans, h.negDeltas, h.negCounts))
+      m(h.negSpans, h.negDeltas, h.negCounts), h.customValues)
   }
 
   /** Merge to a coarser standard schema: bucket i at schema s covers
@@ -406,6 +480,8 @@ object NativeHistogram {
     * j = ceil(i / 2^(s-t)) — the standard exponential downscale. */
   def downscale(s: Sparse, to: Int): Sparse = {
     if (to == s.schema) return s
+    require(s.schema != CustomBucketsSchema,
+      "custom-bounds histograms have no schema ladder")
     require(to < s.schema, "can only downscale to a coarser schema")
     val shift = s.schema - to
     def re(m: Map[Int, Double]): Map[Int, Double] =
@@ -424,6 +500,13 @@ object NativeHistogram {
     * bucket's far bound first (Prometheus raises the threshold to a
     * bucket boundary rather than splitting mass). */
   def align(a0: Sparse, b0: Sparse): (Sparse, Sparse) = {
+    if (a0.schema == CustomBucketsSchema || b0.schema == CustomBucketsSchema) {
+      // NHCB has no resolution ladder: arithmetic requires IDENTICAL
+      // bounds (Prometheus's FloatHistogram errors the same way)
+      require(a0.schema == b0.schema && a0.customValues == b0.customValues,
+        "mismatched custom bucket bounds")
+      return (a0, b0)
+    }
     val sch = math.min(a0.schema, b0.schema)
     var a = downscale(a0, sch); var b = downscale(b0, sch)
     val zt0 = math.max(a.zeroTh, b.zeroTh)
@@ -453,6 +536,12 @@ object NativeHistogram {
     * drops reset windows; Prometheus's native rate detects resets
     * the same bucket-wise way). */
   def subtract(last0: Sparse, first0: Sparse): Option[Sparse] = {
+    // a custom-bounds change mid-window reads as a reset (the bucket
+    // mapping is gone, like a schema change on a classic histogram)
+    if ((last0.schema == CustomBucketsSchema ||
+        first0.schema == CustomBucketsSchema) &&
+        (last0.schema != first0.schema ||
+          last0.customValues != first0.customValues)) return None
     val (last, first) = align(last0, first0)
     if (last.count < first.count || last.zeroCount < first.zeroCount)
       return None
@@ -470,7 +559,7 @@ object NativeHistogram {
     for (p <- diff(last.pos, first.pos); n <- diff(last.neg, first.neg))
       yield Sparse(last.schema, last.zeroTh,
         last.zeroCount - first.zeroCount, last.count - first.count,
-        last.sum - first.sum, p, n)
+        last.sum - first.sum, p, n, last.customValues)
   }
 
   def add(a0: Sparse, b0: Sparse): Sparse = {
@@ -480,7 +569,8 @@ object NativeHistogram {
         .map(k => k -> (x.getOrElse(k, 0.0d) + y.getOrElse(k, 0.0d)))
         .filter(_._2 != 0.0d).toMap
     Sparse(a.schema, a.zeroTh, a.zeroCount + b.zeroCount,
-      a.count + b.count, a.sum + b.sum, m(a.pos, b.pos), m(a.neg, b.neg))
+      a.count + b.count, a.sum + b.sum, m(a.pos, b.pos), m(a.neg, b.neg),
+      a.customValues)
   }
 
   def scale(s: Sparse, k: Double): Sparse =
@@ -512,7 +602,7 @@ object NativeHistogram {
     val nIdx = s.neg.keys.toSeq.sorted
     Hist(tsMs, s.count, s.sum, s.schema, s.zeroTh, s.zeroCount,
       spans(pIdx), Nil, pIdx.map(s.pos), spans(nIdx), Nil, nIdx.map(s.neg),
-      floatForm = true)
+      floatForm = true, customValues = s.customValues)
   }
 
   /** Expand one histogram into classic ingested samples under

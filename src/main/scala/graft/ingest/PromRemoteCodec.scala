@@ -166,7 +166,7 @@ object PromRemoteCodec {
         case (3, 2) => exemplars += readExemplar(r.readMessage())
         case (4, 2) => // native histogram: convertible ones ride along
           val h = NativeHistogram.decode(r.readMessage())
-          if (h.schema >= -4 && h.schema <= 8) hists += h
+          if (NativeHistogram.convertible(h)) hists += h
           else skipped.n += 1
         case _      => r.skip(wire)
       }
@@ -490,7 +490,7 @@ object PromRemoteCodec {
         case (2, 2) => samples += readSample(r.readMessage())
         case (3, 2) => // native histogram (same message as prompb)
           val h = NativeHistogram.decode(r.readMessage())
-          if (h.schema >= -4 && h.schema <= 8) hists += h
+          if (NativeHistogram.convertible(h)) hists += h
           else skipped.n += 1
         case (4, 2) => rawExemplars += r.readMessage()
         case (5, 2) => // Metadata {1: type, 3: help_ref, 4: unit_ref}

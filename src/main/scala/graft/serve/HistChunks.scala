@@ -59,12 +59,8 @@ import graft.ingest.PromRemoteCodec.PromChunk
   * and stamps the new chunk's header CounterReset, exactly the
   * signal chunkenc's header exists to carry.
   *
-  * DOCUMENTED DEVIATIONS (format-valid, content-lossless for every
-  * standard-schema histogram): (1) schema 127 (custom bounds) writes
-  * an EMPTY custom-values section — graft's ingest drops
-  * custom-bounds histograms from the classic surface (skipped
-  * ledger) and never carries their bounds, so the chunk stays
-  * structurally decodable but boundless; (2) the encoder always
+  * DOCUMENTED DEVIATION (format-valid, content-lossless for every
+  * standard-schema histogram): the encoder always
   * opens a fresh leading/trailing window on the first XOR write of a
   * field (the 0xff sentinel), where Go's float-histogram bucket
   * states may reuse differently — window choice changes bits, never
@@ -187,9 +183,26 @@ object HistChunks {
     spans.iterator.map(_._2).sum
 
   /** histogram.CustomBucketsSchema — the layout carries a
-    * custom-values section for it (graft writes it empty, see the
-    * deviation note). */
+    * custom-values section for it: a varbit-uint count, then each
+    * bound as one flag bit + payload (chunkenc's putCustomBound,
+    * re-derived like the rest of the layout): flag 0 when 2·bound is
+    * a whole non-negative number small enough for varbit-uint (the
+    * classic-bucket .5 idiom), flag 1 + raw 64 float bits
+    * otherwise. */
   private val CustomBucketsSchema = 127
+
+  private def putCustomBound(w: Gorilla.BitWriter, f: Double): Unit = {
+    val tf = f * 2
+    if (tf >= 0 && tf <= 33554432.0d && math.floor(tf) == tf) {
+      w.writeBit(0); putVarbitUint(w, tf.toLong)
+    } else {
+      w.writeBit(1); w.writeBits(rawBits(f), 64)
+    }
+  }
+
+  private def readCustomBound(r: Gorilla.BitReader): Double =
+    if (r.readBit() == 0) readVarbitUint(r).toDouble / 2.0d
+    else java.lang.Double.longBitsToDouble(r.readBits(64))
 
   // ---- per-field Gorilla XOR state (chunkenc xorWrite/xorRead) ----
 
@@ -244,7 +257,7 @@ object HistChunks {
     * GaugeType-headed chunks, never mixed with counter samples. */
   private def layoutOf(h: NativeHistogram.Hist) =
     (h.schema, h.zeroThreshold, h.posSpans, h.negSpans, h.floatForm,
-      h.resetHint == 3)
+      h.resetHint == 3, h.customValues)
 
   private def bucketValues(h: NativeHistogram.Hist, pos: Boolean): Int =
     if (h.floatForm) (if (pos) h.posCounts else h.negCounts).length
@@ -335,8 +348,10 @@ object HistChunks {
     putVarbitInt(w, head.schema.toLong)
     putSpans(w, head.posSpans)
     putSpans(w, head.negSpans)
-    if (head.schema == CustomBucketsSchema)
-      putVarbitUint(w, 0L) // empty custom-values section (deviation)
+    if (head.schema == CustomBucketsSchema) {
+      putVarbitUint(w, head.customValues.length.toLong)
+      head.customValues.foreach(putCustomBound(w, _))
+    }
     if (head.floatForm) encodeFloatSamples(w, run)
     else encodeIntSamples(w, run)
     PromChunk(head.timestampMs, run.last.timestampMs, w.toBytes,
@@ -482,12 +497,9 @@ object HistChunks {
     val schema = readVarbitInt(r).toInt
     val posSpans = readSpans(r)
     val negSpans = readSpans(r)
-    if (schema == CustomBucketsSchema) {
-      val nCustom = readVarbitUint(r).toInt
-      if (nCustom != 0)
-        throw new ProtoWire.WireFormatException(
-          "custom bucket bounds are not supported")
-    }
+    val customValues =
+      if (schema != CustomBucketsSchema) Seq.empty[Double]
+      else Seq.fill(readVarbitUint(r).toInt)(readCustomBound(r))
     val floatForm = ctype match {
       case TypeHistogram      => false
       case TypeFloatHistogram => true
@@ -532,7 +544,7 @@ object HistChunks {
         }
         out += NativeHistogram.Hist(t, cnt.toDouble, sum, schema, zeroTh,
           z.toDouble, posSpans, pPrev.toSeq, Nil, negSpans, nPrev.toSeq, Nil,
-          resetHint = hintFor(i))
+          resetHint = hintFor(i), customValues = customValues)
         i += 1
       }
     } else {
@@ -565,7 +577,7 @@ object HistChunks {
         out += NativeHistogram.Hist(t, d(cntSt.bits), d(sumSt.bits), schema,
           zeroTh, d(zSt.bits), posSpans, Nil, pSt.map(s => d(s.bits)).toSeq,
           negSpans, Nil, nSt.map(s => d(s.bits)).toSeq, floatForm = true,
-          resetHint = hintFor(i))
+          resetHint = hintFor(i), customValues = customValues)
         i += 1
       }
     }

@@ -358,4 +358,27 @@ class HistChunksSpec extends org.scalatest.funsuite.AnyFunSuite {
     val c = HistChunks.encodeChunks(Seq(h)).head
     assert(HistChunks.decodeChunk(c.data, c.ctype) === Seq(h))
   }
+
+  test("NHCB custom bounds round-trip through the chunk's custom-values section") {
+    // half-integer bounds ride the compact varbit form; the awkward
+    // one (0.3 — not a half-integer) falls to raw float bits
+    val cv = Seq(0.25, 0.3, 1.0, 2.5, 10.0, 33554432.5)
+    val h0 = Hist(1000L, 6.0, 9.0, 127, 0.0, 0.0, Seq((0, 3)),
+      Seq(1L, 2L, 0L), Nil, Nil, Nil, Nil, customValues = cv)
+    val h1 = h0.copy(timestampMs = 2000L, count = 9.0, sum = 14.0,
+      posDeltas = Seq(2L, 2L, 1L))
+    val chunks = HistChunks.encodeChunks(Seq(h0, h1))
+    assert(chunks.size === 1, "same bounds, same layout: one chunk")
+    assert(HistChunks.decodeChunk(chunks.head.data, chunks.head.ctype)
+      === Seq(h0, h1.copy(resetHint = 2)))
+    // float form too (rate-derived NHCB histograms are float)
+    val f0 = Hist(1000L, 3.0, 4.5, 127, 0.0, 0.0, Seq((0, 2)), Nil,
+      Seq(1.0, 2.0), Nil, Nil, Nil, floatForm = true, customValues = cv)
+    val fc = HistChunks.encodeChunks(Seq(f0)).head
+    assert(HistChunks.decodeChunk(fc.data, fc.ctype) === Seq(f0))
+    // CHANGED bounds are a layout change: the chunk cuts
+    val h2 = h1.copy(timestampMs = 3000L,
+      customValues = cv.updated(1, 0.4))
+    assert(HistChunks.encodeChunks(Seq(h0, h2)).size === 2)
+  }
 }

@@ -573,6 +573,53 @@ class ServeSpec extends SparkSpecBase {
     } finally srv.stop()
   }
 
+  test("custom-bounds histograms (NHCB, schema 127) carry end to end") {
+    import graft.ingest.NativeHistogram
+    val store = tmpStore("nhcb")
+    val cv = Seq(0.1, 0.5, 2.5)
+    // buckets: (≤0.1]:2, (0.1,0.5]:3, (0.5,2.5]:4, overflow(+Inf):6
+    val h = NativeHistogram.Hist(1704412800000L, 15.0, 7.5, 127, 0.0, 0.0,
+      Seq((0, 4)), Seq(2L, 1L, 1L, 2L), Nil, Nil, Nil, Nil,
+      customValues = cv)
+    val convBefore = graft.OpsMetrics(spark).convertedHistograms.value
+    val dropBefore = graft.OpsMetrics(spark).droppedHistograms.value
+    RemoteWrite.serve(spark, store, PromRemoteCodec.encodeWriteRequest(
+      PromRemoteCodec.PromWriteRequest(Seq(PromTimeSeries(
+        Seq(PromLabel("__name__", "hm2"), PromLabel("k", "v")),
+        Nil, histograms = Seq(h))))))
+    // CONVERTED (the custom bounds ARE le-buckets), not dropped —
+    // this closes the r18 "NHCB dropped at ingest" gap
+    assert(graft.OpsMetrics(spark).convertedHistograms.value === convBefore + 1)
+    assert(graft.OpsMetrics(spark).droppedHistograms.value === dropBefore)
+    val main = graft.ingest.SamplesStore.read(spark, store)
+    val buckets = main.filter(col("metric") === "hm2_bucket")
+      .select(expr("filter(labels, l -> startswith(l, 'le='))[0]"),
+        col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(buckets === Map("le=0.1" -> 2.0, "le=0.5" -> 5.0,
+      "le=2.5" -> 9.0, "le=+Inf" -> 15.0))
+    assert(main.filter(col("metric") === "hm2_sum").select(col("value"))
+      .head().getDouble(0) === 7.5)
+    assert(main.filter(col("metric") === "hm2_count").select(col("value"))
+      .head().getDouble(0) === 15.0)
+    // the hist sibling keeps the bounds byte-faithfully
+    val sib = RemoteWrite.histStoreDf(spark, store).get
+    val back = NativeHistogram.decode(graft.ingest.ProtoWire.reader(
+      sib.select(col("hist")).head().getAs[Array[Byte]](0)))
+    assert(back === h)
+    // the native estimator walks custom bounds LINEARLY (classic
+    // semantics): rank 7.5 lands in (0.5, 2.5] → 0.5 + 2·0.625
+    val q = graft.serve.PromQL.eval(main,
+        graft.serve.PromQL.parse("histogram_quantile(0.5, hm2)").toOption.get,
+        1704412800L, 1704412800L, 1L, nativeHist = Some(sib))
+      .select(col("v_e6")).collect().map(_.getLong(0)).toSeq
+    assert(q === Seq(1750000L))
+    // a quantile in the overflow bucket clamps to the top bound
+    assert(NativeHistogram.quantile(0.99, h) === 2.5)
+    // fraction is linear inside custom bounds: (0.1, 0.5] holds 3/15
+    assert(NativeHistogram.fraction(0.1, 0.5, h) === 0.2)
+  }
+
   test("exemplars ingest into the sibling store and serve on query_exemplars") {
     import graft.ingest.ProtoWire
     import org.xerial.snappy.Snappy

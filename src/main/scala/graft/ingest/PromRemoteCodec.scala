@@ -64,7 +64,16 @@ object PromRemoteCodec {
                                   samples: Seq[PromSample],
                                   histograms: Seq[NativeHistogram.Hist] = Nil,
                                   exemplars: Seq[PromExemplar] = Nil,
-                                  metadata: Option[PromMetadata] = None)
+                                  metadata: Option[PromMetadata] = None,
+                                  /** PRW 2.0 TimeSeries field 6 (ms):
+                                    * when the series' counter was
+                                    * created/reset — 0 = unset. Lets
+                                    * a receiver inject a zero sample
+                                    * at creation (Prometheus's
+                                    * created-timestamp-zero-ingestion
+                                    * feature) so rate over a young
+                                    * counter sees its true start. */
+                                  createdTimestampMs: Long = 0L)
   /** Native-histogram samples (prompb TimeSeries field 4 / PRW 2.0
     * TimeSeries field 3) DECODE and convert to classic
     * _bucket/_sum/_count series (see [[NativeHistogram]]) — the
@@ -220,7 +229,8 @@ object PromRemoteCodec {
     * (write.go: __name__ → metric_name, others appended "k=v"; label
     * names arrive sorted per the remote-write spec — we sort anyway
     * to be canonical). */
-  def toSamples(req: PromWriteRequest): Iterator[IngestedSample] =
+  def toSamples(req: PromWriteRequest,
+                ctZero: Boolean = false): Iterator[IngestedSample] =
     req.timeseries.iterator.flatMap { ts =>
       var metric = ""
       val labels = Seq.newBuilder[String]
@@ -229,13 +239,25 @@ object PromRemoteCodec {
         else labels += s"${l.name}=${l.value}"
       }
       val sorted = labels.result().sorted
+      // created-timestamp zero ingestion (flagged): a PRW 2.0 series
+      // carrying its counter's creation time gets a synthetic 0
+      // sample AT that time when it precedes the batch's earliest
+      // sample — rate over a young counter then sees its true start
+      // (Prometheus's created-timestamp-zero-ingestion feature flag)
+      val ctRow =
+        if (ctZero && ts.createdTimestampMs > 0L && ts.samples.nonEmpty &&
+            ts.samples.iterator.map(_.timestampMs).min > ts.createdTimestampMs)
+          Iterator.single(IngestedSample(
+            ts.createdTimestampMs * 1000L, metric, sorted, 0.0))
+        else Iterator.empty
       // stale markers route to the `_stale` sibling (toStaleRows):
       // stored in the main table they'd be indistinguishable from
       // ordinary NaN samples after Spark's NaN canonicalization, and
       // range windows must never see them (Prometheus's matrix
       // selection drops StaleNaN samples)
-      ts.samples.iterator.filterNot(s => isStaleMarker(s.value)).map(s =>
-        IngestedSample(s.timestampMs * 1000L, metric, sorted, s.value)) ++
+      ctRow ++
+        ts.samples.iterator.filterNot(s => isStaleMarker(s.value)).map(s =>
+          IngestedSample(s.timestampMs * 1000L, metric, sorted, s.value)) ++
         // native histograms land as classic _bucket/_sum/_count rows
         // (decode already filtered to standard schemas, so the
         // conversion is total here)
@@ -478,6 +500,7 @@ object PromRemoteCodec {
     val hists = Seq.newBuilder[NativeHistogram.Hist]
     val rawExemplars = Seq.newBuilder[ProtoWire.Reader]
     var meta: Option[PromMetadata] = None
+    var createdTs = 0L
     while (r.hasMore) {
       val (field, wire) = r.readTag()
       (field, wire) match {
@@ -493,6 +516,7 @@ object PromRemoteCodec {
           if (NativeHistogram.convertible(h)) hists += h
           else skipped.n += 1
         case (4, 2) => rawExemplars += r.readMessage()
+        case (6, 0) => createdTs = r.readVarint()
         case (5, 2) => // Metadata {1: type, 3: help_ref, 4: unit_ref}
           val mm = r.readMessage()
           var t = 0; var helpRef = 0L; var unitRef = 0L
@@ -517,7 +541,8 @@ object PromRemoteCodec {
       PromLabel(sym(p(0)), sym(p(1)))
     }.toSeq
     val exemplars = rawExemplars.result().map(readExemplarV2(_, sym))
-    PromTimeSeries(labels, samples.result(), hists.result(), exemplars, meta)
+    PromTimeSeries(labels, samples.result(), hists.result(), exemplars, meta,
+      createdTs)
   }
 
   /** PRW 2.0 Exemplar: symbol-table labels_refs + value + ms ts. */
@@ -597,6 +622,8 @@ object PromRemoteCodec {
         mw.writeVarintField(4, u.toLong)
         tw.writeMessageField(5, mw)
       }
+      if (ts.createdTimestampMs > 0L)
+        tw.writeVarintField(6, ts.createdTimestampMs)
       w.writeMessageField(5, tw)
     }
     Snappy.compress(w.toBytes)

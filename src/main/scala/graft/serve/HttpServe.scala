@@ -1130,6 +1130,8 @@ object HttpServe {
           RemoteWrite.otlpTranslationSuffixes.toString,
         "promql.native-histogram-quantile" ->
           RemoteWrite.nativeHistogramQuantile.toString,
+        "write.ct-zero-ingestion" ->
+          RemoteWrite.ctZeroIngestion.toString,
         "rule.record-count" -> RemoteWrite.recordingRules.size.toString,
         "rule.alert-count" -> HttpServe.alertRules.size.toString,
         // wire-format drop ledger (see OpsMetrics): Prometheus 3.x

@@ -24,6 +24,7 @@ final case class ServeConfig(
     recordRules: Seq[String] = Nil,
     alertRules: Seq[String] = Nil,
     nativeHistogramQuantile: Boolean = false,
+    ctZeroIngestion: Boolean = false,
     debug: Boolean = false) {
 
   /** [address:]port → port int (main.go:93-95 prefixes ":" when no
@@ -136,6 +137,8 @@ object Main {
         loop(t, c.copy(rollupLadderIntervalSec = v.toLong))
       case "-promql.native-histogram-quantile" :: t =>
         loop(t, c.copy(nativeHistogramQuantile = true))
+      case "-write.ct-zero-ingestion" :: t =>
+        loop(t, c.copy(ctZeroIngestion = true))
       case "-rule.record" :: v :: t => loop(t, c.copy(recordRules = c.recordRules :+ v))
       case "-rule.alert" :: v :: t => loop(t, c.copy(alertRules = c.alertRules :+ v))
       // main.go:89's -debug (zap debug logging) — here it lifts the
@@ -168,6 +171,7 @@ object Main {
     RemoteWrite.rollupIntervalSec = cfg.rollupIntervalSec
     RemoteWrite.rollupLadderIntervalSec = cfg.rollupLadderIntervalSec
     RemoteWrite.nativeHistogramQuantile = cfg.nativeHistogramQuantile
+    RemoteWrite.ctZeroIngestion = cfg.ctZeroIngestion
     val server = HttpServe.start(spark, cfg.storePath, cfg.port,
       cfg.ignoreLabelOpt, cfg.readIgnoreHints, cfg.maxReadSamples)
     // main.go:157-162's "listening" log line, then serve forever.

@@ -90,6 +90,12 @@ object RemoteWrite {
     * `-promql.native-histogram-quantile` enables. */
   @volatile var nativeHistogramQuantile: Boolean = false
 
+  /** -write.ct-zero-ingestion: inject a 0 sample at a PRW 2.0
+    * series' created_timestamp when it precedes the batch's earliest
+    * sample (Prometheus's created-timestamp-zero-ingestion feature
+    * flag). OFF by default, like upstream. */
+  @volatile var ctZeroIngestion: Boolean = false
+
   /** The rollup twin of a store path (kept next to the store so the
     * pair moves together). */
   def rollupPathFor(storePath: String): String = storePath + "_rollup"
@@ -475,7 +481,7 @@ object RemoteWrite {
       m.droppedHistograms.add(req.skippedHistograms)
     if (req.histogramCount > 0)
       m.convertedHistograms.add(req.histogramCount)
-    val rows = PromRemoteCodec.toSamples(req).toSeq
+    val rows = PromRemoteCodec.toSamples(req, ctZeroIngestion).toSeq
     val exRows = PromRemoteCodec.toExemplarRows(req).toSeq
     val mdRows = PromRemoteCodec.toMetadataRows(req).toSeq
     val histRows = PromRemoteCodec.toHistRows(req).toSeq
@@ -564,7 +570,7 @@ object RemoteWrite {
         m.droppedHistograms.add(req.skippedHistograms)
       if (req.histogramCount > 0)
         m.convertedHistograms.add(req.histogramCount)
-      (PromRemoteCodec.toSamples(req).toSeq,
+      (PromRemoteCodec.toSamples(req, ctZeroIngestion).toSeq,
         PromRemoteCodec.toExemplarRows(req).toSeq,
         PromRemoteCodec.toMetadataRows(req).toSeq,
         PromRemoteCodec.toHistRows(req).toSeq,

@@ -573,6 +573,51 @@ class ServeSpec extends SparkSpecBase {
     } finally srv.stop()
   }
 
+  test("PRW 2.0 created_timestamp decodes; flagged zero injection lands at CT") {
+    val ct = 1704412800000L
+    val ts = PromTimeSeries(
+      Seq(PromLabel("__name__", "ct_total"), PromLabel("k", "v")),
+      Seq(PromSample(5.0, ct + 100000L), PromSample(7.0, ct + 160000L)),
+      createdTimestampMs = ct)
+    val blob = PromRemoteCodec.encodeWriteRequestV2(
+      PromRemoteCodec.PromWriteRequest(Seq(ts)))
+    val v2 = Some("application/x-protobuf;proto=" + PromRemoteCodec.ProtoV2)
+    // the field round-trips the v2 codec
+    assert(PromRemoteCodec.decodeWriteRequestV2(blob)
+      .timeseries.head.createdTimestampMs === ct)
+
+    // default (flag off, upstream's default): CT is metadata only
+    val store = tmpStore("ctzoff")
+    RemoteWrite.serve(spark, store, blob, v2)
+    assert(graft.ingest.SamplesStore.read(spark, store).count() === 2)
+
+    // flag on: a synthetic 0 lands AT the created timestamp, before
+    // the batch's earliest sample — rate sees the counter's birth
+    val store2 = tmpStore("ctzon")
+    RemoteWrite.ctZeroIngestion = true
+    try RemoteWrite.serve(spark, store2, blob, v2)
+    finally RemoteWrite.ctZeroIngestion = false
+    val got = graft.ingest.SamplesStore.read(spark, store2)
+      .select(expr("ts_us DIV 1000000"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(got === Seq((ct / 1000, 0.0), (ct / 1000 + 100, 5.0),
+      (ct / 1000 + 160, 7.0)))
+
+    // a CT at/after the earliest sample injects nothing (the counter
+    // predates the batch; upstream only zero-fills younger counters)
+    val old = ts.copy(createdTimestampMs = ct + 100000L)
+    assert(PromRemoteCodec.toSamples(
+      PromRemoteCodec.PromWriteRequest(Seq(old)), ctZero = true).size === 2)
+
+    // the flag surfaces on /api/v1/status/flags
+    val srv = HttpServe.start(spark, store)
+    try {
+      val (fc, fbody) = get(s"http://localhost:${srv.port}/api/v1/status/flags")
+      assert(fc === 200)
+      assert(fbody.contains(""""write.ct-zero-ingestion":"false""""))
+    } finally srv.stop()
+  }
+
   test("custom-bounds histograms (NHCB, schema 127) carry end to end") {
     import graft.ingest.NativeHistogram
     val store = tmpStore("nhcb")

@@ -256,11 +256,11 @@ object RemoteRead {
     * re-framed as histogram chunks (HistChunks documents the body
     * layout and its remaining deviations). ONE globally
     * (metric, labels)-sorted emission per query: native series merge
-    * into the float series' order (a series carrying both emits its
-    * XOR chunks then its histogram chunks under one label set) —
-    * the sorted, contiguous stream Prometheus's client merge
-    * expects. Callers without a sibling store (histStore = None)
-    * keep the float-only behavior. */
+    * into the float series' order (a series carrying both
+    * interleaves its XOR and histogram chunks by start time under
+    * one label set) — the sorted, contiguous stream Prometheus's
+    * client merge expects. Callers without a sibling store
+    * (histStore = None) keep the float-only behavior. */
   /** Prometheus's streamed remote read caps each frame at ~1 MiB
     * (storage/remote maxBytesInFrame) — a year-long series must
     * never materialize one giant message; consecutive frames repeat

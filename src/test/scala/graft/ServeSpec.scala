@@ -537,7 +537,7 @@ class ServeSpec extends SparkSpecBase {
       assert(histChunks.head._2.minTimeMs === 1704412800000L)
       assert(histChunks.head._2.maxTimeMs === 1704412800000L)
       // a series with BOTH float and native samples is ONE frame —
-      // XOR chunks then histogram chunks under the same labels
+      // its chunks interleaved by start time under the same labels
       assert(frames.flatMap(_._2).size === 1, "hm must merge to one frame")
       // frames stream globally sorted by (metric, labels): "hm"
       // (hist-bearing) sorts BEFORE its classic hm_* expansions, so
@@ -571,6 +571,38 @@ class ServeSpec extends SparkSpecBase {
           1704412800000L, 6.0, 4.5, 0, 0.001, 1.0,
           Seq((0, 2)), Seq(2L, 1L), Nil, Nil, Nil, Nil)))
     } finally srv.stop()
+  }
+
+  test("a mixed series' chunks interleave by start time, not per encoding") {
+    import graft.ingest.NativeHistogram
+    val store = tmpStore("ilv")
+    val t0 = 1704412800000L
+    // native histogram at t0, float sample LATER at t0+60s: the
+    // chunk stream must lead with the HISTOGRAM chunk — a client
+    // merging streamed chunks assumes monotone start times per
+    // series (the r18 ADVICE finding: all-XOR-then-all-hist broke
+    // that whenever the histogram preceded the float samples)
+    val h = NativeHistogram.Hist(t0, 3.0, 2.0, 0, 0.0, 0.0,
+      Seq((0, 1)), Seq(3L), Nil, Nil, Nil, Nil)
+    RemoteWrite.serve(spark, store, PromRemoteCodec.encodeWriteRequest(
+      PromRemoteCodec.PromWriteRequest(Seq(
+        PromTimeSeries(Seq(PromLabel("__name__", "mix"), PromLabel("k", "v")),
+          Seq(PromSample(1.0, t0 + 60000L)), histograms = Seq(h))))))
+    val blob = PromRemoteCodec.encodeReadRequestWithTypes(
+      Seq(ReadQuery(t0, t0 + 120000L, Seq(Matchers.eq("__name__", "mix")))),
+      Seq(1))
+    val resp = RemoteRead.serveChunked(
+      graft.ingest.SamplesStore.read(spark, store), blob,
+      histStore = RemoteWrite.histStoreDf(spark, store))
+    val chunks = for {
+      (_, ss) <- PromRemoteCodec.decodeChunkedFrames(resp)
+      cs <- ss; c <- cs.chunks
+    } yield (c.ctype, c.minTimeMs)
+    assert(chunks.map(_._2) === chunks.map(_._2).sorted,
+      s"chunks must be globally time-ordered within the series: $chunks")
+    assert(chunks.head._1 === HistChunks.TypeHistogram,
+      s"the earlier histogram chunk must stream first: $chunks")
+    assert(chunks.map(_._1).toSet === Set(1, HistChunks.TypeHistogram))
   }
 
   test("PRW 2.0 created_timestamp decodes; flagged zero injection lands at CT") {

@@ -533,6 +533,49 @@ object ScaleSmoke {
         RollupStore.rollup(spark, path, path + "_dayd", 86400L).toLong)
     }
 
+    // The ladder's QUERY-side payoff (the build ratios above are the
+    // cost side): ONE 30-day `sum_over_time(m[1d])` query_range
+    // served at each level of a depth-3 ladder — raw / 5m / 1h / 1d
+    // — on a corpus whose levels differ ~20/12/24× in row count
+    // (3.46M raw rows → 173k 5m buckets → 14.4k 1h → 600 1d). The
+    // dashboard latency must COMPOUND down the ladder the way the
+    // builds do: each level reads its own row count, nothing else.
+    if (sectionEnabled("ladderread")) {
+      import graft.ingest.{RollupStore, SamplesStore}
+      import org.apache.hadoop.fs.Path
+      val path = "/tmp/graft_scale/ladderread"
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      for (p <- Seq(path, path + "_5m", path + "_1h", path + "_1d"))
+        fs.delete(new Path(p), true)
+      val day0 = 1704412800L
+      val dense = spark.range(0, 30L * 86400 / 15)
+        .crossJoin(spark.range(0, 20).selectExpr("id AS s"))
+        .selectExpr(
+          s"(${day0}L + id * 15) * 1000000 AS ts_us",
+          "'dense_metric' AS metric",
+          "array(concat('s=', CAST(s AS STRING))) AS labels",
+          "CAST((id * 7 + s) % 100 AS DOUBLE) AS value")
+      SamplesStore.write(dense, path)
+      RollupStore.rollup(spark, path, path + "_5m", 300L)
+      RollupStore.rollupLadder(spark, path + "_5m", path + "_1h", 3600L)
+      RollupStore.rollupLadder(spark, path + "_1h", path + "_1d", 86400L)
+      val e = graft.serve.PromQL.parse("sum_over_time(dense_metric[1d])")
+        .fold(err => sys.error(err), identity)
+      val g5m = graft.serve.PromQL.RollupGrid(path, path + "_5m", 300L)
+      val g1h = g5m.copy(coarser = Some(
+        graft.serve.PromQL.RollupGrid(path + "_5m", path + "_1h", 3600L)))
+      val g1d = g1h.copy(coarser = Some(g1h.coarser.get.copy(coarser = Some(
+        graft.serve.PromQL.RollupGrid(path + "_1h", path + "_1d", 86400L)))))
+      val levels: Seq[(String, Option[graft.serve.PromQL.RollupGrid])] =
+        Seq(("raw", None), ("5m ", Some(g5m)),
+          ("1h ", Some(g1h)), ("1d ", Some(g1d)))
+      for ((name, grid) <- levels)
+        time(s"ladderRead 30d sum_over_time @$name")(
+          graft.serve.PromQL.eval(SamplesStore.read(spark, path), e,
+            day0 + 86400L, day0 + 30L * 86400, 86400L, rollup = grid)
+            .count())
+    }
+
     // Append metadata cost vs store size: land the SAME small append
     // in stores holding m× history. With delta commits the manifest
     // bytes a /write pays must be FLAT in m (pre-delta they were the

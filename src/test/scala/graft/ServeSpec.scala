@@ -815,7 +815,10 @@ class ServeSpec extends SparkSpecBase {
       for (i <- 0 until 6) {
         val req = PromRemoteCodec.PromWriteRequest(Seq(PromTimeSeries(
           Seq(PromLabel("__name__", "sib"), PromLabel("k", s"v$i")),
-          Seq(PromSample(i.toDouble, nowMs)),
+          // each request also carries a stale marker: the `_stale`
+          // sibling fragments and maintains exactly like the others
+          Seq(PromSample(i.toDouble, nowMs),
+            PromSample(PromRemoteCodec.staleNaN, nowMs + 1000L)),
           exemplars = Seq(PromRemoteCodec.PromExemplar(
             Seq(PromLabel("trace_id", s"t$i")), i.toDouble, nowMs)),
           metadata = Some(PromRemoteCodec.PromMetadata(2, s"Help $i.", "")))))
@@ -825,7 +828,8 @@ class ServeSpec extends SparkSpecBase {
       }
       val oldEx = PromRemoteCodec.PromWriteRequest(Seq(PromTimeSeries(
         Seq(PromLabel("__name__", "sib_old")),
-        Seq(PromSample(1.0, 1704412800000L)),
+        Seq(PromSample(1.0, 1704412800000L),
+          PromSample(PromRemoteCodec.staleNaN, 1704412860000L)),
         exemplars = Seq(PromRemoteCodec.PromExemplar(
           Seq(PromLabel("trace_id", "old")), 1.0, 1704412800000L)))))
       RemoteWrite.serveCounted(spark, store,
@@ -838,10 +842,12 @@ class ServeSpec extends SparkSpecBase {
             .count(_.getName.endsWith(".parquet"))).maxOption.getOrElse(0)
       assert(dayFiles(RemoteWrite.exemplarPath(store)) >= 6)
       assert(dayFiles(RemoteWrite.metadataPath(store)) >= 6)
+      assert(dayFiles(RemoteWrite.stalePath(store)) >= 6)
       RemoteWrite.maintainSiblings(spark, store)
       // folded under the threshold, content invariant
       assert(dayFiles(RemoteWrite.exemplarPath(store)) <= 3)
       assert(dayFiles(RemoteWrite.metadataPath(store)) <= 3)
+      assert(dayFiles(RemoteWrite.stalePath(store)) <= 3)
       val ex = graft.ingest.SamplesStore.read(spark,
         RemoteWrite.exemplarPath(store))
       // the horizon-expired exemplar day dropped with the fold; the
@@ -851,6 +857,12 @@ class ServeSpec extends SparkSpecBase {
       val md = graft.ingest.SamplesStore.read(spark,
         RemoteWrite.metadataPath(store))
       assert(md.count() === 6, "metadata never retention-drops")
+      // stale markers age out with the samples whose series they end
+      val st = graft.ingest.SamplesStore.read(spark,
+        RemoteWrite.stalePath(store))
+      assert(st.count() === 6)
+      assert(st.filter(col("metric") === "sib_old").count() === 0,
+        "a marker past the horizon suppresses nothing and must drop")
     } finally {
       RemoteWrite.autoCompactFilesPerDay = saved._1
       RemoteWrite.gcGraceMs = saved._2

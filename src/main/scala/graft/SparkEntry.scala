@@ -753,6 +753,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_samples"), round(sum(col("value")), 6).as("sum_value"))
     }),
 
+    // OTLP scope-metadata promotion (the Prometheus receiver's
+    // otel_scope_* mapping, behind -write.otlp-promote-scope): every
+    // metric of the scope gains otel_scope_name/version labels, and
+    // the scope's ATTRIBUTES land one otel_scope_info series — the
+    // target_info shape one level down
+    "ingest_otlp_scope" -> ((s, dir) => {
+      val path = workDir("otlpscope", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val blobDir = workDir("otlpscope_blob", dir)
+      val blobFile = new org.apache.hadoop.fs.Path(blobDir, "req.bin")
+      payOnce(s, blobDir, s"${srcFingerprint(s, dir, "events")}:scope1") {
+        val rows = samples(s, dir)
+          .select(col("ts_us"), col("metric"), col("labels"), col("value"))
+          .collect().map(r => PromRemoteCodec.IngestedSample(r.getLong(0),
+            r.getString(1), r.getSeq[String](2).toSeq, r.getDouble(3)))
+        val out = fs.create(blobFile, true)
+        try out.write(graft.ingest.OtlpCodec.encodeExportMetrics(rows.toSeq,
+          scope = Some(("otelsdk", "1.9", Seq("sdk.lang" -> "go")))))
+        finally out.close()
+      }
+      val in = fs.open(blobFile)
+      val blob =
+        try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      val saved = graft.serve.RemoteWrite.otlpPromoteScope
+      graft.serve.RemoteWrite.otlpPromoteScope = true
+      try graft.serve.RemoteWrite.serveOtlp(s, path, blob)
+      finally graft.serve.RemoteWrite.otlpPromoteScope = saved
+      val scopeStr =
+        "array_join(filter(labels, l -> startswith(l, 'otel_scope_')), ',')"
+      SamplesStore.read(s, path)
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n_samples"),
+          round(sum(col("value")), 6).as("sum_value"),
+          min(expr(scopeStr)).as("scope_lo"),
+          max(expr(scopeStr)).as("scope_hi"))
+    }),
+
     // opt-in OTLP delta→cumulative: a delta Sum stream (one delta
     // per (metric, day), batched per series in one request) ingests
     // as monotone cumulative levels under RemoteWrite.otlpConvertDelta
@@ -3050,6 +3089,23 @@ object SparkEntry {
          |SELECT metric, ts_us // 1000000 // 86400 * 86400 AS date,
          |       count(*) AS n_samples, round(sum(value), 6) AS sum_value
          |FROM samples GROUP BY 1, 2""".stripMargin,
+
+    // scope promotion: every data metric carries exactly the
+    // name/version pair (min = max pins uniformity); the scope's
+    // attribute lands ONE otel_scope_info row with the normalized
+    // otel_scope_sdk_lang label
+    "ingest_otlp_scope" ->
+      s"""$S
+         |SELECT metric, count(*) AS n_samples,
+         |       round(sum(value), 6) AS sum_value,
+         |       'otel_scope_name=otelsdk,otel_scope_version=1.9' AS scope_lo,
+         |       'otel_scope_name=otelsdk,otel_scope_version=1.9' AS scope_hi
+         |FROM samples GROUP BY 1
+         |UNION ALL
+         |SELECT 'otel_scope_info' AS metric, 1 AS n_samples,
+         |       1.0 AS sum_value,
+         |       'otel_scope_name=otelsdk,otel_scope_sdk_lang=go,otel_scope_version=1.9' AS scope_lo,
+         |       'otel_scope_name=otelsdk,otel_scope_sdk_lang=go,otel_scope_version=1.9' AS scope_hi""".stripMargin,
 
     // delta→cumulative under the flag: per-series running sums over
     // the day-ordered deltas (exact — integer counts in doubles)

@@ -108,10 +108,12 @@ object OtlpCodec {
     * accumulation across requests has no stateless form). */
   def decodeExportMetricsCounted(body: Array[Byte],
                                  convertDelta: Boolean = false,
-                                 translationSuffixes: Boolean = false): Decoded = {
+                                 translationSuffixes: Boolean = false,
+                                 promoteScope: Boolean = false): Decoded = {
     val st = new DecodeState
     st.convertDelta = convertDelta
     st.translationSuffixes = translationSuffixes
+    st.promoteScope = promoteScope
     val r = ProtoWire.reader(body)
     while (r.hasMore) {
       val (f, w) = r.readTag()
@@ -130,6 +132,10 @@ object OtlpCodec {
     var dropped = 0L
     var convertDelta = false
     var translationSuffixes = false
+    var promoteScope = false
+    /** Latest point timestamp inside the CURRENT ScopeMetrics — what
+      * its otel_scope_info sample rides on (reset per scope). */
+    var scopeMaxTsUs = Long.MinValue
     /** Latest point timestamp seen inside the CURRENT ResourceMetrics
       * — the timestamp its target_info sample rides on (reset by
       * [[readResourceMetrics]] per resource). */
@@ -140,6 +146,7 @@ object OtlpCodec {
     def add(s: IngestedSample): Unit = {
       if (s.ts_us > resourceMaxTsUs) resourceMaxTsUs = s.ts_us
       if (s.ts_us > metricMaxTsUs) metricMaxTsUs = s.ts_us
+      if (s.ts_us > scopeMaxTsUs) scopeMaxTsUs = s.ts_us
       out += s
     }
   }
@@ -264,13 +271,54 @@ object OtlpCodec {
     (ls.result(), data.result())
   }
 
+  /** One ScopeMetrics. Under `promoteScope` (the Prometheus OTLP
+    * receiver's scope-metadata promotion): every metric of the scope
+    * gains `otel_scope_name` / `otel_scope_version` labels, and a
+    * scope carrying ATTRIBUTES lands an `otel_scope_info` series —
+    * value 1, identity = job/instance + the scope name/version
+    * labels, data labels = `otel_scope_<attr>` — stamped with the
+    * scope's latest point timestamp, exactly the target_info shape
+    * one level down (info() joins through the same lookback). Proto
+    * fields arrive in any order, so metric messages buffer until the
+    * scope is known. */
   private def readScopeMetrics(r: ProtoWire.Reader, resource: List[String],
-                               st: DecodeState): Unit =
+                               st: DecodeState): Unit = {
+    var scopeName = ""; var scopeVersion = ""
+    val scopeAttrs = List.newBuilder[String]
+    val metrics = Seq.newBuilder[ProtoWire.Reader]
     while (r.hasMore) {
       val (f, w) = r.readTag()
-      if (f == 2 && w == 2) readMetric(r.readMessage(), resource, st)
-      else r.skip(w)
+      (f, w) match {
+        case (1, 2) if st.promoteScope =>
+          val sr = r.readMessage()
+          while (sr.hasMore) {
+            val (sf, sw) = sr.readTag()
+            (sf, sw) match {
+              case (1, 2) => scopeName = sr.readString()
+              case (2, 2) => scopeVersion = sr.readString()
+              case (3, 2) =>
+                val (k, v) = readKeyValue(sr.readMessage())
+                scopeAttrs += s"otel_scope_${normLabelKey(k)}=$v"
+              case _ => sr.skip(sw)
+            }
+          }
+        case (2, 2) => metrics += r.readMessage()
+        case _      => r.skip(w)
+      }
     }
+    val scopeLabels =
+      if (!st.promoteScope || scopeName.isEmpty) Nil
+      else s"otel_scope_name=$scopeName" ::
+        (if (scopeVersion.nonEmpty) List(s"otel_scope_version=$scopeVersion")
+         else Nil)
+    st.scopeMaxTsUs = Long.MinValue
+    metrics.result().foreach(readMetric(_, resource ++ scopeLabels, st))
+    val attrs = scopeAttrs.result()
+    if (attrs.nonEmpty && scopeLabels.nonEmpty &&
+        st.scopeMaxTsUs != Long.MinValue)
+      st.add(IngestedSample(st.scopeMaxTsUs, "otel_scope_info",
+        (resource ++ scopeLabels ++ attrs).sorted.distinct, 1.0))
+  }
 
   /** Count a histogram/summary message's data points (field 1)
     * without decoding them — the skip ledger's unit. */
@@ -695,10 +743,29 @@ object OtlpCodec {
     * empty — senders that map job/instance do it per resource). */
   def encodeExportMetrics(samples: Seq[IngestedSample],
                           description: String = "",
-                          unit: String = ""): Array[Byte] = {
+                          unit: String = "",
+                          scope: Option[(String, String, Seq[(String, String)])] = None)
+      : Array[Byte] = {
     val w = new ProtoWire.Writer
     val rm = new ProtoWire.Writer
     val sm = new ProtoWire.Writer
+    // InstrumentationScope {1: name, 2: version, 3: attributes} on
+    // ScopeMetrics field 1 — the client leg for the scope-promotion
+    // fixture
+    scope.foreach { case (name, version, attrs) =>
+      val sc = new ProtoWire.Writer
+      if (name.nonEmpty) sc.writeStringField(1, name)
+      if (version.nonEmpty) sc.writeStringField(2, version)
+      attrs.foreach { case (k, v) =>
+        val kv = new ProtoWire.Writer
+        kv.writeStringField(1, k)
+        val av = new ProtoWire.Writer
+        av.writeStringField(1, v)
+        kv.writeMessageField(2, av)
+        sc.writeMessageField(3, kv)
+      }
+      sm.writeMessageField(1, sc)
+    }
     samples.groupBy(_.metric).toSeq.sortBy(_._1).foreach { case (name, ss) =>
       val m = new ProtoWire.Writer
       m.writeStringField(1, name)

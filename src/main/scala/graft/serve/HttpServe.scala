@@ -1132,6 +1132,8 @@ object HttpServe {
           RemoteWrite.nativeHistogramQuantile.toString,
         "write.ct-zero-ingestion" ->
           RemoteWrite.ctZeroIngestion.toString,
+        "write.otlp-promote-scope" ->
+          RemoteWrite.otlpPromoteScope.toString,
         "rule.record-count" -> RemoteWrite.recordingRules.size.toString,
         "rule.alert-count" -> HttpServe.alertRules.size.toString,
         // wire-format drop ledger (see OpsMetrics): Prometheus 3.x

@@ -25,6 +25,7 @@ final case class ServeConfig(
     alertRules: Seq[String] = Nil,
     nativeHistogramQuantile: Boolean = false,
     ctZeroIngestion: Boolean = false,
+    otlpPromoteScope: Boolean = false,
     debug: Boolean = false) {
 
   /** [address:]port → port int (main.go:93-95 prefixes ":" when no
@@ -139,6 +140,8 @@ object Main {
         loop(t, c.copy(nativeHistogramQuantile = true))
       case "-write.ct-zero-ingestion" :: t =>
         loop(t, c.copy(ctZeroIngestion = true))
+      case "-write.otlp-promote-scope" :: t =>
+        loop(t, c.copy(otlpPromoteScope = true))
       case "-rule.record" :: v :: t => loop(t, c.copy(recordRules = c.recordRules :+ v))
       case "-rule.alert" :: v :: t => loop(t, c.copy(alertRules = c.alertRules :+ v))
       // main.go:89's -debug (zap debug logging) — here it lifts the
@@ -172,6 +175,7 @@ object Main {
     RemoteWrite.rollupLadderIntervalSec = cfg.rollupLadderIntervalSec
     RemoteWrite.nativeHistogramQuantile = cfg.nativeHistogramQuantile
     RemoteWrite.ctZeroIngestion = cfg.ctZeroIngestion
+    RemoteWrite.otlpPromoteScope = cfg.otlpPromoteScope
     val server = HttpServe.start(spark, cfg.storePath, cfg.port,
       cfg.ignoreLabelOpt, cfg.readIgnoreHints, cfg.maxReadSamples)
     // main.go:157-162's "listening" log line, then serve forever.

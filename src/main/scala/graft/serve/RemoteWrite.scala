@@ -90,6 +90,14 @@ object RemoteWrite {
     * `-promql.native-histogram-quantile` enables. */
   @volatile var nativeHistogramQuantile: Boolean = false
 
+  /** -write.otlp-promote-scope: the Prometheus OTLP receiver's
+    * scope-metadata promotion — every metric gains
+    * otel_scope_name/otel_scope_version labels and a scope carrying
+    * attributes lands an otel_scope_info series (OtlpCodec
+    * .readScopeMetrics). OFF by default like the other translation
+    * knobs. */
+  @volatile var otlpPromoteScope: Boolean = false
+
   /** -write.ct-zero-ingestion: inject a 0 sample at a PRW 2.0
     * series' created_timestamp when it precedes the batch's earliest
     * sample (Prometheus's created-timestamp-zero-ingestion feature
@@ -529,7 +537,8 @@ object RemoteWrite {
     val dec =
       try graft.ingest.OtlpCodec.decodeExportMetricsCounted(body,
         convertDelta = otlpConvertDelta,
-        translationSuffixes = otlpTranslationSuffixes)
+        translationSuffixes = otlpTranslationSuffixes,
+        promoteScope = otlpPromoteScope)
       catch { case e: Throwable => m.writeErrors.add(1); throw e }
     if (dec.droppedPoints > 0) m.otlpDroppedPoints.add(dec.droppedPoints)
     val rows = dec.samples

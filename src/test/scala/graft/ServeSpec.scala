@@ -222,6 +222,52 @@ class ServeSpec extends SparkSpecBase {
     } finally srv.stop()
   }
 
+  test("OTLP scope promotion: otel_scope labels + info series behind the flag") {
+    import graft.ingest.{OtlpCodec, PromRemoteCodec => C}
+    val t0 = 1704412800000000L
+    val blob = OtlpCodec.encodeExportMetrics(
+      Seq(C.IngestedSample(t0, "m_scope", Seq("k=v"), 2.0),
+        C.IngestedSample(t0 + 60000000L, "m_scope", Seq("k=v"), 3.0)),
+      scope = Some(("my.lib", "0.3", Seq("sdk.lang" -> "go"))))
+    // flag OFF (the default): scope is invisible, no info series
+    val off = OtlpCodec.decodeExportMetricsCounted(blob)
+    assert(off.samples.map(_.metric).toSet === Set("m_scope"))
+    assert(off.samples.forall(!_.labels.exists(_.startsWith("otel_scope_"))))
+    // flag ON: every point gains the name/version labels; the
+    // attribute lands ONE otel_scope_info sample at the scope's
+    // latest point timestamp, key normalized (sdk.lang → sdk_lang)
+    val on = OtlpCodec.decodeExportMetricsCounted(blob, promoteScope = true)
+    val pts = on.samples.filter(_.metric == "m_scope")
+    assert(pts.size === 2)
+    assert(pts.forall(s => s.labels.contains("otel_scope_name=my.lib") &&
+      s.labels.contains("otel_scope_version=0.3")))
+    val info = on.samples.filter(_.metric == "otel_scope_info")
+    assert(info.size === 1)
+    assert(info.head.ts_us === t0 + 60000000L)
+    assert(info.head.value === 1.0)
+    assert(info.head.labels === Seq("otel_scope_name=my.lib",
+      "otel_scope_sdk_lang=go", "otel_scope_version=0.3"))
+    // a scope WITHOUT attributes labels its metrics but lands no
+    // info series (nothing to carry)
+    val bare = OtlpCodec.decodeExportMetricsCounted(
+      OtlpCodec.encodeExportMetrics(
+        Seq(C.IngestedSample(t0, "m_scope", Seq("k=v"), 2.0)),
+        scope = Some(("my.lib", "", Nil))), promoteScope = true)
+    assert(bare.samples.map(_.metric).toSet === Set("m_scope"))
+    assert(bare.samples.head.labels.contains("otel_scope_name=my.lib"))
+    assert(!bare.samples.head.labels.exists(_.startsWith("otel_scope_version")))
+    // end to end through the serving flag: /api/v1/otlp/v1/metrics
+    val store = tmpStore("otlpscope")
+    RemoteWrite.otlpPromoteScope = true
+    try RemoteWrite.serveOtlp(spark, store, blob)
+    finally RemoteWrite.otlpPromoteScope = false
+    val back = graft.ingest.SamplesStore.read(spark, store)
+    assert(back.filter(col("metric") === "otel_scope_info").count() === 1)
+    assert(back.filter(col("metric") === "m_scope")
+      .filter(expr("exists(labels, l -> l = 'otel_scope_name=my.lib')"))
+      .count() === 2)
+  }
+
   test("OTLP guard: delta sums 400, dotted names normalize, drops count") {
     import graft.ingest.ProtoWire
     val store = tmpStore("otlpguard")

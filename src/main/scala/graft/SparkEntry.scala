@@ -1480,6 +1480,16 @@ object SparkEntry {
 
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfKeywords(Tables.documents(s, dir))),
 
+    // CCNet-style quality filtering: a corpus-trained bigram LM with
+    // add-0.5 smoothing scores each document's cross-entropy (low =
+    // fluent = keep), and the bucket variant splits head/middle/tail
+    // by per-language terciles — the CCNet corpus partition
+    "text_perplexity" -> ((s, dir) =>
+      TextAnalysis.perplexity(Tables.documents(s, dir))),
+
+    "text_perplexity_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(Tables.documents(s, dir))),
+
     "sample_pack" -> ((s, dir) => Sampling.packSequences(Tables.documents(s, dir))),
 
     // the full front-of-training composition: corpus prep's train
@@ -4358,6 +4368,61 @@ object SparkEntry {
         |SELECT doc_id, w AS word, c AS n_occurrences, df AS doc_freq,
         |       score_e6, rk
         |FROM rk WHERE rk <= 5""".stripMargin,
+
+    // the corpus-trained bigram LM replayed verbatim: the engine's
+    // own double walk — (cb + 0.5)/(cp + 0.5·V) through ln/ln(2) —
+    // with the 6-decimal snap absorbing reassociation noise
+    "text_perplexity" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words
+        |  FROM documents
+        |), bi AS (
+        |  SELECT doc_id, words[x] AS p, words[x + 1] AS w
+        |  FROM (SELECT doc_id, words, unnest(range(1, len(words))) AS x
+        |        FROM docs WHERE len(words) >= 2)
+        |), bic AS (SELECT p, w, count(*) AS cb FROM bi GROUP BY 1, 2),
+        |pc AS (SELECT p, count(*) AS cp FROM bi GROUP BY 1),
+        |vc AS (SELECT count(DISTINCT t0) AS v FROM (
+        |  SELECT unnest(string_split(coalesce(text, ''), ' ')) AS t0
+        |  FROM documents))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(-avg(ln((cb + 0.5::DOUBLE) / (cp + 0.5::DOUBLE * v))
+        |         / ln(2.0::DOUBLE)), 6) AS cross_entropy_bits
+        |FROM bi JOIN bic USING (p, w) JOIN pc USING (p) CROSS JOIN vc
+        |GROUP BY 1""".stripMargin,
+
+    "text_perplexity_buckets" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words
+        |  FROM documents
+        |), bi AS (
+        |  SELECT doc_id, words[x] AS p, words[x + 1] AS w
+        |  FROM (SELECT doc_id, words, unnest(range(1, len(words))) AS x
+        |        FROM docs WHERE len(words) >= 2)
+        |), bic AS (SELECT p, w, count(*) AS cb FROM bi GROUP BY 1, 2),
+        |pc AS (SELECT p, count(*) AS cp FROM bi GROUP BY 1),
+        |vc AS (SELECT count(DISTINCT t0) AS v FROM (
+        |  SELECT unnest(string_split(coalesce(text, ''), ' ')) AS t0
+        |  FROM documents)),
+        |ce AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |         round(-avg(ln((cb + 0.5::DOUBLE) / (cp + 0.5::DOUBLE * v))
+        |           / ln(2.0::DOUBLE)), 6) AS cross_entropy_bits
+        |  FROM bi JOIN bic USING (p, w) JOIN pc USING (p) CROSS JOIN vc
+        |  GROUP BY 1
+        |), wl AS (
+        |  SELECT ce.*, d.lang FROM ce JOIN documents d USING (doc_id)
+        |), th AS (
+        |  SELECT lang,
+        |         quantile_cont(cross_entropy_bits, (1.0::DOUBLE)/3) AS t1,
+        |         quantile_cont(cross_entropy_bits, (2.0::DOUBLE)/3) AS t2
+        |  FROM wl GROUP BY 1
+        |)
+        |SELECT doc_id, lang, n_bigrams, cross_entropy_bits,
+        |       CASE WHEN cross_entropy_bits <= t1 THEN 'head'
+        |            WHEN cross_entropy_bits <= t2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM wl JOIN th USING (lang)""".stripMargin,
 
     // concat-then-chunk packing: running token offsets per shard
     // (doc_id mod 8) sliced into 2048-token chunks

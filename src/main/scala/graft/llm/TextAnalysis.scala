@@ -264,6 +264,76 @@ object TextAnalysis {
         col("score_e6"), col("rk").cast("long").as("rk"))
   }
 
+  /** CCNet-style perplexity quality score (arXiv:1911.00359 §4.3):
+    * a bigram language model with add-α smoothing trained ON the
+    * corpus itself (distributed counts), then every document scored
+    * by its cross-entropy under that model — the perplexity-filter
+    * leg of the CCNet pipeline. CCNet proper scores against a
+    * pretrained KenLM; the corpus-trained bigram form keeps the
+    * engine self-contained while preserving the operator's shape
+    * (train counts → join model back → per-doc score) and its use
+    * (rank documents by how "expected" their text is; boilerplate
+    * and garbage score high cross-entropy).
+    *
+    *   P(w | prev) = (c(prev w) + α) / (c(prev) + α·V)
+    *   cross_entropy_bits = −(1/N) Σ log2 P     (ppl = 2^H)
+    *
+    * Scale shape: two map-side-combined hash aggregates over the
+    * exploded bigrams build the model (its cardinality is the
+    * corpus' DISTINCT bigrams — Zipf-bounded, orders of magnitude
+    * under the token count); the document bigrams join the model on
+    * its keys (shuffle joins, both sides keyed, linear); V rides a
+    * broadcast 1-row aggregate; one per-doc aggregate finishes. The
+    * log2 sum is float — reassociation noise ~1e-13 relative, so
+    * the 6-decimal snap is engine-stable. */
+  def perplexity(documents: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val toks = split(coalesce(col("text"), lit("")), " ")
+    val bi = documents.select(col("doc_id"), toks.as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(words)-2), " +
+          "i -> struct(words[i] AS p, words[i+1] AS w))")).as("b"))
+      .select(col("doc_id"), col("b.p").as("p"), col("b.w").as("w"))
+    val biCnt = bi.groupBy(col("p"), col("w")).agg(count(lit(1)).as("cb"))
+    val pvCnt = bi.groupBy(col("p")).agg(count(lit(1)).as("cp"))
+    val vocab = documents.select(explode(toks).as("t0"))
+      .agg(countDistinct(col("t0")).as("v"))
+    bi.join(biCnt, Seq("p", "w")).join(pvCnt, Seq("p"))
+      .crossJoin(broadcast(vocab))
+      // ${alpha}D: a bare 0.5 parses as DECIMAL in Spark SQL and the
+      // decimal division would diverge from DuckDB's — both engines
+      // must walk the identical double arithmetic
+      .withColumn("lp", expr(
+        s"ln((cb + ${alpha}D) / (cp + ${alpha}D * v)) / ln(2.0D)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(col("lp")), 6).as("cross_entropy_bits"))
+  }
+
+  /** CCNet's head/middle/tail corpus split: per LANGUAGE, documents
+    * bucket by cross-entropy terciles — `head` is the most-fluent
+    * third a high-quality pretraining mix keeps, `tail` the
+    * filter-out candidate. Thresholds are exact interpolated
+    * percentiles over the 6-decimal-snapped scores (Spark
+    * `percentile` ≡ DuckDB quantile_cont), computed per language
+    * (the `lang` column — CCNet buckets within each language so one
+    * language's intrinsic entropy doesn't shadow another's quality
+    * signal). The threshold table is |languages| rows — broadcast
+    * back; nothing beyond [[perplexity]]'s joins shuffles. */
+  def perplexityBuckets(documents: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val ce = perplexity(documents, alpha)
+      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+    val th = ce.groupBy(col("lang")).agg(
+      expr("percentile(cross_entropy_bits, CAST(1 AS DOUBLE)/3)").as("t1"),
+      expr("percentile(cross_entropy_bits, CAST(2 AS DOUBLE)/3)").as("t2"))
+    ce.join(broadcast(th), "lang")
+      .withColumn("bucket", expr(
+        "CASE WHEN cross_entropy_bits <= t1 THEN 'head' " +
+          "WHEN cross_entropy_bits <= t2 THEN 'middle' ELSE 'tail' END"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("cross_entropy_bits"), col("bucket"))
+  }
+
   /** Corpus-wide n-gram frequency: the k most frequent word n-grams
     * with occurrence counts — the vocabulary statistics a tokenizer
     * training or corpus-QA pass starts from. Every occurrence counts

@@ -790,6 +790,54 @@ class LlmSpec extends SparkSpecBase {
     assert(tiny === df.filter(col("lang") === "de").count())
   }
 
+  test("perplexity: corpus bigram LM cross-entropy and the CCNet buckets") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    // bigrams: (a,b)×3 across docs 1+2, (b,a)×1, (z,q)×1;
+    // prev counts a=3, b=1, z=1; vocabulary {a,b,z,q} → V=4, α=0.5
+    val tiny = Seq(
+      (1L, "a b a b", "en", "s", 7L),
+      (2L, "a b", "en", "s", 3L),
+      (3L, "z q", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def lp(cb: Long, cp: Long): Double =
+      math.log((cb + 0.5) / (cp + 0.5 * 4)) / math.log(2.0)
+    def snap(h: Double): Double =
+      BigDecimal(h).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hAB = lp(3, 3)  // P(b|a) = 3.5/5
+    val hBA = lp(1, 1)  // P(a|b) = 1.5/3 = 0.5 → exactly −1
+    val hZQ = lp(1, 1)
+    val expected = Map(
+      1L -> (3L, snap(-(hAB + hBA + hAB) / 3)),
+      2L -> (1L, snap(-hAB)),
+      3L -> (1L, snap(-hZQ)))
+    val got = TextAnalysis.perplexity(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === expected)
+    assert(got(3L)._2 === 1.0, "P=0.5 per bigram is exactly 1 bit")
+    // CCNet terciles within the language: the fluent doc heads, the
+    // out-of-distribution one tails
+    val buckets = TextAnalysis.perplexityBuckets(tiny).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(buckets === Map(1L -> "middle", 2L -> "head", 3L -> "tail"))
+    // on the real corpus: every doc scored, terciles near-balanced
+    // per language (ties on snapped scores can lean a bucket)
+    val real = TextAnalysis.perplexityBuckets(docs)
+    assert(real.count() === docs.filter(
+      expr("size(split(coalesce(text, ''), ' ')) >= 2")).count())
+    val byBucket = real.groupBy(col("lang"), col("bucket")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val langs = byBucket.keys.map(_._1).toSet
+    langs.foreach { l =>
+      val h = byBucket.getOrElse((l, "head"), 0L)
+      val t = byBucket.getOrElse((l, "tail"), 0L)
+      val m = byBucket.getOrElse((l, "middle"), 0L)
+      val n = h + m + t
+      assert(h > 0 && m > 0 && t > 0, s"$l: $h/$m/$t")
+      assert(h <= n / 2 && t <= n / 2, s"terciles, not halves: $l $h/$m/$t")
+    }
+  }
+
   test("tfidf keywords rank rare terms above common ones, exactly k per doc") {
     import graft.llm.TextAnalysis
     import spark.implicits._

@@ -1490,6 +1490,12 @@ object SparkEntry {
     "text_perplexity_buckets" -> ((s, dir) =>
       TextAnalysis.perplexityBuckets(Tables.documents(s, dir))),
 
+    // RAG-style chunking: overlapping 64-word windows at stride 48,
+    // boundaries + chunk md5 out (never the text — re-sliceable from
+    // the source row), the embed-index pipeline's first step
+    "text_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkWindows(Tables.documents(s, dir))),
+
     "sample_pack" -> ((s, dir) => Sampling.packSequences(Tables.documents(s, dir))),
 
     // the full front-of-training composition: corpus prep's train
@@ -4368,6 +4374,20 @@ object SparkEntry {
         |SELECT doc_id, w AS word, c AS n_occurrences, df AS doc_freq,
         |       score_e6, rk
         |FROM rk WHERE rk <= 5""".stripMargin,
+
+    "text_chunks" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, words, unnest(range(0, len(words), 48)) AS s
+        |  FROM docs WHERE len(words) >= 1
+        |)
+        |SELECT doc_id, s // 48 AS chunk_idx, s AS start_word,
+        |       least(64, len(words) - s) AS n_words,
+        |       md5(array_to_string(
+        |         words[s + 1 : s + least(64, len(words) - s)], ' ')) AS chunk_md5
+        |FROM st""".stripMargin,
 
     // the corpus-trained bigram LM replayed verbatim: the engine's
     // own double walk — (cb + 0.5)/(cp + 0.5·V) through ln/ln(2) —

@@ -334,6 +334,39 @@ object TextAnalysis {
         col("cross_entropy_bits"), col("bucket"))
   }
 
+  /** RAG/embedding-pipeline document chunking: overlapping word
+    * windows of `window` tokens at `stride` steps — the canonical
+    * step between raw documents and an embedding model (chunk →
+    * embed → ANN-index; the ann_* operators consume the result's
+    * shape). Output is one row per (doc, chunk) carrying the
+    * boundaries and the chunk text's md5 — the identity a
+    * chunk-level dedup or an index join needs — never the text
+    * itself (at 100 TB re-shipping the corpus through the exchange
+    * is the mistake this column layout forbids; the chunk text is
+    * re-sliceable from the source row by (start_word, n_words)).
+    *
+    * Chunks start at 0, stride, 2·stride, … while inside the
+    * document; the last window is simply shorter (no tail merge —
+    * deterministic and replayable in one expression). A pure per-row
+    * transform + explode: scan-linear, zero shuffles. */
+  def chunkWindows(documents: DataFrame, window: Int = 64,
+                   stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    documents
+      .withColumn("words", split(coalesce(col("text"), lit("")), " "))
+      .filter(size(col("words")) >= 1)
+      .select(col("doc_id"), col("words"),
+        explode(expr(
+          s"sequence(0, size(words) - 1, $stride)")).as("start_word"))
+      .select(col("doc_id"),
+        (col("start_word") / stride).cast("long").as("chunk_idx"),
+        col("start_word").cast("long").as("start_word"),
+        expr(s"least($window, size(words) - start_word)").cast("long")
+          .as("n_words"),
+        expr(s"md5(concat_ws(' ', slice(words, start_word + 1, " +
+          s"least($window, size(words) - start_word))))").as("chunk_md5"))
+  }
+
   /** Corpus-wide n-gram frequency: the k most frequent word n-grams
     * with occurrence counts — the vocabulary statistics a tokenizer
     * training or corpus-QA pass starts from. Every occurrence counts

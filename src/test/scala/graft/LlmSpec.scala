@@ -790,6 +790,31 @@ class LlmSpec extends SparkSpecBase {
     assert(tiny === df.filter(col("lang") === "de").count())
   }
 
+  test("chunk windows: stride coverage, boundaries, md5 identity") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val words100 = (0 until 100).map(i => s"w$i").mkString(" ")
+    val tiny = Seq((1L, words100, "en", "s", 0L), (2L, "solo", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.chunkWindows(tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).sortBy(t => (t._1, t._2))
+    // doc 1: starts 0/48/96, the tail window simply shorter
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq === Seq(
+      (1L, 0L, 0L, 64L), (1L, 1L, 48L, 52L), (1L, 2L, 96L, 4L),
+      (2L, 0L, 0L, 1L)))
+    // every word is covered by some chunk (stride < window)
+    assert(got.filter(_._1 == 1L).map(t => (t._3, t._3 + t._4))
+      .foldLeft(0L) { case (cov, (s, e)) =>
+        assert(s <= cov, "no gap"); math.max(cov, e)
+      } === 100L)
+    // the md5 is the chunk text's identity, recomputable from bounds
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.head._5 === m((0 until 64).map(i => s"w$i").mkString(" ")))
+    assert(got.last._5 === m("solo"))
+  }
+
   test("perplexity: corpus bigram LM cross-entropy and the CCNet buckets") {
     import spark.implicits._
     import graft.llm.TextAnalysis

@@ -130,6 +130,29 @@ class PromQLDiffSpec extends SparkSpecBase {
           .toList.sortBy(_._1)
       }
 
+  // ---- staleness markers (differential twin of the _stale sibling) --
+
+  /** One marker per `m` series just after its median sample (the
+    * series "dies" mid-window and revives at its next sample), plus
+    * ONE marker exactly ON a sample second for the tie pin (marker
+    * wins ties — the documented deterministic break). */
+  private val staleMarkers: List[S] = world.filter(_.metric == "m")
+    .groupBy(s => (s.metric, s.labels)).toList
+    .sortBy(_._1.toString)
+    .flatMap { case ((m, ls), ss) =>
+      val ts = ss.map(_.t).distinct.sorted
+      val mid = ts(ts.size / 2)
+      S(m, ls, mid + 1, 1.0) ::
+        (if (ls.contains("host=a") && ls.contains("user=1"))
+          List(S(m, ls, ts.last, 1.0))
+        else Nil)
+    }
+
+  /** Flipped by the staleness differential test: [[instantRef]]
+    * consults it so EVERY instant leaf in a composed expression sees
+    * the marked world, exactly like eval's threaded sibling. */
+  private var staleActive = false
+
   /** Sequential digit-extraction log2 fixed point — the scaladoc
     * algorithm, op for op (general double form in [[log2fxD]]). */
   private def log2fx(vE6: Long): Long = log2fxD(vE6.toDouble / 1000000.0d)
@@ -558,11 +581,23 @@ class PromQLDiffSpec extends SparkSpecBase {
   private def instantRef(ms: Seq[LabelMatcher], start: Long, end: Long,
                          step: Long): Set[R] = {
     val byS = dedup(ms, start - Lookback + 1, end)
+    val mk: Map[(String, List[String]), List[Long]] =
+      if (!staleActive) Map.empty
+      else staleMarkers
+        .filter(s => s.t >= start - Lookback + 1 && s.t <= end &&
+          matches(ms, s))
+        .groupBy(s => (s.metric, s.labels))
+        .map { case (k, ss) => k -> ss.map(_.t).distinct }
     (for {
       t <- grid(start, end, step)
       ((metric, ls), pts) <- byS
       last <- pts.filter(p => p._1 > t - Lookback && p._1 <= t)
         .sortBy(_._1).lastOption
+      // the series' latest EVENT decides: a marker at or after the
+      // last sample's second ends the series at this step (ties
+      // break to the marker)
+      if !mk.getOrElse((metric, ls), Nil)
+        .exists(x => x > t - Lookback && x <= t && x >= last._1)
     } yield (metric, ls.mkString(","), t, e6(last._2))).toSet
   }
 
@@ -831,8 +866,17 @@ class PromQLDiffSpec extends SparkSpecBase {
       .cache()
   }
 
-  private def sparkEval(e: Expr): Set[R] =
-    PromQL.eval(sparkWorld, e, Start, End, Step)
+  private lazy val sparkMarkers = {
+    import spark.implicits._
+    staleMarkers.map(s => (s.t * 1000000L, s.metric, s.labels, s.v))
+      .toDF("ts_us", "metric", "labels", "value")
+      .cache()
+  }
+
+  private def sparkEval(e: Expr,
+                        stale: Option[org.apache.spark.sql.DataFrame] = None)
+      : Set[R] =
+    PromQL.eval(sparkWorld, e, Start, End, Step, stale = stale)
       .select(coalesce(col("metric"), lit("")),
         array_join(col("labels"), ","), col("t"), col("v_e6"))
       .collect()
@@ -843,7 +887,8 @@ class PromQLDiffSpec extends SparkSpecBase {
     val e = PromQL.parse(q).fold(
       err => sys.error(s"must parse: $q → $err"), identity)
     val expected = refEval(e)
-    val got = sparkEval(e)
+    val got = sparkEval(e,
+      if (staleActive) Some(sparkMarkers) else None)
     assert(got === expected,
       s"DIVERGENCE on: $q\n  spark-only: ${(got -- expected).take(5)}\n" +
         s"  ref-only: ${(expected -- got).take(5)}")
@@ -912,6 +957,44 @@ class PromQLDiffSpec extends SparkSpecBase {
       "rate(w[180s] offset -30s)",
       "sum_over_time(info(m)[180s:60s])"
     ).foreach(check)
+  }
+
+  test("staleness differential: composed expressions agree over a marked world") {
+    // sanity: the marked world actually suppresses something — the
+    // differential would be vacuous if no step ever lost a point
+    staleActive = false
+    val plain = refEval(PromQL.parse("m").toOption.get)
+    staleActive = true
+    try {
+      val marked = refEval(PromQL.parse("m").toOption.get)
+      assert(marked.size < plain.size,
+        s"markers must suppress steps: ${plain.size} -> ${marked.size}")
+      // every instant LEAF in a composition sees the marked world —
+      // suppression flows through aggregation, arithmetic, set ops,
+      // ranking, math, and subqueries on both sides
+      Seq(
+        "m",
+        "m offset 60s",
+        """m{host!="b"}""",
+        "sum by (host) (m)",
+        "stdvar without (user) (m)",
+        "count(m)",
+        "(m) + (w)",
+        "(w) - (m)",
+        "(m) or (w)",
+        "(w) unless (m)",
+        "m > -5",
+        "abs(m) * 2",
+        "topk(2, m)",
+        "sort_desc(sum by (host) (m))",
+        "ln(clamp_min(m, 0.25))",
+        "sum_over_time(m[120s])", // range windows never see markers
+        "rate(m[180s])",
+        "sum_over_time(m[180s:60s])", // subquery: inner instants DO
+        "max_over_time((sum by (host) (m))[240s:60s])",
+        "limitk(3, m)"
+      ).foreach(check)
+    } finally staleActive = false
   }
 
   test("fuzz: 80 generated expressions agree with the reference interpreter") {

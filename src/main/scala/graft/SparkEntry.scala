@@ -1490,6 +1490,14 @@ object SparkEntry {
     "text_perplexity_buckets" -> ((s, dir) =>
       TextAnalysis.perplexityBuckets(Tables.documents(s, dir))),
 
+    // CCNet's downstream policy: sample by quality bucket — the
+    // fluent third in full, the middle at half, a tail trickle —
+    // over the deterministic (salt, doc_id) hash
+    "sample_quality_mixture" -> ((s, dir) =>
+      graft.llm.CorpusPrep.qualityMixture(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"), col("bucket"),
+          col("keep_rate"), col("cross_entropy_bits"))),
+
     // RAG-style chunking: overlapping 64-word windows at stride 48,
     // boundaries + chunk md5 out (never the text — re-sliceable from
     // the source row), the embed-index pipeline's first step
@@ -4374,6 +4382,47 @@ object SparkEntry {
         |SELECT doc_id, w AS word, c AS n_occurrences, df AS doc_freq,
         |       score_e6, rk
         |FROM rk WHERE rk <= 5""".stripMargin,
+
+    "sample_quality_mixture" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words
+        |  FROM documents
+        |), bi AS (
+        |  SELECT doc_id, words[x] AS p, words[x + 1] AS w
+        |  FROM (SELECT doc_id, words, unnest(range(1, len(words))) AS x
+        |        FROM docs WHERE len(words) >= 2)
+        |), bic AS (SELECT p, w, count(*) AS cb FROM bi GROUP BY 1, 2),
+        |pc AS (SELECT p, count(*) AS cp FROM bi GROUP BY 1),
+        |vc AS (SELECT count(DISTINCT t0) AS v FROM (
+        |  SELECT unnest(string_split(coalesce(text, ''), ' ')) AS t0
+        |  FROM documents)),
+        |ce AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |         round(-avg(ln((cb + 0.5::DOUBLE) / (cp + 0.5::DOUBLE * v))
+        |           / ln(2.0::DOUBLE)), 6) AS cross_entropy_bits
+        |  FROM bi JOIN bic USING (p, w) JOIN pc USING (p) CROSS JOIN vc
+        |  GROUP BY 1
+        |), wl AS (
+        |  SELECT ce.*, d.lang FROM ce JOIN documents d USING (doc_id)
+        |), th AS (
+        |  SELECT lang,
+        |         quantile_cont(cross_entropy_bits, (1.0::DOUBLE)/3) AS t1,
+        |         quantile_cont(cross_entropy_bits, (2.0::DOUBLE)/3) AS t2
+        |  FROM wl GROUP BY 1
+        |), bk AS (
+        |  SELECT doc_id, lang, cross_entropy_bits,
+        |         CASE WHEN cross_entropy_bits <= t1 THEN 'head'
+        |              WHEN cross_entropy_bits <= t2 THEN 'middle'
+        |              ELSE 'tail' END AS bucket
+        |  FROM wl JOIN th USING (lang)
+        |), r AS (
+        |  SELECT doc_id, lang, bucket, cross_entropy_bits,
+        |         CASE bucket WHEN 'head' THEN 1000 WHEN 'middle' THEN 500
+        |              ELSE 100 END AS keep_rate
+        |  FROM bk
+        |)
+        |SELECT doc_id, lang, bucket, keep_rate, cross_entropy_bits FROM r
+        |WHERE ${duckHash("'qmix:' || CAST(doc_id AS VARCHAR)")} % 1000 < keep_rate""".stripMargin,
 
     "text_chunks" ->
       """WITH docs AS (

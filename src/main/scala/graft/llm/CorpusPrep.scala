@@ -35,6 +35,25 @@ object CorpusPrep {
       .select(col("doc_id"), col("quality_score_e6"), col("split"))
   }
 
+  /** CCNet's quality-weighted sampling policy, end to end: score
+    * every document's cross-entropy under the corpus bigram LM,
+    * bucket head/middle/tail per language
+    * ([[TextAnalysis.perplexityBuckets]]), then keep each bucket at
+    * its own permille rate over the deterministic (salt, doc_id)
+    * hash — the "train mostly on the fluent third, keep a tail
+    * trickle for diversity" mix real pretraining corpora use.
+    * Composes [[Sampling.sampleMixture]] verbatim, so it inherits
+    * its reproducibility contract (stable across runs and layouts,
+    * supersets compose by rate). Scale shape = the perplexity
+    * joins + a |languages|-row threshold broadcast; the sampler
+    * itself adds zero exchanges. */
+  def qualityMixture(documents: DataFrame, salt: String = "qmix",
+                     rates: Map[String, Int] =
+                       Map("head" -> 1000, "middle" -> 500, "tail" -> 100))
+      : DataFrame =
+    Sampling.sampleMixture(TextAnalysis.perplexityBuckets(documents),
+      "bucket", "doc_id", salt, rates)
+
   /** The multilingual curation pipeline [[prepare]] grows into once
     * a corpus spans languages: quality score + language ID + the
     * Gopher rule gate ALL as appended columns on one scan (the

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.Dedup
+import graft.llm.{Dedup, Multimodal, Sampling}
 import graft.sources.Tables
 
 /** Scale-behavior smoke (not driver-run): the dedup family on 1×/2×/4×
@@ -423,6 +423,27 @@ object ScaleSmoke {
       // still hash-only shuffles — the measured cost of any-alignment
       time(s"substringSpans  m=$m")(
         Dedup.repeatedSubstringSpans(d).count())
+    }
+
+    // Line-level dedup: the injected shape (banner on half the docs,
+    // footer on a fifth) plus the adversarial one — a UNIVERSAL line
+    // in 100% of docs, which the salted df count must absorb without
+    // a hot final-count task; DSIR scoring and the multimodal phash
+    // pair join ride the same corpus for their m× scaling rows.
+    for (m <- Seq(1, 2, 4) if sectionEnabled("linededup")) {
+      val inj = scaled(m).withColumn("text", concat_ws("\n",
+        when(col("doc_id") % 2 === 0,
+          lit("cookie notice accept all cookies to continue")),
+        col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit("subscribe to our newsletter for updates"))))
+      time(s"lineDedup       m=$m inject")(Dedup.lineDedup(inj).count())
+      val uni = scaled(m).withColumn("text",
+        concat_ws("\n", lit("universal banner on every document"), col("text")))
+      time(s"lineDedup       m=$m universal")(Dedup.lineDedup(uni).count())
+      time(s"dsirWeights     m=$m")(Sampling.dsirWeights(scaled(m)).count())
+      time(s"phashDedup      m=$m")(
+        Multimodal.phashDedup(Multimodal.packFromDocuments(scaled(m))).count())
     }
 
     // Rollup maintenance: history length grows m× (like compact);

@@ -1304,6 +1304,20 @@ object SparkEntry {
     // ---- §2.4 dedup ------------------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
 
+    // RefinedWeb/CCNet line-level boilerplate removal: the corpus has
+    // no natural newlines, so the wrapper plants the crawl shape the
+    // operator exists for — a cookie banner on every even doc and a
+    // newsletter footer on every fifth — and line df >= 3 scrubs
+    // exactly those while the content line survives in order.
+    "dedup_lines" -> ((s, dir) =>
+      Dedup.lineDedup(Tables.documents(s, dir).withColumn("text",
+        concat_ws("\n",
+          when(col("doc_id") % 2 === 0,
+            lit("cookie notice accept all cookies to continue")),
+          col("text"),
+          when(col("doc_id") % 5 === 0,
+            lit("subscribe to our newsletter for updates")))))),
+
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
 
     "dedup_minhash_keep" -> ((s, dir) => Dedup.minhashKeep(Tables.documents(s, dir))),
@@ -1408,6 +1422,17 @@ object SparkEntry {
       Similarity.ivfPqTopK(Tables.embeddings(s, dir),
         nQueries = 10, nCentroids = 16, nProbe = 4, k = 10)),
 
+    // index-quality gate: recall@10 of the IVF-PQ search against the
+    // exact brute-force top-10, per query — the number that decides
+    // whether a compressed index is shippable
+    "ann_recall_ivfpq" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      Similarity.annRecall(
+        Similarity.bruteForceTopK(embs, nQueries = 10, k = 10),
+        Similarity.ivfPqTopK(embs,
+          nQueries = 10, nCentroids = 16, nProbe = 4, k = 10))
+    }),
+
     // IVF with a TRAINED coarse quantizer (the FAISS build shape):
     // Lloyd centroids over the candidate set replace the
     // training-free lowest-id pick; the e6-integer kmeans discipline
@@ -1477,6 +1502,10 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
 
     "text_ngram_freq" -> ((s, dir) => TextAnalysis.ngramFreq(Tables.documents(s, dir))),
+
+    // corpus-QA one-liner: Zipf OLS over the top-100 unigrams —
+    // slope far from ≈ −1 flags boilerplate flooding or vocab collapse
+    "text_zipf" -> ((s, dir) => TextAnalysis.zipfFit(Tables.documents(s, dir))),
 
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfKeywords(Tables.documents(s, dir))),
 
@@ -1630,6 +1659,12 @@ object SparkEntry {
             "src3" -> 500, "src4" -> 250), defaultPermille = 100)
         .select(col("doc_id"), col("source"), col("keep_rate"))),
 
+    // DSIR importance weighting: score every doc by hashed-unigram
+    // likelihood ratio against the src0/src1 target slice — the
+    // data-selection key for targeted resampling
+    "sample_dsir" -> ((s, dir) =>
+      Sampling.dsirWeights(Tables.documents(s, dir))),
+
     // α-tempered language mixing (α = 1/2, 60% corpus budget): the
     // skewed-lang corpus flattens toward the tail — head langs
     // down-sample, tail langs keep more of themselves
@@ -1666,6 +1701,20 @@ object SparkEntry {
 
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.packFromDocuments(Tables.documents(s, dir)))),
+
+    // multimodal near-dup: every 7th doc gets a "re-encoded" twin
+    // (first byte case-flipped — same length, tiny byte drift, the
+    // shape a lossy re-encode leaves), then perceptual-hash + banded
+    // hamming LSH finds the twin pairs at signature weight
+    "mm_phash_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val twins = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("text",
+          concat(upper(substring(col("text"), 1, 1)),
+            expr("substring(text, 2)"))))
+      Multimodal.phashDedup(Multimodal.packFromDocuments(twins))
+    }),
 
     // ---- §2.8 relational spine -------------------------------------
     "rel_q1_agg" -> ((s, dir) => Relational.q1(s, dir)),
@@ -2824,6 +2873,92 @@ object SparkEntry {
        |       array_to_string(labels, ',') AS labels_str, value
        |FROM samples""".stripMargin
 
+  /** Brute-force exact cosine top-k replayed in SQL — shared by its
+    * own oracle row and the recall eval's `exact` leg. */
+  private lazy val annBruteforceSql: String =
+    s"""${embCte(1)}, scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |         CAST(floor(${duckDot("q.vec", "c.vec")} / (q.nrm * c.nrm) * 1000000 + 0.5) AS BIGINT) AS cos_sim_e6
+       |  FROM prep q JOIN prep c ON q.vec_id < 10 AND c.vec_id >= 10
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim_e6 DESC, vec_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, vec_id, cos_sim_e6, rank FROM ranked WHERE rank <= 10""".stripMargin
+
+  /** IVF-PQ search replayed in SQL — shared by its own oracle row
+    * and the recall eval's `approx` leg. */
+  private lazy val annIvfpqSql: String =
+    s"""WITH prepn AS (
+         |  SELECT vec_id, vec, sqrt(${duckDot("vec", "vec")}) AS nrm
+         |  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+         |        FROM embeddings)
+         |), segs AS (
+         |  SELECT vec_id, CAST(u.j AS INT) AS seg,
+         |         vec[(u.j * 8 + 1):(u.j * 8 + 8)] AS sv
+         |  FROM prepn, LATERAL (SELECT unnest(range(0, 8)) AS j) u
+         |), cb AS (
+         |  SELECT CAST(vec_id - 26 AS INT) AS c, seg, sv AS cw,
+         |         ${duckDotN("sv", "sv", 8)} AS cw2
+         |  FROM segs WHERE vec_id >= 26 AND vec_id < 42
+         |), enc AS (
+         |  SELECT vec_id, seg, c, cw2 FROM (
+         |    SELECT s.vec_id, s.seg, b.c, b.cw2,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.seg
+         |             ORDER BY ${duckDotN("s.sv", "s.sv", 8)}
+         |                      - 2 * ${duckDotN("s.sv", "b.cw", 8)} + b.cw2 ASC,
+         |                      b.c ASC) AS rk
+         |    FROM segs s JOIN cb b USING (seg) WHERE s.vec_id >= 10)
+         |  WHERE rk = 1
+         |), recn AS (
+         |  SELECT vec_id, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |           list(cw2 ORDER BY seg)), (a, x) -> a + x)) AS rnrm
+         |  FROM enc GROUP BY vec_id
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnrm
+         |  FROM prepn WHERE vec_id >= 10 AND vec_id < 26
+         |), assign AS (
+         |  SELECT cent_id, vec_id FROM (
+         |    SELECT c.cent_id, v.vec_id,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${duckDot("c.cvec", "v.vec")} / (c.cnrm * v.nrm) DESC,
+         |                      c.cent_id ASC) AS arank
+         |    FROM prepn v, cents c WHERE v.vec_id >= 10)
+         |  WHERE arank = 1
+         |), probes AS (
+         |  SELECT query_id, qnrm, cent_id FROM (
+         |    SELECT q.vec_id AS query_id, q.nrm AS qnrm, c.cent_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${duckDot("c.cvec", "q.vec")} / (c.cnrm * q.nrm) DESC,
+         |                      c.cent_id ASC) AS prank
+         |    FROM prepn q, cents c WHERE q.vec_id < 10)
+         |  WHERE prank <= 4
+         |), lut AS (
+         |  SELECT s.vec_id AS query_id, s.seg, b.c,
+         |         ${duckDotN("s.sv", "b.cw", 8)} AS qdot
+         |  FROM segs s JOIN cb b USING (seg) WHERE s.vec_id < 10
+         |), scored AS (
+         |  SELECT p.query_id, e.vec_id, p.qnrm,
+         |         list_reduce(list_prepend(0.0::DOUBLE,
+         |           list(l.qdot ORDER BY e.seg)), (a, x) -> a + x) AS adc
+         |  FROM probes p JOIN assign a USING (cent_id)
+         |       JOIN enc e ON e.vec_id = a.vec_id
+         |       JOIN lut l ON l.query_id = p.query_id
+         |                 AND l.seg = e.seg AND l.c = e.c
+         |  GROUP BY p.query_id, e.vec_id, p.qnrm
+         |), ranked AS (
+         |  SELECT s.query_id, s.vec_id,
+         |         CAST(floor(s.adc / (s.qnrm * r.rnrm) * 1000000 + 0.5) AS BIGINT)
+         |           AS adc_e6
+         |  FROM scored s JOIN recn r USING (vec_id)
+         |)
+         |SELECT query_id, vec_id, adc_e6, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_e6 DESC, vec_id ASC) AS rank
+         |  FROM ranked)
+         |WHERE rank <= 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "ingest_remote_write" -> sampleMs,
 
@@ -3706,6 +3841,37 @@ object SparkEntry {
         |       max(length(text)) AS n_chars
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
+    // the identical boilerplate injection, then line-df scrub +
+    // in-order reassembly
+    "dedup_lines" ->
+      """WITH injected AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |      CASE WHEN doc_id % 2 = 0
+        |           THEN 'cookie notice accept all cookies to continue' END,
+        |      text,
+        |      CASE WHEN doc_id % 5 = 0
+        |           THEN 'subscribe to our newsletter for updates' END) AS text
+        |  FROM documents
+        |), ls AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS lns
+        |  FROM injected
+        |), ln AS (
+        |  SELECT doc_id, unnest(lns) AS line,
+        |         generate_subscripts(lns, 1) AS ord
+        |  FROM ls
+        |), boiler AS (
+        |  SELECT line FROM ln GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+        |), kept AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         md5(string_agg(line, chr(10) ORDER BY ord)) AS clean_md5
+        |  FROM ln WHERE line NOT IN (SELECT line FROM boiler)
+        |  GROUP BY 1
+        |), tot AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY 1)
+        |SELECT t.doc_id, t.n_lines, coalesce(k.n_kept, 0) AS n_kept,
+        |       coalesce(k.n_kept, 0) * 1000000 // t.n_lines AS kept_ratio_e6,
+        |       k.clean_md5
+        |FROM tot t LEFT JOIN kept k USING (doc_id)""".stripMargin,
+
     "dedup_minhash_lsh" ->
       s"""$minhashCte
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -4003,17 +4169,18 @@ object SparkEntry {
          |SELECT vec_id, CAST(keep_id = vec_id AS INT) AS kept, keep_id
          |FROM (SELECT vec_id, min(bucket_min) AS keep_id FROM bmin GROUP BY 1)""".stripMargin,
 
-    "ann_bruteforce_topk" ->
-      s"""${embCte(1)}, scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-         |         CAST(floor(${duckDot("q.vec", "c.vec")} / (q.nrm * c.nrm) * 1000000 + 0.5) AS BIGINT) AS cos_sim_e6
-         |  FROM prep q JOIN prep c ON q.vec_id < 10 AND c.vec_id >= 10
-         |), ranked AS (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY cos_sim_e6 DESC, vec_id ASC) AS rank
-         |  FROM scored
-         |)
-         |SELECT query_id, vec_id, cos_sim_e6, rank FROM ranked WHERE rank <= 10""".stripMargin,
+    "ann_bruteforce_topk" -> annBruteforceSql,
+
+    // recall@10 of IVF-PQ vs brute force: both searches replayed as
+    // parenthesized sub-CTEs, intersected per query
+    "ann_recall_ivfpq" ->
+      s"""WITH exact AS ($annBruteforceSql),
+         |approx AS ($annIvfpqSql)
+         |SELECT e.query_id, count(a.vec_id) AS n_hit,
+         |       count(a.vec_id) * 1000000 // count(*) AS recall_e6
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+         |GROUP BY 1""".stripMargin,
 
     "ann_lsh_topk" ->
       s"""${embCte(6)}, scored AS (
@@ -4069,75 +4236,7 @@ object SparkEntry {
     // IVF-PQ: segments via 1-based list slices; every multi-term sum
     // is a seg-ORDERED fold (list(x ORDER BY seg) then one standalone
     // list_reduce — never fold-in-fold, the round-15 hazard shape)
-    "ann_ivfpq_topk" ->
-      s"""WITH prepn AS (
-         |  SELECT vec_id, vec, sqrt(${duckDot("vec", "vec")}) AS nrm
-         |  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
-         |        FROM embeddings)
-         |), segs AS (
-         |  SELECT vec_id, CAST(u.j AS INT) AS seg,
-         |         vec[(u.j * 8 + 1):(u.j * 8 + 8)] AS sv
-         |  FROM prepn, LATERAL (SELECT unnest(range(0, 8)) AS j) u
-         |), cb AS (
-         |  SELECT CAST(vec_id - 26 AS INT) AS c, seg, sv AS cw,
-         |         ${duckDotN("sv", "sv", 8)} AS cw2
-         |  FROM segs WHERE vec_id >= 26 AND vec_id < 42
-         |), enc AS (
-         |  SELECT vec_id, seg, c, cw2 FROM (
-         |    SELECT s.vec_id, s.seg, b.c, b.cw2,
-         |           row_number() OVER (PARTITION BY s.vec_id, s.seg
-         |             ORDER BY ${duckDotN("s.sv", "s.sv", 8)}
-         |                      - 2 * ${duckDotN("s.sv", "b.cw", 8)} + b.cw2 ASC,
-         |                      b.c ASC) AS rk
-         |    FROM segs s JOIN cb b USING (seg) WHERE s.vec_id >= 10)
-         |  WHERE rk = 1
-         |), recn AS (
-         |  SELECT vec_id, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-         |           list(cw2 ORDER BY seg)), (a, x) -> a + x)) AS rnrm
-         |  FROM enc GROUP BY vec_id
-         |), cents AS (
-         |  SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnrm
-         |  FROM prepn WHERE vec_id >= 10 AND vec_id < 26
-         |), assign AS (
-         |  SELECT cent_id, vec_id FROM (
-         |    SELECT c.cent_id, v.vec_id,
-         |           row_number() OVER (PARTITION BY v.vec_id
-         |             ORDER BY ${duckDot("c.cvec", "v.vec")} / (c.cnrm * v.nrm) DESC,
-         |                      c.cent_id ASC) AS arank
-         |    FROM prepn v, cents c WHERE v.vec_id >= 10)
-         |  WHERE arank = 1
-         |), probes AS (
-         |  SELECT query_id, qnrm, cent_id FROM (
-         |    SELECT q.vec_id AS query_id, q.nrm AS qnrm, c.cent_id,
-         |           row_number() OVER (PARTITION BY q.vec_id
-         |             ORDER BY ${duckDot("c.cvec", "q.vec")} / (c.cnrm * q.nrm) DESC,
-         |                      c.cent_id ASC) AS prank
-         |    FROM prepn q, cents c WHERE q.vec_id < 10)
-         |  WHERE prank <= 4
-         |), lut AS (
-         |  SELECT s.vec_id AS query_id, s.seg, b.c,
-         |         ${duckDotN("s.sv", "b.cw", 8)} AS qdot
-         |  FROM segs s JOIN cb b USING (seg) WHERE s.vec_id < 10
-         |), scored AS (
-         |  SELECT p.query_id, e.vec_id, p.qnrm,
-         |         list_reduce(list_prepend(0.0::DOUBLE,
-         |           list(l.qdot ORDER BY e.seg)), (a, x) -> a + x) AS adc
-         |  FROM probes p JOIN assign a USING (cent_id)
-         |       JOIN enc e ON e.vec_id = a.vec_id
-         |       JOIN lut l ON l.query_id = p.query_id
-         |                 AND l.seg = e.seg AND l.c = e.c
-         |  GROUP BY p.query_id, e.vec_id, p.qnrm
-         |), ranked AS (
-         |  SELECT s.query_id, s.vec_id,
-         |         CAST(floor(s.adc / (s.qnrm * r.rnrm) * 1000000 + 0.5) AS BIGINT)
-         |           AS adc_e6
-         |  FROM scored s JOIN recn r USING (vec_id)
-         |)
-         |SELECT query_id, vec_id, adc_e6, rank FROM (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY adc_e6 DESC, vec_id ASC) AS rank
-         |  FROM ranked)
-         |WHERE rank <= 10""".stripMargin,
+    "ann_ivfpq_topk" -> annIvfpqSql,
 
     // nearest deterministic centroid per vector (centroids = 16
     // lowest-id vecs); argmax on the raw fold double, cent_id tiebreak
@@ -4359,6 +4458,41 @@ object SparkEntry {
         |      FROM w WHERE len(words) >= 2)
         |SELECT gram, count(*) AS n_occurrences FROM g GROUP BY 1
         |ORDER BY n_occurrences DESC, gram ASC LIMIT 100""".stripMargin,
+
+    // Zipf OLS replayed: identical rank-sorted folds for the four
+    // sums, identical slope/intercept arithmetic, 6-decimal snap
+    "text_zipf" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(coalesce(text, ''), ' ')) AS gram
+        |  FROM documents
+        |), c AS (SELECT gram, count(*) AS n_occ FROM w GROUP BY 1),
+        |top AS (
+        |  SELECT gram, n_occ,
+        |         row_number() OVER (ORDER BY n_occ DESC, gram ASC) AS rk
+        |  FROM c ORDER BY n_occ DESC, gram ASC LIMIT 100
+        |), xs AS (
+        |  SELECT list(struct_pack(rk := rk,
+        |           x := ln(rk::DOUBLE), y := ln(n_occ::DOUBLE))
+        |           ORDER BY rk) AS l
+        |  FROM top
+        |), s AS (
+        |  SELECT len(l)::BIGINT AS n_terms,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(l, t -> t.x)), (a, b) -> a + b) AS sx,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(l, t -> t.y)), (a, b) -> a + b) AS sy,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(l, t -> t.x * t.y)), (a, b) -> a + b) AS sxy,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(l, t -> t.x * t.x)), (a, b) -> a + b) AS sxx
+        |  FROM xs
+        |)
+        |SELECT n_terms,
+        |  round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6)
+        |    AS zipf_slope,
+        |  round((sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)
+        |    * sx) / n_terms, 6) AS zipf_intercept
+        |FROM s""".stripMargin,
 
     // integer-exact log-free TF-IDF: tf_e6 = c·1e6 // n_words,
     // score = tf_e6 · n_docs // df; top-5 per doc, word-asc ties
@@ -4719,6 +4853,46 @@ object SparkEntry {
          |SELECT doc_id, source, keep_rate FROM r
          |WHERE ${duckHash("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000 < keep_rate""".stripMargin,
 
+    // DSIR replayed verbatim: hashed-unigram counts, add-1 smoothed
+    // log ratio per bucket, per-doc b-SORTED fold (the 6-decimal
+    // snap absorbs libm-ln ulps, same as text_perplexity)
+    "sample_dsir" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, source,
+         |         unnest(string_split(coalesce(text, ''), ' ')) AS w
+         |  FROM documents
+         |), wb AS (
+         |  SELECT doc_id, source, ${duckHash("w")} % 64 AS b FROM w
+         |), dc AS (
+         |  SELECT doc_id, source, b, count(*) AS c FROM wb GROUP BY 1, 2, 3
+         |), rc AS (SELECT b, count(*) AS cr FROM wb GROUP BY 1),
+         |tc AS (
+         |  SELECT b, count(*) AS ct FROM wb
+         |  WHERE source IN ('src0', 'src1') GROUP BY 1
+         |), tot AS (
+         |  SELECT count(*)::BIGINT AS nr,
+         |         sum(CASE WHEN source IN ('src0', 'src1')
+         |             THEN 1 ELSE 0 END)::BIGINT AS nt
+         |  FROM wb
+         |), model AS (
+         |  SELECT rc.b,
+         |         ln((coalesce(ct, 0) + 1.0::DOUBLE) / (nt + 64.0::DOUBLE))
+         |       - ln((cr + 1.0::DOUBLE) / (nr + 64.0::DOUBLE)) AS log_ratio
+         |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot
+         |), g AS (
+         |  SELECT doc_id, source,
+         |         list_reduce(list_prepend(0::BIGINT,
+         |           list(c ORDER BY b)), (a, x) -> a + x) AS n_words,
+         |         round(list_reduce(list_prepend(0.0::DOUBLE,
+         |           list(CAST(c AS DOUBLE) * log_ratio ORDER BY b)),
+         |           (a, x) -> a + x), 6) AS log_weight
+         |  FROM dc JOIN model USING (b) GROUP BY 1, 2
+         |)
+         |SELECT doc_id, source, n_words, log_weight,
+         |       CAST(CASE WHEN log_weight > 0.0 THEN 1 ELSE 0 END AS BIGINT)
+         |         AS is_target_like
+         |FROM g""".stripMargin,
+
     // α = 1/2 via sqrt (correctly-rounded IEEE — no libm pow);
     // Σw/ΣN as lang-SORTED folds, mirroring the Spark plan exactly
     "sample_temperature" ->
@@ -4885,6 +5059,47 @@ object SparkEntry {
          |       length(substr(text, (i*256 + 1)::INT, 256)) AS frame_len,
          |       ${duckHash("substr(text, (i*256 + 1)::INT, 256)")} AS frame_h
          |FROM f""".stripMargin,
+
+    // the aHash stub replayed: ascii codes (ASCII corpus — byte ≡
+    // char), 16-byte block sums vs the global mean by integer
+    // cross-multiply, 4×15-bit band join, hamming via bit_count(xor)
+    "mm_phash_dedup" ->
+      """WITH twins AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         upper(substr(text, 1, 1)) || substr(text, 2)
+        |  FROM documents WHERE doc_id % 7 = 0
+        |), codes AS (
+        |  SELECT doc_id,
+        |         list_transform(str_split_regex(coalesce(text, ''), ''),
+        |           c -> ascii(c)::BIGINT) AS cs
+        |  FROM twins
+        |), ph AS (
+        |  SELECT doc_id,
+        |    CAST(list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(0, 60), b ->
+        |        CASE WHEN b * 16 < len(cs) AND
+        |          list_aggregate(cs[b*16 + 1 : least(b*16 + 16, len(cs))], 'sum')
+        |            * len(cs)
+        |          > list_aggregate(cs, 'sum')
+        |            * (least(b*16 + 16, len(cs)) - b*16)
+        |        THEN (1::BIGINT << b) ELSE 0::BIGINT END)),
+        |      (a, x) -> a + x) AS BIGINT) AS phash
+        |  FROM codes
+        |), banded AS (
+        |  SELECT doc_id, phash, t.b AS band,
+        |         (phash >> (t.b * 15)) & 32767 AS band_val
+        |  FROM ph, range(0, 4) t(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.phash AS pa, b.phash AS pb
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.band_val = b.band_val
+        |       AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, bit_count(xor(pa, pb)) AS hamming
+        |FROM pairs WHERE bit_count(xor(pa, pb)) <= 2""".stripMargin,
 
     "rel_q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -46,6 +46,62 @@ object Dedup {
       .drop("bkt_n")
   }
 
+  /** Line-level dedup (the RefinedWeb / CCNet boilerplate pass):
+    * split each document on newlines, count per-line document
+    * frequency corpus-wide, drop every line appearing in >= minDf
+    * documents (cookie banners, nav bars, footers — the lines that
+    * repeat across a crawl), and reassemble the survivors in their
+    * original order. Emits per document the line totals, the kept
+    * ratio (e6 integer), and the md5 of the scrubbed text (never the
+    * text itself — re-derivable from the source row + the boilerplate
+    * set).
+    *
+    * Scale shape: the df count is a hash-groupBy on the line string
+    * (at 100 TB you'd pre-hash lines to 128-bit keys so the exchange
+    * carries hashes; the test-scale lines are short enough that the
+    * string IS the compact key). The boilerplate set — lines with
+    * df >= minDf — is small relative to the corpus (that is what
+    * makes it boilerplate): AQE broadcasts it when it fits and falls
+    * back to a line-keyed hash join when a pathological corpus
+    * inflates it. Keep/drop is a flag on a left join so totals, kept
+    * counts, and the reassembly all come out of ONE doc-keyed
+    * aggregate — two corpus scans total (df build + flagged probe),
+    * linear in total line count, no pairwise anything. */
+  def lineDedup(documents: DataFrame, minDf: Int = 3): DataFrame = {
+    val lines = documents
+      .select(col("doc_id"),
+        posexplode(split(coalesce(col("text"), lit("")), "\n"))
+          .as(Seq("ord", "line")))
+    // df, salt-exact: a line present in EVERY doc (a universal
+    // banner) would otherwise land all its doc_ids in one final
+    // count task — doc_id salts partition disjointly, so summing
+    // per-salt distinct counts is exact AND bounds any one group at
+    // |docs|/256; the line-keyed final exchange carries ≤256
+    // rows/line no matter how hot the line is.
+    val boiler = lines
+      .groupBy(col("line"), (col("doc_id") % 256).as("salt"))
+      .agg(countDistinct(col("doc_id")).as("pdf"))
+      .groupBy("line")
+      .agg(sum(col("pdf")).as("line_df"))
+      .filter(col("line_df") >= minDf)
+      .select(col("line"), lit(1).as("is_boiler"))
+    lines.join(boiler, Seq("line"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("is_boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the NULLs the CASE leaves for scrubbed
+        // lines; array_sort on (ord, line) restores document order
+        md5(concat_ws("\n", expr(
+          "transform(array_sort(collect_list(" +
+            "CASE WHEN is_boiler IS NULL THEN struct(ord, line) END))," +
+            " x -> x.line)"))).as("md5_raw"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        expr("CAST(n_kept * 1000000 DIV n_lines AS BIGINT)")
+          .as("kept_ratio_e6"),
+        // an all-boilerplate doc has NO clean text, not md5("")
+        when(col("n_kept") > 0, col("md5_raw")).as("clean_md5"))
+  }
+
   /** Exact dedup: one row per distinct text with the kept (minimum)
     * doc_id and the number of copies. Hash-groupBy on the text —
     * at 100 TB you'd pre-hash to a 128-bit key so the shuffle carries
@@ -849,26 +905,36 @@ object Dedup {
     * approximate by construction and a capped bucket carries no
     * similarity signal. */
   def simhashPairs(documents: DataFrame, maxHamming: Int,
-                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sigs = simhashSignatures(documents)
+                   maxBucket: Int = DefaultMaxBucket): DataFrame =
+    hamming60Pairs(simhashSignatures(documents), "simhash",
+      maxHamming, maxBucket)
+
+  /** Banded hamming LSH over ANY 60-bit signature column (SimHash,
+    * the multimodal perceptual hash): 4 bands × 15 bits generate
+    * candidates on band equality; pairs verify at
+    * bit_count(xor) <= maxHamming. The first-matching-band filter
+    * dedups multi-band hits without a distinct exchange; hamming is
+    * filtered per band hit, before any exchange — at scale most
+    * candidate pairs die without ever shuffling. */
+  private[graft] def hamming60Pairs(sigs: DataFrame, sigCol: String,
+                                    maxHamming: Int,
+                                    maxBucket: Int): DataFrame = {
     val banded = capBuckets(
-      sigs.select(col("doc_id"), col("simhash"),
+      sigs.select(col("doc_id"), col(sigCol).as("sig60"),
         posexplode(expr(
-          s"transform(sequence(0, ${SimBands - 1}), b -> (simhash >> (b * 15)) & 32767)"))
+          s"transform(sequence(0, ${SimBands - 1}), b -> ($sigCol >> (b * 15)) & 32767)"))
           .as(Seq("band", "band_val"))),
       Seq("band", "band_val"), maxBucket)
     val firstMatch = (0 until SimBands - 1).map { b =>
-      s"WHEN ((a.simhash >> ${b * 15}) & 32767) = ((b.simhash >> ${b * 15}) & 32767) THEN $b"
+      s"WHEN ((a.sig60 >> ${b * 15}) & 32767) = ((b.sig60 >> ${b * 15}) & 32767) THEN $b"
     }.mkString("CASE ", " ", s" ELSE ${SimBands - 1} END")
-    // hamming is filtered per band hit, before any exchange — at
-    // scale most candidate pairs die here without ever shuffling.
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.doc_id") < col("b.doc_id"))
       .filter(expr(s"a.band = ($firstMatch)"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        expr("bit_count(a.sig60 ^ b.sig60)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -88,6 +88,63 @@ object Multimodal {
       }.toDF()
   }
 
+  /** STUB perceptual hash — the average-hash (aHash) shape a real
+    * image-dedup pipeline computes over decoded pixels, applied to
+    * the raw payload bytes (the container has no codecs): 60 bits,
+    * bit b set iff 16-byte block b's byte sum, normalized, exceeds
+    * the whole payload's mean — decided by the integer cross-multiply
+    * blockSum·totalLen > totalSum·blockLen, so the hash is exact and
+    * engine-portable (no float division). Blocks past the payload
+    * stay 0. Small payload edits move one block sum and the global
+    * mean — a few bit flips, which is exactly the near-dup-tolerant
+    * behavior perceptual hashing exists for. */
+  def phashStub(payload: Array[Byte]): Long = {
+    val n = payload.length
+    if (n == 0) return 0L
+    var total = 0L
+    var i = 0
+    while (i < n) { total += payload(i) & 0xff; i += 1 }
+    var h = 0L
+    var b = 0
+    while (b < 60) {
+      val from = b * 16
+      if (from < n) {
+        val until = math.min(from + 16, n)
+        var s = 0L
+        var j = from
+        while (j < until) { s += payload(j) & 0xff; j += 1 }
+        if (s * n > total * (until - from)) h |= 1L << b
+      }
+      b += 1
+    }
+    h
+  }
+
+  /** doc_id + 60-bit perceptual hash per media row — one iterator
+    * pass per partition (the codec leg; a real pipeline would decode
+    * and hash pixels here). */
+  def phash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, phashStub(p)) })
+      .toDF("doc_id", "phash")
+  }
+
+  /** Multimodal near-dup detection: perceptual-hash the payloads,
+    * then banded hamming LSH (shared with SimHash — 4×15-bit bands,
+    * bucket-capped) emits verified pairs at bit_count(xor) <=
+    * maxHamming. The payload bytes never enter the join — the
+    * shuffle carries (doc_id, 60-bit sig) only, so a 100 TB image
+    * corpus dedups at signature weight. Toy-payload caveat: the
+    * synthetic payloads are short, so high blocks are 0 for every
+    * row and the top bands degenerate into full buckets — real pixel
+    * phashes are dense across all 60 bits; the bucket cap is the
+    * guard either way. */
+  def phashDedup(media: DataFrame, maxHamming: Int = 2,
+                 maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    Dedup.hamming60Pairs(phash(media), "phash", maxHamming, maxBucket)
+
   /** Batched feature extraction over the binary column. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession

@@ -257,4 +257,60 @@ object Sampling {
     df.join(broadcast(rates), Seq(groupCol))
       .filter(hashBucket(keyCol, salt, 1000) < col("keep_rate"))
   }
+
+  /** DSIR-style importance weighting (arXiv:2302.03169): score every
+    * document by how much its hashed-unigram bag looks like a TARGET
+    * slice of the corpus versus the raw distribution. Features are
+    * words hashed into `buckets` counts (the paper's hashed n-gram
+    * generative model); both distributions get add-1 smoothing; the
+    * document's log importance weight is
+    * Σ_b c_doc[b]·(ln p_target[b] − ln p_raw[b]) — positive means
+    * "more target-like than raw", the resampling key DSIR draws by.
+    *
+    * Scale shape: one token explode feeding (a) a per-(doc, bucket)
+    * map-side-combinable count and (b) two bucket-keyed global
+    * counts that are at most `buckets` rows each — the model is a
+    * ≤`buckets`-row broadcast table, so scoring 100 TB is the token
+    * scan plus one broadcast join; nothing pairwise, nothing
+    * driver-side. The per-doc sum folds over a sorted ≤`buckets`
+    * array so the double result is bit-deterministic regardless of
+    * partitioning (same discipline as the CORDIC/perplexity ops). */
+  def dsirWeights(documents: DataFrame,
+                  targetSources: Seq[String] = Seq("src0", "src1"),
+                  buckets: Int = 64): DataFrame = {
+    val tgtList = targetSources.map(s => s"'$s'").mkString(", ")
+    val words = documents
+      .select(col("doc_id"), col("source"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .withColumn("b", expr(s"(${Portable.hash60SqlSpark("w")}) % $buckets"))
+    val docCounts = words
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val rawCounts = words.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgtCounts = words.filter(col("source").isin(targetSources: _*))
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totals = words.agg(
+      count(lit(1)).as("nr"),
+      sum(when(expr(s"source IN ($tgtList)"), 1L).otherwise(0L)).as("nt"))
+    val model = rawCounts
+      .join(tgtCounts, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"), expr(
+        s"ln((CAST(ct AS DOUBLE) + 1.0D) / (CAST(nt AS DOUBLE) + $buckets.0D))" +
+          s" - ln((CAST(cr AS DOUBLE) + 1.0D) / (CAST(nr AS DOUBLE) + $buckets.0D))")
+        .as("log_ratio"))
+    docCounts.join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sort_array(collect_list(struct(col("b"), col("c"), col("log_ratio"))))
+        .as("xs"))
+      .select(col("doc_id"), col("source"),
+        expr("aggregate(xs, CAST(0 AS BIGINT), (a, x) -> a + x.c)")
+          .as("n_words"),
+        expr("round(aggregate(xs, CAST(0.0 AS DOUBLE)," +
+          " (a, x) -> a + CAST(x.c AS DOUBLE) * x.log_ratio), 6)")
+          .as("log_weight"))
+      .withColumn("is_target_like",
+        (col("log_weight") > 0.0).cast("int").cast("long"))
+  }
 }

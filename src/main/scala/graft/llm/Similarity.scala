@@ -74,6 +74,21 @@ object Similarity {
           "ELSE transform(vec, x -> CAST(floor(x / mx * 127.0D + 0.5) AS INT)) END")
           .as("qvec"))
 
+  /** Index-quality eval: per-query recall@k of an approximate ANN
+    * result against the exact top-k — the measurement that decides
+    * whether an IVF/PQ build is shippable before it serves traffic.
+    * Inputs are the (query_id, vec_id, …) outputs of any two search
+    * ops here; both are nQueries·k rows, so the join is broadcast
+    * noise — the cost is the searches themselves. */
+  def annRecall(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("vec_id"))
+      .join(approx.select(col("query_id").as("aq"), col("vec_id").as("av")),
+        col("query_id") === col("aq") && col("vec_id") === col("av"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("av")).as("n_hit"), count(lit(1)).as("n_k"))
+      .select(col("query_id"), col("n_hit"),
+        expr("CAST(n_hit * 1000000 DIV n_k AS BIGINT)").as("recall_e6"))
+
   /** Exact cosine top-k: queries = vec_id < nQueries (broadcast),
     * candidates = everything else. Output query_id, vec_id, cos_sim,
     * rank — ranked by rounded score with vec_id tiebreak so the

@@ -391,6 +391,36 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Zipf-law fit over the corpus vocabulary: OLS of ln(freq) on
+    * ln(rank) across the top-k unigrams — the one-row corpus-QA
+    * statistic that flags a degenerate crawl (slope far from ≈ −1
+    * means boilerplate flooding or vocabulary collapse) and sizes
+    * tokenizer-training expectations. Scale shape: the count is the
+    * ngramFreq hash-aggregate (map-side partials, exchange carries
+    * distinct words only) + TakeOrdered for the top-k; the fit folds
+    * over a rank-sorted k-row array, so the doubles are
+    * bit-deterministic regardless of partitioning and the only
+    * global step is k rows on one task. */
+  def zipfFit(documents: DataFrame, k: Int = 100): DataFrame = {
+    val ranked = ngramFreq(documents, n = 1, k = k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("gram").asc)))
+    val slope = "(n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)"
+    ranked
+      .agg(sort_array(collect_list(struct(col("rk"),
+        expr("ln(CAST(rk AS DOUBLE))").as("x"),
+        expr("ln(CAST(n_occurrences AS DOUBLE))").as("y")))).as("xs"))
+      .select(
+        expr("CAST(size(xs) AS BIGINT)").as("n_terms"),
+        expr("aggregate(xs, CAST(0.0 AS DOUBLE), (a, t) -> a + t.x)").as("sx"),
+        expr("aggregate(xs, CAST(0.0 AS DOUBLE), (a, t) -> a + t.y)").as("sy"),
+        expr("aggregate(xs, CAST(0.0 AS DOUBLE), (a, t) -> a + t.x * t.y)").as("sxy"),
+        expr("aggregate(xs, CAST(0.0 AS DOUBLE), (a, t) -> a + t.x * t.x)").as("sxx"))
+      .select(col("n_terms"),
+        expr(s"round($slope, 6)").as("zipf_slope"),
+        expr(s"round((sy - ($slope) * sx) / n_terms, 6)").as("zipf_intercept"))
+  }
+
   /** PII patterns shared by the scrub and its oracle. Kept to syntax
     * with identical semantics in Java regex and RE2 (no backrefs, no
     * lookaround, no alternation whose leftmost-first vs

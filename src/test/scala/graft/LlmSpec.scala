@@ -912,4 +912,156 @@ class LlmSpec extends SparkSpecBase {
     // a straddling doc spans > 1 chunk somewhere in a 64-token stream
     assert(rows.exists(_.getLong(6) > 1L))
   }
+
+  test("line dedup: df threshold, order-preserving reassembly, all-boiler doc") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // "banner" in 3 docs (>= minDf=3, scrubbed), "footer" in 2 (kept);
+    // doc 4 is banner-only; duplicate lines WITHIN doc 1 count once
+    // toward df (countDistinct) but both copies are scrubbed
+    val tiny = Seq(
+      (1L, "banner\nalpha one\nbanner\nfooter", "en", "s", 0L),
+      (2L, "banner\nbeta two\nfooter", "en", "s", 0L),
+      (3L, "gamma three\nbanner", "en", "s", 0L),
+      (4L, "banner", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.lineDedup(tiny, minDf = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getString(4)))
+      .sortBy(_._1)
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq === Seq(
+      (1L, 4L, 2L, 500000L), (2L, 3L, 2L, 666666L),
+      (3L, 2L, 1L, 500000L), (4L, 1L, 0L, 0L)))
+    // survivors keep original order (alpha one BEFORE footer)
+    assert(got(0)._5 === m("alpha one\nfooter"))
+    assert(got(1)._5 === m("beta two\nfooter"))
+    assert(got(2)._5 === m("gamma three"))
+    assert(got(3)._5 === null) // nothing survived
+    // below-threshold corpus: nothing scrubbed, md5 is the full text
+    val none = Dedup.lineDedup(tiny, minDf = 5).collect()
+    assert(none.forall(r => r.getLong(1) === r.getLong(2)))
+  }
+
+  test("zipf fit: exact power law recovers slope -1, corpus slope negative") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    // counts 12/6/4/3 at ranks 1..4: c·r = 12 exactly, so
+    // ln c = ln 12 − ln r — OLS must recover slope −1, intercept ln 12
+    val text = (Seq.fill(12)("w1") ++ Seq.fill(6)("w2") ++
+      Seq.fill(4)("w3") ++ Seq.fill(3)("w4")).mkString(" ")
+    val tiny = Seq((1L, text, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.zipfFit(tiny).collect().head
+    assert(r.getLong(0) === 4L)
+    assert(r.getDouble(1) === -1.0)
+    assert(r.getDouble(2) === BigDecimal(math.log(12.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the synthetic corpus is word salad over a small vocab — still
+    // rank-decreasing, so the fitted slope is negative
+    val c = TextAnalysis.zipfFit(docs).collect().head
+    assert(c.getLong(0) > 0L && c.getDouble(1) < 0.0)
+  }
+
+  test("ann recall eval: hand-built overlap, self-recall is exactly 1") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    val exact = Seq((0L, 10L), (0L, 11L), (0L, 12L),
+      (1L, 20L), (1L, 21L), (1L, 22L)).toDF("query_id", "vec_id")
+    // approx finds 2 of 3 for q0, none for q1
+    val approx = Seq((0L, 10L), (0L, 11L), (0L, 99L),
+      (1L, 98L), (1L, 97L), (1L, 96L)).toDF("query_id", "vec_id")
+    val got = Similarity.annRecall(exact, approx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === Seq((0L, 2L, 666666L), (1L, 0L, 0L)))
+    // the real legs: brute force against itself recalls exactly 1
+    val bf = Similarity.bruteForceTopK(embs, nQueries = 10, k = 10)
+    val self = Similarity.annRecall(bf, bf).collect()
+    assert(self.length === 10 && self.forall(_.getLong(2) === 1000000L))
+  }
+
+  test("phash dedup: aHash stub bits, exact twin, brute-force parity") {
+    import spark.implicits._
+    import graft.llm.Multimodal
+    // crafted payload: a loud 16-byte block then a quiet one →
+    // bit0 = 1 (above mean), bit1 = 0, nothing else set
+    val loudQuiet = Array.fill(16)(0xff.toByte) ++ Array.fill(16)(0x01.toByte)
+    val h0 = Multimodal.phashStub(loudQuiet)
+    assert((h0 & 1L) === 1L && ((h0 >> 1) & 1L) === 0L && (h0 >> 2) === 0L)
+    assert(Multimodal.phashStub(Array.emptyByteArray) === 0L)
+    // uniform payload: no block beats the mean → all zero
+    assert(Multimodal.phashStub(Array.fill(64)(0x41.toByte)) === 0L)
+
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).trim
+    val texts = Map(
+      1L -> base, 2L -> base,                      // exact dup
+      3L -> ("T" + base.substring(1)),             // re-encode twin
+      4L -> ("a" * 16 + "z" * 16) * 10)            // alternating stranger
+    val media = texts.toSeq.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val got = Multimodal.phashDedup(media, maxHamming = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force reference: every pair that shares a band AND is
+    // within hamming 2 of the locally-computed stub hashes
+    val hs = texts.view.mapValues(t =>
+      Multimodal.phashStub(t.getBytes("UTF-8"))).toMap
+    val want = (for {
+      a <- texts.keys.toSeq; b <- texts.keys.toSeq if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 2
+      if (0 until 4).exists(k =>
+        ((hs(a) >> (k * 15)) & 32767L) == ((hs(b) >> (k * 15)) & 32767L))
+    } yield (a, b, d)).toSet
+    assert(got === want)
+    assert(got.contains((1L, 2L, 0)))              // the exact dup pairs at 0
+    // the one-byte case flip drifts the hash, not scrambles it
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) <= 6)
+  }
+
+  test("dsir weights: likelihood-ratio sign, hand-computed model, determinism") {
+    import spark.implicits._
+    import graft.llm.{Portable, Sampling}
+    // target slice speaks "tgt" (30× per doc — counts must dominate
+    // the add-1 smoothing for the sign to be meaningful), background
+    // speaks "bg"; "aux" is shared
+    val tgtText = (Seq.fill(30)("tgt") :+ "aux").mkString(" ")
+    val bgText = (Seq.fill(30)("bg") :+ "aux").mkString(" ")
+    val tiny = Seq(
+      (1L, tgtText, "en", "src0", 0L),
+      (2L, tgtText, "en", "src1", 0L),
+      (3L, bgText, "en", "src9", 0L),
+      (4L, "tgt bg", "en", "src9", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Sampling.dsirWeights(tiny).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).sortBy(_._1)
+    assert(got.map(_._3).toSeq === Seq(31L, 31L, 31L, 2L))
+    // replay the model: bucket counts over all 95 word occurrences,
+    // target = docs 1+2 (62 occurrences)
+    val words = Seq.fill(2)(tgtText).flatMap(_.split(" ")) ++
+      bgText.split(" ") ++ Seq("tgt", "bg")
+    val tgtWords = words.take(62)
+    val b = (w: String) => Portable.hash60(w) % 64
+    val cr = words.groupBy(b).view.mapValues(_.size.toLong).toMap
+    val ct = tgtWords.groupBy(b).view.mapValues(_.size.toLong).toMap
+    def lr(bk: Long): Double =
+      math.log((ct.getOrElse(bk, 0L) + 1.0) / (62 + 64.0)) -
+        math.log((cr(bk) + 1.0) / (95 + 64.0))
+    def w6(ws: Seq[String]): Double = {
+      val s = ws.groupBy(b).toSeq.sortBy(_._1)
+        .foldLeft(0.0) { case (a, (bk, occ)) => a + occ.size * lr(bk) }
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(0)._4 === w6(tgtText.split(" ").toSeq))
+    assert(got(2)._4 === w6(bgText.split(" ").toSeq))
+    // sign: the target-dialect doc scores positive, background negative
+    assert(got(0)._4 > 0.0 && got(0)._5 === 1L)
+    assert(got(2)._4 < 0.0 && got(2)._5 === 0L)
+    // docs 1 and 2 are textual twins in different sources: same weight
+    assert(got(0)._4 === got(1)._4)
+    // bit-determinism across runs (the sorted-fold contract)
+    val again = Sampling.dsirWeights(tiny).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).sortBy(_._1)
+    assert(again.map(_._2).toSeq === got.map(_._4).toSeq)
+  }
 }

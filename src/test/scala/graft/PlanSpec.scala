@@ -377,6 +377,26 @@ class PlanSpec extends SparkSpecBase {
       s"corpus shuffles by doc_id:\n$p")
   }
 
+  test("line dedup: boilerplate broadcasts, exactly two corpus scans") {
+    val df = graft.llm.Dedup.lineDedup(Tables.documents(spark, Sf))
+    val p = plan(df)
+    // the df-filtered boilerplate set rides a broadcast into the
+    // flagged probe — the corpus-sized line stream never shuffles for
+    // the keep decision
+    assert(p.contains("Broadcast"), s"boilerplate not broadcast:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"expected <= 2 corpus scans, got $scans:\n$p")
+  }
+
+  test("dsir weights: the <=64-row model broadcasts into the scoring join") {
+    val df = graft.llm.Sampling.dsirWeights(Tables.documents(spark, Sf))
+    val p = plan(df)
+    // the per-(doc, bucket) count legitimately exchanges on its own
+    // keys; the MODEL side must not — it rides broadcasts end to end
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"model not broadcast:\n$p")
+  }
+
   test("no SparkEntry plan contains a cartesian product; ann joins broadcast") {
     val sideEffecting = Set(
       "ingest_samples_sink", "ingest_delete_range", "ingest_streaming",

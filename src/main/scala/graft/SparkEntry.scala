@@ -1374,6 +1374,45 @@ object SparkEntry {
       Dedup.streamIncrementalKeep(s, src, workDir("stream_docs_dd", dir))
     }),
 
+    // STREAMING line-level dedup: three crawls with planted
+    // boilerplate; the banner/footer cross minDf inside the first
+    // crawl that carries them, while the rare promo line crosses it
+    // only at crawl 1 — the doc that brought it in crawl 0 keeps it
+    // (already shipped), later carriers lose it. State is the
+    // (line, crawl, df) statistic, max-idempotent under compaction.
+    "stream_line_dedup" -> ((s, dir) => {
+      val src = workDir("stream_lines_src", dir)
+      payOnce(s, src, s"${srcFingerprint(s, dir, "documents")}:linecrawls=3:v1") {
+        val base = System.currentTimeMillis()
+        (0 until 3).foreach { k =>
+          val tmp = src + s"_tmp$k"
+          Tables.documents(s, dir)
+            .filter(pmod(col("doc_id"), lit(3)) === k)
+            .select(col("doc_id"),
+              concat_ws("\n",
+                when(col("doc_id") % 2 === 0,
+                  lit("cookie notice accept all cookies to continue")),
+                col("text"),
+                when(col("doc_id") % 100 === 1,
+                  lit("limited time promo act now")),
+                when(col("doc_id") % 5 === 0,
+                  lit("subscribe to our newsletter for updates"))).as("text"),
+              lit(k).cast("int").as("crawl"))
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(src, s"crawl$k.parquet")
+          dst.getParentFile.mkdirs()
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(base + k * 60000L)
+          new java.io.File(tmp).listFiles().foreach(_.delete())
+          new java.io.File(tmp).delete()
+        }
+      }
+      Dedup.streamLineDedup(s, src, workDir("stream_lines_dd", dir))
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), 0.8)),
 
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 8)),
@@ -1701,6 +1740,13 @@ object SparkEntry {
 
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.packFromDocuments(Tables.documents(s, dir)))),
+
+    // the resize/downsample leg of the image pipeline: fixed
+    // 16-bucket average-pool over each payload (stub for pixel
+    // resampling — the pooling bounds and batch shape are real)
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resizePool(
+        Multimodal.packFromDocuments(Tables.documents(s, dir)))),
 
     // multimodal near-dup: every 7th doc gets a "re-encoded" twin
     // (first byte case-flipped — same length, tiny byte drift, the
@@ -3917,6 +3963,50 @@ object SparkEntry {
     // streaming crawl order = doc_id mod 3; a doc drops iff it
     // shares a band bucket with ANY doc from an earlier crawl
     // (kept or dropped — all arriving band keys enter the state)
+    // the stream replayed at rest: per-crawl line df, CUMULATIVE df
+    // at each crawl (crawls <= current, own crawl included), scrub +
+    // in-order reassembly per doc
+    "stream_line_dedup" ->
+      """WITH injected AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS crawl,
+        |         concat_ws(chr(10),
+        |      CASE WHEN doc_id % 2 = 0
+        |           THEN 'cookie notice accept all cookies to continue' END,
+        |      text,
+        |      CASE WHEN doc_id % 100 = 1
+        |           THEN 'limited time promo act now' END,
+        |      CASE WHEN doc_id % 5 = 0
+        |           THEN 'subscribe to our newsletter for updates' END) AS text
+        |  FROM documents
+        |), ls AS (
+        |  SELECT doc_id, crawl, string_split(coalesce(text, ''), chr(10)) AS lns
+        |  FROM injected
+        |), ln AS (
+        |  SELECT doc_id, crawl, unnest(lns) AS line,
+        |         generate_subscripts(lns, 1) AS ord
+        |  FROM ls
+        |), dfc AS (
+        |  SELECT crawl, line, count(DISTINCT doc_id) AS dfk
+        |  FROM ln GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT a.crawl, a.line, sum(b.dfk) AS df_at
+        |  FROM dfc a JOIN dfc b ON b.line = a.line AND b.crawl <= a.crawl
+        |  GROUP BY 1, 2
+        |), boiler AS (SELECT crawl, line FROM cum WHERE df_at >= 3),
+        |kept AS (
+        |  SELECT l.doc_id, count(*) AS n_kept,
+        |         md5(string_agg(l.line, chr(10) ORDER BY l.ord)) AS clean_md5
+        |  FROM ln l LEFT JOIN boiler b
+        |    ON b.crawl = l.crawl AND b.line = l.line
+        |  WHERE b.line IS NULL GROUP BY 1
+        |), tot AS (
+        |  SELECT doc_id, crawl, count(*) AS n_lines FROM ln GROUP BY 1, 2
+        |)
+        |SELECT t.doc_id, t.crawl, t.n_lines, coalesce(k.n_kept, 0) AS n_kept,
+        |       coalesce(k.n_kept, 0) * 1000000 // t.n_lines AS kept_ratio_e6,
+        |       k.clean_md5
+        |FROM tot t LEFT JOIN kept k USING (doc_id)""".stripMargin,
+
     "stream_dedup_minhash" ->
       s"""$minhashCte, flags AS (
          |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS crawl FROM documents
@@ -5059,6 +5149,25 @@ object SparkEntry {
          |       length(substr(text, (i*256 + 1)::INT, 256)) AS frame_len,
          |       ${duckHash("substr(text, (i*256 + 1)::INT, 256)")} AS frame_h
          |FROM f""".stripMargin,
+
+    // the average-pool replayed on ascii codes (ASCII corpus —
+    // byte ≡ char): identical floor-division bucket bounds and means
+    "mm_resize" ->
+      """WITH codes AS (
+        |  SELECT doc_id,
+        |         list_transform(str_split_regex(coalesce(text, ''), ''),
+        |           c -> ascii(c)::BIGINT) AS cs
+        |  FROM documents
+        |)
+        |SELECT doc_id, len(cs)::BIGINT AS n_bytes,
+        |  array_to_string(list_transform(range(0, 16), i ->
+        |    CASE WHEN ((i+1) * len(cs)) // 16 <= (i * len(cs)) // 16 THEN 0
+        |         ELSE list_aggregate(
+        |                cs[(i * len(cs)) // 16 + 1 : ((i+1) * len(cs)) // 16],
+        |                'sum')
+        |              // (((i+1) * len(cs)) // 16 - (i * len(cs)) // 16)
+        |    END), ',') AS resized
+        |FROM codes""".stripMargin,
 
     // the aHash stub replayed: ascii codes (ASCII corpus — byte ≡
     // char), 16-byte block sums vs the global mean by integer

@@ -435,6 +435,103 @@ object Dedup {
     spark.read.parquet(outDir)
   }
 
+  /** STREAMING line-level dedup — [[lineDedup]]'s online twin for a
+    * crawl-by-crawl pipeline. The persisted state is the line
+    * df STATISTIC at (line, crawl, df-in-crawl) grain — never text
+    * beyond the lines themselves — and each batch scrubs against the
+    * df accumulated over every crawl up to AND INCLUDING itself, so
+    * the first crawl behaves exactly like batch [[lineDedup]] and a
+    * line crossing minDf in a later crawl starts scrubbing from that
+    * crawl on (earlier outputs are already shipped — the
+    * incremental contract, same as [[streamIncrementalKeep]]'s
+    * earlier-crawls-only drop rule).
+    *
+    * Idempotence discipline: df per (line, crawl) is a FIXED value,
+    * so state rows dedup by max() rather than multiset-distinct —
+    * a crash between a compaction's rename and delete leaves
+    * duplicate rows that the probe's and the fold's own
+    * max-aggregation erase, never double-count. Per batch: one state
+    * scan joined to the broadcast batch line set (the state never
+    * shuffles), one doc-keyed output aggregate, one append, and the
+    * amortized [[compactState]] fold with the max-fold plugged in.
+    *
+    * Output: one row per arriving doc — (doc_id, crawl, n_lines,
+    * n_kept, kept_ratio_e6, clean_md5). */
+  def streamLineDedup(spark: org.apache.spark.sql.SparkSession,
+                      srcDir: String, workDir: String,
+                      minDf: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("crawl", IntegerType)))
+    val stateDir = s"$workDir/state"
+    val outDir = s"$workDir/scrubbed"
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(workDir))
+    val maxFold: DataFrame => DataFrame =
+      _.groupBy(col("line"), col("crawl")).agg(max(col("dfk")).as("dfk"))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val lines = batch.select(col("doc_id"), col("crawl"),
+          posexplode(split(coalesce(col("text"), lit("")), "\n"))
+            .as(Seq("ord", "line")))
+          .localCheckpoint()
+        val batchDf = lines
+          .groupBy(col("line"), col("crawl"))
+          .agg(countDistinct(col("doc_id")).cast("long").as("dfk"))
+          .localCheckpoint()
+        val statePath = new org.apache.hadoop.fs.Path(stateDir)
+        val haveState = statePath
+          .getFileSystem(sp.sparkContext.hadoopConfiguration)
+          .exists(statePath)
+        val batchLines = batchDf.select(col("line")).distinct()
+        val prev =
+          if (!haveState)
+            batchLines.limit(0).withColumn("df_prev", lit(0L))
+          else
+            // state scan ⋈ broadcast(batch line set): the state never
+            // shuffles; max() collapses any crash-left duplicates
+            maxFold(sp.read.parquet(stateDir)
+                .join(broadcast(batchLines), Seq("line")))
+              .groupBy(col("line")).agg(sum(col("dfk")).as("df_prev"))
+        val boiler = batchDf
+          .groupBy(col("line")).agg(sum(col("dfk")).as("df_batch"))
+          .join(prev, Seq("line"), "left")
+          .filter(coalesce(col("df_prev"), lit(0L)) + col("df_batch")
+            >= minDf)
+          .select(col("line"), lit(1).as("is_boiler"))
+        lines.join(broadcast(boiler), Seq("line"), "left")
+          .groupBy(col("doc_id"), col("crawl"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("is_boiler").isNull, 1L).otherwise(0L))
+              .as("n_kept"),
+            md5(concat_ws("\n", expr(
+              "transform(array_sort(collect_list(" +
+                "CASE WHEN is_boiler IS NULL THEN struct(ord, line) END))," +
+                " x -> x.line)"))).as("md5_raw"))
+          .select(col("doc_id"), col("crawl"), col("n_lines"),
+            col("n_kept"),
+            expr("CAST(n_kept * 1000000 DIV n_lines AS BIGINT)")
+              .as("kept_ratio_e6"),
+            when(col("n_kept") > 0, col("md5_raw")).as("clean_md5"))
+          .write.mode("append").parquet(outDir)
+        batchDf.write.mode("append").parquet(stateDir)
+        compactState(sp, stateDir, maxFold)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** File-count threshold [[compactState]] folds at. Low enough
     * that a probe never lists/opens more than ~2× this many files;
     * high enough that a fold isn't paid every batch. */
@@ -467,7 +564,8 @@ object Dedup {
     * inside foreachBatch, so no reader races the swap (the next
     * batch's probe starts after this returns). */
   private[graft] def compactState(sp: org.apache.spark.sql.SparkSession,
-                                  stateDir: String): Unit = {
+                                  stateDir: String,
+                                  fold: DataFrame => DataFrame = _.distinct()): Unit = {
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
@@ -483,8 +581,7 @@ object Dedup {
     fs.delete(tmp, true)
     val targetParts = math.max(1L,
       toMerge.iterator.map(_.getLen).sum >> 27).toInt // / 128 MiB
-    sp.read.parquet(toMerge.map(_.getPath.toString).toIndexedSeq: _*)
-      .distinct()
+    fold(sp.read.parquet(toMerge.map(_.getPath.toString).toIndexedSeq: _*))
       .coalesce(targetParts)
       .write.mode("overwrite").parquet(tmp.toString)
     val parts = fs.listStatus(tmp)

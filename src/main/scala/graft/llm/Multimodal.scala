@@ -145,6 +145,40 @@ object Multimodal {
                  maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
     Dedup.hamming60Pairs(phash(media), "phash", maxHamming, maxBucket)
 
+  /** One resized row: fixed-bucket integer means over the payload. */
+  final case class ResizedRow(doc_id: Long, n_bytes: Long, resized: String)
+
+  /** STUB resize — the fixed-target downsample every image pipeline
+    * runs before the per-image model: average-pool the payload byte
+    * stream into `buckets` integer means (floor division — exact,
+    * engine-portable). A real implementation would decode pixels and
+    * bilinear-resample inside this same iterator pass; the pooling
+    * bounds arithmetic, partition batching, and fixed-width output
+    * schema are the real plumbing. Output flattens the vector to a
+    * ','-joined string (SURVEY §6: array columns are unsortable in
+    * the driver's comparator); in-engine consumers would keep the
+    * array. */
+  def resizePool(media: DataFrame, buckets: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val n = p.length
+        val means = (0 until buckets).map { i =>
+          val lo = (i.toLong * n / buckets).toInt
+          val hi = ((i + 1).toLong * n / buckets).toInt
+          if (hi <= lo) 0L
+          else {
+            var s = 0L
+            var j = lo
+            while (j < hi) { s += p(j) & 0xff; j += 1 }
+            s / (hi - lo)
+          }
+        }
+        ResizedRow(id, n.toLong, means.mkString(","))
+      }).toDF()
+  }
+
   /** Batched feature extraction over the binary column. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession

@@ -981,6 +981,21 @@ class LlmSpec extends SparkSpecBase {
     assert(self.length === 10 && self.forall(_.getLong(2) === 1000000L))
   }
 
+  test("resize pool: exact bucket means on crafted, ramp, empty payloads") {
+    import spark.implicits._
+    import graft.llm.Multimodal
+    val loudQuiet = Array.fill(16)(0xff.toByte) ++ Array.fill(16)(0x01.toByte)
+    val ramp = Array.tabulate(64)(_.toByte) // bucket i = {4i..4i+3} → mean 4i+1
+    val media = Seq((1L, loudQuiet), (2L, ramp), (3L, Array.emptyByteArray))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.resizePool(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got(1L) === ((32L,
+      (Seq.fill(8)(255L) ++ Seq.fill(8)(1L)).mkString(","))))
+    assert(got(2L) === ((64L, (0 until 16).map(i => 4 * i + 1).mkString(","))))
+    assert(got(3L) === ((0L, Seq.fill(16)(0L).mkString(","))))
+  }
+
   test("phash dedup: aHash stub bits, exact twin, brute-force parity") {
     import spark.implicits._
     import graft.llm.Multimodal

@@ -60,6 +60,104 @@ class StreamSpec extends SparkSpecBase {
       5L -> ((2, 0))))
   }
 
+  test("streaming line dedup: df accumulates across crawls, own batch counts") {
+    import spark.implicits._
+    val base = "/tmp/graft_test/stream_lines"
+    val src = s"$base/src"
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf); p.delete(); ()
+    }
+    rmrf(new java.io.File(base))
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val crawls = Seq(
+      // crawl 0: banner df 2 (< 3 → everyone keeps it); promo df 3
+      // WITHIN the batch → scrubbed immediately (own batch counts)
+      Seq((1L, "banner\nalpha"), (2L, "banner\nbeta"),
+        (6L, "promo\nu6"), (7L, "promo\nu7"), (8L, "promo\nu8")),
+      // crawl 1: banner's cumulative df reaches 3 → scrubbed from
+      // HERE ON; crawl 0's docs already shipped with it
+      Seq((3L, "banner\ngamma")),
+      // crawl 2: an all-boilerplate doc (null md5) and an untouched one
+      Seq((4L, "banner"), (5L, "delta")))
+    val t0 = System.currentTimeMillis()
+    crawls.zipWithIndex.foreach { case (docs, k) =>
+      val tmp = s"$base/tmp$k"
+      docs.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit(k).cast("int").as("crawl"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, s"crawl$k.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + k * 60000L)
+    }
+    val out = Dedup.streamLineDedup(spark, src, s"$base/dd")
+      .collect().map(r => (r.getLong(0),
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) null else r.getString(5)))).toMap
+    assert(out === Map(
+      1L -> ((0, 2L, 2L, 1000000L, m("banner\nalpha"))),
+      2L -> ((0, 2L, 2L, 1000000L, m("banner\nbeta"))),
+      6L -> ((0, 2L, 1L, 500000L, m("u6"))),
+      7L -> ((0, 2L, 1L, 500000L, m("u7"))),
+      8L -> ((0, 2L, 1L, 500000L, m("u8"))),
+      3L -> ((1, 2L, 1L, 500000L, m("gamma"))),
+      4L -> ((2, 1L, 0L, 0L, null)),
+      5L -> ((2, 1L, 1L, 1000000L, m("delta")))))
+  }
+
+  test("streaming line dedup over ONE crawl equals batch lineDedup") {
+    import spark.implicits._
+    val base = "/tmp/graft_test/stream_lines_eq"
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf); p.delete(); ()
+    }
+    rmrf(new java.io.File(base))
+    val docs = Tables.documents(spark, Sf).filter(col("doc_id") < 60)
+      .withColumn("text", concat_ws("\n",
+        when(col("doc_id") % 2 === 0, lit("shared banner line")),
+        col("text")))
+    docs.select(col("doc_id"), col("text"), lit(0).cast("int").as("crawl"))
+      .coalesce(1).write.parquet(s"$base/src")
+    val streamed = Dedup.streamLineDedup(spark, s"$base/src", s"$base/dd")
+      .drop("crawl")
+    val batch = Dedup.lineDedup(docs)
+    assert(streamed.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(streamed).count() === 0,
+      "one-crawl stream must equal the batch pass")
+  }
+
+  test("line-df state max-fold never double-counts crash-left duplicates") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test/stream_lines_crash/state"
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf); p.delete(); ()
+    }
+    rmrf(new java.io.File(dir).getParentFile)
+    val maxFold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      _.groupBy(col("line"), col("crawl")).agg(max(col("dfk")).as("dfk"))
+    // 9 appended files; the same (line, crawl, df) rows appear in
+    // SEVERAL of them — the exact shape a crash between a fold's
+    // rename and its source delete leaves behind
+    (0 until 9).foreach { i =>
+      Seq(("banner", i % 3, 5L), ("banner", (i + 1) % 3, 5L))
+        .toDF("line", "crawl", "dfk")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    Dedup.compactState(spark, dir, maxFold)
+    val folded = spark.read.parquet(dir)
+    // duplicates collapse by max, never sum: banner's total df over
+    // all crawls is exactly 3 × 5, not 18 × 5
+    val df = maxFold(folded).groupBy(col("line"))
+      .agg(sum(col("dfk")).as("df")).collect()
+    assert(df.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("banner", 15L)))
+    val files = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files < 9, "fold must reduce the file count")
+  }
+
   test("dedup state compaction bounds the file count and preserves keys") {
     import spark.implicits._
     val dir = "/tmp/graft_test/stream_compact/state"

@@ -168,6 +168,54 @@ object ScaleSmoke {
       }
     }
 
+    // Line-df state for the STREAMING line dedup: 64 simulated
+    // crawls each append the corpus's per-crawl line df (same lines,
+    // new crawl — the way every crawl re-observes the same
+    // boilerplate), folding with the max-idempotent compaction like
+    // streamLineDedup's per-batch call. Claims: the probe (state
+    // scan ⋈ broadcast batch lines → max per (line, crawl) → sum)
+    // stays near-flat as the state grows 64 crawls deep, and the
+    // file count stays bounded instead of O(batches).
+    if (sectionEnabled("streamlines")) {
+      import graft.llm.Dedup
+      val stateDir = "/tmp/graft_scale/streamlines"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles().foreach(rmrf)
+        p.delete(); ()
+      }
+      rmrf(new java.io.File(stateDir))
+      val lines0 = docs0.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(split(text, ' ')) - 1, 8)," +
+          " s -> concat_ws(' ', slice(split(text, ' '), s + 1, 8)))"))
+        .as("line")).localCheckpoint()
+      val crawlDf = lines0.groupBy(col("line"))
+        .agg(countDistinct(col("doc_id")).cast("long").as("dfk"))
+        .localCheckpoint()
+      val batchKeys = crawlDf.select("line").localCheckpoint()
+      def stateFileCount(): Int = {
+        val fl = new java.io.File(stateDir).listFiles()
+        if (fl == null) 0
+        else fl.count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+      }
+      var crawls = 0
+      for (m <- Seq(1, 4, 16, 64)) {
+        while (crawls < m) {
+          crawlDf.select(col("line"), lit(crawls.toLong).as("batch"),
+            col("dfk"))
+            .write.mode("append").parquet(stateDir)
+          Dedup.compactState(spark, stateDir, Dedup.lineDfFold)
+          crawls += 1
+        }
+        time(f"lineDfProbe crawls=${m}%-2d files=${stateFileCount()}%-2d") {
+          Dedup.lineDfFold(spark.read.parquet(stateDir)
+              .join(broadcast(batchKeys), Seq("line")))
+            .groupBy(col("line")).agg(sum(col("dfk")).as("df_prev"))
+            .count()
+        }
+      }
+    }
+
     // vocabulary-depth scaling: per-merge cost must stay FLAT as k
     // grows 8→64→256 (batched selection amortizes aggregate rounds;
     // the grouped encode + periodic checkpoints keep the merge-chain

@@ -201,6 +201,26 @@ object SparkEntry {
     }
   }
 
+  /** Plant one crawl file for a streaming fixture: write the frame
+    * as a single parquet part, move it to `src/crawl<k>.parquet`,
+    * and stamp the mtime that gives the file source its batch order
+    * — the move-and-stamp dance both stream_* fixtures share. */
+  private def plantCrawl(df: DataFrame, src: String, k: Int,
+                         mtime: Long): Unit = {
+    val tmp = src + s"_tmp$k"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(src, s"crawl$k.parquet")
+    dst.getParentFile.mkdirs()
+    java.nio.file.Files.move(part.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dst.setLastModified(mtime)
+    new java.io.File(tmp).listFiles().foreach(_.delete())
+    new java.io.File(tmp).delete()
+    ()
+  }
+
   /** Client-request blobs are fixture SCAFFOLDING — built pay-once
     * behind a fingerprinted ready marker (one length-prefixed file),
     * so repeat runs measure the production decode+append path, not
@@ -1355,20 +1375,10 @@ object SparkEntry {
       payOnce(s, src, s"${srcFingerprint(s, dir, "documents")}:crawls=3:v1") {
         val base = System.currentTimeMillis()
         (0 until 3).foreach { k =>
-          val tmp = src + s"_tmp$k"
-          Tables.documents(s, dir)
+          plantCrawl(Tables.documents(s, dir)
             .filter(pmod(col("doc_id"), lit(3)) === k)
-            .select(col("doc_id"), col("text"), lit(k).cast("int").as("crawl"))
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val dst = new java.io.File(src, s"crawl$k.parquet")
-          dst.getParentFile.mkdirs()
-          java.nio.file.Files.move(part.toPath, dst.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          dst.setLastModified(base + k * 60000L)
-          new java.io.File(tmp).listFiles().foreach(_.delete())
-          new java.io.File(tmp).delete()
+            .select(col("doc_id"), col("text"), lit(k).cast("int").as("crawl")),
+            src, k, base + k * 60000L)
         }
       }
       Dedup.streamIncrementalKeep(s, src, workDir("stream_docs_dd", dir))
@@ -1385,8 +1395,7 @@ object SparkEntry {
       payOnce(s, src, s"${srcFingerprint(s, dir, "documents")}:linecrawls=3:v1") {
         val base = System.currentTimeMillis()
         (0 until 3).foreach { k =>
-          val tmp = src + s"_tmp$k"
-          Tables.documents(s, dir)
+          plantCrawl(Tables.documents(s, dir)
             .filter(pmod(col("doc_id"), lit(3)) === k)
             .select(col("doc_id"),
               concat_ws("\n",
@@ -1397,17 +1406,8 @@ object SparkEntry {
                   lit("limited time promo act now")),
                 when(col("doc_id") % 5 === 0,
                   lit("subscribe to our newsletter for updates"))).as("text"),
-              lit(k).cast("int").as("crawl"))
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val dst = new java.io.File(src, s"crawl$k.parquet")
-          dst.getParentFile.mkdirs()
-          java.nio.file.Files.move(part.toPath, dst.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          dst.setLastModified(base + k * 60000L)
-          new java.io.File(tmp).listFiles().foreach(_.delete())
-          new java.io.File(tmp).delete()
+              lit(k).cast("int").as("crawl")),
+            src, k, base + k * 60000L)
         }
       }
       Dedup.streamLineDedup(s, src, workDir("stream_lines_dd", dir))
@@ -4550,11 +4550,13 @@ object SparkEntry {
         |ORDER BY n_occurrences DESC, gram ASC LIMIT 100""".stripMargin,
 
     // Zipf OLS replayed: identical rank-sorted folds for the four
-    // sums, identical slope/intercept arithmetic, 6-decimal snap
+    // sums, identical slope/intercept arithmetic, 6-decimal snap;
+    // NULL texts dropped (Spark's size-filter twin) and the k=1
+    // degenerate fit NULLs on the same exact-zero denominator test
     "text_zipf" ->
       """WITH w AS (
-        |  SELECT unnest(string_split(coalesce(text, ''), ' ')) AS gram
-        |  FROM documents
+        |  SELECT unnest(string_split(text, ' ')) AS gram
+        |  FROM documents WHERE text IS NOT NULL
         |), c AS (SELECT gram, count(*) AS n_occ FROM w GROUP BY 1),
         |top AS (
         |  SELECT gram, n_occ,
@@ -4578,10 +4580,13 @@ object SparkEntry {
         |  FROM xs
         |)
         |SELECT n_terms,
-        |  round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6)
-        |    AS zipf_slope,
-        |  round((sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)
-        |    * sx) / n_terms, 6) AS zipf_intercept
+        |  CASE WHEN n_terms * sxx - sx * sx = 0.0::DOUBLE THEN NULL
+        |       ELSE round((n_terms * sxy - sx * sy)
+        |                  / (n_terms * sxx - sx * sx), 6) END AS zipf_slope,
+        |  CASE WHEN n_terms * sxx - sx * sx = 0.0::DOUBLE THEN NULL
+        |       ELSE round((sy - (n_terms * sxy - sx * sy)
+        |                   / (n_terms * sxx - sx * sx) * sx)
+        |                  / n_terms, 6) END AS zipf_intercept
         |FROM s""".stripMargin,
 
     // integer-exact log-free TF-IDF: tf_e6 = c·1e6 // n_words,

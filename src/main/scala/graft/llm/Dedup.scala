@@ -446,14 +446,18 @@ object Dedup {
     * incremental contract, same as [[streamIncrementalKeep]]'s
     * earlier-crawls-only drop rule).
     *
-    * Idempotence discipline: df per (line, crawl) is a FIXED value,
-    * so state rows dedup by max() rather than multiset-distinct —
-    * a crash between a compaction's rename and delete leaves
-    * duplicate rows that the probe's and the fold's own
-    * max-aggregation erase, never double-count. Per batch: one state
-    * scan joined to the broadcast batch line set (the state never
+    * Idempotence discipline: the state grain is (line, BATCH id,
+    * df-in-batch) — df per batch is a FIXED value, so state rows
+    * dedup by max() rather than multiset-distinct: a crash between a
+    * compaction's rename and delete leaves duplicate rows, and a
+    * restarted micro-batch re-appends under the SAME batch id, and
+    * both collapse instead of double-counting. Keying by batch (not
+    * the crawl column) also keeps the df exact when one crawl
+    * arrives split across several source files/batches — each batch
+    * contributes its own disjoint doc set. Per batch: one state scan
+    * joined to the broadcast batch line set (the state never
     * shuffles), one doc-keyed output aggregate, one append, and the
-    * amortized [[compactState]] fold with the max-fold plugged in.
+    * amortized [[compactState]] fold with [[lineDfFold]] plugged in.
     *
     * Output: one row per arriving doc — (doc_id, crawl, n_lines,
     * n_kept, kept_ratio_e6, clean_md5). */
@@ -471,40 +475,41 @@ object Dedup {
       p.delete(); ()
     }
     rmrf(new java.io.File(workDir))
-    val maxFold: DataFrame => DataFrame =
-      _.groupBy(col("line"), col("crawl")).agg(max(col("dfk")).as("dfk"))
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
         val lines = batch.select(col("doc_id"), col("crawl"),
           posexplode(split(coalesce(col("text"), lit("")), "\n"))
             .as(Seq("ord", "line")))
           .localCheckpoint()
         val batchDf = lines
-          .groupBy(col("line"), col("crawl"))
+          .groupBy(col("line"))
           .agg(countDistinct(col("doc_id")).cast("long").as("dfk"))
+          .withColumn("batch", lit(batchId))
           .localCheckpoint()
         val statePath = new org.apache.hadoop.fs.Path(stateDir)
         val haveState = statePath
           .getFileSystem(sp.sparkContext.hadoopConfiguration)
           .exists(statePath)
-        val batchLines = batchDf.select(col("line")).distinct()
+        val batchLines = batchDf.select(col("line"))
         val prev =
           if (!haveState)
             batchLines.limit(0).withColumn("df_prev", lit(0L))
           else
             // state scan ⋈ broadcast(batch line set): the state never
-            // shuffles; max() collapses any crash-left duplicates
-            maxFold(sp.read.parquet(stateDir)
+            // shuffles; the max-grain fold collapses any crash-left
+            // or replay-left duplicates before the sum
+            lineDfFold(sp.read.parquet(stateDir)
+                // a replayed batch's own earlier append must not count
+                .filter(col("batch") =!= batchId)
                 .join(broadcast(batchLines), Seq("line")))
               .groupBy(col("line")).agg(sum(col("dfk")).as("df_prev"))
         val boiler = batchDf
-          .groupBy(col("line")).agg(sum(col("dfk")).as("df_batch"))
           .join(prev, Seq("line"), "left")
-          .filter(coalesce(col("df_prev"), lit(0L)) + col("df_batch")
+          .filter(coalesce(col("df_prev"), lit(0L)) + col("dfk")
             >= minDf)
           .select(col("line"), lit(1).as("is_boiler"))
         lines.join(broadcast(boiler), Seq("line"), "left")
@@ -523,7 +528,7 @@ object Dedup {
             when(col("n_kept") > 0, col("md5_raw")).as("clean_md5"))
           .write.mode("append").parquet(outDir)
         batchDf.write.mode("append").parquet(stateDir)
-        compactState(sp, stateDir, maxFold)
+        compactState(sp, stateDir, lineDfFold)
         ()
       }
       .start()
@@ -531,6 +536,15 @@ object Dedup {
     q.stop()
     spark.read.parquet(outDir)
   }
+
+  /** The line-df state's dedup fold: max at the (line, batch) grain.
+    * df per (line, batch) is a fixed value, so duplicates left by a
+    * compaction crash or a replayed micro-batch collapse instead of
+    * double-counting — the idempotence [[streamLineDedup]]'s
+    * exactness rests on. Shared with the specs and ScaleSmoke so
+    * they exercise the production fold, not a copy. */
+  private[graft] val lineDfFold: DataFrame => DataFrame =
+    _.groupBy(col("line"), col("batch")).agg(max(col("dfk")).as("dfk"))
 
   /** File-count threshold [[compactState]] folds at. Low enough
     * that a probe never lists/opens more than ~2× this many files;

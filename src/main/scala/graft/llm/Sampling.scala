@@ -268,17 +268,18 @@ object Sampling {
     * "more target-like than raw", the resampling key DSIR draws by.
     *
     * Scale shape: one token explode feeding (a) a per-(doc, bucket)
-    * map-side-combinable count and (b) two bucket-keyed global
-    * counts that are at most `buckets` rows each — the model is a
-    * ≤`buckets`-row broadcast table, so scoring 100 TB is the token
-    * scan plus one broadcast join; nothing pairwise, nothing
-    * driver-side. The per-doc sum folds over a sorted ≤`buckets`
-    * array so the double result is bit-deterministic regardless of
-    * partitioning (same discipline as the CORDIC/perplexity ops). */
+    * map-side-combinable count and (b) ONE bucket-keyed global count
+    * carrying the target leg as a conditional sum — at most
+    * `buckets` rows, from which the corpus totals also derive, so
+    * the model costs one corpus pass and the whole op two. Scoring
+    * is the token scan plus one broadcast join; nothing pairwise,
+    * nothing driver-side. The per-doc sum folds over a sorted
+    * ≤`buckets` array so the double result is bit-deterministic
+    * regardless of partitioning (same discipline as the
+    * CORDIC/perplexity ops). */
   def dsirWeights(documents: DataFrame,
                   targetSources: Seq[String] = Seq("src0", "src1"),
                   buckets: Int = 64): DataFrame = {
-    val tgtList = targetSources.map(s => s"'$s'").mkString(", ")
     val words = documents
       .select(col("doc_id"), col("source"),
         explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
@@ -286,16 +287,18 @@ object Sampling {
     val docCounts = words
       .groupBy(col("doc_id"), col("source"), col("b"))
       .agg(count(lit(1)).as("c"))
-    val rawCounts = words.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tgtCounts = words.filter(col("source").isin(targetSources: _*))
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val totals = words.agg(
-      count(lit(1)).as("nr"),
-      sum(when(expr(s"source IN ($tgtList)"), 1L).otherwise(0L)).as("nt"))
-    val model = rawCounts
-      .join(tgtCounts, Seq("b"), "left")
-      .na.fill(0L, Seq("ct"))
-      .crossJoin(broadcast(totals))
+    val bucketCounts = words
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("source").isin(targetSources: _*), 1L).otherwise(0L))
+          .as("ct"))
+    // nr/nt are exactly the column sums of the ≤buckets-row table —
+    // a global window over ≤64 rows, not another corpus pass (and
+    // not a second reference to bucketCounts, which would re-scan)
+    val all = Window.partitionBy()
+    val model = bucketCounts
+      .withColumn("nr", sum(col("cr")).over(all))
+      .withColumn("nt", sum(col("ct")).over(all))
       .select(col("b"), expr(
         s"ln((CAST(ct AS DOUBLE) + 1.0D) / (CAST(nt AS DOUBLE) + $buckets.0D))" +
           s" - ln((CAST(cr AS DOUBLE) + 1.0D) / (CAST(nr AS DOUBLE) + $buckets.0D))")

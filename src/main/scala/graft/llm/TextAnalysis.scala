@@ -406,6 +406,11 @@ object TextAnalysis {
       .withColumn("rk", row_number().over(
         Window.orderBy(col("n_occurrences").desc, col("gram").asc)))
     val slope = "(n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)"
+    // k = 1 makes the OLS denominator exactly 0.0 (ln 1 = 0 is the
+    // only x) — a single-word vocabulary has no fittable slope, so
+    // both stats go NULL rather than NaN (and match the oracle's
+    // CASE on the same exact-zero test)
+    val fit = "n_terms * sxx - sx * sx = CAST(0.0 AS DOUBLE)"
     ranked
       .agg(sort_array(collect_list(struct(col("rk"),
         expr("ln(CAST(rk AS DOUBLE))").as("x"),
@@ -417,8 +422,11 @@ object TextAnalysis {
         expr("aggregate(xs, CAST(0.0 AS DOUBLE), (a, t) -> a + t.x * t.y)").as("sxy"),
         expr("aggregate(xs, CAST(0.0 AS DOUBLE), (a, t) -> a + t.x * t.x)").as("sxx"))
       .select(col("n_terms"),
-        expr(s"round($slope, 6)").as("zipf_slope"),
-        expr(s"round((sy - ($slope) * sx) / n_terms, 6)").as("zipf_intercept"))
+        expr(s"CASE WHEN $fit THEN NULL ELSE round($slope, 6) END")
+          .as("zipf_slope"),
+        expr(s"CASE WHEN $fit THEN NULL" +
+          s" ELSE round((sy - ($slope) * sx) / n_terms, 6) END")
+          .as("zipf_intercept"))
   }
 
   /** PII patterns shared by the scrub and its oracle. Kept to syntax

@@ -1033,6 +1033,40 @@ class LlmSpec extends SparkSpecBase {
     assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) <= 6)
   }
 
+  test("line dedup fuzz: random corpora match a local reference") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(20260816L)
+    val pool = (0 until 12).map(i => s"line $i ${('a' + i % 5).toChar}")
+    (0 until 3).foreach { round =>
+      val docs = (0 until 40).map { id =>
+        val n = 1 + rnd.nextInt(5)
+        (id.toLong, Seq.fill(n)(pool(rnd.nextInt(pool.size))).mkString("\n"))
+      }
+      val minDf = 2 + rnd.nextInt(3)
+      val got = Dedup.lineDedup(docs.toDF("doc_id", "text"), minDf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) null else r.getString(4))).toSet
+      val lineRows = docs.flatMap { case (id, t) =>
+        t.split("\n", -1).map(l => (id, l))
+      }
+      val boiler = lineRows.groupBy(_._2).view
+        .mapValues(_.map(_._1).distinct.size).toMap
+        .filter(_._2 >= minDf).keySet
+      val expected = docs.map { case (id, t) =>
+        val ls = t.split("\n", -1)
+        val kept = ls.filterNot(boiler)
+        (id, ls.length.toLong, kept.length.toLong,
+          kept.length.toLong * 1000000L / ls.length,
+          if (kept.isEmpty) null else m(kept.mkString("\n")))
+      }.toSet
+      assert(got === expected, s"fuzz round $round (minDf=$minDf)")
+    }
+  }
+
   test("dsir weights: likelihood-ratio sign, hand-computed model, determinism") {
     import spark.implicits._
     import graft.llm.{Portable, Sampling}

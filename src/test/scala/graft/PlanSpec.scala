@@ -388,13 +388,17 @@ class PlanSpec extends SparkSpecBase {
     assert(scans <= 2, s"expected <= 2 corpus scans, got $scans:\n$p")
   }
 
-  test("dsir weights: the <=64-row model broadcasts into the scoring join") {
+  test("dsir weights: the <=64-row model broadcasts, exactly two corpus scans") {
     val df = graft.llm.Sampling.dsirWeights(Tables.documents(spark, Sf))
     val p = plan(df)
     // the per-(doc, bucket) count legitimately exchanges on its own
     // keys; the MODEL side must not — it rides broadcasts end to end
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"model not broadcast:\n$p")
+    // doc counts + bucket counts; the nr/nt totals are a window over
+    // the <=64-row model table, never a third corpus pass
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"expected <= 2 corpus scans, got $scans:\n$p")
   }
 
   test("no SparkEntry plan contains a cartesian product; ann joins broadcast") {

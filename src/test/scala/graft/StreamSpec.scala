@@ -9,6 +9,29 @@ import graft.sources.Tables
 /** Structured Streaming ingestion invariants, sf0.001. */
 class StreamSpec extends SparkSpecBase {
 
+  /** Plant crawl files with ascending mtimes — the move-and-stamp
+    * dance every crawl-stream fixture here shares. */
+  private def plantCrawls(src: String,
+                          crawls: Seq[Seq[(Long, String)]]): Unit = {
+    import spark.implicits._
+    val t0 = System.currentTimeMillis()
+    crawls.zipWithIndex.foreach { case (docs, k) =>
+      val tmp = s"${src}_tmp$k"
+      docs.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit(k).cast("int").as("crawl"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, s"crawl$k.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(t0 + k * 60000L)
+      new java.io.File(tmp).listFiles().foreach(_.delete())
+      new java.io.File(tmp).delete()
+    }
+  }
+
   test("stateful streaming dedup drops a full replay of the input") {
     val src = "/tmp/graft_test/stream_dedup_src"
     val events = Tables.eventsNorm(spark, Sf)
@@ -39,19 +62,7 @@ class StreamSpec extends SparkSpecBase {
       // crawl 2: another copy still drops, even though crawl 1's
       // copy was itself dropped (its keys entered the state anyway)
       Seq((5L, dup)))
-    val t0 = System.currentTimeMillis()
-    crawls.zipWithIndex.foreach { case (docs, k) =>
-      val tmp = s"$base/tmp$k"
-      docs.toDF("doc_id", "text")
-        .select(col("doc_id"), col("text"), lit(k).cast("int").as("crawl"))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(src, s"crawl$k.parquet")
-      dst.getParentFile.mkdirs()
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(t0 + k * 60000L)
-    }
+    plantCrawls(src, crawls)
     val out = Dedup.streamIncrementalKeep(spark, src, s"$base/dd")
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
     assert(out === Map(
@@ -80,19 +91,7 @@ class StreamSpec extends SparkSpecBase {
       Seq((3L, "banner\ngamma")),
       // crawl 2: an all-boilerplate doc (null md5) and an untouched one
       Seq((4L, "banner"), (5L, "delta")))
-    val t0 = System.currentTimeMillis()
-    crawls.zipWithIndex.foreach { case (docs, k) =>
-      val tmp = s"$base/tmp$k"
-      docs.toDF("doc_id", "text")
-        .select(col("doc_id"), col("text"), lit(k).cast("int").as("crawl"))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(src, s"crawl$k.parquet")
-      dst.getParentFile.mkdirs()
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(t0 + k * 60000L)
-    }
+    plantCrawls(src, crawls)
     val out = Dedup.streamLineDedup(spark, src, s"$base/dd")
       .collect().map(r => (r.getLong(0),
         (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
@@ -136,21 +135,20 @@ class StreamSpec extends SparkSpecBase {
       if (p.isDirectory) p.listFiles().foreach(rmrf); p.delete(); ()
     }
     rmrf(new java.io.File(dir).getParentFile)
-    val maxFold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-      _.groupBy(col("line"), col("crawl")).agg(max(col("dfk")).as("dfk"))
-    // 9 appended files; the same (line, crawl, df) rows appear in
+    // 9 appended files; the same (line, batch, df) rows appear in
     // SEVERAL of them — the exact shape a crash between a fold's
-    // rename and its source delete leaves behind
+    // rename and its source delete (or a replayed micro-batch)
+    // leaves behind. The fold under test is the PRODUCTION one.
     (0 until 9).foreach { i =>
-      Seq(("banner", i % 3, 5L), ("banner", (i + 1) % 3, 5L))
-        .toDF("line", "crawl", "dfk")
+      Seq(("banner", (i % 3).toLong, 5L), ("banner", ((i + 1) % 3).toLong, 5L))
+        .toDF("line", "batch", "dfk")
         .coalesce(1).write.mode("append").parquet(dir)
     }
-    Dedup.compactState(spark, dir, maxFold)
+    Dedup.compactState(spark, dir, Dedup.lineDfFold)
     val folded = spark.read.parquet(dir)
     // duplicates collapse by max, never sum: banner's total df over
-    // all crawls is exactly 3 × 5, not 18 × 5
-    val df = maxFold(folded).groupBy(col("line"))
+    // all batches is exactly 3 × 5, not 18 × 5
+    val df = Dedup.lineDfFold(folded).groupBy(col("line"))
       .agg(sum(col("dfk")).as("df")).collect()
     assert(df.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("banner", 15L)))
     val files = new java.io.File(dir).listFiles()

@@ -5383,7 +5383,8 @@ object SparkEntry {
 
     // staleness markers: one per click series at (last sample in the
     // window's first week) + 1s; the latest EVENT per (series, step)
-    // wins — marker beats a same-second sample — and a winning
+    // wins — a SAMPLE beats a same-second marker (the /read
+    // pass-through tie rule, kept consistent) — and a winning
     // marker drops the step
     "promql_stale" ->
       s"""$dedupCte, sel AS (
@@ -5411,7 +5412,7 @@ object SparkEntry {
          |), rk AS (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY metric, labels, t
-         |    ORDER BY t_sec DESC, dead DESC) AS rn
+         |    ORDER BY t_sec DESC, dead ASC) AS rn
          |  FROM j
          |)
          |SELECT metric, array_to_string(labels, ',') AS labels_str, t,

@@ -225,46 +225,64 @@ object PromRemoteCodec {
     PromSample(value, ts)
   }
 
+  /** A series' canonical store key: metric name + sorted "k=v"
+    * labels (write.go's normalization) — the split every row stream
+    * here shares. */
+  private def seriesKey(ts: PromTimeSeries): (String, Seq[String]) = {
+    var metric = ""
+    val labels = Seq.newBuilder[String]
+    ts.labels.foreach { l =>
+      if (l.name == "__name__") metric = l.value
+      else labels += s"${l.name}=${l.value}"
+    }
+    (metric, labels.result().sorted)
+  }
+
+  /** Created-timestamp zero rows (PRW 2.0): one synthetic 0 sample
+    * AT the series' creation time when it precedes the batch's
+    * earliest REAL sample — rate over a young counter then sees its
+    * true start (Prometheus's created-timestamp-zero-ingestion
+    * flag). Stale markers are excluded from the "earliest" test: a
+    * death-notice-only batch must never re-zero the series. The
+    * CALLER owns once-per-series suppression — a steady 2.0 sender
+    * repeats the CT on every request, and Prometheus's TSDB dedups
+    * the repeat appends; RemoteWrite's process-lifetime memo plays
+    * that role here. */
+  def toCtZeroRows(req: PromWriteRequest): Iterator[IngestedSample] =
+    req.timeseries.iterator.flatMap { ts =>
+      val real = ts.samples.filterNot(s => isStaleMarker(s.value))
+      if (ts.createdTimestampMs > 0L && real.nonEmpty &&
+          real.iterator.map(_.timestampMs).min > ts.createdTimestampMs) {
+        val (metric, sorted) = seriesKey(ts)
+        Iterator.single(IngestedSample(
+          ts.createdTimestampMs * 1000L, metric, sorted, 0.0))
+      } else Iterator.empty
+    }
+
   /** WriteRequest → flat samples with reference label normalization
     * (write.go: __name__ → metric_name, others appended "k=v"; label
     * names arrive sorted per the remote-write spec — we sort anyway
-    * to be canonical). */
+    * to be canonical). ctZero folds in [[toCtZeroRows]] for callers
+    * without their own dedup memo (specs, one-shot replays). */
   def toSamples(req: PromWriteRequest,
                 ctZero: Boolean = false): Iterator[IngestedSample] =
-    req.timeseries.iterator.flatMap { ts =>
-      var metric = ""
-      val labels = Seq.newBuilder[String]
-      ts.labels.foreach { l =>
-        if (l.name == "__name__") metric = l.value
-        else labels += s"${l.name}=${l.value}"
-      }
-      val sorted = labels.result().sorted
-      // created-timestamp zero ingestion (flagged): a PRW 2.0 series
-      // carrying its counter's creation time gets a synthetic 0
-      // sample AT that time when it precedes the batch's earliest
-      // sample — rate over a young counter then sees its true start
-      // (Prometheus's created-timestamp-zero-ingestion feature flag)
-      val ctRow =
-        if (ctZero && ts.createdTimestampMs > 0L && ts.samples.nonEmpty &&
-            ts.samples.iterator.map(_.timestampMs).min > ts.createdTimestampMs)
-          Iterator.single(IngestedSample(
-            ts.createdTimestampMs * 1000L, metric, sorted, 0.0))
-        else Iterator.empty
-      // stale markers route to the `_stale` sibling (toStaleRows):
-      // stored in the main table they'd be indistinguishable from
-      // ordinary NaN samples after Spark's NaN canonicalization, and
-      // range windows must never see them (Prometheus's matrix
-      // selection drops StaleNaN samples)
-      ctRow ++
+    (if (ctZero) toCtZeroRows(req) else Iterator.empty) ++
+      req.timeseries.iterator.flatMap { ts =>
+        val (metric, sorted) = seriesKey(ts)
+        // stale markers route to the `_stale` sibling (toStaleRows):
+        // stored in the main table they'd be indistinguishable from
+        // ordinary NaN samples after Spark's NaN canonicalization, and
+        // range windows must never see them (Prometheus's matrix
+        // selection drops StaleNaN samples)
         ts.samples.iterator.filterNot(s => isStaleMarker(s.value)).map(s =>
           IngestedSample(s.timestampMs * 1000L, metric, sorted, s.value)) ++
-        // native histograms land as classic _bucket/_sum/_count rows
-        // (decode already filtered to standard schemas, so the
-        // conversion is total here)
-        ts.histograms.iterator.flatMap(h =>
-          NativeHistogram.toClassicSamples(metric, sorted, h)
-            .getOrElse(Seq.empty))
-    }
+          // native histograms land as classic _bucket/_sum/_count rows
+          // (decode already filtered to standard schemas, so the
+          // conversion is total here)
+          ts.histograms.iterator.flatMap(h =>
+            NativeHistogram.toClassicSamples(metric, sorted, h)
+              .getOrElse(Seq.empty))
+      }
 
   /** Staleness markers → rows for the sibling stale store
     * (`<store>_stale`): the usual (ts_us, metric, sorted "k=v"
@@ -277,13 +295,7 @@ object PromRemoteCodec {
     req.timeseries.iterator
       .filter(_.samples.exists(s => isStaleMarker(s.value)))
       .flatMap { ts =>
-        var metric = ""
-        val labels = Seq.newBuilder[String]
-        ts.labels.foreach { l =>
-          if (l.name == "__name__") metric = l.value
-          else labels += s"${l.name}=${l.value}"
-        }
-        val sorted = labels.result().sorted
+        val (metric, sorted) = seriesKey(ts)
         ts.samples.iterator.filter(s => isStaleMarker(s.value)).map(s =>
           IngestedSample(s.timestampMs * 1000L, metric, sorted, 1.0))
       }

@@ -2883,7 +2883,7 @@ object PromQL {
             .withColumn("t", expr(s"$s + k * $stepSec"))
             .groupBy(col("metric"), col("labels"), col("t"))
             .agg(expr("max_by(named_struct('hb', hb, 'dead', dead), " +
-              "named_struct('t_sec', t_sec, 'dead', dead))").as("w"))
+              "named_struct('t_sec', t_sec, 'alive', 1 - dead))").as("w"))
             .filter(col("w.dead") === 0)
             .select(col("metric"), col("labels"),
               (col("t") + off).as("t"), col("w.hb").as("hb"))
@@ -2933,9 +2933,12 @@ object PromQL {
             .agg(sort_array(collect_list(col("hb"))).as("hbs"))
             .as[(Seq[String], Long, Seq[Array[Byte]])]
             .mapPartitions(_.map { case (ls, t, bs) =>
+              // addOrSkip: a custom-bounds layout conflict inside the
+              // group drops the conflicting point (Prometheus's add
+              // error → warn + skip), never fails the task
               val sum = bs.iterator
                 .map(b => NH.toSparse(NH.decode(ProtoWire.reader(b))))
-                .reduceLeft(NH.add)
+                .reduceLeft(NH.addOrSkip)
               (ls, t, NH.encode(NH.fromSparse(t * 1000L, sum)))
             })
             .toDF("labels", "t", "hb")
@@ -3730,13 +3733,14 @@ object PromQL {
         ranked.agg(max_by(col("value"), col("t_sec")).as("v"),
           max(col("t_sec")).as("ts"))
       else
-        // winner by (t_sec, dead): the latest event, marker beating a
-        // same-second sample; a winning marker drops the step. ts is
-        // still max(t_sec) — when a sample wins it IS the max (any
-        // later marker would have won instead).
+        // winner by (t_sec, alive): the latest event; a SAMPLE beats a
+        // same-second marker — a real value at that second proves the
+        // series alive, and the /read pass-through keeps the sample
+        // on the same tie, so the two surfaces agree. A winning
+        // marker drops the step. ts is still max(t_sec).
         ranked.agg(
             expr("max_by(named_struct('v', value, 'dead', dead), " +
-              "named_struct('t_sec', t_sec, 'dead', dead))").as("w"),
+              "named_struct('t_sec', t_sec, 'alive', 1 - dead))").as("w"),
             max(col("t_sec")).as("ts"))
           .filter(col("w.dead") === 0)
           .select(col("metric"), col("labels"), col("t"),

@@ -181,7 +181,7 @@ object RemoteRead {
           val floats = staleStore match {
             case None => floats0
             case Some(ss) =>
-              mergeStaleSamples(floats0, runStaleQuery(ss, q, ignoreLabel))
+              mergeStaleSamples(floats0, runStaleQuery(ss, q, ignoreLabel, maxSamples))
           }
           histStore match {
             case None => floats
@@ -299,7 +299,7 @@ object RemoteRead {
         val floats = staleStore match {
           case None => floats0
           case Some(ss) =>
-            mergeStaleSamples(floats0, runStaleQuery(ss, q, ignoreLabel))
+            mergeStaleSamples(floats0, runStaleQuery(ss, q, ignoreLabel, maxSamples))
         }
         val floatSeries = floats.map { ts =>
           val t = ts.samples.map(_.timestampMs).toArray
@@ -371,13 +371,26 @@ object RemoteRead {
     }
   }
 
+  /** Split a stored "k=v" label list into prompb labels with the
+    * metric name first — the shape every response leg emits. */
+  private def promLabelsOf(metric: String,
+                           labels: Seq[String]): Seq[PromLabel] =
+    PromLabel("__name__", metric) +: labels.map { l =>
+      val c = l.indexOf('=')
+      PromLabel(l.take(c), l.drop(c + 1))
+    }
+
   /** One query against the stale-marker sibling: the remote-read
     * matcher surface (Matchers.compile) + pushed time bounds, per-
     * second-distinct marker stamps per series — tiny by nature (one
-    * row per series death), so the collect is a few rows. */
+    * row per series death) but NOT unbounded: a flapping fleet
+    * accumulates one marker per series death, so the driver stream
+    * rides the same maxSamples guard as the float and histogram
+    * legs. */
   private def runStaleQuery(staleStore: DataFrame,
                             q: graft.operators.ReadQuery,
-                            ignoreLabel: Option[String])
+                            ignoreLabel: Option[String],
+                            maxSamples: Long)
       : Seq[(Seq[PromLabel], Seq[Long])] = {
     val bounded = graft.operators.SeriesRead.timeBound(
       staleStore, q.startMs, q.endMs)
@@ -385,15 +398,21 @@ object RemoteRead {
       .select(col("metric"), col("labels"),
         org.apache.spark.sql.functions.expr("ts_us DIV 1000000").as("t_sec"))
       .distinct()
-    bounded.collect().toSeq
-      .map(r => ((r.getString(0), r.getSeq[String](1).toSeq), r.getLong(2)))
+    val it = bounded.toLocalIterator().asScala
+    val buf = Vector.newBuilder[((String, Seq[String]), Long)]
+    var points = 0L
+    while (it.hasNext) {
+      val r = it.next()
+      points += 1
+      if (points > maxSamples)
+        throw new ResponseTooLargeException(
+          s"query matches more than $maxSamples stale markers, exceeds response limit")
+      buf += (((r.getString(0), r.getSeq[String](1).toSeq), r.getLong(2)))
+    }
+    buf.result()
       .groupBy(_._1).toSeq
       .map { case ((metric, labels), ts) =>
-        val promLabels = PromLabel("__name__", metric) +: labels.map { l =>
-          val c = l.indexOf('=')
-          PromLabel(l.take(c), l.drop(c + 1))
-        }
-        (promLabels, ts.map(_._2).sorted)
+        (promLabelsOf(metric, labels), ts.map(_._2).sorted)
       }
   }
 
@@ -408,7 +427,7 @@ object RemoteRead {
                                 marks: Seq[(Seq[PromLabel], Seq[Long])])
       : Seq[PromTimeSeries] = {
     if (marks.isEmpty) return floats
-    val staleV = java.lang.Double.longBitsToDouble(PromRemoteCodec.StaleNaNBits)
+    val staleV = PromRemoteCodec.staleNaN
     val byKey = scala.collection.mutable.LinkedHashMap
       .empty[Seq[PromLabel], PromTimeSeries]
     floats.foreach(ts => byKey.update(ts.labels, ts))
@@ -471,11 +490,7 @@ object RemoteRead {
     bySeries.toSeq
       .sortBy { case ((metric, labels), _) => (metric, labels) }(SeriesKeyOrdering)
       .map { case ((metric, labels), samples0) =>
-        val promLabels = PromRemoteCodec.PromLabel("__name__", metric) +:
-          labels.map { l =>
-            val c = l.indexOf('=')
-            PromRemoteCodec.PromLabel(l.take(c), l.drop(c + 1))
-          }
+        val promLabels = promLabelsOf(metric, labels)
         (promLabels, samples0.values.toSeq.map { case (_, b) =>
           graft.ingest.NativeHistogram.decode(graft.ingest.ProtoWire.reader(b))
         })

@@ -104,6 +104,31 @@ object RemoteWrite {
     * flag). OFF by default, like upstream. */
   @volatile var ctZeroIngestion: Boolean = false
 
+  /** Once-per-series CT-zero suppression (process lifetime): a
+    * steady PRW 2.0 sender repeats created_timestamp on every
+    * request, and re-appending the synthetic zero each time would
+    * pile identical rows onto a COLD day partition forever (append +
+    * compaction churn on the CT's day). Prometheus's TSDB dedups the
+    * repeat appends; this memo plays that role — bounded (cleared
+    * past 1M keys), and a restart costs at most one duplicate row
+    * per live series, which the read model's per-second dedup
+    * collapses. */
+  private val ctSeen = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[(String, String, Seq[String], Long)]()
+
+  /** The flagged CT-zero rows this request introduces for the FIRST
+    * time in this process (per store). */
+  private def freshCtZeroRows(storePath: String,
+                              req: PromRemoteCodec.PromWriteRequest)
+      : Seq[PromRemoteCodec.IngestedSample] =
+    if (!ctZeroIngestion) Nil
+    else {
+      if (ctSeen.size > 1000000) ctSeen.clear()
+      PromRemoteCodec.toCtZeroRows(req)
+        .filter(r => ctSeen.add((storePath, r.metric, r.labels, r.ts_us)))
+        .toSeq
+    }
+
   /** The rollup twin of a store path (kept next to the store so the
     * pair moves together). */
   def rollupPathFor(storePath: String): String = storePath + "_rollup"
@@ -489,7 +514,8 @@ object RemoteWrite {
       m.droppedHistograms.add(req.skippedHistograms)
     if (req.histogramCount > 0)
       m.convertedHistograms.add(req.histogramCount)
-    val rows = PromRemoteCodec.toSamples(req, ctZeroIngestion).toSeq
+    val rows = (freshCtZeroRows(storePath, req).iterator ++
+      PromRemoteCodec.toSamples(req)).toSeq
     val exRows = PromRemoteCodec.toExemplarRows(req).toSeq
     val mdRows = PromRemoteCodec.toMetadataRows(req).toSeq
     val histRows = PromRemoteCodec.toHistRows(req).toSeq
@@ -579,7 +605,7 @@ object RemoteWrite {
         m.droppedHistograms.add(req.skippedHistograms)
       if (req.histogramCount > 0)
         m.convertedHistograms.add(req.histogramCount)
-      (PromRemoteCodec.toSamples(req, ctZeroIngestion).toSeq,
+      ((freshCtZeroRows(storePath, req) ++ PromRemoteCodec.toSamples(req)).toSeq,
         PromRemoteCodec.toExemplarRows(req).toSeq,
         PromRemoteCodec.toMetadataRows(req).toSeq,
         PromRemoteCodec.toHistRows(req).toSeq,

@@ -305,14 +305,24 @@ class PromQLSpec extends SparkSpecBase {
     assert(withM === without)
   }
 
-  test("a marker at the same second as a sample breaks to the marker, deterministically") {
+  test("a marker at the same second as a sample breaks to the SAMPLE — the /read tie rule") {
     import spark.implicits._
+    // tinySamples has a real sample for host=a at T0+95; a marker at
+    // the same second must NOT end the series (a real value at that
+    // second proves it alive, and the /read pass-through keeps the
+    // sample on the same tie — one rule on both surfaces). A marker
+    // one second LATER does end it.
     val tie = Seq(((T0 + 95) * 1000000L, "m", Seq("host=a", "user=1"), 1.0))
       .toDF("ts_us", "metric", "labels", "value")
     val out = rows(PromQL.eval(tinySamples, parse("m").toOption.get,
       T0 + 120, T0 + 120, 1L, stale = Some(tie)))
-    assert(!out.exists(_._2 == "host=a,user=1"))
+    assert(out.exists(_._2 == "host=a,user=1"))
     assert(out.contains(("m", "host=b,user=2", T0 + 120, 10250000L)))
+    val later = Seq(((T0 + 96) * 1000000L, "m", Seq("host=a", "user=1"), 1.0))
+      .toDF("ts_us", "metric", "labels", "value")
+    val out2 = rows(PromQL.eval(tinySamples, parse("m").toOption.get,
+      T0 + 120, T0 + 120, 1L, stale = Some(later)))
+    assert(!out2.exists(_._2 == "host=a,user=1"))
   }
 
   test("rate is the observed-span Δv/Δt, half-up in micro-units; resets drop the window") {

@@ -681,6 +681,16 @@ class ServeSpec extends SparkSpecBase {
     assert(got === Seq((ct / 1000, 0.0), (ct / 1000 + 100, 5.0),
       (ct / 1000 + 160, 7.0)))
 
+    // a steady 2.0 sender repeats the CT on every request: the serve
+    // path injects the zero ONCE (process-lifetime memo — the TSDB
+    // dedup analogue), not once per request
+    RemoteWrite.ctZeroIngestion = true
+    try RemoteWrite.serve(spark, store2, blob, v2)
+    finally RemoteWrite.ctZeroIngestion = false
+    val again = graft.ingest.SamplesStore.read(spark, store2)
+      .filter(col("value") === 0.0).count()
+    assert(again === 1L, "repeat CT write must not re-inject the zero")
+
     // a CT at/after the earliest sample injects nothing (the counter
     // predates the batch; upstream only zero-fills younger counters)
     val old = ts.copy(createdTimestampMs = ct + 100000L)
@@ -694,6 +704,24 @@ class ServeSpec extends SparkSpecBase {
       assert(fc === 200)
       assert(fbody.contains(""""write.ct-zero-ingestion":"false""""))
     } finally srv.stop()
+  }
+
+  test("histogram add degrades on a custom-bounds conflict instead of failing") {
+    import graft.ingest.NativeHistogram
+    import graft.ingest.NativeHistogram.{CustomBucketsSchema, Sparse}
+    val a = Sparse(CustomBucketsSchema, 0.0, 0.0, 3.0, 6.0,
+      Map(1 -> 3.0), Map.empty, Seq(1.0, 2.0))
+    val b = a.copy(customValues = Seq(1.0, 5.0))
+    // addOrSkip — the distributed sum leg's fold — drops the
+    // conflicting operand (Prometheus's add error → warn + skip)
+    assert(NativeHistogram.addOrSkip(a, b) === a)
+    // an NHCB next to an exponential layout skips the same way
+    val e = Sparse(3, 1e-128, 0.0, 2.0, 4.0, Map(1 -> 2.0), Map.empty)
+    assert(NativeHistogram.addOrSkip(a, e) === a)
+    // compatible layouts still add
+    assert(NativeHistogram.addOrSkip(a, a).count === 6.0)
+    // the strict in-series contract keeps throwing for direct add()
+    intercept[IllegalArgumentException](NativeHistogram.add(a, b))
   }
 
   test("custom-bounds histograms (NHCB, schema 127) carry end to end") {
@@ -969,6 +997,31 @@ class ServeSpec extends SparkSpecBase {
     assert(m.readErrors.value === before + 1)
     // the same query under the default limit still serves
     assert(PromRemoteCodec.decodeReadResponse(RemoteRead.serve(samples, blob)).nonEmpty)
+  }
+
+  test("the stale-marker leg rides the same maxSamples guard as floats") {
+    import spark.implicits._
+    // one float sample (under the limit) + three marker seconds for
+    // the SAME matcher (over it): the stale query must throw rather
+    // than collect unbounded marker rows — a flapping fleet makes
+    // them numerous
+    val store = tmpStore("stalelimit")
+    val base = 1704412800L
+    graft.ingest.SamplesStore.append(
+      Seq((base * 1000000L, "flap", Seq("k=v"), 1.0))
+        .toDF("ts_us", "metric", "labels", "value"), store)
+    graft.ingest.SamplesStore.append(
+      (1 to 3).map(i => ((base + i * 60) * 1000000L, "flap", Seq("k=v"), 1.0))
+        .toDF("ts_us", "metric", "labels", "value"),
+      RemoteWrite.stalePath(store))
+    val blob = PromRemoteCodec.encodeReadRequest(Seq(
+      ReadQuery(0L, (base + 86400) * 1000L,
+        Seq(Matchers.eq("__name__", "flap")))))
+    intercept[RemoteRead.ResponseTooLargeException](
+      RemoteRead.serve(graft.ingest.SamplesStore.read(spark, store), blob,
+        maxSamples = 2L,
+        staleStore = Some(graft.ingest.SamplesStore.read(
+          spark, RemoteWrite.stalePath(store)))))
   }
 
   // ---- HTTP front door --------------------------------------------

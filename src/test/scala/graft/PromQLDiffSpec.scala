@@ -134,8 +134,9 @@ class PromQLDiffSpec extends SparkSpecBase {
 
   /** One marker per `m` series just after its median sample (the
     * series "dies" mid-window and revives at its next sample), plus
-    * ONE marker exactly ON a sample second for the tie pin (marker
-    * wins ties — the documented deterministic break). */
+    * ONE marker exactly ON a sample second for the tie pin (the
+    * SAMPLE wins ties — the /read pass-through rule, one rule on
+    * both surfaces). */
   private val staleMarkers: List[S] = world.filter(_.metric == "m")
     .groupBy(s => (s.metric, s.labels)).toList
     .sortBy(_._1.toString)
@@ -144,7 +145,11 @@ class PromQLDiffSpec extends SparkSpecBase {
       val mid = ts(ts.size / 2)
       S(m, ls, mid + 1, 1.0) ::
         (if (ls.contains("host=a") && ls.contains("user=1"))
-          List(S(m, ls, ts.last, 1.0))
+          // the tie pin must land INSIDE the eval window (ts.last is
+          // past End and would never be exercised): the last sample
+          // second <= End collides with a marker, and the sample
+          // must win at every step it is the latest event for
+          List(S(m, ls, ts.filter(_ <= T0 + 240).last, 1.0))
         else Nil)
     }
 
@@ -593,11 +598,11 @@ class PromQLDiffSpec extends SparkSpecBase {
       ((metric, ls), pts) <- byS
       last <- pts.filter(p => p._1 > t - Lookback && p._1 <= t)
         .sortBy(_._1).lastOption
-      // the series' latest EVENT decides: a marker at or after the
-      // last sample's second ends the series at this step (ties
-      // break to the marker)
+      // the series' latest EVENT decides: a marker strictly AFTER
+      // the last sample's second ends the series at this step (a
+      // same-second tie breaks to the SAMPLE — the /read rule)
       if !mk.getOrElse((metric, ls), Nil)
-        .exists(x => x > t - Lookback && x <= t && x >= last._1)
+        .exists(x => x > t - Lookback && x <= t && x > last._1)
     } yield (metric, ls.mkString(","), t, e6(last._2))).toSet
   }
 

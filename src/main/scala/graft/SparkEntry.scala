@@ -361,6 +361,28 @@ object SparkEntry {
     src
   }
 
+  /** Deterministic messy-URL synthesis for the dedup_url rows: one
+    * URL per document carrying every alias class the canonicalizer
+    * scrubs (scheme/host case, default :443 port, trailing slash,
+    * tracking params, param order, fragment). Canonical identity
+    * collapses to (doc_id % 50, doc_id % 20) ⇒ doc_id % 100 — 5
+    * copies per canonical URL at sf0.01. Mirrored verbatim by the
+    * oracle's synth CTE. */
+  private def synthUrls(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), concat(
+      when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.EXAMPLE"))
+        .otherwise(lit("https://www.example")),
+      (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 2 === 0, lit(".COM")).otherwise(lit(".com")),
+      when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+      lit("/Articles/"), (col("doc_id") % 20).cast("string"),
+      when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0, lit("?b=2&utm_source=feed&a=1"))
+        .otherwise(lit("?a=1&b=2")),
+      when(col("doc_id") % 5 === 0, lit("&fbclid=xyz")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit("")))
+      .as("url"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.1 ingestion / data model -------------------------------
     "ingest_remote_write" -> ((s, dir) =>
@@ -1323,6 +1345,16 @@ object SparkEntry {
 
     // ---- §2.4 dedup ------------------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+
+    // URL canonicalization + exact URL dedup (the step a crawl
+    // pipeline runs BEFORE content dedup): the corpus has no url
+    // column, so the wrapper plants every alias class the
+    // canonicalizer exists for — case, default port, trailing slash,
+    // tracking params, param order, fragments — with collisions at
+    // the (doc_id % 100) grain.
+    "dedup_url" -> ((s, dir) => Dedup.urlDedup(synthUrls(s, dir))),
+
+    "dedup_url_hosts" -> ((s, dir) => Dedup.urlHostStats(synthUrls(s, dir))),
 
     // RefinedWeb/CCNet line-level boilerplate removal: the corpus has
     // no natural newlines, so the wrapper plants the crawl shape the
@@ -2703,6 +2735,53 @@ object SparkEntry {
   private def duckHash(s: String): String =
     s"(('0x' || substr(md5($s), 1, 15))::BIGINT % $H)"
 
+  /** The dedup_url synthesis + RFC-3986 canonicalization, replayed
+    * in DuckDB SQL — the regexes, the tracking-param scrub list, and
+    * the byte-wise param sort are identical to Dedup.canonicalUrl. */
+  private val urlCanonCte =
+    """WITH synth AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.EXAMPLE'
+      |         ELSE 'https://www.example' END ||
+      |    CAST(doc_id % 50 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 2 = 0 THEN '.COM' ELSE '.com' END ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+      |    '/Articles/' || CAST(doc_id % 20 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+      |    CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=feed&a=1'
+      |         ELSE '?a=1&b=2' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN '&fbclid=xyz' ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END AS url
+      |  FROM documents
+      |), parts AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      |  FROM synth
+      |), auths AS (
+      |  SELECT doc_id, scheme,
+      |    lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS auth,
+      |    regexp_replace(rest, '^[^/?#]*', '') AS pathq
+      |  FROM parts
+      |), pieces AS (
+      |  SELECT doc_id, scheme,
+      |    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+      |         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+      |         ELSE auth END AS host,
+      |    regexp_replace(regexp_extract(pathq, '^([^?#]*)', 1), '/+$', '') AS path,
+      |    regexp_extract(pathq, '\?([^#]*)', 1) AS query
+      |  FROM auths
+      |), canon AS (
+      |  SELECT doc_id, host, scheme || '://' || host || path ||
+      |    CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical_url
+      |  FROM (
+      |    SELECT *, array_to_string(list_sort(list_filter(
+      |      string_split(query, '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p,
+      |        '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)(=|$)'))), '&') AS kept
+      |    FROM pieces)
+      |)""".stripMargin
+
   /** docs → 3-gram shingle hashes → 128-perm MinHash sigs → 16 band
     * keys (8 rows/band; band_sig is the coefficient-weighted fold the
     * Spark side computes with aggregate()). */
@@ -3886,6 +3965,20 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         |       max(length(text)) AS n_chars
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_url" ->
+      s"""$urlCanonCte
+         |SELECT canonical_url, min(doc_id) AS keep_id,
+         |       count(*) AS n_copies
+         |FROM canon GROUP BY 1""".stripMargin,
+
+    "dedup_url_hosts" ->
+      s"""$urlCanonCte
+         |SELECT host, count(*) AS n_fetches,
+         |       count(DISTINCT canonical_url) AS n_pages,
+         |       (count(*) - count(DISTINCT canonical_url)) * 1000000
+         |         // count(*) AS dup_ratio_e6
+         |FROM canon GROUP BY 1""".stripMargin,
 
     // the identical boilerplate injection, then line-df scrub +
     // in-order reassembly

@@ -573,19 +573,24 @@ object NativeHistogram {
       a.customValues)
   }
 
-  /** [[add]] that degrades instead of failing the task: an operand
-    * whose custom-bounds layout disagrees with the accumulator (NHCB
-    * vs NHCB with different bounds, or NHCB vs exponential) is
-    * SKIPPED — the engine-side analogue of Prometheus's
-    * FloatHistogram add error becoming a warn annotation + dropped
-    * point. One target redeployed with changed classic bounds must
-    * degrade that series' point, not 500 the whole query_range
-    * (align's require would otherwise fail the Spark task from
-    * inside the distributed sum). */
-  def addOrSkip(a: Sparse, b: Sparse): Sparse =
-    if ((a.schema == CustomBucketsSchema || b.schema == CustomBucketsSchema) &&
-        (a.schema != b.schema || a.customValues != b.customValues)) a
-    else add(a, b)
+  /** [[add]] that degrades instead of failing the task: when an
+    * operand's custom-bounds layout disagrees with the accumulator
+    * (NHCB vs NHCB with different bounds, or NHCB vs exponential)
+    * the WHOLE group's point is dropped — `None` poisons the fold —
+    * which is exactly Prometheus's behavior (FloatHistogram add
+    * error → warn annotation + dropped output point). One target
+    * redeployed with changed classic bounds must degrade that
+    * step's point, not 500 the whole query_range (align's require
+    * would otherwise fail the Spark task from inside the
+    * distributed sum), and must not silently answer with a partial
+    * sum over an arbitrary subset of the operands. */
+  def addOrDrop(acc: Option[Sparse], b: Sparse): Option[Sparse] =
+    acc.flatMap { a =>
+      if ((a.schema == CustomBucketsSchema ||
+           b.schema == CustomBucketsSchema) &&
+          (a.schema != b.schema || a.customValues != b.customValues)) None
+      else Some(add(a, b))
+    }
 
   def scale(s: Sparse, k: Double): Sparse =
     s.copy(zeroCount = s.zeroCount * k, count = s.count * k,

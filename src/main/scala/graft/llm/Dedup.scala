@@ -526,7 +526,12 @@ object Dedup {
             expr("CAST(n_kept * 1000000 DIV n_lines AS BIGINT)")
               .as("kept_ratio_e6"),
             when(col("n_kept") > 0, col("md5_raw")).as("clean_md5"))
-          .write.mode("append").parquet(outDir)
+          // replay-idempotent output: a restarted micro-batch (crash
+          // after the write, before the checkpoint commit) OVERWRITES
+          // its own batch directory instead of appending a duplicate
+          // row set — the output-side twin of the state fold's
+          // (line, batch) max idempotence
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         batchDf.write.mode("append").parquet(stateDir)
         compactState(sp, stateDir, lineDfFold)
         ()
@@ -534,7 +539,9 @@ object Dedup {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(outDir)
+    // partition discovery adds the batch=N directory column; the
+    // caller-facing schema stays the per-doc shape
+    spark.read.parquet(outDir).drop("batch")
   }
 
   /** The line-df state's dedup fold: max at the (line, batch) grain.
@@ -1048,4 +1055,85 @@ object Dedup {
         expr("bit_count(a.sig60 ^ b.sig60)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Query-param keys a crawl pipeline strips before URL identity:
+    * tracking/session noise that multiplies one page into thousands
+    * of "distinct" URLs. The standard scrub list (utm_* campaign
+    * tags, Facebook/Google/Microsoft click ids, Mailchimp/Instagram
+    * ids, bare ref tags). */
+  private val TrackingParamRe =
+    "^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)(=|$)"
+
+  /** RFC-3986-flavored URL canonicalization as ONE pure per-row
+    * column expression (whole-stage-codegen'd, zero UDFs): the
+    * normalization every web-crawl pipeline runs BEFORE content
+    * dedup, because crawl frontiers hand the fetcher millions of
+    * spellings of the same page.
+    *
+    *   - scheme and host lowercase (RFC 3986 §6.2.2.1 case norm)
+    *   - default port stripped (:80 for http, :443 for https)
+    *   - fragment dropped (never sent to the server)
+    *   - trailing slashes trimmed from the path (path CASE is kept —
+    *     it's significant; `https://x.com/` folds to `https://x.com`)
+    *   - query: tracking params ([[TrackingParamRe]]) and empty
+    *     fragments removed, survivors sorted byte-wise and rejoined —
+    *     param ORDER never distinguishes two URLs
+    *
+    * Malformed input degrades, never throws: a string with no
+    * `scheme://` canonicalizes to `://` + its lowercased head, which
+    * simply dedups against other copies of the same malformed
+    * string. */
+  def canonicalUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val auth = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val pathq = regexp_replace(rest, "^[^/?#]*", "")
+    val path =
+      regexp_replace(regexp_extract(pathq, "^([^?#]*)", 1), "/+$", "")
+    val query = regexp_extract(pathq, "\\?([^#]*)", 1)
+    val kept = array_join(array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /** The host part of [[canonicalUrl]] — the crawl-frontier grouping
+    * key. */
+  def canonicalHost(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(regexp_extract(
+      regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", ""), "^([^/?#]*)", 1))
+    when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+  }
+
+  /** Exact dedup on the canonical URL: keep the smallest doc_id per
+    * canonical form, count the copies. The step web pipelines run
+    * before any content dedup — it removes the crawl's largest and
+    * cheapest duplicate class with one per-row expression and ONE
+    * hash-groupBy (map-side combined; at 100 TB the exchange carries
+    * (canonical_url, doc_id) pairs, never text). */
+  def urlDedup(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    docs.select(col("doc_id"), canonicalUrl(col(urlCol)).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).cast("long").as("n_copies"))
+
+  /** Per-host duplication statistics — the crawl-frontier health
+    * metric (a host whose fetches collapse heavily after
+    * canonicalization is burning crawl budget on URL aliases).
+    * Same single-exchange shape as [[urlDedup]], grouped one level
+    * up. */
+  def urlHostStats(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    docs.select(canonicalHost(col(urlCol)).as("host"),
+        canonicalUrl(col(urlCol)).as("canonical_url"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).cast("long").as("n_fetches"),
+        countDistinct(col("canonical_url")).cast("long").as("n_pages"))
+      .withColumn("dup_ratio_e6",
+        expr("(n_fetches - n_pages) * 1000000 DIV n_fetches"))
 }

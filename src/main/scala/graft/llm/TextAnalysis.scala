@@ -294,6 +294,9 @@ object TextAnalysis {
         "transform(sequence(0, size(words)-2), " +
           "i -> struct(words[i] AS p, words[i+1] AS w))")).as("b"))
       .select(col("doc_id"), col("b.p").as("p"), col("b.w").as("w"))
+      // three consumers (model counts ×2 + the scoring join) — one
+      // materialization so the token explode runs once, not thrice
+      .localCheckpoint()
     val biCnt = bi.groupBy(col("p"), col("w")).agg(count(lit(1)).as("cb"))
     val pvCnt = bi.groupBy(col("p")).agg(count(lit(1)).as("cp"))
     val vocab = documents.select(explode(toks).as("t0"))

@@ -2932,14 +2932,15 @@ object PromQL {
             // addition is order-sensitive at the ulp level
             .agg(sort_array(collect_list(col("hb"))).as("hbs"))
             .as[(Seq[String], Long, Seq[Array[Byte]])]
-            .mapPartitions(_.map { case (ls, t, bs) =>
-              // addOrSkip: a custom-bounds layout conflict inside the
-              // group drops the conflicting point (Prometheus's add
-              // error → warn + skip), never fails the task
-              val sum = bs.iterator
+            .mapPartitions(_.flatMap { case (ls, t, bs) =>
+              // addOrDrop: a custom-bounds layout conflict inside the
+              // group poisons the fold and the WHOLE step's point is
+              // dropped (Prometheus's add error → warn + dropped
+              // point), never a partial sum, never a failed task
+              val it = bs.iterator
                 .map(b => NH.toSparse(NH.decode(ProtoWire.reader(b))))
-                .reduceLeft(NH.addOrSkip)
-              (ls, t, NH.encode(NH.fromSparse(t * 1000L, sum)))
+              val sum = it.foldLeft(Option(it.next()))(NH.addOrDrop)
+              sum.map(s => (ls, t, NH.encode(NH.fromSparse(t * 1000L, s))))
             })
             .toDF("labels", "t", "hb")
             .select(lit(null).cast("string").as("metric"), col("labels"),
@@ -3693,9 +3694,10 @@ object PromQL {
     * — the series ENDS there, exactly prometheus/tsdb's behavior —
     * while a newer real sample revives the series. A marker and a
     * real sample at the same second break deterministically to the
-    * marker (the TSDB itself can't hold both; markers are appended
-    * at scrape-death, between sample stamps). `None` keeps the
-    * sibling-free plan bit-identical to the classic one. */
+    * SAMPLE (a real value at that second proves the series alive;
+    * the /read pass-through and the differential fuzzer use the same
+    * rule, so all surfaces agree — see the max_by key below). `None`
+    * keeps the sibling-free plan bit-identical to the classic one. */
   private def instant(samples: DataFrame, matchers: Seq[LabelMatcher],
                       start: Long, end: Long, step: Long, lookback: Long,
                       ignoreLabel: Option[String],

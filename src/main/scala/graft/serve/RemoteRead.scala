@@ -174,6 +174,12 @@ object RemoteRead {
         queries.map { q =>
           val floats0 = runQuery(df, q, ignoreLabel, ignoreHints, maxSamples,
             rollupRoute)
+          // SHARED budget: the stale and histogram legs spend what
+          // the float leg left, so maxSamples bounds the WHOLE
+          // response — not a per-leg allowance that could compound
+          // to ~3x the nominal limit
+          val afterFloats =
+            maxSamples - floats0.iterator.map(_.samples.size.toLong).sum
           // staleness markers pass through VERBATIM (querier-side
           // contract: the receiving engine interprets them) — merged
           // into each matched series' sample stream in time order,
@@ -181,7 +187,8 @@ object RemoteRead {
           val floats = staleStore match {
             case None => floats0
             case Some(ss) =>
-              mergeStaleSamples(floats0, runStaleQuery(ss, q, ignoreLabel, maxSamples))
+              mergeStaleSamples(floats0,
+                runStaleQuery(ss, q, ignoreLabel, afterFloats))
           }
           histStore match {
             case None => floats
@@ -191,7 +198,9 @@ object RemoteRead {
               // result's (metric, labels) order; a series carrying
               // both float samples and histograms folds into ONE
               // TimeSeries, Prometheus's own response shape
-              val hists = runHistQuery(hs, q, ignoreLabel, maxSamples)
+              val afterStale =
+                maxSamples - floats.iterator.map(_.samples.size.toLong).sum
+              val hists = runHistQuery(hs, q, ignoreLabel, afterStale)
               if (hists.isEmpty) floats
               else {
                 val byKey = scala.collection.mutable.LinkedHashMap
@@ -293,13 +302,18 @@ object RemoteRead {
         // assumes.
         val floats0 = runQuery(samples, q, ignoreLabel, ignoreHints,
           maxSamples, rollupRoute)
+        // SHARED budget across the three legs (see serve): maxSamples
+        // bounds the whole response, not each leg independently
+        val afterFloats =
+          maxSamples - floats0.iterator.map(_.samples.size.toLong).sum
         // stale markers join the float stream BEFORE XOR encoding —
         // Gorilla is bit-level, so the exact StaleNaN payload rides
         // a chunk like any other value
         val floats = staleStore match {
           case None => floats0
           case Some(ss) =>
-            mergeStaleSamples(floats0, runStaleQuery(ss, q, ignoreLabel, maxSamples))
+            mergeStaleSamples(floats0,
+              runStaleQuery(ss, q, ignoreLabel, afterFloats))
         }
         val floatSeries = floats.map { ts =>
           val t = ts.samples.map(_.timestampMs).toArray
@@ -310,7 +324,9 @@ object RemoteRead {
           (ts.labels, chunks)
         }
         val histSeries = histStore.toSeq.flatMap { hs =>
-          runHistQuery(hs, q, ignoreLabel, maxSamples).map {
+          val afterStale =
+            maxSamples - floats.iterator.map(_.samples.size.toLong).sum
+          runHistQuery(hs, q, ignoreLabel, afterStale).map {
             case (labels, hists) => (labels, HistChunks.encodeChunks(hists))
           }
         }

@@ -129,6 +129,17 @@ object RemoteWrite {
         .toSeq
     }
 
+  /** Roll back [[freshCtZeroRows]]' memo claims when the store
+    * append that was meant to land them FAILS — otherwise the
+    * process-lifetime memo would suppress the synthetic zero forever
+    * and the series' true start would never be written. The
+    * unclaim window admits at most one duplicate row per series
+    * (another request re-claiming between failure and retry), which
+    * the read model's per-second dedup collapses. */
+  private def unclaimCtZero(storePath: String,
+                            rows: Seq[PromRemoteCodec.IngestedSample]): Unit =
+    rows.foreach(r => ctSeen.remove((storePath, r.metric, r.labels, r.ts_us)))
+
   /** The rollup twin of a store path (kept next to the store so the
     * pair moves together). */
   def rollupPathFor(storePath: String): String = storePath + "_rollup"
@@ -514,8 +525,8 @@ object RemoteWrite {
       m.droppedHistograms.add(req.skippedHistograms)
     if (req.histogramCount > 0)
       m.convertedHistograms.add(req.histogramCount)
-    val rows = (freshCtZeroRows(storePath, req).iterator ++
-      PromRemoteCodec.toSamples(req)).toSeq
+    val ctRows = freshCtZeroRows(storePath, req)
+    val rows = (ctRows.iterator ++ PromRemoteCodec.toSamples(req)).toSeq
     val exRows = PromRemoteCodec.toExemplarRows(req).toSeq
     val mdRows = PromRemoteCodec.toMetadataRows(req).toSeq
     val histRows = PromRemoteCodec.toHistRows(req).toSeq
@@ -523,8 +534,10 @@ object RemoteWrite {
     runParallel(Seq(
       () => if (rows.nonEmpty) {
         import spark.implicits._
-        SamplesStore.append(
+        try SamplesStore.append(
           rows.toDF("ts_us", "metric", "labels", "value"), storePath)
+        catch { case e: Throwable =>
+          unclaimCtZero(storePath, ctRows); throw e }
         m.samplesWritten.add(rows.size.toLong)
         // background-merge analogue: each request lands a small file
         // set in its day partitions; fold once fragmentation crosses
@@ -605,20 +618,24 @@ object RemoteWrite {
         m.droppedHistograms.add(req.skippedHistograms)
       if (req.histogramCount > 0)
         m.convertedHistograms.add(req.histogramCount)
-      ((freshCtZeroRows(storePath, req) ++ PromRemoteCodec.toSamples(req)).toSeq,
+      (freshCtZeroRows(storePath, req),
+        PromRemoteCodec.toSamples(req).toSeq,
         PromRemoteCodec.toExemplarRows(req).toSeq,
         PromRemoteCodec.toMetadataRows(req).toSeq,
         PromRemoteCodec.toHistRows(req).toSeq,
         PromRemoteCodec.toStaleRows(req).toSeq)
     }
-    val (sampleRows, exRows) = (rows.flatMap(_._1), rows.flatMap(_._2))
-    val (mdRows, histRows) = (rows.flatMap(_._3), rows.flatMap(_._4))
-    val staleRows = rows.flatMap(_._5)
+    val ctRows = rows.flatMap(_._1)
+    val (sampleRows, exRows) = (ctRows ++ rows.flatMap(_._2), rows.flatMap(_._3))
+    val (mdRows, histRows) = (rows.flatMap(_._4), rows.flatMap(_._5))
+    val staleRows = rows.flatMap(_._6)
     runParallel(Seq(
       () => if (sampleRows.nonEmpty) {
         import spark.implicits._
-        SamplesStore.append(
+        try SamplesStore.append(
           sampleRows.toDF("ts_us", "metric", "labels", "value"), storePath)
+        catch { case e: Throwable =>
+          unclaimCtZero(storePath, ctRows); throw e }
         m.samplesWritten.add(sampleRows.size.toLong)
         maybeCompactRateLimited(spark, storePath)
       },

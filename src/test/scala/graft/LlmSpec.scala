@@ -1113,4 +1113,46 @@ class LlmSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getDouble(3))).sortBy(_._1)
     assert(again.map(_._2).toSeq === got.map(_._4).toSeq)
   }
+
+  test("url canonicalization: case, ports, slashes, params, fragments") {
+    import spark.implicits._
+    def canon(url: String): String =
+      Seq(url).toDF("u").select(Dedup.canonicalUrl(col("u")))
+        .first().getString(0)
+    // scheme + host case-fold; path case KEPT
+    assert(canon("HTTPS://WWW.Example.COM/About") ===
+      "https://www.example.com/About")
+    // default ports stripped, scheme-matched; explicit ports kept
+    assert(canon("https://x.com:443/a") === "https://x.com/a")
+    assert(canon("http://x.com:80/a") === "http://x.com/a")
+    assert(canon("http://x.com:8080/a") === "http://x.com:8080/a")
+    assert(canon("https://x.com:80/a") === "https://x.com:80/a")
+    // trailing slashes trimmed (root folds to bare authority)
+    assert(canon("https://x.com/a/b/") === "https://x.com/a/b")
+    assert(canon("https://x.com/") === "https://x.com")
+    // param order insensitive; tracking params + fragments dropped
+    assert(canon("https://x.com/p?b=2&a=1") === canon("https://x.com/p?a=1&b=2"))
+    assert(canon("https://x.com/p?utm_source=f&a=1&fbclid=z&gclid=q#top") ===
+      "https://x.com/p?a=1")
+    // an all-tracking query drops the '?' entirely
+    assert(canon("https://x.com/p?utm_campaign=c&ref=rss") === "https://x.com/p")
+    // empty-fragment params ('a=1&&b=2') collapse
+    assert(canon("https://x.com/p?a=1&&b=2") === "https://x.com/p?a=1&b=2")
+    // a key merely PREFIXED by a tracking key survives (refresh != ref)
+    assert(canon("https://x.com/p?refresh=1") === "https://x.com/p?refresh=1")
+
+    // urlDedup: aliases of one page collapse to the min doc_id
+    val aliases = Seq(
+      (1L, "https://x.com/p?a=1&b=2"),
+      (2L, "HTTPS://X.COM:443/p/?b=2&a=1&utm_source=n#frag"),
+      (3L, "https://x.com/p?a=1&b=2&fbclid=zz"),
+      (4L, "https://x.com/q?a=1")).toDF("doc_id", "url")
+    val d = Dedup.urlDedup(aliases).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(d.toSeq === Seq(("https://x.com/p?a=1&b=2", 1L, 3L),
+      ("https://x.com/q?a=1", 4L, 1L)))
+    val h = Dedup.urlHostStats(aliases).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(h.toSeq === Seq(("x.com", 4L, 2L, 500000L)))
+  }
 }

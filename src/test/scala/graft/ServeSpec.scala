@@ -712,14 +712,17 @@ class ServeSpec extends SparkSpecBase {
     val a = Sparse(CustomBucketsSchema, 0.0, 0.0, 3.0, 6.0,
       Map(1 -> 3.0), Map.empty, Seq(1.0, 2.0))
     val b = a.copy(customValues = Seq(1.0, 5.0))
-    // addOrSkip — the distributed sum leg's fold — drops the
-    // conflicting operand (Prometheus's add error → warn + skip)
-    assert(NativeHistogram.addOrSkip(a, b) === a)
-    // an NHCB next to an exponential layout skips the same way
+    // addOrDrop — the distributed sum leg's fold — poisons the whole
+    // group's point on a conflict (Prometheus's add error → warn +
+    // DROPPED point, never a partial sum)
+    assert(NativeHistogram.addOrDrop(Some(a), b) === None)
+    // an NHCB next to an exponential layout drops the same way
     val e = Sparse(3, 1e-128, 0.0, 2.0, 4.0, Map(1 -> 2.0), Map.empty)
-    assert(NativeHistogram.addOrSkip(a, e) === a)
+    assert(NativeHistogram.addOrDrop(Some(a), e) === None)
+    // once poisoned, the fold stays dropped for later operands too
+    assert(NativeHistogram.addOrDrop(None, a) === None)
     // compatible layouts still add
-    assert(NativeHistogram.addOrSkip(a, a).count === 6.0)
+    assert(NativeHistogram.addOrDrop(Some(a), a).map(_.count) === Some(6.0))
     // the strict in-series contract keeps throwing for direct add()
     intercept[IllegalArgumentException](NativeHistogram.add(a, b))
   }

@@ -866,6 +866,41 @@ object SparkEntry {
         round(col("value"), 6).as("value"))
     }),
 
+    // the histogram leg of delta→cumulative: per-(metric, day) DELTA
+    // explicit-bounds histogram points (bucket counts carved from the
+    // exact day sample counts) accumulate element-wise per bucket in
+    // day order under the same flag — cumulative le levels, _sum and
+    // _count running totals, the deltatocumulative histogram contract
+    "ingest_otlp_delta_hist" -> ((s, dir) => {
+      val path = workDir("otlpdeltah", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val agg = samples(s, dir)
+        .groupBy(col("metric"),
+          expr("ts_us DIV 1000000 DIV 86400 * 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        .sortBy(t => (t._1, t._2))
+      val pts = agg.map { case (m, day, n) =>
+        graft.ingest.OtlpCodec.HistogramFixturePoint(
+          m + "_delta_hist", day * 1000000L,
+          count = n % 3 + n % 5 + n % 7, sum = n.toDouble / 2.0,
+          bounds = Seq(1.0, 5.0), counts = Seq(n % 3, n % 5),
+          attrs = Seq("env" -> "prod"))
+      }
+      val blob = graft.ingest.OtlpCodec.encodeExportHistograms(pts,
+        temporality = 1L, Some("svc"))
+      val prev = graft.serve.RemoteWrite.otlpConvertDelta
+      graft.serve.RemoteWrite.otlpConvertDelta = true
+      try graft.serve.RemoteWrite.serveOtlp(s, path, blob)
+      finally graft.serve.RemoteWrite.otlpConvertDelta = prev
+      SamplesStore.read(s, path).select(col("metric"),
+        array_join(col("labels"), ",").as("labels_str"),
+        expr("ts_us DIV 1000000").as("t_sec"),
+        round(col("value"), 6).as("value"))
+    }),
+
     // opt-in OTLP unit/type suffixing (the 3.x default translation
     // strategy's suffix half): dotted sender names escape AND gain
     // the unit + _total suffixes — "<m>.duration" with unit "s" on a
@@ -1112,6 +1147,35 @@ object SparkEntry {
           d1 + 86400L, 86400L, nativeHist = Some(hist))
         .select(array_join(col("labels"), ",").as("labels_str"),
           col("t").as("t_sec"), col("v_e6").as("q_e6"))
+    }),
+
+    // the 3.x histogram-valued JSON surface's oracle-checkable arm:
+    // evalHistVec (the same histogram-vector leg /api/v1/query
+    // renders as "histograms" JSON) over the native fixture, each
+    // (series, step)'s effective histogram exploded to its populated
+    // (lower, upper, count) buckets — geometry the oracle replays
+    // from the fixture's (a, b, c) derivation; the JSON envelope
+    // itself is spec-pinned (ServeSpec), like 17d
+    "read_native_json" -> ((s, dir) => {
+      import s.implicits._
+      val (hist, d0, d1) = nativeHistFixture(s, dir)
+      val e = graft.serve.PromQL.parse("click").toOption.get
+      graft.serve.PromQL.evalHistVec(hist, e, d0, d1, 86400L, None, None)
+        .get
+        .select(array_join(col("labels"), ",").as("labels_str"),
+          col("t"), col("hb"))
+        .as[(String, Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (ls, t, b) =>
+          val h = graft.ingest.NativeHistogram.decode(
+            graft.ingest.ProtoWire.reader(b))
+          graft.ingest.NativeHistogram.jsonBuckets(h).toSeq.flatten
+            .map { case (lo, hi, c) =>
+              (ls, t, math.floor(lo * 1e6 + 0.5).toLong,
+                math.floor(hi * 1e6 + 0.5).toLong,
+                math.floor(c * 1e6 + 0.5).toLong)
+            }
+        })
+        .toDF("labels_str", "t_sec", "lo_e6", "hi_e6", "cnt_e6")
     }),
 
     // sum() over INSTANT native vectors: the two shards' cumulative
@@ -3405,6 +3469,40 @@ object SparkEntry {
          |         PARTITION BY metric ORDER BY day) AS DOUBLE), 6) AS value
          |FROM agg""".stripMargin,
 
+    // the histogram delta leg: element-wise running bucket sums in
+    // day order become cumulative le levels; _sum/_count accumulate
+    // alongside (exact — integer counts, .5-exact sums)
+    "ingest_otlp_delta_hist" ->
+      s"""$S, agg AS (
+         |  SELECT metric, ts_us // 1000000 // 86400 * 86400 AS day,
+         |         count(*) AS n
+         |  FROM samples GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT metric, day,
+         |         sum(n % 3) OVER w AS c1,
+         |         sum(n % 3 + n % 5) OVER w AS c5,
+         |         sum(n % 3 + n % 5 + n % 7) OVER w AS cn,
+         |         sum(n / 2.0) OVER w AS cs
+         |  FROM agg
+         |  WINDOW w AS (PARTITION BY metric ORDER BY day
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT metric || '_delta_hist_bucket' AS metric,
+         |       'env=prod,job=svc,le=1' AS labels_str, day AS t_sec,
+         |       round(CAST(c1 AS DOUBLE), 6) AS value FROM cum
+         |UNION ALL
+         |SELECT metric || '_delta_hist_bucket', 'env=prod,job=svc,le=5',
+         |       day, round(CAST(c5 AS DOUBLE), 6) FROM cum
+         |UNION ALL
+         |SELECT metric || '_delta_hist_bucket', 'env=prod,job=svc,le=+Inf',
+         |       day, round(CAST(cn AS DOUBLE), 6) FROM cum
+         |UNION ALL
+         |SELECT metric || '_delta_hist_count', 'env=prod,job=svc',
+         |       day, round(CAST(cn AS DOUBLE), 6) FROM cum
+         |UNION ALL
+         |SELECT metric || '_delta_hist_sum', 'env=prod,job=svc',
+         |       day, round(CAST(cs AS DOUBLE), 6) FROM cum""".stripMargin,
+
     // suffixing: escaping + unit + type suffixes compose on the
     // sender's dotted name; values are the exact per-(metric, day)
     // counts (cumulative levels pass through unchanged)
@@ -3572,6 +3670,28 @@ object SparkEntry {
          |         ELSE pow(2, (ln(2)/ln(2)) + ((ln(4)/ln(2)) - (ln(2)/ln(2))) * ((rk - (u + v)) / w2))
          |       END * 1000000 + 0.5) AS BIGINT) AS q_e6
          |FROM w""".stripMargin,
+
+    // the JSON surface's bucket geometry: populated (lower, upper,
+    // count) triples per (series, day) from the fixture's (a, b, c)
+    // bucket derivation — bounds are the schema-0 powers of two
+    "read_native_json" ->
+      s"""$S, agg AS (
+         |  SELECT ts_us // 1000000 // 86400 * 86400 AS day, count(*) AS n
+         |  FROM samples WHERE metric = 'click' GROUP BY 1
+         |), b AS (
+         |  SELECT day, n % 7 AS a, n % 5 + 1 AS b2, n % 3 AS c FROM agg
+         |)
+         |SELECT 'src=hist' AS labels_str, day AS t_sec,
+         |       CAST(500000 AS BIGINT) AS lo_e6,
+         |       CAST(1000000 AS BIGINT) AS hi_e6,
+         |       a * 1000000 AS cnt_e6
+         |FROM b WHERE a > 0
+         |UNION ALL
+         |SELECT 'src=hist', day, 1000000, 2000000, b2 * 1000000
+         |FROM b WHERE b2 > 0
+         |UNION ALL
+         |SELECT 'src=hist', day, 2000000, 4000000, c * 1000000
+         |FROM b WHERE c > 0""".stripMargin,
 
     // sum() over instant native vectors: the shards' CUMULATIVE
     // buckets add bucket-wise per step (exact integer doubles), then

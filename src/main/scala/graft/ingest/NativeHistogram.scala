@@ -349,6 +349,46 @@ object NativeHistogram {
     Some((neg ++ zero ++ pos, neg.nonEmpty, pos.nonEmpty, false))
   }
 
+  /** Prometheus 3.x query-API JSON for ONE histogram sample — the
+    * object inside the `"histogram"` / `"histograms"` response arms
+    * (HTTP API, "Native histograms" result format): `{"count","sum",
+    * "buckets"}` with buckets the POPULATED ones in ascending-bound
+    * order as `[boundary_rule, "lower", "upper", "count"]`. Rules:
+    * 0 = open left (positive exponential buckets and NHCB le-style
+    * buckets), 1 = open right (negative buckets), 3 = closed both
+    * (the zero bucket). Numbers render as JSON strings through the
+    * same Go-compatible formatter as `le` labels (NaN sum prints
+    * "NaN", Prometheus's own encoding). None outside the carryable
+    * schemas — the caller falls back to the float surface. */
+  def toJson(h: Hist): Option[String] =
+    populatedBuckets(h).map { case (bs, _, _, custom) =>
+      val buckets = bs.map { case (lo, hi, c) =>
+        val rule =
+          if (custom) 0
+          else if (lo < 0 && hi > 0) 3
+          else if (hi <= 0) 1
+          else 0
+        s"""[$rule,"${numText(lo)}","${numText(hi)}","${numText(c)}"]"""
+      }.mkString("[", ",", "]")
+      s"""{"count":"${numText(h.count)}","sum":"${numText(h.sum)}"""" +
+        (if (bs.isEmpty) "" else s""","buckets":$buckets""") + "}"
+    }
+
+  /** The populated buckets behind [[toJson]] as raw
+    * (lower, upper, count) triples in ascending-bound order — the
+    * oracle-checkable arm of the JSON surface (the driver replays
+    * bucket geometry in SQL; the envelope is spec-pinned). */
+  def jsonBuckets(h: Hist): Option[Seq[(Double, Double, Double)]] =
+    populatedBuckets(h).map(_._1)
+
+  /** [[leText]] extended over the full double line for the JSON
+    * surface (−Inf and NaN never appear in `le` labels but do in
+    * histogram sums/bounds). */
+  private def numText(v: Double): String =
+    if (v.isNaN) "NaN"
+    else if (v.isNegInfinity) "-Inf"
+    else leText(v)
+
   def quantile(q: Double, h: Hist): Double = {
     if (q < 0) return Double.NegativeInfinity
     if (q > 1) return Double.PositiveInfinity

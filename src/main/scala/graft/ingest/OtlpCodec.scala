@@ -46,7 +46,11 @@ import graft.ingest.PromRemoteCodec.IngestedSample
   * request fails with a wire-format error the HTTP layer answers as
   * a client error. The same guard covers Histogram temporality
   * (delta bucket counts would corrupt classic cumulative series
-  * identically). UNSPECIFIED (0) is equally rejected — the spec
+  * identically); under the same conversion flag, delta histograms
+  * convert too — explicit-bounds points by element-wise per-bucket
+  * prefix sums (a bounds change resets the run), exponential points
+  * by the sparse align+add running sum — matching the upstream
+  * deltatocumulative processor. UNSPECIFIED (0) is equally rejected — the spec
   * calls it invalid on the wire. `is_monotonic` is read but carries
   * no behavior: the store has no metric-type metadata, so monotonic
   * and non-monotonic cumulative sums land identically (documented
@@ -103,9 +107,11 @@ object OtlpCodec {
     * request, in timestamp order — the stateless receiver's exact
     * conversion when a sender ships a series' deltas batched (the
     * OTLP SDK shape). Cross-request accumulation would need durable
-    * receiver state and is deliberately out of scope (documented);
-    * delta HISTOGRAMS still reject either way (bucket-wise
-    * accumulation across requests has no stateless form). */
+    * receiver state and is deliberately out of scope (documented).
+    * The flag converts delta HISTOGRAMS the same way: explicit
+    * bounds accumulate element-wise per bucket (layout change =
+    * reset), exponential points fold through the sparse align+add
+    * arithmetic — within-request, like the sums. */
   def decodeExportMetricsCounted(body: Array[Byte],
                                  convertDelta: Boolean = false,
                                  translationSuffixes: Boolean = false,
@@ -422,7 +428,11 @@ object OtlpCodec {
         s"OTLP sum '$name' has non-cumulative aggregation_temporality " +
           s"($temporality); only CUMULATIVE (2) is ingestible — " +
           "delta sums stored as counters would corrupt rate()")
-    if (hasHist && histTemporality != 2L)
+    // the histogram twin of the sums' switch (the upstream
+    // deltatocumulative processor converts histogram points too):
+    // DELTA (1) converts under the flag, UNSPECIFIED still rejects
+    val deltaHist = hasHist && histTemporality == 1L && st.convertDelta
+    if (hasHist && histTemporality != 2L && !deltaHist)
       throw new ProtoWire.WireFormatException(
         s"OTLP histogram '$name' has non-cumulative " +
           s"aggregation_temporality ($histTemporality); only " +
@@ -457,8 +467,59 @@ object OtlpCodec {
     } else pointMsgs.result().foreach { p =>
       readNumberPoint(p, norm, resource).foreach(st.add)
     }
-    histMsgs.result().foreach(readHistogramPoint(_, norm, resource, st))
-    expHistMsgs.result().foreach(readExpHistogramPoint(_, norm, resource, st))
+    if (deltaHist) {
+      // explicit-bounds deltas: per-series element-wise prefix sums
+      // of the per-bucket counts (+count/+sum) in timestamp order —
+      // each point emits the cumulative level so far. A BOUNDS-layout
+      // change mid-series RESETS the accumulation (the bucket mapping
+      // is gone; upstream deltatocumulative restarts the same way).
+      // `sum` is proto3-optional: one sum-less delta makes every
+      // later cumulative sum unknowable, so _sum rows stop until the
+      // next layout reset.
+      histMsgs.result().map(readHistogramPoint(_, resource))
+        .groupBy(_.base).values.foreach { series =>
+          var acc: HistPoint = null
+          series.sortBy(_.tUs).foreach { p =>
+            acc =
+              if (acc == null || acc.bounds != p.bounds) p
+              else p.copy(
+                count = acc.count + p.count,
+                sum = acc.sum + p.sum,
+                hasSum = acc.hasSum && p.hasSum,
+                counts = acc.counts.zipAll(p.counts, 0L, 0L)
+                  .map { case (a, b) => a + b })
+            emitHistogramPoint(norm, acc, st)
+          }
+        }
+      // exponential deltas: the sparse-histogram running sum — the
+      // SAME align+add arithmetic the native estimators use, so
+      // mixed scales downscale to common geometry and differing zero
+      // thresholds widen exactly like Prometheus's FloatHistogram
+      // add. An unaddable pair (can't happen for wire-valid OTLP
+      // exp points, which are never NHCB) would drop the point to
+      // the skip ledger rather than fail the request.
+      expHistMsgs.result().map(readExpHistogramPoint(_, resource))
+        .groupBy(_.base).values.foreach { series =>
+          var acc: Option[NativeHistogram.Sparse] = None
+          series.sortBy(_.tUs).foreach { p =>
+            val sp = NativeHistogram.toSparse(p.h)
+            acc.fold(Option(sp))(a =>
+                NativeHistogram.addOrDrop(Some(a), sp)) match {
+              case Some(s) =>
+                acc = Some(s)
+                emitExpHistogramPoint(norm,
+                  p.copy(h = NativeHistogram.fromSparse(p.tUs / 1000L, s)),
+                  st)
+              case None => st.dropped += 1
+            }
+          }
+        }
+    } else {
+      histMsgs.result()
+        .foreach(p => emitHistogramPoint(norm, readHistogramPoint(p, resource), st))
+      expHistMsgs.result()
+        .foreach(p => emitExpHistogramPoint(norm, readExpHistogramPoint(p, resource), st))
+    }
     summaryMsgs.result().foreach(readSummaryPoint(_, norm, resource, st))
     // one metadata row per Metric message for the sibling store —
     // the Prometheus OTLP receiver's type mapping (monotonic
@@ -554,9 +615,14 @@ object OtlpCodec {
     * histogram arm of the shared converter). Scales outside the
     * standard −4..8 land on the skipped ledger like unsupported
     * remote-write schemas. */
-  private def readExpHistogramPoint(r: ProtoWire.Reader, metric: String,
-                                    resource: List[String],
-                                    st: DecodeState): Unit = {
+  /** A parsed exponential-histogram point, pre-emission: the native
+    * Hist plus its series identity — the shape the delta→cumulative
+    * accumulator folds over. */
+  private final case class ExpHistPoint(tUs: Long, base: Seq[String],
+                                        h: NativeHistogram.Hist)
+
+  private def readExpHistogramPoint(r: ProtoWire.Reader,
+                                    resource: List[String]): ExpHistPoint = {
     var tNano = 0L
     var count = 0L
     var sum = 0.0d
@@ -617,26 +683,37 @@ object OtlpCodec {
       toDeltas(pos._2), Nil,
       if (neg._2.nonEmpty) Seq((neg._1 + 1, neg._2.size)) else Nil,
       toDeltas(neg._2), Nil)
-    val base = (attrs.result() ++ resource).sorted
-    NativeHistogram.toClassicSamples(metric, base, h) match {
+    ExpHistPoint(tNano / 1000L, (attrs.result() ++ resource).sorted, h)
+  }
+
+  private def emitExpHistogramPoint(metric: String, p: ExpHistPoint,
+                                    st: DecodeState): Unit =
+    NativeHistogram.toClassicSamples(metric, p.base, p.h) match {
       case Some(rows) =>
         rows.foreach(st.add)
         // the native form also lands in the hist sibling (like a
         // PRW-delivered native histogram) so the series federates
         // back on both remote-read response types
-        st.hists += ((tNano / 1000L, metric, base, NativeHistogram.encode(h)))
+        st.hists += ((p.tUs, metric, p.base, NativeHistogram.encode(p.h)))
       case None => st.dropped += 1
     }
-  }
 
   /** HistogramDataPoint → classic series rows. `bucket_counts` has
     * one more entry than `explicit_bounds` (the overflow bucket);
     * cumulative counts pair with each bound and the `count` field
     * answers le="+Inf" and `_count`. `sum` is optional in proto3 —
     * only an explicitly-present sum lands a `_sum` row. */
-  private def readHistogramPoint(r: ProtoWire.Reader, metric: String,
-                                 resource: List[String],
-                                 st: DecodeState): Unit = {
+  /** A parsed explicit-bounds histogram point, pre-emission: counts
+    * are OTLP's per-bucket (non-cumulative) form — the delta
+    * accumulator sums these element-wise before the cumulative-le
+    * expansion runs. */
+  private final case class HistPoint(tUs: Long, base: Seq[String],
+                                     count: Long, sum: Double,
+                                     hasSum: Boolean, bounds: Seq[Double],
+                                     counts: Seq[Long])
+
+  private def readHistogramPoint(r: ProtoWire.Reader,
+                                 resource: List[String]): HistPoint = {
     var tNano = 0L
     var count = 0L
     var sum = 0.0d
@@ -664,22 +741,25 @@ object OtlpCodec {
         case _ => r.skip(w)
       }
     }
-    val tUs = tNano / 1000L
-    val base = (attrs.result() ++ resource).sorted
+    HistPoint(tNano / 1000L, (attrs.result() ++ resource).sorted,
+      count, sum, hasSum, bounds.result(), counts.result())
+  }
+
+  private def emitHistogramPoint(metric: String, p: HistPoint,
+                                 st: DecodeState): Unit = {
     var cum = 0L
-    val cs = counts.result()
-    bounds.result().zipWithIndex.foreach { case (b, i) =>
-      cum += (if (i < cs.size) cs(i) else 0L)
-      st.add(PromRemoteCodec.IngestedSample(tUs, metric + "_bucket",
-        (base :+ s"le=${NativeHistogram.leText(b)}").sorted, cum.toDouble))
+    p.bounds.zipWithIndex.foreach { case (b, i) =>
+      cum += (if (i < p.counts.size) p.counts(i) else 0L)
+      st.add(PromRemoteCodec.IngestedSample(p.tUs, metric + "_bucket",
+        (p.base :+ s"le=${NativeHistogram.leText(b)}").sorted, cum.toDouble))
     }
-    st.add(PromRemoteCodec.IngestedSample(tUs, metric + "_bucket",
-      (base :+ "le=+Inf").sorted, count.toDouble))
-    if (hasSum)
-      st.add(PromRemoteCodec.IngestedSample(tUs, metric + "_sum",
-        base, sum))
-    st.add(PromRemoteCodec.IngestedSample(tUs, metric + "_count",
-      base, count.toDouble))
+    st.add(PromRemoteCodec.IngestedSample(p.tUs, metric + "_bucket",
+      (p.base :+ "le=+Inf").sorted, p.count.toDouble))
+    if (p.hasSum)
+      st.add(PromRemoteCodec.IngestedSample(p.tUs, metric + "_sum",
+        p.base, p.sum))
+    st.add(PromRemoteCodec.IngestedSample(p.tUs, metric + "_count",
+      p.base, p.count.toDouble))
   }
 
   private def readNumberPoints(ps: Seq[ProtoWire.Reader], metric: String,
@@ -840,6 +920,67 @@ object OtlpCodec {
       g.writeVarintField(2, temporality)
       g.writeVarintField(3, 1L) // is_monotonic
       m.writeMessageField(7, g) // sum
+      sm.writeMessageField(2, m)
+    }
+    rm.writeMessageField(2, sm)
+    w.writeMessageField(1, rm)
+    w.toBytes
+  }
+
+  /** An explicit-bounds histogram point for the fixture encoder —
+    * `counts` are OTLP's per-bucket (NON-cumulative) form, one more
+    * implicit overflow bucket rides in `count`. */
+  final case class HistogramFixturePoint(metric: String, tsUs: Long,
+                                         count: Long, sum: Double,
+                                         bounds: Seq[Double],
+                                         counts: Seq[Long],
+                                         attrs: Seq[(String, String)] = Nil)
+
+  /** Points → one ExportMetricsServiceRequest of explicit-bounds
+    * HISTOGRAM metrics with the given aggregation_temporality
+    * (2 = cumulative, 1 = delta — the fixture leg for the
+    * histogram delta→cumulative conversion), optionally under a
+    * resource carrying `service.name`. */
+  def encodeExportHistograms(points: Seq[HistogramFixturePoint],
+                             temporality: Long,
+                             serviceName: Option[String] = None)
+      : Array[Byte] = {
+    val w = new ProtoWire.Writer
+    val rm = new ProtoWire.Writer
+    serviceName.foreach { svc =>
+      val res = new ProtoWire.Writer
+      val kv = new ProtoWire.Writer
+      kv.writeStringField(1, "service.name")
+      val av = new ProtoWire.Writer
+      av.writeStringField(1, svc)
+      kv.writeMessageField(2, av)
+      res.writeMessageField(1, kv)
+      rm.writeMessageField(1, res)
+    }
+    val sm = new ProtoWire.Writer
+    points.groupBy(_.metric).toSeq.sortBy(_._1).foreach { case (name, ps) =>
+      val m = new ProtoWire.Writer
+      m.writeStringField(1, name)
+      val h = new ProtoWire.Writer
+      ps.foreach { hp =>
+        val p = new ProtoWire.Writer
+        p.writeFixed64Field(3, hp.tsUs * 1000L)
+        p.writeFixed64Field(4, hp.count)
+        p.writeDoubleField(5, hp.sum)
+        hp.counts.foreach(c => p.writeFixed64Field(6, c))
+        hp.bounds.foreach(b => p.writeDoubleField(7, b))
+        hp.attrs.foreach { case (k, v) =>
+          val kv = new ProtoWire.Writer
+          kv.writeStringField(1, k)
+          val av = new ProtoWire.Writer
+          av.writeStringField(1, v)
+          kv.writeMessageField(2, av)
+          p.writeMessageField(9, kv)
+        }
+        h.writeMessageField(1, p)
+      }
+      h.writeVarintField(2, temporality)
+      m.writeMessageField(9, h) // histogram
       sm.writeMessageField(2, m)
     }
     rm.writeMessageField(2, sm)

@@ -697,8 +697,25 @@ object HttpServe {
           respond(ex, 200, body.getBytes(UTF_8),
             Seq("Content-Type" -> "application/json"))
         case Right((expr, (startSec, endSec, stepSec), limit)) =>
-          val rows = SamplesStore.readLocked(storePath) {
-            storeSamples().map { df =>
+          val (rows, histRows) = SamplesStore.readLocked(storePath) {
+            // the 3.x histogram-valued leg: an expression whose
+            // top-level value is a native histogram (selector, rate,
+            // sum-of-rate) ALSO evaluates over the hist sibling; its
+            // series merge into the same result as histogram-valued
+            // entries — the mixed-vector convention — with histogram
+            // winning a (name, labels) collision (the native sample
+            // is the richer form of the same series)
+            val hl =
+              if (RemoteWrite.nativeHistogramQuantile &&
+                  PromQL.histogramValued(expr))
+                RemoteWrite.histStoreDf(spark, storePath)
+                  .flatMap(hs => PromQL.evalHistVec(hs, expr, startSec,
+                    endSec, stepSec, ignoreLabel,
+                    RemoteWrite.staleStoreDf(spark, storePath)))
+                  .map(_.limit(MaxQueryCells + 1).collect())
+                  .getOrElse(Array.empty[org.apache.spark.sql.Row])
+              else Array.empty[org.apache.spark.sql.Row]
+            val fl = storeSamples().map { df =>
               PromQL.eval(df, expr, startSec, endSec, stepSec,
                   ignoreLabel = ignoreLabel,
                   rollup = Option(RemoteWrite.rollupIntervalSec)
@@ -731,8 +748,9 @@ object HttpServe {
                 .limit(MaxQueryCells + 1)
                 .collect()
             }.getOrElse(Array.empty[org.apache.spark.sql.Row])
+            (fl, hl)
           }
-          if (rows.length > MaxQueryCells) {
+          if (rows.length + histRows.length > MaxQueryCells) {
             respond(ex, 422,
               s"""{"status":"error","errorType":"execution","error":"query would return more than $MaxQueryCells samples"}"""
                 .getBytes(UTF_8),
@@ -767,27 +785,64 @@ object HttpServe {
                 val (k, v) = if (c < 0) (l, "") else (l.substring(0, c), l.substring(c + 1))
                 s""""${esc(k)}":"${esc(v)}""""
               }).mkString("{", ",", "}")
+            // histogram-leg series: decode each (series, step)'s
+            // prompb bytes to the 3.x {"count","sum","buckets"} JSON
+            // (driver-side, bounded by the cell cap above); an
+            // uncarryable schema falls out silently like /read's
+            // skip ledger
+            val histSeries: Seq[((Option[String], Seq[String]), Seq[(Long, String)])] =
+              histRows.toSeq.flatMap { r =>
+                val h = graft.ingest.NativeHistogram.decode(
+                  graft.ingest.ProtoWire.reader(r.getAs[Array[Byte]](3)))
+                graft.ingest.NativeHistogram.toJson(h).map(j =>
+                  ((Option(r.getString(0)), r.getSeq[String](1).toSeq),
+                    (r.getLong(2), j)))
+              }.groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1))
+                .toSeq
+            val histKeys = histSeries.map(_._1).toSet
+            // mixed vector: float and histogram series side by side,
+            // ONE identity order across both arms; histogram wins a
+            // key collision. Sort roots can't be histogram-valued,
+            // so the rootSorted order is always float-only.
+            val merged: Seq[((Option[String], Seq[String]),
+                Either[Seq[(Long, Long)], Seq[(Long, String)]])] =
+              bySeries.filterNot { case (k, _) => histKeys.contains(k) }
+                .map { case (k, pts) => (k, Left(pts.map(_._2).toSeq)) } ++
+              histSeries.map { case (k, hs0) => (k, Right(hs0)) }
+            val ordered =
+              if (rootSorted || histSeries.isEmpty) merged
+              else merged.sortBy { case ((m, ls), _) =>
+                (m.getOrElse(""), ls.mkString(",")) }
             // 3.x limit=: series-count cap with a warning on
             // truncation (applied AFTER ordering, so the kept
             // prefix is deterministic)
-            val truncated = limit > 0 && bySeries.size > limit
-            val shown = if (limit > 0) bySeries.take(limit) else bySeries
+            val truncated = limit > 0 && ordered.size > limit
+            val shown = if (limit > 0) ordered.take(limit) else ordered
             val warn =
               if (truncated)
                 ""","warnings":["results truncated due to limit"]"""
               else ""
             val body =
-              if (rangeMode) shown.map { case ((m, ls), pts) =>
-                val vals = pts.map(_._2).sortBy(_._1)
-                  .map { case (t, v) => s"""[$t,"${PromQL.formatE6(v)}"]""" }
-                  .mkString("[", ",", "]")
-                s"""{"metric":${labelsJson(m, ls)},"values":$vals}"""
+              if (rangeMode) shown.map {
+                case ((m, ls), Left(pts)) =>
+                  val vals = pts.sortBy(_._1)
+                    .map { case (t, v) => s"""[$t,"${PromQL.formatE6(v)}"]""" }
+                    .mkString("[", ",", "]")
+                  s"""{"metric":${labelsJson(m, ls)},"values":$vals}"""
+                case ((m, ls), Right(hps)) =>
+                  val vals = hps.map { case (t, j) => s"""[$t,$j]""" }
+                    .mkString("[", ",", "]")
+                  s"""{"metric":${labelsJson(m, ls)},"histograms":$vals}"""
               }.mkString(
                 s"""{"status":"success"$warn,"data":{"resultType":"matrix","result":[""",
                 ",", "]}}")
-              else shown.map { case ((m, ls), pts) =>
-                val (t, v) = pts.map(_._2).maxBy(_._1)
-                s"""{"metric":${labelsJson(m, ls)},"value":[$t,"${PromQL.formatE6(v)}"]}"""
+              else shown.map {
+                case ((m, ls), Left(pts)) =>
+                  val (t, v) = pts.maxBy(_._1)
+                  s"""{"metric":${labelsJson(m, ls)},"value":[$t,"${PromQL.formatE6(v)}"]}"""
+                case ((m, ls), Right(hps)) =>
+                  val (t, j) = hps.maxBy(_._1)
+                  s"""{"metric":${labelsJson(m, ls)},"histogram":[$t,$j]}"""
               }.mkString(
                 s"""{"status":"success"$warn,"data":{"resultType":"vector","result":[""",
                 ",", "]}}")

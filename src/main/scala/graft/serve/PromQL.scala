@@ -1531,6 +1531,42 @@ object PromQL {
     case _ => exprChildren(e).exists(usesNativeEstimators)
   }
 
+  /** Whether the expression's TOP-LEVEL value is (potentially) a
+    * native histogram — the shapes [[histVec]] evaluates: a bare
+    * selector, `rate(sel[d])`, and `sum by/without (…)` over either.
+    * The JSON query surface asks this before opening the hist
+    * sibling, so every float-only query skips the probe. */
+  def histogramValued(e: Expr): Boolean = e match {
+    case Instant(_, _) => true
+    case RangeCall("rate", _, _, _) => true
+    case Agg("sum", _, child, _, None) => histogramValued(child)
+    case _ => false
+  }
+
+  /** The histogram-vector leg for the Prometheus 3.x JSON surface:
+    * evaluate `e` over the hist sibling to (metric, labels, t, hb)
+    * rows — `hb` the prompb bytes of each (series, step)'s effective
+    * histogram (instant lookback / bucket-wise rate / sparse sum,
+    * see [[histVec]]). None when the shape is outside the native
+    * algebra or the selector misses the sibling — the caller then
+    * answers floats alone, producing the 3.x MIXED vector when both
+    * legs hold series. */
+  def evalHistVec(hs: DataFrame, e: Expr, startSec: Long, endSec: Long,
+                  stepSec: Long, ignoreLabel: Option[String],
+                  stale: Option[DataFrame],
+                  lookbackSec: Long = DefaultLookbackSec): Option[DataFrame] =
+    histVec(hs, e, startSec, endSec, stepSec, lookbackSec, ignoreLabel, stale)
+      .map { v =>
+        e match {
+          // value-transforming roots drop the metric name on the
+          // user surface (rate/sum), exactly like the float arm;
+          // histVec keeps it internally for estimator composition
+          case Instant(_, _) => v
+          case _ => v.select(lit(null).cast("string").as("metric"),
+            col("labels"), col("t"), col("hb"))
+        }
+      }
+
   /** Rebuild the expression with every selector's `__name__`
     * equality matcher suffixed — the desugaring behind
     * histogram_count/sum/avg (graft accepts the Prometheus 3.x

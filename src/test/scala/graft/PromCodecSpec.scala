@@ -515,6 +515,131 @@ class PromCodecSpec extends SparkSpecBase {
       OtlpCodec.decodeExportMetricsCounted(breq.toBytes, convertDelta = true))
   }
 
+  test("OTLP codec: delta histograms convert under the flag, both shapes") {
+    import graft.ingest.OtlpCodec
+    // -- explicit-bounds: raw protobuf for full control over the
+    // optional sum field --
+    def histPoint(tUs: Long, count: Long, sum: Option[Double],
+                  bounds: Seq[Double], counts: Seq[Long]): ProtoWire.Writer = {
+      val p = new ProtoWire.Writer
+      p.writeFixed64Field(3, tUs * 1000L)
+      p.writeFixed64Field(4, count)
+      sum.foreach(p.writeDoubleField(5, _))
+      counts.foreach(p.writeFixed64Field(6, _))
+      bounds.foreach(p.writeDoubleField(7, _))
+      p
+    }
+    def histReq(points: Seq[ProtoWire.Writer],
+                temporality: Long): Array[Byte] = {
+      val h = new ProtoWire.Writer
+      points.foreach(h.writeMessageField(1, _))
+      h.writeVarintField(2, temporality)
+      val m = new ProtoWire.Writer
+      m.writeStringField(1, "lat")
+      m.writeMessageField(9, h)
+      val scope = new ProtoWire.Writer
+      scope.writeMessageField(2, m)
+      val rm = new ProtoWire.Writer
+      rm.writeMessageField(2, scope)
+      val req = new ProtoWire.Writer
+      req.writeMessageField(1, rm)
+      req.toBytes
+    }
+    val pts = Seq(
+      histPoint(10L, 4L, Some(1.0), Seq(1.0, 5.0), Seq(1L, 2L)),
+      histPoint(20L, 8L, Some(2.0), Seq(1.0, 5.0), Seq(3L, 4L)),
+      histPoint(30L, 2L, Some(0.5), Seq(1.0, 5.0), Seq(0L, 1L)),
+      // bounds change: accumulation RESETS (upstream restarts too)
+      histPoint(40L, 6L, Some(9.0), Seq(2.0), Seq(5L)),
+      // sum-less delta: cumulative sum unknowable from here on
+      histPoint(50L, 1L, None, Seq(2.0), Seq(1L)))
+    // default: still rejected without the flag; UNSPECIFIED always
+    intercept[ProtoWire.WireFormatException](
+      OtlpCodec.decodeExportMetricsCounted(histReq(pts, 1L)))
+    intercept[ProtoWire.WireFormatException](
+      OtlpCodec.decodeExportMetricsCounted(histReq(pts, 0L),
+        convertDelta = true))
+    val out = OtlpCodec.decodeExportMetricsCounted(histReq(pts, 1L),
+      convertDelta = true)
+    assert(out.droppedPoints === 0L)
+    val rows = out.samples.map(s => (s.metric, s.labels, s.ts_us, s.value))
+    def at(m: String, le: String, t: Long): Double =
+      rows.collectFirst {
+        case (`m`, ls, `t`, v) if ls.contains(s"le=$le") => v }.get
+    // element-wise per-bucket prefix sums → cumulative le levels
+    assert(at("lat_bucket", "1", 10L) === 1.0)
+    assert(at("lat_bucket", "5", 10L) === 3.0)
+    assert(at("lat_bucket", "+Inf", 10L) === 4.0)
+    assert(at("lat_bucket", "1", 20L) === 4.0)
+    assert(at("lat_bucket", "5", 20L) === 10.0)
+    assert(at("lat_bucket", "1", 30L) === 4.0)
+    assert(at("lat_bucket", "5", 30L) === 11.0)
+    assert(at("lat_bucket", "+Inf", 30L) === 14.0)
+    // running _sum/_count while the layout holds
+    val sums = rows.filter(r => r._1 == "lat_sum").map(r => (r._3, r._4))
+    assert(sums.toSet === Set((10L, 1.0), (20L, 3.0), (30L, 3.5),
+      (40L, 9.0)))
+    // the reset point starts a fresh run on the new bounds
+    assert(at("lat_bucket", "2", 40L) === 5.0)
+    assert(at("lat_bucket", "+Inf", 40L) === 6.0)
+    // after the sum-less point: counts keep accumulating, sum stops
+    assert(at("lat_bucket", "2", 50L) === 6.0)
+    assert(at("lat_bucket", "+Inf", 50L) === 7.0)
+    assert(!rows.exists(r => r._1 == "lat_sum" && r._3 == 50L))
+    val counts = rows.filter(r => r._1 == "lat_count").map(r => (r._3, r._4))
+    assert(counts.toSet === Set((10L, 4.0), (20L, 12.0), (30L, 14.0),
+      (40L, 6.0), (50L, 7.0)))
+
+    // -- exponential: sparse align+add running sum, sibling carries
+    // the cumulative native form --
+    def expPoint(tUs: Long, count: Long, sum: Double, scale: Long,
+                 offset: Int, bucketCounts: Seq[Long]): ProtoWire.Writer = {
+      val p = new ProtoWire.Writer
+      p.writeFixed64Field(3, tUs * 1000L)
+      p.writeFixed64Field(4, count)
+      p.writeDoubleField(5, sum)
+      p.writeVarintField(6, (scale << 1) ^ (scale >> 63)) // zigzag
+      val b = new ProtoWire.Writer
+      val zz = (offset.toLong << 1) ^ (offset.toLong >> 63)
+      b.writeVarintField(1, zz)
+      bucketCounts.foreach(b.writeVarintField(2, _))
+      p.writeMessageField(8, b)
+      p
+    }
+    def expReq(points: Seq[ProtoWire.Writer],
+               temporality: Long): Array[Byte] = {
+      val h = new ProtoWire.Writer
+      points.foreach(h.writeMessageField(1, _))
+      h.writeVarintField(2, temporality)
+      val m = new ProtoWire.Writer
+      m.writeStringField(1, "elat")
+      m.writeMessageField(10, h)
+      val scope = new ProtoWire.Writer
+      scope.writeMessageField(2, m)
+      val rm = new ProtoWire.Writer
+      rm.writeMessageField(2, scope)
+      val req = new ProtoWire.Writer
+      req.writeMessageField(1, rm)
+      req.toBytes
+    }
+    val epts = Seq(
+      expPoint(10L, 2L, 1.5, 0L, 0, Seq(2L)),
+      expPoint(20L, 3L, 2.5, 0L, 0, Seq(3L)))
+    intercept[ProtoWire.WireFormatException](
+      OtlpCodec.decodeExportMetricsCounted(expReq(epts, 1L)))
+    val eout = OtlpCodec.decodeExportMetricsCounted(expReq(epts, 1L),
+      convertDelta = true)
+    assert(eout.droppedPoints === 0L)
+    assert(eout.hists.size === 2)
+    val h2 = graft.ingest.NativeHistogram.decode(
+      graft.ingest.ProtoWire.reader(eout.hists.last._4))
+    assert(h2.count === 5.0)
+    assert(h2.sum === 4.0)
+    // OTLP offset 0 → prompb index 1; counts accumulated 2 + 3
+    val s2 = graft.ingest.NativeHistogram.toSparse(h2)
+    assert(s2.pos === Map(1 -> 5.0))
+  }
+
   test("OTLP codec: summary points convert to quantile series + _sum/_count") {
     import graft.ingest.OtlpCodec
     val t = 1704412800000000L // µs

@@ -619,6 +619,104 @@ class ServeSpec extends SparkSpecBase {
     } finally srv.stop()
   }
 
+  test("query APIs serve native-histogram-valued JSON under the flag") {
+    import graft.ingest.NativeHistogram
+    val store = tmpStore("histjson")
+    val t0 = 1704412800000L
+    // native series nh{k=v}: two exponential samples (schema 0);
+    // growth 6→10 count, buckets (0.5,1]: 2→4, (1,2]: 3→5, zero
+    // bucket (th 0.001) 1→1
+    val h1 = NativeHistogram.Hist(t0, 6.0, 4.5, 0, 0.001, 1.0,
+      Seq((0, 2)), Seq(2L, 1L), Nil, Nil, Nil, Nil)
+    val h2 = NativeHistogram.Hist(t0 + 60000L, 10.0, 8.5, 0, 0.001, 1.0,
+      Seq((0, 2)), Seq(4L, 1L), Nil, Nil, Nil, Nil)
+    // NHCB series nhc{k=v}: bounds [0.1, 0.5], per-bucket 2/3 +
+    // overflow 2
+    val hc = NativeHistogram.Hist(t0, 7.0, 2.0, 127, 0.0, 0.0,
+      Seq((0, 3)), Seq(2L, 1L, -1L), Nil, Nil, Nil, Nil,
+      customValues = Seq(0.1, 0.5))
+    // float twin UNDER THE SAME NAME, different labels — the mixed
+    // float/histogram vector of the 3.x convention
+    RemoteWrite.serve(spark, store, PromRemoteCodec.encodeWriteRequest(
+      PromRemoteCodec.PromWriteRequest(Seq(
+        PromTimeSeries(Seq(PromLabel("__name__", "nh"), PromLabel("k", "v")),
+          Nil, histograms = Seq(h1, h2)),
+        PromTimeSeries(Seq(PromLabel("__name__", "nhc"), PromLabel("k", "v")),
+          Nil, histograms = Seq(hc)),
+        PromTimeSeries(Seq(PromLabel("__name__", "nh"), PromLabel("k", "w")),
+          Seq(PromSample(1.0, t0), PromSample(2.0, t0 + 60000L)))))))
+    val srv = HttpServe.start(spark, store)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      def q(expr: String, extra: String): String = {
+        val (c, b) = get(s"$base/api/v1/query" +
+          (if (extra.startsWith("start")) "_range" else "") +
+          "?query=" + java.net.URLEncoder.encode(expr, "UTF-8") + "&" + extra)
+        assert(c === 200, b)
+        b
+      }
+      // flag OFF (default): the float surface alone — no histogram
+      // arm, float twin answers normally
+      val off = q("nh", s"time=${t0 / 1000 + 60}")
+      assert(!off.contains("\"histogram\""), off)
+      assert(off.contains(""""value":[1704412860,"2"]"""), off)
+
+      RemoteWrite.nativeHistogramQuantile = true
+      try {
+        // instant: MIXED vector — the native series answers a
+        // histogram-valued entry, the float twin a float one, one
+        // identity order across both arms
+        val v = q("nh", s"time=${t0 / 1000 + 60}")
+        assert(v.contains(""""resultType":"vector""""), v)
+        assert(v.contains(
+          """{"metric":{"__name__":"nh","k":"v"},"histogram":[1704412860,""" +
+            """{"count":"10","sum":"8.5","buckets":[[3,"-0.001","0.001","1"],""" +
+            """[0,"0.5","1","4"],[0,"1","2","5"]]}]}"""), v)
+        assert(v.contains(
+          """{"metric":{"__name__":"nh","k":"w"},"value":[1704412860,"2"]}"""), v)
+        // the histogram entry sorts in the same (name, labels) order
+        assert(v.indexOf("\"k\":\"v\"") < v.indexOf("\"k\":\"w\""), v)
+
+        // range: per-step effective histograms in time order
+        val m = q("nh{k=\"v\"}",
+          s"start=${t0 / 1000}&end=${t0 / 1000 + 60}&step=60")
+        assert(m.contains(""""resultType":"matrix""""), m)
+        assert(m.contains(
+          """"histograms":[[1704412800,{"count":"6","sum":"4.5","buckets":""" +
+            """[[3,"-0.001","0.001","1"],[0,"0.5","1","2"],[0,"1","2","3"]]}],""" +
+            """[1704412860,{"count":"10","sum":"8.5","buckets":""" +
+            """[[3,"-0.001","0.001","1"],[0,"0.5","1","4"],[0,"1","2","5"]]}]]"""),
+          m)
+
+        // NHCB: custom bounds render as le-style buckets (rule 0),
+        // first lower 0, overflow to +Inf
+        val nc = q("nhc", s"time=${t0 / 1000}")
+        assert(nc.contains(
+          """"histogram":[1704412800,{"count":"7","sum":"2","buckets":""" +
+            """[[0,"0","0.1","2"],[0,"0.1","0.5","3"],[0,"0.5","+Inf","2"]]}]"""),
+          nc)
+
+        // rate(): histogram-valued, metric NAME DROPPED like the
+        // float arm's value-transforming functions
+        val r = q("rate(nh{k=\"v\"}[2m])", s"time=${t0 / 1000 + 120}")
+        assert(r.contains(""""metric":{"k":"v"},"histogram":["""), r)
+        assert(r.contains(""""count":"0.06666666666666667""""), r)
+        assert(!r.contains("__name__"), r)
+
+        // sum of rate — the dashboard idiom — still histogram-valued
+        val sr = q("sum by (k) (rate(nh{k=\"v\"}[2m]))",
+          s"time=${t0 / 1000 + 120}")
+        assert(sr.contains(""""metric":{"k":"v"},"histogram":["""), sr)
+
+        // estimator root stays a FLOAT surface (unchanged contract)
+        val qv = q("histogram_quantile(0.75, nh{k=\"v\"})",
+          s"time=${t0 / 1000 + 60}")
+        assert(qv.contains(""""value":["""), qv)
+        assert(!qv.contains("\"histogram\""), qv)
+      } finally RemoteWrite.nativeHistogramQuantile = false
+    } finally srv.stop()
+  }
+
   test("a mixed series' chunks interleave by start time, not per encoding") {
     import graft.ingest.NativeHistogram
     val store = tmpStore("ilv")

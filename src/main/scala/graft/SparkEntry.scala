@@ -1654,6 +1654,14 @@ object SparkEntry {
     "text_perplexity_buckets" -> ((s, dir) =>
       TextAnalysis.perplexityBuckets(Tables.documents(s, dir))),
 
+    // the discriminative quality leg (CCNet/GPT-3 pairing): logistic
+    // regression over the DSIR hashed-bucket features, 3 exact-
+    // integer full-batch gradient steps, scoring target-like
+    // probability per doc; the oracle replays the unrolled training
+    // as CTEs bit-for-bit
+    "text_quality_classifier" -> ((s, dir) =>
+      Sampling.qualityClassifier(Tables.documents(s, dir))),
+
     // CCNet's downstream policy: sample by quality bucket — the
     // fluent third in full, the middle at half, a tail trickle —
     // over the deterministic (salt, doc_id) hash
@@ -2845,6 +2853,73 @@ object SparkEntry {
       |        '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)(=|$)'))), '&') AS kept
       |    FROM pieces)
       |)""".stripMargin
+
+  /** The text_quality_classifier oracle: the UNROLLED 3-step exact-
+    * integer logistic training as CTEs — w0 = 0 everywhere, each
+    * step scores snum (BIGINT, associative), snaps p to e6, sums
+    * integer gradients (HUGEINT ≡ Spark's DECIMAL(38,0)), and
+    * updates e9 weights by the truncating division both engines
+    * share; generated by a loop so a `steps` change can't desync the
+    * replay from Sampling.qualityClassifier. */
+  private def qcOracle: String = {
+    val base =
+      s"""WITH w AS (
+         |  SELECT doc_id, source,
+         |         unnest(string_split(coalesce(text, ''), ' ')) AS w
+         |  FROM documents
+         |), wb AS (
+         |  SELECT doc_id, source, ${duckHash("w")} % 64 AS b FROM w
+         |), f0 AS (
+         |  SELECT doc_id, source, b, count(*) AS c FROM wb GROUP BY 1, 2, 3
+         |), nw AS (
+         |  SELECT doc_id, sum(c)::BIGINT AS n_words FROM f0 GROUP BY 1
+         |), feats AS (
+         |  SELECT f0.doc_id, f0.source,
+         |         CAST(CASE WHEN f0.source IN ('src0', 'src1')
+         |              THEN 1 ELSE 0 END AS BIGINT) AS y,
+         |         f0.b, f0.c * 1000000 // nw.n_words AS x_e6, nw.n_words
+         |  FROM f0 JOIN nw USING (doc_id)
+         |), nn AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM feats),
+         |w0 AS (SELECT range AS b, CAST(0 AS BIGINT) AS w_e9 FROM range(64)),
+         |b0 AS (SELECT CAST(0 AS BIGINT) AS bias_e9)""".stripMargin
+    def score(i: String, p: String) =
+      s""", s$i AS (
+         |  SELECT f.doc_id, f.y,
+         |         (SELECT bias_e9 FROM b$p) * 1000000
+         |           + sum(w.w_e9 * f.x_e6) AS snum
+         |  FROM feats f JOIN w$p w USING (b) GROUP BY 1, 2
+         |), p$i AS (
+         |  SELECT doc_id, y,
+         |         CAST(floor(1000000.0 / (1.0 + exp(
+         |           -(CAST(snum AS DOUBLE) / 1e15))) + 0.5) AS BIGINT) AS p_e6
+         |  FROM s$i
+         |)""".stripMargin
+    def step(i: Int): String = {
+      val p = (i - 1).toString
+      score(i.toString, p) +
+        s""", r$i AS (
+           |  SELECT doc_id, p_e6 - y * 1000000 AS r_e6 FROM p$i
+           |), g$i AS (
+           |  SELECT f.b, sum(CAST(r.r_e6 * f.x_e6 AS HUGEINT)) AS g
+           |  FROM feats f JOIN r$i r USING (doc_id) GROUP BY 1
+           |), w$i AS (
+           |  SELECT w$p.b, w$p.w_e9 - CAST(coalesce(g$i.g, 0)
+           |    // ((SELECT n FROM nn) * 1000) AS BIGINT) AS w_e9
+           |  FROM w$p LEFT JOIN g$i USING (b)
+           |), b$i AS (
+           |  SELECT (SELECT bias_e9 FROM b$p)
+           |    - CAST((SELECT sum(CAST(r_e6 AS HUGEINT)) * 1000000 FROM r$i)
+           |      // ((SELECT n FROM nn) * 1000) AS BIGINT) AS bias_e9
+           |)""".stripMargin
+    }
+    base + (1 to 3).map(step).mkString + score("f", "3") +
+      s"""
+         |SELECT d.doc_id, d.source, d.n_words, pf.p_e6 AS score_e6,
+         |       CAST(CASE WHEN pf.p_e6 > 500000 THEN 1 ELSE 0 END AS BIGINT)
+         |         AS predicted_target
+         |FROM (SELECT DISTINCT doc_id, source, n_words FROM feats) d
+         |JOIN pf USING (doc_id)""".stripMargin
+  }
 
   /** docs → 3-gram shingle hashes → 128-perm MinHash sigs → 16 band
     * keys (8 rows/band; band_sig is the coefficient-weighted fold the
@@ -5200,6 +5275,8 @@ object SparkEntry {
          |       CAST(CASE WHEN log_weight > 0.0 THEN 1 ELSE 0 END AS BIGINT)
          |         AS is_target_like
          |FROM g""".stripMargin,
+
+    "text_quality_classifier" -> qcOracle,
 
     // α = 1/2 via sqrt (correctly-rounded IEEE — no libm pow);
     // Σw/ΣN as lang-SORTED folds, mirroring the Spark plan exactly

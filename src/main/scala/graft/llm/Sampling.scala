@@ -316,4 +316,93 @@ object Sampling {
       .withColumn("is_target_like",
         (col("log_weight") > 0.0).cast("int").cast("long"))
   }
+
+  /** The discriminative twin of [[dsirWeights]] / text_perplexity —
+    * the quality-classifier leg CCNet/GPT-3-style pipelines pair
+    * with the LM filter: a logistic regression over the SAME hashed
+    * unigram-bucket features, trained by `steps` full-batch gradient
+    * steps against the "is this doc from a target source" label,
+    * scoring every document's target-like probability.
+    *
+    * EXACT-INTEGER training (the kmeans discipline): features snap
+    * to e6 integers (x_e6 = bucket count ·1e6 ∕ doc words), weights
+    * live as e9 integers, the per-doc logit numerator and the
+    * per-bucket gradients are INTEGER sums — associative, so plain
+    * distributed aggregation is bit-deterministic with no sorted
+    * folds in the hot path. The only float ops are one
+    * CAST(BIGINT→DOUBLE) ∕ 1e15 and one sigmoid per (doc, step),
+    * both IEEE-identical across engines; p snaps back to e6 before
+    * feeding the next gradient. η = 1 folds into the update
+    * Δw_e9 = −grad ∕ (N·1000) (truncating integer division — Scala
+    * Long and DuckDB `//` agree on negatives), so the DuckDB oracle
+    * replays the unrolled steps as CTEs bit-for-bit.
+    *
+    * Scale shape: the feature table is O(docs × ≤buckets) rows,
+    * built once and localCheckpoint'ed; each step is one ≤65-row
+    * broadcast join + one doc-keyed aggregate + one bucket-keyed
+    * aggregate (gradients sum as DECIMAL(38,0) — r_e6·x_e6 ≤ 1e12
+    * per doc, a BIGINT sum would wrap near 10⁷ docs); the driver
+    * holds only the ≤65 weights. `steps` is a fixed constant, so
+    * total cost is steps × (two linear aggregates). */
+  def qualityClassifier(documents: DataFrame,
+                        targetSources: Seq[String] = Seq("src0", "src1"),
+                        buckets: Int = 64,
+                        steps: Int = 3): DataFrame = {
+    val sp = documents.sparkSession
+    val tgt = targetSources.map(s => s"'$s'").mkString(", ")
+    val feats = documents
+      .select(col("doc_id"), col("source"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .withColumn("b", expr(s"(${Portable.hash60SqlSpark("w")}) % $buckets"))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n_words",
+        sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("x_e6", expr("c * 1000000 DIV n_words"))
+      .withColumn("y", expr(s"CAST(source IN ($tgt) AS INT)").cast("long"))
+      .localCheckpoint()
+    val nDocs = feats.select(col("doc_id")).distinct().count()
+    val weights = scala.collection.mutable.Map.empty[Int, Long]
+      .withDefaultValue(0L)
+    var biasE9 = 0L
+    import sp.implicits._
+    def scored(): DataFrame = {
+      val wDf = broadcast((0 until buckets)
+        .map(b => (b, weights(b))).toDF("b", "w_e9"))
+      feats.join(wDf, Seq("b"))
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(expr("w_e9 * x_e6")).as("s_num"))
+        .withColumn("z",
+          (lit(biasE9) * lit(1000000L) + col("s_num")).cast("double") / 1e15)
+        .withColumn("p_e6",
+          expr("CAST(floor(1000000.0D / (1.0D + exp(-z)) + 0.5D) AS BIGINT)"))
+        .withColumn("r_e6", col("p_e6") - col("y") * 1000000L)
+    }
+    for (_ <- 0 until steps) {
+      val sc = scored().localCheckpoint()
+      val grads = feats.join(sc.select(col("doc_id"), col("r_e6")), Seq("doc_id"))
+        .groupBy(col("b"))
+        // the per-doc product is ≤1e12, BIGINT-exact; only the
+        // corpus-wide SUM needs the decimal headroom
+        .agg(sum(expr("CAST(r_e6 * x_e6 AS DECIMAL(38,0))")).as("g"))
+        .collect()
+        .map(r => (r.get(0).asInstanceOf[Number].intValue(),
+          r.getDecimal(1).toBigInteger))
+      val gBias = sc.agg(sum(expr("CAST(r_e6 AS DECIMAL(38,0))")))
+        .first().getDecimal(0).toBigInteger
+        .multiply(java.math.BigInteger.valueOf(1000000L))
+      val div = java.math.BigInteger.valueOf(nDocs * 1000L)
+      grads.foreach { case (b, g) =>
+        weights(b) -= g.divide(div).longValueExact()
+      }
+      biasE9 -= gBias.divide(div).longValueExact()
+    }
+    scored()
+      .join(feats.select(col("doc_id"), col("source"), col("n_words"))
+        .distinct(), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_words"),
+        col("p_e6").as("score_e6"),
+        (col("p_e6") > 500000L).cast("int").cast("long")
+          .as("predicted_target"))
+  }
 }

@@ -25,8 +25,9 @@ import graft.ingest.PromRemoteCodec.PromChunk
   *              (varbit int), positive spans, negative spans (each:
   *              varbit-uint count, then per span varbit-uint length +
   *              varbit-int offset); schema 127 (custom bounds) is
-  *              followed by a custom-values section — graft writes it
-  *              EMPTY, see the deviation note
+  *              followed by a custom-values section (varbit-uint
+  *              count, then per bound flag bit + payload — see
+  *              putCustomBound)
   *      sample 1:  ts varbit-int raw; count+zeroCount varbit-uint
   *                 (HISTOGRAM) or raw 64-bit floats (FLOAT_HISTOGRAM);
   *                 sum raw 64 bits; buckets (positive then negative)
@@ -65,7 +66,17 @@ import graft.ingest.PromRemoteCodec.PromChunk
   * field (the 0xff sentinel), where Go's float-histogram bucket
   * states may reuse differently — window choice changes bits, never
   * decoded values, the same latitude every Gorilla implementation
-  * has. */
+  * has.
+  *
+  * GOLDEN-FIXTURE STATUS (environment-constrained): the layout is
+  * re-derived from the public chunkenc source and verified by
+  * self-round-trip + differential fuzzing (HistChunksSpec,
+  * CodecFuzzSpec), NOT yet against chunk bytes a real Prometheus
+  * produced — this build environment has no network egress, so
+  * upstream fixtures cannot be fetched or generated. The moment
+  * egress allows, pin real tsdb/chunkenc bytes (XOR, HISTOGRAM,
+  * FLOAT_HISTOGRAM, NHCB) as test fixtures; until then the
+  * deviation note above bounds the known bit-level latitude. */
 object HistChunks {
 
   /** prompb Chunk.Encoding values (public types.proto). */

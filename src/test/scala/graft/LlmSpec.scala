@@ -1114,6 +1114,42 @@ class LlmSpec extends SparkSpecBase {
     assert(again.map(_._2).toSeq === got.map(_._4).toSeq)
   }
 
+  test("quality classifier: separability, determinism, gradient progress") {
+    import graft.llm.Sampling
+    import spark.implicits._
+    // two clearly-separated dialects: target sources speak one
+    // vocabulary, background another; twins across sources probe
+    // feature (not label) dependence of the score
+    val tgtText = "the quick brown fox jumps over the lazy dog again"
+    val bgText = "lorem ipsum dolor sit amet consectetur adipiscing elit sed"
+    val docs = ((0 until 8).map(i => (i.toLong, tgtText, "src0")) ++
+      (8 until 16).map(i => (i.toLong, bgText, "src9")))
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.qualityClassifier(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // separability: every target doc scores above every background
+    // doc, and the 0.5 decision splits them after 3 steps
+    val (tgt, bg) = out.partition(_._2 == "src0")
+    assert(tgt.map(_._3).min > bg.map(_._3).max,
+      s"target scores must dominate: $out")
+    assert(tgt.forall(_._4 == 1L) && bg.forall(_._4 == 0L), out.toSeq)
+    // identical text ⇒ identical score regardless of doc_id
+    assert(tgt.map(_._3).distinct.length === 1)
+    assert(bg.map(_._3).distinct.length === 1)
+    // bit-determinism across runs (the exact-integer contract)
+    val again = Sampling.qualityClassifier(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    assert(again.map(_._2).toSeq === out.map(_._3).toSeq)
+    // gradient progress: more steps separate at least as hard
+    val s1 = Sampling.qualityClassifier(docs, steps = 1).collect()
+      .map(r => (r.getString(1), r.getLong(3)))
+    val gap1 = s1.filter(_._1 == "src0").map(_._2).min -
+      s1.filter(_._1 == "src9").map(_._2).max
+    assert(tgt.map(_._3).min - bg.map(_._3).max >= gap1,
+      s"3-step margin must not shrink vs 1-step ($gap1)")
+  }
+
   test("url canonicalization: case, ports, slashes, params, fragments") {
     import spark.implicits._
     def canon(url: String): String =

@@ -200,6 +200,22 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("url dedup: one per-row expression, one exchange, no text shuffled") {
+    spark.catalog.clearCache()
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        concat(lit("https://h"), (col("doc_id") % 10).cast("string"),
+          lit(".com/p?a=1&utm_source=x")).as("url"))
+    val p = plan(graft.llm.Dedup.urlDedup(docs))
+    // the canonicalization is pure per-row codegen over the scan;
+    // the ONLY exchange is the canonical-key hash aggregate (AQE
+    // wraps it, so count the Exchange nodes, not plan shape)
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"urlDedup must cost exactly one exchange:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p)
+  }
+
   test("span scrub: the corpus side broadcasts its joins in the Zipf-head regime") {
     spark.catalog.clearCache()
     val df = graft.llm.Dedup.scrubRepeatedSpans(Tables.documents(spark, Sf))

@@ -15,7 +15,7 @@ import graft.sources.Tables
   * that grows at 100 TB). Measures how each stage scales; numbers
   * land in SCALE.md. `SPARK_GRAFT_SCALE_ONLY=
   * read|promql|dedup|components|ann|curate|prep|events|scrub|rollup|
-  * rolldense|ladder|compact|bpe|bpek|bpedeep|bpe4k|streamstate|strat|
+  * rolldense|ladder|compact|bpe|bpek|bpedeep|bpe4k|streamstate|strat|qc|
   * stars|manifest|listing|semdedup` runs one section. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -404,6 +404,24 @@ object ScaleSmoke {
     // eval suites don't grow with the crawl), n-gram frequency,
     // cluster assignment (vectors scale, centroids fixed), binary op
     // (series count scales). All must track input size linearly.
+    // ---- quality classifier: steps × two linear aggregates ---------
+    // Cost must scale ~linearly in corpus size (the feature table is
+    // O(docs × ≤64) rows; each gradient step is one broadcast join +
+    // one doc-keyed + one bucket-keyed aggregate; the driver holds
+    // only the 65 weights).
+    for (m <- Seq(1, 2, 4) if sectionEnabled("qc")) {
+      val d = scaled(m)
+      time(s"qualityClf s=3  m=$m")(
+        Sampling.qualityClassifier(d).count())
+      time(s"qualityClf s=1  m=$m")(
+        Sampling.qualityClassifier(d, steps = 1).count())
+      time(s"urlDedup        m=$m")(
+        Dedup.urlDedup(d.select(col("doc_id"),
+          concat(lit("https://H"), (col("doc_id") % 5000).cast("string"),
+            lit(".com/p/"), (col("doc_id") % 97).cast("string"),
+            lit("?b=2&utm_source=x&a=1")).as("url"))).count())
+    }
+
     for (m <- Seq(1, 2, 4) if sectionEnabled("curate")) {
       val d = scaled(m)
       time(s"decontaminate   m=$m")(

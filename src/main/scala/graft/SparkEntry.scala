@@ -2840,8 +2840,11 @@ object SparkEntry {
       |    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
       |         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
       |         ELSE auth END AS host,
-      |    regexp_replace(regexp_extract(pathq, '^([^?#]*)', 1), '/+$', '') AS path,
-      |    regexp_extract(pathq, '\?([^#]*)', 1) AS query
+      |    regexp_replace(regexp_extract(
+      |      regexp_extract(pathq, '^([^#]*)', 1), '^([^?]*)', 1),
+      |      '/+$', '') AS path,
+      |    regexp_extract(regexp_extract(pathq, '^([^#]*)', 1),
+      |      '\?(.*)', 1) AS query
       |  FROM auths
       |), canon AS (
       |  SELECT doc_id, host, scheme || '://' || host || path ||

@@ -1091,9 +1091,12 @@ object Dedup {
       .when(scheme === "https", regexp_replace(auth, ":443$", ""))
       .otherwise(auth)
     val pathq = regexp_replace(rest, "^[^/?#]*", "")
+    // fragment strips FIRST: a '?' inside the fragment must not be
+    // read as a query start
+    val noFrag = regexp_extract(pathq, "^([^#]*)", 1)
     val path =
-      regexp_replace(regexp_extract(pathq, "^([^?#]*)", 1), "/+$", "")
-    val query = regexp_extract(pathq, "\\?([^#]*)", 1)
+      regexp_replace(regexp_extract(noFrag, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)", 1)
     val kept = array_join(array_sort(filter(split(query, "&"),
       p => p =!= "" && !p.rlike(TrackingParamRe))), "&")
     concat(scheme, lit("://"), host, path,

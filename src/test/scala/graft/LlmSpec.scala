@@ -1150,6 +1150,64 @@ class LlmSpec extends SparkSpecBase {
       s"3-step margin must not shrink vs 1-step ($gap1)")
   }
 
+  test("url canonicalization fuzz: random messy URLs match a local reference") {
+    import spark.implicits._
+    // independent imperative reference of the documented contract
+    // (indexOf parsing, no regexes — a regex bug in the operator
+    // can't hide in a mirrored regex here)
+    val fixedKeys =
+      Set("fbclid", "gclid", "msclkid", "mc_eid", "igshid", "ref", "ref_src")
+    def refCanon(u: String): String = {
+      val m = "^([A-Za-z][A-Za-z0-9+.-]*)://".r.findFirstMatchIn(u)
+      val scheme = m.map(_.group(1).toLowerCase).getOrElse("")
+      val rest = m.map(mm => u.substring(mm.end)).getOrElse(u)
+      val authEnd = rest.indexWhere(c => c == '/' || c == '?' || c == '#')
+      val auth =
+        (if (authEnd < 0) rest else rest.take(authEnd)).toLowerCase
+      val host =
+        if (scheme == "http" && auth.endsWith(":80")) auth.dropRight(3)
+        else if (scheme == "https" && auth.endsWith(":443")) auth.dropRight(4)
+        else auth
+      val pathq = if (authEnd < 0) "" else rest.substring(authEnd)
+      val noFrag =
+        if (pathq.indexOf('#') < 0) pathq else pathq.take(pathq.indexOf('#'))
+      val qi = noFrag.indexOf('?')
+      val path0 = if (qi < 0) noFrag else noFrag.take(qi)
+      val path = path0.reverse.dropWhile(_ == '/').reverse
+      val query = if (qi < 0) "" else noFrag.substring(qi + 1)
+      def tracking(p: String): Boolean = {
+        val k = p.indexOf('=') match { case -1 => p; case i => p.take(i) }
+        k.startsWith("utm_") || fixedKeys(k)
+      }
+      val kept = query.split("&", -1).filter(p => p.nonEmpty && !tracking(p))
+        .sorted.mkString("&")
+      scheme + "://" + host + path + (if (kept.isEmpty) "" else "?" + kept)
+    }
+    val rnd = new scala.util.Random(20240816L)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
+    val urls = (0 until 400).map { i =>
+      val scheme = pick(Seq("http://", "https://", "HTTPS://", "HtTp://",
+        "ftp://", ""))
+      val host = pick(Seq("Example.COM", "example.com", "a.b.c.de",
+        "X--Y.org", "localhost"))
+      val port = pick(Seq("", ":80", ":443", ":8080"))
+      val path = pick(Seq("", "/", "/A/b", "/a/b/c/", "/p//", "/%20x"))
+      val params = (0 until rnd.nextInt(5)).map(_ => pick(Seq(
+        "a=1", "b=2", "z=9", "utm_source=f", "utm_campaign", "fbclid=x",
+        "ref=rss", "refresh=1", "gclid", "", "k=v=w", "=bare")))
+      val query = if (params.isEmpty) "" else "?" + params.mkString("&")
+      val frag = pick(Seq("", "#top", "#a?b=2", "#"))
+      s"$scheme$host$port$path$query$frag"
+    }
+    val got = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+      .select(col("doc_id"), Dedup.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    urls.zipWithIndex.foreach { case (u, i) =>
+      assert(got(i)._2 === refCanon(u), s"mismatch on: $u")
+    }
+  }
+
   test("url canonicalization: case, ports, slashes, params, fragments") {
     import spark.implicits._
     def canon(url: String): String =

@@ -638,6 +638,23 @@ class PromCodecSpec extends SparkSpecBase {
     // OTLP offset 0 → prompb index 1; counts accumulated 2 + 3
     val s2 = graft.ingest.NativeHistogram.toSparse(h2)
     assert(s2.pos === Map(1 -> 5.0))
+
+    // MIXED scales across delta points: the align+add arithmetic
+    // downscales to the coarser geometry instead of dropping. Scale 1
+    // buckets (√2 base) at OTLP offsets 0,1 → prompb indexes 1,2 —
+    // both inside scale-0 bucket 1 (they cover (1,√2],(√2,2]) — so
+    // the cumulative sample at scale 0 holds index 1 = 2+1+3 = 6.
+    val mpts = Seq(
+      expPoint(10L, 3L, 2.0, 1L, 0, Seq(2L, 1L)),
+      expPoint(20L, 3L, 2.5, 0L, 0, Seq(3L)))
+    val mout = OtlpCodec.decodeExportMetricsCounted(expReq(mpts, 1L),
+      convertDelta = true)
+    assert(mout.droppedPoints === 0L)
+    val mh = graft.ingest.NativeHistogram.decode(
+      graft.ingest.ProtoWire.reader(mout.hists.last._4))
+    assert(mh.schema === 0)
+    assert(mh.count === 6.0)
+    assert(graft.ingest.NativeHistogram.toSparse(mh).pos === Map(1 -> 6.0))
   }
 
   test("OTLP codec: summary points convert to quantile series + _sum/_count") {

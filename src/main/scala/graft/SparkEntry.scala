@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ingest.{Exposition, Ingest, PromRemoteCodec, RollupStore, SamplesStore, StreamIngest, TsvBulk}
@@ -368,20 +368,21 @@ object SparkEntry {
     * collapses to (doc_id % 50, doc_id % 20) ⇒ doc_id % 100 — 5
     * copies per canonical URL at sf0.01. Mirrored verbatim by the
     * oracle's synth CTE. */
+  private def synthUrlCol: Column = concat(
+    when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.EXAMPLE"))
+      .otherwise(lit("https://www.example")),
+    (col("doc_id") % 50).cast("string"),
+    when(col("doc_id") % 2 === 0, lit(".COM")).otherwise(lit(".com")),
+    when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+    lit("/Articles/"), (col("doc_id") % 20).cast("string"),
+    when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+    when(col("doc_id") % 2 === 0, lit("?b=2&utm_source=feed&a=1"))
+      .otherwise(lit("?a=1&b=2")),
+    when(col("doc_id") % 5 === 0, lit("&fbclid=xyz")).otherwise(lit("")),
+    when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit("")))
+
   private def synthUrls(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(col("doc_id"), concat(
-      when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.EXAMPLE"))
-        .otherwise(lit("https://www.example")),
-      (col("doc_id") % 50).cast("string"),
-      when(col("doc_id") % 2 === 0, lit(".COM")).otherwise(lit(".com")),
-      when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
-      lit("/Articles/"), (col("doc_id") % 20).cast("string"),
-      when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
-      when(col("doc_id") % 2 === 0, lit("?b=2&utm_source=feed&a=1"))
-        .otherwise(lit("?a=1&b=2")),
-      when(col("doc_id") % 5 === 0, lit("&fbclid=xyz")).otherwise(lit("")),
-      when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit("")))
-      .as("url"))
+    Tables.documents(s, dir).select(col("doc_id"), synthUrlCol.as("url"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.1 ingestion / data model -------------------------------
@@ -1837,6 +1838,14 @@ object SparkEntry {
     // α-tempered language mixing and split assignment
     "pipeline_corpus_prep_full" -> ((s, dir) =>
       graft.llm.CorpusPrep.prepareFull(Tables.documents(s, dir))),
+
+    // the web-crawl front: URL-canonical dedup FIRST (the fetch-alias
+    // class dies before any text op runs), quality gate on the same
+    // scan, exact text dedup over the thinned set, split — two
+    // key-window shuffles total
+    "pipeline_web_prep" -> ((s, dir) =>
+      graft.llm.CorpusPrep.webPrep(
+        Tables.documents(s, dir).withColumn("url", synthUrlCol))),
 
     // ---- §2.7 multimodal -------------------------------------------
     "mm_binary_pipeline" -> ((s, dir) =>
@@ -5395,6 +5404,49 @@ object SparkEntry {
          |       ELSE 'test' END AS split
          |FROM dd d JOIN r ON d.pred_lang = r.pred_lang
          |WHERE ${duckHash("'cprep:' || CAST(doc_id AS VARCHAR)")} % 1000 < r.keep_rate""".stripMargin
+    },
+
+    // web front: the url-canonical keep-min window over the synth
+    // CTE, then the quality gate + text-dedup window + split over
+    // the thinned survivors — the same stage algebra as the Spark
+    // composition
+    "pipeline_web_prep" -> {
+      val en = TextAnalysis.StopWords.head._2
+      val score =
+        s"len(list_filter(toks, t -> t IN (${en.map(w => s"'$w'").mkString(", ")})))"
+      s"""$urlCanonCte, urlkept AS (
+         |  SELECT d.doc_id, c.canonical_url, d.text
+         |  FROM documents d JOIN (
+         |    SELECT doc_id, canonical_url,
+         |           min(doc_id) OVER (PARTITION BY canonical_url) AS ukeep
+         |    FROM canon) c ON d.doc_id = c.doc_id
+         |  WHERE c.doc_id = c.ukeep
+         |), t2 AS (
+         |  SELECT doc_id, canonical_url, text,
+         |         string_split(text, ' ') AS toks,
+         |         length(replace(text, ' ', '')) AS n_alpha
+         |  FROM urlkept
+         |), f2 AS (
+         |  SELECT doc_id, canonical_url, text, len(toks) AS n_words,
+         |         n_alpha, $score AS n_stop
+         |  FROM t2
+         |), g2 AS (
+         |  SELECT doc_id, canonical_url, text,
+         |    least(n_words::BIGINT * 5000, 500000) +
+         |    least(n_stop::BIGINT * 1500000 // n_words, 300000) +
+         |    CASE WHEN n_alpha >= 3 * n_words AND n_alpha <= 8 * n_words
+         |         THEN 200000 ELSE 0 END AS quality_score_e6
+         |  FROM f2
+         |), kept2 AS (
+         |  SELECT doc_id, canonical_url, quality_score_e6,
+         |         min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+         |  FROM g2 WHERE quality_score_e6 >= 500000
+         |)
+         |SELECT doc_id, canonical_url, quality_score_e6,
+         |  CASE WHEN ${duckHash("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 800 THEN 'train'
+         |       WHEN ${duckHash("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM kept2 WHERE doc_id = keep_id""".stripMargin
     },
 
     // the prepared train split fed straight into sequence packing —

@@ -84,4 +84,31 @@ object CorpusPrep {
       .select(col("doc_id"), col("pred_lang"), col("quality_score_e6"),
         col("keep_rate"), col("split"))
   }
+
+  /** The WEB-CRAWL front of [[prepare]] — the stage order every
+    * crawl pipeline uses: URL-canonical dedup FIRST (the cheapest
+    * and largest duplicate class dies before any text operator pays
+    * for it — at 100 TB the fetch aliases are the bulk), then the
+    * quality gate as per-row columns on the same scan, exact text
+    * dedup over the URL-thinned survivors, and deterministic split
+    * assignment. Exactly TWO key-window shuffles (canonical URL,
+    * then md5(text) over the already-thinned set); the text column
+    * never joins a derived frame. */
+  def webPrep(documents: DataFrame, urlCol: String = "url",
+              minQuality: Double = 0.5): DataFrame = {
+    val urlKept = documents
+      .withColumn("canonical_url", Dedup.canonicalUrl(col(urlCol)))
+      .withColumn("url_keep",
+        min(col("doc_id")).over(Window.partitionBy(col("canonical_url"))))
+      .filter(col("doc_id") === col("url_keep"))
+    val gated = TextAnalysis.withQualityScore(urlKept)
+      .filter(col("quality_score_e6") >= math.round(minQuality * 1e6))
+    val kept = gated
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("keep_id"))
+    Sampling.withSplit(kept, "doc_id")
+      .select(col("doc_id"), col("canonical_url"),
+        col("quality_score_e6"), col("split"))
+  }
 }

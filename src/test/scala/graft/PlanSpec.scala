@@ -243,6 +243,21 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Window"), s"expected the dedup window:\n$p")
   }
 
+  test("web-prep pipeline: one scan, exactly two key-window shuffles") {
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, Sf).withColumn("url",
+      concat(lit("https://h"), (col("doc_id") % 7).cast("string"),
+        lit(".com/p?a=1")))
+    val df = graft.llm.CorpusPrep.webPrep(docs)
+    val p = plan(df)
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"web prep must read the corpus once, found $scans:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 2,
+      s"web prep must shuffle exactly twice (url window, text window), found $exchanges:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p)
+  }
+
   test("full multilingual pipeline: gates stack on the dedup scan, rates broadcast") {
     spark.catalog.clearCache()
     val df = graft.llm.CorpusPrep.prepareFull(Tables.documents(spark, Sf))

@@ -713,6 +713,18 @@ class ServeSpec extends SparkSpecBase {
           s"time=${t0 / 1000 + 60}")
         assert(qv.contains(""""value":["""), qv)
         assert(!qv.contains("\"histogram\""), qv)
+
+        // a staleness marker ENDS the histogram series on the JSON
+        // surface too (histVec rides the same _stale sibling): marker
+        // at t0+120 kills the k=v lookback while the unmarked float
+        // twin still answers
+        RemoteWrite.serve(spark, store, PromRemoteCodec.encodeWriteRequest(
+          PromRemoteCodec.PromWriteRequest(Seq(PromTimeSeries(
+            Seq(PromLabel("__name__", "nh"), PromLabel("k", "v")),
+            Seq(PromSample(PromRemoteCodec.staleNaN, t0 + 120000L)))))))
+        val sv = q("nh", s"time=${t0 / 1000 + 150}")
+        assert(!sv.contains("\"histogram\""), sv)
+        assert(sv.contains(""""metric":{"__name__":"nh","k":"w"}"""), sv)
       } finally RemoteWrite.nativeHistogramQuantile = false
     } finally srv.stop()
   }

@@ -657,6 +657,100 @@ class PromCodecSpec extends SparkSpecBase {
     assert(graft.ingest.NativeHistogram.toSparse(mh).pos === Map(1 -> 6.0))
   }
 
+  test("OTLP delta histogram fuzz: random interleaved series match a reference") {
+    import graft.ingest.OtlpCodec
+    val rnd = new scala.util.Random(99L)
+    case class P(tUs: Long, attr: String, count: Long, sum: Option[Double],
+                 bounds: Seq[Double], counts: Seq[Long])
+    def encode(points: Seq[P]): Array[Byte] = {
+      val h = new ProtoWire.Writer
+      points.foreach { p =>
+        val w = new ProtoWire.Writer
+        w.writeFixed64Field(3, p.tUs * 1000L)
+        w.writeFixed64Field(4, p.count)
+        p.sum.foreach(w.writeDoubleField(5, _))
+        p.counts.foreach(w.writeFixed64Field(6, _))
+        p.bounds.foreach(w.writeDoubleField(7, _))
+        val kv = new ProtoWire.Writer
+        kv.writeStringField(1, "s")
+        val av = new ProtoWire.Writer
+        av.writeStringField(1, p.attr)
+        kv.writeMessageField(2, av)
+        w.writeMessageField(9, kv)
+        h.writeMessageField(1, w)
+      }
+      h.writeVarintField(2, 1L) // DELTA
+      val m = new ProtoWire.Writer
+      m.writeStringField(1, "fz")
+      m.writeMessageField(9, h)
+      val scope = new ProtoWire.Writer
+      scope.writeMessageField(2, m)
+      val rm = new ProtoWire.Writer
+      rm.writeMessageField(2, scope)
+      val req = new ProtoWire.Writer
+      req.writeMessageField(1, rm)
+      req.toBytes
+    }
+    val layouts = Seq(Seq(1.0, 5.0), Seq(2.0), Seq(0.5, 1.0, 2.0))
+    for (_ <- 0 until 10) {
+      val pts = rnd.shuffle(for {
+        attr <- Seq("0", "1")
+        i <- 0 until (3 + rnd.nextInt(5))
+      } yield {
+        val bounds = layouts(rnd.nextInt(layouts.length))
+        val counts = bounds.map(_ => rnd.nextInt(4).toLong)
+        val overflow = rnd.nextInt(3).toLong
+        P((i * 10 + 10).toLong, attr, counts.sum + overflow,
+          if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(10) * 0.5),
+          bounds, counts)
+      })
+      val out = OtlpCodec.decodeExportMetricsCounted(encode(pts),
+        convertDelta = true)
+      assert(out.droppedPoints === 0L)
+      val got = out.samples
+        .map(s => (s.metric, s.labels.mkString(","), s.ts_us, s.value)).toSet
+      // reference: per series in timestamp order, element-wise prefix
+      // sums with layout-change resets and sum-dropout
+      val want = Set.newBuilder[(String, String, Long, Double)]
+      pts.groupBy(_.attr).foreach { case (attr, series) =>
+        val ls = s"s=$attr"
+        var accCounts: Seq[Long] = Nil
+        var accCount = 0L
+        var accSum = 0.0d
+        var accHasSum = false
+        var prev: Seq[Double] = null
+        series.sortBy(_.tUs).foreach { p =>
+          if (prev == null || p.bounds != prev) {
+            accCounts = p.counts; accCount = p.count
+            accSum = p.sum.getOrElse(0.0); accHasSum = p.sum.isDefined
+          } else {
+            accCounts = accCounts.zip(p.counts).map { case (a, b) => a + b }
+            accCount += p.count
+            accSum += p.sum.getOrElse(0.0)
+            accHasSum &&= p.sum.isDefined
+          }
+          prev = p.bounds
+          var cum = 0L
+          // Go-style le text for the finite fuzz bounds (all short
+          // decimals)
+          def leTxt(v: Double): String =
+            if (v == v.toLong.toDouble) v.toLong.toString else v.toString
+          p.bounds.zipWithIndex.foreach { case (b, i) =>
+            cum += accCounts(i)
+            // labels store sorted: "le=…" < "s=…"
+            want += (("fz_bucket", s"le=${leTxt(b)},$ls",
+              p.tUs, cum.toDouble))
+          }
+          want += (("fz_bucket", s"le=+Inf,$ls", p.tUs, accCount.toDouble))
+          if (accHasSum) want += (("fz_sum", ls, p.tUs, accSum))
+          want += (("fz_count", ls, p.tUs, accCount.toDouble))
+        }
+      }
+      assert(got === want.result(),
+        s"delta-hist fuzz mismatch on ${pts.size} points")
+    }
+  }
+
   test("OTLP codec: summary points convert to quantile series + _sum/_count") {
     import graft.ingest.OtlpCodec
     val t = 1704412800000000L // µs

@@ -1098,4 +1098,96 @@ class PromQLDiffSpec extends SparkSpecBase {
     assert(covered.size == 20,
       s"fuzzer verified only productions ${covered.toSeq.sorted} of 0..19")
   }
+
+  test("hist instant vector fuzz: lookback + stale ties vs a sequential reference") {
+    import graft.ingest.{NativeHistogram => NH, ProtoWire}
+    import spark.implicits._
+    // the histogram-vector leg under /api/v1/query's JSON surface:
+    // the distributed grid-explode lookback (same-second dup → max
+    // unsigned-lex bytes; marker loses a same-second tie to a
+    // sample; a winning marker ends the series) against a sequential
+    // per-step scan of the same world
+    val rnd = new scala.util.Random(424242L)
+    val start = T0
+    val end = T0 + 300
+    val step = 30L
+    val lookback = 60L
+    def mkHist(tSec: Long): Array[Byte] = {
+      val a = 1L + rnd.nextInt(5)
+      val b = 1L + rnd.nextInt(5)
+      NH.encode(NH.Hist(tSec * 1000L, (a + b).toDouble, rnd.nextInt(8) * 0.5,
+        0, 0.0, 0.0, Seq((0, 2)), Seq(a, b - a), Nil, Nil, Nil, Nil))
+    }
+    val hists = Seq.newBuilder[(Long, String, Seq[String], Array[Byte])]
+    val marks = Seq.newBuilder[(Long, String, Seq[String], Double)]
+    val sampleTimes = scala.collection.mutable.Map
+      .empty[Seq[String], Vector[Long]]
+    for (host <- Seq("a", "b", "c")) {
+      val labels = Seq(s"host=$host")
+      var t = start - lookback - 10 + rnd.nextInt(30)
+      while (t < end + 20) {
+        val reps = 1 + (if (rnd.nextInt(4) == 0) 1 else 0)
+        for (_ <- 0 until reps)
+          hists += ((t * 1000000L, "hm", labels, mkHist(t)))
+        sampleTimes(labels) = sampleTimes.getOrElse(labels, Vector()) :+ t
+        t += 10 + rnd.nextInt(45)
+      }
+      // markers: two exactly ON sample seconds (sample must win the
+      // tie), two strictly between samples (series must END there
+      // until the next sample revives it)
+      val ts = sampleTimes(labels)
+      for (_ <- 0 until 2)
+        marks += ((ts(rnd.nextInt(ts.size)) * 1000000L, "hm", labels,
+          graft.ingest.PromRemoteCodec.staleNaN))
+      for (_ <- 0 until 2) {
+        val i = rnd.nextInt(ts.size - 1)
+        val mid = ts(i) + 1 + rnd.nextInt(math.max(1, (ts(i + 1) - ts(i) - 1).toInt))
+        marks += ((mid * 1000000L, "hm", labels,
+          graft.ingest.PromRemoteCodec.staleNaN))
+      }
+    }
+    val histRows = hists.result()
+    val markRows = marks.result()
+    val hs = histRows.toDF("ts_us", "metric", "labels", "hist")
+    val st = markRows.toDF("ts_us", "metric", "labels", "value")
+    val e = PromQL.parse("hm").toOption.get
+    val got = PromQL.evalHistVec(hs, e, start, end, step, None, Some(st),
+        lookbackSec = lookback).get
+      .collect()
+      .map(r => (r.getSeq[String](1).mkString(","), r.getLong(2),
+        r.getAs[Array[Byte]](3).toSeq))
+      .toSet
+    // sequential reference: per (series, step) scan the raw world
+    def lexGt(a: Array[Byte], b: Array[Byte]): Boolean = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d > 0
+        i += 1
+      }
+      a.length > b.length
+    }
+    val byLabels = histRows.groupBy(_._3)
+    val marksBy = markRows.groupBy(_._3)
+      .map { case (k, v) => k -> v.map(_._1 / 1000000L).toSet }
+    val want = (for {
+      (labels, rows) <- byLabels.toSeq
+      // same-second dedup: max unsigned-lexicographic bytes (Spark
+      // BinaryType's own ordering)
+      bySec = rows.groupBy(_._1 / 1000000L).map { case (s, vs) =>
+        s -> vs.map(_._4).reduceLeft((x, y) => if (lexGt(x, y)) x else y)
+      }
+      mk = marksBy.getOrElse(labels, Set.empty)
+      t <- start to end by step
+      window = (t - lookback + 1) to t
+      lastSample = bySec.keys.filter(window.contains).reduceOption(_ max _)
+      lastMark = mk.filter(window.contains).reduceOption(_ max _)
+      // sample wins a same-second tie; a strictly newer marker ends
+      // the series
+      if lastSample.isDefined && !lastMark.exists(_ > lastSample.get)
+    } yield (labels.mkString(","), t, bySec(lastSample.get).toSeq)).toSet
+    assert(got === want,
+      s"hist instant mismatch: extra=${got -- want}, missing=${want -- got}")
+  }
 }

@@ -698,6 +698,8 @@ object HttpServe {
             Seq("Content-Type" -> "application/json"))
         case Right((expr, (startSec, endSec, stepSec), limit)) =>
           val (rows, histRows) = SamplesStore.readLocked(storePath) {
+            // ONE sibling existence probe feeds both legs
+            val staleDf = RemoteWrite.staleStoreDf(spark, storePath)
             // the 3.x histogram-valued leg: an expression whose
             // top-level value is a native histogram (selector, rate,
             // sum-of-rate) ALSO evaluates over the hist sibling; its
@@ -710,8 +712,7 @@ object HttpServe {
                   PromQL.histogramValued(expr))
                 RemoteWrite.histStoreDf(spark, storePath)
                   .flatMap(hs => PromQL.evalHistVec(hs, expr, startSec,
-                    endSec, stepSec, ignoreLabel,
-                    RemoteWrite.staleStoreDf(spark, storePath)))
+                    endSec, stepSec, ignoreLabel, staleDf))
                   .map(_.limit(MaxQueryCells + 1).collect())
                   .getOrElse(Array.empty[org.apache.spark.sql.Row])
               else Array.empty[org.apache.spark.sql.Row]
@@ -743,7 +744,7 @@ object HttpServe {
                   // staleness markers END series at the instant
                   // lookback (one exists() probe per query; the
                   // sibling only exists once a marker ever landed)
-                  stale = RemoteWrite.staleStoreDf(spark, storePath))
+                  stale = staleDf)
                 // bound the collect IN-PLAN, like the metadata caps
                 .limit(MaxQueryCells + 1)
                 .collect()

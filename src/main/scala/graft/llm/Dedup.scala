@@ -1083,13 +1083,22 @@ object Dedup {
     * `scheme://` canonicalizes to `://` + its lowercased head, which
     * simply dedups against other copies of the same malformed
     * string. */
-  def canonicalUrl(u: Column): Column = {
+  /** The shared (scheme, host, rest-after-authority) derivation both
+    * canonical columns build on — ONE place for the scheme regex,
+    * authority extract, and default-port strip, so URL identity and
+    * host grouping can never desync. */
+  private def schemeHostRest(u: Column): (Column, Column, Column) = {
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     val auth = lower(regexp_extract(rest, "^([^/?#]*)", 1))
     val host = when(scheme === "http", regexp_replace(auth, ":80$", ""))
       .when(scheme === "https", regexp_replace(auth, ":443$", ""))
       .otherwise(auth)
+    (scheme, host, rest)
+  }
+
+  def canonicalUrl(u: Column): Column = {
+    val (scheme, host, rest) = schemeHostRest(u)
     val pathq = regexp_replace(rest, "^[^/?#]*", "")
     // fragment strips FIRST: a '?' inside the fragment must not be
     // read as a query start
@@ -1104,15 +1113,8 @@ object Dedup {
   }
 
   /** The host part of [[canonicalUrl]] — the crawl-frontier grouping
-    * key. */
-  def canonicalHost(u: Column): Column = {
-    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val auth = lower(regexp_extract(
-      regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", ""), "^([^/?#]*)", 1))
-    when(scheme === "http", regexp_replace(auth, ":80$", ""))
-      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
-      .otherwise(auth)
-  }
+    * key, derived by the same [[schemeHostRest]]. */
+  def canonicalHost(u: Column): Column = schemeHostRest(u)._2
 
   /** Exact dedup on the canonical URL: keep the smallest doc_id per
     * canonical form, count the copies. The step web pipelines run

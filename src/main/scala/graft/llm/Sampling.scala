@@ -330,12 +330,17 @@ object Sampling {
     * per-bucket gradients are INTEGER sums — associative, so plain
     * distributed aggregation is bit-deterministic with no sorted
     * folds in the hot path. The only float ops are one
-    * CAST(BIGINT→DOUBLE) ∕ 1e15 and one sigmoid per (doc, step),
-    * both IEEE-identical across engines; p snaps back to e6 before
-    * feeding the next gradient. η = 1 folds into the update
-    * Δw_e9 = −grad ∕ (N·1000) (truncating integer division — Scala
-    * Long and DuckDB `//` agree on negatives), so the DuckDB oracle
-    * replays the unrolled steps as CTEs bit-for-bit.
+    * CAST(BIGINT→DOUBLE) ∕ 1e15 (IEEE-identical everywhere) and one
+    * sigmoid per (doc, step); p snaps back to e6 before feeding the
+    * next gradient, which absorbs exp()'s cross-libm ulp spread
+    * EXCEPT when 1e6·σ(z) lands within an ulp of an exact .5
+    * boundary (~2e-10 per (doc, step) — negligible at test scale;
+    * at 10⁹+ docs a differential check should tolerate one snapped
+    * unit, the same caveat as every e6-snapped libm row). η = 1
+    * folds into the update Δw_e9 = −grad ∕ (N·1000) (truncating
+    * integer division — Scala Long and DuckDB `//` agree on
+    * negatives), so the DuckDB oracle replays the unrolled steps
+    * as CTEs.
     *
     * Scale shape: the feature table is O(docs × ≤buckets) rows,
     * built once and localCheckpoint'ed; each step is one ≤65-row
@@ -378,7 +383,10 @@ object Sampling {
           expr("CAST(floor(1000000.0D / (1.0D + exp(-z)) + 0.5D) AS BIGINT)"))
         .withColumn("r_e6", col("p_e6") - col("y") * 1000000L)
     }
-    for (_ <- 0 until steps) {
+    // an empty (or fully text-less) corpus trains nothing and
+    // answers the empty frame — no null-decimal dereference, no
+    // zero divisor
+    for (_ <- 0 until steps if nDocs > 0) {
       val sc = scored().localCheckpoint()
       val grads = feats.join(sc.select(col("doc_id"), col("r_e6")), Seq("doc_id"))
         .groupBy(col("b"))

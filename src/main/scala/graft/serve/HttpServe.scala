@@ -800,16 +800,29 @@ object HttpServe {
                     (r.getLong(2), j)))
               }.groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1))
                 .toSeq
-            val histKeys = histSeries.map(_._1).toSet
-            // mixed vector: float and histogram series side by side,
-            // ONE identity order across both arms; histogram wins a
-            // key collision. Sort roots can't be histogram-valued,
-            // so the rootSorted order is always float-only.
+            val histByKey = histSeries.toMap
+            val floatKeys = bySeries.map(_._1).toSet
+            // mixed vector: float and histogram series side by side
+            // in ONE identity order. A series present in BOTH arms
+            // (a target migrated between classic float and native
+            // histogram mid-window) keeps both on the RANGE surface:
+            // the matrix entry carries "values" AND "histograms"
+            // (Prometheus 3.x's own shape for mixed series). The
+            // instant surface answers the HISTOGRAM arm on a
+            // collision — both legs emit at the same grid step, so
+            // there is no per-arm recency to compare without a
+            // unified store walk; a float-after-histogram rollback
+            // is shadowed for at most one lookback window (documented
+            // divergence from Prometheus's single-stream
+            // newest-sample rule). Sort roots can't be
+            // histogram-valued, so the rootSorted order is always
+            // float-only.
             val merged: Seq[((Option[String], Seq[String]),
-                Either[Seq[(Long, Long)], Seq[(Long, String)]])] =
-              bySeries.filterNot { case (k, _) => histKeys.contains(k) }
-                .map { case (k, pts) => (k, Left(pts.map(_._2).toSeq)) } ++
-              histSeries.map { case (k, hs0) => (k, Right(hs0)) }
+                (Option[Seq[(Long, Long)]], Option[Seq[(Long, String)]]))] =
+              bySeries.map { case (k, pts) =>
+                (k, (Some(pts.map(_._2).toSeq), histByKey.get(k))) } ++
+              histSeries.filterNot { case (k, _) => floatKeys.contains(k) }
+                .map { case (k, hps) => (k, (None, Some(hps))) }
             val ordered =
               if (rootSorted || histSeries.isEmpty) merged
               else merged.sortBy { case ((m, ls), _) =>
@@ -823,27 +836,33 @@ object HttpServe {
               if (truncated)
                 ""","warnings":["results truncated due to limit"]"""
               else ""
+            def valuesJson(pts: Seq[(Long, Long)]): String =
+              pts.sortBy(_._1)
+                .map { case (t, v) => s"""[$t,"${PromQL.formatE6(v)}"]""" }
+                .mkString("[", ",", "]")
+            def histsJson(hps: Seq[(Long, String)]): String =
+              hps.map { case (t, j) => s"""[$t,$j]""" }
+                .mkString("[", ",", "]")
             val body =
-              if (rangeMode) shown.map {
-                case ((m, ls), Left(pts)) =>
-                  val vals = pts.sortBy(_._1)
-                    .map { case (t, v) => s"""[$t,"${PromQL.formatE6(v)}"]""" }
-                    .mkString("[", ",", "]")
-                  s"""{"metric":${labelsJson(m, ls)},"values":$vals}"""
-                case ((m, ls), Right(hps)) =>
-                  val vals = hps.map { case (t, j) => s"""[$t,$j]""" }
-                    .mkString("[", ",", "]")
-                  s"""{"metric":${labelsJson(m, ls)},"histograms":$vals}"""
+              if (rangeMode) shown.map { case ((m, ls), (fOpt, hOpt)) =>
+                val parts =
+                  fOpt.map(p => s""""values":${valuesJson(p)}""").toSeq ++
+                  hOpt.map(h => s""""histograms":${histsJson(h)}""")
+                s"""{"metric":${labelsJson(m, ls)},${parts.mkString(",")}}"""
               }.mkString(
                 s"""{"status":"success"$warn,"data":{"resultType":"matrix","result":[""",
                 ",", "]}}")
-              else shown.map {
-                case ((m, ls), Left(pts)) =>
-                  val (t, v) = pts.maxBy(_._1)
-                  s"""{"metric":${labelsJson(m, ls)},"value":[$t,"${PromQL.formatE6(v)}"]}"""
-                case ((m, ls), Right(hps)) =>
-                  val (t, j) = hps.maxBy(_._1)
-                  s"""{"metric":${labelsJson(m, ls)},"histogram":[$t,$j]}"""
+              else shown.map { case ((m, ls), (fOpt, hOpt)) =>
+                val arm = (fOpt, hOpt) match {
+                  case (_, Some(hps)) =>
+                    val (ht, hj) = hps.maxBy(_._1)
+                    s""""histogram":[$ht,$hj]"""
+                  case (Some(pts), _) =>
+                    val (ft, fv) = pts.maxBy(_._1)
+                    s""""value":[$ft,"${PromQL.formatE6(fv)}"]"""
+                  case (None, None) => "" // unreachable: a key has an arm
+                }
+                s"""{"metric":${labelsJson(m, ls)},$arm}"""
               }.mkString(
                 s"""{"status":"success"$warn,"data":{"resultType":"vector","result":[""",
                 ",", "]}}")

@@ -2975,7 +2975,8 @@ object PromQL {
               // point), never a partial sum, never a failed task
               val it = bs.iterator
                 .map(b => NH.toSparse(NH.decode(ProtoWire.reader(b))))
-              val sum = it.foldLeft(Option(it.next()))(NH.addOrDrop)
+              val head = it.next() // bind BEFORE the fold iterates
+              val sum = it.foldLeft(Option(head))(NH.addOrDrop)
               sum.map(s => (ls, t, NH.encode(NH.fromSparse(t * 1000L, s))))
             })
             .toDF("labels", "t", "hb")

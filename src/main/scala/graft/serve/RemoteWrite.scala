@@ -68,8 +68,10 @@ object RemoteWrite {
     * otlp-deltatocumulative feature switch). OFF by default — delta
     * sums reject with a 400 (stored as-if-cumulative they would
     * corrupt every rate()); ON, a delta Sum's points accumulate into
-    * cumulative levels per series WITHIN the request (see
-    * OtlpCodec). Delta histograms still reject either way. */
+    * cumulative levels per series WITHIN the request, and delta
+    * HISTOGRAMS convert the same way — explicit bounds element-wise
+    * per bucket (layout change = reset), exponential via the sparse
+    * align+add running sum (see OtlpCodec). */
   @volatile var otlpConvertDelta: Boolean = false
 
   /** Opt-in OTLP unit/type suffixing (the suffix half of Prometheus

@@ -636,11 +636,13 @@ class ServeSpec extends SparkSpecBase {
       Seq((0, 3)), Seq(2L, 1L, -1L), Nil, Nil, Nil, Nil,
       customValues = Seq(0.1, 0.5))
     // float twin UNDER THE SAME NAME, different labels — the mixed
-    // float/histogram vector of the 3.x convention
+    // float/histogram vector of the 3.x convention — AND a float
+    // sample on the k=v series ITSELF (the float→native migration
+    // shape): the range surface must carry both arms
     RemoteWrite.serve(spark, store, PromRemoteCodec.encodeWriteRequest(
       PromRemoteCodec.PromWriteRequest(Seq(
         PromTimeSeries(Seq(PromLabel("__name__", "nh"), PromLabel("k", "v")),
-          Nil, histograms = Seq(h1, h2)),
+          Seq(PromSample(0.5, t0 - 30000L)), histograms = Seq(h1, h2)),
         PromTimeSeries(Seq(PromLabel("__name__", "nhc"), PromLabel("k", "v")),
           Nil, histograms = Seq(hc)),
         PromTimeSeries(Seq(PromLabel("__name__", "nh"), PromLabel("k", "w")),
@@ -677,16 +679,25 @@ class ServeSpec extends SparkSpecBase {
         // the histogram entry sorts in the same (name, labels) order
         assert(v.indexOf("\"k\":\"v\"") < v.indexOf("\"k\":\"w\""), v)
 
-        // range: per-step effective histograms in time order
+        // range: per-step effective histograms in time order, AND the
+        // migration shape — the k=v entry carries BOTH arms ("values"
+        // from the pre-migration float, "histograms" from the native
+        // samples) in one matrix entry, Prometheus 3.x's mixed-series
+        // shape
         val m = q("nh{k=\"v\"}",
           s"start=${t0 / 1000}&end=${t0 / 1000 + 60}&step=60")
         assert(m.contains(""""resultType":"matrix""""), m)
+        assert(m.contains(
+          """"values":[[1704412800,"0.5"],[1704412860,"0.5"]]"""), m)
         assert(m.contains(
           """"histograms":[[1704412800,{"count":"6","sum":"4.5","buckets":""" +
             """[[3,"-0.001","0.001","1"],[0,"0.5","1","2"],[0,"1","2","3"]]}],""" +
             """[1704412860,{"count":"10","sum":"8.5","buckets":""" +
             """[[3,"-0.001","0.001","1"],[0,"0.5","1","4"],[0,"1","2","5"]]}]]"""),
           m)
+        // both arms inside ONE entry (not two series objects)
+        assert("\"metric\":\\{\"__name__\":\"nh\",\"k\":\"v\"\\}".r
+          .findAllIn(m).size === 1, m)
 
         // NHCB: custom bounds render as le-style buckets (rule 0),
         // first lower 0, overflow to +Inf
@@ -714,9 +725,17 @@ class ServeSpec extends SparkSpecBase {
         assert(qv.contains(""""value":["""), qv)
         assert(!qv.contains("\"histogram\""), qv)
 
+        // instant collision rule: the k=v series holds both arms in
+        // the lookback — the HISTOGRAM answers (documented rule; the
+        // float arm is not lost, see the range shape above)
+        val cv = q("nh{k=\"v\"}", s"time=${t0 / 1000 + 60}")
+        assert(cv.contains("\"histogram\":["), cv)
+        assert(!cv.contains("\"value\":["), cv)
+
         // a staleness marker ENDS the histogram series on the JSON
         // surface too (histVec rides the same _stale sibling): marker
-        // at t0+120 kills the k=v lookback while the unmarked float
+        // at t0+120 kills BOTH of k=v's arms (float and histogram
+        // lookbacks ride the same sibling) while the unmarked float
         // twin still answers
         RemoteWrite.serve(spark, store, PromRemoteCodec.encodeWriteRequest(
           PromRemoteCodec.PromWriteRequest(Seq(PromTimeSeries(
@@ -724,7 +743,19 @@ class ServeSpec extends SparkSpecBase {
             Seq(PromSample(PromRemoteCodec.staleNaN, t0 + 120000L)))))))
         val sv = q("nh", s"time=${t0 / 1000 + 150}")
         assert(!sv.contains("\"histogram\""), sv)
+        assert(!sv.contains("\"k\":\"v\""), sv)
         assert(sv.contains(""""metric":{"__name__":"nh","k":"w"}"""), sv)
+
+        // ...and a float sample NEWER than the marker revives the
+        // series on the float arm: the instant entry answers the
+        // float (the histogram leg stays ended)
+        RemoteWrite.serve(spark, store, PromRemoteCodec.encodeWriteRequest(
+          PromRemoteCodec.PromWriteRequest(Seq(PromTimeSeries(
+            Seq(PromLabel("__name__", "nh"), PromLabel("k", "v")),
+            Seq(PromSample(0.7, t0 + 180000L)))))))
+        val rv = q("nh{k=\"v\"}", s"time=${t0 / 1000 + 200}")
+        assert(rv.contains(""""value":[1704413000,"0.7"]"""), rv)
+        assert(!rv.contains("\"histogram\""), rv)
       } finally RemoteWrite.nativeHistogramQuantile = false
     } finally srv.stop()
   }

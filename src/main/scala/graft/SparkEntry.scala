@@ -1726,6 +1726,17 @@ object SparkEntry {
       Sampling.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id", "strat", 50)
         .select(col("doc_id"), col("lang"), col("srank"))),
 
+    // Per-DOMAIN cap (the Gopher/CCNet crawl-balance rule: no host
+    // dominates the corpus): at most k docs per canonical host,
+    // picked by deterministic hash rank — canonicalHost composed
+    // with the skew-thinned stratified sampler, so a mega-host's
+    // window partition is pre-thinned to ~64k rows before ranking
+    "sample_domain_cap" -> ((s, dir) =>
+      Sampling.stratifiedSample(
+        synthUrls(s, dir).withColumn("host", Dedup.canonicalHost(col("url"))),
+        "host", "doc_id", "domcap", 6)
+        .select(col("doc_id"), col("host"), col("srank"))),
+
     // Cardinality debugging: per-day series births/deaths and the
     // top metrics by series count (the /api/v1/status/tsdb view)
     "meta_series_churn" -> ((s, dir) =>
@@ -5066,6 +5077,18 @@ object SparkEntry {
          |  FROM documents
          |)
          |SELECT doc_id, lang, srank FROM r WHERE srank <= 50""".stripMargin,
+
+    // per-domain cap: the same hash-rank window, partitioned by the
+    // canonical host the synth CTE derives
+    "sample_domain_cap" ->
+      s"""$urlCanonCte, r AS (
+         |  SELECT doc_id, host,
+         |         row_number() OVER (PARTITION BY host
+         |           ORDER BY ${duckHash("'domcap:' || CAST(doc_id AS VARCHAR)")} ASC,
+         |                    doc_id ASC) AS srank
+         |  FROM canon
+         |)
+         |SELECT doc_id, host, srank FROM r WHERE srank <= 6""".stripMargin,
 
     // the batch sessionization minus each user's OPEN tail session
     // (only closed sessions stream out); per-event e2 value snap

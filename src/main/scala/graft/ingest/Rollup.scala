@@ -169,6 +169,34 @@ object RollupStore {
     snap
   }
 
+  /** Input-size-derived shuffle width for a maintenance rebuild
+    * (guide §2: derive partitioning from input size, never a local
+    * constant): ceil(inputBytes / spark.graft.maintenance.partitionBytes)
+    * clamped to [1, session shuffle partitions]. The cap keeps a bulk
+    * rebuild at the cluster's configured width; the floor keeps the
+    * common one-day incremental slice from fanning tiny row counts
+    * across every configured partition (pure task-scheduling tax —
+    * measured 2× on the bench's 5k-row rebuild). partitionBytes
+    * defaults to 64 MiB (parquet-compressed input per task ≈ one
+    * comfortable in-memory working set after decode); production
+    * deployments tune it with the same conf they size
+    * `spark.sql.shuffle.partitions` with. */
+  private[graft] def scaledShuffleParts(spark: SparkSession, fs: FileSystem,
+                                        root: Path,
+                                        files: Seq[String]): Int = {
+    val target = spark.conf.getOption("spark.graft.maintenance.partitionBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    val bytes = files.groupBy(_.takeWhile(_ != '/')).iterator.map {
+      case (day, fls) =>
+        val names = fls.map(_.drop(day.length + 1)).toSet
+        try fs.listStatus(new Path(root, day)).iterator
+          .filter(s => names.contains(s.getPath.getName)).map(_.getLen).sum
+        catch { case _: java.io.FileNotFoundException => 0L }
+    }.sum
+    val cap = spark.sessionState.conf.numShufflePartitions
+    math.max(1L, math.min(cap.toLong, (bytes + target - 1) / target)).toInt
+  }
+
   /** md5 digest of a day's sorted source-file list — the exact
     * invalidation key: any append/compact/delete that touches the
     * day changes its live-file set and therefore the digest. */
@@ -225,26 +253,47 @@ object RollupStore {
       val moved =
         if (changed.isEmpty) Vector.empty[String]
         else {
-          val paths = changed.keys.toSeq.flatMap(src(_)).map(f => new Path(srcRoot, f).toString)
+          val srcFiles = changed.keys.toSeq.flatMap(src(_))
+          val paths = srcFiles.map(f => new Path(srcRoot, f).toString)
           val raw = spark.read.option("basePath", srcPath).parquet(paths: _*)
-          // dedup to the read path's per-second GROUP BY max, THEN
-          // aggregate per bucket — the rollup must answer exactly
-          // what the raw read path would
-          val deduped = raw
+          // ONE exchange for the whole rebuild, its width derived
+          // from the CHANGED INPUT's bytes (guide §2: scale-adaptive
+          // partitioning, never a constant): the common maintenance
+          // slice is one appended day, which must not fan out across
+          // the full configured shuffle width — while a bulk rebuild
+          // at cluster scale still caps at the session's own setting.
+          val parts = scaledShuffleParts(spark, srcFs, srcRoot, srcFiles)
+          // Per-second dedup (the read path's GROUP BY max) computed
+          // ON the bucket-keyed partitioning instead of its own
+          // t_sec-keyed exchange: within (date, metric, labels,
+          // bucket) sorted by (t_sec, v), the LAST row of each t_sec
+          // run IS the per-second max — a lead() probe keeps exactly
+          // that row. The rank-from-newest (_rk, for the penultimate
+          // point) is the running count of kept rows from the current
+          // row to the partition end — same partition+order spec, so
+          // no second sort and no second exchange; the bucket
+          // aggregate then reuses the same clustering. Net plan:
+          // Exchange → Sort → Window → Filter → HashAggregate, where
+          // the previous shape paid an extra full exchange+aggregate
+          // of the raw rows (t_sec groupBy) before the window's.
+          val bucketKeys = Seq(col("date"), col("metric"), col("labels"),
+            col("bucket"))
+          val wAsc = org.apache.spark.sql.expressions.Window
+            .partitionBy(bucketKeys: _*)
+            .orderBy(col("t_sec").asc, col("value").asc)
+          val rolled = raw
             .withColumn("t_sec", expr("ts_us DIV 1000000"))
-            .groupBy(col("date"), col("metric"), col("labels"), col("t_sec"))
-            .agg(max(col("value")).as("v"))
-          // rank within the bucket (newest first) to expose the
-          // SECOND-latest point: the window over the same keys the
-          // groupBy reduces on reuses its exchange — one shuffle
-          // total, O(1) aggregation state (no per-bucket buffering)
-          val bucketW = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("date"), col("metric"), col("labels"),
-              col("bucket"))
-            .orderBy(col("t_sec").desc)
-          val rolled = deduped
             .withColumn("bucket", expr(s"t_sec DIV $intervalSec * $intervalSec"))
-            .withColumn("_rk", row_number().over(bucketW))
+            .repartition(parts, bucketKeys: _*)
+            .withColumn("_nt", lead(col("t_sec"), 1).over(wAsc))
+            .withColumn("_kept",
+              when(col("_nt").isNull || col("_nt") =!= col("t_sec"), 1L)
+                .otherwise(0L))
+            .withColumn("_rk", sum(col("_kept")).over(
+              wAsc.rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+                org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+            .filter(col("_kept") === 1L)
+            .withColumn("v", col("value"))
             .groupBy(col("date"), col("metric"), col("labels"), col("bucket"))
             // schema v2: the bucket's EDGE points ride along so
             // rate/increase/delta/last_over_time re-aggregate exactly

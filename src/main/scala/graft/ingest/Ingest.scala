@@ -615,12 +615,38 @@ object SamplesStore {
     * writer's required ordering (partition columns first) is already
     * satisfied and it does NOT inject its own partition-column-only
     * sort — which would destroy the (metric, labels, ts_us) file
-    * order this store's row-group pruning depends on. */
-  private def layout(samples: DataFrame): DataFrame =
+    * order this store's row-group pruning depends on.
+    *
+    * The layout exchange's WIDTH derives from the input's planned
+    * size (guide §2: scale-adaptive partitioning, not a constant):
+    * a serving append is one request's rows — fanning those across
+    * the full configured shuffle width is pure task-scheduling tax —
+    * while a bulk (re)build caps at the session's own setting, so a
+    * cluster-scale rewrite keeps its parallelism. The width never
+    * drops below min(cap, 32): the dynamic-partition writer needs
+    * roughly touched-days many tasks to write day files in parallel
+    * (measured: a width-1 layout serialized 30 day files and cost
+    * more than the exchange it saved), so locally (cap ≤ 32) the
+    * width is the session's own — byte-derived sizing only engages
+    * on clusters whose configured width is far above it. Catalyst's
+    * sizeInBytes is an estimate (exact for local rows, file-size
+    * for scans), which is the right fidelity for a width heuristic:
+    * an overestimate degrades to today's behavior. */
+  private def layout(samples: DataFrame): DataFrame = {
+    val spark = samples.sparkSession
+    val target = spark.conf.getOption("spark.graft.maintenance.partitionBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    val cap = spark.sessionState.conf.numShufflePartitions
+    val floor = math.min(cap, 32)
+    val est = samples.queryExecution.optimizedPlan.stats.sizeInBytes
+    val width = est.min(BigInt(cap) * target).toLong match {
+      case b => math.max(floor.toLong, math.min(cap.toLong, (b + target - 1) / target)).toInt
+    }
     samples
       .withColumn("date", expr("ts_us DIV 1000000 DIV 86400 * 86400"))
-      .repartition(col("date"))
+      .repartition(width, col("date"))
       .sortWithinPartitions(col("date"), col("metric"), col("labels"), col("ts_us"))
+  }
 
   /** Stage `samples` in the canonical layout under a hidden dir, then
     * MOVE the parquet files into their live day partitions — pure

@@ -494,10 +494,14 @@ object Dedup {
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
+        // NOT checkpointed: both consumers (the df count and the
+        // output aggregate) re-derive the explode from the already-
+        // materialized micro-batch — a narrow newline split, cheaper
+        // than a per-batch materialization job (unlike the minhash
+        // twin, whose signature kernel IS worth checkpointing)
         val lines = batch.select(col("doc_id"), col("crawl"),
           posexplode(split(coalesce(col("text"), lit("")), "\n"))
             .as(Seq("ord", "line")))
-          .localCheckpoint()
         val batchDf = lines
           .groupBy(col("line"))
           .agg(countDistinct(col("doc_id")).cast("long").as("dfk"))

@@ -29,10 +29,23 @@ object RangeOps {
 
   /** Collapse sub-second duplicates exactly like the reference's
     * GROUP BY (metric, labels, t[DateTime seconds]) → max(value)
-    * (read.go:58). Output: metric, labels ARRAY, t_sec, value. */
+    * (read.go:58). Output: metric, labels ARRAY, t_sec, value.
+    *
+    * Partitioned BY SERIES up front: (metric, labels) is a subset of
+    * every downstream key set in this file — the dedup's own
+    * (…, t_sec) groupBy, every lag/lead window over (metric, labels),
+    * and every (…, bucket) over-time aggregate — so the whole ts_*
+    * family plans exactly ONE series-keyed exchange where the
+    * previous shape re-shuffled between the dedup grain and the
+    * window/bucket grain. Cross-series shapes (aggAcrossSeries,
+    * count_values) still add their own exchange, as before. The
+    * regrouping cannot change results: downstream aggregates are
+    * max/min/count/arg-max or sums of 2-decimal values rounded
+    * orders-of-magnitude away from any half-up midpoint. */
   def dedupPerSecond(samples: DataFrame): DataFrame =
     samples
       .withColumn("t_sec", Downsample.bucketSec("ts_us", 1L))
+      .repartition(col("metric"), col("labels"))
       .groupBy(col("metric"), col("labels"), col("t_sec"))
       .agg(max(col("value")).as("value"))
 

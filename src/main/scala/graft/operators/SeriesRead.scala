@@ -80,7 +80,16 @@ object SeriesRead {
     var df = timeBound(samples, q.startMs, q.endMs)
     df = df.filter(Matchers.compile(q.matchers, ignoreLabel))
     val interval = math.max(Downsample.hintIntervalSec(q.stepMs, q.rangeMs, ignoreHints), 1L)
+    // partitioned BY SERIES: (metric, labels) is a subset of this
+    // groupBy's keys AND of every downstream consumer's — the
+    // [[assemble]]/[[assembleChunked]] per-series collects and the
+    // serve paths' per-series windows — so a select → assemble →
+    // encode read pipeline plans ONE exchange where it used to
+    // re-shuffle between the (…, t_sec) dedup grain and the series
+    // grain. Regrouping is result-invariant: the aggregate is max,
+    // and the assembly sort_array orders points explicitly.
     df.withColumn("t_sec", Downsample.bucketSec("ts_us", interval))
+      .repartition(col("metric"), col("labels"))
       .groupBy(col("metric"), col("labels"), col("t_sec"))
       .agg(max(col("value")).as("max_value"))
   }

@@ -143,6 +143,43 @@ object ProfileR21 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.get("SPARK_GRAFT_P21").contains("qc")) { qc(spark, sfDir); spark.stop(); return }
+    if (sys.env.get("SPARK_GRAFT_P21").contains("stream")) {
+      // floor of a minimal one-batch memory-sink stream vs the real op
+      import org.apache.spark.sql.types._
+      val src = "/tmp/p21stream/src"
+      val fs0 = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs0.delete(new org.apache.hadoop.fs.Path("/tmp/p21stream"), true)
+      graft.sources.Tables.eventsNorm(spark, sfDir).write.parquet(src)
+      val schema = graft.ingest.StreamIngest.eventsSchema
+      (1 to 3).foreach { r =>
+        t(s"minimal stream r$r") {
+          val q = spark.readStream.schema(schema).parquet(src)
+            .groupBy(col("event_type")).count()
+            .writeStream.outputMode("complete").format("memory")
+            .queryName(s"p21min$r").start()
+          q.processAllAvailable(); q.stop()
+        }
+        t(s"runToMemory r$r")(
+          graft.ingest.StreamIngest.runToMemory(spark, src, s"p21rtm$r"))
+      }
+      spark.stop(); return
+    }
+    if (sys.env.get("SPARK_GRAFT_P21").contains("wreq")) {
+      val sm = graft.sources.Tables.samples(spark, sfDir)
+      t("warmup")(sm.count())
+      val blobs = graft.ingest.Ingest.toWriteRequestBlobs(sm)
+        .collect().map(_.getAs[Array[Byte]](0)).toSeq
+      println(s"[p21] blobs=${blobs.size} bytes=${blobs.map(_.length).sum}")
+      (1 to 3).foreach { r =>
+        t(s"decode all blobs r$r")(blobs.foreach(b =>
+          graft.ingest.PromRemoteCodec.decodeNegotiated(None, b)))
+        val store = s"/tmp/p21wreq/store$r"
+        t(s"serveAll r$r")(
+          graft.serve.RemoteWrite.serveAll(spark, store, blobs))
+      }
+      spark.stop(); return
+    }
     val all = graft.sources.Tables.samples(spark, sfDir)
     t("warmup count")(all.count())
     val base = "/tmp/p21"

@@ -2747,33 +2747,38 @@ object PromQL {
     * one (glabels…, t) exchange; skew ceiling is buckets per
     * histogram, a config constant. */
   private def histQuantile(child: DataFrame, q: Double): DataFrame = {
+    // ONE pass over the child: the +Inf total is a same-group window
+    // aggregate instead of a join against a second derivation of the
+    // child — the old finite⋈totals self-join re-evaluated the whole
+    // bucket-vector subtree (instant eval incl. its scans) once per
+    // leg and paid the join's exchanges; both windows and the final
+    // aggregate now share one (metric, glabels, t)-keyed exchange.
+    // The +Inf row sorts after every finite bound, so the finite
+    // rows' lag() chain is unchanged; groups without a +Inf series
+    // still drop (total is null there), and malformed finite bounds
+    // still drop before the window (TRY_CAST null).
     val tagged = child
       .withColumn("le_str",
         expr("get(filter(labels, l -> startswith(l, 'le=')), 0)"))
       .filter(col("le_str").isNotNull)
       .withColumn("glabels", expr("filter(labels, l -> NOT (startswith(l, 'le=')))"))
       .withColumn("c", expr("CAST(v_e6 AS DOUBLE) / 1000000.0D"))
-    val finite = tagged.filter(col("le_str") =!= "le=+Inf")
-      // TRY_CAST: a malformed finite bound (le=abc) must drop the
-      // row, not throw under ANSI mode
-      .withColumn("le", expr("TRY_CAST(substring(le_str, 4) AS DOUBLE)"))
+      .withColumn("le", expr("CASE WHEN le_str = 'le=+Inf' " +
+        "THEN CAST('Infinity' AS DOUBLE) " +
+        "ELSE TRY_CAST(substring(le_str, 4) AS DOUBLE) END"))
       .filter(col("le").isNotNull)
-    val totals = tagged.filter(col("le_str") === "le=+Inf")
-      .select(col("metric").as("tm"), col("glabels").as("tg"),
-        col("t").as("tt"), col("c").as("total"))
-    val w = Window.partitionBy(col("metric"), col("glabels"), col("t"))
-      .orderBy(col("le"))
-    val cand = finite
+    val grp = Window.partitionBy(col("metric"), col("glabels"), col("t"))
+    val w = grp.orderBy(col("le"))
+    val cand = tagged
+      .withColumn("total",
+        max(when(col("le") === lit(Double.PositiveInfinity), col("c"))).over(grp))
       .withColumn("prev_c", coalesce(lag(col("c"), 1).over(w), lit(0.0)))
       .withColumn("prev_le", coalesce(lag(col("le"), 1).over(w), lit(0.0)))
-      .join(totals,
-        coalesce(col("metric"), lit("")) === coalesce(col("tm"), lit("")) &&
-          col("glabels") === col("tg") && col("t") === col("tt"))
-      .drop("tm", "tg", "tt")
+      .filter(col("le") =!= lit(Double.PositiveInfinity))
       // an idle histogram (total 0) has no quantile: rk would be 0 and
       // the first bucket's 0/0 interpolation is NaN — drop the group
       // (the exact-integer stand-in for Prometheus's NaN)
-      .filter(col("total") > 0.0)
+      .filter(col("total").isNotNull && col("total") > 0.0)
       .withColumn("rk", lit(q) * col("total"))
     cand
       .groupBy(col("metric"), col("glabels"), col("t"))
@@ -3026,20 +3031,20 @@ object PromQL {
     * skew bounded by buckets per histogram. */
   private def histFraction(child: DataFrame, lo: Double,
                            hi: Double): DataFrame = {
+    // same one-pass shape as [[histQuantile]]: the +Inf total rides a
+    // group window instead of a self-join of a re-evaluated child
     val tagged = child
       .withColumn("le_str",
         expr("get(filter(labels, l -> startswith(l, 'le=')), 0)"))
       .filter(col("le_str").isNotNull)
       .withColumn("glabels", expr("filter(labels, l -> NOT (startswith(l, 'le=')))"))
       .withColumn("c", expr("CAST(v_e6 AS DOUBLE) / 1000000.0D"))
-    val finite = tagged.filter(col("le_str") =!= "le=+Inf")
-      .withColumn("le", expr("TRY_CAST(substring(le_str, 4) AS DOUBLE)"))
+      .withColumn("le", expr("CASE WHEN le_str = 'le=+Inf' " +
+        "THEN CAST('Infinity' AS DOUBLE) " +
+        "ELSE TRY_CAST(substring(le_str, 4) AS DOUBLE) END"))
       .filter(col("le").isNotNull)
-    val totals = tagged.filter(col("le_str") === "le=+Inf")
-      .select(col("metric").as("tm"), col("glabels").as("tg"),
-        col("t").as("tt"), col("c").as("total"))
-    val w = Window.partitionBy(col("metric"), col("glabels"), col("t"))
-      .orderBy(col("le"))
+    val grp = Window.partitionBy(col("metric"), col("glabels"), col("t"))
+    val w = grp.orderBy(col("le"))
     def fAt(x: Double): Column = {
       val xTxt = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
       max(when(col("le") <= expr(xTxt), col("c"))
@@ -3047,14 +3052,13 @@ object PromQL {
           s"prev_c + (c - prev_c) * ($xTxt - prev_le) / (le - prev_le)"))
         .otherwise(lit(0.0d)))
     }
-    finite
+    tagged
+      .withColumn("total",
+        max(when(col("le") === lit(Double.PositiveInfinity), col("c"))).over(grp))
       .withColumn("prev_c", coalesce(lag(col("c"), 1).over(w), lit(0.0)))
       .withColumn("prev_le", coalesce(lag(col("le"), 1).over(w), lit(0.0)))
-      .join(totals,
-        coalesce(col("metric"), lit("")) === coalesce(col("tm"), lit("")) &&
-          col("glabels") === col("tg") && col("t") === col("tt"))
-      .drop("tm", "tg", "tt")
-      .filter(col("total") > 0.0)
+      .filter(col("le") =!= lit(Double.PositiveInfinity))
+      .filter(col("total").isNotNull && col("total") > 0.0)
       .groupBy(col("metric"), col("glabels"), col("t"))
       .agg(fAt(lo).as("flo"), fAt(hi).as("fhi"), max(col("total")).as("tot"))
       .select(lit(null).cast("string").as("metric"),
@@ -3078,6 +3082,10 @@ object PromQL {
       when(col("metric").endsWith(sfx),
         expr(s"substring(metric, 1, length(metric) - ${sfx.length})"))
         .otherwise(col("metric"))
+    // one pass over the buckets leg: the +Inf total is a group-window
+    // aggregate (the [[histQuantile]] shape) instead of a join
+    // against a second derivation of the same child — the _sum/_count
+    // joins remain (genuinely different selector legs)
     val tagged = buckets
       .withColumn("gm", baseMetric("_bucket"))
       .withColumn("le_str",
@@ -3086,14 +3094,20 @@ object PromQL {
       .withColumn("glabels",
         expr("filter(labels, l -> NOT (startswith(l, 'le=')))"))
       .withColumn("c", expr("CAST(v_e6 AS DOUBLE) / 1000000.0D"))
-    val w = Window.partitionBy(col("gm"), col("glabels"), col("t"))
-      .orderBy(col("le"))
-    // per-bucket count + geometric-midpoint value, le-sorted per series
-    val per = tagged.filter(col("le_str") =!= "le=+Inf")
-      .withColumn("le", expr("TRY_CAST(substring(le_str, 4) AS DOUBLE)"))
+      .withColumn("le", expr("CASE WHEN le_str = 'le=+Inf' " +
+        "THEN CAST('Infinity' AS DOUBLE) " +
+        "ELSE TRY_CAST(substring(le_str, 4) AS DOUBLE) END"))
       .filter(col("le").isNotNull)
+    val grp = Window.partitionBy(col("gm"), col("glabels"), col("t"))
+    val w = grp.orderBy(col("le"))
+    // per-bucket count + geometric-midpoint value, le-sorted per series
+    val per = tagged
+      .withColumn("total",
+        max(when(col("le") === lit(Double.PositiveInfinity), col("c"))).over(grp))
       .withColumn("prev_c", coalesce(lag(col("c"), 1).over(w), lit(0.0)))
       .withColumn("prev_le", coalesce(lag(col("le"), 1).over(w), lit(0.0)))
+      .filter(col("le") =!= lit(Double.PositiveInfinity))
+      .filter(col("total").isNotNull)
       .withColumn("cnt", expr("c - prev_c"))
       .withColumn("bval", expr(
         "CASE WHEN prev_le <= 0.0D AND 0.0D <= le THEN 0.0D " +
@@ -3102,10 +3116,8 @@ object PromQL {
       .groupBy(col("gm"), col("glabels"), col("t"))
       .agg(sort_array(collect_list(struct(col("le"), col("cnt"),
         col("bval")))).as("bs"),
-        max(col("c")).as("finC"), max(col("le")).as("finLe"))
-    val top = tagged.filter(col("le_str") === "le=+Inf")
-      .select(col("gm").as("im"), col("glabels").as("ig"),
-        col("t").as("it"), col("c").as("total"))
+        max(col("c")).as("finC"), max(col("le")).as("finLe"),
+        max(col("total")).as("total"))
     val su = sums.select(baseMetric("_sum").as("sm"),
       col("labels").as("sg"), col("t").as("st"),
       expr("CAST(v_e6 AS DOUBLE) / 1000000.0D").as("hsum"))
@@ -3115,8 +3127,6 @@ object PromQL {
     def gmEq(other: Column): Column =
       coalesce(col("gm"), lit("")) === coalesce(other, lit(""))
     per
-      .join(top, gmEq(col("im")) &&
-        col("glabels") === col("ig") && col("t") === col("it"))
       .join(su, gmEq(col("sm")) &&
         col("glabels") === col("sg") && col("t") === col("st"))
       .join(ct, gmEq(col("cm")) &&

@@ -1330,7 +1330,7 @@ object SparkEntry {
       RangeOps.topK(RangeOps.dedupPerSecond(samples(s, dir)), 86400L, 3))),
 
     "ts_quantile_over_time" -> ((s, dir) =>
-      RangeOps.quantileOverTime(RangeOps.dedupPerSecond(samples(s, dir)), 86400L, 0.5)),
+      RangeOps.quantileOverTime(RangeOps.dedupPerSecondAcross(samples(s, dir)), 86400L, 0.5)),
 
     "ts_histogram_quantile" -> ((s, dir) =>
       RangeOps.histogramQuantile(samples(s, dir), 86400L, 0.9)),
@@ -1344,7 +1344,7 @@ object SparkEntry {
 
     // PromQL count_values: the value distribution per metric
     "ts_count_values" -> ((s, dir) =>
-      RangeOps.countValues(RangeOps.dedupPerSecond(samples(s, dir)))),
+      RangeOps.countValues(RangeOps.dedupPerSecondAcross(samples(s, dir)))),
 
     "ts_last_point" -> ((s, dir) => (
       RangeOps.lastPoint(RangeOps.dedupPerSecond(samples(s, dir))))),
@@ -1365,7 +1365,7 @@ object SparkEntry {
       RangeOps.stddevOverTime(RangeOps.dedupPerSecond(samples(s, dir)), 21600L))),
 
     "ts_agg_across_series" -> ((s, dir) => (
-      RangeOps.aggAcrossSeries(RangeOps.dedupPerSecond(samples(s, dir)), 3600L))),
+      RangeOps.aggAcrossSeries(RangeOps.dedupPerSecondAcross(samples(s, dir)), 3600L))),
 
     // PromQL-style binary op with on(user) matching: hourly
     // sum-by-user of one metric over another — the "ratio of two
@@ -1373,7 +1373,7 @@ object SparkEntry {
     // single-metric aggregate.
     "ts_binary_op" -> ((s, dir) => (
       RangeOps.binaryOpByLabel(
-        RangeOps.dedupPerSecond(samples(s, dir)), "click", "view", "user", 3600L))),
+        RangeOps.dedupPerSecondAcross(samples(s, dir)), "click", "view", "user", 3600L))),
 
     // PromQL `offset` comparison: each series' hourly mean next to
     // its own value exactly one day earlier (day-over-day delta).
@@ -1399,7 +1399,7 @@ object SparkEntry {
 
     // PromQL absent_over_time over the flagship window's day grid
     "ts_absent" -> ((s, dir) => (
-      RangeOps.absentOverTime(RangeOps.dedupPerSecond(samples(s, dir)),
+      RangeOps.absentOverTime(RangeOps.dedupPerSecondAcross(samples(s, dir)),
         86400L, WinStartMs / 1000, WinEndMs / 1000))),
 
     "ingest_streaming_window" -> ((s, dir) => {

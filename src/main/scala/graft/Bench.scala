@@ -154,7 +154,7 @@ object Bench {
     val total = math.rint(results.map(_._3).sum * 1000) / 1000
     val totalMed = math.rint(results.map(_._2).sum * 1000) / 1000
     val totalCold = math.rint(results.map(_._4).sum * 1000) / 1000
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","methodology":"min3warmIlv","queries":$qs,"total_median3":$totalMed,"total_cold":$totalCold,"slow":$slow,"bimodal":$bimodal,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","methodology":"min3warmIlv","cpus":$cpus,"queries":$qs,"total_median3":$totalMed,"total_cold":$totalCold,"slow":$slow,"bimodal":$bimodal,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout through a BOUNDED tail buffer: with
     // 160+ queries the one-line JSON overflows it and the first ~90
@@ -163,14 +163,19 @@ object Bench {
     // sbt runMain), where it ships whole with the round commit —
     // but ONLY on unfiltered sf0.1 runs (the per-round reference
     // shape): a SPARK_GRAFT_ONLY iteration or a smaller-SF smoke
-    // must never clobber the committed full-suite numbers.
+    // must never clobber the committed full-suite numbers, and a
+    // non-32-core scaling run (the driver re-runs the bench at
+    // SPARK_GRAFT_CPUS=8) lands in its own suffixed file so the
+    // 32-core reference survives in the working tree (r21 lost its
+    // committed reference to exactly that clobber).
     if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty &&
         new java.io.File(sfDir).getName == "sf0.1") {
+      val out = if (cpus == "32") "BENCH_FULL.json" else s"BENCH_FULL_c$cpus.json"
       try {
-        val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
+        val w = new java.io.PrintWriter(out, "UTF-8")
         try w.println(json) finally w.close()
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] could not write BENCH_FULL.json: $e") }
+        System.err.println(s"[bench] could not write $out: $e") }
     }
     spark.stop()
   }

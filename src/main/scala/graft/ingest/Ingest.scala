@@ -1557,9 +1557,50 @@ object StreamIngest {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Session for a fresh stateful stream whose shuffle/state width
+    * derives from the SOURCE's size instead of the session constant
+    * (guide §2.2: scale-adaptive partitioning). Streaming aggregates
+    * and GroupState operators get NO AQE coalescing — every
+    * micro-batch pays one task + one state-store open/commit per
+    * configured shuffle partition regardless of data volume (measured
+    * ~0.02 s/partition/batch at local[32]: the same one-batch
+    * memory-sink aggregate runs 1.5 s at width 32 and 0.8 s at width
+    * 2, while its BATCH twin is width-flat under AQE). State
+    * partition count is pinned per checkpoint at first start, so the
+    * sizing belongs to the stream's own source, not the shared
+    * session conf — hence a cloned session, leaving the caller's conf
+    * untouched. Floor min(cap, 4) keeps a real per-key fold (GroupState
+    * inserts are CPU per row) from serializing — measured: the
+    * GroupState streams run ~10% faster at width 4-8 than at width 2,
+    * and ALL four helpers run 1.4-2× faster at small widths than at
+    * the session cap. Cap = the session's own width, so a
+    * cluster-scale source keeps full parallelism; a listing failure
+    * falls back to the cap (degrading to today's width, never to
+    * width-1). */
+  private[graft] def streamSession(spark: SparkSession, srcDir: String,
+                                   floorCap: Int = 4): SparkSession = {
+    val cap = spark.sessionState.conf.numShufflePartitions
+    val target = spark.conf.getOption("spark.graft.stream.statePartitionBytes")
+      .map(_.toLong).getOrElse(1L << 20)
+    val bytes = try {
+      val p = new org.apache.hadoop.fs.Path(srcDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).iterator
+        .filter(f => f.isFile && !f.getPath.getName.startsWith(".")
+          && !f.getPath.getName.startsWith("_"))
+        .map(_.getLen).sum
+    } catch { case _: Throwable => Long.MaxValue }
+    val width = math.max(math.min(cap, floorCap).toLong,
+      math.min(cap.toLong, (bytes + target - 1) / target)).toInt
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", width.toString)
+    ss
+  }
+
   /** Stream srcDir's events files → per-metric totals, synchronously
     * (availableNow semantics via processAllAvailable). */
-  def runToMemory(spark: SparkSession, srcDir: String, queryName: String): DataFrame = {
+  def runToMemory(outer: SparkSession, srcDir: String, queryName: String): DataFrame = {
+    val spark = streamSession(outer, srcDir)
     val stream = spark.readStream.schema(eventsSchema).parquet(srcDir)
       .select(
         col("ts_us"),
@@ -1588,7 +1629,8 @@ object StreamIngest {
     * cluster the same plan runs append mode with the watermark
     * expiring state. Output: metric, bucket (epoch sec), n_samples,
     * sum_value. */
-  def runWindowedToMemory(spark: SparkSession, srcDir: String, queryName: String): DataFrame = {
+  def runWindowedToMemory(outer: SparkSession, srcDir: String, queryName: String): DataFrame = {
+    val spark = streamSession(outer, srcDir)
     val stream = spark.readStream.schema(eventsSchema).parquet(srcDir)
       .select(
         timestamp_micros(col("ts_us")).as("event_ts"),
@@ -1703,7 +1745,8 @@ object StreamIngest {
     *
     * The stream emits deduped ROWS (append mode); the per-metric
     * report is a batch aggregate over the sink table. */
-  def runDedupToMemory(spark: SparkSession, srcDir: String, queryName: String): DataFrame = {
+  def runDedupToMemory(outer: SparkSession, srcDir: String, queryName: String): DataFrame = {
+    val spark = streamSession(outer, srcDir)
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val stream = spark.readStream.schema(eventsSchema).parquet(srcDir)
@@ -1783,9 +1826,10 @@ object StreamIngest {
       .toDF()
   }
 
-  def runSessionizeToMemory(spark: SparkSession, srcDir: String,
+  def runSessionizeToMemory(outer: SparkSession, srcDir: String,
                             queryName: String,
                             gapSec: Long = 1800L): DataFrame = {
+    val spark = streamSession(outer, srcDir)
     val q = sessionizeStream(spark, srcDir, gapSec).writeStream
       .outputMode("append")
       .format("memory")

@@ -395,14 +395,23 @@ object Dedup {
       p.delete(); ()
     }
     rmrf(new java.io.File(workDir))
-    val q = spark.readStream.schema(schema)
+    // Batch work runs on a source-scaled clone session (guide §2.2):
+    // every inner shuffle (capBuckets' window, the output aggregate)
+    // otherwise fans one crawl file's rows across the full session
+    // width — pure task tax per micro-batch. Floor 8: the post-shuffle
+    // stages still fold real per-row work.
+    val sps = graft.ingest.StreamIngest.streamSession(spark, srcDir, 8)
+    val q = sps.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sp = batch.sparkSession
+        def phase(p: String): Unit =
+          sp.sparkContext.setJobDescription(s"stream_minhash: $p")
         // checkpointed once: the same banded rows are probed AND
         // appended — no double signature computation, flat lineage
+        phase("band ckpt")
         val banded = capBuckets(
           minhashSignatures(batch)
             .select(col("doc_id"),
@@ -418,6 +427,7 @@ object Dedup {
           else probeState(sp, stateDir, banded)
         // the hit set is ≤ batch docs — broadcast it so the batch
         // never shuffles for its own output row
+        phase("out write")
         batch.select(col("doc_id"), col("crawl"))
           .join(broadcast(hit.withColumn("_hit", lit(1))), Seq("doc_id"), "left")
           .select(col("doc_id"), col("crawl"),
@@ -432,6 +442,7 @@ object Dedup {
         // was a pure shuffle tax. Parallelism stays the batch's own
         // (AQE-coalesced) partitioning: a big crawl writes in
         // parallel, and compactState owns the small-file count.
+        phase("state append")
         banded.select(col("band_sig"), col("band"))
           .write.mode("append").parquet(stateDir)
         // fold the band's file count back down once it crosses the
@@ -439,7 +450,9 @@ object Dedup {
         // small files per band forever and the probe's scan setup
         // (file listing + footer reads) grows with stream lifetime
         // even though its row work stays flat
+        phase("compact state")
         compactState(sp, stateDir)
+        sp.sparkContext.setJobDescription(null)
         ()
       }
       .start()
@@ -488,17 +501,25 @@ object Dedup {
       p.delete(); ()
     }
     rmrf(new java.io.File(workDir))
+    // NOT width-scaled like [[streamIncrementalKeep]]: the per-doc
+    // output aggregate (md5 over the sorted kept lines) is real
+    // post-shuffle CPU, and an A/B at width 8 measured ~25% SLOWER
+    // than the session width — the narrow-stream tax here is smaller
+    // than the lost aggregate parallelism.
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
+        def phase(p: String): Unit =
+          sp.sparkContext.setJobDescription(s"stream_lines: $p")
         // NOT checkpointed: both consumers (the df count and the
         // output aggregate) re-derive the explode from the already-
         // materialized micro-batch — a narrow newline split, cheaper
         // than a per-batch materialization job (unlike the minhash
         // twin, whose signature kernel IS worth checkpointing)
+        phase("batchDf ckpt")
         val lines = batch.select(col("doc_id"), col("crawl"),
           posexplode(split(coalesce(col("text"), lit("")), "\n"))
             .as(Seq("ord", "line")))
@@ -529,6 +550,7 @@ object Dedup {
           .filter(coalesce(col("df_prev"), lit(0L)) + col("dfk")
             >= minDf)
           .select(col("line"), lit(1).as("is_boiler"))
+        phase("out write")
         lines.join(broadcast(boiler), Seq("line"), "left")
           .groupBy(col("doc_id"), col("crawl"))
           .agg(count(lit(1)).as("n_lines"),
@@ -549,8 +571,11 @@ object Dedup {
           // row set — the output-side twin of the state fold's
           // (line, batch) max idempotence
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        phase("state append")
         batchDf.write.mode("append").parquet(stateDir)
+        phase("compact state")
         compactState(sp, stateDir, lineDfFold)
+        sp.sparkContext.setJobDescription(null)
         ()
       }
       .start()

@@ -181,6 +181,34 @@ object ProfileR22 {
         }
     }
 
+    if (section == "qwidth") {
+      // A/B whole query entries on sessions of different shuffle
+      // widths (queries take the session as an argument)
+      val qs = only.map(_.toSeq.sorted).getOrElse(Seq(
+        "promql_group_left", "promql_at_baseline", "promql_scalar_share",
+        "promql_histogram", "promql_hist_stdvar", "promql_subquery",
+        "ts_topk", "ts_rate_per_second", "read_series_assembly",
+        "promql_sum_rate", "promql_binary_op"))
+      val sessions = Seq("32", "8", "4").map { w =>
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", w)
+        (w, ss)
+      }
+      qs.foreach { q =>
+        SparkEntry.queries.get(q).foreach { fn =>
+          // warm plans/codegen on each width once
+          sessions.foreach { case (w, ss) => fn(ss, sfDir).count() }
+          (1 to 3).foreach { r =>
+            sessions.foreach { case (w, ss) =>
+              spark.sqlContext.clearCache()
+              spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+              t(s"$q w$w r$r")(fn(ss, sfDir).count())
+            }
+          }
+        }
+      }
+    }
+
     if (section == "tails") {
       val qs = Seq("promql_group_left", "promql_at_baseline",
         "promql_scalar_share", "store_rollup_serve",

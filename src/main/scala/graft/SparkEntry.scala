@@ -28,6 +28,47 @@ object SparkEntry {
 
   private def samples(s: SparkSession, dir: String): DataFrame = Tables.samples(s, dir)
 
+  /** Clone session whose shuffle width derives from the samples
+    * SOURCE's size instead of the session constant (guide §2.2,
+    * scale-adaptive partitioning — the same bytes-derived sizing the
+    * store layout and the streaming state widths use). The pure
+    * PromQL evaluation entries run multi-exchange aggregate/join
+    * pipelines over the samples table; at small per-query input the
+    * session-wide width is pure task-scheduling tax that AQE's
+    * parallelism-first coalescing deliberately keeps (measured:
+    * promql_group_left 1.30 s at width 32 vs 0.51 s at width 4 on the
+    * identical plan; estimator/read/ts shapes flat, never worse). Cap
+    * = the session's own width, so at cluster scale (source ≫
+    * cap·target bytes) the width is exactly today's; conf
+    * spark.graft.query.partitionBytes overrides the per-partition
+    * target. Memoized per (session, dir) so a bench pass reuses one
+    * clone; the clone shares the SparkContext, the cache manager
+    * (sqlContext.clearCache() on any session clears it) and the
+    * catalog-free operator surface. */
+  private val querySessions =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SparkSession]
+  private def querySession(s: SparkSession, dir: String): SparkSession =
+    querySessions.computeIfAbsent((s, dir), _ => {
+      val cap = s.sessionState.conf.numShufflePartitions
+      val target = s.conf.getOption("spark.graft.query.partitionBytes")
+        .map(_.toLong).getOrElse(512L << 10)
+      val bytes = try {
+        val p = new org.apache.hadoop.fs.Path(dir, "events.parquet")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+      } catch { case _: Throwable => Long.MaxValue }
+      val w = math.max(math.min(cap, 4).toLong,
+        math.min(cap.toLong, (bytes + target - 1) / target)).toInt
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", w.toString)
+      ss
+    })
+
+  /** [[samples]] on the query-scaled clone session — for the PURE
+    * evaluation entries (no store writes, no fixtures riding the
+    * outer session's DataFrames). */
+  private def qsamples(s: SparkSession, dir: String): DataFrame =
+    Tables.samples(querySession(s, dir), dir)
+
   /** samples twin whose series carry (instance, job) identities,
     * plus one `target_info` series per instance — the info-metric
     * shape `info()` joins. Identities derive from events
@@ -1305,67 +1346,67 @@ object SparkEntry {
 
     // ---- §2.3 TSDB analytics ---------------------------------------
     "ts_rate_per_second" -> ((s, dir) => (
-      RangeOps.ratePerSecond(RangeOps.dedupPerSecond(samples(s, dir))))),
+      RangeOps.ratePerSecond(RangeOps.dedupPerSecond(qsamples(s, dir))))),
 
     "ts_increase" -> ((s, dir) => (
-      RangeOps.increaseDelta(RangeOps.dedupPerSecond(samples(s, dir)), 3600L))),
+      RangeOps.increaseDelta(RangeOps.dedupPerSecond(qsamples(s, dir)), 3600L))),
 
     "ts_avg_over_time" -> ((s, dir) => (
       // integer-exact mean (1e-5 units) — see RangeOps.aggAcrossSeries:
       // round(avg,6) lands on exact decimal midpoints for power-of-2
       // bucket counts, which the two engines round differently
-      RangeOps.overTime(RangeOps.dedupPerSecond(samples(s, dir)), 3600L,
+      RangeOps.overTime(RangeOps.dedupPerSecond(qsamples(s, dir)), 3600L,
         Seq(expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) * 1000 DIV count(1)")
           .as("avg_value_e5"))))),
 
     "ts_minmax_over_time" -> ((s, dir) => (
-      RangeOps.overTime(RangeOps.dedupPerSecond(samples(s, dir)), 3600L,
+      RangeOps.overTime(RangeOps.dedupPerSecond(qsamples(s, dir)), 3600L,
         Seq(min(col("value")).as("min_value"), max(col("value")).as("max_value"))))),
 
     "ts_sum_count_over_time" -> ((s, dir) => (
-      RangeOps.overTime(RangeOps.dedupPerSecond(samples(s, dir)), 3600L,
+      RangeOps.overTime(RangeOps.dedupPerSecond(qsamples(s, dir)), 3600L,
         Seq(round(sum(col("value")), 6).as("sum_value"), count(lit(1)).as("n_points"))))),
 
     "ts_topk" -> ((s, dir) => (
-      RangeOps.topK(RangeOps.dedupPerSecond(samples(s, dir)), 86400L, 3))),
+      RangeOps.topK(RangeOps.dedupPerSecond(qsamples(s, dir)), 86400L, 3))),
 
     "ts_quantile_over_time" -> ((s, dir) =>
-      RangeOps.quantileOverTime(RangeOps.dedupPerSecondAcross(samples(s, dir)), 86400L, 0.5)),
+      RangeOps.quantileOverTime(RangeOps.dedupPerSecondAcross(qsamples(s, dir)), 86400L, 0.5)),
 
     "ts_histogram_quantile" -> ((s, dir) =>
-      RangeOps.histogramQuantile(samples(s, dir), 86400L, 0.9)),
+      RangeOps.histogramQuantile(qsamples(s, dir), 86400L, 0.9)),
 
     "ts_label_project" -> ((s, dir) =>
-      RangeOps.labelProject(samples(s, dir), "user=", 8.0)),
+      RangeOps.labelProject(qsamples(s, dir), "user=", 8.0)),
 
     // PromQL label_replace: shard = first digit of the user id
     "ts_label_replace" -> ((s, dir) =>
-      RangeOps.labelReplace(samples(s, dir), "shard", "user", "([0-9])[0-9]*")),
+      RangeOps.labelReplace(qsamples(s, dir), "shard", "user", "([0-9])[0-9]*")),
 
     // PromQL count_values: the value distribution per metric
     "ts_count_values" -> ((s, dir) =>
-      RangeOps.countValues(RangeOps.dedupPerSecondAcross(samples(s, dir)))),
+      RangeOps.countValues(RangeOps.dedupPerSecondAcross(qsamples(s, dir)))),
 
     "ts_last_point" -> ((s, dir) => (
-      RangeOps.lastPoint(RangeOps.dedupPerSecond(samples(s, dir))))),
+      RangeOps.lastPoint(RangeOps.dedupPerSecond(qsamples(s, dir))))),
 
     "ts_gap_fill" -> ((s, dir) => (
-      RangeOps.gapFill(RangeOps.dedupPerSecond(samples(s, dir)), 3600L))),
+      RangeOps.gapFill(RangeOps.dedupPerSecond(qsamples(s, dir)), 3600L))),
 
     "ts_delta" -> ((s, dir) => (
-      RangeOps.delta(RangeOps.dedupPerSecond(samples(s, dir)), 21600L))),
+      RangeOps.delta(RangeOps.dedupPerSecond(qsamples(s, dir)), 21600L))),
 
     "ts_resets" -> ((s, dir) => (
-      RangeOps.resets(RangeOps.dedupPerSecond(samples(s, dir)), 86400L))),
+      RangeOps.resets(RangeOps.dedupPerSecond(qsamples(s, dir)), 86400L))),
 
     "ts_deriv_predict" -> ((s, dir) => (
-      RangeOps.derivPredict(RangeOps.dedupPerSecond(samples(s, dir)), 86400L, 3600L))),
+      RangeOps.derivPredict(RangeOps.dedupPerSecond(qsamples(s, dir)), 86400L, 3600L))),
 
     "ts_stddev_over_time" -> ((s, dir) => (
-      RangeOps.stddevOverTime(RangeOps.dedupPerSecond(samples(s, dir)), 21600L))),
+      RangeOps.stddevOverTime(RangeOps.dedupPerSecond(qsamples(s, dir)), 21600L))),
 
     "ts_agg_across_series" -> ((s, dir) => (
-      RangeOps.aggAcrossSeries(RangeOps.dedupPerSecondAcross(samples(s, dir)), 3600L))),
+      RangeOps.aggAcrossSeries(RangeOps.dedupPerSecondAcross(qsamples(s, dir)), 3600L))),
 
     // PromQL-style binary op with on(user) matching: hourly
     // sum-by-user of one metric over another — the "ratio of two
@@ -1373,33 +1414,33 @@ object SparkEntry {
     // single-metric aggregate.
     "ts_binary_op" -> ((s, dir) => (
       RangeOps.binaryOpByLabel(
-        RangeOps.dedupPerSecondAcross(samples(s, dir)), "click", "view", "user", 3600L))),
+        RangeOps.dedupPerSecondAcross(qsamples(s, dir)), "click", "view", "user", 3600L))),
 
     // PromQL `offset` comparison: each series' hourly mean next to
     // its own value exactly one day earlier (day-over-day delta).
     "ts_offset_compare" -> ((s, dir) => (
       RangeOps.offsetCompare(
-        RangeOps.dedupPerSecond(samples(s, dir)), 3600L, 86400L))),
+        RangeOps.dedupPerSecond(qsamples(s, dir)), 3600L, 86400L))),
 
     // PromQL irate: rate between each hourly bucket's last two points
     "ts_irate" -> ((s, dir) => (
-      RangeOps.irate(RangeOps.dedupPerSecond(samples(s, dir)), 3600L))),
+      RangeOps.irate(RangeOps.dedupPerSecond(qsamples(s, dir)), 3600L))),
 
     // PromQL changes: value-change count per 6h bucket
     "ts_changes" -> ((s, dir) => (
-      RangeOps.changes(RangeOps.dedupPerSecond(samples(s, dir)), 21600L))),
+      RangeOps.changes(RangeOps.dedupPerSecond(qsamples(s, dir)), 21600L))),
 
     // PromQL clamp/clamp_min/clamp_max over the value range
     "ts_clamp" -> ((s, dir) => (
-      RangeOps.clamp(RangeOps.dedupPerSecond(samples(s, dir)), 50.0, 300.0))),
+      RangeOps.clamp(RangeOps.dedupPerSecond(qsamples(s, dir)), 50.0, 300.0))),
 
     // PromQL bottomk: the 3 quietest series per metric-day
     "ts_bottomk" -> ((s, dir) => (
-      RangeOps.bottomK(RangeOps.dedupPerSecond(samples(s, dir)), 86400L, 3))),
+      RangeOps.bottomK(RangeOps.dedupPerSecond(qsamples(s, dir)), 86400L, 3))),
 
     // PromQL absent_over_time over the flagship window's day grid
     "ts_absent" -> ((s, dir) => (
-      RangeOps.absentOverTime(RangeOps.dedupPerSecondAcross(samples(s, dir)),
+      RangeOps.absentOverTime(RangeOps.dedupPerSecondAcross(qsamples(s, dir)),
         86400L, WinStartMs / 1000, WinEndMs / 1000))),
 
     "ingest_streaming_window" -> ((s, dir) => {
@@ -1917,18 +1958,18 @@ object SparkEntry {
     // per-series observed-span rate on the step grid (overlapping
     // [t-7d, t) windows, step 1d)
     "promql_rate_range" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir), parsePromQL("rate(click[7d])"),
+      promqlStr(PromQL.eval(qsamples(s, dir), parsePromQL("rate(click[7d])"),
         WinStartSec, WinEndSec, 86400L))),
 
     // full pipeline: range fn → sum by (user) → topk, one expression
     "promql_agg_topk" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("topk(3, sum by (user) (sum_over_time(click[1d])))"),
         WinStartSec, WinEndSec, 86400L))),
 
     // instant vector on a 6h grid with a 1d staleness lookback
     "promql_instant" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir), parsePromQL("click"),
+      promqlStr(PromQL.eval(qsamples(s, dir), parsePromQL("click"),
         WinStartSec, WinEndSec, 21600L, lookbackSec = 86400L))),
 
     // explicit staleness markers (Prometheus's StaleNaN,
@@ -1942,14 +1983,14 @@ object SparkEntry {
     // oracle replays the (t_sec, dead)-ranked winner walk in SQL.
     "promql_stale" -> ((s, dir) => {
       val midSec = WinStartSec + 7 * 86400
-      val marks = samples(s, dir)
+      val marks = qsamples(s, dir)
         .filter(col("metric") === "click" &&
           expr("ts_us DIV 1000000") <= midSec)
         .groupBy(col("metric"), col("labels"))
         .agg(max(expr("ts_us DIV 1000000")).as("mts"))
         .select(expr("(mts + 1) * 1000000").as("ts_us"), col("metric"),
           col("labels"), lit(1.0).as("value"))
-      promqlStr(PromQL.eval(samples(s, dir), parsePromQL("click"),
+      promqlStr(PromQL.eval(qsamples(s, dir), parsePromQL("click"),
         WinStartSec, WinEndSec, 21600L, lookbackSec = 86400L,
         stale = Some(marks)))
     }),
@@ -1960,7 +2001,7 @@ object SparkEntry {
     // suffix cross-match on the k label (the remote-read rows keep
     // the reference's bare-concat anchoring, read.go:105-141)
     "promql_selector_regex" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("""sum_over_time(click{user=~"1|2",k!~"4.*"}[1d])"""),
         WinStartSec, WinEndSec, 86400L))),
 
@@ -1968,7 +2009,7 @@ object SparkEntry {
     // labels by (instance, job) identity at every step — Prometheus
     // 3.x's experimental info function over the OTLP-shaped store
     "promql_info" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samplesWithTargetInfo(s, dir),
+      promqlStr(PromQL.eval(samplesWithTargetInfo(querySession(s, dir), dir),
         parsePromQL("info(click)"),
         WinStartSec, WinEndSec, 21600L, lookbackSec = 86400L))),
 
@@ -1976,14 +2017,14 @@ object SparkEntry {
     // os="linux" targets, and only the os key adopted — non-matching
     // targets' series pass through unchanged
     "promql_info_selector" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samplesWithTargetInfo(s, dir),
+      promqlStr(PromQL.eval(samplesWithTargetInfo(querySession(s, dir), dir),
         parsePromQL("""info(click, {os="linux"})"""),
         WinStartSec, WinEndSec, 21600L, lookbackSec = 86400L))),
 
     // the offset modifier (day-over-day dashboards) composed with
     // last_over_time: each step answers the window one day back
     "promql_offset_last" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("last_over_time(click[1d] offset 1d)"),
         WinStartSec + 172800, WinEndSec, 86400L))),
 
@@ -1991,84 +2032,84 @@ object SparkEntry {
     // shifts each [t-1d, t) window FORWARD to [t, t+1d) — "next
     // period's value on this period's grid point"
     "promql_neg_offset" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("last_over_time(click[1d] offset -1d)"),
         WinStartSec, WinEndSec - 86400, 86400L))),
 
     // binary vector arithmetic with full-label-set matching — the
     // error-ratio dashboard idiom, pre-aggregated per side
     "promql_ratio" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("sum by (user) (sum_over_time(click[1d]))" +
           " / sum by (user) (sum_over_time(view[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
 
     // exact interpolated per-window quantile (the latency-p90 idiom)
     "promql_quantile" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("quantile_over_time(0.9, click[1d])"),
         WinStartSec, WinEndSec, 86400L))),
 
     // irate: the last in-window pair's per-second rate, reset-aware
     "promql_irate" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir), parsePromQL("irate(click[7d])"),
+      promqlStr(PromQL.eval(qsamples(s, dir), parsePromQL("irate(click[7d])"),
         WinStartSec, WinEndSec, 86400L))),
 
     // idelta: the last in-window pair's raw difference (gauges)
     "promql_idelta" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir), parsePromQL("idelta(click[7d])"),
+      promqlStr(PromQL.eval(qsamples(s, dir), parsePromQL("idelta(click[7d])"),
         WinStartSec, WinEndSec, 86400L))),
 
     // changes: in-window adjacent pairs whose value differed
     "promql_changes" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir), parsePromQL("changes(click[7d])"),
+      promqlStr(PromQL.eval(qsamples(s, dir), parsePromQL("changes(click[7d])"),
         WinStartSec, WinEndSec, 86400L))),
 
     // resets: in-window adjacent pairs that went DOWN (counter resets)
     "promql_resets" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir), parsePromQL("resets(click[7d])"),
+      promqlStr(PromQL.eval(qsamples(s, dir), parsePromQL("resets(click[7d])"),
         WinStartSec, WinEndSec, 86400L))),
 
     // deriv: per-window least-squares slope from exact integer partials
     "promql_deriv" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir), parsePromQL("deriv(click[7d])"),
+      promqlStr(PromQL.eval(qsamples(s, dir), parsePromQL("deriv(click[7d])"),
         WinStartSec, WinEndSec, 86400L))),
 
     // predict_linear: the fitted line read 1d past each window's end
     "promql_predict" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("predict_linear(click[7d], 86400)"),
         WinStartSec, WinEndSec, 86400L))),
 
     // math-fn chain through the parser: round to the unit, then clamp
     "promql_clamp_round" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("clamp(round(sum_over_time(click[1d])), 10, 40)"),
         WinStartSec, WinEndSec, 86400L))),
 
     // comparison as a Prometheus filter over an aggregation
     "promql_filter" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("sum by (user) (sum_over_time(click[1d])) > 30"),
         WinStartSec, WinEndSec, 86400L))),
 
     // set op: click-sums per user, minus users whose view-sum ran hot
     "promql_setop" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("sum by (user) (sum_over_time(click[1d]))" +
           " unless (sum by (user) (sum_over_time(view[1d])) > 35)"),
         WinStartSec, WinEndSec, 86400L))),
 
     // absent_over_time: 1 on the days user 7 clicked nothing
     "promql_absent" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("""absent_over_time(click{user="7"}[1d])"""),
         WinStartSec, WinEndSec, 86400L))),
 
     // present_over_time: absent's complement on the same sparse
     // selector; stdvar rides the same stats in the evaluator
     "promql_present" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("""present_over_time(click{user="7"}[1d])"""),
         WinStartSec, WinEndSec, 86400L))),
 
@@ -2077,7 +2118,7 @@ object SparkEntry {
     // value, in seconds; value ties resolve to the LATEST sample
     // (Prometheus's >=/<= scan order) — one union, tagged per fn
     "promql_ts_of" -> ((s, dir) => {
-      val sm = samples(s, dir)
+      val sm = qsamples(s, dir)
       def ev(fn: String, tag: String) =
         promqlStr(PromQL.eval(sm, parsePromQL(fn + "(click[1d])"),
           WinStartSec, WinEndSec, 86400L)).withColumn("fn", lit(tag))
@@ -2091,7 +2132,7 @@ object SparkEntry {
     // the classic ident form (the store's canonical "k=v" labels
     // already carry any name; only the grammar was classic-only)
     "promql_selector_quoted" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("""sum_over_time({"click", "user"="1"}[1d])"""),
         WinStartSec, WinEndSec, 86400L))),
 
@@ -2099,7 +2140,7 @@ object SparkEntry {
     // window's earliest sample and its timestamp — selections off
     // the same one-pass window stats every *_over_time shares
     "promql_first_over_time" -> ((s, dir) => {
-      val sm = samples(s, dir)
+      val sm = qsamples(s, dir)
       def ev(fn: String, tag: String) =
         promqlStr(PromQL.eval(sm, parsePromQL(fn + "(click[1d])"),
           WinStartSec, WinEndSec, 86400L)).withColumn("fn", lit(tag))
@@ -2109,64 +2150,64 @@ object SparkEntry {
 
     // cross-series quantile aggregation per step
     "promql_quantile_agg" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("quantile(0.9, sum_over_time(click[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
 
     // % — exact truncated remainder on the micro-unit integers
     // (the `timestamp % 86400`-style bucketing idiom)
     "promql_mod" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("sum by (user) (sum_over_time(click[1d])) % 3"),
         WinStartSec, WinEndSec, 86400L))),
 
     // ^ with a literal integer exponent: the rounded-multiply chain
     "promql_pow" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("sum by (user) (sum_over_time(click[1d])) ^ 2"),
         WinStartSec, WinEndSec, 86400L))),
 
     // cross-series population stddev per user group and step
     "promql_stddev_agg" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("stddev by (user) (sum_over_time(click[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
 
     // mad_over_time: interpolated median absolute deviation per
     // window, exact integer arithmetic end-to-end
     "promql_mad" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("mad_over_time(click[1d])"),
         WinStartSec, WinEndSec, 86400L))),
 
     // grouped ranking: top-2 series per k-label group per step
     "promql_topk_by" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("topk by (k) (2, sum_over_time(click[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
 
     // limitk: deterministic k-series cap (identity order, not value
     // order — the "show me a few" dashboard idiom)
     "promql_limitk" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("limitk(5, sum_over_time(click[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
 
     // limit_ratio: deterministic hash-banded series sample
     "promql_limit_ratio" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("limit_ratio(0.5, sum_over_time(click[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
 
     // unary minus (0 - expr desugar) through the real parser
     "promql_neg" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("-sum by (user) (sum_over_time(click[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
 
     // without: drop the k label, merging each user's series
     "promql_without" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("avg without (k) (sum_over_time(click[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
 
@@ -2204,32 +2245,32 @@ object SparkEntry {
     // timestamp(): the true staleness age — seconds since each
     // series' latest sample, on a 6h grid with a 1d lookback
     "promql_timestamp" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("time() - timestamp(click)"),
         WinStartSec, WinEndSec, 21600L, lookbackSec = 86400L))),
 
     // holt_winters: per-window double exponential smoothing (the
     // trend-aware level estimate), sequential left fold
     "promql_holt" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("holt_winters(click[7d], 0.5, 0.5)"),
         WinStartSec, WinEndSec, 86400L))),
 
     // label_join: a composite id label from k and user, per series
     "promql_label_join" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("""label_join(sum_over_time(click[1d]), "id", "-", "k", "user")"""),
         WinStartSec, WinEndSec, 86400L))),
 
     // calendar read of the evaluation timestamp on the grid
     "promql_calendar" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("day_of_week() + month() * 100"),
         WinStartSec, WinEndSec, 86400L))),
 
     // sqrt over an aggregation (IEEE correctly-rounded → portable)
     "promql_sqrt" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("sqrt(sum by (user) (sum_over_time(click[1d])))"),
         WinStartSec, WinEndSec, 86400L))),
 
@@ -2238,7 +2279,7 @@ object SparkEntry {
     // only, so Spark and DuckDB produce identical bits; the oracle
     // replicates the fold verbatim)
     "promql_log" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("ln(sum by (user) (sum_over_time(click[1d])))" +
           " + log2(sum by (user) (sum_over_time(click[1d])))" +
           " + log10(sum by (user) (sum_over_time(click[1d])))"),
@@ -2247,7 +2288,7 @@ object SparkEntry {
     // cube root via exp(ln(x)/3) — composes both transcendental
     // directions plus scalar division through the integer model
     "promql_exp" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("exp(ln(sum by (user) (sum_over_time(click[1d]))) / 3)"),
         WinStartSec, WinEndSec, 86400L))),
 
@@ -2255,7 +2296,7 @@ object SparkEntry {
     // folds ln/exp ship (never libm pow); the oracle replicates the
     // composition fold for fold
     "promql_pow_frac" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("sum by (user) (sum_over_time(click[1d])) ^ 2.5"),
         WinStartSec, WinEndSec, 86400L))),
 
@@ -2263,14 +2304,14 @@ object SparkEntry {
     // is presentation-layer, exercised in PromQLSpec/ServeSpec —
     // the oracle checks the value contract)
     "promql_sort" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("sort_desc(sum by (user) (sum_over_time(click[1d])))"),
         WinStartSec, WinEndSec, 86400L))),
 
     // sort_by_label: same pass-through value contract as sort (the
     // label ordering itself is spec-asserted)
     "promql_sort_by_label" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("sort_by_label(sum by (user) (sum_over_time(click[1d]))," +
           " \"user\")"),
         WinStartSec, WinEndSec, 86400L))),
@@ -2279,7 +2320,7 @@ object SparkEntry {
     // exactly-specified IEEE ops; the oracle replicates the fold
     // (tan's pole/overflow drop mirrored in its WHERE)
     "promql_trig" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("sin(sum by (user) (sum_over_time(click[1d])))" +
           " + cos(sum by (user) (sum_over_time(click[1d])))" +
           " + tan(sum by (user) (sum_over_time(click[1d])))"),
@@ -2287,7 +2328,7 @@ object SparkEntry {
 
     // the inverse family round-trips: asin∘sin, acos∘cos, deg∘rad
     "promql_trig_inverse" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("asin(sin(sum by (user) (sum_over_time(click[1d]))))" +
           " + acos(cos(sum by (user) (sum_over_time(click[1d]))))" +
           " + deg(rad(sum by (user) (sum_over_time(click[1d]))))"),
@@ -2296,7 +2337,7 @@ object SparkEntry {
     // the atan2 KEYWORD OPERATOR (full-label vector matching):
     // click vs view per-user daily sums — quadrant-correct CORDIC
     "promql_atan2" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("sum by (user) (sum_over_time(click[1d]))" +
           " atan2 sum by (user) (sum_over_time(view[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
@@ -2304,7 +2345,7 @@ object SparkEntry {
     // hyperbolics composed from the exp/ln folds — arguments routed
     // through atan/clamp so every term's domain is total
     "promql_hyp" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("sinh(atan(sum by (user) (sum_over_time(click[1d]))))" +
           " + tanh(sum by (user) (sum_over_time(click[1d])) / 20)" +
           " + asinh(sum by (user) (sum_over_time(click[1d])))" +
@@ -2315,7 +2356,7 @@ object SparkEntry {
     // pinned evaluation replicated across the grid through binary
     // arithmetic
     "promql_at_baseline" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("sum by (user) (sum_over_time(click[1d]))" +
           s" - sum by (user) (sum_over_time(click[1d] @ ${WinStartSec + 86400}))"),
         WinStartSec, WinEndSec, 86400L))),
@@ -2323,14 +2364,14 @@ object SparkEntry {
     // count_values: how many series share each exact daily sum, the
     // value's decimal text as a label
     "promql_count_values" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("""count_values("s", sum_over_time(click[1d]))"""),
         WinStartSec, WinEndSec, 86400L))),
 
     // scalar(): each user's share of the day's total clicks — the
     // scalar side joins on the step alone, labels ignored
     "promql_scalar_share" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("sum by (user) (sum_over_time(click[1d]))" +
           " / scalar(sum(sum_over_time(click[1d])))"),
         WinStartSec, WinEndSec, 86400L))),
@@ -2338,14 +2379,14 @@ object SparkEntry {
     // time() in arithmetic: the per-step timestamp minus each
     // series' last value in the window
     "promql_time_arith" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("time() - last_over_time(click[1d])"),
         WinStartSec, WinEndSec, 86400L))),
 
     // label_replace: derive a tier label from the user id's first
     // digit, per row over an aggregation
     "promql_label_replace" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("""label_replace(sum by (user) (sum_over_time(click[1d])),""" +
           """ "tier", "t$1", "user", "([0-9]).*")"""),
         WinStartSec, WinEndSec, 86400L))),
@@ -2354,7 +2395,7 @@ object SparkEntry {
     // user's daily click total — on(user) pairs the k-split sums
     // with the per-user totals, group_left keeps the k label
     "promql_group_left" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL("sum by (k, user) (sum_over_time(click[1d]))" +
           " / on(user) group_left sum by (user) (sum_over_time(click[1d]))"),
         WinStartSec, WinEndSec, 86400L))),
@@ -2363,7 +2404,7 @@ object SparkEntry {
     // 7 days — the inner aggregation evaluated on the absolute 1d
     // grid, then max'd per outer window
     "promql_subquery" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL(
           "max_over_time(sum by (user) (sum_over_time(click[1d]))[7d:1d])"),
         WinStartSec, WinEndSec, 86400L))),
@@ -2371,7 +2412,7 @@ object SparkEntry {
     // rate over a subquery: the inner vector's first/last µ-integer
     // points, the Grafana `rate(recorded_expr[1h:5m])` idiom
     "promql_subquery_rate" -> ((s, dir) =>
-      promqlStr(PromQL.eval(samples(s, dir),
+      promqlStr(PromQL.eval(qsamples(s, dir),
         parsePromQL(
           "rate(sum by (user) (sum_over_time(click[1d]))[7d:1d])"),
         WinStartSec, WinEndSec, 86400L))),
@@ -2382,7 +2423,7 @@ object SparkEntry {
     // each window's cumulative histogram, and the estimator
     // interpolates rank φ·total per (k, user) group
     "promql_histogram" -> ((s, dir) => {
-      val clicks = samples(s, dir).filter(col("metric") === "click")
+      val clicks = qsamples(s, dir).filter(col("metric") === "click")
       val parts = Seq("2", "5", "10").map { le =>
         clicks.select(col("ts_us"), lit("click_bucket").as("metric"),
           array_sort(concat(col("labels"), array(lit(s"le=$le")))).as("labels"),
@@ -2400,7 +2441,7 @@ object SparkEntry {
     // bucket ((2,5] and (5,10]), exercising the linear model end to
     // end
     "promql_hist_fraction" -> ((s, dir) => {
-      val clicks = samples(s, dir).filter(col("metric") === "click")
+      val clicks = qsamples(s, dir).filter(col("metric") === "click")
       val parts = Seq("2", "5", "10").map { le =>
         clicks.select(col("ts_us"), lit("click_bucket").as("metric"),
           array_sort(concat(col("labels"), array(lit(s"le=$le")))).as("labels"),
@@ -2418,7 +2459,7 @@ object SparkEntry {
     // division, CSE-shared _count subtree with the histogram_count
     // term), histogram_count to the _count selector
     "promql_hist_count_sum" -> ((s, dir) => {
-      val clicks = samples(s, dir).filter(col("metric") === "click")
+      val clicks = qsamples(s, dir).filter(col("metric") === "click")
       val sums = clicks.select(col("ts_us"), lit("lat_sum").as("metric"),
         col("labels"), col("value"))
       val counts = clicks.select(col("ts_us"), lit("lat_count").as("metric"),
@@ -2433,7 +2474,7 @@ object SparkEntry {
     // _count built from the same click events): geometric-midpoint
     // estimator, le-sorted fold, +Inf collapsed to the top bound
     "promql_hist_stdvar" -> ((s, dir) => {
-      val clicks = samples(s, dir).filter(col("metric") === "click")
+      val clicks = qsamples(s, dir).filter(col("metric") === "click")
       val parts = Seq("2", "5", "10").map { le =>
         clicks.select(col("ts_us"), lit("lat_bucket").as("metric"),
           array_sort(concat(col("labels"), array(lit(s"le=$le")))).as("labels"),

@@ -120,6 +120,39 @@ object ProfileR22 {
       }
     }
 
+    if (section == "wreqdig") {
+      // decompose write_request_e2e's driver-side time
+      val sm = graft.sources.Tables.samples(spark, sfDir)
+      t("warmup")(sm.count())
+      val blobs = graft.ingest.Ingest.toWriteRequestBlobs(sm)
+        .collect().map(_.getAs[Array[Byte]](0)).toSeq
+      println(s"[p22] blobs=${blobs.size} bytes=${blobs.map(_.length).sum}")
+      import graft.ingest.PromRemoteCodec
+      (1 to 3).foreach { r =>
+        var reqs: Seq[PromRemoteCodec.PromWriteRequest] = null
+        t(s"decode r$r")({ reqs = blobs.map(b =>
+          PromRemoteCodec.decodeNegotiated(None, b).toOption.get) })
+        var rows: Seq[PromRemoteCodec.IngestedSample] = null
+        t(s"toSamples r$r")({ rows = reqs.flatMap(q => PromRemoteCodec.toSamples(q)) })
+        println(s"[p22] rows=${rows.size}")
+        import spark.implicits._
+        var df: org.apache.spark.sql.DataFrame = null
+        t(s"toDF r$r")({ df = rows.toDF("ts_us", "metric", "labels", "value") })
+        t(s"plan stats r$r")(df.queryExecution.optimizedPlan.stats.sizeInBytes)
+        val store = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"p22wreq/store$r").getAbsolutePath
+        t(s"append samples r$r")(graft.ingest.SamplesStore.append(df, store))
+        t(s"append again (2 day-sets) r$r")(graft.ingest.SamplesStore.append(df, store))
+        t(s"read-agg r$r")(graft.ingest.SamplesStore.read(spark, store)
+          .groupBy(col("metric"), col("date")).count().count())
+        t(s"noop layoutless write r$r") {
+          val stg = new java.io.File(System.getProperty("java.io.tmpdir"),
+            s"p22wreq/raw$r").getAbsolutePath
+          df.write.mode("overwrite").parquet(stg)
+        }
+      }
+    }
+
     if (section == "streamwidth") {
       // A/B: the same memory-sink stream on sessions with different
       // shuffle widths (state partitions follow the session conf)

@@ -2424,14 +2424,20 @@ object SparkEntry {
     // interpolates rank φ·total per (k, user) group
     "promql_histogram" -> ((s, dir) => {
       val clicks = qsamples(s, dir).filter(col("metric") === "click")
-      val parts = Seq("2", "5", "10").map { le =>
-        clicks.select(col("ts_us"), lit("click_bucket").as("metric"),
-          array_sort(concat(col("labels"), array(lit(s"le=$le")))).as("labels"),
-          when(col("value") <= le.toDouble, 1.0).otherwise(0.0).as("value"))
-      } :+ clicks.select(col("ts_us"), lit("click_bucket").as("metric"),
-        array_sort(concat(col("labels"), array(lit("le=+Inf")))).as("labels"),
-        lit(1.0).as("value"))
-      promqlStr(PromQL.eval(parts.reduce(_ unionByName _),
+      // one scan + le-explode builds the identical cumulative-bucket
+      // rows the old 4-way self-union produced from 4 scans: per
+      // (sample, le) one click_bucket row valued by the <=le
+      // indicator (1.0 for +Inf)
+      val parts = clicks
+        .select(col("ts_us"), col("labels"), col("value"),
+          explode(array(lit("2"), lit("5"), lit("10"), lit("+Inf"))).as("le"))
+        .select(col("ts_us"), lit("click_bucket").as("metric"),
+          array_sort(concat(col("labels"),
+            array(concat(lit("le="), col("le"))))).as("labels"),
+          when(col("le") === "+Inf", 1.0)
+            .when(col("value") <= col("le").cast("double"), 1.0)
+            .otherwise(0.0).as("value"))
+      promqlStr(PromQL.eval(parts,
         parsePromQL("histogram_quantile(0.9, sum_over_time(click_bucket[1d]))"),
         WinStartSec, WinEndSec, 86400L))
     }),
@@ -2442,14 +2448,18 @@ object SparkEntry {
     // end
     "promql_hist_fraction" -> ((s, dir) => {
       val clicks = qsamples(s, dir).filter(col("metric") === "click")
-      val parts = Seq("2", "5", "10").map { le =>
-        clicks.select(col("ts_us"), lit("click_bucket").as("metric"),
-          array_sort(concat(col("labels"), array(lit(s"le=$le")))).as("labels"),
-          when(col("value") <= le.toDouble, 1.0).otherwise(0.0).as("value"))
-      } :+ clicks.select(col("ts_us"), lit("click_bucket").as("metric"),
-        array_sort(concat(col("labels"), array(lit("le=+Inf")))).as("labels"),
-        lit(1.0).as("value"))
-      promqlStr(PromQL.eval(parts.reduce(_ unionByName _),
+      // same one-scan le-explode as promql_histogram (identical rows
+      // to the old 4-way self-union)
+      val parts = clicks
+        .select(col("ts_us"), col("labels"), col("value"),
+          explode(array(lit("2"), lit("5"), lit("10"), lit("+Inf"))).as("le"))
+        .select(col("ts_us"), lit("click_bucket").as("metric"),
+          array_sort(concat(col("labels"),
+            array(concat(lit("le="), col("le"))))).as("labels"),
+          when(col("le") === "+Inf", 1.0)
+            .when(col("value") <= col("le").cast("double"), 1.0)
+            .otherwise(0.0).as("value"))
+      promqlStr(PromQL.eval(parts,
         parsePromQL("histogram_fraction(3, 8, sum_over_time(click_bucket[1d]))"),
         WinStartSec, WinEndSec, 86400L))
     }),
@@ -2460,11 +2470,15 @@ object SparkEntry {
     // term), histogram_count to the _count selector
     "promql_hist_count_sum" -> ((s, dir) => {
       val clicks = qsamples(s, dir).filter(col("metric") === "click")
-      val sums = clicks.select(col("ts_us"), lit("lat_sum").as("metric"),
-        col("labels"), col("value"))
-      val counts = clicks.select(col("ts_us"), lit("lat_count").as("metric"),
-        col("labels"), lit(1.0).as("value"))
-      promqlStr(PromQL.eval(sums.unionByName(counts),
+      // one scan + role-explode builds the identical _sum/_count pair
+      // the old 2-way self-union produced from 2 scans
+      val parts = clicks
+        .select(col("ts_us"), col("labels"), col("value"),
+          explode(array(lit("lat_sum"), lit("lat_count"))).as("m"))
+        .select(col("ts_us"), col("m").as("metric"), col("labels"),
+          when(col("m") === "lat_count", 1.0)
+            .otherwise(col("value")).as("value"))
+      promqlStr(PromQL.eval(parts,
         parsePromQL("histogram_avg(sum_over_time(lat[1d]))" +
           " + histogram_count(sum_over_time(lat[1d]))"),
         WinStartSec, WinEndSec, 86400L))
@@ -2475,19 +2489,25 @@ object SparkEntry {
     // estimator, le-sorted fold, +Inf collapsed to the top bound
     "promql_hist_stdvar" -> ((s, dir) => {
       val clicks = qsamples(s, dir).filter(col("metric") === "click")
-      val parts = Seq("2", "5", "10").map { le =>
-        clicks.select(col("ts_us"), lit("lat_bucket").as("metric"),
-          array_sort(concat(col("labels"), array(lit(s"le=$le")))).as("labels"),
-          when(col("value") <= le.toDouble, 1.0).otherwise(0.0).as("value"))
-      } ++ Seq(
-        clicks.select(col("ts_us"), lit("lat_bucket").as("metric"),
-          array_sort(concat(col("labels"), array(lit("le=+Inf")))).as("labels"),
-          lit(1.0).as("value")),
-        clicks.select(col("ts_us"), lit("lat_sum").as("metric"),
-          col("labels"), col("value")),
-        clicks.select(col("ts_us"), lit("lat_count").as("metric"),
-          col("labels"), lit(1.0).as("value")))
-      promqlStr(PromQL.eval(parts.reduce(_ unionByName _),
+      // the full classic triplet from ONE scan: a 6-way role explode
+      // (4 cumulative les + _sum + _count) replaces the 6-way
+      // self-union — identical rows by construction
+      val parts = clicks
+        .select(col("ts_us"), col("labels"), col("value"),
+          explode(array(lit("2"), lit("5"), lit("10"), lit("+Inf"),
+            lit("_sum"), lit("_count"))).as("role"))
+        .select(col("ts_us"),
+          when(col("role") === "_sum", "lat_sum")
+            .when(col("role") === "_count", "lat_count")
+            .otherwise("lat_bucket").as("metric"),
+          when(col("role").isin("_sum", "_count"), col("labels"))
+            .otherwise(array_sort(concat(col("labels"),
+              array(concat(lit("le="), col("role")))))).as("labels"),
+          when(col("role") === "_sum", col("value"))
+            .when(col("role").isin("_count", "+Inf"), lit(1.0))
+            .when(col("value") <= col("role").cast("double"), 1.0)
+            .otherwise(0.0).as("value"))
+      promqlStr(PromQL.eval(parts,
         parsePromQL("histogram_stdvar(sum_over_time(lat[1d]))"),
         WinStartSec, WinEndSec, 86400L))
     }),

@@ -242,6 +242,55 @@ object ProfileR22 {
       }
     }
 
+    if (section == "skew") {
+      // VERDICT item 7: the series-keyed raw-row exchange
+      // (dedupPerSecond / dedupedWindow / selectKeyed) vs the old
+      // two-exchange shape, on a fixture with ONE series carrying
+      // ~50% of rows and 4x sub-second duplication (the HA-pair /
+      // retry-heavy remote-write shape). Pipeline includes the lag
+      // window consumer both shapes feed, so the saved second
+      // exchange counts.
+      import org.apache.spark.sql.expressions.Window
+      val nRows = sys.env.getOrElse("SPARK_GRAFT_SKEW_ROWS", "4000000").toLong
+      val base = spark.range(nRows)
+        .select(
+          // half the rows land on ONE hot series, the rest on 10k
+          when(expr("id % 2 = 0"), "k=hot")
+            .otherwise(concat(lit("k=s"), expr("CAST(id % 10000 AS STRING)"))).as("lb"),
+          // 4x sub-second duplication: 4 rows per (series, second)
+          expr("1704067200000000 + (id DIV 8) * 250000").as("ts_us"),
+          expr("CAST(id % 97 AS DOUBLE) / 2").as("value"))
+        .select(lit("m").as("metric"), array(col("lb")).as("labels"),
+          col("ts_us"), col("value"))
+      val src = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "p22skew").getAbsolutePath
+      base.write.mode("overwrite").parquet(src)
+      val sm = spark.read.parquet(src)
+      def consume(deduped: org.apache.spark.sql.DataFrame): Unit = {
+        val w = Window.partitionBy(col("metric"), col("labels")).orderBy(col("t_sec"))
+        deduped
+          .withColumn("prev", lag(col("value"), 1).over(w))
+          .select(col("metric"), col("labels"), col("t_sec"),
+            (col("value") - coalesce(col("prev"), lit(0.0))).as("d"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      (1 to 3).foreach { r =>
+        t(s"old 2-exchange shape r$r") {
+          consume(sm
+            .withColumn("t_sec", expr("ts_us DIV 1000000"))
+            .groupBy(col("metric"), col("labels"), col("t_sec"))
+            .agg(max(col("value")).as("value")))
+        }
+        t(s"new series-keyed shape r$r") {
+          consume(sm
+            .withColumn("t_sec", expr("ts_us DIV 1000000"))
+            .repartition(col("metric"), col("labels"))
+            .groupBy(col("metric"), col("labels"), col("t_sec"))
+            .agg(max(col("value")).as("value")))
+        }
+      }
+    }
+
     if (section == "tails") {
       val qs = Seq("promql_group_left", "promql_at_baseline",
         "promql_scalar_share", "store_rollup_serve",

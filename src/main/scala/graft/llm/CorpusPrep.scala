@@ -115,7 +115,14 @@ object CorpusPrep {
     * doc_id, which no URL skew can concentrate. The text-dedup
     * window below keeps its documented Sessions.scala-style hazard
     * (md5(text) of a mega-duplicate class lands one task) — that one
-    * is bounded by the md5 collision class, not by crawl aliasing. */
+    * is bounded by the md5 collision class, not by crawl aliasing.
+    *
+    * PRECONDITION: doc_id is unique across the corpus (the crawl
+    * contract every stage here assumes). The keep semi-join is keyed
+    * on doc_id alone, so a corpus that reused one doc_id under
+    * several canonical_urls would keep ALL of that id's rows whenever
+    * it wins any one group — the old per-group window evaluated each
+    * row against its own URL group instead. */
   def webPrep(documents: DataFrame, urlCol: String = "url",
               minQuality: Double = 0.5): DataFrame = {
     val withUrl = documents

@@ -88,10 +88,21 @@ object SeriesRead {
     // re-shuffle between the (…, t_sec) dedup grain and the series
     // grain. Regrouping is result-invariant: the aggregate is max,
     // and the assembly sort_array orders points explicitly.
-    df.withColumn("t_sec", Downsample.bucketSec("ts_us", interval))
-      .repartition(col("metric"), col("labels"))
-      .groupBy(col("metric"), col("labels"), col("t_sec"))
-      .agg(max(col("value")).as("max_value"))
+    // spark.graft.seriesKeyedDedup=false restores the partial-agg-
+    // first form for dup-heavy deployments (same partitioning out —
+    // see RangeOps.dedupPerSecond for the measured trade).
+    val keyed = df.withColumn("t_sec", Downsample.bucketSec("ts_us", interval))
+    if (samples.sparkSession.conf.getOption("spark.graft.seriesKeyedDedup")
+          .forall(_.toBoolean))
+      keyed
+        .repartition(col("metric"), col("labels"))
+        .groupBy(col("metric"), col("labels"), col("t_sec"))
+        .agg(max(col("value")).as("max_value"))
+    else
+      keyed
+        .groupBy(col("metric"), col("labels"), col("t_sec"))
+        .agg(max(col("value")).as("max_value"))
+        .repartition(col("metric"), col("labels"))
   }
 
   /** selectKeyed with the series key flattened to scalar labels_str —

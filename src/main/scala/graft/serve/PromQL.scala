@@ -2753,6 +2753,12 @@ object PromQL {
     // bucket-vector subtree (instant eval incl. its scans) once per
     // leg and paid the join's exchanges; both windows and the final
     // aggregate now share one (metric, glabels, t)-keyed exchange.
+    // Only the canonical 'le=+Inf' spelling is the +Inf TOTAL: a
+    // non-canonical infinite label (le=Infinity casts to +∞ too)
+    // competes as a +Inf bucket via the window max rather than the
+    // pre-r21 finite-bucket treatment — Prometheus itself only emits
+    // the canonical spelling (same convention in histFraction /
+    // histStdDev below).
     // The +Inf row sorts after every finite bound, so the finite
     // rows' lag() chain is unchanged; groups without a +Inf series
     // still drop (total is null there), and malformed finite bounds
@@ -3174,13 +3180,26 @@ object PromQL {
     * below the half-up midpoint, so summation order cannot flip it. */
   private def dedupedWindow(samples: DataFrame, matchers: Seq[LabelMatcher],
                             loSec: Long, hiSec: Long,
-                            ignoreLabel: Option[String]): DataFrame =
-    SeriesRead.timeBound(samples, loSec * 1000L, hiSec * 1000L)
+                            ignoreLabel: Option[String]): DataFrame = {
+    // spark.graft.seriesKeyedDedup=false restores the partial-agg-
+    // first form for dup-heavy deployments (same (metric, labels)
+    // partitioning out — see RangeOps.dedupPerSecond for the
+    // measured trade).
+    val bounded = SeriesRead.timeBound(samples, loSec * 1000L, hiSec * 1000L)
       .filter(Matchers.compilePromQL(matchers, ignoreLabel))
       .withColumn("t_sec", expr("ts_us DIV 1000000"))
-      .repartition(col("metric"), col("labels"))
-      .groupBy(col("metric"), col("labels"), col("t_sec"))
-      .agg(max(col("value")).as("value"))
+    if (samples.sparkSession.conf.getOption("spark.graft.seriesKeyedDedup")
+          .forall(_.toBoolean))
+      bounded
+        .repartition(col("metric"), col("labels"))
+        .groupBy(col("metric"), col("labels"), col("t_sec"))
+        .agg(max(col("value")).as("value"))
+    else
+      bounded
+        .groupBy(col("metric"), col("labels"), col("t_sec"))
+        .agg(max(col("value")).as("value"))
+        .repartition(col("metric"), col("labels"))
+  }
 
   /** Explode each deduped sample onto the grid steps whose window
     * holds it, then one (series, t) aggregate. k-bound arithmetic is

@@ -46,14 +46,15 @@ object SparkEntry {
     * (sqlContext.clearCache() on any session clears it) and the
     * catalog-free operator surface. */
   private val querySessions =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SparkSession]
-  private def querySession(s: SparkSession, dir: String): SparkSession =
-    querySessions.computeIfAbsent((s, dir), _ => {
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), SparkSession]
+  private def querySession(s: SparkSession, dir: String,
+                           table: String = "events.parquet"): SparkSession =
+    querySessions.computeIfAbsent((s, dir, table), _ => {
       val cap = s.sessionState.conf.numShufflePartitions
       val target = s.conf.getOption("spark.graft.query.partitionBytes")
         .map(_.toLong).getOrElse(512L << 10)
       val bytes = try {
-        val p = new org.apache.hadoop.fs.Path(dir, "events.parquet")
+        val p = new org.apache.hadoop.fs.Path(dir, table)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
       } catch { case _: Throwable => Long.MaxValue }
       val w = math.max(math.min(cap, 4).toLong,
@@ -68,6 +69,19 @@ object SparkEntry {
     * outer session's DataFrames). */
   private def qsamples(s: SparkSession, dir: String): DataFrame =
     Tables.samples(querySession(s, dir), dir)
+
+  /** documents/embeddings on their query-scaled clone sessions — for
+    * the pure ITERATIVE entries (connected components, Lloyd rounds,
+    * logistic training steps): each round runs several tiny
+    * aggregates/joins whose session-width fan-out is pure scheduling
+    * tax, measured −10-17% at the byte-derived width. Single-pass
+    * CPU kernels (minhash/simhash/shingle scans) deliberately stay on
+    * the session width — the same A/B showed dedup_substring_spans
+    * +25% when narrowed. */
+  private def qdocuments(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(querySession(s, dir, "documents.parquet"), dir)
+  private def qembeddings(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(querySession(s, dir, "embeddings.parquet"), dir)
 
   /** samples twin whose series carry (instance, job) identities,
     * plus one `target_info` series per instance — the info-metric
@@ -1489,14 +1503,14 @@ object SparkEntry {
     // union-find over the LSH pair graph: one representative per
     // duplicate CLUSTER (greedy bucket-min under-merges chains)
     "dedup_components" -> ((s, dir) =>
-      Dedup.minhashComponents(Tables.documents(s, dir))),
+      Dedup.minhashComponents(qdocuments(s, dir))),
 
     // the same cluster labeling via large-star/small-star contraction
     // — the provable-O(log²n)-rounds union-find for adversarial pair
     // graphs (equality with min-label also spec-proven on random
     // graphs in LlmSpec)
     "dedup_components_stars" -> ((s, dir) =>
-      Dedup.minhashComponentsStars(Tables.documents(s, dir))),
+      Dedup.minhashComponentsStars(qdocuments(s, dir))),
 
     // incremental crawl dedup: every 3rd doc plays the NEW snapshot,
     // dropped when it shares a band bucket with any OLD doc
@@ -1579,7 +1593,7 @@ object SparkEntry {
     // union-find over the thresholded embedding pair graph — one
     // representative per semantic near-duplicate CLUSTER
     "dedup_embedding_components" -> ((s, dir) =>
-      Similarity.embeddingComponents(Tables.embeddings(s, dir),
+      Similarity.embeddingComponents(qembeddings(s, dir),
         nBands = 4, bitsPerBand = 6, threshold = 0.4)),
 
     // ---- §2.5 similarity search ------------------------------------
@@ -1630,14 +1644,14 @@ object SparkEntry {
     // integer mean, so the iterative float algorithm is
     // oracle-checkable; the oracle replays the same 3 rounds in SQL
     "cluster_kmeans" -> ((s, dir) =>
-      Similarity.kmeans(Tables.embeddings(s, dir), k = 16, iters = 3)),
+      Similarity.kmeans(qembeddings(s, dir), k = 16, iters = 3)),
 
     // SemDeDup (arXiv:2303.09540): cluster-scoped semantic dedup —
     // kmeans then the cluster-local ε-ball drop (cos ≥ 0.4, lowest
     // id keeps); the pairwise cosine never leaves a cluster, the
     // paper's own O(n²)→Σ clusterᵢ² lever
     "dedup_semantic" -> ((s, dir) =>
-      Similarity.semanticKeep(Tables.embeddings(s, dir),
+      Similarity.semanticKeep(qembeddings(s, dir),
         k = 16, iters = 3, tauE6 = 400000L)),
 
     // ---- §2.6 text analysis ----------------------------------------
@@ -1702,7 +1716,7 @@ object SparkEntry {
     // probability per doc; the oracle replays the unrolled training
     // as CTEs bit-for-bit
     "text_quality_classifier" -> ((s, dir) =>
-      Sampling.qualityClassifier(Tables.documents(s, dir))),
+      Sampling.qualityClassifier(qdocuments(s, dir))),
 
     // CCNet's downstream policy: sample by quality bucket — the
     // fluent third in full, the middle at half, a tail trickle —

@@ -556,7 +556,7 @@ object SparkEntry {
       val (path, rpath) = rollupServeFixture(s, dir)
       val q = ReadQuery(WinStartMs, WinEndMs - 1000L,
         Seq(Matchers.eq("__name__", "click")), stepMs = 7200000L)
-      RollupStore.selectKeyed(RollupStore.read(s, rpath), q, 3600L)
+      RollupStore.selectKeyed(RollupStore.read(querySession(s, dir), rpath), q, 3600L)
         .select(col("metric"), array_join(col("labels"), ",").as("labels_str"),
           col("t_sec"), round(col("max_value"), 6).as("max_value"))
     }),
@@ -573,7 +573,7 @@ object SparkEntry {
         Seq(Matchers.eq("__name__", "click")), stepMs = 7200000L)
       val sel = graft.serve.RemoteRead.rollupSelect(
         graft.serve.RemoteRead.RollupRoute(path, rpath, 3600L), q,
-        SamplesStore.read(s, path))
+        SamplesStore.read(querySession(s, dir), path))
         .getOrElse(throw new IllegalStateException(
           "an unaligned window with interior buckets must route to the rollup"))
       sel.select(col("metric"), array_join(col("labels"), ",").as("labels_str"),
@@ -586,7 +586,7 @@ object SparkEntry {
     // oracle performs — the recording-rule contract for the query API
     "store_rollup_serve_sum" -> ((s, dir) => {
       val (path, rpath) = rollupServeFixture(s, dir)
-      promqlStr(PromQL.eval(SamplesStore.read(s, path),
+      promqlStr(PromQL.eval(SamplesStore.read(querySession(s, dir), path),
         parsePromQL("sum_over_time(click[2h])"),
         WinStartSec + 7200, WinEndSec, 7200L,
         rollup = Some(PromQL.RollupGrid(path, rpath, 3600L))))
@@ -597,7 +597,7 @@ object SparkEntry {
     // 1/4 the rows read; the oracle is the raw recompute
     "store_rollup_serve_ladder_route" -> ((s, dir) => {
       val (path, fine, coarse) = ladderFixture(s, dir)
-      promqlStr(PromQL.eval(SamplesStore.read(s, path),
+      promqlStr(PromQL.eval(SamplesStore.read(querySession(s, dir), path),
         parsePromQL("sum_over_time(click[2h])"),
         WinStartSec + 7200, WinEndSec, 7200L,
         rollup = Some(PromQL.RollupGrid(path, fine, 900L,
@@ -608,7 +608,7 @@ object SparkEntry {
     // windows re-aggregates from rollup rows byte-exactly
     "store_rollup_serve_stdvar" -> ((s, dir) => {
       val (path, rpath) = rollupServeFixture(s, dir)
-      promqlStr(PromQL.eval(SamplesStore.read(s, path),
+      promqlStr(PromQL.eval(SamplesStore.read(querySession(s, dir), path),
         parsePromQL("stdvar_over_time(click[2h])"),
         WinStartSec + 7200, WinEndSec, 7200L,
         rollup = Some(PromQL.RollupGrid(path, rpath, 3600L))))
@@ -618,7 +618,7 @@ object SparkEntry {
     // aligned windows) serves from rollup rows, byte-exact
     "store_rollup_serve_rate" -> ((s, dir) => {
       val (path, rpath) = rollupServeFixture(s, dir)
-      promqlStr(PromQL.eval(SamplesStore.read(s, path),
+      promqlStr(PromQL.eval(SamplesStore.read(querySession(s, dir), path),
         parsePromQL("delta(click[1296000])"), // one 15-day window
         WinEndSec, WinEndSec, 1296000L,
         rollup = Some(PromQL.RollupGrid(path, rpath, 3600L))))
@@ -629,7 +629,7 @@ object SparkEntry {
     // reassembles from each bucket's (last, penultimate) candidates
     "store_rollup_serve_irate" -> ((s, dir) => {
       val (path, rpath) = rollupServeFixture(s, dir)
-      promqlStr(PromQL.eval(SamplesStore.read(s, path),
+      promqlStr(PromQL.eval(SamplesStore.read(querySession(s, dir), path),
         parsePromQL("irate(click[1296000])"), // one 15-day window
         WinEndSec, WinEndSec, 1296000L,
         rollup = Some(PromQL.RollupGrid(path, rpath, 3600L))))
@@ -669,7 +669,7 @@ object SparkEntry {
         WinStartSec, WinEndSec), "ladder must gate fresh")
       val q = ReadQuery(WinStartMs, WinEndMs - 1000L,
         Seq(Matchers.eq("__name__", "click")), stepMs = 7200000L)
-      RollupStore.selectKeyed(RollupStore.read(s, coarse), q, 7200L)
+      RollupStore.selectKeyed(RollupStore.read(querySession(s, dir), coarse), q, 7200L)
         .select(col("metric"), array_join(col("labels"), ",").as("labels_str"),
           col("t_sec"), round(col("max_value"), 6).as("max_value"))
     }),

@@ -2755,41 +2755,9 @@ object SparkEntry {
        |  FROM j GROUP BY 1, 2, 3
        |)""".stripMargin
 
-  /** DuckDB replica of PromQL's digit-extraction log2 fold — the
-    * same 64 normalize + 24 squaring steps over a struct state.
-    * Every numeric literal is CAST AS DOUBLE (bare decimals are
-    * DECIMAL in DuckDB and would silently change the arithmetic).
-    * Returns a struct {m, e, b}; fx = e·2^24 + b. */
-  private def duckLog2Fold(vCol: String): String =
-    s"""list_reduce(
-       |  list_prepend(struct_pack(m := CAST($vCol AS DOUBLE) / CAST(1000000 AS DOUBLE),
-       |                           e := CAST(0 AS BIGINT), b := CAST(0 AS BIGINT)),
-       |    list_transform(range(1, 89), i -> struct_pack(m := CAST(0 AS DOUBLE), e := i, b := CAST(0 AS BIGINT)))),
-       |  (s, x) -> CASE WHEN x.e <= 64 THEN
-       |    CASE WHEN s.m >= CAST(2 AS DOUBLE) THEN struct_pack(m := s.m / CAST(2 AS DOUBLE), e := s.e + 1, b := s.b)
-       |         WHEN s.m < CAST(1 AS DOUBLE)  THEN struct_pack(m := s.m * CAST(2 AS DOUBLE), e := s.e - 1, b := s.b)
-       |         ELSE s END
-       |  ELSE
-       |    CASE WHEN s.m * s.m >= CAST(2 AS DOUBLE)
-       |         THEN struct_pack(m := s.m * s.m / CAST(2 AS DOUBLE), e := s.e, b := s.b * 2 + 1)
-       |         ELSE struct_pack(m := s.m * s.m, e := s.e, b := s.b * 2) END
-       |  END)""".stripMargin.replace("\n", " ")
-
   /** exp's exponent t = x · log2(e), DuckDB side. */
   private def duckExpT(vCol: String): String =
     s"CAST($vCol AS DOUBLE) / CAST(1000000 AS DOUBLE) * CAST(1.4426950408889634 AS DOUBLE)"
-
-  /** DuckDB replica of the exp 2^frac digit fold: 48 exact g
-    * doublings, each set bit multiplying in a sqrt-chain power of
-    * two. Returns struct {g, acc, r}. */
-  private def duckExpFold(vCol: String): String =
-    s"""list_reduce(
-       |  list_prepend(struct_pack(g := ${duckExpT(vCol)} - floor(${duckExpT(vCol)}),
-       |                           acc := CAST(1 AS DOUBLE), r := CAST(2 AS DOUBLE)),
-       |    list_transform(range(1, 49), j -> struct_pack(g := CAST(0 AS DOUBLE), acc := CAST(j AS DOUBLE), r := CAST(0 AS DOUBLE)))),
-       |  (s, x) -> CASE WHEN s.g + s.g >= CAST(1 AS DOUBLE)
-       |    THEN struct_pack(g := s.g + s.g - CAST(1 AS DOUBLE), acc := s.acc * sqrt(s.r), r := sqrt(s.r))
-       |    ELSE struct_pack(g := s.g + s.g, acc := s.acc, r := sqrt(s.r)) END)""".stripMargin.replace("\n", " ")
 
   /** One-row CTE holding the CORDIC tables (2^-i and atan 2^-i as
     * DOUBLE casts) — CROSS JOINed so the fold lambdas index them
@@ -2842,42 +2810,6 @@ object SparkEntry {
        |    ELSE [s[1] - s[2] * pw[CAST(el[1] AS INT) + 1],
        |          s[2] + s[1] * pw[CAST(el[1] AS INT) + 1],
        |          s[3] - ar[CAST(el[1] AS INT) + 1]] END)[3]""".stripMargin.replace("\n", " ")
-
-  /** DuckDB twin of PromQL.expDSql: deterministic double-level exp
-    * of a double expression (callers bound the argument). */
-  private def duckExpD(uExpr: String): String = {
-    val tE = s"(($uExpr) * CAST('1.4426950408889634' AS DOUBLE))"
-    val fold =
-      s"""list_reduce(
-         |  list_prepend(struct_pack(g := $tE - floor($tE), acc := CAST(1 AS DOUBLE), r := CAST(2 AS DOUBLE)),
-         |    list_transform(range(1, 49), j -> struct_pack(g := $duckD0, acc := CAST(j AS DOUBLE), r := $duckD0))),
-         |  (s, x) -> CASE WHEN s.g + s.g >= CAST(1 AS DOUBLE)
-         |    THEN struct_pack(g := s.g + s.g - CAST(1 AS DOUBLE), acc := s.acc * sqrt(s.r), r := sqrt(s.r))
-         |    ELSE struct_pack(g := s.g + s.g, acc := s.acc, r := sqrt(s.r)) END).acc""".stripMargin.replace("\n", " ")
-    s"(CASE WHEN CAST(floor($tE) AS BIGINT) >= 0 " +
-      s"THEN $fold * CAST(CAST(1 AS BIGINT) << CAST(floor($tE) AS BIGINT) AS DOUBLE) " +
-      s"ELSE $fold / CAST(CAST(1 AS BIGINT) << (-CAST(floor($tE) AS BIGINT)) AS DOUBLE) END)"
-  }
-
-  /** DuckDB twin of PromQL.lnDSql: deterministic double-level ln of
-    * a positive double expression. */
-  private def duckLnD(wExpr: String): String = {
-    val fold =
-      s"""list_reduce(
-         |  list_prepend(struct_pack(m := ($wExpr), e := CAST(0 AS BIGINT), b := CAST(0 AS BIGINT)),
-         |    list_transform(range(1, 89), i -> struct_pack(m := $duckD0, e := i, b := CAST(0 AS BIGINT)))),
-         |  (s, x) -> CASE WHEN x.e <= 64 THEN
-         |    CASE WHEN s.m >= CAST(2 AS DOUBLE) THEN struct_pack(m := s.m / CAST(2 AS DOUBLE), e := s.e + 1, b := s.b)
-         |         WHEN s.m < CAST(1 AS DOUBLE) THEN struct_pack(m := s.m * CAST(2 AS DOUBLE), e := s.e - 1, b := s.b)
-         |         ELSE s END
-         |  ELSE
-         |    CASE WHEN s.m * s.m >= CAST(2 AS DOUBLE)
-         |         THEN struct_pack(m := s.m * s.m / CAST(2 AS DOUBLE), e := s.e, b := s.b * 2 + 1)
-         |         ELSE struct_pack(m := s.m * s.m, e := s.e, b := s.b * 2) END
-         |  END)""".stripMargin.replace("\n", " ")
-    s"(CAST(($fold).e * 16777216 + ($fold).b AS DOUBLE) / CAST(16777216 AS DOUBLE)" +
-      s" * CAST('0.6931471805599453' AS DOUBLE))"
-  }
 
   private def duckMicro(e: String): String =
     s"CAST(floor(($e) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
@@ -6429,59 +6361,120 @@ object SparkEntry {
     // the digit-extraction log2 fold, replicated step-for-step (all
     // arithmetic exactly specified by IEEE 754 → identical bits);
     // ln + log2 + log10 all scale the one fixed-point log2
+    // the log2 fold replicated as a RECURSIVE CTE (one row-level
+    // arithmetic step per iteration): at sf0.001's row alignment
+    // DuckDB 1.0's vectorized list_reduce mis-evaluated this fold
+    // with row-lane crosstalk NONDETERMINISTICALLY across runs —
+    // struct state, list state, and barrier CTEs all failed; only
+    // the recursive-CTE replication (the promql_pow_frac pattern)
+    // is deterministic.
     "promql_log" ->
-      s"""${promqlSotCte("click")}, agg AS (
+      (s"""${promqlSotCte("click")}, agg AS (
          |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
          |         CAST(sum(v_e6) AS BIGINT) AS v_e6
          |  FROM sot GROUP BY 1, 2
-         |), fx AS (
-         |  SELECT labels, t, ${duckLog2Fold("v_e6")} AS s
+         |), ln0 AS (
+         |  SELECT labels, t, CAST(v_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS m,
+         |         CAST(0 AS DOUBLE) AS e, CAST(0 AS DOUBLE) AS b, 0 AS i
          |  FROM agg WHERE v_e6 > 0
+         |), lnit AS (
+         |  SELECT * FROM ln0
+         |  UNION ALL
+         |  SELECT labels, t,
+         |    CASE WHEN i < 64 THEN
+         |      CASE WHEN m >= CAST(2 AS DOUBLE) THEN m / CAST(2 AS DOUBLE)
+         |           WHEN m < CAST(1 AS DOUBLE) THEN m * CAST(2 AS DOUBLE) ELSE m END
+         |    ELSE CASE WHEN m * m >= CAST(2 AS DOUBLE) THEN m * m / CAST(2 AS DOUBLE)
+         |         ELSE m * m END END,
+         |    CASE WHEN i < 64 THEN
+         |      CASE WHEN m >= CAST(2 AS DOUBLE) THEN e + CAST(1 AS DOUBLE)
+         |           WHEN m < CAST(1 AS DOUBLE) THEN e - CAST(1 AS DOUBLE) ELSE e END
+         |    ELSE e END,
+         |    CASE WHEN i < 64 THEN b
+         |         ELSE CASE WHEN m * m >= CAST(2 AS DOUBLE)
+         |              THEN b * CAST(2 AS DOUBLE) + CAST(1 AS DOUBLE)
+         |              ELSE b * CAST(2 AS DOUBLE) END END,
+         |    i + 1
+         |  FROM lnit WHERE i < 88
          |)
          |SELECT CAST(NULL AS VARCHAR) AS metric,
          |       array_to_string(labels, ',') AS labels_str, t,
-         |       CAST(floor(CAST(s.e * 16777216 + s.b AS DOUBLE) / 16777216.0
+         |       CAST(floor((e * CAST(16777216 AS DOUBLE) + b) / 16777216.0
          |              * CAST(693147.1805599453 AS DOUBLE) + 0.5) AS BIGINT)
-         |     + CAST(floor(CAST(s.e * 16777216 + s.b AS DOUBLE) / 16777216.0
+         |     + CAST(floor((e * CAST(16777216 AS DOUBLE) + b) / 16777216.0
          |              * CAST(1000000.0 AS DOUBLE) + 0.5) AS BIGINT)
-         |     + CAST(floor(CAST(s.e * 16777216 + s.b AS DOUBLE) / 16777216.0
+         |     + CAST(floor((e * CAST(16777216 AS DOUBLE) + b) / 16777216.0
          |              * CAST(301029.99566398119 AS DOUBLE) + 0.5) AS BIGINT)
          |       AS v_e6
-         |FROM fx""".stripMargin,
+         |FROM lnit WHERE i = 88""".stripMargin)
+        .replaceFirst("^WITH ", "WITH RECURSIVE "),
 
     // cube root via exp(ln(x)/3): the ln fold, the evaluator's
     // scalar-division rounding, then the exp digit fold (sqrt-chain
     // powers of two) — each step bit-identical to the Spark side
+    // both folds as RECURSIVE CTEs — same list_reduce row-lane
+    // hazard as promql_log (see there)
     "promql_exp" ->
-      s"""${promqlSotCte("click")}, agg AS (
+      (s"""${promqlSotCte("click")}, agg AS (
          |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
          |         CAST(sum(v_e6) AS BIGINT) AS v_e6
          |  FROM sot GROUP BY 1, 2
-         |), fx AS (
-         |  SELECT labels, t, ${duckLog2Fold("v_e6")} AS s
+         |), ln0 AS (
+         |  SELECT labels, t, CAST(v_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS m,
+         |         CAST(0 AS DOUBLE) AS e, CAST(0 AS DOUBLE) AS b, 0 AS i
          |  FROM agg WHERE v_e6 > 0
+         |), lnit AS (
+         |  SELECT * FROM ln0
+         |  UNION ALL
+         |  SELECT labels, t,
+         |    CASE WHEN i < 64 THEN
+         |      CASE WHEN m >= CAST(2 AS DOUBLE) THEN m / CAST(2 AS DOUBLE)
+         |           WHEN m < CAST(1 AS DOUBLE) THEN m * CAST(2 AS DOUBLE) ELSE m END
+         |    ELSE CASE WHEN m * m >= CAST(2 AS DOUBLE) THEN m * m / CAST(2 AS DOUBLE)
+         |         ELSE m * m END END,
+         |    CASE WHEN i < 64 THEN
+         |      CASE WHEN m >= CAST(2 AS DOUBLE) THEN e + CAST(1 AS DOUBLE)
+         |           WHEN m < CAST(1 AS DOUBLE) THEN e - CAST(1 AS DOUBLE) ELSE e END
+         |    ELSE e END,
+         |    CASE WHEN i < 64 THEN b
+         |         ELSE CASE WHEN m * m >= CAST(2 AS DOUBLE)
+         |              THEN b * CAST(2 AS DOUBLE) + CAST(1 AS DOUBLE)
+         |              ELSE b * CAST(2 AS DOUBLE) END END,
+         |    i + 1
+         |  FROM lnit WHERE i < 88
          |), lnv AS (
          |  SELECT labels, t,
-         |         CAST(floor(CAST(CAST(floor(CAST(s.e * 16777216 + s.b AS DOUBLE)
+         |         CAST(floor(CAST(CAST(floor((e * CAST(16777216 AS DOUBLE) + b)
          |             / 16777216.0 * CAST(693147.1805599453 AS DOUBLE) + 0.5) AS BIGINT)
          |             AS DOUBLE) / CAST(3.0 AS DOUBLE) + 0.5) AS BIGINT) AS v_e6
-         |  FROM fx
-         |), ex AS (
+         |  FROM lnit WHERE i = 88
+         |), ex0 AS (
          |  SELECT labels, t, v_e6,
-         |         CAST(floor(${duckExpT("v_e6")}) AS BIGINT) AS i,
-         |         ${duckExpFold("v_e6")} AS s
+         |         (${duckExpT("v_e6")}) - floor(${duckExpT("v_e6")}) AS g,
+         |         CAST(1 AS DOUBLE) AS acc, CAST(2 AS DOUBLE) AS r, 0 AS j,
+         |         CAST(floor(${duckExpT("v_e6")}) AS BIGINT) AS ip
          |  FROM lnv WHERE v_e6 <= 29850000
+         |), exit0 AS (
+         |  SELECT * FROM ex0
+         |  UNION ALL
+         |  SELECT labels, t, v_e6,
+         |    CASE WHEN g + g >= CAST(1 AS DOUBLE) THEN g + g - CAST(1 AS DOUBLE)
+         |         ELSE g + g END,
+         |    CASE WHEN g + g >= CAST(1 AS DOUBLE) THEN acc * sqrt(r) ELSE acc END,
+         |    sqrt(r), j + 1, ip
+         |  FROM exit0 WHERE j < 48
          |)
          |SELECT CAST(NULL AS VARCHAR) AS metric,
          |       array_to_string(labels, ',') AS labels_str, t,
          |       CASE WHEN v_e6 <= -14600000 THEN 0
          |            ELSE CAST(floor(
-         |              CASE WHEN i >= 0
-         |                   THEN s.acc * CAST(CAST(1 AS BIGINT) << i AS DOUBLE)
-         |                   ELSE s.acc / CAST(CAST(1 AS BIGINT) << (-i) AS DOUBLE)
+         |              CASE WHEN ip >= 0
+         |                   THEN acc * CAST(CAST(1 AS BIGINT) << ip AS DOUBLE)
+         |                   ELSE acc / CAST(CAST(1 AS BIGINT) << (-ip) AS DOUBLE)
          |              END * CAST(1000000.0 AS DOUBLE)
          |              + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS v_e6
-         |FROM ex""".stripMargin,
+         |FROM exit0 WHERE j = 48""".stripMargin)
+        .replaceFirst("^WITH ", "WITH RECURSIVE "),
 
     // fractional ^: u = 2.5·lnD(|x|), overflow drop at u > 29.85,
     // deep underflow to 0 at u <= -14.6, result floor(expD(u)·1e6+.5)
@@ -6719,8 +6712,12 @@ object SparkEntry {
 
     // hyperbolics: exp/ln-fold compositions on the µ-rounded
     // intermediates, every term's domain total by construction
+    // exp/ln folds as RECURSIVE CTEs over a tag-union of arguments —
+    // same list_reduce row-lane hazard as promql_log (see there); the
+    // CORDIC atan stays list_reduce (list state, the trig queries'
+    // proven-deterministic shape)
     "promql_hyp" ->
-      s"""${promqlSotCte("click")}, agg AS (
+      (s"""${promqlSotCte("click")}, agg AS (
          |  SELECT list_filter(labels, l -> l LIKE 'user=%') AS labels, t,
          |         CAST(sum(v_e6) AS BIGINT) AS v_e6
          |  FROM sot GROUP BY 1, 2
@@ -6739,20 +6736,83 @@ object SparkEntry {
          |    CAST(d20_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS t20,
          |    CAST(cl_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS tcl
          |  FROM b1
+         |), eargs AS (
+         |  SELECT labels, t, 1 AS tag, ath AS u FROM b2
+         |  UNION ALL SELECT labels, t, 2, -ath FROM b2
+         |  UNION ALL SELECT labels, t, 3, t20 FROM b2
+         |  UNION ALL SELECT labels, t, 4, -t20 FROM b2
+         |), ex0 AS (
+         |  SELECT labels, t, tag,
+         |         ((u) * CAST('1.4426950408889634' AS DOUBLE))
+         |           - floor((u) * CAST('1.4426950408889634' AS DOUBLE)) AS g,
+         |         CAST(1 AS DOUBLE) AS acc, CAST(2 AS DOUBLE) AS r, 0 AS j,
+         |         CAST(floor((u) * CAST('1.4426950408889634' AS DOUBLE)) AS BIGINT) AS ip
+         |  FROM eargs
+         |), exit0 AS (
+         |  SELECT * FROM ex0
+         |  UNION ALL
+         |  SELECT labels, t, tag,
+         |    CASE WHEN g + g >= CAST(1 AS DOUBLE) THEN g + g - CAST(1 AS DOUBLE)
+         |         ELSE g + g END,
+         |    CASE WHEN g + g >= CAST(1 AS DOUBLE) THEN acc * sqrt(r) ELSE acc END,
+         |    sqrt(r), j + 1, ip
+         |  FROM exit0 WHERE j < 48
+         |), ep AS (
+         |  SELECT labels, t,
+         |    max(CASE WHEN tag = 1 THEN CASE WHEN ip >= 0 THEN acc * CAST(CAST(1 AS BIGINT) << ip AS DOUBLE) ELSE acc / CAST(CAST(1 AS BIGINT) << (-ip) AS DOUBLE) END END) AS pa,
+         |    max(CASE WHEN tag = 2 THEN CASE WHEN ip >= 0 THEN acc * CAST(CAST(1 AS BIGINT) << ip AS DOUBLE) ELSE acc / CAST(CAST(1 AS BIGINT) << (-ip) AS DOUBLE) END END) AS pma,
+         |    max(CASE WHEN tag = 3 THEN CASE WHEN ip >= 0 THEN acc * CAST(CAST(1 AS BIGINT) << ip AS DOUBLE) ELSE acc / CAST(CAST(1 AS BIGINT) << (-ip) AS DOUBLE) END END) AS pt,
+         |    max(CASE WHEN tag = 4 THEN CASE WHEN ip >= 0 THEN acc * CAST(CAST(1 AS BIGINT) << ip AS DOUBLE) ELSE acc / CAST(CAST(1 AS BIGINT) << (-ip) AS DOUBLE) END END) AS pmt
+         |  FROM exit0 WHERE j = 48 GROUP BY 1, 2
+         |), largs AS (
+         |  SELECT labels, t, 1 AS tag,
+         |         abs(tt) + sqrt(tt * tt + CAST(1 AS DOUBLE)) AS w FROM b2
+         |  UNION ALL SELECT labels, t, 2,
+         |         tcl + sqrt(tcl * tcl - CAST(1 AS DOUBLE)) FROM b2
+         |), ll0 AS (
+         |  SELECT labels, t, tag, w AS m,
+         |         CAST(0 AS DOUBLE) AS e, CAST(0 AS DOUBLE) AS b, 0 AS i
+         |  FROM largs
+         |), llit AS (
+         |  SELECT * FROM ll0
+         |  UNION ALL
+         |  SELECT labels, t, tag,
+         |    CASE WHEN i < 64 THEN
+         |      CASE WHEN m >= CAST(2 AS DOUBLE) THEN m / CAST(2 AS DOUBLE)
+         |           WHEN m < CAST(1 AS DOUBLE) THEN m * CAST(2 AS DOUBLE) ELSE m END
+         |    ELSE CASE WHEN m * m >= CAST(2 AS DOUBLE) THEN m * m / CAST(2 AS DOUBLE)
+         |         ELSE m * m END END,
+         |    CASE WHEN i < 64 THEN
+         |      CASE WHEN m >= CAST(2 AS DOUBLE) THEN e + CAST(1 AS DOUBLE)
+         |           WHEN m < CAST(1 AS DOUBLE) THEN e - CAST(1 AS DOUBLE) ELSE e END
+         |    ELSE e END,
+         |    CASE WHEN i < 64 THEN b
+         |         ELSE CASE WHEN m * m >= CAST(2 AS DOUBLE)
+         |              THEN b * CAST(2 AS DOUBLE) + CAST(1 AS DOUBLE)
+         |              ELSE b * CAST(2 AS DOUBLE) END END,
+         |    i + 1
+         |  FROM llit WHERE i < 88
+         |), lp AS (
+         |  SELECT labels, t,
+         |    max(CASE WHEN tag = 1 THEN ((e * CAST(16777216 AS DOUBLE) + b) / CAST(16777216 AS DOUBLE) * CAST('0.6931471805599453' AS DOUBLE)) END) AS ln_as,
+         |    max(CASE WHEN tag = 2 THEN ((e * CAST(16777216 AS DOUBLE) + b) / CAST(16777216 AS DOUBLE) * CAST('0.6931471805599453' AS DOUBLE)) END) AS ln_ac
+         |  FROM llit WHERE i = 88 GROUP BY 1, 2
          |)
          |SELECT CAST(NULL AS VARCHAR) AS metric,
-         |       array_to_string(labels, ',') AS labels_str, t,
-         |       ${duckMicro(s"(${duckExpD("ath")} - ${duckExpD("-ath")}) / CAST(2 AS DOUBLE)")}
+         |       array_to_string(b2.labels, ',') AS labels_str, b2.t,
+         |       ${duckMicro("(ep.pa - ep.pma) / CAST(2 AS DOUBLE)")}
          |     + CASE WHEN d20_e6 > 20000000 THEN 1000000
          |            WHEN d20_e6 < -20000000 THEN -1000000
-         |            ELSE ${duckMicro(s"(${duckExpD("t20")} - ${duckExpD("-t20")})" +
-                s" / (${duckExpD("t20")} + ${duckExpD("-t20")})")} END
+         |            ELSE ${duckMicro("(ep.pt - ep.pmt) / (ep.pt + ep.pmt)")} END
          |     + CASE WHEN v_e6 >= 0
-         |            THEN ${duckMicro(duckLnD("abs(tt) + sqrt(tt * tt + CAST(1 AS DOUBLE))"))}
-         |            ELSE -${duckMicro(duckLnD("abs(tt) + sqrt(tt * tt + CAST(1 AS DOUBLE))"))} END
-         |     + ${duckMicro(duckLnD("tcl + sqrt(tcl * tcl - CAST(1 AS DOUBLE))"))}
+         |            THEN ${duckMicro("lp.ln_as")}
+         |            ELSE -${duckMicro("lp.ln_as")} END
+         |     + ${duckMicro("lp.ln_ac")}
          |       AS v_e6
-         |FROM b2""".stripMargin,
+         |FROM b2
+         |JOIN ep ON ep.labels = b2.labels AND ep.t = b2.t
+         |JOIN lp ON lp.labels = b2.labels AND lp.t = b2.t""".stripMargin)
+        .replaceFirst("^WITH ", "WITH RECURSIVE "),
 
     // the baseline is the per-user sum over [t0, t0+1d), joined to
     // every grid step's sum on the user label
